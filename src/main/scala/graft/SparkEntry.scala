@@ -1,13 +1,291 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.names.{Glob, MetricValidator}
+import graft.query.{MetricQuery, QueryParams}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator family from SURVEY.md §2 on
+  * the driver testdata; `oracleSql` holds the DuckDB-equivalent SQL the
+  * driver cross-checks against. Column names and rounding are matched on
+  * both sides (the driver hashes values after sorting columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Events table with an exact epoch-seconds column `sec`. The parquet
+    * file stores TIMESTAMP(NANOS), which Spark only reads as a raw long
+    * (`spark.sql.legacy.parquet.nanosAsLong`); `div` keeps the
+    * nanos→seconds conversion in exact integer arithmetic.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = t(s, dir, "events")
+    val sec = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _                                   => unix_timestamp(col("ts"))
+    }
+    df.withColumn("sec", sec)
+  }
+
+  /** Events table in metric-point shape (SURVEY §1.1): `metric` is the
+    * dot-name `<event_type>.u<user_id>`, `event_id` plays the version
+    * column (`updated`).
+    */
+  private def eventsAsPoints(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      concat(col("event_type"), lit(".u"), col("user_id")).as("metric"),
+      col("value"),
+      col("sec").cast("int").as("timestamp"),
+      to_date(from_unixtime(col("sec"))).as("date"),
+      col("event_id").cast("int").as("updated")
+    )
+
+  // 2024-01-10 / 2024-01-20 00:00 UTC — inside the events table's range.
+  private val GapStart = 1704844800L
+  private val GapEnd   = 1705708800L
+  private val GapStep  = 21600L
+
+  /** Flagship: the full /metricData read path (SURVEY §3.1) on sf0.001 —
+    * F1/F2 predicates → A1 dedup → A3 rollup → W3 gap fill → J4 padding.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val data = eventsAsPoints(spark, "/root/testdata/sf0.001")
+    val params = QueryParams(GapStart.toInt, GapEnd.toInt, GapStep.toInt)
+    val metrics = (0 until 20).flatMap(u => Seq(s"click.u$u", s"error.u$u"))
+    MetricQuery.metricData(data, metrics, "avg", params)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 — version dedup: latest value per key by version column (argMax).
+    "q01_dedup_latest" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(
+          max_by(col("value"), col("event_id")).as("last_value"),
+          max(col("event_id")).as("last_event_id")
+        )
+    }),
+
+    // A3/W1/X4 — epoch-anchored tumbling rollup, 1h buckets, avg.
+    "q02_rollup_avg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"), MetricQuery.bucket(col("sec"), 3600).cast("long").as("bucket_ts"))
+        .agg(round(avg(col("value")), 4).as("avg_value"), count(lit(1)).as("n"))
+    }),
+
+    // A3 multi-function rollup — daily sum/min/max/count per event_type.
+    "q03_rollup_multi" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"), MetricQuery.bucket(col("sec"), 86400).cast("long").as("bucket_ts"))
+        .agg(
+          round(sum(col("value")), 2).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          count(lit(1)).as("n")
+        )
+    }),
+
+    // J1/J2 — semi-join (IN-subquery shape) then aggregate.
+    "q04_semi_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val fOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"))
+      li.join(fOrders, Seq("l_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
+    // J4 — anti-join: customers with no large order.
+    "q05_anti_join" -> ((s, dir) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey"))
+      t(s, dir, "customer")
+        .join(big, Seq("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+    }),
+
+    // A4/F4 — count+max aggregate with HAVING (autohide detection shape).
+    "q06_having" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"), max(col("sec")).as("last_ts"))
+        .filter(col("cnt") < 60 && col("last_ts") < 1706572800L)
+    }),
+
+    // O-series — deterministic top-k with tie-break.
+    "q07_topk" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("total_value").desc, col("user_id"))
+        .limit(10)
+    }),
+
+    // X1/F3 — glob search over synthesized dot-names.
+    "q08_glob_search" -> ((s, dir) => {
+      val names = events(s, dir).select(
+        concat(col("event_type"), lit(".host"), col("user_id") % 10, lit(".requests")).as("name")
+      ).distinct()
+      val re = Glob.queryToRegex("{click,view}.host[0-3].request?").get
+      names.filter(col("name").rlike(re))
+    }),
+
+    // F6/S2 — ingest name validation parity (valid/invalid corpus).
+    "q09_validation" -> ((s, dir) => {
+      val v = MetricValidator()
+      val validUdf = udf((name: String) => v.validate(name))
+      events(s, dir)
+        .select(
+          when(col("user_id") % 5 === 0, concat(col("event_type"), lit("..u"), col("user_id")))
+            .when(col("user_id") % 5 === 1, concat(lit("."), col("event_type"), lit(".u"), col("user_id")))
+            .when(col("user_id") % 5 === 2, concat(col("event_type"), lit(".u"), col("user_id"), lit(".")))
+            .when(col("user_id") % 5 === 3, lit("ab"))
+            .otherwise(concat(col("event_type"), lit(".u"), col("user_id"))).as("name")
+        )
+        .select(validUdf(col("name")).as("valid"))
+        .groupBy("valid").agg(count(lit(1)).as("n"))
+    }),
+
+    // W3 — gap fill (exploded row form): dense grid, nulls for empty buckets.
+    "q10_gapfill_rows" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"), col("sec"), col("value"))
+      val rolled = e
+        .filter(col("sec") >= GapStart && col("sec") < GapEnd)
+        .groupBy(col("event_type"), MetricQuery.bucket(col("sec"), GapStep.toInt).cast("long").as("bucket_ts"))
+        .agg(round(avg(col("value")), 4).as("avg_value"))
+      val grid = e.select("event_type").distinct()
+        .select(col("event_type"), explode(sequence(lit(GapStart), lit(GapEnd - GapStep), lit(GapStep))).as("bucket_ts"))
+      grid.join(rolled, Seq("event_type", "bucket_ts"), "left")
+    }),
+
+    // TPC-H Q1-shaped pricing summary (headline aggregate for bench).
+    "q11_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("n")
+        )
+    }),
+
+    // Multi-join with broadcast dims — revenue per nation.
+    "q12_revenue_by_nation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_dedup_latest" ->
+      """SELECT user_id, event_type, arg_max(value, event_id) AS last_value,
+        |       max(event_id) AS last_event_id
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+
+    "q02_rollup_avg" ->
+      """SELECT event_type, sec - (sec % 3600) AS bucket_ts,
+        |       round(avg(value), 4) AS avg_value, count(*) AS n
+        |FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q03_rollup_multi" ->
+      """SELECT event_type, sec - (sec % 86400) AS bucket_ts,
+        |       round(sum(value), 2) AS sum_value, min(value) AS min_value,
+        |       max(value) AS max_value, count(*) AS n
+        |FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q06_having" ->
+      """SELECT user_id, count(*) AS cnt, max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_ts
+        |FROM events GROUP BY user_id
+        |HAVING count(*) < 60 AND max(CAST(floor(epoch(ts)) AS BIGINT)) < 1706572800""".stripMargin,
+
+    "q07_topk" ->
+      """SELECT user_id, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY user_id
+        |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin,
+
+    "q08_glob_search" ->
+      """SELECT DISTINCT event_type || '.host' || CAST(user_id % 10 AS VARCHAR) || '.requests' AS name
+        |FROM events
+        |WHERE regexp_matches(event_type || '.host' || CAST(user_id % 10 AS VARCHAR) || '.requests',
+        |                     '^(?:click|view)\.host[0-3]\.request[^.]\.?$')""".stripMargin,
+
+    "q09_validation" ->
+      """WITH names AS (
+        |  SELECT CASE CAST(user_id % 5 AS INTEGER)
+        |    WHEN 0 THEN event_type || '..u' || CAST(user_id AS VARCHAR)
+        |    WHEN 1 THEN '.' || event_type || '.u' || CAST(user_id AS VARCHAR)
+        |    WHEN 2 THEN event_type || '.u' || CAST(user_id AS VARCHAR) || '.'
+        |    WHEN 3 THEN 'ab'
+        |    ELSE event_type || '.u' || CAST(user_id AS VARCHAR) END AS name
+        |  FROM events)
+        |SELECT (length(name) BETWEEN 5 AND 500
+        |        AND name NOT LIKE '.%' AND name NOT LIKE '%.'
+        |        AND position('..' IN name) = 0
+        |        AND regexp_matches(name, '^[-_0-9a-zA-Z.]*$')
+        |        AND len(string_split(name, '.')) BETWEEN 2 AND 20) AS valid,
+        |       count(*) AS n
+        |FROM names GROUP BY 1""".stripMargin,
+
+    "q10_gapfill_rows" ->
+      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |     et AS (SELECT DISTINCT event_type FROM e),
+        |     grid AS (SELECT event_type, g AS bucket_ts
+        |              FROM et CROSS JOIN range(1704844800, 1705708800, 21600) t(g)),
+        |     r AS (SELECT event_type, sec - (sec % 21600) AS bucket_ts,
+        |                  round(avg(value), 4) AS avg_value
+        |           FROM e WHERE sec >= 1704844800 AND sec < 1705708800
+        |           GROUP BY 1, 2)
+        |SELECT grid.event_type, grid.bucket_ts, r.avg_value
+        |FROM grid LEFT JOIN r USING (event_type, bucket_ts)""".stripMargin,
+
+    "q11_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q12_revenue_by_nation" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin
+  )
 }

@@ -1,0 +1,160 @@
+package graft.names
+
+/** Dot-separated metric-name operations (reference `MetricUtil.java:14-48`).
+  * Directory names end with '.'; level of "a.b.c" is 3, of "a.b." is 2.
+  */
+object MetricNames {
+  val LevelSplitter = '.'
+
+  def isDir(name: String): Boolean =
+    name.nonEmpty && name.charAt(name.length - 1) == LevelSplitter
+
+  def splitToLevels(name: String): Array[String] = name.split("\\.")
+
+  def lastLevel(name: String): String =
+    if (isDir(name))
+      name.substring(name.lastIndexOf(LevelSplitter.toInt, name.length - 2) + 1, name.length - 1)
+    else name.substring(name.lastIndexOf(LevelSplitter.toInt) + 1)
+
+  /** Parent dir with trailing dot; "" for root-level names. */
+  def parent(name: String): String =
+    name.substring(0, name.lastIndexOf(LevelSplitter.toInt, name.length - 2) + 1)
+
+  def level(name: String): Int = {
+    var dots = 0
+    var i = 0
+    while (i < name.length) {
+      if (name.charAt(i) == LevelSplitter) dots += 1
+      i += 1
+    }
+    if (isDir(name)) dots else dots + 1
+  }
+}
+
+/** Ingest-time name validation (reference `MetricValidator.java:29-62`,
+  * defaults `graphouse-default.properties:124-128`): char whitelist regex,
+  * length 5..500, levels 2..20, no leading dot, no empty level ("..").
+  */
+final case class MetricValidator(
+    metricRegexp: String = "[-_0-9a-zA-Z\\.]*$",
+    minMetricLength: Int = 5,
+    maxMetricLength: Int = 500,
+    minLevels: Int = 2,
+    maxLevels: Int = 20
+) {
+  private val pattern = java.util.regex.Pattern.compile(metricRegexp)
+  private val minDots = minLevels - 1
+  private val maxDots = maxLevels - 1
+
+  def validate(name: String, allowDirs: Boolean = false): Boolean = {
+    if (name.isEmpty) return false
+    val dir = MetricNames.isDir(name)
+    if ((!dir && name.length < minMetricLength) || name.length > maxMetricLength) return false
+    if (name.charAt(0) == '.') return false
+    if (!allowDirs && dir) return false
+    // count dots, rejecting empty levels (two dots in a row)
+    var dots = 0
+    var prev = -1
+    var i = name.indexOf('.')
+    while (i > 0) {
+      if (prev + 1 == i) return false
+      prev = i
+      dots += 1
+      i = name.indexOf('.', prev + 1)
+    }
+    if ((!dir && dots < minDots) || dots > maxDots) return false
+    pattern.matcher(name).matches()
+  }
+}
+
+/** Graphite glob → Java/RE2-safe regex, per-level semantics of the
+  * reference's `FileSystems.getPathMatcher("glob:...")` usage
+  * (`search/tree/MetricTree.java:226-239`): `*` and `?` never cross a
+  * level boundary, `[a-z]` / `[!a-z]` character classes, `{a,b}` (and the
+  * empty alternative `{,a}`) alternation, `\` escapes. An invalid glob
+  * yields None → empty search result, not an error
+  * (`MetricTree.java:227-233` semantics).
+  */
+object Glob {
+
+  def hasWildcards(s: String): Boolean =
+    s.exists(c => c == '*' || c == '?' || c == '[' || c == ']' || c == '{' || c == '}')
+
+  /** Regex for ONE level name (no dots inside). None if the glob is invalid. */
+  def levelToRegex(glob: String): Option[String] = {
+    val sb = new StringBuilder
+    var i = 0
+    var inBraces = false
+    try {
+      while (i < glob.length) {
+        glob.charAt(i) match {
+          case '*' => sb.append("[^.]*")
+          case '?' => sb.append("[^.]")
+          case '[' =>
+            // character class: copy until unescaped ']', translating leading '!'
+            val close = {
+              var j = i + 1
+              var first = true
+              var found = -1
+              while (j < glob.length && found < 0) {
+                val c = glob.charAt(j)
+                if (c == ']' && !first) found = j
+                else {
+                  if (c == '\\') j += 1
+                  first = false
+                  j += 1
+                }
+              }
+              found
+            }
+            if (close < 0) return None
+            var body = glob.substring(i + 1, close)
+            if (body.startsWith("!")) body = "^" + body.substring(1)
+            if (body.isEmpty) return None
+            sb.append('[').append(body).append(']')
+            i = close
+          case ']' => return None // unmatched
+          case '{' =>
+            if (inBraces) return None // no nesting, like PathMatcher
+            inBraces = true
+            sb.append("(?:")
+          case '}' =>
+            if (!inBraces) return None
+            inBraces = false
+            sb.append(')')
+          case ',' if inBraces => sb.append('|')
+          case '\\' =>
+            if (i + 1 >= glob.length) return None
+            i += 1
+            sb.append(java.util.regex.Pattern.quote(glob.charAt(i).toString))
+          case c => sb.append(escapeLiteral(c))
+        }
+        i += 1
+      }
+      if (inBraces) None else Some(sb.toString)
+    } catch { case _: Exception => None }
+  }
+
+  /** Anchored regex for a FULL multi-level query ("a.*.c{x,y}"):
+    * levels are converted independently and joined by literal dots; a
+    * trailing-dot variant is allowed so directory rows (name ends with '.')
+    * match too. None if any level's glob is invalid.
+    */
+  def queryToRegex(query: String): Option[String] = {
+    val levels = MetricNames.splitToLevels(query)
+    if (levels.isEmpty) return None
+    val parts = new Array[String](levels.length)
+    var i = 0
+    while (i < levels.length) {
+      levelToRegex(levels(i)) match {
+        case Some(r) => parts(i) = r
+        case None    => return None
+      }
+      i += 1
+    }
+    Some("^" + parts.mkString("\\.") + "\\.?$")
+  }
+
+  private def escapeLiteral(c: Char): String =
+    if ("\\^$.|+()".indexOf(c.toInt) >= 0) "\\" + c else c.toString
+}

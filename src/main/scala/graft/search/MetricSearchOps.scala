@@ -1,0 +1,104 @@
+package graft.search
+
+import graft.model.MetricStatus
+import graft.names.Glob
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Metric-tree search and status management over the append-only tree
+  * table (SURVEY.md §3.2). The reference serves these from an in-memory
+  * trie (`search/tree/MetricTree.java`); relationally the trie is just
+  * `filter(level && visible && rlike(glob))` over the current tree state —
+  * Spark's column pruning + parquet pushdown replace the trie's purpose at
+  * rest, and a driver-side cache can be layered on for serving latency.
+  */
+object MetricSearchOps {
+
+  private val invisible: Seq[String] =
+    MetricStatus.all.filterNot(_.visible).map(_.name)
+
+  def visibleCol(status: Column): Column = !status.isin(invisible: _*)
+
+  /** S6/A2 — current state of the append-only tree table: latest status per
+    * name by `updated` (reference `SELECT name, argMax(status, updated) ...
+    * GROUP BY name`, `search/MetricSearch.java:319-324`).
+    */
+  def currentTree(tree: DataFrame): DataFrame =
+    tree.groupBy("name")
+      .agg(
+        first(col("level")).as("level"),
+        first(col("parent")).as("parent"),
+        max_by(col("status"), col("updated")).as("status"),
+        max(col("updated")).as("updated")
+      )
+
+  /** Glob search (X1 + F3): nodes at the query's level, visible, matching
+    * the translated glob. Invalid globs return an empty result, matching
+    * `MetricTree.java:227-233`. Runs on the CURRENT tree (dedup applied).
+    */
+  def search(tree: DataFrame, query: String): DataFrame = {
+    val levels = query.count(_ == '.') + (if (query.endsWith(".")) 0 else 1)
+    Glob.queryToRegex(query) match {
+      case None => currentTree(tree).limit(0).select("name", "status")
+      case Some(re) =>
+        currentTree(tree)
+          .filter(col("level") === levels && visibleCol(col("status")) && col("name").rlike(re))
+          .select("name", "status")
+    }
+  }
+
+  /** Status change (ban/approve/hide...): returns the rows to APPEND to the
+    * tree table. The restricted transition graph
+    * (`MetricStatus.selectStatus`) is applied against each node's current
+    * status, so e.g. a BAN survives an automatic SIMPLE update.
+    */
+  def setStatus(tree: DataFrame, namePattern: String, newStatus: MetricStatus,
+                updatedSeconds: Long): DataFrame = {
+    val re = Glob.queryToRegex(namePattern)
+      .getOrElse("^" + java.util.regex.Pattern.quote(namePattern) + "$")
+    val target = currentTree(tree).filter(col("name").rlike(re))
+    val select = selectStatusCol(col("status"), lit(newStatus.name))
+    target.select(
+      col("name"), col("level"), col("parent"),
+      select.as("status"),
+      lit(updatedSeconds).as("updated")
+    )
+  }
+
+  /** Column form of MetricStatus.selectStatus (restricted-edge table from
+    * reference `MetricStatus.java:48-57`).
+    */
+  def selectStatusCol(oldStatus: Column, newStatus: Column): Column = {
+    def restrictedFrom(from: String, to: Seq[String]): Column =
+      oldStatus === from && newStatus.isin(to: _*)
+    when(oldStatus === newStatus, oldStatus)
+      .when(restrictedFrom("BAN", Seq("SIMPLE", "AUTO_HIDDEN")), oldStatus)
+      .when(restrictedFrom("AUTO_BAN", Seq("SIMPLE", "AUTO_HIDDEN")), oldStatus)
+      .when(restrictedFrom("HIDDEN", Seq("AUTO_HIDDEN")), oldStatus)
+      .when(restrictedFrom("APPROVED", Seq("SIMPLE", "AUTO_HIDDEN")), oldStatus)
+      .otherwise(newStatus)
+  }
+
+  /** T6 — declarative dir visibility: a directory is auto-hidden when all
+    * of its children are invisible (reference counter-based
+    * `search/tree/MetricDir.java:106-168`, derived here with one
+    * aggregation instead of mutable per-dir counters).
+    */
+  def dirVisibility(tree: DataFrame): DataFrame =
+    currentTree(tree)
+      .groupBy(col("parent").as("dir"))
+      .agg(
+        sum(visibleCol(col("status")).cast("int")).as("visible_children"),
+        count(lit(1)).as("children")
+      )
+      .withColumn("auto_hide", col("visible_children") === 0)
+
+  /** A4/F4/F5 — autohide candidate detection (reference
+    * `AutoHideService.java:129-137`): metrics with fewer than `maxValues`
+    * points and no point newer than `missingSeconds` ago.
+    */
+  def autoHideCandidates(data: DataFrame, maxValues: Long, cutoffSeconds: Long): DataFrame =
+    data.groupBy("metric")
+      .agg(count(lit(1)).as("cnt"), max(col("updated")).as("last_updated"))
+      .filter(col("cnt") < maxValues && col("last_updated") < cutoffSeconds)
+}

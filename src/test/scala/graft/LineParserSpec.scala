@@ -1,0 +1,45 @@
+package graft
+
+import graft.ingest.LineParser
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ingest corpus goldens (FIXTURES.md §3, reference BaseMetricFactory). */
+class LineParserSpec extends AnyFunSuite {
+  private val p = new LineParser()
+
+  test("valid line parses with enrichment") {
+    val m = p.parse("one_min.app.host1.requests 12.0 1542199560", 1542199561).get
+    assert(m.metric == "one_min.app.host1.requests")
+    assert(m.value == 12.0)
+    assert(m.timestamp == 1542199560)
+    assert(m.updated == 1542199561)
+    assert(m.date.toString == "2018-11-14")
+  }
+
+  test("float timestamp rounds") {
+    assert(p.parse("one_min.app.req 1 1542199560.7", 0).get.timestamp == 1542199561)
+    assert(p.parse("one_min.app.req 1 1542199560.2", 0).get.timestamp == 1542199560)
+  }
+
+  test("invalid corpus rejected") {
+    assert(p.parse("one_min.app..requests 1 1542199560", 0).isEmpty, "double dot")
+    assert(p.parse(".one_min.a 1 1542199560", 0).isEmpty, "leading dot")
+    assert(p.parse("one_min.app.req NaN 1542199560", 0).isEmpty, "NaN")
+    assert(p.parse("one_min.app.req Infinity 1542199560", 0).isEmpty, "Inf")
+    assert(p.parse("one_min.app.req 1 0", 0).isEmpty, "ts <= 0")
+    assert(p.parse("one_min.app.req 1 -5", 0).isEmpty, "negative ts")
+    assert(p.parse("a.b 1 1542199560", 0).isEmpty, "too short")
+    assert(p.parse("one_min.app.req 1", 0).isEmpty, "2 fields")
+    assert(p.parse("one_min.app.req 1 2 3", 0).isEmpty, "4 fields")
+    assert(p.parse("one_min.app.req x 1542199560", 0).isEmpty, "non-numeric value")
+    assert(p.parse("one_min.app.req 1 x", 0).isEmpty, "non-numeric ts")
+  }
+
+  test("host redirect rewrite (S3)") {
+    val ph = new LineParser(hostPostfixes = Seq("_sas", "_vla"), hostDirName = "HOST")
+    assert(ph.processName("one_min.web01_sas.cpu") == "one_min.HOST.web01_sas.cpu")
+    assert(ph.processName("one_min.web01.cpu") == "one_min.web01.cpu")
+    assert(ph.processName("one_min.web01_sas") == "one_min.web01_sas")
+    assert(p.processName("one_min.web01_sas.cpu") == "one_min.web01_sas.cpu")
+  }
+}
