@@ -1,0 +1,249 @@
+package graft
+
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline queries (dedup / similarity / text
+  * analysis) over the `documents` and `embeddings` tables, with their
+  * DuckDB oracle SQL. The SQL re-implements each algorithm independently
+  * (same seeded-md5 hashes, same fold order) so a hash match validates
+  * the whole pipeline, not just row counts.
+  */
+private[graft] object OpsEntries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup by normalized-content fingerprint.
+    "q20_exact_dedup" -> ((s, dir) => DedupOps.exactDedup(t(s, dir, "documents"))),
+
+    // MinHash+LSH near-dup candidate pairs (16 hashes, 4 bands).
+    "q21_minhash_lsh" -> ((s, dir) => DedupOps.minHashCandidates(t(s, dir, "documents"))),
+
+    // SimHash document signatures (16-bit).
+    "q22_simhash" -> ((s, dir) => DedupOps.simHash(t(s, dir, "documents"))),
+
+    // n-gram Jaccard verification of the MinHash candidates.
+    "q23_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.jaccardVerify(DedupOps.minHashCandidates(docs), docs)
+    }),
+
+    // Brute-force cosine top-10 for query vectors 0-4 (ANN baseline).
+    "q24_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(e.filter(col("vec_id") < 5), e, 10)
+    }),
+
+    // Language-ID heuristic per document.
+    "q25_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))),
+
+    // Quality features + composite score per document.
+    "q26_quality" -> ((s, dir) => {
+      val f = TextOps.qualityFeatures(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        f.getField("n_chars").as("n_chars"),
+        f.getField("n_tokens").as("n_tokens"),
+        f.getField("punct_ratio").as("punct_ratio"),
+        f.getField("alpha_ratio").as("alpha_ratio"),
+        f.getField("stopword_ratio").as("stopword_ratio"),
+        f.getField("mean_word_len").as("mean_word_len"),
+        TextOps.qualityScore(col("text")).as("quality_score")
+      )
+    }),
+
+    // Token counting: whitespace, BPE-ish regex, chars/4 estimate.
+    "q27_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("bpe_tokens"),
+        TextOps.charTokenEstimate(col("text")).as("char_est")
+      )),
+
+    // Document fingerprints: exact md5 + min-shingle rolling hash.
+    "q28_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.minShingleFingerprint(col("text")).as("min_shingle_fp")
+      )),
+
+    // LSH-bucketed ANN top-10 (random-hyperplane, 8 planes).
+    "q29_lsh_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.lshTopK(e.filter(col("vec_id") < 5), e, 10)
+    }),
+
+    // Embedding cosine near-dup pairs within label blocks.
+    "q30_embedding_near_dup" -> ((s, dir) =>
+      DedupOps.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.4))
+  )
+
+  // ---- DuckDB oracle SQL (independent re-implementation) ----
+
+  private val norm =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+
+  private val toksExpr =
+    """list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_'']+'), t -> len(t) > 0)"""
+
+  private val shingles8 =
+    s"CASE WHEN len(norm) < 8 THEN [norm] ELSE list_distinct(list_transform(generate_series(1, len(norm)-7), i -> substr(norm, i, 8))) END"
+
+  private val sigExprs =
+    (0 until 16).map(i => s"list_min(list_transform(s, x -> md5('$i:' || x))) AS m$i").mkString(", ")
+
+  private val sigList = (0 until 16).map(i => s"m$i").mkString("[", ",", "]")
+
+  private val bandExprs = (0 until 4).map { b =>
+    val ms = (0 until 4).map(r => s"m${4 * b + r}")
+    s"concat('$b|', ${ms.mkString(", '|', ")})"
+  }.mkString("[", ", ", "]")
+
+  /** Shared candidate-pair CTE chain for q21/q23. */
+  private val minhashCtes =
+    s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents),
+       |sh AS (SELECT doc_id, $shingles8 AS s FROM n),
+       |sig AS (SELECT doc_id, $sigExprs FROM sh),
+       |banded AS (SELECT doc_id, $sigList AS sig, unnest($bandExprs) AS band FROM sig),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |            len(list_filter(list_zip(a.sig, b.sig), p -> p[1] = p[2])) / 16.0 AS est_jaccard
+       |          FROM banded a JOIN banded b USING (band) WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  private def normSql(a: String): String =
+    s"sqrt(list_sum(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+
+  private def cosSql(a: String, b: String): String =
+    s"CASE WHEN ${normSql(a)} * ${normSql(b)} > 0 THEN ${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}) ELSE 0.0 END"
+
+  /** Random-hyperplane LSH bucket (8 planes) in SQL — same seeded md5
+    * nibble parity as SimilarityOps.planeSign.
+    */
+  private val bucketSql: String = {
+    val planes = (0 until 8).map { p =>
+      val sign = s"CASE WHEN CAST(concat('0x', substr(md5(concat('$p', ':', CAST(z[2] AS VARCHAR))), 1, 1)) AS INTEGER) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+      val proj = s"list_sum(list_transform(list_zip(embedding, generate_series(0, len(embedding)-1)), z -> CAST(z[1] AS DOUBLE) * ($sign)))"
+      s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
+    }
+    s"CAST(${planes.mkString(" + ")} AS BIGINT)"
+  }
+
+  private val langValues = TextOps.langMarkers.toSeq.sortBy(_._1).map { case (l, ws) =>
+    s"('$l', ${ws.map(w => s"'$w'").mkString("[", ",", "]")})"
+  }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q20_exact_dedup" ->
+      s"""SELECT md5($norm) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q21_minhash_lsh" ->
+      s"""$minhashCtes
+         |SELECT id_a, id_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5""".stripMargin,
+
+    "q22_simhash" -> {
+      val votes = (0 until 16).map(k =>
+        s"SUM(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS b$k").mkString(", ")
+      val packed = (0 until 16).map(k =>
+        s"(CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, unnest($toksExpr) AS tok FROM documents),
+         |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
+         |v AS (SELECT doc_id AS id, $votes FROM h GROUP BY doc_id)
+         |SELECT id, CAST($packed AS BIGINT) AS simhash FROM v""".stripMargin
+    },
+
+    "q23_ngram_jaccard" ->
+      s"""$minhashCtes,
+         |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
+         |g AS (SELECT doc_id, CASE WHEN len(norm) < 3 THEN [norm]
+         |        ELSE list_distinct(list_transform(generate_series(1, len(norm)-2), i -> substr(norm, i, 3))) END AS grams
+         |      FROM (SELECT doc_id, $norm AS norm FROM documents)),
+         |j AS (SELECT id_a, id_b,
+         |        CAST(len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS DOUBLE) AS inter,
+         |        CAST(len(ga.grams) + len(gb.grams) AS DOUBLE) AS total
+         |      FROM cand JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b)
+         |SELECT id_a, id_b,
+         |       round(CASE WHEN total - inter > 0 THEN inter / (total - inter) ELSE 0.0 END, 4) AS jaccard
+         |FROM j""".stripMargin,
+
+    "q24_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id, round(${cosSql("qv", "cv")}, 6) AS cos_sim
+         |      FROM c CROSS JOIN q WHERE query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, cos_sim, CAST(r AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM s)
+         |WHERE r <= 10""".stripMargin,
+
+    "q25_langid" ->
+      s"""WITH toks AS (SELECT doc_id, list_distinct($toksExpr) AS tk FROM documents),
+         |scored AS (SELECT doc_id, l.lang, len(list_filter(tk, t -> list_contains(l.ws, t))) AS hits
+         |           FROM toks CROSS JOIN (VALUES $langValues) AS l(lang, ws)),
+         |best AS (SELECT doc_id, lang, hits,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS r FROM scored)
+         |SELECT doc_id, CASE WHEN hits <= 0 THEN 'und' ELSE lang END AS lang_guess
+         |FROM best WHERE r = 1""".stripMargin,
+
+    "q26_quality" -> {
+      val en = TextOps.langMarkers("en").map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len($toksExpr) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[!-/:-@[-`{-~]')) AS DOUBLE) AS punct,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+         |    CAST(len(list_filter(list_distinct($toksExpr), t -> list_contains($en, t))) AS DOUBLE) AS stop_hits
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_chars, n_tokens,
+         |    round(CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END, 4) AS punct_ratio,
+         |    round(CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END, 4) AS alpha_ratio,
+         |    round(CASE WHEN n_tokens > 0 THEN stop_hits / 10.0 ELSE 0.0 END, 4) AS stopword_ratio,
+         |    round(CASE WHEN n_tokens > 0 THEN alpha / n_tokens ELSE 0.0 END, 4) AS mean_word_len
+         |  FROM f)
+         |SELECT doc_id, n_chars, n_tokens, punct_ratio, alpha_ratio, stopword_ratio, mean_word_len,
+         |  round(least(n_chars / 200.0, 1.0) * 0.25 + alpha_ratio * 0.35
+         |        + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.2 + stopword_ratio * 0.2, 4) AS quality_score
+         |FROM r""".stripMargin
+    },
+
+    "q27_token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS char_est
+         |FROM documents""".stripMargin,
+
+    "q28_fingerprint" ->
+      s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents)
+         |SELECT doc_id, md5(norm) AS fp,
+         |  CASE WHEN len(norm) < 16 THEN md5(norm)
+         |       ELSE list_min(list_transform(generate_series(1, len(norm)-15), i -> md5(substr(norm, i, 16)))) END AS min_shingle_fp
+         |FROM n""".stripMargin,
+
+    "q29_lsh_ann" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+         |s AS (SELECT query_id, neighbor_id, round(${cosSql("qv", "cv")}, 6) AS cos_sim
+         |      FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, cos_sim, CAST(r AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM s)
+         |WHERE r <= 10""".stripMargin,
+
+    "q30_embedding_near_dup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.4""".stripMargin
+  )
+}

@@ -60,7 +60,12 @@ object SparkEntry {
     MetricQuery.metricData(data, metrics, "avg", params)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ OpsEntries.queries
+
+  def oracleSql: Map[String, String] = coreOracle ++ OpsEntries.oracle
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — version dedup: latest value per key by version column (argMax).
     "q01_dedup_latest" -> ((s, dir) => {
       events(s, dir)
@@ -192,7 +197,7 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracle: Map[String, String] = Map(
     "q01_dedup_latest" ->
       """SELECT user_id, event_type, arg_max(value, event_id) AS last_value,
         |       max(event_id) AS last_event_id

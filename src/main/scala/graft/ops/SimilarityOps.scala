@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`). Brute-force cosine top-k is the correctness
+  * baseline; the LSH-bucketed variant is the scale path (candidates
+  * come from hash buckets, the cross product never materializes).
+  */
+object SimilarityOps {
+
+  /** Dot product of two float-array columns (codegen'd, no UDF).
+    * Elements are widened to double BEFORE the multiply and summed in
+    * array order — bit-identical to the DuckDB oracle's
+    * `list_sum(list_transform(list_zip(a,b), ...))` fold.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  }
+
+  /** Brute-force cosine top-k: every query row against every corpus row.
+    * Correct baseline; at scale the corpus side should be pre-filtered
+    * (see [[lshTopK]]). The per-query ranking runs as one window over the
+    * shuffled-by-query candidates; ties break on corpus id for
+    * determinism. Queries are broadcast — the corpus never shuffles.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane, dim), derived from
+    * an md5 hex nibble — reproducible across engines and runs with no
+    * stored projection matrix.
+    */
+  private def planeSign(plane: Int, dim: Column): Column = {
+    val nibble = conv(substring(md5(concat_ws(":", lit(plane.toString), dim.cast("string")).cast("binary")), 1, 1), 16, 10).cast("int")
+    when(nibble % 2 === 0, lit(1.0d)).otherwise(lit(-1.0d))
+  }
+
+  /** Random-hyperplane LSH bucket id: `planes` sign bits packed into one
+    * long. Vectors with equal bucket ids are likely-similar candidates.
+    * Map-only expression work.
+    */
+  def lshBucket(vec: Column, planes: Int = 8): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) => v * planeSign(p, i)),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce[Column](_ + _)
+
+  /** LSH-bucketed ANN top-k: candidates share the query's bucket; exact
+    * cosine ranks within the bucket. Recall < 1 by construction —
+    * `bruteForceTopK` is the ground-truth oracle. The join shuffles on
+    * the tiny bucket key only.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-style partitioned ANN: probe only the `nprobe` coarse cells
+    * nearest to the query (here: cells precomputed in `cellCol`, e.g.
+    * k-means labels). The probe list prunes the corpus scan — the 100 TB
+    * path when buckets are backed by partitioned storage.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int, nprobe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              cellCol: String = "label"): DataFrame = {
+    val cent = centroids.select(col(cellCol).as("cell"), col(vecCol).as("cent_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // rank cells per query by centroid distance, keep nprobe
+    val cellRank = Window.partitionBy("query_id").orderBy(col("cell_sim").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("q_vec"), col("cell"),
+        cosine(col("q_vec"), col("cent_vec")).as("cell_sim"))
+      .withColumn("r", row_number().over(cellRank)).filter(col("r") <= nprobe)
+      .select("query_id", "q_vec", "cell")
+    val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Per-cell mean vectors — a one-pass "k-means with given assignment"
+    * for IVF centroids (the assignment column already exists in the
+    * testdata as `label`; a full Lloyd's iteration would alternate this
+    * with re-assignment).
+    */
+  def cellCentroids(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+                    cellCol: String = "label"): DataFrame = {
+    val dim = size(col(vecCol))
+    emb.select(col(cellCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(cellCol, "pos").agg(avg("v").as("mean_v"))
+      .groupBy(cellCol)
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("pairs"))
+      .select(col(cellCol), transform(col("pairs"), p => p.getField("mean_v").cast("float")).as(vecCol))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language-ID heuristic, quality scoring, token counting
+  * and document fingerprinting. All are map-only column expressions
+  * (no shuffle, codegen-friendly) so they scale linearly with input
+  * and stay inside whole-stage codegen at 100 TB.
+  */
+object TextOps {
+
+  /** Lower-cased word tokens (runs of [a-z0-9_']), empty tokens dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9_']+"), t => length(t) > 0)
+
+  /** Whitespace token count (the cheap estimator). */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count estimate: word-piece regex matches — runs of
+    * letters, single digits, or single punctuation marks — the standard
+    * pre-tokenization shape used by BPE vocabularies.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")).cast("long")
+
+  /** Rough char-per-token LLM cost estimate (chars/4, ceiling). */
+  def charTokenEstimate(text: Column): Column =
+    ceil(length(text) / lit(4.0)).cast("long")
+
+  /** Small per-language marker-word lists for the n-gram/stopword
+    * language-ID heuristic. Deterministic, tiny, broadcast-free
+    * (inlined as literals into codegen).
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "en", "que", "por", "con"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这")
+  )
+
+  /** Distinct marker-word hits for one language. */
+  def markerHits(toks: Column, lang: String): Column =
+    size(array_intersect(array_distinct(toks), array(langMarkers(lang).map(lit): _*)))
+
+  /** Language-ID: the language with the most distinct marker hits;
+    * lexicographically-first language wins ties; zero hits → "und"
+    * (undetermined). Pure expression — no UDF.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langMarkers.keys.toSeq.sorted.map { l =>
+      struct(markerHits(toks, l).as("hits"), lit(l).as("lang"))
+    }
+    // array_max on struct orders by (hits, lang); we want max hits but
+    // lexicographically FIRST lang on ties → compare with negated rank.
+    val best = aggregate(
+      array(scored: _*),
+      struct(lit(-1).cast("int").as("hits"), lit("und").as("lang")),
+      (acc, x) => when(x.getField("hits") > acc.getField("hits"), x).otherwise(acc)
+    )
+    when(best.getField("hits") <= 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Quality heuristics (length, punctuation ratio, stopword ratio,
+    * mean word length, alpha ratio) and a composite [0,1] score.
+    * Rounded to 4 decimals for cross-engine determinism.
+    */
+  def qualityFeatures(text: Column): Column = {
+    val len = length(text).cast("double")
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val punct = regexp_count(text, lit("[!-/:-@\\[-`{-~]")).cast("double")
+    val alpha = regexp_count(text, lit("[A-Za-z]")).cast("double")
+    val stopHits = size(array_intersect(array_distinct(toks),
+      array(langMarkers("en").map(lit): _*))).cast("double")
+    val meanWordLen = when(nTok > 0, alpha / nTok).otherwise(lit(0.0))
+    struct(
+      len.cast("long").as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      round(when(len > 0, punct / len).otherwise(0.0), 4).as("punct_ratio"),
+      round(when(len > 0, alpha / len).otherwise(0.0), 4).as("alpha_ratio"),
+      round(when(nTok > 0, stopHits / lit(10.0)).otherwise(0.0), 4).as("stopword_ratio"),
+      round(meanWordLen, 4).as("mean_word_len")
+    )
+  }
+
+  /** Composite quality score in [0,1]: long-enough, mostly-alphabetic,
+    * low-punctuation text with common stopwords scores high.
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenScore = least(f.getField("n_chars").cast("double") / 200.0, lit(1.0))
+    val alphaScore = f.getField("alpha_ratio")
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - f.getField("punct_ratio") * 5.0)
+    val stopScore = f.getField("stopword_ratio")
+    round((lenScore * 0.25 + alphaScore * 0.35 + punctPenalty * 0.2 + stopScore * 0.2), 4)
+  }
+
+  /** Normalized text: lower-case, punctuation stripped, whitespace
+    * collapsed — the canonical form for exact-dedup fingerprints.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
+
+  /** Rolling-hash shingle fingerprint: md5 over each k-char window of the
+    * normalized text, keeping the lexicographic minimum — a cheap
+    * winnowing-style document signature robust to small edits at the ends.
+    */
+  def minShingleFingerprint(text: Column, k: Int = 16): Column = {
+    val norm = normalized(text)
+    val n = length(norm)
+    when(n < k, md5(norm.cast("binary"))).otherwise(
+      array_min(transform(sequence(lit(1), n - k + 1),
+        i => md5(norm.substr(i, lit(k)).cast("binary"))))
+    )
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit goldens for the LLM-pipeline operators. */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog. The dog sleeps."),
+    (2L, "The quick brown fox jumps over the lazy dog. The dog sleeps!"), // near-dup of 1
+    (3L, "Der schnelle braune Fuchs springt und der Hund ist nicht da."),
+    (4L, "completely different content about spark query engines and shuffles")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: punctuation-only variants collapse") {
+    val out = DedupOps.exactDedup(docs).collect()
+    assert(out.length == 3, "docs 1 and 2 share a fingerprint")
+    val grp = out.find(_.getAs[Long]("dup_count") == 2).get
+    assert(grp.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash candidates find the near-dup pair") {
+    val pairs = DedupOps.minHashCandidates(docs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unique doc has no candidates")
+  }
+
+  test("jaccard verify scores the near-dup high") {
+    val cand = DedupOps.minHashCandidates(docs)
+    val j = DedupOps.jaccardVerify(cand, docs)
+      .filter($"id_a" === 1L && $"id_b" === 2L)
+      .select("jaccard").as[Double].collect()
+    assert(j.length == 1 && j(0) > 0.9)
+  }
+
+  test("simhash: near-dups have small hamming distance") {
+    val sh = DedupOps.simHash(docs).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) <= 2)
+    assert(ham(sh(1L), sh(4L)) > 2)
+  }
+
+  test("cosine: identity is 1, orthogonal is 0") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(2.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val sim = e.as("a").crossJoin(e.as("b"))
+      .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
+        SimilarityOps.cosine($"a.embedding", $"b.embedding").as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (x, y, c) => (x, y) -> c }.toMap
+    assert(math.abs(sim((1L, 3L)) - 1.0) < 1e-12)
+    assert(math.abs(sim((1L, 2L))) < 1e-12)
+    assert(sim((1L, 4L)) == 0.0, "zero vector → 0, not NaN")
+  }
+
+  test("brute-force topk ranks by cosine with id tie-break") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = SimilarityOps.bruteForceTopK(e.filter($"vec_id" === 0), e, 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L) || top == Seq(2L, 1L)) // both ~0.995/0.994
+    assert(top.size == 2 && !top.contains(3L))
+  }
+
+  test("lsh ann recall on self-similar vectors") {
+    val e = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(d => if (d == (i % 4).toInt) 1.0f else 0.01f * i))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.lshTopK(e.filter($"vec_id" < 2), e, 3)
+    // buckets must agree between query and corpus copies of the same vector
+    assert(out.count() >= 0) // plumbing smoke; exactness covered by oracle q29
+  }
+
+  test("langId picks marker-heavy language, und on no hits") {
+    val got = docs.select($"doc_id", TextOps.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(3L) == "de")
+    val none = Seq((9L, "zzz qqq 12345")).toDF("doc_id", "text")
+      .select(TextOps.langId($"text")).as[String].collect()(0)
+    assert(none == "und")
+  }
+
+  test("token counts") {
+    val r = Seq(("a b  c", 1)).toDF("text", "x").select(
+      TextOps.wsTokenCount($"text").as("ws"),
+      TextOps.bpeTokenCount($"text").as("bpe"),
+      TextOps.charTokenEstimate($"text").as("est")
+    ).collect()(0)
+    assert(r.getAs[Int]("ws") == 3)
+    assert(r.getAs[Long]("bpe") == 3)
+    assert(r.getAs[Long]("est") == 2) // ceil(6/4)
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val fps = Seq((1L, "Hello,  World!"), (2L, "hello world"), (3L, "different"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("quality score ranges and ordering") {
+    val scores = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and it is a fine day for that. " * 3),
+      (2L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TextOps.qualityScore($"text").as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores(1L) > 0.7)
+    assert(scores(2L) < 0.3)
+    scores.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+}
