@@ -61,9 +61,9 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ OpsEntries.queries
+    coreQueries ++ TreeEntries.queries ++ OpsEntries.queries
 
-  def oracleSql: Map[String, String] = coreOracle ++ OpsEntries.oracle
+  def oracleSql: Map[String, String] = coreOracle ++ TreeEntries.oracle ++ OpsEntries.oracle
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — version dedup: latest value per key by version column (argMax).

@@ -1,0 +1,230 @@
+package graft
+
+import graft.ops.MultimodalOps
+import graft.search.MetricSearchOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Metric-tree scan shapes (SURVEY §2.1 S6/S8/S10), set ops (§2.7),
+  * pagination (§2.6 O3), collect-to-array (§2.4 A5), window analytics
+  * and the multimodal metadata plumbing — each with DuckDB oracle SQL.
+  *
+  * The tree table is synthesized deterministically from `events` (the
+  * testdata has no tree table): one append-only row per event for the
+  * metric name `<event_type>.u<user_id>`, with a status stream that
+  * varies by event so `argMax(status, updated)` is actually exercised.
+  */
+private[graft] object TreeEntries {
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/events.parquet")
+    val sec = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _                                   => unix_timestamp(col("ts"))
+    }
+    df.withColumn("sec", sec)
+  }
+
+  /** Append-only tree rows with time-varying statuses (SURVEY §1.1). */
+  private def tree(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      concat(col("event_type"), lit(".u"), col("user_id")).as("name"),
+      lit(2).as("level"),
+      concat(col("event_type"), lit(".")).as("parent"),
+      when(col("user_id") % 17 === 0, "BAN")
+        .when(col("user_id") % 11 === 0 && col("event_id") % 2 === 0, "AUTO_HIDDEN")
+        .when(col("user_id") % 13 === 0 && col("event_id") % 3 === 0, "HIDDEN")
+        .otherwise("SIMPLE").as("status"),
+      col("event_id").as("updated")
+    )
+
+  /** Shared oracle CTE mirroring [[tree]]. */
+  private val treeCte =
+    """tree AS (
+      |  SELECT event_type || '.u' || CAST(user_id AS VARCHAR) AS name,
+      |         2 AS level,
+      |         event_type || '.' AS parent,
+      |         CASE WHEN user_id % 17 = 0 THEN 'BAN'
+      |              WHEN user_id % 11 = 0 AND event_id % 2 = 0 THEN 'AUTO_HIDDEN'
+      |              WHEN user_id % 13 = 0 AND event_id % 3 = 0 THEN 'HIDDEN'
+      |              ELSE 'SIMPLE' END AS status,
+      |         event_id AS updated
+      |  FROM events)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S6 — level scan with pre-agg status filter + argMax (tree bootstrap).
+    "q13_tree_scan" -> ((s, dir) =>
+      tree(s, dir)
+        .filter(col("level") === 2 && col("status") =!= "AUTO_HIDDEN")
+        .groupBy("name")
+        .agg(max_by(col("status"), col("updated")).as("last_status"))),
+
+    // S8 — dir-content scan: children of a parent set, latest status.
+    "q14_dir_content" -> ((s, dir) =>
+      tree(s, dir)
+        .filter(col("parent").isin("click.", "error.") && col("status") =!= "AUTO_HIDDEN")
+        .groupBy("parent", "name")
+        .agg(max_by(col("status"), col("updated")).as("last_status"))),
+
+    // S10 — paged semi-join + HAVING: still-banned names in a name page.
+    "q15_banned_page" -> ((s, dir) => {
+      val tr = tree(s, dir)
+      val page = tr.filter(col("status") === "BAN").select("name").distinct()
+        .orderBy("name").limit(20)
+      tr.join(page, Seq("name"), "left_semi")
+        .groupBy("name")
+        .agg(max_by(col("status"), col("updated")).as("last_status"))
+        .filter(col("last_status") === "BAN")
+    }),
+
+    // U1 — union of per-pattern search results, deduplicated.
+    "q16_union_patterns" -> ((s, dir) => {
+      val tr = tree(s, dir)
+      MetricSearchOps.search(tr, "click.*")
+        .union(MetricSearchOps.search(tr, "*.u1?"))
+        .dropDuplicates("name", "status")
+    }),
+
+    // A5 — collect-to-ordered-series (groupArray equivalent), stringified
+    // for engine-portable comparison.
+    "q17_collect_series" -> ((s, dir) => {
+      val rolled = events(s, dir)
+        .groupBy(col("event_type"),
+          (col("sec") - (col("sec") % 86400)).cast("long").as("bucket_ts"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      rolled.groupBy("event_type")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("bucket_ts"), col("v")))),
+            p => p.getField("v").cast("string")), ",").as("series"))
+    }),
+
+    // Window analytics — latest-3 per user with lag delta (beyond the
+    // reference's surface; standard engine capability).
+    "q18_window_latest" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("sec").desc, col("event_id").desc)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"), col("sec"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .drop("sec")
+    }),
+
+    // O3 — keyset-free pagination: ORDER BY name LIMIT 50 OFFSET 50.
+    "q19_pagination" -> ((s, dir) => {
+      val names = events(s, dir)
+        .select(concat(col("event_type"), lit(".u"), col("user_id")).as("name")).distinct()
+      val w = Window.orderBy("name")
+      names.withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 50 && col("rn") <= 100)
+        .select("name")
+    }),
+
+    // Multimodal metadata: opaque binary payload -> typed metadata +
+    // resize plan (decode stubbed deterministically; see MultimodalOps).
+    "q31_multimodal_meta" -> ((s, dir) => {
+      val media = s.read.parquet(s"$dir/documents.parquet").select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text").cast("binary").as("payload")
+      )
+      val meta = MultimodalOps.metadataExpr(media)
+      meta.join(
+        MultimodalOps.resizePlan(meta, 224, 224).select("media_id", "target_w", "target_h"),
+        Seq("media_id"))
+    }),
+
+    // Multimodal frame sampling: per-video frame work units.
+    "q32_frame_sample" -> ((s, dir) => {
+      val media = s.read.parquet(s"$dir/documents.parquet").select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text").cast("binary").as("payload")
+      )
+      MultimodalOps.sampleFrames(MultimodalOps.metadataExpr(media))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q13_tree_scan" ->
+      s"""WITH $treeCte
+         |SELECT name, arg_max(status, updated) AS last_status
+         |FROM tree WHERE level = 2 AND status != 'AUTO_HIDDEN' GROUP BY name""".stripMargin,
+
+    "q14_dir_content" ->
+      s"""WITH $treeCte
+         |SELECT parent, name, arg_max(status, updated) AS last_status
+         |FROM tree WHERE parent IN ('click.', 'error.') AND status != 'AUTO_HIDDEN'
+         |GROUP BY parent, name""".stripMargin,
+
+    "q15_banned_page" ->
+      s"""WITH $treeCte
+         |SELECT name, arg_max(status, updated) AS last_status
+         |FROM tree
+         |WHERE name IN (SELECT DISTINCT name FROM tree WHERE status = 'BAN' ORDER BY name LIMIT 20)
+         |GROUP BY name HAVING arg_max(status, updated) = 'BAN'""".stripMargin,
+
+    "q16_union_patterns" ->
+      s"""WITH $treeCte,
+         |cur AS (SELECT name, arg_max(status, updated) AS status FROM tree GROUP BY name),
+         |vis AS (SELECT name, status FROM cur WHERE status IN ('SIMPLE', 'APPROVED'))
+         |SELECT DISTINCT name, status FROM vis
+         |WHERE regexp_matches(name, '^click\\.[^.]*\\.?$$')
+         |   OR regexp_matches(name, '^[^.]*\\.u1[^.]\\.?$$')""".stripMargin,
+
+    "q17_collect_series" ->
+      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |r AS (SELECT event_type, sec - (sec % 86400) AS bucket_ts, round(avg(value), 4) AS v
+        |      FROM e GROUP BY 1, 2)
+        |SELECT event_type, string_agg(CAST(v AS VARCHAR), ',' ORDER BY bucket_ts) AS series
+        |FROM r GROUP BY event_type""".stripMargin,
+
+    "q18_window_latest" ->
+      """WITH e AS (SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |w AS (SELECT user_id, event_id, value,
+        |        lag(value) OVER (PARTITION BY user_id ORDER BY sec DESC, event_id DESC) AS prev_value,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY sec DESC, event_id DESC) AS rn
+        |      FROM e)
+        |SELECT user_id, event_id, value, prev_value, CAST(rn AS INTEGER) AS rn
+        |FROM w WHERE rn <= 3""".stripMargin,
+
+    "q19_pagination" ->
+      """SELECT name FROM (
+        |  SELECT DISTINCT event_type || '.u' || CAST(user_id AS VARCHAR) AS name FROM events)
+        |ORDER BY name LIMIT 50 OFFSET 50""".stripMargin,
+
+    "q31_multimodal_meta" ->
+      """WITH meta AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |         md5(text) AS content_hash,
+        |         CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |         CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height,
+        |         CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 16 + 1 ELSE 1 END AS INTEGER) AS n_frames
+        |  FROM documents),
+        |plan AS (
+        |  SELECT media_id,
+        |    CAST(round(width * least(224.0 / greatest(width, 1), 224.0 / greatest(height, 1), 1.0)) AS INTEGER) AS target_w,
+        |    CAST(round(height * least(224.0 / greatest(width, 1), 224.0 / greatest(height, 1), 1.0)) AS INTEGER) AS target_h
+        |  FROM meta)
+        |SELECT meta.media_id, kind, byte_len, content_hash, width, height, n_frames, target_w, target_h
+        |FROM meta JOIN plan ON meta.media_id = plan.media_id""".stripMargin,
+
+    "q32_frame_sample" ->
+      """WITH meta AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id, CAST(f AS INTEGER) AS frame_idx
+        |FROM (SELECT media_id, unnest(generate_series(0, n_frames - 1, 4)) AS f
+        |      FROM meta WHERE n_frames > 0)""".stripMargin
+  )
+}

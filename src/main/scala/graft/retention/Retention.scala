@@ -45,7 +45,7 @@ final case class RetentionRule(
   * later matches (ultimately the default rule) fill whichever half is
   * still missing.
   */
-final class RetentionResolver(rules: Seq[RetentionRule]) {
+final class RetentionResolver(rules: Seq[RetentionRule]) extends Serializable {
   require(rules.exists(_.isDefault), "a default (isDefault=true) rule is required")
   private val ordered = rules
 

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import graft.ingest.LineParser
+import graft.model.MetricPoint
+import graft.names.MetricNames
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming ingest (SURVEY.md §3.3): graphite plaintext
+  * lines → validated, enriched points appended to the data table, plus
+  * new tree nodes upserted into the metric-tree table — the reference's
+  * MetricServer + MetricCacher + UpdateMetricQueueService collapsed into
+  * one `foreachBatch` dual sink (reference micro-batching config:
+  * `cacher/MetricCacher.java:49-59`; tree save:
+  * `save/UpdateMetricQueueService.java:87-130`).
+  *
+  * Design notes for scale:
+  * - Parsing is a typed `flatMap` at the boundary (per SURVEY §1.4) —
+  *   the one place imperative validation logic lives.
+  * - The data sink is an idempotent append partitioned by `date` so
+  *   replays of a batch overwrite-or-duplicate safely: duplicates
+  *   collapse at read time via A1 dedup (reference T4 semantics —
+  *   at-least-once insert + version collapse).
+  * - No watermark: arbitrarily-late points are accepted by design
+  *   (reference T3, `server/BaseMetricFactory.java:70-73`).
+  * - Tree updates append only NEW names per batch (left_anti against
+  *   the current tree), with SIMPLE status; status semantics stay
+  *   read-side (`max_by(status, updated)`).
+  */
+final class IngestPipeline(
+    parser: LineParser = new LineParser(),
+    dataPath: String,
+    treePath: String
+) extends Serializable {
+
+  /** Parse a micro-batch of raw lines into points. */
+  def parseBatch(lines: Dataset[String], updatedSeconds: Int): Dataset[MetricPoint] = {
+    import lines.sparkSession.implicits._
+    val p = parser
+    lines.flatMap(l => p.parse(l, updatedSeconds))
+  }
+
+  /** Tree rows (name, level, parent, status, updated) for every metric
+    * AND its ancestor dirs — the trie-node creation of
+    * `MetricTree.modify` (`search/tree/MetricTree.java:300-328`)
+    * expressed relationally.
+    */
+  def treeNodesFor(points: DataFrame): DataFrame = {
+    val names = points.select(col("metric").as("name")).distinct()
+    // explode each name into itself + all ancestor dirs
+    val withAncestors = names.select(explode(ancestorsCol(col("name"))).as("name")).distinct()
+    withAncestors.select(
+      col("name"),
+      levelCol(col("name")).as("level"),
+      parentCol(col("name")).as("parent"),
+      lit("SIMPLE").as("status"),
+      unix_timestamp().cast("long").as("updated")
+    )
+  }
+
+  /** "a.b.c" → ["a.", "a.b.", "a.b.c"] as a pure column expression. */
+  def ancestorsCol(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val parts = split(name, "\\.")
+    val n = size(parts)
+    transform(sequence(lit(1), n), i =>
+      when(i < n, concat(array_join(slice(parts, lit(1), i), "."), lit(".")))
+        .otherwise(name))
+  }
+
+  def levelCol(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dots = size(split(name, "\\.")) - 1
+    when(name.endsWith("."), dots).otherwise(dots + 1)
+  }
+
+  def parentCol(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val stripped = when(name.endsWith("."), name.substr(lit(1), length(name) - 1)).otherwise(name)
+    val plen = length(stripped) - length(substring_index(stripped, ".", -1))
+    when(plen > 0, stripped.substr(lit(1), plen)).otherwise(lit(""))
+  }
+
+  /** One micro-batch: append points, upsert new tree names. Idempotency:
+    * replayed batches re-append (duplicates resolved by read-side A1) —
+    * the reference makes the same trade (retry-forever inserts, T4).
+    */
+  def processBatch(points: Dataset[MetricPoint], batchId: Long): Unit = {
+    val spark = points.sparkSession
+    val df = points.toDF().cache()
+    try {
+      df.write.mode("append").partitionBy("date").parquet(dataPath)
+      val nodes = treeNodesFor(df)
+      val newNodes =
+        try {
+          val existing = spark.read.parquet(treePath).select("name").distinct()
+          nodes.join(existing, Seq("name"), "left_anti")
+        } catch { case _: Exception => nodes } // first batch: no tree yet
+      newNodes.write.mode("append").parquet(treePath)
+    } finally df.unpersist()
+  }
+
+  /** Wire a line stream end-to-end. Caller supplies the streaming source
+    * (socket for dev, a custom TCP `MicroBatchStream` in production).
+    */
+  def start(lines: Dataset[String], checkpoint: String,
+            trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery = {
+    import lines.sparkSession.implicits._
+    val p = parser
+    lines
+      .flatMap { l =>
+        val now = (System.currentTimeMillis() / 1000).toInt
+        p.parse(l, now)
+      }
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[MetricPoint], id: Long) => processBatch(batch, id) }
+      .start()
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.jobs.Compaction
+import graft.retention.{Retention, RetentionResolver, RetentionRule}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rollup-at-rest: aged partitions rewritten deduped + rolled up;
+  * read-side results unchanged (the invariant that makes compaction a
+  * pure storage optimization).
+  */
+class CompactionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("compactPartition dedups then rolls up per retention function") {
+    val rules = Seq(
+      RetentionRule("^agg_max", isDefault = false, "max", Seq(0 -> 60)),
+      RetentionRule(".*", isDefault = true, "avg", Seq(0 -> 60))
+    )
+    val comp = new Compaction(new RetentionResolver(rules))
+    val part = Seq(
+      // duplicate (metric, ts): updated=5 wins with value 20.0
+      ("m.a", 10.0, 100, 1), ("m.a", 20.0, 100, 5),
+      ("m.a", 40.0, 110, 2),              // same 60s bucket as ts=100
+      ("agg_max.b", 1.0, 100, 1), ("agg_max.b", 9.0, 110, 2)
+    ).toDF("metric", "value", "timestamp", "updated")
+    val out = comp.compactPartition(part, 60)
+      .select("metric", "timestamp", "value").as[(String, Int, Double)].collect().toSet
+    assert(out == Set(("m.a", 60, 30.0), ("agg_max.b", 60, 9.0)))
+  }
+
+  test("run rewrites only aged date partitions and preserves read results") {
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val rows = Seq(
+      ("m.x", 1.0, 100, java.sql.Date.valueOf("2024-01-01"), 1),
+      ("m.x", 2.0, 100, java.sql.Date.valueOf("2024-01-01"), 9), // dup, wins
+      ("m.x", 5.0, 110, java.sql.Date.valueOf("2024-01-01"), 2),
+      ("m.x", 7.0, 200, java.sql.Date.valueOf("2024-06-01"), 3)  // recent: untouched
+    ).toDF("metric", "value", "timestamp", "date", "updated")
+    val dataRoot = s"$root/data"
+    rows.write.partitionBy("date").parquet(dataRoot)
+
+    val comp = new Compaction(Retention.defaultResolver)
+    val now = java.sql.Timestamp.valueOf("2024-06-02 00:00:00").getTime
+    val done = comp.run(spark, dataRoot, ageDays = 30, step = 60, nowMillis = now)
+    assert(done == Seq("2024-01-01"))
+
+    val after = spark.read.parquet(dataRoot)
+    assert(after.filter($"date" === "2024-06-01").count() == 1, "recent partition untouched")
+    val old = after.filter($"date" === "2024-01-01")
+      .select("metric", "timestamp", "value").as[(String, Int, Double)].collect().toSet
+    // avg(argMax over ts100=2.0, ts110=5.0) in one 60s bucket
+    assert(old == Set(("m.x", 60, 3.5)))
+  }
+}

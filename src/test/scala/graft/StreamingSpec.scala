@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.IngestPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end streaming ingest: lines → validated points → dual sink
+  * (data append + tree upsert), driven by a MemoryStream.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("streaming ingest writes points and tree nodes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val pipe = new IngestPipeline(dataPath = s"$dir/data", treePath = s"$dir/tree")
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val q = pipe.start(source.toDS(), s"$dir/ckpt")
+    try {
+      source.addData(
+        "one_min.app.host1.requests 12.0 1542199560",
+        "one_min.app.host1.requests 14.0 1542199560.7", // same metric, later ts
+        "one_min.app.host2.requests 7.5 1542199620",
+        "bad..name 1 1542199560",                        // invalid: dropped
+        "one_min.app.host1.requests x 1542199560"        // invalid: dropped
+      )
+      q.processAllAvailable()
+      source.addData("one_min.app.host3.cpu 3.3 1542199680") // second batch
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.count() == 4, "3 valid lines in batch 1 + 1 in batch 2")
+    assert(data.columns.toSet == Set("metric", "value", "timestamp", "date", "updated"))
+    assert(data.filter($"metric" === "one_min.app.host1.requests").count() == 2)
+
+    val tree = spark.read.parquet(s"$dir/tree")
+    val names = tree.select("name").as[String].collect().toSet
+    assert(names == Set(
+      "one_min.", "one_min.app.",
+      "one_min.app.host1.", "one_min.app.host2.", "one_min.app.host3.",
+      "one_min.app.host1.requests", "one_min.app.host2.requests", "one_min.app.host3.cpu"
+    ), s"got $names")
+    // second batch added only the genuinely new nodes (ancestors deduped)
+    assert(tree.count() == 8, "no duplicate tree rows across batches")
+    val h1 = tree.filter($"name" === "one_min.app.host1.requests").collect()(0)
+    assert(h1.getAs[Int]("level") == 4)
+    assert(h1.getAs[String]("parent") == "one_min.app.host1.")
+  }
+
+  test("ancestor/level/parent column expressions") {
+    val pipe = new IngestPipeline(dataPath = "/tmp/x", treePath = "/tmp/y")
+    val df = Seq("a.b.c", "solo").toDF("name")
+    val anc = df.select($"name", pipe.ancestorsCol($"name").as("a"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(anc("a.b.c") == Seq("a.", "a.b.", "a.b.c"))
+    assert(anc("solo") == Seq("solo"))
+    val lv = df.select($"name", pipe.levelCol($"name").as("l")).as[(String, Int)].collect().toMap
+    assert(lv("a.b.c") == 3 && lv("solo") == 1)
+    val par = Seq("a.b.c", "a.b.", "a.", "a").toDF("name")
+      .select($"name", pipe.parentCol($"name").as("p")).as[(String, String)].collect().toMap
+    assert(par("a.b.c") == "a.b." && par("a.b.") == "a." && par("a.") == "" && par("a") == "")
+  }
+}
