@@ -66,12 +66,11 @@ private[graft] object OpsEntries {
       )),
 
     // Document fingerprints: exact md5 + min-shingle rolling hash.
-    "q28_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextOps.fingerprint(col("text")).as("fp"),
-        TextOps.minShingleFingerprint(col("text")).as("min_shingle_fp")
-      )),
+    "q28_fingerprint" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .join(TextOps.minShingleFingerprints(docs), Seq("doc_id"))
+    }),
 
     // LSH-bucketed ANN top-10 (random-hyperplane, 8 planes).
     "q29_lsh_ann" -> ((s, dir) => {
@@ -96,7 +95,10 @@ private[graft] object OpsEntries {
     s"CASE WHEN len(norm) < 8 THEN [norm] ELSE list_distinct(list_transform(generate_series(1, len(norm)-7), i -> substr(norm, i, 8))) END"
 
   private val sigExprs =
-    (0 until 16).map(i => s"list_min(list_transform(s, x -> md5('$i:' || x))) AS m$i").mkString(", ")
+    (0 until 16).map { i =>
+      val (a, b) = DedupOps.minHashCoeffs(i)
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % ${DedupOps.MinHashP})) AS m$i"
+    }.mkString(", ")
 
   private val sigList = (0 until 16).map(i => s"m$i").mkString("[", ",", "]")
 
@@ -109,7 +111,8 @@ private[graft] object OpsEntries {
   private val minhashCtes =
     s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents),
        |sh AS (SELECT doc_id, $shingles8 AS s FROM n),
-       |sig AS (SELECT doc_id, $sigExprs FROM sh),
+       |bh AS (SELECT doc_id, list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)) AS hs FROM sh),
+       |sig AS (SELECT doc_id, $sigExprs FROM bh),
        |banded AS (SELECT doc_id, $sigList AS sig, unnest($bandExprs) AS band FROM sig),
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |            len(list_filter(list_zip(a.sig, b.sig), p -> p[1] = p[2])) / 16.0 AS est_jaccard
@@ -128,9 +131,10 @@ private[graft] object OpsEntries {
     * nibble parity as SimilarityOps.planeSign.
     */
   private val bucketSql: String = {
+    val signs = SimilarityOps.planeSigns(8, 64)
     val planes = (0 until 8).map { p =>
-      val sign = s"CASE WHEN CAST(concat('0x', substr(md5(concat('$p', ':', CAST(z[2] AS VARCHAR))), 1, 1)) AS INTEGER) % 2 = 0 THEN 1.0 ELSE -1.0 END"
-      val proj = s"list_sum(list_transform(list_zip(embedding, generate_series(0, len(embedding)-1)), z -> CAST(z[1] AS DOUBLE) * ($sign)))"
+      val arr = signs(p).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val proj = s"list_sum(list_transform(list_zip(embedding, $arr), z -> CAST(z[1] AS DOUBLE) * z[2]))"
       s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
     }
     s"CAST(${planes.mkString(" + ")} AS BIGINT)"

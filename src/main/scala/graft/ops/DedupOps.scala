@@ -21,25 +21,72 @@ object DedupOps {
     * group size. Single hash aggregate.
     */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(TextOps.fingerprint(col(textCol)).as("fp"), col(idCol))
+    widen(docs).select(TextOps.fingerprint(col(textCol)).as("fp"), col(idCol))
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Character k-shingle set of the normalized text (distinct). */
-  def shingles(text: Column, k: Int = 8): Column = {
+  /** Character k-shingles of the normalized text. `distinct = false`
+    * skips the string dedup — correct for MinHash (the min over a
+    * multiset equals the min over its set); keep `true` where set
+    * semantics matter (Jaccard intersection/union sizes).
+    *
+    * PERF NOTE: higher-order functions are interpreted and re-evaluate
+    * captured non-attribute expressions per element — `text` must be a
+    * plain column (or cheap), never an expensive derived expression. The
+    * hot paths below avoid this form entirely via [[explodedShingles]].
+    */
+  def shingles(text: Column, k: Int = 8, distinct: Boolean = true): Column = {
     val norm = TextOps.normalized(text)
-    when(length(norm) < k, array(norm)).otherwise(
-      array_distinct(transform(sequence(lit(1), length(norm) - k + 1),
-        i => norm.substr(i, lit(k)))))
+    val arr = transform(sequence(lit(1), greatest(length(norm) - k + 1, lit(1))),
+      i => norm.substr(i, lit(k)))
+    val body = if (distinct) array_distinct(arr) else arr
+    when(length(norm) < k, array(norm)).otherwise(body)
   }
 
-  /** MinHash signature: `numHashes` permutations simulated by seeded
-    * md5; each signature is the minimum digest over the shingle set.
-    * Map-only per row (array transform, no explode/shuffle).
+  /** (id, shingle) rows: normalization materialized ONCE per document as
+    * a real column, positions exploded, substr per row — everything stays
+    * in whole-stage codegen and scales linearly. This is the shape every
+    * shingle consumer should build on at 100 TB.
     */
-  def minHashSignature(shingleSet: Column, numHashes: Int = 16): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingleSet, s => md5(concat(lit(seed.toString), lit(":"), s).cast("binary"))))
+  def explodedShingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val n = widen(docs).select(col(idCol).as("id"), TextOps.normalized(col(textCol)).as("norm"))
+    n.select(col("id"), col("norm"),
+        explode(sequence(lit(1), greatest(length(col("norm")) - (k - 1), lit(1)))).as("i"))
+      .select(col("id"), col("norm").substr(col("i"), lit(k)).as("sh"))
+  }
+
+  /** Spread a narrow input (e.g. one small parquet file) across the
+    * cluster before per-row heavy compute. A wide input (real datasets at
+    * scale already have thousands of splits) passes through untouched —
+    * no gratuitous shuffle.
+    */
+  private[ops] def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** MinHash prime modulus and per-permutation universal-hash
+    * coefficients `h_i(x) = (a_i * x + b_i) mod P` with P the first prime
+    * above 2^32. One md5 per shingle yields the 32-bit base hash; the
+    * permutations are then pure arithmetic — 16x less hashing than
+    * seeded-digest-per-permutation, same LSH guarantees.
+    */
+  val MinHashP = 4294967311L
+  def minHashCoeffs(i: Int): (Long, Long) = (2L * i + 1, 104729L * i + 12345L)
+
+  /** 32-bit base hashes of each shingle (md5 hex prefix — engine-portable). */
+  def shingleBaseHashes(shingleSet: Column): Column =
+    transform(shingleSet, s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long"))
+
+  /** MinHash signature from the base-hash array: minimum of each
+    * universal-hash permutation. Map-only per row (no explode/shuffle).
+    * Pass the MATERIALIZED base-hash column (one md5 pass), not a fresh
+    * [[shingleBaseHashes]] per permutation.
+    */
+  def minHashSignature(baseHashes: Column, numHashes: Int = 16): Column =
+    array((0 until numHashes).map { i =>
+      val (a, b) = minHashCoeffs(i)
+      array_min(transform(baseHashes, h => (h * a + b) % MinHashP))
     }: _*)
 
   /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`,
@@ -59,11 +106,19 @@ object DedupOps {
   def minHashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                         numHashes: Int = 16, bands: Int = 4, minhashSim: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sigs = docs.select(
-      col(idCol).as("id"),
-      minHashSignature(shingles(col(textCol)), numHashes).as("sig")
-    )
-    val banded = sigs.select(col("id"), col("sig"), explode(bandKeys(col("sig"), bands, rows)).as("band"))
+    // explode → hash once per shingle → 16 mins in ONE partial-aggregated
+    // pass: shuffle volume is n_docs × 16 longs regardless of text size.
+    val hashed = explodedShingles(docs, idCol, textCol, 8)
+      .select(col("id"),
+        conv(substring(md5(col("sh").cast("binary")), 1, 8), 16, 10).cast("long").as("h"))
+    val minAggs = (0 until numHashes).map { i =>
+      val (a, b) = minHashCoeffs(i)
+      min((col("h") * a + b) % MinHashP).as(s"m$i")
+    }
+    val sigs = hashed.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    val banded = sigs
+      .select(col("id"), col("sig"), explode(bandKeys(col("sig"), bands, rows)).as("band"))
     val a = banded.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band"))
@@ -82,7 +137,7 @@ object DedupOps {
     */
   def simHash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
               bits: Int = 16): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
+    val toks = widen(docs).select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("tok"))
     // 32-bit token hash from the md5 hex prefix (engine-portable).
     val hashed = toks.select(col("id"),
@@ -106,7 +161,9 @@ object DedupOps {
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", n: Int = 3): DataFrame = {
-    val grams = docs.select(col(idCol).as("jid"), shingles(col(textCol), n).as("grams"))
+    val grams = explodedShingles(docs, idCol, textCol, n)
+      .groupBy(col("id").as("jid"))
+      .agg(collect_set(col("sh")).as("grams"))
     pairs
       .join(grams.withColumnRenamed("jid", "id_a").withColumnRenamed("grams", "grams_a"), Seq("id_a"))
       .join(grams.withColumnRenamed("jid", "id_b").withColumnRenamed("grams", "grams_b"), Seq("id_b"))
@@ -122,12 +179,14 @@ object DedupOps {
     */
   def embeddingNearDup(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
                        blockCol: String = "label", threshold: Double = 0.95): DataFrame = {
-    val a = emb.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val a = emb.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      SimilarityOps.norm(col(vecCol)).as("n_a"))
+    val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      SimilarityOps.norm(col(vecCol)).as("n_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(SimilarityOps.cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
+        round(SimilarityOps.cosinePre(col("v_a"), col("v_b"), col("n_a"), col("n_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

@@ -28,6 +28,14 @@ object SimilarityOps {
     when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
   }
 
+  /** Cosine with per-row precomputed norms — identical value to
+    * [[cosine]] (sqrt is deterministic), one array fold per pair.
+    */
+  def cosinePre(a: Column, b: Column, normA: Column, normB: Column): Column = {
+    val d = normA * normB
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  }
+
   /** Brute-force cosine top-k: every query row against every corpus row.
     * Correct baseline; at scale the corpus side should be pre-filtered
     * (see [[lshTopK]]). The per-query ranking runs as one window over the
@@ -36,36 +44,47 @@ object SimilarityOps {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // norms precomputed per row (once), not per pair: the pair loop does
+    // exactly one array fold (the dot product)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+        round(cosinePre(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")), 6).as("cos_sim"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic ±1 hyperplane component for (plane, dim), derived from
-    * an md5 hex nibble — reproducible across engines and runs with no
-    * stored projection matrix.
+  /** Deterministic ±1 hyperplane components, derived from an md5 hex
+    * nibble per (plane, dim) — reproducible across engines and runs with
+    * no stored projection matrix. Precomputed driver-side so the per-row
+    * work is pure arithmetic (no hashing in the hot path).
     */
-  private def planeSign(plane: Int, dim: Column): Column = {
-    val nibble = conv(substring(md5(concat_ws(":", lit(plane.toString), dim.cast("string")).cast("binary")), 1, 1), 16, 10).cast("int")
-    when(nibble % 2 === 0, lit(1.0d)).otherwise(lit(-1.0d))
-  }
+  def planeSigns(planes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dims) { (p, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$d".getBytes("UTF-8"))
+      val nibble = (md(0) >> 4) & 0xF
+      if (nibble % 2 == 0) 1.0 else -1.0
+    }
 
   /** Random-hyperplane LSH bucket id: `planes` sign bits packed into one
     * long. Vectors with equal bucket ids are likely-similar candidates.
-    * Map-only expression work.
+    * Map-only expression work over literal sign vectors.
     */
-  def lshBucket(vec: Column, planes: Int = 8): Column =
+  def lshBucket(vec: Column, planes: Int = 8, dims: Int = 64): Column = {
+    val signs = planeSigns(planes, dims)
     (0 until planes).map { p =>
+      val signArr = array(signs(p).map(lit): _*)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) => v * planeSign(p, i)),
+        zip_with(vec, signArr, (v, s) => v.cast("double") * s),
         lit(0.0d), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << p)).otherwise(0L)
     }.reduce[Column](_ + _)
+  }
 
   /** LSH-bucketed ANN top-k: candidates share the query's bucket; exact
     * cosine ranks within the bucket. Recall < 1 by construction —
@@ -75,13 +94,13 @@ object SimilarityOps {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      norm(col(vecCol)).as("q_norm"), lshBucket(col(vecCol), planes).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      norm(col(vecCol)).as("c_norm"), lshBucket(col(vecCol), planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+        round(cosinePre(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")), 6).as("cos_sim"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -103,11 +122,12 @@ object SimilarityOps {
         cosine(col("q_vec"), col("cent_vec")).as("cell_sim"))
       .withColumn("r", row_number().over(cellRank)).filter(col("r") <= nprobe)
       .select("query_id", "q_vec", "cell")
-    val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
     val scored = c.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+        round(cosinePre(col("q_vec"), col("c_vec"), norm(col("q_vec")), col("c_norm")), 6).as("cos_sim"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -109,9 +109,22 @@ object TextOps {
   /** Content fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
 
+  /** DataFrame form of [[minShingleFingerprint]] for hot paths: the
+    * normalization materializes once per document, windows explode to
+    * rows, and the minimum md5 reduces with map-side partial aggregation.
+    * Output: (<idCol>, min_shingle_fp).
+    */
+  def minShingleFingerprints(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+                             textCol: String = "text", k: Int = 16): org.apache.spark.sql.DataFrame =
+    DedupOps.explodedShingles(docs, idCol, textCol, k)
+      .select(col("id").as(idCol), md5(col("sh").cast("binary")).as("w"))
+      .groupBy(idCol).agg(min(col("w")).as("min_shingle_fp"))
+
   /** Rolling-hash shingle fingerprint: md5 over each k-char window of the
     * normalized text, keeping the lexicographic minimum — a cheap
     * winnowing-style document signature robust to small edits at the ends.
+    * Column form for small inputs; use [[minShingleFingerprints]] in hot
+    * paths (the HOF lambda re-evaluates `norm` per window).
     */
   def minShingleFingerprint(text: Column, k: Int = 16): Column = {
     val norm = normalized(text)
