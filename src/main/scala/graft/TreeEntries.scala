@@ -138,6 +138,37 @@ private[graft] object TreeEntries {
         Seq("media_id"))
     }),
 
+    // X-series scalar functions: name ops (X2), epoch→date (X5),
+    // partition exprs toMonday/toYYYYMM (X7), portable shard hash (X8),
+    // hostname escaping (X9).
+    "q33_scalar_ops" -> ((s, dir) =>
+      events(s, dir)
+        .select(concat(col("event_type"), lit(".u"), col("user_id")).as("name"), col("sec"))
+        .groupBy("name").agg(min(col("sec")).as("first_sec"))
+        .select(
+          col("name"),
+          size(split(col("name"), "\\.")).as("level"),
+          substring_index(col("name"), ".", -1).as("last_level"),
+          concat(substring_index(col("name"), ".", 1), lit(".")).as("parent"),
+          to_date(from_unixtime(col("first_sec"))).as("first_date"),
+          date_trunc("week", to_timestamp(col("first_sec"))).cast("date").as("week_start"),
+          date_format(to_timestamp(col("first_sec")), "yyyyMM").as("month_part"),
+          (conv(substring(md5(col("name").cast("binary")), 1, 8), 16, 10).cast("long") % 32).as("shard"),
+          translate(col("name"), ".", "_").as("escaped")
+        )),
+
+    // Distinct aggregation (count distinct per group).
+    "q34_count_distinct" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))),
+
+    // ROLLUP hierarchy totals (beyond reference surface; standard OLAP).
+    "q35_rollup_totals" -> ((s, dir) =>
+      events(s, dir)
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))),
+
     // Multimodal frame sampling: per-video frame work units.
     "q32_frame_sample" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet").select(
@@ -198,6 +229,30 @@ private[graft] object TreeEntries {
       """SELECT name FROM (
         |  SELECT DISTINCT event_type || '.u' || CAST(user_id AS VARCHAR) AS name FROM events)
         |ORDER BY name LIMIT 50 OFFSET 50""".stripMargin,
+
+    "q33_scalar_ops" ->
+      """WITH names AS (
+        |  SELECT event_type || '.u' || CAST(user_id AS VARCHAR) AS name,
+        |         min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_sec
+        |  FROM events GROUP BY 1)
+        |SELECT name,
+        |  CAST(len(string_split(name, '.')) AS INTEGER) AS level,
+        |  string_split(name, '.')[-1] AS last_level,
+        |  string_split(name, '.')[1] || '.' AS parent,
+        |  CAST(make_timestamp(first_sec * 1000000) AS DATE) AS first_date,
+        |  CAST(date_trunc('week', make_timestamp(first_sec * 1000000)) AS DATE) AS week_start,
+        |  strftime(make_timestamp(first_sec * 1000000), '%Y%m') AS month_part,
+        |  CAST(concat('0x', substr(md5(name), 1, 8)) AS BIGINT) % 32 AS shard,
+        |  replace(name, '.', '_') AS escaped
+        |FROM names""".stripMargin,
+
+    "q34_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q35_rollup_totals" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY ROLLUP(event_type)""".stripMargin,
 
     "q31_multimodal_meta" ->
       """WITH meta AS (

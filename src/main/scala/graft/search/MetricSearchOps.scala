@@ -38,13 +38,12 @@ object MetricSearchOps {
     */
   def search(tree: DataFrame, query: String): DataFrame = {
     val levels = query.count(_ == '.') + (if (query.endsWith(".")) 0 else 1)
-    Glob.queryToRegex(query) match {
-      case None => currentTree(tree).limit(0).select("name", "status")
-      case Some(re) =>
-        currentTree(tree)
-          .filter(col("level") === levels && visibleCol(col("status")) && col("name").rlike(re))
-          .select("name", "status")
-    }
+    // native codegen'd predicate (graft.functions.GlobMatchExpression);
+    // invalid globs fold to constant false → empty result
+    currentTree(tree)
+      .filter(col("level") === levels && visibleCol(col("status")) &&
+        graft.functions.functions.glob_match(col("name"), query))
+      .select("name", "status")
   }
 
   /** Status change (ban/approve/hide...): returns the rows to APPEND to the
