@@ -26,7 +26,24 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // ingest throughput (reference design envelope: >=200k points/s,
+    // BASELINE.md): synthesize lines, run the full parse+validate path
+    val ingestRate = {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val n = 2000000L
+      val lines = spark.range(n).select(concat(
+        lit("one_min.app.host"), col("id") % 100, lit(".requests "),
+        (col("id") % 1000).cast("string"), lit(" "),
+        (lit(1700000000L) + col("id") % 86400).cast("string")).as("line")).as[String]
+      val pipe = new graft.streaming.IngestPipeline(dataPath = "/tmp/x", treePath = "/tmp/y")
+      val t0 = System.nanoTime()
+      val parsed = pipe.parseBatch(lines, 1700000000).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      require(parsed == n, s"parse dropped valid lines: $parsed/$n")
+      (n / dt).toLong
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_points_per_sec":$ingestRate,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

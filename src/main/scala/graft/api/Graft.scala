@@ -1,0 +1,111 @@
+package graft.api
+
+import graft.model.MetricStatus
+import graft.query.{MetricQuery, QueryParams}
+import graft.retention.{Retention, RetentionResolver, RetentionRule}
+import graft.search.MetricSearchOps
+import graft.streaming.IngestPipeline
+import graft.jobs.Compaction
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The engine facade — one object per (data table, tree table) pair,
+  * exposing the reference's whole user surface (SURVEY.md §3):
+  * `/search` → [[search]], `/metricData` → [[metricData]], status
+  * management → [[setStatus]], TCP ingest → [[ingest]], plus the
+  * background jobs ([[compact]], [[autoHide]]). A graphouse user's
+  * workflow maps 1:1; everything executes as Spark plans.
+  */
+final class Graft(
+    val spark: SparkSession,
+    dataPath: String,
+    treePath: String,
+    rules: Seq[RetentionRule] = Retention.defaultRules
+) {
+  private val resolver = new RetentionResolver(rules)
+
+  graft.functions.functions.registerAll(spark)
+
+  /** Raw append-only tables. */
+  def data: DataFrame = spark.read.parquet(dataPath)
+  def tree: DataFrame = spark.read.parquet(treePath)
+
+  /** Current logical tree state (latest status per name). */
+  def currentTree: DataFrame = MetricSearchOps.currentTree(tree)
+
+  /** §3.2 — glob search over visible tree nodes. */
+  def search(query: String): DataFrame = MetricSearchOps.search(tree, query)
+
+  /** §3.1 — the full read path: expand patterns, group matched metrics
+    * by retention function, run dedup→rollup→gapfill per group (the
+    * reference runs one ClickHouse query per function group,
+    * `data/MetricDataService.java:49-51,86-98`), pad unmatched names
+    * with all-null series. Returns `Dataset[Series]`-shaped rows
+    * (metric, start, end, step, points).
+    */
+  def metricData(patterns: Seq[String], startSeconds: Int, endSeconds: Int,
+                 maxPointsPerMetric: Int = -1,
+                 nowSeconds: Long = System.currentTimeMillis() / 1000): DataFrame = {
+    import spark.implicits._
+    // expand patterns against the tree (metrics only, not dirs)
+    val names: Seq[String] = patterns.flatMap { p =>
+      if (graft.names.Glob.hasWildcards(p))
+        search(p).select("name").as[String].collect().filterNot(_.endsWith("."))
+      else Seq(p)
+    }.distinct
+    val ageSeconds = (nowSeconds - startSeconds).toInt
+    val byFunction: Map[String, Seq[(String, Int)]] = names
+      .map(n => { val r = resolver.resolve(n); (n, r.function, r.stepFor(ageSeconds)) })
+      .groupBy(_._2)
+      .map { case (fn, xs) => fn -> xs.map(x => (x._1, x._3)) }
+    if (byFunction.isEmpty) {
+      return spark.emptyDataFrame
+        .withColumn("metric", lit("")).limit(0)
+        .select(col("metric"), lit(0).as("start"), lit(0).as("end"), lit(0).as("step"),
+          array().cast("array<double>").as("points"))
+    }
+    val frames = byFunction.toSeq.sortBy(_._1).map { case (fn, metricSteps) =>
+      val params = QueryParams.create(metricSteps.map(_._2), startSeconds, endSeconds,
+        maxPointsPerMetric, nowSeconds)
+      MetricQuery.metricData(data, metricSteps.map(_._1), fn, params)
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  /** Status management (ban/approve/hide/...): appends transition rows
+    * honoring the restricted status graph. Call `.save()` on the result
+    * shape or pass through [[applyStatus]] to persist.
+    */
+  def statusRows(pattern: String, status: MetricStatus,
+                 nowSeconds: Long = System.currentTimeMillis() / 1000): DataFrame =
+    MetricSearchOps.setStatus(tree, pattern, status, nowSeconds)
+
+  /** NOTE: `updated` ties (same-second writes) resolve arbitrarily, like
+    * the reference's ReplacingMergeTree on equal versions — pass an
+    * explicit monotonic `nowSeconds` when ordering matters.
+    */
+  def setStatus(pattern: String, status: MetricStatus,
+                nowSeconds: Long = System.currentTimeMillis() / 1000): Unit =
+    statusRows(pattern, status, nowSeconds).write.mode("append").parquet(treePath)
+
+  /** §3.3 — streaming ingest of graphite plaintext lines. */
+  def ingest(lines: Dataset[String], checkpoint: String): StreamingQuery =
+    new IngestPipeline(dataPath = dataPath, treePath = treePath).start(lines, checkpoint)
+
+  /** Rollup-at-rest for partitions older than `ageDays` (SURVEY §4 P4/P5). */
+  def compact(ageDays: Int, stepSeconds: Int): Seq[String] =
+    new Compaction(resolver).run(spark, dataPath, ageDays, stepSeconds)
+
+  /** Autohide sweep: junk metrics (few points, stale) → AUTO_HIDDEN rows. */
+  def autoHide(maxValues: Long, missingSeconds: Long,
+               nowSeconds: Long = System.currentTimeMillis() / 1000): DataFrame = {
+    val candidates = MetricSearchOps.autoHideCandidates(
+      data, maxValues, nowSeconds - missingSeconds)
+    MetricSearchOps.currentTree(tree)
+      .join(candidates.select(col("metric").as("name")), Seq("name"), "left_semi")
+      .select(col("name"), col("level"), col("parent"),
+        MetricSearchOps.selectStatusCol(col("status"), lit(MetricStatus.AutoHidden.name)).as("status"),
+        lit(nowSeconds).as("updated"))
+  }
+}

@@ -131,7 +131,15 @@ object Glob {
         }
         i += 1
       }
-      if (inBraces) None else Some(sb.toString)
+      if (inBraces) None
+      else {
+        // a structurally-copied char class can still be regex-invalid
+        // (e.g. "[z-[]" — reversed range); the reference treats any
+        // invalid glob as match-nothing, so validate compilability here
+        val s = sb.toString
+        try { java.util.regex.Pattern.compile(s); Some(s) }
+        catch { case _: Exception => None }
+      }
     } catch { case _: Exception => None }
   }
 
