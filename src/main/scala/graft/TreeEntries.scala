@@ -169,6 +169,13 @@ private[graft] object TreeEntries {
         .rollup(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))),
 
+    // JSON property extraction (semi-structured props column).
+    "q36_json_props" -> ((s, dir) =>
+      events(s, dir)
+        .select((get_json_object(col("props"), "$.k").cast("long") % 10).as("k"), col("value"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))),
+
     // Multimodal frame sampling: per-video frame work units.
     "q32_frame_sample" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet").select(
@@ -229,6 +236,11 @@ private[graft] object TreeEntries {
       """SELECT name FROM (
         |  SELECT DISTINCT event_type || '.u' || CAST(user_id AS VARCHAR) AS name FROM events)
         |ORDER BY name LIMIT 50 OFFSET 50""".stripMargin,
+
+    "q36_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k,
+        |       count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q33_scalar_ops" ->
       """WITH names AS (

@@ -93,6 +93,19 @@ final class Graft(
   def ingest(lines: Dataset[String], checkpoint: String): StreamingQuery =
     new IngestPipeline(dataPath = dataPath, treePath = treePath).start(lines, checkpoint)
 
+  /** §3.3 production path: listen for graphite TCP pushes on `port`
+    * (custom `MicroBatchStream` source, receive-time stamping at the
+    * socket — reference MetricServer role).
+    */
+  def ingestTcp(port: Int, checkpoint: String): StreamingQuery = {
+    val lines = spark.readStream
+      .format("graft.streaming.GraphiteSourceProvider")
+      .option("port", port.toString)
+      .load()
+    new IngestPipeline(dataPath = dataPath, treePath = treePath)
+      .startStamped(lines, checkpoint)
+  }
+
   /** Rollup-at-rest for partitions older than `ageDays` (SURVEY §4 P4/P5). */
   def compact(ageDays: Int, stepSeconds: Int): Seq[String] =
     new Compaction(resolver).run(spark, dataPath, ageDays, stepSeconds)

@@ -63,6 +63,8 @@ object MetricQuery {
     case "count"          => count(value).cast("double")
     case "any" | "first"  => first(value, ignoreNulls = false)
     case "last"           => max_by(value, version)
+    // heavy-hitter (custom Aggregator; CH `anyHeavy` retention configs)
+    case "anyHeavy" | "any_heavy" => graft.functions.AnyHeavy.anyHeavy(value)
     case other            => throw new IllegalArgumentException(s"unsupported rollup function: $other")
   }
 

@@ -1,0 +1,156 @@
+package graft.streaming
+
+import java.io.BufferedReader
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Structured-Streaming TCP source for the Graphite plaintext
+  * protocol (SURVEY §2.1 S1; reference `server/MetricServer.java:167-221`):
+  * LISTENS for client connections (graphite clients push lines), stamps
+  * each line with its receive time (`updated`), and exposes micro-batches
+  * through the DataSource V2 `MicroBatchStream` API.
+  *
+  * Usage: `spark.readStream.format("graft.streaming.GraphiteSourceProvider")
+  * .option("port", "2003").load()` → schema (line STRING, updated INT).
+  * `option("port", "0")` binds an ephemeral port, discoverable via
+  * [[GraphiteServerRegistry]] (tests).
+  *
+  * Delivery is at-least-once with an in-memory buffer (the reference's
+  * bounded queue has the same crash semantics, `cacher/MetricCacher.java:72`);
+  * duplicates collapse downstream via read-side version dedup (A1).
+  */
+class GraphiteSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraphiteSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new GraphiteTable(properties.getOrDefault("port", "2003").toInt,
+      properties.getOrDefault("name", "graphite"))
+}
+
+object GraphiteSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("line", StringType, nullable = false),
+    StructField("updated", IntegerType, nullable = false)
+  ))
+}
+
+/** Port discovery for ephemeral binds (option port=0). */
+object GraphiteServerRegistry {
+  private val ports = new ConcurrentHashMap[String, Integer]()
+  private[streaming] def publish(name: String, port: Int): Unit = ports.put(name, port)
+  def boundPort(name: String): Option[Int] = Option(ports.get(name)).map(_.intValue())
+}
+
+class GraphiteTable(port: Int, name: String) extends Table with SupportsRead {
+  override def name(): String = s"graphite:$port"
+  override def schema(): StructType = GraphiteSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = GraphiteSource.Schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraphiteMicroBatchStream(port, name)
+      }
+    }
+}
+
+case class CountOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** Driver-side accepting server + offset-by-count micro-batch stream.
+  * One acceptor thread; one reader thread per connection (the reference
+  * uses a 100-thread reader pool; connection counts at the ingest tier
+  * are modest — fan-in happens before Spark in both designs).
+  */
+class GraphiteMicroBatchStream(port: Int, name: String) extends MicroBatchStream {
+  private val buffer = new java.util.ArrayList[(String, Int)]()
+  private var dropped = 0L // rows already committed and trimmed
+  private val running = new AtomicBoolean(true)
+  private val server = new ServerSocket()
+  server.bind(new InetSocketAddress(port))
+  GraphiteServerRegistry.publish(name, server.getLocalPort)
+
+  private val acceptor = new Thread(() => {
+    while (running.get()) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => readLoop(sock), s"graphite-reader-${sock.getPort}")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception => /* socket closed on stop */ }
+    }
+  }, s"graphite-acceptor-$port")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def readLoop(sock: Socket): Unit = {
+    val in = new BufferedReader(new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+    try {
+      var line = in.readLine()
+      while (line != null && running.get()) {
+        val now = (System.currentTimeMillis() / 1000).toInt
+        buffer.synchronized { buffer.add((line, now)) }
+        line = in.readLine()
+      }
+    } catch { case _: Exception => () }
+    finally sock.close()
+  }
+
+  override def initialOffset(): Offset = CountOffset(0L)
+  override def latestOffset(): Offset =
+    buffer.synchronized { CountOffset(dropped + buffer.size) }
+  override def deserializeOffset(json: String): Offset = CountOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CountOffset].n
+    val e = end.asInstanceOf[CountOffset].n
+    val rows = buffer.synchronized {
+      val from = math.max((s - dropped).toInt, 0)
+      val to = math.max((e - dropped).toInt, from)
+      import scala.jdk.CollectionConverters._
+      buffer.subList(from, to).asScala.toArray
+    }
+    Array(GraphiteInputPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val rows = partition.asInstanceOf[GraphiteInputPartition].rows
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rows.length }
+        override def get(): InternalRow =
+          InternalRow(UTF8String.fromString(rows(i)._1), rows(i)._2)
+        override def close(): Unit = ()
+      }
+    }
+
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[CountOffset].n
+    buffer.synchronized {
+      val trim = math.min(math.max((e - dropped).toInt, 0), buffer.size)
+      if (trim > 0) { buffer.subList(0, trim).clear(); dropped += trim }
+    }
+  }
+
+  override def stop(): Unit = {
+    running.set(false)
+    try server.close() catch { case _: Exception => () }
+  }
+}
+
+case class GraphiteInputPartition(rows: Array[(String, Int)]) extends InputPartition

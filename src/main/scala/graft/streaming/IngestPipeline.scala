@@ -98,8 +98,27 @@ final class IngestPipeline(
     } finally df.unpersist()
   }
 
+  /** Wire a (line, updated) stream — the shape [[GraphiteSourceProvider]]
+    * emits, with receive-time stamping done at the socket (reference
+    * `MetricServer` semantics) rather than at parse time.
+    */
+  def startStamped(lines: DataFrame, checkpoint: String,
+                   trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery = {
+    import lines.sparkSession.implicits._
+    val p = parser
+    lines.select(col("line"), col("updated")).as[(String, Int)]
+      .flatMap { case (l, updated) => p.parse(l, updated) }
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[MetricPoint], id: Long) => processBatch(batch, id) }
+      .start()
+  }
+
   /** Wire a line stream end-to-end. Caller supplies the streaming source
-    * (socket for dev, a custom TCP `MicroBatchStream` in production).
+    * (the custom TCP `MicroBatchStream` in production via
+    * [[startStamped]]; any `Dataset[String]` here).
     */
   def start(lines: Dataset[String], checkpoint: String,
             trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery = {
