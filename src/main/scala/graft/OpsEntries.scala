@@ -80,7 +80,27 @@ private[graft] object OpsEntries {
 
     // Embedding cosine near-dup pairs within label blocks.
     "q30_embedding_near_dup" -> ((s, dir) =>
-      DedupOps.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.4))
+      DedupOps.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.4)),
+
+    // IVF ANN: probe the 2 nearest label cells (derived mean-vector
+    // centroids), exact cosine within probed cells only.
+    "q38_ivf_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(e.filter(col("vec_id") < 5), e,
+        SimilarityOps.cellCentroids(e), k = 10, nprobe = 2)
+    }),
+
+    // The full dedup decision: candidates → Jaccard verify → drop the
+    // higher id of each confirmed pair → corpus keep/drop summary.
+    "q37_dedup_decision" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val confirmed = DedupOps.jaccardVerify(DedupOps.minHashCandidates(docs), docs)
+        .filter(col("jaccard") >= 0.8)
+      val dropped = confirmed.select(col("id_b").as("doc_id")).distinct()
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("kept"))
+    })
   )
 
   // ---- DuckDB oracle SQL (independent re-implementation) ----
@@ -177,6 +197,42 @@ private[graft] object OpsEntries {
          |SELECT id_a, id_b,
          |       round(CASE WHEN total - inter > 0 THEN inter / (total - inter) ELSE 0.0 END, 4) AS jaccard
          |FROM j""".stripMargin,
+
+    "q38_ivf_ann" ->
+      s"""WITH cent AS (
+         |  SELECT label AS cell, list(CAST(m AS FLOAT) ORDER BY pos) AS cv
+         |  FROM (SELECT label, pos, avg(CAST(embedding[pos] AS DOUBLE)) AS m
+         |        FROM embeddings CROSS JOIN range(1, 65) t(pos)
+         |        GROUP BY label, pos)
+         |  GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |p0 AS (SELECT query_id, qv, cell, ${cosSql("qv", "cv")} AS cell_sim
+         |       FROM q CROSS JOIN cent),
+         |probes AS (SELECT query_id, qv, cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cell_sim DESC, cell) AS r FROM p0)
+         |  WHERE r <= 2),
+         |c AS (SELECT label AS cell, vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id, round(${cosSql("qv", "cv")}, 6) AS cos_sim
+         |      FROM c JOIN probes USING (cell) WHERE query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, cos_sim, CAST(r AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM s)
+         |WHERE r <= 10""".stripMargin,
+
+    "q37_dedup_decision" ->
+      s"""$minhashCtes,
+         |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
+         |g AS (SELECT doc_id, CASE WHEN len(norm) < 3 THEN [norm]
+         |        ELSE list_distinct(list_transform(generate_series(1, len(norm)-2), i -> substr(norm, i, 3))) END AS grams
+         |      FROM (SELECT doc_id, $norm AS norm FROM documents)),
+         |j AS (SELECT id_a, id_b,
+         |        CAST(len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS DOUBLE) AS inter,
+         |        CAST(len(ga.grams) + len(gb.grams) AS DOUBLE) AS total
+         |      FROM cand JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b),
+         |dropped AS (SELECT DISTINCT id_b AS doc_id FROM j
+         |            WHERE round(CASE WHEN total - inter > 0 THEN inter / (total - inter) ELSE 0.0 END, 4) >= 0.8)
+         |SELECT lang, count(*) AS kept FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |GROUP BY lang""".stripMargin,
 
     "q24_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
