@@ -46,38 +46,72 @@ final class Compaction(resolver: RetentionResolver) extends Serializable {
           max(col("updated")).as("updated")
         )
       g
-    }.reduce(_ unionByName _)
+    }.reduceOption(_ unionByName _)
+      // empty partition: emit an empty frame with the output schema
+      .getOrElse(deduped.select("metric", "timestamp", "value", "updated").limit(0))
   }
 
   /** Rewrite every date partition older than `ageDays` at `step`
     * resolution. Parquet layout: `<root>/date=YYYY-MM-DD/`. Each
-    * partition rewrites independently (restart-safe: a failed partition
-    * leaves the original files in place via staging-dir swap).
+    * partition rewrites independently and the swap is crash-safe: the
+    * originals are renamed aside BEFORE the staged output moves in, so a
+    * crash at any point leaves either the originals (recoverable via
+    * [[recover]], run automatically at the start of each invocation) or
+    * the finished compacted output — never neither. Uses Hadoop
+    * FileSystem APIs so the same code works on HDFS/object stores, not
+    * just the local filesystem.
     */
   def run(spark: SparkSession, root: String, ageDays: Int, step: Int,
           nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
+    import org.apache.hadoop.fs.Path
     val cutoff = java.time.LocalDate.ofEpochDay(nowMillis / 86400000L - ageDays)
-    val fs = new java.io.File(root)
-    val parts = Option(fs.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("date="))
-      .map(_.getName.stripPrefix("date="))
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Seq.empty
+    recover(spark, root)
+    val parts = fs.listStatus(rootPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("date="))
+      .map(_.getPath.getName.stripPrefix("date="))
       .filter(d => java.time.LocalDate.parse(d).isBefore(cutoff))
       .sorted.toSeq
     parts.foreach { d =>
-      val src = s"$root/date=$d"
-      val stage = s"$root/.compact_tmp_date=$d"
-      val compacted = compactPartition(spark.read.parquet(src), step)
-        .withColumn("date", lit(java.sql.Date.valueOf(d)))
+      val src = new Path(rootPath, s"date=$d")
+      val stage = new Path(rootPath, s".compact_tmp_date=$d")
+      val aside = new Path(rootPath, s".compact_old_date=$d")
+      val compacted = compactPartition(spark.read.parquet(src.toString), step)
         .sortWithinPartitions("metric", "timestamp")
-      compacted.drop("date").write.mode(SaveMode.Overwrite).parquet(stage)
-      // atomic-ish swap: remove originals, move staged files in
-      val srcDir = new java.io.File(src)
-      srcDir.listFiles().foreach(_.delete())
-      new java.io.File(stage).listFiles().foreach { f =>
-        f.renameTo(new java.io.File(srcDir, f.getName))
+      compacted.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      // swap: originals go aside first, staged dir renames into place,
+      // originals deleted last
+      if (!fs.rename(src, aside))
+        throw new java.io.IOException(s"compaction: cannot move $src aside")
+      if (!fs.rename(stage, src)) {
+        fs.rename(aside, src) // roll back
+        throw new java.io.IOException(s"compaction: cannot activate staged $stage")
       }
-      new java.io.File(stage).delete()
+      fs.delete(aside, true)
     }
     parts
+  }
+
+  /** Repair any partition left mid-swap by a crash: restore an
+    * aside-renamed original whose `date=` dir is missing, and clear
+    * leftover staging/aside dirs.
+    */
+  def recover(spark: SparkSession, root: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return
+    fs.listStatus(rootPath).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".compact_old_date=")) {
+        val orig = new Path(rootPath, n.stripPrefix(".compact_old_"))
+        if (!fs.exists(orig)) fs.rename(st.getPath, orig)
+        else fs.delete(st.getPath, true) // swap completed; aside is stale
+      } else if (n.startsWith(".compact_tmp_date=")) {
+        fs.delete(st.getPath, true) // incomplete staging output
+      }
+    }
   }
 }

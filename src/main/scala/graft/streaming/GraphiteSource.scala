@@ -35,7 +35,8 @@ class GraphiteSourceProvider extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     new GraphiteTable(properties.getOrDefault("port", "2003").toInt,
-      properties.getOrDefault("name", "graphite"))
+      properties.getOrDefault("name", "graphite"),
+      properties.getOrDefault("capacity", "1000000").toInt)
 }
 
 object GraphiteSource {
@@ -45,14 +46,23 @@ object GraphiteSource {
   ))
 }
 
-/** Port discovery for ephemeral binds (option port=0). */
+/** Port discovery for ephemeral binds (option port=0) and drop-count
+  * accounting (mirrors the reference's bounded-queue reject counter,
+  * `cacher/MetricCacher.java:142-163`).
+  */
 object GraphiteServerRegistry {
   private val ports = new ConcurrentHashMap[String, Integer]()
+  private val drops = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
   private[streaming] def publish(name: String, port: Int): Unit = ports.put(name, port)
+  private[streaming] def dropCounter(name: String): java.util.concurrent.atomic.AtomicLong =
+    drops.computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicLong())
   def boundPort(name: String): Option[Int] = Option(ports.get(name)).map(_.intValue())
+  /** Lines rejected because the in-flight buffer was at capacity. */
+  def droppedLines(name: String): Long =
+    Option(drops.get(name)).map(_.get()).getOrElse(0L)
 }
 
-class GraphiteTable(port: Int, name: String) extends Table with SupportsRead {
+class GraphiteTable(port: Int, name: String, capacity: Int) extends Table with SupportsRead {
   override def name(): String = s"graphite:$port"
   override def schema(): StructType = GraphiteSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -62,7 +72,7 @@ class GraphiteTable(port: Int, name: String) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = GraphiteSource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraphiteMicroBatchStream(port, name)
+          new GraphiteMicroBatchStream(port, name, capacity)
       }
     }
 }
@@ -76,9 +86,11 @@ case class CountOffset(n: Long) extends Offset {
   * uses a 100-thread reader pool; connection counts at the ingest tier
   * are modest — fan-in happens before Spark in both designs).
   */
-class GraphiteMicroBatchStream(port: Int, name: String) extends MicroBatchStream {
+class GraphiteMicroBatchStream(port: Int, name: String, capacity: Int = 1000000)
+    extends MicroBatchStream {
   private val buffer = new java.util.ArrayList[(String, Int)]()
-  private var dropped = 0L // rows already committed and trimmed
+  private var dropped = 0L // rows before buffer head (committed+trimmed, or lost on restart)
+  private val rejects = GraphiteServerRegistry.dropCounter(name)
   private val running = new AtomicBoolean(true)
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress(port))
@@ -103,7 +115,13 @@ class GraphiteMicroBatchStream(port: Int, name: String) extends MicroBatchStream
       var line = in.readLine()
       while (line != null && running.get()) {
         val now = (System.currentTimeMillis() / 1000).toInt
-        buffer.synchronized { buffer.add((line, now)) }
+        // bounded buffer: reject-with-counter at capacity rather than
+        // growing without limit and OOMing the driver (reference bounds
+        // its queue the same way, `graphouse.cacher.queue-size`)
+        val accepted = buffer.synchronized {
+          if (buffer.size < capacity) { buffer.add((line, now)); true } else false
+        }
+        if (!accepted) rejects.incrementAndGet()
         line = in.readLine()
       }
     } catch { case _: Exception => () }
@@ -113,14 +131,44 @@ class GraphiteMicroBatchStream(port: Int, name: String) extends MicroBatchStream
   override def initialOffset(): Offset = CountOffset(0L)
   override def latestOffset(): Offset =
     buffer.synchronized { CountOffset(dropped + buffer.size) }
-  override def deserializeOffset(json: String): Offset = CountOffset(json.toLong)
+
+  /** Only called when Spark recovers offsets from the checkpoint log
+    * (restart). A fresh stream starts with dropped=0 and an empty buffer,
+    * so a checkpointed offset beyond the live window means the pre-crash
+    * in-memory lines are gone: realign `dropped` to the checkpoint so the
+    * replayed batch serves empty (logged data loss) instead of
+    * crash-looping on out-of-range buffer reads, and so lines received
+    * after the restart map to offsets past the checkpoint.
+    */
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    buffer.synchronized {
+      if (n > dropped + buffer.size) {
+        System.err.println(
+          s"GraphiteSource[$name]: checkpoint offset $n exceeds live buffer " +
+          s"(${dropped + buffer.size}); realigning — pre-restart in-flight lines were lost")
+        dropped = n - buffer.size
+      }
+    }
+    CountOffset(n)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CountOffset].n
     val e = end.asInstanceOf[CountOffset].n
     val rows = buffer.synchronized {
-      val from = math.max((s - dropped).toInt, 0)
-      val to = math.max((e - dropped).toInt, from)
+      // Clamp to the live buffer: after a restart-from-checkpoint this
+      // stream starts empty but Spark replays the last uncommitted batch
+      // with checkpointed offsets beyond buffer.size — serve what exists
+      // (possibly nothing), log the loss, and let commit() realign.
+      val from = math.min(math.max((s - dropped).toInt, 0), buffer.size)
+      val to = math.min(math.max((e - dropped).toInt, from), buffer.size)
+      if ((e - dropped) > buffer.size) {
+        val lost = (e - dropped) - buffer.size
+        System.err.println(
+          s"GraphiteSource[$name]: offsets [$s,$e) exceed in-memory buffer " +
+          s"by $lost line(s) (restart after crash?); serving partial batch")
+      }
       import scala.jdk.CollectionConverters._
       buffer.subList(from, to).asScala.toArray
     }

@@ -89,11 +89,18 @@ final class IngestPipeline(
     try {
       df.write.mode("append").partitionBy("date").parquet(dataPath)
       val nodes = treeNodesFor(df)
+      // explicit existence check, NOT a catch-all: a transient read error
+      // (corrupt file, FS hiccup) must fail the batch so streaming retry
+      // semantics stay visible, instead of silently re-appending the
+      // whole tree every batch
+      val treeP = new org.apache.hadoop.fs.Path(treePath)
+      val treeExists =
+        treeP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(treeP)
       val newNodes =
-        try {
+        if (treeExists) {
           val existing = spark.read.parquet(treePath).select("name").distinct()
           nodes.join(existing, Seq("name"), "left_anti")
-        } catch { case _: Exception => nodes } // first batch: no tree yet
+        } else nodes // first batch: no tree yet
       newNodes.write.mode("append").parquet(treePath)
     } finally df.unpersist()
   }

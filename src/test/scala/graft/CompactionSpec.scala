@@ -53,4 +53,28 @@ class CompactionSpec extends AnyFunSuite {
     // avg(argMax over ts100=2.0, ts110=5.0) in one 60s bucket
     assert(old == Set(("m.x", 60, 3.5)))
   }
+
+  test("compactPartition of an empty partition yields an empty frame, not an error") {
+    val comp = new Compaction(Retention.defaultResolver)
+    val empty = Seq.empty[(String, Double, Int, Int)]
+      .toDF("metric", "value", "timestamp", "updated")
+    val out = comp.compactPartition(empty, 60)
+    assert(out.columns.toSeq == Seq("metric", "timestamp", "value", "updated"))
+    assert(out.count() == 0)
+  }
+
+  test("recover restores a partition left aside by a mid-swap crash") {
+    val root = java.nio.file.Files.createTempDirectory("graft_recover").toString
+    val dataRoot = s"$root/data"
+    Seq(("m.x", 1.0, 100, java.sql.Date.valueOf("2024-01-01"), 1))
+      .toDF("metric", "value", "timestamp", "date", "updated")
+      .write.partitionBy("date").parquet(dataRoot)
+    // simulate a crash after the rename-aside step: date dir moved away
+    val dir = new java.io.File(s"$dataRoot/date=2024-01-01")
+    val aside = new java.io.File(s"$dataRoot/.compact_old_date=2024-01-01")
+    assert(dir.renameTo(aside))
+    new Compaction(Retention.defaultResolver).recover(spark, dataRoot)
+    assert(dir.exists && !aside.exists, "original partition restored")
+    assert(spark.read.parquet(dataRoot).count() == 1)
+  }
 }

@@ -57,4 +57,39 @@ class GraphiteSourceSpec extends AnyFunSuite {
       assert(rows.forall(_.getInt(1) > 1700000000), "receive-timestamped")
     } finally q.stop()
   }
+
+  test("restart from checkpoint offsets beyond the live buffer realigns instead of crashing") {
+    import graft.streaming.{CountOffset, GraphiteMicroBatchStream}
+    // fresh stream (empty buffer, dropped=0) handed a checkpointed offset
+    // of 40: the replayed batch [25, 40) must serve empty, not throw
+    val s = new GraphiteMicroBatchStream(0, s"restart-${System.nanoTime()}")
+    try {
+      val start = s.deserializeOffset("25")
+      val end = s.deserializeOffset("40")
+      val parts = s.planInputPartitions(start, end)
+      val reader = s.createReaderFactory().createReader(parts.head)
+      assert(!reader.next(), "replayed batch after data loss must be empty")
+      s.commit(end)
+      // post-restart offsets resume at the checkpoint, not at zero
+      assert(s.latestOffset().asInstanceOf[CountOffset].n == 40)
+    } finally s.stop()
+  }
+
+  test("buffer capacity bounds memory; overflow lines counted as drops") {
+    import graft.streaming.{CountOffset, GraphiteMicroBatchStream}
+    val name = s"cap-${System.nanoTime()}"
+    val s = new GraphiteMicroBatchStream(0, name, capacity = 3)
+    try {
+      val port = GraphiteServerRegistry.boundPort(name).get
+      val sock = new java.net.Socket("127.0.0.1", port)
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      (1 to 10).foreach(i => out.println(s"a.b.c $i 1542199560"))
+      out.flush(); sock.close()
+      val deadline = System.currentTimeMillis() + 10000
+      while (GraphiteServerRegistry.droppedLines(name) < 7 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(s.latestOffset().asInstanceOf[CountOffset].n == 3, "buffer capped at capacity")
+      assert(GraphiteServerRegistry.droppedLines(name) == 7, "rejected lines accounted")
+    } finally s.stop()
+  }
 }
