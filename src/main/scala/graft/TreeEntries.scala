@@ -113,14 +113,13 @@ private[graft] object TreeEntries {
     }),
 
     // O3 — keyset-free pagination: ORDER BY name LIMIT 50 OFFSET 50.
-    "q19_pagination" -> ((s, dir) => {
-      val names = events(s, dir)
+    // Native offset+limit plans as TakeOrderedAndProject (per-partition
+    // top-100 then merge), unlike a global row_number window which moves
+    // ALL rows to one partition.
+    "q19_pagination" -> ((s, dir) =>
+      events(s, dir)
         .select(concat(col("event_type"), lit(".u"), col("user_id")).as("name")).distinct()
-      val w = Window.orderBy("name")
-      names.withColumn("rn", row_number().over(w))
-        .filter(col("rn") > 50 && col("rn") <= 100)
-        .select("name")
-    }),
+        .orderBy("name").offset(50).limit(50)),
 
     // Multimodal metadata: opaque binary payload -> typed metadata +
     // resize plan (decode stubbed deterministically; see MultimodalOps).

@@ -21,7 +21,7 @@ object DedupOps {
     * group size. Single hash aggregate.
     */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    widen(docs).select(TextOps.fingerprint(col(textCol)).as("fp"), col(idCol))
+    widen(docs, heavy = false).select(TextOps.fingerprint(col(textCol)).as("fp"), col(idCol))
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
@@ -59,10 +59,21 @@ object DedupOps {
     * cluster before per-row heavy compute. A wide input (real datasets at
     * scale already have thousands of splits) passes through untouched —
     * no gratuitous shuffle.
+    *
+    * `heavy = true` (shingle/token explosion: compute amplified ~100×
+    * per input byte) always spreads a narrow input. `heavy = false`
+    * (one pass over each row) spreads only when the input is big enough
+    * that single-threaded map work would dominate the repartition
+    * shuffle — below that the shuffle costs more than it saves.
     */
-  private[ops] def widen(df: DataFrame): DataFrame = {
+  private[ops] def widen(df: DataFrame, heavy: Boolean = true): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (df.rdd.getNumPartitions >= p) df
+    else if (heavy) df.repartition(p)
+    else {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (bytes > (32L << 20)) df.repartition(p) else df
+    }
   }
 
   /** MinHash prime modulus and per-permutation universal-hash
@@ -126,8 +137,8 @@ object DedupOps {
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), (b => b)))
           / lit(numHashes.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minhashSim) // filter before dedup: smaller distinct
       .distinct()
-      .filter(col("est_jaccard") >= minhashSim)
   }
 
   /** SimHash (16-bit): per-token hashes vote ±1 on each bit position;
@@ -161,6 +172,11 @@ object DedupOps {
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", n: Int = 3): DataFrame = {
+    // gram sets are computed for the whole corpus in one linear
+    // partial-aggregated pass and joined to the pairs; referencing
+    // `pairs` only once keeps its (expensive) subplan from being
+    // recomputed — measured faster than semi-join candidate pruning,
+    // which triples the pairs subplan for a linear-cost saving
     val grams = explodedShingles(docs, idCol, textCol, n)
       .groupBy(col("id").as("jid"))
       .agg(collect_set(col("sh")).as("grams"))
