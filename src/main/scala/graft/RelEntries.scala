@@ -1,0 +1,192 @@
+package graft
+
+import graft.ops.RelOps
+import graft.query.{MetricQuery, QueryParams}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational-extension queries: as-of join, interval join,
+  * sessionization, pivot, cube/grouping sets, exact percentiles, and
+  * the flagship /metricData series path end-to-end — each with DuckDB
+  * oracle SQL.
+  */
+private[graft] object RelEntries {
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/events.parquet")
+    val sec = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _                                   => unix_timestamp(col("ts"))
+    }
+    df.withColumn("sec", sec)
+  }
+
+  // probe times inside the events range (Jan 2024)
+  private val ProbeTimes = Seq(1704500000L, 1705500000L, 1706500000L)
+  // 10 two-day maintenance windows, every 3 days from the range start
+  private val Windows: Seq[(Int, Long, Long)] =
+    (0 until 10).map(k => (k, 1704067200L + k * 259200L, 1704067200L + k * 259200L + 172800L))
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of join: per (user, probe time) the latest event value <= t.
+    // Events deduped to one row per (user, sec) first so ties are
+    // deterministic on both engines.
+    "q39_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .groupBy(col("user_id"), col("sec"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      val probes = ev.select("user_id").distinct()
+        .select(col("user_id"), explode(lit(ProbeTimes.toArray)).as("probe_ts"))
+      RelOps.asofJoin(probes, ev, Seq("user_id"), "probe_ts", "sec", "value")
+        .withColumn("asof_value", round(col("asof_value"), 4))
+    }),
+
+    // Interval join: event counts/averages per maintenance window,
+    // bucket-blocked equi-join (no nested-loop product).
+    "q40_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val iv = Windows.toDF("window_id", "w_start", "w_end")
+      RelOps.overlapJoin(events(s, dir), iv, "sec", "w_start", "w_end", 86400L)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+    }),
+
+    // Gap-based sessionization (30-min gap) + per-session summary.
+    "q41_sessionize" -> ((s, dir) =>
+      RelOps.sessionize(events(s, dir), Seq("user_id"), "sec", 1800L, Seq("event_id"))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
+        .withColumn("duration", col("end_sec") - col("start_sec"))),
+
+    // Pivot: event_type → columns, avg value per user cohort. Explicit
+    // value list keeps the plan a single pass (no discovery collect).
+    "q42_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("cohort", (col("user_id") % 10).cast("int"))
+        .groupBy("cohort")
+        .pivot("event_type", EventTypes)
+        .agg(round(avg(col("value")), 4))),
+
+    // CUBE with grouping flags (superset of the reference's rollup).
+    "q43_cube" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("cohort", (col("user_id") % 10).cast("int"))
+        .cube(col("event_type"), col("cohort"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+          grouping(col("event_type")).cast("int").as("g_type"),
+          grouping(col("cohort")).cast("int").as("g_cohort"))),
+
+    // Exact interpolated percentiles per event type.
+    "q44_percentiles" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.25)"), 4).as("p25"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"))),
+
+    // Flagship /metricData path as a checked query: predicates → dedup →
+    // rollup → gap fill → all-null padding, series stringified for
+    // engine-portable comparison.
+    "q45_metricdata_series" -> ((s, dir) => {
+      val data = events(s, dir).select(
+        concat(col("event_type"), lit(".u"), col("user_id")).as("metric"),
+        col("value"),
+        col("sec").cast("int").as("timestamp"),
+        to_date(from_unixtime(col("sec"))).as("date"),
+        col("event_id").cast("int").as("updated"))
+      val params = QueryParams(1704844800, 1705708800, 21600)
+      val metrics = (0 until 20).flatMap(u => Seq(s"click.u$u", s"error.u$u")) :+ "none.u999"
+      MetricQuery.metricData(data, metrics, "avg", params)
+        .select(col("metric"), col("start"), col("end"), col("step"),
+          array_join(transform(col("points"),
+            p => coalesce(round(p, 4).cast("string"), lit("null"))), ",").as("series"))
+    })
+  )
+
+  private val windowValues =
+    Windows.map { case (id, s, e) => s"($id, $s, $e)" }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q39_asof_join" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         |         arg_max(value, event_id) AS value
+         |  FROM events GROUP BY 1, 2),
+         |probes AS (SELECT DISTINCT user_id, unnest([${ProbeTimes.mkString(", ")}]) AS probe_ts
+         |           FROM ev)
+         |SELECT p.user_id, p.probe_ts, round(e.value, 4) AS asof_value
+         |FROM probes p ASOF LEFT JOIN ev e
+         |  ON p.user_id = e.user_id AND p.probe_ts >= e.sec""".stripMargin,
+
+    "q40_range_join" ->
+      s"""WITH iv(window_id, w_start, w_end) AS (VALUES $windowValues),
+         |e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events)
+         |SELECT window_id, count(*) AS n, round(avg(value), 4) AS avg_value
+         |FROM e JOIN iv ON e.sec >= iv.w_start AND e.sec < iv.w_end
+         |GROUP BY window_id""".stripMargin,
+
+    "q41_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |f AS (SELECT user_id, event_id, sec,
+        |        CASE WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |s AS (SELECT user_id, sec,
+        |        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_idx
+        |      FROM f)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(sec) AS start_sec, max(sec) AS end_sec,
+        |       max(sec) - min(sec) AS duration
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "q42_pivot" -> {
+      val cols = EventTypes.map(t =>
+        s"round(avg(CASE WHEN event_type = '$t' THEN value END), 4) AS $t").mkString(",\n  ")
+      s"""SELECT CAST(user_id % 10 AS INTEGER) AS cohort,
+         |  $cols
+         |FROM events GROUP BY 1""".stripMargin
+    },
+
+    "q43_cube" ->
+      """SELECT event_type, CAST(user_id % 10 AS INTEGER) AS cohort,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value,
+        |       CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+        |       CAST(GROUPING(CAST(user_id % 10 AS INTEGER)) AS INTEGER) AS g_cohort
+        |FROM events
+        |GROUP BY CUBE(event_type, CAST(user_id % 10 AS INTEGER))""".stripMargin,
+
+    "q44_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.25), 4) AS p25,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q45_metricdata_series" -> {
+      val metricList = ((0 until 20).flatMap(u => Seq(s"'click.u$u'", s"'error.u$u'")) :+ "'none.u999'")
+        .mkString(", ")
+      s"""WITH pts AS (
+         |  SELECT event_type || '.u' || CAST(user_id AS VARCHAR) AS metric,
+         |         CAST(CAST(floor(epoch(ts)) AS BIGINT) AS INTEGER) AS sec,
+         |         value, CAST(event_id AS INTEGER) AS updated
+         |  FROM events),
+         |req AS (SELECT unnest([$metricList]) AS metric),
+         |dd AS (SELECT metric, sec, arg_max(value, updated) AS value
+         |       FROM pts WHERE metric IN (SELECT metric FROM req)
+         |         AND sec >= 1704844800 AND sec < 1705708800
+         |       GROUP BY metric, sec),
+         |r AS (SELECT metric, sec - (sec % 21600) AS ts, avg(value) AS v
+         |      FROM dd GROUP BY 1, 2),
+         |grid AS (SELECT metric, g AS ts
+         |         FROM req CROSS JOIN range(1704844800, 1705708800, 21600) t(g)),
+         |j AS (SELECT grid.metric, grid.ts, r.v FROM grid LEFT JOIN r USING (metric, ts))
+         |SELECT metric, 1704844800 AS start, 1705708800 AS "end", 21600 AS step,
+         |       string_agg(coalesce(CAST(round(v, 4) AS VARCHAR), 'null'), ',' ORDER BY ts) AS series
+         |FROM j GROUP BY metric""".stripMargin
+    }
+  )
+}

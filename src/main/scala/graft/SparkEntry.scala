@@ -61,9 +61,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ TreeEntries.queries ++ OpsEntries.queries
+    coreQueries ++ TreeEntries.queries ++ OpsEntries.queries ++ RelEntries.queries
 
-  def oracleSql: Map[String, String] = coreOracle ++ TreeEntries.oracle ++ OpsEntries.oracle
+  def oracleSql: Map[String, String] =
+    coreOracle ++ TreeEntries.oracle ++ OpsEntries.oracle ++ RelEntries.oracle
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — version dedup: latest value per key by version column (argMax).

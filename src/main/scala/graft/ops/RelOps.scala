@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators beyond the reference's surface that a
+  * full analytics engine needs: as-of join, interval (range) join and
+  * gap-based sessionization. Each is implemented in the shape that
+  * survives 100 TB — one shuffle keyed by the join/session key, no
+  * non-equi join blowup, no global window.
+  */
+object RelOps {
+
+  /** As-of (backward) join: for every probe row, the right-side value
+    * with the greatest `rightTimeCol <= leftTimeCol` within the same
+    * key group; null when no such row (ASOF LEFT JOIN semantics).
+    *
+    * Implementation: union probes and events, one window pass per key
+    * ordered by (time, side) with `last(value) ignoreNulls` carrying the
+    * most recent event value forward onto each probe. ONE shuffle on the
+    * keys — no per-key cross product, no range-join explosion; skewed
+    * keys are handled by AQE like any other window shuffle. Events tied
+    * on the same timestamp must be pre-deduped (e.g. max_by a version
+    * column) for deterministic output.
+    *
+    * `left` columns: keys :+ leftTimeCol. Output: keys, leftTimeCol,
+    * asof_value.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTimeCol: String, rightTimeCol: String, valueCol: String): DataFrame = {
+    val probes = left.select(
+      keys.map(col) ++ Seq(col(leftTimeCol).cast("long").as("__t"),
+        lit(1).as("__probe"), lit(null).cast("double").as("__v")): _*)
+    val events = right.select(
+      keys.map(col) ++ Seq(col(rightTimeCol).cast("long").as("__t"),
+        lit(0).as("__probe"), col(valueCol).cast("double").as("__v")): _*)
+    // events sort before probes at equal time → the match is inclusive
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probes.unionByName(events)
+      .withColumn("asof_value", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__probe") === 1)
+      .select(keys.map(col) ++ Seq(col("__t").as(leftTimeCol), col("asof_value")): _*)
+  }
+
+  /** Interval (range) join: every (event, interval) pair with
+    * `startCol <= timeCol < endCol`. Implemented with coarse-bucket
+    * blocking: each interval explodes into the `bucketWidth`-wide
+    * buckets it covers, events hash-join on their single bucket, and
+    * the exact range predicate filters within the bucket — an equi-join
+    * shuffle instead of a broadcast-nested-loop product, so it scales
+    * to interval tables far beyond broadcast size. Each true pair
+    * matches in exactly one bucket (the event's), so no dedup pass is
+    * needed. Pick `bucketWidth` near the typical interval length:
+    * intervals explode into O(length/width) rows while unrelated events
+    * in the same bucket are filtered cheaply.
+    *
+    * Output: all event columns + all interval columns.
+    */
+  def overlapJoin(events: DataFrame, intervals: DataFrame, timeCol: String,
+                  startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
+    val w = bucketWidth
+    // x - x%w is a multiple of w, so the division is exact; cast back to
+    // long because `/` is floating-point and sequence() needs integers
+    def bucketOf(c: Column): Column =
+      ((c.cast("long") - (c.cast("long") % w)) / w).cast("long")
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol) - lit(1)))))
+    val ev = events.withColumn("__bucket", bucketOf(col(timeCol)))
+    ev.join(iv, Seq("__bucket"))
+      .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
+      .drop("__bucket")
+  }
+
+  /** Gap-based sessionization: rows with the same `keys` belong to one
+    * session while consecutive gaps stay <= `gapSeconds`. One window
+    * pass partitioned by key: a new-session flag per row, a running sum
+    * turning flags into session indexes. `orderCols` must make the
+    * per-key order total (add a unique id to break time ties).
+    *
+    * Output: input columns + `session_idx` (0-based per key).
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], timeCol: String,
+                 gapSeconds: Long, orderCols: Seq[String]): DataFrame = {
+    val order = (timeCol +: orderCols.filterNot(_ == timeCol)).map(col)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    // two projections over the SAME window spec: Catalyst plans one
+    // shuffle + one sort, the flag and its running sum evaluate in
+    // consecutive Window operators without re-shuffling
+    df.withColumn("__new",
+        when(col(timeCol) - lag(col(timeCol), 1).over(w) > gapSeconds, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("int"))
+      .drop("__new")
+  }
+}

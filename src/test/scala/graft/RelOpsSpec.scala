@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.RelOps
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of join, interval join and sessionization unit semantics:
+  * inclusive-boundary matching, half-open ranges, gap thresholds.
+  */
+class RelOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("asofJoin: backward inclusive match, null when nothing precedes") {
+    val right = Seq((1, 10L, 1.0), (1, 20L, 2.0), (2, 15L, 5.0))
+      .toDF("k", "ts", "value")
+    val left = Seq((1, 5L), (1, 10L), (1, 25L), (2, 14L), (3, 100L))
+      .toDF("k", "t")
+    val out = RelOps.asofJoin(left, right, Seq("k"), "t", "ts", "value")
+      .as[(Int, Long, Option[Double])].collect().toSet
+    assert(out == Set(
+      (1, 5L, None),          // before first event
+      (1, 10L, Some(1.0)),    // equal timestamp matches (inclusive)
+      (1, 25L, Some(2.0)),    // latest preceding
+      (2, 14L, None),         // other key's events invisible
+      (3, 100L, None)         // key with no events at all
+    ))
+  }
+
+  test("overlapJoin: half-open [start, end), exactly one match per true pair") {
+    val ev = Seq((100L, "a"), (199L, "b"), (200L, "c"), (350L, "d"))
+      .toDF("t", "tag")
+    val iv = Seq((1, 100L, 200L), (2, 150L, 400L)).toDF("id", "s", "e")
+    // bucketWidth smaller than the intervals → multi-bucket explode path
+    val out = RelOps.overlapJoin(ev, iv, "t", "s", "e", 60L)
+      .select("tag", "id").as[(String, Int)].collect().toList
+    assert(out.sorted == List(("a", 1), ("b", 1), ("b", 2), ("c", 2), ("d", 2)).sorted)
+    assert(out.size == out.distinct.size, "no duplicate pairs")
+  }
+
+  test("sessionize: gap strictly greater than threshold starts a new session") {
+    val df = Seq(
+      (1, 0L, 1), (1, 1800L, 2),  // gap == 1800 → same session
+      (1, 3601L, 3),              // gap 1801 > 1800 → new session
+      (2, 50L, 4)
+    ).toDF("user_id", "sec", "event_id")
+    val out = RelOps.sessionize(df, Seq("user_id"), "sec", 1800L, Seq("event_id"))
+      .select("user_id", "event_id", "session_idx").as[(Int, Int, Int)].collect().toSet
+    assert(out == Set((1, 1, 0), (1, 2, 0), (1, 3, 1), (2, 4, 0)))
+  }
+}
