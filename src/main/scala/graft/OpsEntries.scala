@@ -243,14 +243,19 @@ private[graft] object OpsEntries {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM s)
          |WHERE r <= 10""".stripMargin,
 
-    "q25_langid" ->
-      s"""WITH toks AS (SELECT doc_id, list_distinct($toksExpr) AS tk FROM documents),
-         |scored AS (SELECT doc_id, l.lang, len(list_filter(tk, t -> list_contains(l.ws, t))) AS hits
+    "q25_langid" -> {
+      val nonLatinList = TextOps.nonLatin.toSeq.sorted.map(l => s"'$l'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, text, list_distinct($toksExpr) AS tk FROM documents),
+         |scored AS (SELECT doc_id, l.lang,
+         |             CASE WHEN l.lang IN ($nonLatinList)
+         |               THEN len(list_filter(l.ws, w -> strpos(text, w) > 0))
+         |               ELSE len(list_filter(tk, t -> list_contains(l.ws, t))) END AS hits
          |           FROM toks CROSS JOIN (VALUES $langValues) AS l(lang, ws)),
          |best AS (SELECT doc_id, lang, hits,
          |           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS r FROM scored)
          |SELECT doc_id, CASE WHEN hits <= 0 THEN 'und' ELSE lang END AS lang_guess
-         |FROM best WHERE r = 1""".stripMargin,
+         |FROM best WHERE r = 1""".stripMargin
+    },
 
     "q26_quality" -> {
       val en = TextOps.langMarkers("en").map(w => s"'$w'").mkString("[", ",", "]")

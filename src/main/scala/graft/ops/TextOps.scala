@@ -32,19 +32,38 @@ object TextOps {
 
   /** Small per-language marker-word lists for the n-gram/stopword
     * language-ID heuristic. Deterministic, tiny, broadcast-free
-    * (inlined as literals into codegen).
+    * (inlined as literals into codegen). Latin-script languages match
+    * whole tokens; [[nonLatin]] languages match by substring containment
+    * because [[tokens]]' `[a-z0-9_']` runs drop CJK/Cyrillic characters
+    * entirely (token matching would make them undetectable).
     */
   val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"),
     "es" -> Seq("el", "la", "los", "y", "es", "una", "en", "que", "por", "con"),
+    "it" -> Seq("il", "la", "di", "che", "e", "per", "non", "con", "sono", "della"),
+    "pt" -> Seq("de", "que", "o", "em", "um", "para", "com", "uma", "os", "mais"),
+    "nl" -> Seq("de", "het", "een", "van", "en", "dat", "niet", "met", "zijn", "voor"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "он", "как", "это", "по", "его"),
+    "ja" -> Seq("の", "に", "は", "を", "た", "が", "で", "て", "と", "する"),
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这")
   )
 
-  /** Distinct marker-word hits for one language. */
-  def markerHits(toks: Column, lang: String): Column =
-    size(array_intersect(array_distinct(toks), array(langMarkers(lang).map(lit): _*)))
+  /** Languages whose scripts the token regex cannot segment — markers
+    * match by containment in the raw text instead.
+    */
+  val nonLatin: Set[String] = Set("ru", "ja", "zh")
+
+  /** Distinct marker hits for one language: token-set intersection for
+    * Latin scripts, per-marker substring containment otherwise.
+    */
+  def markerHits(text: Column, toks: Column, lang: String): Column =
+    if (nonLatin(lang))
+      langMarkers(lang).map(m => when(instr(text, m) > 0, 1).otherwise(0))
+        .reduce(_ + _)
+    else
+      size(array_intersect(array_distinct(toks), array(langMarkers(lang).map(lit): _*)))
 
   /** Language-ID: the language with the most distinct marker hits;
     * lexicographically-first language wins ties; zero hits → "und"
@@ -53,7 +72,7 @@ object TextOps {
   def langId(text: Column): Column = {
     val toks = tokens(text)
     val scored = langMarkers.keys.toSeq.sorted.map { l =>
-      struct(markerHits(toks, l).as("hits"), lit(l).as("lang"))
+      struct(markerHits(text, toks, l).as("hits"), lit(l).as("lang"))
     }
     // array_max on struct orders by (hits, lang); we want max hits but
     // lexicographically FIRST lang on ties → compare with negated rank.

@@ -91,6 +91,21 @@ class OpsSpec extends AnyFunSuite {
     assert(none == "und")
   }
 
+  test("langId detects non-Latin scripts via containment markers") {
+    // the token regex drops CJK/Cyrillic runs, so these only work
+    // through the containment path
+    val got = Seq(
+      (1L, "这是一个人在这里我他"),
+      (2L, "он сказал что это не на словах и в делах"),
+      (3L, "これは日本のテキストですしているとでて")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TextOps.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "zh")
+    assert(got(2L) == "ru")
+    assert(got(3L) == "ja")
+  }
+
   test("token counts") {
     val r = Seq(("a b  c", 1)).toDF("text", "x").select(
       TextOps.wsTokenCount($"text").as("ws"),
