@@ -88,6 +88,18 @@ private[graft] object RelEntries {
           round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.9)"), 4).as("p90"))),
 
+    // E1 — custom Aggregator (anyHeavy heavy-hitter, Boyer–Moore vote)
+    // under the driver's oracle: the synthesized value column has a
+    // strict (75%) majority per group, where the vote is guaranteed to
+    // return the majority element — deterministic and equal to mode().
+    "q46_anyheavy" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("v",
+          when(col("event_id") % 4 < 3, lit(-1.0)).otherwise((col("user_id") % 7).cast("double")))
+        .groupBy("event_type")
+        .agg(graft.functions.AnyHeavy.anyHeavy(col("v")).as("heavy_value"),
+          count(lit(1)).as("n"))),
+
     // Flagship /metricData path as a checked query: predicates → dedup →
     // rollup → gap fill → all-null padding, series stringified for
     // engine-portable comparison.
@@ -164,6 +176,13 @@ private[graft] object RelEntries {
         |       round(quantile_cont(value, 0.25), 4) AS p25,
         |       round(quantile_cont(value, 0.5), 4) AS p50,
         |       round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q46_anyheavy" ->
+      """SELECT event_type,
+        |       mode(CASE WHEN event_id % 4 < 3 THEN -1.0
+        |                 ELSE CAST(user_id % 7 AS DOUBLE) END) AS heavy_value,
+        |       count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q45_metricdata_series" -> {
