@@ -25,7 +25,8 @@ final class Graft(
 ) {
   private val resolver = new RetentionResolver(rules)
 
-  graft.functions.functions.registerAll(spark)
+  // glob_match SQL function + sargable-glob optimizer rule (P2 range reads)
+  graft.plans.GraftExtensions.enable(spark)
 
   /** Raw append-only tables. */
   def data: DataFrame = spark.read.parquet(dataPath)

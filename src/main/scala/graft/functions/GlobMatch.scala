@@ -20,7 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * ⇒ empty result, not an error) — the expression folds to constant
   * false.
   */
-case class GlobMatchExpression(child: Expression, globPattern: String)
+/** @param rangeDerived set by [[graft.plans.GlobRangePushdown]] once the
+  *   sargable prefix predicate has been derived for this node, so the
+  *   rule is idempotent across optimizer fixed-point iterations.
+  */
+case class GlobMatchExpression(child: Expression, globPattern: String,
+                               rangeDerived: Boolean = false)
     extends UnaryExpression with Predicate {
 
   @transient private lazy val compiled: Option[java.util.regex.Pattern] =

@@ -80,6 +80,16 @@ object Glob {
   def hasWildcards(s: String): Boolean =
     s.exists(c => c == '*' || c == '?' || c == '[' || c == ']' || c == '{' || c == '}')
 
+  /** Longest literal prefix of a glob pattern — the characters before
+    * the first wildcard. Any name matching the glob necessarily starts
+    * with it, which makes glob filters sargable: `name LIKE 'prefix%'`
+    * is pushed to the scan while the full glob filters the remainder
+    * (the reference exploits the same lexicographic-prefix property for
+    * MergeTree range reads, `AutoHideService.java:131`).
+    */
+  def literalPrefix(glob: String): String =
+    glob.takeWhile(c => !(c == '*' || c == '?' || c == '[' || c == '{'))
+
   /** Regex for ONE level name (no dots inside). None if the glob is invalid. */
   def levelToRegex(glob: String): Option[String] = {
     val sb = new StringBuilder
