@@ -88,6 +88,30 @@ private[graft] object RelEntries {
           round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.9)"), 4).as("p90"))),
 
+    // Set operations INTERSECT/EXCEPT (absent in the reference's SQL
+    // surface; standard engine capability): user-name sets of the first
+    // vs second half of the range.
+    "q47_setops" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(concat(col("event_type"), lit(".u"), col("user_id")).as("name"), col("sec"))
+      val mid = 1705363200L // 2024-01-16
+      val firstHalf = e.filter(col("sec") < mid).select("name").distinct()
+      val secondHalf = e.filter(col("sec") >= mid).select("name").distinct()
+      firstHalf.intersect(secondHalf).withColumn("tag", lit("both"))
+        .unionByName(firstHalf.except(secondHalf).withColumn("tag", lit("first_only")))
+    }),
+
+    // Sketch aggregates (HLL distinct + approximate percentile). No
+    // oracle SQL on purpose: sketches are engine-specific, the driver
+    // records the weaker rows-only check.
+    "q48_sketches" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
+          count(lit(1)).as("n"))),
+
     // E1 — custom Aggregator (anyHeavy heavy-hitter, Boyer–Moore vote)
     // under the driver's oracle: the synthesized value column has a
     // strict (75%) majority per group, where the vote is guaranteed to
@@ -177,6 +201,15 @@ private[graft] object RelEntries {
         |       round(quantile_cont(value, 0.5), 4) AS p50,
         |       round(quantile_cont(value, 0.9), 4) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q47_setops" ->
+      """WITH e AS (SELECT event_type || '.u' || CAST(user_id AS VARCHAR) AS name,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |f AS (SELECT DISTINCT name FROM e WHERE sec < 1705363200),
+        |s AS (SELECT DISTINCT name FROM e WHERE sec >= 1705363200)
+        |SELECT name, 'both' AS tag FROM (SELECT name FROM f INTERSECT SELECT name FROM s)
+        |UNION ALL
+        |SELECT name, 'first_only' AS tag FROM (SELECT name FROM f EXCEPT SELECT name FROM s)""".stripMargin,
 
     "q46_anyheavy" ->
       """SELECT event_type,
