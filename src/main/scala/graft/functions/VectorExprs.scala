@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native dot product over two numeric-array columns.
+  *
+  * The composable form — `aggregate(zip_with(a, b, _*_), 0.0, _+_)` —
+  * runs INTERPRETED: Spark's higher-order functions evaluate their
+  * lambda per element outside whole-stage codegen, which dominates the
+  * ANN hot paths (millions of candidate pairs × vector dims). This
+  * expression generates a tight primitive loop instead.
+  *
+  * Semantics are IDENTICAL to the HOF fold (oracle-parity matters):
+  * each element widens to double before the multiply, products
+  * accumulate left-to-right (same floating-point fold order), a null
+  * element or length mismatch yields null — exactly what
+  * `zip_with`'s null-padding + `+`'s null propagation produce.
+  */
+case class DotProductExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left.dataType).isDefined && elemType(right.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"dot_product needs array<float|double> inputs, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val aFloat = elemType(left.dataType).contains(FloatType)
+    val bFloat = elemType(right.dataType).contains(FloatType)
+    var sum = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      sum += x * y
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGet = if (elemType(left.dataType).contains(FloatType)) "getFloat" else "getDouble"
+    val bGet = if (elemType(right.dataType).contains(FloatType)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $sum += (double) $a.$aGet($i) * (double) $b.$bGet($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductExpression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_product"
+}
+
+object VectorExprs {
+  /** Codegen'd dot product of two array<float|double> columns. */
+  def dotProduct(a: Column, b: Column): Column =
+    Bridge.column(DotProductExpression(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -11,14 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Dot product of two float-array columns (codegen'd, no UDF).
+  /** Dot product of two float-array columns — a native codegen'd
+    * Catalyst expression ([[graft.functions.DotProductExpression]]):
+    * the `aggregate(zip_with(...))` HOF form evaluates its lambdas
+    * interpreted, per element, which dominated the ANN pair loops.
     * Elements are widened to double BEFORE the multiply and summed in
-    * array order — bit-identical to the DuckDB oracle's
-    * `list_sum(list_transform(list_zip(a,b), ...))` fold.
+    * array order — bit-identical to the HOF fold and to the DuckDB
+    * oracle's `list_sum(list_transform(list_zip(a,b), ...))`.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, v) => acc + v)
+    graft.functions.VectorExprs.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -79,9 +81,7 @@ object SimilarityOps {
     val signs = planeSigns(planes, dims)
     (0 until planes).map { p =>
       val signArr = array(signs(p).map(lit): _*)
-      val proj = aggregate(
-        zip_with(vec, signArr, (v, s) => v.cast("double") * s),
-        lit(0.0d), (acc, v) => acc + v)
+      val proj = dot(vec, signArr)
       when(proj >= 0, lit(1L << p)).otherwise(0L)
     }.reduce[Column](_ + _)
   }

@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.VectorExprs.dotProduct
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native dot-product expression: value parity with the interpreted
+  * HOF fold, null/length-mismatch semantics, mixed element types.
+  */
+class VectorExprsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def hofDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  test("matches the HOF fold bit-for-bit on float vectors") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(dotProduct($"a", $"b").as("native"), hofDot($"a", $"b").as("hof"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (n, h) => assert(n == h, "exact equality, same fold order") }
+  }
+
+  test("null array, null element and length mismatch yield null") {
+    val df = Seq(
+      (Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(3.0f), Some(4.0f)))), // 11.0
+      (None, Some(Seq(Some(1.0f)))),                                          // null array
+      (Some(Seq(Some(1.0f), None)), Some(Seq(Some(1.0f), Some(1.0f)))),       // null element
+      (Some(Seq(Some(1.0f))), Some(Seq(Some(1.0f), Some(2.0f))))              // length mismatch
+    ).toDF("a", "b")
+    val out = df.select(dotProduct($"a", $"b")).as[Option[Double]].collect().toSeq
+    assert(out == Seq(Some(11.0), None, None, None))
+  }
+
+  test("mixed float/double element types widen correctly") {
+    val df = Seq((Seq(0.5f, 2.0f), Seq(4.0d, 0.25d))).toDF("a", "b")
+    assert(df.select(dotProduct($"a", $"b")).as[Double].collect()(0) == 2.5)
+    assert(df.select(dotProduct($"b", $"a")).as[Double].collect()(0) == 2.5)
+  }
+}
