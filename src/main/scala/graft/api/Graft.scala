@@ -111,6 +111,13 @@ final class Graft(
   def compact(ageDays: Int, stepSeconds: Int): Seq[String] =
     new Compaction(resolver).run(spark, dataPath, ageDays, stepSeconds)
 
+  /** Retention-driven rollup-at-rest: each metric compacts to the step
+    * its retention ladder prescribes at the partition's age — the
+    * GraphiteMergeTree merge behavior.
+    */
+  def compactAuto(ageDays: Int): Seq[String] =
+    new Compaction(resolver).runAuto(spark, dataPath, ageDays)
+
   /** Autohide sweep: junk metrics (few points, stale) → AUTO_HIDDEN rows. */
   def autoHide(maxValues: Long, missingSeconds: Long,
                nowSeconds: Long = System.currentTimeMillis() / 1000): DataFrame = {

@@ -25,22 +25,42 @@ final class Compaction(resolver: RetentionResolver) extends Serializable {
     * per (metric, bucket), with `updated` collapsed to its max so
     * later-arriving duplicates still lose at read time.
     */
-  def compactPartition(part: DataFrame, step: Int): DataFrame = {
-    val spark = part.sparkSession
+  def compactPartition(part: DataFrame, step: Int): DataFrame =
+    compactResolved(part.withColumn("step", lit(step)))
+
+  /** Retention-driven variant: each metric rolls up to the step its OWN
+    * retention ladder prescribes at `ageSeconds` (`MetricRetention
+    * .stepFor`, reference `retention/MetricRetention.java:41-47`) — the
+    * GraphiteMergeTree behavior, where one partition can hold metrics
+    * compacting at different precisions.
+    */
+  def compactPartitionAuto(part: DataFrame, ageSeconds: Int): DataFrame = {
+    val res = resolver
+    val stepFor = udf((m: String) => res.resolve(m).stepFor(ageSeconds))
+    compactResolved(part.withColumn("step", stepFor(col("metric"))))
+  }
+
+  /** Shared core: input carries a per-row `step`; the per-row bucket is
+    * `ts - ts % step`, function resolution and the per-function grouped
+    * passes are unchanged.
+    */
+  private def compactResolved(withStep: DataFrame): DataFrame = {
+    val spark = withStep.sparkSession
     import spark.implicits._
     // resolve each metric's rollup function via the broadcast rule table
     val res = resolver
     val fnFor = udf((m: String) => res.resolve(m).function)
-    val withFn = part.withColumn("fn", fnFor(col("metric")))
+    val withFn = withStep.withColumn("fn", fnFor(col("metric")))
     val deduped = withFn
-      .groupBy(col("metric"), col("fn"), col("timestamp"))
+      .groupBy(col("metric"), col("fn"), col("step"), col("timestamp"))
       .agg(max_by(col("value"), col("updated")).as("value"), max(col("updated")).as("updated"))
     // one grouped pass per distinct function present (reference runs one
     // query per function group, MetricDataService.java:49-51)
     val fns = deduped.select("fn").distinct().as[String].collect().toSeq
     fns.map { fn =>
       val g = deduped.filter(col("fn") === fn)
-        .groupBy(col("metric"), MetricQuery.bucket(col("timestamp"), step).as("timestamp"))
+        .groupBy(col("metric"),
+          (col("timestamp") - (col("timestamp") % col("step"))).cast("int").as("timestamp"))
         .agg(
           MetricQuery.aggFor(fn, col("value"), col("updated")).as("value"),
           max(col("updated")).as("updated")
@@ -62,7 +82,22 @@ final class Compaction(resolver: RetentionResolver) extends Serializable {
     * just the local filesystem.
     */
   def run(spark: SparkSession, root: String, ageDays: Int, step: Int,
-          nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
+          nowMillis: Long = System.currentTimeMillis()): Seq[String] =
+    rewriteAged(spark, root, ageDays, nowMillis)((part, _) => compactPartition(part, step))
+
+  /** Retention-driven rewrite: every partition older than `ageDays`
+    * compacts each metric to its retention-prescribed step at that
+    * partition's age (P4 proper: precision ladders apply per metric).
+    */
+  def runAuto(spark: SparkSession, root: String, ageDays: Int,
+              nowMillis: Long = System.currentTimeMillis()): Seq[String] =
+    rewriteAged(spark, root, ageDays, nowMillis) { (part, date) =>
+      val age = (nowMillis / 1000L - date.toEpochDay * 86400L).toInt
+      compactPartitionAuto(part, age)
+    }
+
+  private def rewriteAged(spark: SparkSession, root: String, ageDays: Int, nowMillis: Long)(
+      compact: (DataFrame, java.time.LocalDate) => DataFrame): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val cutoff = java.time.LocalDate.ofEpochDay(nowMillis / 86400000L - ageDays)
     val rootPath = new Path(root)
@@ -78,7 +113,7 @@ final class Compaction(resolver: RetentionResolver) extends Serializable {
       val src = new Path(rootPath, s"date=$d")
       val stage = new Path(rootPath, s".compact_tmp_date=$d")
       val aside = new Path(rootPath, s".compact_old_date=$d")
-      val compacted = compactPartition(spark.read.parquet(src.toString), step)
+      val compacted = compact(spark.read.parquet(src.toString), java.time.LocalDate.parse(d))
         .sortWithinPartitions("metric", "timestamp")
       compacted.write.mode(SaveMode.Overwrite).parquet(stage.toString)
       // swap: originals go aside first, staged dir renames into place,

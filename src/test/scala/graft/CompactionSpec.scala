@@ -54,6 +54,38 @@ class CompactionSpec extends AnyFunSuite {
     assert(old == Set(("m.x", 60, 3.5)))
   }
 
+  test("compactPartitionAuto applies each metric's own retention step at the partition age") {
+    val comp = new Compaction(Retention.defaultResolver)
+    // age 10 days: one_min ladder (7d -> 300s) gives step 300;
+    // one_hour ladder stays at 3600 until 1 year
+    val part = Seq(
+      ("one_min.a.b", 10.0, 100, 1), ("one_min.a.b", 30.0, 350, 2),   // buckets 0 and 300
+      ("one_hour.c.d", 5.0, 100, 1), ("one_hour.c.d", 7.0, 350, 2)    // one 3600 bucket
+    ).toDF("metric", "value", "timestamp", "updated")
+    val out = comp.compactPartitionAuto(part, ageSeconds = 10 * 86400)
+      .select("metric", "timestamp", "value").as[(String, Int, Double)].collect().toSet
+    assert(out == Set(
+      ("one_min.a.b", 0, 10.0), ("one_min.a.b", 300, 30.0),
+      ("one_hour.c.d", 0, 6.0)))
+  }
+
+  test("runAuto rewrites aged partitions with retention-driven steps") {
+    val root = java.nio.file.Files.createTempDirectory("graft_compauto").toString
+    val dataRoot = s"$root/data"
+    Seq(
+      ("one_min.x.y", 2.0, 100, java.sql.Date.valueOf("2024-01-01"), 1),
+      ("one_min.x.y", 4.0, 350, java.sql.Date.valueOf("2024-01-01"), 2)
+    ).toDF("metric", "value", "timestamp", "date", "updated")
+      .write.partitionBy("date").parquet(dataRoot)
+    val comp = new Compaction(Retention.defaultResolver)
+    // 2024-02-01: partition is 31 days old -> one_min step 300
+    val now = java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime
+    assert(comp.runAuto(spark, dataRoot, ageDays = 7, nowMillis = now) == Seq("2024-01-01"))
+    val got = spark.read.parquet(dataRoot)
+      .select("metric", "timestamp", "value").as[(String, Int, Double)].collect().toSet
+    assert(got == Set(("one_min.x.y", 0, 2.0), ("one_min.x.y", 300, 4.0)))
+  }
+
   test("compactPartition of an empty partition yields an empty frame, not an error") {
     val comp = new Compaction(Retention.defaultResolver)
     val empty = Seq.empty[(String, Double, Int, Int)]
