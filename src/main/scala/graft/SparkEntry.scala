@@ -1,6 +1,6 @@
 package graft
 
-import graft.names.{Glob, MetricValidator}
+import graft.names.MetricValidator
 import graft.query.{MetricQuery, QueryParams}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -133,13 +133,15 @@ object SparkEntry {
         .limit(10)
     }),
 
-    // X1/F3 — glob search over synthesized dot-names.
+    // X1/F3 — glob search over synthesized dot-names, through the native
+    // GlobMatchExpression + the GlobRangePushdown optimizer rule (the
+    // production search path, oracle-checked here).
     "q08_glob_search" -> ((s, dir) => {
+      graft.plans.GraftExtensions.enable(s)
       val names = events(s, dir).select(
         concat(col("event_type"), lit(".host"), col("user_id") % 10, lit(".requests")).as("name")
       ).distinct()
-      val re = Glob.queryToRegex("{click,view}.host[0-3].request?").get
-      names.filter(col("name").rlike(re))
+      names.filter(graft.functions.functions.glob_match(col("name"), "{click,view}.host[0-3].request?"))
     }),
 
     // F6/S2 — ingest name validation parity (valid/invalid corpus).
