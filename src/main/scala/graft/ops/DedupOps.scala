@@ -132,6 +132,12 @@ object DedupOps {
       .select(col("id"), col("sig"), explode(bandKeys(col("sig"), bands, rows)).as("band"))
     val a = banded.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // join strategy stays AQE's choice: a broadcast build side does
+    // re-execute the sig pipeline, but forcing shuffle_hash measured
+    // slower overall (downstream q37 2.8s -> 4.1s at sf0.1) — and at
+    // scale the banded side exceeds broadcast thresholds, where AQE
+    // picks a shuffle join whose identical per-side subplans dedupe via
+    // ReuseExchange anyway
     a.join(b, Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
