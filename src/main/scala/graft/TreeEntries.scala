@@ -175,6 +175,26 @@ private[graft] object TreeEntries {
         .groupBy("k")
         .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))),
 
+    // S7 — tree incremental scan: rows whose `updated` version falls in
+    // the refresh window (with overlap, reference MetricSearch.java:356-391),
+    // deduped to latest status.
+    "q49_incremental_scan" -> ((s, dir) =>
+      tree(s, dir)
+        .filter(col("updated") >= 2000 && col("updated") < 4000)
+        .groupBy("name")
+        .agg(max_by(col("status"), col("updated")).as("last_status"),
+          max(col("updated")).as("max_updated"))),
+
+    // S3 — host-metric redirect as a pure column expression: second
+    // level ending with "_srv" gains a HOST dir level.
+    "q50_host_redirect" -> ((s, dir) =>
+      events(s, dir)
+        .select(concat(col("event_type"), lit(".h"), col("user_id"),
+          when(col("user_id") % 3 === 0, "_srv").otherwise(""), lit(".requests")).as("name"))
+        .distinct()
+        .select(col("name"),
+          graft.names.MetricNameCols.hostRedirect(col("name"), Seq("_srv"), "HOST").as("stored_name"))),
+
     // Multimodal frame sampling: per-video frame work units.
     "q32_frame_sample" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet").select(
@@ -235,6 +255,24 @@ private[graft] object TreeEntries {
       """SELECT name FROM (
         |  SELECT DISTINCT event_type || '.u' || CAST(user_id AS VARCHAR) AS name FROM events)
         |ORDER BY name LIMIT 50 OFFSET 50""".stripMargin,
+
+    "q49_incremental_scan" ->
+      s"""WITH $treeCte
+         |SELECT name, arg_max(status, updated) AS last_status, max(updated) AS max_updated
+         |FROM tree WHERE updated >= 2000 AND updated < 4000 GROUP BY name""".stripMargin,
+
+    "q50_host_redirect" ->
+      """WITH names AS (
+        |  SELECT DISTINCT event_type || '.h' || CAST(user_id AS VARCHAR)
+        |    || CASE WHEN user_id % 3 = 0 THEN '_srv' ELSE '' END || '.requests' AS name
+        |  FROM events)
+        |SELECT name,
+        |  CASE WHEN strpos(name, '.') > 0
+        |        AND strpos(substr(name, strpos(name, '.') + 1), '.') > 0
+        |        AND ends_with(string_split(name, '.')[2], '_srv')
+        |       THEN substr(name, 1, strpos(name, '.')) || 'HOST' || substr(name, strpos(name, '.'))
+        |       ELSE name END AS stored_name
+        |FROM names""".stripMargin,
 
     "q36_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k,

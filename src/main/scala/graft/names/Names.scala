@@ -176,3 +176,31 @@ object Glob {
   private def escapeLiteral(c: Char): String =
     if ("\\^$.|+()".indexOf(c.toInt) >= 0) "\\" + c else c.toString
 }
+
+/** Column-expression forms of the name operations — S3's host-metric
+  * redirect as a pure `when/otherwise` expression (reference
+  * `server/BaseMetricFactory.java:80-91`), usable inside codegen'd
+  * relational pipelines where the row-wise [[graft.ingest.LineParser]]
+  * boundary isn't in play.
+  */
+object MetricNameCols {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** `a.hostPOSTFIX.rest` → `a.DIRNAME.hostPOSTFIX.rest` when the
+    * second level ends with any of `postfixes`; other names unchanged.
+    */
+  def hostRedirect(name: Column, postfixes: Seq[String], dirName: String): Column = {
+    if (postfixes.isEmpty) return name
+    val firstDot = instr(name, ".")
+    val rest = name.substr(firstDot + 1, length(name))
+    val second = substring_index(rest, ".", 1)
+    val hasSecondDot = instr(rest, ".") > 0
+    val matches = postfixes.map(p => second.endsWith(p)).reduce(_ || _)
+    // reference splice: name[0..firstDot] + dirName + name[firstDot..]
+    // (the second copy of the dot comes from the tail starting AT it)
+    when(firstDot > 0 && hasSecondDot && matches,
+      concat(name.substr(lit(1), firstDot), lit(dirName), name.substr(firstDot, length(name))))
+      .otherwise(name)
+  }
+}
