@@ -3,6 +3,7 @@ package graft
 import graft.ops.{DedupOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Rounding.round // binary rounding, DuckDB-consistent (shadows functions.round)
 
 /** LLM-training-data pipeline queries (dedup / similarity / text
   * analysis) over the `documents` and `embeddings` tables, with their

@@ -4,6 +4,7 @@ import graft.ops.RelOps
 import graft.query.{MetricQuery, QueryParams}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Rounding.round // binary rounding, DuckDB-consistent (shadows functions.round)
 
 /** Relational-extension queries: as-of join, interval join,
   * sessionization, pivot, cube/grouping sets, exact percentiles, and

@@ -4,6 +4,7 @@ import graft.names.MetricValidator
 import graft.query.{MetricQuery, QueryParams}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Rounding.round // binary rounding, DuckDB-consistent (shadows functions.round)
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *

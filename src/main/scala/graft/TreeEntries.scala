@@ -5,6 +5,7 @@ import graft.search.MetricSearchOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Rounding.round // binary rounding, DuckDB-consistent (shadows functions.round)
 
 /** Metric-tree scan shapes (SURVEY §2.1 S6/S8/S10), set ops (§2.7),
   * pagination (§2.6 O3), collect-to-array (§2.4 A5), window analytics

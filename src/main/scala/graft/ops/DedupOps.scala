@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Rounding.round // binary rounding, DuckDB-consistent (shadows functions.round)
 
 /** Deduplication operators for training-data pipelines, in increasing
   * fuzziness: exact (hash groupBy), MinHash+LSH banding, SimHash,

@@ -1,0 +1,24 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{abs, floor, signum}
+
+/** Binary-consistent decimal rounding: half away from zero computed on
+  * the binary double — `sign(x) * floor(|x| * 10^d + 0.5) / 10^d`.
+  *
+  * Spark's `functions.round` goes through `BigDecimal.valueOf(double)`,
+  * i.e. the SHORTEST DECIMAL STRING of the double, so a value whose
+  * decimal expansion sits exactly on a rounding boundary (common when
+  * inputs are finite-decimal: 51.51125 stored as 51.511249999…) rounds
+  * UP while engines that round the binary value (DuckDB, and this
+  * helper) round DOWN. Query entries import this as `round` so every
+  * rounded column is bit-identical to the DuckDB oracle at any scale
+  * factor, not just where no group lands on a boundary.
+  */
+object Rounding {
+  def round(c: Column, digits: Int): Column = {
+    val s = math.pow(10, digits)
+    signum(c) * floor(abs(c) * s + 0.5) / s
+  }
+  def round(c: Column): Column = round(c, 0)
+}

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.ops.Rounding.round // binary rounding, DuckDB-consistent (shadows functions.round)
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, language-ID heuristic, quality scoring, token counting
