@@ -196,6 +196,26 @@ private[graft] object TreeEntries {
         .select(col("name"),
           graft.names.MetricNameCols.hostRedirect(col("name"), Seq("_srv"), "HOST").as("stored_name"))),
 
+    // Graphite-style series transforms (the function layer graphite-web
+    // applies over /metricData output): derivative, nonNegativeDerivative,
+    // perSecond rate and a 4-point moving average — per-series windows
+    // over the hourly rollup. Intermediates stay unrounded so both
+    // engines fold identical raw doubles; only outputs round.
+    "q51_series_transforms" -> ((s, dir) => {
+      val rolled = events(s, dir)
+        .groupBy(col("event_type"),
+          (col("sec") - (col("sec") % 3600)).cast("long").as("bucket_ts"))
+        .agg(avg(col("value")).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("bucket_ts")
+      val delta = col("v") - lag(col("v"), 1).over(w)
+      rolled.select(
+        col("event_type"), col("bucket_ts"), round(col("v"), 4).as("v"),
+        round(delta, 4).as("derivative"),
+        round(when(delta >= 0, delta), 4).as("nn_derivative"),
+        round(delta / 3600.0, 6).as("per_second"),
+        round(avg(col("v")).over(w.rowsBetween(-3, 0)), 4).as("moving_avg4"))
+    }),
+
     // Multimodal frame sampling: per-video frame work units.
     "q32_frame_sample" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet").select(
@@ -274,6 +294,18 @@ private[graft] object TreeEntries {
         |       THEN substr(name, 1, strpos(name, '.')) || 'HOST' || substr(name, strpos(name, '.'))
         |       ELSE name END AS stored_name
         |FROM names""".stripMargin,
+
+    "q51_series_transforms" ->
+      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |r AS (SELECT event_type, sec - (sec % 3600) AS bucket_ts, avg(value) AS v
+        |      FROM e GROUP BY 1, 2)
+        |SELECT event_type, bucket_ts, round(v, 4) AS v,
+        |  round(v - lag(v) OVER w, 4) AS derivative,
+        |  round(CASE WHEN v - lag(v) OVER w >= 0 THEN v - lag(v) OVER w END, 4) AS nn_derivative,
+        |  round((v - lag(v) OVER w) / 3600.0, 6) AS per_second,
+        |  round(avg(v) OVER (PARTITION BY event_type ORDER BY bucket_ts
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg4
+        |FROM r WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)""".stripMargin,
 
     "q36_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k,
