@@ -133,12 +133,14 @@ class GraphiteMicroBatchStream(port: Int, name: String, capacity: Int = 1000000)
     buffer.synchronized { CountOffset(dropped + buffer.size) }
 
   /** Only called when Spark recovers offsets from the checkpoint log
-    * (restart). A fresh stream starts with dropped=0 and an empty buffer,
-    * so a checkpointed offset beyond the live window means the pre-crash
-    * in-memory lines are gone: realign `dropped` to the checkpoint so the
-    * replayed batch serves empty (logged data loss) instead of
-    * crash-looping on out-of-range buffer reads, and so lines received
-    * after the restart map to offsets past the checkpoint.
+    * (restart). A fresh stream starts with dropped=0, so a checkpointed
+    * offset beyond the live window means the pre-crash in-memory lines
+    * are gone: realign so the replayed batch serves empty (logged data
+    * loss) instead of crash-looping on out-of-range buffer reads.
+    * Everything in the buffer NOW arrived post-restart, so the buffer
+    * HEAD maps to the checkpoint offset (`dropped = n`) — mapping those
+    * lines below it would place fresh data inside the already-committed
+    * range, where the next commit() silently trims it.
     */
   override def deserializeOffset(json: String): Offset = {
     val n = json.toLong
@@ -147,7 +149,7 @@ class GraphiteMicroBatchStream(port: Int, name: String, capacity: Int = 1000000)
         System.err.println(
           s"GraphiteSource[$name]: checkpoint offset $n exceeds live buffer " +
           s"(${dropped + buffer.size}); realigning — pre-restart in-flight lines were lost")
-        dropped = n - buffer.size
+        dropped = n
       }
     }
     CountOffset(n)

@@ -75,6 +75,53 @@ class GraphiteSourceSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
+  test("TCP ingest pipeline resumes from checkpoint across a restart") {
+    import graft.streaming.IngestPipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft_tcp_restart").toString
+    val pipe = new IngestPipeline(dataPath = s"$dir/data", treePath = s"$dir/tree")
+    def start(name: String) = {
+      val lines = spark.readStream
+        .format("graft.streaming.GraphiteSourceProvider")
+        .option("port", "0").option("name", name).load()
+      pipe.startStamped(lines, s"$dir/ckpt")
+    }
+    def push(name: String, ls: String*): Unit = {
+      var port = 0
+      val deadline = System.currentTimeMillis() + 10000
+      while (port == 0 && System.currentTimeMillis() < deadline) {
+        GraphiteServerRegistry.boundPort(name).foreach(p => port = p)
+        Thread.sleep(50)
+      }
+      assert(port > 0, s"$name did not bind")
+      val sock = new java.net.Socket("127.0.0.1", port)
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      ls.foreach(out.println); out.flush(); sock.close()
+    }
+    def dataCount(): Long =
+      try spark.read.parquet(s"$dir/data").count() catch { case _: Exception => 0L }
+    def awaitCount(q: org.apache.spark.sql.streaming.StreamingQuery, n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 20000
+      while (dataCount() < n && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+      assert(dataCount() == n, s"expected $n rows, got ${dataCount()}")
+    }
+
+    val n1 = s"restart-a-${System.nanoTime()}"
+    val q1 = start(n1)
+    try { push(n1, "one_min.a.b 1.0 1542199560", "one_min.a.c 2.0 1542199570"); awaitCount(q1, 2) }
+    finally q1.stop()
+    // second incarnation: fresh source instance, same checkpoint — must
+    // resume (possibly replaying an empty batch) instead of crash-looping
+    val n2 = s"restart-b-${System.nanoTime()}"
+    val q2 = start(n2)
+    try {
+      push(n2, "one_min.a.d 3.0 1542199580")
+      awaitCount(q2, 3)
+      assert(q2.exception.isEmpty, s"restarted query failed: ${q2.exception}")
+    } finally q2.stop()
+  }
+
   test("buffer capacity bounds memory; overflow lines counted as drops") {
     import graft.streaming.{CountOffset, GraphiteMicroBatchStream}
     val name = s"cap-${System.nanoTime()}"
