@@ -125,6 +125,17 @@ private[graft] object RelEntries {
         .agg(graft.functions.AnyHeavy.anyHeavy(col("v")).as("heavy_value"),
           count(lit(1)).as("n"))),
 
+    // A3 'last' dispatch through MetricQuery.rollup itself: value at max
+    // version per bucket (deterministic, unlike 'any'/'first').
+    "q52_rollup_last" -> ((s, dir) => {
+      val pts = events(s, dir).select(
+        concat(col("event_type"), lit(".u"), col("user_id")).as("metric"),
+        col("value"), col("sec").cast("int").as("timestamp"),
+        col("event_id").cast("int").as("updated"))
+      MetricQuery.rollup(pts, "last", 86400)
+        .withColumn("value", round(col("value"), 4))
+    }),
+
     // Flagship /metricData path as a checked query: predicates → dedup →
     // rollup → gap fill → all-null padding, series stringified for
     // engine-portable comparison.
@@ -211,6 +222,16 @@ private[graft] object RelEntries {
         |SELECT name, 'both' AS tag FROM (SELECT name FROM f INTERSECT SELECT name FROM s)
         |UNION ALL
         |SELECT name, 'first_only' AS tag FROM (SELECT name FROM f EXCEPT SELECT name FROM s)""".stripMargin,
+
+    "q52_rollup_last" ->
+      """WITH pts AS (
+        |  SELECT event_type || '.u' || CAST(user_id AS VARCHAR) AS metric,
+        |         value, CAST(CAST(floor(epoch(ts)) AS BIGINT) AS INTEGER) AS timestamp,
+        |         CAST(event_id AS INTEGER) AS updated
+        |  FROM events)
+        |SELECT metric, CAST(timestamp - (timestamp % 86400) AS INTEGER) AS ts,
+        |       round(arg_max(value, updated), 4) AS value
+        |FROM pts GROUP BY 1, 2""".stripMargin,
 
     "q46_anyheavy" ->
       """SELECT event_type,
