@@ -13,15 +13,9 @@ import graft.ops.Rounding.round // binary rounding, DuckDB-consistent (shadows f
   */
 private[graft] object RelEntries {
 
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/events.parquet")
-    val sec = df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
-      case _                                   => unix_timestamp(col("ts"))
-    }
-    df.withColumn("sec", sec)
-  }
+  // shared nanos-timestamp handling — see SparkEntry.events
+  private def events(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.events(s, dir)
 
   // probe times inside the events range (Jan 2024)
   private val ProbeTimes = Seq(1704500000L, 1705500000L, 1706500000L)

@@ -23,7 +23,7 @@ object SparkEntry {
     * (`spark.sql.legacy.parquet.nanosAsLong`); `div` keeps the
     * nanos→seconds conversion in exact integer arithmetic.
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = t(s, dir, "events")
     val sec = df.schema("ts").dataType match {

@@ -18,15 +18,10 @@ import graft.ops.Rounding.round // binary rounding, DuckDB-consistent (shadows f
   */
 private[graft] object TreeEntries {
 
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/events.parquet")
-    val sec = df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
-      case _                                   => unix_timestamp(col("ts"))
-    }
-    df.withColumn("sec", sec)
-  }
+  // one shared implementation of the nanos-timestamp handling (a known
+  // trap — NOTES_r1): all entries files read events through SparkEntry
+  private def events(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.events(s, dir)
 
   /** Append-only tree rows with time-varying statuses (SURVEY §1.1). */
   private def tree(s: SparkSession, dir: String): DataFrame =

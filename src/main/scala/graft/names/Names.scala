@@ -88,7 +88,9 @@ object Glob {
     * MergeTree range reads, `AutoHideService.java:131`).
     */
   def literalPrefix(glob: String): String =
-    glob.takeWhile(c => !(c == '*' || c == '?' || c == '[' || c == '{'))
+    // '\' starts an escape (the NEXT char is literal, the backslash is
+    // not): stop there too — a shorter prefix is still a sound bound
+    glob.takeWhile(c => !(c == '*' || c == '?' || c == '[' || c == '{' || c == '\\'))
 
   /** Regex for ONE level name (no dots inside). None if the glob is invalid. */
   def levelToRegex(glob: String): Option[String] = {

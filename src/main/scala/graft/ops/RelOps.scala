@@ -31,18 +31,26 @@ object RelOps {
                leftTimeCol: String, rightTimeCol: String, valueCol: String): DataFrame = {
     val probes = left.select(
       keys.map(col) ++ Seq(col(leftTimeCol).cast("long").as("__t"),
-        lit(1).as("__probe"), lit(null).cast("double").as("__v")): _*)
+        lit(1).as("__probe"),
+        lit(null).cast("struct<t:bigint,v:double>").as("__evt")): _*)
     val events = right.select(
       keys.map(col) ++ Seq(col(rightTimeCol).cast("long").as("__t"),
-        lit(0).as("__probe"), col(valueCol).cast("double").as("__v")): _*)
+        lit(0).as("__probe"),
+        // carry the whole event row (never null as a struct), not the
+        // bare value: an event whose VALUE is null must still win the
+        // as-of match and yield null — ASOF LEFT JOIN semantics —
+        // rather than be skipped in favor of an older non-null value
+        struct(col(rightTimeCol).cast("long").as("t"),
+          col(valueCol).cast("double").as("v")).as("__evt")): _*)
     // events sort before probes at equal time → the match is inclusive
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__probe"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     probes.unionByName(events)
-      .withColumn("asof_value", last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("__last", last(col("__evt"), ignoreNulls = true).over(w))
       .filter(col("__probe") === 1)
-      .select(keys.map(col) ++ Seq(col("__t").as(leftTimeCol), col("asof_value")): _*)
+      .select(keys.map(col) ++ Seq(col("__t").as(leftTimeCol),
+        col("__last").getField("v").as("asof_value")): _*)
   }
 
   /** Interval (range) join: every (event, interval) pair with
@@ -66,8 +74,14 @@ object RelOps {
     // long because `/` is floating-point and sequence() needs integers
     def bucketOf(c: Column): Column =
       ((c.cast("long") - (c.cast("long") % w)) / w).cast("long")
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol) - lit(1)))))
+    // empty/inverted intervals ([s,e) with e <= s) match nothing — drop
+    // them BEFORE exploding: sequence(start, stop) defaults to step -1
+    // when start > stop, so one corrupt row would otherwise explode into
+    // millions of descending buckets
+    val iv = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bucket",
+        explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol) - lit(1)))))
     val ev = events.withColumn("__bucket", bucketOf(col(timeCol)))
     ev.join(iv, Seq("__bucket"))
       .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))

@@ -44,8 +44,23 @@ class GlobRangePushdown extends Rule[LogicalPlan] {
   * use [[GraftExtensions.enable]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => new GlobRangePushdown)
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("glob_match"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GlobMatchExpression].getName, "glob_match"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "glob_match(col, 'pattern')")
+        val pattern = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+                s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"glob_match pattern must be a string literal, got $other")
+        }
+        GlobMatchExpression(exprs.head, pattern)
+      }))
+  }
 }
 
 object GraftExtensions {

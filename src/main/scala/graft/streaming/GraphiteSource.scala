@@ -132,23 +132,28 @@ class GraphiteMicroBatchStream(port: Int, name: String, capacity: Int = 1000000)
   override def latestOffset(): Offset =
     buffer.synchronized { CountOffset(dropped + buffer.size) }
 
-  /** Only called when Spark recovers offsets from the checkpoint log
-    * (restart). A fresh stream starts with dropped=0, so a checkpointed
-    * offset beyond the live window means the pre-crash in-memory lines
-    * are gone: realign so the replayed batch serves empty (logged data
-    * loss) instead of crash-looping on out-of-range buffer reads.
-    * Everything in the buffer NOW arrived post-restart, so the buffer
-    * HEAD maps to the checkpoint offset (`dropped = n`) — mapping those
-    * lines below it would place fresh data inside the already-committed
-    * range, where the next commit() silently trims it.
+  // true once the first batch has been planned/committed: offsets
+  // deserialized AFTER that are not restart recovery and must not realign
+  @volatile private var firstBatchSeen = false
+
+  /** Called when Spark recovers offsets from the checkpoint log — always
+    * BEFORE the first planInputPartitions of this instance. A fresh
+    * stream starts with dropped=0 and whatever the (already-listening)
+    * server buffered since construction: every buffered line arrived
+    * post-restart, so the buffer HEAD maps to the HIGHEST recovered
+    * offset (`dropped = n`). Pre-crash lines are gone (logged); mapping
+    * fresh lines below the checkpoint would place them inside the
+    * committed range, where commit() silently trims them — regardless of
+    * whether the buffer has refilled past the checkpoint count.
     */
   override def deserializeOffset(json: String): Offset = {
     val n = json.toLong
     buffer.synchronized {
-      if (n > dropped + buffer.size) {
+      if (!firstBatchSeen && n > dropped) {
         System.err.println(
-          s"GraphiteSource[$name]: checkpoint offset $n exceeds live buffer " +
-          s"(${dropped + buffer.size}); realigning — pre-restart in-flight lines were lost")
+          s"GraphiteSource[$name]: recovered checkpoint offset $n on a fresh stream " +
+          s"(head was $dropped); pre-restart in-flight lines are lost, buffered " +
+          s"lines (${buffer.size}) map past the checkpoint")
         dropped = n
       }
     }
@@ -156,6 +161,7 @@ class GraphiteMicroBatchStream(port: Int, name: String, capacity: Int = 1000000)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    firstBatchSeen = true
     val s = start.asInstanceOf[CountOffset].n
     val e = end.asInstanceOf[CountOffset].n
     val rows = buffer.synchronized {

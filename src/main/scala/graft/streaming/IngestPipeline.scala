@@ -98,8 +98,17 @@ final class IngestPipeline(
         treeP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(treeP)
       val newNodes =
         if (treeExists) {
-          val existing = spark.read.parquet(treePath).select("name").distinct()
-          nodes.join(existing, Seq("name"), "left_anti")
+          try {
+            val existing = spark.read.parquet(treePath).select("name").distinct()
+            nodes.join(existing, Seq("name"), "left_anti")
+          } catch {
+            // dir exists but holds no committed parquet (crash mid-first-
+            // write left only _temporary/_SUCCESS): a PERMANENT state the
+            // retry loop can never clear — treat as first batch. Other
+            // read errors still fail the batch (retry stays visible).
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getMessage.contains("Unable to infer schema") => nodes
+          }
         } else nodes // first batch: no tree yet
       newNodes.write.mode("append").parquet(treePath)
     } finally df.unpersist()

@@ -56,4 +56,27 @@ class GlobPushdownSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan)
     assert(!noPrefix.toString.contains("StartsWith"))
   }
+
+  test("literal prefix stops at escapes so escaped wildcards keep matching") {
+    import graft.names.Glob
+    // '\*' matches a literal '*': the derived prefix must not include
+    // the backslash (no real name starts with one)
+    assert(Glob.literalPrefix("m\\*x") == "m")
+    assert(Glob.literalPrefix("one_min.app.host*") == "one_min.app.host")
+    assert(Glob.literalPrefix("*.x") == "")
+  }
+
+  test("spark.sql.extensions injection registers glob_match for SQL too") {
+    // simulate the extensions path on a builder-less session: apply the
+    // injected function through the same builder the extension registers
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    // the rule and the function were both injected (no public getters:
+    // verify via a real session using enable(), which shares the builder)
+    graft.plans.GraftExtensions.enable(spark)
+    val n = spark.sql(
+      s"SELECT count(*) AS n FROM parquet.`$dir` WHERE glob_match(name, 'one_min.app.host1?.m*')")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+  }
 }

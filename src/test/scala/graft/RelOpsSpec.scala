@@ -26,6 +26,25 @@ class RelOpsSpec extends AnyFunSuite {
     ))
   }
 
+  test("asofJoin: a latest event with NULL value wins the match and yields null") {
+    val right = Seq((1, 10L, Some(5.0)), (1, 20L, None)).toDF("k", "ts", "value")
+    val left = Seq((1, 25L)).toDF("k", "t")
+    val out = RelOps.asofJoin(left, right, Seq("k"), "t", "ts", "value")
+      .as[(Int, Long, Option[Double])].collect().toSet
+    // ASOF LEFT JOIN semantics: the t=20 row matches; its null value is
+    // the answer — NOT the older non-null 5.0 carried past it
+    assert(out == Set((1, 25L, None)))
+  }
+
+  test("overlapJoin: inverted/empty intervals match nothing (no bucket explosion)") {
+    val ev = Seq((100L, "a")).toDF("t", "tag")
+    val iv = Seq((1, 200L, 100L), (2, 100L, 100L), (3, 50L, 150L))
+      .toDF("id", "s", "e")
+    val out = RelOps.overlapJoin(ev, iv, "t", "s", "e", 10L)
+      .select("tag", "id").as[(String, Int)].collect().toList
+    assert(out == List(("a", 3)), "only the valid interval matches")
+  }
+
   test("overlapJoin: half-open [start, end), exactly one match per true pair") {
     val ev = Seq((100L, "a"), (199L, "b"), (200L, "c"), (350L, "d"))
       .toDF("t", "tag")
