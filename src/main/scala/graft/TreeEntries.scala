@@ -211,6 +211,25 @@ private[graft] object TreeEntries {
         round(avg(col("v")).over(w.rowsBetween(-3, 0)), 4).as("moving_avg4"))
     }),
 
+    // Graphite keepLastValue: forward-fill gaps in the dense grid with
+    // the last seen value per series (bounded variants would add a
+    // rows-between limit). Window ignoreNulls carry-forward per metric.
+    "q53_forward_fill" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"), col("sec"), col("value"))
+      val rolled = e
+        .filter(col("sec") >= 1704844800L && col("sec") < 1705708800L)
+        .groupBy(col("event_type"),
+          (col("sec") - (col("sec") % 21600)).cast("long").as("bucket_ts"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      val grid = e.select("event_type").distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(1704844800L), lit(1705708800L - 21600L), lit(21600L))).as("bucket_ts"))
+      val sparse = grid.join(rolled, Seq("event_type", "bucket_ts"), "left")
+      val w = Window.partitionBy("event_type").orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sparse.withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+    }),
+
     // Multimodal frame sampling: per-video frame work units.
     "q32_frame_sample" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet").select(
@@ -301,6 +320,20 @@ private[graft] object TreeEntries {
         |  round(avg(v) OVER (PARTITION BY event_type ORDER BY bucket_ts
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg4
         |FROM r WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)""".stripMargin,
+
+    "q53_forward_fill" ->
+      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |r AS (SELECT event_type, sec - (sec % 21600) AS bucket_ts, round(avg(value), 4) AS v
+        |      FROM e WHERE sec >= 1704844800 AND sec < 1705708800 GROUP BY 1, 2),
+        |grid AS (SELECT event_type, g AS bucket_ts
+        |         FROM (SELECT DISTINCT event_type FROM e)
+        |         CROSS JOIN range(1704844800, 1705708800, 21600) t(g)),
+        |sp AS (SELECT grid.event_type, grid.bucket_ts, r.v
+        |       FROM grid LEFT JOIN r USING (event_type, bucket_ts))
+        |SELECT event_type, bucket_ts, v,
+        |       last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket_ts
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM sp""".stripMargin,
 
     "q36_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k,
