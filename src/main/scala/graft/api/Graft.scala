@@ -49,14 +49,26 @@ final class Graft(
                  maxPointsPerMetric: Int = -1,
                  nowSeconds: Long = System.currentTimeMillis() / 1000): DataFrame = {
     import spark.implicits._
-    // expand patterns against the tree (metrics only, not dirs)
-    val names: Seq[String] = patterns.flatMap { p =>
-      if (graft.names.Glob.hasWildcards(p))
-        search(p).select("name").as[String].collect().filterNot(_.endsWith("."))
-      else Seq(p)
-    }.distinct
+    val (globPatterns, exactNames) = patterns.distinct.partition(graft.names.Glob.hasWildcards)
+    // ONE search pass expands every glob (metrics only, not dirs)
+    val expanded: Seq[String] =
+      if (globPatterns.isEmpty) Seq.empty
+      else MetricSearchOps.searchMany(tree, globPatterns)
+        .select("name").as[String].collect().filterNot(_.endsWith(".")).toSeq
+    // exact names pass the SAME visibility gate the search applies:
+    // a banned/hidden/unknown metric is not readable by naming it
+    // directly — it keeps its all-null series (reference resolves every
+    // requested name through the tree, J4 pads the rest)
+    val exactVisible: Set[String] =
+      if (exactNames.isEmpty) Set.empty
+      else MetricSearchOps.currentTree(tree)
+        .filter(col("name").isin(exactNames: _*) &&
+          MetricSearchOps.visibleCol(col("status")))
+        .select("name").as[String].collect().toSet
+    val readable = (expanded ++ exactNames.filter(exactVisible)).toSet
+    val requested = (expanded ++ exactNames).distinct
     val ageSeconds = (nowSeconds - startSeconds).toInt
-    val byFunction: Map[String, Seq[(String, Int)]] = names
+    val byFunction: Map[String, Seq[(String, Int)]] = requested
       .map(n => { val r = resolver.resolve(n); (n, r.function, r.stepFor(ageSeconds)) })
       .groupBy(_._2)
       .map { case (fn, xs) => fn -> xs.map(x => (x._1, x._3)) }
@@ -69,7 +81,9 @@ final class Graft(
     val frames = byFunction.toSeq.sortBy(_._1).map { case (fn, metricSteps) =>
       val params = QueryParams.create(metricSteps.map(_._2), startSeconds, endSeconds,
         maxPointsPerMetric, nowSeconds)
-      MetricQuery.metricData(data, metricSteps.map(_._1), fn, params)
+      val groupNames = metricSteps.map(_._1)
+      MetricQuery.metricData(data, groupNames.filter(readable), fn, params,
+        requested = groupNames)
     }
     frames.reduce(_ unionByName _)
   }
@@ -125,8 +139,12 @@ final class Graft(
       data, maxValues, nowSeconds - missingSeconds)
     MetricSearchOps.currentTree(tree)
       .join(candidates.select(col("metric").as("name")), Seq("name"), "left_semi")
-      .select(col("name"), col("level"), col("parent"),
+      .select(col("name"), col("level"), col("parent"), col("status").as("__old"),
         MetricSearchOps.selectStatusCol(col("status"), lit(MetricStatus.AutoHidden.name)).as("status"),
         lit(nowSeconds).as("updated"))
+      // already-hidden candidates append nothing (daily sweeps over a
+      // stable junk set must not grow the tree table)
+      .filter(col("status") =!= col("__old"))
+      .drop("__old")
   }
 }

@@ -28,8 +28,13 @@ final class LineParser(
     val tsRaw =
       try parts(2).toDouble
       catch { case _: NumberFormatException => return None }
-    val ts = math.round(tsRaw).toInt
-    if (ts <= 0) return None
+    val tsLong = math.round(tsRaw)
+    // reject out-of-range instead of letting .toInt WRAP: a millisecond
+    // epoch (common client misconfiguration) would otherwise ingest with
+    // a garbage wrapped timestamp about half the time and be silently
+    // dropped the other half
+    if (tsLong <= 0 || tsLong > Int.MaxValue) return None
+    val ts = tsLong.toInt
     Some(MetricPoint(name, value, ts,
       new java.sql.Date(ts.toLong * 1000L), updatedSeconds))
   }

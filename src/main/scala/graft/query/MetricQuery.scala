@@ -97,6 +97,15 @@ object MetricQuery {
     * Input: (metric, ts, value) with ts already bucket-aligned.
     * Output: (metric, start, end, step, points: array<double> with nulls).
     */
+  /** Dense grid of bucket labels for `params` — empty (not an error)
+    * when the range holds no points: `sequence(start, end-step)` with a
+    * positive step throws on a degenerate start >= end request.
+    */
+  private def gridCol(params: QueryParams): Column =
+    if (params.pointCount <= 0) array().cast("array<int>")
+    else sequence(lit(params.startSeconds), lit(params.endSeconds - params.stepSeconds),
+      lit(params.stepSeconds))
+
   def gapFillSeries(df: DataFrame, params: QueryParams,
                     metricCol: String = "metric", tsCol: String = "ts",
                     valueCol: String = "value"): DataFrame = {
@@ -112,11 +121,7 @@ object MetricQuery {
         lit(params.startSeconds).as("start"),
         lit(params.endSeconds).as("end"),
         lit(params.stepSeconds).as("step"),
-        transform(
-          sequence(lit(params.startSeconds), lit(params.endSeconds - params.stepSeconds),
-            lit(params.stepSeconds)),
-          t => element_at(col("m"), t)
-        ).as("points")
+        transform(gridCol(params), t => element_at(col("m"), t)).as("points")
       )
   }
 
@@ -132,11 +137,7 @@ object MetricQuery {
         lit(params.startSeconds).as("start"),
         lit(params.endSeconds).as("end"),
         lit(params.stepSeconds).as("step"),
-        transform(
-          sequence(lit(params.startSeconds), lit(params.endSeconds - params.stepSeconds),
-            lit(params.stepSeconds)),
-          _ => lit(null).cast("double")
-        ).as("points")
+        transform(gridCol(params), _ => lit(null).cast("double")).as("points")
       )
     series.unionByName(nulls)
   }
@@ -144,9 +145,16 @@ object MetricQuery {
   /** The full read path (SURVEY.md §3.1, steps 3-5): predicates (F1/F2) →
     * dedup (A1) → rollup (A3/W1) → gap fill (W3) → all-null padding (J4).
     * `data` columns: metric, value, timestamp, date, updated.
+    *
+    * `requested` defaults to `metrics`; pass a superset when some
+    * requested names must NOT touch the data (invisible/banned metrics
+    * get the all-null series the reference emits for them) — the data
+    * scan filters on `metrics` only.
     */
-  def metricData(data: DataFrame, metrics: Seq[String], fn: String, params: QueryParams): DataFrame = {
+  def metricData(data: DataFrame, metrics: Seq[String], fn: String, params: QueryParams,
+                 requested: Seq[String] = Seq.empty): DataFrame = {
     val p = params
+    val padNames = if (requested.isEmpty) metrics else requested
     val filtered = data
       .filter(col("metric").isin(metrics: _*))
       .filter(col("timestamp") >= p.startSeconds && col("timestamp") < p.endSeconds)
@@ -156,6 +164,6 @@ object MetricQuery {
     val rolled = rollup(deduped, fn, p.stepSeconds)
     val series = gapFillSeries(rolled, p)
     import series.sparkSession.implicits._
-    withEmptySeries(series, metrics.toDF("metric"), p)
+    withEmptySeries(series, padNames.toDF("metric"), p)
   }
 }

@@ -36,13 +36,23 @@ object MetricSearchOps {
     * the translated glob. Invalid globs return an empty result, matching
     * `MetricTree.java:227-233`. Runs on the CURRENT tree (dedup applied).
     */
-  def search(tree: DataFrame, query: String): DataFrame = {
-    val levels = query.count(_ == '.') + (if (query.endsWith(".")) 0 else 1)
+  def search(tree: DataFrame, query: String): DataFrame =
+    searchMany(tree, Seq(query))
+
+  /** Multi-pattern search in ONE pass over the current tree: the
+    * per-pattern (level && glob) predicates OR together, so N dashboard
+    * patterns cost one tree aggregation, not N sequential jobs.
+    */
+  def searchMany(tree: DataFrame, queries: Seq[String]): DataFrame = {
     // native codegen'd predicate (graft.functions.GlobMatchExpression);
     // invalid globs fold to constant false → empty result
+    val perPattern: Seq[Column] = queries.map { q =>
+      col("level") === graft.names.MetricNames.level(q) &&
+        graft.functions.functions.glob_match(col("name"), q)
+    }
+    val matchAny = perPattern.reduceOption(_ || _).getOrElse(lit(false))
     currentTree(tree)
-      .filter(col("level") === levels && visibleCol(col("status")) &&
-        graft.functions.functions.glob_match(col("name"), query))
+      .filter(visibleCol(col("status")) && matchAny)
       .select("name", "status")
   }
 
@@ -59,9 +69,15 @@ object MetricSearchOps {
     val select = selectStatusCol(col("status"), lit(newStatus.name))
     target.select(
       col("name"), col("level"), col("parent"),
+      col("status").as("__old"),
       select.as("status"),
       lit(updatedSeconds).as("updated")
     )
+      // no-op transitions (effective status unchanged) append nothing:
+      // repeated sweeps over a stable set must not grow the append-only
+      // tree table
+      .filter(col("status") =!= col("__old"))
+      .drop("__old")
   }
 
   /** Column form of MetricStatus.selectStatus (restricted-edge table from

@@ -103,7 +103,14 @@ class GraphiteMicroBatchStream(port: Int, name: String, capacity: Int = 1000000)
         val t = new Thread(() => readLoop(sock), s"graphite-reader-${sock.getPort}")
         t.setDaemon(true)
         t.start()
-      } catch { case _: Exception => /* socket closed on stop */ }
+      } catch {
+        case e: Exception if running.get() =>
+          // accept can fail persistently (fd exhaustion, EMFILE) — log
+          // and back off instead of busy-spinning the driver at 100% CPU
+          System.err.println(s"GraphiteSource[$name]: accept failed: $e; retrying in 100ms")
+          try Thread.sleep(100) catch { case _: InterruptedException => () }
+        case _: Exception => () // socket closed on stop
+      }
     }
   }, s"graphite-acceptor-$port")
   acceptor.setDaemon(true)

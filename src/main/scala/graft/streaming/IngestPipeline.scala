@@ -79,16 +79,20 @@ final class IngestPipeline(
     when(plen > 0, stripped.substr(lit(1), plen)).otherwise(lit(""))
   }
 
-  /** One micro-batch: append points, upsert new tree names. Idempotency:
-    * replayed batches re-append (duplicates resolved by read-side A1) —
-    * the reference makes the same trade (retry-forever inserts, T4).
+  /** One micro-batch: drop banned metrics, append points, upsert new
+    * tree names, revive AUTO_HIDDEN metrics that are sending again.
+    * Idempotency: replayed batches re-append (duplicates resolved by
+    * read-side A1) — the reference makes the same trade (retry-forever
+    * inserts, T4). Ban gate and revival mirror the reference's factory
+    * path: banned names are dropped before the queue
+    * (`MetricTree.java:306-309`), a written metric's status goes through
+    * the transition graph where AUTO_HIDDEN → SIMPLE is allowed (T6
+    * "reopens on new data").
     */
   def processBatch(points: Dataset[MetricPoint], batchId: Long): Unit = {
     val spark = points.sparkSession
     val df = points.toDF().cache()
     try {
-      df.write.mode("append").partitionBy("date").parquet(dataPath)
-      val nodes = treeNodesFor(df)
       // explicit existence check, NOT a catch-all: a transient read error
       // (corrupt file, FS hiccup) must fail the batch so streaming retry
       // semantics stay visible, instead of silently re-appending the
@@ -96,21 +100,41 @@ final class IngestPipeline(
       val treeP = new org.apache.hadoop.fs.Path(treePath)
       val treeExists =
         treeP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(treeP)
-      val newNodes =
-        if (treeExists) {
-          try {
-            val existing = spark.read.parquet(treePath).select("name").distinct()
-            nodes.join(existing, Seq("name"), "left_anti")
-          } catch {
+      val tree =
+        if (!treeExists) None
+        else
+          try Some(spark.read.parquet(treePath))
+          catch {
             // dir exists but holds no committed parquet (crash mid-first-
             // write left only _temporary/_SUCCESS): a PERMANENT state the
             // retry loop can never clear — treat as first batch. Other
             // read errors still fail the batch (retry stays visible).
             case e: org.apache.spark.sql.AnalysisException
-                if e.getMessage.contains("Unable to infer schema") => nodes
+                if e.getMessage.contains("Unable to infer schema") => None
           }
-        } else nodes // first batch: no tree yet
-      newNodes.write.mode("append").parquet(treePath)
+      tree match {
+        case None =>
+          df.write.mode("append").partitionBy("date").parquet(dataPath)
+          treeNodesFor(df).write.mode("append").parquet(treePath)
+        case Some(treeDf) =>
+          // current status of THIS batch's names only: semi-join bounds
+          // the aggregation by batch size, not tree size
+          val batchNames = df.select(col("metric").as("name")).distinct()
+          val current = treeDf.join(batchNames, Seq("name"), "left_semi")
+            .groupBy("name")
+            .agg(max_by(col("status"), col("updated")).as("status"))
+          val banned = current.filter(col("status") === "BAN")
+            .select(col("name").as("metric"))
+          val accepted = df.join(banned, Seq("metric"), "left_anti")
+          accepted.write.mode("append").partitionBy("date").parquet(dataPath)
+          val nodes = treeNodesFor(accepted)
+          val newNodes =
+            nodes.join(treeDf.select("name").distinct(), Seq("name"), "left_anti")
+          val revived = nodes.join(
+            current.filter(col("status") === "AUTO_HIDDEN").select("name"),
+            Seq("name"), "left_semi")
+          newNodes.unionByName(revived).write.mode("append").parquet(treePath)
+      }
     } finally df.unpersist()
   }
 

@@ -12,7 +12,8 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * same metricData path as user data.
   */
 final class IngestStatsListener(spark: SparkSession, statsPath: String,
-                                prefix: String = "one_min.graft.ingest")
+                                prefix: String = "one_min.graft.ingest",
+                                onlyQueryName: Option[String] = None)
     extends StreamingQueryListener {
 
   override def onQueryStarted(event: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -20,11 +21,21 @@ final class IngestStatsListener(spark: SparkSession, statsPath: String,
 
   override def onQueryProgress(event: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = event.progress
+    // listeners are session-global: with several streaming queries
+    // running, either scope to one query by name or qualify the metric
+    // prefix per query — otherwise unrelated queries' numbers interleave
+    // under the same series names
+    if (onlyQueryName.exists(n => n != p.name)) return
+    // unscoped listener + named query: qualify the series so two queries
+    // never write under the same names (unnamed queries keep the bare
+    // prefix — single-pipeline deployments stay unchanged)
+    val pfx = prefix + (if (onlyQueryName.isEmpty && p.name != null && p.name.nonEmpty)
+      "." + p.name.replaceAll("[^-_0-9a-zA-Z]", "_") else "")
     val now = (System.currentTimeMillis() / 1000).toInt
     val rows = Seq(
-      (s"$prefix.input_rows", p.numInputRows.toDouble),
-      (s"$prefix.rows_per_sec", Option(p.processedRowsPerSecond).filterNot(_.isNaN).getOrElse(0.0)),
-      (s"$prefix.batch_id", p.batchId.toDouble)
+      (s"$pfx.input_rows", p.numInputRows.toDouble),
+      (s"$pfx.rows_per_sec", Option(p.processedRowsPerSecond).filterNot(_.isNaN).getOrElse(0.0)),
+      (s"$pfx.batch_id", p.batchId.toDouble)
     )
     import spark.implicits._
     rows.toDF("metric", "value")

@@ -46,6 +46,12 @@ class GraftApiSpec extends AnyFunSuite {
     assert(byMetric("one_min.app.host2.requests") == Seq(5.0, null, null))
     assert(byMetric("one_min.app.host9.requests") == Seq(null, null, null), "unmatched → all-null")
 
+    // autohide positive path while host2 is still SIMPLE: 1 point (< 2)
+    // and stale → AUTO_HIDDEN transition row
+    val hides0 = g.autoHide(maxValues = 2, missingSeconds = -1000000000L, nowSeconds = 1700000200)
+    assert(hides0.select("name", "status").as[(String, String)].collect().toMap ==
+      Map("one_min.app.host2.requests" -> "AUTO_HIDDEN"))
+
     // ban then search again: banned node invisible
     g.setStatus("one_min.app.host2.requests", MetricStatus.Ban, nowSeconds = 2000000001L)
     val after = g.search("one_min.app.host?.requests").select("name").as[String].collect().toSet
@@ -60,11 +66,11 @@ class GraftApiSpec extends AnyFunSuite {
     g.setStatus("one_min.app.host2.requests", MetricStatus.Approved, nowSeconds = 2000000003L)
     assert(g.search("one_min.app.host2.requests").count() == 1)
 
-    // autohide: host1 has 3 points (>= maxValues 2) → not hidden; a
-    // stale 1-point metric would be. With cutoff in the future both
-    // qualify on staleness but host1 fails the count check.
+    // autohide after the approve: APPROVED is handmade-protected, the
+    // transition is a no-op and a no-op appends NOTHING (sweeps must not
+    // grow the tree table); host1 fails the count check anyway.
     val hides = g.autoHide(maxValues = 2, missingSeconds = -1000000000L, nowSeconds = 1700000200)
-    assert(hides.select("name").as[String].collect().toSet == Set("one_min.app.host2.requests"))
+    assert(hides.count() == 0, "protected/no-op transitions append no rows")
 
     // compaction of everything older than "now" at 120s
     val compacted = g.compact(ageDays = -100000, stepSeconds = 120)

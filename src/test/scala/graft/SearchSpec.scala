@@ -45,9 +45,11 @@ class SearchSpec extends AnyFunSuite {
     val updates = MetricSearchOps.setStatus(tree, "five_sec.int_874?.x1", MetricStatus.AutoHidden, 10L)
     val got = updates.select("name", "status").as[(String, String)].collect().toMap
     assert(got("five_sec.int_8742.x1") == "AUTO_HIDDEN")
-    // BAN on the dir: SIMPLE must not reopen it
+    // BAN on the dir: SIMPLE must not reopen it — the restricted edge is
+    // a no-op and a no-op appends NOTHING (the ban persists because
+    // nothing newer is written)
     val banned = MetricSearchOps.setStatus(tree, "five_sec.int_8743.", MetricStatus.Simple, 11L)
-    assert(banned.select("status").as[String].collect().toSeq == Seq("BAN"))
+    assert(banned.count() == 0)
   }
 
   test("dir visibility derives auto-hide from children") {

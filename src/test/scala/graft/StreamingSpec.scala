@@ -50,6 +50,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(h1.getAs[String]("parent") == "one_min.app.host1.")
   }
 
+  test("ingest drops banned metrics and revives auto-hidden ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bangate").toString
+    val pipe = new IngestPipeline(dataPath = s"$dir/data", treePath = s"$dir/tree")
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val q = pipe.start(source.toDS(), s"$dir/ckpt")
+    try {
+      source.addData(
+        "one_min.app.bad.requests 1.0 1542199560",
+        "one_min.app.quiet.requests 2.0 1542199560",
+        "one_min.app.ok.requests 3.0 1542199560")
+      q.processAllAvailable()
+      Thread.sleep(1200) // status rows must be strictly newer than batch 1
+      val now = System.currentTimeMillis() / 1000
+      Seq(
+        ("one_min.app.bad.requests", 4, "one_min.app.bad.", "BAN", now),
+        ("one_min.app.quiet.requests", 4, "one_min.app.quiet.", "AUTO_HIDDEN", now)
+      ).toDF("name", "level", "parent", "status", "updated")
+        .write.mode("append").parquet(s"$dir/tree")
+      Thread.sleep(1200) // batch 2 writes must be strictly newer than the statuses
+      source.addData(
+        "one_min.app.bad.requests 10.0 1542199620",   // banned: dropped
+        "one_min.app.quiet.requests 20.0 1542199620", // auto-hidden: accepted + revived
+        "one_min.app.ok.requests 30.0 1542199620")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.filter($"metric" === "one_min.app.bad.requests").count() == 1,
+      "banned metric's batch-2 point dropped (batch-1 point predates the ban)")
+    assert(data.filter($"metric" === "one_min.app.quiet.requests").count() == 2)
+    assert(data.filter($"metric" === "one_min.app.ok.requests").count() == 2)
+
+    val current = graft.search.MetricSearchOps.currentTree(spark.read.parquet(s"$dir/tree"))
+      .select("name", "status").as[(String, String)].collect().toMap
+    assert(current("one_min.app.bad.requests") == "BAN", "ban NOT lifted by incoming data")
+    assert(current("one_min.app.quiet.requests") == "SIMPLE",
+      "AUTO_HIDDEN metric sending again reopens as SIMPLE")
+  }
+
   test("ancestor/level/parent column expressions") {
     val pipe = new IngestPipeline(dataPath = "/tmp/x", treePath = "/tmp/y")
     val df = Seq("a.b.c", "solo").toDF("name")
