@@ -41,6 +41,18 @@ class SearchSpec extends AnyFunSuite {
     assert(names("asdf[") == Set.empty, "invalid glob → empty")
   }
 
+  test("searchMany resolves multiple patterns in one pass") {
+    val names = MetricSearchOps.searchMany(tree,
+      Seq("five_sec.int_874?.x1", "five_sec.int_8742."))
+      .select("name").as[String].collect().toSet
+    val one = MetricSearchOps.search(tree, "five_sec.int_874?.x1")
+      .select("name").as[String].collect().toSet ++
+      MetricSearchOps.search(tree, "five_sec.int_8742.")
+        .select("name").as[String].collect().toSet
+    assert(names == one, "one-pass OR equals the per-pattern union")
+    assert(names.nonEmpty)
+  }
+
   test("setStatus honors the restricted transition graph") {
     val updates = MetricSearchOps.setStatus(tree, "five_sec.int_874?.x1", MetricStatus.AutoHidden, 10L)
     val got = updates.select("name", "status").as[(String, String)].collect().toMap
