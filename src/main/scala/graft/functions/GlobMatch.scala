@@ -69,19 +69,22 @@ object functions {
   def glob_match(name: Column, glob: String): Column =
     Bridge.column(GlobMatchExpression(Bridge.expression(name), glob))
 
+  /** The ONE SQL function builder, shared by [[registerAll]] and
+    * `plans.GraftExtensions` so both registration paths behave
+    * identically.
+    */
+  val globMatchBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "glob_match(col, 'pattern')")
+    val pattern = exprs(1) match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"glob_match pattern must be a string literal, got $other")
+    }
+    GlobMatchExpression(exprs.head, pattern)
+  }
+
   /** Register `glob_match(col, 'pattern')` for SQL use on this session. */
   def registerAll(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "glob_match",
-      { exprs =>
-        require(exprs.length == 2, "glob_match(col, 'pattern')")
-        val pattern = exprs(1) match {
-          case Literal(s: UTF8String, StringType) => s.toString
-          case other => throw new IllegalArgumentException(
-            s"glob_match pattern must be a string literal, got $other")
-        }
-        GlobMatchExpression(exprs.head, pattern)
-      },
-      "built-in"
-    )
+      "glob_match", globMatchBuilder, "built-in")
 }

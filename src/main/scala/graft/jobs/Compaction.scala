@@ -77,9 +77,14 @@ final class Compaction(resolver: RetentionResolver) extends Serializable {
     * originals are renamed aside BEFORE the staged output moves in, so a
     * crash at any point leaves either the originals (recoverable via
     * [[recover]], run automatically at the start of each invocation) or
-    * the finished compacted output — never neither. Uses Hadoop
-    * FileSystem APIs so the same code works on HDFS/object stores, not
-    * just the local filesystem.
+    * the finished compacted output — never neither.
+    *
+    * The guarantee REQUIRES atomic directory rename (local FS, HDFS,
+    * ABFS): on stores where rename is per-object copy+delete (s3a, gs) a
+    * crash mid-rename splits a partition across two directories and
+    * [[recover]] cannot distinguish that from a completed swap — such
+    * stores need a manifest/commit-service based rewrite instead, and
+    * [[run]]/[[runAuto]] log a warning when pointed at one.
     */
   def run(spark: SparkSession, root: String, ageDays: Int, step: Int,
           nowMillis: Long = System.currentTimeMillis()): Seq[String] =
@@ -92,7 +97,10 @@ final class Compaction(resolver: RetentionResolver) extends Serializable {
   def runAuto(spark: SparkSession, root: String, ageDays: Int,
               nowMillis: Long = System.currentTimeMillis()): Seq[String] =
     rewriteAged(spark, root, ageDays, nowMillis) { (part, date) =>
-      val age = (nowMillis / 1000L - date.toEpochDay * 86400L).toInt
+      // age of the partition's NEWEST possible row (end of its day):
+      // rollup is irreversible, so a row must only compact once its OWN
+      // age passes the ladder threshold, never up to 24h early
+      val age = (nowMillis / 1000L - (date.toEpochDay + 1) * 86400L).toInt
       compactPartitionAuto(part, age)
     }
 
@@ -103,6 +111,11 @@ final class Compaction(resolver: RetentionResolver) extends Serializable {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Seq.empty
+    val scheme = Option(rootPath.toUri.getScheme).getOrElse("file")
+    if (Set("s3", "s3a", "s3n", "gs")(scheme))
+      System.err.println(
+        s"Compaction: $scheme rename is not atomic — the rename-aside swap is " +
+        "not crash-safe here; use a manifest-committer based rewrite for object stores")
     recover(spark, root)
     val parts = fs.listStatus(rootPath)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("date="))

@@ -33,15 +33,20 @@ object RelOps {
       keys.map(col) ++ Seq(col(leftTimeCol).cast("long").as("__t"),
         lit(1).as("__probe"),
         lit(null).cast("struct<t:bigint,v:double>").as("__evt")): _*)
-    val events = right.select(
-      keys.map(col) ++ Seq(col(rightTimeCol).cast("long").as("__t"),
-        lit(0).as("__probe"),
-        // carry the whole event row (never null as a struct), not the
-        // bare value: an event whose VALUE is null must still win the
-        // as-of match and yield null — ASOF LEFT JOIN semantics —
-        // rather than be skipped in favor of an older non-null value
-        struct(col(rightTimeCol).cast("long").as("t"),
-          col(valueCol).cast("double").as("v")).as("__evt")): _*)
+    val events = right
+      // join-equality semantics: a NULL key never matches anything, but
+      // Window.partitionBy groups nulls together — drop null-key events
+      // so null-key probes fall through to asof_value = null
+      .filter(keys.map(k => col(k).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(col(rightTimeCol).cast("long").as("__t"),
+          lit(0).as("__probe"),
+          // carry the whole event row (never null as a struct), not the
+          // bare value: an event whose VALUE is null must still win the
+          // as-of match and yield null — ASOF LEFT JOIN semantics —
+          // rather than be skipped in favor of an older non-null value
+          struct(col(rightTimeCol).cast("long").as("t"),
+            col(valueCol).cast("double").as("v")).as("__evt")): _*)
     // events sort before probes at equal time → the match is inclusive
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__probe"))

@@ -61,7 +61,9 @@ object TextOps {
     */
   def markerHits(text: Column, toks: Column, lang: String): Column =
     if (nonLatin(lang))
-      langMarkers(lang).map(m => when(instr(text, m) > 0, 1).otherwise(0))
+      // lower() like the token path: upper-case Cyrillic must still hit
+      // the lowercase markers (CJK has no case, lower() is a no-op there)
+      langMarkers(lang).map(m => when(instr(lower(text), m) > 0, 1).otherwise(0))
         .reduce(_ + _)
     else
       size(array_intersect(array_distinct(toks), array(langMarkers(lang).map(lit): _*)))

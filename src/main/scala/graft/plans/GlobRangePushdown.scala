@@ -50,16 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("glob_match"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[GlobMatchExpression].getName, "glob_match"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 2, "glob_match(col, 'pattern')")
-        val pattern = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(
-                s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
-          case other => throw new IllegalArgumentException(
-            s"glob_match pattern must be a string literal, got $other")
-        }
-        GlobMatchExpression(exprs.head, pattern)
-      }))
+      graft.functions.functions.globMatchBuilder))
   }
 }
 
