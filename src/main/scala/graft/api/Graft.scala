@@ -89,8 +89,8 @@ final class Graft(
   }
 
   /** Status management (ban/approve/hide/...): appends transition rows
-    * honoring the restricted status graph. Call `.save()` on the result
-    * shape or pass through [[applyStatus]] to persist.
+    * honoring the restricted status graph. [[setStatus]] is the
+    * persisting form (appends these rows to the tree table).
     */
   def statusRows(pattern: String, status: MetricStatus,
                  nowSeconds: Long = System.currentTimeMillis() / 1000): DataFrame =
