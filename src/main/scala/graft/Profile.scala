@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.DedupOps
+
+/** Dev aid: repeated timing of named `SparkEntry.queries` entries (or the
+  * built-in stage breakdowns below) to separate plan-shape effects from
+  * run-to-run noise. `runMain graft.Profile <name> [reps]` prints
+  * per-repetition seconds and the min.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(4)
+
+    def docs: DataFrame = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    // stage breakdowns for the dedup pipeline, beyond SparkEntry entries
+    val extra: Map[String, () => DataFrame] = Map(
+      "candidates" -> (() => DedupOps.minHashCandidates(docs)),
+      "jaccard_pruned" -> (() => DedupOps.jaccardVerify(DedupOps.minHashCandidates(docs), docs)),
+      "jaccard_forced" -> (() => DedupOps.jaccardVerify(DedupOps.minHashCandidates(docs), docs)
+        .filter(col("jaccard") >= -1.0)),
+      "grams_only" -> (() => DedupOps.explodedShingles(docs, "doc_id", "text", 3)
+        .groupBy(col("id")).agg(collect_set(col("sh")).as("grams"))
+        .select(sum(size(col("grams"))).as("s")))
+    )
+
+    args.take(1).foreach { name =>
+      val build: () => DataFrame = extra.getOrElse(name,
+        () => SparkEntry.queries(name)(spark, sfDir))
+      val times = (0 until reps).map { i =>
+        val t0 = System.nanoTime()
+        build().count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"  rep$i: $dt%.3f s")
+        dt
+      }
+      println(f"$name min=${times.min}%.3f s over $reps reps")
+    }
+    spark.stop()
+  }
+}

