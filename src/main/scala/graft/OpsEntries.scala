@@ -91,6 +91,15 @@ private[graft] object OpsEntries {
         SimilarityOps.cellCentroids(e), k = 10, nprobe = 2)
     }),
 
+    // Dup clusters: connected components over the LSH candidate graph —
+    // transitively-linked near-dups collapse to one canonical keep doc.
+    "q54_dup_clusters" -> ((s, dir) => {
+      import graft.ops.GraphOps
+      GraphOps.dupClusters(DedupOps.minHashCandidates(t(s, dir, "documents")))
+        .select(col("keep_id"), col("cluster_size"),
+          array_join(transform(col("members"), m => m.cast("string")), ",").as("members"))
+    }),
+
     // The full dedup decision: candidates → Jaccard verify → drop the
     // higher id of each confirmed pair → corpus keep/drop summary.
     "q37_dedup_decision" -> ((s, dir) => {
@@ -218,6 +227,19 @@ private[graft] object OpsEntries {
          |SELECT query_id, neighbor_id, cos_sim, CAST(r AS INTEGER) AS rank
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM s)
          |WHERE r <= 10""".stripMargin,
+
+    "q54_dup_clusters" ->
+      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM cand UNION SELECT id_b, id_a FROM cand),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT component AS keep_id, count(*) AS cluster_size,
+         |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+         |FROM comp GROUP BY component""".stripMargin,
 
     "q37_dedup_decision" ->
       s"""$minhashCtes,

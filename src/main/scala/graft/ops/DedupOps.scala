@@ -181,7 +181,7 @@ object DedupOps {
     */
   private def pow38(e: Int): Long = (0 until e).foldLeft(1L)((acc, _) => acc * 38)
 
-  private[ops] def gramCode(sh: Column, n: Int): Column = {
+  private[graft] def gramCode(sh: Column, n: Int): Column = {
     require(n <= 12, s"gramCode needs 38^$n to fit a long (n <= 12)")
     // ascii: ""->0 (absent), ' '->32, '0'-'9'->48-57, 'a'-'z'->97-122
     def charCode(a: Column): Column =
@@ -193,7 +193,7 @@ object DedupOps {
     * n_grams). One linear partial-aggregated pass over the corpus; the
     * fixed-width codes shuffle ~4× smaller than the gram strings.
     */
-  private[ops] def codedGramSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  private[graft] def codedGramSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     explodedShingles(docs, idCol, textCol, n)
       .select(col("id"), gramCode(col("sh"), n).as("c"))
       .groupBy(col("id"))

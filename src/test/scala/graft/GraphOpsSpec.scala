@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.GraphOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected-components semantics: chains, direction-independence,
+  * determinism of the canonical representative, empty input.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("chain and triangle collapse to min-id components") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), // chain, mixed direction
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)
+    ).toDF("id_a", "id_b")
+    val got = GraphOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long chain needs >1 iteration and still converges") {
+    val n = 30
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val got = GraphOps.connectedComponents(edges, maxIter = 64)
+      .as[(Long, Long)].collect()
+    assert(got.length === n)
+    assert(got.forall(_._2 == 1L))
+  }
+
+  test("dupClusters summarizes component membership deterministically") {
+    val edges = Seq((5L, 2L), (2L, 9L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = GraphOps.dupClusters(edges)
+      .select(col("keep_id"), col("cluster_size"), array_join(col("members"), ",").as("m"))
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((2L, 3L, "2,5,9"), (7L, 2L, "7,8")))
+  }
+
+  test("empty edge list yields empty components") {
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(GraphOps.connectedComponents(edges).count() === 0)
+  }
+}
