@@ -91,6 +91,21 @@ private[graft] object OpsEntries {
         SimilarityOps.cellCentroids(e), k = 10, nprobe = 2)
     }),
 
+    // Corpus vocabulary by document frequency: the explode→aggregate→
+    // top-k shape every tokenizer-training / df-filter pass uses.
+    "q56_vocab_df" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok").asc).limit(50)),
+
+    // Deterministic hash-bucket train/valid/test split, stratification
+    // audit per language (SampleOps: reproducible under repartitioning).
+    "q57_train_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), graft.ops.SampleOps.assignSplit(col("doc_id")).as("split"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))),
+
     // Dup clusters: connected components over the LSH candidate graph —
     // transitively-linked near-dups collapse to one canonical keep doc.
     "q54_dup_clusters" -> ((s, dir) => {
@@ -227,6 +242,20 @@ private[graft] object OpsEntries {
          |SELECT query_id, neighbor_id, cos_sim, CAST(r AS INTEGER) AS rank
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM s)
          |WHERE r <= 10""".stripMargin,
+
+    "q56_vocab_df" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksExpr)) AS tok FROM documents)
+         |SELECT tok, count(*) AS df FROM t GROUP BY tok
+         |ORDER BY df DESC, tok LIMIT 50""".stripMargin,
+
+    "q57_train_split" ->
+      """SELECT lang,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid' ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM (SELECT lang,
+        |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |      FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q54_dup_clusters" ->
       s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},

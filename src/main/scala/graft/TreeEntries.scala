@@ -197,18 +197,39 @@ private[graft] object TreeEntries {
     // over the hourly rollup. Intermediates stay unrounded so both
     // engines fold identical raw doubles; only outputs round.
     "q51_series_transforms" -> ((s, dir) => {
+      import graft.ops.SeriesOps
       val rolled = events(s, dir)
         .groupBy(col("event_type"),
           (col("sec") - (col("sec") % 3600)).cast("long").as("bucket_ts"))
         .agg(avg(col("value")).as("v"))
-      val w = Window.partitionBy("event_type").orderBy("bucket_ts")
-      val delta = col("v") - lag(col("v"), 1).over(w)
-      rolled.select(
+      val t = Seq[DataFrame => DataFrame](
+        SeriesOps.derivative(_, "event_type", "bucket_ts", "v"),
+        SeriesOps.nonNegativeDerivative(_, "event_type", "bucket_ts", "v"),
+        SeriesOps.perSecond(_, 3600, "event_type", "bucket_ts", "v"),
+        SeriesOps.movingAverage(_, 4, "event_type", "bucket_ts", "v", "moving_avg4")
+      ).reduce(_ andThen _)(rolled)
+      t.select(
         col("event_type"), col("bucket_ts"), round(col("v"), 4).as("v"),
-        round(delta, 4).as("derivative"),
-        round(when(delta >= 0, delta), 4).as("nn_derivative"),
-        round(delta / 3600.0, 6).as("per_second"),
-        round(avg(col("v")).over(w.rowsBetween(-3, 0)), 4).as("moving_avg4"))
+        round(col("derivative"), 4).as("derivative"),
+        round(col("nn_derivative"), 4).as("nn_derivative"),
+        round(col("per_second"), 6).as("per_second"),
+        round(col("moving_avg4"), 4).as("moving_avg4"))
+    }),
+
+    // Graphite summarize + timeShift + integral: 6-hour sum re-bucket,
+    // shifted back a day (the "compare with yesterday" render), with a
+    // per-series running total.
+    "q55_summarize_shift" -> ((s, dir) => {
+      import graft.ops.SeriesOps
+      val rolled = events(s, dir)
+        .groupBy(col("event_type"),
+          (col("sec") - (col("sec") % 3600)).cast("long").as("bucket_ts"))
+        .agg(avg(col("value")).as("v"))
+      val sum6h = SeriesOps.summarize(rolled, 21600, "sum", "event_type", "bucket_ts", "v")
+      val shifted = SeriesOps.timeShift(sum6h, -86400, "bucket_ts")
+      SeriesOps.integral(shifted, "event_type", "bucket_ts", "v", "running_total")
+        .select(col("event_type"), col("bucket_ts"),
+          round(col("v"), 4).as("v6h"), round(col("running_total"), 4).as("running_total"))
     }),
 
     // Graphite keepLastValue: forward-fill gaps in the dense grid with
@@ -225,9 +246,7 @@ private[graft] object TreeEntries {
         .select(col("event_type"),
           explode(sequence(lit(1704844800L), lit(1705708800L - 21600L), lit(21600L))).as("bucket_ts"))
       val sparse = grid.join(rolled, Seq("event_type", "bucket_ts"), "left")
-      val w = Window.partitionBy("event_type").orderBy("bucket_ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      sparse.withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      graft.ops.SeriesOps.keepLastValue(sparse, "event_type", "bucket_ts", "v", "filled")
     }),
 
     // Multimodal frame sampling: per-video frame work units.
@@ -320,6 +339,17 @@ private[graft] object TreeEntries {
         |  round(avg(v) OVER (PARTITION BY event_type ORDER BY bucket_ts
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg4
         |FROM r WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)""".stripMargin,
+
+    "q55_summarize_shift" ->
+      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |h AS (SELECT event_type, sec - (sec % 3600) AS bucket_ts, avg(value) AS v
+        |      FROM e GROUP BY 1, 2),
+        |s6 AS (SELECT event_type, bucket_ts - (bucket_ts % 21600) AS b6, sum(v) AS v
+        |       FROM h GROUP BY 1, 2),
+        |sh AS (SELECT event_type, b6 - 86400 AS bucket_ts, v FROM s6)
+        |SELECT event_type, bucket_ts, round(v, 4) AS v6h,
+        |  round(sum(v) OVER (PARTITION BY event_type ORDER BY bucket_ts), 4) AS running_total
+        |FROM sh""".stripMargin,
 
     "q53_forward_fill" ->
       """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training pipelines.
+  *
+  * Everything keys off a content-independent hash of the row id, so
+  * membership is reproducible across runs, engines, and data layout —
+  * unlike `df.sample`, whose assignment depends on partition seeds and
+  * so reshuffles membership whenever the input repartitions. The hash is
+  * the md5-prefix trick used across the engine (engine-portable: any
+  * SQL dialect can replay it), evaluated per row in codegen — no
+  * shuffle, no state.
+  */
+object SampleOps {
+
+  /** Stable bucket in [0, buckets) from the id's md5 prefix. */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Deterministic train/valid/test assignment by hash bucket:
+    * `[0, trainPct)` → train, `[trainPct, trainPct+validPct)` → valid,
+    * rest → test. Percentages of 100.
+    */
+  def assignSplit(id: Column, trainPct: Int = 90, validPct: Int = 5): Column = {
+    require(trainPct >= 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"invalid split percentages: train=$trainPct valid=$validPct")
+    val b = hashBucket(id, 100)
+    when(b < trainPct, "train").when(b < trainPct + validPct, "valid").otherwise("test")
+  }
+
+  /** Deterministic Bernoulli-style sample: keeps ids whose hash bucket
+    * (out of 10000) falls below `fraction * 10000` — stable under
+    * repartitioning and incremental reruns (a row's membership never
+    * changes as the corpus grows).
+    */
+  def deterministicKeep(id: Column, fraction: Double): Column = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    hashBucket(id, 10000) < (fraction * 10000).toLong
+  }
+}

@@ -156,4 +156,37 @@ object TextOps {
         i => md5(norm.substr(i, lit(k)).cast("binary"))))
     )
   }
+
+  /** PII redaction patterns, applied in order (specific → general so an
+    * email's digits don't first get eaten by the number rule). Plain
+    * regex classes only — no lookarounds — so the same patterns run
+    * under Java regex and RE2-family engines alike.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", "\\+[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>"),
+    ("longnum", "[0-9]{9,}", "<NUM>")
+  )
+
+  /** Replace each PII category with its placeholder token. Chained
+    * codegen'd `regexp_replace` — map-only, no shuffle.
+    */
+  def redact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, re, token)) => regexp_replace(c, re, token) }
+
+  /** Per-category PII match counts as a struct column (audit view:
+    * what a redaction pass WOULD remove). Counting happens on the
+    * progressively redacted text, same order as [[redact]] — a number
+    * inside a URL is counted once, as the URL.
+    */
+  def piiCounts(text: Column): Column = {
+    val (fields, _) = piiPatterns.foldLeft((Seq.empty[Column], text)) {
+      case ((acc, cur), (name, re, token)) =>
+        (acc :+ size(regexp_extract_all(cur, lit(re), lit(0))).as(s"n_$name"),
+          regexp_replace(cur, re, token))
+    }
+    struct(fields: _*)
+  }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import graft.ops.{SampleOps, SeriesOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit goldens for the graphite function layer (SeriesOps), the
+  * deterministic sampling/split operators, and PII redaction.
+  */
+class SeriesSampleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def series = Seq(
+    ("m1", 0L, 10.0), ("m1", 60L, 13.0), ("m1", 120L, 11.0), ("m1", 180L, 20.0),
+    ("m2", 0L, 5.0), ("m2", 60L, 5.0)
+  ).toDF("metric", "ts", "v")
+
+  test("derivative / nonNegativeDerivative / perSecond") {
+    val out = SeriesOps.perSecond(
+      SeriesOps.nonNegativeDerivative(SeriesOps.derivative(series)), stepSeconds = 60)
+      .filter(col("metric") === "m1").orderBy("ts")
+      .select("derivative", "nn_derivative", "per_second")
+      .as[(Option[Double], Option[Double], Option[Double])].collect().toSeq
+    assert(out === Seq(
+      (None, None, None),
+      (Some(3.0), Some(3.0), Some(0.05)),
+      (Some(-2.0), None, Some(-2.0 / 60)),
+      (Some(9.0), Some(9.0), Some(0.15))))
+  }
+
+  test("summarize re-buckets with epoch-aligned boundaries") {
+    val out = SeriesOps.summarize(series, 120, "sum")
+      .orderBy("metric", "ts").as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(("m1", 0L, 23.0), ("m1", 120L, 31.0), ("m2", 0L, 10.0)))
+  }
+
+  test("summarize rejects unknown functions") {
+    intercept[IllegalArgumentException](SeriesOps.summarize(series, 120, "median"))
+  }
+
+  test("timeShift is a pure ts projection; integral accumulates per series") {
+    val out = SeriesOps.integral(SeriesOps.timeShift(series, -60))
+      .filter(col("metric") === "m1").orderBy("ts")
+      .select("ts", "integral").as[(Long, Double)].collect().toSeq
+    assert(out === Seq((-60L, 10.0), (0L, 23.0), (60L, 34.0), (120L, 54.0)))
+  }
+
+  test("scale / offset / absolute") {
+    val out = series.filter(col("metric") === "m2").orderBy("ts")
+      .select(SeriesOps.scale(col("v"), 2.0), SeriesOps.offset(col("v"), -8.0),
+        SeriesOps.absolute(col("v") - 7.0))
+      .as[(Double, Double, Double)].collect().toSeq
+    assert(out === Seq((10.0, -3.0, 2.0), (10.0, -3.0, 2.0)))
+  }
+
+  test("assignSplit is deterministic, exhaustive, and roughly proportioned") {
+    val ids = (0L until 2000L).toDF("id")
+    val counts = ids.select(SampleOps.assignSplit(col("id")).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet === Set("train", "valid", "test"))
+    assert(counts("train") > 1600 && counts("train") < 1950)
+    assert(counts.values.sum === 2000)
+    // repeated evaluation gives identical assignment (content-hash, no seed)
+    val again = ids.select(SampleOps.assignSplit(col("id")).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(again === counts)
+  }
+
+  test("deterministicKeep tracks the requested fraction and nests monotonically") {
+    val ids = (0L until 5000L).toDF("id")
+    val k10 = ids.filter(SampleOps.deterministicKeep(col("id"), 0.1))
+    val k30 = ids.filter(SampleOps.deterministicKeep(col("id"), 0.3))
+    val n10 = k10.count(); val n30 = k30.count()
+    assert(math.abs(n10 - 500) < 150, s"10% sample was $n10")
+    assert(math.abs(n30 - 1500) < 250, s"30% sample was $n30")
+    // nesting: a row kept at 10% is kept at 30% (buckets are a prefix range)
+    assert(k10.join(k30, Seq("id"), "left_anti").count() === 0)
+  }
+
+  test("redact replaces each PII category; piiCounts audits them") {
+    val df = Seq(
+      "mail me at a.user+tag@example.co.uk or visit https://x.io/p?q=1",
+      "server 10.0.255.3 answered, call +1 (415) 555-0199 today",
+      "order 1234567890123 shipped; short 12345 stays",
+      "clean text"
+    ).toDF("text").select(TextOps.redact(col("text")).as("r"),
+      TextOps.piiCounts(col("text")).as("c"))
+    val rows = df.select(col("r"), col("c.n_email"), col("c.n_url"), col("c.n_ipv4"),
+      col("c.n_phone"), col("c.n_longnum"))
+      .as[(String, Int, Int, Int, Int, Int)].collect().toSeq
+    assert(rows(0)._1 === "mail me at <EMAIL> or visit <URL>")
+    assert((rows(0)._2, rows(0)._3) === (1, 1))
+    assert(rows(1)._1 === "server <IP> answered, call <PHONE> today")
+    assert((rows(1)._4, rows(1)._5) === (1, 1))
+    assert(rows(2)._1 === "order <NUM> shipped; short 12345 stays")
+    assert(rows(2)._6 === 1)
+    assert(rows(3)._1 === "clean text")
+    assert((rows(3)._2 + rows(3)._3 + rows(3)._4 + rows(3)._5 + rows(3)._6) === 0)
+  }
+}
