@@ -38,24 +38,13 @@ private[graft] object OpsEntries {
       SimilarityOps.bruteForceTopK(e.filter(col("vec_id") < 5), e, 10)
     }),
 
-    // Language-ID heuristic per document.
-    "q25_langid" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))),
+    // Language-ID heuristic per document (staged frame: tokens
+    // materialize once, not per language).
+    "q25_langid" -> ((s, dir) => TextOps.langIdFrame(t(s, dir, "documents"))),
 
-    // Quality features + composite score per document.
-    "q26_quality" -> ((s, dir) => {
-      val f = TextOps.qualityFeatures(col("text"))
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        f.getField("n_chars").as("n_chars"),
-        f.getField("n_tokens").as("n_tokens"),
-        f.getField("punct_ratio").as("punct_ratio"),
-        f.getField("alpha_ratio").as("alpha_ratio"),
-        f.getField("stopword_ratio").as("stopword_ratio"),
-        f.getField("mean_word_len").as("mean_word_len"),
-        TextOps.qualityScore(col("text")).as("quality_score")
-      )
-    }),
+    // Quality features + composite score per document (staged frame:
+    // token array → counts → ratios/score, each stage on attributes).
+    "q26_quality" -> ((s, dir) => TextOps.qualityFrame(t(s, dir, "documents"))),
 
     // Token counting: whitespace, BPE-ish regex, chars/4 estimate.
     "q27_token_counts" -> ((s, dir) =>
@@ -112,7 +101,7 @@ private[graft] object OpsEntries {
       import graft.ops.GraphOps
       GraphOps.dupClusters(DedupOps.minHashCandidates(t(s, dir, "documents")))
         .select(col("keep_id"), col("cluster_size"),
-          array_join(transform(col("members"), m => m.cast("string")), ",").as("members"))
+          array_join(col("members").cast("array<string>"), ",").as("members"))
     }),
 
     // The full dedup decision: candidates → Jaccard verify → drop the

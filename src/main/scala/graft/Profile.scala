@@ -37,7 +37,9 @@ object Profile {
         () => SparkEntry.queries(name)(spark, sfDir))
       val times = (0 until reps).map { i =>
         val t0 = System.nanoTime()
-        build().count()
+        // toRdd: evaluate ALL output columns (count() would let Catalyst
+        // prune the projected work this harness exists to measure)
+        build().queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"  rep$i: $dt%.3f s")
         dt

@@ -18,10 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * only a single allocation-free merge walk, and |A ∪ B| follows as
   * |A| + |B| − |A ∩ B|. This expression generates that tight loop.
   *
-  * PRECONDITION: both arrays ascending-sorted with distinct elements
-  * (what `sort_array(collect_set(...))` produces). On unsorted input the
-  * count is just wrong — this is a private engine primitive, not a
-  * general function. A null array or null element yields null.
+  * PRECONDITION: both arrays ascending-sorted with distinct non-null
+  * elements (exactly what `sort_array(collect_set(...))` produces). On
+  * unsorted input the count is just wrong — this is a private engine
+  * primitive, not a general function. A null ARRAY yields null; a null
+  * ELEMENT is a contract violation (the walk returns null only if it
+  * happens to visit one — elements past the shorter side are never
+  * inspected).
   */
 case class SortedIntersectSizeExpression(left: Expression, right: Expression)
     extends BinaryExpression {

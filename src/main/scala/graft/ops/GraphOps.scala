@@ -32,7 +32,16 @@ object GraphOps {
     * per-round shape, O(log n) rounds; not needed for dedup clusters.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a", dstCol: String = "id_b",
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
+    // fail fast on non-integral id columns: a silent cast("long") would
+    // turn string/UUID ids into nulls and report zero components
+    Seq(srcCol, dstCol).foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = edges.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"connectedComponents needs integral vertex ids; '$c' is ${dt.catalogString} " +
+          "(map string ids to a surrogate long key first)")
+    }
     val sym = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val e = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src").isNotNull && col("dst").isNotNull)
@@ -56,6 +65,11 @@ object GraphOps {
       prevSum = s
       i += 1
     }
+    // an unconverged exit would silently split real components — refuse
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations " +
+        "(component diameter exceeds maxIter); raise maxIter or use an " +
+        "O(log n)-round large-star/small-star variant for deep graphs")
     labels.select(col("id"), col("label").as("component"))
   }
 
@@ -63,8 +77,9 @@ object GraphOps {
     * the canonical kept doc (minimum id), the member count, and the
     * sorted member list — the decision table a dedup job applies.
     */
-  def dupClusters(edges: DataFrame, srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame =
-    connectedComponents(edges, srcCol, dstCol)
+  def dupClusters(edges: DataFrame, srcCol: String = "id_a", dstCol: String = "id_b",
+                  maxIter: Int = 50): DataFrame =
+    connectedComponents(edges, srcCol, dstCol, maxIter)
       .groupBy(col("component").as("keep_id"))
       .agg(count(lit(1)).cast("long").as("cluster_size"),
         sort_array(collect_list(col("id"))).as("members"))

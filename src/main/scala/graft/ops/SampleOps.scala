@@ -37,6 +37,7 @@ object SampleOps {
     */
   def deterministicKeep(id: Column, fraction: Double): Column = {
     require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
-    hashBucket(id, 10000) < (fraction * 10000).toLong
+    // round, not truncate: 0.3 * 10000 is 2999.999... in binary
+    hashBucket(id, 10000) < math.round(fraction * 10000)
   }
 }

@@ -87,6 +87,35 @@ object TextOps {
     when(best.getField("hits") <= 0, lit("und")).otherwise(best.getField("lang"))
   }
 
+  /** Language-ID over a whole frame — the hot-path form. The column
+    * form [[langId]] re-evaluates `tokens(text)` (an INTERPRETED
+    * higher-order filter) once per Latin language; this one materializes
+    * the distinct-token array a single time as a real column, so the
+    * per-language marker intersections reference an attribute. Output:
+    * (<idCol>, <outCol>). Same semantics: most distinct marker hits,
+    * lexicographically-first language on ties, zero hits → "und".
+    */
+  def langIdFrame(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", outCol: String = "lang_guess"): org.apache.spark.sql.DataFrame = {
+    val langs = langMarkers.keys.toSeq.sorted
+    val s0 = docs.select(col(idCol), col(textCol).as("__text"),
+      array_distinct(tokens(col(textCol))).as("__dtoks"))
+    val hitCols = langs.map { l =>
+      val h =
+        if (nonLatin(l))
+          langMarkers(l).map(m => when(instr(lower(col("__text")), m) > 0, 1).otherwise(0))
+            .reduce(_ + _)
+        else
+          size(array_intersect(col("__dtoks"), array(langMarkers(l).map(lit): _*)))
+      h.as(s"__h_$l")
+    }
+    val s1 = s0.select(col(idCol) +: hitCols: _*)
+    val mx = greatest(langs.map(l => col(s"__h_$l")): _*)
+    // first language (sorted order) reaching the max: when-chain → coalesce
+    val first = langs.map(l => when(col(s"__h_$l") === mx, lit(l))).reduce(coalesce(_, _))
+    s1.select(col(idCol), when(mx <= 0, lit("und")).otherwise(first).as(outCol))
+  }
+
   /** Quality heuristics (length, punctuation ratio, stopword ratio,
     * mean word length, alpha ratio) and a composite [0,1] score.
     * Rounded to 4 decimals for cross-engine determinism.
@@ -108,6 +137,41 @@ object TextOps {
       round(when(nTok > 0, stopHits / lit(10.0)).otherwise(0.0), 4).as("stopword_ratio"),
       round(meanWordLen, 4).as("mean_word_len")
     )
+  }
+
+  /** Quality features + composite score over a whole frame — the
+    * hot-path form. Each `getField` on the [[qualityFeatures]] struct
+    * copies the whole expression tree (the interpreted `tokens` filter
+    * runs ~7× per row across the fields and [[qualityScore]]); the
+    * staged projections here materialize the token array once, then
+    * compute counts, then ratios and the score from real attribute
+    * columns. Output: (<idCol>, n_chars, n_tokens, punct_ratio,
+    * alpha_ratio, stopword_ratio, mean_word_len, quality_score) —
+    * values identical to the column forms.
+    */
+  def qualityFrame(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val s0 = docs.select(col(idCol), col(textCol).as("__text"), tokens(col(textCol)).as("__toks"))
+    val s1 = s0.select(col(idCol),
+      length(col("__text")).cast("double").as("__len"),
+      size(col("__toks")).cast("double").as("__ntok"),
+      regexp_count(col("__text"), lit("[!-/:-@\\[-`{-~]")).cast("double").as("__punct"),
+      regexp_count(col("__text"), lit("[A-Za-z]")).cast("double").as("__alpha"),
+      size(array_intersect(array_distinct(col("__toks")),
+        array(langMarkers("en").map(lit): _*))).cast("double").as("__stop"))
+    val s2 = s1.select(col(idCol),
+      col("__len").cast("long").as("n_chars"),
+      col("__ntok").cast("long").as("n_tokens"),
+      round(when(col("__len") > 0, col("__punct") / col("__len")).otherwise(0.0), 4).as("punct_ratio"),
+      round(when(col("__len") > 0, col("__alpha") / col("__len")).otherwise(0.0), 4).as("alpha_ratio"),
+      round(when(col("__ntok") > 0, col("__stop") / lit(10.0)).otherwise(0.0), 4).as("stopword_ratio"),
+      round(when(col("__ntok") > 0, col("__alpha") / col("__ntok")).otherwise(lit(0.0)), 4).as("mean_word_len"))
+    s2.select(col(idCol), col("n_chars"), col("n_tokens"), col("punct_ratio"),
+      col("alpha_ratio"), col("stopword_ratio"), col("mean_word_len"),
+      round(least(col("n_chars").cast("double") / 200.0, lit(1.0)) * 0.25
+        + col("alpha_ratio") * 0.35
+        + greatest(lit(0.0), lit(1.0) - col("punct_ratio") * 5.0) * 0.2
+        + col("stopword_ratio") * 0.2, 4).as("quality_score"))
   }
 
   /** Composite quality score in [0,1]: long-enough, mostly-alphabetic,
@@ -164,7 +228,7 @@ object TextOps {
     */
   val piiPatterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("url", "https?://[^\\s]+", "<URL>"),
+    ("url", "(?i)https?://[^\\s]+", "<URL>"),
     ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
     ("phone", "\\+[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>"),
     ("longnum", "[0-9]{9,}", "<NUM>")

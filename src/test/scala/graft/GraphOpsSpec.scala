@@ -45,4 +45,14 @@ class GraphOpsSpec extends AnyFunSuite {
     val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(GraphOps.connectedComponents(edges).count() === 0)
   }
+
+  test("exhausting maxIter fails loudly instead of returning split components") {
+    val edges = (1 until 20).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    intercept[IllegalStateException](GraphOps.connectedComponents(edges, maxIter = 3))
+  }
+
+  test("non-integral vertex ids are rejected, not silently dropped") {
+    val edges = Seq(("a", "b")).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException](GraphOps.connectedComponents(edges))
+  }
 }

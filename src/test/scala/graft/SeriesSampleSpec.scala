@@ -83,7 +83,8 @@ class SeriesSampleSpec extends AnyFunSuite {
       "mail me at a.user+tag@example.co.uk or visit https://x.io/p?q=1",
       "server 10.0.255.3 answered, call +1 (415) 555-0199 today",
       "order 1234567890123 shipped; short 12345 stays",
-      "clean text"
+      "clean text",
+      "scheme case: HTTPS://Example.com/u/a?tok=x"
     ).toDF("text").select(TextOps.redact(col("text")).as("r"),
       TextOps.piiCounts(col("text")).as("c"))
     val rows = df.select(col("r"), col("c.n_email"), col("c.n_url"), col("c.n_ipv4"),
@@ -97,5 +98,37 @@ class SeriesSampleSpec extends AnyFunSuite {
     assert(rows(2)._6 === 1)
     assert(rows(3)._1 === "clean text")
     assert((rows(3)._2 + rows(3)._3 + rows(3)._4 + rows(3)._5 + rows(3)._6) === 0)
+    assert(rows(4)._1 === "scheme case: <URL>")
+  }
+
+  test("langIdFrame and qualityFrame match the column forms exactly") {
+    val docs = Seq(
+      (1L, "The quick brown fox and the lazy dog sit in a field of grass, it is fine."),
+      (2L, "Der schnelle braune Fuchs und der Hund, das ist nicht ein Problem!"),
+      (3L, "это не проблема и он в порядке"),
+      (4L, ""),
+      (5L, "12345 67890 !!!")
+    ).toDF("doc_id", "text")
+    val frameLang = TextOps.langIdFrame(docs).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    val colLang = docs.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(frameLang === colLang)
+    val f = TextOps.qualityFeatures(col("text"))
+    val frameQ = TextOps.qualityFrame(docs).orderBy("doc_id").collect().toSeq
+    val colQ = docs.select(col("doc_id"), f.getField("n_chars").as("n_chars"),
+      f.getField("n_tokens").as("n_tokens"), f.getField("punct_ratio").as("punct_ratio"),
+      f.getField("alpha_ratio").as("alpha_ratio"), f.getField("stopword_ratio").as("stopword_ratio"),
+      f.getField("mean_word_len").as("mean_word_len"),
+      TextOps.qualityScore(col("text")).as("quality_score")).orderBy("doc_id").collect().toSeq
+    assert(frameQ === colQ)
+  }
+
+  test("deterministicKeep hits the exact bucket threshold for binary-inexact fractions") {
+    val ids = (0L until 20000L).toDF("id")
+    // 0.3 * 10000 = 2999.999... in double; truncation would lose bucket 2999
+    val buckets = ids.filter(SampleOps.deterministicKeep(col("id"), 0.3))
+      .select(SampleOps.hashBucket(col("id"), 10000).as("b"))
+    assert(buckets.agg(max(col("b"))).as[Long].head() === 2999L)
   }
 }
