@@ -38,6 +38,25 @@ final class Graft(
   /** §3.2 — glob search over visible tree nodes. */
   def search(query: String): DataFrame = MetricSearchOps.search(tree, query)
 
+  /** Optional serving cache: a driver-side trie snapshot of the current
+    * tree (the reference's in-memory `MetricTree`). `searchCached`
+    * answers globs without a Spark job; staleness is bounded by how
+    * often the caller refreshes. Thread-safe via snapshot swap.
+    */
+  @volatile private var trieCache: Option[graft.search.MetricTrie] = None
+
+  /** (Re)build the trie snapshot from the current tree state. */
+  def refreshSearchCache(): Unit =
+    trieCache = Some(graft.search.MetricTrie.fromTree(tree))
+
+  /** Trie-served glob search (builds the snapshot on first use). Same
+    * results as [[search]] as of the last refresh.
+    */
+  def searchCached(query: String): Seq[(String, String)] = {
+    if (trieCache.isEmpty) refreshSearchCache()
+    trieCache.get.search(query)
+  }
+
   /** §3.1 — the full read path: expand patterns, group matched metrics
     * by retention function, run dedup→rollup→gapfill per group (the
     * reference runs one ClickHouse query per function group,

@@ -19,6 +19,9 @@ object MetricSearchOps {
 
   def visibleCol(status: Column): Column = !status.isin(invisible: _*)
 
+  /** Row-side twin of [[visibleCol]] (used by the driver-side trie). */
+  def visibleStatus(status: String): Boolean = !invisible.contains(status)
+
   /** S6/A2 — current state of the append-only tree table: latest status per
     * name by `updated` (reference `SELECT name, argMax(status, updated) ...
     * GROUP BY name`, `search/MetricSearch.java:319-324`).

@@ -1,0 +1,98 @@
+package graft.search
+
+import scala.collection.mutable
+
+import graft.names.{Glob, MetricNames}
+import org.apache.spark.sql.DataFrame
+
+/** Driver-side in-memory trie over the current metric tree — the
+  * serving-latency cache the reference keeps hot
+  * (`/root/reference/src/main/java/ru/yandex/market/graphouse/search/tree/MetricTree.java:22-120`):
+  * dashboard autocomplete and render fan-out issue thousands of glob
+  * lookups per second, which should not each pay a Spark job.
+  *
+  * CONTRACT: `search(q)` returns exactly what
+  * [[MetricSearchOps.search]] returns over the same tree state
+  * (level-count match, per-level glob, optional trailing dot for dirs,
+  * visibility at emit, invalid glob → empty). The trie is an OPTIONAL
+  * cache: correctness never depends on it, and any staleness is bounded
+  * by the refresh cadence (the reference tolerates a 120 s propagation
+  * window the same way, `search/MetricSearch.java:86-89`).
+  *
+  * Scale: one node per tree path (~10M names is the reference's design
+  * center); segments are interned by the child map, lookups are
+  * per-level hash hits for literal segments and compiled-regex scans
+  * only for wildcard levels. Not thread-safe for concurrent refresh;
+  * swap whole instances instead (build-and-swap like the reference's
+  * startup load).
+  */
+final class MetricTrie private (root: MetricTrie.Node) {
+
+  /** All (name, status) rows matching the glob query; visibility applied
+    * at emit. Invalid globs return empty, matching the reference.
+    */
+  def search(query: String): Seq[(String, String)] = {
+    val levels = MetricNames.splitToLevels(query)
+    if (levels.isEmpty) return Nil
+    // pre-validate every level: one invalid level → empty result
+    val matchers = levels.map { seg =>
+      if (Glob.hasWildcards(seg)) Glob.levelToRegex(seg) match {
+        case Some(re) => Right(java.util.regex.Pattern.compile(re))
+        case None     => return Nil
+      }
+      else Left(seg)
+    }
+    var frontier = List(root)
+    matchers.foreach { m =>
+      frontier = m match {
+        case Left(lit) => frontier.flatMap(n => n.children.get(lit))
+        case Right(p)  => frontier.flatMap(_.children.collect {
+          case (seg, child) if p.matcher(seg).matches() => child
+        })
+      }
+      if (frontier.isEmpty) return Nil
+    }
+    frontier.flatMap(n => n.metricRow.toSeq ++ n.dirRow.toSeq)
+      .filter { case (_, status) => MetricSearchOps.visibleStatus(status) }
+  }
+
+  /** Node count (diagnostics / capacity checks). */
+  def size: Long = {
+    def walk(n: MetricTrie.Node): Long = 1L + n.children.valuesIterator.map(walk).sum
+    walk(root) - 1 // don't count the synthetic root
+  }
+}
+
+object MetricTrie {
+
+  private[search] final class Node {
+    val children: mutable.HashMap[String, Node] = mutable.HashMap.empty
+    var metricRow: Option[(String, String)] = None
+    var dirRow: Option[(String, String)] = None
+  }
+
+  /** Build from the append-only tree table: collects the CURRENT state
+    * (latest status per name) to the driver. `maxNodes` guards driver
+    * memory — the reference's ops guidance is the same shape (>10M
+    * names ⇒ raise the 4 GB default heap, `doc/config.md:17-19`).
+    */
+  def fromTree(tree: DataFrame, maxNodes: Long = 20000000L): MetricTrie = {
+    val current = MetricSearchOps.currentTree(tree).select("name", "status")
+    val n = current.count()
+    require(n <= maxNodes,
+      s"metric tree has $n names > maxNodes=$maxNodes; raise the limit (and driver memory)")
+    val root = new Node
+    current.collect().foreach { row =>
+      insert(root, row.getString(0), row.getString(1))
+    }
+    new MetricTrie(root)
+  }
+
+  private def insert(root: Node, name: String, status: String): Unit = {
+    val segs = MetricNames.splitToLevels(name)
+    var node = root
+    segs.foreach { s => node = node.children.getOrElseUpdate(s, new Node) }
+    if (MetricNames.isDir(name)) node.dirRow = Some((name, status))
+    else node.metricRow = Some((name, status))
+  }
+}

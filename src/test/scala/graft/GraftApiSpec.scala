@@ -35,6 +35,9 @@ class GraftApiSpec extends AnyFunSuite {
     val found = g.search("one_min.app.host?.requests").select("name").as[String].collect().toSet
     assert(found == Set("one_min.app.host1.requests", "one_min.app.host2.requests"))
 
+    // trie serving cache agrees with the relational path
+    assert(g.searchCached("one_min.app.host?.requests").map(_._1).toSet === found)
+
     // metricData with glob expansion + gap fill (60s retention step)
     val series = g.metricData(Seq("one_min.app.*.requests", "one_min.app.host9.requests"),
       1700000000, 1700000180, nowSeconds = 1700000200)
