@@ -180,7 +180,9 @@ private[graft] object OpsEntries {
 
   val oracle: Map[String, String] = Map(
     "q20_exact_dedup" ->
-      s"""SELECT md5($norm) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
+      s"""SELECT coalesce(md5(CASE WHEN len($norm) > 0 THEN $norm ELSE text END),
+         |                'id:' || CAST(doc_id AS VARCHAR)) AS fp,
+         |       min(doc_id) AS keep_id, count(*) AS dup_count
          |FROM documents GROUP BY 1""".stripMargin,
 
     "q21_minhash_lsh" ->
@@ -329,8 +331,8 @@ private[graft] object OpsEntries {
          |FROM documents""".stripMargin,
 
     "q28_fingerprint" ->
-      s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents)
-         |SELECT doc_id, md5(norm) AS fp,
+      s"""WITH n AS (SELECT doc_id, $norm AS norm, text FROM documents)
+         |SELECT doc_id, md5(CASE WHEN len(norm) > 0 THEN norm ELSE text END) AS fp,
          |  CASE WHEN len(norm) < 16 THEN md5(norm)
          |       ELSE list_min(list_transform(generate_series(1, len(norm)-15), i -> md5(substr(norm, i, 16)))) END AS min_shingle_fp
          |FROM n""".stripMargin,

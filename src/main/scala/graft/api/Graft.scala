@@ -68,24 +68,20 @@ final class Graft(
                  maxPointsPerMetric: Int = -1,
                  nowSeconds: Long = System.currentTimeMillis() / 1000): DataFrame = {
     import spark.implicits._
-    val (globPatterns, exactNames) = patterns.distinct.partition(graft.names.Glob.hasWildcards)
-    // ONE search pass expands every glob (metrics only, not dirs)
-    val expanded: Seq[String] =
-      if (globPatterns.isEmpty) Seq.empty
-      else MetricSearchOps.searchMany(tree, globPatterns)
+    val distinctPatterns = patterns.distinct
+    val exactNames = distinctPatterns.filterNot(graft.names.Glob.hasWildcards)
+    // ONE search pass serves both glob expansion and the exact-name
+    // visibility gate (an exact name is a literal glob): a banned/
+    // hidden/unknown metric is not readable by naming it directly — it
+    // keeps its all-null series (reference resolves every requested
+    // name through the tree, J4 pads the rest). Previously this was two
+    // sequential currentTree aggregations per request.
+    val matchedVisible: Seq[String] =
+      if (distinctPatterns.isEmpty) Seq.empty
+      else MetricSearchOps.searchMany(tree, distinctPatterns)
         .select("name").as[String].collect().filterNot(_.endsWith(".")).toSeq
-    // exact names pass the SAME visibility gate the search applies:
-    // a banned/hidden/unknown metric is not readable by naming it
-    // directly — it keeps its all-null series (reference resolves every
-    // requested name through the tree, J4 pads the rest)
-    val exactVisible: Set[String] =
-      if (exactNames.isEmpty) Set.empty
-      else MetricSearchOps.currentTree(tree)
-        .filter(col("name").isin(exactNames: _*) &&
-          MetricSearchOps.visibleCol(col("status")))
-        .select("name").as[String].collect().toSet
-    val readable = (expanded ++ exactNames.filter(exactVisible)).toSet
-    val requested = (expanded ++ exactNames).distinct
+    val readable = matchedVisible.toSet
+    val requested = (matchedVisible ++ exactNames).distinct
     val ageSeconds = (nowSeconds - startSeconds).toInt
     val byFunction: Map[String, Seq[(String, Int)]] = requested
       .map(n => { val r = resolver.resolve(n); (n, r.function, r.stepFor(ageSeconds)) })

@@ -78,7 +78,10 @@ final case class MetricValidator(
 object Glob {
 
   def hasWildcards(s: String): Boolean =
-    s.exists(c => c == '*' || c == '?' || c == '[' || c == ']' || c == '{' || c == '}')
+    // '\' counts: an escaped pattern ("a\[b") is not a literal name and
+    // must go through regex translation everywhere, or the trie/exact
+    // fast paths would compare the raw backslash text literally
+    s.exists(c => c == '*' || c == '?' || c == '[' || c == ']' || c == '{' || c == '}' || c == '\\')
 
   /** Longest literal prefix of a glob pattern — the characters before
     * the first wildcard. Any name matching the glob necessarily starts

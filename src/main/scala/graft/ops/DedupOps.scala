@@ -22,7 +22,12 @@ object DedupOps {
     * group size. Single hash aggregate.
     */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    widen(docs, heavy = false).select(TextOps.fingerprint(col(textCol)).as("fp"), col(idCol))
+    widen(docs, heavy = false).select(
+        // null text (multimodal rows): no content to compare — key each
+        // doc to itself so distinct docs never collapse into one group
+        coalesce(TextOps.fingerprint(col(textCol)),
+          concat(lit("id:"), col(idCol).cast("string"))).as("fp"),
+        col(idCol))
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 

@@ -192,8 +192,16 @@ object TextOps {
   def normalized(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
-  /** Content fingerprint: md5 of the normalized text. */
-  def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
+  /** Content fingerprint: md5 of the normalized text. The normalized
+    * alphabet is ASCII-only, so text with no ASCII alphanumerics at all
+    * (CJK/Cyrillic-only documents, punctuation-only strings) normalizes
+    * to "" — those fall back to the RAW text so distinct non-Latin
+    * documents keep distinct fingerprints (byte-exact dedup: strictly
+    * conservative, never merges what it can't normalize). Null text
+    * yields a null fingerprint — callers decide null-key policy.
+    */
+  def fingerprint(text: Column): Column =
+    md5(when(length(normalized(text)) > 0, normalized(text)).otherwise(text).cast("binary"))
 
   /** DataFrame form of [[minShingleFingerprint]] for hot paths: the
     * normalization materializes once per document, windows explode to

@@ -155,9 +155,16 @@ object MetricQuery {
                  requested: Seq[String] = Seq.empty): DataFrame = {
     val p = params
     val padNames = if (requested.isEmpty) metrics else requested
+    // the redundant date predicate is the partition-pruning key (F2 —
+    // the reference adds `date BETWEEN toDate(?) AND toDate(?)` to every
+    // query for exactly this, `data/MetricDataService.java:75`): without
+    // it a 3-hour read still lists every date= partition of the history
+    val dateLo = to_date(from_unixtime(lit(p.startSeconds.toLong)))
+    val dateHi = to_date(from_unixtime(lit(p.endSeconds.toLong)))
     val filtered = data
       .filter(col("metric").isin(metrics: _*))
       .filter(col("timestamp") >= p.startSeconds && col("timestamp") < p.endSeconds)
+      .filter(col("date").between(dateLo, dateHi))
     val deduped = filtered
       .groupBy(col("metric"), col("timestamp"))
       .agg(max_by(col("value"), col("updated")).as("value"), max(col("updated")).as("updated"))

@@ -34,6 +34,11 @@ final class MetricTrie private (root: MetricTrie.Node) {
   def search(query: String): Seq[(String, String)] = {
     val levels = MetricNames.splitToLevels(query)
     if (levels.isEmpty) return Nil
+    // level-count parity with the relational path: split drops trailing
+    // empty segments ("a.b.." → 2) but MetricNames.level counts dots
+    // (3); the relational filter can match nothing there, so neither may
+    // the trie
+    if (MetricNames.level(query) != levels.length) return Nil
     // pre-validate every level: one invalid level → empty result
     val matchers = levels.map { seg =>
       if (Glob.hasWildcards(seg)) Glob.levelToRegex(seg) match {
@@ -77,15 +82,19 @@ object MetricTrie {
     * names ⇒ raise the 4 GB default heap, `doc/config.md:17-19`).
     */
   def fromTree(tree: DataFrame, maxNodes: Long = 20000000L): MetricTrie = {
-    val current = MetricSearchOps.currentTree(tree).select("name", "status")
-    val n = current.count()
-    require(n <= maxNodes,
-      s"metric tree has $n names > maxNodes=$maxNodes; raise the limit (and driver memory)")
-    val root = new Node
-    current.collect().foreach { row =>
-      insert(root, row.getString(0), row.getString(1))
-    }
-    new MetricTrie(root)
+    // persist across the guard count and the collect: one currentTree
+    // aggregation per refresh, not two
+    val current = MetricSearchOps.currentTree(tree).select("name", "status").persist()
+    try {
+      val n = current.count()
+      require(n <= maxNodes,
+        s"metric tree has $n names > maxNodes=$maxNodes; raise the limit (and driver memory)")
+      val root = new Node
+      current.collect().foreach { row =>
+        insert(root, row.getString(0), row.getString(1))
+      }
+      new MetricTrie(root)
+    } finally current.unpersist()
   }
 
   private def insert(root: Node, name: String, status: String): Unit = {

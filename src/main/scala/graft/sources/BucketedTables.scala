@@ -21,12 +21,19 @@ object BucketedTables {
   /** Write `points` (metric, value, timestamp, date, updated) as an
     * external bucketed table at `path`. `buckets` should approximate
     * cluster parallelism at the target scale — at 100 TB, thousands.
+    *
+    * Keeps `partitionBy("date")` alongside the buckets: date dirs are
+    * what the time-range predicate prunes AND what the retention
+    * compaction job discovers its work by (`jobs.Compaction` scans for
+    * `date=` dirs) — a bucketed-but-unpartitioned layout would silently
+    * disable both.
     */
   def writeBucketed(points: DataFrame, table: String, path: String, buckets: Int,
                     mode: SaveMode = SaveMode.Overwrite): Unit =
     points.write
       .mode(mode)
       .option("path", path)
+      .partitionBy("date")
       .bucketBy(buckets, "metric")
       .sortBy("metric", "timestamp")
       .format("parquet")

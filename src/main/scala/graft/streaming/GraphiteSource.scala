@@ -89,6 +89,7 @@ case class CountOffset(n: Long) extends Offset {
 class GraphiteMicroBatchStream(port: Int, name: String, capacity: Int = 1000000)
     extends MicroBatchStream {
   private val buffer = new java.util.ArrayList[(String, Int)]()
+  private val clients = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
   private var dropped = 0L // rows before buffer head (committed+trimmed, or lost on restart)
   private val rejects = GraphiteServerRegistry.dropCounter(name)
   private val running = new AtomicBoolean(true)
@@ -100,6 +101,7 @@ class GraphiteMicroBatchStream(port: Int, name: String, capacity: Int = 1000000)
     while (running.get()) {
       try {
         val sock = server.accept()
+        clients.add(sock)
         val t = new Thread(() => readLoop(sock), s"graphite-reader-${sock.getPort}")
         t.setDaemon(true)
         t.start()
@@ -120,7 +122,7 @@ class GraphiteMicroBatchStream(port: Int, name: String, capacity: Int = 1000000)
     val in = new BufferedReader(new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
     try {
       var line = in.readLine()
-      while (line != null && running.get()) {
+      while (line != null) {
         val now = (System.currentTimeMillis() / 1000).toInt
         // bounded buffer: reject-with-counter at capacity rather than
         // growing without limit and OOMing the driver (reference bounds
@@ -129,10 +131,13 @@ class GraphiteMicroBatchStream(port: Int, name: String, capacity: Int = 1000000)
           if (buffer.size < capacity) { buffer.add((line, now)); true } else false
         }
         if (!accepted) rejects.incrementAndGet()
-        line = in.readLine()
+        // check running BEFORE the next read, not after: a line already
+        // read when stop() flips the flag was received and must be
+        // buffered (or counted), never silently discarded
+        line = if (running.get()) in.readLine() else null
       }
     } catch { case _: Exception => () }
-    finally sock.close()
+    finally { try sock.close() catch { case _: Exception => () }; clients.remove(sock) }
   }
 
   override def initialOffset(): Offset = CountOffset(0L)
@@ -213,6 +218,11 @@ class GraphiteMicroBatchStream(port: Int, name: String, capacity: Int = 1000000)
   override def stop(): Unit = {
     running.set(false)
     try server.close() catch { case _: Exception => () }
+    // close accepted sockets too: reader threads blocked in readLine
+    // would otherwise linger (with their connections) until the client
+    // next sends or disconnects
+    clients.forEach(s => try s.close() catch { case _: Exception => () })
+    clients.clear()
   }
 }
 

@@ -117,14 +117,20 @@ final class IngestPipeline(
           df.write.mode("append").partitionBy("date").parquet(dataPath)
           treeNodesFor(df).write.mode("append").parquet(treePath)
         case Some(treeDf) =>
-          // current status of THIS batch's names only: semi-join bounds
-          // the aggregation by batch size, not tree size
-          val batchNames = df.select(col("metric").as("name")).distinct()
-          val current = treeDf.join(batchNames, Seq("name"), "left_semi")
+          // current status of THIS batch's names AND their ancestor dirs
+          // (semi-join bounds the aggregation by batch size, not tree
+          // size): the reference ban gate rejects a metric when ANY dir
+          // on its path is banned (`MetricTree.java:300-328`), so a
+          // banned subtree blocks new children too, not just exact names
+          val batchPaths = df.select(col("metric")).distinct()
+            .select(col("metric"), explode(ancestorsCol(col("metric"))).as("name"))
+          val current = treeDf
+            .join(batchPaths.select("name").distinct(), Seq("name"), "left_semi")
             .groupBy("name")
             .agg(max_by(col("status"), col("updated")).as("status"))
-          val banned = current.filter(col("status") === "BAN")
-            .select(col("name").as("metric"))
+          val banned = batchPaths
+            .join(current.filter(col("status") === "BAN"), Seq("name"), "left_semi")
+            .select("metric").distinct()
           val accepted = df.join(banned, Seq("metric"), "left_anti")
           accepted.write.mode("append").partitionBy("date").parquet(dataPath)
           val nodes = treeNodesFor(accepted)

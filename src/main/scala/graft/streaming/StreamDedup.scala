@@ -26,11 +26,18 @@ object StreamDedup {
     * stateful operator, which is what bounds the dedup state.
     */
   def dedupStream(docs: DataFrame, eventTimeCol: String, textCol: String = "text",
-                  watermark: String = "1 hour"): DataFrame =
+                  watermark: String = "1 hour"): DataFrame = {
+    // null text carries no content to dedup on: key those rows by a
+    // per-row uuid so they pass through instead of collapsing into one
+    // null-key group (replays may re-emit them — the at-least-once +
+    // read-side-dedup contract already covers that)
+    val key = coalesce(TextOps.fingerprint(col(textCol)), concat(lit("null:"), expr("uuid()")))
     docs
-      .withColumn("fp", TextOps.fingerprint(col(textCol)))
+      .withColumn("__graft_fp", key)
       .withWatermark(eventTimeCol, watermark)
-      .dropDuplicatesWithinWatermark(Seq("fp"))
+      .dropDuplicatesWithinWatermark(Seq("__graft_fp"))
+      .drop("__graft_fp")
+  }
 
   /** Variant keyed on an explicit id column (url/doc key dedup) instead
     * of content fingerprint.

@@ -14,11 +14,12 @@ class BucketedTablesSpec extends AnyFunSuite {
 
   test("metric-keyed dedup over the bucketed table is exchange-free") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    val d = java.sql.Date.valueOf("1970-01-01")
     val points = Seq(
-      ("m.a", 1.0, 100, 1), ("m.a", 2.0, 100, 5), // dup: updated=5 wins
-      ("m.b", 3.0, 100, 1), ("m.b", 4.0, 160, 2),
-      ("m.c", 9.0, 100, 1)
-    ).toDF("metric", "value", "timestamp", "updated")
+      ("m.a", 1.0, 100, d, 1), ("m.a", 2.0, 100, d, 5), // dup: updated=5 wins
+      ("m.b", 3.0, 100, d, 1), ("m.b", 4.0, 160, d, 2),
+      ("m.c", 9.0, 100, d, 1)
+    ).toDF("metric", "value", "timestamp", "date", "updated")
     val table = s"graft_bucketed_${System.nanoTime()}"
     BucketedTables.writeBucketed(points, table, s"$dir/data", buckets = 4)
     try {
@@ -34,6 +35,9 @@ class BucketedTablesSpec extends AnyFunSuite {
       assert(!rolled.queryExecution.executedPlan.toString.contains("Exchange"),
         "dedup->rollup chain must stay co-located")
       // correctness identical to the plain layout
+      // date partitioning survives alongside the buckets (compaction
+      // discovers its work by date= dirs)
+      assert(new java.io.File(s"$dir/data").listFiles().exists(_.getName.startsWith("date=")))
       val got = dedup.as[(String, Int, Double)].collect().toSet
       assert(got == Set(("m.a", 100, 2.0), ("m.b", 100, 3.0), ("m.b", 160, 4.0), ("m.c", 100, 9.0)))
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")

@@ -30,7 +30,10 @@ class MetricTrieSpec extends AnyFunSuite {
   private val queries = Seq(
     "a.cpu", "a.*", "*.cpu", "a.cpu.load?", "a.cpu.load[1-5]",
     "a.cpu.{load1,io_wait}", "a.{cpu,mem}", "?.c*u", "a.cpu.*",
-    "nope.*", "a.cpu.[", "*", "a"
+    "nope.*", "a.cpu.[", "*", "a",
+    // parity traps: escaped segment (backslash = not a literal name) and
+    // trailing extra dots (split drops them; level counting doesn't)
+    "a.cp\\u", "a.cpu..", "a.cpu.", "a.cpu.load1."
   )
 
   test("trie search equals relational search for every query family") {

@@ -124,6 +124,19 @@ class SeriesSampleSpec extends AnyFunSuite {
     assert(frameQ === colQ)
   }
 
+  test("non-Latin and null-text docs keep distinct fingerprint groups") {
+    val docs = Seq(
+      (1L, "привет мир"), (2L, "другой текст"),  // distinct Cyrillic docs
+      (3L, "привет мир"),                        // true dup of 1
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]),
+      (6L, "hello world"), (7L, "Hello, world!") // Latin: normalized dup
+    ).toDF("doc_id", "text")
+    val out = graft.ops.DedupOps.exactDedup(docs)
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    // {1,3} merge; 2 alone; null-text docs 4 and 5 stay separate; {6,7} merge
+    assert(out === Seq((1L, 2L), (2L, 1L), (4L, 1L), (5L, 1L), (6L, 2L)))
+  }
+
   test("deterministicKeep hits the exact bucket threshold for binary-inexact fractions") {
     val ids = (0L until 20000L).toDF("id")
     // 0.3 * 10000 = 2999.999... in double; truncation would lose bucket 2999

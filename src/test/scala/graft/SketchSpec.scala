@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tolerance self-checks for the sketch aggregations behind
+  * q48_sketches. Sketches aren't cross-engine comparable (the oracle
+  * records rows-only for q48), so THIS is their semantic gate: each
+  * approximation must land within its documented error envelope of the
+  * exact answer computed on the same data.
+  */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("approx_count_distinct within HLL++ relative error of exact NDV") {
+    // skewed synthetic: 40k rows over ~9.5k distinct keys
+    val df = spark.range(40000L)
+      .select((col("id") % 9511L * 2654435761L % 9973L).as("k"))
+    val exact = df.select(countDistinct(col("k"))).as[Long].head()
+    // default rsd = 0.05; allow 3 sigma
+    val approx = df.select(approx_count_distinct(col("k"))).as[Long].head()
+    val rel = math.abs(approx - exact).toDouble / exact
+    assert(rel < 0.15, s"approx NDV $approx vs exact $exact (rel err $rel)")
+  }
+
+  test("percentile_approx(accuracy=1000) within rank tolerance of exact median") {
+    // long-tailed distribution: value = id^1.5 mod large prime
+    val df = spark.range(50000L)
+      .select((pow(col("id").cast("double"), 1.5) % 104729.0).as("v"))
+    val exact = df.select(percentile(col("v"), lit(0.5))).as[Double].head()
+    val approx = df.select(percentile_approx(col("v"), lit(0.5), lit(1000))).as[Double].head()
+    // GK sketch guarantees rank error <= 1/accuracy; translate to a
+    // value band via the empirical quantiles one rank-tolerance away
+    val lo = df.select(percentile(col("v"), lit(0.5 - 2.0 / 1000))).as[Double].head()
+    val hi = df.select(percentile(col("v"), lit(0.5 + 2.0 / 1000))).as[Double].head()
+    assert(approx >= lo && approx <= hi,
+      s"approx p50 $approx outside rank band [$lo, $hi] (exact $exact)")
+  }
+
+  test("sketch aggregates merge correctly across partitions") {
+    // the same data split 1 vs 32 partitions must sketch identically
+    // (merge path ≡ single-partition path for deterministic sketches)
+    val base = spark.range(20000L).select((col("id") % 4096L).as("k"))
+    val one = base.coalesce(1).select(approx_count_distinct(col("k"))).as[Long].head()
+    val many = base.repartition(32).select(approx_count_distinct(col("k"))).as[Long].head()
+    assert(one === many, "HLL++ must be merge-invariant")
+  }
+}

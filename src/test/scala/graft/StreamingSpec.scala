@@ -90,6 +90,37 @@ class StreamingSpec extends AnyFunSuite {
       "AUTO_HIDDEN metric sending again reopens as SIMPLE")
   }
 
+  test("banning a directory blocks NEW child metrics too (ancestor gate)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dirban").toString
+    val pipe = new IngestPipeline(dataPath = s"$dir/data", treePath = s"$dir/tree")
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val q = pipe.start(source.toDS(), s"$dir/ckpt")
+    try {
+      source.addData("one_min.spam.first.requests 1.0 1542199560")
+      q.processAllAvailable()
+      Thread.sleep(1200)
+      val now = System.currentTimeMillis() / 1000
+      // ban the DIR, not any metric name
+      Seq(("one_min.spam.", 2, "one_min.", "BAN", now))
+        .toDF("name", "level", "parent", "status", "updated")
+        .write.mode("append").parquet(s"$dir/tree")
+      Thread.sleep(1200)
+      source.addData(
+        "one_min.spam.first.requests 2.0 1542199620", // existing child: dropped
+        "one_min.spam.brandnew.requests 3.0 1542199620", // NEW child: dropped
+        "one_min.fine.x.requests 4.0 1542199620")
+      q.processAllAvailable()
+    } finally q.stop()
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.filter($"metric".startsWith("one_min.spam.")).count() == 1,
+      "only the pre-ban point survives under the banned dir")
+    assert(data.filter($"metric" === "one_min.fine.x.requests").count() == 1)
+    // no tree node was created for the new child under the banned dir
+    val names = spark.read.parquet(s"$dir/tree").select("name").as[String].collect().toSet
+    assert(!names.contains("one_min.spam.brandnew.requests"))
+  }
+
   test("ancestor/level/parent column expressions") {
     val pipe = new IngestPipeline(dataPath = "/tmp/x", treePath = "/tmp/y")
     val df = Seq("a.b.c", "solo").toDF("name")
