@@ -11,23 +11,29 @@ class GraphOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
-  test("chain and triangle collapse to min-id components") {
+  test("chain and triangle collapse to min-id components (both strategies)") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
     val edges = Seq(
       (2L, 1L), (2L, 3L), (4L, 3L), // chain, mixed direction
       (10L, 11L), (11L, 12L), (10L, 12L),
       (21L, 20L)
     ).toDF("id_a", "id_b")
-    val got = GraphOps.connectedComponents(edges)
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // driver union-find path (default threshold) and distributed
+    // propagation path (threshold 0) must agree exactly
+    val viaDriver = GraphOps.connectedComponents(edges)
       .as[(Long, Long)].collect().toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val viaPropagation = GraphOps.connectedComponents(edges, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver === expect)
+    assert(viaPropagation === expect)
   }
 
   test("long chain needs >1 iteration and still converges") {
     val n = 30
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
-    val got = GraphOps.connectedComponents(edges, maxIter = 64)
+    val got = GraphOps.connectedComponents(edges, maxIter = 64, driverThreshold = 0L)
       .as[(Long, Long)].collect()
     assert(got.length === n)
     assert(got.forall(_._2 == 1L))
@@ -41,14 +47,16 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got === Seq((2L, 3L, "2,5,9"), (7L, 2L, "7,8")))
   }
 
-  test("empty edge list yields empty components") {
+  test("empty edge list yields empty components (both strategies)") {
     val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(GraphOps.connectedComponents(edges).count() === 0)
+    assert(GraphOps.connectedComponents(edges, driverThreshold = 0L).count() === 0)
   }
 
   test("exhausting maxIter fails loudly instead of returning split components") {
     val edges = (1 until 20).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
-    intercept[IllegalStateException](GraphOps.connectedComponents(edges, maxIter = 3))
+    intercept[IllegalStateException](
+      GraphOps.connectedComponents(edges, maxIter = 3, driverThreshold = 0L))
   }
 
   test("non-integral vertex ids are rejected, not silently dropped") {
