@@ -80,6 +80,22 @@ private[graft] object OpsEntries {
         SimilarityOps.cellCentroids(e), k = 10, nprobe = 2)
     }),
 
+    // Repetition signals (Gopher-rules family): distinct-token ratio,
+    // most-common-token fraction, duplicate-bigram fraction.
+    "q58_repetition" -> ((s, dir) => TextOps.repetitionFrame(t(s, dir, "documents"))),
+
+    // Per-source corpus curation rollup: quality scores composed into
+    // the keep/flag decision table a pipeline applies per source.
+    "q59_source_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.qualityFrame(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("quality_score")), 4).as("mean_quality"),
+          sum(when(col("quality_score") < 0.5, 1L).otherwise(0L)).as("low_quality_docs"))
+    }),
+
     // Corpus vocabulary by document frequency: the explode→aggregate→
     // top-k shape every tokenizer-training / df-filter pass uses.
     "q56_vocab_df" -> ((s, dir) =>
@@ -177,6 +193,30 @@ private[graft] object OpsEntries {
   private val langValues = TextOps.langMarkers.toSeq.sortBy(_._1).map { case (l, ws) =>
     s"('$l', ${ws.map(w => s"'$w'").mkString("[", ",", "]")})"
   }.mkString(", ")
+
+  /** q26's full SQL, shared as a CTE body by q59's per-source rollup. */
+  private val q26Sql: String = {
+    val en = TextOps.langMarkers("en").map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len($toksExpr) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '[!-/:-@[-`{-~]')) AS DOUBLE) AS punct,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+       |    CAST(len(list_filter(list_distinct($toksExpr), t -> list_contains($en, t))) AS DOUBLE) AS stop_hits
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_chars, n_tokens,
+       |    round(CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END, 4) AS punct_ratio,
+       |    round(CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END, 4) AS alpha_ratio,
+       |    round(CASE WHEN n_tokens > 0 THEN stop_hits / 10.0 ELSE 0.0 END, 4) AS stopword_ratio,
+       |    round(CASE WHEN n_tokens > 0 THEN alpha / n_tokens ELSE 0.0 END, 4) AS mean_word_len
+       |  FROM f)
+       |SELECT doc_id, n_chars, n_tokens, punct_ratio, alpha_ratio, stopword_ratio, mean_word_len,
+       |  round(least(n_chars / 200.0, 1.0) * 0.25 + alpha_ratio * 0.35
+       |        + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.2 + stopword_ratio * 0.2, 4) AS quality_score
+       |FROM r""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q20_exact_dedup" ->
@@ -300,28 +340,31 @@ private[graft] object OpsEntries {
          |FROM best WHERE r = 1""".stripMargin
     },
 
-    "q26_quality" -> {
-      val en = TextOps.langMarkers("en").map(w => s"'$w'").mkString("[", ",", "]")
-      s"""WITH f AS (
-         |  SELECT doc_id,
-         |    CAST(length(text) AS BIGINT) AS n_chars,
-         |    CAST(len($toksExpr) AS BIGINT) AS n_tokens,
-         |    CAST(len(regexp_extract_all(text, '[!-/:-@[-`{-~]')) AS DOUBLE) AS punct,
-         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
-         |    CAST(len(list_filter(list_distinct($toksExpr), t -> list_contains($en, t))) AS DOUBLE) AS stop_hits
-         |  FROM documents),
-         |r AS (
-         |  SELECT doc_id, n_chars, n_tokens,
-         |    round(CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END, 4) AS punct_ratio,
-         |    round(CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END, 4) AS alpha_ratio,
-         |    round(CASE WHEN n_tokens > 0 THEN stop_hits / 10.0 ELSE 0.0 END, 4) AS stopword_ratio,
-         |    round(CASE WHEN n_tokens > 0 THEN alpha / n_tokens ELSE 0.0 END, 4) AS mean_word_len
-         |  FROM f)
-         |SELECT doc_id, n_chars, n_tokens, punct_ratio, alpha_ratio, stopword_ratio, mean_word_len,
-         |  round(least(n_chars / 200.0, 1.0) * 0.25 + alpha_ratio * 0.35
-         |        + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.2 + stopword_ratio * 0.2, 4) AS quality_score
-         |FROM r""".stripMargin
-    },
+    "q26_quality" -> q26Sql,
+
+    "q58_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksExpr) AS t FROM documents),
+         |f AS (SELECT doc_id, t, count(*) AS c FROM tk GROUP BY 1, 2),
+         |ta AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS ndis, max(c) AS top FROM f GROUP BY 1),
+         |tl AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |bg AS (SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1])) AS b
+         |       FROM tl),
+         |ba AS (SELECT doc_id, count(*) AS btot, count(DISTINCT b) AS bdis FROM bg GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(n_tokens, 0) AS n_tokens,
+         |  round(CASE WHEN n_tokens > 0 THEN ndis / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 4) AS distinct_ratio,
+         |  round(CASE WHEN n_tokens > 0 THEN top / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 4) AS top_token_ratio,
+         |  round(CASE WHEN btot > 0 THEN 1.0 - bdis / CAST(btot AS DOUBLE) ELSE 0.0 END, 4) AS dup_bigram_ratio
+         |FROM documents d LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)""".stripMargin,
+
+    "q59_source_quality" ->
+      s"""WITH q AS ($q26Sql)
+         |SELECT source, count(*) AS n_docs,
+         |  round(avg(quality_score), 4) AS mean_quality,
+         |  sum(CASE WHEN quality_score < 0.5 THEN 1 ELSE 0 END) AS low_quality_docs
+         |FROM documents JOIN q USING (doc_id)
+         |GROUP BY source""".stripMargin,
 
     "q27_token_counts" ->
       s"""SELECT doc_id,

@@ -229,6 +229,47 @@ object TextOps {
     )
   }
 
+  /** Repetition signals over a whole frame (the Gopher-rules family of
+    * quality filters: heavily-repeated content marks low-quality or
+    * templated text). Output per doc: n_tokens, distinct_ratio
+    * (|distinct|/|tokens|), top_token_ratio (most-common-token
+    * fraction), dup_bigram_ratio (1 − |distinct bigrams|/|bigrams|),
+    * each rounded to 4 decimals. Shapes: one token explode feeding two
+    * hash aggregations, one bigram explode feeding one — all
+    * partial-aggregated, keyed by doc id.
+    */
+  def repetitionFrame(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("__n"))
+    val tokFreq = base.select(col(idCol), explode(col("__toks")).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("__ndis"),
+        max(col("__c")).as("__top"))
+    val bigrams = base.select(col(idCol),
+      when(col("__n") >= 2,
+        transform(sequence(lit(1), col("__n") - 1),
+          i => concat_ws(" ", element_at(col("__toks"), i), element_at(col("__toks"), i + 1))))
+        .otherwise(array().cast("array<string>")).as("__bigs"))
+    val bigAgg = bigrams.select(col(idCol), explode(col("__bigs")).as("__b"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("__btot"),
+        count_distinct(col("__b")).as("__bdis"))
+    docs.select(col(idCol))
+      .join(tokFreq, Seq(idCol), "left")
+      .join(bigAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(when(col("n_tokens") > 0, col("__ndis").cast("double") / col("n_tokens"))
+          .otherwise(0.0), 4).as("distinct_ratio"),
+        round(when(col("n_tokens") > 0, col("__top").cast("double") / col("n_tokens"))
+          .otherwise(0.0), 4).as("top_token_ratio"),
+        round(when(col("__btot") > 0, lit(1.0) - col("__bdis").cast("double") / col("__btot"))
+          .otherwise(0.0), 4).as("dup_bigram_ratio"))
+  }
+
   /** PII redaction patterns, applied in order (specific → general so an
     * email's digits don't first get eaten by the number rule). Plain
     * regex classes only — no lookarounds — so the same patterns run
