@@ -345,7 +345,7 @@ private[graft] object OpsEntries {
     "q58_repetition" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksExpr) AS t FROM documents),
          |f AS (SELECT doc_id, t, count(*) AS c FROM tk GROUP BY 1, 2),
-         |ta AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS ndis, max(c) AS top FROM f GROUP BY 1),
+         |ta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS ndis, max(c) AS top FROM f GROUP BY 1),
          |tl AS (SELECT doc_id, $toksExpr AS toks FROM documents),
          |bg AS (SELECT doc_id,
          |         unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1])) AS b
@@ -362,7 +362,7 @@ private[graft] object OpsEntries {
       s"""WITH q AS ($q26Sql)
          |SELECT source, count(*) AS n_docs,
          |  round(avg(quality_score), 4) AS mean_quality,
-         |  sum(CASE WHEN quality_score < 0.5 THEN 1 ELSE 0 END) AS low_quality_docs
+         |  CAST(sum(CASE WHEN quality_score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS low_quality_docs
          |FROM documents JOIN q USING (doc_id)
          |GROUP BY source""".stripMargin,
 

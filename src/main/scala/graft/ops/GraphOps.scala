@@ -21,11 +21,14 @@ object GraphOps {
     *
     * Strategy selection mirrors broadcast-vs-shuffle joins: the edge
     * list is ALREADY materialized (localCheckpoint) when counted, so the
-    * check is free. Below `driverThreshold` edges, a driver-side
-    * union-find finishes in one pass — the dup graph after candidate
-    * filtering is a vanishing fraction of the corpus, exactly the
-    * "small side" case. Above it, iterative min-label propagation: each
-    * round is ONE shuffle keyed by vertex id (neighbor labels + own
+    * check is free. At or below `driverThreshold` INPUT edges, a
+    * driver-side union-find finishes in one pass — the dup graph after
+    * candidate filtering is a vanishing fraction of the corpus, exactly
+    * the "small side" case. Driver heap holds the boxed edge array plus
+    * a per-vertex map while it runs (~100 bytes/edge) — the default 1M
+    * stays ~100 MB; raise it only with driver memory to match.
+    * Above it, iterative min-label propagation: each round is ONE
+    * shuffle keyed by vertex id (neighbor labels + own
     * label, min-combined map-side), lineage cut per round, convergence
     * from a scalar label-sum aggregate. Rounds = component diameter
     * (near-dup graphs are shallow); the propagation REFUSES on maxIter
@@ -36,7 +39,7 @@ object GraphOps {
     * shape, O(log n) rounds.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a", dstCol: String = "id_b",
-                          maxIter: Int = 50, driverThreshold: Long = 5000000L): DataFrame = {
+                          maxIter: Int = 50, driverThreshold: Long = 1000000L): DataFrame = {
     // fail fast on non-integral id columns: a silent cast("long") would
     // turn string/UUID ids into nulls and report zero components
     Seq(srcCol, dstCol).foreach { c =>
@@ -52,7 +55,8 @@ object GraphOps {
     val e = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint()
-    if (e.count() <= driverThreshold) {
+    // e is symmetrized (2 rows per input edge): compare input-edge count
+    if (e.count() / 2 <= driverThreshold) {
       // union-find with path compression over the collected edges
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -103,7 +107,7 @@ object GraphOps {
     * sorted member list — the decision table a dedup job applies.
     */
   def dupClusters(edges: DataFrame, srcCol: String = "id_a", dstCol: String = "id_b",
-                  maxIter: Int = 50, driverThreshold: Long = 5000000L): DataFrame =
+                  maxIter: Int = 50, driverThreshold: Long = 1000000L): DataFrame =
     connectedComponents(edges, srcCol, dstCol, maxIter, driverThreshold)
       .groupBy(col("component").as("keep_id"))
       .agg(count(lit(1)).cast("long").as("cluster_size"),

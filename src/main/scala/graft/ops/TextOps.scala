@@ -248,12 +248,16 @@ object TextOps {
         sum(col("__c")).as("n_tokens"),
         count(lit(1)).as("__ndis"),
         max(col("__c")).as("__top"))
-    val bigrams = base.select(col(idCol),
-      when(col("__n") >= 2,
-        transform(sequence(lit(1), col("__n") - 1),
-          i => concat_ws(" ", element_at(col("__toks"), i), element_at(col("__toks"), i + 1))))
-        .otherwise(array().cast("array<string>")).as("__bigs"))
-    val bigAgg = bigrams.select(col(idCol), explode(col("__bigs")).as("__b"))
+    // explode positions, index with codegen'd element_at — no interpreted
+    // transform() lambda (the HOF trap); greatest(...,1) + the i < n
+    // filter sidestep Spark's descending sequence(1, 0)
+    val bigAgg = base
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(1), greatest(col("__n") - 1, lit(1)))).as("__i"))
+      .filter(col("__i") < col("__n"))
+      .select(col(idCol), concat_ws(" ",
+        element_at(col("__toks"), col("__i")),
+        element_at(col("__toks"), col("__i") + 1)).as("__b"))
       .groupBy(col(idCol)).agg(
         count(lit(1)).as("__btot"),
         count_distinct(col("__b")).as("__bdis"))

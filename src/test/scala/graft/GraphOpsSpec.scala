@@ -50,7 +50,8 @@ class GraphOpsSpec extends AnyFunSuite {
   test("empty edge list yields empty components (both strategies)") {
     val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(GraphOps.connectedComponents(edges).count() === 0)
-    assert(GraphOps.connectedComponents(edges, driverThreshold = 0L).count() === 0)
+    // -1: even the empty (0-edge) list routes to the propagation branch
+    assert(GraphOps.connectedComponents(edges, driverThreshold = -1L).count() === 0)
   }
 
   test("exhausting maxIter fails loudly instead of returning split components") {
