@@ -38,6 +38,19 @@ private[graft] object RelEntries {
         .withColumn("asof_value", round(col("asof_value"), 4))
     }),
 
+    // Forward as-of with tolerance (pandas merge_asof surface): nearest
+    // event AT OR AFTER each probe, nulled when farther than 1 hour.
+    "q60_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .groupBy(col("user_id"), col("sec"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      val probes = ev.select("user_id").distinct()
+        .select(col("user_id"), explode(lit(ProbeTimes.toArray)).as("probe_ts"))
+      RelOps.asofJoin(probes, ev, Seq("user_id"), "probe_ts", "sec", "value",
+          direction = "forward", toleranceSeconds = 3600L)
+        .withColumn("asof_value", round(col("asof_value"), 4))
+    }),
+
     // Interval join: event counts/averages per maintenance window,
     // bucket-blocked equi-join (no nested-loop product).
     "q40_range_join" -> ((s, dir) => {
@@ -163,6 +176,19 @@ private[graft] object RelEntries {
          |SELECT p.user_id, p.probe_ts, round(e.value, 4) AS asof_value
          |FROM probes p ASOF LEFT JOIN ev e
          |  ON p.user_id = e.user_id AND p.probe_ts >= e.sec""".stripMargin,
+
+    "q60_asof_forward" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         |         arg_max(value, event_id) AS value
+         |  FROM events GROUP BY 1, 2),
+         |probes AS (SELECT DISTINCT user_id, unnest([${ProbeTimes.mkString(", ")}]) AS probe_ts
+         |           FROM ev)
+         |SELECT p.user_id, p.probe_ts,
+         |  round(CASE WHEN e.sec IS NOT NULL AND e.sec - p.probe_ts <= 3600
+         |        THEN e.value END, 4) AS asof_value
+         |FROM probes p ASOF LEFT JOIN ev e
+         |  ON p.user_id = e.user_id AND p.probe_ts <= e.sec""".stripMargin,
 
     "q40_range_join" ->
       s"""WITH iv(window_id, w_start, w_end) AS (VALUES $windowValues),

@@ -12,23 +12,29 @@ import org.apache.spark.sql.functions._
   */
 object RelOps {
 
-  /** As-of (backward) join: for every probe row, the right-side value
-    * with the greatest `rightTimeCol <= leftTimeCol` within the same
-    * key group; null when no such row (ASOF LEFT JOIN semantics).
+  /** As-of join: for every probe row, the nearest right-side value at or
+    * before (`direction = "backward"`, default) or at or after
+    * (`"forward"`) the probe time within the same key group; null when
+    * no such row (ASOF LEFT JOIN semantics). `toleranceSeconds >= 0`
+    * additionally nulls matches farther than the tolerance (pandas
+    * merge_asof's `tolerance`); negative means unlimited.
     *
     * Implementation: union probes and events, one window pass per key
-    * ordered by (time, side) with `last(value) ignoreNulls` carrying the
-    * most recent event value forward onto each probe. ONE shuffle on the
-    * keys — no per-key cross product, no range-join explosion; skewed
-    * keys are handled by AQE like any other window shuffle. Events tied
-    * on the same timestamp must be pre-deduped (e.g. max_by a version
-    * column) for deterministic output.
+    * ordered by (time, side) with `last`/`first (value) ignoreNulls`
+    * carrying the nearest event value onto each probe. ONE shuffle on
+    * the keys — no per-key cross product, no range-join explosion;
+    * skewed keys are handled by AQE like any other window shuffle.
+    * Events tied on the same timestamp must be pre-deduped (e.g. max_by
+    * a version column) for deterministic output.
     *
     * `left` columns: keys :+ leftTimeCol. Output: keys, leftTimeCol,
     * asof_value.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTimeCol: String, rightTimeCol: String, valueCol: String): DataFrame = {
+               leftTimeCol: String, rightTimeCol: String, valueCol: String,
+               direction: String = "backward", toleranceSeconds: Long = -1L): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin direction must be backward|forward, got '$direction'")
     val probes = left.select(
       keys.map(col) ++ Seq(col(leftTimeCol).cast("long").as("__t"),
         lit(1).as("__probe"),
@@ -47,15 +53,29 @@ object RelOps {
           // rather than be skipped in favor of an older non-null value
           struct(col(rightTimeCol).cast("long").as("t"),
             col(valueCol).cast("double").as("v")).as("__evt")): _*)
-    // events sort before probes at equal time → the match is inclusive
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__probe"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val part = Window.partitionBy(keys.map(col): _*)
+    // ordering puts the event on the probe's side of the frame at equal
+    // time → the match is inclusive in both directions
+    val matched =
+      if (direction == "backward")
+        last(col("__evt"), ignoreNulls = true).over(
+          part.orderBy(col("__t"), col("__probe"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      else
+        first(col("__evt"), ignoreNulls = true).over(
+          part.orderBy(col("__t"), col("__probe").desc)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val dist =
+      if (direction == "backward") col("__t") - col("__m").getField("t")
+      else col("__m").getField("t") - col("__t")
+    val value =
+      if (toleranceSeconds < 0) col("__m").getField("v")
+      else when(dist <= toleranceSeconds, col("__m").getField("v"))
     probes.unionByName(events)
-      .withColumn("__last", last(col("__evt"), ignoreNulls = true).over(w))
+      .withColumn("__m", matched)
       .filter(col("__probe") === 1)
       .select(keys.map(col) ++ Seq(col("__t").as(leftTimeCol),
-        col("__last").getField("v").as("asof_value")): _*)
+        value.as("asof_value")): _*)
   }
 
   /** Interval (range) join: every (event, interval) pair with

@@ -36,6 +36,34 @@ class RelOpsSpec extends AnyFunSuite {
     assert(out == Set((1, 25L, None)))
   }
 
+  test("asofJoin forward: inclusive nearest-following match") {
+    val right = Seq((1, 10L, 1.0), (1, 20L, 2.0), (2, 15L, 5.0))
+      .toDF("k", "ts", "value")
+    val left = Seq((1, 5L), (1, 10L), (1, 25L), (2, 16L))
+      .toDF("k", "t")
+    val out = RelOps.asofJoin(left, right, Seq("k"), "t", "ts", "value",
+        direction = "forward")
+      .as[(Int, Long, Option[Double])].collect().toSet
+    assert(out == Set(
+      (1, 5L, Some(1.0)),   // nearest following
+      (1, 10L, Some(1.0)),  // equal timestamp matches (inclusive)
+      (1, 25L, None),       // nothing follows
+      (2, 16L, None)))      // other key's events invisible
+  }
+
+  test("asofJoin tolerance: matches farther than the tolerance become null") {
+    val right = Seq((1, 10L, 1.0), (1, 100L, 2.0)).toDF("k", "ts", "value")
+    val left = Seq((1, 12L), (1, 90L)).toDF("k", "t")
+    val back = RelOps.asofJoin(left, right, Seq("k"), "t", "ts", "value",
+        toleranceSeconds = 5L)
+      .as[(Int, Long, Option[Double])].collect().toSet
+    assert(back == Set((1, 12L, Some(1.0)), (1, 90L, None))) // 90-10=80 > 5
+    val fwd = RelOps.asofJoin(left, right, Seq("k"), "t", "ts", "value",
+        direction = "forward", toleranceSeconds = 15L)
+      .as[(Int, Long, Option[Double])].collect().toSet
+    assert(fwd == Set((1, 12L, None), (1, 90L, Some(2.0)))) // 100-12=88 > 15
+  }
+
   test("overlapJoin: inverted/empty intervals match nothing (no bucket explosion)") {
     val ev = Seq((100L, "a")).toDF("t", "tag")
     val iv = Seq((1, 200L, 100L), (2, 100L, 100L), (3, 50L, 150L))
