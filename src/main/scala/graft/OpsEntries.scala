@@ -111,6 +111,12 @@ private[graft] object OpsEntries {
         .select(col("lang"), graft.ops.SampleOps.assignSplit(col("doc_id")).as("split"))
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))),
 
+    // Exact per-language quota by hash order: the reproducible
+    // stratified-eval-set selection (same rows on every run/layout).
+    "q61_group_quota" -> ((s, dir) =>
+      graft.ops.SampleOps.groupQuota(t(s, dir, "documents"), "lang", "doc_id", 25)
+        .select(col("lang"), col("doc_id"))),
+
     // Dup clusters: connected components over the LSH candidate graph —
     // transitively-linked near-dups collapse to one canonical keep doc.
     "q54_dup_clusters" -> ((s, dir) => {
@@ -287,6 +293,15 @@ private[graft] object OpsEntries {
         |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
         |      FROM documents)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q61_group_quota" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000000,
+        |        doc_id) AS r
+        |  FROM documents)
+        |WHERE r <= 25""".stripMargin,
 
     "q54_dup_clusters" ->
       s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},

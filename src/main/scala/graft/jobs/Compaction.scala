@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   * rewrite), output is written sorted by (metric, timestamp) so parquet
   * row-group min/max stats give primary-key-range skipping on reads
   * (the MergeTree ORDER BY equivalent, SURVEY §4 P2).
+  *
+  * LAYOUT CONTRACT: applies to the PATH-BASED `date=` parquet layout.
+  * A catalog-bucketed table (`sources.BucketedTables`) must NOT have
+  * its files rewritten in place — bucket metadata lives in the catalog
+  * and the rewritten files would no longer be bucket-hashed; compact a
+  * bucketed table by rewriting the aged partitions through
+  * `writeBucketed` (insert-overwrite by partition) instead.
   */
 final class Compaction(resolver: RetentionResolver) extends Serializable {
 

@@ -40,4 +40,21 @@ object SampleOps {
     // round, not truncate: 0.3 * 10000 is 2999.999... in binary
     hashBucket(id, 10000) < math.round(fraction * 10000)
   }
+
+  /** Deterministic per-group quota: at most `n` rows per group, chosen
+    * by hash order (id as the tie-break) — a reproducible stratified
+    * sample with exact quotas ("5k eval docs per language"). One window
+    * sort per group; for quota ≪ group size at extreme scale, pre-filter
+    * with [[deterministicKeep]] at a safely-above-quota fraction first
+    * so the sort ranks a small superset instead of the full corpus.
+    */
+  def groupQuota(df: org.apache.spark.sql.DataFrame, groupCol: String, idCol: String,
+                 n: Int): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"quota must be positive: $n")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol), 1000000000), col(idCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= n)
+      .drop("__rank")
+  }
 }

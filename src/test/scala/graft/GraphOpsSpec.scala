@@ -64,4 +64,27 @@ class GraphOpsSpec extends AnyFunSuite {
     val edges = Seq(("a", "b")).toDF("id_a", "id_b")
     intercept[IllegalArgumentException](GraphOps.connectedComponents(edges))
   }
+
+  test("random graphs: both strategies agree and satisfy CC invariants") {
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { round =>
+      val nV = 40 + round * 30
+      val edgeList = (0 until nV).map(_ =>
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+      val edges = edgeList.toDF("id_a", "id_b")
+      val viaDriver = GraphOps.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      val viaProp = GraphOps.connectedComponents(edges, maxIter = 200, driverThreshold = -1L)
+        .as[(Long, Long)].collect().toMap
+      assert(viaDriver === viaProp, s"strategies disagree (round $round)")
+      // invariant 1: both endpoints of every edge share a component
+      edgeList.foreach { case (a, b) =>
+        assert(viaDriver(a) === viaDriver(b), s"edge ($a,$b) split (round $round)")
+      }
+      // invariant 2: each component's label is its minimum member
+      viaDriver.groupBy(_._2).foreach { case (label, members) =>
+        assert(members.keys.min === label, s"label $label not min (round $round)")
+      }
+    }
+  }
 }
