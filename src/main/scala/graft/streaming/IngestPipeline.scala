@@ -114,7 +114,12 @@ final class IngestPipeline(
           }
       tree match {
         case None =>
-          df.write.mode("append").partitionBy("date").parquet(dataPath)
+          // sort each written part by (metric, timestamp) — MergeTree
+          // sorts every inserted part the same way; parquet row-group
+          // min/max stats then give key-range skipping on fresh data,
+          // not just compacted partitions
+          df.sortWithinPartitions("metric", "timestamp")
+            .write.mode("append").partitionBy("date").parquet(dataPath)
           treeNodesFor(df).write.mode("append").parquet(treePath)
         case Some(treeDf) =>
           // current status of THIS batch's names AND their ancestor dirs
@@ -132,7 +137,8 @@ final class IngestPipeline(
             .join(current.filter(col("status") === "BAN"), Seq("name"), "left_semi")
             .select("metric").distinct()
           val accepted = df.join(banned, Seq("metric"), "left_anti")
-          accepted.write.mode("append").partitionBy("date").parquet(dataPath)
+          accepted.sortWithinPartitions("metric", "timestamp")
+            .write.mode("append").partitionBy("date").parquet(dataPath)
           val nodes = treeNodesFor(accepted)
           val newNodes =
             nodes.join(treeDf.select("name").distinct(), Seq("name"), "left_anti")
