@@ -27,16 +27,19 @@ object GraphOps {
     * the "small side" case. Driver heap holds the boxed edge array plus
     * a per-vertex map while it runs (~100 bytes/edge) — the default 1M
     * stays ~100 MB; raise it only with driver memory to match.
-    * Above it, iterative min-label propagation: each round is ONE
-    * shuffle keyed by vertex id (neighbor labels + own
-    * label, min-combined map-side), lineage cut per round, convergence
-    * from a scalar label-sum aggregate. Rounds = component diameter
-    * (near-dup graphs are shallow); the propagation REFUSES on maxIter
-    * exhaustion rather than returning silently split components —
-    * adversarially deep graphs call for the alternating
-    * large-star/small-star rounds (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", SoCC'14), same per-round
-    * shape, O(log n) rounds.
+    * Above it, iterative min-label propagation WITH POINTER JUMPING:
+    * each round takes the min over the vertex's own label, its
+    * neighbors' labels, and its label's label (`l(l(v))` — one extra
+    * self-join on the label table). The jump doubles how far the
+    * minimum has travelled each round, so rounds are O(log diameter)
+    * rather than O(diameter) — long chains (the adversarial case for
+    * plain propagation, cf. Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) converge in tens of rounds at any
+    * realistic scale. Per round: one shuffle for the neighbor min
+    * (map-side combined), one for the jump join, lineage cut by
+    * localCheckpoint, convergence from a scalar label-sum aggregate.
+    * REFUSES on maxIter exhaustion rather than returning silently
+    * split components.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a", dstCol: String = "id_b",
                           maxIter: Int = 50, driverThreshold: Long = 1000000L): DataFrame = {
@@ -82,10 +85,14 @@ object GraphOps {
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
-        // neighbor labels ∪ own label → min per vertex: one shuffle
-        labels = e.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        // min over: own label, neighbors' labels, and the label's label
+        // (pointer jump — labels are vertex ids, so l(v) has its own row)
+        val neigh = e.join(labels.withColumnRenamed("id", "src"), Seq("src"))
           .select(col("dst").as("id"), col("label"))
-          .union(labels)
+        val jump = labels.as("a")
+          .join(labels.select(col("id").as("label"), col("label").as("ll")), Seq("label"))
+          .select(col("id"), col("ll").as("label"))
+        labels = neigh.union(jump).union(labels)
           .groupBy("id").agg(min("label").as("label"))
           .localCheckpoint()
         val s = labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)

@@ -30,10 +30,11 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(viaPropagation === expect)
   }
 
-  test("long chain needs >1 iteration and still converges") {
-    val n = 30
+  test("pointer jumping: a 300-deep chain converges in O(log n) rounds") {
+    val n = 300
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
-    val got = GraphOps.connectedComponents(edges, maxIter = 64, driverThreshold = 0L)
+    // plain propagation would need ~300 rounds; the jump needs ~log2(300)+slack
+    val got = GraphOps.connectedComponents(edges, maxIter = 20, driverThreshold = 0L)
       .as[(Long, Long)].collect()
     assert(got.length === n)
     assert(got.forall(_._2 == 1L))
@@ -55,7 +56,7 @@ class GraphOpsSpec extends AnyFunSuite {
   }
 
   test("exhausting maxIter fails loudly instead of returning split components") {
-    val edges = (1 until 20).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val edges = (1 until 2000).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
     intercept[IllegalStateException](
       GraphOps.connectedComponents(edges, maxIter = 3, driverThreshold = 0L))
   }
