@@ -130,9 +130,18 @@ private[graft] object OpsEntries {
     // higher id of each confirmed pair → corpus keep/drop summary.
     "q37_dedup_decision" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val confirmed = DedupOps.jaccardVerify(DedupOps.minHashCandidates(docs), docs)
-        .filter(col("jaccard") >= 0.8)
-      val dropped = confirmed.select(col("id_b").as("doc_id")).distinct()
+      // threshold via HAVING-shape (max per id_b, filter above the agg):
+      // a plain `.filter(jaccard >= 0.8)` collapses into the verify
+      // join's condition, where the substituted predicate evaluates the
+      // sorted-intersect walk ~3x per pair (inter appears in the union
+      // size, the ratio, and its guard). The aggregation is a pushdown
+      // barrier, so jaccard is computed ONCE per pair; `max >= t` keeps
+      // exactly the ids of `distinct id_b where jaccard >= t`.
+      val verified = DedupOps.jaccardVerify(DedupOps.minHashCandidates(docs), docs)
+      val dropped = verified.groupBy(col("id_b"))
+        .agg(max(col("jaccard")).as("max_jaccard"))
+        .filter(col("max_jaccard") >= 0.8)
+        .select(col("id_b").as("doc_id"))
       docs.join(dropped, Seq("doc_id"), "left_anti")
         .groupBy("lang")
         .agg(count(lit(1)).as("kept"))
@@ -149,6 +158,18 @@ private[graft] object OpsEntries {
 
   private val shingles8 =
     s"CASE WHEN len(norm) < 8 THEN [norm] ELSE list_distinct(list_transform(generate_series(1, len(norm)-7), i -> substr(norm, i, 8))) END"
+
+  /** Base-38 code of an 8-shingle, positionally: the independent SQL
+    * re-statement of `ShingleCodes.codes` / `gramCode` (' '→1,
+    * '0'-'9'→2-11, 'a'-'z'→12-37, absent→0). Bijective with the
+    * shingle, so these ARE the MinHash base hashes.
+    */
+  private def base38Sql(g: String): String =
+    (1 to 8).map { i =>
+      val a = s"ascii(substr($g, $i, 1))"
+      val p = graft.functions.ShingleCodes.pow38(8 - i)
+      s"(CASE WHEN $a = 0 THEN 0 WHEN $a = 32 THEN 1 WHEN $a <= 57 THEN $a - 46 ELSE $a - 85 END * CAST($p AS BIGINT))"
+    }.mkString("(", " + ", ")")
 
   private val sigExprs =
     (0 until 16).map { i =>
@@ -167,7 +188,7 @@ private[graft] object OpsEntries {
   private val minhashCtes =
     s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents),
        |sh AS (SELECT doc_id, $shingles8 AS s FROM n),
-       |bh AS (SELECT doc_id, list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)) AS hs FROM sh),
+       |bh AS (SELECT doc_id, list_transform(s, x -> ${base38Sql("x")}) AS hs FROM sh),
        |sig AS (SELECT doc_id, $sigExprs FROM bh),
        |banded AS (SELECT doc_id, $sigList AS sig, unnest($bandExprs) AS band FROM sig),
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -84,21 +84,19 @@ object DedupOps {
 
   /** MinHash prime modulus and per-permutation universal-hash
     * coefficients `h_i(x) = (a_i * x + b_i) mod P` with P the first prime
-    * above 2^32. One md5 per shingle yields the 32-bit base hash; the
-    * permutations are then pure arithmetic — 16x less hashing than
-    * seeded-digest-per-permutation, same LSH guarantees.
+    * above 2^32. Base "hashes" are the base-38 shingle CODES themselves
+    * (bijective with the shingles — see
+    * [[graft.functions.ShingleCodes]]): the universal-hash permutations
+    * supply all the randomization MinHash needs, so the chain carries no
+    * cryptographic digest at all.
     */
-  val MinHashP = 4294967311L
-  def minHashCoeffs(i: Int): (Long, Long) = (2L * i + 1, 104729L * i + 12345L)
+  val MinHashP: Long = graft.functions.ShingleCodes.MinHashP
+  def minHashCoeffs(i: Int): (Long, Long) = graft.functions.ShingleCodes.minHashCoeffs(i)
 
-  /** 32-bit base hashes of each shingle (md5 hex prefix — engine-portable). */
-  def shingleBaseHashes(shingleSet: Column): Column =
-    transform(shingleSet, s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long"))
-
-  /** MinHash signature from the base-hash array: minimum of each
-    * universal-hash permutation. Map-only per row (no explode/shuffle).
-    * Pass the MATERIALIZED base-hash column (one md5 pass), not a fresh
-    * [[shingleBaseHashes]] per permutation.
+  /** MinHash signature from a base-hash/code array: minimum of each
+    * universal-hash permutation. Composable form (interpreted
+    * higher-order functions) — the hot path uses the one-pass native
+    * [[graft.functions.ShingleExprs.minHashSig]] instead.
     */
   def minHashSignature(baseHashes: Column, numHashes: Int = 16): Column =
     array((0 until numHashes).map { i =>
@@ -123,17 +121,17 @@ object DedupOps {
   def minHashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                         numHashes: Int = 16, bands: Int = 4, minhashSim: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    // explode → hash once per shingle → 16 mins in ONE partial-aggregated
-    // pass: shuffle volume is n_docs × 16 longs regardless of text size.
-    val hashed = explodedShingles(docs, idCol, textCol, 8)
-      .select(col("id"),
-        conv(substring(md5(col("sh").cast("binary")), 1, 8), 16, 10).cast("long").as("h"))
-    val minAggs = (0 until numHashes).map { i =>
-      val (a, b) = minHashCoeffs(i)
-      min((col("h") * a + b) % MinHashP).as(s"m$i")
-    }
-    val sigs = hashed.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // one-pass native signature: a single byte-walk per document
+    // computes all permutation minima over rolling base-38 shingle
+    // codes — no per-shingle digest, no explode, no aggregation
+    // shuffle. Signatures are map-only; the band self-join below is
+    // the chain's ONLY shuffle.
+    // null text (multimodal rows) has no content to near-dup against:
+    // excluded here exactly as the old explode path dropped such rows
+    val sigs = widen(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleExprs.minHashSig(
+          TextOps.normalized(col(textCol)), 8, numHashes).as("sig"))
     val banded = sigs
       .select(col("id"), col("sig"), explode(bandKeys(col("sig"), bands, rows)).as("band"))
     val a = banded.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
@@ -194,15 +192,16 @@ object DedupOps {
     (1 to n).map(i => charCode(ascii(substring(sh, i, 1))) * pow38(n - i)).reduce(_ + _)
   }
 
-  /** Per-doc sorted-distinct coded n-gram sets: (id, codes array<long>,
-    * n_grams). One linear partial-aggregated pass over the corpus; the
-    * fixed-width codes shuffle ~4× smaller than the gram strings.
+  /** Per-doc sorted-distinct coded n-gram sets: (id, codes array<long>).
+    * One native byte-walk per document ([[graft.functions.ShingleExprs
+    * .shingleCodes]]) — map-only, NO shuffle: the explode→collect_set
+    * round-trip this replaces shuffled every gram of the corpus.
     */
   private[graft] def codedGramSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    explodedShingles(docs, idCol, textCol, n)
-      .select(col("id"), gramCode(col("sh"), n).as("c"))
-      .groupBy(col("id"))
-      .agg(sort_array(collect_set(col("c"))).as("codes"))
+    widen(docs).filter(col(textCol).isNotNull) // null text: no gram set (as the explode path)
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleExprs.shingleCodes(
+          TextOps.normalized(col(textCol)), n, sortedDistinct = true).as("codes"))
 
   /** n-gram Jaccard verification for candidate pairs: exact similarity
     * on character n-gram sets. `pairs` must carry id_a/id_b; per-doc

@@ -39,22 +39,17 @@ final class IncrementalDedup(
     * the exact-content fingerprint and full MinHash signature carried
     * on each row.
     */
-  def signaturesFor(docs: DataFrame): DataFrame = {
-    val hashed = DedupOps.explodedShingles(docs, "doc_id", "text", 8)
-      .select(col("id"),
-        conv(substring(md5(col("sh").cast("binary")), 1, 8), 16, 10).cast("long").as("h"))
-    val minAggs = (0 until numHashes).map { i =>
-      val (a, b) = DedupOps.minHashCoeffs(i)
-      min((col("h") * a + b) % DedupOps.MinHashP).as(s"m$i")
-    }
-    val sigs = hashed.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-    docs.select(col("doc_id").as("id"), TextOps.fingerprint(col("text")).as("fp"))
-      .join(sigs, Seq("id"))
+  def signaturesFor(docs: DataFrame): DataFrame =
+    // one-pass native signature (same family as batch minHashCandidates
+    // — a corpus signature table stays comparable across both paths);
+    // map-only: no join, no aggregation, just the band-key explode
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id").as("id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        graft.functions.ShingleExprs.minHashSig(
+          TextOps.normalized(col("text")), 8, numHashes).as("sig"))
       .select(col("id"), col("fp"), col("sig"),
         explode(DedupOps.bandKeys(col("sig"), bands, numHashes / bands)).as("band"))
-  }
 
   /** Estimated Jaccard = fraction of matching signature positions. */
   private def estJaccard(a: Column, b: Column): Column =
