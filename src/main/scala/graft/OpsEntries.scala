@@ -159,17 +159,24 @@ private[graft] object OpsEntries {
   private val shingles8 =
     s"CASE WHEN len(norm) < 8 THEN [norm] ELSE list_distinct(list_transform(generate_series(1, len(norm)-7), i -> substr(norm, i, 8))) END"
 
-  /** Base-38 code of an 8-shingle, positionally: the independent SQL
+  /** Base-38 code of a k-shingle, positionally: the independent SQL
     * re-statement of `ShingleCodes.codes` / `gramCode` (' '→1,
     * '0'-'9'→2-11, 'a'-'z'→12-37, absent→0). Bijective with the
     * shingle, so these ARE the MinHash base hashes.
     */
-  private def base38Sql(g: String): String =
-    (1 to 8).map { i =>
+  private def base38Sql(g: String, k: Int = 8): String =
+    (1 to k).map { i =>
       val a = s"ascii(substr($g, $i, 1))"
-      val p = graft.functions.ShingleCodes.pow38(8 - i)
+      val p = graft.functions.ShingleCodes.pow38(k - i)
       s"(CASE WHEN $a = 0 THEN 0 WHEN $a = 32 THEN 1 WHEN $a <= 57 THEN $a - 46 ELSE $a - 85 END * CAST($p AS BIGINT))"
     }.mkString("(", " + ", ")")
+
+  /** Base-31 polynomial token hash mod 2^32 — the independent SQL
+    * re-statement of `SimHashCodes.polyHash` (tokens are ASCII runs,
+    * so char codes equal byte values).
+    */
+  private def polyHashSql(t: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($t)), i -> CAST(ascii(substr($t, i, 1)) AS BIGINT)), (a, c) -> (a * 31 + c) % 4294967296)"
 
   private val sigExprs =
     (0 until 16).map { i =>
@@ -262,7 +269,7 @@ private[graft] object OpsEntries {
       val packed = (0 until 16).map(k =>
         s"(CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END)").mkString(" + ")
       s"""WITH toks AS (SELECT doc_id, unnest($toksExpr) AS tok FROM documents),
-         |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
+         |h AS (SELECT doc_id, ${polyHashSql("tok")} AS h FROM toks),
          |v AS (SELECT doc_id AS id, $votes FROM h GROUP BY doc_id)
          |SELECT id, CAST($packed AS BIGINT) AS simhash FROM v""".stripMargin
     },
@@ -412,8 +419,8 @@ private[graft] object OpsEntries {
     "q28_fingerprint" ->
       s"""WITH n AS (SELECT doc_id, $norm AS norm, text FROM documents)
          |SELECT doc_id, md5(CASE WHEN len(norm) > 0 THEN norm ELSE text END) AS fp,
-         |  CASE WHEN len(norm) < 16 THEN md5(norm)
-         |       ELSE list_min(list_transform(generate_series(1, len(norm)-15), i -> md5(substr(norm, i, 16)))) END AS min_shingle_fp
+         |  CASE WHEN len(norm) <= 12 THEN ${base38Sql("norm", 12)}
+         |       ELSE list_min(list_transform(generate_series(1, len(norm)-11), i -> ${base38Sql("substr(norm, i, 12)", 12)})) END AS min_shingle_fp
          |FROM n""".stripMargin,
 
     "q29_lsh_ann" ->

@@ -157,21 +157,15 @@ object DedupOps {
     * with map-side partial aggregation.
     */
   def simHash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-              bits: Int = 16): DataFrame = {
-    val toks = widen(docs).select(col(idCol).as("id"),
-      explode(TextOps.tokens(col(textCol))).as("tok"))
-    // 32-bit token hash from the md5 hex prefix (engine-portable).
-    val hashed = toks.select(col("id"),
-      conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10).cast("long").as("h"))
-    val votes = (0 until bits).map { k =>
-      sum(shiftright(col("h"), k).bitwiseAND(1) * 2 - 1).as(s"b$k")
-    }
-    val voted = hashed.groupBy("id").agg(votes.head, votes.tail: _*)
-    val packed = (0 until bits).map { k =>
-      when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)
-    }.reduce(_ + _)
-    voted.select(col("id"), packed.as("simhash"))
-  }
+              bits: Int = 16): DataFrame =
+    // one-pass native signature: per-token base-31 poly hashes (ASCII
+    // token bytes — DuckDB computes the identical fold) vote per bit
+    // inside a single expression. Map-only, no explode, no shuffle.
+    // Null/token-less docs yield null → filtered, matching the rows the
+    // explode pipeline never produced.
+    widen(docs).select(col(idCol).as("id"),
+        graft.functions.SimHashExprs.simHash(TextOps.tokens(col(textCol)), bits).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Hamming distance between two packed simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -203,31 +203,27 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(when(length(normalized(text)) > 0, normalized(text)).otherwise(text).cast("binary"))
 
-  /** DataFrame form of [[minShingleFingerprint]] for hot paths: the
-    * normalization materializes once per document, windows explode to
-    * rows, and the minimum md5 reduces with map-side partial aggregation.
-    * Output: (<idCol>, min_shingle_fp).
+  /** DataFrame form of [[minShingleFingerprint]] for hot paths: one
+    * rolling byte-walk per document over base-38 window codes (the
+    * windows themselves, bijectively coded — see
+    * [[graft.functions.ShingleCodes]]), keeping the minimum code.
+    * Map-only: no digest, no explode, no shuffle. Null text yields no
+    * row (the prior explode pipeline's contract).
+    * Output: (<idCol>, min_shingle_fp bigint).
     */
   def minShingleFingerprints(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
-                             textCol: String = "text", k: Int = 16): org.apache.spark.sql.DataFrame =
-    DedupOps.explodedShingles(docs, idCol, textCol, k)
-      .select(col("id").as(idCol), md5(col("sh").cast("binary")).as("w"))
-      .groupBy(idCol).agg(min(col("w")).as("min_shingle_fp"))
+                             textCol: String = "text", k: Int = 12): org.apache.spark.sql.DataFrame =
+    DedupOps.widen(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol), minShingleFingerprint(col(textCol), k).as("min_shingle_fp"))
 
-  /** Rolling-hash shingle fingerprint: md5 over each k-char window of the
-    * normalized text, keeping the lexicographic minimum — a cheap
-    * winnowing-style document signature robust to small edits at the ends.
-    * Column form for small inputs; use [[minShingleFingerprints]] in hot
-    * paths (the HOF lambda re-evaluates `norm` per window).
+  /** Rolling-hash shingle fingerprint: the minimum base-38 code over
+    * all k-char windows of the normalized text — a cheap
+    * winnowing-style document signature robust to small edits at the
+    * ends. Text shorter than k yields its single zero-padded window
+    * code. k ≤ 12 (the code must fit a long).
     */
-  def minShingleFingerprint(text: Column, k: Int = 16): Column = {
-    val norm = normalized(text)
-    val n = length(norm)
-    when(n < k, md5(norm.cast("binary"))).otherwise(
-      array_min(transform(sequence(lit(1), n - k + 1),
-        i => md5(norm.substr(i, lit(k)).cast("binary"))))
-    )
-  }
+  def minShingleFingerprint(text: Column, k: Int = 12): Column =
+    array_min(graft.functions.ShingleExprs.shingleCodes(normalized(text), k))
 
   /** Repetition signals over a whole frame (the Gopher-rules family of
     * quality filters: heavily-repeated content marks low-quality or
