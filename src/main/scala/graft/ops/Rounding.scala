@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{abs, isnan, lit, signum, when}
 
 /** Binary-consistent decimal rounding: half away from zero computed on
   * the binary double — `sign(x) * floor(|x| * 10^d + 0.5) / 10^d`.
@@ -16,19 +15,16 @@ import org.apache.spark.sql.functions.{abs, isnan, lit, signum, when}
   * factor, not just where no group lands on a boundary.
   */
 object Rounding {
-  def round(c: Column, digits: Int): Column = {
-    val s = math.pow(10, digits)
-    // floor via `f - f % 1.0` stays in DOUBLE: Spark's floor() returns
-    // LONG and saturates for |x|*10^d beyond Long range (and mangles
-    // ±Infinity), where both functions.round and DuckDB return the
-    // input unchanged. For f >= 2^52 the modulo is exactly 0, so huge
-    // values round to themselves — matching both engines.
-    val f = abs(c) * s + lit(0.5)
-    val fl = f - (f % 1.0)
-    val r = signum(c) * fl / s
-    when(c.isNull || isnan(c) ||
-      c === Double.PositiveInfinity || c === Double.NegativeInfinity, c)
-      .otherwise(r)
-  }
+  // floor via `f - f % 1.0` stays in DOUBLE: floor() would return LONG
+  // and saturate for |x|*10^d beyond Long range (and mangle ±Infinity),
+  // where both functions.round and DuckDB return the input unchanged.
+  // For f >= 2^52 the modulo is exactly 0, so huge values round to
+  // themselves — matching both engines. Implemented as one native
+  // expression (graft.functions.BinaryRoundExpression) so the input
+  // evaluates once, not once per textual reference.
+  def round(c: Column, digits: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BinaryRoundExpression(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c.cast("double")), digits))
   def round(c: Column): Column = round(c, 0)
 }
