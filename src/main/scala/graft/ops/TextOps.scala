@@ -236,38 +236,24 @@ object TextOps {
     */
   def repetitionFrame(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): org.apache.spark.sql.DataFrame = {
-    val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), col("__toks"), size(col("__toks")).as("__n"))
-    val tokFreq = base.select(col(idCol), explode(col("__toks")).as("__t"))
-      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol)).agg(
-        sum(col("__c")).as("n_tokens"),
-        count(lit(1)).as("__ndis"),
-        max(col("__c")).as("__top"))
-    // explode positions, index with codegen'd element_at — no interpreted
-    // transform() lambda (the HOF trap); greatest(...,1) + the i < n
-    // filter sidestep Spark's descending sequence(1, 0)
-    val bigAgg = base
-      .select(col(idCol), col("__toks"), col("__n"),
-        explode(sequence(lit(1), greatest(col("__n") - 1, lit(1)))).as("__i"))
-      .filter(col("__i") < col("__n"))
-      .select(col(idCol), concat_ws(" ",
-        element_at(col("__toks"), col("__i")),
-        element_at(col("__toks"), col("__i") + 1)).as("__b"))
-      .groupBy(col(idCol)).agg(
-        count(lit(1)).as("__btot"),
-        count_distinct(col("__b")).as("__bdis"))
-    docs.select(col(idCol))
-      .join(tokFreq, Seq(idCol), "left")
-      .join(bigAgg, Seq(idCol), "left")
+    // one native walk per document computes every count (dictionary-
+    // encoded tokens; distinct bigrams = distinct adjacent id pairs) —
+    // no explode, no shuffle. Staged select: the stats struct is
+    // referenced by several fields below, so CollapseProject keeps it
+    // materialized once instead of re-inlining the walk per ratio.
+    // Null text → null struct → the zero-row contract of the old
+    // left-join shape (when(null > 0) takes the otherwise branch).
+    val s0 = DedupOps.widen(docs)
       .select(col(idCol),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        round(when(col("n_tokens") > 0, col("__ndis").cast("double") / col("n_tokens"))
-          .otherwise(0.0), 4).as("distinct_ratio"),
-        round(when(col("n_tokens") > 0, col("__top").cast("double") / col("n_tokens"))
-          .otherwise(0.0), 4).as("top_token_ratio"),
-        round(when(col("__btot") > 0, lit(1.0) - col("__bdis").cast("double") / col("__btot"))
-          .otherwise(0.0), 4).as("dup_bigram_ratio"))
+        graft.functions.TokenStatsExprs.tokenStats(tokens(col(textCol))).as("__ts"))
+    s0.select(col(idCol),
+      coalesce(col("__ts.n_tokens"), lit(0L)).as("n_tokens"),
+      round(when(col("__ts.n_tokens") > 0, col("__ts.ndis").cast("double") / col("__ts.n_tokens"))
+        .otherwise(0.0), 4).as("distinct_ratio"),
+      round(when(col("__ts.n_tokens") > 0, col("__ts.top").cast("double") / col("__ts.n_tokens"))
+        .otherwise(0.0), 4).as("top_token_ratio"),
+      round(when(col("__ts.btot") > 0, lit(1.0) - col("__ts.bdis").cast("double") / col("__ts.btot"))
+        .otherwise(0.0), 4).as("dup_bigram_ratio"))
   }
 
   /** PII redaction patterns, applied in order (specific → general so an
