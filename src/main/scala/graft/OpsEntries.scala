@@ -117,6 +117,19 @@ private[graft] object OpsEntries {
       graft.ops.SampleOps.groupQuota(t(s, dir, "documents"), "lang", "doc_id", 25)
         .select(col("lang"), col("doc_id"))),
 
+    // BPE first-merge statistics: adjacent char-pair frequencies over
+    // the distinct vocabulary, weighted by corpus word frequency.
+    "q62_bpe_pairs" -> ((s, dir) => TextOps.bpeMergePairs(t(s, dir, "documents"))),
+
+    // Benchmark decontamination: per training doc, the fraction of its
+    // 8-gram codes that appear in the (pseudo) eval split.
+    "q63_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      DedupOps.evalGramOverlap(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
+
     // Dup clusters: connected components over the LSH candidate graph —
     // transitively-linked near-dups collapse to one canonical keep doc.
     "q54_dup_clusters" -> ((s, dir) => {
@@ -359,6 +372,30 @@ private[graft] object OpsEntries {
          |SELECT lang, count(*) AS kept FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
          |GROUP BY lang""".stripMargin,
+
+    "q62_bpe_pairs" ->
+      s"""WITH toks AS (SELECT unnest($toksExpr) AS w FROM documents),
+         |wf AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
+         |p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1), i -> substr(w, i, 2))) AS pair, freq
+         |      FROM wf WHERE len(w) >= 2)
+         |SELECT pair, CAST(sum(freq) AS BIGINT) AS weight FROM p GROUP BY pair
+         |ORDER BY weight DESC, pair LIMIT 50""".stripMargin,
+
+    "q63_decontamination" ->
+      s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id, $shingles8 AS grams FROM n),
+         |eg AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, grams FROM g WHERE doc_id % 50 <> 0),
+         |hits AS (SELECT doc_id, count(*) AS hit_grams
+         |         FROM (SELECT doc_id, unnest(grams) AS gr FROM tr) t JOIN eg USING (gr)
+         |         GROUP BY doc_id),
+         |r AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+         |        CAST(coalesce(hit_grams, 0) AS BIGINT) AS hit_grams
+         |      FROM tr LEFT JOIN hits USING (doc_id))
+         |SELECT doc_id, n_grams, hit_grams,
+         |  round(hit_grams / CAST(n_grams AS DOUBLE), 4) AS contamination_rate,
+         |  round(hit_grams / CAST(n_grams AS DOUBLE), 4) >= 0.5 AS contaminated
+         |FROM r""".stripMargin,
 
     "q24_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

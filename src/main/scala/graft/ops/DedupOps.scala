@@ -225,6 +225,36 @@ object DedupOps {
         round(when(col("uni") > 0, col("inter") / col("uni")).otherwise(0.0), 4).as("jaccard"))
   }
 
+  /** Benchmark decontamination: for every training document, how many
+    * of its distinct character 8-gram codes appear anywhere in the
+    * evaluation set — the standard n-gram-overlap contamination check
+    * run before training on scraped corpora.
+    *
+    * Scale shape: the eval side reduces to a DISTINCT gram-code
+    * dictionary (eval sets are small — broadcast), training grams
+    * stream through a map-side broadcast join and a partial-aggregated
+    * count keyed by doc — the full corpus never shuffles. Output per
+    * training doc: n_grams, hit_grams, contamination_rate (4dp),
+    * contaminated (rate ≥ `threshold`).
+    */
+  def evalGramOverlap(train: DataFrame, evalDocs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", n: Int = 8,
+                      threshold: Double = 0.5): DataFrame = {
+    val evalGrams = codedGramSets(evalDocs, idCol, textCol, n)
+      .select(explode(col("codes")).as("g")).distinct()
+    val trainGrams = codedGramSets(train, idCol, textCol, n)
+    val hits = trainGrams.select(col("id"), explode(col("codes")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy("id").agg(count(lit(1)).as("hit_grams"))
+    trainGrams.select(col("id"), size(col("codes")).cast("long").as("n_grams"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("hit_grams"), lit(0L)).as("hit_grams"),
+        round(coalesce(col("hit_grams"), lit(0L)).cast("double") / col("n_grams"), 4)
+          .as("contamination_rate"))
+      .withColumn("contaminated", col("contamination_rate") >= threshold)
+  }
+
   /** Embedding near-dup: pairs with cosine similarity above `threshold`.
     * Blocked on `blockCol` (e.g. a cluster label or LSH bucket) so the
     * join is bucket-local — the all-pairs product never materializes.

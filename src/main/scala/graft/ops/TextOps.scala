@@ -288,4 +288,28 @@ object TextOps {
     }
     struct(fields: _*)
   }
+
+  /** BPE first-merge candidates: adjacent character-pair frequencies
+    * across the corpus, weighted by word frequency — the statistic the
+    * first merge step of byte-pair-encoding tokenizer training ranks.
+    *
+    * Scale shape: the corpus-sized pass is ONE partial-aggregated
+    * groupBy over exploded tokens; the character-pair explosion runs
+    * over the DISTINCT vocabulary only (orders of magnitude smaller
+    * than the corpus at any scale — vocabulary grows ~Heaps' law).
+    * Output: (pair, weight), top `topK` by weight with pair tie-break.
+    */
+  def bpeMergePairs(docs: org.apache.spark.sql.DataFrame, textCol: String = "text",
+                    topK: Int = 50): org.apache.spark.sql.DataFrame = {
+    val words = DedupOps.widen(docs)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words.filter(length(col("w")) >= 2)
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"), col("freq"))
+      .groupBy("pair").agg(sum(col("freq")).as("weight"))
+      .orderBy(col("weight").desc, col("pair").asc)
+      .limit(topK)
+  }
 }
