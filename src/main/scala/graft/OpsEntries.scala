@@ -72,6 +72,10 @@ private[graft] object OpsEntries {
     "q30_embedding_near_dup" -> ((s, dir) =>
       DedupOps.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.4)),
 
+    // Distributed Lloyd k-means: deterministic init/tie-break/rounding
+    // make the trained centroids exactly reproducible in SQL.
+    "q64_kmeans" -> ((s, dir) => SimilarityOps.kmeans(t(s, dir, "embeddings"))),
+
     // IVF ANN: probe the 2 nearest label cells (derived mean-vector
     // centroids), exact cosine within probed cells only.
     "q38_ivf_ann" -> ((s, dir) => {
@@ -241,6 +245,41 @@ private[graft] object OpsEntries {
     s"('$l', ${ws.map(w => s"'$w'").mkString("[", ",", "]")})"
   }.mkString(", ")
 
+  /** Unrolled Lloyd iterations as CTEs — the independent SQL
+    * re-statement of `SimilarityOps.kmeans`. Same sequential
+    * squared-L2 fold, same lowest-cell tie-break, same 4-decimal
+    * centroid rounding (which makes every iteration's INPUT identical
+    * across engines), same empty-cell carry-over.
+    */
+  private def kmeansSql(k: Int = 8, iters: Int = 3, dims: Int = 64): String = {
+    def l2(v: String, c: String) =
+      s"list_sum(list_transform(list_zip($v, $c), p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+         |             FROM embeddings ORDER BY vec_id LIMIT $k),
+         |c0 AS (SELECT cell, dim, round(CAST(embedding[dim] AS DOUBLE), 4) AS value
+         |       FROM init CROSS JOIN range(1, ${dims + 1}) t(dim)),
+         |""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(
+        s"""cl${i - 1} AS (SELECT cell, list(value ORDER BY dim) AS cv FROM c${i - 1} GROUP BY cell),
+           |a$i AS (SELECT vec_id, embedding, cell FROM (
+           |  SELECT e.vec_id, e.embedding, c.cell,
+           |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2("e.embedding", "c.cv")}, c.cell) AS r
+           |  FROM embeddings e CROSS JOIN cl${i - 1} c) WHERE r = 1),
+           |u$i AS (SELECT cell, dim, round(avg(CAST(embedding[dim] AS DOUBLE)), 4) AS value
+           |       FROM a$i CROSS JOIN range(1, ${dims + 1}) t(dim) GROUP BY cell, dim),
+           |c$i AS (SELECT * FROM u$i UNION ALL
+           |       SELECT * FROM c${i - 1} WHERE cell NOT IN (SELECT DISTINCT cell FROM u$i)),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""fin AS (SELECT cell, dim, value FROM c$iters)
+         |SELECT CAST(cell AS INTEGER) AS cell, CAST(dim AS INTEGER) AS dim, value FROM fin""".stripMargin)
+    sb.toString
+  }
+
   /** q26's full SQL, shared as a CTE body by q59's per-source rollup. */
   private val q26Sql: String = {
     val en = TextOps.langMarkers("en").map(w => s"'$w'").mkString("[", ",", "]")
@@ -300,6 +339,8 @@ private[graft] object OpsEntries {
          |SELECT id_a, id_b,
          |       round(CASE WHEN total - inter > 0 THEN inter / (total - inter) ELSE 0.0 END, 4) AS jaccard
          |FROM j""".stripMargin,
+
+    "q64_kmeans" -> kmeansSql(),
 
     "q38_ivf_ann" ->
       s"""WITH cent AS (

@@ -90,8 +90,89 @@ case class DotProductExpression(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** Native squared-L2 distance — same contract and fold order as
+  * [[DotProductExpression]] with `(x−y)²` terms: the identical
+  * left-to-right accumulation the oracle's
+  * `list_sum(list_transform(list_zip(a,b), p -> (p[1]-p[2])^2))`
+  * performs, so distances are bit-deterministic across engines.
+  */
+case class L2SquaredExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left.dataType).isDefined && elemType(right.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"l2_squared needs array<float|double> inputs, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val aFloat = elemType(left.dataType).contains(FloatType)
+    val bFloat = elemType(right.dataType).contains(FloatType)
+    var sum = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      sum += d * d
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGet = if (elemType(left.dataType).contains(FloatType)) "getFloat" else "getDouble"
+    val bGet = if (elemType(right.dataType).contains(FloatType)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = (double) $a.$aGet($i) - (double) $b.$bGet($i);
+         |    $sum += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): L2SquaredExpression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "l2_squared"
+}
+
 object VectorExprs {
   /** Codegen'd dot product of two array<float|double> columns. */
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProductExpression(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd squared-L2 distance of two array<float|double> columns. */
+  def l2Squared(a: Column, b: Column): Column =
+    Bridge.column(L2SquaredExpression(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -133,6 +133,63 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Scalar twin of `Rounding.round` for driver-side centroid math —
+    * identical binary half-away-from-zero arithmetic.
+    */
+  private def round4(v: Double): Double = {
+    val f = math.abs(v) * 10000.0 + 0.5
+    val fl = f - (f % 1.0)
+    math.signum(v) * fl / 10000.0
+  }
+
+  /** Distributed Lloyd k-means over the embedding column.
+    *
+    * Deterministic end to end, so an exact cross-engine oracle exists:
+    * init = the `k` lowest-id vectors; assignment = arg-min squared-L2
+    * distance (native sequential fold, bit-identical to the oracle's
+    * list arithmetic) with lowest-cell tie-break; update = per-(cell,
+    * dim) mean ROUNDED to 4 decimals (so iteration inputs are identical
+    * across engines regardless of summation order); empty cells keep
+    * their previous centroid.
+    *
+    * Scale shape: centroids are k×dims doubles — broadcast into the
+    * assignment expression as literals (no join); each iteration is ONE
+    * partial-aggregated groupBy over the posexploded corpus; only
+    * k×dims means return to the driver. Iterations are sequential by
+    * nature; everything inside an iteration is map + partial agg.
+    *
+    * Output: (cell, dim, value) — final centroids, dim 1-based.
+    */
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 3,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    var cents: Array[Array[Double]] = emb.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(f => round4(f.toDouble)))
+
+    def assignExpr: Column = {
+      val dists = cents.toSeq.map(c =>
+        graft.functions.VectorExprs.l2Squared(col(vecCol), array(c.map(lit).toSeq: _*)))
+      val minD = least(dists: _*)
+      cents.indices.map(j => when(dists(j) === minD, lit(j))).reduce(coalesce(_, _))
+    }
+
+    for (_ <- 1 to iters) {
+      val means = emb
+        .select(assignExpr.as("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = round4(r.getDouble(2)))
+      cents = next
+    }
+    import spark.implicits._
+    cents.zipWithIndex.flatMap { case (c, cell) =>
+      c.zipWithIndex.map { case (v, d) => (cell, d + 1, v) }
+    }.toSeq.toDF("cell", "dim", "value")
+  }
+
   /** Per-cell mean vectors — a one-pass "k-means with given assignment"
     * for IVF centroids (the assignment column already exists in the
     * testdata as `label`; a full Lloyd's iteration would alternate this

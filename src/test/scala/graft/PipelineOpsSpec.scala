@@ -44,6 +44,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 
+  test("kmeans recovers well-separated cluster means and is deterministic") {
+    import graft.ops.SimilarityOps
+    // two tight clusters in 4-d; ids interleaved so init picks one seed
+    // from each cluster (ids 0 and 1)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(10f, 10f, 0f, 0f) else Array(-10f, 0f, 5f, 1f)
+      val jit = (i / 2) % 3 * 0.01f
+      (i.toLong, base.map(_ + jit).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = SimilarityOps.kmeans(emb, k = 2, iters = 2)
+    val cents = got.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(cents.size === 2 * 4)
+    // expected: per-cluster per-dim mean of the same widened floats
+    def rnd4(v: Double) = math.signum(v) * { val f = math.abs(v) * 10000 + 0.5; (f - f % 1.0) } / 10000
+    def mean(cluster: Int, dim: Int) = rnd4(
+      rows.filter(_._1 % 2 == cluster).map(_._2(dim - 1).toDouble).sum / 20.0)
+    for (cl <- 0 to 1; d <- 1 to 4)
+      assert(math.abs(cents((cl, d)) - mean(cl, d)) < 1e-9, s"cell $cl dim $d")
+    // deterministic re-run
+    val again = SimilarityOps.kmeans(emb, k = 2, iters = 2)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(again === cents)
+  }
+
+  test("kmeans keeps an empty cell's previous centroid") {
+    import graft.ops.SimilarityOps
+    // seeds: ids 0,1 — but every point is closest to seed 0's area
+    // after update, so cell 1 (seeded far away once id 1 moved in) can
+    // empty out; use a seed that is strictly farther from all points
+    val pts = (2L until 20L).map(i => (i, Seq(1f, 1f))) :+ (0L, Seq(1f, 1f)) :+ (1L, Seq(100f, 100f))
+    val emb = pts.toDF("vec_id", "embedding")
+    val got = SimilarityOps.kmeans(emb, k = 2, iters = 3).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    // cell 1 seeded at (100,100); only id 1 is assigned there each
+    // round, so it stays at (100,100) — and cell 0 at the mass mean
+    assert(got((1, 1)) === 100.0 && got((0, 1)) === 1.0)
+  }
+
   test("evalGramOverlap counts distinct gram hits (repeats in eval don't double-count)") {
     // eval contains the same gram content twice under two ids
     val evalDocs = Seq((100L, "abcdefgh"), (101L, "abcdefgh")).toDF("doc_id", "text")
