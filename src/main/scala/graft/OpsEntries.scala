@@ -92,8 +92,8 @@ private[graft] object OpsEntries {
     // the keep/flag decision table a pipeline applies per source.
     "q59_source_quality" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      TextOps.qualityFrame(docs)
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      // source rides through the quality stages — no corpus self-join
+      TextOps.qualityFrame(docs, carryCols = Seq("source"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("quality_score")), 4).as("mean_quality"),

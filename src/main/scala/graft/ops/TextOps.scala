@@ -150,28 +150,34 @@ object TextOps {
     * values identical to the column forms.
     */
   def qualityFrame(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text"): org.apache.spark.sql.DataFrame = {
-    val s0 = docs.select(col(idCol), col(textCol).as("__text"), tokens(col(textCol)).as("__toks"))
-    val s1 = s0.select(col(idCol),
+                   textCol: String = "text",
+                   carryCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    // carryCols ride along through the staged projections (free column
+    // pushthrough) so rollup consumers don't re-join the corpus for a
+    // grouping key they already scanned past
+    val carry = carryCols.map(col)
+    val s0 = docs.select(Seq(col(idCol), col(textCol).as("__text"),
+      tokens(col(textCol)).as("__toks")) ++ carry: _*)
+    val s1 = s0.select(Seq(col(idCol),
       length(col("__text")).cast("double").as("__len"),
       size(col("__toks")).cast("double").as("__ntok"),
       regexp_count(col("__text"), lit("[!-/:-@\\[-`{-~]")).cast("double").as("__punct"),
       regexp_count(col("__text"), lit("[A-Za-z]")).cast("double").as("__alpha"),
       size(array_intersect(array_distinct(col("__toks")),
-        array(langMarkers("en").map(lit): _*))).cast("double").as("__stop"))
-    val s2 = s1.select(col(idCol),
+        array(langMarkers("en").map(lit): _*))).cast("double").as("__stop")) ++ carry: _*)
+    val s2 = s1.select(Seq(col(idCol),
       col("__len").cast("long").as("n_chars"),
       col("__ntok").cast("long").as("n_tokens"),
       round(when(col("__len") > 0, col("__punct") / col("__len")).otherwise(0.0), 4).as("punct_ratio"),
       round(when(col("__len") > 0, col("__alpha") / col("__len")).otherwise(0.0), 4).as("alpha_ratio"),
       round(when(col("__ntok") > 0, col("__stop") / lit(10.0)).otherwise(0.0), 4).as("stopword_ratio"),
-      round(when(col("__ntok") > 0, col("__alpha") / col("__ntok")).otherwise(lit(0.0)), 4).as("mean_word_len"))
-    s2.select(col(idCol), col("n_chars"), col("n_tokens"), col("punct_ratio"),
+      round(when(col("__ntok") > 0, col("__alpha") / col("__ntok")).otherwise(lit(0.0)), 4).as("mean_word_len")) ++ carry: _*)
+    s2.select(Seq(col(idCol), col("n_chars"), col("n_tokens"), col("punct_ratio"),
       col("alpha_ratio"), col("stopword_ratio"), col("mean_word_len"),
       round(least(col("n_chars").cast("double") / 200.0, lit(1.0)) * 0.25
         + col("alpha_ratio") * 0.35
         + greatest(lit(0.0), lit(1.0) - col("punct_ratio") * 5.0) * 0.2
-        + col("stopword_ratio") * 0.2, 4).as("quality_score"))
+        + col("stopword_ratio") * 0.2, 4).as("quality_score")) ++ carry: _*)
   }
 
   /** Composite quality score in [0,1]: long-enough, mostly-alphabetic,
