@@ -42,4 +42,27 @@ class BucketedTablesSpec extends AnyFunSuite {
       assert(got == Set(("m.a", 100, 2.0), ("m.b", 100, 3.0), ("m.b", 160, 4.0), ("m.c", 100, 9.0)))
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("tree status dedup over the name-bucketed tree table is exchange-free") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed_tree").toString
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2020-01-02 00:00:00")
+    val tree = Seq(
+      ("one_min.a.", 1, "one_min.", "SIMPLE", ts),
+      ("one_min.a.", 1, "one_min.", "BAN", ts2),   // later status wins
+      ("one_min.b.", 1, "one_min.", "APPROVED", ts)
+    ).toDF("name", "level", "parent", "status", "updated")
+    val table = s"graft_bucketed_tree_${System.nanoTime()}"
+    BucketedTables.writeBucketedTree(tree, table, s"$dir/metrics", buckets = 4)
+    try {
+      val df = BucketedTables.read(spark, table)
+      val dedup = df.groupBy($"name").agg(max_by($"status", $"updated").as("last_status"))
+      val physical = dedup.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"),
+        s"name-bucketed tree dedup must not shuffle:\n$physical")
+      val got = dedup.as[(String, String)].collect().toSet
+      assert(got === Set("one_min.a." -> "BAN", "one_min.b." -> "APPROVED"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
