@@ -7,10 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // the suite compiles 61 distinct plans twice (warm-up + timed);
-      // the default 100-entry generated-class cache evicts across the
-      // pass and recompiles — a service with a standing query set wants
-      // the whole set resident
+      // the suite compiles 60+ distinct plans twice (warm-up + timed),
+      // each plan producing SEVERAL generated classes (one per codegen
+      // stage); the default 100-entry generated-class cache evicts
+      // across the pass and recompiles — a service with a standing
+      // query set wants the whole set resident
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

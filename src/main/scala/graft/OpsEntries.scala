@@ -256,8 +256,9 @@ private[graft] object OpsEntries {
       s"list_sum(list_transform(list_zip($v, $c), p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
     val sb = new StringBuilder
     sb.append(
-      s"""WITH init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
-         |             FROM embeddings ORDER BY vec_id LIMIT $k),
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+         |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+         |             FROM emb ORDER BY vec_id LIMIT $k),
          |c0 AS (SELECT cell, dim, round(CAST(embedding[dim] AS DOUBLE), 4) AS value
          |       FROM init CROSS JOIN range(1, ${dims + 1}) t(dim)),
          |""".stripMargin)
@@ -267,7 +268,7 @@ private[graft] object OpsEntries {
            |a$i AS (SELECT vec_id, embedding, cell FROM (
            |  SELECT e.vec_id, e.embedding, c.cell,
            |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2("e.embedding", "c.cv")}, c.cell) AS r
-           |  FROM embeddings e CROSS JOIN cl${i - 1} c) WHERE r = 1),
+           |  FROM emb e CROSS JOIN cl${i - 1} c) WHERE r = 1),
            |u$i AS (SELECT cell, dim, round(avg(CAST(embedding[dim] AS DOUBLE)), 4) AS value
            |       FROM a$i CROSS JOIN range(1, ${dims + 1}) t(dim) GROUP BY cell, dim),
            |c$i AS (SELECT * FROM u$i UNION ALL

@@ -186,8 +186,12 @@ case class ShingleCodesExpression(child: Expression, k: Int, sortedDistinct: Boo
   */
 case class MinHashSigExpression(child: Expression, k: Int, numHashes: Int)
     extends UnaryExpression {
-  require(k >= 1 && k <= 12, s"minhash_sig needs 1 <= k <= 12, got $k")
-  require(numHashes >= 1, s"minhash_sig needs numHashes >= 1, got $numHashes")
+  // k <= 11, tighter than the code bound: the permutation multiply
+  // code*a must also fit a long (max code 38^k−1 times the largest
+  // coefficient 2*numHashes−1). At k=12 it wraps negative — silently in
+  // the JVM, as a BIGINT overflow error in the DuckDB oracle.
+  require(k >= 1 && k <= 11, s"minhash_sig needs 1 <= k <= 11 (code*coeff must fit a long), got $k")
+  require(numHashes >= 1 && numHashes <= 64, s"minhash_sig needs 1 <= numHashes <= 64, got $numHashes")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

@@ -163,7 +163,12 @@ object SimilarityOps {
   def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 3,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
-    var cents: Array[Array[Double]] = emb.orderBy(col(idCol)).limit(k)
+    // null vectors carry no position — exclude them up front (a null
+    // distance would otherwise null the cell key and NPE the driver
+    // unbox); length-mismatched vectors null their distance too, so
+    // the null-cell guard below drops those rows rather than crashing
+    val clean = emb.filter(col(vecCol).isNotNull)
+    var cents: Array[Array[Double]] = clean.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray.map(f => round4(f.toDouble)))
 
@@ -175,13 +180,13 @@ object SimilarityOps {
     }
 
     for (_ <- 1 to iters) {
-      val means = emb
+      val means = clean
         .select(assignExpr.as("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
         .groupBy("cell", "pos")
         .agg(avg(col("v").cast("double")).as("m"))
         .collect()
       val next = cents.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = round4(r.getDouble(2)))
+      means.foreach(r => if (!r.isNullAt(0)) next(r.getInt(0))(r.getInt(1)) = round4(r.getDouble(2)))
       cents = next
     }
     import spark.implicits._

@@ -213,13 +213,14 @@ object TextOps {
     * rolling byte-walk per document over base-38 window codes (the
     * windows themselves, bijectively coded — see
     * [[graft.functions.ShingleCodes]]), keeping the minimum code.
-    * Map-only: no digest, no explode, no shuffle. Null text yields no
-    * row (the prior explode pipeline's contract).
+    * Map-only: no digest, no explode, no shuffle. Null text keeps its
+    * row with a null fingerprint (nulls propagate through the code
+    * walk), matching the oracle's per-document projection.
     * Output: (<idCol>, min_shingle_fp bigint).
     */
   def minShingleFingerprints(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
                              textCol: String = "text", k: Int = 12): org.apache.spark.sql.DataFrame =
-    DedupOps.widen(docs).filter(col(textCol).isNotNull)
+    DedupOps.widen(docs)
       .select(col(idCol), minShingleFingerprint(col(textCol), k).as("min_shingle_fp"))
 
   /** Rolling-hash shingle fingerprint: the minimum base-38 code over

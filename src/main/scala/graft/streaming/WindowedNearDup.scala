@@ -65,9 +65,9 @@ final class WindowedNearDup(
           col("id_a") < col("id_b") &&
           col("ts_b") >= col("ts_a") - expr(s"INTERVAL $horizon") &&
           col("ts_b") <= col("ts_a") + expr(s"INTERVAL $horizon"))
-      .filter(estJaccard(col("sig_a"), col("sig_b")) >= minhashSim)
       .select(col("id_a"), col("id_b"), col("ts_a"),
         estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minhashSim) // project-then-filter: one HOF eval per pair
       .dropDuplicatesWithinWatermark(Seq("id_a", "id_b"))
   }
 }

@@ -69,18 +69,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again === cents)
   }
 
-  test("kmeans keeps an empty cell's previous centroid") {
+  test("kmeans keeps an empty cell's previous centroid (tie-break empties cell 1)") {
     import graft.ops.SimilarityOps
-    // seeds: ids 0,1 — but every point is closest to seed 0's area
-    // after update, so cell 1 (seeded far away once id 1 moved in) can
-    // empty out; use a seed that is strictly farther from all points
-    val pts = (2L until 20L).map(i => (i, Seq(1f, 1f))) :+ (0L, Seq(1f, 1f)) :+ (1L, Seq(100f, 100f))
+    // seeds: ids 0 and 1 carry IDENTICAL vectors → every point's
+    // distances to cell 0 and cell 1 tie exactly, the lowest-cell
+    // tie-break sends ALL points to cell 0, and cell 1 is empty from
+    // the first iteration on — exercising the carry-over branch (the
+    // clone default in Spark, the NOT IN union in the oracle)
+    val pts = Seq((0L, Seq(5f, 5f)), (1L, Seq(5f, 5f))) ++
+      (2L until 12L).map(i => (i, Seq(1f, 1f)))
     val emb = pts.toDF("vec_id", "embedding")
     val got = SimilarityOps.kmeans(emb, k = 2, iters = 3).collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-    // cell 1 seeded at (100,100); only id 1 is assigned there each
-    // round, so it stays at (100,100) — and cell 0 at the mass mean
-    assert(got((1, 1)) === 100.0 && got((0, 1)) === 1.0)
+    // cell 1 never receives a point: its centroid stays at the seed
+    assert(got((1, 1)) === 5.0 && got((1, 2)) === 5.0)
+    // cell 0 converges to the mass: all 12 points after iter 1 regroup;
+    // iteration 2+ assigns everything to cell 0's updated centroid
+    assert(got((0, 1)) < 5.0)
+  }
+
+  test("kmeans excludes null vectors instead of crashing") {
+    import graft.ops.SimilarityOps
+    val pts = Seq((0L, Some(Seq(1f, 1f))), (1L, Some(Seq(9f, 9f))),
+      (2L, None: Option[Seq[Float]]), (3L, Some(Seq(1.2f, 1.2f))))
+    val emb = pts.toDF("vec_id", "embedding")
+    val got = SimilarityOps.kmeans(emb, k = 2, iters = 2).collect()
+    assert(got.length === 2 * 2) // still k x dims rows, no NPE
   }
 
   test("evalGramOverlap counts distinct gram hits (repeats in eval don't double-count)") {
