@@ -134,6 +134,24 @@ private[graft] object OpsEntries {
         docs.filter(col("doc_id") % 50 === 0))
     }),
 
+    // Top characteristic terms per doc (tf-idf shape, rational rarity
+    // weight — rank-equivalent to log idf, engine-deterministic).
+    "q65_tfidf_terms" -> ((s, dir) => TextOps.tfIdfTopTerms(t(s, dir, "documents"))),
+
+    // Cross-source mirror report: near-dup candidate pairs rolled up
+    // by (source, source) — which feeds re-host which.
+    "q66_mirror_sources" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      DedupOps.minHashCandidates(docs)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), Seq("id_b"))
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Dup clusters: connected components over the LSH candidate graph —
     // transitively-linked near-dups collapse to one canonical keep doc.
     "q54_dup_clusters" -> ((s, dir) => {
@@ -414,6 +432,30 @@ private[graft] object OpsEntries {
          |SELECT lang, count(*) AS kept FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
          |GROUP BY lang""".stripMargin,
+
+    "q65_tfidf_terms" ->
+      s"""WITH tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+         |           FROM (SELECT doc_id, unnest($toksExpr) AS tok FROM documents)
+         |           GROUP BY 1, 2),
+         |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, term,
+         |        round(CAST(tf AS DOUBLE) * (n_docs + 1) / (df + 1), 4) AS score
+         |      FROM tf JOIN dfr USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, score, CAST(r AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS r FROM s)
+         |WHERE r <= 3""".stripMargin,
+
+    "q66_mirror_sources" ->
+      s"""$minhashCtes,
+         |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
+         |j AS (SELECT least(da.source, db.source) AS source_a,
+         |             greatest(da.source, db.source) AS source_b
+         |      FROM cand
+         |      JOIN documents da ON da.doc_id = id_a
+         |      JOIN documents db ON db.doc_id = id_b)
+         |SELECT source_a, source_b, count(*) AS n_pairs
+         |FROM j GROUP BY 1, 2""".stripMargin,
 
     "q62_bpe_pairs" ->
       s"""WITH toks AS (SELECT unnest($toksExpr) AS w FROM documents),

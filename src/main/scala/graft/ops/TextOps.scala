@@ -306,6 +306,33 @@ object TextOps {
     * than the corpus at any scale — vocabulary grows ~Heaps' law).
     * Output: (pair, weight), top `topK` by weight with pair tie-break.
     */
+  /** Top characteristic terms per document by tf-rarity — the tf-idf
+    * shape with a RATIONAL rarity weight `tf · (N+1)/(df+1)` instead of
+    * a logarithm: rank-equivalent per document (log is monotone in df),
+    * and pure rational arithmetic is bit-deterministic across engines
+    * where `ln` carries last-ulp wobble that no rounding fully absorbs.
+    *
+    * Scale shape: tf = one partial-aggregated explode pass; df derives
+    * from tf (vocabulary-sized); the corpus count joins in as a
+    * broadcast scalar; the per-doc top-k is one window over rows
+    * already shuffled by doc. Output: (doc_id, term, score, rank).
+    */
+  def tfIdfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", topK: Int = 3): org.apache.spark.sql.DataFrame = {
+    val tf = DedupOps.widen(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        round(col("tf").cast("double") * (col("n_docs") + 1) / (col("df") + 1), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
   def bpeMergePairs(docs: org.apache.spark.sql.DataFrame, textCol: String = "text",
                     topK: Int = 50): org.apache.spark.sql.DataFrame = {
     val words = DedupOps.widen(docs)
