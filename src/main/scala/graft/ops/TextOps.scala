@@ -98,15 +98,19 @@ object TextOps {
   def langIdFrame(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", outCol: String = "lang_guess"): org.apache.spark.sql.DataFrame = {
     val langs = langMarkers.keys.toSeq.sorted
+    // one-pass native marker counting for the Latin languages (one
+    // hash lookup per distinct token instead of an array_intersect per
+    // language); non-Latin scripts keep the containment probes on text
+    val latinIdx = graft.functions.LangHits.latinLangs.zipWithIndex.toMap
     val s0 = docs.select(col(idCol), col(textCol).as("__text"),
-      array_distinct(tokens(col(textCol))).as("__dtoks"))
+      graft.functions.LangHitsExprs.langHits(array_distinct(tokens(col(textCol)))).as("__lh"))
     val hitCols = langs.map { l =>
       val h =
         if (nonLatin(l))
           langMarkers(l).map(m => when(instr(lower(col("__text")), m) > 0, 1).otherwise(0))
             .reduce(_ + _)
         else
-          size(array_intersect(col("__dtoks"), array(langMarkers(l).map(lit): _*)))
+          element_at(col("__lh"), lit(latinIdx(l) + 1))
       h.as(s"__h_$l")
     }
     val s1 = s0.select(col(idCol) +: hitCols: _*)
@@ -156,13 +160,16 @@ object TextOps {
     // pushthrough) so rollup consumers don't re-join the corpus for a
     // grouping key they already scanned past
     val carry = carryCols.map(col)
+    // __cc stages the one-pass (punct, alpha) byte-walk counts — the
+    // two regexp_count passes these replace each re-scanned the text
     val s0 = docs.select(Seq(col(idCol), col(textCol).as("__text"),
-      tokens(col(textCol)).as("__toks")) ++ carry: _*)
+      tokens(col(textCol)).as("__toks"),
+      graft.functions.CharClassExprs.charClassCounts(col(textCol)).as("__cc")) ++ carry: _*)
     val s1 = s0.select(Seq(col(idCol),
       length(col("__text")).cast("double").as("__len"),
       size(col("__toks")).cast("double").as("__ntok"),
-      regexp_count(col("__text"), lit("[!-/:-@\\[-`{-~]")).cast("double").as("__punct"),
-      regexp_count(col("__text"), lit("[A-Za-z]")).cast("double").as("__alpha"),
+      col("__cc.punct").cast("double").as("__punct"),
+      col("__cc.alpha").cast("double").as("__alpha"),
       size(array_intersect(array_distinct(col("__toks")),
         array(langMarkers("en").map(lit): _*))).cast("double").as("__stop")) ++ carry: _*)
     val s2 = s1.select(Seq(col(idCol),
