@@ -92,4 +92,165 @@ object SeriesOps {
   def scale(v: Column, factor: Double): Column = v * factor
   def offset(v: Column, amount: Double): Column = v + amount
   def absolute(v: Column): Column = abs(v)
+
+  /** Hit count (graphite `hitcount`): re-bucket a per-`stepSeconds` rate
+    * series into `bucketSeconds` buckets of total hits — `sum(v) * step`
+    * converts rate×time to a count. One partial-aggregated pass, same
+    * epoch-aligned bucket arithmetic as [[summarize]].
+    */
+  def hitcount(df: DataFrame, bucketSeconds: Long, stepSeconds: Long,
+               keyCol: String = "metric", tsCol: String = "ts", valCol: String = "v",
+               outCol: String = "hits"): DataFrame =
+    df.groupBy(col(keyCol), (col(tsCol) - (col(tsCol) % bucketSeconds)).cast("long").as(tsCol))
+      .agg((sum(col(valCol)) * stepSeconds.toDouble).as(outCol))
+
+  /** Exponentially-weighted moving average per series (graphite
+    * `exponentialMovingAverage`): `s_1 = v_1`, `s_t = α·v_t + (1−α)·s_{t−1}`.
+    *
+    * The recursion is sequential per series by nature, so each series is
+    * collapsed to one ts-sorted array (a single partial-agg shuffle keyed
+    * by series), folded once with `aggregate`, and exploded back — state
+    * is points-per-series, never cross-series, so this scales with the
+    * longest series, not the table. Null values carry the state forward
+    * unchanged and emit a null smoothed point (graphite skips Nones).
+    *
+    * `1−α` is computed once in driver double arithmetic; an oracle must
+    * spell it `(1 - α)` so both engines fold bit-identical doubles.
+    * Output: (key, ts, v, outCol).
+    */
+  def ewma(df: DataFrame, alpha: Double, keyCol: String = "metric", tsCol: String = "ts",
+           valCol: String = "v", outCol: String = "ewma"): DataFrame = {
+    val beta = 1.0 - alpha
+    val outElem = "array<struct<ts:bigint,v:double,ewma:double>>"
+    val pts = sort_array(collect_list(struct(
+      col(tsCol).cast("long").as("ts"), col(valCol).cast("double").as("v"))))
+    val folded = aggregate(
+      col("pts"),
+      struct(lit(null).cast("double").as("s"), array().cast(outElem).as("out")),
+      (acc, p) => {
+        val s = acc.getField("s")
+        val v = p.getField("v")
+        val sNew = when(v.isNull, s).when(s.isNull, v)
+          .otherwise(lit(alpha) * v + lit(beta) * s)
+        struct(
+          sNew.as("s"),
+          concat(acc.getField("out"), array(struct(
+            p.getField("ts").as("ts"), v.as("v"),
+            when(v.isNull, lit(null).cast("double")).otherwise(sNew).as("ewma")))).as("out"))
+      },
+      acc => acc.getField("out"))
+    df.groupBy(col(keyCol)).agg(pts.as("pts"))
+      .select(col(keyCol), explode(folded).as("pt"))
+      .select(col(keyCol), col("pt.ts").as(tsCol), col("pt.v").as(valCol),
+        col("pt.ewma").as(outCol))
+  }
+
+  /** Holt linear (double-exponential) smoothing per series: level `s` and
+    * trend `b`, `s_1 = v_1, b_1 = 0`; then `s_t = α·v_t + (1−α)(s+b)`,
+    * `b_t = β(s_t − s_prev) + (1−β)·b` — the deseasonalized core of
+    * graphite's `holtWintersForecast`. Same collapsed-series fold shape
+    * as [[ewma]]; nulls carry state and emit null. Output: (key, ts, v,
+    * level, trend) — the one-step forecast is `level + trend`.
+    */
+  def holtLinear(df: DataFrame, alpha: Double, betaP: Double,
+                 keyCol: String = "metric", tsCol: String = "ts",
+                 valCol: String = "v"): DataFrame = {
+    val a1 = 1.0 - alpha
+    val b1 = 1.0 - betaP
+    val outElem = "array<struct<ts:bigint,v:double,level:double,trend:double>>"
+    val pts = sort_array(collect_list(struct(
+      col(tsCol).cast("long").as("ts"), col(valCol).cast("double").as("v"))))
+    val folded = aggregate(
+      col("pts"),
+      struct(lit(null).cast("double").as("s"), lit(null).cast("double").as("b"),
+        array().cast(outElem).as("out")),
+      (acc, p) => {
+        val s = acc.getField("s"); val b = acc.getField("b"); val v = p.getField("v")
+        val sNew = when(v.isNull, s).when(s.isNull, v)
+          .otherwise(lit(alpha) * v + lit(a1) * (s + b))
+        val bNew = when(v.isNull, b).when(s.isNull, lit(0.0))
+          .otherwise(lit(betaP) * (sNew - s) + lit(b1) * b)
+        struct(
+          sNew.as("s"), bNew.as("b"),
+          concat(acc.getField("out"), array(struct(
+            p.getField("ts").as("ts"), v.as("v"),
+            when(v.isNull, lit(null).cast("double")).otherwise(sNew).as("level"),
+            when(v.isNull, lit(null).cast("double")).otherwise(bNew).as("trend")))).as("out"))
+      },
+      acc => acc.getField("out"))
+    df.groupBy(col(keyCol)).agg(pts.as("pts"))
+      .select(col(keyCol), explode(folded).as("pt"))
+      .select(col(keyCol), col("pt.ts").as(tsCol), col("pt.v").as(valCol),
+        col("pt.level").as("level"), col("pt.trend").as("trend"))
+  }
+
+  /** Trailing moving mean/stddev and z-score anomaly flag per series
+    * (graphite `stdev` + threshold alerting). The stddev is computed
+    * from explicit windowed `n`/`Σv`/`Σv²` columns — the same formula an
+    * oracle can spell out, rather than an engine-internal variance
+    * kernel — staged as attributes so each window sum evaluates once.
+    * z is null until the window holds ≥2 points or when sd = 0.
+    */
+  def anomalies(df: DataFrame, points: Int, zThreshold: Double,
+                keyCol: String = "metric", tsCol: String = "ts",
+                valCol: String = "v"): DataFrame = {
+    val frame = w(keyCol, tsCol).rowsBetween(-(points - 1), 0)
+    val staged = df
+      .withColumn("_wn", count(col(valCol)).over(frame))
+      .withColumn("_ws", sum(col(valCol)).over(frame))
+      .withColumn("_wss", sum(col(valCol) * col(valCol)).over(frame))
+    val mean = col("_ws") / col("_wn")
+    val variance = (col("_wss") - col("_ws") * col("_ws") / col("_wn")) / (col("_wn") - 1)
+    staged
+      .withColumn("moving_mean", mean)
+      .withColumn("moving_sd", when(col("_wn") > 1, sqrt(greatest(variance, lit(0.0)))))
+      .withColumn("z", when(col("moving_sd") > 0,
+        (col(valCol) - col("moving_mean")) / col("moving_sd")))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > zThreshold, lit(false)))
+      .drop("_wn", "_ws", "_wss")
+  }
+
+  private def statAgg(fn: String, v: Column, ts: Column): Column = fn match {
+    case "max"     => max(v)
+    case "min"     => min(v)
+    case "avg"     => avg(v)
+    case "sum"     => sum(v)
+    case "current" => max_by(v, ts) // last reported point (graphite `current`)
+    case other     => throw new IllegalArgumentException(s"seriesStat: unsupported fn '$other'")
+  }
+
+  /** One scalar stat per series — the base of graphite's series-filter
+    * family (`highestMax`, `averageAbove`, `currentAbove`, …). One
+    * partial-aggregated pass; output is #series rows, tiny next to the
+    * point table.
+    */
+  def seriesStat(df: DataFrame, fn: String, keyCol: String = "metric",
+                 tsCol: String = "ts", valCol: String = "v",
+                 outCol: String = "stat"): DataFrame =
+    df.groupBy(col(keyCol)).agg(statAgg(fn, col(valCol), col(tsCol)).as(outCol))
+
+  /** Keep every row of the series whose stat passes the threshold
+    * (graphite `averageAbove` / `currentAbove` / `maximumAbove`). The
+    * surviving key set is broadcast back — the point table never
+    * shuffles.
+    */
+  def filterSeries(df: DataFrame, fn: String, minStat: Double,
+                   keyCol: String = "metric", tsCol: String = "ts",
+                   valCol: String = "v"): DataFrame = {
+    val keep = seriesStat(df, fn, keyCol, tsCol, valCol).filter(col("stat") >= minStat)
+    df.join(broadcast(keep.select(keyCol)), Seq(keyCol), "left_semi")
+  }
+
+  /** Keep the k series ranked highest by stat (graphite `highestMax` /
+    * `highestAverage`); ties break on key ascending for determinism.
+    * orderBy+limit plans as TakeOrdered (no full-sort shuffle) and the
+    * k keys broadcast back.
+    */
+  def topKSeries(df: DataFrame, fn: String, k: Int,
+                 keyCol: String = "metric", tsCol: String = "ts",
+                 valCol: String = "v"): DataFrame = {
+    val top = seriesStat(df, fn, keyCol, tsCol, valCol)
+      .orderBy(col("stat").desc, col(keyCol).asc).limit(k)
+    df.join(broadcast(top.select(keyCol)), Seq(keyCol), "left_semi")
+  }
 }

@@ -167,30 +167,37 @@ object SimilarityOps {
     // distance would otherwise null the cell key and NPE the driver
     // unbox); length-mismatched vectors null their distance too, so
     // the null-cell guard below drops those rows rather than crashing
+    // Cached across the init scan + every Lloyd iteration: the same
+    // rows feed iters+1 sequential driver jobs, so one materialization
+    // replaces four source scans (on a cluster: four full-table reads).
     val clean = emb.filter(col(vecCol).isNotNull)
-    var cents: Array[Array[Double]] = clean.orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray.map(f => round4(f.toDouble)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val finalCents: Array[Array[Double]] = try {
+      var cents: Array[Array[Double]] = clean.orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).toArray.map(f => round4(f.toDouble)))
 
-    def assignExpr: Column = {
-      val dists = cents.toSeq.map(c =>
-        graft.functions.VectorExprs.l2Squared(col(vecCol), array(c.map(lit).toSeq: _*)))
-      val minD = least(dists: _*)
-      cents.indices.map(j => when(dists(j) === minD, lit(j))).reduce(coalesce(_, _))
-    }
+      def assignExpr: Column = {
+        val dists = cents.toSeq.map(c =>
+          graft.functions.VectorExprs.l2Squared(col(vecCol), array(c.map(lit).toSeq: _*)))
+        val minD = least(dists: _*)
+        cents.indices.map(j => when(dists(j) === minD, lit(j))).reduce(coalesce(_, _))
+      }
 
-    for (_ <- 1 to iters) {
-      val means = clean
-        .select(assignExpr.as("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .groupBy("cell", "pos")
-        .agg(avg(col("v").cast("double")).as("m"))
-        .collect()
-      val next = cents.map(_.clone())
-      means.foreach(r => if (!r.isNullAt(0)) next(r.getInt(0))(r.getInt(1)) = round4(r.getDouble(2)))
-      cents = next
-    }
+      for (_ <- 1 to iters) {
+        val means = clean
+          .select(assignExpr.as("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+          .groupBy("cell", "pos")
+          .agg(avg(col("v").cast("double")).as("m"))
+          .collect()
+        val next = cents.map(_.clone())
+        means.foreach(r => if (!r.isNullAt(0)) next(r.getInt(0))(r.getInt(1)) = round4(r.getDouble(2)))
+        cents = next
+      }
+      cents
+    } finally clean.unpersist(blocking = false)
     import spark.implicits._
-    cents.zipWithIndex.flatMap { case (c, cell) =>
+    finalCents.zipWithIndex.flatMap { case (c, cell) =>
       c.zipWithIndex.map { case (v, d) => (cell, d + 1, v) }
     }.toSeq.toDF("cell", "dim", "value")
   }
