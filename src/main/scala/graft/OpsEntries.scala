@@ -138,6 +138,24 @@ private[graft] object OpsEntries {
     // weight — rank-equivalent to log idf, engine-deterministic).
     "q65_tfidf_terms" -> ((s, dir) => TextOps.tfIdfTopTerms(t(s, dir, "documents"))),
 
+    // Unigram-LM quality score: per-doc mean token surprisal under the
+    // corpus's own unigram distribution (the KenLM-style ranking proxy).
+    "q70_unigram_logprob" -> ((s, dir) =>
+      TextOps.unigramLogProb(t(s, dir, "documents"))),
+
+    // Domain-mixing weights: temperature-scaled source sampling
+    // probabilities from per-source token mass (t = 0.7 up-weights
+    // small sources, the standard multi-domain corpus recipe).
+    "q71_mix_weights" -> ((s, dir) =>
+      graft.ops.SampleOps.mixtureWeights(
+        t(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens")),
+        "n_tokens", 0.7)
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("weight"), 6).as("weight"))),
+
     // Cross-source mirror report: near-dup candidate pairs rolled up
     // by (source, source) — which feeds re-host which.
     "q66_mirror_sources" -> ((s, dir) => {
@@ -445,6 +463,24 @@ private[graft] object OpsEntries {
          |SELECT doc_id, term, score, CAST(r AS INTEGER) AS rank
          |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS r FROM s)
          |WHERE r <= 3""".stripMargin,
+
+    "q70_unigram_logprob" ->
+      s"""WITH dt AS (SELECT doc_id, unnest($toksExpr) AS tok FROM documents),
+         |tc AS (SELECT tok, count(*) AS cnt FROM dt GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS total FROM tc),
+         |scored AS (SELECT dt.doc_id, round(-log2(CAST(tc.cnt AS DOUBLE) / tot.total), 6) AS nll
+         |           FROM dt JOIN tc USING (tok) CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, round(avg(nll), 4) AS avg_nll
+         |FROM scored GROUP BY 1""".stripMargin,
+
+    "q71_mix_weights" ->
+      s"""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |                  CAST(sum(len($toksExpr)) AS BIGINT) AS n_tokens
+         |           FROM documents GROUP BY 1)
+         |SELECT source, n_docs, n_tokens,
+         |       round(pow(CAST(n_tokens AS DOUBLE), 0.7)
+         |             / sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) OVER (), 6) AS weight
+         |FROM s""".stripMargin,
 
     "q66_mirror_sources" ->
       s"""$minhashCtes,

@@ -249,6 +249,50 @@ private[graft] object TreeEntries {
       graft.ops.SeriesOps.keepLastValue(sparse, "event_type", "bucket_ts", "v", "filled")
     }),
 
+    // Graphite exponentialMovingAverage: the sequential EWMA recursion
+    // folds per collapsed series (SeriesOps.ewma); the oracle replays
+    // it with a recursive CTE. Rollup inputs round to 4dp FIRST so both
+    // engines fold bit-identical doubles through the recursion.
+    "q67_ewma" -> ((s, dir) => {
+      val rolled = events(s, dir)
+        .groupBy(col("event_type"),
+          (col("sec") - (col("sec") % 3600)).cast("long").as("bucket_ts"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      graft.ops.SeriesOps.ewma(rolled, 0.3, "event_type", "bucket_ts", "v")
+        .select(col("event_type"), col("bucket_ts"), col("v"),
+          round(col("ewma"), 4).as("ewma"))
+    }),
+
+    // Graphite series-filter composition over 500 user series:
+    // averageAbove(50) then highestMax(3) — whole-series admission by
+    // per-series stats, the keys broadcast back against the point rows.
+    "q68_top_series" -> ((s, dir) => {
+      import graft.ops.SeriesOps
+      val rolled = events(s, dir)
+        .groupBy(concat(col("event_type"), lit(".u"),
+            (col("user_id") % 100).cast("string")).as("metric"),
+          (col("sec") - (col("sec") % 3600)).cast("long").as("bucket_ts"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      val passed = SeriesOps.filterSeries(rolled, "avg", 50.0, "metric", "bucket_ts", "v")
+      SeriesOps.topKSeries(passed, "max", 3, "metric", "bucket_ts", "v")
+    }),
+
+    // Moving-stats anomaly detection: trailing 6-point mean/stddev from
+    // explicit n/Σv/Σv² windows (the oracle spells the same formula) and
+    // a |z| > 2 flag per point.
+    "q69_anomaly" -> ((s, dir) => {
+      val rolled = events(s, dir)
+        .groupBy(col("event_type"),
+          (col("sec") - (col("sec") % 3600)).cast("long").as("bucket_ts"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      graft.ops.SeriesOps.anomalies(rolled, 6, 2.0, "event_type", "bucket_ts", "v")
+        .select(col("event_type"), col("bucket_ts"), col("v"),
+          round(col("moving_mean"), 4).as("moving_mean"),
+          round(col("moving_sd"), 4).as("moving_sd"),
+          round(col("z"), 3).as("z"),
+          col("is_anomaly"))
+    }),
+
     // Multimodal frame sampling: per-video frame work units.
     "q32_frame_sample" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet").select(
@@ -364,6 +408,47 @@ private[graft] object TreeEntries {
         |       last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket_ts
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM sp""".stripMargin,
+
+    "q67_ewma" ->
+      """WITH RECURSIVE
+        |e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |r AS (SELECT event_type, sec - (sec % 3600) AS bucket_ts, round(avg(value), 4) AS v
+        |      FROM e GROUP BY 1, 2),
+        |n AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS rn FROM r),
+        |s AS (
+        |  SELECT event_type, rn, bucket_ts, v, v AS ewma FROM n WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.event_type, n.rn, n.bucket_ts, n.v, 0.3 * n.v + (1 - 0.3) * s.ewma
+        |  FROM n JOIN s ON n.event_type = s.event_type AND n.rn = s.rn + 1)
+        |SELECT event_type, bucket_ts, v, round(ewma, 4) AS ewma FROM s""".stripMargin,
+
+    "q68_top_series" ->
+      """WITH e AS (SELECT event_type || '.u' || CAST(user_id % 100 AS VARCHAR) AS metric,
+        |                 CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |r AS (SELECT metric, sec - (sec % 3600) AS bucket_ts, round(avg(value), 4) AS v
+        |      FROM e GROUP BY 1, 2),
+        |passed AS (SELECT metric FROM r GROUP BY metric HAVING avg(v) >= 50.0),
+        |f AS (SELECT r.* FROM r WHERE metric IN (SELECT metric FROM passed)),
+        |stat AS (SELECT metric, max(v) AS stat FROM f GROUP BY 1),
+        |top AS (SELECT metric FROM stat ORDER BY stat DESC, metric LIMIT 3)
+        |SELECT f.* FROM f WHERE metric IN (SELECT metric FROM top)""".stripMargin,
+
+    "q69_anomaly" ->
+      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |r AS (SELECT event_type, sec - (sec % 3600) AS bucket_ts, round(avg(value), 4) AS v
+        |      FROM e GROUP BY 1, 2),
+        |n AS (SELECT event_type, bucket_ts, v,
+        |             count(v) OVER w AS wn, sum(v) OVER w AS ws, sum(v*v) OVER w AS wss
+        |      FROM r WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+        |                          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT event_type, bucket_ts, v, ws / wn AS mean,
+        |             CASE WHEN wn > 1 THEN sqrt(greatest((wss - ws*ws/wn) / (wn-1), 0.0)) END AS sd
+        |      FROM n),
+        |z AS (SELECT event_type, bucket_ts, v, mean, sd,
+        |             CASE WHEN sd > 0 THEN (v - mean) / sd END AS z FROM d)
+        |SELECT event_type, bucket_ts, v, round(mean, 4) AS moving_mean,
+        |       round(sd, 4) AS moving_sd, round(z, 3) AS z,
+        |       coalesce(abs(z) > 2.0, false) AS is_anomaly FROM z""".stripMargin,
 
     "q36_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k,

@@ -57,4 +57,24 @@ object SampleOps {
       .filter(col("__rank") <= n)
       .drop("__rank")
   }
+
+  /** Temperature-scaled mixture weights over a per-group size frame
+    * (the "domain mixing" step of corpus assembly: sample source `s`
+    * with probability ∝ `n_s^temperature`, temperature < 1 up-weighting
+    * small sources). Input is one row per group with a size column;
+    * adds `weight = n^t / Σ n^t`.
+    *
+    * The normalizing sum runs as an unpartitioned window over the
+    * per-group frame — #groups rows by construction (sources, domains,
+    * languages: tens to thousands), so the single-partition window is
+    * the right plan; the big corpus itself is never touched here.
+    */
+  def mixtureWeights(perGroup: org.apache.spark.sql.DataFrame, nCol: String,
+                     temperature: Double): org.apache.spark.sql.DataFrame = {
+    val p = pow(col(nCol).cast("double"), lit(temperature))
+    perGroup.withColumn("__p", p)
+      .withColumn("weight",
+        col("__p") / sum(col("__p")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .drop("__p")
+  }
 }

@@ -340,6 +340,39 @@ object TextOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
   }
 
+  /** Unigram language-model quality score: per-document mean token
+    * surprisal `-log2 p(tok)` under the corpus's own unigram
+    * distribution — the cheap KenLM-style proxy for "how typical is
+    * this document's vocabulary" used to rank training data.
+    *
+    * Cross-engine determinism: per-token surprisal depends only on the
+    * token's corpus count, so it is rounded to 6dp BEFORE averaging —
+    * a last-ulp `log2` difference between engines dies there instead of
+    * propagating into the mean (the [[tfIdfTopTerms]] lesson, applied
+    * to an operator where log is the semantics and can't be replaced
+    * by rational arithmetic).
+    *
+    * Scale shape: one explode pass with partial aggregation for counts;
+    * the vocabulary (counts table) broadcasts while it fits — at
+    * web-corpus scale pass `broadcastVocab = false` to let the join
+    * shuffle by token instead. Output: (doc_id, n_tokens, avg_nll).
+    */
+  def unigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     broadcastVocab: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val dt = DedupOps.widen(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val tc0 = dt.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tc = if (broadcastVocab) broadcast(tc0) else tc0
+    val tot = broadcast(tc0.agg(sum("cnt").as("total")))
+    dt.join(tc, Seq("tok"))
+      .crossJoin(tot)
+      .select(col(idCol),
+        round(-log2(col("cnt").cast("double") / col("total")), 6).as("nll"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("nll")), 4).as("avg_nll"))
+  }
+
   def bpeMergePairs(docs: org.apache.spark.sql.DataFrame, textCol: String = "text",
                     topK: Int = 50): org.apache.spark.sql.DataFrame = {
     val words = DedupOps.widen(docs)
