@@ -277,6 +277,22 @@ private[graft] object TreeEntries {
       SeriesOps.topKSeries(passed, "max", 3, "metric", "bucket_ts", "v")
     }),
 
+    // Holt linear (double-exponential) smoothing: level + trend fold
+    // per collapsed series, one-step forecast = level + trend — the
+    // deseasonalized core of graphite holtWintersForecast. The oracle
+    // carries BOTH recursion states through a recursive CTE.
+    "q72_holt_linear" -> ((s, dir) => {
+      val rolled = events(s, dir)
+        .groupBy(col("event_type"),
+          (col("sec") - (col("sec") % 3600)).cast("long").as("bucket_ts"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      graft.ops.SeriesOps.holtLinear(rolled, 0.5, 0.3, "event_type", "bucket_ts", "v")
+        .select(col("event_type"), col("bucket_ts"), col("v"),
+          round(col("level"), 4).as("level"),
+          round(col("trend"), 4).as("trend"),
+          round(col("level") + col("trend"), 4).as("forecast"))
+    }),
+
     // Moving-stats anomaly detection: trailing 6-point mean/stddev from
     // explicit n/Σv/Σv² windows (the oracle spells the same formula) and
     // a |z| > 2 flag per point.
@@ -432,6 +448,24 @@ private[graft] object TreeEntries {
         |stat AS (SELECT metric, max(v) AS stat FROM f GROUP BY 1),
         |top AS (SELECT metric FROM stat ORDER BY stat DESC, metric LIMIT 3)
         |SELECT f.* FROM f WHERE metric IN (SELECT metric FROM top)""".stripMargin,
+
+    "q72_holt_linear" ->
+      """WITH RECURSIVE
+        |e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |r AS (SELECT event_type, sec - (sec % 3600) AS bucket_ts, round(avg(value), 4) AS v
+        |      FROM e GROUP BY 1, 2),
+        |n AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS rn FROM r),
+        |s AS (
+        |  SELECT event_type, rn, bucket_ts, v, v AS level, CAST(0.0 AS DOUBLE) AS trend
+        |  FROM n WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.event_type, n.rn, n.bucket_ts, n.v,
+        |         0.5 * n.v + (1 - 0.5) * (s.level + s.trend),
+        |         0.3 * ((0.5 * n.v + (1 - 0.5) * (s.level + s.trend)) - s.level) + (1 - 0.3) * s.trend
+        |  FROM n JOIN s ON n.event_type = s.event_type AND n.rn = s.rn + 1)
+        |SELECT event_type, bucket_ts, v, round(level, 4) AS level, round(trend, 4) AS trend,
+        |       round(level + trend, 4) AS forecast
+        |FROM s""".stripMargin,
 
     "q69_anomaly" ->
       """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
