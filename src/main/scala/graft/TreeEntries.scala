@@ -309,6 +309,30 @@ private[graft] object TreeEntries {
           col("is_anomaly"))
     }),
 
+    // Graphite groupByNodes/sumSeries: collapse 500 user series to
+    // their first name level, summing pointwise per timestamp.
+    "q73_group_by_node" -> ((s, dir) => {
+      val rolled = events(s, dir)
+        .groupBy(concat(col("event_type"), lit(".u"),
+            (col("user_id") % 100).cast("string")).as("metric"),
+          (col("sec") - (col("sec") % 3600)).cast("long").as("bucket_ts"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      graft.ops.SeriesOps.groupByNodes(rolled, Seq(0), "sum", "metric", "bucket_ts", "v")
+        .select(col("metric"), col("bucket_ts"), round(col("v"), 4).as("v"))
+    }),
+
+    // Graphite asPercent: each event type's share of the per-bucket
+    // total — one window keyed by timestamp.
+    "q74_as_percent" -> ((s, dir) => {
+      val rolled = events(s, dir)
+        .groupBy(col("event_type"),
+          (col("sec") - (col("sec") % 3600)).cast("long").as("bucket_ts"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      graft.ops.SeriesOps.asPercent(rolled, "event_type", "bucket_ts", "v")
+        .select(col("event_type"), col("bucket_ts"), col("v"),
+          round(col("pct"), 4).as("pct"))
+    }),
+
     // Multimodal frame sampling: per-video frame work units.
     "q32_frame_sample" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet").select(
@@ -483,6 +507,22 @@ private[graft] object TreeEntries {
         |SELECT event_type, bucket_ts, v, round(mean, 4) AS moving_mean,
         |       round(sd, 4) AS moving_sd, round(z, 3) AS z,
         |       coalesce(abs(z) > 2.0, false) AS is_anomaly FROM z""".stripMargin,
+
+    "q73_group_by_node" ->
+      """WITH e AS (SELECT event_type || '.u' || CAST(user_id % 100 AS VARCHAR) AS metric,
+        |                 CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |r AS (SELECT metric, sec - (sec % 3600) AS bucket_ts, round(avg(value), 4) AS v
+        |      FROM e GROUP BY 1, 2)
+        |SELECT split_part(metric, '.', 1) AS metric, bucket_ts, round(sum(v), 4) AS v
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "q74_as_percent" ->
+      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |r AS (SELECT event_type, sec - (sec % 3600) AS bucket_ts, round(avg(value), 4) AS v
+        |      FROM e GROUP BY 1, 2)
+        |SELECT event_type, bucket_ts, v,
+        |       round(v / sum(v) OVER (PARTITION BY bucket_ts) * 100, 4) AS pct
+        |FROM r""".stripMargin,
 
     "q36_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k,

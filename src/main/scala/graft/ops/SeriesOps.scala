@@ -210,6 +210,32 @@ object SeriesOps {
       .drop("_wn", "_ws", "_wss")
   }
 
+  /** Aggregate series sharing selected name levels (graphite
+    * `groupByNodes` / `sumSeries(groupByNode(...))`): the alias keeps
+    * only the dot-levels at `nodes` (0-based), and all series mapping
+    * to the same alias combine pointwise per timestamp. One
+    * partial-aggregated pass keyed by (alias, ts).
+    */
+  def groupByNodes(df: DataFrame, nodes: Seq[Int], fn: String = "sum",
+                   keyCol: String = "metric", tsCol: String = "ts",
+                   valCol: String = "v"): DataFrame = {
+    require(nodes.nonEmpty, "groupByNodes: need at least one node index")
+    val parts = split(col(keyCol), "\\.")
+    val alias = concat_ws(".", nodes.map(i => parts.getItem(i)): _*)
+    df.groupBy(alias.as(keyCol), col(tsCol))
+      .agg(statAgg(fn, col(valCol), col(tsCol)).as(valCol))
+  }
+
+  /** Each series as a percentage of the per-timestamp total across all
+    * series (graphite `asPercent` with no reference series). One window
+    * keyed by timestamp — the partition holds #series values, never a
+    * whole series.
+    */
+  def asPercent(df: DataFrame, keyCol: String = "metric", tsCol: String = "ts",
+                valCol: String = "v", outCol: String = "pct"): DataFrame =
+    df.withColumn(outCol,
+      col(valCol) / sum(col(valCol)).over(Window.partitionBy(col(tsCol))) * 100)
+
   private def statAgg(fn: String, v: Column, ts: Column): Column = fn match {
     case "max"     => max(v)
     case "min"     => min(v)

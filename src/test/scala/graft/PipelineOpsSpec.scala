@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{DedupOps, TextOps}
+import graft.ops.{DedupOps, SampleOps, TextOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -104,5 +104,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = DedupOps.evalGramOverlap(train, evalDocs).collect()
     assert(got.length === 1)
     assert(got(0).getLong(1) === 1L && got(0).getLong(2) === 1L) // one 8-gram, one hit
+  }
+
+  test("unigramLogProb: uniform corpus scores every doc log2(vocab)") {
+    // 4 tokens, each appearing once → p = 1/4, surprisal = 2 bits
+    val docs = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text")
+    val got = TextOps.unigramLogProb(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 2L, 2.0), (2L, 2L, 2.0)))
+  }
+
+  test("unigramLogProb: rarer tokens raise the doc score; null text drops out") {
+    // corpus: "x" x3, "y" x1 → p(x)=0.75 (0.415 bits), p(y)=0.25 (2 bits)
+    val docs = Seq((1L, Some("x x x")), (2L, Some("y")), (3L, None))
+      .toDF("doc_id", "text")
+    val got = TextOps.unigramLogProb(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got.keySet === Set(1L, 2L)) // null-text doc has no tokens
+    assert(got(2L) > got(1L))
+    assert(math.abs(got(2L) - 2.0) < 1e-9)
+  }
+
+  test("mixtureWeights: t=1 is proportional, t=0 is uniform, weights sum to 1") {
+    val sizes = Seq(("a", 900L), ("b", 100L)).toDF("source", "n")
+    def weights(t: Double): Map[String, Double] =
+      SampleOps.mixtureWeights(sizes, "n", t).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val prop = weights(1.0)
+    assert(math.abs(prop("a") - 0.9) < 1e-12 && math.abs(prop("b") - 0.1) < 1e-12)
+    val flat = weights(0.0)
+    assert(math.abs(flat("a") - 0.5) < 1e-12 && math.abs(flat("b") - 0.5) < 1e-12)
+    val t7 = weights(0.7)
+    assert(t7("a") < 0.9 && t7("b") > 0.1) // temperature < 1 up-weights small sources
+    assert(math.abs(t7.values.sum - 1.0) < 1e-12)
   }
 }

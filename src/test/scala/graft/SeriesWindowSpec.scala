@@ -79,4 +79,25 @@ class SeriesWindowSpec extends AnyFunSuite {
     assert(out.select("metric").distinct().as[String].collect().toSeq === Seq("m1"))
     assert(out.count() === 4)
   }
+
+  test("groupByNodes collapses series sharing the selected name levels") {
+    val named = Seq(
+      ("app.hostA.req", 0L, 1.0), ("app.hostB.req", 0L, 2.0),
+      ("app.hostA.req", 60L, 5.0), ("db.hostA.req", 0L, 7.0))
+      .toDF("metric", "ts", "v")
+    val out = SeriesOps.groupByNodes(named, Seq(0, 2), "sum")
+      .orderBy("metric", "ts").as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(("app.req", 0L, 3.0), ("app.req", 60L, 5.0), ("db.req", 0L, 7.0)))
+    intercept[IllegalArgumentException](SeriesOps.groupByNodes(named, Seq.empty))
+  }
+
+  test("asPercent normalizes by the per-timestamp total") {
+    val out = SeriesOps.asPercent(series)
+      .orderBy("ts", "metric").select("metric", "ts", "pct")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("m1", 0L, 10.0 / 15.0 * 100), ("m2", 0L, 5.0 / 15.0 * 100),
+      ("m1", 60L, 13.0 / 18.0 * 100), ("m2", 60L, 5.0 / 18.0 * 100),
+      ("m1", 120L, 100.0), ("m1", 180L, 100.0)))
+  }
 }
