@@ -76,6 +76,23 @@ private[graft] object OpsEntries {
     // make the trained centroids exactly reproducible in SQL.
     "q64_kmeans" -> ((s, dir) => SimilarityOps.kmeans(t(s, dir, "embeddings"))),
 
+    // SemDeDup: k-means cells confine the cosine pair comparison; drop
+    // every vector similar (≥0.4) to a lower-id cell-mate.
+    "q75_semdedup" -> ((s, dir) => SimilarityOps.semDedup(t(s, dir, "embeddings"))),
+
+    // Cross-document duplicated-span ratio: the suffix-array-free
+    // exact-substring-dedup signal (fraction of a doc's 8-token windows
+    // that appear in another doc).
+    "q76_dup_spans" -> ((s, dir) => TextOps.dupSpanFrame(t(s, dir, "documents"))),
+
+    // Quality-aware dup-cluster representative: per near-dup component,
+    // keep the highest-quality member (tie → lowest id).
+    "q77_cluster_rep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.GraphOps.clusterRepresentatives(
+        DedupOps.minHashCandidates(docs), TextOps.qualityFrame(docs))
+    }),
+
     // IVF ANN: probe the 2 nearest label cells (derived mean-vector
     // centroids), exact cosine within probed cells only.
     "q38_ivf_ann" -> ((s, dir) => {
@@ -287,9 +304,14 @@ private[graft] object OpsEntries {
     * centroid rounding (which makes every iteration's INPUT identical
     * across engines), same empty-cell carry-over.
     */
-  private def kmeansSql(k: Int = 8, iters: Int = 3, dims: Int = 64): String = {
-    def l2(v: String, c: String) =
-      s"list_sum(list_transform(list_zip($v, $c), p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+  private def kmeansL2(v: String, c: String) =
+    s"list_sum(list_transform(list_zip($v, $c), p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+
+  /** The unrolled Lloyd CTE chain up to final centroids `c<iters>` —
+    * shared by the kmeans oracle (which selects the centroids) and the
+    * semdedup oracle (which carries on to a final assignment).
+    */
+  private def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
@@ -303,7 +325,7 @@ private[graft] object OpsEntries {
         s"""cl${i - 1} AS (SELECT cell, list(value ORDER BY dim) AS cv FROM c${i - 1} GROUP BY cell),
            |a$i AS (SELECT vec_id, embedding, cell FROM (
            |  SELECT e.vec_id, e.embedding, c.cell,
-           |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2("e.embedding", "c.cv")}, c.cell) AS r
+           |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${kmeansL2("e.embedding", "c.cv")}, c.cell) AS r
            |  FROM emb e CROSS JOIN cl${i - 1} c) WHERE r = 1),
            |u$i AS (SELECT cell, dim, round(avg(CAST(embedding[dim] AS DOUBLE)), 4) AS value
            |       FROM a$i CROSS JOIN range(1, ${dims + 1}) t(dim) GROUP BY cell, dim),
@@ -311,11 +333,32 @@ private[graft] object OpsEntries {
            |       SELECT * FROM c${i - 1} WHERE cell NOT IN (SELECT DISTINCT cell FROM u$i)),
            |""".stripMargin)
     }
-    sb.append(
-      s"""fin AS (SELECT cell, dim, value FROM c$iters)
-         |SELECT CAST(cell AS INTEGER) AS cell, CAST(dim AS INTEGER) AS dim, value FROM fin""".stripMargin)
     sb.toString
   }
+
+  private def kmeansSql(k: Int = 8, iters: Int = 3, dims: Int = 64): String =
+    kmeansCtes(k, iters, dims) +
+      s"""fin AS (SELECT cell, dim, value FROM c$iters)
+         |SELECT CAST(cell AS INTEGER) AS cell, CAST(dim AS INTEGER) AS dim, value FROM fin""".stripMargin
+
+  /** SemDeDup oracle: the Lloyd chain, a final assignment against the
+    * trained centroids, within-cell pairs, and the max-cosine drop rule
+    * — the independent SQL re-statement of `SimilarityOps.semDedup`.
+    */
+  private def semDedupSql(k: Int = 8, iters: Int = 3, dims: Int = 64,
+                          threshold: Double = 0.4): String =
+    kmeansCtes(k, iters, dims) +
+      s"""cl$iters AS (SELECT cell, list(value ORDER BY dim) AS cv FROM c$iters GROUP BY cell),
+         |asg AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${kmeansL2("e.embedding", "c.cv")}, c.cell) AS r
+         |  FROM emb e CROSS JOIN cl$iters c) WHERE r = 1),
+         |pairs AS (SELECT b.vec_id AS id_b, round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |          FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |drp AS (SELECT id_b FROM pairs GROUP BY id_b HAVING max(cos_sim) >= $threshold)
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+         |       vec_id IN (SELECT id_b FROM drp) AS dropped
+         |FROM asg""".stripMargin
 
   /** q26's full SQL, shared as a CTE body by q59's per-source rollup. */
   private val q26Sql: String = {
@@ -378,6 +421,44 @@ private[graft] object OpsEntries {
          |FROM j""".stripMargin,
 
     "q64_kmeans" -> kmeansSql(),
+
+    "q75_semdedup" -> semDedupSql(),
+
+    "q76_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id,
+         |        CASE WHEN len(toks) >= 8
+         |          THEN list_distinct(list_transform(generate_series(1, len(toks) - 7),
+         |                 i -> array_to_string(toks[i:i+7], ' ')))
+         |          ELSE [] END AS wins
+         |      FROM t),
+         |dw AS (SELECT doc_id, unnest(wins) AS win FROM w),
+         |dup AS (SELECT win FROM dw GROUP BY win HAVING count(*) > 1),
+         |pd AS (SELECT doc_id, count(*) AS dup_hit FROM dw JOIN dup USING (win) GROUP BY doc_id)
+         |SELECT w.doc_id, CAST(len(wins) AS BIGINT) AS n_windows,
+         |       CAST(coalesce(dup_hit, 0) AS BIGINT) AS dup_windows,
+         |       round(CASE WHEN len(wins) > 0
+         |               THEN coalesce(dup_hit, 0) / CAST(len(wins) AS DOUBLE)
+         |               ELSE 0.0 END, 4) AS dup_ratio
+         |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    "q77_cluster_rep" ->
+      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM cand UNION SELECT id_b, id_a FROM cand),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |q AS ($q26Sql),
+         |j AS (SELECT comp.component, comp.id, q.quality_score FROM comp JOIN q ON q.doc_id = comp.id)
+         |SELECT component, id AS rep_id, quality_score AS rep_score, cluster_size
+         |FROM (SELECT component, id, quality_score,
+         |        row_number() OVER (PARTITION BY component ORDER BY quality_score DESC, id) AS rn,
+         |        count(*) OVER (PARTITION BY component) AS cluster_size
+         |      FROM j)
+         |WHERE rn = 1""".stripMargin,
 
     "q38_ivf_ann" ->
       s"""WITH cent AS (

@@ -119,4 +119,27 @@ object GraphOps {
       .groupBy(col("component").as("keep_id"))
       .agg(count(lit(1)).cast("long").as("cluster_size"),
         sort_array(collect_list(col("id"))).as("members"))
+
+  /** Quality-aware cluster-representative selection: given near-dup
+    * edges and a per-doc score table, keep the HIGHEST-scoring member
+    * of each component (tie → lowest id) — the curation upgrade of
+    * [[dupClusters]]' min-id canonical choice (a dedup pass should keep
+    * the cleanest copy, not the first-crawled one).
+    *
+    * One aggregation over the component table: the arg-max rides a
+    * struct ordering (score desc, id asc via negated id), so there is
+    * no window sort and no second shuffle.
+    *
+    * Output: (component, rep_id, rep_score, cluster_size).
+    */
+  def clusterRepresentatives(edges: DataFrame, scores: DataFrame,
+                             idCol: String = "doc_id", scoreCol: String = "quality_score",
+                             srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame =
+    connectedComponents(edges, srcCol, dstCol)
+      .join(scores.select(col(idCol).cast("long").as("id"), col(scoreCol).as("score")), Seq("id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"),
+        max(struct(col("score").as("s"), (-col("id")).as("negid"))).as("m"))
+      .select(col("component"), (-col("m.negid")).as("rep_id"),
+        col("m.s").as("rep_score"), col("cluster_size"))
 }

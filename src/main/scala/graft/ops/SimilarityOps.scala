@@ -172,34 +172,90 @@ object SimilarityOps {
     // replaces four source scans (on a cluster: four full-table reads).
     val clean = emb.filter(col(vecCol).isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val finalCents: Array[Array[Double]] = try {
-      var cents: Array[Array[Double]] = clean.orderBy(col(idCol)).limit(k)
-        .select(col(vecCol)).collect()
-        .map(_.getSeq[Float](0).toArray.map(f => round4(f.toDouble)))
-
-      def assignExpr: Column = {
-        val dists = cents.toSeq.map(c =>
-          graft.functions.VectorExprs.l2Squared(col(vecCol), array(c.map(lit).toSeq: _*)))
-        val minD = least(dists: _*)
-        cents.indices.map(j => when(dists(j) === minD, lit(j))).reduce(coalesce(_, _))
-      }
-
-      for (_ <- 1 to iters) {
-        val means = clean
-          .select(assignExpr.as("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-          .groupBy("cell", "pos")
-          .agg(avg(col("v").cast("double")).as("m"))
-          .collect()
-        val next = cents.map(_.clone())
-        means.foreach(r => if (!r.isNullAt(0)) next(r.getInt(0))(r.getInt(1)) = round4(r.getDouble(2)))
-        cents = next
-      }
-      cents
-    } finally clean.unpersist(blocking = false)
+    val finalCents: Array[Array[Double]] =
+      try trainCentroids(clean, k, iters, idCol, vecCol)
+      finally clean.unpersist(blocking = false)
     import spark.implicits._
     finalCents.zipWithIndex.flatMap { case (c, cell) =>
       c.zipWithIndex.map { case (v, d) => (cell, d + 1, v) }
     }.toSeq.toDF("cell", "dim", "value")
+  }
+
+  /** The Lloyd training loop over a pre-cleaned (non-null-vector,
+    * ideally persisted) frame — shared by [[kmeans]] (centroid output)
+    * and [[semDedup]] (assignment reuse). Deterministic per the kmeans
+    * contract above.
+    */
+  private def trainCentroids(clean: DataFrame, k: Int, iters: Int,
+                             idCol: String, vecCol: String): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = clean.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(f => round4(f.toDouble)))
+    for (_ <- 1 to iters) {
+      val means = clean
+        .select(assignCell(cents, vecCol).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r => if (!r.isNullAt(0)) next(r.getInt(0))(r.getInt(1)) = round4(r.getDouble(2)))
+      cents = next
+    }
+    cents
+  }
+
+  /** Arg-min squared-L2 cell id for `vecCol` against the given centroids.
+    * The centroids ride into the expression as literals (k×dims doubles
+    * broadcast with the task binary — no join, map-only work); ties break
+    * to the lowest cell, matching the oracle's `ORDER BY dist, cell`.
+    */
+  private def assignCell(cents: Array[Array[Double]], vecCol: String): Column = {
+    val dists = cents.toSeq.map(c =>
+      graft.functions.VectorExprs.l2Squared(col(vecCol), array(c.map(lit).toSeq: _*)))
+    val minD = least(dists: _*)
+    cents.indices.map(j => when(dists(j) === minD, lit(j))).reduce(coalesce(_, _))
+  }
+
+  /** SemDeDup (semantic deduplication, Abbas et al. 2023): k-means the
+    * embeddings, then inside each cell drop every vector whose cosine
+    * similarity to a LOWER-id cell-mate reaches `threshold`. Clustering
+    * confines the pair comparison to cells, so the corpus-wide pair
+    * explosion never materializes — the candidate join shuffles on the
+    * cell key alone, which is exactly how this survives 100 TB (cells
+    * are the IVF partition layout; per-cell pair counts stay bounded by
+    * cell size, and skewed cells AQE-split).
+    *
+    * The drop decision sits ABOVE an aggregation barrier (max cosine
+    * per id) so the pair cosine is evaluated once per pair, never
+    * re-substituted into a join condition (NOTES_r3 trap #2).
+    *
+    * Output: (vec_id, cell, dropped) — one row per non-null input
+    * vector, `dropped` marking the semantic near-dup losers.
+    */
+  def semDedup(emb: DataFrame, k: Int = 8, iters: Int = 3, threshold: Double = 0.4,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val clean = emb.filter(col(vecCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = trainCentroids(clean, k, iters, idCol, vecCol)
+      val asg = clean.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+        assignCell(cents, vecCol).as("cell"), norm(col(vecCol)).as("nrm"))
+      val a = asg.select(col("cell"), col("vec_id").as("id_a"),
+        col("vec").as("va"), col("nrm").as("na"))
+      val b = asg.select(col("cell"), col("vec_id").as("id_b"),
+        col("vec").as("vb"), col("nrm").as("nb"))
+      val dropped = a.join(b, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_b"),
+          round(cosinePre(col("va"), col("vb"), col("na"), col("nb")), 6).as("cos_sim"))
+        .groupBy("id_b").agg(max(col("cos_sim")).as("max_sim"))
+        .filter(col("max_sim") >= threshold)
+        .select(col("id_b").as("vec_id"), lit(true).as("is_dup"))
+      asg.select(col("vec_id"), col("cell"))
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("is_dup"), lit(false)).as("dropped"))
+    } finally clean.unpersist(blocking = false)
   }
 
   /** Per-cell mean vectors — a one-pass "k-means with given assignment"

@@ -270,6 +270,46 @@ object TextOps {
         .otherwise(0.0), 4).as("dup_bigram_ratio"))
   }
 
+  /** Cross-document duplicated-span ratio — the suffix-array-free
+    * approximation of exact-substring dedup (the "ExactSubstr" signal):
+    * the fraction of a document's distinct `n`-token windows that also
+    * occur in at least one OTHER document. Templated boilerplate scores
+    * high; original prose scores ~0.
+    *
+    * Shape: one window explode, one partial-aggregated count keyed by
+    * the window (window occurrences are distinct per doc, so the plain
+    * count IS the containing-doc count), a semi-join back, a per-doc
+    * count. At 100 TB the window string key would be coded to a fixed
+    * 64-bit rolling hash before the shuffle (collision-tolerant for a
+    * ratio signal); the string key keeps the oracle exact here.
+    *
+    * Output: (doc_id, n_windows, dup_windows, dup_ratio) for every
+    * non-null-text document; docs shorter than `n` tokens have zero
+    * windows and ratio 0.
+    */
+  def dupSpanFrame(docs: org.apache.spark.sql.DataFrame, n: Int = 8,
+                   idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val wins = DedupOps.widen(docs.filter(col(textCol).isNotNull))
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        when(size(col("toks")) >= n,
+          array_distinct(transform(sequence(lit(0), size(col("toks")) - n),
+            i => array_join(slice(col("toks"), i + 1, lit(n)), " "))))
+          .otherwise(array().cast("array<string>")).as("wins"))
+    val docWin = wins.select(col(idCol), explode(col("wins")).as("win"))
+    val dupWins = docWin.groupBy("win").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select("win")
+    val perDoc = docWin.join(dupWins, Seq("win"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("dup_hit"))
+    wins.select(col(idCol), size(col("wins")).cast("long").as("n_windows"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("dup_hit"), lit(0L)).as("dup_windows"),
+        round(when(col("n_windows") > 0,
+          coalesce(col("dup_hit"), lit(0L)).cast("double") / col("n_windows"))
+          .otherwise(0.0), 4).as("dup_ratio"))
+  }
+
   /** PII redaction patterns, applied in order (specific → general so an
     * email's digits don't first get eaten by the number rule). Plain
     * regex classes only — no lookarounds — so the same patterns run

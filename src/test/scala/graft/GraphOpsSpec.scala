@@ -88,4 +88,18 @@ class GraphOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("clusterRepresentatives keeps the highest score, ties break to the lowest id") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val scores = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9), // tie at 0.9 → rep 2
+      (10L, 0.2), (11L, 0.2),          // tie at 0.2 → rep 10
+      (99L, 1.0)                       // not in any cluster → absent
+    ).toDF("doc_id", "quality_score")
+    val got = GraphOps.clusterRepresentatives(edges, scores)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((2L, 0.9, 3L)),
+      10L -> ((10L, 0.2, 2L))))
+  }
 }

@@ -138,4 +138,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(t7("a") < 0.9 && t7("b") > 0.1) // temperature < 1 up-weights small sources
     assert(math.abs(t7.values.sum - 1.0) < 1e-12)
   }
+
+  test("semDedup drops the higher-id near-duplicate inside a cell, keeps dissimilar cell-mates") {
+    import graft.ops.SimilarityOps
+    // k=2 seeds = ids 0 and 1 (the two lowest): cell 0 forms around
+    // (10,0), cell 1 around (-10,0). id 2 lands in cell 0 nearly
+    // parallel to id 0 (cos ≈ 1 → dropped); id 3 lands in cell 1
+    // nearly orthogonal to id 1 (cos ≈ 0.11 → kept). A null vector
+    // row is excluded entirely.
+    val emb = Seq(
+      (0L, Seq(10f, 0f)), (1L, Seq(-10f, 0f)),
+      (2L, Seq(10f, 0.05f)), (3L, Seq(-1f, -9f)),
+      (4L, null.asInstanceOf[Seq[Float]])
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.semDedup(emb, k = 2, iters = 2, threshold = 0.4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    assert(got(0L)._1 === 0 && got(2L)._1 === 0) // same cell
+    assert(got(1L)._1 === 1 && got(3L)._1 === 1)
+    assert(got.filter(_._2._2).keySet === Set(2L)) // only the higher id of the near-pair drops
+  }
+
+  test("dupSpanFrame: cross-doc windows count, within-doc repeats and short docs don't") {
+    val docs = Seq(
+      (1L, "a b c d e"),        // windows(3): abc bcd cde — abc,bcd shared with doc 2
+      (2L, "x a b c d y"),      // windows: xab abc bcd cdy
+      (3L, "zz ww"),            // < 3 tokens → zero windows
+      (4L, "p q r p q r")       // repeats only within itself → no cross-doc dup
+    ).toDF("doc_id", "text")
+    val got = TextOps.dupSpanFrame(docs, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((3L, 2L, 0.6667)))
+    assert(got(2L) === ((4L, 2L, 0.5)))
+    assert(got(3L) === ((0L, 0L, 0.0)))
+    assert(got(4L)._2 === 0L && got(4L)._3 === 0.0)
+  }
 }
