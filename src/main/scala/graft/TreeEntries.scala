@@ -333,6 +333,46 @@ private[graft] object TreeEntries {
           round(col("pct"), 4).as("pct"))
     }),
 
+    // Graphite linearRegression: per-series least-squares slope and
+    // intercept over the hourly rollup, x in bucket units so the
+    // normal equations stay conditioned.
+    "q78_linreg" -> ((s, dir) => {
+      val rolled = events(s, dir)
+        .groupBy(col("event_type"),
+          (col("sec") - (col("sec") % 3600)).cast("long").as("bucket_ts"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      graft.ops.SeriesOps.linearTrend(rolled, 1704844800L, 3600L,
+          "event_type", "bucket_ts", "v")
+        .select(col("event_type"), col("n_points"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 4).as("intercept"))
+    }),
+
+    // Graphite removeAbovePercentile: drop each series' points above
+    // its own exact p95; the 4dp-rounded cutoff is the compare key in
+    // both engines so the boundary can't wobble.
+    "q79_remove_above_pct" -> ((s, dir) => {
+      val rolled = events(s, dir)
+        .groupBy(col("event_type"),
+          (col("sec") - (col("sec") % 3600)).cast("long").as("bucket_ts"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      graft.ops.SeriesOps.removeAbovePercentile(rolled, 0.95,
+        "event_type", "bucket_ts", "v")
+    }),
+
+    // Graphite hitcount: re-bucket the hourly rate series into 6h
+    // buckets of total hits (sum(rate)·step).
+    "q80_hitcount" -> ((s, dir) => {
+      val rolled = events(s, dir)
+        .groupBy(col("event_type"),
+          (col("sec") - (col("sec") % 3600)).cast("long").as("bucket_ts"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      graft.ops.SeriesOps.hitcount(rolled, 21600L, 3600L,
+          "event_type", "bucket_ts", "v")
+        .select(col("event_type"), col("bucket_ts"),
+          round(col("hits"), 4).as("hits"))
+    }),
+
     // Multimodal frame sampling: per-video frame work units.
     "q32_frame_sample" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet").select(
@@ -523,6 +563,39 @@ private[graft] object TreeEntries {
         |SELECT event_type, bucket_ts, v,
         |       round(v / sum(v) OVER (PARTITION BY bucket_ts) * 100, 4) AS pct
         |FROM r""".stripMargin,
+
+    "q78_linreg" ->
+      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |r AS (SELECT event_type, sec - (sec % 3600) AS bucket_ts, round(avg(value), 4) AS v
+        |      FROM e GROUP BY 1, 2),
+        |x AS (SELECT event_type, CAST(bucket_ts - 1704844800 AS DOUBLE) / 3600 AS x, v FROM r),
+        |s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |             sum(x) AS sx, sum(x * x) AS sxx, sum(v) AS sv, sum(x * v) AS sxv
+        |      FROM x GROUP BY 1),
+        |t AS (SELECT event_type, n, sx, sv,
+        |             CASE WHEN n * sxx - sx * sx <> 0
+        |               THEN (n * sxv - sx * sv) / (n * sxx - sx * sx) END AS slope
+        |      FROM s)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_points,
+        |       round(slope, 6) AS slope,
+        |       round((sv - slope * sx) / n, 4) AS intercept
+        |FROM t""".stripMargin,
+
+    "q79_remove_above_pct" ->
+      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |r AS (SELECT event_type, sec - (sec % 3600) AS bucket_ts, round(avg(value), 4) AS v
+        |      FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type, round(quantile_cont(v, 0.95), 4) AS cutoff FROM r GROUP BY 1)
+        |SELECT event_type, bucket_ts, v, cutoff
+        |FROM r JOIN c USING (event_type) WHERE v <= cutoff""".stripMargin,
+
+    "q80_hitcount" ->
+      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |r AS (SELECT event_type, sec - (sec % 3600) AS bucket_ts, round(avg(value), 4) AS v
+        |      FROM e GROUP BY 1, 2)
+        |SELECT event_type, bucket_ts - (bucket_ts % 21600) AS bucket_ts,
+        |       round(sum(v) * 3600, 4) AS hits
+        |FROM r GROUP BY event_type, bucket_ts - (bucket_ts % 21600)""".stripMargin,
 
     "q36_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k,

@@ -279,4 +279,46 @@ object SeriesOps {
       .orderBy(col("stat").desc, col(keyCol).asc).limit(k)
     df.join(broadcast(top.select(keyCol)), Seq(keyCol), "left_semi")
   }
+
+  /** Per-series least-squares line (graphite `linearRegression` /
+    * trend detection). `x = (ts − x0) / xStep` keeps the normal
+    * equations conditioned (epoch seconds squared would eat all the
+    * mantissa); slope and intercept come from the closed-form sums
+    * `(n·Σxv − Σx·Σv) / (n·Σx² − (Σx)²)` — plain sum aggregates both
+    * engines spell identically, ONE partial-agg pass over the points.
+    * A zero-variance x (single point / single bucket) yields null
+    * slope and intercept rather than a division blow-up.
+    * Output: (key, n_points, slope, intercept).
+    */
+  def linearTrend(df: DataFrame, x0: Long = 0L, xStep: Long = 1L,
+                  keyCol: String = "metric", tsCol: String = "ts",
+                  valCol: String = "v"): DataFrame = {
+    val x = (col(tsCol).cast("double") - lit(x0.toDouble)) / lit(xStep.toDouble)
+    val v = col(valCol).cast("double")
+    val agg = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(x).as("sx"), sum(x * x).as("sxx"),
+      sum(v).as("sv"), sum(x * v).as("sxv"))
+    val det = col("n") * col("sxx") - col("sx") * col("sx")
+    agg
+      .select(col(keyCol), col("n"), col("sx"), col("sv"),
+        when(det =!= 0.0, (col("n") * col("sxv") - col("sx") * col("sv")) / det).as("slope"))
+      .select(col(keyCol), col("n").cast("long").as("n_points"), col("slope"),
+        ((col("sv") - col("slope") * col("sx")) / col("n")).as("intercept"))
+  }
+
+  /** graphite `removeAbovePercentile`: drop each series' points above
+    * its own p-th percentile (exact interpolated percentile, ≡
+    * `quantile_cont`). The per-series cutoff is one partial-agg pass
+    * whose tiny result broadcasts back — the point table never
+    * shuffles. The cutoff is rounded to 4dp BEFORE the comparison so
+    * the keep/drop boundary is bit-identical across engines.
+    * Output: the surviving points plus the series cutoff.
+    */
+  def removeAbovePercentile(df: DataFrame, p: Double, keyCol: String = "metric",
+                            tsCol: String = "ts", valCol: String = "v"): DataFrame = {
+    val cut = df.groupBy(col(keyCol))
+      .agg(graft.ops.Rounding.round(expr(s"percentile($valCol, $p)"), 4).as("cutoff"))
+    df.join(broadcast(cut), Seq(keyCol)).filter(col(valCol) <= col("cutoff"))
+  }
 }

@@ -144,4 +144,30 @@ class SeriesSampleSpec extends AnyFunSuite {
       .select(SampleOps.hashBucket(col("id"), 10000).as("b"))
     assert(buckets.agg(max(col("b"))).as[Long].head() === 2999L)
   }
+
+  test("linearTrend recovers an exact line and nulls degenerate series") {
+    // m1: v = 3 + 2x at ts = 0,60,120,180 (x = ts/60) — exact fit
+    val pts = Seq(
+      ("m1", 0L, 3.0), ("m1", 60L, 5.0), ("m1", 120L, 7.0), ("m1", 180L, 9.0),
+      ("m2", 0L, 42.0) // single point: zero x-variance
+    ).toDF("metric", "ts", "v")
+    val got = SeriesOps.linearTrend(pts, x0 = 0L, xStep = 60L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    val (n1, s1, i1) = got("m1")
+    assert(n1 === 4L && math.abs(s1.get.asInstanceOf[Double] - 2.0) < 1e-12
+      && math.abs(i1.get.asInstanceOf[Double] - 3.0) < 1e-12)
+    assert(got("m2") === ((1L, None, None)))
+  }
+
+  test("removeAbovePercentile keeps points at or below the per-series cutoff") {
+    // m1 values 1..20: p95 (interpolated) = 19.05; drops exactly 20.0
+    val pts = (1 to 20).map(i => ("m1", i.toLong, i.toDouble)) ++
+      Seq(("m2", 1L, 100.0), ("m2", 2L, 1.0)) // m2 cutoff 95.05: keeps 1.0, drops 100.0
+    val got = SeriesOps.removeAbovePercentile(pts.toDF("metric", "ts", "v"), 0.95)
+    val kept = got.collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    assert(!kept.contains(("m1", 20.0)) && kept.contains(("m1", 19.0)))
+    assert(kept.contains(("m2", 1.0)) && !kept.contains(("m2", 100.0)))
+    assert(got.filter(col("metric") === "m1").count() === 19)
+  }
 }
