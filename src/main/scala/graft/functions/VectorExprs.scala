@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -167,6 +167,104 @@ case class L2SquaredExpression(left: Expression, right: Expression)
   override def prettyName: String = "l2_squared"
 }
 
+/** Native arg-min-squared-L2 cell assignment against a fixed centroid
+  * table (k-means assignment, IVF routing). One pass: every distance is
+  * evaluated exactly once per row.
+  *
+  * The composable form — `coalesce(when(dist_j === least(dists), j)…)`
+  * — re-substitutes `least(dists)` (all k folds) into every WHEN
+  * branch, ~k(k+1) fold evaluations per row; worse, the nullable
+  * result makes InferFiltersFromJoin put an `isnotnull(<whole chain>)`
+  * Filter under any equi-join on the cell, doubling that again
+  * (measured 30× on the semdedup pair join, NOTES_r3 trap #2's filter
+  * variant).
+  *
+  * Semantics match the chain exactly: distances fold left-to-right per
+  * centroid (bit-identical to [[L2SquaredExpression]]); the lowest cell
+  * index wins ties (strict `<` update); a null input vector, a null
+  * element, an empty centroid table or a length mismatch yield null.
+  */
+case class NearestCellExpression(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(child.dataType).isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell needs an array<float|double> input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (cents.isEmpty || n != cents(0).length) return null
+    val aFloat = elemType(child.dataType).contains(FloatType)
+    var best = Double.PositiveInfinity
+    var cell = -1
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var sum = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val d = x - c(i)
+        sum += d * d
+        i += 1
+      }
+      if (sum < best) { best = sum; cell = j }
+      j += 1
+    }
+    cell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val aGet = if (elemType(child.dataType).contains(FloatType)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val best = ctx.freshName("best")
+      val cell = ctx.freshName("cell")
+      val sum = ctx.freshName("sum")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($centsRef.length == 0 || $n != $centsRef[0].length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  int $cell = -1;
+         |  for (int $j = 0; $j < $centsRef.length && !${ev.isNull}; $j++) {
+         |    double $sum = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |      double $d = (double) $a.$aGet($i) - $centsRef[$j][$i];
+         |      $sum += $d * $d;
+         |    }
+         |    if (!${ev.isNull} && $sum < $best) { $best = $sum; $cell = $j; }
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $cell; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellExpression =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_cell"
+}
+
 object VectorExprs {
   /** Codegen'd dot product of two array<float|double> columns. */
   def dotProduct(a: Column, b: Column): Column =
@@ -175,4 +273,8 @@ object VectorExprs {
   /** Codegen'd squared-L2 distance of two array<float|double> columns. */
   def l2Squared(a: Column, b: Column): Column =
     Bridge.column(L2SquaredExpression(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd single-pass arg-min-L2 cell id against literal centroids. */
+  def nearestCell(vec: Column, cents: Array[Array[Double]]): Column =
+    Bridge.column(NearestCellExpression(Bridge.expression(vec), cents))
 }

@@ -54,17 +54,23 @@ object RelOps {
           struct(col(rightTimeCol).cast("long").as("t"),
             col(valueCol).cast("double").as("v")).as("__evt")): _*)
     val part = Window.partitionBy(keys.map(col): _*)
-    // ordering puts the event on the probe's side of the frame at equal
-    // time → the match is inclusive in both directions
+    // Both directions run as a GROWING frame (unboundedPreceding →
+    // currentRow): forward is backward over descending time. A literal
+    // (currentRow → unboundedFollowing) frame would hit Spark's
+    // UnboundedFollowingWindowFunctionFrame, which rebuilds the
+    // aggregate buffer from scratch per row — O(rows²) per key — while
+    // the growing frame folds incrementally. Ordering puts the event on
+    // the probe's side of the frame at equal time → the match is
+    // inclusive in both directions.
     val matched =
       if (direction == "backward")
         last(col("__evt"), ignoreNulls = true).over(
           part.orderBy(col("__t"), col("__probe"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
       else
-        first(col("__evt"), ignoreNulls = true).over(
-          part.orderBy(col("__t"), col("__probe").desc)
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        last(col("__evt"), ignoreNulls = true).over(
+          part.orderBy(col("__t").desc, col("__probe"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val dist =
       if (direction == "backward") col("__t") - col("__m").getField("t")
       else col("__m").getField("t") - col("__t")

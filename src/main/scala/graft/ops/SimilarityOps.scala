@@ -205,16 +205,15 @@ object SimilarityOps {
   }
 
   /** Arg-min squared-L2 cell id for `vecCol` against the given centroids.
-    * The centroids ride into the expression as literals (k×dims doubles
-    * broadcast with the task binary — no join, map-only work); ties break
-    * to the lowest cell, matching the oracle's `ORDER BY dist, cell`.
+    * The centroids ride into the expression as a reference object (k×dims
+    * doubles shipped with the task binary — no join, map-only work); ties
+    * break to the lowest cell, matching the oracle's `ORDER BY dist,
+    * cell`. A single-pass native expression: the when/least composition
+    * it replaces re-evaluated the distance folds ~k(k+1) times per row
+    * (see [[graft.functions.NearestCellExpression]]).
     */
-  private def assignCell(cents: Array[Array[Double]], vecCol: String): Column = {
-    val dists = cents.toSeq.map(c =>
-      graft.functions.VectorExprs.l2Squared(col(vecCol), array(c.map(lit).toSeq: _*)))
-    val minD = least(dists: _*)
-    cents.indices.map(j => when(dists(j) === minD, lit(j))).reduce(coalesce(_, _))
-  }
+  private def assignCell(cents: Array[Array[Double]], vecCol: String): Column =
+    graft.functions.VectorExprs.nearestCell(col(vecCol), cents)
 
   /** SemDeDup (semantic deduplication, Abbas et al. 2023): k-means the
     * embeddings, then inside each cell drop every vector whose cosine
@@ -234,7 +233,10 @@ object SimilarityOps {
     */
   def semDedup(emb: DataFrame, k: Int = 8, iters: Int = 3, threshold: Double = 0.4,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val clean = emb.filter(col(vecCol).isNotNull)
+    // widen: an embedding table often arrives as a handful of parquet
+    // files; the within-cell pair generation below is the quadratic
+    // part and must run on every core, not one partition per file
+    val clean = DedupOps.widen(emb.filter(col(vecCol).isNotNull))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cents = trainCentroids(clean, k, iters, idCol, vecCol)

@@ -289,24 +289,35 @@ object TextOps {
     */
   def dupSpanFrame(docs: org.apache.spark.sql.DataFrame, n: Int = 8,
                    idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
-    val wins = DedupOps.widen(docs.filter(col(textCol).isNotNull))
+    // explode_OUTER, not explode: InferFiltersFromGenerate rewrites a
+    // plain explode into a pre-Generate Filter of `size(child) > 0 AND
+    // isnotnull(child)` with the ENTIRE window chain (regex split
+    // included) textually inlined into an interpreted Filter — ~6
+    // re-evaluations per row, a 20× slowdown measured at sf0.1. The
+    // rule skips outer generates; empty-window docs surface as one
+    // null-win row instead, which is exactly what makes the count
+    // below cover them (count(win) skips nulls → n_windows = 0).
+    val docWin = DedupOps.widen(docs.filter(col(textCol).isNotNull))
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol),
         when(size(col("toks")) >= n,
           array_distinct(transform(sequence(lit(0), size(col("toks")) - n),
             i => array_join(slice(col("toks"), i + 1, lit(n)), " "))))
           .otherwise(array().cast("array<string>")).as("wins"))
-    val docWin = wins.select(col(idCol), explode(col("wins")).as("win"))
+      .select(col(idCol), explode_outer(col("wins")).as("win"))
+    val counts = docWin.groupBy(idCol).agg(count(col("win")).as("n_win"))
     val dupWins = docWin.groupBy("win").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") > 1).select("win")
+      .filter(col("win").isNotNull && col("nd") > 1).select("win")
+    // probe side shuffles on the same win key as dupWins' aggregation →
+    // the docWin exchange is reused, so the window chain runs twice in
+    // total (id-keyed pass + win-keyed pass), never per branch
     val perDoc = docWin.join(dupWins, Seq("win"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("dup_hit"))
-    wins.select(col(idCol), size(col("wins")).cast("long").as("n_windows"))
-      .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol), col("n_windows"),
+    counts.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_win").as("n_windows"),
         coalesce(col("dup_hit"), lit(0L)).as("dup_windows"),
-        round(when(col("n_windows") > 0,
-          coalesce(col("dup_hit"), lit(0L)).cast("double") / col("n_windows"))
+        round(when(col("n_win") > 0,
+          coalesce(col("dup_hit"), lit(0L)).cast("double") / col("n_win"))
           .otherwise(0.0), 4).as("dup_ratio"))
   }
 

@@ -42,4 +42,31 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(df.select(dotProduct($"a", $"b")).as[Double].collect()(0) == 2.5)
     assert(df.select(dotProduct($"b", $"a")).as[Double].collect()(0) == 2.5)
   }
+
+  test("nearestCell matches the composed when/least arg-min, incl. ties and nulls") {
+    import graft.functions.VectorExprs
+    val rnd = new scala.util.Random(11)
+    val cents = Array.fill(5)(Array.fill(8)(rnd.nextDouble() * 2 - 1))
+    // random vectors + exact copies of centroids 1 and 3 (distance-0
+    // rows) + a duplicated centroid pair to force an exact tie
+    val tieCents = cents.updated(4, cents(2).clone)
+    val vecs: Seq[Option[Seq[Option[Float]]]] =
+      Seq.fill(300)(Some(Array.fill(8)(Some(rnd.nextFloat() * 2 - 1)).toSeq)) ++
+        Seq(Some(cents(1).map(d => Some(d.toFloat)).toSeq),
+          Some(cents(3).map(d => Some(d.toFloat)).toSeq),
+          None,                                     // null vector
+          Some(Seq(Some(1f), None, Some(1f), Some(1f), Some(1f), Some(1f), Some(1f), Some(1f))), // null element
+          Some(Seq(Some(1f), Some(2f))))            // length mismatch
+    val df = vecs.toDF("v")
+    def composed(cs: Array[Array[Double]]) = {
+      val dists = cs.toSeq.map(c => VectorExprs.l2Squared($"v", array(c.map(lit).toSeq: _*)))
+      val minD = least(dists: _*)
+      cs.indices.map(j => when(dists(j) === minD, lit(j))).reduce(coalesce(_, _))
+    }
+    for (cs <- Seq(cents, tieCents)) {
+      val out = df.select(VectorExprs.nearestCell($"v", cs).as("native"),
+        composed(cs).as("ref")).as[(Option[Int], Option[Int])].collect()
+      out.foreach { case (n, r) => assert(n === r) }
+    }
+  }
 }
