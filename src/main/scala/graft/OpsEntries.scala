@@ -93,6 +93,23 @@ private[graft] object OpsEntries {
         DedupOps.minHashCandidates(docs), TextOps.qualityFrame(docs))
     }),
 
+    // Decile binning (ntile window + per-bin rollup): the quality-score
+    // distribution audit a curation pass reads before picking cutoffs.
+    // The global sort sees only (doc_id, score) pairs — at corpus scale
+    // a fixed-bucket histogram replaces the exact ntile; this is the
+    // exact-quantile variant and the ntile coverage query.
+    "q82_quality_deciles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      TextOps.qualityFrame(t(s, dir, "documents"))
+        .select(col("doc_id"), col("quality_score"),
+          ntile(10).over(Window.orderBy(col("quality_score"), col("doc_id"))).as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("quality_score")), 4).as("min_q"),
+          round(avg(col("quality_score")), 4).as("mean_q"),
+          round(max(col("quality_score")), 4).as("max_q"))
+    }),
+
     // IVF ANN: probe the 2 nearest label cells (derived mean-vector
     // centroids), exact cosine within probed cells only.
     "q38_ivf_ann" -> ((s, dir) => {
@@ -638,6 +655,17 @@ private[graft] object OpsEntries {
          |  round(CASE WHEN n_tokens > 0 THEN top / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 4) AS top_token_ratio,
          |  round(CASE WHEN btot > 0 THEN 1.0 - bdis / CAST(btot AS DOUBLE) ELSE 0.0 END, 4) AS dup_bigram_ratio
          |FROM documents d LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)""".stripMargin,
+
+    "q82_quality_deciles" ->
+      s"""WITH q AS ($q26Sql),
+         |d AS (SELECT doc_id, quality_score,
+         |        CAST(ntile(10) OVER (ORDER BY quality_score, doc_id) AS INTEGER) AS decile
+         |      FROM q)
+         |SELECT decile, count(*) AS n_docs,
+         |       round(min(quality_score), 4) AS min_q,
+         |       round(avg(quality_score), 4) AS mean_q,
+         |       round(max(quality_score), 4) AS max_q
+         |FROM d GROUP BY decile""".stripMargin,
 
     "q59_source_quality" ->
       s"""WITH q AS ($q26Sql)

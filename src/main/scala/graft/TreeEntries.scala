@@ -373,6 +373,22 @@ private[graft] object TreeEntries {
           round(col("hits"), 4).as("hits"))
     }),
 
+    // Graphite divideSeries: every event type's hourly series over the
+    // 'view' reference series — left join on ts keeps the dividend
+    // grid; zero/missing divisor points go null.
+    "q81_divide_series" -> ((s, dir) => {
+      val rolled = events(s, dir)
+        .groupBy(col("event_type"),
+          (col("sec") - (col("sec") % 3600)).cast("long").as("bucket_ts"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      val ref = rolled.filter(col("event_type") === "view")
+        .select(col("bucket_ts"), col("v"))
+      graft.ops.SeriesOps.divideSeries(rolled, ref, byKey = false,
+          "event_type", "bucket_ts", "v")
+        .select(col("event_type"), col("bucket_ts"), col("v"),
+          round(col("ratio"), 6).as("ratio"))
+    }),
+
     // Multimodal frame sampling: per-video frame work units.
     "q32_frame_sample" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet").select(
@@ -596,6 +612,15 @@ private[graft] object TreeEntries {
         |SELECT event_type, bucket_ts - (bucket_ts % 21600) AS bucket_ts,
         |       round(sum(v) * 3600, 4) AS hits
         |FROM r GROUP BY event_type, bucket_ts - (bucket_ts % 21600)""".stripMargin,
+
+    "q81_divide_series" ->
+      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |r AS (SELECT event_type, sec - (sec % 3600) AS bucket_ts, round(avg(value), 4) AS v
+        |      FROM e GROUP BY 1, 2),
+        |ref AS (SELECT bucket_ts, v AS ref_v FROM r WHERE event_type = 'view')
+        |SELECT r.event_type, r.bucket_ts, r.v,
+        |       round(CASE WHEN ref_v <> 0 THEN r.v / ref_v END, 6) AS ratio
+        |FROM r LEFT JOIN ref USING (bucket_ts)""".stripMargin,
 
     "q36_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k,

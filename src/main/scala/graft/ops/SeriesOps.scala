@@ -280,6 +280,34 @@ object SeriesOps {
     df.join(broadcast(top.select(keyCol)), Seq(keyCol), "left_semi")
   }
 
+  /** Binary pointwise series combination (graphite `divideSeries` /
+    * `diffSeries` / `multiplySeries` with two operands): join the two
+    * frames on (key?, ts) and apply `op`. With `byKey = false` the
+    * divisor is a single total series joined on ts alone (the common
+    * "each series over the reference series" shape). Missing divisor
+    * points yield null (graphite None), not dropped rows — a left
+    * join, so the dividend grid survives intact.
+    */
+  def combineSeries(num: DataFrame, den: DataFrame, op: (Column, Column) => Column,
+                    byKey: Boolean = false, keyCol: String = "metric",
+                    tsCol: String = "ts", valCol: String = "v",
+                    outCol: String = "combined"): DataFrame = {
+    val joinCols = if (byKey) Seq(keyCol, tsCol) else Seq(tsCol)
+    val d = den.select((joinCols.map(col) :+ col(valCol).as("__den")): _*)
+    num.join(d, joinCols, "left")
+      .withColumn(outCol, op(col(valCol), col("__den")))
+      .drop("__den")
+  }
+
+  /** graphite `divideSeries`: pointwise ratio, null on a zero/missing
+    * divisor.
+    */
+  def divideSeries(num: DataFrame, den: DataFrame, byKey: Boolean = false,
+                   keyCol: String = "metric", tsCol: String = "ts",
+                   valCol: String = "v", outCol: String = "ratio"): DataFrame =
+    combineSeries(num, den,
+      (a, b) => when(b =!= 0.0, a / b), byKey, keyCol, tsCol, valCol, outCol)
+
   /** Per-series least-squares line (graphite `linearRegression` /
     * trend detection). `x = (ts − x0) / xStep` keeps the normal
     * equations conditioned (epoch seconds squared would eat all the

@@ -145,6 +145,18 @@ class SeriesSampleSpec extends AnyFunSuite {
     assert(buckets.agg(max(col("b"))).as[Long].head() === 2999L)
   }
 
+  test("divideSeries: pointwise ratio, null on zero or missing divisor, grid preserved") {
+    val num = Seq(("a", 0L, 10.0), ("a", 60L, 6.0), ("a", 120L, 4.0), ("b", 0L, 1.0))
+      .toDF("metric", "ts", "v")
+    val den = Seq((0L, 2.0), (60L, 0.0)).toDF("ts", "v") // 120 missing
+    val got = SeriesOps.divideSeries(num, den)
+      .select("metric", "ts", "ratio")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(got === Map(
+      ("a", 0L) -> Some(5.0), ("a", 60L) -> None, ("a", 120L) -> None,
+      ("b", 0L) -> Some(0.5)))
+  }
+
   test("linearTrend recovers an exact line and nulls degenerate series") {
     // m1: v = 3 + 2x at ts = 0,60,120,180 (x = ts/60) — exact fit
     val pts = Seq(
