@@ -168,6 +168,18 @@ private[graft] object OpsEntries {
         docs.filter(col("doc_id") % 50 === 0))
     }),
 
+    // Bloom-filter decontamination: constant-memory map-side variant of
+    // q63 (no join, no shuffle on the training side). Rows-only check:
+    // the filter's bit layout is engine-specific, so no DuckDB oracle —
+    // PipelineOpsSpec pins the one-sided-error contract against q63's
+    // exact rates instead.
+    "q83_bloom_decon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      DedupOps.evalGramBloom(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
+
     // Top characteristic terms per doc (tf-idf shape, rational rarity
     // weight — rank-equivalent to log idf, engine-deterministic).
     "q65_tfidf_terms" -> ((s, dir) => TextOps.tfIdfTopTerms(t(s, dir, "documents"))),

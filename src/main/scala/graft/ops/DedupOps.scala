@@ -255,6 +255,38 @@ object DedupOps {
       .withColumn("contaminated", col("contamination_rate") >= threshold)
   }
 
+  /** Decontamination via a broadcast Bloom filter over the eval gram
+    * codes — the constant-memory variant of [[evalGramOverlap]] for
+    * when the eval dictionary outgrows a broadcast hash join (at 1%
+    * fpp the filter costs ~1.2 bytes/gram, so a billion-gram eval set
+    * broadcasts in ~1.2 GB where the exact dictionary wouldn't). Pure
+    * map work on the training side: no explode, no join, no shuffle —
+    * each doc's sorted code set streams through `mightContainLong`.
+    *
+    * Error is one-sided: contaminated grams ALWAYS hit (no false
+    * negatives), clean grams false-positive at ≤ fpp, so the reported
+    * rate is a slight over-estimate — the safe direction for a kill
+    * filter. Output schema matches [[evalGramOverlap]]; rates differ
+    * from exact by at most ~fpp.
+    */
+  def evalGramBloom(train: DataFrame, evalDocs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", n: Int = 8, threshold: Double = 0.5,
+                    fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val evalGrams = codedGramSets(evalDocs, idCol, textCol, n)
+      .select(explode(col("codes")).as("g")).distinct()
+    val bf = evalGrams.stat.bloomFilter("g", math.max(evalGrams.count(), 1L), fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val hitCount = org.apache.spark.sql.functions.udf(
+      (codes: Seq[Long]) => codes.count(c => bc.value.mightContainLong(c)).toLong)
+    codedGramSets(train, idCol, textCol, n)
+      .select(col("id").as(idCol), size(col("codes")).cast("long").as("n_grams"),
+        hitCount(col("codes")).as("hit_grams"))
+      .select(col(idCol), col("n_grams"), col("hit_grams"),
+        round(col("hit_grams").cast("double") / col("n_grams"), 4).as("contamination_rate"))
+      .withColumn("contaminated", col("contamination_rate") >= threshold)
+  }
+
   /** Embedding near-dup: pairs with cosine similarity above `threshold`.
     * Blocked on `blockCol` (e.g. a cluster label or LSH bucket) so the
     * join is bucket-local — the all-pairs product never materializes.

@@ -139,6 +139,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(t7.values.sum - 1.0) < 1e-12)
   }
 
+  test("evalGramBloom: no false negatives vs exact overlap, bounded over-estimate") {
+    val evalDocs = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "zzz yyy xxx www vvv uuu completely different"),
+      (3L, "the quick brown fox went home early today ok")
+    ).toDF("doc_id", "text")
+    val exact = DedupOps.evalGramOverlap(train, evalDocs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val bloom = DedupOps.evalGramBloom(train, evalDocs, fpp = 0.001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(bloom.keySet === exact.keySet)
+    bloom.foreach { case (id, (nGrams, hits, rate)) =>
+      val (exN, exHits, exRate) = exact(id)
+      assert(nGrams === exN)
+      assert(hits >= exHits, s"doc $id lost a contaminated gram (false negative)")
+      assert(rate <= exRate + 0.1, s"doc $id over-estimates beyond the fpp envelope")
+    }
+    assert(bloom(1L)._3 === 1.0) // identical doc: every gram hits
+  }
+
   test("semDedup drops the higher-id near-duplicate inside a cell, keeps dissimilar cell-mates") {
     import graft.ops.SimilarityOps
     // k=2 seeds = ids 0 and 1 (the two lowest): cell 0 forms around
