@@ -141,4 +141,28 @@ object RelOps {
           .cast("int"))
       .drop("__new")
   }
+
+  /** Skew-mitigating inner equi-join: spread the skewed (large) side's
+    * rows over `saltFactor` shards of each key, replicate the other
+    * side once per shard, and join on (keys, shard) — a hot key that
+    * would flood one shuffle partition lands on `saltFactor` of them.
+    * The manual form of AQE's skew-join splitting, for the plans AQE
+    * won't rewrite (shuffle-hash joins, joins feeding a required
+    * distribution) or for pre-emptive salting when the skew is known.
+    *
+    * The shard comes from a row-id hash, not rand(): deterministic
+    * under retries of the same layout and uniformly spread within a
+    * key regardless of its input distribution. Row-for-row equal to
+    * `skewed.join(other, keys)` (the replicated side's shard column
+    * never survives).
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+                 saltFactor: Int = 8): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    val s = skewed.withColumn("__shard",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor.toLong)))
+    val o = other.withColumn("__shard",
+      explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
+    s.join(o, keys :+ "__shard").drop("__shard")
+  }
 }

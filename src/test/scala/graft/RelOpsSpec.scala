@@ -94,4 +94,23 @@ class RelOpsSpec extends AnyFunSuite {
       .select("user_id", "event_id", "session_idx").as[(Int, Int, Int)].collect().toSet
     assert(out == Set((1, 1, 0), (1, 2, 0), (1, 3, 1), (2, 4, 0)))
   }
+
+  test("saltedJoin equals the plain join on a 90%-skewed key, salts actually spread") {
+    // hot key: 900 of 1000 left rows share key 1
+    val left = (0 until 1000).map(i => (if (i < 900) 1 else i, i)).toDF("k", "row_id")
+    val right = Seq((1, "hot"), (5, "cold"), (950, "cold2"), (99999, "unmatched"))
+      .toDF("k", "tag")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "row_id", "tag").as[(Int, Int, String)].collect().sorted.toList
+    val salted = RelOps.saltedJoin(left, right, Seq("k"), saltFactor = 8)
+      .select("k", "row_id", "tag").as[(Int, Int, String)].collect().sorted.toList
+    assert(salted === plain)
+    assert(plain.size === 901) // 900 hot-key matches + k=950
+    // the hot key's rows really are sharded: count distinct shards used
+    import org.apache.spark.sql.functions._
+    val shards = left.filter(col("k") === 1)
+      .withColumn("__shard", pmod(xxhash64(monotonically_increasing_id()), lit(8L)))
+      .select(countDistinct(col("__shard"))).as[Long].head()
+    assert(shards >= 6, s"expected the 900 hot rows across >=6 of 8 shards, got $shards")
+  }
 }
