@@ -189,6 +189,12 @@ private[graft] object OpsEntries {
     "q70_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramLogProb(t(s, dir, "documents"))),
 
+    // Bigram-LM quality score: mean conditional surprisal per doc under
+    // the corpus's own MLE bigram model (the q70 unigram upgraded to
+    // transition probabilities).
+    "q84_bigram_logprob" -> ((s, dir) =>
+      TextOps.bigramLogProb(t(s, dir, "documents"))),
+
     // Domain-mixing weights: temperature-scaled source sampling
     // probabilities from per-source token mass (t = 0.7 up-weights
     // small sources, the standard multi-domain corpus recipe).
@@ -581,6 +587,18 @@ private[graft] object OpsEntries {
          |scored AS (SELECT dt.doc_id, round(-log2(CAST(tc.cnt AS DOUBLE) / tot.total), 6) AS nll
          |           FROM dt JOIN tc USING (tok) CROSS JOIN tot)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, round(avg(nll), 4) AS avg_nll
+         |FROM scored GROUP BY 1""".stripMargin,
+
+    "q84_bigram_logprob" ->
+      s"""WITH tl AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |bg AS (SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1])) AS b
+         |       FROM tl),
+         |cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+         |c1 AS (SELECT split_part(b, ' ', 1) AS w1, sum(cb) AS c1 FROM cb GROUP BY 1),
+         |scored AS (SELECT doc_id, round(-log2(cb.cb / CAST(c1.c1 AS DOUBLE)), 6) AS nll
+         |           FROM bg JOIN cb USING (b) JOIN c1 ON split_part(bg.b, ' ', 1) = c1.w1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(nll), 4) AS avg_nll
          |FROM scored GROUP BY 1""".stripMargin,
 
     "q71_mix_weights" ->

@@ -424,6 +424,45 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"), round(avg(col("nll")), 4).as("avg_nll"))
   }
 
+  /** Bigram-LM quality score: per-doc mean surprisal of each adjacent
+    * token pair under the corpus's own MLE bigram model,
+    * `p(w2|w1) = c(w1 w2) / c(w1 ·)` with the context count summed over
+    * bigram LEFT occurrences (probabilities sum to 1 per context; no
+    * smoothing needed — every scored bigram exists in the counts by
+    * construction). The conditional upgrade of [[unigramLogProb]]:
+    * repeated-but-ordinary word sequences score low, improbable
+    * transitions score high.
+    *
+    * Same determinism recipe as q70: per-bigram nll rounds to 6dp
+    * before the mean. explode_outer + null filter (not plain explode)
+    * keeps the token chain out of an inferred pre-Generate filter
+    * (NOTES_r3 trap #7). Output: (doc_id, n_bigrams, avg_nll) for docs
+    * with ≥ 2 tokens.
+    */
+  def bigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    broadcastVocab: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val bg = DedupOps.widen(docs)
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat(element_at(col("toks"), i + 1), lit(" "), element_at(col("toks"), i + 2))))
+          .otherwise(array().cast("array<string>")).as("bgs"))
+      .select(col(idCol), explode_outer(col("bgs")).as("b"))
+      .filter(col("b").isNotNull)
+    val cb0 = bg.groupBy("b").agg(count(lit(1)).as("cb"))
+    val cb = if (broadcastVocab) broadcast(cb0) else cb0
+    val c10 = cb0.groupBy(split(col("b"), " ").getItem(0).as("w1")).agg(sum("cb").as("c1"))
+    val c1 = if (broadcastVocab) broadcast(c10) else c10
+    bg.join(cb, Seq("b"))
+      .join(c1, split(col("b"), " ").getItem(0) === col("w1"))
+      .select(col(idCol),
+        round(-log2(col("cb").cast("double") / col("c1")), 6).as("nll"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 4).as("avg_nll"))
+  }
+
   def bpeMergePairs(docs: org.apache.spark.sql.DataFrame, textCol: String = "text",
                     topK: Int = 50): org.apache.spark.sql.DataFrame = {
     val words = DedupOps.widen(docs)

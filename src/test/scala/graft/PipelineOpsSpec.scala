@@ -139,6 +139,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(t7.values.sum - 1.0) < 1e-12)
   }
 
+  test("bigramLogProb: MLE conditional surprisal, hand-checked") {
+    // bigrams: "a b" x2, "a c" x1 → c1(a)=3; p(b|a)=2/3, p(c|a)=1/3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramLogProb(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r4(v: Double) = math.round(v * 10000).toDouble / 10000
+    def r6(v: Double) = math.round(v * 1000000).toDouble / 1000000
+    assert(got.keySet === Set(1L, 2L, 3L)) // "solo" has no bigram
+    assert(got(1L) === ((1L, r4(r6(-math.log(2.0 / 3.0) / math.log(2))))))
+    assert(got(3L) === ((1L, r4(r6(-math.log(1.0 / 3.0) / math.log(2))))))
+  }
+
   test("evalGramBloom: no false negatives vs exact overlap, bounded over-estimate") {
     val evalDocs = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val train = Seq(
