@@ -138,7 +138,8 @@ private[graft] object OpsEntries {
     // top-k shape every tokenizer-training / df-filter pass uses.
     "q56_vocab_df" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+        .select(col("doc_id"), explode_outer(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+        .filter(col("tok").isNotNull)
         .groupBy("tok").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("tok").asc).limit(50)),
 

@@ -132,8 +132,13 @@ object DedupOps {
       .select(col(idCol).as("id"),
         graft.functions.ShingleExprs.minHashSig(
           TextOps.normalized(col(textCol)), 8, numHashes).as("sig"))
+    // explode_outer + null filter, not plain explode: the inferred
+    // pre-Generate/pushed-down filter on a plain explode substitutes
+    // the signature chain into itself and re-walks every document
+    // (NOTES_r3 trap #7); the outer form generates from the attribute
     val banded = sigs
-      .select(col("id"), col("sig"), explode(bandKeys(col("sig"), bands, rows)).as("band"))
+      .select(col("id"), col("sig"), explode_outer(bandKeys(col("sig"), bands, rows)).as("band"))
+      .filter(col("band").isNotNull)
     val a = banded.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
     // join strategy stays AQE's choice: a broadcast build side does
@@ -240,10 +245,14 @@ object DedupOps {
   def evalGramOverlap(train: DataFrame, evalDocs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", n: Int = 8,
                       threshold: Double = 0.5): DataFrame = {
+    // explode_outer + null filter: keeps the shingle-code walk out of
+    // the inferred pre-Generate filter (NOTES_r3 trap #7)
     val evalGrams = codedGramSets(evalDocs, idCol, textCol, n)
-      .select(explode(col("codes")).as("g")).distinct()
+      .select(explode_outer(col("codes")).as("g"))
+      .filter(col("g").isNotNull).distinct()
     val trainGrams = codedGramSets(train, idCol, textCol, n)
-    val hits = trainGrams.select(col("id"), explode(col("codes")).as("g"))
+    val hits = trainGrams.select(col("id"), explode_outer(col("codes")).as("g"))
+      .filter(col("g").isNotNull)
       .join(broadcast(evalGrams), Seq("g"))
       .groupBy("id").agg(count(lit(1)).as("hit_grams"))
     trainGrams.select(col("id"), size(col("codes")).cast("long").as("n_grams"))
@@ -274,7 +283,8 @@ object DedupOps {
                     fpp: Double = 0.01): DataFrame = {
     val spark = train.sparkSession
     val evalGrams = codedGramSets(evalDocs, idCol, textCol, n)
-      .select(explode(col("codes")).as("g")).distinct()
+      .select(explode_outer(col("codes")).as("g"))
+      .filter(col("g").isNotNull).distinct()
     val bf = evalGrams.stat.bloomFilter("g", math.max(evalGrams.count(), 1L), fpp)
     val bc = spark.sparkContext.broadcast(bf)
     val hitCount = org.apache.spark.sql.functions.udf(

@@ -139,8 +139,12 @@ object SeriesOps {
             when(v.isNull, lit(null).cast("double")).otherwise(sNew).as("ewma")))).as("out"))
       },
       acc => acc.getField("out"))
+    // explode_outer + null filter: a plain explode gets an inferred
+    // pre-Generate filter with the whole interpreted fold inlined —
+    // re-running the recursion per series (NOTES_r3 trap #7)
     df.groupBy(col(keyCol)).agg(pts.as("pts"))
-      .select(col(keyCol), explode(folded).as("pt"))
+      .select(col(keyCol), explode_outer(folded).as("pt"))
+      .filter(col("pt").isNotNull)
       .select(col(keyCol), col("pt.ts").as(tsCol), col("pt.v").as(valCol),
         col("pt.ewma").as(outCol))
   }
@@ -179,7 +183,8 @@ object SeriesOps {
       },
       acc => acc.getField("out"))
     df.groupBy(col(keyCol)).agg(pts.as("pts"))
-      .select(col(keyCol), explode(folded).as("pt"))
+      .select(col(keyCol), explode_outer(folded).as("pt"))
+      .filter(col("pt").isNotNull)
       .select(col(keyCol), col("pt.ts").as(tsCol), col("pt.v").as(valCol),
         col("pt.level").as("level"), col("pt.trend").as("trend"))
   }

@@ -377,8 +377,11 @@ object TextOps {
     */
   def tfIdfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", topK: Int = 3): org.apache.spark.sql.DataFrame = {
+    // explode_outer + null filter: keeps the token chain out of the
+    // inferred pre-Generate filter (NOTES_r3 trap #7); same below
     val tf = DedupOps.widen(docs)
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -412,7 +415,8 @@ object TextOps {
                      textCol: String = "text",
                      broadcastVocab: Boolean = true): org.apache.spark.sql.DataFrame = {
     val dt = DedupOps.widen(docs)
-      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
     val tc0 = dt.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val tc = if (broadcastVocab) broadcast(tc0) else tc0
     val tot = broadcast(tc0.agg(sum("cnt").as("total")))
@@ -466,7 +470,8 @@ object TextOps {
   def bpeMergePairs(docs: org.apache.spark.sql.DataFrame, textCol: String = "text",
                     topK: Int = 50): org.apache.spark.sql.DataFrame = {
     val words = DedupOps.widen(docs)
-      .select(explode(tokens(col(textCol))).as("w"))
+      .select(explode_outer(tokens(col(textCol))).as("w"))
+      .filter(col("w").isNotNull)
       .groupBy("w").agg(count(lit(1)).as("freq"))
     words.filter(length(col("w")) >= 2)
       .select(col("w"), col("freq"),
