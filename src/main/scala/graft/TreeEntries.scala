@@ -389,6 +389,18 @@ private[graft] object TreeEntries {
           round(col("ratio"), 6).as("ratio"))
     }),
 
+    // Graphite movingMedian: 6-point trailing median over the hourly
+    // rollup — robust smoothing, exact interpolated median.
+    "q85_moving_median" -> ((s, dir) => {
+      val rolled = events(s, dir)
+        .groupBy(col("event_type"),
+          (col("sec") - (col("sec") % 3600)).cast("long").as("bucket_ts"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      graft.ops.SeriesOps.movingMedian(rolled, 6, "event_type", "bucket_ts", "v")
+        .select(col("event_type"), col("bucket_ts"), col("v"),
+          round(col("moving_median"), 4).as("moving_median"))
+    }),
+
     // Multimodal frame sampling: per-video frame work units.
     "q32_frame_sample" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet").select(
@@ -612,6 +624,15 @@ private[graft] object TreeEntries {
         |SELECT event_type, bucket_ts - (bucket_ts % 21600) AS bucket_ts,
         |       round(sum(v) * 3600, 4) AS hits
         |FROM r GROUP BY event_type, bucket_ts - (bucket_ts % 21600)""".stripMargin,
+
+    "q85_moving_median" ->
+      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |r AS (SELECT event_type, sec - (sec % 3600) AS bucket_ts, round(avg(value), 4) AS v
+        |      FROM e GROUP BY 1, 2)
+        |SELECT event_type, bucket_ts, v,
+        |       round(median(v) OVER (PARTITION BY event_type ORDER BY bucket_ts
+        |                             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS moving_median
+        |FROM r""".stripMargin,
 
     "q81_divide_series" ->
       """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),

@@ -93,6 +93,35 @@ object SeriesOps {
   def offset(v: Column, amount: Double): Column = v + amount
   def absolute(v: Column): Column = abs(v)
 
+  /** Trailing moving median per series (graphite `movingMedian` —
+    * robust smoothing that one outlier can't drag). The window's
+    * values collect into a per-row array bounded by `points` (state is
+    * the window, never the series), sorted, and interpolated with the
+    * quantile_cont(0.5) formula — `median(...) OVER (ROWS k-1
+    * PRECEDING)` in an oracle. Nulls are skipped (collect_list drops
+    * them), matching SQL median and graphite None handling; an
+    * all-null window yields null. The array is a window-output
+    * ATTRIBUTE, so the median arithmetic referencing it 3× costs
+    * nothing extra.
+    */
+  def movingMedian(df: DataFrame, points: Int, keyCol: String = "metric",
+                   tsCol: String = "ts", valCol: String = "v",
+                   outCol: String = "moving_median"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+      .rowsBetween(-(points - 1), Window.currentRow)
+    val staged = df.withColumn("__arr",
+      sort_array(collect_list(col(valCol).cast("double")).over(w)))
+    val n = size(col("__arr"))
+    // `/` on columns is double division — cast the (exact) halves back
+    // to int for element_at's 1-based index
+    val half = ((n + 1) / 2).cast("int")
+    val lo = (n / 2).cast("int")
+    val med = when(n === 0, lit(null).cast("double"))
+      .when(n % 2 === 1, element_at(col("__arr"), half))
+      .otherwise((element_at(col("__arr"), lo) + element_at(col("__arr"), lo + 1)) / 2.0)
+    staged.withColumn(outCol, med).drop("__arr")
+  }
+
   /** Hit count (graphite `hitcount`): re-bucket a per-`stepSeconds` rate
     * series into `bucketSeconds` buckets of total hits — `sum(v) * step`
     * converts rate×time to a count. One partial-aggregated pass, same

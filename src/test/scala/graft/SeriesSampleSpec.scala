@@ -157,6 +157,20 @@ class SeriesSampleSpec extends AnyFunSuite {
       ("b", 0L) -> Some(0.5)))
   }
 
+  test("movingMedian: odd/even interpolation, null skipping, per-series windows") {
+    val pts = Seq(
+      ("m1", 0L, Some(10.0)), ("m1", 60L, Some(2.0)), ("m1", 120L, Some(100.0)),
+      ("m1", 180L, None), ("m2", 0L, Some(7.0))
+    ).toDF("metric", "ts", "v")
+    val got = SeriesOps.movingMedian(pts, points = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(3))).toMap
+    assert(got(("m1", 0L)) === Some(10.0))          // window {10}
+    assert(got(("m1", 60L)) === Some(6.0))          // {2,10} → interpolated
+    assert(got(("m1", 120L)) === Some(10.0))        // {2,10,100}
+    assert(got(("m1", 180L)) === Some(51.0))        // {2,100,null} → {2,100}
+    assert(got(("m2", 0L)) === Some(7.0))           // series isolation
+  }
+
   test("linearTrend recovers an exact line and nulls degenerate series") {
     // m1: v = 3 + 2x at ts = 0,60,120,180 (x = ts/60) — exact fit
     val pts = Seq(
