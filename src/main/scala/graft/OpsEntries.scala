@@ -156,6 +156,24 @@ private[graft] object OpsEntries {
       graft.ops.SampleOps.groupQuota(t(s, dir, "documents"), "lang", "doc_id", 25)
         .select(col("lang"), col("doc_id"))),
 
+    // Deterministic stratified Bernoulli sample: per-language keep
+    // fractions (down-sample the dominant language, keep the rest) —
+    // membership reproducible across runs/layout/engines. 'zh' is
+    // intentionally absent: allowlist semantics keep nothing.
+    "q86_stratified_sample" -> ((s, dir) =>
+      graft.ops.SampleOps.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 0.3, "de" -> 1.0, "es" -> 0.5, "fr" -> 0.0))
+        .select(col("lang"), col("doc_id"))),
+
+    // Greedy token-budget packing: per source, admit docs in hash order
+    // until 800 tokens — the deterministic corpus-assembly step.
+    "q87_token_budget" -> ((s, dir) =>
+      graft.ops.SampleOps.tokenBudgetPack(
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+        "source", "doc_id", "n_tokens", 800L)),
+
     // BPE first-merge statistics: adjacent char-pair frequencies over
     // the distinct vocabulary, weighted by corpus word frequency.
     "q62_bpe_pairs" -> ((s, dir) => TextOps.bpeMergePairs(t(s, dir, "documents"))),
@@ -621,6 +639,27 @@ private[graft] object OpsEntries {
          |      JOIN documents db ON db.doc_id = id_b)
          |SELECT source_a, source_b, count(*) AS n_pairs
          |FROM j GROUP BY 1, 2""".stripMargin,
+
+    "q86_stratified_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+        |  FROM documents)
+        |WHERE CASE lang WHEN 'en' THEN b < 3000 WHEN 'de' THEN b < 10000
+        |                WHEN 'es' THEN b < 5000 WHEN 'fr' THEN b < 0
+        |                ELSE false END""".stripMargin,
+
+    "q87_token_budget" ->
+      s"""WITH t AS (SELECT source, doc_id, CAST(len($toksExpr) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT source, doc_id, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000000,
+         |            doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |      FROM t)
+         |SELECT source, doc_id, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens - n_tokens < 800""".stripMargin,
 
     "q62_bpe_pairs" ->
       s"""WITH toks AS (SELECT unnest($toksExpr) AS w FROM documents),

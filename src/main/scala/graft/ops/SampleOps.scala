@@ -58,6 +58,45 @@ object SampleOps {
       .drop("__rank")
   }
 
+  /** Deterministic stratified Bernoulli sample: per-stratum keep
+    * fractions (e.g. "3% of en, 100% of ko"), membership decided by
+    * the id hash exactly as [[deterministicKeep]] — reproducible under
+    * repartitioning, growth, and engine replay. Strata missing from
+    * `fractions` keep nothing (explicit allowlist semantics). The
+    * fractions ride a codegen'd when-chain — no join; at thousands of
+    * strata switch to a broadcast fraction table instead.
+    */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, strataCol: String,
+                       idCol: String, fractions: Map[String, Double]): org.apache.spark.sql.DataFrame = {
+    require(fractions.nonEmpty, "stratifiedSample needs at least one stratum fraction")
+    val keep = fractions.toSeq.sortBy(_._1).map { case (k, f) =>
+      when(col(strataCol) === k, deterministicKeep(col(idCol), f))
+    }.reduce(coalesce(_, _))
+    df.filter(coalesce(keep, lit(false)))
+  }
+
+  /** Greedy token-budget packing: per group (source, domain, shard),
+    * admit documents in hash order until the group's cumulative token
+    * count reaches `budget` — the deterministic "assemble N tokens per
+    * source" step of corpus construction. The first doc crossing the
+    * budget is still admitted (its tokens were needed to reach it), so
+    * every group with data reaches its budget; membership is stable
+    * because the order is the [[hashBucket]] order, never file layout.
+    * One window sort per group — the same shape and cost as
+    * [[groupQuota]]. Output: input columns + cumulative token count.
+    */
+  def tokenBudgetPack(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                      idCol: String, tokenCol: String, budget: Long): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol), 1000000000), col(idCol))
+    df.withColumn("cum_tokens",
+        sum(col(tokenCol)).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .filter(col("cum_tokens") - col(tokenCol) < budget)
+  }
+
   /** Temperature-scaled mixture weights over a per-group size frame
     * (the "domain mixing" step of corpus assembly: sample source `s`
     * with probability ∝ `n_s^temperature`, temperature < 1 up-weighting

@@ -137,6 +137,40 @@ class SeriesSampleSpec extends AnyFunSuite {
     assert(out === Seq((1L, 2L), (2L, 1L), (4L, 1L), (5L, 1L), (6L, 2L)))
   }
 
+  test("stratifiedSample: per-stratum fractions, absent strata keep nothing, reproducible") {
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "ko")).toDF("id", "lang")
+    val kept = SampleOps.stratifiedSample(df, "lang", "id", Map("en" -> 0.25, "fr" -> 1.0))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("ko"), "stratum absent from the map must keep nothing")
+    // hash-Bernoulli at 25% of 2000: near expectation, not exact
+    assert(kept("en") > 400 && kept("en") < 600, s"got ${kept("en")}")
+    val again = SampleOps.stratifiedSample(df, "lang", "id", Map("en" -> 0.25, "fr" -> 1.0))
+      .select("id").as[Long].collect().sorted.toSeq
+    val first = SampleOps.stratifiedSample(df, "lang", "id", Map("en" -> 0.25, "fr" -> 1.0))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again === first)
+  }
+
+  test("tokenBudgetPack: greedy hash-order prefix, crossing doc admitted, groups isolated") {
+    val df = Seq(
+      ("s1", 1L, 800L), ("s1", 2L, 800L), ("s1", 3L, 800L), ("s1", 4L, 800L),
+      ("s2", 10L, 50L)
+    ).toDF("source", "doc_id", "n_tokens")
+    val got = SampleOps.tokenBudgetPack(df, "source", "doc_id", "n_tokens", 2000L)
+    val bySource = got.collect().groupBy(_.getString(0))
+    // s1: docs admitted in hash order until cum reaches 2000 — exactly 3
+    // of the 800-token docs (800, 1600, 2400: the crosser is admitted)
+    assert(bySource("s1").length === 3)
+    assert(bySource("s1").map(_.getLong(3)).max === 2400L)
+    // s2 far under budget: everything admitted
+    assert(bySource("s2").map(r => (r.getLong(1), r.getLong(3))).toSeq === Seq((10L, 50L)))
+    // determinism: the admitted s1 set is the hash-order prefix, not id order
+    val order = df.filter(col("source") === "s1")
+      .select(col("doc_id")).as[Long].collect()
+      .sortBy(id => (SampleOpsTestHash.bucket(id), id)).take(3).toSet
+    assert(bySource("s1").map(_.getLong(1)).toSet === order)
+  }
+
   test("deterministicKeep hits the exact bucket threshold for binary-inexact fractions") {
     val ids = (0L until 20000L).toDF("id")
     // 0.3 * 10000 = 2999.999... in double; truncation would lose bucket 2999
@@ -195,5 +229,15 @@ class SeriesSampleSpec extends AnyFunSuite {
     assert(!kept.contains(("m1", 20.0)) && kept.contains(("m1", 19.0)))
     assert(kept.contains(("m2", 1.0)) && !kept.contains(("m2", 100.0)))
     assert(got.filter(col("metric") === "m1").count() === 19)
+  }
+}
+
+/** Driver-side replica of SampleOps.hashBucket for order assertions. */
+object SampleOpsTestHash {
+  def bucket(id: Long, m: Long = 1000000000L): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    val hex = md.take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) % m
   }
 }
