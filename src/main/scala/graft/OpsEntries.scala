@@ -174,6 +174,23 @@ private[graft] object OpsEntries {
             size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
         "source", "doc_id", "n_tokens", 800L)),
 
+    // End-to-end corpus build: exact dedup -> quality gate -> per-source
+    // token-budget packing, each stage the already-verified operator —
+    // the composition IS the product a training pipeline ships.
+    "q88_corpus_build" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keep = DedupOps.exactDedup(docs)
+        .select(col("keep_id").as("doc_id"))
+      val scored = TextOps.qualityFrame(docs, carryCols = Seq("source"))
+        .join(keep, Seq("doc_id"), "left_semi")
+        .filter(col("quality_score") >= 0.5)
+      graft.ops.SampleOps.tokenBudgetPack(
+          scored.select(col("source"), col("doc_id"), col("n_tokens"), col("quality_score")),
+          "source", "doc_id", "n_tokens", 600L)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("quality_score"), col("cum_tokens"))
+    }),
+
     // BPE first-merge statistics: adjacent char-pair frequencies over
     // the distinct vocabulary, weighted by corpus word frequency.
     "q62_bpe_pairs" -> ((s, dir) => TextOps.bpeMergePairs(t(s, dir, "documents"))),
@@ -639,6 +656,25 @@ private[graft] object OpsEntries {
          |      JOIN documents db ON db.doc_id = id_b)
          |SELECT source_a, source_b, count(*) AS n_pairs
          |FROM j GROUP BY 1, 2""".stripMargin,
+
+    "q88_corpus_build" ->
+      s"""WITH q AS ($q26Sql),
+         |keep AS (SELECT min(doc_id) AS doc_id
+         |         FROM (SELECT coalesce(md5(CASE WHEN len($norm) > 0 THEN $norm ELSE text END),
+         |                               'id:' || CAST(doc_id AS VARCHAR)) AS fp, doc_id
+         |               FROM documents)
+         |         GROUP BY fp),
+         |scored AS (SELECT d.source, q.doc_id, q.n_tokens, q.quality_score
+         |           FROM q JOIN documents d USING (doc_id)
+         |           WHERE q.doc_id IN (SELECT doc_id FROM keep) AND q.quality_score >= 0.5),
+         |c AS (SELECT source, doc_id, n_tokens, quality_score,
+         |        sum(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000000,
+         |            doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |      FROM scored)
+         |SELECT source, doc_id, n_tokens, quality_score, cum_tokens
+         |FROM c WHERE cum_tokens - n_tokens < 600""".stripMargin,
 
     "q86_stratified_sample" ->
       """SELECT lang, doc_id FROM (
