@@ -174,6 +174,21 @@ private[graft] object OpsEntries {
             size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
         "source", "doc_id", "n_tokens", 800L)),
 
+    // PII redaction parity: the testdata has no PII, so each doc gets a
+    // deterministic synthetic tail (email/url/ip/phone/long number built
+    // from doc_id) — redaction + per-category counts then hash-match a
+    // DuckDB replay of the same ordered regex chain (the patterns are
+    // lookaround-free precisely so RE2 engines agree with Java regex).
+    "q89_pii_redact" -> ((s, dir) => {
+      val synth = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com visit https://ex.com/"), col("doc_id").cast("string"),
+        lit(" ip 10.0.0.77 call +1 415 555 0123 acct 9876543210"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.redact(synth).as("redacted"),
+          TextOps.piiCounts(synth).as("pii"))
+        .select(col("doc_id"), col("redacted"), col("pii.*"))
+    }),
+
     // End-to-end corpus build: exact dedup -> quality gate -> per-source
     // token-budget packing, each stage the already-verified operator —
     // the composition IS the product a training pipeline ships.
@@ -656,6 +671,23 @@ private[graft] object OpsEntries {
          |      JOIN documents db ON db.doc_id = id_b)
          |SELECT source_a, source_b, count(*) AS n_pairs
          |FROM j GROUP BY 1, 2""".stripMargin,
+
+    "q89_pii_redact" -> {
+      val synth = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@mail.example.com visit https://ex.com/' || CAST(doc_id AS VARCHAR) || " +
+        "' ip 10.0.0.77 call +1 415 555 0123 acct 9876543210'"
+      // replay the SAME ordered chain from the shared pattern table:
+      // count category k on the text with categories 1..k-1 redacted
+      val (counts, redacted) = TextOps.piiPatterns
+        .foldLeft((Seq.empty[String], s"($synth)")) {
+          case ((acc, cur), (name, re, token)) =>
+            (acc :+ s"len(regexp_extract_all($cur, '$re')) AS n_$name",
+              s"regexp_replace($cur, '$re', '$token', 'g')")
+        }
+      s"""SELECT doc_id, $redacted AS redacted,
+         |       ${counts.mkString(",\n       ")}
+         |FROM documents""".stripMargin
+    },
 
     "q88_corpus_build" ->
       s"""WITH q AS ($q26Sql),
