@@ -80,6 +80,13 @@ private[graft] object OpsEntries {
     // every vector similar (≥0.4) to a lower-id cell-mate.
     "q75_semdedup" -> ((s, dir) => SimilarityOps.semDedup(t(s, dir, "embeddings"))),
 
+    // IVF ANN over TRAINED centroids: the learned coarse quantizer
+    // routes corpus and probes (nearest_cell), exact cosine in-cell.
+    "q90_ivf_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.ivfTrainedTopK(e.filter(col("vec_id") < 5), e, k = 10)
+    }),
+
     // Cross-document duplicated-span ratio: the suffix-array-free
     // exact-substring-dedup signal (fraction of a doc's 8-token windows
     // that appear in another doc).
@@ -431,20 +438,47 @@ private[graft] object OpsEntries {
     * trained centroids, within-cell pairs, and the max-cosine drop rule
     * — the independent SQL re-statement of `SimilarityOps.semDedup`.
     */
+  /** Trained-centroid list + corpus cell assignment CTEs (`cl<iters>`,
+    * `asg`) on top of [[kmeansCtes]] — shared by the semdedup and
+    * trained-IVF oracles.
+    */
+  private def kmeansAssignCtes(iters: Int): String =
+    s"""cl$iters AS (SELECT cell, list(value ORDER BY dim) AS cv FROM c$iters GROUP BY cell),
+       |asg AS (SELECT vec_id, embedding, cell FROM (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${kmeansL2("e.embedding", "c.cv")}, c.cell) AS r
+       |  FROM emb e CROSS JOIN cl$iters c) WHERE r = 1),
+       |""".stripMargin
+
   private def semDedupSql(k: Int = 8, iters: Int = 3, dims: Int = 64,
                           threshold: Double = 0.4): String =
-    kmeansCtes(k, iters, dims) +
-      s"""cl$iters AS (SELECT cell, list(value ORDER BY dim) AS cv FROM c$iters GROUP BY cell),
-         |asg AS (SELECT vec_id, embedding, cell FROM (
-         |  SELECT e.vec_id, e.embedding, c.cell,
-         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${kmeansL2("e.embedding", "c.cv")}, c.cell) AS r
-         |  FROM emb e CROSS JOIN cl$iters c) WHERE r = 1),
-         |pairs AS (SELECT b.vec_id AS id_b, round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+    kmeansCtes(k, iters, dims) + kmeansAssignCtes(iters) +
+      s"""pairs AS (SELECT b.vec_id AS id_b, round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
          |          FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
          |drp AS (SELECT id_b FROM pairs GROUP BY id_b HAVING max(cos_sim) >= $threshold)
          |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
          |       vec_id IN (SELECT id_b FROM drp) AS dropped
          |FROM asg""".stripMargin
+
+  /** Trained-centroid IVF oracle: probe the `nprobe` nearest trained
+    * cells per query (squared-L2 to the centroid, lower cell on ties),
+    * exact cosine within the probed cells only.
+    */
+  private def ivfTrainedSql(k: Int = 8, iters: Int = 3, dims: Int = 64,
+                            nprobe: Int = 2, topK: Int = 10): String =
+    kmeansCtes(k, iters, dims) + kmeansAssignCtes(iters) +
+      s"""q AS (SELECT vec_id AS query_id, embedding AS qv FROM emb WHERE vec_id < 5),
+         |p0 AS (SELECT query_id, qv, cell,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY ${kmeansL2("qv", "c.cv")}, c.cell) AS r
+         |       FROM q CROSS JOIN cl$iters c),
+         |probes AS (SELECT query_id, qv, cell FROM p0 WHERE r <= $nprobe),
+         |s AS (SELECT query_id, asg.vec_id AS neighbor_id,
+         |        round(${cosSql("qv", "asg.embedding")}, 6) AS cos_sim
+         |      FROM asg JOIN probes USING (cell) WHERE query_id <> asg.vec_id)
+         |SELECT query_id, neighbor_id, cos_sim, CAST(r AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM s)
+         |WHERE r <= $topK""".stripMargin
 
   /** q26's full SQL, shared as a CTE body by q59's per-source rollup. */
   private val q26Sql: String = {
@@ -509,6 +543,8 @@ private[graft] object OpsEntries {
     "q64_kmeans" -> kmeansSql(),
 
     "q75_semdedup" -> semDedupSql(),
+
+    "q90_ivf_trained" -> ivfTrainedSql(),
 
     "q76_dup_spans" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents WHERE text IS NOT NULL),

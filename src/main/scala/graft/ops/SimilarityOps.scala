@@ -215,6 +215,48 @@ object SimilarityOps {
   private def assignCell(cents: Array[Array[Double]], vecCol: String): Column =
     graft.functions.VectorExprs.nearestCell(col(vecCol), cents)
 
+  /** IVF ANN over TRAINED centroids: k-means the corpus, route every
+    * corpus vector to its nearest cell with the single-pass
+    * [[graft.functions.NearestCellExpression]] (map-only — the cell
+    * IS the IVF partition layout), then probe only the `nprobe` cells
+    * whose centroids sit nearest each query. The [[ivfTopK]] shape
+    * with the coarse quantizer actually learned from the data rather
+    * than taken from a label column. Query-side probe selection sorts
+    * a k-element (distance, cell) array per query — k×dims literal
+    * arithmetic, no join. Ties: lower cell on equal centroid
+    * distance, lower neighbor id on equal cosine.
+    */
+  def ivfTrainedTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int = 2,
+                     kCells: Int = 8, iters: Int = 3,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val clean = DedupOps.widen(corpus.filter(col(vecCol).isNotNull))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = trainCentroids(clean, kCells, iters, idCol, vecCol)
+      val c = clean.select(assignCell(cents, vecCol).as("cell"),
+        col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        norm(col(vecCol)).as("c_norm"))
+      val distArr = array(cents.indices.map { j =>
+        struct(
+          graft.functions.VectorExprs.l2Squared(col(vecCol),
+            array(cents(j).map(lit).toSeq: _*)).as("d"),
+          lit(j).as("cell"))
+      }: _*)
+      val probes = queries.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+          norm(col(vecCol)).as("q_norm"),
+          explode_outer(slice(array_sort(distArr), 1, nprobe)).as("p"))
+        .filter(col("p").isNotNull) // trap #7: keep distArr out of an inferred filter
+        .select(col("query_id"), col("q_vec"), col("q_norm"), col("p.cell").as("cell"))
+      val scored = c.join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosinePre(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")), 6).as("cos_sim"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    } finally clean.unpersist(blocking = false)
+  }
+
   /** SemDeDup (semantic deduplication, Abbas et al. 2023): k-means the
     * embeddings, then inside each cell drop every vector whose cosine
     * similarity to a LOWER-id cell-mate reaches `threshold`. Clustering
