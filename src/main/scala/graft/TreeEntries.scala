@@ -401,6 +401,17 @@ private[graft] object TreeEntries {
           round(col("moving_median"), 4).as("moving_median"))
     }),
 
+    // Graphite timeStack: overlay the 3 previous days of each hourly
+    // series onto the current axis (shift_idx 0..2), window-filtered.
+    "q91_time_stack" -> ((s, dir) => {
+      val rolled = events(s, dir)
+        .groupBy(col("event_type"),
+          (col("sec") - (col("sec") % 3600)).cast("long").as("bucket_ts"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      graft.ops.SeriesOps.timeStack(rolled, 86400L, 3, "event_type", "bucket_ts", "v")
+        .filter(col("bucket_ts") >= 1705276800L && col("bucket_ts") < 1705363200L)
+    }),
+
     // Multimodal frame sampling: per-video frame work units.
     "q32_frame_sample" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet").select(
@@ -624,6 +635,15 @@ private[graft] object TreeEntries {
         |SELECT event_type, bucket_ts - (bucket_ts % 21600) AS bucket_ts,
         |       round(sum(v) * 3600, 4) AS hits
         |FROM r GROUP BY event_type, bucket_ts - (bucket_ts % 21600)""".stripMargin,
+
+    "q91_time_stack" ->
+      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+        |r AS (SELECT event_type, sec - (sec % 3600) AS bucket_ts, round(avg(value), 4) AS v
+        |      FROM e GROUP BY 1, 2)
+        |SELECT event_type, CAST(i AS INTEGER) AS shift_idx,
+        |       bucket_ts + i * 86400 AS bucket_ts, v
+        |FROM r CROSS JOIN range(3) t(i)
+        |WHERE bucket_ts + i * 86400 >= 1705276800 AND bucket_ts + i * 86400 < 1705363200""".stripMargin,
 
     "q85_moving_median" ->
       """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),

@@ -314,6 +314,24 @@ object SeriesOps {
     df.join(broadcast(top.select(keyCol)), Seq(keyCol), "left_semi")
   }
 
+  /** graphite `timeStack`: overlay the previous `nPeriods` periods of
+    * each series onto the current time axis — shift `i` moves points
+    * `i × periodSeconds` FORWARD so last week lines up over this week.
+    * One scan with a small explode (not `nPeriods` unions): the period
+    * index rides as a column, the caller filters to the render window.
+    * Output: (key, shift_idx, ts, v) with ts already re-based.
+    */
+  def timeStack(df: DataFrame, periodSeconds: Long, nPeriods: Int,
+                keyCol: String = "metric", tsCol: String = "ts",
+                valCol: String = "v"): DataFrame = {
+    require(nPeriods > 0, s"nPeriods must be positive: $nPeriods")
+    df.select(col(keyCol), col(tsCol), col(valCol),
+        explode(sequence(lit(0), lit(nPeriods - 1))).as("shift_idx"))
+      .select(col(keyCol), col("shift_idx").cast("int").as("shift_idx"),
+        (col(tsCol) + col("shift_idx") * periodSeconds).cast("long").as(tsCol),
+        col(valCol))
+  }
+
   /** Binary pointwise series combination (graphite `divideSeries` /
     * `diffSeries` / `multiplySeries` with two operands): join the two
     * frames on (key?, ts) and apply `op`. With `byKey = false` the
