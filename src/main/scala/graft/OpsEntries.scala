@@ -736,10 +736,10 @@ private[graft] object OpsEntries {
          |           FROM q JOIN documents d USING (doc_id)
          |           WHERE q.doc_id IN (SELECT doc_id FROM keep) AND q.quality_score >= 0.5),
          |c AS (SELECT source, doc_id, n_tokens, quality_score,
-         |        sum(n_tokens) OVER (PARTITION BY source
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source
          |          ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000000,
          |            doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
          |      FROM scored)
          |SELECT source, doc_id, n_tokens, quality_score, cum_tokens
          |FROM c WHERE cum_tokens - n_tokens < 600""".stripMargin,
@@ -757,10 +757,10 @@ private[graft] object OpsEntries {
       s"""WITH t AS (SELECT source, doc_id, CAST(len($toksExpr) AS BIGINT) AS n_tokens
          |           FROM documents),
          |c AS (SELECT source, doc_id, n_tokens,
-         |        sum(n_tokens) OVER (PARTITION BY source
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source
          |          ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000000,
          |            doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
          |      FROM t)
          |SELECT source, doc_id, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens - n_tokens < 800""".stripMargin,

@@ -218,18 +218,23 @@ private[graft] object TreeEntries {
 
     // Graphite summarize + timeShift + integral: 6-hour sum re-bucket,
     // shifted back a day (the "compare with yesterday" render), with a
-    // per-series running total.
+    // per-series running total. Every stage's output is rounded before
+    // feeding the next (hourly avg to 6dp, 6h sum to 4dp) so summation
+    // order inside each engine cannot flip a 4dp rounding boundary; the
+    // running total folds the already-rounded v6h sequentially in
+    // bucket order on both engines.
     "q55_summarize_shift" -> ((s, dir) => {
       import graft.ops.SeriesOps
       val rolled = events(s, dir)
         .groupBy(col("event_type"),
           (col("sec") - (col("sec") % 3600)).cast("long").as("bucket_ts"))
-        .agg(avg(col("value")).as("v"))
+        .agg(round(avg(col("value")), 6).as("v"))
       val sum6h = SeriesOps.summarize(rolled, 21600, "sum", "event_type", "bucket_ts", "v")
       val shifted = SeriesOps.timeShift(sum6h, -86400, "bucket_ts")
+        .withColumn("v", round(col("v"), 4))
       SeriesOps.integral(shifted, "event_type", "bucket_ts", "v", "running_total")
         .select(col("event_type"), col("bucket_ts"),
-          round(col("v"), 4).as("v6h"), round(col("running_total"), 4).as("running_total"))
+          col("v").as("v6h"), round(col("running_total"), 4).as("running_total"))
     }),
 
     // Graphite keepLastValue: forward-fill gaps in the dense grid with
@@ -505,12 +510,12 @@ private[graft] object TreeEntries {
 
     "q55_summarize_shift" ->
       """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
-        |h AS (SELECT event_type, sec - (sec % 3600) AS bucket_ts, avg(value) AS v
+        |h AS (SELECT event_type, sec - (sec % 3600) AS bucket_ts, round(avg(value), 6) AS v
         |      FROM e GROUP BY 1, 2),
-        |s6 AS (SELECT event_type, bucket_ts - (bucket_ts % 21600) AS b6, sum(v) AS v
+        |s6 AS (SELECT event_type, bucket_ts - (bucket_ts % 21600) AS b6, round(sum(v), 4) AS v
         |       FROM h GROUP BY 1, 2),
         |sh AS (SELECT event_type, b6 - 86400 AS bucket_ts, v FROM s6)
-        |SELECT event_type, bucket_ts, round(v, 4) AS v6h,
+        |SELECT event_type, bucket_ts, v AS v6h,
         |  round(sum(v) OVER (PARTITION BY event_type ORDER BY bucket_ts), 4) AS running_total
         |FROM sh""".stripMargin,
 

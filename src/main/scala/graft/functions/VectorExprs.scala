@@ -182,7 +182,10 @@ case class L2SquaredExpression(left: Expression, right: Expression)
   * Semantics match the chain exactly: distances fold left-to-right per
   * centroid (bit-identical to [[L2SquaredExpression]]); the lowest cell
   * index wins ties (strict `<` update); a null input vector, a null
-  * element, an empty centroid table or a length mismatch yield null.
+  * element, an empty centroid table, a length mismatch, or a vector
+  * whose distances are all NaN (NaN embedding) yield null — the last
+  * matching the when/least chain, where `NaN < NaN` never fires and
+  * the coalesce falls through to null.
   */
 case class NearestCellExpression(child: Expression, cents: Array[Array[Double]])
     extends UnaryExpression {
@@ -223,7 +226,7 @@ case class NearestCellExpression(child: Expression, cents: Array[Array[Double]])
       if (sum < best) { best = sum; cell = j }
       j += 1
     }
-    cell
+    if (cell == -1) null else cell
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -253,7 +256,9 @@ case class NearestCellExpression(child: Expression, cents: Array[Array[Double]])
          |    }
          |    if (!${ev.isNull} && $sum < $best) { $best = $sum; $cell = $j; }
          |  }
-         |  if (!${ev.isNull}) { ${ev.value} = $cell; }
+         |  if (!${ev.isNull}) {
+         |    if ($cell == -1) { ${ev.isNull} = true; } else { ${ev.value} = $cell; }
+         |  }
          |}
        """.stripMargin
     })

@@ -150,17 +150,30 @@ object RelOps {
     * won't rewrite (shuffle-hash joins, joins feeding a required
     * distribution) or for pre-emptive salting when the skew is known.
     *
-    * The shard comes from a row-id hash, not rand(): deterministic
-    * under retries of the same layout and uniformly spread within a
-    * key regardless of its input distribution. Row-for-row equal to
-    * `skewed.join(other, keys)` (the replicated side's shard column
-    * never survives).
+    * The shard comes from a hash, not rand(). Pass `idCols` — columns
+    * that distinguish rows WITHIN a key (a document id, a timestamp) —
+    * to make the shard a pure function of row content: stable across
+    * retries, replans, and input-layout changes, and transparent to the
+    * optimizer (a deterministic projection pushes through). Without
+    * `idCols` the shard falls back to hashing
+    * `monotonically_increasing_id()`, which is uniform and
+    * deterministic only for an UNCHANGED partition layout (a
+    * repartition between uses re-deals the shards; correctness is
+    * unaffected — the replicated side carries every shard — but
+    * replays are not bit-stable) and, being nondeterministic to
+    * Catalyst, blocks pushdowns through the salting projection.
+    * Row-for-row equal to `skewed.join(other, keys)` either way (the
+    * replicated side's shard column never survives).
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
-                 saltFactor: Int = 8): DataFrame = {
+                 saltFactor: Int = 8, idCols: Seq[String] = Nil): DataFrame = {
     require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
-    val s = skewed.withColumn("__shard",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor.toLong)))
+    val shard =
+      if (idCols.nonEmpty)
+        pmod(xxhash64((keys ++ idCols).map(col): _*), lit(saltFactor.toLong))
+      else
+        pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor.toLong))
+    val s = skewed.withColumn("__shard", shard)
     val o = other.withColumn("__shard",
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     s.join(o, keys :+ "__shard").drop("__shard")

@@ -98,19 +98,19 @@ object TextOps {
   def langIdFrame(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", outCol: String = "lang_guess"): org.apache.spark.sql.DataFrame = {
     val langs = langMarkers.keys.toSeq.sorted
-    // one-pass native marker counting for the Latin languages (one
-    // hash lookup per distinct token instead of an array_intersect per
-    // language); non-Latin scripts keep the containment probes on text
+    // one-pass native marker counting on both script paths: one hash
+    // lookup per distinct token for the Latin languages, one lower() +
+    // 30 contains walks for the non-Latin ones (the composable probes
+    // re-lowered the whole text per marker — 30 lower() passes/row)
     val latinIdx = graft.functions.LangHits.latinLangs.zipWithIndex.toMap
-    val s0 = docs.select(col(idCol), col(textCol).as("__text"),
-      graft.functions.LangHitsExprs.langHits(array_distinct(tokens(col(textCol)))).as("__lh"))
+    val nonLatinIdx = graft.functions.NonLatinHits.langs.zipWithIndex.toMap
+    val s0 = docs.select(col(idCol),
+      graft.functions.LangHitsExprs.langHits(array_distinct(tokens(col(textCol)))).as("__lh"),
+      graft.functions.LangHitsExprs.nonLatinHits(col(textCol)).as("__nlh"))
     val hitCols = langs.map { l =>
       val h =
-        if (nonLatin(l))
-          langMarkers(l).map(m => when(instr(lower(col("__text")), m) > 0, 1).otherwise(0))
-            .reduce(_ + _)
-        else
-          element_at(col("__lh"), lit(latinIdx(l) + 1))
+        if (nonLatin(l)) element_at(col("__nlh"), lit(nonLatinIdx(l) + 1))
+        else element_at(col("__lh"), lit(latinIdx(l) + 1))
       h.as(s"__h_$l")
     }
     val s1 = s0.select(col(idCol) +: hitCols: _*)

@@ -69,4 +69,18 @@ class VectorExprsSpec extends AnyFunSuite {
       out.foreach { case (n, r) => assert(n === r) }
     }
   }
+
+  test("nearestCell on an all-NaN vector yields null, like the composed form") {
+    import graft.functions.VectorExprs
+    val cents = Array(Array(0.0, 0.0), Array(1.0, 1.0))
+    // NaN distances: `sum < best` never fires, the when/least chain's
+    // coalesce falls through to null — a NaN embedding must NOT route
+    // to a bogus cell
+    val df = Seq(
+      Seq(Float.NaN, Float.NaN),
+      Seq(Float.NaN, 1.0f),
+      Seq(0.1f, 0.1f)).toDF("v")
+    val out = df.select(VectorExprs.nearestCell($"v", cents)).as[Option[Int]].collect().toSeq
+    assert(out == Seq(None, None, Some(0)))
+  }
 }
