@@ -218,23 +218,33 @@ private[graft] object TreeEntries {
 
     // Graphite summarize + timeShift + integral: 6-hour sum re-bucket,
     // shifted back a day (the "compare with yesterday" render), with a
-    // per-series running total. Every stage's output is rounded before
-    // feeding the next (hourly avg to 6dp, 6h sum to 4dp) so summation
-    // order inside each engine cannot flip a 4dp rounding boundary; the
-    // running total folds the already-rounded v6h sequentially in
-    // bucket order on both engines.
+    // per-series running total. ALL post-rollup arithmetic is integer:
+    // the hourly avg is scaled to 1e-6-unit BIGINTs at the rollup, the
+    // 6h re-bucket sums those longs (exact, order-independent — a
+    // double sum here differs in the last ulp between Spark's fold
+    // order and DuckDB's, which round(...,4) then amplifies), and the
+    // running total window-sums 1e-4-unit longs. Doubles reappear only
+    // in the final /10000.0 projection, identical on both engines.
     "q55_summarize_shift" -> ((s, dir) => {
-      import graft.ops.SeriesOps
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("bucket_ts"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
       val rolled = events(s, dir)
         .groupBy(col("event_type"),
           (col("sec") - (col("sec") % 3600)).cast("long").as("bucket_ts"))
-        .agg(round(avg(col("value")), 6).as("v"))
-      val sum6h = SeriesOps.summarize(rolled, 21600, "sum", "event_type", "bucket_ts", "v")
-      val shifted = SeriesOps.timeShift(sum6h, -86400, "bucket_ts")
-        .withColumn("v", round(col("v"), 4))
-      SeriesOps.integral(shifted, "event_type", "bucket_ts", "v", "running_total")
+        .agg(round(avg(col("value")) * 1000000).cast("long").as("vu"))
+      val sum6h = rolled
+        .groupBy(col("event_type"),
+          (col("bucket_ts") - (col("bucket_ts") % 21600)).cast("long").as("bucket_ts"))
+        .agg(sum(col("vu")).as("vu"))
+      sum6h
+        .withColumn("bucket_ts", (col("bucket_ts") - 86400).cast("long"))
+        .withColumn("v4", round(col("vu") / 100.0).cast("long"))
+        .withColumn("rt4", sum(col("v4")).over(w))
         .select(col("event_type"), col("bucket_ts"),
-          col("v").as("v6h"), round(col("running_total"), 4).as("running_total"))
+          (col("v4") / 10000.0).as("v6h"),
+          (col("rt4") / 10000.0).as("running_total"))
     }),
 
     // Graphite keepLastValue: forward-fill gaps in the dense grid with
@@ -510,13 +520,16 @@ private[graft] object TreeEntries {
 
     "q55_summarize_shift" ->
       """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
-        |h AS (SELECT event_type, sec - (sec % 3600) AS bucket_ts, round(avg(value), 6) AS v
+        |h AS (SELECT event_type, sec - (sec % 3600) AS bucket_ts,
+        |             CAST(round(avg(value) * 1000000) AS BIGINT) AS vu
         |      FROM e GROUP BY 1, 2),
-        |s6 AS (SELECT event_type, bucket_ts - (bucket_ts % 21600) AS b6, round(sum(v), 4) AS v
+        |s6 AS (SELECT event_type, bucket_ts - (bucket_ts % 21600) AS b6,
+        |              CAST(sum(vu) AS BIGINT) AS vu
         |       FROM h GROUP BY 1, 2),
-        |sh AS (SELECT event_type, b6 - 86400 AS bucket_ts, v FROM s6)
-        |SELECT event_type, bucket_ts, v AS v6h,
-        |  round(sum(v) OVER (PARTITION BY event_type ORDER BY bucket_ts), 4) AS running_total
+        |sh AS (SELECT event_type, b6 - 86400 AS bucket_ts,
+        |              CAST(round(vu / 100.0) AS BIGINT) AS v4 FROM s6)
+        |SELECT event_type, bucket_ts, v4 / 10000.0 AS v6h,
+        |  CAST(sum(v4) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS BIGINT) / 10000.0 AS running_total
         |FROM sh""".stripMargin,
 
     "q53_forward_fill" ->

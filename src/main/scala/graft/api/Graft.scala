@@ -10,6 +10,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
+/** Refusal for over-limit `/metricData` requests — the engine-side
+  * equivalent of the reference's HTTP 413 (`data/
+  * MetricDataServiceServlet.java:58-64`), carrying the same
+  * provided/max counts the reference prints.
+  */
+final class TooManyMetricsException(val provided: Int, val max: Int)
+    extends IllegalArgumentException(
+      s"Too many metrics in query. Provided $provided, max $max")
+
 /** The engine facade — one object per (data table, tree table) pair,
   * exposing the reference's whole user surface (SURVEY.md §3):
   * `/search` → [[search]], `/metricData` → [[metricData]], status
@@ -21,7 +30,8 @@ final class Graft(
     val spark: SparkSession,
     dataPath: String,
     treePath: String,
-    rules: Seq[RetentionRule] = Retention.defaultRules
+    rules: Seq[RetentionRule] = Retention.defaultRules,
+    maxMetricsPerQuery: Int = 0
 ) {
   private val resolver = new RetentionResolver(rules)
 
@@ -68,6 +78,11 @@ final class Graft(
                  maxPointsPerMetric: Int = -1,
                  nowSeconds: Long = System.currentTimeMillis() / 1000): DataFrame = {
     import spark.implicits._
+    // request cap BEFORE any expansion or scan — one fat dashboard
+    // request must not fan an unbounded IN-list into the data scan
+    // (reference refuses with 413, MetricDataServiceServlet.java:58-64)
+    if (maxMetricsPerQuery > 0 && patterns.size > maxMetricsPerQuery)
+      throw new TooManyMetricsException(patterns.size, maxMetricsPerQuery)
     val distinctPatterns = patterns.distinct
     val exactNames = distinctPatterns.filterNot(graft.names.Glob.hasWildcards)
     // ONE search pass serves both glob expansion and the exact-name

@@ -179,13 +179,18 @@ case class L2SquaredExpression(left: Expression, right: Expression)
   * (measured 30× on the semdedup pair join, NOTES_r3 trap #2's filter
   * variant).
   *
-  * Semantics match the chain exactly: distances fold left-to-right per
-  * centroid (bit-identical to [[L2SquaredExpression]]); the lowest cell
-  * index wins ties (strict `<` update); a null input vector, a null
-  * element, an empty centroid table, a length mismatch, or a vector
-  * whose distances are all NaN (NaN embedding) yield null — the last
-  * matching the when/least chain, where `NaN < NaN` never fires and
-  * the coalesce falls through to null.
+  * Semantics match the chain exactly for non-NaN inputs: distances fold
+  * left-to-right per centroid (bit-identical to [[L2SquaredExpression]]);
+  * the lowest cell index wins ties (strict `<` update); a null input
+  * vector, a null element, an empty centroid table, or a length mismatch
+  * yield null. A vector whose distances are all NaN (NaN embedding) ALSO
+  * yields null — a deliberate deviation from both the when/least chain
+  * and an `ORDER BY dist, cell` oracle (Spark's `NaN === NaN` is true and
+  * `least` of all-NaN returns NaN, so the chain would pick cell 0, as
+  * would DuckDB's NaN-last sort). Routing garbage to null instead of
+  * silently polluting cell 0 is the useful behavior; the kmeans/semdedup
+  * oracle queries rely on the testdata embeddings being NaN-free, so the
+  * deviation is unobservable there by construction.
   */
 case class NearestCellExpression(child: Expression, cents: Array[Array[Double]])
     extends UnaryExpression {

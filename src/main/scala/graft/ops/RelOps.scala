@@ -168,6 +168,9 @@ object RelOps {
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
                  saltFactor: Int = 8, idCols: Seq[String] = Nil): DataFrame = {
     require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    val missing = idCols.filterNot(skewed.columns.contains)
+    require(missing.isEmpty,
+      s"saltedJoin idCols not in left frame: ${missing.mkString(", ")}")
     val shard =
       if (idCols.nonEmpty)
         pmod(xxhash64((keys ++ idCols).map(col): _*), lit(saltFactor.toLong))

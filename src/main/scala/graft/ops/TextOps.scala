@@ -107,11 +107,14 @@ object TextOps {
     val s0 = docs.select(col(idCol),
       graft.functions.LangHitsExprs.langHits(array_distinct(tokens(col(textCol)))).as("__lh"),
       graft.functions.LangHitsExprs.nonLatinHits(col(textCol)).as("__nlh"))
+    // coalesce to 0: a null text makes both hit arrays null, and a null
+    // hit column would void greatest() → NULL lang_guess; anchoring at 0
+    // keeps the column-form contract (null/empty text → "und")
     val hitCols = langs.map { l =>
       val h =
         if (nonLatin(l)) element_at(col("__nlh"), lit(nonLatinIdx(l) + 1))
         else element_at(col("__lh"), lit(latinIdx(l) + 1))
-      h.as(s"__h_$l")
+      coalesce(h, lit(0)).as(s"__h_$l")
     }
     val s1 = s0.select(col(idCol) +: hitCols: _*)
     val mx = greatest(langs.map(l => col(s"__h_$l")): _*)

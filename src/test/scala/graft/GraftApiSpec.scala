@@ -82,5 +82,17 @@ class GraftApiSpec extends AnyFunSuite {
       .select("timestamp", "value").as[(Int, Double)].collect().toSet
     assert(rows == Set((1699999920, 12.0), (1700000040, 20.0)),
       s"deduped points in their 120s buckets, got $rows")
+
+    // maxMetricsPerQuery request cap: at-cap passes, over-cap refuses
+    // BEFORE any scan (reference 413, MetricDataServiceServlet.java:58-64)
+    val capped = new Graft(spark, s"$dir/data", s"$dir/tree", maxMetricsPerQuery = 2)
+    assert(capped.metricData(Seq("one_min.app.host1.requests", "one_min.app.host2.requests"),
+      1700000000, 1700000180, nowSeconds = 1700000200).count() == 2)
+    val refusal = intercept[graft.api.TooManyMetricsException] {
+      capped.metricData(Seq("a.b", "c.d", "e.f"), 1700000000, 1700000180,
+        nowSeconds = 1700000200)
+    }
+    assert(refusal.provided == 3 && refusal.max == 2)
+    assert(refusal.getMessage == "Too many metrics in query. Provided 3, max 2")
   }
 }

@@ -113,4 +113,27 @@ class RelOpsSpec extends AnyFunSuite {
       .select(countDistinct(col("__shard"))).as[Long].head()
     assert(shards >= 6, s"expected the 900 hot rows across >=6 of 8 shards, got $shards")
   }
+
+  test("saltedJoin idCols path: deterministic shard, equal to plain join, spread within hot key") {
+    import org.apache.spark.sql.functions._
+    val left = (0 until 1000).map(i => (if (i < 900) 1 else i, i)).toDF("k", "row_id")
+    val right = Seq((1, "hot"), (5, "cold"), (950, "cold2"), (99999, "unmatched"))
+      .toDF("k", "tag")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "row_id", "tag").as[(Int, Int, String)].collect().sorted.toList
+    val salted = RelOps.saltedJoin(left, right, Seq("k"), saltFactor = 8, idCols = Seq("row_id"))
+      .select("k", "row_id", "tag").as[(Int, Int, String)].collect().sorted.toList
+    assert(salted === plain)
+    // content-hashed shard really spreads the 900 hot-key rows
+    val shards = left.filter(col("k") === 1)
+      .withColumn("__shard", pmod(xxhash64(col("k"), col("row_id")), lit(8L)))
+      .select(countDistinct(col("__shard"))).as[Long].head()
+    assert(shards >= 6, s"expected the hot rows across >=6 of 8 shards, got $shards")
+    // and unlike the monotonic-id path it's replay-stable: same input → same shards
+    val a = left.withColumn("__shard", pmod(xxhash64(col("k"), col("row_id")), lit(8L)))
+      .select("row_id", "__shard").as[(Int, Long)].collect().toMap
+    val b = left.withColumn("__shard", pmod(xxhash64(col("k"), col("row_id")), lit(8L)))
+      .select("row_id", "__shard").as[(Int, Long)].collect().toMap
+    assert(a === b)
+  }
 }

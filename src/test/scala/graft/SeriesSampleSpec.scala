@@ -107,13 +107,16 @@ class SeriesSampleSpec extends AnyFunSuite {
       (2L, "Der schnelle braune Fuchs und der Hund, das ist nicht ein Problem!"),
       (3L, "это не проблема и он в порядке"),
       (4L, ""),
-      (5L, "12345 67890 !!!")
+      (5L, "12345 67890 !!!"),
+      (6L, null.asInstanceOf[String])
     ).toDF("doc_id", "text")
     val frameLang = TextOps.langIdFrame(docs).orderBy("doc_id")
       .as[(Long, String)].collect().toSeq
     val colLang = docs.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
       .orderBy("doc_id").as[(Long, String)].collect().toSeq
     assert(frameLang === colLang)
+    // null text must anchor at "und", not propagate NULL through the hit arrays
+    assert(frameLang.find(_._1 == 6L).map(_._2) === Some("und"))
     val f = TextOps.qualityFeatures(col("text"))
     val frameQ = TextOps.qualityFrame(docs).orderBy("doc_id").collect().toSeq
     val colQ = docs.select(col("doc_id"), f.getField("n_chars").as("n_chars"),

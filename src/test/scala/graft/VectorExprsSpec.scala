@@ -70,7 +70,7 @@ class VectorExprsSpec extends AnyFunSuite {
     }
   }
 
-  test("nearestCell on an all-NaN vector yields null, like the composed form") {
+  test("nearestCell on an all-NaN vector yields null (deliberate deviation from the chain's cell 0)") {
     import graft.functions.VectorExprs
     val cents = Array(Array(0.0, 0.0), Array(1.0, 1.0))
     // NaN distances: `sum < best` never fires, the when/least chain's
