@@ -31,7 +31,8 @@ final class Graft(
     dataPath: String,
     treePath: String,
     rules: Seq[RetentionRule] = Retention.defaultRules,
-    maxMetricsPerQuery: Int = 0
+    maxMetricsPerQuery: Int = 0,
+    treeLimits: graft.model.TreeLimits = graft.model.TreeLimits.none
 ) {
   private val resolver = new RetentionResolver(rules)
 
@@ -45,8 +46,11 @@ final class Graft(
   /** Current logical tree state (latest status per name). */
   def currentTree: DataFrame = MetricSearchOps.currentTree(tree)
 
-  /** §3.2 — glob search over visible tree nodes. */
-  def search(query: String): DataFrame = MetricSearchOps.search(tree, query)
+  /** §3.2 — glob search over visible tree nodes, with per-dir limit
+    * notification rows when [[treeLimits]] caps are configured.
+    */
+  def search(query: String): DataFrame =
+    MetricSearchOps.searchWithLimits(tree, query, treeLimits)
 
   /** Optional serving cache: a driver-side trie snapshot of the current
     * tree (the reference's in-memory `MetricTree`). `searchCached`
@@ -64,7 +68,7 @@ final class Graft(
     */
   def searchCached(query: String): Seq[(String, String)] = {
     if (trieCache.isEmpty) refreshSearchCache()
-    trieCache.get.search(query)
+    trieCache.get.searchWithLimits(query, treeLimits)
   }
 
   /** §3.1 — the full read path: expand patterns, group matched metrics
@@ -136,7 +140,8 @@ final class Graft(
 
   /** §3.3 — streaming ingest of graphite plaintext lines. */
   def ingest(lines: Dataset[String], checkpoint: String): StreamingQuery =
-    new IngestPipeline(dataPath = dataPath, treePath = treePath).start(lines, checkpoint)
+    new IngestPipeline(dataPath = dataPath, treePath = treePath, limits = treeLimits)
+      .start(lines, checkpoint)
 
   /** §3.3 production path: listen for graphite TCP pushes on `port`
     * (custom `MicroBatchStream` source, receive-time stamping at the
@@ -147,7 +152,7 @@ final class Graft(
       .format("graft.streaming.GraphiteSourceProvider")
       .option("port", port.toString)
       .load()
-    new IngestPipeline(dataPath = dataPath, treePath = treePath)
+    new IngestPipeline(dataPath = dataPath, treePath = treePath, limits = treeLimits)
       .startStamped(lines, checkpoint)
   }
 

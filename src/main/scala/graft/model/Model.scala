@@ -40,6 +40,26 @@ final case class Series(
     points: Seq[Option[Double]]
 )
 
+/** Per-directory tree growth caps (reference `search/tree/
+  * MetricTree.java:43-45`): a dir refuses its (maxSubDirsPerDir+1)-th
+  * NEW subdir and (maxMetricsPerDir+1)-th NEW metric at ingest, and
+  * search surfaces `_SUBDIRS_LIMIT_REACHED_MAX_N` /
+  * `_METRICS_LIMIT_REACHED_MAX_N` pseudo-rows on full dirs. 0 = no cap.
+  * Protects the tree table and the serving trie from metric-name
+  * explosions (one misconfigured client emitting a unique name per
+  * request would otherwise grow the tree unboundedly).
+  */
+final case class TreeLimits(maxSubDirsPerDir: Int = 0, maxMetricsPerDir: Int = 0) {
+  def enabled: Boolean = maxSubDirsPerDir > 0 || maxMetricsPerDir > 0
+  /** Notification pseudo-metric suffixes (reference MetricTree.java:43-45). */
+  def subdirsMessage: String = "_SUBDIRS_LIMIT_REACHED_MAX_" + maxSubDirsPerDir
+  def metricsMessage: String = "_METRICS_LIMIT_REACHED_MAX_" + maxMetricsPerDir
+}
+
+object TreeLimits {
+  val none: TreeLimits = TreeLimits()
+}
+
 /** Metric/dir lifecycle status with the visibility rules and restricted
   * transition graph of reference `search/MetricStatus.java:13-103`.
   */

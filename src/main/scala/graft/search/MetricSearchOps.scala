@@ -1,7 +1,7 @@
 package graft.search
 
-import graft.model.MetricStatus
-import graft.names.Glob
+import graft.model.{MetricStatus, TreeLimits}
+import graft.names.{Glob, MetricNames}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -58,6 +58,55 @@ object MetricSearchOps {
       .filter(visibleCol(col("status")) && matchAny)
       .select("name", "status")
   }
+
+  /** Children per (parent dir, kind) over the current tree. Counts ALL
+    * statuses — the reference's limit gate checks raw map sizes, with
+    * banned/hidden children included (`MetricDir.java:59-95`).
+    */
+  def childCounts(tree: DataFrame): DataFrame =
+    currentTree(tree)
+      .groupBy(col("parent"), col("name").endsWith(".").as("is_dir"))
+      .agg(count(lit(1)).as("children"))
+
+  /** Limit-notification pseudo-rows for a search (reference
+    * `MetricTree.appendLimitNotificationsIfNeeded`,
+    * `search/tree/MetricTree.java:181-188`): when the query's last level
+    * is the bare `*` pattern, each matched VISIBLE parent dir that is at
+    * or past a cap surfaces a `<parent>._SUBDIRS_LIMIT_REACHED_MAX_N` /
+    * `<parent>._METRICS_LIMIT_REACHED_MAX_N` row, so a dashboard user
+    * browsing a full dir sees WHY new children stopped appearing.
+    * Non-`*` last levels (globs, literals) emit nothing, like the
+    * reference. Schema matches [[search]]: (name, status=SIMPLE).
+    */
+  def limitNotifications(tree: DataFrame, query: String, limits: TreeLimits): DataFrame = {
+    val spark = tree.sparkSession
+    import spark.implicits._
+    val empty = Seq.empty[(String, String)].toDF("name", "status")
+    val levels = MetricNames.splitToLevels(query)
+    if (!limits.enabled || levels.isEmpty || levels.last != "*" ||
+      MetricNames.level(query) != levels.length) return empty
+    // matched visible parent dirs ("" = the always-visible root for "*")
+    val parents =
+      if (levels.length == 1) Seq("").toDF("parent")
+      else searchMany(tree, Seq(levels.init.mkString(".") + "."))
+        .select(col("name").as("parent"))
+    val withCounts = parents.join(childCounts(tree), Seq("parent"))
+    def notif(isDir: Boolean, max: Int, message: String): DataFrame =
+      if (max <= 0) empty
+      else withCounts
+        .filter(col("is_dir") === isDir && col("children") >= max)
+        .select(concat(col("parent"), lit(message)).as("name"),
+          lit(MetricStatus.Simple.name).as("status"))
+    notif(isDir = true, limits.maxSubDirsPerDir, limits.subdirsMessage)
+      .unionByName(notif(isDir = false, limits.maxMetricsPerDir, limits.metricsMessage))
+  }
+
+  /** [[search]] plus [[limitNotifications]] — the reference's servlet
+    * result shape (notifications precede the listing).
+    */
+  def searchWithLimits(tree: DataFrame, query: String, limits: TreeLimits): DataFrame =
+    if (!limits.enabled) search(tree, query)
+    else limitNotifications(tree, query, limits).unionByName(search(tree, query))
 
   /** Status change (ban/approve/hide...): returns the rows to APPEND to the
     * tree table. The restricted transition graph

@@ -2,6 +2,7 @@ package graft.search
 
 import scala.collection.mutable
 
+import graft.model.TreeLimits
 import graft.names.{Glob, MetricNames}
 import org.apache.spark.sql.DataFrame
 
@@ -65,6 +66,52 @@ final class MetricTrie private (root: MetricTrie.Node) {
   def size: Long = {
     def walk(n: MetricTrie.Node): Long = 1L + n.children.valuesIterator.map(walk).sum
     walk(root) - 1 // don't count the synthetic root
+  }
+
+  /** [[search]] plus limit-notification pseudo-rows — trie twin of
+    * [[MetricSearchOps.searchWithLimits]] (reference
+    * `MetricTree.appendLimitNotificationsIfNeeded`,
+    * `search/tree/MetricTree.java:181-188`): a query whose last level is
+    * the bare `*` prepends `<parent>._SUBDIRS_LIMIT_REACHED_MAX_N` /
+    * `<parent>._METRICS_LIMIT_REACHED_MAX_N` rows for each matched
+    * visible parent dir at or past a cap.
+    */
+  def searchWithLimits(query: String, limits: TreeLimits): Seq[(String, String)] = {
+    if (!limits.enabled) return search(query)
+    val levels = MetricNames.splitToLevels(query)
+    if (levels.isEmpty || levels.last != "*" ||
+      MetricNames.level(query) != levels.length) return search(query)
+    // walk to the parent frontier with the same per-level matching as
+    // search; the synthetic root (query "*") is always visible
+    var frontier = List(root)
+    levels.init.foreach { seg =>
+      frontier =
+        if (Glob.hasWildcards(seg)) Glob.levelToRegex(seg) match {
+          case Some(re) =>
+            val p = java.util.regex.Pattern.compile(re)
+            frontier.flatMap(_.children.collect {
+              case (s, child) if p.matcher(s).matches() => child
+            })
+          case None => Nil
+        }
+        else frontier.flatMap(_.children.get(seg))
+    }
+    val notifs = frontier.flatMap { n =>
+      val parentVisible = (n eq root) ||
+        n.dirRow.exists { case (_, st) => MetricSearchOps.visibleStatus(st) }
+      if (!parentVisible) Nil
+      else {
+        val parentName = n.dirRow.map(_._1).getOrElse("")
+        val dirs = n.children.valuesIterator.count(_.dirRow.isDefined)
+        val metrics = n.children.valuesIterator.count(_.metricRow.isDefined)
+        val d = if (limits.maxSubDirsPerDir > 0 && dirs >= limits.maxSubDirsPerDir)
+          Seq((parentName + limits.subdirsMessage, "SIMPLE")) else Nil
+        val m = if (limits.maxMetricsPerDir > 0 && metrics >= limits.maxMetricsPerDir)
+          Seq((parentName + limits.metricsMessage, "SIMPLE")) else Nil
+        d ++ m
+      }
+    }
+    notifs ++ search(query)
   }
 }
 

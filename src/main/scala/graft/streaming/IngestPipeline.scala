@@ -1,9 +1,10 @@
 package graft.streaming
 
 import graft.ingest.LineParser
-import graft.model.MetricPoint
+import graft.model.{MetricPoint, TreeLimits}
 import graft.names.MetricNames
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -31,7 +32,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 final class IngestPipeline(
     parser: LineParser = new LineParser(),
     dataPath: String,
-    treePath: String
+    treePath: String,
+    limits: TreeLimits = TreeLimits.none
 ) extends Serializable {
 
   /** Parse a micro-batch of raw lines into points. */
@@ -79,6 +81,68 @@ final class IngestPipeline(
     when(plen > 0, stripped.substr(lit(1), plen)).otherwise(lit(""))
   }
 
+  /** Dir prefixes of a parent-dir name: "a.b." → ["a.", "a.b."]; "" → [].
+    * (Every ancestor dir of a node, the node's parent included.)
+    */
+  private def dirPrefixesCol(parent: Column): Column = {
+    val parts = split(parent, "\\.")
+    when(length(parent) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(parts) - 1), i =>
+        concat(array_join(slice(parts, lit(1), i), "."), lit("."))))
+  }
+
+  /** Per-dir growth caps on candidate NEW tree rows (reference
+    * `MetricDir.getOrCreateDir/getOrCreateMetric`,
+    * `search/tree/MetricDir.java:59-95`): a dir holding >= max children
+    * of a kind refuses further NEW ones, and a refused dir refuses its
+    * whole subtree (`MetricTreeTest.testMetricsLimit`: a metric 3 levels
+    * under a refused dir is refused too). Within a batch, siblings are
+    * admitted in name order (the reference admits in arrival order; a
+    * relational batch has no arrival order, so name order is the
+    * deterministic, replay-stable tie-break).
+    *
+    * Returns (accepted new nodes, refused names — dirs AND metrics).
+    * Existing nodes are never refused (the reference returns the
+    * existing entry before the size check); callers pass only NEW rows.
+    * `existingCounts` is (parent, __is_dir, __children) for affected
+    * parents, absent on the first batch.
+    *
+    * Scale: every frame is bounded by the batch's name count, not the
+    * tree; the window partitions by (parent, kind) within the batch.
+    */
+  def applyTreeLimits(newNodes: DataFrame, existingCounts: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val spark = newNodes.sparkSession
+    import spark.implicits._
+    if (!limits.enabled) return (newNodes, Seq.empty[String].toDF("name"))
+    val ranked = newNodes
+      .withColumn("__is_dir", col("name").endsWith("."))
+      .withColumn("__rk",
+        row_number().over(Window.partitionBy(col("parent"), col("__is_dir")).orderBy(col("name"))))
+    val withCounts = existingCounts match {
+      case Some(c) => ranked.join(broadcast(c), Seq("parent", "__is_dir"), "left")
+        .na.fill(0L, Seq("__children"))
+      case None => ranked.withColumn("__children", lit(0L))
+    }
+    val maxFor = when(col("__is_dir"), lit(limits.maxSubDirsPerDir.toLong))
+      .otherwise(lit(limits.maxMetricsPerDir.toLong))
+    // refuse when the dir already holds max (existing + earlier batch
+    // siblings): existing + rank > max ⟺ reference's size() >= max gate
+    val flagged = withCounts
+      .withColumn("__over", maxFor > 0 && (col("__children") + col("__rk")) > maxFor)
+      .localCheckpoint() // the window + join feed BOTH outputs below; don't recompute
+    val overNames = flagged.filter(col("__over")).select("name")
+    // cascade: every node under a refused dir is refused with it
+    val refusedByAncestor = flagged.filter(!col("__over"))
+      .select(col("name"), explode(dirPrefixesCol(col("parent"))).as("__anc"))
+      .join(overNames.select(col("name").as("__anc")), Seq("__anc"), "left_semi")
+      .select("name").distinct()
+    val refused = overNames.unionByName(refusedByAncestor)
+    val accepted = flagged.filter(!col("__over"))
+      .join(refusedByAncestor, Seq("name"), "left_anti")
+      .drop("__is_dir", "__rk", "__children", "__over")
+    (accepted, refused)
+  }
+
   /** One micro-batch: drop banned metrics, append points, upsert new
     * tree names, revive AUTO_HIDDEN metrics that are sending again.
     * Idempotency: replayed batches re-append (duplicates resolved by
@@ -114,13 +178,21 @@ final class IngestPipeline(
           }
       tree match {
         case None =>
+          // per-dir caps apply even on the first batch (ranks within the
+          // batch, zero existing children); points of refused metrics
+          // are dropped like the reference's factory path (a null tree
+          // add drops the point, `server/BaseMetricFactory.java`)
+          val (acceptedNodes, refused) = applyTreeLimits(treeNodesFor(df), None)
+          val refusedMetrics = refused.filter(!col("name").endsWith("."))
+            .withColumnRenamed("name", "metric")
           // sort each written part by (metric, timestamp) — MergeTree
           // sorts every inserted part the same way; parquet row-group
           // min/max stats then give key-range skipping on fresh data,
           // not just compacted partitions
-          df.sortWithinPartitions("metric", "timestamp")
+          df.join(refusedMetrics, Seq("metric"), "left_anti")
+            .sortWithinPartitions("metric", "timestamp")
             .write.mode("append").partitionBy("date").parquet(dataPath)
-          treeNodesFor(df).write.mode("append").parquet(treePath)
+          acceptedNodes.write.mode("append").parquet(treePath)
         case Some(treeDf) =>
           // current status of THIS batch's names AND their ancestor dirs
           // (semi-join bounds the aggregation by batch size, not tree
@@ -137,15 +209,29 @@ final class IngestPipeline(
             .join(current.filter(col("status") === "BAN"), Seq("name"), "left_semi")
             .select("metric").distinct()
           val accepted = df.join(banned, Seq("metric"), "left_anti")
-          accepted.sortWithinPartitions("metric", "timestamp")
-            .write.mode("append").partitionBy("date").parquet(dataPath)
           val nodes = treeNodesFor(accepted)
           val newNodes =
             nodes.join(treeDf.select("name").distinct(), Seq("name"), "left_anti")
+          // per-dir caps on the NEW nodes only (existing nodes always
+          // pass, reference returns the existing entry before the size
+          // check); existing child counts bounded to the batch's parents
+          val existingCounts =
+            if (!limits.enabled) None
+            else Some(treeDf
+              .join(nodes.select("parent").distinct(), Seq("parent"), "left_semi")
+              .select(col("parent"), col("name")).distinct()
+              .groupBy(col("parent"), col("name").endsWith(".").as("__is_dir"))
+              .agg(count(lit(1)).as("__children")))
+          val (acceptedNodes, refused) = applyTreeLimits(newNodes, existingCounts)
+          val refusedMetrics = refused.filter(!col("name").endsWith("."))
+            .withColumnRenamed("name", "metric")
+          accepted.join(refusedMetrics, Seq("metric"), "left_anti")
+            .sortWithinPartitions("metric", "timestamp")
+            .write.mode("append").partitionBy("date").parquet(dataPath)
           val revived = nodes.join(
             current.filter(col("status") === "AUTO_HIDDEN").select("name"),
             Seq("name"), "left_semi")
-          newNodes.unionByName(revived).write.mode("append").parquet(treePath)
+          acceptedNodes.unionByName(revived).write.mode("append").parquet(treePath)
       }
     } finally df.unpersist()
   }
