@@ -427,6 +427,24 @@ private[graft] object TreeEntries {
         .filter(col("bucket_ts") >= 1705276800L && col("bucket_ts") < 1705363200L)
     }),
 
+    // Graphite holtWintersForecast: additive triple smoothing with a
+    // 24-slot (daily-on-hourly) seasonal vector. Dyadic α/β/γ so the
+    // oracle's (1−p) literals are exact in binary and the recursive-CTE
+    // replay folds bit-identical doubles.
+    "q92_holt_winters" -> ((s, dir) => {
+      val rolled = events(s, dir)
+        .groupBy(col("event_type"),
+          (col("sec") - (col("sec") % 3600)).cast("long").as("bucket_ts"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      graft.ops.SeriesOps.holtWinters(rolled, 0.25, 0.125, 0.25, 24,
+        "event_type", "bucket_ts", "v")
+        .select(col("event_type"), col("bucket_ts"), col("v"),
+          round(col("level"), 4).as("level"),
+          round(col("trend"), 4).as("trend"),
+          round(col("seasonal"), 4).as("seasonal"),
+          round(col("forecast"), 4).as("forecast"))
+    }),
+
     // Multimodal frame sampling: per-video frame work units.
     "q32_frame_sample" -> ((s, dir) => {
       val media = s.read.parquet(s"$dir/documents.parquet").select(
@@ -653,6 +671,40 @@ private[graft] object TreeEntries {
         |SELECT event_type, bucket_ts - (bucket_ts % 21600) AS bucket_ts,
         |       round(sum(v) * 3600, 4) AS hits
         |FROM r GROUP BY event_type, bucket_ts - (bucket_ts % 21600)""".stripMargin,
+
+    // Holt-Winters replay: the seasonal vector rides the recursive CTE as
+    // a DOUBLE list, rebuilt per step by slice-concat (no index lambda).
+    // snew/bnew/cnew are textual inlines of the same dyadic-coefficient
+    // arithmetic the Spark fold runs, so every state double is
+    // bit-identical between engines and the 4dp rounding cannot diverge.
+    "q92_holt_winters" -> {
+      val m = 24
+      val zeros = ("CAST(0.0 AS DOUBLE)" +: List.fill(m - 1)("0.0")).mkString("[", ", ", "]")
+      val phase = s"((n.rn - 1) % $m)"
+      val cprev = s"s.c[$phase + 1]"
+      val snew = s"(0.25 * (n.v - $cprev) + 0.75 * (s.level + s.trend))"
+      val bnew = s"(0.125 * ($snew - s.level) + 0.875 * s.trend)"
+      val cnew = s"(0.25 * (n.v - $snew) + 0.75 * $cprev)"
+      s"""WITH RECURSIVE
+         |e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+         |r AS (SELECT event_type, sec - (sec % 3600) AS bucket_ts, round(avg(value), 4) AS v
+         |      FROM e GROUP BY 1, 2),
+         |n AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS rn FROM r),
+         |s AS (
+         |  SELECT event_type, rn, bucket_ts, v, v AS level, CAST(0.0 AS DOUBLE) AS trend,
+         |         CAST(0.0 AS DOUBLE) AS seasonal, CAST(NULL AS DOUBLE) AS forecast,
+         |         $zeros AS c
+         |  FROM n WHERE rn = 1
+         |  UNION ALL
+         |  SELECT n.event_type, n.rn, n.bucket_ts, n.v,
+         |         $snew, $bnew, $cnew,
+         |         s.level + s.trend + $cprev,
+         |         s.c[1:$phase] || [$cnew] || s.c[$phase + 2:]
+         |  FROM n JOIN s ON n.event_type = s.event_type AND n.rn = s.rn + 1)
+         |SELECT event_type, bucket_ts, v, round(level, 4) AS level, round(trend, 4) AS trend,
+         |       round(seasonal, 4) AS seasonal, round(forecast, 4) AS forecast
+         |FROM s""".stripMargin
+    },
 
     "q91_time_stack" ->
       """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),

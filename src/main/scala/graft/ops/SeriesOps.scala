@@ -218,6 +218,73 @@ object SeriesOps {
         col("pt.level").as("level"), col("pt.trend").as("trend"))
   }
 
+  /** Holt-Winters (triple-exponential) smoothing with ADDITIVE
+    * seasonality per series — graphite's `holtWintersForecast` layer on
+    * top of [[holtLinear]]'s deseasonalized core. State: level `s`,
+    * trend `b`, and a `period`-slot seasonal vector `c` (zeros at
+    * start); per point at 0-based position t with phase `p = t mod
+    * period`:
+    * {{{
+    *   forecast_t = s + b + c[p]                      (pre-update state)
+    *   s' = α(v_t − c[p]) + (1−α)(s + b)
+    *   b' = β(s' − s) + (1−β)b
+    *   c[p]' = γ(v_t − s') + (1−γ)c[p]
+    * }}}
+    * First point seeds `s = v, b = 0` (so `c[p]` stays 0 there). Nulls
+    * carry all state, emit null, and still advance the phase (the slot
+    * grid keeps its alignment). Same collapsed-series fold shape as
+    * [[ewma]]/[[holtLinear]]: one partial-agg shuffle keyed by series,
+    * state bounded by period + the series' own points — scales with the
+    * longest series, not the table. Pass dyadic α/β/γ (0.25, 0.125, …)
+    * when an oracle must replay the fold bit-identically: `1−p` is then
+    * exact in binary on both engines. Output: (key, ts, v, level,
+    * trend, seasonal, forecast).
+    */
+  def holtWinters(df: DataFrame, alpha: Double, betaP: Double, gamma: Double,
+                  period: Int, keyCol: String = "metric", tsCol: String = "ts",
+                  valCol: String = "v"): DataFrame = {
+    require(period > 0, s"period must be positive, got $period")
+    val a1 = 1.0 - alpha; val b1 = 1.0 - betaP; val g1 = 1.0 - gamma
+    val nullD = lit(null).cast("double")
+    val outElem =
+      "array<struct<ts:bigint,v:double,level:double,trend:double,seasonal:double,forecast:double>>"
+    val pts = sort_array(collect_list(struct(
+      col(tsCol).cast("long").as("ts"), col(valCol).cast("double").as("v"))))
+    val folded = aggregate(
+      col("pts"),
+      struct(nullD.as("s"), nullD.as("b"),
+        array_repeat(lit(0.0), period).as("c"), array().cast(outElem).as("out")),
+      (acc, p) => {
+        val s = acc.getField("s"); val b = acc.getField("b"); val c = acc.getField("c")
+        val v = p.getField("v")
+        val phase = pmod(size(acc.getField("out")), lit(period)) // 0-based slot
+        val cPrev = element_at(c, phase + 1)
+        val forecast = when(v.isNull || s.isNull, nullD).otherwise(s + b + cPrev)
+        val sNew = when(v.isNull, s).when(s.isNull, v)
+          .otherwise(lit(alpha) * (v - cPrev) + lit(a1) * (s + b))
+        val bNew = when(v.isNull, b).when(s.isNull, lit(0.0))
+          .otherwise(lit(betaP) * (sNew - s) + lit(b1) * b)
+        val cNew = lit(gamma) * (v - sNew) + lit(g1) * cPrev
+        val cArr = when(v.isNull, c)
+          .otherwise(transform(c, (x, i) => when(i === phase, cNew).otherwise(x)))
+        struct(
+          sNew.as("s"), bNew.as("b"), cArr.as("c"),
+          concat(acc.getField("out"), array(struct(
+            p.getField("ts").as("ts"), v.as("v"),
+            when(v.isNull, nullD).otherwise(sNew).as("level"),
+            when(v.isNull, nullD).otherwise(bNew).as("trend"),
+            when(v.isNull, nullD).otherwise(cNew).as("seasonal"),
+            forecast.as("forecast")))).as("out"))
+      },
+      acc => acc.getField("out"))
+    df.groupBy(col(keyCol)).agg(pts.as("pts"))
+      .select(col(keyCol), explode_outer(folded).as("pt"))
+      .filter(col("pt").isNotNull)
+      .select(col(keyCol), col("pt.ts").as(tsCol), col("pt.v").as(valCol),
+        col("pt.level").as("level"), col("pt.trend").as("trend"),
+        col("pt.seasonal").as("seasonal"), col("pt.forecast").as("forecast"))
+  }
+
   /** Trailing moving mean/stddev and z-score anomaly flag per series
     * (graphite `stdev` + threshold alerting). The stddev is computed
     * from explicit windowed `n`/`Σv`/`Σv²` columns — the same formula an

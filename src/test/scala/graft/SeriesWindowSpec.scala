@@ -41,6 +41,34 @@ class SeriesWindowSpec extends AnyFunSuite {
     assert(out === Seq((10.0, 0.0), (11.5, 0.75), (11.625, 0.4375)))
   }
 
+  test("holtWinters: additive seasonal fold, hand-computed goldens") {
+    // period 2, α=β=γ=0.5 over 10,12,14,16: phases alternate 0/1
+    val in = Seq(("a", 0L, 10.0), ("a", 60L, 12.0), ("a", 120L, 14.0), ("a", 180L, 16.0))
+      .toDF("metric", "ts", "v")
+    val out = SeriesOps.holtWinters(in, 0.5, 0.5, 0.5, period = 2)
+      .orderBy("ts")
+      .select("level", "trend", "seasonal", "forecast")
+      .as[(Double, Double, Double, Option[Double])].collect().toSeq
+    assert(out === Seq(
+      (10.0, 0.0, 0.0, None),                    // seed: s=v, b=0, c untouched
+      (11.0, 0.5, 0.5, Some(10.0)),              // forecast = s+b+c[1] pre-update
+      (12.75, 1.125, 0.625, Some(11.5)),
+      (14.6875, 1.53125, 0.90625, Some(14.375))))
+  }
+
+  test("holtWinters: nulls carry state, emit null, and still advance the phase") {
+    val in = Seq(("a", 0L, Some(10.0)), ("a", 60L, Some(12.0)),
+      ("a", 120L, Option.empty[Double]), ("a", 180L, Some(16.0)))
+      .toDF("metric", "ts", "v")
+    val out = SeriesOps.holtWinters(in, 0.5, 0.5, 0.5, period = 2)
+      .orderBy("ts")
+      .select("level", "trend", "seasonal", "forecast")
+      .as[(Option[Double], Option[Double], Option[Double], Option[Double])].collect().toSeq
+    assert(out(2) === ((None, None, None, None)), "null point emits all-null")
+    // t=3 lands back on phase 1 (slot grid kept aligned through the gap)
+    assert(out(3) === ((Some(13.5), Some(1.5), Some(1.5), Some(12.0))))
+  }
+
   test("hitcount converts a rate series to per-bucket totals") {
     val out = SeriesOps.hitcount(series, bucketSeconds = 120, stepSeconds = 60)
       .orderBy("metric", "ts").as[(String, Long, Double)].collect().toSeq
