@@ -78,7 +78,9 @@ private[graft] object OpsEntries {
 
     // SemDeDup: k-means cells confine the cosine pair comparison; drop
     // every vector similar (≥0.4) to a lower-id cell-mate.
-    "q75_semdedup" -> ((s, dir) => SimilarityOps.semDedup(t(s, dir, "embeddings"))),
+    // k pinned to 8: the oracle replays the k-means trace with a fixed
+    // k; the production default derives k(n) (SimilarityOps.semDedupK)
+    "q75_semdedup" -> ((s, dir) => SimilarityOps.semDedup(t(s, dir, "embeddings"), k = 8)),
 
     // IVF ANN over TRAINED centroids: the learned coarse quantizer
     // routes corpus and probes (nearest_cell), exact cosine in-cell.
@@ -206,9 +208,13 @@ private[graft] object OpsEntries {
       val scored = TextOps.qualityFrame(docs, carryCols = Seq("source"))
         .join(keep, Seq("doc_id"), "left_semi")
         .filter(col("quality_score") >= 0.5)
+      // preFilter off: the pack input is an UNPERSISTED dedup+quality
+      // pipeline — the engage-check job would re-run it whole. A 100 TB
+      // corpus-build persists `scored` and packs with the default gate.
       graft.ops.SampleOps.tokenBudgetPack(
           scored.select(col("source"), col("doc_id"), col("n_tokens"), col("quality_score")),
-          "source", "doc_id", "n_tokens", 600L)
+          "source", "doc_id", "n_tokens", 600L,
+          preFilterEngageRatio = Double.PositiveInfinity)
         .select(col("source"), col("doc_id"), col("n_tokens"),
           col("quality_score"), col("cum_tokens"))
     }),

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev aid: 10× scale-up stress for the operators whose cost model
+  * depends on corpus growth, not just row count (SCALE.md's stress
+  * entries). Replicates the sf0.1 documents/embeddings tables 10× with
+  * per-copy perturbation (every doc/vector gains 9 near-dups — the
+  * worst case for candidate density), then times the scale-sensitive
+  * paths A/B. `runMain graft.Stress [semdedup|pack|all]`.
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val which = args.headOption.getOrElse("all")
+    val x = args.drop(1).headOption.map(_.toInt).getOrElse(10) // scale multiplier
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    if (which == "semdedup" || which == "all") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      (0 until x).map { i =>
+        emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          transform(col("embedding"), e => e + lit(0.001f * i)).as("embedding"))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet("/tmp/graft_stress_emb10")
+      val emb10 = spark.read.parquet("/tmp/graft_stress_emb10")
+      val n10 = emb10.count()
+      import graft.ops.SimilarityOps
+      def pairStats(out: DataFrame): (Double, Long) =
+        out.groupBy("cell").count()
+          .select(sum(col("count") * (col("count") - 1) / 2).as("p"), max("count").as("mx"))
+          .as[(Double, Long)].head()
+      val (outF, tF) = time { val o = SimilarityOps.semDedup(emb10, k = 8); o.count(); o }
+      val (pF, mxF) = pairStats(outF)
+      val (outA, tA) = time { val o = SimilarityOps.semDedup(emb10, targetCellRows = 1024); o.count(); o }
+      val (pA, mxA) = pairStats(outA)
+      println(f"STRESS_SEMDEDUP n=$n10 k8_time=$tF%.1fs k8_cellpairs=$pF%.3e k8_maxcell=$mxF " +
+        f"autok=${SimilarityOps.semDedupK(n10, 1024)} auto_time=$tA%.1fs auto_cellpairs=$pA%.3e auto_maxcell=$mxA")
+    }
+
+    if (which == "pack" || which == "all") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until x).map { i =>
+        docs.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          col("source"), col("text"))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet("/tmp/graft_stress_docs10")
+      import graft.ops.{SampleOps, TextOps}
+      // carry the text: the production shape packs DOCUMENTS, so the
+      // window sort shuffles full rows — the volume the pre-filter cuts
+      val base = spark.read.parquet("/tmp/graft_stress_docs10")
+        .select(col("source"), col("doc_id"), col("text"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .persist()
+      base.count()
+      def pack(margin: Double): DataFrame =
+        SampleOps.tokenBudgetPack(base, "source", "doc_id", "n_tokens", 800L, margin)
+      val (rNew, tNew) = time(pack(4.0).count())
+      val (rOld, tOld) = time(pack(1e12).count()) // margin→∞ disables the cut
+      val same = pack(4.0).select("doc_id").as[Long].collect().toSet ==
+        pack(1e12).select("doc_id").as[Long].collect().toSet
+      // rows entering the per-source window sort (the single-task-per-
+      // group concentration the pre-filter exists to bound): replicate
+      // the superset cut to measure it
+      val stats = base.groupBy(col("source")).agg(sum(col("n_tokens")).as("__total"))
+      val frac = lit(4.0) * lit(800L) / col("__total")
+      val sortInput = base.join(broadcast(stats), Seq("source"))
+        .filter(col("__total") <= lit(4.0) * lit(800L) ||
+          SampleOps.hashBucket(col("doc_id"), 1000000000) < frac * 1e9)
+        .count()
+      val biggest = base.groupBy("source").count().agg(max("count")).as[Long].head()
+      println(f"STRESS_PACK rows=${base.count()} prefilter_time=$tNew%.2fs " +
+        f"full_time=$tOld%.2fs rows_new=$rNew rows_old=$rOld identical=$same " +
+        f"sort_input=$sortInput biggest_group=$biggest")
+    }
+    spark.stop()
+  }
+}

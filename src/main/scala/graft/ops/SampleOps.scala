@@ -82,19 +82,80 @@ object SampleOps {
     * budget is still admitted (its tokens were needed to reach it), so
     * every group with data reaches its budget; membership is stable
     * because the order is the [[hashBucket]] order, never file layout.
-    * One window sort per group — the same shape and cost as
-    * [[groupQuota]]. Output: input columns + cumulative token count.
+    * Output: input columns + cumulative token count.
+    *
+    * SCALE: the window partitions BY GROUP, so every source lands on
+    * exactly one task — at 100 TB a source holds ~10⁹ heavy rows and
+    * the uncut sort is a single-task spill/OOM, while the budget admits
+    * ~10⁵ of them. When a group's token mass is at least
+    * `preFilterEngageRatio × margin × budget` (i.e. the cut would shed
+    * ≥ that factor of sort input), each over-budget group is first cut
+    * to a hash-PREFIX superset sized `preFilterMargin × budget` tokens
+    * (expected), bounding per-task input regardless of corpus size.
+    * Because the cut key IS the pack-order key, the kept rows are
+    * exactly a prefix of the group's pack order, so packing the
+    * superset produces the identical result whenever the superset
+    * holds ≥ budget tokens. EXACTNESS is unconditional: any group
+    * whose prefix came up short (a Chernoff-tail event at margin 4 —
+    * the prefix's expected token mass is margin × budget) is detected
+    * by comparing superset mass to the budget and repacked uncut, so
+    * the fast path never changes the answer, only the cost. Below the
+    * engage threshold (every group comfortably sorts on one task) the
+    * plan is the plain single window — the pre-filter's extra passes
+    * cost more than a small sort saves (measured in SCALE.md), so the
+    * engine doesn't pay them where they can't win. Null-key groups
+    * always pack uncut. `preFilterEngageRatio` doubles as a mode knob:
+    * `Double.PositiveInfinity` = never cut and skip the engage-check
+    * job too (for unpersisted heavy upstreams the check would re-run),
+    * `0` = always cut without checking.
     */
   def tokenBudgetPack(df: org.apache.spark.sql.DataFrame, groupCol: String,
-                      idCol: String, tokenCol: String, budget: Long): org.apache.spark.sql.DataFrame = {
+                      idCol: String, tokenCol: String, budget: Long,
+                      preFilterMargin: Double = 4.0,
+                      preFilterEngageRatio: Double = 32.0): org.apache.spark.sql.DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    require(preFilterMargin >= 1.0, s"preFilterMargin must be >= 1: $preFilterMargin")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
       .orderBy(hashBucket(col(idCol), 1000000000), col(idCol))
-    df.withColumn("cum_tokens",
-        sum(col(tokenCol)).over(w.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)))
-      .filter(col("cum_tokens") - col(tokenCol) < budget)
+    def pack(in: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      in.withColumn("cum_tokens",
+          sum(col(tokenCol)).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .filter(col("cum_tokens") - col(tokenCol) < budget)
+
+    // mode short-circuits: an infinite ratio means "never cut" (plain
+    // single-window plan, NO engage-check job — the check re-runs the
+    // input's upstream plan, which a caller with an unpersisted heavy
+    // pipeline above the pack must not pay); 0 means "always cut"
+    if (preFilterEngageRatio.isPosInfinity) return pack(df)
+    val grouped = df.filter(col(groupCol).isNotNull)
+    val stats = grouped.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).cast("double").as("__total"))
+    if (preFilterEngageRatio > 0) {
+      // engage check: one tiny partial-agg job (group-count rows), paid
+      // before deciding; the biggest group's mass tells whether any task
+      // is concentrated enough for the cut to matter
+      val maxTotal = stats.agg(max(col("__total"))).collect()
+        .headOption.filterNot(_.isNullAt(0)).map(_.getDouble(0)).getOrElse(0.0)
+      if (maxTotal <= preFilterEngageRatio * preFilterMargin * budget) return pack(df)
+    }
+
+    val keepAll = col("__total") <= lit(preFilterMargin) * lit(budget)
+    val frac = lit(preFilterMargin) * lit(budget) / col("__total")
+    val superset = grouped.join(broadcast(stats), Seq(groupCol))
+      .filter(keepAll || hashBucket(col(idCol), 1000000000) < frac * 1e9)
+      .drop("__total")
+    // prefix mass check: a cut group whose superset missed the budget
+    // (while the full group had more) must repack uncut
+    val failed = superset.groupBy(col(groupCol)).agg(sum(col(tokenCol)).cast("double").as("__sup"))
+      .join(broadcast(stats), Seq(groupCol))
+      .filter(col("__sup") < budget && col("__sup") < col("__total"))
+      .select(groupCol)
+    val fast = pack(superset.join(broadcast(failed), Seq(groupCol), "left_anti"))
+    val exactTail = df.filter(col(groupCol).isNull)
+      .unionByName(grouped.join(broadcast(failed), Seq(groupCol), "left_semi"))
+    fast.unionByName(pack(exactTail))
   }
 
   /** Temperature-scaled mixture weights over a per-group size frame

@@ -270,18 +270,27 @@ object SimilarityOps {
     * per id) so the pair cosine is evaluated once per pair, never
     * re-substituted into a join condition (NOTES_r3 trap #2).
     *
+    * k SCALES WITH THE CORPUS by default (`k < 1` → [[semDedupK]]):
+    * a fixed k is quadratic-by-growth — cell size tracks n/k, so
+    * within-cell pairs grow as (n/k)² per cell and a 100× corpus with
+    * the same k does 10,000× the pair work. Deriving k = n/targetCellRows
+    * pins expected cell size, making total pair work ~n·targetCellRows —
+    * linear in n. Pass an explicit k only to pin an oracle or replay.
+    *
     * Output: (vec_id, cell, dropped) — one row per non-null input
     * vector, `dropped` marking the semantic near-dup losers.
     */
-  def semDedup(emb: DataFrame, k: Int = 8, iters: Int = 3, threshold: Double = 0.4,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  def semDedup(emb: DataFrame, k: Int = -1, iters: Int = 3, threshold: Double = 0.4,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               targetCellRows: Long = 4096): DataFrame = {
     // widen: an embedding table often arrives as a handful of parquet
     // files; the within-cell pair generation below is the quadratic
     // part and must run on every core, not one partition per file
     val clean = DedupOps.widen(emb.filter(col(vecCol).isNotNull))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cents = trainCentroids(clean, k, iters, idCol, vecCol)
+      val kEff = if (k >= 1) k else semDedupK(clean.count(), targetCellRows)
+      val cents = trainCentroids(clean, kEff, iters, idCol, vecCol)
       val asg = clean.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
         assignCell(cents, vecCol).as("cell"), norm(col(vecCol)).as("nrm"))
       val a = asg.select(col("cell"), col("vec_id").as("id_a"),
@@ -300,6 +309,21 @@ object SimilarityOps {
         .select(col("vec_id"), col("cell"),
           coalesce(col("is_dup"), lit(false)).as("dropped"))
     } finally clean.unpersist(blocking = false)
+  }
+
+  /** [[semDedup]]'s k(n) policy: enough cells to hold expected cell size
+    * at `targetCellRows` (min 8 so tiny corpora still cluster), capped at
+    * 65536 — the centroid table rides into the task binary as k×dims
+    * doubles (64-dim × 64Ki ≈ 32 MB, the practical literal ceiling).
+    * Past the cap (n > ~270M vectors at the default target) cell size
+    * grows again; the scale path there is two-level clustering (route by
+    * a coarse k, then re-cluster each coarse cell — IVF_PQ's layout),
+    * which composes from this same function per coarse cell.
+    */
+  def semDedupK(n: Long, targetCellRows: Long = 4096): Int = {
+    require(targetCellRows > 0, s"targetCellRows must be positive, got $targetCellRows")
+    val bySize = (n + targetCellRows - 1) / targetCellRows
+    math.min(65536L, math.max(8L, bySize)).toInt
   }
 
   /** Per-cell mean vectors — a one-pass "k-means with given assignment"

@@ -193,6 +193,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.filter(_._2._2).keySet === Set(2L)) // only the higher id of the near-pair drops
   }
 
+  test("semDedupK scales cell count with corpus size, floors at 8, caps at 65536") {
+    import graft.ops.SimilarityOps.semDedupK
+    assert(semDedupK(0) === 8)
+    assert(semDedupK(500) === 8)                      // sf0.01 corpus: floor
+    assert(semDedupK(8 * 4096) === 8)                 // exactly at the floor boundary
+    assert(semDedupK(100 * 4096) === 100)             // linear past it
+    assert(semDedupK(100 * 4096 + 1) === 101)         // ceil, not floor
+    assert(semDedupK(1000L * 1000 * 1000) === 65536)  // literal-size cap
+    assert(semDedupK(1000, targetCellRows = 10) === 100)
+  }
+
+  test("semDedup auto-k bounds within-cell pair work on a corpus a fixed k would overload") {
+    import graft.ops.SimilarityOps
+    // 120 spread-out vectors with targetCellRows=10 → k=12 cells; the
+    // auto path must produce a valid dedup frame with cells in [0, k)
+    val emb = (0 until 120).map { i =>
+      val ang = 2 * math.Pi * i / 120.0
+      (i.toLong, Seq(math.cos(ang).toFloat * 10, math.sin(ang).toFloat * 10))
+    }.toDF("vec_id", "embedding")
+    val got = SimilarityOps.semDedup(emb, iters = 2, threshold = 0.99, targetCellRows = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(got.length === 120, "every non-null vector gets a verdict")
+    assert(got.map(_._2).max <= 11 && got.map(_._2).min >= 0)
+    assert(got.map(_._2).distinct.length > 1, "corpus actually spreads over cells")
+  }
+
   test("dupSpanFrame: cross-doc windows count, within-doc repeats and short docs don't") {
     val docs = Seq(
       (1L, "a b c d e"),        // windows(3): abc bcd cde — abc,bcd shared with doc 2

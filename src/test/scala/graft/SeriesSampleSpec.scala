@@ -174,6 +174,43 @@ class SeriesSampleSpec extends AnyFunSuite {
     assert(bySource("s1").map(_.getLong(1)).toSet === order)
   }
 
+  test("tokenBudgetPack: hash-prefix pre-filter leaves the packed set identical") {
+    // 400 docs × ~50 tokens in one source: total 20000 ≫ 4 × budget 500,
+    // so the prefix cut actually engages; the admitted set must equal
+    // the pure hash-order greedy pack computed in plain Scala
+    val df = (0L until 400L).map(i => ("big", i, 40L + i % 20)).toDF("source", "doc_id", "n_tokens")
+    val got = SampleOps.tokenBudgetPack(df, "source", "doc_id", "n_tokens", 500L,
+        preFilterEngageRatio = 1.0) // force the cut at test scale
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    val expected = {
+      var cum = 0L
+      (0L until 400L).map(i => (i, 40L + i % 20))
+        .sortBy { case (id, _) => (SampleOpsTestHash.bucket(id), id) }
+        .iterator.takeWhile { case (_, _) => cum < 500L }
+        .map { case (id, t) => cum += t; (id, cum) }.toMap
+    }
+    assert(got === expected)
+  }
+
+  test("tokenBudgetPack: short-prefix fallback still packs exactly (margin 1 stress)") {
+    // margin 1.0 sizes the prefix at exactly one budget of expected
+    // mass — underfull prefixes become likely, forcing the exact-repack
+    // path; the result must STILL be the full greedy pack
+    val df = (0L until 200L).map(i => ("s", i, 100L)).toDF("source", "doc_id", "n_tokens")
+    val got = SampleOps.tokenBudgetPack(df, "source", "doc_id", "n_tokens", 950L,
+      preFilterMargin = 1.0, preFilterEngageRatio = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = (0L until 200L)
+      .sortBy(id => (SampleOpsTestHash.bucket(id), id)).take(10).toSet // 10 × 100 ≥ 950
+    assert(got === expected)
+    // null group keys ride the exact path untouched
+    val withNull = df.unionByName(Seq((null.asInstanceOf[String], 999L, 10L))
+      .toDF("source", "doc_id", "n_tokens"))
+    val nulls = SampleOps.tokenBudgetPack(withNull, "source", "doc_id", "n_tokens", 950L)
+      .filter(col("source").isNull).select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSeq
+    assert(nulls === Seq((999L, 10L)))
+  }
+
   test("deterministicKeep hits the exact bucket threshold for binary-inexact fractions") {
     val ids = (0L until 20000L).toDF("id")
     // 0.3 * 10000 = 2999.999... in double; truncation would lose bucket 2999
