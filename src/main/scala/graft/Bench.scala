@@ -56,7 +56,16 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       if (parsed == n) (n / dt).toLong else 0L // never block the JSON line
     } catch { case _: Throwable => 0L }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_points_per_sec":$ingestRate,"timing":"warm","sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_points_per_sec":$ingestRate,"timing":"warm","sf":"$sfDir"}"""
+    println(json)
+    // also persist the record: stdout rides through sbt's log pipeline,
+    // which has truncated the tail of long lines (BENCH_r04's
+    // parsed:null) — the file is the complete, parseable copy
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // never fail the bench over the copy
     spark.stop()
   }
 }
