@@ -94,6 +94,10 @@ private[graft] object OpsEntries {
     // that appear in another doc).
     "q76_dup_spans" -> ((s, dir) => TextOps.dupSpanFrame(t(s, dir, "documents"))),
 
+    // Exact-substring spans: maximal duplicated token regions (longest
+    // run + removal mass), the span-level upgrade of q76's window ratio.
+    "q93_exact_substr" -> ((s, dir) => TextOps.exactSubstrSpans(t(s, dir, "documents"))),
+
     // Quality-aware dup-cluster representative: per near-dup component,
     // keep the highest-quality member (tie → lowest id).
     "q77_cluster_rep" -> ((s, dir) => {
@@ -569,6 +573,41 @@ private[graft] object OpsEntries {
          |               THEN coalesce(dup_hit, 0) / CAST(len(wins) AS DOUBLE)
          |               ELSE 0.0 END, 4) AS dup_ratio
          |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // windows are NOT distinct per doc here (within-doc repeats count,
+    // exact-substr semantics); islands merge positions whose n-token
+    // intervals overlap or touch (new span when pos > prev + 8)
+    "q93_exact_substr" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CASE WHEN len(toks) >= 8
+         |          THEN list_transform(generate_series(1, len(toks) - 7),
+         |                 i -> {'pos': i, 'win': array_to_string(toks[i:i+7], ' ')})
+         |          ELSE [] END AS wins
+         |      FROM t),
+         |dw AS (SELECT doc_id, u.pos AS pos, u.win AS win
+         |       FROM (SELECT doc_id, unnest(wins) AS u FROM w)),
+         |dup AS (SELECT win FROM dw GROUP BY win HAVING count(*) > 1),
+         |dp AS (SELECT dw.doc_id, dw.pos FROM dw JOIN dup USING (win)),
+         |m AS (SELECT doc_id, pos,
+         |        CASE WHEN lag(pos) OVER pw IS NULL OR pos > lag(pos) OVER pw + 8
+         |             THEN 1 ELSE 0 END AS nw
+         |      FROM dp WINDOW pw AS (PARTITION BY doc_id ORDER BY pos)),
+         |isl AS (SELECT doc_id, pos,
+         |          sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         |        FROM m),
+         |sp AS (SELECT doc_id, g, min(pos) AS s, max(pos) + 8 AS e FROM isl GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, count(*) AS ns, max(e - s) AS mx, sum(e - s) AS cov
+         |        FROM sp GROUP BY 1)
+         |SELECT w.doc_id, n_tokens,
+         |       CAST(coalesce(ns, 0) AS BIGINT) AS n_spans,
+         |       CAST(coalesce(mx, 0) AS BIGINT) AS max_span_tokens,
+         |       CAST(coalesce(cov, 0) AS BIGINT) AS covered_tokens,
+         |       round(CASE WHEN n_tokens > 0
+         |               THEN coalesce(cov, 0) / CAST(n_tokens AS DOUBLE)
+         |               ELSE 0.0 END, 4) AS dup_cov_ratio
+         |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     "q77_cluster_rep" ->
       s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -324,6 +324,72 @@ object TextOps {
           .otherwise(0.0), 4).as("dup_ratio"))
   }
 
+  /** Exact-substring duplication SPANS — the maximal-contiguous-region
+    * upgrade of [[dupSpanFrame]]'s fixed-window ratio (the Lee et al.
+    * "ExactSubstr" removal unit): a window occurrence is duplicated
+    * when its content appears ≥2 times ANYWHERE in the corpus
+    * (within-doc repeats included, unlike [[dupSpanFrame]]'s
+    * distinct-per-doc cross-doc count); per doc, overlapping/touching
+    * duplicated windows merge into token intervals (gaps-and-islands
+    * over window positions: a new span starts when `pos > prev_pos +
+    * n`), so a duplicated substring of L ≥ n tokens surfaces as one
+    * span of exactly L tokens rather than L−n+1 counted windows.
+    * `max_span_tokens` is the longest duplicated run — the quantity a
+    * suffix array would report (over-approximated only when distinct
+    * duplicated substrings abut); `covered_tokens` is the removal mass
+    * an ExactSubstr pass would cut.
+    *
+    * Shape: one window posexplode, one count shuffle keyed by the
+    * window, a semi-join back (exchange reuse), then a per-doc window
+    * over DUPLICATED positions only — state bounded by the doc's own
+    * duplicated windows, never the corpus. The window string key keeps
+    * the oracle exact; at 100 TB it codes to a 64-bit rolling hash
+    * before the shuffle, same note as [[dupSpanFrame]].
+    *
+    * Output: (doc_id, n_tokens, n_spans, max_span_tokens,
+    * covered_tokens, dup_cov_ratio) for every non-null-text document.
+    */
+  def exactSubstrSpans(docs: org.apache.spark.sql.DataFrame, n: Int = 8,
+                       idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = DedupOps.widen(docs.filter(col(textCol).isNotNull))
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>")).as("wins"))
+    // posexplode_OUTER for the InferFiltersFromGenerate trap (see
+    // dupSpanFrame); positions are 0-based but only differences matter
+    val docWin = base.select(col(idCol), posexplode_outer(col("wins")).as(Seq("pos", "win")))
+    val dupWins = docWin.filter(col("win").isNotNull)
+      .groupBy("win").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("win")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevPos = lag(col("pos"), 1).over(w)
+    val spans = docWin.join(dupWins, Seq("win"), "left_semi")
+      .select(col(idCol), col("pos").cast("long").as("pos"))
+      .withColumn("__new",
+        when(prevPos.isNull || col("pos") > prevPos + n, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + n).as("e"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("e") - col("s")).as("max_span_tokens"),
+        sum(col("e") - col("s")).as("covered_tokens"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(when(col("n_tokens") > 0,
+          coalesce(col("covered_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .otherwise(0.0), 4).as("dup_cov_ratio"))
+  }
+
   /** PII redaction patterns, applied in order (specific → general so an
     * email's digits don't first get eaten by the number rule). Plain
     * regex classes only — no lookarounds — so the same patterns run

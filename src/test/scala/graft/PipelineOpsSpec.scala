@@ -219,6 +219,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.length > 1, "corpus actually spreads over cells")
   }
 
+  test("exactSubstrSpans: merges duplicated windows into maximal token spans") {
+    // n=3 windows. Doc 1/2 share "a b c d e"; doc 1/5 share "p q r s".
+    val docs = Seq(
+      (1L, "a b c d e p q r s"),     // dup windows at 0,1,2 (abcde) and
+                                     // 5,6 (pqrs): cde's interval [2,5)
+                                     // TOUCHES pqr's [5,8) → one merged
+                                     // span covering the whole doc
+      (2L, "x a b c d e y z w v"),   // dup windows 1,2,3 → span [1,6): 5 of 10
+      (3L, "m n o"),                 // unique single window → no spans
+      (4L, "k l"),                   // < 3 tokens → no windows
+      (5L, "p q r s t u p q r s")    // within-doc repeat: "p q r s" twice
+    ).toDF("doc_id", "text")
+    val got = TextOps.exactSubstrSpans(docs, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(1L) === ((9L, 1L, 9L, 9L, 1.0)))
+    assert(got(2L) === ((10L, 1L, 5L, 5L, 0.5)))
+    assert(got(3L) === ((3L, 0L, 0L, 0L, 0.0)))
+    assert(got(4L) === ((2L, 0L, 0L, 0L, 0.0)))
+    // doc 5: pqr/qrs duplicated (cross-doc AND the internal repeat) at
+    // positions 0,1 and 6,7 → two spans of 4 tokens each
+    assert(got(5L) === ((10L, 2L, 4L, 8L, 0.8)))
+  }
+
   test("dupSpanFrame: cross-doc windows count, within-doc repeats and short docs don't") {
     val docs = Seq(
       (1L, "a b c d e"),        // windows(3): abc bcd cde — abc,bcd shared with doc 2
