@@ -120,6 +120,20 @@ private[graft] object RelEntries {
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
           count(lit(1)).as("n"))),
 
+    // Exact twin of q48's sketch aggregates: count(DISTINCT) + exact
+    // interpolated median, fully oracle-checkable — the driver-side
+    // anchor the sketches themselves can't have (engine-specific
+    // states). SketchSpec pins q48's approximations to THESE exact
+    // values within tolerance, closing the loop: the oracle certifies
+    // the exact side, the spec certifies approx ≈ exact.
+    "q94_sketch_anchor" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          round(expr("percentile(value, 0.5)"), 4).as("exact_p50"),
+          count(lit(1)).as("n"))),
+
     // E1 — custom Aggregator (anyHeavy heavy-hitter, Boyer–Moore vote)
     // under the driver's oracle: the synthesized value column has a
     // strict (75%) majority per group, where the vote is guaranteed to
@@ -252,6 +266,13 @@ private[graft] object RelEntries {
         |SELECT metric, CAST(timestamp - (timestamp % 86400) AS INTEGER) AS ts,
         |       round(arg_max(value, updated), 4) AS value
         |FROM pts GROUP BY 1, 2""".stripMargin,
+
+    "q94_sketch_anchor" ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       round(quantile_cont(value, 0.5), 4) AS exact_p50,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q46_anyheavy" ->
       """SELECT event_type,

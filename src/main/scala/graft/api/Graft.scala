@@ -59,8 +59,18 @@ final class Graft(
     */
   @volatile private var trieCache: Option[graft.search.MetricTrie] = None
 
-  /** (Re)build the trie snapshot from the current tree state. */
-  def refreshSearchCache(): Unit =
+  /** (Re)build or incrementally refresh the trie snapshot: the first
+    * call builds from the full tree; later calls fold only rows since
+    * the trie's watermark (`MetricTrie.applyDelta` — a refresh costs
+    * rows-written-since, not tree size, so a tight cadence is cheap).
+    */
+  def refreshSearchCache(): Unit = trieCache match {
+    case Some(t) => t.applyDelta(tree)
+    case None    => trieCache = Some(graft.search.MetricTrie.fromTree(tree))
+  }
+
+  /** Full rebuild-and-swap (point-in-time-consistent snapshot). */
+  def rebuildSearchCache(): Unit =
     trieCache = Some(graft.search.MetricTrie.fromTree(tree))
 
   /** Trie-served glob search (builds the snapshot on first use). Same

@@ -27,7 +27,8 @@ import org.apache.spark.sql.DataFrame
   * swap whole instances instead (build-and-swap like the reference's
   * startup load).
   */
-final class MetricTrie private (root: MetricTrie.Node) {
+final class MetricTrie private (root: MetricTrie.Node,
+                                @volatile private var watermark: Long) {
 
   /** All (name, status) rows matching the glob query; visibility applied
     * at emit. Invalid globs return empty, matching the reference.
@@ -66,6 +67,36 @@ final class MetricTrie private (root: MetricTrie.Node) {
   def size: Long = {
     def walk(n: MetricTrie.Node): Long = 1L + n.children.valuesIterator.map(walk).sum
     walk(root) - 1 // don't count the synthetic root
+  }
+
+  /** Incremental refresh: fold only tree rows at or past the watermark
+    * (the max `updated` this trie has applied) into the live structure,
+    * instead of rebuilding 10M nodes per cadence tick. The filter
+    * pushes to the parquet scan, so a refresh costs rows-since-last-
+    * refresh, not tree size; application is idempotent (newest status
+    * per name overwrites), which is why the watermark is INCLUSIVE —
+    * same-second rows written after a refresh re-apply harmlessly on
+    * the next one rather than being missed forever. Returns the number
+    * of names applied.
+    *
+    * Concurrency contract, same class as the reference's in-place
+    * in-memory tree updates: ONE writer; concurrent readers may observe
+    * a partially-applied delta, bounded by the refresh cadence — the
+    * same staleness window `fromTree` rebuild-and-swap already accepts
+    * between refreshes. Swap whole instances instead when readers need
+    * a consistent point-in-time snapshot.
+    */
+  def applyDelta(tree: DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val delta = MetricSearchOps.currentTree(tree.filter(col("updated") >= watermark))
+      .select("name", "status", "updated").collect()
+    var maxSeen = watermark
+    delta.foreach { row =>
+      MetricTrie.insert(root, row.getString(0), row.getString(1))
+      maxSeen = math.max(maxSeen, row.getLong(2))
+    }
+    watermark = maxSeen
+    delta.length.toLong
   }
 
   /** [[search]] plus limit-notification pseudo-rows — trie twin of
@@ -131,20 +162,22 @@ object MetricTrie {
   def fromTree(tree: DataFrame, maxNodes: Long = 20000000L): MetricTrie = {
     // persist across the guard count and the collect: one currentTree
     // aggregation per refresh, not two
-    val current = MetricSearchOps.currentTree(tree).select("name", "status").persist()
+    val current = MetricSearchOps.currentTree(tree).select("name", "status", "updated").persist()
     try {
       val n = current.count()
       require(n <= maxNodes,
         s"metric tree has $n names > maxNodes=$maxNodes; raise the limit (and driver memory)")
       val root = new Node
+      var wm = 0L
       current.collect().foreach { row =>
         insert(root, row.getString(0), row.getString(1))
+        wm = math.max(wm, row.getLong(2))
       }
-      new MetricTrie(root)
+      new MetricTrie(root, wm)
     } finally current.unpersist()
   }
 
-  private def insert(root: Node, name: String, status: String): Unit = {
+  private[search] def insert(root: Node, name: String, status: String): Unit = {
     val segs = MetricNames.splitToLevels(name)
     var node = root
     segs.foreach { s => node = node.children.getOrElseUpdate(s, new Node) }

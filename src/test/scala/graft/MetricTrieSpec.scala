@@ -46,6 +46,34 @@ class MetricTrieSpec extends AnyFunSuite {
     }
   }
 
+  test("applyDelta folds only new rows and matches a full rebuild") {
+    val t0 = treeRows
+    val trie = MetricTrie.fromTree(t0)
+    // delta: one brand-new metric, one status flip of an existing one,
+    // plus a same-second row (== watermark) that must re-apply, not drop
+    val delta = Seq(
+      ("a.cpu.load15", 3, "a.cpu.", "SIMPLE", 5L),
+      ("b.cpu", 2, "b.", "HIDDEN", 6L),
+      ("a.mem", 2, "a.", "HIDDEN", 4L) // same second as the old watermark
+    ).toDF("name", "level", "parent", "status", "updated")
+    val full = t0.unionByName(delta)
+    val applied = trie.applyDelta(full)
+    // 3 delta names + the 3 existing names AT the inclusive watermark
+    // (updated=4) re-apply idempotently
+    assert(applied === 6L)
+    queries.foreach { q =>
+      val rel = MetricSearchOps.search(full, q).as[(String, String)].collect().toSet
+      assert(trie.search(q).toSet === rel, s"query '$q' after delta")
+    }
+    assert(trie.search("a.cpu.load15").nonEmpty)
+    assert(trie.search("b.cpu").isEmpty, "status flip to HIDDEN applied")
+    // second call with no new rows: only same-watermark rows re-apply
+    // idempotently, results unchanged
+    trie.applyDelta(full)
+    assert(trie.search("a.cpu.*").toSet ===
+      MetricSearchOps.search(full, "a.cpu.*").as[(String, String)].collect().toSet)
+  }
+
   test("size reports one node per distinct path") {
     assert(MetricTrie.fromTree(treeRows).size === 8L) // a, b, a.cpu, a.mem, b.cpu, 3 leaves
   }

@@ -38,6 +38,29 @@ class SketchSpec extends AnyFunSuite {
       s"approx p50 $approx outside rank band [$lo, $hi] (exact $exact)")
   }
 
+  test("q48 approximations land within tolerance of q94's oracle-checked exact twins") {
+    // the closing of the loop: q94_sketch_anchor's exact aggregates are
+    // hash-verified against DuckDB; here q48's sketches must agree with
+    // those same exact values on the same testdata
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val approx = SparkEntry.queries("q48_sketches")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val exact = SparkEntry.queries("q94_sketch_anchor")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (et, (exUsers, exP50)) =>
+      val (apUsers, apP50) = approx(et)
+      val rel = math.abs(apUsers - exUsers).toDouble / math.max(exUsers, 1L)
+      assert(rel < 0.15, s"$et: approx NDV $apUsers vs exact $exUsers (rel $rel)")
+      // value band: the per-type value distributions are dense uniforms,
+      // so a generous absolute-range check is the stable envelope
+      val spread = math.abs(exP50) * 0.1 + 10.0
+      assert(math.abs(apP50 - exP50) <= spread,
+        s"$et: approx p50 $apP50 vs exact $exP50")
+    }
+  }
+
   test("sketch aggregates merge correctly across partitions") {
     // the same data split 1 vs 32 partitions must sketch identically
     // (merge path ≡ single-partition path for deterministic sketches)
