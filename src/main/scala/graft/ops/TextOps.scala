@@ -340,8 +340,10 @@ object TextOps {
     * an ExactSubstr pass would cut.
     *
     * Shape: one window posexplode, one count shuffle keyed by the
-    * window, a semi-join back (exchange reuse), then a per-doc window
-    * over DUPLICATED positions only — state bounded by the doc's own
+    * window, the duplicated-window set broadcast back into a semi-join
+    * (the window chain evaluates twice in total — the agg pass and the
+    * probe pass — same as [[dupSpanFrame]]), then a per-doc window over
+    * DUPLICATED positions only — state bounded by the doc's own
     * duplicated windows, never the corpus. The window string key keeps
     * the oracle exact; at 100 TB it codes to a 64-bit rolling hash
     * before the shuffle, same note as [[dupSpanFrame]].
