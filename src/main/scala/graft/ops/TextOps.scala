@@ -291,7 +291,8 @@ object TextOps {
     * windows and ratio 0.
     */
   def dupSpanFrame(docs: org.apache.spark.sql.DataFrame, n: Int = 8,
-                   idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   codedKeys: Boolean = false): org.apache.spark.sql.DataFrame = {
     // explode_OUTER, not explode: InferFiltersFromGenerate rewrites a
     // plain explode into a pre-Generate Filter of `size(child) > 0 AND
     // isnotnull(child)` with the ENTIRE window chain (regex split
@@ -300,7 +301,7 @@ object TextOps {
     // rule skips outer generates; empty-window docs surface as one
     // null-win row instead, which is exactly what makes the count
     // below cover them (count(win) skips nulls → n_windows = 0).
-    val docWin = DedupOps.widen(docs.filter(col(textCol).isNotNull))
+    val docWinRaw = DedupOps.widen(docs.filter(col(textCol).isNotNull))
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol),
         when(size(col("toks")) >= n,
@@ -308,6 +309,13 @@ object TextOps {
             i => array_join(slice(col("toks"), i + 1, lit(n)), " "))))
           .otherwise(array().cast("array<string>")).as("wins"))
       .select(col(idCol), explode_outer(col("wins")).as("win"))
+    // codedKeys: shuffle the 8-byte xxhash64 of the window, not the
+    // string — the 100 TB form (see exactSubstrSpans); string keys stay
+    // the default so the oracle compares exactly
+    val docWin =
+      if (!codedKeys) docWinRaw
+      else docWinRaw.select(col(idCol),
+        when(col("win").isNotNull, xxhash64(col("win"))).as("win"))
     val counts = docWin.groupBy(idCol).agg(count(col("win")).as("n_win"))
     val dupWins = docWin.groupBy("win").agg(count(lit(1)).as("nd"))
       .filter(col("win").isNotNull && col("nd") > 1).select("win")
@@ -352,7 +360,8 @@ object TextOps {
     * covered_tokens, dup_cov_ratio) for every non-null-text document.
     */
   def exactSubstrSpans(docs: org.apache.spark.sql.DataFrame, n: Int = 8,
-                       idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+                       idCol: String = "doc_id", textCol: String = "text",
+                       codedKeys: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = DedupOps.widen(docs.filter(col(textCol).isNotNull))
       .select(col(idCol), tokens(col(textCol)).as("toks"))
@@ -363,7 +372,16 @@ object TextOps {
           .otherwise(array().cast("array<string>")).as("wins"))
     // posexplode_OUTER for the InferFiltersFromGenerate trap (see
     // dupSpanFrame); positions are 0-based but only differences matter
-    val docWin = base.select(col(idCol), posexplode_outer(col("wins")).as(Seq("pos", "win")))
+    val docWinRaw = base.select(col(idCol), posexplode_outer(col("wins")).as(Seq("pos", "win")))
+    // codedKeys: the 100 TB path — shuffle an 8-byte xxhash64 of the
+    // window instead of the ~n-word string (an order-of-magnitude
+    // lighter count shuffle; a 64-bit collision marking one extra
+    // window duplicated is noise for a coverage signal, which is why
+    // the oracle-checked form keeps strings)
+    val docWin =
+      if (!codedKeys) docWinRaw
+      else docWinRaw.select(col(idCol), col("pos"),
+        when(col("win").isNotNull, xxhash64(col("win"))).as("win"))
     val dupWins = docWin.filter(col("win").isNotNull)
       .groupBy("win").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("win")

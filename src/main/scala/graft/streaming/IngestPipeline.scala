@@ -33,8 +33,29 @@ final class IngestPipeline(
     parser: LineParser = new LineParser(),
     dataPath: String,
     treePath: String,
-    limits: TreeLimits = TreeLimits.none
+    limits: TreeLimits = TreeLimits.none,
+    limitStatsPath: Option[String] = None
 ) extends Serializable {
+
+  /** Append a per-batch tree-limit refusal count to the stats table
+    * (same self-metric schema as [[IngestStatsListener]], so a full-dir
+    * ingest pathology is visible on a dashboard, not just in logs —
+    * the reference counts these through its statistics service). Only
+    * called when limits are on AND a stats path is configured; the
+    * count is cheap because [[applyTreeLimits]] checkpoints its flagged
+    * frame.
+    */
+  private def recordRefusals(spark: SparkSession, nRefused: Long, batchId: Long): Unit =
+    limitStatsPath.foreach { path =>
+      import spark.implicits._
+      val now = (System.currentTimeMillis() / 1000).toInt
+      Seq(("one_min.graft.ingest.tree_limit_refused", nRefused.toDouble))
+        .toDF("metric", "value")
+        .select(col("metric"), col("value"), lit(now).as("timestamp"),
+          to_date(from_unixtime(lit(now.toLong))).as("date"), lit(now).as("updated"))
+        .coalesce(1)
+        .write.mode("append").partitionBy("date").parquet(path)
+    }
 
   /** Parse a micro-batch of raw lines into points. */
   def parseBatch(lines: Dataset[String], updatedSeconds: Int): Dataset[MetricPoint] = {
@@ -193,6 +214,8 @@ final class IngestPipeline(
             .sortWithinPartitions("metric", "timestamp")
             .write.mode("append").partitionBy("date").parquet(dataPath)
           acceptedNodes.write.mode("append").parquet(treePath)
+          if (limits.enabled && limitStatsPath.nonEmpty)
+            recordRefusals(spark, refused.count(), batchId)
         case Some(treeDf) =>
           // current status of THIS batch's names AND their ancestor dirs
           // (semi-join bounds the aggregation by batch size, not tree
@@ -232,6 +255,8 @@ final class IngestPipeline(
             current.filter(col("status") === "AUTO_HIDDEN").select("name"),
             Seq("name"), "left_semi")
           acceptedNodes.unionByName(revived).write.mode("append").parquet(treePath)
+          if (limits.enabled && limitStatsPath.nonEmpty)
+            recordRefusals(spark, refused.count(), batchId)
       }
     } finally df.unpersist()
   }

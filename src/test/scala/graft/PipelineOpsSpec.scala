@@ -243,6 +243,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(5L) === ((10L, 2L, 4L, 8L, 0.8)))
   }
 
+  test("codedKeys (xxhash64 shuffle) reproduces the string-key results exactly") {
+    // the 100 TB shuffle form must agree with the oracle-checked string
+    // form on real data — sf0.001 documents, both operators
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(TextOps.exactSubstrSpans(docs, codedKeys = true)) ===
+      rows(TextOps.exactSubstrSpans(docs)))
+    assert(rows(TextOps.dupSpanFrame(docs, codedKeys = true)) ===
+      rows(TextOps.dupSpanFrame(docs)))
+  }
+
   test("dupSpanFrame: cross-doc windows count, within-doc repeats and short docs don't") {
     val docs = Seq(
       (1L, "a b c d e"),        // windows(3): abc bcd cde — abc,bcd shared with doc 2

@@ -68,6 +68,25 @@ class TreeLimitsSpec extends AnyFunSuite {
       .filter(col("metric") === "dir.subdir_z.x.y.c").count() === 0)
   }
 
+  test("refusal counts surface as self-metric stats rows when configured") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_limit_stats").toString
+    val p = new IngestPipeline(dataPath = s"$dir/data", treePath = s"$dir/tree",
+      limits = TreeLimits(maxSubDirsPerDir = 2, maxMetricsPerDir = 2),
+      limitStatsPath = Some(s"$dir/stats"))
+    // 4 candidate metrics under one dir: 2 admitted, 2 refused
+    p.processBatch(points("d.m_a", "d.m_b", "d.m_c", "d.m_d"), 0L)
+    val stats = spark.read.parquet(s"$dir/stats")
+      .filter(col("metric") === "one_min.graft.ingest.tree_limit_refused")
+      .select("value").as[Double].collect().toSeq
+    assert(stats === Seq(2.0))
+    // second batch with nothing refused still records the zero (a flat
+    // zero series is the healthy-dashboard signal)
+    p.processBatch(points("d.m_a"), 1L)
+    val stats2 = spark.read.parquet(s"$dir/stats")
+      .select("value").as[Double].collect().toSeq.sorted
+    assert(stats2 === Seq(0.0, 2.0))
+  }
+
   test("limit notifications surface on trailing-* searches, relational and trie alike") {
     val dir = java.nio.file.Files.createTempDirectory("graft_limit_notif").toString
     val limits = TreeLimits(maxSubDirsPerDir = 1, maxMetricsPerDir = 2)
