@@ -68,14 +68,11 @@ object Stress {
       val same = pack(4.0).select("doc_id").as[Long].collect().toSet ==
         pack(1e12).select("doc_id").as[Long].collect().toSet
       // rows entering the per-source window sort (the single-task-per-
-      // group concentration the pre-filter exists to bound): replicate
-      // the superset cut to measure it
-      val stats = base.groupBy(col("source")).agg(sum(col("n_tokens")).as("__total"))
-      val frac = lit(4.0) * lit(800L) / col("__total")
-      val sortInput = base.join(broadcast(stats), Seq("source"))
-        .filter(col("__total") <= lit(4.0) * lit(800L) ||
-          SampleOps.hashBucket(col("doc_id"), 1000000000) < frac * 1e9)
-        .count()
+      // group concentration the pre-filter exists to bound), measured
+      // with the ENGINE's own cut predicate so the numbers can't drift
+      val sortInput = SampleOps.packSuperset(base,
+        SampleOps.packStats(base, "source", "n_tokens"),
+        "source", "doc_id", 800L, 4.0).count()
       val biggest = base.groupBy("source").count().agg(max("count")).as[Long].head()
       println(f"STRESS_PACK rows=${base.count()} prefilter_time=$tNew%.2fs " +
         f"full_time=$tOld%.2fs rows_new=$rNew rows_old=$rOld identical=$same " +

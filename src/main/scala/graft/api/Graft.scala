@@ -60,12 +60,14 @@ final class Graft(
   @volatile private var trieCache: Option[graft.search.MetricTrie] = None
 
   /** (Re)build or incrementally refresh the trie snapshot: the first
-    * call builds from the full tree; later calls fold only rows since
-    * the trie's watermark (`MetricTrie.applyDelta` — a refresh costs
-    * rows-written-since, not tree size, so a tight cadence is cheap).
+    * call builds from the full tree; later calls swap in a path-copied
+    * trie with only rows since the watermark folded in
+    * (`MetricTrie.withDelta` — a refresh costs rows-written-since, not
+    * tree size, so a tight cadence is cheap). Always a snapshot swap:
+    * concurrent readers keep a consistent instance throughout.
     */
   def refreshSearchCache(): Unit = trieCache match {
-    case Some(t) => t.applyDelta(tree)
+    case Some(t) => trieCache = Some(t.withDelta(tree))
     case None    => trieCache = Some(graft.search.MetricTrie.fromTree(tree))
   }
 

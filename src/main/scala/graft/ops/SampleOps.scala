@@ -130,8 +130,7 @@ object SampleOps {
     // pipeline above the pack must not pay); 0 means "always cut"
     if (preFilterEngageRatio.isPosInfinity) return pack(df)
     val grouped = df.filter(col(groupCol).isNotNull)
-    val stats = grouped.groupBy(col(groupCol))
-      .agg(sum(col(tokenCol)).cast("double").as("__total"))
+    val stats = packStats(grouped, groupCol, tokenCol)
     if (preFilterEngageRatio > 0) {
       // engage check: one tiny partial-agg job (group-count rows), paid
       // before deciding; the biggest group's mass tells whether any task
@@ -141,22 +140,44 @@ object SampleOps {
       if (maxTotal <= preFilterEngageRatio * preFilterMargin * budget) return pack(df)
     }
 
-    val keepAll = col("__total") <= lit(preFilterMargin) * lit(budget)
-    val frac = lit(preFilterMargin) * lit(budget) / col("__total")
-    val superset = grouped.join(broadcast(stats), Seq(groupCol))
-      .filter(keepAll || hashBucket(col(idCol), 1000000000) < frac * 1e9)
-      .drop("__total")
+    val superset = packSuperset(grouped, stats, groupCol, idCol, budget, preFilterMargin)
     // prefix mass check: a cut group whose superset missed the budget
-    // (while the full group had more) must repack uncut
-    val failed = superset.groupBy(col(groupCol)).agg(sum(col(tokenCol)).cast("double").as("__sup"))
-      .join(broadcast(stats), Seq(groupCol))
-      .filter(col("__sup") < budget && col("__sup") < col("__total"))
+    // (while the full group had more) must repack uncut. LEFT join from
+    // stats with coalesce(0): a group whose prefix cut EVERY row has no
+    // superset aggregation row at all, and must fail too, not vanish
+    val failed = broadcast(stats)
+      .join(superset.groupBy(col(groupCol)).agg(sum(col(tokenCol)).cast("double").as("__sup")),
+        Seq(groupCol), "left")
+      .filter(coalesce(col("__sup"), lit(0.0)) < budget &&
+        coalesce(col("__sup"), lit(0.0)) < col("__total"))
       .select(groupCol)
     val fast = pack(superset.join(broadcast(failed), Seq(groupCol), "left_anti"))
     val exactTail = df.filter(col(groupCol).isNull)
       .unionByName(grouped.join(broadcast(failed), Seq(groupCol), "left_semi"))
     fast.unionByName(pack(exactTail))
   }
+
+  /** [[tokenBudgetPack]]'s hash-prefix superset cut, shared with the
+    * stress harness so measured sort-input numbers can never drift from
+    * the predicate the engine actually runs: groups totaling ≤ margin ×
+    * budget pass whole; others keep the hash-prefix sized to margin ×
+    * budget expected tokens. `stats` is (groupCol, __total: double).
+    */
+  private[graft] def packSuperset(grouped: org.apache.spark.sql.DataFrame,
+                                  stats: org.apache.spark.sql.DataFrame,
+                                  groupCol: String, idCol: String,
+                                  budget: Long, margin: Double): org.apache.spark.sql.DataFrame = {
+    val keepAll = col("__total") <= lit(margin) * lit(budget)
+    val frac = lit(margin) * lit(budget) / col("__total")
+    grouped.join(broadcast(stats), Seq(groupCol))
+      .filter(keepAll || hashBucket(col(idCol), 1000000000) < frac * 1e9)
+      .drop("__total")
+  }
+
+  /** Per-group token totals in [[packSuperset]]'s expected shape. */
+  private[graft] def packStats(grouped: org.apache.spark.sql.DataFrame,
+                               groupCol: String, tokenCol: String): org.apache.spark.sql.DataFrame =
+    grouped.groupBy(col(groupCol)).agg(sum(col(tokenCol)).cast("double").as("__total"))
 
   /** Temperature-scaled mixture weights over a per-group size frame
     * (the "domain mixing" step of corpus assembly: sample source `s`

@@ -61,12 +61,15 @@ object MetricSearchOps {
 
   /** Children per (parent dir, kind) over the current tree. Counts ALL
     * statuses — the reference's limit gate checks raw map sizes, with
-    * banned/hidden children included (`MetricDir.java:59-95`).
+    * banned/hidden children included (`MetricDir.java:59-95`). ONE
+    * aggregation: a name's parent never changes across its append-only
+    * status rows, so `count(DISTINCT name)` within (parent, kind)
+    * groups equals counting the deduped currentTree — without stacking
+    * a second shuffle on top of the per-name aggregation.
     */
   def childCounts(tree: DataFrame): DataFrame =
-    currentTree(tree)
-      .groupBy(col("parent"), col("name").endsWith(".").as("is_dir"))
-      .agg(count(lit(1)).as("children"))
+    tree.groupBy(col("parent"), col("name").endsWith(".").as("is_dir"))
+      .agg(countDistinct(col("name")).as("children"))
 
   /** Limit-notification pseudo-rows for a search (reference
     * `MetricTree.appendLimitNotificationsIfNeeded`,
@@ -77,6 +80,12 @@ object MetricSearchOps {
     * browsing a full dir sees WHY new children stopped appearing.
     * Non-`*` last levels (globs, literals) emit nothing, like the
     * reference. Schema matches [[search]]: (name, status=SIMPLE).
+    *
+    * Cost: the parent lookup's name-glob filter pushes BELOW the
+    * currentTree aggregation (group-key predicate), so that branch
+    * shuffles only matching names; [[childCounts]] is one
+    * distinct-count aggregation. Relational searches are the cold
+    * path — the trie cache serves hot lookups with the same rows.
     */
   def limitNotifications(tree: DataFrame, query: String, limits: TreeLimits): DataFrame = {
     val spark = tree.sparkSession

@@ -69,34 +69,59 @@ final class MetricTrie private (root: MetricTrie.Node,
     walk(root) - 1 // don't count the synthetic root
   }
 
-  /** Incremental refresh: fold only tree rows at or past the watermark
-    * (the max `updated` this trie has applied) into the live structure,
-    * instead of rebuilding 10M nodes per cadence tick. The filter
-    * pushes to the parquet scan, so a refresh costs rows-since-last-
-    * refresh, not tree size; application is idempotent (newest status
-    * per name overwrites), which is why the watermark is INCLUSIVE —
-    * same-second rows written after a refresh re-apply harmlessly on
-    * the next one rather than being missed forever. Returns the number
-    * of names applied.
+  /** Incremental refresh: returns a NEW trie with only the tree rows
+    * since `watermark − overlapSeconds` folded in, sharing every
+    * untouched subtree with this instance — path-copying, so a refresh
+    * allocates O(delta × depth × fanout-on-path) nodes instead of
+    * rebuilding 10M, the filter pushes to the parquet scan (cost =
+    * rows-since, not tree size), and THIS trie is never mutated:
+    * readers keep a consistent snapshot and the caller swaps the
+    * reference, exactly like a full rebuild, just cheap.
     *
-    * Concurrency contract, same class as the reference's in-place
-    * in-memory tree updates: ONE writer; concurrent readers may observe
-    * a partially-applied delta, bounded by the refresh cadence — the
-    * same staleness window `fromTree` rebuild-and-swap already accepts
-    * between refreshes. Swap whole instances instead when readers need
-    * a consistent point-in-time snapshot.
+    * Ordering: every node row carries its `updated`; application only
+    * overwrites older state (ties overwrite, like the reference's
+    * version collapse on equal versions), so re-reading the overlap
+    * window is idempotent and delta rows can arrive in any order. The
+    * overlap (default 120 s — the propagation window the reference
+    * already tolerates) also covers writers stamping slightly-behind
+    * clocks. A caller back-dating `updated` beyond the overlap (e.g.
+    * `setStatus` with an old explicit timestamp) must
+    * [[MetricTrie.fromTree]] rebuild — the delta scan never revisits
+    * rows that far behind the watermark.
     */
-  def applyDelta(tree: DataFrame): Long = {
+  def withDelta(tree: DataFrame, overlapSeconds: Long = 120L): MetricTrie = {
     import org.apache.spark.sql.functions.col
-    val delta = MetricSearchOps.currentTree(tree.filter(col("updated") >= watermark))
+    val delta = MetricSearchOps.currentTree(
+        tree.filter(col("updated") >= watermark - overlapSeconds))
       .select("name", "status", "updated").collect()
+    if (delta.isEmpty) return this
+    val owned = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[MetricTrie.Node, java.lang.Boolean]())
+    def copyOf(n: MetricTrie.Node): MetricTrie.Node = {
+      val c = new MetricTrie.Node
+      c.children ++= n.children
+      c.metricRow = n.metricRow; c.metricUpd = n.metricUpd
+      c.dirRow = n.dirRow; c.dirUpd = n.dirUpd
+      owned.add(c); c
+    }
+    val newRoot = copyOf(root)
     var maxSeen = watermark
     delta.foreach { row =>
-      MetricTrie.insert(root, row.getString(0), row.getString(1))
-      maxSeen = math.max(maxSeen, row.getLong(2))
+      val (name, status, upd) = (row.getString(0), row.getString(1), row.getLong(2))
+      var node = newRoot
+      MetricNames.splitToLevels(name).foreach { seg =>
+        node = node.children.get(seg) match {
+          case Some(c) if owned.contains(c) => c
+          case Some(c) => val c2 = copyOf(c); node.children.update(seg, c2); c2
+          case None =>
+            val c2 = new MetricTrie.Node; owned.add(c2)
+            node.children.update(seg, c2); c2
+        }
+      }
+      MetricTrie.setRow(node, name, status, upd)
+      maxSeen = math.max(maxSeen, upd)
     }
-    watermark = maxSeen
-    delta.length.toLong
+    new MetricTrie(newRoot, maxSeen)
   }
 
   /** [[search]] plus limit-notification pseudo-rows — trie twin of
@@ -151,7 +176,9 @@ object MetricTrie {
   private[search] final class Node {
     val children: mutable.HashMap[String, Node] = mutable.HashMap.empty
     var metricRow: Option[(String, String)] = None
+    var metricUpd: Long = Long.MinValue
     var dirRow: Option[(String, String)] = None
+    var dirUpd: Long = Long.MinValue
   }
 
   /** Build from the append-only tree table: collects the CURRENT state
@@ -170,18 +197,29 @@ object MetricTrie {
       val root = new Node
       var wm = 0L
       current.collect().foreach { row =>
-        insert(root, row.getString(0), row.getString(1))
+        insert(root, row.getString(0), row.getString(1), row.getLong(2))
         wm = math.max(wm, row.getLong(2))
       }
       new MetricTrie(root, wm)
     } finally current.unpersist()
   }
 
-  private[search] def insert(root: Node, name: String, status: String): Unit = {
+  private[search] def insert(root: Node, name: String, status: String, updated: Long): Unit = {
     val segs = MetricNames.splitToLevels(name)
     var node = root
     segs.foreach { s => node = node.children.getOrElseUpdate(s, new Node) }
-    if (MetricNames.isDir(name)) node.dirRow = Some((name, status))
-    else node.metricRow = Some((name, status))
+    setRow(node, name, status, updated)
   }
+
+  /** Version-guarded row write: only state at least as new as the
+    * stored row wins (ties overwrite — reference ReplacingMergeTree
+    * collapses equal versions arbitrarily), making delta application
+    * order-independent and idempotent.
+    */
+  private[search] def setRow(node: Node, name: String, status: String, updated: Long): Unit =
+    if (MetricNames.isDir(name)) {
+      if (updated >= node.dirUpd) { node.dirRow = Some((name, status)); node.dirUpd = updated }
+    } else {
+      if (updated >= node.metricUpd) { node.metricRow = Some((name, status)); node.metricUpd = updated }
+    }
 }

@@ -44,6 +44,14 @@ final class IngestPipeline(
     * called when limits are on AND a stats path is configured; the
     * count is cheap because [[applyTreeLimits]] checkpoints its flagged
     * frame.
+    *
+    * The series is indexed by MICRO-BATCH ID, not wall clock
+    * (`timestamp = batchId`, `updated = now`): a replayed batch (T4
+    * at-least-once) then re-appends the SAME (metric, timestamp) key
+    * and the standard A1 read-side dedup collapses it, instead of a
+    * second wall-clock row double-counting the refusals. The `date`
+    * partition stays wall-clock so retention/compaction age it out
+    * normally.
     */
   private def recordRefusals(spark: SparkSession, nRefused: Long, batchId: Long): Unit =
     limitStatsPath.foreach { path =>
@@ -51,7 +59,7 @@ final class IngestPipeline(
       val now = (System.currentTimeMillis() / 1000).toInt
       Seq(("one_min.graft.ingest.tree_limit_refused", nRefused.toDouble))
         .toDF("metric", "value")
-        .select(col("metric"), col("value"), lit(now).as("timestamp"),
+        .select(col("metric"), col("value"), lit(batchId).cast("int").as("timestamp"),
           to_date(from_unixtime(lit(now.toLong))).as("date"), lit(now).as("updated"))
         .coalesce(1)
         .write.mode("append").partitionBy("date").parquet(path)

@@ -46,32 +46,34 @@ class MetricTrieSpec extends AnyFunSuite {
     }
   }
 
-  test("applyDelta folds only new rows and matches a full rebuild") {
+  test("withDelta snapshots: new rows fold in, original trie untouched, rebuild parity") {
     val t0 = treeRows
     val trie = MetricTrie.fromTree(t0)
-    // delta: one brand-new metric, one status flip of an existing one,
-    // plus a same-second row (== watermark) that must re-apply, not drop
+    // delta: a brand-new metric, a status flip of an existing one, and
+    // an out-of-order row BEHIND the watermark but inside the 120s
+    // overlap (updated=3 < wm=4) that must still apply
     val delta = Seq(
       ("a.cpu.load15", 3, "a.cpu.", "SIMPLE", 5L),
       ("b.cpu", 2, "b.", "HIDDEN", 6L),
-      ("a.mem", 2, "a.", "HIDDEN", 4L) // same second as the old watermark
+      ("a.mem.free", 3, "a.mem.", "SIMPLE", 3L) // back-dated, within overlap
     ).toDF("name", "level", "parent", "status", "updated")
     val full = t0.unionByName(delta)
-    val applied = trie.applyDelta(full)
-    // 3 delta names + the 3 existing names AT the inclusive watermark
-    // (updated=4) re-apply idempotently
-    assert(applied === 6L)
+    val next = trie.withDelta(full)
     queries.foreach { q =>
       val rel = MetricSearchOps.search(full, q).as[(String, String)].collect().toSet
-      assert(trie.search(q).toSet === rel, s"query '$q' after delta")
+      assert(next.search(q).toSet === rel, s"query '$q' after delta")
     }
-    assert(trie.search("a.cpu.load15").nonEmpty)
-    assert(trie.search("b.cpu").isEmpty, "status flip to HIDDEN applied")
-    // second call with no new rows: only same-watermark rows re-apply
-    // idempotently, results unchanged
-    trie.applyDelta(full)
-    assert(trie.search("a.cpu.*").toSet ===
-      MetricSearchOps.search(full, "a.cpu.*").as[(String, String)].collect().toSet)
+    assert(next.search("a.cpu.load15").nonEmpty)
+    assert(next.search("b.cpu").isEmpty, "status flip to HIDDEN applied")
+    assert(next.search("a.mem.free").nonEmpty,
+      "back-dated row inside the overlap window must apply")
+    // the ORIGINAL trie still answers from its snapshot (no mutation)
+    assert(trie.search("a.cpu.load15").isEmpty)
+    assert(trie.search("b.cpu").map(_._2) === Seq("APPROVED"))
+    // a stale row older than the trie's stored version never regresses
+    // state: re-applying the original rows on top of `next` is a no-op
+    val again = next.withDelta(full)
+    assert(again.search("b.cpu").isEmpty, "older APPROVED row must not undo the newer HIDDEN")
   }
 
   test("size reports one node per distinct path") {

@@ -211,6 +211,24 @@ class SeriesSampleSpec extends AnyFunSuite {
     assert(nulls === Seq((999L, 10L)))
   }
 
+  test("tokenBudgetPack: a group whose ENTIRE prefix was cut still packs (no vanishing groups)") {
+    // one huge source engages the cut globally; a second source holds a
+    // single doc heavier than margin × budget, so keepAll is false and a
+    // tiny frac can cut its only row — the empty superset must be
+    // detected as failed and repacked, never dropped from the output
+    val huge = (0L until 300L).map(i => ("huge", i, 100L))
+    // budget 100, margin 1: frac = 100/100000 = 0.1% → the single row is
+    // cut with near-certainty whatever its hash
+    val heavy = Seq(("heavy", 9999L, 100000L))
+    val df = (huge ++ heavy).toDF("source", "doc_id", "n_tokens")
+    val got = SampleOps.tokenBudgetPack(df, "source", "doc_id", "n_tokens", 100L,
+      preFilterMargin = 1.0, preFilterEngageRatio = 1.0)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(got.contains("heavy"), "whole-prefix-cut group vanished from the pack")
+    assert(got("heavy") === 1L)
+    assert(got("huge") === 1L) // 100-token docs: the first crosser fills the budget
+  }
+
   test("deterministicKeep hits the exact bucket threshold for binary-inexact fractions") {
     val ids = (0L until 20000L).toDF("id")
     // 0.3 * 10000 = 2999.999... in double; truncation would lose bucket 2999

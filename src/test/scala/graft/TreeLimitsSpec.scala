@@ -85,6 +85,14 @@ class TreeLimitsSpec extends AnyFunSuite {
     val stats2 = spark.read.parquet(s"$dir/stats")
       .select("value").as[Double].collect().toSeq.sorted
     assert(stats2 === Seq(0.0, 2.0))
+    // replayed batch (T4 at-least-once): same batchId keys the same
+    // (metric, timestamp), so the standard A1 read collapses the dup
+    p.processBatch(points("d.m_a", "d.m_b", "d.m_c", "d.m_d"), 0L)
+    val logical = spark.read.parquet(s"$dir/stats")
+      .groupBy("metric", "timestamp")
+      .agg(max_by(col("value"), col("updated")).as("value"))
+      .select("value").as[Double].collect().toSeq.sorted
+    assert(logical === Seq(0.0, 2.0), "replay must not double-count")
   }
 
   test("limit notifications surface on trailing-* searches, relational and trie alike") {
