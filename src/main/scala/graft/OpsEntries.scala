@@ -98,6 +98,19 @@ private[graft] object OpsEntries {
     // run + removal mass), the span-level upgrade of q76's window ratio.
     "q93_exact_substr" -> ((s, dir) => TextOps.exactSubstrSpans(t(s, dir, "documents"))),
 
+    // Concat-and-chunk sequence packing: which 2048-token training
+    // window each doc's first token lands in, per source, hash order.
+    "q95_sequence_pack" -> ((s, dir) =>
+      graft.ops.SampleOps.sequencePack(
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+        "source", "doc_id", "n_tokens", 2048L)),
+
+    // RAG chunking: 64-token windows every 48 tokens (16-token overlap),
+    // map-only explode per doc.
+    "q96_chunking" -> ((s, dir) => TextOps.chunkFrame(t(s, dir, "documents"))),
+
     // Quality-aware dup-cluster representative: per near-dup component,
     // keep the highest-quality member (tie → lowest id).
     "q77_cluster_rep" -> ((s, dir) => {
@@ -809,6 +822,37 @@ private[graft] object OpsEntries {
          |      FROM t)
          |SELECT source, doc_id, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens - n_tokens < 800""".stripMargin,
+
+    "q95_sequence_pack" ->
+      s"""WITH t AS (SELECT source, doc_id, CAST(len($toksExpr) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT source, doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000000,
+         |            doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM t)
+         |SELECT source, doc_id, n_tokens,
+         |       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_idx,
+         |       (cum - n_tokens) % 2048 AS seq_offset,
+         |       floor((cum - 1) / 2048.0) <> floor((cum - n_tokens) / 2048.0) AS crosses_boundary
+         |FROM c""".stripMargin,
+
+    // chunk starts every 48 tokens while tokens remain; windows cap at
+    // 64 tokens; 1-based list slicing mirrors the 0-based Spark starts
+    "q96_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT doc_id,
+         |        unnest(list_transform(generate_series(0, CAST(floor((len(toks) - 1) / 48.0) AS BIGINT)),
+         |          k -> {'chunk_idx': k, 'start_tok': k * 48,
+         |                'n_chunk_tokens': least(64, len(toks) - k * 48),
+         |                'chunk_text': array_to_string(toks[k * 48 + 1:k * 48 + 64], ' ')})) AS u
+         |      FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(u.chunk_idx AS BIGINT) AS chunk_idx,
+         |       CAST(u.start_tok AS BIGINT) AS start_tok,
+         |       CAST(u.n_chunk_tokens AS BIGINT) AS n_chunk_tokens,
+         |       u.chunk_text AS chunk_text
+         |FROM c""".stripMargin,
 
     "q62_bpe_pairs" ->
       s"""WITH toks AS (SELECT unnest($toksExpr) AS w FROM documents),

@@ -179,6 +179,41 @@ object SampleOps {
                                groupCol: String, tokenCol: String): org.apache.spark.sql.DataFrame =
     grouped.groupBy(col(groupCol)).agg(sum(col(tokenCol)).cast("double").as("__total"))
 
+  /** Concat-and-chunk sequence packing (the GPT-style training-batch
+    * layout): documents concatenate in deterministic hash order and the
+    * stream splits into fixed `contextTokens` windows; each doc reports
+    * the window its FIRST token lands in, its token offset inside that
+    * window, and whether it crosses a window boundary (straddlers are
+    * the rows an attention-mask or document-boundary loss treatment
+    * cares about). Pure integer arithmetic over one running sum per
+    * group — exactly replayable by any SQL engine.
+    *
+    * Shape: one window sort per group, same cost class as
+    * [[tokenBudgetPack]] (and the same hash-prefix thinking applies if
+    * a group ever needs packing without sorting it whole — packing is
+    * usually run per shard, where the group IS the task's data).
+    * Output: input columns + seq_idx, seq_offset, crosses_boundary.
+    */
+  def sequencePack(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                   idCol: String, tokenCol: String,
+                   contextTokens: Long): org.apache.spark.sql.DataFrame = {
+    require(contextTokens > 0, s"contextTokens must be positive: $contextTokens")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol), 1000000000), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // floor(x / c), not `x / c` cast: Spark's `/` on integral types is
+    // DOUBLE division — fine for magnitude (< 2^53) but floor() keeps
+    // the semantics explicit and matches the oracle's floor spelling
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("__start", col("__cum") - col(tokenCol))
+      .withColumn("seq_idx", floor(col("__start") / contextTokens))
+      .withColumn("seq_offset", col("__start") % contextTokens)
+      .withColumn("crosses_boundary",
+        floor((col("__cum") - lit(1)) / contextTokens) =!= floor(col("__start") / contextTokens))
+      .drop("__cum", "__start")
+  }
+
   /** Temperature-scaled mixture weights over a per-group size frame
     * (the "domain mixing" step of corpus assembly: sample source `s`
     * with probability ∝ `n_s^temperature`, temperature < 1 up-weighting

@@ -410,6 +410,48 @@ object TextOps {
           .otherwise(0.0), 4).as("dup_cov_ratio"))
   }
 
+  /** Fixed-token chunking with stride (the RAG / retrieval-index
+    * splitter): each non-null-text document explodes into windows of
+    * `chunkTokens` tokens starting every `strideTokens` (stride <
+    * chunk ⇒ overlap for context continuity). The last chunk may be
+    * short; a chunk starts only where at least one token remains, so a
+    * doc with t > 0 tokens yields ⌊(t−1)/stride⌋ + 1 chunks (0-token
+    * docs yield none). Map-only: the token array
+    * materializes once per row and the chunks derive by slice — no
+    * shuffle at all, the ideal 100 TB shape.
+    *
+    * Output: (doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_text).
+    */
+  def chunkFrame(docs: org.apache.spark.sql.DataFrame, chunkTokens: Int = 64,
+                 strideTokens: Int = 48, idCol: String = "doc_id",
+                 textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0,
+      s"chunk/stride must be positive: $chunkTokens/$strideTokens")
+    require(strideTokens <= chunkTokens,
+      s"stride $strideTokens > chunk $chunkTokens would skip tokens")
+    val base = DedupOps.widen(docs.filter(col(textCol).isNotNull))
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+    // starts: 0, stride, 2·stride, … while start < n_tokens
+    // (floor(): Spark's `/` on ints is double division)
+    val n = size(col("toks"))
+    val chunks = when(n > 0,
+      transform(sequence(lit(0), floor((n - 1) / lit(strideTokens)).cast("int")),
+        k => {
+          val start = k * strideTokens
+          struct(k.cast("long").as("chunk_idx"), start.cast("long").as("start_tok"),
+            least(lit(chunkTokens), n - start).cast("long").as("n_chunk_tokens"),
+            array_join(slice(col("toks"), start + 1, lit(chunkTokens)), " ").as("chunk_text"))
+        }))
+      .otherwise(array().cast(
+        "array<struct<chunk_idx:bigint,start_tok:bigint,n_chunk_tokens:bigint,chunk_text:string>>"))
+    base.select(col(idCol), explode_outer(chunks).as("c"))
+      .filter(col("c").isNotNull) // trap #7: keep the chunk chain out of an inferred filter
+      .select(col(idCol), col("c.chunk_idx").as("chunk_idx"),
+        col("c.start_tok").as("start_tok"),
+        col("c.n_chunk_tokens").as("n_chunk_tokens"),
+        col("c.chunk_text").as("chunk_text"))
+  }
+
   /** PII redaction patterns, applied in order (specific → general so an
     * email's digits don't first get eaten by the number rule). Plain
     * regex classes only — no lookarounds — so the same patterns run

@@ -229,6 +229,45 @@ class SeriesSampleSpec extends AnyFunSuite {
     assert(got("huge") === 1L) // 100-token docs: the first crosser fills the budget
   }
 
+  test("sequencePack: window index, offset, and boundary straddle from the running sum") {
+    // force a known order with distinct hash buckets: verify arithmetic
+    // independent of which doc hashes first by recomputing expectations
+    val df = Seq(("s", 1L, 700L), ("s", 2L, 700L), ("s", 3L, 700L), ("s", 4L, 100L))
+      .toDF("source", "doc_id", "n_tokens")
+    val got = SampleOps.sequencePack(df, "source", "doc_id", "n_tokens", 1024L)
+      .select("doc_id", "seq_idx", "seq_offset", "crosses_boundary")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    var cum = 0L
+    val expected = Seq(1L, 2L, 3L, 4L)
+      .sortBy(id => (SampleOpsTestHash.bucket(id), id))
+      .map { id =>
+        val t = if (id == 4L) 100L else 700L
+        val start = cum; cum += t
+        id -> ((start / 1024L, start % 1024L, (cum - 1) / 1024L != start / 1024L))
+      }.toMap
+    assert(got === expected)
+    // sanity on the fixed arithmetic: first doc starts window 0 offset 0
+    val first = Seq(1L, 2L, 3L, 4L).minBy(id => (SampleOpsTestHash.bucket(id), id))
+    assert(got(first)._1 === 0L && got(first)._2 === 0L)
+  }
+
+  test("chunkFrame: stride windows, short last chunk, empty docs yield none") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, "")                                        // 0 tokens → no chunks
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkFrame(docs, chunkTokens = 4, strideTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,3,6,9 → 4 chunks; last has 1 token
+    assert(d1.map(c => (c._3, c._4)) === Seq((0L, 4L), (3L, 4L), (6L, 4L), (9L, 1L)))
+    assert(d1.head._5 === "w1 w2 w3 w4")
+    assert(d1.last._5 === "w10")
+    assert(got.filter(_._1 == 2L).map(_._5).toSeq === Seq("only three tokens"))
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("deterministicKeep hits the exact bucket threshold for binary-inexact fractions") {
     val ids = (0L until 20000L).toDF("id")
     // 0.3 * 10000 = 2999.999... in double; truncation would lose bucket 2999
