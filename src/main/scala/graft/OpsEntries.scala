@@ -100,9 +100,13 @@ private[graft] object OpsEntries {
 
     // Concat-and-chunk sequence packing: which 2048-token training
     // window each doc's first token lands in, per source, hash order.
+    // text IS NOT NULL: under non-ANSI sizeOfNull, size(tokens(NULL))
+    // is -1 and one null doc would shift every later doc's running sum;
+    // the DuckDB oracle's len(NULL) is NULL regardless of session config
     "q95_sequence_pack" -> ((s, dir) =>
       graft.ops.SampleOps.sequencePack(
         t(s, dir, "documents")
+          .where(col("text").isNotNull)
           .select(col("source"), col("doc_id"),
             size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
         "source", "doc_id", "n_tokens", 2048L)),
@@ -225,13 +229,12 @@ private[graft] object OpsEntries {
       val scored = TextOps.qualityFrame(docs, carryCols = Seq("source"))
         .join(keep, Seq("doc_id"), "left_semi")
         .filter(col("quality_score") >= 0.5)
-      // preFilter off: the pack input is an UNPERSISTED dedup+quality
-      // pipeline — the engage-check job would re-run it whole. A 100 TB
-      // corpus-build persists `scored` and packs with the default gate.
+      // default (lazy) pack: the input is an UNPERSISTED dedup+quality
+      // pipeline — a finite engage ratio's check job would re-run it
+      // whole. q99 is the persisted variant where the cut engages.
       graft.ops.SampleOps.tokenBudgetPack(
           scored.select(col("source"), col("doc_id"), col("n_tokens"), col("quality_score")),
-          "source", "doc_id", "n_tokens", 600L,
-          preFilterEngageRatio = Double.PositiveInfinity)
+          "source", "doc_id", "n_tokens", 600L)
         .select(col("source"), col("doc_id"), col("n_tokens"),
           col("quality_score"), col("cum_tokens"))
     }),
@@ -825,7 +828,7 @@ private[graft] object OpsEntries {
 
     "q95_sequence_pack" ->
       s"""WITH t AS (SELECT source, doc_id, CAST(len($toksExpr) AS BIGINT) AS n_tokens
-         |           FROM documents),
+         |           FROM documents WHERE text IS NOT NULL),
          |c AS (SELECT source, doc_id, n_tokens,
          |        CAST(sum(n_tokens) OVER (PARTITION BY source
          |          ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000000,

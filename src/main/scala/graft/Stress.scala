@@ -61,8 +61,11 @@ object Stress {
           size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
         .persist()
       base.count()
+      // ratio 32 = the pre-round-6 default; the library default is now
+      // lazy (Infinity), so the cut arm opts in explicitly
       def pack(margin: Double): DataFrame =
-        SampleOps.tokenBudgetPack(base, "source", "doc_id", "n_tokens", 800L, margin)
+        SampleOps.tokenBudgetPack(base, "source", "doc_id", "n_tokens", 800L, margin,
+          preFilterEngageRatio = 32.0)
       val (rNew, tNew) = time(pack(4.0).count())
       val (rOld, tOld) = time(pack(1e12).count()) // margin→∞ disables the cut
       val same = pack(4.0).select("doc_id").as[Long].collect().toSet ==

@@ -106,13 +106,20 @@ object SampleOps {
     * engine doesn't pay them where they can't win. Null-key groups
     * always pack uncut. `preFilterEngageRatio` doubles as a mode knob:
     * `Double.PositiveInfinity` = never cut and skip the engage-check
-    * job too (for unpersisted heavy upstreams the check would re-run),
-    * `0` = always cut without checking.
+    * job too, `0` = always cut without checking.
+    *
+    * LAZY BY DEFAULT: any finite `preFilterEngageRatio` runs an EAGER
+    * Spark job at call time (the engage-check aggregates the input's
+    * per-group token mass before the caller ever triggers an action) —
+    * which re-executes an unpersisted upstream pipeline whole. The
+    * default is therefore `PositiveInfinity` (plain lazy window, no
+    * hidden job); callers packing a PERSISTED heavy corpus opt in with
+    * a finite ratio (32 is the measured break-even, SCALE.md).
     */
   def tokenBudgetPack(df: org.apache.spark.sql.DataFrame, groupCol: String,
                       idCol: String, tokenCol: String, budget: Long,
                       preFilterMargin: Double = 4.0,
-                      preFilterEngageRatio: Double = 32.0): org.apache.spark.sql.DataFrame = {
+                      preFilterEngageRatio: Double = Double.PositiveInfinity): org.apache.spark.sql.DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     require(preFilterMargin >= 1.0, s"preFilterMargin must be >= 1: $preFilterMargin")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))

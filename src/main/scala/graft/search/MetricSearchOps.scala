@@ -79,7 +79,8 @@ object MetricSearchOps {
     * `<parent>._METRICS_LIMIT_REACHED_MAX_N` row, so a dashboard user
     * browsing a full dir sees WHY new children stopped appearing.
     * Non-`*` last levels (globs, literals) emit nothing, like the
-    * reference. Schema matches [[search]]: (name, status=SIMPLE).
+    * reference. Schema matches [[search]]: (name, status=APPROVED —
+    * `NotificationMetric.java:12` constructs with APPROVED).
     *
     * Cost: the parent lookup's name-glob filter pushes BELOW the
     * currentTree aggregation (group-key predicate), so that branch
@@ -105,7 +106,10 @@ object MetricSearchOps {
       else withCounts
         .filter(col("is_dir") === isDir && col("children") >= max)
         .select(concat(col("parent"), lit(message)).as("name"),
-          lit(MetricStatus.Simple.name).as("status"))
+          // reference's NotificationMetric is born APPROVED
+          // (NotificationMetric.java:12), not SIMPLE — consumers
+          // branching on status must see the same rows
+          lit(MetricStatus.Approved.name).as("status"))
     notif(isDir = true, limits.maxSubDirsPerDir, limits.subdirsMessage)
       .unionByName(notif(isDir = false, limits.maxMetricsPerDir, limits.metricsMessage))
   }

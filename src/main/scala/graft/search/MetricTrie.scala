@@ -160,10 +160,12 @@ final class MetricTrie private (root: MetricTrie.Node,
         val parentName = n.dirRow.map(_._1).getOrElse("")
         val dirs = n.children.valuesIterator.count(_.dirRow.isDefined)
         val metrics = n.children.valuesIterator.count(_.metricRow.isDefined)
+        // APPROVED, matching NotificationMetric.java:12 and the
+        // relational path (MetricSearchOps.limitNotifications)
         val d = if (limits.maxSubDirsPerDir > 0 && dirs >= limits.maxSubDirsPerDir)
-          Seq((parentName + limits.subdirsMessage, "SIMPLE")) else Nil
+          Seq((parentName + limits.subdirsMessage, "APPROVED")) else Nil
         val m = if (limits.maxMetricsPerDir > 0 && metrics >= limits.maxMetricsPerDir)
-          Seq((parentName + limits.metricsMessage, "SIMPLE")) else Nil
+          Seq((parentName + limits.metricsMessage, "APPROVED")) else Nil
         d ++ m
       }
     }

@@ -115,9 +115,18 @@ class TreeLimitsSpec extends AnyFunSuite {
       .select("name").as[String].collect().toSet
     assert(rel === expected)
 
+    // notification pseudo-rows are APPROVED (NotificationMetric.java:12),
+    // not SIMPLE — a consumer filtering on status must match the reference
+    val relStatuses = MetricSearchOps.searchWithLimits(tree, "dir.*", limits)
+      .filter(col("name").contains("_LIMIT_REACHED_"))
+      .select("status").as[String].collect().toSet
+    assert(relStatuses === Set("APPROVED"))
+
     // trie twin returns the same rows
     val trie = MetricTrie.fromTree(tree)
     assert(trie.searchWithLimits("dir.*", limits).map(_._1).toSet === expected)
+    assert(trie.searchWithLimits("dir.*", limits)
+      .filter(_._1.contains("_LIMIT_REACHED_")).map(_._2).toSet === Set("APPROVED"))
 
     // root query: root holds 1 dir >= maxSubDirs → root-level notification
     val root = MetricSearchOps.searchWithLimits(tree, "*", limits)
