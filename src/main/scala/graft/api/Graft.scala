@@ -59,21 +59,42 @@ final class Graft(
     */
   @volatile private var trieCache: Option[graft.search.MetricTrie] = None
 
+  /** Oldest `updated` stamped by a [[setStatus]] write since the trie
+    * last synced (MaxValue = none pending). A write back-dated beyond
+    * the delta overlap would be invisible to an incremental refresh
+    * forever; tracking the minimum lets [[refreshSearchCache]] detect
+    * that and fall back to a full rebuild on its own.
+    */
+  @volatile private var minPendingUpdated: Long = Long.MaxValue
+
+  private val trieOverlapSeconds = 120L
+
   /** (Re)build or incrementally refresh the trie snapshot: the first
     * call builds from the full tree; later calls swap in a path-copied
     * trie with only rows since the watermark folded in
     * (`MetricTrie.withDelta` — a refresh costs rows-written-since, not
-    * tree size, so a tight cadence is cheap). Always a snapshot swap:
-    * concurrent readers keep a consistent instance throughout.
+    * tree size, so a tight cadence is cheap). If a [[setStatus]] since
+    * the last sync was back-dated beyond the delta overlap (an explicit
+    * old `nowSeconds`), the incremental scan could never see it, so
+    * this falls back to a full rebuild automatically. Writes from
+    * OTHER processes can't be observed here — a deployment with
+    * external back-dating writers must call [[rebuildSearchCache]] on
+    * its own cadence. Always a snapshot swap: concurrent readers keep
+    * a consistent instance throughout.
     */
   def refreshSearchCache(): Unit = trieCache match {
-    case Some(t) => trieCache = Some(t.withDelta(tree))
-    case None    => trieCache = Some(graft.search.MetricTrie.fromTree(tree))
+    case Some(t) if minPendingUpdated >= t.deltaWatermark - trieOverlapSeconds =>
+      trieCache = Some(t.withDelta(tree, trieOverlapSeconds))
+      minPendingUpdated = Long.MaxValue
+    case _ =>
+      rebuildSearchCache()
   }
 
   /** Full rebuild-and-swap (point-in-time-consistent snapshot). */
-  def rebuildSearchCache(): Unit =
+  def rebuildSearchCache(): Unit = {
     trieCache = Some(graft.search.MetricTrie.fromTree(tree))
+    minPendingUpdated = Long.MaxValue
+  }
 
   /** Trie-served glob search (builds the snapshot on first use). Same
     * results as [[search]] as of the last refresh.
@@ -147,8 +168,12 @@ final class Graft(
     * explicit monotonic `nowSeconds` when ordering matters.
     */
   def setStatus(pattern: String, status: MetricStatus,
-                nowSeconds: Long = System.currentTimeMillis() / 1000): Unit =
+                nowSeconds: Long = System.currentTimeMillis() / 1000): Unit = {
     statusRows(pattern, status, nowSeconds).write.mode("append").parquet(treePath)
+    // remember the oldest stamp so a back-dated write beyond the delta
+    // overlap forces refreshSearchCache into a full rebuild
+    minPendingUpdated = math.min(minPendingUpdated, nowSeconds)
+  }
 
   /** §3.3 — streaming ingest of graphite plaintext lines. */
   def ingest(lines: Dataset[String], checkpoint: String): StreamingQuery =

@@ -63,6 +63,13 @@ final class MetricTrie private (root: MetricTrie.Node,
       .filter { case (_, status) => MetricSearchOps.visibleStatus(status) }
   }
 
+  /** The `updated` high-water mark this snapshot has folded in — a
+    * [[withDelta]] refresh re-reads from `deltaWatermark − overlap`, so
+    * a write stamped older than that needs a full rebuild to be seen
+    * (callers compare before choosing refresh vs rebuild).
+    */
+  def deltaWatermark: Long = watermark
+
   /** Node count (diagnostics / capacity checks). */
   def size: Long = {
     def walk(n: MetricTrie.Node): Long = 1L + n.children.valuesIterator.map(walk).sum

@@ -45,13 +45,15 @@ final class IngestPipeline(
     * count is cheap because [[applyTreeLimits]] checkpoints its flagged
     * frame.
     *
-    * The series is indexed by MICRO-BATCH ID, not wall clock
-    * (`timestamp = batchId`, `updated = now`): a replayed batch (T4
-    * at-least-once) then re-appends the SAME (metric, timestamp) key
-    * and the standard A1 read-side dedup collapses it, instead of a
-    * second wall-clock row double-counting the refusals. The `date`
-    * partition stays wall-clock so retention/compaction age it out
-    * normally.
+    * `timestamp` is WALL CLOCK (so timestamp-ranged reads and
+    * timestamp-based retention see the series at its true age) and the
+    * replay-dedup key is the separate `batch_id` column: a replayed
+    * batch (T4 at-least-once) re-appends the same (metric, batch_id)
+    * and a reader collapses with `max_by(value, updated)` per
+    * (metric, batch_id) — the A1 idiom, keyed on the batch instead of
+    * the timestamp. (An earlier design wrote `timestamp = batchId` to
+    * reuse the stock A1 key, but that rendered the series at 1970 on
+    * any time-axis consumer and mis-aged it under retention.)
     */
   private def recordRefusals(spark: SparkSession, nRefused: Long, batchId: Long): Unit =
     limitStatsPath.foreach { path =>
@@ -59,8 +61,9 @@ final class IngestPipeline(
       val now = (System.currentTimeMillis() / 1000).toInt
       Seq(("one_min.graft.ingest.tree_limit_refused", nRefused.toDouble))
         .toDF("metric", "value")
-        .select(col("metric"), col("value"), lit(batchId).cast("int").as("timestamp"),
-          to_date(from_unixtime(lit(now.toLong))).as("date"), lit(now).as("updated"))
+        .select(col("metric"), col("value"), lit(now).as("timestamp"),
+          to_date(from_unixtime(lit(now.toLong))).as("date"), lit(now).as("updated"),
+          lit(batchId).as("batch_id"))
         .coalesce(1)
         .write.mode("append").partitionBy("date").parquet(path)
     }

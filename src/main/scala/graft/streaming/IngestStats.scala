@@ -38,11 +38,14 @@ final class IngestStatsListener(spark: SparkSession, statsPath: String,
       (s"$pfx.batch_id", p.batchId.toDouble)
     )
     import spark.implicits._
+    // batch_id rides as its own column (uniform stats-table schema with
+    // recordRefusals' rows, whose replay-dedup key it is)
     rows.toDF("metric", "value")
       .select(col("metric"), col("value"),
         lit(now).as("timestamp"),
         to_date(from_unixtime(lit(now.toLong))).as("date"),
-        lit(now).as("updated"))
+        lit(now).as("updated"),
+        lit(p.batchId).as("batch_id"))
       .coalesce(1)
       .write.mode("append").partitionBy("date").parquet(statsPath)
   }

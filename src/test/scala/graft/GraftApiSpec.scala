@@ -95,4 +95,31 @@ class GraftApiSpec extends AnyFunSuite {
     assert(refusal.provided == 3 && refusal.max == 2)
     assert(refusal.getMessage == "Too many metrics in query. Provided 3, max 2")
   }
+
+  test("back-dated setStatus forces the serving cache into a full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_backdate").toString
+    // tree with a STALE metric (a.x, updated=1000) and a FRESH one
+    // (a.y, updated=10000): the trie watermark lands at 10000
+    Seq(
+      ("a.", 1, "", "SIMPLE", 1000L),
+      ("a.x", 2, "a.", "SIMPLE", 1000L),
+      ("a.y", 2, "a.", "SIMPLE", 10000L)
+    ).toDF("name", "level", "parent", "status", "updated")
+      .write.parquet(s"$dir/tree")
+    val g = new Graft(spark, s"$dir/data", s"$dir/tree")
+    assert(g.searchCached("a.*").map(_._1).toSet === Set("a.x", "a.y"))
+
+    // ban a.x stamped 2000: NEWER than a.x's row (so it wins the
+    // latest-status collapse) but OLDER than watermark − 120 s overlap
+    // (so an incremental delta scan would never see it)
+    g.setStatus("a.x", MetricStatus.Ban, nowSeconds = 2000L)
+    g.refreshSearchCache()
+    assert(g.searchCached("a.*").map(_._1).toSet === Set("a.y"),
+      "refresh after a back-dated write must fall back to a full rebuild")
+
+    // a write INSIDE the overlap refreshes incrementally and is seen
+    g.setStatus("a.y", MetricStatus.Ban, nowSeconds = 10050L)
+    g.refreshSearchCache()
+    assert(g.searchCached("a.*").isEmpty)
+  }
 }

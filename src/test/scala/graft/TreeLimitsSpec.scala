@@ -85,11 +85,16 @@ class TreeLimitsSpec extends AnyFunSuite {
     val stats2 = spark.read.parquet(s"$dir/stats")
       .select("value").as[Double].collect().toSeq.sorted
     assert(stats2 === Seq(0.0, 2.0))
-    // replayed batch (T4 at-least-once): same batchId keys the same
-    // (metric, timestamp), so the standard A1 read collapses the dup
+    // timestamp is WALL CLOCK (not batchId): the series must render at
+    // its true age on any time-axis consumer / timestamp-based retention
+    val tsMin = spark.read.parquet(s"$dir/stats")
+      .select(min(col("timestamp"))).as[Int].head()
+    assert(tsMin > 1600000000, s"timestamp must be wall-clock epoch, got $tsMin")
+    // replayed batch (T4 at-least-once): same batch_id column keys the
+    // dup, and the A1 idiom collapses it per (metric, batch_id)
     p.processBatch(points("d.m_a", "d.m_b", "d.m_c", "d.m_d"), 0L)
     val logical = spark.read.parquet(s"$dir/stats")
-      .groupBy("metric", "timestamp")
+      .groupBy("metric", "batch_id")
       .agg(max_by(col("value"), col("updated")).as("value"))
       .select("value").as[Double].collect().toSeq.sorted
     assert(logical === Seq(0.0, 2.0), "replay must not double-count")
