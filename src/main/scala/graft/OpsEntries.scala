@@ -82,6 +82,15 @@ private[graft] object OpsEntries {
     // k; the production default derives k(n) (SimilarityOps.semDedupK)
     "q75_semdedup" -> ((s, dir) => SimilarityOps.semDedup(t(s, dir, "embeddings"), k = 8)),
 
+    // The PRODUCTION semDedup path: k derived by the k(n) policy, not
+    // pinned. targetCellRows=32 so the policy actually bites at test
+    // scales (the 4096 default yields the k=8 floor everywhere below
+    // ~270k vectors): sf0.01 → k=16, sf0.1 → k=157 — two different
+    // auto-k values hash-checked against the SQL replay, which computes
+    // the same k from the same count.
+    "q97_semdedup_autok" -> ((s, dir) =>
+      SimilarityOps.semDedup(t(s, dir, "embeddings"), targetCellRows = 32)),
+
     // IVF ANN over TRAINED centroids: the learned coarse quantizer
     // routes corpus and probes (nearest_cell), exact cosine in-cell.
     "q90_ivf_trained" -> ((s, dir) => {
@@ -430,12 +439,22 @@ private[graft] object OpsEntries {
     * shared by the kmeans oracle (which selects the centroids) and the
     * semdedup oracle (which carries on to a final assignment).
     */
-  private def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, dims: Int): String =
+    kmeansCtes(s"SELECT $k AS k", iters, dims)
+
+  /** `kSelect` is a one-row "SELECT … AS k" — a literal for pinned-k
+    * oracles, an aggregate over `emb` for the auto-k(n) policy replay
+    * (k only enters the trace through the init row-count, so computing
+    * it in SQL keeps the oracle independent of the Spark side).
+    */
+  private def kmeansCtes(kSelect: String, iters: Int, dims: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-         |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
-         |             FROM emb ORDER BY vec_id LIMIT $k),
+         |kk AS ($kSelect),
+         |init AS (SELECT cell, embedding FROM (
+         |             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding FROM emb)
+         |             WHERE cell < (SELECT k FROM kk)),
          |c0 AS (SELECT cell, dim, round(CAST(embedding[dim] AS DOUBLE), 4) AS value
          |       FROM init CROSS JOIN range(1, ${dims + 1}) t(dim)),
          |""".stripMargin)
@@ -476,9 +495,22 @@ private[graft] object OpsEntries {
        |  FROM emb e CROSS JOIN cl$iters c) WHERE r = 1),
        |""".stripMargin
 
+  /** The auto-k replay: k(n) = min(65536, max(8, ceil(n / target)))
+    * computed from the SAME corpus count the engine derives it from
+    * (`SimilarityOps.semDedupK`), then the identical Lloyd trace.
+    */
+  private def semDedupAutoKSql(targetCellRows: Int, iters: Int = 3, dims: Int = 64,
+                               threshold: Double = 0.4): String =
+    semDedupBody(kmeansCtes(
+      s"SELECT CAST(least(65536, greatest(8, (count(*) + ${targetCellRows - 1}) // $targetCellRows)) AS INTEGER) AS k FROM emb",
+      iters, dims), iters, threshold)
+
   private def semDedupSql(k: Int = 8, iters: Int = 3, dims: Int = 64,
                           threshold: Double = 0.4): String =
-    kmeansCtes(k, iters, dims) + kmeansAssignCtes(iters) +
+    semDedupBody(kmeansCtes(k, iters, dims), iters, threshold)
+
+  private def semDedupBody(ctes: String, iters: Int, threshold: Double): String =
+    ctes + kmeansAssignCtes(iters) +
       s"""pairs AS (SELECT b.vec_id AS id_b, round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
          |          FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
          |drp AS (SELECT id_b FROM pairs GROUP BY id_b HAVING max(cos_sim) >= $threshold)
@@ -569,6 +601,7 @@ private[graft] object OpsEntries {
     "q64_kmeans" -> kmeansSql(),
 
     "q75_semdedup" -> semDedupSql(),
+    "q97_semdedup_autok" -> semDedupAutoKSql(targetCellRows = 32),
 
     "q90_ivf_trained" -> ivfTrainedSql(),
 
