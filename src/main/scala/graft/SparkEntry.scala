@@ -145,10 +145,10 @@ object SparkEntry {
       names.filter(graft.functions.functions.glob_match(col("name"), "{click,view}.host[0-3].request?"))
     }),
 
-    // F6/S2 — ingest name validation parity (valid/invalid corpus).
+    // F6/S2 — ingest name validation parity (valid/invalid corpus),
+    // fully native columns (MetricValidator.validColumn — no UDF in the
+    // plan; the Scala validate stays for the typed parse boundary only).
     "q09_validation" -> ((s, dir) => {
-      val v = MetricValidator()
-      val validUdf = udf((name: String) => v.validate(name))
       events(s, dir)
         .select(
           when(col("user_id") % 5 === 0, concat(col("event_type"), lit("..u"), col("user_id")))
@@ -157,7 +157,7 @@ object SparkEntry {
             .when(col("user_id") % 5 === 3, lit("ab"))
             .otherwise(concat(col("event_type"), lit(".u"), col("user_id"))).as("name")
         )
-        .select(validUdf(col("name")).as("valid"))
+        .select(MetricValidator().validColumn(col("name")).as("valid"))
         .groupBy("valid").agg(count(lit(1)).as("n"))
     }),
 

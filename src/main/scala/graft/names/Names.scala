@@ -65,6 +65,32 @@ final case class MetricValidator(
     if ((!dir && dots < minDots) || dots > maxDots) return false
     pattern.matcher(name).matches()
   }
+
+  /** [[validate]] as a native column expression — same checks, fully
+    * codegen'd (no UDF): length window, no leading dot, no empty level,
+    * level-count window, whitelist regex. `rlike` finds rather than
+    * matches, so the pattern is `^`-anchored here; the default pattern
+    * carries its own `$`, and a custom `metricRegexp` must too for the
+    * column form and [[validate]] to agree. Null name → false (the
+    * Scala form can't see a null; the relational boundary defines it
+    * as invalid). `LineParserSpec` pins row parity against [[validate]].
+    */
+  def validColumn(name: org.apache.spark.sql.Column,
+                  allowDirs: Boolean = false): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val dir = name.endsWith(".")
+    // split with Spark's default limit -1 KEEPS trailing empties, so
+    // "a.b." counts 2 dots — same as the imperative indexOf walk
+    val dots = size(split(name, "\\.")) - 1
+    val lenOk = when(dir, length(name) <= maxMetricLength)
+      .otherwise(length(name).between(minMetricLength, maxMetricLength))
+    val levelsOk = when(dir, dots <= maxDots).otherwise(dots.between(minDots, maxDots))
+    val dirOk = if (allowDirs) lit(true) else !dir
+    coalesce(
+      lenOk && !name.startsWith(".") && !name.contains("..") &&
+        levelsOk && dirOk && name.rlike("^" + metricRegexp),
+      lit(false))
+  }
 }
 
 /** Graphite glob → Java/RE2-safe regex, per-level semantics of the

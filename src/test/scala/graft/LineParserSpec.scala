@@ -35,6 +35,44 @@ class LineParserSpec extends AnyFunSuite {
     assert(p.parse("one_min.app.req 1 x", 0).isEmpty, "non-numeric ts")
   }
 
+  test("validColumn row-parity with the Scala validate, both allowDirs modes") {
+    import graft.names.MetricValidator
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val v = MetricValidator()
+    val corpus = Seq(
+      "one_min.app.host1.requests",      // plainly valid
+      "a.b.c",                            // 5 chars exactly (min length)
+      "a.b",                              // too short
+      "abcdef",                           // one level only
+      ".a.b.c",                           // leading dot
+      "a.b.c.",                           // dir: invalid unless allowDirs
+      "ab.c.",                            // dir exactly at min-1 chars (dirs skip min length)
+      "a..b.c",                           // empty level
+      "a.b.c d",                          // whitespace → whitelist regex
+      "a.b.cé",                           // non-ascii → whitelist regex
+      "a.b.c-d_e.f9",                     // whitelist punctuation
+      ("x." * 20) + "y",                  // 21 levels (> maxLevels)
+      ("x." * 19) + "y",                  // 20 levels (at maxLevels)
+      "x" * 501,                          // too long
+      "ab." * 166 + "xy"                  // 500 chars exactly
+    )
+    for (allowDirs <- Seq(false, true)) {
+      val got = corpus.toDF("name")
+        .select(col("name"), v.validColumn(col("name"), allowDirs).as("valid"))
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      corpus.foreach { n =>
+        assert(got(n) === v.validate(n, allowDirs),
+          s"column/Scala disagreement on '$n' (allowDirs=$allowDirs)")
+      }
+    }
+    // null name: the Scala form can't see one; the column form defines it invalid
+    val nullRow = Seq[Option[String]](None).toDF("name")
+      .select(v.validColumn(col("name")).as("valid")).head()
+    assert(nullRow.getBoolean(0) === false)
+  }
+
   test("host redirect rewrite (S3)") {
     val ph = new LineParser(hostPostfixes = Seq("_sas", "_vla"), hostDirName = "HOST")
     assert(ph.processName("one_min.web01_sas.cpu") == "one_min.HOST.web01_sas.cpu")
