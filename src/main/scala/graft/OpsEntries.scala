@@ -248,6 +248,29 @@ private[graft] object OpsEntries {
           col("quality_score"), col("cum_tokens"))
     }),
 
+    // q88's composition in the 100 TB posture: the scored corpus is
+    // PERSISTED (materialized once), so the pack opts into the
+    // hash-prefix cut — and the parameters make it ENGAGE here
+    // (per-source mass ~1e3 tokens > ratio·margin·budget = 2·2·100;
+    // SeriesSampleSpec pins that this configuration takes the cut path).
+    // Exactness is unconditional (superset-mass check + uncut repack),
+    // so the oracle is the same replay as q88 at this budget.
+    "q99_corpus_build_cut" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keep = DedupOps.exactDedup(docs)
+        .select(col("keep_id").as("doc_id"))
+      val scored = TextOps.qualityFrame(docs, carryCols = Seq("source"))
+        .join(keep, Seq("doc_id"), "left_semi")
+        .filter(col("quality_score") >= 0.5)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("quality_score"))
+        .persist()
+      graft.ops.SampleOps.tokenBudgetPack(scored,
+          "source", "doc_id", "n_tokens", 100L,
+          preFilterMargin = 2.0, preFilterEngageRatio = 2.0)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("quality_score"), col("cum_tokens"))
+    }),
+
     // BPE first-merge statistics: adjacent char-pair frequencies over
     // the distinct vocabulary, weighted by corpus word frequency.
     "q62_bpe_pairs" -> ((s, dir) => TextOps.bpeMergePairs(t(s, dir, "documents"))),
@@ -538,6 +561,31 @@ private[graft] object OpsEntries {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM s)
          |WHERE r <= $topK""".stripMargin
 
+  /** The corpus-build replay (dedup → quality gate → per-source pack),
+    * budget-parameterized: q88 (600, lazy plain-window pack) and q99
+    * (100, persisted input + engaged hash-prefix cut) share it — the
+    * cut is exact by construction, so the SAME SQL is the oracle for
+    * both plans.
+    */
+  private def corpusBuildSql(budget: Int): String =
+    s"""WITH q AS ($q26Sql),
+       |keep AS (SELECT min(doc_id) AS doc_id
+       |         FROM (SELECT coalesce(md5(CASE WHEN len($norm) > 0 THEN $norm ELSE text END),
+       |                               'id:' || CAST(doc_id AS VARCHAR)) AS fp, doc_id
+       |               FROM documents)
+       |         GROUP BY fp),
+       |scored AS (SELECT d.source, q.doc_id, q.n_tokens, q.quality_score
+       |           FROM q JOIN documents d USING (doc_id)
+       |           WHERE q.doc_id IN (SELECT doc_id FROM keep) AND q.quality_score >= 0.5),
+       |c AS (SELECT source, doc_id, n_tokens, quality_score,
+       |        CAST(sum(n_tokens) OVER (PARTITION BY source
+       |          ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000000,
+       |            doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |      FROM scored)
+       |SELECT source, doc_id, n_tokens, quality_score, cum_tokens
+       |FROM c WHERE cum_tokens - n_tokens < $budget""".stripMargin
+
   /** q26's full SQL, shared as a CTE body by q59's per-source rollup. */
   private val q26Sql: String = {
     val en = TextOps.langMarkers("en").map(w => s"'$w'").mkString("[", ",", "]")
@@ -819,24 +867,8 @@ private[graft] object OpsEntries {
          |FROM documents""".stripMargin
     },
 
-    "q88_corpus_build" ->
-      s"""WITH q AS ($q26Sql),
-         |keep AS (SELECT min(doc_id) AS doc_id
-         |         FROM (SELECT coalesce(md5(CASE WHEN len($norm) > 0 THEN $norm ELSE text END),
-         |                               'id:' || CAST(doc_id AS VARCHAR)) AS fp, doc_id
-         |               FROM documents)
-         |         GROUP BY fp),
-         |scored AS (SELECT d.source, q.doc_id, q.n_tokens, q.quality_score
-         |           FROM q JOIN documents d USING (doc_id)
-         |           WHERE q.doc_id IN (SELECT doc_id FROM keep) AND q.quality_score >= 0.5),
-         |c AS (SELECT source, doc_id, n_tokens, quality_score,
-         |        CAST(sum(n_tokens) OVER (PARTITION BY source
-         |          ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000000,
-         |            doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-         |      FROM scored)
-         |SELECT source, doc_id, n_tokens, quality_score, cum_tokens
-         |FROM c WHERE cum_tokens - n_tokens < 600""".stripMargin,
+    "q88_corpus_build" -> corpusBuildSql(600),
+    "q99_corpus_build_cut" -> corpusBuildSql(100),
 
     "q86_stratified_sample" ->
       """SELECT lang, doc_id FROM (

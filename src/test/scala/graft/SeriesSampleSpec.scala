@@ -229,6 +229,22 @@ class SeriesSampleSpec extends AnyFunSuite {
     assert(got("huge") === 1L) // 100-token docs: the first crosser fills the budget
   }
 
+  test("tokenBudgetPack: q99's configuration engages the cut; sub-threshold input stays plain") {
+    // q99's exact knobs (budget 100, margin 2, ratio 2 → threshold 400):
+    // a 1000-token group must take the cut path — visible as the
+    // fast/exact-tail Union in the plan — while a 300-token group plans
+    // the plain single window
+    def plan(mass: Seq[(String, Long, Long)]): String =
+      SampleOps.tokenBudgetPack(mass.toDF("source", "doc_id", "n_tokens"),
+        "source", "doc_id", "n_tokens", 100L,
+        preFilterMargin = 2.0, preFilterEngageRatio = 2.0)
+        .queryExecution.optimizedPlan.toString
+    val engaged = plan((0L until 100L).map(i => ("s", i, 10L)))
+    assert(engaged.contains("Union"), "expected the hash-prefix cut path (fast ∪ exact tail)")
+    val plain = plan((0L until 30L).map(i => ("s", i, 10L)))
+    assert(!plain.contains("Union"), "sub-threshold group must keep the plain window plan")
+  }
+
   test("sequencePack: window index, offset, and boundary straddle from the running sum") {
     // force a known order with distinct hash buckets: verify arithmetic
     // independent of which doc hashes first by recomputing expectations
