@@ -107,6 +107,15 @@ private[graft] object OpsEntries {
     // run + removal mass), the span-level upgrade of q76's window ratio.
     "q93_exact_substr" -> ((s, dir) => TextOps.exactSubstrSpans(t(s, dir, "documents"))),
 
+    // TRUE suffix-array ExactSubstr over a bounded slice: max_dup_tokens
+    // is the exact longest duplicated run (no island over-approximation),
+    // covered_tokens the exact ≥8-token run union. The oracle is a
+    // brute-force enumeration of every (position, length) substring —
+    // feasible precisely because this is the slice-scale audit form;
+    // q93 stays the corpus-scale screen.
+    "q98_suffix_spans" -> ((s, dir) =>
+      TextOps.suffixArraySpans(t(s, dir, "documents").filter(col("doc_id") < 120))),
+
     // Concat-and-chunk sequence packing: which 2048-token training
     // window each doc's first token lands in, per source, hash order.
     // text IS NOT NULL: under non-ANSI sizeOfNull, size(tokens(NULL))
@@ -705,6 +714,42 @@ private[graft] object OpsEntries {
          |               THEN coalesce(cov, 0) / CAST(n_tokens AS DOUBLE)
          |               ELSE 0.0 END, 4) AS dup_cov_ratio
          |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // brute-force exact replay: enumerate EVERY (position, length ≥ 8)
+    // token run in the slice, find the duplicated ones, take the max
+    // length per start position, union the intervals per doc
+    "q98_suffix_spans" ->
+      s"""WITH b AS (SELECT doc_id, $toksExpr AS toks
+         |           FROM documents WHERE text IS NOT NULL AND doc_id < 120),
+         |b2 AS (SELECT doc_id, toks, len(toks) AS nt FROM b),
+         |pos AS (SELECT doc_id, toks, nt,
+         |          CAST(unnest(generate_series(1, nt - 7)) AS INTEGER) AS p FROM b2),
+         |rk AS (SELECT doc_id, toks, p,
+         |         CAST(unnest(generate_series(8, nt - p + 1)) AS INTEGER) AS k FROM pos),
+         |runs AS (SELECT doc_id, p, k, array_to_string(toks[p:p+k-1], ' ') AS s FROM rk),
+         |dup AS (SELECT s FROM runs GROUP BY s HAVING count(*) >= 2),
+         |lmax AS (SELECT doc_id, p, max(k) AS L FROM runs
+         |         WHERE s IN (SELECT s FROM dup) GROUP BY doc_id, p),
+         |iv AS (SELECT doc_id, p, p + L AS e, L FROM lmax),
+         |isl AS (SELECT doc_id, p, e,
+         |          CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |               THEN 1 ELSE 0 END AS nw
+         |        FROM iv),
+         |grp AS (SELECT doc_id, p, e, sum(nw) OVER (PARTITION BY doc_id ORDER BY p
+         |          ROWS UNBOUNDED PRECEDING) AS g FROM isl),
+         |sp AS (SELECT doc_id, g, min(p) AS s0, max(e) AS e0 FROM grp GROUP BY doc_id, g),
+         |a1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |         CAST(sum(e0 - s0) AS BIGINT) AS covered_tokens FROM sp GROUP BY doc_id),
+         |a2 AS (SELECT doc_id, CAST(max(L) AS BIGINT) AS max_dup_tokens FROM lmax GROUP BY doc_id)
+         |SELECT b2.doc_id, CAST(nt AS BIGINT) AS n_tokens,
+         |       coalesce(a1.n_spans, 0) AS n_spans,
+         |       coalesce(a2.max_dup_tokens, 0) AS max_dup_tokens,
+         |       coalesce(a1.covered_tokens, 0) AS covered_tokens,
+         |       round(CASE WHEN nt > 0
+         |               THEN coalesce(a1.covered_tokens, 0) / CAST(nt AS DOUBLE)
+         |               ELSE 0.0 END, 4) AS dup_cov_ratio
+         |FROM b2 LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id)""".stripMargin,
 
     "q77_cluster_rep" ->
       s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},

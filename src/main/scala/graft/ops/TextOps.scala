@@ -344,8 +344,9 @@ object TextOps {
     * span of exactly L tokens rather than L−n+1 counted windows.
     * `max_span_tokens` is the longest duplicated run — the quantity a
     * suffix array would report (over-approximated only when distinct
-    * duplicated substrings abut); `covered_tokens` is the removal mass
-    * an ExactSubstr pass would cut.
+    * duplicated substrings abut — [[suffixArraySpans]] is the exact
+    * slice-scale form for when that bound isn't enough); `covered_tokens`
+    * is the removal mass an ExactSubstr pass would cut.
     *
     * Shape: one window posexplode, one count shuffle keyed by the
     * window, the duplicated-window set broadcast back into a semi-join
@@ -408,6 +409,126 @@ object TextOps {
         round(when(col("n_tokens") > 0,
           coalesce(col("covered_tokens"), lit(0L)).cast("double") / col("n_tokens"))
           .otherwise(0.0), 4).as("dup_cov_ratio"))
+  }
+
+  /** EXACT ExactSubstr spans — the suffix-array form of
+    * [[exactSubstrSpans]], for bounded SLICES (audits, eval sets, the
+    * verification tail of a dedup pipeline): `max_dup_tokens` is the
+    * TRUE longest duplicated token run (what a suffix array reports —
+    * no island over-approximation when distinct duplicated substrings
+    * abut), and `covered_tokens` is the exact union of every maximal
+    * duplicated run of ≥ `n` tokens.
+    *
+    * Method: a generalized suffix array over the slice (all corpus
+    * suffixes token-wise sorted), adjacent-suffix LCPs, and the classic
+    * identity "longest duplicated prefix at a position = max LCP with
+    * its suffix-order neighbors"; runs then union per doc by
+    * gaps-and-islands in plain Scala. Duplication means ≥2 distinct
+    * (doc, position) occurrences anywhere in the SLICE, within-doc and
+    * overlapping occurrences included — exactly [[exactSubstrSpans]]'s
+    * count definition.
+    *
+    * This is the deliberate `mapPartitions` case (SURVEY §1.4): suffix
+    * sorting is genuinely imperative per-partition logic, and
+    * cross-slice duplication needs the whole slice in one task — so the
+    * slice is `coalesce(1)`'d and guarded by `maxTokens`. At corpus
+    * scale run [[exactSubstrSpans]] (one count shuffle, distributed) as
+    * the screen; this form is the slice-scale exact audit. Sharding
+    * this exactly (suffix-array construction by distributed prefix
+    * doubling) is a log(len)-round shuffle chain — not worth it while
+    * the screen + slice-audit pair covers the use cases.
+    *
+    * Output: (doc_id, n_tokens, n_spans, max_dup_tokens,
+    * covered_tokens, dup_cov_ratio) for every non-null-text doc in the
+    * slice.
+    */
+  def suffixArraySpans(docs: org.apache.spark.sql.DataFrame, n: Int = 8,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxTokens: Long = 2000000L): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toksDs = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), tokens(col(textCol)))
+      .as[(Long, Seq[String])]
+    val stats = toksDs.coalesce(1).mapPartitions { it =>
+      val corpus = it.toArray
+      val arrs: Array[Array[String]] = corpus.map(_._2.toArray)
+      val total = arrs.iterator.map(_.length.toLong).sum
+      require(total <= maxTokens,
+        s"suffixArraySpans is the slice-scale exact form: $total tokens > maxTokens=$maxTokens; " +
+          "narrow the slice or use exactSubstrSpans (the distributed screen)")
+      // flat suffix table in doc-major order: suffix s ↔ (sufD(s), sufP(s))
+      val nSuf = total.toInt
+      val sufD = new Array[Int](nSuf); val sufP = new Array[Int](nSuf)
+      var s = 0; var d = 0
+      while (d < arrs.length) {
+        var p = 0
+        while (p < arrs(d).length) { sufD(s) = d; sufP(s) = p; s += 1; p += 1 }
+        d += 1
+      }
+      // token-wise lexicographic suffix sort (naive comparator: fine at
+      // slice scale, O(S log S · avg-LCP) comparisons)
+      def less(a: Int, b: Int): Boolean = {
+        val xa = arrs(sufD(a)); val xb = arrs(sufD(b))
+        var i = sufP(a); var j = sufP(b)
+        while (i < xa.length && j < xb.length) {
+          val c = xa(i).compareTo(xb(j))
+          if (c != 0) return c < 0
+          i += 1; j += 1
+        }
+        val la = xa.length - sufP(a); val lb = xb.length - sufP(b)
+        if (la != lb) la < lb
+        else if (sufD(a) != sufD(b)) sufD(a) < sufD(b)
+        else sufP(a) < sufP(b)
+      }
+      val sa = Array.range(0, nSuf).sortWith(less)
+      def lcp(a: Int, b: Int): Int = {
+        val xa = arrs(sufD(a)); val xb = arrs(sufD(b))
+        var i = sufP(a); var j = sufP(b); var l = 0
+        while (i < xa.length && j < xb.length && xa(i) == xb(j)) { i += 1; j += 1; l += 1 }
+        l
+      }
+      // longest duplicated prefix per suffix = max LCP with SA neighbors
+      val lmax = new Array[Int](nSuf)
+      var r = 1
+      while (r < sa.length) {
+        val l = lcp(sa(r - 1), sa(r))
+        if (l > lmax(sa(r - 1))) lmax(sa(r - 1)) = l
+        if (l > lmax(sa(r))) lmax(sa(r)) = l
+        r += 1
+      }
+      // per doc: union the runs [p, p + lmax) with lmax >= n
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)](arrs.length)
+      s = 0; d = 0
+      while (d < arrs.length) {
+        val len = arrs(d).length
+        var nSpans = 0L; var maxDup = 0L; var covered = 0L
+        var curStart = -1; var curEnd = -1
+        var p = 0
+        while (p < len) {
+          val l = lmax(s + p)
+          if (l >= n) {
+            if (l > maxDup) maxDup = l
+            val e = p + l
+            if (curEnd < 0 || p > curEnd) {
+              if (curEnd >= 0) covered += curEnd - curStart
+              nSpans += 1; curStart = p; curEnd = e
+            } else if (e > curEnd) curEnd = e
+          }
+          p += 1
+        }
+        if (curEnd >= 0) covered += curEnd - curStart
+        out += ((corpus(d)._1, len.toLong, nSpans, maxDup, covered))
+        s += len; d += 1
+      }
+      out.iterator
+    }
+    stats.toDF(idCol, "n_tokens", "n_spans", "max_dup_tokens", "covered_tokens")
+      .select(col(idCol), col("n_tokens"), col("n_spans"), col("max_dup_tokens"),
+        col("covered_tokens"),
+        round(when(col("n_tokens") > 0,
+          col("covered_tokens").cast("double") / col("n_tokens")).otherwise(0.0), 4)
+          .as("dup_cov_ratio"))
   }
 
   /** Fixed-token chunking with stride (the RAG / retrieval-index

@@ -243,6 +243,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(5L) === ((10L, 2L, 4L, 8L, 0.8)))
   }
 
+  test("suffixArraySpans: exact longest duplicated run where island-merge over-approximates") {
+    // same corpus as the exactSubstrSpans case above: doc 1's two
+    // distinct duplicated substrings ("a b c d e" ← doc 2, "p q r s" ←
+    // doc 5) ABUT, so the window-island screen reports max_span 9; the
+    // suffix-array form must report the TRUE longest duplicated run, 5,
+    // while agreeing on span count and covered mass
+    val docs = Seq(
+      (1L, "a b c d e p q r s"),
+      (2L, "x a b c d e y z w v"),
+      (3L, "m n o"),
+      (4L, "k l"),
+      (5L, "p q r s t u p q r s")
+    ).toDF("doc_id", "text")
+    val got = TextOps.suffixArraySpans(docs, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(1L) === ((9L, 1L, 5L, 9L, 1.0)), "true max run is 5, not the merged island 9")
+    assert(got(2L) === ((10L, 1L, 5L, 5L, 0.5)))
+    assert(got(3L) === ((3L, 0L, 0L, 0L, 0.0)))
+    assert(got(4L) === ((2L, 0L, 0L, 0L, 0.0)))
+    assert(got(5L) === ((10L, 2L, 4L, 8L, 0.8)))
+    // the slice guard: the exact form refuses an over-budget partition
+    val e = intercept[org.apache.spark.SparkException] {
+      TextOps.suffixArraySpans(docs, n = 3, maxTokens = 10L).collect()
+    }
+    assert(e.getMessage.contains("slice-scale"))
+  }
+
   test("codedKeys (xxhash64 shuffle) reproduces the string-key results exactly") {
     // the 100 TB shuffle form must agree with the oracle-checked string
     // form on real data — sf0.001 documents, both operators
