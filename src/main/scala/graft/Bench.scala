@@ -21,10 +21,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional args: run only the named queries (local profiling aid)
+    // optional args: run only the named queries (local profiling aid).
+    // benchOnlyQueries ride along: no oracle row, but their timings are
+    // the record for the codedKeys shuffle-mode claims
+    val all = SparkEntry.queries ++ SparkEntry.benchOnlyQueries
     val selected =
-      if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
-      else SparkEntry.queries
+      if (args.nonEmpty) all.filter(q => args.contains(q._1))
+      else all
     val ordered = selected.toSeq.sortBy(_._1)
     // Warm-up pass: run every query once untimed so the timed passes
     // measure steady-state execution — what a long-running service

@@ -619,6 +619,19 @@ private[graft] object OpsEntries {
        |FROM r""".stripMargin
   }
 
+  /** Bench-only twins of oracle queries: the codedKeys (xxhash64)
+    * shuffle modes of q76/q93 — spec-pinned byte-identical results
+    * (PipelineOpsSpec "codedKeys … reproduces"), different exchange
+    * payloads. Timed by Bench so the 100 TB shuffle claim is measured,
+    * never verified by the oracle gate (the string form is).
+    */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76b_dup_spans_coded" -> ((s, dir) =>
+      TextOps.dupSpanFrame(t(s, dir, "documents"), codedKeys = true)),
+    "q93b_exact_substr_coded" -> ((s, dir) =>
+      TextOps.exactSubstrSpans(t(s, dir, "documents"), codedKeys = true))
+  )
+
   val oracle: Map[String, String] = Map(
     "q20_exact_dedup" ->
       s"""SELECT coalesce(md5(CASE WHEN len($norm) > 0 THEN $norm ELSE text END),

@@ -64,6 +64,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ TreeEntries.queries ++ OpsEntries.queries ++ RelEntries.queries
 
+  /** Bench-only variants: spec-pinned equal to an oracle query but with
+    * a different physical shape (e.g. codedKeys 8-byte shuffles), so
+    * they carry no oracle row — the driver's Verify skips them; Bench
+    * times them so the claimed shuffle savings get a number.
+    */
+  def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] =
+    OpsEntries.benchOnly
+
   def oracleSql: Map[String, String] =
     coreOracle ++ TreeEntries.oracle ++ OpsEntries.oracle ++ RelEntries.oracle
 

@@ -81,6 +81,55 @@ object Stress {
         f"full_time=$tOld%.2fs rows_new=$rNew rows_old=$rOld identical=$same " +
         f"sort_input=$sortInput biggest_group=$biggest")
     }
+    // q92: per-series Holt-Winters fold under ×x SERIES COUNT (the
+    // growth axis at 100 TB — more metrics, not longer histories, W2
+    // step coarsening bounds points-per-series). Expect ~linear time.
+    if (which == "hw" || which == "all") {
+      import graft.ops.SeriesOps
+      val nSeries = 3000 * x; val nBuckets = 120
+      val df = spark.range(nSeries.toLong * nBuckets).select(
+        concat(lit("m"), col("id") % nSeries).as("event_type"),
+        (lit(1700000000L) + (col("id") / nSeries) * 3600L).as("bucket_ts"),
+        round(sin(col("id").cast("double") / 7.0) * 10 + 50, 4).as("v"))
+      val (n, t) = time(SeriesOps.holtWinters(df, 0.25, 0.125, 0.25, 24,
+        "event_type", "bucket_ts", "v").queryExecution.toRdd.count())
+      println(f"STRESS_HW series=$nSeries buckets=$nBuckets out_rows=$n time=$t%.2fs")
+    }
+
+    // q93: duplicated-position DENSITY worst case — x identical copies
+    // of every doc make EVERY window duplicated, so the per-doc span
+    // window sees all positions, and the count shuffle carries x× rows.
+    // Times both shuffle modes (string vs coded 8-byte keys).
+    if (which == "substr" || which == "all") {
+      import graft.ops.TextOps
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until x).map { i =>
+        docs.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"), col("text"))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet("/tmp/graft_stress_substr")
+      val d10 = spark.read.parquet("/tmp/graft_stress_substr")
+      val (ns, tS) = time(TextOps.exactSubstrSpans(d10).queryExecution.toRdd.count())
+      val (nc, tC) = time(TextOps.exactSubstrSpans(d10, codedKeys = true).queryExecution.toRdd.count())
+      println(f"STRESS_SUBSTR docs=${d10.count()} string_time=$tS%.2fs coded_time=$tC%.2fs out=$ns/$nc")
+    }
+
+    // q95: the single-fat-source worst case — every doc in ONE group, so
+    // the running-sum window sorts the whole corpus on one task (the
+    // same concentration tokenBudgetPack's pre-filter bounds; sequence
+    // packing has no cut because every row is admitted by definition).
+    if (which == "seqpack" || which == "all") {
+      import graft.ops.{SampleOps, TextOps}
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until x).map { i =>
+        docs.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"), col("text"))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet("/tmp/graft_stress_seq")
+      val base = spark.read.parquet("/tmp/graft_stress_seq")
+        .where(col("text").isNotNull)
+        .select(lit("fat").as("source"), col("doc_id"),
+          size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val (n, t) = time(SampleOps.sequencePack(base, "source", "doc_id", "n_tokens", 2048L)
+        .queryExecution.toRdd.count())
+      println(f"STRESS_SEQPACK rows=$n single_source_time=$t%.2fs")
+    }
     spark.stop()
   }
 }

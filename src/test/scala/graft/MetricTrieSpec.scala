@@ -76,6 +76,67 @@ class MetricTrieSpec extends AnyFunSuite {
     assert(again.search("b.cpu").isEmpty, "older APPROVED row must not undo the newer HIDDEN")
   }
 
+  test("withDelta overlap: back-dated writes within 120s apply, beyond it only a rebuild sees them") {
+    val base = Seq(("s.", 1, "", "SIMPLE", 10000L), ("s.a", 2, "s.", "SIMPLE", 10000L))
+    val trie = MetricTrie.fromTree(base.toDF("name", "level", "parent", "status", "updated"))
+    assert(trie.deltaWatermark === 10000L)
+    // stamped 9890 >= watermark - 120: the delta scan re-reads it
+    val d1 = (base :+ ("s.b", 2, "s.", "SIMPLE", 9890L))
+      .toDF("name", "level", "parent", "status", "updated")
+    assert(trie.withDelta(d1).search("s.b").nonEmpty,
+      "back-dated write inside the overlap window must re-apply")
+    // stamped 9000 < watermark - 120: invisible to ANY incremental
+    // refresh (this is why Graft tracks min-backdate and rebuilds)
+    val d2 = (base :+ ("s.c", 2, "s.", "SIMPLE", 9000L))
+      .toDF("name", "level", "parent", "status", "updated")
+    assert(trie.withDelta(d2).search("s.c").isEmpty,
+      "the delta scan must not see past the overlap window")
+    assert(MetricTrie.fromTree(d2).search("s.c").nonEmpty, "a full rebuild does")
+  }
+
+  test("withDelta soak: chained refreshes race-free against concurrent readers") {
+    // the hazard the round-5 code review found: an in-place-mutating
+    // refresh tears state under a reader holding the same instance.
+    // Path-copying must give every reader a frozen snapshot: repeated
+    // reads of ONE instance agree, and the sequentially-added extras
+    // are always a PREFIX (extra_k visible ⇒ all extra_j, j<k visible).
+    val cols = Seq("name", "level", "parent", "status", "updated")
+    val base = (("s.", 1, "", "SIMPLE", 1000L) +:
+      (0 until 200).map(i => (s"s.m$i", 2, "s.", "SIMPLE", 1000L))).toDF(cols: _*)
+    val gens = 12
+    @volatile var current = MetricTrie.fromTree(base)
+    @volatile var stop = false
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val readers = (1 to 3).map { r =>
+      val th = new Thread(() => {
+        while (!stop) {
+          val t = current // hold ONE snapshot across several reads
+          val a = t.search("s.*").length
+          val vis = (1 to gens).map(k => t.search(s"s.extra$k").nonEmpty)
+          val b = t.search("s.*").length
+          if (a != b) errs.add(s"reader $r: snapshot changed size $a -> $b")
+          val k = vis.takeWhile(identity).length
+          if (vis.drop(k).contains(true)) errs.add(s"reader $r: non-prefix extras $vis")
+          if (a != 200 + k) errs.add(s"reader $r: size $a but $k extras visible")
+        }
+      })
+      th.start(); th
+    }
+    try {
+      var rows = (("s.", 1, "", "SIMPLE", 1000L) +:
+        (0 until 200).map(i => (s"s.m$i", 2, "s.", "SIMPLE", 1000L))).toVector
+      (1 to gens).foreach { k =>
+        rows = rows :+ ((s"s.extra$k", 2, "s.", "SIMPLE", 1000L + k))
+        current = current.withDelta(rows.toDF(cols: _*))
+      }
+    } finally {
+      stop = true
+      readers.foreach(_.join(10000))
+    }
+    assert(errs.isEmpty, s"torn reads: ${errs.toArray.mkString("; ")}")
+    assert(current.search("s.*").length === 200 + gens)
+  }
+
   test("size reports one node per distinct path") {
     assert(MetricTrie.fromTree(treeRows).size === 8L) // a, b, a.cpu, a.mem, b.cpu, 3 leaves
   }
