@@ -66,7 +66,11 @@ object Bench {
     def jmap(m: Map[String, Double]) =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // headline total counts ORACLE queries only: the bench-only twins
+    // (q76b/q93b) duplicate their originals' work, and folding them in
+    // would skew round-over-round total comparisons
+    val benchOnlyNames = SparkEntry.benchOnlyQueries.keySet
+    val total = results.filterNot(kv => benchOnlyNames(kv._1)).values.sum
     // ingest throughput (reference design envelope: >=200k points/s,
     // BASELINE.md): synthesize lines, run the full parse+validate path.
     // Median-of-`samples` like the queries.

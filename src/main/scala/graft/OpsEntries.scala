@@ -272,6 +272,13 @@ private[graft] object OpsEntries {
         .join(keep, Seq("doc_id"), "left_semi")
         .filter(col("quality_score") >= 0.5)
         .select(col("source"), col("doc_id"), col("n_tokens"), col("quality_score"))
+        // session-lifetime cache BY DESIGN: the entry demonstrates the
+        // persisted posture (the engage-check must not re-run the
+        // pipeline), and unpersisting after plan construction would
+        // make the timed action recompute the very lineage the persist
+        // exists to avoid. Repeated calls don't stack: the CacheManager
+        // keys by logical plan and reuses the entry. Library callers
+        // own their corpus's persist lifecycle.
         .persist()
       graft.ops.SampleOps.tokenBudgetPack(scored,
           "source", "doc_id", "n_tokens", 100L,

@@ -63,9 +63,25 @@ final class Graft(
     * last synced (MaxValue = none pending). A write back-dated beyond
     * the delta overlap would be invisible to an incremental refresh
     * forever; tracking the minimum lets [[refreshSearchCache]] detect
-    * that and fall back to a full rebuild on its own.
+    * that and fall back to a full rebuild on its own. All access is
+    * under [[pendingLock]]: min-recording is a read-modify-write, and a
+    * refresh must CLAIM the pending value atomically before it scans —
+    * a concurrent setStatus then records for the NEXT refresh instead
+    * of being wiped by this one's reset.
     */
-  @volatile private var minPendingUpdated: Long = Long.MaxValue
+  private var minPendingUpdated: Long = Long.MaxValue
+  private val pendingLock = new Object
+
+  private def recordPending(nowSeconds: Long): Unit = pendingLock.synchronized {
+    minPendingUpdated = math.min(minPendingUpdated, nowSeconds)
+  }
+
+  /** Atomically take-and-reset the pending minimum (claimed BEFORE the
+    * refresh reads the tree, so writes landing mid-refresh stay pending).
+    */
+  private def claimPending(): Long = pendingLock.synchronized {
+    val p = minPendingUpdated; minPendingUpdated = Long.MaxValue; p
+  }
 
   private val trieOverlapSeconds = 120L
 
@@ -82,18 +98,23 @@ final class Graft(
     * its own cadence. Always a snapshot swap: concurrent readers keep
     * a consistent instance throughout.
     */
-  def refreshSearchCache(): Unit = trieCache match {
-    case Some(t) if minPendingUpdated >= t.deltaWatermark - trieOverlapSeconds =>
-      trieCache = Some(t.withDelta(tree, trieOverlapSeconds))
-      minPendingUpdated = Long.MaxValue
-    case _ =>
-      rebuildSearchCache()
+  def refreshSearchCache(): Unit = {
+    val pending = claimPending()
+    try trieCache match {
+      case Some(t) if pending >= t.deltaWatermark - trieOverlapSeconds =>
+        trieCache = Some(t.withDelta(tree, trieOverlapSeconds))
+      case _ =>
+        trieCache = Some(graft.search.MetricTrie.fromTree(tree))
+    } catch {
+      case e: Throwable => recordPending(pending); throw e // refresh failed: stay pending
+    }
   }
 
   /** Full rebuild-and-swap (point-in-time-consistent snapshot). */
   def rebuildSearchCache(): Unit = {
-    trieCache = Some(graft.search.MetricTrie.fromTree(tree))
-    minPendingUpdated = Long.MaxValue
+    val pending = claimPending()
+    try trieCache = Some(graft.search.MetricTrie.fromTree(tree))
+    catch { case e: Throwable => recordPending(pending); throw e }
   }
 
   /** Trie-served glob search (builds the snapshot on first use). Same
@@ -171,8 +192,10 @@ final class Graft(
                 nowSeconds: Long = System.currentTimeMillis() / 1000): Unit = {
     statusRows(pattern, status, nowSeconds).write.mode("append").parquet(treePath)
     // remember the oldest stamp so a back-dated write beyond the delta
-    // overlap forces refreshSearchCache into a full rebuild
-    minPendingUpdated = math.min(minPendingUpdated, nowSeconds)
+    // overlap forces refreshSearchCache into a full rebuild (recorded
+    // AFTER the write lands: a refresh scanning concurrently either saw
+    // the rows or will see this pending marker on its next cycle)
+    recordPending(nowSeconds)
   }
 
   /** §3.3 — streaming ingest of graphite plaintext lines. */

@@ -69,11 +69,14 @@ final case class MetricValidator(
   /** [[validate]] as a native column expression — same checks, fully
     * codegen'd (no UDF): length window, no leading dot, no empty level,
     * level-count window, whitelist regex. `rlike` finds rather than
-    * matches, so the pattern is `^`-anchored here; the default pattern
-    * carries its own `$`, and a custom `metricRegexp` must too for the
-    * column form and [[validate]] to agree. Null name → false (the
-    * Scala form can't see a null; the relational boundary defines it
-    * as invalid). `LineParserSpec` pins row parity against [[validate]].
+    * matches, so the pattern is wrapped `\A(?:…)\z` here: `\z` (true
+    * end-of-input), not `$`, because an unanchored `$` matches BEFORE a
+    * final line terminator — "a.b.c\n" would pass a `^…$` wrap while
+    * `Pattern.matches` rejects it — and the non-capturing group keeps a
+    * custom `metricRegexp` with top-level alternation correctly
+    * anchored. Null name → false (the Scala form can't see a null; the
+    * relational boundary defines it as invalid). `LineParserSpec` pins
+    * row parity against [[validate]], line-terminator cases included.
     */
   def validColumn(name: org.apache.spark.sql.Column,
                   allowDirs: Boolean = false): org.apache.spark.sql.Column = {
@@ -88,7 +91,7 @@ final case class MetricValidator(
     val dirOk = if (allowDirs) lit(true) else !dir
     coalesce(
       lenOk && !name.startsWith(".") && !name.contains("..") &&
-        levelsOk && dirOk && name.rlike("^" + metricRegexp),
+        levelsOk && dirOk && name.rlike("\\A(?:" + metricRegexp + ")\\z"),
       lit(false))
   }
 }

@@ -454,7 +454,9 @@ object TextOps {
       val corpus = it.toArray
       val arrs: Array[Array[String]] = corpus.map(_._2.toArray)
       val total = arrs.iterator.map(_.length.toLong).sum
-      require(total <= maxTokens,
+      // the Int.MaxValue clamp keeps a caller-raised maxTokens from
+      // narrowing `total.toInt` negative (array sizes are Int)
+      require(total <= math.min(maxTokens, Int.MaxValue.toLong - 8),
         s"suffixArraySpans is the slice-scale exact form: $total tokens > maxTokens=$maxTokens; " +
           "narrow the slice or use exactSubstrSpans (the distributed screen)")
       // flat suffix table in doc-major order: suffix s ↔ (sufD(s), sufP(s))

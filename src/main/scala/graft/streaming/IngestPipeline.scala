@@ -54,6 +54,12 @@ final class IngestPipeline(
     * the timestamp. (An earlier design wrote `timestamp = batchId` to
     * reuse the stock A1 key, but that rendered the series at 1970 on
     * any time-axis consumer and mis-aged it under retention.)
+    *
+    * MIGRATION (pre-round-6 stats paths): old refusal rows have no
+    * `batch_id` column and carry the batch id IN `timestamp`. Read a
+    * mixed directory with `option("mergeSchema", true)` and key the
+    * dedup on `coalesce(batch_id, timestamp)` — exactly the batch id
+    * under both schemas (`TreeLimitsSpec` pins the mixed read).
     */
   private def recordRefusals(spark: SparkSession, nRefused: Long, batchId: Long): Unit =
     limitStatsPath.foreach { path =>

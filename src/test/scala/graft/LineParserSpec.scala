@@ -56,7 +56,10 @@ class LineParserSpec extends AnyFunSuite {
       ("x." * 20) + "y",                  // 21 levels (> maxLevels)
       ("x." * 19) + "y",                  // 20 levels (at maxLevels)
       "x" * 501,                          // too long
-      "ab." * 166 + "xy"                  // 500 chars exactly
+      "ab." * 166 + "xy",                 // 500 chars exactly
+      "one_min.a.b\n",                    // trailing LF: $ would pass, \z must not
+      "one_min.a.b\r",                    // trailing CR
+      "one_min.a.b\r\n"                   // CRLF tail from an unsplit line
     )
     for (allowDirs <- Seq(false, true)) {
       val got = corpus.toDF("name")
