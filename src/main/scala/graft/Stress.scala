@@ -81,6 +81,36 @@ object Stress {
         f"full_time=$tOld%.2fs rows_new=$rNew rows_old=$rOld identical=$same " +
         f"sort_input=$sortInput biggest_group=$biggest")
     }
+    // Skewed embedding space: 70% of the ×x corpus collapses onto one
+    // content cluster — the case where k(n) alone cannot bound the
+    // worst cell. A/B the flat pass vs semDedupAdaptive (refined pair
+    // work and max group are what must shrink).
+    if (which == "skew" || which == "all") {
+      import graft.ops.SimilarityOps
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      (0 until x).map { i =>
+        val shifted = emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("embedding"))
+        if (i % 10 < 7) // 7 of 10 copies: near-identical cluster vectors
+          shifted.select(col("vec_id"),
+            array_repeat(lit(1.0f) + (col("vec_id") % 1000).cast("float") * 1e-6f, 64)
+              .as("embedding"))
+        else shifted
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet("/tmp/graft_stress_skew")
+      val sk = spark.read.parquet("/tmp/graft_stress_skew")
+      def groupStats(df: DataFrame, keys: String*): (Double, Long) =
+        df.groupBy(keys.map(col): _*).count()
+          .select(sum(col("count") * (col("count") - 1) / 2).as("p"), max("count").as("mx"))
+          .as[(Double, Long)].head()
+      val (flat, tF) = time { val o = SimilarityOps.semDedup(sk, targetCellRows = 1024); o.count(); o }
+      val (pF, mxF) = groupStats(flat, "cell")
+      val (ad, tA) = time { val o = SimilarityOps.semDedupAdaptive(sk,
+        targetCellRows = 1024, oversizeFactor = 4); o.count(); o }
+      val (pA, mxA) = groupStats(ad, "cell", "subcell")
+      println(f"STRESS_SKEW n=${sk.count()} flat_time=$tF%.1fs flat_pairs=$pF%.3e flat_maxcell=$mxF " +
+        f"adaptive_time=$tA%.1fs adaptive_pairs=$pA%.3e adaptive_maxgroup=$mxA")
+    }
+
     // q92: per-series Holt-Winters fold under ×x SERIES COUNT (the
     // growth axis at 100 TB — more metrics, not longer histories, W2
     // step coarsening bounds points-per-series). Expect ~linear time.

@@ -326,6 +326,81 @@ object SimilarityOps {
     math.min(65536L, math.max(8L, bySize)).toInt
   }
 
+  /** [[semDedup]] with ADAPTIVE CELL REFINEMENT — the skew-safe form.
+    *
+    * The k(n) policy pins the EXPECTED cell size, but a skewed
+    * embedding space (one dominant content cluster — boilerplate, a
+    * crawler loop) concentrates far more than `targetCellRows` vectors
+    * in one cell no matter how large k is, and that cell's pair join
+    * reintroduces the n² the clustering exists to prevent. This form
+    * runs the flat pass, measures actual cell sizes, and RE-CLUSTERS
+    * only the cells above `oversizeFactor × targetCellRows` with their
+    * own per-cell Lloyd (same deterministic contract; k from the same
+    * k(n) policy on the cell's own count). Pairs then confine to
+    * (cell, subcell). This is also the documented two-level path past
+    * the 65536 k cap: the flat pass is the coarse quantizer, refinement
+    * is the per-cell re-cluster — IVF_PQ's layout, applied only where
+    * the data needs it.
+    *
+    * Cost shape: ONE driver loop iteration per oversized cell (each a
+    * bounded Lloyd over that cell's rows — in a skewed corpus that's a
+    * handful of cells, and in a uniform one none, where this degrades
+    * to exactly [[semDedup]] plus one cell-count aggregate). The
+    * refined assignment rides a when-chain of per-cell
+    * [[graft.functions.VectorExprs.nearestCell]] literals — map-only,
+    * no join. Semantics note: refinement narrows the comparison scope
+    * exactly like the flat cells already do (SemDeDup accepts cross-cell
+    * misses by design); `SimilaritySpec` pins the uniform-corpus
+    * degenerate case equal to [[semDedup]] and the skew case's bounded
+    * cells.
+    *
+    * Output: (vec_id, cell, subcell, dropped).
+    */
+  def semDedupAdaptive(emb: DataFrame, iters: Int = 3, threshold: Double = 0.4,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       targetCellRows: Long = 4096,
+                       oversizeFactor: Int = 8): DataFrame = {
+    require(oversizeFactor >= 2, s"oversizeFactor must be >= 2: $oversizeFactor")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val clean = DedupOps.widen(emb.filter(col(vecCol).isNotNull))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val kEff = semDedupK(clean.count(), targetCellRows)
+      val cents = trainCentroids(clean, kEff, iters, idCol, vecCol)
+      val asg = clean.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+          assignCell(cents, vecCol).as("cell"), norm(col(vecCol)).as("nrm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val oversized: Array[(Int, Long)] = asg.groupBy("cell").count()
+          .filter(col("count") > oversizeFactor.toLong * targetCellRows)
+          .select(col("cell"), col("count")).as[(Int, Long)].collect()
+        val sub: Column = oversized.foldLeft(lit(0)) { case (acc, (c, n)) =>
+          val cellRows = asg.filter(col("cell") === c).select(col("vec_id"), col("vec"))
+          val subCents = trainCentroids(cellRows, semDedupK(n, targetCellRows), iters,
+            "vec_id", "vec")
+          when(col("cell") === c, assignCell(subCents, "vec")).otherwise(acc)
+        }
+        val refined = asg.withColumn("subcell", sub)
+        val a = refined.select(col("cell"), col("subcell"), col("vec_id").as("id_a"),
+          col("vec").as("va"), col("nrm").as("na"))
+        val b = refined.select(col("cell"), col("subcell"), col("vec_id").as("id_b"),
+          col("vec").as("vb"), col("nrm").as("nb"))
+        val dropped = a.join(b, Seq("cell", "subcell"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_b"),
+            round(cosinePre(col("va"), col("vb"), col("na"), col("nb")), 6).as("cos_sim"))
+          .groupBy("id_b").agg(max(col("cos_sim")).as("max_sim"))
+          .filter(col("max_sim") >= threshold)
+          .select(col("id_b").as("vec_id"), lit(true).as("is_dup"))
+        refined.select(col("vec_id"), col("cell"), col("subcell"))
+          .join(dropped, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"), col("subcell"),
+            coalesce(col("is_dup"), lit(false)).as("dropped"))
+      } finally asg.unpersist(blocking = false)
+    } finally clean.unpersist(blocking = false)
+  }
+
   /** Per-cell mean vectors — a one-pass "k-means with given assignment"
     * for IVF centroids (the assignment column already exists in the
     * testdata as `label`; a full Lloyd's iteration would alternate this

@@ -193,6 +193,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.filter(_._2._2).keySet === Set(2L)) // only the higher id of the near-pair drops
   }
 
+  test("semDedupAdaptive: uniform corpus degenerates to the flat pass; skew refines oversized cells") {
+    import graft.ops.SimilarityOps
+    // deterministic 8-dim corpus: 60 spread vectors (no cell exceeds
+    // 2 × targetCellRows=20 → no refinement) — result must equal flat
+    // semDedup's (vec_id, cell, dropped) exactly, with subcell 0
+    def v(seed: Long): Seq[Float] =
+      (0 until 8).map(d => math.sin(seed * 7.0 + d * 3.1).toFloat * 10f)
+    val uniform = (0L until 60L).map(i => (i, v(i))).toDF("vec_id", "embedding")
+    val flat = SimilarityOps.semDedup(uniform, targetCellRows = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    val adaptive = SimilarityOps.semDedupAdaptive(uniform, targetCellRows = 20, oversizeFactor = 2)
+    assert(adaptive.select("subcell").distinct().collect().map(_.getInt(0)).toSeq === Seq(0),
+      "no oversized cell → no refinement")
+    assert(adaptive.select("vec_id", "cell", "dropped")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet === flat)
+
+    // skew: 150 near-identical vectors (one content cluster) + 50
+    // spread. The flat pass concentrates the cluster in one cell far
+    // above 2×20; the adaptive pass must re-cluster it so no refined
+    // group exceeds the flat pass's worst cell
+    val skewed = ((0L until 150L).map(i => (i, Seq.fill(8)(1f + i * 1e-5f))) ++
+      (150L until 200L).map(i => (i, v(i)))).toDF("vec_id", "embedding")
+    val flatMax = SimilarityOps.semDedup(skewed, targetCellRows = 20)
+      .groupBy("cell").count().agg(max("count")).as[Long].head()
+    val ref = SimilarityOps.semDedupAdaptive(skewed, targetCellRows = 20, oversizeFactor = 2)
+    val refMax = ref.groupBy("cell", "subcell").count().agg(max("count")).as[Long].head()
+    assert(flatMax > 2L * 20L, s"skew corpus must actually overflow a flat cell (got $flatMax)")
+    assert(refMax < flatMax, s"refinement must shrink the worst cell: $refMax !< $flatMax")
+    // dedup semantics survive refinement: the near-identical cluster
+    // still collapses to (roughly) one keeper per refined group
+    val keptInCluster = ref.filter(col("vec_id") < 150 && !col("dropped")).count()
+    val groups = ref.filter(col("vec_id") < 150)
+      .select("cell", "subcell").distinct().count()
+    assert(keptInCluster === groups,
+      "every refined group of the identical cluster keeps exactly its lowest id")
+  }
+
   test("semDedupK scales cell count with corpus size, floors at 8, caps at 65536") {
     import graft.ops.SimilarityOps.semDedupK
     assert(semDedupK(0) === 8)
