@@ -91,6 +91,36 @@ private[graft] object OpsEntries {
     "q97_semdedup_autok" -> ((s, dir) =>
       SimilarityOps.semDedup(t(s, dir, "embeddings"), targetCellRows = 32)),
 
+    // The SKEW-SAFE adaptive semDedup path under the input class it
+    // exists for: 70% of vectors collapse onto 4 anchor embeddings
+    // (deterministic broadcast self-join — the real table has no
+    // dominant content cluster, so the flat pass alone never oversizes
+    // a cell on it), then semDedupAdaptive refines the oversized cells
+    // with per-cell Lloyd. The oracle replays the ENTIRE trace: flat
+    // auto-k k-means, cell-size measurement, per-cell re-cluster,
+    // (cell, subcell)-confined drop rule.
+    // The collapsed copies get a deterministic per-row perturbation on
+    // dim 1 ((vec_id % 97) / 1000, double add, float round-trip — bit-
+    // identical in both engines): byte-IDENTICAL mass cannot be split by
+    // any k (no semantic axis — the spec-pinned floor), near-dup mass is
+    // what refinement exists to subdivide.
+    "q100_semdedup_skew" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      val anchors = base.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("aid"), col("embedding").as("avec"))
+      val skewed = base
+        .withColumn("aid", when(col("vec_id") % 10 < 7, col("vec_id") % 4))
+        .join(broadcast(anchors), Seq("aid"), "left")
+        .select(col("vec_id"),
+          when(col("avec").isNotNull,
+            concat(
+              array((element_at(col("avec"), 1).cast("double")
+                + (col("vec_id") % 97).cast("double") / 1000.0).cast("float")),
+              slice(col("avec"), 2, 63)))
+            .otherwise(col("embedding")).as("embedding"))
+      SimilarityOps.semDedupAdaptive(skewed, targetCellRows = 32, oversizeFactor = 2)
+    }),
+
     // IVF ANN over TRAINED centroids: the learned coarse quantizer
     // routes corpus and probes (nearest_cell), exact cosine in-cell.
     "q90_ivf_trained" -> ((s, dir) => {
@@ -486,10 +516,18 @@ private[graft] object OpsEntries {
     * (k only enters the trace through the init row-count, so computing
     * it in SQL keeps the oracle independent of the Spark side).
     */
-  private def kmeansCtes(kSelect: String, iters: Int, dims: Int): String = {
+  private def kmeansCtes(kSelect: String, iters: Int, dims: Int): String =
+    kmeansCtes(kSelect, iters, dims,
+      "SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL")
+
+  /** `embSelect` defines the training corpus CTE (`emb`) — the default
+    * is the raw non-null embeddings table; the skew oracle substitutes
+    * a deterministically collapsed corpus.
+    */
+  private def kmeansCtes(kSelect: String, iters: Int, dims: Int, embSelect: String): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+      s"""WITH emb AS ($embSelect),
          |kk AS ($kSelect),
          |init AS (SELECT cell, embedding FROM (
          |             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding FROM emb)
@@ -556,6 +594,85 @@ private[graft] object OpsEntries {
          |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
          |       vec_id IN (SELECT id_b FROM drp) AS dropped
          |FROM asg""".stripMargin
+
+  /** The deterministically SKEWED corpus both engines run the adaptive
+    * semDedup on: 70% of vectors (vec_id % 10 < 7) collapse onto the
+    * embedding of anchor vec_id % 4 — the dominant-content-cluster input
+    * class the refinement exists for, built from the real table by a
+    * broadcast-sized self-join so the oracle replays it exactly.
+    */
+  private val skewedEmbSelect: String =
+    """SELECT b.vec_id,
+      |       CASE WHEN a.avec IS NOT NULL
+      |            THEN list_concat([CAST(CAST(a.avec[1] AS DOUBLE) + (b.vec_id % 97) / 1000.0 AS REAL)],
+      |                             a.avec[2:])
+      |            ELSE b.embedding END AS embedding
+      |FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL) b
+      |LEFT JOIN (SELECT vec_id AS aid, embedding AS avec FROM embeddings
+      |           WHERE embedding IS NOT NULL AND vec_id < 4) a
+      |  ON b.vec_id % 10 < 7 AND a.aid = b.vec_id % 4""".stripMargin
+
+  /** Adaptive (skew-safe) semDedup oracle: the flat auto-k Lloyd trace,
+    * actual cell-size measurement, a per-oversized-cell Lloyd replay
+    * (k(n) on the cell's own count, init = the cell's k lowest-id
+    * vectors, same 4-decimal rounding / lowest-sub tie-break /
+    * empty-subcell carry-over), then the max-cosine drop rule confined
+    * to (cell, subcell) — the independent SQL re-statement of
+    * `SimilarityOps.semDedupAdaptive`.
+    */
+  private def semDedupAdaptiveSql(targetCellRows: Int, oversizeFactor: Int,
+                                  embSelect: String, iters: Int = 3, dims: Int = 64,
+                                  threshold: Double = 0.4): String = {
+    val sb = new StringBuilder
+    sb.append(kmeansCtes(
+      s"SELECT CAST(least(65536, greatest(8, (count(*) + ${targetCellRows - 1}) // $targetCellRows)) AS INTEGER) AS k FROM emb",
+      iters, dims, embSelect))
+    sb.append(kmeansAssignCtes(iters))
+    sb.append(
+      s"""big AS (SELECT cell, count(*) AS cnt FROM asg GROUP BY cell
+         |        HAVING count(*) > ${oversizeFactor.toLong * targetCellRows}),
+         |bk AS (SELECT cell, CAST(least(65536, greatest(8, (cnt + ${targetCellRows - 1}) // $targetCellRows)) AS INTEGER) AS k FROM big),
+         |brows AS (SELECT a.cell, a.vec_id, a.embedding FROM asg a JOIN big b ON a.cell = b.cell),
+         |sinit AS (SELECT r.cell, r.sub, r.embedding FROM (
+         |            SELECT cell, embedding, row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS sub
+         |            FROM brows) r JOIN bk ON r.cell = bk.cell WHERE r.sub < bk.k),
+         |s0 AS (SELECT cell, sub, dim, round(CAST(embedding[dim] AS DOUBLE), 4) AS value
+         |       FROM sinit CROSS JOIN range(1, ${dims + 1}) t(dim)),
+         |""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(
+        s"""sl${i - 1} AS (SELECT cell, sub, list(value ORDER BY dim) AS cv FROM s${i - 1} GROUP BY cell, sub),
+           |sa$i AS (SELECT cell, vec_id, embedding, sub FROM (
+           |  SELECT e.cell, e.vec_id, e.embedding, c.sub,
+           |         row_number() OVER (PARTITION BY e.cell, e.vec_id ORDER BY ${kmeansL2("e.embedding", "c.cv")}, c.sub) AS r
+           |  FROM brows e JOIN sl${i - 1} c ON e.cell = c.cell) WHERE r = 1),
+           |su$i AS (SELECT cell, sub, dim, round(avg(CAST(embedding[dim] AS DOUBLE)), 4) AS value
+           |       FROM sa$i CROSS JOIN range(1, ${dims + 1}) t(dim) GROUP BY cell, sub, dim),
+           |s$i AS (SELECT * FROM su$i UNION ALL
+           |       SELECT p.* FROM s${i - 1} p WHERE NOT EXISTS (
+           |         SELECT 1 FROM su$i u WHERE u.cell = p.cell AND u.sub = p.sub)),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""sl$iters AS (SELECT cell, sub, list(value ORDER BY dim) AS cv FROM s$iters GROUP BY cell, sub),
+         |rsub AS (SELECT cell, vec_id, sub FROM (
+         |  SELECT e.cell, e.vec_id, c.sub,
+         |         row_number() OVER (PARTITION BY e.cell, e.vec_id ORDER BY ${kmeansL2("e.embedding", "c.cv")}, c.sub) AS r
+         |  FROM brows e JOIN sl$iters c ON e.cell = c.cell) WHERE r = 1),
+         |ref AS (SELECT a.vec_id, a.embedding, a.cell, coalesce(r.sub, 0) AS subcell
+         |        FROM asg a LEFT JOIN rsub r ON a.cell = r.cell AND a.vec_id = r.vec_id),
+         |pairs AS (SELECT b.vec_id AS id_b, round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |          FROM ref a JOIN ref b ON a.cell = b.cell AND a.subcell = b.subcell AND a.vec_id < b.vec_id),
+         |drp AS (SELECT id_b FROM pairs GROUP BY id_b HAVING max(cos_sim) >= $threshold)
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell, CAST(subcell AS INTEGER) AS subcell,
+         |       vec_id IN (SELECT id_b FROM drp) AS dropped
+         |FROM ref""".stripMargin)
+    // DuckDB 1.x inlines CTEs PER REFERENCE: this chain re-references
+    // asg/brows/s<i> so deeply that inlining re-expands the whole Lloyd
+    // trace exponentially (observed: minutes + fd exhaustion at sf0.001
+    // vs 0.4 s materialized). Every CTE here is evaluate-once state.
+    sb.toString.replaceAll("""\b([a-z]+\d*) AS \(""", "$1 AS MATERIALIZED (")
+  }
 
   /** Trained-centroid IVF oracle: probe the `nprobe` nearest trained
     * cells per query (squared-L2 to the centroid, lower cell on ties),
@@ -679,6 +796,9 @@ private[graft] object OpsEntries {
 
     "q75_semdedup" -> semDedupSql(),
     "q97_semdedup_autok" -> semDedupAutoKSql(targetCellRows = 32),
+
+    "q100_semdedup_skew" -> semDedupAdaptiveSql(targetCellRows = 32, oversizeFactor = 2,
+      embSelect = skewedEmbSelect),
 
     "q90_ivf_trained" -> ivfTrainedSql(),
 

@@ -322,6 +322,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       rows(TextOps.dupSpanFrame(docs)))
   }
 
+  test("q100 skew corpus actually engages adaptive refinement at every test scale") {
+    // the oracle hash can't distinguish "refined correctly" from "never
+    // refined" if the constructed skew stopped overflowing a flat cell
+    // (e.g. after a testdata regen) — pin multi-subcell cells existing
+    // and the collapsed anchor mass actually dropping
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val got = SparkEntry.queries("q100_semdedup_skew")(spark, dir).cache()
+    try {
+      val refinedCells = got.groupBy("cell")
+        .agg(countDistinct("subcell").as("subs")).filter(col("subs") > 1).count()
+      assert(refinedCells >= 1, "no cell refined — the skew no longer overflows the flat pass")
+      val dropped = got.filter(col("dropped")).count()
+      assert(dropped > got.count() / 2,
+        "the collapsed 70% anchor mass must mostly drop as near-dups")
+    } finally got.unpersist()
+  }
+
   test("dupSpanFrame: cross-doc windows count, within-doc repeats and short docs don't") {
     val docs = Seq(
       (1L, "a b c d e"),        // windows(3): abc bcd cde — abc,bcd shared with doc 2
