@@ -518,33 +518,36 @@ private[graft] object OpsEntries {
     */
   private def kmeansCtes(kSelect: String, iters: Int, dims: Int): String =
     kmeansCtes(kSelect, iters, dims,
-      "SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL")
+      "SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL", mat = false)
 
   /** `embSelect` defines the training corpus CTE (`emb`) — the default
     * is the raw non-null embeddings table; the skew oracle substitutes
-    * a deterministically collapsed corpus.
+    * a deterministically collapsed corpus. `mat = true` writes every
+    * CTE as `AS MATERIALIZED` (see [[semDedupAdaptiveSql]] for why).
     */
-  private def kmeansCtes(kSelect: String, iters: Int, dims: Int, embSelect: String): String = {
+  private def kmeansCtes(kSelect: String, iters: Int, dims: Int, embSelect: String,
+                         mat: Boolean): String = {
+    val m = if (mat) "MATERIALIZED " else ""
     val sb = new StringBuilder
     sb.append(
-      s"""WITH emb AS ($embSelect),
-         |kk AS ($kSelect),
-         |init AS (SELECT cell, embedding FROM (
+      s"""WITH emb AS $m($embSelect),
+         |kk AS $m($kSelect),
+         |init AS $m(SELECT cell, embedding FROM (
          |             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding FROM emb)
          |             WHERE cell < (SELECT k FROM kk)),
-         |c0 AS (SELECT cell, dim, round(CAST(embedding[dim] AS DOUBLE), 4) AS value
+         |c0 AS $m(SELECT cell, dim, round(CAST(embedding[dim] AS DOUBLE), 4) AS value
          |       FROM init CROSS JOIN range(1, ${dims + 1}) t(dim)),
          |""".stripMargin)
     for (i <- 1 to iters) {
       sb.append(
-        s"""cl${i - 1} AS (SELECT cell, list(value ORDER BY dim) AS cv FROM c${i - 1} GROUP BY cell),
-           |a$i AS (SELECT vec_id, embedding, cell FROM (
+        s"""cl${i - 1} AS $m(SELECT cell, list(value ORDER BY dim) AS cv FROM c${i - 1} GROUP BY cell),
+           |a$i AS $m(SELECT vec_id, embedding, cell FROM (
            |  SELECT e.vec_id, e.embedding, c.cell,
            |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${kmeansL2("e.embedding", "c.cv")}, c.cell) AS r
            |  FROM emb e CROSS JOIN cl${i - 1} c) WHERE r = 1),
-           |u$i AS (SELECT cell, dim, round(avg(CAST(embedding[dim] AS DOUBLE)), 4) AS value
+           |u$i AS $m(SELECT cell, dim, round(avg(CAST(embedding[dim] AS DOUBLE)), 4) AS value
            |       FROM a$i CROSS JOIN range(1, ${dims + 1}) t(dim) GROUP BY cell, dim),
-           |c$i AS (SELECT * FROM u$i UNION ALL
+           |c$i AS $m(SELECT * FROM u$i UNION ALL
            |       SELECT * FROM c${i - 1} WHERE cell NOT IN (SELECT DISTINCT cell FROM u$i)),
            |""".stripMargin)
     }
@@ -564,13 +567,15 @@ private[graft] object OpsEntries {
     * `asg`) on top of [[kmeansCtes]] — shared by the semdedup and
     * trained-IVF oracles.
     */
-  private def kmeansAssignCtes(iters: Int): String =
-    s"""cl$iters AS (SELECT cell, list(value ORDER BY dim) AS cv FROM c$iters GROUP BY cell),
-       |asg AS (SELECT vec_id, embedding, cell FROM (
+  private def kmeansAssignCtes(iters: Int, mat: Boolean = false): String = {
+    val m = if (mat) "MATERIALIZED " else ""
+    s"""cl$iters AS $m(SELECT cell, list(value ORDER BY dim) AS cv FROM c$iters GROUP BY cell),
+       |asg AS $m(SELECT vec_id, embedding, cell FROM (
        |  SELECT e.vec_id, e.embedding, c.cell,
        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${kmeansL2("e.embedding", "c.cv")}, c.cell) AS r
        |  FROM emb e CROSS JOIN cl$iters c) WHERE r = 1),
        |""".stripMargin
+  }
 
   /** The auto-k replay: k(n) = min(65536, max(8, ceil(n / target)))
     * computed from the SAME corpus count the engine derives it from
@@ -623,55 +628,56 @@ private[graft] object OpsEntries {
   private def semDedupAdaptiveSql(targetCellRows: Int, oversizeFactor: Int,
                                   embSelect: String, iters: Int = 3, dims: Int = 64,
                                   threshold: Double = 0.4): String = {
+    // DuckDB 1.x inlines CTEs PER REFERENCE: this chain re-references
+    // asg/brows/s<i> so deeply that inlining re-expands the whole Lloyd
+    // trace exponentially (observed: minutes + fd exhaustion at sf0.001
+    // vs 0.4 s materialized). Every CTE here is evaluate-once state,
+    // written AS MATERIALIZED at the template site.
     val sb = new StringBuilder
     sb.append(kmeansCtes(
       s"SELECT CAST(least(65536, greatest(8, (count(*) + ${targetCellRows - 1}) // $targetCellRows)) AS INTEGER) AS k FROM emb",
-      iters, dims, embSelect))
-    sb.append(kmeansAssignCtes(iters))
+      iters, dims, embSelect, mat = true))
+    sb.append(kmeansAssignCtes(iters, mat = true))
     sb.append(
-      s"""big AS (SELECT cell, count(*) AS cnt FROM asg GROUP BY cell
+      s"""big AS MATERIALIZED (SELECT cell, count(*) AS cnt FROM asg GROUP BY cell
          |        HAVING count(*) > ${oversizeFactor.toLong * targetCellRows}),
-         |bk AS (SELECT cell, CAST(least(65536, greatest(8, (cnt + ${targetCellRows - 1}) // $targetCellRows)) AS INTEGER) AS k FROM big),
-         |brows AS (SELECT a.cell, a.vec_id, a.embedding FROM asg a JOIN big b ON a.cell = b.cell),
-         |sinit AS (SELECT r.cell, r.sub, r.embedding FROM (
+         |bk AS MATERIALIZED (SELECT cell, CAST(least(65536, greatest(8, (cnt + ${targetCellRows - 1}) // $targetCellRows)) AS INTEGER) AS k FROM big),
+         |brows AS MATERIALIZED (SELECT a.cell, a.vec_id, a.embedding FROM asg a JOIN big b ON a.cell = b.cell),
+         |sinit AS MATERIALIZED (SELECT r.cell, r.sub, r.embedding FROM (
          |            SELECT cell, embedding, row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS sub
          |            FROM brows) r JOIN bk ON r.cell = bk.cell WHERE r.sub < bk.k),
-         |s0 AS (SELECT cell, sub, dim, round(CAST(embedding[dim] AS DOUBLE), 4) AS value
+         |s0 AS MATERIALIZED (SELECT cell, sub, dim, round(CAST(embedding[dim] AS DOUBLE), 4) AS value
          |       FROM sinit CROSS JOIN range(1, ${dims + 1}) t(dim)),
          |""".stripMargin)
     for (i <- 1 to iters) {
       sb.append(
-        s"""sl${i - 1} AS (SELECT cell, sub, list(value ORDER BY dim) AS cv FROM s${i - 1} GROUP BY cell, sub),
-           |sa$i AS (SELECT cell, vec_id, embedding, sub FROM (
+        s"""sl${i - 1} AS MATERIALIZED (SELECT cell, sub, list(value ORDER BY dim) AS cv FROM s${i - 1} GROUP BY cell, sub),
+           |sa$i AS MATERIALIZED (SELECT cell, vec_id, embedding, sub FROM (
            |  SELECT e.cell, e.vec_id, e.embedding, c.sub,
            |         row_number() OVER (PARTITION BY e.cell, e.vec_id ORDER BY ${kmeansL2("e.embedding", "c.cv")}, c.sub) AS r
            |  FROM brows e JOIN sl${i - 1} c ON e.cell = c.cell) WHERE r = 1),
-           |su$i AS (SELECT cell, sub, dim, round(avg(CAST(embedding[dim] AS DOUBLE)), 4) AS value
+           |su$i AS MATERIALIZED (SELECT cell, sub, dim, round(avg(CAST(embedding[dim] AS DOUBLE)), 4) AS value
            |       FROM sa$i CROSS JOIN range(1, ${dims + 1}) t(dim) GROUP BY cell, sub, dim),
-           |s$i AS (SELECT * FROM su$i UNION ALL
+           |s$i AS MATERIALIZED (SELECT * FROM su$i UNION ALL
            |       SELECT p.* FROM s${i - 1} p WHERE NOT EXISTS (
            |         SELECT 1 FROM su$i u WHERE u.cell = p.cell AND u.sub = p.sub)),
            |""".stripMargin)
     }
     sb.append(
-      s"""sl$iters AS (SELECT cell, sub, list(value ORDER BY dim) AS cv FROM s$iters GROUP BY cell, sub),
-         |rsub AS (SELECT cell, vec_id, sub FROM (
+      s"""sl$iters AS MATERIALIZED (SELECT cell, sub, list(value ORDER BY dim) AS cv FROM s$iters GROUP BY cell, sub),
+         |rsub AS MATERIALIZED (SELECT cell, vec_id, sub FROM (
          |  SELECT e.cell, e.vec_id, c.sub,
          |         row_number() OVER (PARTITION BY e.cell, e.vec_id ORDER BY ${kmeansL2("e.embedding", "c.cv")}, c.sub) AS r
          |  FROM brows e JOIN sl$iters c ON e.cell = c.cell) WHERE r = 1),
-         |ref AS (SELECT a.vec_id, a.embedding, a.cell, coalesce(r.sub, 0) AS subcell
+         |ref AS MATERIALIZED (SELECT a.vec_id, a.embedding, a.cell, coalesce(r.sub, 0) AS subcell
          |        FROM asg a LEFT JOIN rsub r ON a.cell = r.cell AND a.vec_id = r.vec_id),
-         |pairs AS (SELECT b.vec_id AS id_b, round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |pairs AS MATERIALIZED (SELECT b.vec_id AS id_b, round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
          |          FROM ref a JOIN ref b ON a.cell = b.cell AND a.subcell = b.subcell AND a.vec_id < b.vec_id),
-         |drp AS (SELECT id_b FROM pairs GROUP BY id_b HAVING max(cos_sim) >= $threshold)
+         |drp AS MATERIALIZED (SELECT id_b FROM pairs GROUP BY id_b HAVING max(cos_sim) >= $threshold)
          |SELECT vec_id, CAST(cell AS INTEGER) AS cell, CAST(subcell AS INTEGER) AS subcell,
          |       vec_id IN (SELECT id_b FROM drp) AS dropped
          |FROM ref""".stripMargin)
-    // DuckDB 1.x inlines CTEs PER REFERENCE: this chain re-references
-    // asg/brows/s<i> so deeply that inlining re-expands the whole Lloyd
-    // trace exponentially (observed: minutes + fd exhaustion at sf0.001
-    // vs 0.4 s materialized). Every CTE here is evaluate-once state.
-    sb.toString.replaceAll("""\b([a-z]+\d*) AS \(""", "$1 AS MATERIALIZED (")
+    sb.toString
   }
 
   /** Trained-centroid IVF oracle: probe the `nprobe` nearest trained

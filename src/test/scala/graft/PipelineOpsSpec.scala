@@ -326,18 +326,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     // the oracle hash can't distinguish "refined correctly" from "never
     // refined" if the constructed skew stopped overflowing a flat cell
     // (e.g. after a testdata regen) — pin multi-subcell cells existing
-    // and the collapsed anchor mass actually dropping
-    val dir = "/root/testdata/sf0.001"
-    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
-    val got = SparkEntry.queries("q100_semdedup_skew")(spark, dir).cache()
-    try {
-      val refinedCells = got.groupBy("cell")
-        .agg(countDistinct("subcell").as("subs")).filter(col("subs") > 1).count()
-      assert(refinedCells >= 1, "no cell refined — the skew no longer overflows the flat pass")
-      val dropped = got.filter(col("dropped")).count()
-      assert(dropped > got.count() / 2,
-        "the collapsed 70% anchor mass must mostly drop as near-dups")
-    } finally got.unpersist()
+    // and the collapsed anchor mass actually dropping, at EVERY scale
+    // the driver's gate runs (sf0.001 alone proves nothing about the
+    // sf0.01/sf0.1 hash rows)
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(s"$d/embeddings.parquet").exists())
+    assume(dirs.nonEmpty)
+    for (dir <- dirs) {
+      val got = SparkEntry.queries("q100_semdedup_skew")(spark, dir).cache()
+      try {
+        val refinedCells = got.groupBy("cell")
+          .agg(countDistinct("subcell").as("subs")).filter(col("subs") > 1).count()
+        assert(refinedCells >= 1,
+          s"$dir: no cell refined — the skew no longer overflows the flat pass")
+        val dropped = got.filter(col("dropped")).count()
+        assert(dropped > got.count() / 2,
+          s"$dir: the collapsed 70% anchor mass must mostly drop as near-dups")
+      } finally got.unpersist()
+    }
   }
 
   test("dupSpanFrame: cross-doc windows count, within-doc repeats and short docs don't") {
