@@ -30,7 +30,28 @@ object Profile {
         .filter(col("jaccard") >= -1.0)),
       "grams_only" -> (() => DedupOps.explodedShingles(docs, "doc_id", "text", 3)
         .groupBy(col("id")).agg(collect_set(col("sh")).as("grams"))
-        .select(sum(size(col("grams"))).as("s")))
+        .select(sum(size(col("grams"))).as("s"))),
+      // q100 with refinement gated off: times the skew construction +
+      // flat auto-k pass + pair join alone, so (q100 - this) isolates
+      // the joint sub-Lloyd + refined-assignment cost
+      "q100_norefine" -> (() => {
+        val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter(col("embedding").isNotNull)
+        val anchors = base.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("aid"), col("embedding").as("avec"))
+        val skewed = base
+          .withColumn("aid", when(col("vec_id") % 10 < 7, col("vec_id") % 4))
+          .join(broadcast(anchors), Seq("aid"), "left")
+          .select(col("vec_id"),
+            when(col("avec").isNotNull,
+              concat(
+                array((element_at(col("avec"), 1).cast("double")
+                  + (col("vec_id") % 97).cast("double") / 1000.0).cast("float")),
+                slice(col("avec"), 2, 63)))
+              .otherwise(col("embedding")).as("embedding"))
+        graft.ops.SimilarityOps.semDedupAdaptive(skewed, targetCellRows = 32,
+          oversizeFactor = 1000000)
+      })
     )
 
     args.take(1).foreach { name =>

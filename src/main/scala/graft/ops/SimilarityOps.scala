@@ -291,8 +291,17 @@ object SimilarityOps {
     try {
       val kEff = if (k >= 1) k else semDedupK(clean.count(), targetCellRows)
       val cents = trainCentroids(clean, kEff, iters, idCol, vecCol)
+      // localCheckpoint, not a transient persist: the operator is
+      // already eager (the Lloyd collects above), and the returned
+      // frame references the assignment THREE times (both pair-join
+      // sides + the outer join). Without materialization each
+      // reference replays the full corpus scan + k×dims assignment
+      // AFTER the finally-unpersist below — measured 3× the operator's
+      // whole cost at sf0.1. Checkpoint blocks are reclaimed by the
+      // ContextCleaner when the frame is dropped.
       val asg = clean.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
         assignCell(cents, vecCol).as("cell"), norm(col(vecCol)).as("nrm"))
+        .localCheckpoint(true)
       val a = asg.select(col("cell"), col("vec_id").as("id_a"),
         col("vec").as("va"), col("nrm").as("na"))
       val b = asg.select(col("cell"), col("vec_id").as("id_b"),
@@ -342,13 +351,16 @@ object SimilarityOps {
     * is the per-cell re-cluster — IVF_PQ's layout, applied only where
     * the data needs it.
     *
-    * Cost shape: ONE driver loop iteration per oversized cell (each a
-    * bounded Lloyd over that cell's rows — in a skewed corpus that's a
-    * handful of cells, and in a uniform one none, where this degrades
-    * to exactly [[semDedup]] plus one cell-count aggregate). The
-    * refined assignment rides a when-chain of per-cell
-    * [[graft.functions.VectorExprs.nearestCell]] literals — map-only,
-    * no join. Semantics note: refinement narrows the comparison scope
+    * Cost shape: ONE JOINT sub-Lloyd over all oversized cells at once —
+    * `iters + 1` Spark jobs total regardless of how many cells refine
+    * (refining per cell in a driver loop would cost #cells × iters jobs
+    * and re-scan the corpus each time; under heavy skew the job count
+    * itself would track the skew). In a uniform corpus nothing is
+    * oversized and this degrades to exactly [[semDedup]] plus one
+    * cell-count aggregate. The refined assignment rides a when-chain of
+    * per-cell [[graft.functions.VectorExprs.nearestCell]] literals —
+    * map-only, no join. Semantics note: refinement narrows the
+    * comparison scope
     * exactly like the flat cells already do (SemDeDup accepts cross-cell
     * misses by design); `SimilaritySpec` pins the uniform-corpus
     * degenerate case equal to [[semDedup]] and the skew case's bounded
@@ -363,11 +375,14 @@ object SimilarityOps {
     require(oversizeFactor >= 2, s"oversizeFactor must be >= 2: $oversizeFactor")
     val spark = emb.sparkSession
     import spark.implicits._
+    val t0 = System.nanoTime(); def mark(s: String): Unit = if (sys.env.contains("GRAFT_PHASE_TIMING")) println(f"  [adaptive] $s: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     val clean = DedupOps.widen(emb.filter(col(vecCol).isNotNull))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val kEff = semDedupK(clean.count(), targetCellRows)
+      mark("count")
       val cents = trainCentroids(clean, kEff, iters, idCol, vecCol)
+      mark("flat lloyd")
       val asg = clean.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
           assignCell(cents, vecCol).as("cell"), norm(col(vecCol)).as("nrm"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -375,13 +390,64 @@ object SimilarityOps {
         val oversized: Array[(Int, Long)] = asg.groupBy("cell").count()
           .filter(col("count") > oversizeFactor.toLong * targetCellRows)
           .select(col("cell"), col("count")).as[(Int, Long)].collect()
-        val sub: Column = oversized.foldLeft(lit(0)) { case (acc, (c, n)) =>
-          val cellRows = asg.filter(col("cell") === c).select(col("vec_id"), col("vec"))
-          val subCents = trainCentroids(cellRows, semDedupK(n, targetCellRows), iters,
-            "vec_id", "vec")
-          when(col("cell") === c, assignCell(subCents, "vec")).otherwise(acc)
-        }
-        val refined = asg.withColumn("subcell", sub)
+        mark("oversized collect")
+        val sub: Column =
+          if (oversized.isEmpty) lit(0)
+          else {
+            val kByCell: Map[Int, Int] =
+              oversized.map { case (c, n) => c -> semDedupK(n, targetCellRows) }.toMap
+            val bigCells: Array[Int] = oversized.map(_._1)
+            // the joint sub-Lloyd only ever touches oversized-cell rows
+            val brows = asg.filter(col("cell").isin(bigCells.toSeq: _*))
+              .select(col("cell"), col("vec_id"), col("vec"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              // per-cell init = the cell's k(cellCount) lowest-id vectors
+              // (sub = 0-based rank), same contract as the flat init
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy("cell").orderBy("vec_id")
+              val maxK = kByCell.values.max
+              val initRows = brows
+                .select(col("cell"), col("vec"), (row_number().over(w) - 1).as("sub"))
+                .filter(col("sub") < maxK)
+                .collect()
+              mark("sub init")
+              var subCents: Map[Int, Array[Array[Double]]] = initRows
+                .groupBy(_.getInt(0))
+                .map { case (c, rows) =>
+                  c -> rows.filter(_.getInt(2) < kByCell(c)).sortBy(_.getInt(2))
+                    .map(_.getSeq[Float](1).toArray.map(f => round4(f.toDouble)))
+                }
+              def jointAssign(cents: Map[Int, Array[Array[Double]]]): Column =
+                bigCells.foldLeft(lit(0)) { (acc, c) =>
+                  when(col("cell") === c,
+                    graft.functions.VectorExprs.nearestCell(col("vec"), cents(c)))
+                    .otherwise(acc)
+                }
+              // joint Lloyd: one partial-agg job per iteration covers
+              // EVERY oversized cell (keyed by (cell, sub)); only
+              // Σ k_cell × dims means return to the driver. Empty
+              // subcells keep their previous centroid, like the flat pass.
+              for (_ <- 1 to iters) {
+                val means = brows
+                  .select(col("cell"), jointAssign(subCents).as("sub"),
+                    posexplode(col("vec")).as(Seq("pos", "v")))
+                  .groupBy("cell", "sub", "pos")
+                  .agg(avg(col("v").cast("double")).as("m"))
+                  .collect()
+                val next = subCents.map { case (c, arr) => c -> arr.map(_.clone()) }
+                means.foreach { r =>
+                  if (!r.isNullAt(1))
+                    next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = round4(r.getDouble(3))
+                }
+                subCents = next
+                mark("sub iter")
+              }
+              jointAssign(subCents)
+            } finally brows.unpersist(blocking = false)
+          }
+        val refined = asg.withColumn("subcell", sub).localCheckpoint(true)
+        mark("refined checkpoint")
         val a = refined.select(col("cell"), col("subcell"), col("vec_id").as("id_a"),
           col("vec").as("va"), col("nrm").as("na"))
         val b = refined.select(col("cell"), col("subcell"), col("vec_id").as("id_b"),
