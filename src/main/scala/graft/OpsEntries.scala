@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{DedupOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, SampleOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Rounding.round // binary rounding, DuckDB-consistent (shadows functions.round)
@@ -128,6 +128,17 @@ private[graft] object OpsEntries {
       SimilarityOps.ivfTrainedTopK(e.filter(col("vec_id") < 5), e, k = 10)
     }),
 
+    // ANN recall@10 of the trained-IVF path (q90) against brute-force
+    // exact cosine (q24) — the eval harness that justifies an nprobe
+    // setting before trusting it at corpus scale.
+    "q101_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      SimilarityOps.recallAtK(
+        SimilarityOps.ivfTrainedTopK(q, e, k = 10),
+        SimilarityOps.bruteForceTopK(q, e, 10))
+    }),
+
     // Cross-document duplicated-span ratio: the suffix-array-free
     // exact-substring-dedup signal (fraction of a doc's 8-token windows
     // that appear in another doc).
@@ -136,6 +147,16 @@ private[graft] object OpsEntries {
     // Exact-substring spans: maximal duplicated token regions (longest
     // run + removal mass), the span-level upgrade of q76's window ratio.
     "q93_exact_substr" -> ((s, dir) => TextOps.exactSubstrSpans(t(s, dir, "documents"))),
+
+    // ExactSubstr REMOVAL: apply q93's spans — cut the duplicated
+    // token intervals and emit the cleaned text itself.
+    "q102_dup_span_removal" -> ((s, dir) => TextOps.removeDupSpans(t(s, dir, "documents"))),
+
+    // Seeded deterministic shard shuffle: reproducible global training
+    // order as (shard, shard_pos) — per-shard windows, no global sort.
+    "q103_shard_shuffle" -> ((s, dir) =>
+      SampleOps.shardShuffle(t(s, dir, "documents").select("doc_id"),
+        "doc_id", numShards = 8, seed = 42L)),
 
     // TRUE suffix-array ExactSubstr over a bounded slice: max_dup_tokens
     // is the exact longest duplicated run (no island over-approximation),
@@ -700,6 +721,38 @@ private[graft] object OpsEntries {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM s)
          |WHERE r <= $topK""".stripMargin
 
+  /** ANN recall oracle: the q90 trained-IVF replay and the q24
+    * brute-force replay as CTE chains, joined into per-query
+    * |ivf ∩ exact| / |exact|. Parameters mirror both entries' defaults.
+    */
+  private def annRecallSql(k: Int = 8, iters: Int = 3, dims: Int = 64,
+                           nprobe: Int = 2, topK: Int = 10): String =
+    kmeansCtes(k, iters, dims) + kmeansAssignCtes(iters) +
+      s"""q AS (SELECT vec_id AS query_id, embedding AS qv FROM emb WHERE vec_id < 5),
+         |p0 AS (SELECT query_id, qv, cell,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY ${kmeansL2("qv", "c.cv")}, c.cell) AS r
+         |       FROM q CROSS JOIN cl$iters c),
+         |probes AS (SELECT query_id, qv, cell FROM p0 WHERE r <= $nprobe),
+         |iv AS (SELECT query_id, asg.vec_id AS neighbor_id,
+         |        round(${cosSql("qv", "asg.embedding")}, 6) AS cos_sim
+         |      FROM asg JOIN probes USING (cell) WHERE query_id <> asg.vec_id),
+         |ivf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM iv)
+         |  WHERE r <= $topK),
+         |bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |bc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |bs AS (SELECT query_id, neighbor_id, round(${cosSql("qv", "cv")}, 6) AS cos_sim
+         |      FROM bc CROSS JOIN bq WHERE query_id <> neighbor_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM bs)
+         |  WHERE r <= $topK),
+         |hits AS (SELECT query_id, count(*) AS h FROM ex JOIN ivf USING (query_id, neighbor_id) GROUP BY query_id),
+         |ke AS (SELECT query_id, count(*) AS k_exact FROM ex GROUP BY query_id)
+         |SELECT ke.query_id, k_exact, coalesce(hits.h, 0) AS hits,
+         |       round(coalesce(hits.h, 0) * 1.0 / k_exact, 6) AS recall
+         |FROM ke LEFT JOIN hits ON ke.query_id = hits.query_id""".stripMargin
+
   /** The corpus-build replay (dedup → quality gate → per-source pack),
     * budget-parameterized: q88 (600, lazy plain-window pack) and q99
     * (100, persisted input + engaged hash-prefix cut) share it — the
@@ -808,6 +861,8 @@ private[graft] object OpsEntries {
 
     "q90_ivf_trained" -> ivfTrainedSql(),
 
+    "q101_ann_recall" -> annRecallSql(),
+
     "q76_dup_spans" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents WHERE text IS NOT NULL),
          |w AS (SELECT doc_id,
@@ -860,6 +915,41 @@ private[graft] object OpsEntries {
          |               THEN coalesce(cov, 0) / CAST(n_tokens AS DOUBLE)
          |               ELSE 0.0 END, 4) AS dup_cov_ratio
          |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // q93's span CTEs (1-based positions; the ±1 offset vs Spark's
+    // 0-based cancels in the covered-index arithmetic), then cut the
+    // covered positions out of the token list and re-join the text
+    "q102_dup_span_removal" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CASE WHEN len(toks) >= 8
+         |          THEN list_transform(generate_series(1, len(toks) - 7),
+         |                 i -> {'pos': i, 'win': array_to_string(toks[i:i+7], ' ')})
+         |          ELSE [] END AS wins
+         |      FROM t),
+         |dw AS (SELECT doc_id, u.pos AS pos, u.win AS win
+         |       FROM (SELECT doc_id, unnest(wins) AS u FROM w)),
+         |dup AS (SELECT win FROM dw GROUP BY win HAVING count(*) > 1),
+         |dp AS (SELECT dw.doc_id, dw.pos FROM dw JOIN dup USING (win)),
+         |m AS (SELECT doc_id, pos,
+         |        CASE WHEN lag(pos) OVER pw IS NULL OR pos > lag(pos) OVER pw + 8
+         |             THEN 1 ELSE 0 END AS nw
+         |      FROM dp WINDOW pw AS (PARTITION BY doc_id ORDER BY pos)),
+         |isl AS (SELECT doc_id, pos,
+         |          sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         |        FROM m),
+         |sp AS (SELECT doc_id, g, min(pos) AS s, max(pos) + 8 AS e FROM isl GROUP BY 1, 2),
+         |cov AS (SELECT doc_id, flatten(list(generate_series(s, e - 1))) AS cv
+         |        FROM sp GROUP BY doc_id),
+         |k AS (SELECT w.doc_id, n_tokens,
+         |        list_filter(toks, (x, j) -> NOT list_contains(coalesce(cv, []), j)) AS kept
+         |      FROM w LEFT JOIN cov USING (doc_id))
+         |SELECT doc_id, n_tokens,
+         |       CAST(len(kept) AS BIGINT) AS kept_tokens,
+         |       CAST(n_tokens - len(kept) AS BIGINT) AS removed_tokens,
+         |       coalesce(array_to_string(kept, ' '), '') AS clean_text
+         |FROM k""".stripMargin,
 
     // brute-force exact replay: enumerate EVERY (position, length ≥ 8)
     // token run in the slice, find the duplicated ones, take the max
@@ -957,6 +1047,14 @@ private[graft] object OpsEntries {
         |        doc_id) AS r
         |  FROM documents)
         |WHERE r <= 25""".stripMargin,
+
+    "q103_shard_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT) AS shard_pos
+        |FROM h""".stripMargin,
 
     "q54_dup_clusters" ->
       s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -75,6 +75,36 @@ object SampleOps {
     df.filter(coalesce(keep, lit(false)))
   }
 
+  /** Seeded deterministic global shuffle into training shards: every
+    * row gets `(shard, shard_pos)` from the md5 of `seed:id` — the
+    * shard by hash modulus, the position by hash order within the
+    * shard. Reading shards in order (shard 0 pos 0, 1, …, shard 1 …)
+    * yields a reproducible global permutation of the corpus: the
+    * "shuffle the training data, the same way, every run" step before
+    * sequence packing, with a new permutation one seed bump away.
+    *
+    * SCALE: the naive form — `row_number() OVER (ORDER BY hash)` — is
+    * a single-task global sort. Sharding first makes the window
+    * per-shard: one shuffle on the shard key, each task sorting
+    * corpus/numShards rows; size numShards so a shard fits a task
+    * (the output is usually written `partitionBy(shard)` anyway).
+    * Membership and order are layout-independent (pure id hash), so
+    * the permutation survives repartitioning and incremental reruns.
+    */
+  def shardShuffle(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   numShards: Int, seed: Long = 0L): org.apache.spark.sql.DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    // 15 hex chars = 60 bits: inside Long range, engine-portable
+    val h = conv(substring(md5(
+      concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % numShards).cast("int"))
+      .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
+  }
+
   /** Greedy token-budget packing: per group (source, domain, shard),
     * admit documents in hash order until the group's cumulative token
     * count reaches `budget` — the deterministic "assemble N tokens per

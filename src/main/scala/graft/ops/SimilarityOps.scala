@@ -467,6 +467,31 @@ object SimilarityOps {
     } finally clean.unpersist(blocking = false)
   }
 
+  /** ANN quality harness: per-query recall of an approximate top-k
+    * result against the exact one — the "measure, don't guess" gate an
+    * IVF/LSH deployment needs before trusting its probe settings.
+    * Both inputs carry (query_id, neighbor_id) rows (ranks ignored);
+    * recall = |approx ∩ exact| / |exact| per query.
+    *
+    * Scale shape: the exact side is the expensive input (its producer
+    * runs over the corpus once per eval sample — evaluate on a SAMPLE
+    * of queries, not the full query log); this operator itself is one
+    * semi-join + two partial aggs on (query_id, neighbor_id) keys,
+    * shuffling only top-k-sized result sets (queries × k rows), never
+    * the corpus.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    e.groupBy("query_id").agg(count(lit(1)).as("k_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k_exact"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) * lit(1.0) / col("k_exact"), 6).as("recall"))
+  }
+
   /** Per-cell mean vectors — a one-pass "k-means with given assignment"
     * for IVF centroids (the assignment column already exists in the
     * testdata as `label`; a full Lloyd's iteration would alternate this

@@ -363,16 +363,48 @@ object TextOps {
   def exactSubstrSpans(docs: org.apache.spark.sql.DataFrame, n: Int = 8,
                        idCol: String = "doc_id", textCol: String = "text",
                        codedKeys: Boolean = false): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = DedupOps.widen(docs.filter(col(textCol).isNotNull))
+    val base = winBase(docs, n, idCol, textCol)
+    val spans = spanIntervals(base, n, idCol, codedKeys)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("e") - col("s")).as("max_span_tokens"),
+        sum(col("e") - col("s")).as("covered_tokens"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(when(col("n_tokens") > 0,
+          coalesce(col("covered_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .otherwise(0.0), 4).as("dup_cov_ratio"))
+  }
+
+  /** (id, toks, n_tokens, wins) — the shared windowing base of the
+    * ExactSubstr family (wins = every n-token window as a joined
+    * string; empty for docs shorter than n tokens).
+    */
+  private def winBase(docs: org.apache.spark.sql.DataFrame, n: Int,
+                      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    DedupOps.widen(docs.filter(col(textCol).isNotNull))
       .select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
+      .select(col(idCol), col("toks"), size(col("toks")).cast("long").as("n_tokens"),
         when(size(col("toks")) >= n,
           transform(sequence(lit(0), size(col("toks")) - n),
             i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
           .otherwise(array().cast("array<string>")).as("wins"))
+
+  /** Maximal duplicated token intervals per doc: (idCol, s, e) with
+    * 0-based token positions, `e` exclusive — the gaps-and-islands
+    * merge over duplicated window positions shared by
+    * [[exactSubstrSpans]] (which aggregates them) and
+    * [[removeDupSpans]] (which cuts them out).
+    */
+  private def spanIntervals(base: org.apache.spark.sql.DataFrame, n: Int,
+                            idCol: String, codedKeys: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // posexplode_OUTER for the InferFiltersFromGenerate trap (see
-    // dupSpanFrame); positions are 0-based but only differences matter
+    // dupSpanFrame); positions are 0-based
     val docWinRaw = base.select(col(idCol), posexplode_outer(col("wins")).as(Seq("pos", "win")))
     // codedKeys: the 100 TB path — shuffle an 8-byte xxhash64 of the
     // window instead of the ~n-word string (an order-of-magnitude
@@ -388,7 +420,7 @@ object TextOps {
       .filter(col("cnt") > 1).select("win")
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val prevPos = lag(col("pos"), 1).over(w)
-    val spans = docWin.join(dupWins, Seq("win"), "left_semi")
+    docWin.join(dupWins, Seq("win"), "left_semi")
       .select(col(idCol), col("pos").cast("long").as("pos"))
       .withColumn("__new",
         when(prevPos.isNull || col("pos") > prevPos + n, 1).otherwise(0))
@@ -396,19 +428,44 @@ object TextOps {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(idCol), col("__isl"))
       .agg(min(col("pos")).as("s"), (max(col("pos")) + n).as("e"))
+      .select(col(idCol), col("s"), col("e"))
+  }
+
+  /** ExactSubstr REMOVAL — apply [[exactSubstrSpans]]'s verdict: cut
+    * every duplicated span out of the token stream and emit the
+    * cleaned text (Lee et al. delete the duplicated substring, they
+    * don't just score it). The cleaned text is rebuilt from the
+    * normalized token stream (`array_join(kept, " ")`), the same
+    * token-level view the span arithmetic ran on — original inter-token
+    * whitespace is not preserved, which is the standard contract for a
+    * tokenized dedup pass.
+    *
+    * Shape: the span pipeline's shuffles (window count + per-doc
+    * window over duplicated positions only), one collect_list of the
+    * doc's OWN intervals (bounded by the doc's span count, never the
+    * corpus), then a map-side token filter against the covered-position
+    * set. Output: (doc_id, n_tokens, kept_tokens, removed_tokens,
+    * clean_text) for every non-null-text document.
+    */
+  def removeDupSpans(docs: org.apache.spark.sql.DataFrame, n: Int = 8,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     codedKeys: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val base = winBase(docs, n, idCol, textCol)
+    val ivs = spanIntervals(base, n, idCol, codedKeys)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_spans"),
-        max(col("e") - col("s")).as("max_span_tokens"),
-        sum(col("e") - col("s")).as("covered_tokens"))
-    base.select(col(idCol), col("n_tokens"))
-      .join(spans, Seq(idCol), "left")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    val cov = when(col("ivs").isNull, array().cast("array<bigint>"))
+      .otherwise(flatten(transform(col("ivs"), iv =>
+        sequence(iv.getField("s"), iv.getField("e") - 1))))
+    base.join(ivs, Seq(idCol), "left")
+      .withColumn("__cov", cov)
       .select(col(idCol), col("n_tokens"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
-        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
-        round(when(col("n_tokens") > 0,
-          coalesce(col("covered_tokens"), lit(0L)).cast("double") / col("n_tokens"))
-          .otherwise(0.0), 4).as("dup_cov_ratio"))
+        filter(col("toks"), (x, i) =>
+          !array_contains(col("__cov"), i.cast("long"))).as("kept"))
+      .select(col(idCol), col("n_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("removed_tokens"),
+        array_join(col("kept"), " ").as("clean_text"))
   }
 
   /** EXACT ExactSubstr spans — the suffix-array form of

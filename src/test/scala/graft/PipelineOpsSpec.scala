@@ -230,6 +230,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       "every refined group of the identical cluster keeps exactly its lowest id")
   }
 
+  test("recallAtK: exact-vs-exact is 1.0; approximate recall is bounded and consistent") {
+    import graft.ops.SimilarityOps
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val exact = SimilarityOps.bruteForceTopK(q, e, 10)
+    val self = SimilarityOps.recallAtK(exact, exact).collect()
+    assert(self.length === 5)
+    assert(self.forall(_.getAs[Double]("recall") === 1.0), "exact vs exact must be 1.0")
+    val rec = SimilarityOps.recallAtK(SimilarityOps.ivfTrainedTopK(q, e, k = 10), exact)
+      .collect()
+    assert(rec.length === 5)
+    assert(rec.forall { r =>
+      val h = r.getAs[Long]("hits"); val ke = r.getAs[Long]("k_exact")
+      h >= 0 && h <= ke && math.abs(r.getAs[Double]("recall") - h.toDouble / ke) < 1e-6
+    }, "hits within [0, k_exact] and recall = hits/k_exact")
+  }
+
   test("semDedupK scales cell count with corpus size, floors at 8, caps at 65536") {
     import graft.ops.SimilarityOps.semDedupK
     assert(semDedupK(0) === 8)
@@ -344,6 +363,30 @@ class PipelineOpsSpec extends AnyFunSuite {
           s"$dir: the collapsed 70% anchor mass must mostly drop as near-dups")
       } finally got.unpersist()
     }
+  }
+
+  test("removeDupSpans cuts exactly the spans exactSubstrSpans reports") {
+    // doc 1 and 2 share the 4-token run "a b c d" (n=3 → windows abc,
+    // bcd → one merged span of 4 tokens each side); doc 3 is untouched;
+    // doc 4's within-doc repeat "p q r p q r" duplicates its own
+    // windows (pos 0..3 all dup at n=3 → the whole doc is one span)
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d"),
+      (3L, "zz ww qq"),
+      (4L, "p q r p q r")
+    ).toDF("doc_id", "text")
+    val rem = TextOps.removeDupSpans(docs, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(rem(1L) === ((5L, 1L, 4L, "e")), "span [a b c d] cut, 'e' survives")
+    assert(rem(2L) === ((5L, 1L, 4L, "x")), "span cut at the tail, 'x' survives")
+    assert(rem(3L) === ((3L, 3L, 0L, "zz ww qq")), "short/unique doc untouched")
+    assert(rem(4L) === ((6L, 0L, 6L, "")), "fully self-duplicated doc empties")
+    // removal mass must agree with the span report on the same corpus
+    val spans = TextOps.exactSubstrSpans(docs, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("covered_tokens")).toMap
+    rem.foreach { case (id, (_, _, removed, _)) =>
+      assert(removed === spans(id), s"doc $id: removed != covered_tokens") }
   }
 
   test("dupSpanFrame: cross-doc windows count, within-doc repeats and short docs don't") {

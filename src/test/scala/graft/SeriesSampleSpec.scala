@@ -292,6 +292,28 @@ class SeriesSampleSpec extends AnyFunSuite {
     assert(buckets.agg(max(col("b"))).as[Long].head() === 2999L)
   }
 
+  test("shardShuffle: layout-independent permutation, contiguous per-shard positions, seed changes order") {
+    val ids = (0L until 5000L).toDF("doc_id")
+    val a = SampleOps.shardShuffle(ids, "doc_id", numShards = 8, seed = 42L)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // repartitioned input yields the IDENTICAL permutation
+    val b = SampleOps.shardShuffle(ids.repartition(7), "doc_id", numShards = 8, seed = 42L)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(a === b, "permutation must not depend on input layout")
+    // every shard's positions are exactly 0..count-1
+    a.groupBy(_._2._1).foreach { case (shard, rows) =>
+      val ps = rows.values.map(_._2).toSeq.sorted
+      assert(ps === (0L until ps.length.toLong), s"shard $shard positions not contiguous")
+    }
+    // all shards populated and no shard hogs the corpus (hash balance)
+    val sizes = a.groupBy(_._2._1).map(_._2.size)
+    assert(sizes.size === 8 && sizes.max < 2 * sizes.min + 64, s"imbalanced shards: $sizes")
+    // a different seed produces a genuinely different permutation
+    val c = SampleOps.shardShuffle(ids, "doc_id", numShards = 8, seed = 43L)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(a !== c, "seed must change the permutation")
+  }
+
   test("divideSeries: pointwise ratio, null on zero or missing divisor, grid preserved") {
     val num = Seq(("a", 0L, 10.0), ("a", 60L, 6.0), ("a", 120L, 4.0), ("b", 0L, 1.0))
       .toDF("metric", "ts", "v")
