@@ -701,49 +701,56 @@ private[graft] object OpsEntries {
     sb.toString
   }
 
+  /** Trained-IVF probe chain as CTEs (`q` → `probes` → scored `iv`) —
+    * shared by the q90 oracle and the q101 recall oracle so the two
+    * replays cannot drift apart. Ends WITHOUT a trailing comma.
+    */
+  private def ivfProbeCtes(iters: Int, nprobe: Int): String =
+    s"""q AS (SELECT vec_id AS query_id, embedding AS qv FROM emb WHERE vec_id < 5),
+       |p0 AS (SELECT query_id, qv, cell,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY ${kmeansL2("qv", "c.cv")}, c.cell) AS r
+       |       FROM q CROSS JOIN cl$iters c),
+       |probes AS (SELECT query_id, qv, cell FROM p0 WHERE r <= $nprobe),
+       |iv AS (SELECT query_id, asg.vec_id AS neighbor_id,
+       |        round(${cosSql("qv", "asg.embedding")}, 6) AS cos_sim
+       |      FROM asg JOIN probes USING (cell) WHERE query_id <> asg.vec_id)""".stripMargin
+
+  /** Brute-force exact-cosine chain as CTEs (`bq`/`bc` → scored `bs`)
+    * — shared by the q24 oracle and the q101 recall oracle. Ends
+    * WITHOUT a trailing comma.
+    */
+  private val bruteCtes: String =
+    s"""bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |bc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |bs AS (SELECT query_id, neighbor_id, round(${cosSql("qv", "cv")}, 6) AS cos_sim
+       |      FROM bc CROSS JOIN bq WHERE query_id <> neighbor_id)""".stripMargin
+
   /** Trained-centroid IVF oracle: probe the `nprobe` nearest trained
     * cells per query (squared-L2 to the centroid, lower cell on ties),
     * exact cosine within the probed cells only.
     */
   private def ivfTrainedSql(k: Int = 8, iters: Int = 3, dims: Int = 64,
                             nprobe: Int = 2, topK: Int = 10): String =
-    kmeansCtes(k, iters, dims) + kmeansAssignCtes(iters) +
-      s"""q AS (SELECT vec_id AS query_id, embedding AS qv FROM emb WHERE vec_id < 5),
-         |p0 AS (SELECT query_id, qv, cell,
-         |         row_number() OVER (PARTITION BY query_id
-         |           ORDER BY ${kmeansL2("qv", "c.cv")}, c.cell) AS r
-         |       FROM q CROSS JOIN cl$iters c),
-         |probes AS (SELECT query_id, qv, cell FROM p0 WHERE r <= $nprobe),
-         |s AS (SELECT query_id, asg.vec_id AS neighbor_id,
-         |        round(${cosSql("qv", "asg.embedding")}, 6) AS cos_sim
-         |      FROM asg JOIN probes USING (cell) WHERE query_id <> asg.vec_id)
+    kmeansCtes(k, iters, dims) + kmeansAssignCtes(iters) + ivfProbeCtes(iters, nprobe) +
+      s"""
          |SELECT query_id, neighbor_id, cos_sim, CAST(r AS INTEGER) AS rank
-         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM s)
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM iv)
          |WHERE r <= $topK""".stripMargin
 
-  /** ANN recall oracle: the q90 trained-IVF replay and the q24
-    * brute-force replay as CTE chains, joined into per-query
-    * |ivf ∩ exact| / |exact|. Parameters mirror both entries' defaults.
+  /** ANN recall oracle: the q90 trained-IVF replay ([[ivfProbeCtes]])
+    * and the q24 brute-force replay ([[bruteCtes]]) — the SAME CTE
+    * text those oracles are built from, so the replays cannot drift —
+    * joined into per-query |ivf ∩ exact| / |exact|.
     */
   private def annRecallSql(k: Int = 8, iters: Int = 3, dims: Int = 64,
                            nprobe: Int = 2, topK: Int = 10): String =
-    kmeansCtes(k, iters, dims) + kmeansAssignCtes(iters) +
-      s"""q AS (SELECT vec_id AS query_id, embedding AS qv FROM emb WHERE vec_id < 5),
-         |p0 AS (SELECT query_id, qv, cell,
-         |         row_number() OVER (PARTITION BY query_id
-         |           ORDER BY ${kmeansL2("qv", "c.cv")}, c.cell) AS r
-         |       FROM q CROSS JOIN cl$iters c),
-         |probes AS (SELECT query_id, qv, cell FROM p0 WHERE r <= $nprobe),
-         |iv AS (SELECT query_id, asg.vec_id AS neighbor_id,
-         |        round(${cosSql("qv", "asg.embedding")}, 6) AS cos_sim
-         |      FROM asg JOIN probes USING (cell) WHERE query_id <> asg.vec_id),
+    kmeansCtes(k, iters, dims) + kmeansAssignCtes(iters) + ivfProbeCtes(iters, nprobe) +
+      ",\n" + bruteCtes +
+      s""",
          |ivf AS (SELECT query_id, neighbor_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM iv)
          |  WHERE r <= $topK),
-         |bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-         |bc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-         |bs AS (SELECT query_id, neighbor_id, round(${cosSql("qv", "cv")}, 6) AS cos_sim
-         |      FROM bc CROSS JOIN bq WHERE query_id <> neighbor_id),
          |ex AS (SELECT query_id, neighbor_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM bs)
          |  WHERE r <= $topK),
@@ -1236,12 +1243,9 @@ private[graft] object OpsEntries {
          |FROM r""".stripMargin,
 
     "q24_cosine_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-         |s AS (SELECT query_id, neighbor_id, round(${cosSql("qv", "cv")}, 6) AS cos_sim
-         |      FROM c CROSS JOIN q WHERE query_id <> neighbor_id)
+      s"""WITH $bruteCtes
          |SELECT query_id, neighbor_id, cos_sim, CAST(r AS INTEGER) AS rank
-         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM s)
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM bs)
          |WHERE r <= 10""".stripMargin,
 
     "q25_langid" -> {

@@ -15,9 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object SampleOps {
 
-  /** Stable bucket in [0, buckets) from the id's md5 prefix. */
+  /** Stable bucket in [0, buckets) from the id's md5 prefix.
+    * (Unseeded 8-hex-char form — the key several committed oracles
+    * replay verbatim; widening or seeding it would change q57/q61/q87
+    * membership, so seeded consumers use [[seededHash]] instead.)
+    */
   def hashBucket(id: Column, buckets: Int = 100): Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
+  /** 60-bit engine-portable hash of `seed:id` — the md5-prefix idiom
+    * with a seed prefix (15 hex chars stay inside Long range; any SQL
+    * dialect replays it as `CAST('0x' || substr(md5(..), 1, 15) AS
+    * BIGINT)`).
+    */
+  def seededHash(id: Column, seed: Long): Column =
+    conv(substring(md5(
+      concat_ws(":", lit(seed), id.cast("string"))), 1, 15), 16, 10).cast("long")
 
   /** Deterministic train/valid/test assignment by hash bucket:
     * `[0, trainPct)` → train, `[trainPct, trainPct+validPct)` → valid,
@@ -94,9 +107,7 @@ object SampleOps {
   def shardShuffle(df: org.apache.spark.sql.DataFrame, idCol: String,
                    numShards: Int, seed: Long = 0L): org.apache.spark.sql.DataFrame = {
     require(numShards > 0, s"numShards must be positive: $numShards")
-    // 15 hex chars = 60 bits: inside Long range, engine-portable
-    val h = conv(substring(md5(
-      concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val h = seededHash(col(idCol), seed)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
     df.withColumn("__h", h)

@@ -475,22 +475,21 @@ object SimilarityOps {
     *
     * Scale shape: the exact side is the expensive input (its producer
     * runs over the corpus once per eval sample — evaluate on a SAMPLE
-    * of queries, not the full query log); this operator itself is one
-    * semi-join + two partial aggs on (query_id, neighbor_id) keys,
-    * shuffling only top-k-sized result sets (queries × k rows), never
-    * the corpus.
+    * of queries, not the full query log), so its plan is referenced
+    * ONCE: a single left join marks hits and one aggregation counts
+    * both k_exact and hits — not a semi-join branch plus a separate
+    * count, which would re-execute an unpersisted exact plan twice.
+    * Shuffles touch only top-k-sized result sets (queries × k rows),
+    * never the corpus.
     */
-  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
-    val a = approx.select(col("query_id"), col("neighbor_id"))
-    val e = exact.select(col("query_id"), col("neighbor_id"))
-    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy("query_id").agg(count(lit(1)).as("hits"))
-    e.groupBy("query_id").agg(count(lit(1)).as("k_exact"))
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"), col("k_exact"),
-        coalesce(col("hits"), lit(0L)).as("hits"),
-        round(coalesce(col("hits"), lit(0L)) * lit(1.0) / col("k_exact"), 6).as("recall"))
-  }
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")).distinct()
+        .withColumn("__m", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k_exact"), count(col("__m")).as("hits"))
+      .select(col("query_id"), col("k_exact"), col("hits"),
+        round(col("hits") * lit(1.0) / col("k_exact"), 6).as("recall"))
 
   /** Per-cell mean vectors — a one-pass "k-means with given assignment"
     * for IVF centroids (the assignment column already exists in the

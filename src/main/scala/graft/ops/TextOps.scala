@@ -406,15 +406,19 @@ object TextOps {
     // posexplode_OUTER for the InferFiltersFromGenerate trap (see
     // dupSpanFrame); positions are 0-based
     val docWinRaw = base.select(col(idCol), posexplode_outer(col("wins")).as(Seq("pos", "win")))
-    // codedKeys: the 100 TB path — shuffle an 8-byte xxhash64 of the
-    // window instead of the ~n-word string (an order-of-magnitude
-    // lighter count shuffle; a 64-bit collision marking one extra
-    // window duplicated is noise for a coverage signal, which is why
-    // the oracle-checked form keeps strings)
+    // codedKeys: the 100 TB path — shuffle a 16-byte COMPOSITE of two
+    // independently-seeded xxhash64s instead of the ~n-word string
+    // (still an order-of-magnitude lighter count shuffle). 128 bits,
+    // not 64: [[removeDupSpans]] DELETES what this marks, and at 1e12
+    // windows a single 64-bit space expects ~1e4 birthday collisions —
+    // score noise for [[exactSubstrSpans]], destructive on the removal
+    // path. At 2^128 the expected collision count is ~1e-14. The
+    // oracle-checked form keeps strings (exactness, not probability).
     val docWin =
       if (!codedKeys) docWinRaw
       else docWinRaw.select(col(idCol), col("pos"),
-        when(col("win").isNotNull, xxhash64(col("win"))).as("win"))
+        when(col("win").isNotNull,
+          struct(xxhash64(col("win")), xxhash64(col("win"), lit(1)))).as("win"))
     val dupWins = docWin.filter(col("win").isNotNull)
       .groupBy("win").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("win")
@@ -443,9 +447,12 @@ object TextOps {
     * Shape: the span pipeline's shuffles (window count + per-doc
     * window over duplicated positions only), one collect_list of the
     * doc's OWN intervals (bounded by the doc's span count, never the
-    * corpus), then a map-side token filter against the covered-position
-    * set. Output: (doc_id, n_tokens, kept_tokens, removed_tokens,
-    * clean_text) for every non-null-text document.
+    * corpus), then a map-side token filter testing each index against
+    * the interval list — O(n_tokens × n_spans), never a materialized
+    * covered-position array (a fully-duplicated 500k-token doc has
+    * covered_tokens = n_tokens but only a handful of spans). Output:
+    * (doc_id, n_tokens, kept_tokens, removed_tokens, clean_text) for
+    * every non-null-text document.
     */
   def removeDupSpans(docs: org.apache.spark.sql.DataFrame, n: Int = 8,
                      idCol: String = "doc_id", textCol: String = "text",
@@ -454,14 +461,13 @@ object TextOps {
     val ivs = spanIntervals(base, n, idCol, codedKeys)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
-    val cov = when(col("ivs").isNull, array().cast("array<bigint>"))
-      .otherwise(flatten(transform(col("ivs"), iv =>
-        sequence(iv.getField("s"), iv.getField("e") - 1))))
     base.join(ivs, Seq(idCol), "left")
-      .withColumn("__cov", cov)
+      .withColumn("__ivs",
+        coalesce(col("ivs"), array().cast("array<struct<s:bigint,e:bigint>>")))
       .select(col(idCol), col("n_tokens"),
-        filter(col("toks"), (x, i) =>
-          !array_contains(col("__cov"), i.cast("long"))).as("kept"))
+        filter(col("toks"), (x, i) => !exists(col("__ivs"), iv =>
+          i.cast("long") >= iv.getField("s") && i.cast("long") < iv.getField("e")))
+          .as("kept"))
       .select(col(idCol), col("n_tokens"),
         size(col("kept")).cast("long").as("kept_tokens"),
         (col("n_tokens") - size(col("kept"))).cast("long").as("removed_tokens"),
