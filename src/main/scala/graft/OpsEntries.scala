@@ -158,6 +158,22 @@ private[graft] object OpsEntries {
       SampleOps.shardShuffle(t(s, dir, "documents").select("doc_id"),
         "doc_id", numShards = 8, seed = 42L)),
 
+    // CCNet-style perplexity terciles over the q70 LM scores:
+    // head / middle / tail by the corpus's own surprisal distribution.
+    "q104_ppl_buckets" -> ((s, dir) =>
+      TextOps.perplexityBuckets(TextOps.unigramLogProb(t(s, dir, "documents")))),
+
+    // Cross-corpus near-dup admission: odd-id docs arrive as the NEW
+    // batch, even-id docs are the EXISTING corpus — per new doc, the
+    // best verified corpus match and the admit/reject decision, with
+    // no corpus x corpus pair work.
+    "q105_cross_corpus_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.dedupAgainstCorpus(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+    }),
+
     // TRUE suffix-array ExactSubstr over a bounded slice: max_dup_tokens
     // is the exact longest duplicated run (no island over-approximation),
     // covered_tokens the exact ≥8-token run union. The oracle is a
@@ -479,16 +495,33 @@ private[graft] object OpsEntries {
     s"concat('$b|', ${ms.mkString(", '|', ")})"
   }.mkString("[", ", ", "]")
 
-  /** Shared candidate-pair CTE chain for q21/q23. */
-  private val minhashCtes =
+  /** The sig/banded CTE prefix shared by the within-corpus
+    * ([[minhashCtes]]) and cross-corpus ([[crossMinhashCtes]]) pair
+    * chains.
+    */
+  private val minhashSigCtes =
     s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents),
        |sh AS (SELECT doc_id, $shingles8 AS s FROM n),
        |bh AS (SELECT doc_id, list_transform(s, x -> ${base38Sql("x")}) AS hs FROM sh),
        |sig AS (SELECT doc_id, $sigExprs FROM bh),
-       |banded AS (SELECT doc_id, $sigList AS sig, unnest($bandExprs) AS band FROM sig),
+       |banded AS (SELECT doc_id, $sigList AS sig, unnest($bandExprs) AS band FROM sig)""".stripMargin
+
+  /** Shared candidate-pair CTE chain for q21/q23. */
+  private val minhashCtes =
+    s"""$minhashSigCtes,
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |            len(list_filter(list_zip(a.sig, b.sig), p -> p[1] = p[2])) / 16.0 AS est_jaccard
        |          FROM banded a JOIN banded b USING (band) WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  /** q105's pair chain: same signatures, pairs restricted to
+    * NEW (odd id) × CORPUS (even id) — no within-side pairs.
+    */
+  private val crossMinhashCtes =
+    s"""$minhashSigCtes,
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |            len(list_filter(list_zip(a.sig, b.sig), p -> p[1] = p[2])) / 16.0 AS est_jaccard
+       |          FROM banded a JOIN banded b USING (band)
+       |          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)""".stripMargin
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -858,6 +891,30 @@ private[graft] object OpsEntries {
          |       round(CASE WHEN total - inter > 0 THEN inter / (total - inter) ELSE 0.0 END, 4) AS jaccard
          |FROM j""".stripMargin,
 
+    // the shared sig/banded CTEs with cross-side pairs (NEW odd id ×
+    // CORPUS even id), q23's gram-set verify, then the per-new-doc
+    // best-match decision
+    "q105_cross_corpus_dedup" ->
+      s"""$crossMinhashCtes,
+         |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
+         |g AS (SELECT doc_id, CASE WHEN len(norm) < 3 THEN [norm]
+         |        ELSE list_distinct(list_transform(generate_series(1, len(norm)-2), i -> substr(norm, i, 3))) END AS grams
+         |      FROM (SELECT doc_id, $norm AS norm FROM documents)),
+         |j AS (SELECT id_a, id_b,
+         |        CAST(len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS DOUBLE) AS inter,
+         |        CAST(len(ga.grams) + len(gb.grams) AS DOUBLE) AS total
+         |      FROM cand JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b),
+         |v AS (SELECT id_a, id_b,
+         |        round(CASE WHEN total - inter > 0 THEN inter / (total - inter) ELSE 0.0 END, 4) AS jaccard
+         |      FROM j),
+         |best AS (SELECT id_a, id_b, jaccard FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY jaccard DESC, id_b) AS r FROM v)
+         |  WHERE r = 1)
+         |SELECT d.doc_id, coalesce(best.jaccard >= 0.8, false) AS is_dup,
+         |       best.id_b AS match_id, best.jaccard AS match_jaccard
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         |LEFT JOIN best ON d.doc_id = best.id_a""".stripMargin,
+
     "q64_kmeans" -> kmeansSql(),
 
     "q75_semdedup" -> semDedupSql(),
@@ -1113,6 +1170,21 @@ private[graft] object OpsEntries {
          |           FROM dt JOIN tc USING (tok) CROSS JOIN tot)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, round(avg(nll), 4) AS avg_nll
          |FROM scored GROUP BY 1""".stripMargin,
+
+    "q104_ppl_buckets" ->
+      s"""WITH dt AS (SELECT doc_id, unnest($toksExpr) AS tok FROM documents),
+         |tc AS (SELECT tok, count(*) AS cnt FROM dt GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS total FROM tc),
+         |scored AS (SELECT dt.doc_id, round(-log2(CAST(tc.cnt AS DOUBLE) / tot.total), 6) AS nll
+         |           FROM dt JOIN tc USING (tok) CROSS JOIN tot),
+         |lm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, round(avg(nll), 4) AS avg_nll
+         |       FROM scored GROUP BY 1),
+         |th AS (SELECT quantile_cont(avg_nll, 1.0/3) AS t1, quantile_cont(avg_nll, 2.0/3) AS t2 FROM lm)
+         |SELECT doc_id, n_tokens, avg_nll,
+         |       CASE WHEN avg_nll <= t1 THEN 'head'
+         |            WHEN avg_nll <= t2 THEN 'middle'
+         |            ELSE 'tail' END AS ppl_bucket
+         |FROM lm CROSS JOIN th""".stripMargin,
 
     "q84_bigram_logprob" ->
       s"""WITH tl AS (SELECT doc_id, $toksExpr AS toks FROM documents),

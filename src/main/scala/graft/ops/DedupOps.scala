@@ -230,6 +230,67 @@ object DedupOps {
         round(when(col("uni") > 0, col("inter") / col("uni")).otherwise(0.0), 4).as("jaccard"))
   }
 
+  /** Cross-corpus near-dup admission — the "don't re-dedup the lake"
+    * path: decide, for every NEW document, whether it near-duplicates
+    * the EXISTING corpus, without ever pairing the corpus with itself.
+    * The batch twin of `streaming.IncrementalDedup`, with the exact
+    * Jaccard verify attached.
+    *
+    * Scale shape: both sides' signatures are map-only; the only big
+    * shuffle is the band-key join NEW × CORPUS (corpus band rows are
+    * re-derivable each run or precomputed once and stored — either
+    * way no corpus×corpus pair work); only candidate pairs reach the
+    * gram-set verify, and the decision window ranks each new doc's
+    * own candidates only. Id spaces of the two frames may overlap —
+    * codes are joined per side, never through a shared table.
+    *
+    * Output: one row per NEW doc — (idCol, is_dup, match_id,
+    * match_jaccard), match columns carrying the best corpus candidate
+    * (highest verified Jaccard, lowest id on ties) even when it falls
+    * short of `threshold`, which is the number you tune the threshold
+    * with; null when no candidate survived the MinHash screen.
+    */
+  def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         numHashes: Int = 16, bands: Int = 4, minhashSim: Double = 0.5,
+                         threshold: Double = 0.8, n: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    def banded(df: DataFrame, side: String): DataFrame =
+      widen(df).filter(col(textCol).isNotNull)
+        .select(col(idCol).as(s"id_$side"),
+          graft.functions.ShingleExprs.minHashSig(
+            TextOps.normalized(col(textCol)), 8, numHashes).as(s"sig_$side"))
+        .select(col(s"id_$side"), col(s"sig_$side"),
+          explode_outer(bandKeys(col(s"sig_$side"), bands, rows)).as("band"))
+        .filter(col("band").isNotNull)
+    val cand = banded(newDocs, "a").join(banded(corpus, "b"), Seq("band"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), (b => b)))
+          / lit(numHashes.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minhashSim)
+      .select(col("id_a"), col("id_b")).distinct()
+    val codesA = codedGramSets(newDocs, idCol, textCol, n)
+      .select(col("id").as("id_a"), col("codes").as("codes_a"))
+    val codesB = codedGramSets(corpus, idCol, textCol, n)
+      .select(col("id").as("id_b"), col("codes").as("codes_b"))
+    val verified = cand.join(codesA, Seq("id_a")).join(codesB, Seq("id_b"))
+      .withColumn("inter",
+        graft.functions.SetExprs.sortedIntersectSize(col("codes_a"), col("codes_b")).cast("double"))
+      .withColumn("uni", (size(col("codes_a")) + size(col("codes_b"))).cast("double") - col("inter"))
+      .select(col("id_a"), col("id_b"),
+        round(when(col("uni") > 0, col("inter") / col("uni")).otherwise(0.0), 4).as("jaccard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("jaccard").desc, col("id_b").asc)
+    val best = verified.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("id_a").as(idCol), col("id_b").as("match_id"),
+        col("jaccard").as("match_jaccard"))
+    newDocs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("match_jaccard") >= threshold, lit(false)).as("is_dup"),
+        col("match_id"), col("match_jaccard"))
+  }
+
   /** Benchmark decontamination: for every training document, how many
     * of its distinct character 8-gram codes appear anywhere in the
     * evaluation set — the standard n-gram-overlap contamination check

@@ -745,6 +745,33 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"), round(avg(col("nll")), 4).as("avg_nll"))
   }
 
+  /** CCNet-style perplexity buckets: split a scored corpus into
+    * head / middle / tail by the terciles of its own LM surprisal
+    * ([[unigramLogProb]]'s `avg_nll` or any comparable score) — the
+    * standard "keep the head+middle, down-weight the tail" gate of
+    * web-corpus curation. Takes the SCORED frame, not the raw docs, so
+    * the expensive LM pass is computed (and persisted) once by the
+    * caller — this op itself is one exact-percentile aggregate
+    * broadcast back over the scores (the thresholds are two doubles;
+    * the score frame's plan is referenced twice, which is why a heavy
+    * unpersisted upstream belongs to the caller's persist decision).
+    *
+    * Output: input columns + `ppl_bucket` ('head' ≤ t1 < 'middle' ≤ t2
+    * < 'tail'; exact interpolated terciles, DuckDB quantile_cont-equal).
+    */
+  def perplexityBuckets(scored: org.apache.spark.sql.DataFrame,
+                        nllCol: String = "avg_nll"): org.apache.spark.sql.DataFrame = {
+    val th = scored.agg(
+      percentile(col(nllCol), lit(1.0 / 3)).as("__t1"),
+      percentile(col(nllCol), lit(2.0 / 3)).as("__t2"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("ppl_bucket",
+        when(col(nllCol) <= col("__t1"), "head")
+          .when(col(nllCol) <= col("__t2"), "middle")
+          .otherwise("tail"))
+      .drop("__t1", "__t2")
+  }
+
   /** Bigram-LM quality score: per-doc mean surprisal of each adjacent
     * token pair under the corpus's own MLE bigram model,
     * `p(w2|w1) = c(w1 w2) / c(w1 ·)` with the context count summed over

@@ -389,6 +389,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(removed === spans(id), s"doc $id: removed != covered_tokens") }
   }
 
+  test("dedupAgainstCorpus: flags matches against the corpus, never within the batch") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different corpus content about spark and catalyst optimizers")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today!"), // near-dup of 0
+      (3L, "entirely novel text that matches nothing in the existing corpus at all"),
+      (5L, "entirely novel text that matches nothing in the existing corpus at all."), // dup of 3 — WITHIN the batch only
+      (7L, null.asInstanceOf[String]) // no content, always admitted
+    ).toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.dedupAgainstCorpus(fresh, corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.get(2))))).toMap
+    assert(got.keySet === Set(1L, 3L, 5L, 7L), "one row per NEW doc")
+    assert(got(1L) === ((true, Some(0L))), "near-dup of the corpus rejected with its match")
+    assert(got(3L)._1 === false && got(5L)._1 === false,
+      "within-batch near-dups must NOT flag each other — that's the admitted batch's own dedup pass")
+    assert(got(7L) === ((false, None)))
+  }
+
+  test("perplexityBuckets: exact terciles split 1..9 into head/middle/tail") {
+    // interpolated terciles of 1..9: t1 = 3.667, t2 = 6.333
+    val scored = (1 to 9).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "avg_nll")
+    val got = TextOps.perplexityBuckets(scored)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((1 to 3).forall(i => got(i.toLong) === "head"))
+    assert((4 to 6).forall(i => got(i.toLong) === "middle"))
+    assert((7 to 9).forall(i => got(i.toLong) === "tail"))
+  }
+
   test("dupSpanFrame: cross-doc windows count, within-doc repeats and short docs don't") {
     val docs = Seq(
       (1L, "a b c d e"),        // windows(3): abc bcd cde — abc,bcd shared with doc 2
