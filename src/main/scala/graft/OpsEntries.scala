@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{DedupOps, SampleOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, MultimodalOps, SampleOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Rounding.round // binary rounding, DuckDB-consistent (shadows functions.round)
@@ -179,6 +179,78 @@ private[graft] object OpsEntries {
       DedupOps.dedupAgainstCorpus(
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0))
+    }),
+
+    // Perceptual image-hash near-dup: stub-decode payloads to 8×9 gray
+    // grids, dHash to 8 band bytes, Hamming-bucketed near-dup pairs
+    // (band-equality LSH screen + exact bit_count verify). 30% of
+    // payloads collapse onto 4 anchor images with a small deterministic
+    // per-copy pixel perturbation (the q100 collapse recipe moved to
+    // the pixel level), so true near-dups with hamming in [0, 8] exist
+    // and both the screen and the verify do real work; uncollapsed
+    // payloads hash essentially uniformly and only reach the verify
+    // through ~1/256-per-band byte collisions, where they die.
+    "q106_image_hash_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val anchors = docs.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("aid"), col("text").as("atext"))
+      val media = docs
+        .withColumn("aid", col("doc_id") % 4)
+        .join(broadcast(anchors), Seq("aid"), "left")
+        .select(col("doc_id").as("media_id"),
+          when(col("doc_id") % 10 < 3, col("atext")).otherwise(col("text")).as("payload"))
+        .filter(col("payload").isNotNull)
+      val px = MultimodalOps.stubPixels(media)
+      val perturbed = px.withColumn("px",
+        transform(col("px"), (v, c) =>
+          when(col("media_id") % 10 < 3
+              && (col("r") * 9 + c + col("media_id")) % 29 === 0,
+            (v + 37) % 256).otherwise(v)))
+      // imageHashNearDup references its band frame four times —
+      // checkpoint per its caller-persist contract (8 small rows/image)
+      val bands = MultimodalOps.dHashBands(perturbed).localCheckpoint(true)
+      MultimodalOps.imageHashNearDup(bands, maxHamming = 8)
+    }),
+
+    // Cross-MODAL cross-corpus admission: odd-id (caption, image) docs
+    // arrive as the NEW batch against the even-id corpus; candidates
+    // from text-MinHash bands OR image-hash buckets (NEW × CORPUS
+    // only), verified on BOTH exact caption Jaccard and dHash Hamming.
+    // Collapsed docs share an anchor image (perturbed pixels) and a
+    // lightly reworded anchor caption (' v<id>' suffix), so true
+    // cross-modal dups span the odd/even split; caption-only or
+    // image-only coincidences must come out is_dup = false.
+    "q107_cross_modal_admission" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val anchors = docs.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("aid"), col("text").as("atext"))
+      val composed = docs
+        // (doc_id div 2) % 4, NOT doc_id % 4: the anchor key must be
+        // independent of the odd/even NEW/CORPUS parity split, or no
+        // collapsed pair ever crosses it and the gate tests nothing
+        .withColumn("aid", expr("doc_id div 2") % 4)
+        .join(broadcast(anchors), Seq("aid"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 < 3,
+            concat(col("atext"), lit(" v"), col("doc_id").cast("string")))
+            .otherwise(col("text")).as("text"),
+          when(col("doc_id") % 10 < 3, col("atext")).otherwise(col("text")).as("payload"))
+        .filter(col("payload").isNotNull)
+      val px = MultimodalOps.stubPixels(
+        composed.select(col("doc_id").as("media_id"), col("payload")))
+      val perturbed = px.withColumn("px",
+        transform(col("px"), (v, c) =>
+          when(col("media_id") % 10 < 3
+              && (col("r") * 9 + c + col("media_id")) % 29 === 0,
+            (v + 37) % 256).otherwise(v)))
+      // band frame feeds both the bucket screen and the Hamming verify
+      // on each side — checkpoint per the caller-persist contract
+      val bands = MultimodalOps.dHashBands(perturbed).localCheckpoint(true)
+      DedupOps.crossModalAdmission(
+        composed.filter(col("doc_id") % 2 === 1),
+        composed.filter(col("doc_id") % 2 === 0),
+        bands.filter(col("media_id") % 2 === 1),
+        bands.filter(col("media_id") % 2 === 0))
     }),
 
     // TRUE suffix-array ExactSubstr over a bounded slice: max_dup_tokens
@@ -529,6 +601,34 @@ private[graft] object OpsEntries {
        |            len(list_filter(list_zip(a.sig, b.sig), p -> p[1] = p[2])) / 16.0 AS est_jaccard
        |          FROM banded a JOIN banded b USING (band)
        |          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)""".stripMargin
+
+  /** Hex-pair value `c` (0-based) of a 32-char md5 hex string `h` —
+    * the SQL restatement of stubPixels' conv(substr(hex, 2c+1, 2)).
+    */
+  private def hexPairSql(h: String, c: String): String =
+    s"(16 * (strpos('0123456789abcdef', substr($h, 2 * CAST($c AS INTEGER) + 1, 1)) - 1)" +
+      s" + (strpos('0123456789abcdef', substr($h, 2 * CAST($c AS INTEGER) + 2, 1)) - 1))"
+
+  /** Stub-decode → perturb → dHash chain shared by q106/q107: expects a
+    * `media(media_id, payload)` CTE upstream; yields `ibands(media_id,
+    * band, byte)`. Replays MultimodalOps.stubPixels (md5 row digests,
+    * hex-pair gray values), the entries' collapse perturbation (+37 on
+    * cells where (r*9+c+media_id) % 29 = 0 for collapsed ids), and
+    * dHashBands' neighbor-comparison byte packing.
+    */
+  private val pixelBandCtes: String =
+    s"""hexes AS (SELECT media_id, r, md5(payload || ':' || CAST(r AS VARCHAR)) AS hex
+       |          FROM media CROSS JOIN range(0, 8) t(r)),
+       |pix AS (SELECT media_id, r, c,
+       |          CASE WHEN media_id % 10 < 3 AND (r * 9 + c + media_id) % 29 = 0
+       |               THEN (${hexPairSql("hex", "c")} + 37) % 256
+       |               ELSE ${hexPairSql("hex", "c")} END AS v
+       |        FROM hexes CROSS JOIN range(0, 9) t2(c)),
+       |ibands AS (SELECT a.media_id, CAST(a.r AS INTEGER) AS band,
+       |             CAST(sum(CASE WHEN a.v < b.v THEN 1 << CAST(a.c AS INTEGER) ELSE 0 END) AS INTEGER) AS byte
+       |           FROM pix a JOIN pix b ON b.media_id = a.media_id AND b.r = a.r AND b.c = a.c + 1
+       |           WHERE a.c < 8
+       |           GROUP BY a.media_id, a.r)""".stripMargin
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -920,6 +1020,79 @@ private[graft] object OpsEntries {
          |SELECT d.doc_id, coalesce(best.jaccard >= 0.8, false) AS is_dup,
          |       best.id_b AS match_id, best.jaccard AS match_jaccard
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         |LEFT JOIN best ON d.doc_id = best.id_a""".stripMargin,
+
+    // the pixel/dHash chain, within-corpus pairs: band-bucket screen,
+    // exact Hamming verify over the 8 band bytes
+    "q106_image_hash_dedup" ->
+      s"""WITH anchors AS (SELECT doc_id AS aid, text AS atext FROM documents WHERE doc_id < 4),
+         |media AS (SELECT media_id, payload FROM (
+         |            SELECT d.doc_id AS media_id,
+         |                   CASE WHEN d.doc_id % 10 < 3 THEN atext ELSE d.text END AS payload
+         |            FROM documents d LEFT JOIN anchors ON aid = d.doc_id % 4)
+         |          WHERE payload IS NOT NULL),
+         |$pixelBandCtes,
+         |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+         |         FROM ibands a JOIN ibands b ON a.band = b.band AND a.byte = b.byte
+         |         WHERE a.media_id < b.media_id)
+         |SELECT c.id_a, c.id_b, CAST(sum(bit_count(xor(ba.byte, bb.byte))) AS INTEGER) AS hamming
+         |FROM cand c JOIN ibands ba ON ba.media_id = c.id_a
+         |            JOIN ibands bb ON bb.media_id = c.id_b AND bb.band = ba.band
+         |GROUP BY c.id_a, c.id_b
+         |HAVING CAST(sum(bit_count(xor(ba.byte, bb.byte))) AS INTEGER) <= 8""".stripMargin,
+
+    // the composed (caption, image) corpus: text-MinHash bands OR image
+    // buckets as the NEW × CORPUS screen, both exact measures verified,
+    // per-new-doc best-match decision (dup-passing first)
+    "q107_cross_modal_admission" ->
+      s"""WITH anchors AS (SELECT doc_id AS aid, text AS atext FROM documents WHERE doc_id < 4),
+         |comp AS (SELECT doc_id, text, payload FROM (
+         |           SELECT d.doc_id,
+         |                  CASE WHEN d.doc_id % 10 < 3 THEN atext || ' v' || CAST(d.doc_id AS VARCHAR)
+         |                       ELSE d.text END AS text,
+         |                  CASE WHEN d.doc_id % 10 < 3 THEN atext ELSE d.text END AS payload
+         |           FROM documents d LEFT JOIN anchors ON aid = (d.doc_id // 2) % 4
+         |           WHERE d.text IS NOT NULL)
+         |         WHERE payload IS NOT NULL),
+         |media AS (SELECT doc_id AS media_id, payload FROM comp),
+         |$pixelBandCtes,
+         |n2 AS (SELECT doc_id, $norm AS norm FROM comp),
+         |sh2 AS (SELECT doc_id, $shingles8 AS s FROM n2),
+         |bh2 AS (SELECT doc_id, list_transform(s, x -> ${base38Sql("x")}) AS hs FROM sh2),
+         |sig2 AS (SELECT doc_id, $sigExprs FROM bh2),
+         |banded2 AS (SELECT doc_id, $sigList AS sig, unnest($bandExprs) AS band FROM sig2),
+         |tcand AS (SELECT DISTINCT id_a, id_b FROM (
+         |            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |                   len(list_filter(list_zip(a.sig, b.sig), p -> p[1] = p[2])) / 16.0 AS est_jaccard
+         |            FROM banded2 a JOIN banded2 b USING (band)
+         |            WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+         |          WHERE est_jaccard >= 0.5),
+         |icand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+         |          FROM ibands a JOIN ibands b ON a.band = b.band AND a.byte = b.byte
+         |          WHERE a.media_id % 2 = 1 AND b.media_id % 2 = 0),
+         |cand AS (SELECT id_a, id_b FROM tcand UNION SELECT id_a, id_b FROM icand),
+         |g AS (SELECT doc_id, CASE WHEN len(norm) < 3 THEN [norm]
+         |        ELSE list_distinct(list_transform(generate_series(1, len(norm)-2), i -> substr(norm, i, 3))) END AS grams
+         |      FROM n2),
+         |j AS (SELECT id_a, id_b,
+         |        CAST(len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS DOUBLE) AS inter,
+         |        CAST(len(ga.grams) + len(gb.grams) AS DOUBLE) AS total
+         |      FROM cand JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b),
+         |v AS (SELECT id_a, id_b,
+         |        round(CASE WHEN total - inter > 0 THEN inter / (total - inter) ELSE 0.0 END, 4) AS jaccard
+         |      FROM j),
+         |ham AS (SELECT v.id_a, v.id_b, v.jaccard,
+         |          CAST(sum(bit_count(xor(ba.byte, bb.byte))) AS INTEGER) AS hamming
+         |        FROM v JOIN ibands ba ON ba.media_id = v.id_a
+         |               JOIN ibands bb ON bb.media_id = v.id_b AND bb.band = ba.band
+         |        GROUP BY v.id_a, v.id_b, v.jaccard),
+         |best AS (SELECT id_a, id_b, jaccard, hamming FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_a
+         |    ORDER BY (jaccard >= 0.8 AND hamming <= 8) DESC, jaccard DESC, hamming ASC, id_b) AS r
+         |  FROM ham) WHERE r = 1)
+         |SELECT d.doc_id, coalesce(best.jaccard >= 0.8 AND best.hamming <= 8, false) AS is_dup,
+         |       best.id_b AS match_id, best.jaccard AS match_jaccard, best.hamming AS match_hamming
+         |FROM (SELECT doc_id FROM comp WHERE doc_id % 2 = 1) d
          |LEFT JOIN best ON d.doc_id = best.id_a""".stripMargin,
 
     "q64_kmeans" -> kmeansSql(),

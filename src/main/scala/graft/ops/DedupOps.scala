@@ -291,6 +291,97 @@ object DedupOps {
         col("match_id"), col("match_jaccard"))
   }
 
+  /** Cross-MODAL cross-corpus admission: decide, for every NEW
+    * (caption, image) document, whether it near-duplicates the EXISTING
+    * corpus in BOTH modalities — the admission gate for multimodal
+    * training data, where a re-hosted image with a lightly reworded
+    * caption must still be caught (and a coincidental caption match
+    * with a different image must NOT be).
+    *
+    * Candidates come from EITHER screen — text MinHash band match OR
+    * perceptual-hash (band, byte) bucket match, both NEW × CORPUS only
+    * (composing [[dedupAgainstCorpus]]'s shape with
+    * [[MultimodalOps.imageHashNearDup]]'s buckets) — so a near-dup
+    * missed by one modality's LSH can still be recalled by the other.
+    * Every candidate then verifies BOTH exact measures: character
+    * n-gram Jaccard on the caption and Hamming distance on the dHash
+    * bands. `is_dup` requires jaccard ≥ `jaccardThreshold` AND
+    * hamming ≤ `maxHamming`.
+    *
+    * Scale shape: two band-key joins NEW × CORPUS (never corpus ×
+    * corpus), verification on candidate pairs only, per-new-doc
+    * decision window over that doc's own candidates. `newBands` /
+    * `corpusBands` are each referenced twice (bucket join + Hamming
+    * verify) — persist them upstream if their lineage is expensive
+    * (the [[TextOps.perplexityBuckets]] caller contract).
+    *
+    * Output: one row per NEW doc — (idCol, is_dup, match_id,
+    * match_jaccard, match_hamming); the match columns carry the best
+    * candidate (dup-passing first, then jaccard desc, hamming asc,
+    * id asc), null when no candidate survived either screen.
+    */
+  def crossModalAdmission(newDocs: DataFrame, corpus: DataFrame,
+                          newBands: DataFrame, corpusBands: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          bandIdCol: String = "media_id",
+                          numHashes: Int = 16, bands: Int = 4, minhashSim: Double = 0.5,
+                          jaccardThreshold: Double = 0.8, maxHamming: Int = 8,
+                          n: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    def textBanded(df: DataFrame, side: String): DataFrame =
+      widen(df).filter(col(textCol).isNotNull)
+        .select(col(idCol).as(s"id_$side"),
+          graft.functions.ShingleExprs.minHashSig(
+            TextOps.normalized(col(textCol)), 8, numHashes).as(s"sig_$side"))
+        .select(col(s"id_$side"), col(s"sig_$side"),
+          explode_outer(bandKeys(col(s"sig_$side"), bands, rows)).as("band"))
+        .filter(col("band").isNotNull)
+    val tcand = textBanded(newDocs, "a").join(textBanded(corpus, "b"), Seq("band"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), (m => m)))
+          / lit(numHashes.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minhashSim)
+      .select(col("id_a"), col("id_b"))
+    val icand = newBands.select(col("band"), col("byte"), col(bandIdCol).as("id_a"))
+      .join(corpusBands.select(col("band"), col("byte"), col(bandIdCol).as("id_b")),
+        Seq("band", "byte"))
+      .select(col("id_a"), col("id_b"))
+    // one union'd candidate set, referenced ONCE below: the Hamming
+    // verify joins onto the jaccard-verified frame instead of re-reading
+    // `cand` (the twice-referenced-subplan discipline, applied here)
+    val cand = tcand.union(icand).distinct()
+    val codesA = codedGramSets(newDocs, idCol, textCol, n)
+      .select(col("id").as("id_a"), col("codes").as("codes_a"))
+    val codesB = codedGramSets(corpus, idCol, textCol, n)
+      .select(col("id").as("id_b"), col("codes").as("codes_b"))
+    val withJac = cand.join(codesA, Seq("id_a")).join(codesB, Seq("id_b"))
+      .withColumn("inter",
+        graft.functions.SetExprs.sortedIntersectSize(col("codes_a"), col("codes_b")).cast("double"))
+      .withColumn("uni", (size(col("codes_a")) + size(col("codes_b"))).cast("double") - col("inter"))
+      .select(col("id_a"), col("id_b"),
+        round(when(col("uni") > 0, col("inter") / col("uni")).otherwise(0.0), 4).as("jaccard"))
+    val scored = withJac
+      .join(newBands.select(col(bandIdCol).as("id_a"), col("band"), col("byte").as("byte_a")),
+        Seq("id_a"))
+      .join(corpusBands.select(col(bandIdCol).as("id_b"), col("band"), col("byte").as("byte_b")),
+        Seq("id_b", "band"))
+      .groupBy("id_a", "id_b", "jaccard")
+      .agg(sum(bit_count(col("byte_a").bitwiseXOR(col("byte_b")))).cast("int").as("hamming"))
+    val passes = col("jaccard") >= jaccardThreshold && col("hamming") <= maxHamming
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(passes.desc, col("jaccard").desc,
+        col("hamming").asc, col("id_b").asc)
+    val best = scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("id_a").as(idCol), col("id_b").as("match_id"),
+        col("jaccard").as("match_jaccard"), col("hamming").as("match_hamming"))
+    newDocs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("match_jaccard") >= jaccardThreshold
+          && col("match_hamming") <= maxHamming, lit(false)).as("is_dup"),
+        col("match_id"), col("match_jaccard"), col("match_hamming"))
+  }
+
   /** Benchmark decontamination: for every training document, how many
     * of its distinct character 8-gram codes appear anywhere in the
     * evaluation set — the standard n-gram-overlap contamination check

@@ -99,4 +99,77 @@ object MultimodalOps {
       round(col("width") * scale).cast("int").as("target_w"),
       round(col("height") * scale).cast("int").as("target_h"))
   }
+
+  // ---- perceptual image hashing (dHash) ----------------------------------
+
+  /** Deterministic stub "decode to gray grid": `rows` image rows per
+    * media item, each an array of `cols` 0–255 gray values derived from
+    * an md5 digest of (payload, row) — the decoder boundary where a real
+    * pipeline would downscale the actual image to a rows×cols luminance
+    * grid. Keeping the grid as FRAME ROWS (media_id, r, px[cols]) rather
+    * than hiding it inside the hash makes the stage engine-verifiable
+    * (a DuckDB oracle replays the same md5 arithmetic) and gives callers
+    * a hook to inject per-copy pixel perturbation in tests.
+    *
+    * Map-only: one explode ×rows, md5 + hex-pair extraction per row, all
+    * inside codegen. No shuffle.
+    */
+  def stubPixels(media: DataFrame, rows: Int = 8, cols: Int = 9,
+                 idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    require(cols * 2 <= 32, s"md5 supplies 16 bytes per row; cols=$cols needs ${cols * 2} hex chars")
+    media.select(col(idCol), col(payloadCol).cast("string").as("__p"),
+        explode(sequence(lit(0), lit(rows - 1))).as("r"))
+      .select(col(idCol), col("r"),
+        md5(concat(col("__p"), lit(":"), col("r").cast("string")).cast("binary")).as("__hex"))
+      .select(col(idCol), col("r"),
+        transform(sequence(lit(0), lit(cols - 1)),
+          c => conv(col("__hex").substr(c * 2 + 1, lit(2)), 16, 10).cast("int")).as("px"))
+  }
+
+  /** dHash band bytes from a pixel-grid frame: one byte per image row,
+    * bit c set iff px[c] < px[c+1] (the classic difference hash, robust
+    * to uniform brightness shifts because only ORDER between neighbors
+    * matters). Output long-form (media_id, band, byte) — exactly the
+    * (bucket-key, member) shape the LSH join consumes, and trivially
+    * re-derivable in SQL. Statically unrolled comparison sum: stays in
+    * whole-stage codegen, no higher-order functions. Map-only.
+    */
+  def dHashBands(pixels: DataFrame, cols: Int = 9, idCol: String = "media_id"): DataFrame = {
+    val byte = (0 until cols - 1).map { c =>
+      when(element_at(col("px"), c + 1) < element_at(col("px"), c + 2), lit(1 << c))
+        .otherwise(lit(0))
+    }.reduce((a, b) => a + b)
+    pixels.select(col(idCol), col("r").cast("int").as("band"), byte.cast("int").as("byte"))
+  }
+
+  /** Hamming-bucketed perceptual near-dup pairs over dHash bands: docs
+    * sharing ANY (band, byte) bucket are candidates (8 bands of 8 bits —
+    * a near-dup differing in d bits has ≥ 1 untouched band whenever
+    * d < 8 spread across bands, the SimHash-banding recall argument);
+    * candidates verify by exact Hamming distance = Σ bit_count(xor) over
+    * the 8 band bytes; pairs with distance ≤ `maxHamming` survive.
+    *
+    * Scale shape: the bucket self-join is the only corpus-sized shuffle
+    * and its key is (band, byte) — 11 bits, combiner-friendly; the
+    * verify join moves only candidate pairs + 8-row band vectors. No
+    * all-pairs product forms.
+    *
+    * `bands` is referenced four times (both sides of the bucket join,
+    * both sides of the verify) — persist/localCheckpoint upstream if its
+    * lineage is expensive (same caller contract as perplexityBuckets).
+    */
+  def imageHashNearDup(bands: DataFrame, maxHamming: Int = 8,
+                       idCol: String = "media_id"): DataFrame = {
+    val a = bands.select(col("band"), col("byte"), col(idCol).as("id_a"))
+    val b = bands.select(col("band"), col("byte"), col(idCol).as("id_b"))
+    val cand = a.join(b, Seq("band", "byte"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val ba = bands.select(col(idCol).as("id_a"), col("band"), col("byte").as("byte_a"))
+    val bb = bands.select(col(idCol).as("id_b"), col("band"), col("byte").as("byte_b"))
+    cand.join(ba, Seq("id_a")).join(bb, Seq("id_b", "band"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(bit_count(col("byte_a").bitwiseXOR(col("byte_b")))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

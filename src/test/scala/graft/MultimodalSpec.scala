@@ -54,4 +54,59 @@ class MultimodalSpec extends AnyFunSuite {
     val m1 = plan(1L) // 6x6 → no upscale
     assert(m1 == ((6, 6)))
   }
+
+  // ---- perceptual hashing (dHash) pins ----
+
+  test("dHash is invariant to uniform brightness shift") {
+    val media = Seq((0L, "payload-x")).toDF("media_id", "payload")
+    val px = MultimodalOps.stubPixels(media)
+    // +10 on every pixel: neighbor ORDER is unchanged, so the
+    // difference hash must be identical (the property that makes dHash
+    // perceptual rather than cryptographic)
+    val shifted = px.withColumn("px", transform(col("px"), v => v + 10))
+    val h1 = MultimodalOps.dHashBands(px).orderBy("band").collect().map(_.getInt(2)).toSeq
+    val h2 = MultimodalOps.dHashBands(shifted).orderBy("band").collect().map(_.getInt(2)).toSeq
+    assert(h1 == h2)
+    assert(h1.size == 8 && h1.forall(b => b >= 0 && b < 256))
+  }
+
+  test("imageHashNearDup: copies pair at small Hamming distance, unrelated payloads die in the verify") {
+    val media = Seq(
+      (0L, "imgA"), (1L, "imgA"), // exact copy
+      (2L, "imgB-completely-different-payload")
+    ).toDF("media_id", "payload")
+    val px = MultimodalOps.stubPixels(media)
+    // single-cell perturbation of the copy (r=0, c=0, +40): at most the
+    // two comparison bits that touch the cell can flip
+    val pert = px.withColumn("px",
+      transform(col("px"), (v, c) =>
+        when(col("media_id") === 1 && col("r") === 0 && c === 0, (v + 40) % 256)
+          .otherwise(v)))
+    val pairs = MultimodalOps.imageHashNearDup(MultimodalOps.dHashBands(pert), maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val copyPair = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(copyPair.isDefined, s"perturbed copy not found: ${pairs.toSeq}")
+    assert(copyPair.get._3 <= 2, s"one perturbed cell flips at most 2 bits: ${copyPair.get}")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"unrelated payload must not survive the Hamming verify: ${pairs.toSeq}")
+  }
+
+  test("crossModalAdmission: dup requires BOTH caption and image agreement") {
+    import graft.ops.DedupOps
+    val capA = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val corpus = Seq((0L, capA, "imgA")).toDF("doc_id", "text", "payload")
+    val fresh = Seq(
+      (11L, capA + " v2", "imgA"), // both modalities near-dup → admit as dup
+      (13L, capA + " v3", "imgZ-completely-different"), // caption-only
+      (15L, "an entirely unrelated caption about winter mountain weather and snowfall patterns", "imgA") // image-only
+    ).toDF("doc_id", "text", "payload")
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      MultimodalOps.dHashBands(MultimodalOps.stubPixels(
+        df.select(col("doc_id").as("media_id"), col("payload"))))
+    val out = DedupOps.crossModalAdmission(fresh, corpus, bands(fresh), bands(corpus))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(11L), "caption + image near-dup must be caught")
+    assert(!out(13L), "caption match with a different image must NOT be a dup")
+    assert(!out(15L), "image match with a different caption must NOT be a dup")
+  }
 }
