@@ -101,8 +101,17 @@ object SampleOps {
     * per-shard: one shuffle on the shard key, each task sorting
     * corpus/numShards rows; size numShards so a shard fits a task
     * (the output is usually written `partitionBy(shard)` anyway).
-    * Membership and order are layout-independent (pure id hash), so
-    * the permutation survives repartitioning and incremental reruns.
+    *
+    * INCREMENTAL CONTRACT (pinned in SeriesSampleSpec): everything is
+    * a pure function of (seed, id), so under repartitioning the output
+    * is bit-identical, and under corpus GROWTH (a) every existing row
+    * keeps its `shard` and (b) existing rows keep their relative order
+    * within the shard — new rows interleave without swapping old
+    * neighbors. Absolute `shard_pos` values are NOT stable under
+    * growth: an inserted row shifts every row hashing behind it up by
+    * one. Resumable consumers must address by (shard, hash order) —
+    * e.g. "resume after id X", not "resume at shard_pos N" — or
+    * re-derive positions after ingest.
     */
   def shardShuffle(df: org.apache.spark.sql.DataFrame, idCol: String,
                    numShards: Int, seed: Long = 0L): org.apache.spark.sql.DataFrame = {

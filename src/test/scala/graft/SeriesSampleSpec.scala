@@ -314,6 +314,40 @@ class SeriesSampleSpec extends AnyFunSuite {
     assert(a !== c, "seed must change the permutation")
   }
 
+  test("shardShuffle under corpus growth: shard and relative order stable, shard_pos is not") {
+    // The incremental contract, pinned exactly: when new docs arrive,
+    // (1) every old doc keeps its SHARD (pure id-hash function);
+    // (2) the RELATIVE ORDER of old docs within a shard is unchanged
+    //     (new docs interleave, they never swap old neighbors);
+    // (3) absolute shard_pos values are NOT stable — an inserted doc
+    //     shifts every old doc behind it up by one. Consumers that
+    //     need resumable addressing must key on (shard, id-hash
+    //     order), not on a stored shard_pos.
+    val before = SampleOps.shardShuffle((0L until 3000L).toDF("doc_id"),
+        "doc_id", numShards = 4, seed = 42L)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val after = SampleOps.shardShuffle((0L until 4000L).toDF("doc_id"),
+        "doc_id", numShards = 4, seed = 42L)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // (1) shard assignment of every pre-existing doc is unchanged
+    before.foreach { case (id, (shard, _)) =>
+      assert(after(id)._1 == shard, s"doc $id changed shard under growth")
+    }
+    // (2) within each shard, old docs ordered by old pos are a
+    //     subsequence of the new order: sorting them by NEW pos must
+    //     not permute them
+    before.groupBy(_._2._1).foreach { case (shard, rows) =>
+      val oldOrder = rows.toSeq.sortBy(_._2._2).map(_._1)
+      val newOrder = rows.toSeq.sortBy(r => after(r._1)._2).map(_._1)
+      assert(oldOrder == newOrder, s"shard $shard relative order changed under growth")
+    }
+    // (3) the growth DID move absolute positions (the 1000 new docs
+    //     hash uniformly — some land mid-shard), so a consumer pinning
+    //     shard_pos would silently re-read different rows
+    assert(before.exists { case (id, (_, pos)) => after(id)._2 != pos },
+      "expected at least one shifted shard_pos; the instability this test documents")
+  }
+
   test("divideSeries: pointwise ratio, null on zero or missing divisor, grid preserved") {
     val num = Seq(("a", 0L, 10.0), ("a", 60L, 6.0), ("a", 120L, 4.0), ("b", 0L, 1.0))
       .toDF("metric", "ts", "v")
