@@ -253,6 +253,36 @@ private[graft] object OpsEntries {
         bands.filter(col("media_id") % 2 === 0))
     }),
 
+    // Video near-dup by frame-fingerprint set overlap: the q31 "video"
+    // rows (doc_id % 3 == 2) stub-decode to per-frame digests at
+    // stride 2; 30% of payloads collapse onto 4 anchor videos and each
+    // collapsed copy perturbs the frames where (frame_idx + id) % 4 ==
+    // 0 — copies of one anchor share most frames but not all, so the
+    // verify sees real partial overlaps (ids congruent mod 4 hit
+    // jaccard 1.0, others land between threshold and 1). Unrelated
+    // videos share no fingerprint and never become candidates.
+    "q108_video_frame_dedup" -> ((s, dir) => {
+      val vids = t(s, dir, "documents").filter(col("doc_id") % 3 === 2)
+      val anchors = vids.filter(col("doc_id") < 12)
+        .select((expr("doc_id div 3") % 4).as("aid"), col("text").as("atext"))
+      val media = vids
+        .withColumn("aid", expr("doc_id div 3") % 4)
+        .join(broadcast(anchors), Seq("aid"), "left")
+        .select(col("doc_id").as("media_id"),
+          when(col("doc_id") % 10 < 3, col("atext")).otherwise(col("text")).as("payload"))
+        .filter(col("payload").isNotNull)
+      val frames = MultimodalOps.frameFingerprints(media)
+        .withColumn("fhash",
+          when(col("media_id") % 10 < 3
+              && (col("frame_idx") + col("media_id")) % 4 === 0,
+            md5(concat(col("fhash"), col("media_id").cast("string")).cast("binary")))
+            .otherwise(col("fhash")))
+        // videoNearDup references the frame set three times —
+        // checkpoint per its caller-persist contract (≤8 rows/video)
+        .localCheckpoint(true)
+      MultimodalOps.videoNearDup(frames, minJaccard = 0.3)
+    }),
+
     // TRUE suffix-array ExactSubstr over a bounded slice: max_dup_tokens
     // is the exact longest duplicated run (no island over-approximation),
     // covered_tokens the exact ≥8-token run union. The oracle is a
@@ -436,6 +466,13 @@ private[graft] object OpsEntries {
     // BPE first-merge statistics: adjacent char-pair frequencies over
     // the distinct vocabulary, weighted by corpus word frequency.
     "q62_bpe_pairs" -> ((s, dir) => TextOps.bpeMergePairs(t(s, dir, "documents"))),
+
+    // Iterative BPE tokenizer TRAINING: 6 count-best-merge rounds over
+    // the vocabulary — the merge table a tokenizer ships with (q62 is
+    // round 1's statistic; a spec pins that step 1 here equals q62's
+    // top pair). Corpus is scanned once; rounds are vocab-sized.
+    "q109_bpe_train" -> ((s, dir) =>
+      TextOps.bpeTrain(t(s, dir, "documents"), merges = 6)),
 
     // Benchmark decontamination: per training doc, the fraction of its
     // 8-gram codes that appear in the (pseudo) eval split.
@@ -629,6 +666,37 @@ private[graft] object OpsEntries {
        |           FROM pix a JOIN pix b ON b.media_id = a.media_id AND b.r = a.r AND b.c = a.c + 1
        |           WHERE a.c < 8
        |           GROUP BY a.media_id, a.r)""".stripMargin
+
+  /** Unrolled BPE-training CTE chain — the independent SQL re-statement
+    * of `TextOps.bpeTrain`: same sentinel-spaced symbol strings, same
+    * leftmost non-overlapping `replace` merge, same (weight DESC, pair
+    * ASC) tie-break, one CTE trio (pairs → best → rewrite) per round.
+    */
+  private def bpeTrainSql(merges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH wf AS (SELECT w, count(*) AS freq
+         |  FROM (SELECT unnest($toksExpr) AS w FROM documents) GROUP BY w),
+         |w0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym, freq FROM wf),
+         |""".stripMargin)
+    for (i <- 1 to merges) {
+      sb.append(
+        s"""p$i AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+           |          j -> t[j] || ' ' || t[j+1])) AS pair, freq
+           |        FROM (SELECT string_split(trim(sym), ' ') AS t, freq FROM w${i - 1})),
+           |b$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
+           |        FROM p$i GROUP BY pair ORDER BY weight DESC, pair LIMIT 1),
+           |w$i AS (SELECT replace(sym, ' ' || (SELECT pair FROM b$i) || ' ',
+           |          ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ') AS sym, freq
+           |        FROM w${i - 1}),
+           |""".stripMargin)
+    }
+    sb.setLength(sb.length - 2) // drop trailing ",\n"
+    sb.append("\n")
+    sb.append((1 to merges).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS step, pair, weight FROM b$i").mkString("\nUNION ALL\n"))
+    sb.toString
+  }
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -1094,6 +1162,37 @@ private[graft] object OpsEntries {
          |       best.id_b AS match_id, best.jaccard AS match_jaccard, best.hamming AS match_hamming
          |FROM (SELECT doc_id FROM comp WHERE doc_id % 2 = 1) d
          |LEFT JOIN best ON d.doc_id = best.id_a""".stripMargin,
+
+    // the frame-fingerprint chain: stub n_frames (q31 convention),
+    // stride-2 sample, per-frame digest with the per-copy perturbation,
+    // fingerprint-bucket pair join, exact set-Jaccard verify
+    "q108_video_frame_dedup" ->
+      """WITH vids AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+        |anchors AS (SELECT (doc_id // 3) % 4 AS aid, text AS atext FROM vids WHERE doc_id < 12),
+        |media AS (SELECT media_id, payload FROM (
+        |            SELECT v.doc_id AS media_id,
+        |                   CASE WHEN v.doc_id % 10 < 3 THEN atext ELSE v.text END AS payload
+        |            FROM vids v LEFT JOIN anchors ON aid = (v.doc_id // 3) % 4)
+        |          WHERE payload IS NOT NULL),
+        |fr AS (SELECT media_id, payload,
+        |         unnest(generate_series(0, octet_length(encode(payload)) % 16, 2)) AS frame_idx
+        |       FROM media),
+        |fh AS (SELECT media_id, frame_idx,
+        |         CASE WHEN media_id % 10 < 3 AND (frame_idx + media_id) % 4 = 0
+        |              THEN md5(md5(payload || '#' || CAST(frame_idx AS VARCHAR)) || CAST(media_id AS VARCHAR))
+        |              ELSE md5(payload || '#' || CAST(frame_idx AS VARCHAR)) END AS fhash
+        |       FROM fr),
+        |counts AS (SELECT media_id, count(*) AS nf FROM fh GROUP BY media_id),
+        |shared AS (SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS shared_frames
+        |           FROM fh a JOIN fh b ON a.fhash = b.fhash AND a.media_id < b.media_id
+        |           GROUP BY a.media_id, b.media_id)
+        |SELECT id_a, id_b, shared_frames,
+        |       round(CAST(shared_frames AS DOUBLE) / (ca.nf + cb.nf - shared_frames), 4) AS jaccard
+        |FROM shared JOIN counts ca ON ca.media_id = id_a
+        |            JOIN counts cb ON cb.media_id = id_b
+        |WHERE round(CAST(shared_frames AS DOUBLE) / (ca.nf + cb.nf - shared_frames), 4) >= 0.3""".stripMargin,
+
+    "q109_bpe_train" -> bpeTrainSql(merges = 6),
 
     "q64_kmeans" -> kmeansSql(),
 

@@ -142,6 +142,66 @@ object Stress {
       println(f"STRESS_SUBSTR docs=${d10.count()} string_time=$tS%.2fs coded_time=$tC%.2fs out=$ns/$nc")
     }
 
+    // Scale-exponent record for the suite's five heaviest ENTRIES, run
+    // unmodified against a ×x (default ×10 ≈ sf1) replica corpus laid
+    // out as a real table dir — documents + embeddings with per-copy
+    // perturbation, ids offset so auto-k policies see the true n. Per
+    // query and scale: wall time, shuffle-spill bytes, task count, max
+    // single-task time (the skew proxy), with AQE + skew-join ON. The
+    // printed exponent log_x(t_x / t_1) is the evidence SCALE.md's
+    // 100 TB claims cite: ~1.0 = linear, ≫1 = a plan that would not
+    // survive the next order of magnitude.
+    if (which == "scale") {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val scaleDir = "/tmp/graft_scale_x" + x
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until x).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$scaleDir/documents.parquet")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      (0 until x).map { i =>
+        emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          transform(col("embedding"), e => e + lit(0.001f * i)).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
+
+      val spillB = new java.util.concurrent.atomic.AtomicLong
+      val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
+      val nTasks = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            spillB.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+            nTasks.incrementAndGet()
+            val rt = te.taskInfo.duration
+            var cur = maxTaskMs.get()
+            while (rt > cur && !maxTaskMs.compareAndSet(cur, rt)) cur = maxTaskMs.get()
+          }
+        }
+      })
+      val heavy = Seq("q100_semdedup_skew", "q97_semdedup_autok", "q75_semdedup",
+        "q84_bigram_logprob", "q101_ann_recall")
+      // one untimed warm pass at base scale amortizes codegen/JIT; the
+      // ×x pass is dominated by real work, so a single timed run per
+      // (query, scale) is the honest affordable protocol (noted in
+      // SCALE.md; sub-second noise is irrelevant at these durations)
+      heavy.foreach { q =>
+        try SparkEntry.queries(q)(spark, sfDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+      }
+      Seq(("base", sfDir), (s"x$x", scaleDir)).foreach { case (tag, dir) =>
+        heavy.foreach { q =>
+          spillB.set(0); maxTaskMs.set(0); nTasks.set(0)
+          val (rows, t) = time(SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count())
+          Thread.sleep(500) // let the listener bus drain before reading
+          println(f"STRESS_SCALE scale=$tag query=$q rows=$rows time=$t%.2fs " +
+            f"spill_bytes=${spillB.get()} tasks=${nTasks.get()} max_task_ms=${maxTaskMs.get()}")
+        }
+      }
+    }
+
     // q95: the single-fat-source worst case — every doc in ONE group, so
     // the running-sum window sorts the whole corpus on one task (the
     // same concentration tokenBudgetPack's pre-filter bounds; sequence

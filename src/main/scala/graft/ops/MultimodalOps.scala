@@ -172,4 +172,55 @@ object MultimodalOps {
       .agg(sum(bit_count(col("byte_a").bitwiseXOR(col("byte_b")))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ---- video near-dup via frame-fingerprint sets -------------------------
+
+  /** Per-video frame fingerprints at `stride` sampling: one row per
+    * sampled frame with a deterministic stub digest of (payload, frame
+    * index) standing in for a real per-frame perceptual hash (the
+    * [[StubDecoder]] convention: frame count = payload length % 16 + 1,
+    * as q31/q32). Map-only explode — ≤ 16/stride rows per video; the
+    * real decoder swaps in at the digest expression without touching
+    * the shape.
+    */
+  def frameFingerprints(media: DataFrame, stride: Int = 2,
+                        idCol: String = "media_id", payloadCol: String = "payload"): DataFrame =
+    media.select(col(idCol), col(payloadCol).cast("string").as("__p"),
+        (octet_length(col(payloadCol)) % 16 + 1).as("n_frames"))
+      .select(col(idCol), col("__p"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+      .select(col(idCol), col("frame_idx"),
+        md5(concat(col("__p"), lit("#"), col("frame_idx").cast("string")).cast("binary")).as("fhash"))
+
+  /** Video near-dup by frame-set overlap: videos sharing ANY frame
+    * fingerprint are candidates (one equi-join on the fingerprint — the
+    * only corpus-sized shuffle); each candidate pair is verified by the
+    * exact Jaccard of its sampled frame-fingerprint sets, and pairs at
+    * or above `minJaccard` survive. The standard re-encoded / trimmed /
+    * re-hosted video catch: content-identical frames keep identical
+    * fingerprints, partial edits lower the overlap instead of zeroing
+    * it.
+    *
+    * `frames` is referenced three times (both join sides + per-video
+    * counts) — persist/localCheckpoint upstream if its lineage is
+    * expensive (the caller-persist contract).
+    *
+    * Output: (id_a, id_b, shared_frames, jaccard), id_a < id_b.
+    */
+  def videoNearDup(frames: DataFrame, minJaccard: Double = 0.3,
+                   idCol: String = "media_id"): DataFrame = {
+    val counts = frames.groupBy(col(idCol)).agg(count(lit(1)).as("nf"))
+    val a = frames.select(col("fhash"), col(idCol).as("id_a"))
+    val b = frames.select(col("fhash"), col(idCol).as("id_b"))
+    val shared = a.join(b, Seq("fhash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_frames"))
+    shared
+      .join(counts.select(col(idCol).as("id_a"), col("nf").as("nf_a")), Seq("id_a"))
+      .join(counts.select(col(idCol).as("id_b"), col("nf").as("nf_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared_frames"),
+        round(col("shared_frames").cast("double")
+          / (col("nf_a") + col("nf_b") - col("shared_frames")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
 }

@@ -825,4 +825,67 @@ object TextOps {
       .orderBy(col("weight").desc, col("pair").asc)
       .limit(topK)
   }
+
+  /** Iterative BPE tokenizer TRAINING: `merges` rounds of
+    * count-best-merge over the corpus vocabulary — [[bpeMergePairs]]'s
+    * statistic applied repeatedly, i.e. the actual merge-table builder
+    * a tokenizer ships with, not just the first-round report.
+    *
+    * Scale shape: ONE corpus-sized pass (explode→partial-agg word
+    * frequencies); every round after runs over the DISTINCT vocabulary
+    * only (Heaps-law sublinear in corpus size) — a pair count with
+    * map-side partial aggregation, a 1-row collect for the best pair
+    * (driver scalar, the k-means-centroid idiom), and a map-only merge
+    * rewrite. Rounds never rescan the corpus. The vocab frame is
+    * localCheckpoint'ed per round: each round references its
+    * predecessor twice (pair count + rewrite) and lineage would
+    * otherwise deepen by one rewrite per round.
+    *
+    * Merge semantics: words carry sentinel-spaced symbol strings
+    * (" h e l l o "); a merge replaces " a b " with " ab " —
+    * leftmost non-overlapping occurrences, identical in Spark and any
+    * SQL `replace`. On runs of ≥ 3 repeats of the same symbol this
+    * differs from HF-tokenizers' skip-after-merge walk by at most the
+    * run's phase (documented variant; ties in real corpora are
+    * dominated by the tie-break, which is (weight DESC, pair ASC) —
+    * deterministic).
+    *
+    * Output: (step, pair, weight) — the ordered merge table.
+    */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String = "text",
+               merges: Int = 6): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    var words = DedupOps.widen(docs)
+      .select(explode_outer(tokens(col(textCol))).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("sym"), col("freq"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    var exhausted = false
+    for (step <- 1 to merges if !exhausted) {
+      val best = words
+        .select(col("freq"), split(trim(col("sym")), " ").as("t"))
+        .select(col("freq"), explode_outer(
+          when(size(col("t")) >= 2,
+            transform(sequence(lit(1), size(col("t")) - 1),
+              j => concat(element_at(col("t"), j), lit(" "), element_at(col("t"), j + 1))))
+            .otherwise(array().cast("array<string>"))).as("pair"))
+        .filter(col("pair").isNotNull)
+        .groupBy("pair").agg(sum(col("freq")).as("weight"))
+        .orderBy(col("weight").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        out += ((step, pair, best(0).getLong(1)))
+        words = words.select(
+          call_function("replace", col("sym"),
+            lit(" " + pair + " "), lit(" " + pair.replace(" ", "") + " ")).as("sym"),
+          col("freq")).localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("step", "pair", "weight")
+  }
 }

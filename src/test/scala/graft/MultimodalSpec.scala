@@ -91,6 +91,25 @@ class MultimodalSpec extends AnyFunSuite {
       s"unrelated payload must not survive the Hamming verify: ${pairs.toSeq}")
   }
 
+  test("videoNearDup: identical videos at jaccard 1, partial edits partially overlap, unrelated never pair") {
+    val media = Seq(
+      (0L, "video-payload-A"), (1L, "video-payload-A"), // identical → jaccard 1.0
+      (2L, "video-payload-A"), // will have some frames perturbed below
+      (3L, "totally-different-video-payload-B")
+    ).toDF("media_id", "payload")
+    val frames = MultimodalOps.frameFingerprints(media)
+      .withColumn("fhash",
+        when(col("media_id") === 2 && col("frame_idx") % 4 === 0,
+          md5(concat(col("fhash"), lit("x")).cast("binary"))).otherwise(col("fhash")))
+    val pairs = MultimodalOps.videoNearDup(frames, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs((0L, 1L)) == 1.0, s"identical videos must overlap fully: $pairs")
+    val partial = pairs((0L, 2L))
+    assert(partial > 0.3 && partial < 1.0, s"edited copy must overlap partially: $partial")
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated video must never become a candidate: $pairs")
+  }
+
   test("crossModalAdmission: dup requires BOTH caption and image agreement") {
     import graft.ops.DedupOps
     val capA = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"

@@ -28,6 +28,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.length === 1 && got(0).getString(0) === "ab" && got(0).getLong(1) === 1L)
   }
 
+  test("bpeTrain: hand-checked merge sequence, later rounds see merged symbols, exhaustion stops early") {
+    // corpus: aaa ×2, ab ×1.
+    // w0: ' a a a '(2), ' a b '(1) → 'a a' weight 4 (two positions × freq 2)
+    // merge ' a a '→' aa ' is leftmost non-overlapping: ' a a a ' → ' aa a '
+    // round 2: 'aa a' weight 2 (the MERGED symbol pairs — what q62 alone
+    // can never produce); round 3: 'a b' weight 1; round 4: no pairs left
+    val docs = Seq((1L, "aaa aaa ab")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(docs, merges = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((1, "a a", 4L), (2, "aa a", 2L), (3, "a b", 1L)),
+      s"merge table mismatch: $got")
+  }
+
+  test("bpeTrain step 1 equals bpeMergePairs' top pair (q62 consistency)") {
+    val docs = Seq((1L, "low low lower widest widest widest")).toDF("doc_id", "text")
+    val first = TextOps.bpeTrain(docs, merges = 1).collect()(0)
+    val q62top = TextOps.bpeMergePairs(docs, topK = 1).collect()(0)
+    // bpeTrain formats the pair space-separated; at round 1 all symbols
+    // are single chars, so de-spacing must reproduce q62's 2-char pair
+    assert(first.getString(1).replace(" ", "") === q62top.getString(0))
+    assert(first.getLong(2) === q62top.getLong(1))
+  }
+
   test("evalGramOverlap: identical doc fully contaminated, disjoint doc clean") {
     val evalDocs = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val train = Seq(
