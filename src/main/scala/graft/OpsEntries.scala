@@ -121,6 +121,24 @@ private[graft] object OpsEntries {
       SimilarityOps.semDedupAdaptive(skewed, targetCellRows = 32, oversizeFactor = 2)
     }),
 
+    // Product quantization: 8 independent 16-codeword codebooks over
+    // 8-dim slices (the kmeans recipe per subspace), every vector →
+    // 8 codes + reconstruction error. 8 bytes a vector instead of 256
+    // — the storage layout of billion-vector ANN.
+    "q110_pq_encode" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.pqEncode(e, SimilarityOps.pqTrain(e), subDim = 8)
+    }),
+
+    // Asymmetric-distance (ADC) top-10 over the PQ codes: per-probe
+    // distance tables broadcast, corpus scored by table lookups only —
+    // the original floats never reach the scan.
+    "q111_pq_adc_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.pqAdcTopK(e.filter(col("vec_id") < 5), e,
+        SimilarityOps.pqTrain(e), k = 10)
+    }),
+
     // IVF ANN over TRAINED centroids: the learned coarse quantizer
     // routes corpus and probes (nearest_cell), exact cosine in-cell.
     "q90_ivf_trained" -> ((s, dir) => {
@@ -783,6 +801,90 @@ private[graft] object OpsEntries {
     sb.toString
   }
 
+  /** Per-subspace Lloyd chains (CTE prefix `s<i>_`) over embedding
+    * slices + per-subspace assignments — the independent SQL replay of
+    * `SimilarityOps.pqTrain`. Ends in `codesw(vec_id, cs0..cs{m-1})`;
+    * the per-subspace centroid lists remain visible as `s<i>_cl<iters>`
+    * for the error / ADC terms.
+    */
+  private def pqCtes(m: Int, subDim: Int, k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),\n")
+    for (s <- 0 until m) {
+      val p = s"s${s}_"
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      sb.append(
+        s"""${p}emb AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM emb),
+           |${p}init AS (SELECT cell, embedding FROM (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding FROM ${p}emb)
+           |  WHERE cell < $k),
+           |${p}c0 AS (SELECT cell, dim, round(CAST(embedding[dim] AS DOUBLE), 4) AS value
+           |  FROM ${p}init CROSS JOIN range(1, ${subDim + 1}) t(dim)),
+           |""".stripMargin)
+      for (i <- 1 to iters) {
+        sb.append(
+          s"""${p}cl${i - 1} AS (SELECT cell, list(value ORDER BY dim) AS cv FROM ${p}c${i - 1} GROUP BY cell),
+             |${p}a$i AS (SELECT vec_id, embedding, cell FROM (
+             |  SELECT e.vec_id, e.embedding, c.cell,
+             |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${kmeansL2("e.embedding", "c.cv")}, c.cell) AS r
+             |  FROM ${p}emb e CROSS JOIN ${p}cl${i - 1} c) WHERE r = 1),
+             |${p}u$i AS (SELECT cell, dim, round(avg(CAST(embedding[dim] AS DOUBLE)), 4) AS value
+             |  FROM ${p}a$i CROSS JOIN range(1, ${subDim + 1}) t(dim) GROUP BY cell, dim),
+             |${p}c$i AS (SELECT * FROM ${p}u$i UNION ALL
+             |  SELECT * FROM ${p}c${i - 1} WHERE cell NOT IN (SELECT DISTINCT cell FROM ${p}u$i)),
+             |""".stripMargin)
+      }
+      sb.append(
+        s"""${p}cl$iters AS (SELECT cell, list(value ORDER BY dim) AS cv FROM ${p}c$iters GROUP BY cell),
+           |${p}asg AS (SELECT vec_id, cell FROM (
+           |  SELECT e.vec_id, c.cell,
+           |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${kmeansL2("e.embedding", "c.cv")}, c.cell) AS r
+           |  FROM ${p}emb e CROSS JOIN ${p}cl$iters c) WHERE r = 1),
+           |""".stripMargin)
+    }
+    sb.append("codesw AS (SELECT " +
+      ("emb.vec_id" +: (0 until m).map(s => s"s${s}_asg.cell AS cs$s")).mkString(", ") +
+      " FROM emb " +
+      (0 until m).map(s => s"JOIN s${s}_asg ON s${s}_asg.vec_id = emb.vec_id").mkString(" ") +
+      ")")
+    sb.toString
+  }
+
+  private def pqEncodeSql(m: Int = 8, subDim: Int = 8, k: Int = 16, iters: Int = 2): String = {
+    val codeList = (0 until m).map(s => s"CAST(c.cs$s AS INTEGER)").mkString("[", ", ", "]")
+    val joins = (0 until m).map(s => s"JOIN s${s}_cl$iters k$s ON k$s.cell = c.cs$s").mkString(" ")
+    val err = (0 until m).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      s"round(${kmeansL2(s"e.embedding[$lo:$hi]", s"k$s.cv")}, 6)"
+    }.mkString(" + ")
+    pqCtes(m, subDim, k, iters) +
+      s"""
+         |SELECT c.vec_id, $codeList AS codes, round($err, 4) AS recon_err
+         |FROM codesw c JOIN emb e ON e.vec_id = c.vec_id $joins""".stripMargin
+  }
+
+  private def pqAdcSql(m: Int = 8, subDim: Int = 8, k: Int = 16, iters: Int = 2,
+                       topK: Int = 10): String = {
+    val joins = (0 until m).map(s => s"JOIN s${s}_cl$iters k$s ON k$s.cell = c.cs$s").mkString(" ")
+    val dist = (0 until m).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      s"round(${kmeansL2(s"q.embedding[$lo:$hi]", s"k$s.cv")}, 6)"
+    }.mkString(" + ")
+    pqCtes(m, subDim, k, iters) +
+      s""",
+         |probes AS (SELECT vec_id AS query_id, embedding FROM emb WHERE vec_id < 5),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, round($dist, 4) AS adist
+         |           FROM probes q CROSS JOIN codesw c $joins
+         |           WHERE q.query_id <> c.vec_id)
+         |SELECT query_id, neighbor_id, adist, CAST(r AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS r
+         |  FROM scored)
+         |WHERE r <= $topK""".stripMargin
+  }
+
   private def kmeansSql(k: Int = 8, iters: Int = 3, dims: Int = 64): String =
     kmeansCtes(k, iters, dims) +
       s"""fin AS (SELECT cell, dim, value FROM c$iters)
@@ -1193,6 +1295,9 @@ private[graft] object OpsEntries {
         |WHERE round(CAST(shared_frames AS DOUBLE) / (ca.nf + cb.nf - shared_frames), 4) >= 0.3""".stripMargin,
 
     "q109_bpe_train" -> bpeTrainSql(merges = 6),
+
+    "q110_pq_encode" -> pqEncodeSql(),
+    "q111_pq_adc_topk" -> pqAdcSql(),
 
     "q64_kmeans" -> kmeansSql(),
 

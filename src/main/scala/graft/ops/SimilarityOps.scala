@@ -482,6 +482,107 @@ object SimilarityOps {
     * Shuffles touch only top-k-sized result sets (queries × k rows),
     * never the corpus.
     */
+  // ---- product quantization (PQ) -----------------------------------------
+
+  /** Product-quantization codebooks: `m` INDEPENDENT Lloyd runs, one
+    * per contiguous `subDim`-wide slice of the embedding — the exact
+    * [[kmeans]] recipe (lowest-id init, 4dp-rounded means, lowest-cell
+    * ties) per subspace, so the full training trace replays in SQL.
+    * Returns books(s)(cell)(dim). The corpus is persisted once and
+    * shared by all m runs (each run is iters+1 driver jobs over it).
+    *
+    * This is the memory layout that makes billion-vector ANN feasible:
+    * m codes of log2(k) bits replace dims floats — 8 bytes instead of
+    * 256 per vector at (m=8, k=256, dims=64) — and the codebooks are
+    * m × k × subDim doubles, always broadcastable.
+    */
+  def pqTrain(corpus: DataFrame, m: Int = 8, subDim: Int = 8, k: Int = 16, iters: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val clean = corpus.filter(col(vecCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until m).map { s =>
+        trainCentroids(
+          clean.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as(vecCol)),
+          k, iters, idCol, vecCol)
+      }.toArray
+    } finally clean.unpersist(blocking = false)
+  }
+
+  /** Per-subspace nearest-codeword columns `__c0 … __c{m-1}` plus the
+    * original vector as `__v` — the shared encode stage. Map-only: the
+    * codebooks ride into the [[graft.functions.NearestCellExpression]]s
+    * as literals, no join.
+    */
+  private def pqCodeCols(corpus: DataFrame, books: Array[Array[Array[Double]]], subDim: Int,
+                         idCol: String, vecCol: String): DataFrame = {
+    val codeCols = books.indices.map { s =>
+      graft.functions.VectorExprs
+        .nearestCell(slice(col(vecCol), s * subDim + 1, subDim), books(s)).as(s"__c$s")
+    }
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol) +: col(vecCol).as("__v") +: codeCols: _*)
+  }
+
+  /** PQ encoding: every vector becomes `m` codeword ids plus its
+    * reconstruction error (squared L2 to the concatenated codewords —
+    * per-subspace terms rounded to 6dp, fixed-order sum rounded to 4dp,
+    * so the value is bit-identical across engines). Map-only.
+    *
+    * Output: (idCol, codes array<int>, recon_err).
+    */
+  def pqEncode(corpus: DataFrame, books: Array[Array[Array[Double]]], subDim: Int = 8,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = books.length
+    val staged = pqCodeCols(corpus, books, subDim, idCol, vecCol)
+    val err = (0 until m).map { s =>
+      val bookArr = array(books(s).map(cw => array(cw.map(lit).toSeq: _*)).toSeq: _*)
+      round(graft.functions.VectorExprs.l2Squared(
+        slice(col("__v"), s * subDim + 1, subDim),
+        element_at(bookArr, col(s"__c$s") + 1)), 6)
+    }.reduce(_ + _)
+    staged.select(col(idCol),
+      array((0 until m).map(s => col(s"__c$s")): _*).as("codes"),
+      round(err, 4).as("recon_err"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds
+    * its m × k distance table ONCE (query slice vs every codeword —
+    * literal arithmetic, 6dp-rounded entries), the table broadcasts
+    * with the probe, and every corpus vector scores as the fixed-order
+    * sum of m table lookups by its codes — never touching the original
+    * corpus floats. The corpus-side input is the CODES frame: at scale
+    * that is the only thing stored, 8 bytes a vector.
+    *
+    * Ranking: ascending rounded distance, neighbor id on ties; self
+    * excluded. Output: (query_id, neighbor_id, adist, rank ≤ k).
+    */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, books: Array[Array[Array[Double]]],
+                k: Int = 10, subDim: Int = 8,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = books.length
+    val codes = pqCodeCols(corpus, books, subDim, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id") +: (0 until m).map(s => col(s"__c$s")): _*)
+    val tables = array(books.indices.map { s =>
+      array(books(s).map { cw =>
+        round(graft.functions.VectorExprs.l2Squared(
+          slice(col("__qv"), s * subDim + 1, subDim),
+          array(cw.map(lit).toSeq: _*)), 6)
+      }.toSeq: _*)
+    }: _*)
+    val probes = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .select(col("query_id"), tables.as("__tbl"))
+    val adist = (0 until m).map { s =>
+      element_at(element_at(col("__tbl"), s + 1), col(s"__c$s") + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    codes.join(broadcast(probes), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), round(adist, 4).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
     exact.select(col("query_id"), col("neighbor_id"))
       .join(approx.select(col("query_id"), col("neighbor_id")).distinct()

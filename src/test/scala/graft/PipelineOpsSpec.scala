@@ -41,6 +41,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"merge table mismatch: $got")
   }
 
+  test("pqEncode: copies share codes, codes bounded, recon_err nonnegative; ADC ranks same-code vectors first") {
+    import graft.ops.SimilarityOps
+    val base = (0 until 8).map(i => (0 until 16).map(d => ((i * 7 + d) % 13).toFloat).toArray)
+    val rows = for (c <- 0 until 3; i <- 0 until 8) yield (c * 100L + i, base(i))
+    val emb = rows.toDF("vec_id", "embedding")
+    val books = SimilarityOps.pqTrain(emb, m = 2, subDim = 8, k = 4, iters = 2)
+    assert(books.length == 2 && books.forall(_.length == 4))
+    val enc = SimilarityOps.pqEncode(emb, books, subDim = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    (0 until 8).foreach { i =>
+      // byte-identical copies must quantize identically
+      assert(enc(i.toLong)._1 == enc(100L + i)._1 && enc(i.toLong)._1 == enc(200L + i)._1)
+    }
+    assert(enc.values.forall { case (codes, err) =>
+      codes.size == 2 && codes.forall(c => c >= 0 && c < 4) && err >= 0.0
+    })
+    val top1 = SimilarityOps.pqAdcTopK(emb.filter(col("vec_id") < 8), emb, books,
+        k = 1, subDim = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 8).foreach { i =>
+      // the nearest ADC neighbor must sit in the query's own code cell —
+      // ADC distance is a pure function of the codes
+      assert(enc(top1(i.toLong))._1 == enc(i.toLong)._1,
+        s"query $i top-1 ${top1(i.toLong)} not in its code cell")
+    }
+  }
+
   test("bpeTrain step 1 equals bpeMergePairs' top pair (q62 consistency)") {
     val docs = Seq((1L, "low low lower widest widest widest")).toDF("doc_id", "text")
     val first = TextOps.bpeTrain(docs, merges = 1).collect()(0)
