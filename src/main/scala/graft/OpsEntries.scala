@@ -139,6 +139,14 @@ private[graft] object OpsEntries {
         SimilarityOps.pqTrain(e), k = 10)
     }),
 
+    // IVF-PQ: coarse quantizer routes vectors to cells, PQ codebooks
+    // on the residuals, nprobe-cell ADC scan — the FAISS-style index
+    // that serves billions of vectors from codes alone.
+    "q112_ivfpq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.ivfPqTopK(e.filter(col("vec_id") < 5), e)
+    }),
+
     // IVF ANN over TRAINED centroids: the learned coarse quantizer
     // routes corpus and probes (nearest_cell), exact cosine in-cell.
     "q90_ivf_trained" -> ((s, dir) => {
@@ -807,46 +815,63 @@ private[graft] object OpsEntries {
     * the per-subspace centroid lists remain visible as `s<i>_cl<iters>`
     * for the error / ADC terms.
     */
-  private def pqCtes(m: Int, subDim: Int, k: Int, iters: Int): String = {
+  private def pqCtes(m: Int, subDim: Int, k: Int, iters: Int): String =
+    pqCtes(m, subDim, k, iters, lead = true, srcCte = "emb", carryCell = false)
+
+  /** `lead = false` continues an existing WITH chain instead of opening
+    * one; `srcCte` names the (vec_id, embedding[, cell]) CTE the
+    * subspace chains slice; `carryCell = true` carries that CTE's
+    * `cell` through into `codesw` (the IVF-PQ composition).
+    *
+    * Every CTE is `AS MATERIALIZED`: the chains reference each other
+    * repeatedly (a_i ← emb + cl, c_i ← u_i twice, codesw ← 8 asg), and
+    * DuckDB's default inlining re-expands each reference — with an
+    * expensive `srcCte` (the IVF-PQ residual chain) that compounds to
+    * minutes. The q100-oracle lesson, applied here.
+    */
+  private def pqCtes(m: Int, subDim: Int, k: Int, iters: Int,
+                     lead: Boolean, srcCte: String, carryCell: Boolean): String = {
     val sb = new StringBuilder
-    sb.append("WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),\n")
+    if (lead)
+      sb.append("WITH emb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),\n")
     for (s <- 0 until m) {
       val p = s"s${s}_"
       val lo = s * subDim + 1
       val hi = (s + 1) * subDim
       sb.append(
-        s"""${p}emb AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM emb),
-           |${p}init AS (SELECT cell, embedding FROM (
+        s"""${p}emb AS MATERIALIZED (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM $srcCte),
+           |${p}init AS MATERIALIZED (SELECT cell, embedding FROM (
            |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding FROM ${p}emb)
            |  WHERE cell < $k),
-           |${p}c0 AS (SELECT cell, dim, round(CAST(embedding[dim] AS DOUBLE), 4) AS value
+           |${p}c0 AS MATERIALIZED (SELECT cell, dim, round(CAST(embedding[dim] AS DOUBLE), 4) AS value
            |  FROM ${p}init CROSS JOIN range(1, ${subDim + 1}) t(dim)),
            |""".stripMargin)
       for (i <- 1 to iters) {
         sb.append(
-          s"""${p}cl${i - 1} AS (SELECT cell, list(value ORDER BY dim) AS cv FROM ${p}c${i - 1} GROUP BY cell),
-             |${p}a$i AS (SELECT vec_id, embedding, cell FROM (
+          s"""${p}cl${i - 1} AS MATERIALIZED (SELECT cell, list(value ORDER BY dim) AS cv FROM ${p}c${i - 1} GROUP BY cell),
+             |${p}a$i AS MATERIALIZED (SELECT vec_id, embedding, cell FROM (
              |  SELECT e.vec_id, e.embedding, c.cell,
              |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${kmeansL2("e.embedding", "c.cv")}, c.cell) AS r
              |  FROM ${p}emb e CROSS JOIN ${p}cl${i - 1} c) WHERE r = 1),
-             |${p}u$i AS (SELECT cell, dim, round(avg(CAST(embedding[dim] AS DOUBLE)), 4) AS value
+             |${p}u$i AS MATERIALIZED (SELECT cell, dim, round(avg(CAST(embedding[dim] AS DOUBLE)), 4) AS value
              |  FROM ${p}a$i CROSS JOIN range(1, ${subDim + 1}) t(dim) GROUP BY cell, dim),
-             |${p}c$i AS (SELECT * FROM ${p}u$i UNION ALL
+             |${p}c$i AS MATERIALIZED (SELECT * FROM ${p}u$i UNION ALL
              |  SELECT * FROM ${p}c${i - 1} WHERE cell NOT IN (SELECT DISTINCT cell FROM ${p}u$i)),
              |""".stripMargin)
       }
       sb.append(
-        s"""${p}cl$iters AS (SELECT cell, list(value ORDER BY dim) AS cv FROM ${p}c$iters GROUP BY cell),
-           |${p}asg AS (SELECT vec_id, cell FROM (
+        s"""${p}cl$iters AS MATERIALIZED (SELECT cell, list(value ORDER BY dim) AS cv FROM ${p}c$iters GROUP BY cell),
+           |${p}asg AS MATERIALIZED (SELECT vec_id, cell FROM (
            |  SELECT e.vec_id, c.cell,
            |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${kmeansL2("e.embedding", "c.cv")}, c.cell) AS r
            |  FROM ${p}emb e CROSS JOIN ${p}cl$iters c) WHERE r = 1),
            |""".stripMargin)
     }
-    sb.append("codesw AS (SELECT " +
-      ("emb.vec_id" +: (0 until m).map(s => s"s${s}_asg.cell AS cs$s")).mkString(", ") +
-      " FROM emb " +
-      (0 until m).map(s => s"JOIN s${s}_asg ON s${s}_asg.vec_id = emb.vec_id").mkString(" ") +
+    val cellSel = if (carryCell) Seq("base.cell") else Nil
+    sb.append("codesw AS MATERIALIZED (SELECT " +
+      (("base.vec_id" +: cellSel) ++ (0 until m).map(s => s"s${s}_asg.cell AS cs$s")).mkString(", ") +
+      s" FROM $srcCte base " +
+      (0 until m).map(s => s"JOIN s${s}_asg ON s${s}_asg.vec_id = base.vec_id").mkString(" ") +
       ")")
     sb.toString
   }
@@ -879,6 +904,48 @@ private[graft] object OpsEntries {
          |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, round($dist, 4) AS adist
          |           FROM probes q CROSS JOIN codesw c $joins
          |           WHERE q.query_id <> c.vec_id)
+         |SELECT query_id, neighbor_id, adist, CAST(r AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS r
+         |  FROM scored)
+         |WHERE r <= $topK""".stripMargin
+  }
+
+  /** IVF-PQ replay: the coarse Lloyd chain (unprefixed names) + corpus
+    * assignment, a residual CTE (4dp-rounded, REAL-narrowed), the
+    * prefixed per-subspace PQ chains over the residuals with `cell`
+    * carried into `codesw`, then nprobe cell routing + residual ADC
+    * per probe — the independent SQL re-statement of
+    * `SimilarityOps.ivfPqTopK`.
+    */
+  private def ivfPqSql(kCells: Int = 8, coarseIters: Int = 2, m: Int = 8, subDim: Int = 8,
+                       kCodes: Int = 16, pqIters: Int = 2, nprobe: Int = 2,
+                       topK: Int = 10): String = {
+    def resList(v: String, cv: String) =
+      s"list_transform(list_zip($v, $cv), p -> CAST(round(CAST(p[1] AS DOUBLE) - p[2], 4) AS REAL))"
+    val joins = (0 until m).map(s => s"JOIN s${s}_cl$pqIters k$s ON k$s.cell = cw.cs$s").mkString(" ")
+    val dist = (0 until m).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      s"round(${kmeansL2(s"p.qres[$lo:$hi]", s"k$s.cv")}, 6)"
+    }.mkString(" + ")
+    kmeansCtes(s"SELECT $kCells AS k", coarseIters, 64,
+      "SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL", mat = true) +
+      kmeansAssignCtes(coarseIters, mat = true) +
+      s"""remb AS MATERIALIZED (SELECT a.vec_id, ${resList("a.embedding", "c.cv")} AS embedding, a.cell
+         |        FROM asg a JOIN cl$coarseIters c ON c.cell = a.cell),
+         |""".stripMargin +
+      pqCtes(m, subDim, kCodes, pqIters, lead = false, srcCte = "remb", carryCell = true) +
+      s""",
+         |probes0 AS (SELECT vec_id AS query_id, embedding FROM emb WHERE vec_id < 5),
+         |pcell AS (SELECT query_id, embedding, cell FROM (
+         |  SELECT p.query_id, p.embedding, c.cell,
+         |         row_number() OVER (PARTITION BY p.query_id ORDER BY ${kmeansL2("p.embedding", "c.cv")}, c.cell) AS r
+         |  FROM probes0 p CROSS JOIN cl$coarseIters c) WHERE r <= $nprobe),
+         |pres AS (SELECT p.query_id, p.cell, ${resList("p.embedding", "c.cv")} AS qres
+         |         FROM pcell p JOIN cl$coarseIters c ON c.cell = p.cell),
+         |scored AS (SELECT p.query_id, cw.vec_id AS neighbor_id, round($dist, 4) AS adist
+         |           FROM pres p JOIN codesw cw ON cw.cell = p.cell $joins
+         |           WHERE p.query_id <> cw.vec_id)
          |SELECT query_id, neighbor_id, adist, CAST(r AS INTEGER) AS rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS r
          |  FROM scored)
@@ -1298,6 +1365,7 @@ private[graft] object OpsEntries {
 
     "q110_pq_encode" -> pqEncodeSql(),
     "q111_pq_adc_topk" -> pqAdcSql(),
+    "q112_ivfpq_topk" -> ivfPqSql(),
 
     "q64_kmeans" -> kmeansSql(),
 

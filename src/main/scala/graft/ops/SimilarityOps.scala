@@ -515,14 +515,28 @@ object SimilarityOps {
     * as literals, no join.
     */
   private def pqCodeCols(corpus: DataFrame, books: Array[Array[Array[Double]]], subDim: Int,
-                         idCol: String, vecCol: String): DataFrame = {
+                         idCol: String, vecCol: String,
+                         carry: Seq[String] = Nil): DataFrame = {
     val codeCols = books.indices.map { s =>
       graft.functions.VectorExprs
         .nearestCell(slice(col(vecCol), s * subDim + 1, subDim), books(s)).as(s"__c$s")
     }
     corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol) +: col(vecCol).as("__v") +: codeCols: _*)
+      .select(col(idCol) +: carry.map(col) ++: col(vecCol).as("__v") +: codeCols: _*)
   }
+
+  /** The per-probe ADC distance-table expression: m × k 6dp-rounded
+    * squared-L2 entries of `vecExpr`'s slices against every codeword.
+    */
+  private def adcTables(books: Array[Array[Array[Double]]], subDim: Int,
+                        vecColName: String): Column =
+    array(books.indices.map { s =>
+      array(books(s).map { cw =>
+        round(graft.functions.VectorExprs.l2Squared(
+          slice(col(vecColName), s * subDim + 1, subDim),
+          array(cw.map(lit).toSeq: _*)), 6)
+      }.toSeq: _*)
+    }: _*)
 
   /** PQ encoding: every vector becomes `m` codeword ids plus its
     * reconstruction error (squared L2 to the concatenated codewords —
@@ -563,16 +577,9 @@ object SimilarityOps {
     val m = books.length
     val codes = pqCodeCols(corpus, books, subDim, idCol, vecCol)
       .select(col(idCol).as("neighbor_id") +: (0 until m).map(s => col(s"__c$s")): _*)
-    val tables = array(books.indices.map { s =>
-      array(books(s).map { cw =>
-        round(graft.functions.VectorExprs.l2Squared(
-          slice(col("__qv"), s * subDim + 1, subDim),
-          array(cw.map(lit).toSeq: _*)), 6)
-      }.toSeq: _*)
-    }: _*)
     val probes = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .select(col("query_id"), tables.as("__tbl"))
+      .select(col("query_id"), adcTables(books, subDim, "__qv").as("__tbl"))
     val adist = (0 until m).map { s =>
       element_at(element_at(col("__tbl"), s + 1), col(s"__c$s") + 1)
     }.reduce(_ + _)
@@ -581,6 +588,71 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), round(adist, 4).as("adist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ — the FAISS-style billion-vector index, composed from the
+    * pieces above: a coarse quantizer routes every vector to one of
+    * `kCells` cells, PQ codebooks train on the RESIDUALS (vector − its
+    * cell centroid, 4dp-rounded and narrowed to float so the whole
+    * trace replays exactly in SQL), and a query scans only its
+    * `nprobe` nearest cells, scoring by ADC table lookups over the
+    * residual codes. Storage per vector: one cell id + m codes; scan
+    * cost per query: ~nprobe/kCells of the corpus, touched through
+    * codes only — the index that serves 10⁹ vectors from commodity
+    * memory.
+    *
+    * Residuals are staged as a persisted column (the centroid array
+    * joins in as an attribute BEFORE the zip_with, so the interpreted
+    * lambda never re-evaluates a captured lookup per element — the
+    * DedupOps HOF discipline).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10, nprobe: Int = 2,
+                kCells: Int = 8, coarseIters: Int = 2, m: Int = 8, subDim: Int = 8,
+                kCodes: Int = 16, pqIters: Int = 2,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val clean = DedupOps.widen(corpus.filter(col(vecCol).isNotNull))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val coarse = trainCentroids(clean, kCells, coarseIters, idCol, vecCol)
+      val coarseArr = array(coarse.map(cw => array(cw.map(lit).toSeq: _*)).toSeq: _*)
+      def residual(vec: Column, cv: Column): Column =
+        zip_with(vec, cv, (v, c) => round(v.cast("double") - c, 4).cast("float"))
+      val resDF = clean
+        .select(col(idCol), col(vecCol), assignCell(coarse, vecCol).as("cell"))
+        .select(col(idCol), col("cell"), col(vecCol),
+          element_at(coarseArr, col("cell") + 1).as("__cv"))
+        .select(col(idCol), col("cell"), residual(col(vecCol), col("__cv")).as(vecCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val books = pqTrain(resDF, m, subDim, kCodes, pqIters, idCol, vecCol)
+        val codes = pqCodeCols(resDF, books, subDim, idCol, vecCol, carry = Seq("cell"))
+          .select(col(idCol).as("neighbor_id") +: col("cell") +:
+            (0 until m).map(s => col(s"__c$s")): _*)
+        val distArr = array(coarse.indices.map { j =>
+          struct(
+            graft.functions.VectorExprs.l2Squared(col(vecCol),
+              array(coarse(j).map(lit).toSeq: _*)).as("d"),
+            lit(j).as("cell"))
+        }: _*)
+        val probes = queries.filter(col(vecCol).isNotNull)
+          .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+            explode_outer(slice(array_sort(distArr), 1, nprobe)).as("p"))
+          .filter(col("p").isNotNull) // trap #7: keep distArr out of an inferred filter
+          .select(col("query_id"), col("__qv"), col("p.cell").as("cell"),
+            element_at(coarseArr, col("p.cell") + 1).as("__cv"))
+          .select(col("query_id"), col("cell"), residual(col("__qv"), col("__cv")).as("__qr"))
+          .select(col("query_id"), col("cell"), adcTables(books, subDim, "__qr").as("__tbl"))
+        val adist = (0 until m).map { s =>
+          element_at(element_at(col("__tbl"), s + 1), col(s"__c$s") + 1)
+        }.reduce(_ + _)
+        val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+        codes.join(broadcast(probes), Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"), round(adist, 4).as("adist"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+      } finally resDF.unpersist(blocking = false)
+    } finally clean.unpersist(blocking = false)
   }
 
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =

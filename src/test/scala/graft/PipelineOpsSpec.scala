@@ -68,6 +68,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK: byte-identical copies share a cell and score identical ADC distances") {
+    import graft.ops.SimilarityOps
+    val base = (0 until 8).map(i => (0 until 16).map(d => ((i * 7 + d) % 13).toFloat).toArray)
+    val rows = for (c <- 0 until 3; i <- 0 until 8) yield (c * 100L + i, base(i))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = SimilarityOps.ivfPqTopK(emb.filter(col("vec_id") < 8), emb,
+        k = 24, nprobe = 2, kCells = 2, coarseIters = 2, m = 2, subDim = 8,
+        kCodes = 4, pqIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    (0 until 8).foreach { i =>
+      // identical vectors quantize to the same (cell, codes), and ADC
+      // distance is a pure function of the codes — both copies must be
+      // returned (they share the probe's own cell) at the same distance
+      val d1 = out.get((i.toLong, 100L + i))
+      val d2 = out.get((i.toLong, 200L + i))
+      assert(d1.isDefined && d2.isDefined, s"copies of $i missing from probed cells: $out")
+      assert(d1 == d2, s"copies of $i scored differently: $d1 vs $d2")
+    }
+    // determinism: a second run returns the identical result set
+    val again = SimilarityOps.ivfPqTopK(emb.filter(col("vec_id") < 8), emb,
+        k = 24, nprobe = 2, kCells = 2, coarseIters = 2, m = 2, subDim = 8,
+        kCodes = 4, pqIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(again == out)
+  }
+
   test("bpeTrain step 1 equals bpeMergePairs' top pair (q62 consistency)") {
     val docs = Seq((1L, "low low lower widest widest widest")).toDF("doc_id", "text")
     val first = TextOps.bpeTrain(docs, merges = 1).collect()(0)
