@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{DedupOps, MultimodalOps, SampleOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, MultimodalOps, SampleOps, SimilarityOps, SuffixArrayOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Rounding.round // binary rounding, DuckDB-consistent (shadows functions.round)
@@ -309,6 +309,71 @@ private[graft] object OpsEntries {
       MultimodalOps.videoNearDup(frames, minJaccard = 0.3)
     }),
 
+    // Audio near-dup by OFFSET-CONSISTENT window matching (the Shazam
+    // alignment argument — the form q108's bag-of-frames Jaccard can't
+    // express): the q31 "audio" rows (doc_id % 3 == 1) stub-decode to
+    // per-window digests; 30% of payloads collapse onto 4 anchors, each
+    // collapsed copy SHIFTED by media_id % 7 windows (a trimmed/padded
+    // re-encode) and perturbed where (wpos + id) % 5 == 0. Copies of an
+    // anchor must line up at one delta = shift_a − shift_b with partial
+    // votes; unrelated audios share no window hash and never pair.
+    "q115_audio_offset_dedup" -> ((s, dir) => {
+      val auds = t(s, dir, "documents").filter(col("doc_id") % 3 === 1)
+        .filter(col("text").isNotNull)
+      val anchors = auds.filter(col("doc_id") < 12)
+        .select((expr("doc_id div 3") % 4).as("aid"), col("text").as("atext"))
+      val media = auds
+        .withColumn("aid", expr("doc_id div 3") % 4)
+        .join(broadcast(anchors), Seq("aid"), "left")
+        .select(col("doc_id").as("media_id"),
+          when(col("doc_id") % 10 < 3, col("atext")).otherwise(col("text")).as("payload"))
+        .filter(col("payload").isNotNull)
+      val wins = MultimodalOps.audioWindows(media)
+        .withColumn("whash",
+          when(col("media_id") % 10 < 3 && (col("wpos") + col("media_id")) % 5 === 0,
+            md5(concat(col("whash"), col("media_id").cast("string")).cast("binary")))
+            .otherwise(col("whash")))
+        .withColumn("wpos",
+          when(col("media_id") % 10 < 3, col("wpos") + col("media_id") % 7)
+            .otherwise(col("wpos")))
+        // referenced twice by the offset join — caller-persist contract
+        .localCheckpoint(true)
+      MultimodalOps.audioOffsetNearDup(wins, minVotes = 4)
+    }),
+
+    // Winnowing fingerprints (MOSS selection): every 4-token gram
+    // hashed, min-hash-per-4-window selected (rightmost tie), distinct
+    // (pos, hash) pairs per doc. The local-fingerprint scheme whose
+    // guarantee (any shared ≥ w+k−1-token run yields an identical
+    // selected hash in both docs) makes q117's overlap join sound.
+    "q116_winnow_fp" -> ((s, dir) =>
+      TextOps.winnowFingerprints(t(s, dir, "documents"))),
+
+    // Near-dup pairs by winnowing-fingerprint overlap: hash equi-join
+    // on the selected fingerprints only (~2/(w+1) of the grams), exact
+    // Jaccard of the fingerprint sets. The fingerprint frame feeds
+    // three plan references — checkpointed per the caller-persist
+    // contract.
+    "q117_winnow_neardup" -> ((s, dir) =>
+      TextOps.winnowNearDup(
+        TextOps.winnowFingerprints(t(s, dir, "documents")).localCheckpoint(true))),
+
+    // C4-style cross-document LINE dedup: pseudo-lines of 10 tokens
+    // (the corpus has no newlines — the entry synthesizes the lined
+    // form deterministically, the oracle replays it), lines occurring
+    // in ≥2 distinct docs removed everywhere, text reassembled in
+    // order.
+    "q118_line_dedup" -> ((s, dir) => {
+      val lined = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 1)
+        .select(col("doc_id"),
+          array_join(transform(
+            sequence(lit(0), ceil(size(col("tk")) / lit(10.0)).cast("int") - 1),
+            i => concat_ws(" ", slice(col("tk"), i * 10 + 1, lit(10)))), "\n").as("text"))
+      TextOps.removeDupLines(lined)
+    }),
+
     // TRUE suffix-array ExactSubstr over a bounded slice: max_dup_tokens
     // is the exact longest duplicated run (no island over-approximation),
     // covered_tokens the exact ≥8-token run union. The oracle is a
@@ -317,6 +382,24 @@ private[graft] object OpsEntries {
     // q93 stays the corpus-scale screen.
     "q98_suffix_spans" -> ((s, dir) =>
       TextOps.suffixArraySpans(t(s, dir, "documents").filter(col("doc_id") < 120))),
+
+    // DISTRIBUTED generalized suffix array by prefix doubling — the
+    // sharded construction q98's scaladoc names as the alternative to
+    // its coalesce(1). Run on q98's slice so the oracle (a direct
+    // DuckDB sort of the suffix token lists — list comparison is
+    // lexicographic prefix-first, exactly the sentinel order) stays
+    // tractable; the operator itself never holds more than a partition
+    // of (doc, pos, rank) rows in any task.
+    "q113_suffix_array" -> ((s, dir) =>
+      SuffixArrayOps.suffixArray(t(s, dir, "documents").filter(col("doc_id") < 120))
+        .withColumnRenamed("rank", "sa_rank")),
+
+    // Exact ExactSubstr spans COMPUTED DISTRIBUTED from the q113 suffix
+    // array (adjacent-LCP joins + per-doc islands): same output and the
+    // same brute-force oracle as q98 — the direct evidence that the
+    // distributed form reproduces the single-task exact form.
+    "q114_sa_spans" -> ((s, dir) =>
+      SuffixArrayOps.saSpans(t(s, dir, "documents").filter(col("doc_id") < 120))),
 
     // Concat-and-chunk sequence packing: which 2048-token training
     // window each doc's first token lands in, per source, hash order.
@@ -595,6 +678,43 @@ private[graft] object OpsEntries {
   )
 
   // ---- DuckDB oracle SQL (independent re-implementation) ----
+
+  /** Brute-force ExactSubstr-span enumeration over the doc_id<120
+    * slice — the shared oracle of q98 (single-task suffix array) and
+    * q114 (distributed prefix-doubling form): both must reproduce it.
+    */
+  private def suffixSpanSql: String =
+      s"""WITH b AS (SELECT doc_id, $toksExpr AS toks
+         |           FROM documents WHERE text IS NOT NULL AND doc_id < 120),
+         |b2 AS (SELECT doc_id, toks, len(toks) AS nt FROM b),
+         |pos AS (SELECT doc_id, toks, nt,
+         |          CAST(unnest(generate_series(1, nt - 7)) AS INTEGER) AS p FROM b2),
+         |rk AS (SELECT doc_id, toks, p,
+         |         CAST(unnest(generate_series(8, nt - p + 1)) AS INTEGER) AS k FROM pos),
+         |runs AS (SELECT doc_id, p, k, array_to_string(toks[p:p+k-1], ' ') AS s FROM rk),
+         |dup AS (SELECT s FROM runs GROUP BY s HAVING count(*) >= 2),
+         |lmax AS (SELECT doc_id, p, max(k) AS L FROM runs
+         |         WHERE s IN (SELECT s FROM dup) GROUP BY doc_id, p),
+         |iv AS (SELECT doc_id, p, p + L AS e, L FROM lmax),
+         |isl AS (SELECT doc_id, p, e,
+         |          CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |               THEN 1 ELSE 0 END AS nw
+         |        FROM iv),
+         |grp AS (SELECT doc_id, p, e, sum(nw) OVER (PARTITION BY doc_id ORDER BY p
+         |          ROWS UNBOUNDED PRECEDING) AS g FROM isl),
+         |sp AS (SELECT doc_id, g, min(p) AS s0, max(e) AS e0 FROM grp GROUP BY doc_id, g),
+         |a1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |         CAST(sum(e0 - s0) AS BIGINT) AS covered_tokens FROM sp GROUP BY doc_id),
+         |a2 AS (SELECT doc_id, CAST(max(L) AS BIGINT) AS max_dup_tokens FROM lmax GROUP BY doc_id)
+         |SELECT b2.doc_id, CAST(nt AS BIGINT) AS n_tokens,
+         |       coalesce(a1.n_spans, 0) AS n_spans,
+         |       coalesce(a2.max_dup_tokens, 0) AS max_dup_tokens,
+         |       coalesce(a1.covered_tokens, 0) AS covered_tokens,
+         |       round(CASE WHEN nt > 0
+         |               THEN coalesce(a1.covered_tokens, 0) / CAST(nt AS DOUBLE)
+         |               ELSE 0.0 END, 4) AS dup_cov_ratio
+         |FROM b2 LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id)""".stripMargin
 
   private val norm =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
@@ -1361,6 +1481,43 @@ private[graft] object OpsEntries {
         |            JOIN counts cb ON cb.media_id = id_b
         |WHERE round(CAST(shared_frames AS DOUBLE) / (ca.nf + cb.nf - shared_frames), 4) >= 0.3""".stripMargin,
 
+    // the audio window chain: stub window count, per-window digest with
+    // the per-copy perturbation and shift, hash-join votes per offset
+    // delta, struct-max best delta (votes DESC, delta ASC)
+    "q115_audio_offset_dedup" ->
+      """WITH auds AS (SELECT doc_id, text FROM documents
+        |              WHERE doc_id % 3 = 1 AND text IS NOT NULL),
+        |anchors AS (SELECT (doc_id // 3) % 4 AS aid, text AS atext FROM auds WHERE doc_id < 12),
+        |media AS (SELECT media_id, payload FROM (
+        |            SELECT a.doc_id AS media_id,
+        |                   CASE WHEN a.doc_id % 10 < 3 THEN atext ELSE a.text END AS payload
+        |            FROM auds a LEFT JOIN anchors ON aid = (a.doc_id // 3) % 4)
+        |          WHERE payload IS NOT NULL),
+        |wins AS (SELECT media_id, payload,
+        |           unnest(generate_series(0, octet_length(encode(payload)) % 24 + 7)) AS wpos
+        |         FROM media),
+        |wh0 AS (SELECT media_id, wpos,
+        |          CASE WHEN media_id % 10 < 3 AND (wpos + media_id) % 5 = 0
+        |               THEN md5(md5(payload || '~' || CAST(wpos AS VARCHAR)) || CAST(media_id AS VARCHAR))
+        |               ELSE md5(payload || '~' || CAST(wpos AS VARCHAR)) END AS whash
+        |        FROM wins),
+        |wh AS (SELECT media_id,
+        |         CASE WHEN media_id % 10 < 3 THEN wpos + media_id % 7 ELSE wpos END AS wpos,
+        |         whash
+        |       FROM wh0),
+        |votes AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |            a.wpos - b.wpos AS win_offset, CAST(count(*) AS BIGINT) AS votes
+        |          FROM wh a JOIN wh b ON a.whash = b.whash AND a.media_id < b.media_id
+        |          GROUP BY 1, 2, 3),
+        |tot AS (SELECT id_a, id_b, CAST(sum(votes) AS BIGINT) AS total_matches
+        |        FROM votes GROUP BY 1, 2),
+        |best AS (SELECT id_a, id_b, win_offset, votes FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+        |    ORDER BY votes DESC, win_offset ASC) AS r FROM votes) WHERE r = 1)
+        |SELECT b.id_a, b.id_b, b.win_offset, b.votes, t.total_matches
+        |FROM best b JOIN tot t USING (id_a, id_b)
+        |WHERE b.votes >= 4""".stripMargin,
+
     "q109_bpe_train" -> bpeTrainSql(merges = 6),
 
     "q110_pq_encode" -> pqEncodeSql(),
@@ -1470,38 +1627,26 @@ private[graft] object OpsEntries {
     // brute-force exact replay: enumerate EVERY (position, length ≥ 8)
     // token run in the slice, find the duplicated ones, take the max
     // length per start position, union the intervals per doc
-    "q98_suffix_spans" ->
+    "q98_suffix_spans" -> suffixSpanSql,
+
+    // Same brute-force enumeration oracle as q98: the distributed
+    // SA-based form must reproduce the exact single-task output.
+    "q114_sa_spans" -> suffixSpanSql,
+
+    // Direct suffix sort: DuckDB list comparison is lexicographic with
+    // shorter-prefix-first — the same total order the Spark side's
+    // per-doc sentinels induce (ties across docs resolve by doc_id,
+    // then pos, which the sentinels encode).
+    "q113_suffix_array" ->
       s"""WITH b AS (SELECT doc_id, $toksExpr AS toks
          |           FROM documents WHERE text IS NOT NULL AND doc_id < 120),
-         |b2 AS (SELECT doc_id, toks, len(toks) AS nt FROM b),
-         |pos AS (SELECT doc_id, toks, nt,
-         |          CAST(unnest(generate_series(1, nt - 7)) AS INTEGER) AS p FROM b2),
-         |rk AS (SELECT doc_id, toks, p,
-         |         CAST(unnest(generate_series(8, nt - p + 1)) AS INTEGER) AS k FROM pos),
-         |runs AS (SELECT doc_id, p, k, array_to_string(toks[p:p+k-1], ' ') AS s FROM rk),
-         |dup AS (SELECT s FROM runs GROUP BY s HAVING count(*) >= 2),
-         |lmax AS (SELECT doc_id, p, max(k) AS L FROM runs
-         |         WHERE s IN (SELECT s FROM dup) GROUP BY doc_id, p),
-         |iv AS (SELECT doc_id, p, p + L AS e, L FROM lmax),
-         |isl AS (SELECT doc_id, p, e,
-         |          CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
-         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-         |               THEN 1 ELSE 0 END AS nw
-         |        FROM iv),
-         |grp AS (SELECT doc_id, p, e, sum(nw) OVER (PARTITION BY doc_id ORDER BY p
-         |          ROWS UNBOUNDED PRECEDING) AS g FROM isl),
-         |sp AS (SELECT doc_id, g, min(p) AS s0, max(e) AS e0 FROM grp GROUP BY doc_id, g),
-         |a1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-         |         CAST(sum(e0 - s0) AS BIGINT) AS covered_tokens FROM sp GROUP BY doc_id),
-         |a2 AS (SELECT doc_id, CAST(max(L) AS BIGINT) AS max_dup_tokens FROM lmax GROUP BY doc_id)
-         |SELECT b2.doc_id, CAST(nt AS BIGINT) AS n_tokens,
-         |       coalesce(a1.n_spans, 0) AS n_spans,
-         |       coalesce(a2.max_dup_tokens, 0) AS max_dup_tokens,
-         |       coalesce(a1.covered_tokens, 0) AS covered_tokens,
-         |       round(CASE WHEN nt > 0
-         |               THEN coalesce(a1.covered_tokens, 0) / CAST(nt AS DOUBLE)
-         |               ELSE 0.0 END, 4) AS dup_cov_ratio
-         |FROM b2 LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id)""".stripMargin,
+         |pos AS (SELECT doc_id, toks,
+         |          CAST(unnest(generate_series(1, len(toks))) AS INTEGER) AS p FROM b),
+         |suf AS (SELECT doc_id, p, toks[p:] AS s FROM pos)
+         |SELECT CAST(row_number() OVER (ORDER BY s, doc_id, p) AS BIGINT) - 1 AS sa_rank,
+         |       doc_id, CAST(p - 1 AS BIGINT) AS pos
+         |FROM suf""".stripMargin,
+
 
     "q77_cluster_rep" ->
       s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -223,4 +223,60 @@ object MultimodalOps {
           / (col("nf_a") + col("nf_b") - col("shared_frames")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  // ---- audio near-dup via offset-consistent window matching --------------
+
+  /** Per-audio analysis-window fingerprints: one row per window with a
+    * deterministic stub digest of (payload, window index) standing in
+    * for a real spectral fingerprint (the chromaprint/Shazam landmark
+    * family). Window count = payload bytes % 24 + 8 — the
+    * [[StubDecoder]] convention of deriving fake media structure from
+    * the payload. Map-only explode, ≤ 31 rows per audio; a real
+    * decoder swaps in at the digest expression without touching the
+    * shape.
+    */
+  def audioWindows(media: DataFrame, idCol: String = "media_id",
+                   payloadCol: String = "payload"): DataFrame =
+    media.select(col(idCol), col(payloadCol).cast("string").as("__p"),
+        (octet_length(col(payloadCol)) % 24 + 8).as("n_win"))
+      .select(col(idCol), col("__p"),
+        explode(sequence(lit(0), col("n_win") - 1)).as("wpos"))
+      .select(col(idCol), col("wpos").cast("long").as("wpos"),
+        md5(concat(col("__p"), lit("~"), col("wpos").cast("string")).cast("binary")).as("whash"))
+
+  /** Offset-consistent audio near-dup — the alignment form the video
+    * set-Jaccard cannot express: audios sharing window fingerprints are
+    * candidates (one equi-join on the hash, the only corpus-sized
+    * shuffle), and each matching window pair VOTES for its offset
+    * delta (wpos_a − wpos_b). A pair matches only if one single delta
+    * collects ≥ `minVotes` — time-consistent overlap (a trimmed or
+    * padded copy lines up at one offset), where shuffled or coincidental
+    * window hits scatter across deltas and never concentrate.
+    *
+    * Scale shape: votes aggregate on (pair, delta) is combiner-friendly;
+    * the arg-max over deltas is a struct max, no per-pair window sort.
+    * `wins` is referenced twice (both join sides) — persist or
+    * localCheckpoint upstream if its lineage is expensive (the
+    * caller-persist contract).
+    *
+    * Output: (id_a, id_b, win_offset, votes, total_matches), id_a <
+    * id_b, votes ≥ minVotes; win_offset ties break toward the smallest
+    * delta.
+    */
+  def audioOffsetNearDup(wins: DataFrame, minVotes: Int = 4,
+                         idCol: String = "media_id"): DataFrame = {
+    val a = wins.select(col("whash"), col(idCol).as("id_a"), col("wpos").as("wp_a"))
+    val b = wins.select(col("whash"), col(idCol).as("id_b"), col("wpos").as("wp_b"))
+    val votes = a.join(b, Seq("whash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), (col("wp_a") - col("wp_b")).as("win_offset"))
+      .agg(count(lit(1)).as("votes"))
+    votes.groupBy("id_a", "id_b")
+      .agg(max(struct(col("votes").as("v"), (-col("win_offset")).as("negoff"))).as("_best"),
+        sum(col("votes")).as("total_matches"))
+      .select(col("id_a"), col("id_b"),
+        (-col("_best.negoff")).as("win_offset"), col("_best.v").as("votes"),
+        col("total_matches"))
+      .filter(col("votes") >= minVotes)
+  }
 }

@@ -242,6 +242,117 @@ object TextOps {
   def minShingleFingerprint(text: Column, k: Int = 12): Column =
     array_min(graft.functions.ShingleExprs.shingleCodes(normalized(text), k))
 
+  /** Winnowing fingerprints (the MOSS selection rule, Schleimer/
+    * Wilkerson/Aiken): hash every k-token gram, then from each window
+    * of `w` consecutive gram positions keep the minimum hash — rightmost
+    * on ties — and emit the distinct selected (position, hash) pairs.
+    * The guarantee that makes it THE local-fingerprint scheme: any
+    * shared run of ≥ w+k−1 tokens between two documents yields at least
+    * one IDENTICAL selected fingerprint in both, while storing only
+    * ~2/(w+1) of the grams — position-robust (insertions shift
+    * positions but reselect the same hashes), unlike head/stride
+    * sampling.
+    *
+    * Plan shape: gram hashing is map-only (gram string → md5 → first 8
+    * hex as a 32-bit code, the seeded-hash convention); selection is a
+    * per-doc window max of a (−hash, pos) struct over ROWS [0, w−1] —
+    * partitioned by doc, no global sort; distinct is the only shuffle.
+    * Docs with fewer than w full-gram windows emit nothing (standard
+    * winnowing precondition w ≤ grams).
+    *
+    * Output: (<idCol>, pos, fp_hash) — 0-based gram position.
+    */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame, k: Int = 4, w: Int = 4,
+                         idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("did"), tokens(col(textCol)).as("tk"))
+      .select(col("did"), col("tk"), (size(col("tk")) - (k - 1)).as("n_grams"))
+      .filter(col("n_grams") >= w)
+    val grams = base
+      .select(col("did"), col("tk"), col("n_grams"),
+        explode(sequence(lit(0), col("n_grams") - 1)).as("q"))
+      .select(col("did"), col("n_grams"), col("q"),
+        conv(substring(md5(concat_ws(" ",
+          slice(col("tk"), col("q") + 1, lit(k))).cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val wdw = Window.partitionBy("did").orderBy("q")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("_best", max(struct((-col("h")).as("negh"), col("q").as("pos"))).over(wdw))
+      .filter(col("q") <= col("n_grams") - w) // only full windows select
+      .select(col("did").as(idCol), col("_best.pos").cast("long").as("pos"),
+        (-col("_best.negh")).as("fp_hash"))
+      .distinct()
+  }
+
+  /** Near-dup pairs by winnowing-fingerprint overlap: docs sharing any
+    * selected hash are candidates (one equi-join on the hash — the only
+    * corpus-sized shuffle); overlap is the exact Jaccard of the two
+    * distinct fingerprint-hash sets. The winnowing guarantee turns
+    * `minShared` into a length floor: a pair sharing a run of
+    * ≥ minShared·(w+1)/2 + w + k − 2 tokens cannot be missed.
+    *
+    * Output: (id_a, id_b, shared_fps, jaccard), id_a < id_b, shared ≥
+    * `minShared`.
+    */
+  def winnowNearDup(fps: org.apache.spark.sql.DataFrame, minShared: Int = 2,
+                    idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val sets = fps.select(col(idCol).as("did"), col("fp_hash")).distinct()
+    val counts = sets.groupBy("did").agg(count(lit(1)).as("nf"))
+    val a = sets.select(col("fp_hash"), col("did").as("id_a"))
+    val b = sets.select(col("fp_hash"), col("did").as("id_b"))
+    a.join(b, Seq("fp_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .join(counts.select(col("did").as("id_a"), col("nf").as("nf_a")), Seq("id_a"))
+      .join(counts.select(col("did").as("id_b"), col("nf").as("nf_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared_fps"),
+        round(col("shared_fps").cast("double")
+          / (col("nf_a") + col("nf_b") - col("shared_fps")), 4).as("jaccard"))
+  }
+
+  /** Cross-document LINE-level dedup (the C4 discipline, applied
+    * corpus-wide): any line whose normalized content occurs in ≥
+    * `minDocs` DISTINCT documents is removed from every document, and
+    * the cleaned text re-assembles from the surviving lines in order.
+    * Complements [[removeDupSpans]] (token-window spans within/across
+    * docs) with the boilerplate catch: navbars, license headers, quote
+    * blocks — content that repeats as whole lines.
+    *
+    * Plan shape: one explode to (doc, line-index, line), line keys by
+    * md5 of the trimmed lower-cased line; the banned set is a count-
+    * distinct-docs aggregate on the key (combiner-friendly); removal is
+    * a key equi-join (no broadcast assumption — the banned set scales
+    * with the corpus); reassembly is one per-doc aggregate with an
+    * array_sort ordered collect (no window sort). `docs` is read twice
+    * (ban derivation + removal) — caller-persist contract if its
+    * lineage is expensive.
+    *
+    * Output: (<idCol>, n_lines, n_removed, clean_text).
+    */
+  def removeDupLines(docs: org.apache.spark.sql.DataFrame, minDocs: Int = 2,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     sep: String = "\n"): org.apache.spark.sql.DataFrame = {
+    val lines = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("did"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("li", "line")))
+      .withColumn("key", md5(trim(lower(col("line"))).cast("binary")))
+    val banned = lines.select(col("did"), col("key")).distinct()
+      .groupBy("key").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("key"), lit(true).as("_banned"))
+    lines.join(banned, Seq("key"), "left")
+      .groupBy("did")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_banned"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+            when(col("_banned").isNull, struct(col("li"), col("line"))))),
+          x => x.getField("line")), sep).as("clean_text"))
+      .select(col("did").as(idCol), col("n_lines"), col("n_removed"), col("clean_text"))
+  }
+
   /** Repetition signals over a whole frame (the Gopher-rules family of
     * quality filters: heavily-repeated content marks low-quality or
     * templated text). Output per doc: n_tokens, distinct_ratio

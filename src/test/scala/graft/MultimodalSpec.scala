@@ -110,6 +110,36 @@ class MultimodalSpec extends AnyFunSuite {
       s"unrelated video must never become a candidate: $pairs")
   }
 
+  test("audioOffsetNearDup: shifted copies align at one delta, scattered matches never concentrate") {
+    val media = Seq(
+      (0L, "audio-payload-A"), (1L, "audio-payload-A"), // identical content
+      (2L, "audio-payload-A"), // same content, shifted by 3 windows below
+      (3L, "a-completely-different-audio-payload")
+    ).toDF("media_id", "payload")
+    val wins = MultimodalOps.audioWindows(media)
+      .withColumn("wpos",
+        when(col("media_id") === 2, col("wpos") + 3).otherwise(col("wpos")))
+    val got = MultimodalOps.audioOffsetNearDup(wins, minVotes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val nWin = "audio-payload-A".getBytes("UTF-8").length % 24 + 8
+    assert(got((0L, 1L)) === ((0L, nWin.toLong)), s"identical audio: delta 0, all windows vote: $got")
+    assert(got((0L, 2L)) === ((-3L, nWin.toLong)), s"shifted copy: one consistent delta −3: $got")
+    assert(got((1L, 2L)) === ((-3L, nWin.toLong)))
+    assert(!got.keys.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated audio must never become a candidate: $got")
+
+    // offset-consistency is the point: the same window MULTISET at
+    // scrambled positions (position reversed) shares every hash, but
+    // votes scatter one-per-delta — a bag-of-windows Jaccard would call
+    // this a perfect dup; the aligner must reject it
+    val scrambled = MultimodalOps.audioWindows(media.filter(col("media_id") < 1))
+      .union(MultimodalOps.audioWindows(
+          media.filter(col("media_id") === 1))
+        .withColumn("wpos", lit(nWin - 1).cast("long") - col("wpos")))
+    val sg = MultimodalOps.audioOffsetNearDup(scrambled, minVotes = 4).collect()
+    assert(sg.isEmpty, s"reversed window order shares all hashes but no consistent offset: ${sg.toSeq}")
+  }
+
   test("crossModalAdmission: dup requires BOTH caption and image agreement") {
     import graft.ops.DedupOps
     val capA = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"

@@ -403,6 +403,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("slice-scale"))
   }
 
+  test("suffixArray: distributed prefix doubling matches brute-force suffix order") {
+    import graft.ops.SuffixArrayOps
+    // covers: equal suffix content across docs (docs 2 and 7 — tie must
+    // break by doc_id), prefix-of-another suffixes (shorter first), and
+    // repeated tokens within a doc
+    val corpus = Seq((1L, "b a"), (2L, "a b a"), (3L, "a"), (7L, "a b a"))
+    val docs = corpus.toDF("doc_id", "text")
+    val got = SuffixArrayOps.suffixArray(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    val suffixes = for {
+      (d, text) <- corpus
+      tk = "[a-z0-9_']+".r.findAllIn(text.toLowerCase).toVector
+      p <- tk.indices
+    } yield (tk.drop(p), d, p.toLong)
+    val expected = suffixes.sortWith { case ((sa, da, pa), (sb, db, pb)) =>
+      val n = math.min(sa.length, sb.length)
+      var i = 0
+      while (i < n && sa(i) == sb(i)) i += 1
+      if (i < n) sa(i) < sb(i)
+      else if (sa.length != sb.length) sa.length < sb.length
+      else if (da != db) da < db
+      else pa < pb
+    }.zipWithIndex.map { case ((_, d, p), r) => (r.toLong, d, p) }
+    assert(got === expected)
+  }
+
+  test("saSpans: the distributed SA form reproduces suffixArraySpans exactly") {
+    import graft.ops.SuffixArrayOps
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    // the island corpus where the window screen over-approximates (the
+    // distributed form must also report the TRUE longest run, 5 not 9)
+    val docs = Seq(
+      (1L, "a b c d e p q r s"),
+      (2L, "x a b c d e y z w v"),
+      (3L, "m n o"),
+      (4L, "k l"),
+      (5L, "p q r s t u p q r s")
+    ).toDF("doc_id", "text")
+    assert(rows(SuffixArrayOps.saSpans(docs, n = 3)) ===
+      rows(TextOps.suffixArraySpans(docs, n = 3)))
+    // and on real data: the q98/q114 slice
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val real = spark.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 120)
+    assert(rows(SuffixArrayOps.saSpans(real)) === rows(TextOps.suffixArraySpans(real)))
+  }
+
   test("codedKeys (xxhash64 shuffle) reproduces the string-key results exactly") {
     // the 100 TB shuffle form must agree with the oracle-checked string
     // form on real data — sf0.001 documents, both operators
