@@ -147,6 +147,14 @@ private[graft] object OpsEntries {
       SimilarityOps.ivfPqTopK(e.filter(col("vec_id") < 5), e)
     }),
 
+    // IVF-PQ + exact re-rank: the two-stage serving pipeline — q112's
+    // code-only scan narrows to 50 candidates/query, only those rows
+    // rejoin their float vectors for the exact cosine top-10.
+    "q120_pq_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.pqRerankTopK(e.filter(col("vec_id") < 5), e, k = 10, candK = 50)
+    }),
+
     // IVF ANN over TRAINED centroids: the learned coarse quantizer
     // routes corpus and probes (nearest_cell), exact cosine in-cell.
     "q90_ivf_trained" -> ((s, dir) => {
@@ -372,6 +380,34 @@ private[graft] object OpsEntries {
             sequence(lit(0), ceil(size(col("tk")) / lit(10.0)).cast("int") - 1),
             i => concat_ws(" ", slice(col("tk"), i * 10 + 1, lit(10)))), "\n").as("text"))
       TextOps.removeDupLines(lined)
+    }),
+
+    // LEAKAGE-SAFE train/valid/test split: split keyed on the near-dup
+    // component anchor (q54's clusters), not the doc id — near-dup
+    // pairs structurally cannot straddle train/test, the eval-set
+    // contamination a plain q57 hash split permits.
+    "q122_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      SampleOps.leakageSafeSplit(docs, DedupOps.minHashCandidates(docs))
+    }),
+
+    // Gopher-style composite admission gate: per-rule boolean verdicts
+    // (token bounds, mean-word-length band, alpha floor, stopword
+    // floor, top-token ceiling, dup-bigram ceiling) + conjunctive keep,
+    // all ratios computed in ONE map-only native pass and rounded 4dp
+    // BEFORE thresholding so the verdicts replay exactly.
+    "q121_gopher_filter" -> ((s, dir) => TextOps.gopherFilter(t(s, dir, "documents"))),
+
+    // BPE APPLY: train the 6-merge table (q109's path), then segment
+    // the whole corpus under it — merge rewrites compose into one
+    // nested replace chain over the distinct vocabulary (no per-round
+    // action), per-doc subword counts via the word join. The oracle
+    // replays training AND application end-to-end.
+    "q119_bpe_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mergeTable = TextOps.bpeTrain(docs, merges = 6)
+        .orderBy("step").collect().map(_.getString(1)).toSeq
+      TextOps.bpeApply(docs, mergeTable)
     }),
 
     // TRUE suffix-array ExactSubstr over a bounded slice: max_dup_tokens
@@ -679,6 +715,28 @@ private[graft] object OpsEntries {
 
   // ---- DuckDB oracle SQL (independent re-implementation) ----
 
+  /** Winnowing chain (k=4 token grams, w=4 windows): gram hashes by the
+    * seeded-md5 convention, per-window min with rightmost tie-break
+    * (max position among the window's minima), distinct selected
+    * (pos, hash) per doc — shared by the q116 fingerprint dump and the
+    * q117 overlap join.
+    */
+  private def winnowCtes: String =
+    s"""b AS (SELECT doc_id, $toksExpr AS toks FROM documents WHERE text IS NOT NULL),
+       |bg AS (SELECT doc_id, toks, len(toks) - 3 AS n_grams FROM b WHERE len(toks) - 3 >= 4),
+       |g AS (SELECT doc_id, n_grams, CAST(unnest(generate_series(1, n_grams)) AS INTEGER) AS q, toks FROM bg),
+       |h AS (SELECT doc_id, n_grams, q,
+       |        CAST(concat('0x', substr(md5(array_to_string(toks[q:q+3], ' ')), 1, 8)) AS BIGINT) AS h
+       |      FROM g),
+       |starts AS (SELECT doc_id, q AS p FROM h WHERE q <= n_grams - 3),
+       |wj AS (SELECT s.doc_id, s.p, h.q, h.h FROM starts s
+       |       JOIN h ON h.doc_id = s.doc_id AND h.q BETWEEN s.p AND s.p + 3),
+       |wmin AS (SELECT doc_id, p, min(h) AS mh FROM wj GROUP BY 1, 2),
+       |sel AS (SELECT wj.doc_id, max(wj.q) AS pos1, wj.h AS fp_hash FROM wj
+       |        JOIN wmin ON wmin.doc_id = wj.doc_id AND wmin.p = wj.p AND wj.h = wmin.mh
+       |        GROUP BY wj.doc_id, wj.p, wj.h),
+       |fp AS (SELECT DISTINCT doc_id, CAST(pos1 - 1 AS BIGINT) AS pos, fp_hash FROM sel)""".stripMargin
+
   /** Brute-force ExactSubstr-span enumeration over the doc_id<120
     * slice — the shared oracle of q98 (single-task suffix array) and
     * q114 (distributed prefix-doubling form): both must reproduce it.
@@ -841,6 +899,38 @@ private[graft] object OpsEntries {
     sb.append("\n")
     sb.append((1 to merges).map(i =>
       s"SELECT CAST($i AS INTEGER) AS step, pair, weight FROM b$i").mkString("\nUNION ALL\n"))
+    sb.toString
+  }
+
+  /** BPE train-then-apply chain: the [[bpeTrainSql]] rounds with the
+    * WORD carried through every rewrite (application needs the final
+    * word → symbol mapping, which the training chain discards), then
+    * per-document subword counts through the word join.
+    */
+  private def bpeApplySql(merges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH wf AS (SELECT w, count(*) AS freq
+         |  FROM (SELECT unnest($toksExpr) AS w FROM documents) GROUP BY w),
+         |w0 AS (SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym, freq FROM wf),
+         |""".stripMargin)
+    for (i <- 1 to merges) {
+      sb.append(
+        s"""p$i AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+           |          j -> t[j] || ' ' || t[j+1])) AS pair, freq
+           |        FROM (SELECT string_split(trim(sym), ' ') AS t, freq FROM w${i - 1})),
+           |b$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
+           |        FROM p$i GROUP BY pair ORDER BY weight DESC, pair LIMIT 1),
+           |w$i AS (SELECT w, replace(sym, ' ' || (SELECT pair FROM b$i) || ' ',
+           |          ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ') AS sym, freq
+           |        FROM w${i - 1}),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""docw AS (SELECT doc_id, unnest($toksExpr) AS w FROM documents WHERE text IS NOT NULL),
+         |sub AS (SELECT w, len(string_split(trim(sym), ' ')) AS n_sub FROM w$merges)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_subwords
+         |FROM docw JOIN sub USING (w) GROUP BY doc_id""".stripMargin)
     sb.toString
   }
 
@@ -1039,7 +1129,38 @@ private[graft] object OpsEntries {
     */
   private def ivfPqSql(kCells: Int = 8, coarseIters: Int = 2, m: Int = 8, subDim: Int = 8,
                        kCodes: Int = 16, pqIters: Int = 2, nprobe: Int = 2,
-                       topK: Int = 10): String = {
+                       topK: Int = 10): String =
+    ivfPqScoredCtes(kCells, coarseIters, m, subDim, kCodes, pqIters, nprobe) +
+      s"""
+         |SELECT query_id, neighbor_id, adist, CAST(r AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS r
+         |  FROM scored)
+         |WHERE r <= $topK""".stripMargin
+
+  /** IVF-PQ candidates re-ranked by exact cosine on the original
+    * vectors — the q120 serving-pipeline replay: same scored chain as
+    * q112, candK by ADC distance, then the float-vector re-rank.
+    */
+  private def pqRerankSql(candK: Int = 50, topK: Int = 10): String =
+    ivfPqScoredCtes() +
+      s""",
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS r
+         |  FROM scored) WHERE r <= $candK),
+         |rer AS (SELECT c.query_id, c.neighbor_id,
+         |          round(${cosSql("q.embedding", "n.embedding")}, 6) AS cos_sim
+         |        FROM cand c JOIN emb q ON q.vec_id = c.query_id
+         |                    JOIN emb n ON n.vec_id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, cos_sim, CAST(r AS INTEGER) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r
+         |  FROM rer)
+         |WHERE r <= $topK""".stripMargin
+
+  /** Everything through the ADC `scored` CTE (no final select) —
+    * shared by the q112 index replay and the q120 re-rank replay.
+    */
+  private def ivfPqScoredCtes(kCells: Int = 8, coarseIters: Int = 2, m: Int = 8, subDim: Int = 8,
+                              kCodes: Int = 16, pqIters: Int = 2, nprobe: Int = 2): String = {
     def resList(v: String, cv: String) =
       s"list_transform(list_zip($v, $cv), p -> CAST(round(CAST(p[1] AS DOUBLE) - p[2], 4) AS REAL))"
     val joins = (0 until m).map(s => s"JOIN s${s}_cl$pqIters k$s ON k$s.cell = cw.cs$s").mkString(" ")
@@ -1065,11 +1186,7 @@ private[graft] object OpsEntries {
          |         FROM pcell p JOIN cl$coarseIters c ON c.cell = p.cell),
          |scored AS (SELECT p.query_id, cw.vec_id AS neighbor_id, round($dist, 4) AS adist
          |           FROM pres p JOIN codesw cw ON cw.cell = p.cell $joins
-         |           WHERE p.query_id <> cw.vec_id)
-         |SELECT query_id, neighbor_id, adist, CAST(r AS INTEGER) AS rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS r
-         |  FROM scored)
-         |WHERE r <= $topK""".stripMargin
+         |           WHERE p.query_id <> cw.vec_id)""".stripMargin
   }
 
   private def kmeansSql(k: Int = 8, iters: Int = 3, dims: Int = 64): String =
@@ -1518,11 +1635,101 @@ private[graft] object OpsEntries {
         |FROM best b JOIN tot t USING (id_a, id_b)
         |WHERE b.votes >= 4""".stripMargin,
 
+    "q116_winnow_fp" ->
+      s"""WITH $winnowCtes
+         |SELECT doc_id, pos, fp_hash FROM fp""".stripMargin,
+
+    "q117_winnow_neardup" ->
+      s"""WITH $winnowCtes,
+         |sets AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+         |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM sets GROUP BY 1),
+         |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared_fps
+         |           FROM sets a JOIN sets b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT id_a, id_b, shared_fps,
+         |       round(CAST(shared_fps AS DOUBLE) / (ca.nf + cb.nf - shared_fps), 4) AS jaccard
+         |FROM shared JOIN counts ca ON ca.doc_id = id_a
+         |            JOIN counts cb ON cb.doc_id = id_b""".stripMargin,
+
+    // the synthesized 10-token pseudo-lines, the ≥2-distinct-docs ban
+    // set, and the in-order reassembly of surviving lines
+    "q118_line_dedup" ->
+      s"""WITH b0 AS (SELECT doc_id, $toksExpr AS toks FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT * FROM b0 WHERE len(toks) >= 1),
+         |ln AS (SELECT doc_id, toks,
+         |         CAST(unnest(generate_series(0, CAST(ceil(len(toks) / 10.0) AS INTEGER) - 1)) AS INTEGER) AS li
+         |       FROM b),
+         |l2 AS (SELECT doc_id, li, array_to_string(toks[li*10+1 : li*10+10], ' ') AS line FROM ln),
+         |keyd AS (SELECT doc_id, li, line, md5(trim(lower(line))) AS key FROM l2),
+         |banned AS (SELECT key FROM (SELECT key, count(DISTINCT doc_id) AS nd FROM keyd GROUP BY key)
+         |           WHERE nd >= 2),
+         |flag AS (SELECT k.doc_id, k.li, k.line,
+         |           (k.key IN (SELECT key FROM banned)) AS bn FROM keyd k)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |       CAST(sum(CASE WHEN bn THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |       coalesce(string_agg(CASE WHEN NOT bn THEN line END, chr(10) ORDER BY li), '') AS clean_text
+         |FROM flag GROUP BY doc_id""".stripMargin,
+
     "q109_bpe_train" -> bpeTrainSql(merges = 6),
+    "q119_bpe_apply" -> bpeApplySql(merges = 6),
+
+    "q122_leakage_split" ->
+      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM cand UNION SELECT id_b, id_a FROM cand),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |k AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key
+         |      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |bk AS (SELECT doc_id, split_key,
+         |         CAST(concat('0x', substr(md5(CAST(split_key AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+         |       FROM k)
+         |SELECT doc_id, split_key,
+         |       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid' ELSE 'test' END AS split
+         |FROM bk""".stripMargin,
+
+    "q121_gopher_filter" -> {
+      val en = TextOps.langMarkers("en").map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH tk AS (SELECT doc_id, unnest($toksExpr) AS t FROM documents),
+         |fr AS (SELECT doc_id, t, count(*) AS c FROM tk GROUP BY 1, 2),
+         |ta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top FROM fr GROUP BY 1),
+         |tl AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |         i -> toks[i] || ' ' || toks[i+1])) AS b FROM tl),
+         |ba AS (SELECT doc_id, count(*) AS btot, count(DISTINCT b) AS bdis FROM bg GROUP BY 1),
+         |qf AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS len,
+         |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+         |         CAST(len(list_filter(list_distinct($toksExpr), t -> list_contains($en, t))) AS DOUBLE) AS stop_hits
+         |       FROM documents),
+         |j AS (SELECT d.doc_id,
+         |        coalesce(ta.n_tokens, 0) AS n_tokens,
+         |        round(CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END, 4) AS alpha_ratio,
+         |        round(CASE WHEN ta.n_tokens > 0 THEN stop_hits / 10.0 ELSE 0.0 END, 4) AS stopword_ratio,
+         |        round(CASE WHEN ta.n_tokens > 0 THEN alpha / ta.n_tokens ELSE 0.0 END, 4) AS mean_word_len,
+         |        round(CASE WHEN ta.n_tokens > 0 THEN top / CAST(ta.n_tokens AS DOUBLE) ELSE 0.0 END, 4) AS top_token_ratio,
+         |        round(CASE WHEN ba.btot > 0 THEN 1.0 - ba.bdis / CAST(ba.btot AS DOUBLE) ELSE 0.0 END, 4) AS dup_bigram_ratio
+         |      FROM documents d LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)
+         |           JOIN qf ON qf.doc_id = d.doc_id)
+         |SELECT doc_id, n_tokens,
+         |  (n_tokens >= 8 AND n_tokens <= 5000) AS r_len,
+         |  (mean_word_len >= 2.0 AND mean_word_len <= 10.0) AS r_word_len,
+         |  (alpha_ratio >= 0.6) AS r_alpha,
+         |  (stopword_ratio >= 0.1) AS r_stopwords,
+         |  (top_token_ratio <= 0.2) AS r_top_token,
+         |  (dup_bigram_ratio <= 0.6) AS r_repetition,
+         |  (n_tokens >= 8 AND n_tokens <= 5000 AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+         |   AND alpha_ratio >= 0.6 AND stopword_ratio >= 0.1 AND top_token_ratio <= 0.2
+         |   AND dup_bigram_ratio <= 0.6) AS keep
+         |FROM j""".stripMargin
+    },
 
     "q110_pq_encode" -> pqEncodeSql(),
     "q111_pq_adc_topk" -> pqAdcSql(),
     "q112_ivfpq_topk" -> ivfPqSql(),
+    "q120_pq_rerank" -> pqRerankSql(),
 
     "q64_kmeans" -> kmeansSql(),
 

@@ -142,6 +142,26 @@ object Stress {
       println(f"STRESS_SUBSTR docs=${d10.count()} string_time=$tS%.2fs coded_time=$tC%.2fs out=$ns/$nc")
     }
 
+    // Full-corpus distributed suffix array: the oracle entries (q113/
+    // q114) run on the doc_id<120 slice so DuckDB can replay them; this
+    // mode runs the SAME operators over the WHOLE sf corpus (where the
+    // single-task suffixArraySpans cannot go) and records time + the
+    // aggregate dup mass, A/B'd against the window screen.
+    if (which == "sa") {
+      import graft.ops.{SuffixArrayOps, TextOps}
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val stats = docs.filter(col("text").isNotNull)
+        .select(size(TextOps.tokens(col("text"))).as("nt"))
+        .agg(count(lit(1)), sum("nt"), max("nt")).head()
+      val (spans, tSA) = time(SuffixArrayOps.saSpans(docs).localCheckpoint(true))
+      val agg = spans.agg(sum("covered_tokens"), max("max_dup_tokens"),
+        sum(when(col("n_spans") > 0, 1L).otherwise(0L))).head()
+      val (_, tScreen) = time(TextOps.exactSubstrSpans(docs).queryExecution.toRdd.count())
+      println(f"STRESS_SA docs=${stats.getLong(0)} total_tokens=${stats.get(1)} " +
+        f"max_doc_tokens=${stats.get(2)} sa_time=$tSA%.1fs screen_time=$tScreen%.2fs " +
+        f"covered=${agg.get(0)} maxdup=${agg.get(1)} docs_with_spans=${agg.get(2)}")
+    }
+
     // Scale-exponent record for the suite's five heaviest ENTRIES, run
     // unmodified against a ×x (default ×10 ≈ sf1) replica corpus laid
     // out as a real table dir — documents + embeddings with per-copy

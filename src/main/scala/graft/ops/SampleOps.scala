@@ -32,6 +32,34 @@ object SampleOps {
     conv(substring(md5(
       concat_ws(":", lit(seed), id.cast("string"))), 1, 15), 16, 10).cast("long")
 
+  /** LEAKAGE-SAFE train/valid/test split: a document's split is keyed
+    * on its near-dup COMPONENT anchor (the min id of its cluster under
+    * the supplied candidate edges; singletons anchor to themselves),
+    * not its own id — so two near-duplicate documents can never
+    * straddle train and test. Plain hash splits leak: with 10% dup
+    * mass a q57-style split puts ~1 in 5 dup pairs across the
+    * train/test boundary, and the eval set rewards memorization.
+    *
+    * Plan shape: components come from [[GraphOps.connectedComponents]]
+    * (adaptive union-find / pointer jumping — edges only, never the
+    * corpus); the corpus itself takes ONE left join on the id key and a
+    * map-only bucket hash. Docs outside every edge stream through with
+    * their own id as anchor.
+    *
+    * Output: (<idCol>, split_key, split).
+    */
+  def leakageSafeSplit(docs: org.apache.spark.sql.DataFrame,
+                       edges: org.apache.spark.sql.DataFrame,
+                       trainPct: Int = 90, validPct: Int = 5,
+                       idCol: String = "doc_id", srcCol: String = "id_a",
+                       dstCol: String = "id_b"): org.apache.spark.sql.DataFrame = {
+    val comp = GraphOps.connectedComponents(edges, srcCol, dstCol)
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("component"), col("id")).as("split_key"))
+      .withColumn("split", assignSplit(col("split_key"), trainPct, validPct))
+  }
+
   /** Deterministic train/valid/test assignment by hash bucket:
     * `[0, trainPct)` → train, `[trainPct, trainPct+validPct)` → valid,
     * rest → test. Percentages of 100.

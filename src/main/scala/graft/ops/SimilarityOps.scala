@@ -655,6 +655,43 @@ object SimilarityOps {
     } finally clean.unpersist(blocking = false)
   }
 
+  /** IVF-PQ + exact re-rank — the standard two-stage serving pipeline:
+    * the compressed index ([[ivfPqTopK]]) narrows the corpus to `candK`
+    * candidates per query through codes alone, then ONLY those
+    * candidate rows rejoin their original float vectors for an exact
+    * cosine top-`k`. This is how a billion-vector index actually
+    * answers: ADC precision loss (q101's recall gate measures it)
+    * is bought back on a candidate set ~candK/corpus the size of a
+    * brute-force scan.
+    *
+    * Scale shape: the only full-corpus work is inside ivfPqTopK (codes
+    * scan of nprobe cells); the re-rank joins candK×queries id pairs to
+    * the corpus on the id key and broadcasts the query vectors. Output
+    * matches [[bruteForceTopK]]'s (query_id, neighbor_id, cos_sim,
+    * rank) contract.
+    */
+  def pqRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10, candK: Int = 50,
+                   nprobe: Int = 2, kCells: Int = 8, coarseIters: Int = 2, m: Int = 8,
+                   subDim: Int = 8, kCodes: Int = 16, pqIters: Int = 2,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cands = ivfPqTopK(queries, corpus, candK, nprobe, kCells, coarseIters,
+        m, subDim, kCodes, pqIters, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val nvec = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
+        norm(col(vecCol)).as("__nn"))
+    val qvec = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm(col(vecCol)).as("__qn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cands.join(nvec, Seq("neighbor_id"))
+      .join(broadcast(qvec), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosinePre(col("__qv"), col("__nv"), col("__qn"), col("__nn")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
     exact.select(col("query_id"), col("neighbor_id"))
       .join(approx.select(col("query_id"), col("neighbor_id")).distinct()

@@ -313,6 +313,62 @@ object TextOps {
           / (col("nf_a") + col("nf_b") - col("shared_fps")), 4).as("jaccard"))
   }
 
+  /** Gopher-style composite admission gate: the rule-set form of the
+    * quality/repetition features — every document gets a PER-RULE
+    * boolean verdict plus the conjunctive `keep`, so a pipeline can
+    * audit WHY mass was dropped (the per-rule loss report is how these
+    * thresholds actually get tuned), not just how much.
+    *
+    * Rules (Gopher's families, thresholds adapted to this corpus):
+    * token-count bounds, mean-word-length band, alphabetic-character
+    * ratio floor, stopword floor, top-token concentration ceiling,
+    * duplicate-bigram ceiling. All ratios are computed ONCE in a single
+    * map-only pass (charClassCounts + tokenStats native walks — no
+    * explode, no join, no shuffle) and rounded to 4dp BEFORE
+    * thresholding, so the verdicts replay exactly in SQL.
+    *
+    * Output: (<idCol>, n_tokens, r_len, r_word_len, r_alpha,
+    * r_stopwords, r_top_token, r_repetition, keep).
+    */
+  def gopherFilter(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   minTokens: Long = 8, maxTokens: Long = 5000,
+                   minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 10.0,
+                   minAlphaRatio: Double = 0.6, minStopwordRatio: Double = 0.1,
+                   maxTopTokenRatio: Double = 0.2, maxDupBigramRatio: Double = 0.6): org.apache.spark.sql.DataFrame = {
+    val s0 = DedupOps.widen(docs).select(col(idCol),
+      length(col(textCol)).cast("double").as("__len"),
+      graft.functions.CharClassExprs.charClassCounts(col(textCol)).as("__cc"),
+      graft.functions.TokenStatsExprs.tokenStats(tokens(col(textCol))).as("__ts"),
+      size(array_intersect(array_distinct(tokens(col(textCol))),
+        array(langMarkers("en").map(lit): _*))).cast("double").as("__stop"))
+    val s1 = s0.select(col(idCol),
+      coalesce(col("__ts.n_tokens"), lit(0L)).as("n_tokens"),
+      round(when(col("__len") > 0, col("__cc.alpha").cast("double") / col("__len"))
+        .otherwise(0.0), 4).as("__alpha_ratio"),
+      round(when(col("__ts.n_tokens") > 0, col("__stop") / lit(10.0))
+        .otherwise(0.0), 4).as("__stop_ratio"),
+      round(when(col("__ts.n_tokens") > 0,
+        col("__cc.alpha").cast("double") / col("__ts.n_tokens"))
+        .otherwise(lit(0.0)), 4).as("__mwl"),
+      round(when(col("__ts.n_tokens") > 0,
+        col("__ts.top").cast("double") / col("__ts.n_tokens"))
+        .otherwise(0.0), 4).as("__top_ratio"),
+      round(when(col("__ts.btot") > 0,
+        lit(1.0) - col("__ts.bdis").cast("double") / col("__ts.btot"))
+        .otherwise(0.0), 4).as("__dup_bigram"))
+    val rules = Seq(
+      "r_len" -> (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens),
+      "r_word_len" -> (col("__mwl") >= minMeanWordLen && col("__mwl") <= maxMeanWordLen),
+      "r_alpha" -> (col("__alpha_ratio") >= minAlphaRatio),
+      "r_stopwords" -> (col("__stop_ratio") >= minStopwordRatio),
+      "r_top_token" -> (col("__top_ratio") <= maxTopTokenRatio),
+      "r_repetition" -> (col("__dup_bigram") <= maxDupBigramRatio))
+    s1.select((col(idCol) +: col("n_tokens") +:
+      rules.map { case (n, c) => c.as(n) }) :+
+      rules.map(_._2).reduce(_ && _).as("keep"): _*)
+  }
+
   /** Cross-document LINE-level dedup (the C4 discipline, applied
     * corpus-wide): any line whose normalized content occurs in ≥
     * `minDocs` DISTINCT documents is removed from every document, and
@@ -998,5 +1054,43 @@ object TextOps {
     }
     import spark.implicits._
     out.toSeq.toDF("step", "pair", "weight")
+  }
+
+  /** BPE tokenizer APPLICATION — the deployment half of [[bpeTrain]]:
+    * segment every document under a trained merge table and report the
+    * per-document subword economics (the numbers a token-budget pass
+    * like `SampleOps.tokenBudgetPack` actually prices with).
+    *
+    * Scale shape: the merge rewrites run over the DISTINCT vocabulary
+    * only (Heaps-law sublinear in corpus size), and — unlike training,
+    * which needs a driver round-trip per merge — application has no
+    * data dependence between rounds, so the whole merge table composes
+    * into ONE nested map-only replace chain (stays in whole-stage
+    * codegen, no action, no checkpoint). The corpus is touched twice:
+    * the vocab distinct and the word→subword-count join (shuffles on
+    * the word key).
+    *
+    * Merge semantics are [[bpeTrain]]'s exactly: sentinel-spaced symbol
+    * strings, leftmost non-overlapping `replace`, merges applied in
+    * table order.
+    *
+    * Output: (<idCol>, n_words, n_subwords) per document with ≥ 1
+    * token.
+    */
+  def bpeApply(docs: org.apache.spark.sql.DataFrame, mergePairs: Seq[String],
+               idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val docw = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("did"), explode(tokens(col(textCol))).as("w"))
+    val symInit = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+    val symFinal = mergePairs.foldLeft(symInit) { (s, pair) =>
+      call_function("replace", s,
+        lit(" " + pair + " "), lit(" " + pair.replace(" ", "") + " "))
+    }
+    val sub = docw.select("w").distinct()
+      .select(col("w"), size(split(trim(symFinal), " ")).as("n_sub"))
+    docw.join(sub, Seq("w"))
+      .groupBy("did")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).cast("long").as("n_subwords"))
+      .select(col("did").as(idCol), col("n_words"), col("n_subwords"))
   }
 }

@@ -450,6 +450,96 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows(SuffixArrayOps.saSpans(real)) === rows(TextOps.suffixArraySpans(real)))
   }
 
+  test("leakageSafeSplit: near-dup clusters never straddle splits, singletons self-anchor") {
+    val docs = (0L to 99L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val edges = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = SampleOps.leakageSafeSplit(docs, edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got.size === 100)
+    assert(got(0L) === got(1L) && got(1L) === got(2L),
+      "a connected cluster must share one split key and one split")
+    assert(got(0L)._1 === 0L, "the anchor is the cluster's min id")
+    assert(got(10L)._1 === 10L && got(11L) === got(10L))
+    assert(got(50L)._1 === 50L, "docs outside every edge self-anchor")
+    assert(got.values.map(_._2).toSet.subsetOf(Set("train", "valid", "test")))
+  }
+
+  test("pqRerankTopK: full probe + candK ≥ corpus makes the rerank exactly brute force") {
+    import graft.ops.SimilarityOps
+    val base = (0 until 8).map(i => (0 until 16).map(d => ((i * 7 + d) % 13).toFloat).toArray)
+    val rows = for (c <- 0 until 3; i <- 0 until 8) yield (c * 100L + i, base(i))
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 2)
+    // nprobe = kCells (every cell scanned) and candK ≥ |corpus|: the ADC
+    // stage can drop nothing, so the exact re-rank must equal the
+    // brute-force baseline row for row — the refinement-correctness pin
+    val got = SimilarityOps.pqRerankTopK(q, emb, k = 5, candK = 100, nprobe = 4,
+      kCells = 4, m = 2, subDim = 8, kCodes = 4, pqIters = 2)
+    val exact = SimilarityOps.bruteForceTopK(q, emb, 5)
+    assert(got.collect().map(_.toSeq).toSet === exact.collect().map(_.toSeq).toSet)
+  }
+
+  test("bpeApply: segments under the trained table, unseen words segment by learned pieces") {
+    val docs = Seq((1L, "aaa aaa ab"), (2L, "aab")).toDF("doc_id", "text")
+    // training on doc 1's corpus (hand-checked above): a a → aa a → a b
+    val table = TextOps.bpeTrain(Seq((1L, "aaa aaa ab")).toDF("doc_id", "text"), merges = 6)
+      .orderBy("step").collect().map(_.getString(1)).toSeq
+    assert(table === Seq("a a", "aa a", "a b"))
+    val got = TextOps.bpeApply(docs, table)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // "aaa"→[aaa] (1), "ab"→[ab] (1); doc 2's UNSEEN "aab"→[aa, b] (2):
+    // 'a a' merges, 'aa a' and 'a b' find no sentinel-spaced match
+    assert(got(1L) === ((3L, 3L)))
+    assert(got(2L) === ((1L, 2L)))
+  }
+
+  test("winnowing: shared-run guarantee, rightmost tie-break, selection density") {
+    val run = "alpha beta gamma delta epsilon zeta eta" // 7 tokens = w+k-1
+    val docs = Seq(
+      (1L, s"one two three $run four five six seven"),
+      (2L, s"nine ten eleven twelve $run thirteen fourteen"),
+      (3L, "a a a a a a a a a a"), // all grams identical → ties everywhere
+      (4L, "completely different words with no common content at all here")
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // guarantee: any shared run of ≥ w+k−1 tokens yields ≥1 shared hash
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "7-token shared run must share a fingerprint")
+    assert((byDoc(1L) & byDoc(4L)).isEmpty, "unrelated docs share nothing")
+    // all-tied doc: every window's min is the same hash, rightmost wins →
+    // selected positions are exactly the window-END gram positions
+    val doc3 = fps.filter(_._1 == 3L).map(_._2).toSet
+    val nGrams3 = 10 - 3 // 10 tokens, k=4
+    assert(doc3 === (3 until nGrams3).map(_.toLong).toSet,
+      s"rightmost tie-break must select window ends: $doc3")
+    // density: selection keeps ≲ half the grams on random-ish content
+    val doc4 = fps.count(_._1 == 4L)
+    assert(doc4 >= 1 && doc4 <= 7, s"winnowing must thin the gram set: $doc4")
+    // pair overlap: docs 1/2 pair with ≥... doc1∩doc2 could be 1 fp —
+    // minShared=1 must surface the pair, and its jaccard is in (0,1)
+    val pairs = TextOps.winnowNearDup(TextOps.winnowFingerprints(docs), minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0 && pairs((1L, 2L)) < 1)
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("removeDupLines: cross-doc lines removed everywhere, within-doc repeats kept, order preserved") {
+    val docs = Seq(
+      (1L, "the shared boilerplate line\nunique alpha"),
+      (2L, "unique beta\nthe shared boilerplate line\nunique gamma"),
+      (3L, "all original content"),
+      (4L, "repeat me\nrepeat me") // repeats only within ONE doc → kept
+    ).toDF("doc_id", "text")
+    val got = TextOps.removeDupLines(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((2L, 1L, "unique alpha")))
+    assert(got(2L) === ((3L, 1L, "unique beta\nunique gamma")), "order must be preserved")
+    assert(got(3L) === ((1L, 0L, "all original content")))
+    assert(got(4L) === ((2L, 0L, "repeat me\nrepeat me")),
+      "a line repeated within a single doc is not corpus boilerplate")
+  }
+
   test("codedKeys (xxhash64 shuffle) reproduces the string-key results exactly") {
     // the 100 TB shuffle form must agree with the oracle-checked string
     // form on real data — sf0.001 documents, both operators
