@@ -382,6 +382,41 @@ private[graft] object OpsEntries {
       TextOps.removeDupLines(lined)
     }),
 
+    // Cross-corpus SEMANTIC admission: odd vec_ids arrive as the NEW
+    // batch against the even-id corpus — coarse cells train on the
+    // corpus, candidates form NEW × CORPUS within shared cells only,
+    // best-cosine verdict at 0.4 (q105's gate for embeddings).
+    "q124_emb_cross_admission" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.embCrossAdmission(
+        e.filter(col("vec_id") % 2 === 1), e.filter(col("vec_id") % 2 === 0))
+    }),
+
+    // Cross-corpus n-gram contamination overlap: eval docs (doc_id %
+    // 10 == 7) graded by the fraction of their distinct 8-token
+    // windows present anywhere in the train side — the graded form of
+    // q63's boolean decontamination verdict.
+    "q123_contamination_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.crossNgramContamination(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7))
+    }),
+
+    // WITHIN-doc repeated-line removal (the other C4 line rule; q118 is
+    // the cross-corpus half): first occurrence survives, later repeats
+    // cut, order preserved. Same synthesized 10-token pseudo-lines.
+    "q125_within_doc_line_dedup" -> ((s, dir) => {
+      val lined = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 1)
+        .select(col("doc_id"),
+          array_join(transform(
+            sequence(lit(0), ceil(size(col("tk")) / lit(10.0)).cast("int") - 1),
+            i => concat_ws(" ", slice(col("tk"), i * 10 + 1, lit(10)))), "\n").as("text"))
+      TextOps.dedupLinesWithinDoc(lined)
+    }),
+
     // LEAKAGE-SAFE train/valid/test split: split keyed on the near-dup
     // component anchor (q54's clusters), not the doc id — near-dup
     // pairs structurally cannot straddle train/test, the eval-set
@@ -877,11 +912,15 @@ private[graft] object OpsEntries {
     * ASC) tie-break, one CTE trio (pairs → best → rewrite) per round.
     */
   private def bpeTrainSql(merges: Int): String = {
+    // w_i is referenced twice (p_{i+1} and w_{i+1}): MATERIALIZED keeps
+    // DuckDB from re-inlining the whole rewrite chain per reference,
+    // which compounds across rounds (the q100/q112 CTE lesson — ~2×
+    // per round, minutes by round 6)
     val sb = new StringBuilder
     sb.append(
-      s"""WITH wf AS (SELECT w, count(*) AS freq
+      s"""WITH wf AS MATERIALIZED (SELECT w, count(*) AS freq
          |  FROM (SELECT unnest($toksExpr) AS w FROM documents) GROUP BY w),
-         |w0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym, freq FROM wf),
+         |w0 AS MATERIALIZED (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym, freq FROM wf),
          |""".stripMargin)
     for (i <- 1 to merges) {
       sb.append(
@@ -890,7 +929,7 @@ private[graft] object OpsEntries {
            |        FROM (SELECT string_split(trim(sym), ' ') AS t, freq FROM w${i - 1})),
            |b$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
            |        FROM p$i GROUP BY pair ORDER BY weight DESC, pair LIMIT 1),
-           |w$i AS (SELECT replace(sym, ' ' || (SELECT pair FROM b$i) || ' ',
+           |w$i AS MATERIALIZED (SELECT replace(sym, ' ' || (SELECT pair FROM b$i) || ' ',
            |          ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ') AS sym, freq
            |        FROM w${i - 1}),
            |""".stripMargin)
@@ -908,11 +947,13 @@ private[graft] object OpsEntries {
     * per-document subword counts through the word join.
     */
   private def bpeApplySql(merges: Int): String = {
+    // MATERIALIZED on the w_i chain for the same reason as
+    // [[bpeTrainSql]] — measured 11.6 s → 0.2 s at sf0.1
     val sb = new StringBuilder
     sb.append(
-      s"""WITH wf AS (SELECT w, count(*) AS freq
+      s"""WITH wf AS MATERIALIZED (SELECT w, count(*) AS freq
          |  FROM (SELECT unnest($toksExpr) AS w FROM documents) GROUP BY w),
-         |w0 AS (SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym, freq FROM wf),
+         |w0 AS MATERIALIZED (SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym, freq FROM wf),
          |""".stripMargin)
     for (i <- 1 to merges) {
       sb.append(
@@ -921,7 +962,7 @@ private[graft] object OpsEntries {
            |        FROM (SELECT string_split(trim(sym), ' ') AS t, freq FROM w${i - 1})),
            |b$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
            |        FROM p$i GROUP BY pair ORDER BY weight DESC, pair LIMIT 1),
-           |w$i AS (SELECT w, replace(sym, ' ' || (SELECT pair FROM b$i) || ' ',
+           |w$i AS MATERIALIZED (SELECT w, replace(sym, ' ' || (SELECT pair FROM b$i) || ' ',
            |          ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ') AS sym, freq
            |        FROM w${i - 1}),
            |""".stripMargin)
@@ -1672,6 +1713,72 @@ private[graft] object OpsEntries {
 
     "q109_bpe_train" -> bpeTrainSql(merges = 6),
     "q119_bpe_apply" -> bpeApplySql(merges = 6),
+
+    // corpus-side Lloyd (MATERIALIZED — the multi-reference CTE
+    // lesson), corpus + fresh cell assignment, NEW×CORPUS in-cell
+    // pairs, best-cosine verdict
+    "q124_emb_cross_admission" ->
+      (kmeansCtes("SELECT 8 AS k", 3, 64,
+        "SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 2 = 0",
+        mat = true) +
+        kmeansAssignCtes(3, mat = true) +
+        s"""fr AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+           |      WHERE embedding IS NOT NULL AND vec_id % 2 = 1),
+           |fasg AS MATERIALIZED (SELECT vec_id, embedding, cell FROM (
+           |  SELECT f.vec_id, f.embedding, c.cell,
+           |         row_number() OVER (PARTITION BY f.vec_id ORDER BY ${kmeansL2("f.embedding", "c.cv")}, c.cell) AS r
+           |  FROM fr f CROSS JOIN cl3 c) WHERE r = 1),
+           |prs AS (SELECT f.vec_id AS new_id, a.vec_id AS corpus_id,
+           |          round(${cosSql("f.embedding", "a.embedding")}, 6) AS cos_sim
+           |        FROM fasg f JOIN asg a USING (cell)),
+           |best AS (SELECT new_id, corpus_id AS match_id, cos_sim AS match_cos FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY new_id ORDER BY cos_sim DESC, corpus_id) AS r
+           |  FROM prs) WHERE r = 1)
+           |SELECT f.vec_id AS new_id,
+           |       coalesce(b.match_cos >= 0.4, false) AS is_dup,
+           |       b.match_id, b.match_cos
+           |FROM fr f LEFT JOIN best b ON b.new_id = f.vec_id""".stripMargin),
+
+    "q123_contamination_overlap" ->
+      s"""WITH tw AS (SELECT DISTINCT w FROM (
+         |  SELECT unnest(CASE WHEN len(toks) >= 8
+         |           THEN list_distinct(list_transform(generate_series(1, len(toks) - 7),
+         |                  i -> array_to_string(toks[i:i+7], ' ')))
+         |           ELSE [] END) AS w
+         |  FROM (SELECT $toksExpr AS toks FROM documents
+         |        WHERE text IS NOT NULL AND doc_id % 10 <> 7))),
+         |eb AS (SELECT doc_id, $toksExpr AS toks FROM documents
+         |       WHERE text IS NOT NULL AND doc_id % 10 = 7),
+         |ew AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+         |         THEN list_distinct(list_transform(generate_series(1, len(toks) - 7),
+         |                i -> array_to_string(toks[i:i+7], ' ')))
+         |         ELSE [] END) AS w
+         |       FROM eb),
+         |ec AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM ew GROUP BY 1),
+         |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS hit FROM ew
+         |         WHERE w IN (SELECT w FROM tw) GROUP BY 1)
+         |SELECT b.doc_id, coalesce(ec.n_windows, 0) AS n_windows,
+         |       coalesce(hits.hit, 0) AS hit_windows,
+         |       round(CASE WHEN coalesce(ec.n_windows, 0) > 0
+         |               THEN coalesce(hits.hit, 0) / CAST(ec.n_windows AS DOUBLE)
+         |               ELSE 0.0 END, 4) AS overlap_ratio
+         |FROM eb b LEFT JOIN ec ON ec.doc_id = b.doc_id
+         |          LEFT JOIN hits ON hits.doc_id = b.doc_id""".stripMargin,
+
+    "q125_within_doc_line_dedup" ->
+      s"""WITH b0 AS (SELECT doc_id, $toksExpr AS toks FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT * FROM b0 WHERE len(toks) >= 1),
+         |ln AS (SELECT doc_id, toks,
+         |         CAST(unnest(generate_series(0, CAST(ceil(len(toks) / 10.0) AS INTEGER) - 1)) AS INTEGER) AS li
+         |       FROM b),
+         |l2 AS (SELECT doc_id, li, array_to_string(toks[li*10+1 : li*10+10], ' ') AS line FROM ln),
+         |keyd AS (SELECT doc_id, li, line,
+         |           row_number() OVER (PARTITION BY doc_id, md5(trim(lower(line))) ORDER BY li) AS occ
+         |         FROM l2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |       coalesce(string_agg(CASE WHEN occ = 1 THEN line END, chr(10) ORDER BY li), '') AS clean_text
+         |FROM keyd GROUP BY doc_id""".stripMargin,
 
     "q122_leakage_split" ->
       s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -149,7 +149,17 @@ object Stress {
     // aggregate dup mass, A/B'd against the window screen.
     if (which == "sa") {
       import graft.ops.{SuffixArrayOps, TextOps}
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      // `Stress sa N` (N > 1) replicates ×N: doubling rounds stay at
+      // ceil(log2(longest DOC)) — corpus growth must cost linearly.
+      // Default 1 (NOT the shared ×10): the base record reads sfDir as-is
+      val saX = args.drop(1).headOption.map(_.toInt).getOrElse(1)
+      val docs = if (saX <= 1) base else {
+        (0 until saX).map { i =>
+          base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"), col("text"))
+        }.reduce(_ unionByName _).write.mode("overwrite").parquet("/tmp/graft_stress_sa")
+        spark.read.parquet("/tmp/graft_stress_sa")
+      }
       val stats = docs.filter(col("text").isNotNull)
         .select(size(TextOps.tokens(col("text"))).as("nt"))
         .agg(count(lit(1)), sum("nt"), max("nt")).head()

@@ -655,6 +655,45 @@ object SimilarityOps {
     } finally clean.unpersist(blocking = false)
   }
 
+  /** Cross-corpus SEMANTIC admission — [[graft.ops.DedupOps.dedupAgainstCorpus]]'s
+    * NEW × CORPUS shape for embeddings (the semDedup analog of q105's
+    * MinHash gate): coarse cells train on the CORPUS (the committed
+    * deterministic Lloyd), both sides assign to cells, candidate pairs
+    * form only as NEW × CORPUS within a shared cell, and a new vector
+    * is rejected when its best corpus cosine ≥ `threshold`. The shape
+    * that admits a daily embedding batch against a 100 TB lake:
+    * corpus×corpus pair work never forms, and the only corpus-sized
+    * shuffle is the cell-keyed join.
+    *
+    * Output per non-null NEW vector: (new_id, is_dup, match_id,
+    * match_cos) — best match by cosine, ties to the lowest corpus id.
+    */
+  def embCrossAdmission(fresh: DataFrame, corpus: DataFrame, threshold: Double = 0.4,
+                        k: Int = 8, iters: Int = 3,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val clean = DedupOps.widen(corpus.filter(col(vecCol).isNotNull))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = trainCentroids(clean, k, iters, idCol, vecCol)
+      val corpusCells = clean.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+        assignCell(cents, vecCol).as("cell"))
+      val freshClean = fresh.filter(col(vecCol).isNotNull)
+      val freshCells = freshClean.select(col(idCol).as("new_id"), col(vecCol).as("__nv"),
+        assignCell(cents, vecCol).as("cell"))
+      val pairs = freshCells.join(corpusCells, Seq("cell"))
+        .select(col("new_id"), col("corpus_id"),
+          round(cosine(col("__nv"), col("__cv")), 6).as("cos_sim"))
+      val best = pairs.groupBy("new_id")
+        .agg(max(struct(col("cos_sim").as("c"), (-col("corpus_id")).as("negid"))).as("m"))
+        .select(col("new_id"), col("m.c").as("match_cos"), (-col("m.negid")).as("match_id"))
+      freshClean.select(col(idCol).as("new_id"))
+        .join(best, Seq("new_id"), "left")
+        .select(col("new_id"),
+          coalesce(col("match_cos") >= threshold, lit(false)).as("is_dup"),
+          col("match_id"), col("match_cos"))
+    } finally clean.unpersist(blocking = false)
+  }
+
   /** IVF-PQ + exact re-rank — the standard two-stage serving pipeline:
     * the compressed index ([[ivfPqTopK]]) narrows the corpus to `candK`
     * candidates per query through codes alone, then ONLY those

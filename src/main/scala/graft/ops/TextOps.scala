@@ -409,6 +409,40 @@ object TextOps {
       .select(col("did").as(idCol), col("n_lines"), col("n_removed"), col("clean_text"))
   }
 
+  /** WITHIN-document repeated-line removal — the other half of the C4
+    * line discipline ([[removeDupLines]] is the cross-corpus half):
+    * inside each document, only the FIRST occurrence of a line's
+    * normalized content survives; later repeats (chat-log echoes,
+    * scraped pagination, template stutter) are cut and the text
+    * re-assembles in order.
+    *
+    * Plan shape: one explode, one per-doc window (partitioned by doc,
+    * ordered by line index — no global sort) marking first occurrences
+    * via row_number over (doc, key), one per-doc ordered re-aggregate.
+    * No corpus-wide state at all, so this composes BEFORE
+    * [[removeDupLines]] in a pipeline without adding a corpus shuffle.
+    *
+    * Output: (<idCol>, n_lines, n_removed, clean_text).
+    */
+  def dedupLinesWithinDoc(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text",
+                          sep: String = "\n"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("did"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("li", "line")))
+      .withColumn("key", md5(trim(lower(col("line"))).cast("binary")))
+    val w = Window.partitionBy("did", "key").orderBy("li")
+    lines.withColumn("_occ", row_number().over(w))
+      .groupBy("did")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_occ") > 1, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+            when(col("_occ") === 1, struct(col("li"), col("line"))))),
+          x => x.getField("line")), sep).as("clean_text"))
+      .select(col("did").as(idCol), col("n_lines"), col("n_removed"), col("clean_text"))
+  }
+
   /** Repetition signals over a whole frame (the Gopher-rules family of
     * quality filters: heavily-repeated content marks low-quality or
     * templated text). Output per doc: n_tokens, distinct_ratio
@@ -497,6 +531,51 @@ object TextOps {
         round(when(col("n_win") > 0,
           coalesce(col("dup_hit"), lit(0L)).cast("double") / col("n_win"))
           .otherwise(0.0), 4).as("dup_ratio"))
+  }
+
+  /** Cross-corpus n-gram CONTAMINATION overlap — the doc-level
+    * decontamination measure (the GPT-3 "13-gram" discipline, here at
+    * `n` tokens): for each EVAL document, the fraction of its distinct
+    * n-token windows that occur anywhere in the TRAIN corpus. The
+    * graded counterpart of [[graft.ops.DedupOps.decontaminate]]'s
+    * boolean verdict: an eval set is retired by overlap ratio, not by
+    * one exact match.
+    *
+    * Shape: both sides explode to distinct windows; the train side
+    * reduces to DISTINCT window keys (combiner-friendly); the hit count
+    * is a semi-join on the window key — eval×train never forms, and the
+    * only corpus-sized shuffle is keyed by the window. At 100 TB the
+    * window string would be coded to xxhash64 before the shuffle (the
+    * [[dupSpanFrame]] codedKeys form); strings keep the oracle exact.
+    *
+    * Output: (<idCol>, n_windows, hit_windows, overlap_ratio) for
+    * every non-null-text EVAL doc (zero-window docs ride through with
+    * ratio 0).
+    */
+  def crossNgramContamination(train: org.apache.spark.sql.DataFrame,
+                              evalDocs: org.apache.spark.sql.DataFrame, n: Int = 8,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    def wins(df: org.apache.spark.sql.DataFrame) =
+      DedupOps.widen(df.filter(col(textCol).isNotNull))
+        .select(col(idCol), tokens(col(textCol)).as("toks"))
+        .select(col(idCol),
+          when(size(col("toks")) >= n,
+            array_distinct(transform(sequence(lit(0), size(col("toks")) - n),
+              i => array_join(slice(col("toks"), i + 1, lit(n)), " "))))
+            .otherwise(array().cast("array<string>")).as("wins"))
+        .select(col(idCol), explode_outer(col("wins")).as("win"))
+    val evalW = wins(evalDocs)
+    val trainW = wins(train).filter(col("win").isNotNull).select("win").distinct()
+    val counts = evalW.groupBy(idCol).agg(count(col("win")).as("n_windows"))
+    val hits = evalW.join(trainW, Seq("win"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("hit"))
+    counts.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("hit"), lit(0L)).as("hit_windows"),
+        round(when(col("n_windows") > 0,
+          coalesce(col("hit"), lit(0L)).cast("double") / col("n_windows"))
+          .otherwise(0.0), 4).as("overlap_ratio"))
   }
 
   /** Exact-substring duplication SPANS — the maximal-contiguous-region

@@ -450,6 +450,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows(SuffixArrayOps.saSpans(real)) === rows(TextOps.suffixArraySpans(real)))
   }
 
+  test("dedupLinesWithinDoc: later repeats cut, first kept, cross-doc repeats untouched") {
+    val docs = Seq(
+      (1L, "alpha line\nbeta line\nalpha line\ngamma line\nbeta line"),
+      (2L, "alpha line") // cross-doc repeat — the WITHIN rule must not touch it
+    ).toDF("doc_id", "text")
+    val got = TextOps.dedupLinesWithinDoc(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((5L, 2L, "alpha line\nbeta line\ngamma line")))
+    assert(got(2L) === ((1L, 0L, "alpha line")))
+  }
+
+  test("crossNgramContamination: shared windows score, disjoint docs score zero") {
+    val run = "a b c d e f g h" // 8 tokens = exactly one window
+    val train = Seq((1L, s"x $run y"), (2L, "nothing in common here at all today ok")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, run), // its one window is inside train doc 1
+      (11L, "totally different words with no shared content at all")
+    ).toDF("doc_id", "text")
+    val got = TextOps.crossNgramContamination(train, eval)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(10L) === ((1L, 1L, 1.0)))
+    assert(got(11L)._2 === 0L && got(11L)._3 === 0.0)
+  }
+
+  test("embCrossAdmission: corpus matches reject, within-batch dups and novel vectors admit") {
+    import graft.ops.SimilarityOps
+    // the congruential family has only 13 distinct vectors (seed mod 13)
+    // — novel/dup vectors must come from OUTSIDE it
+    def vec(seed: Int) = (0 until 16).map(d => ((seed * 31 + d * 7) % 13 - 6).toFloat).toArray
+    val ones = Array.fill(16)(1.0f)
+    val alt = (0 until 16).map(d => if (d % 2 == 0) 1.0f else -1.0f).toArray
+    val corpus = (0 until 12).map(i => (i * 2L, vec(i))).toDF("vec_id", "embedding")
+    val fresh = Seq(
+      (1L, vec(3)), // exact copy of corpus vec 6 → rejected at cos 1.0
+      (5L, ones),   // novel direction → admitted
+      (7L, alt), (9L, alt) // within-batch dup, absent from corpus → both judged on corpus alone
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.embCrossAdmission(fresh, corpus, threshold = 0.999, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.get(3)).map(_ => r.getDouble(3))))).toMap
+    assert(got(1L)._1 && got(1L)._2.contains(1.0), s"exact corpus copy must be rejected: $got")
+    assert(!got(5L)._1, s"novel vector must be admitted: $got")
+    assert(!got(7L)._1 && !got(9L)._1,
+      "a within-batch dup pair with no corpus match is the NEW-side's own business — both admitted")
+  }
+
   test("leakageSafeSplit: near-dup clusters never straddle splits, singletons self-anchor") {
     val docs = (0L to 99L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val edges = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
