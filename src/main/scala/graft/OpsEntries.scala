@@ -147,6 +147,23 @@ private[graft] object OpsEntries {
       SimilarityOps.ivfPqTopK(e.filter(col("vec_id") < 5), e)
     }),
 
+    // Scalar quantization (SQ8): per-dim affine byte codes — the 4×
+    // compression tier between raw floats and PQ's 8 bytes; bounds are
+    // a 2×dims driver aggregate, encode is map-only.
+    "q126_sq_encode" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.sqEncode(e, SimilarityOps.sqTrain(e))
+    }),
+
+    // SQ8 asymmetric top-10: corpus scanned through byte codes only,
+    // exact query floats vs decoded corpus points, per-dim terms
+    // rounded 6dp and summed in dim order (the q111 determinism
+    // discipline).
+    "q127_sq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.sqTopK(e.filter(col("vec_id") < 5), e, SimilarityOps.sqTrain(e))
+    }),
+
     // IVF-PQ + exact re-rank: the two-stage serving pipeline — q112's
     // code-only scan narrows to 50 candidates/query, only those rows
     // rejoin their float vectors for the exact cosine top-10.
@@ -974,6 +991,16 @@ private[graft] object OpsEntries {
          |FROM docw JOIN sub USING (w) GROUP BY doc_id""".stripMargin)
     sb.toString
   }
+
+  /** SQ8 bounds + per-dim steps: 4dp-rounded min/max over the corpus —
+    * the replay of `SimilarityOps.sqTrain` (shared by q126/q127).
+    */
+  private val sqCtes: String =
+    s"""sqb AS (SELECT pos, round(min(CAST(embedding[pos] AS DOUBLE)), 4) AS lo,
+       |               round(max(CAST(embedding[pos] AS DOUBLE)), 4) AS hi
+       |        FROM embeddings CROSS JOIN range(1, 65) t(pos)
+       |        WHERE embedding IS NOT NULL GROUP BY pos),
+       |sqs AS (SELECT pos, lo, CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 0.0 END AS step FROM sqb)""".stripMargin
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -1837,6 +1864,37 @@ private[graft] object OpsEntries {
     "q111_pq_adc_topk" -> pqAdcSql(),
     "q112_ivfpq_topk" -> ivfPqSql(),
     "q120_pq_rerank" -> pqRerankSql(),
+
+    "q126_sq_encode" ->
+      s"""WITH $sqCtes
+         |SELECT e.vec_id, CAST(s.pos AS INTEGER) AS dim,
+         |  CASE WHEN s.step > 0
+         |       THEN least(255, greatest(0, CAST(round((CAST(e.embedding[s.pos] AS DOUBLE) - s.lo) / s.step) AS INTEGER)))
+         |       ELSE 0 END AS code
+         |FROM embeddings e CROSS JOIN sqs s
+         |WHERE e.embedding IS NOT NULL""".stripMargin,
+
+    "q127_sq_topk" ->
+      s"""WITH $sqCtes,
+         |codes AS (SELECT e.vec_id AS neighbor_id,
+         |            list(CASE WHEN s.step > 0
+         |                   THEN least(255, greatest(0, CAST(round((CAST(e.embedding[s.pos] AS DOUBLE) - s.lo) / s.step) AS INTEGER)))
+         |                   ELSE 0 END ORDER BY s.pos) AS codes
+         |          FROM embeddings e CROSS JOIN sqs s
+         |          WHERE e.embedding IS NOT NULL GROUP BY e.vec_id),
+         |lov AS (SELECT list(lo ORDER BY pos) AS l FROM sqs),
+         |stv AS (SELECT list(step ORDER BY pos) AS st FROM sqs),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |      WHERE vec_id < 5 AND embedding IS NOT NULL),
+         |scored AS (SELECT q.query_id, c.neighbor_id,
+         |             round(list_sum(list_transform(generate_series(1, 64),
+         |               d -> round(pow(CAST(qv[d] AS DOUBLE) - (lov.l[d] + c.codes[d] * stv.st[d]), 2), 6))), 4) AS sq_dist
+         |           FROM q CROSS JOIN codes c CROSS JOIN lov CROSS JOIN stv
+         |           WHERE q.query_id <> c.neighbor_id)
+         |SELECT query_id, neighbor_id, sq_dist, CAST(r AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sq_dist, neighbor_id) AS r
+         |      FROM scored)
+         |WHERE r <= 10""".stripMargin,
 
     "q64_kmeans" -> kmeansSql(),
 

@@ -655,6 +655,73 @@ object SimilarityOps {
     } finally clean.unpersist(blocking = false)
   }
 
+  /** Scalar-quantization (SQ8) bounds: per-dimension (lo, hi), 4dp-
+    * rounded so the whole trace replays in SQL. One partial-agg pass;
+    * 2×dims doubles to the driver (the centroid idiom).
+    */
+  def sqTrain(corpus: DataFrame, vecCol: String = "embedding"): Array[(Double, Double)] =
+    corpus.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(round(min(col("v").cast("double")), 4).as("lo"),
+        round(max(col("v").cast("double")), 4).as("hi"))
+      .orderBy("pos").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+
+  /** SQ8 ENCODE: each float dimension → one byte, code = round((v −
+    * lo_d) / (hi_d − lo_d) · 255) clamped to [0, 255] (degenerate dims
+    * code to 0). Map-only — bounds ride as literal arrays; 64 dims
+    * become 64 bytes/vector, the 4× compression tier between raw
+    * floats and PQ's 8 bytes. Output long-form (vec_id, dim, code) so
+    * any dialect replays it row-for-row.
+    */
+  def sqEncode(corpus: DataFrame, bounds: Array[(Double, Double)],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val loArr = array(bounds.map(b => lit(b._1)).toIndexedSeq: _*)
+    val stepArr = array(bounds.map { case (lo, hi) =>
+      lit(if (hi > lo) (hi - lo) / 255.0 else 0.0) }.toIndexedSeq: _*)
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("dim"),
+        when(element_at(stepArr, col("pos") + 1) > 0,
+          least(lit(255), greatest(lit(0),
+            round((col("v").cast("double") - element_at(loArr, col("pos") + 1))
+              / element_at(stepArr, col("pos") + 1)).cast("int"))))
+          .otherwise(lit(0)).as("code"))
+  }
+
+  /** SQ8 asymmetric top-k: the corpus is scanned through its BYTE codes
+    * only (the floats never re-read — SQ's serving contract); each
+    * query's exact float vector scores against the DECODED corpus
+    * point, per-dim terms rounded 6dp and summed in dimension order
+    * (the q111 determinism discipline), so Spark and the SQL replay
+    * agree bit-for-bit. Queries broadcast; the codes scan is the only
+    * corpus-sized work.
+    */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, bounds: Array[(Double, Double)],
+             k: Int = 10, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val loArr = array(bounds.map(b => lit(b._1)).toIndexedSeq: _*)
+    val stepArr = array(bounds.map { case (lo, hi) =>
+      lit(if (hi > lo) (hi - lo) / 255.0 else 0.0) }.toIndexedSeq: _*)
+    val codes = sqEncode(corpus, bounds, idCol, vecCol)
+      .groupBy(col(idCol).as("neighbor_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("code")))).as("__dc"))
+      .select(col("neighbor_id"), transform(col("__dc"), x => x.getField("code")).as("__codes"))
+    val probes = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val term = (c: Column, d: Column) => {
+      val decoded = element_at(loArr, d + 1) + c.cast("double") * element_at(stepArr, d + 1)
+      round(pow(element_at(col("__qv"), d + 1).cast("double") - decoded, 2.0), 6)
+    }
+    val dist = round(aggregate(
+      transform(col("__codes"), (c, d) => term(c, d)), lit(0.0), (acc, x) => acc + x), 4)
+    val w = Window.partitionBy("query_id").orderBy(col("sq_dist").asc, col("neighbor_id").asc)
+    codes.join(broadcast(probes), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dist.as("sq_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Cross-corpus SEMANTIC admission — [[graft.ops.DedupOps.dedupAgainstCorpus]]'s
     * NEW × CORPUS shape for embeddings (the semDedup analog of q105's
     * MinHash gate): coarse cells train on the CORPUS (the committed

@@ -43,21 +43,85 @@ import org.apache.spark.sql.types.LongType
   */
 object SuffixArrayOps {
 
-  /** Order-preserving distributed rank: global sort by `keyCols`,
-    * per-partition ordinals offset by partition sizes (zipWithIndex),
-    * ties collapsed to the group's minimum ordinal. Returns the input
-    * columns plus `rank`. One sort shuffle + one count job + one
-    * aggregate + one join — no single-task stage at any width.
+  /** Order-preserving distributed rank: global sort by `keyCols`, then
+    * every row gets the GLOBAL ordinal of the first row of its key
+    * group (ties collapse to the group start — the order-preserving
+    * rank prefix doubling needs). Returns the input columns plus
+    * `rank`.
+    *
+    * The sort is the round's ONLY shuffle. Tie-collapsing runs as two
+    * light passes over the sorted partitions: pass 1 collects one
+    * 4-tuple per partition (row count, first key, last key, local
+    * index where the last group starts); the driver folds those into a
+    * per-partition (offset, carry key, carry rank) — the group open at
+    * each partition boundary and the global ordinal where it started,
+    * correct even when one group spans MANY whole partitions (the
+    * carry only advances when a partition starts a new group); pass 2
+    * assigns ranks partition-locally from the carry. Replaces the
+    * naive min-ordinal groupBy + join-back, which cost two more
+    * corpus-sized shuffles per doubling round.
     */
   private def rankBy(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.orderBy(keyCols.map(col): _*)
-    val withIdx = spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(row.toSeq :+ i) },
-      sorted.schema.add("_idx", LongType))
-    val mins = withIdx.groupBy(keyCols.map(col): _*)
-      .agg(min(col("_idx")).as("rank"))
-    withIdx.join(mins, keyCols).drop("_idx")
+    val schema = sorted.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    def keyOf(r: Row): Seq[Any] = keyIdx.map(r.get)
+    val rdd = sorted.rdd
+    // pass 1: (count, firstKey, lastKey, local start index of the last
+    // group) per partition — one row of driver state per partition
+    val stats = rdd.mapPartitionsWithIndex { (p, it) =>
+      var count = 0L
+      var firstKey: Seq[Any] = null
+      var lastKey: Seq[Any] = null
+      var lastStart = 0L
+      while (it.hasNext) {
+        val k = keyOf(it.next())
+        if (count == 0L) firstKey = k
+        else if (k != lastKey) lastStart = count
+        lastKey = k
+        count += 1
+      }
+      Iterator.single((p, (count, firstKey, lastKey, lastStart)))
+    }.collect().toMap
+    val nParts = rdd.getNumPartitions
+    val offsets = new Array[Long](nParts)
+    val carryKeys = new Array[Seq[Any]](nParts)
+    val carryRanks = new Array[Long](nParts)
+    var off = 0L
+    var openKey: Seq[Any] = null
+    var openRank = 0L
+    (0 until nParts).foreach { p =>
+      offsets(p) = off
+      carryKeys(p) = openKey
+      carryRanks(p) = openRank
+      val (count, firstKey, lastKey, lastStart) = stats(p)
+      if (count > 0L) {
+        // the group open at the END of p: continues the incoming carry
+        // only if the whole partition is one group that matches it
+        if (!(firstKey == openKey && lastStart == 0L) || openKey == null) {
+          openRank = off + lastStart
+        }
+        openKey = lastKey
+        off += count
+      }
+    }
+    val bcOff = spark.sparkContext.broadcast((offsets, carryKeys, carryRanks))
+    val ranked = rdd.mapPartitionsWithIndex { (p, it) =>
+      val (offs, cks, crs) = bcOff.value
+      var i = 0L
+      var prevKey: Seq[Any] = null
+      var groupStart = 0L
+      it.map { row =>
+        val k = keyOf(row)
+        if (i == 0L) groupStart = if (k == cks(p)) crs(p) else offs(p)
+        else if (k != prevKey) groupStart = offs(p) + i
+        prevKey = k
+        i += 1
+        Row.fromSeq(row.toSeq :+ groupStart)
+      }
+    }
+    spark.createDataFrame(ranked, schema.add("rank", LongType))
   }
 
   /** Per-doc token arrays with the sentinel appended: (did, tk, n_real)

@@ -474,6 +474,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(11L)._2 === 0L && got(11L)._3 === 0.0)
   }
 
+  test("sq8: copies share codes, codes bounded, top-k ranks same-code copies first at equal dist") {
+    import graft.ops.SimilarityOps
+    val base = (0 until 8).map(i => (0 until 16).map(d => ((i * 7 + d) % 13).toFloat).toArray)
+    val rows = for (c <- 0 until 3; i <- 0 until 8) yield (c * 100L + i, base(i))
+    val emb = rows.toDF("vec_id", "embedding")
+    val bounds = SimilarityOps.sqTrain(emb)
+    assert(bounds.length === 16 && bounds.forall { case (lo, hi) => hi >= lo })
+    val codes = SimilarityOps.sqEncode(emb, bounds).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getInt(2)).toSeq).toMap
+    assert(codes(0L) === codes(100L) && codes(100L) === codes(200L), "copies must share codes")
+    assert(codes.values.flatten.forall(c => c >= 0 && c <= 255))
+    // identical codes decode identically → a query's two copies tie at
+    // the query's own quantization distortion, and rank first
+    val top = SimilarityOps.sqTopK(emb.filter(col("vec_id") === 0L), emb, bounds, k = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(top.map(_._1).toSet === Set(100L, 200L), s"copies must rank first: ${top.toSeq}")
+    assert(top(0)._2 === top(1)._2, "same codes → identical decoded point → identical distance")
+  }
+
   test("embCrossAdmission: corpus matches reject, within-batch dups and novel vectors admit") {
     import graft.ops.SimilarityOps
     // the congruential family has only 13 distinct vectors (seed mod 13)
