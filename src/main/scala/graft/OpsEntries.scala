@@ -32,6 +32,18 @@ private[graft] object OpsEntries {
       DedupOps.jaccardVerify(DedupOps.minHashCandidates(docs), docs)
     }),
 
+    // Edit-distance verification of the MinHash candidates: exact
+    // normalized-prefix Levenshtein similarity — the order-sensitive
+    // verify tier (gram-set Jaccard is blind to token order).
+    "q128_edit_verify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.editDistanceVerify(DedupOps.minHashCandidates(docs).drop("est_jaccard"), docs)
+    }),
+
+    // n-gram novelty: fraction of each doc's distinct 3-grams unique
+    // to it corpus-wide — "new content vs boilerplate" scoring.
+    "q129_ngram_novelty" -> ((s, dir) => TextOps.ngramNovelty(t(s, dir, "documents"))),
+
     // Brute-force cosine top-10 for query vectors 0-4 (ANN baseline).
     "q24_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1539,6 +1551,28 @@ private[graft] object OpsEntries {
          |SELECT id_a, id_b,
          |       round(CASE WHEN total - inter > 0 THEN inter / (total - inter) ELSE 0.0 END, 4) AS jaccard
          |FROM j""".stripMargin,
+
+    "q128_edit_verify" ->
+      s"""$minhashCtes,
+         |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
+         |pf AS (SELECT doc_id, substr($norm, 1, 400) AS pfx FROM documents),
+         |sc AS (SELECT id_a, id_b,
+         |         round(CASE WHEN greatest(len(a.pfx), len(b.pfx)) > 0
+         |               THEN 1.0 - levenshtein(a.pfx, b.pfx) / CAST(greatest(len(a.pfx), len(b.pfx)) AS DOUBLE)
+         |               ELSE 1.0 END, 4) AS edit_sim
+         |       FROM cand JOIN pf a ON a.doc_id = id_a JOIN pf b ON b.doc_id = id_b)
+         |SELECT id_a, id_b, edit_sim, edit_sim >= 0.8 AS is_dup FROM sc""".stripMargin,
+
+    "q129_ngram_novelty" ->
+      s"""WITH g AS (SELECT doc_id, CASE WHEN len(norm) < 3 THEN [norm]
+         |        ELSE list_distinct(list_transform(generate_series(1, len(norm)-2), i -> substr(norm, i, 3))) END AS grams
+         |      FROM (SELECT doc_id, $norm AS norm FROM documents) WHERE norm IS NOT NULL),
+         |ex AS (SELECT doc_id, unnest(grams) AS gm FROM g),
+         |dfreq AS (SELECT gm, count(*) AS df FROM ex GROUP BY gm)
+         |SELECT doc_id, count(*) AS n_grams,
+         |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS novelty
+         |FROM ex JOIN dfreq USING (gm) GROUP BY doc_id""".stripMargin,
 
     // the shared sig/banded CTEs with cross-side pairs (NEW odd id ×
     // CORPUS even id), q23's gram-set verify, then the per-new-doc

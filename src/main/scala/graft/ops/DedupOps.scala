@@ -230,6 +230,44 @@ object DedupOps {
         round(when(col("uni") > 0, col("inter") / col("uni")).otherwise(0.0), 4).as("jaccard"))
   }
 
+  /** Edit-distance verification of near-dup candidates: exact
+    * normalized-prefix Levenshtein similarity
+    * `1 − lev(a, b) / max(|a|, |b|)` for each candidate pair — the
+    * order-sensitive complement of [[jaccardVerify]] (gram sets are
+    * blind to token ORDER: a sentence-shuffled copy keeps Jaccard ≈ 1
+    * while its edit similarity collapses).
+    *
+    * Scale shape: the DP is O(|a|·|b|) PER PAIR, so it runs only on
+    * the LSH-screened candidates (a vanishing fraction of n²), never
+    * corpus×corpus, and on normalized PREFIXES capped at `maxChars`
+    * (the standard truncated-verify tradeoff: 400² ≈ 160k cells per
+    * pair, flat per-pair cost independent of document length; docs
+    * that agree on a 400-char normalized prefix and diverge later
+    * still score ≥ the near-dup band for typical thresholds).
+    * Normalization + truncation are map-only; the joins key on ids.
+    *
+    * Output: (id_a, id_b, edit_sim, is_dup) — similarity rounded to
+    * 4dp BEFORE thresholding so the decision is engine-portable.
+    * Both-empty prefixes (possible for non-ASCII text whose
+    * normalization is empty) define edit_sim = 1.0: identical empties.
+    */
+  def editDistanceVerify(pairs: DataFrame, docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", maxChars: Int = 400,
+                         threshold: Double = 0.8): DataFrame = {
+    val pfx = widen(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        substring(TextOps.normalized(col(textCol)), 1, maxChars).as("pfx"))
+    pairs
+      .join(pfx.select(col("id").as("id_a"), col("pfx").as("pfx_a")), Seq("id_a"))
+      .join(pfx.select(col("id").as("id_b"), col("pfx").as("pfx_b")), Seq("id_b"))
+      .withColumn("mx", greatest(length(col("pfx_a")), length(col("pfx_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"),
+        round(when(col("mx") > 0,
+          lit(1.0) - levenshtein(col("pfx_a"), col("pfx_b")).cast("double") / col("mx"))
+          .otherwise(1.0), 4).as("edit_sim"))
+      .withColumn("is_dup", col("edit_sim") >= threshold)
+  }
+
   /** Cross-corpus near-dup admission — the "don't re-dedup the lake"
     * path: decide, for every NEW document, whether it near-duplicates
     * the EXISTING corpus, without ever pairing the corpus with itself.

@@ -957,6 +957,42 @@ object TextOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
   }
 
+  /** n-gram novelty: the fraction of a document's DISTINCT character
+    * n-grams that appear in NO other document — the cheap "how much of
+    * this doc is new content vs corpus boilerplate" score used to
+    * prioritize novel data and demote template mass (the inverse view
+    * of line/span dedup: instead of removing the shared part, score
+    * the unshared part).
+    *
+    * Plan shape: per-doc gram SETS come from the same map-only coded
+    * byte-walk as [[graft.ops.DedupOps.jaccardVerify]] (base-38 long
+    * codes, no per-gram strings); one explode feeds a partial-agg
+    * doc-frequency count (gram sets are distinct per doc, so
+    * `count(*)` IS document frequency), and one join + per-doc agg
+    * scores the corpus. Two shuffles total, both on gram codes —
+    * combiner-friendly, no pair work anywhere. `broadcastVocab =
+    * false` (default) shuffles the df join by gram; at corpus scale
+    * the distinct-gram table outgrows a broadcast fast.
+    *
+    * Output: (<idCol>, n_grams, n_novel, novelty∈[0,1] 4dp) for docs
+    * with a non-null text (short texts carry their single padded-gram
+    * window, as everywhere in the gram family).
+    */
+  def ngramNovelty(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", n: Int = 3,
+                   broadcastVocab: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val ex = DedupOps.codedGramSets(docs, idCol, textCol, n)
+      .select(col("id").as(idCol), explode_outer(col("codes")).as("code"))
+      .filter(col("code").isNotNull)
+    val df0 = ex.groupBy("code").agg(count(lit(1)).as("df"))
+    val dfreq = if (broadcastVocab) broadcast(df0) else df0
+    ex.join(dfreq, Seq("code"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel").cast("double") / col("n_grams"), 4))
+  }
+
   /** Unigram language-model quality score: per-document mean token
     * surprisal `-log2 p(tok)` under the corpus's own unigram
     * distribution — the cheap KenLM-style proxy for "how typical is

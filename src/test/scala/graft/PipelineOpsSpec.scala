@@ -711,4 +711,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(3L) === ((0L, 0L, 0.0)))
     assert(got(4L)._2 === 0L && got(4L)._3 === 0.0)
   }
+
+  test("editDistanceVerify: hand-checked similarity, order-shuffle caught, empty pair = 1.0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delts"),   // 1 substitution in 22 normalized chars
+      (3L, "delta gamma beta alpha"),   // same token SET as doc 1, different order
+      (4L, "???"), (5L, "!!!")          // normalize to "" → both-empty prefix pair
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = DedupOps.editDistanceVerify(pairs, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got((1L, 2L)) === ((0.9545, true)))   // 1 - 1/22
+    // gram-set Jaccard of (1,3) is 0.65 (shared 3-grams inside tokens);
+    // edit similarity sees the reorder: 12 edits over 22 chars
+    assert(got((1L, 3L))._1 < 0.5 && !got((1L, 3L))._2)
+    assert(got((4L, 5L)) === ((1.0, true)))
+  }
+
+  test("ngramNovelty: unique grams counted, shared grams excluded, short doc = padded single gram") {
+    val docs = Seq(
+      (1L, "abcd"),  // grams: abc bcd
+      (2L, "abce"),  // grams: abc bce
+      (3L, "x")      // < 3 chars → single padded gram, unique
+    ).toDF("doc_id", "text")
+    val got = TextOps.ngramNovelty(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((2L, 1L, 0.5)))  // bcd unique, abc shared
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    assert(got(3L) === ((1L, 1L, 1.0)))
+  }
 }
