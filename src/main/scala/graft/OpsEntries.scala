@@ -233,6 +233,20 @@ private[graft] object OpsEntries {
       TextOps.perplexityBuckets(
         TextOps.unigramLogProb(t(s, dir, "documents")).localCheckpoint(true))),
 
+    // Curriculum schedule: LM-surprisal terciles (easy→hard stages),
+    // seeded-hash (shard, pos) layout within each stage. The scored
+    // frame is checkpointed — curriculumSchedule references it twice
+    // (quantile aggregate + projection), same contract as q104.
+    "q130_curriculum" -> ((s, dir) =>
+      SampleOps.curriculumSchedule(
+        TextOps.unigramLogProb(t(s, dir, "documents")).localCheckpoint(true))),
+
+    // DSIR importance weighting: src0 documents act as the TARGET
+    // corpus, the rest as RAW; hashed-unigram log importance weights
+    // with add-1 smoothing, top quarter selected.
+    "q131_dsir_weights" -> ((s, dir) =>
+      SampleOps.dsirWeights(t(s, dir, "documents"), col("source") === "src0")),
+
     // Cross-corpus near-dup admission: odd-id docs arrive as the NEW
     // batch, even-id docs are the EXISTING corpus — per new doc, the
     // best verified corpus match and the admit/reject decision, with
@@ -2188,6 +2202,40 @@ private[graft] object OpsEntries {
          |            WHEN avg_nll <= t2 THEN 'middle'
          |            ELSE 'tail' END AS ppl_bucket
          |FROM lm CROSS JOIN th""".stripMargin,
+
+    "q130_curriculum" ->
+      s"""WITH dt AS (SELECT doc_id, unnest($toksExpr) AS tok FROM documents),
+         |tc AS (SELECT tok, count(*) AS cnt FROM dt GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS total FROM tc),
+         |scored AS (SELECT dt.doc_id, round(-log2(CAST(tc.cnt AS DOUBLE) / tot.total), 6) AS nll
+         |           FROM dt JOIN tc USING (tok) CROSS JOIN tot),
+         |lm AS (SELECT doc_id, round(avg(nll), 4) AS avg_nll FROM scored GROUP BY 1),
+         |th AS (SELECT quantile_cont(avg_nll, 1.0/3) AS t1, quantile_cont(avg_nll, 2.0/3) AS t2 FROM lm),
+         |st AS (SELECT doc_id,
+         |         CASE WHEN avg_nll <= t1 THEN 1 WHEN avg_nll <= t2 THEN 2 ELSE 3 END AS stage,
+         |         CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+         |       FROM lm CROSS JOIN th)
+         |SELECT doc_id, CAST(stage AS INTEGER) AS stage, CAST(hv % 8 AS INTEGER) AS shard,
+         |       CAST(row_number() OVER (PARTITION BY stage, hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+         |FROM st""".stripMargin,
+
+    "q131_dsir_weights" ->
+      s"""WITH dt AS (SELECT doc_id, source = 'src0' AS is_t, unnest($toksExpr) AS tok FROM documents),
+         |dbc AS (SELECT doc_id, is_t,
+         |          CAST(concat('0x', substr(md5('7:' || tok), 1, 15)) AS BIGINT) % 256 AS b,
+         |          count(*) AS c
+         |        FROM dt GROUP BY 1, 2, 3),
+         |cnts AS (SELECT b, sum(CASE WHEN is_t THEN c ELSE 0 END) AS ct,
+         |                sum(CASE WHEN is_t THEN 0 ELSE c END) AS cr
+         |         FROM dbc GROUP BY b),
+         |tots AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnts),
+         |dl AS (SELECT b, CAST(round(ln(((ct + 1) * (tr + 256)) / ((cr + 1) * (tt + 256))) * 1000000) AS BIGINT) AS dl6
+         |       FROM cnts CROSS JOIN tots),
+         |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+         |         round(sum(c * dl6) / 1000000.0, 4) AS logw
+         |       FROM dbc JOIN dl USING (b) WHERE NOT is_t GROUP BY doc_id),
+         |th AS (SELECT quantile_cont(logw, 0.75) AS cut FROM sc)
+         |SELECT doc_id, n_toks, logw, logw >= cut AS selected FROM sc CROSS JOIN th""".stripMargin,
 
     "q84_bigram_logprob" ->
       s"""WITH tl AS (SELECT doc_id, $toksExpr AS toks FROM documents),

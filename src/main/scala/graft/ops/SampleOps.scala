@@ -318,4 +318,107 @@ object SampleOps {
         col("__p") / sum(col("__p")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .drop("__p")
   }
+
+  /** Curriculum schedule: order a SCORED corpus easy→hard for staged
+    * training — stage boundaries are the exact score quantiles
+    * (stage 1 = lowest scores), and within a stage documents land in
+    * `(shard, pos)` slots by the seeded-hash shuffle, so consumers
+    * stream stage by stage, shard by shard, with no global sort
+    * anywhere (the [[shardShuffle]] layout nested under a stage key).
+    *
+    * Same caller-persist contract as `TextOps.perplexityBuckets`:
+    * `scored` is referenced twice (quantile aggregate + projection) —
+    * persist/checkpoint an expensive upstream before passing it.
+    *
+    * Scale shape: thresholds are `stages−1` doubles broadcast back;
+    * stage assignment is a map-only when-chain; the per-(stage, shard)
+    * position window never sees more than a shard of one stage.
+    * Output: (<idCol>, stage 1-based, shard, pos).
+    */
+  def curriculumSchedule(scored: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+                         scoreCol: String = "avg_nll", stages: Int = 3,
+                         shards: Int = 8, seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+    require(stages >= 2, s"need at least 2 stages: $stages")
+    require(shards >= 1, s"need at least 1 shard: $shards")
+    val th = scored.agg(
+      percentile(col(scoreCol), lit(1.0 / stages)).as("__t1"),
+      (2 until stages).map(j =>
+        percentile(col(scoreCol), lit(j.toDouble / stages)).as(s"__t$j")): _*)
+    val stageCol = (2 until stages)
+      .foldLeft(when(col(scoreCol) <= col("__t1"), 1)) { (acc, j) =>
+        acc.when(col(scoreCol) <= col(s"__t$j"), j)
+      }
+      .otherwise(stages)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stage"), col("shard")).orderBy(col("__hv"), col(idCol))
+    scored.crossJoin(broadcast(th))
+      .withColumn("stage", stageCol.cast("int"))
+      .withColumn("__hv", seededHash(col(idCol), seed))
+      .withColumn("shard", (col("__hv") % shards).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col(idCol), col("stage"), col("shard"), col("pos"))
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every RAW
+    * document by how much its hashed-token distribution looks like a
+    * small TARGET corpus, `log w(d) = Σ_tok (ln p_target(b(tok)) −
+    * ln p_raw(b(tok)))` over `buckets` hashed unigram features with
+    * add-1 smoothing, then select the top quarter by weight — the
+    * importance-resampling recipe with the noisy Gumbel draw replaced
+    * by its deterministic top-quantile limit (engine-replayable; the
+    * stochastic variant just adds seeded noise to `logw`).
+    *
+    * Scale shape: ONE pass over the corpus builds per-(doc, bucket)
+    * counts — the sufficient statistic for both halves: bucket totals
+    * (model) and per-doc weighted sums (scoring, `Σ_b c_db · Δ_b` with
+    * the `buckets`-row Δ table broadcast). The selection threshold is
+    * ONE exact percentile broadcast back (no global sort). Per-bucket
+    * delta is quantized to INTEGER micro-nats before the weighted sum
+    * (a long sum is exact and summation-order-free — the double-sum
+    * form split at the 4dp rounding boundary between engines) and the
+    * doc weight rounds to 4dp after.
+    * Output: one row per raw doc — (<idCol>, n_toks, logw, selected).
+    */
+  def dsirWeights(docs: org.apache.spark.sql.DataFrame, targetPred: Column,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  buckets: Int = 256, seed: Long = 7L,
+                  keepQuantile: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val toks = DedupOps.widen(docs)
+      .select(col(idCol), targetPred.as("__is_target"),
+        explode_outer(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .withColumn("b", seededHash(col("tok"), seed) % buckets)
+    // ONE corpus pass: per-(doc, bucket) counts are the sufficient
+    // statistic for both the model (bucket totals) and the scoring
+    // (per-doc weighted sums) — checkpointed because everything below
+    // reads it (the unpersist-before-consume class, handled at birth)
+    val dbc = toks.groupBy(col(idCol), col("__is_target"), col("b"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val counts = dbc.groupBy("b").agg(
+      sum(when(col("__is_target"), col("c")).otherwise(0L)).as("ct"),
+      sum(when(col("__is_target"), 0L).otherwise(col("c"))).as("cr"))
+      .localCheckpoint(true) // `buckets` rows; totals + delta both read it
+    val totals = counts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    // add-1 smoothed log-ratio per bucket in INTEGER micro-nats: the
+    // per-doc weight is then a sum of longs — exact and summation-
+    // order-independent, where a double sum differs in the last ulp
+    // between engines and splits at the 4dp rounding boundary
+    // (observed: 2 of 475 docs at sf0.01 before this form)
+    val delta = counts.crossJoin(totals)
+      .select(col("b"), Rounding.round(
+        log((col("ct") + 1) * (col("tr") + buckets)
+          / ((col("cr") + 1) * (col("tt") + buckets))) * 1e6).cast("long").as("dl6"))
+    val scored = dbc.filter(!col("__is_target"))
+      .join(broadcast(delta), Seq("b"))
+      .groupBy(idCol)
+      .agg(sum(col("c")).as("n_toks"),
+        Rounding.round(sum(col("c") * col("dl6")).cast("double") / 1e6, 4).as("logw"))
+      .localCheckpoint(true) // one row per raw doc; threshold + output read it
+    val th = scored.agg(percentile(col("logw"), lit(keepQuantile)).as("__cut"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("selected", col("logw") >= col("__cut"))
+      .drop("__cut")
+  }
 }

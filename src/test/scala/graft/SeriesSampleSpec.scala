@@ -399,6 +399,34 @@ class SeriesSampleSpec extends AnyFunSuite {
     assert(kept.contains(("m2", 1.0)) && !kept.contains(("m2", 100.0)))
     assert(got.filter(col("metric") === "m1").count() === 19)
   }
+
+  test("curriculumSchedule: quantile stages are score-monotone, per-(stage,shard) positions dense") {
+    val scored = (1 to 9).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "avg_nll")
+    val got = SampleOps.curriculumSchedule(scored, stages = 3, shards = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    // terciles of 1..9: t1 = 3.667, t2 = 6.333 → stages {1,2,3},{4,5,6},{7,8,9}
+    assert((1L to 3L).forall(got(_)._1 === 1) && (4L to 6L).forall(got(_)._1 === 2)
+      && (7L to 9L).forall(got(_)._1 === 3), s"stage split wrong: $got")
+    // positions dense 0..n-1 within each (stage, shard)
+    got.values.groupBy(v => (v._1, v._2)).foreach { case (k, vs) =>
+      assert(vs.map(_._3).toSeq.sorted === (0L until vs.size.toLong), s"positions not dense in $k")
+    }
+  }
+
+  test("dsirWeights: target-like raw docs outscore off-target, top quantile selected") {
+    val docs = Seq(
+      (1L, "aa bb", "tgt"),        // the target exemplar
+      (2L, "aa aa bb", "raw"),     // raw, token distribution ≈ target
+      (3L, "zz zz zz", "raw")      // raw, no target token mass
+    ).toDF("doc_id", "text", "source")
+    val got = SampleOps.dsirWeights(docs, col("source") === "tgt")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got.keySet === Set(2L, 3L), "only raw docs are scored")
+    assert(got(2L)._1 === 3L && got(3L)._1 === 3L)
+    assert(got(2L)._2 > got(3L)._2, s"target-like doc must outscore: $got")
+    // 0.75-quantile of two weights interpolates between them → only the top doc clears it
+    assert(got(2L)._3 && !got(3L)._3)
+  }
 }
 
 /** Driver-side replica of SampleOps.hashBucket for order assertions. */
