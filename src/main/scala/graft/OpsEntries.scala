@@ -247,6 +247,44 @@ private[graft] object OpsEntries {
     "q131_dsir_weights" -> ((s, dir) =>
       SampleOps.dsirWeights(t(s, dir, "documents"), col("source") === "src0")),
 
+    // BM25 top-10 retrieval: three fixed term queries against the
+    // corpus — one explode pass for tf, df pruned to query terms via
+    // the broadcast semi-join, Lucene-style non-negative idf.
+    "q132_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      TextOps.bm25TopK(t(s, dir, "documents"), bm25Queries.toDF("query_id", "term"))
+    }),
+
+    // k-NN majority-vote classification (k=7), leave-one-out on the
+    // first 20 labeled vectors — the label-propagation eval harness.
+    "q133_knn_classify" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.knnClassify(e.filter(col("vec_id") < 20), e, k = 7)
+    }),
+
+    // Multinomial Naive Bayes language classifier: closed-form count
+    // training on doc_id % 5 != 0, scored on the held-out fifth.
+    "q134_nb_classify" -> ((s, dir) => TextOps.nbLangClassify(t(s, dir, "documents"))),
+
+    // Soft dedup: every row keeps a 1/|exact-dup group| sampling
+    // weight instead of being dropped.
+    "q135_soft_dedup" -> ((s, dir) => DedupOps.softDedupWeights(t(s, dir, "documents"))),
+
+    // Per-(source, lang) corpus data card: doc count, token mass,
+    // quality distribution, char quantiles, exact-dup rate — one scan.
+    "q136_data_card" -> ((s, dir) => TextOps.dataCard(t(s, dir, "documents"))),
+
+    // Reciprocal-rank fusion of two retrievers (exact cosine top-20 ∪
+    // SQ8 asymmetric top-20) into a hybrid top-10 — result sets only,
+    // the corpus is never re-shuffled.
+    "q137_rrf_fusion" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      SimilarityOps.rrfFuse(Seq(
+        SimilarityOps.bruteForceTopK(q, e, 20),
+        SimilarityOps.sqTopK(q, e, SimilarityOps.sqTrain(e), 20)))
+    }),
+
     // Cross-corpus near-dup admission: odd-id docs arrive as the NEW
     // batch, even-id docs are the EXISTING corpus — per new doc, the
     // best verified corpus match and the admit/reject decision, with
@@ -1517,6 +1555,17 @@ private[graft] object OpsEntries {
        |FROM r""".stripMargin
   }
 
+  /** Fixed BM25 eval queries (terms drawn from the synthetic corpus
+    * vocabulary) — shared by the q132 entry and its oracle's VALUES
+    * list so the two can't drift.
+    */
+  private[graft] val bm25Queries: Seq[(Int, String)] = Seq(
+    0 -> "spark", 0 -> "join", 1 -> "hash", 1 -> "table",
+    2 -> "stream", 2 -> "window", 2 -> "batch")
+
+  private def bm25QueriesSql: String =
+    bm25Queries.map { case (q, t) => s"($q,'$t')" }.mkString(", ")
+
   /** Bench-only twins of oracle queries: the codedKeys (xxhash64)
     * shuffle modes of q76/q93 — spec-pinned byte-identical results
     * (PipelineOpsSpec "codedKeys … reproduces"), different exchange
@@ -1942,6 +1991,149 @@ private[graft] object OpsEntries {
          |SELECT query_id, neighbor_id, sq_dist, CAST(r AS INTEGER) AS rank
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sq_dist, neighbor_id) AS r
          |      FROM scored)
+         |WHERE r <= 10""".stripMargin,
+
+    "q132_bm25_topk" ->
+      s"""WITH qt(query_id, term) AS (VALUES $bm25QueriesSql),
+         |corpus AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest($toksExpr) AS tok FROM corpus) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM corpus),
+         |ad AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+         |dfr AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+         |sc AS (SELECT qt.query_id, tf.doc_id,
+         |         round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |               * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |               / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |                  * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)), 6) AS c
+         |       FROM tf JOIN qt USING (term) JOIN dfr USING (term) JOIN dl USING (doc_id)
+         |       CROSS JOIN n CROSS JOIN ad),
+         |agg AS (SELECT query_id, doc_id, round(sum(c), 4) AS bm25, count(*) AS n_terms
+         |        FROM sc GROUP BY 1, 2)
+         |SELECT query_id, doc_id, bm25, n_terms, CAST(r AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS r
+         |      FROM agg)
+         |WHERE r <= 10""".stripMargin,
+
+    "q133_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+         |           FROM embeddings
+         |           WHERE vec_id < 20 AND embedding IS NOT NULL AND label IS NOT NULL),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nl FROM embeddings
+         |      WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |s AS (SELECT query_id, neighbor_id, nl, round(${cosSql("qv", "cv")}, 6) AS cos_sim
+         |      FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+         |top AS (SELECT query_id, nl FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r
+         |          FROM s) WHERE r <= 7),
+         |v AS (SELECT query_id, nl, count(*) AS votes FROM top GROUP BY 1, 2),
+         |best AS (SELECT query_id, CAST(nl AS INTEGER) AS pred_label, votes FROM (
+         |           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nl) AS r
+         |           FROM v) WHERE r = 1)
+         |SELECT q.query_id, q.true_label, b.pred_label, b.votes,
+         |       (q.true_label = b.pred_label) AS correct
+         |FROM q JOIN best b USING (query_id)""".stripMargin,
+
+    "q134_nb_classify" ->
+      s"""WITH base AS (SELECT doc_id, text, lang FROM documents
+         |              WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |tr AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
+         |te AS (SELECT * FROM base WHERE doc_id % 5 = 0),
+         |trt AS (SELECT lang AS c, unnest($toksExpr) AS term FROM tr),
+         |cnts AS (SELECT c, term, count(*) AS cnt FROM trt GROUP BY 1, 2),
+         |cls AS (SELECT lang AS c, count(*) AS n_c FROM tr GROUP BY lang),
+         |ntr AS (SELECT count(*) AS n_train FROM tr),
+         |tot AS (SELECT c, sum(cnt) AS tot_c FROM cnts GROUP BY 1),
+         |pri AS (SELECT cls.c, round(ln(CAST(n_c AS DOUBLE) / n_train), 6) AS prior, tot_c
+         |        FROM cls JOIN tot USING (c) CROSS JOIN ntr),
+         |voc AS (SELECT count(DISTINCT term) AS v_size FROM cnts),
+         |tet AS (SELECT doc_id, lang AS true_lang, unnest($toksExpr) AS term FROM te),
+         |sc AS (SELECT tet.doc_id, tet.true_lang, p.c, p.prior,
+         |         round(ln((coalesce(cnts.cnt, 0) + CAST(1.0 AS DOUBLE)) / (p.tot_c + voc.v_size)), 6) AS lp
+         |       FROM tet CROSS JOIN pri p
+         |       LEFT JOIN cnts ON cnts.c = p.c AND cnts.term = tet.term
+         |       CROSS JOIN voc),
+         |pc AS (SELECT doc_id, true_lang, c, round(prior + sum(lp), 4) AS score
+         |       FROM sc GROUP BY doc_id, true_lang, c, prior)
+         |SELECT doc_id, true_lang, c AS pred_lang, score, (true_lang = c) AS correct
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS r FROM pc)
+         |WHERE r = 1""".stripMargin,
+
+    "q135_soft_dedup" ->
+      s"""WITH k AS (SELECT doc_id,
+         |             coalesce(md5(CASE WHEN len($norm) > 0 THEN $norm ELSE text END),
+         |                      'id:' || CAST(doc_id AS VARCHAR)) AS fp
+         |           FROM documents),
+         |g AS (SELECT fp, count(*) AS group_size FROM k GROUP BY fp)
+         |SELECT doc_id, group_size, round(CAST(1.0 AS DOUBLE) / group_size, 6) AS weight
+         |FROM k JOIN g USING (fp)""".stripMargin,
+
+    "q136_data_card" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, source, lang,
+         |    coalesce(md5(CASE WHEN len($norm) > 0 THEN $norm ELSE text END),
+         |             'id:' || CAST(doc_id AS VARCHAR)) AS fp,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len($toksExpr) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[!-/:-@[-`{-~]')) AS DOUBLE) AS punct,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+         |    CAST(len(list_filter(list_distinct($toksExpr),
+         |      t -> list_contains(${TextOps.langMarkers("en").map(w => s"'$w'").mkString("[", ",", "]")}, t))) AS DOUBLE) AS stop_hits
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, lang, fp, n_chars, n_tokens,
+         |    round(CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END, 4) AS punct_ratio,
+         |    round(CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END, 4) AS alpha_ratio,
+         |    round(CASE WHEN n_tokens > 0 THEN stop_hits / 10.0 ELSE 0.0 END, 4) AS stopword_ratio
+         |  FROM f),
+         |s AS (
+         |  SELECT doc_id, source, lang, fp, n_chars, n_tokens,
+         |    round(least(n_chars / 200.0, 1.0) * 0.25 + alpha_ratio * 0.35
+         |          + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.2 + stopword_ratio * 0.2, 4) AS quality_score
+         |  FROM r)
+         |SELECT source, lang, count(*) AS n_docs,
+         |       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total_tokens,
+         |       round(CAST(sum(CAST(round(quality_score * 10000) AS BIGINT)) AS DOUBLE)
+         |             / (CAST(10000.0 AS DOUBLE) * count(*)), 4) AS avg_quality,
+         |       round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+         |       round(quantile_cont(n_chars, 0.95), 4) AS p95_chars,
+         |       round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 4) AS dup_rate
+         |FROM s GROUP BY source, lang""".stripMargin,
+
+    "q137_rrf_fusion" ->
+      s"""WITH $sqCtes,
+         |codes AS (SELECT e.vec_id AS neighbor_id,
+         |            list(CASE WHEN s.step > 0
+         |                   THEN least(255, greatest(0, CAST(round((CAST(e.embedding[s.pos] AS DOUBLE) - s.lo) / s.step) AS INTEGER)))
+         |                   ELSE 0 END ORDER BY s.pos) AS codes
+         |          FROM embeddings e CROSS JOIN sqs s
+         |          WHERE e.embedding IS NOT NULL GROUP BY e.vec_id),
+         |lov AS (SELECT list(lo ORDER BY pos) AS l FROM sqs),
+         |stv AS (SELECT list(step ORDER BY pos) AS st FROM sqs),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |      WHERE vec_id < 5 AND embedding IS NOT NULL),
+         |sqsc AS (SELECT q.query_id, c.neighbor_id,
+         |           round(list_sum(list_transform(generate_series(1, 64),
+         |             d -> round(pow(CAST(qv[d] AS DOUBLE) - (lov.l[d] + c.codes[d] * stv.st[d]), 2), 6))), 4) AS sq_dist
+         |         FROM q CROSS JOIN codes c CROSS JOIN lov CROSS JOIN stv
+         |         WHERE q.query_id <> c.neighbor_id),
+         |sqt AS (SELECT query_id, neighbor_id, r AS rank FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sq_dist, neighbor_id) AS r
+         |          FROM sqsc) WHERE r <= 20),
+         |$bruteCtes,
+         |bt AS (SELECT query_id, neighbor_id, r AS rank FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r
+         |         FROM bs) WHERE r <= 20),
+         |terms AS (SELECT query_id, neighbor_id,
+         |            round(CAST(1.0 AS DOUBLE) / (60 + rank), 6) AS t
+         |          FROM (SELECT * FROM bt UNION ALL SELECT * FROM sqt)),
+         |fz AS (SELECT query_id, neighbor_id, round(sum(t), 6) AS rrf_score, count(*) AS n_lists
+         |       FROM terms GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, rrf_score, n_lists, CAST(r AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS r
+         |      FROM fz)
          |WHERE r <= 10""".stripMargin,
 
     "q64_kmeans" -> kmeansSql(),

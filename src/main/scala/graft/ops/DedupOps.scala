@@ -21,6 +21,30 @@ object DedupOps {
     * distinct content, keeping the smallest id; `dup_count` reports
     * group size. Single hash aggregate.
     */
+  /** Soft dedup: instead of DROPPING duplicates ([[exactDedup]]'s
+    * keep-one policy), keep every row and emit a sampling weight
+    * 1/|group| so each distinct content contributes unit mass to the
+    * training mixture — the downweight-don't-delete discipline for
+    * corpora where duplication frequency itself carries signal.
+    *
+    * Same fingerprint policy as [[exactDedup]] (null text keys to the
+    * doc id — uncomparable rows are singletons, weight 1). Plan shape:
+    * one hash aggregate for group sizes + one fp-keyed join back; both
+    * shuffles are on the same key, so Catalyst reuses the exchange.
+    * Output: (doc_id, group_size, weight).
+    */
+  def softDedupWeights(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val keyed = widen(docs, heavy = false).select(
+      coalesce(TextOps.fingerprint(col(textCol)),
+        concat(lit("id:"), col(idCol).cast("string"))).as("fp"),
+      col(idCol))
+    val sizes = keyed.groupBy("fp").agg(count(lit(1)).as("group_size"))
+    keyed.join(sizes, Seq("fp"))
+      .select(col(idCol), col("group_size"),
+        round(lit(1.0) / col("group_size"), 6).as("weight"))
+  }
+
   def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     widen(docs, heavy = false).select(
         // null text (multimodal rows): no content to compare — key each

@@ -807,6 +807,60 @@ object SimilarityOps {
       .select(col("query_id"), col("k_exact"), col("hits"),
         round(col("hits") * lit(1.0) / col("k_exact"), 6).as("recall"))
 
+  /** k-NN majority-vote classification with leave-one-out evaluation —
+    * the label-propagation primitive (score an unlabeled/new point by
+    * its nearest labeled neighbors; here evaluated on held-out corpus
+    * points so accuracy is measurable without a second dataset).
+    *
+    * Queries are a bounded sample (the q101/q127 eval contract: this is
+    * a harness you run on a query sample to pick k, not a corpus×corpus
+    * pass), broadcast against one corpus scan; the vote is a k-row-per-
+    * query aggregate. Ties break to the smaller label, neighbor ties to
+    * the smaller id — deterministic across engines.
+    *
+    * Output per query: (query_id, true_label, pred_label, votes,
+    * correct).
+    */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val labeled = corpus.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+    val top = bruteForceTopK(queries.filter(col(vecCol).isNotNull), labeled, k, idCol, vecCol)
+    val votes = top
+      .join(labeled.select(col(idCol).as("neighbor_id"), col(labelCol).as("__nl")), Seq("neighbor_id"))
+      .groupBy("query_id", "__nl").agg(count(lit(1)).as("__votes"))
+      .groupBy("query_id")
+      .agg(max(struct(col("__votes").as("v"), (-col("__nl")).as("negl"))).as("m"))
+      .select(col("query_id"), (-col("m.negl")).cast("int").as("pred_label"),
+        col("m.v").as("votes"))
+    queries.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(labelCol).as("true_label"))
+      .join(votes, Seq("query_id"))
+      .select(col("query_id"), col("true_label"), col("pred_label"), col("votes"),
+        (col("true_label") === col("pred_label")).as("correct"))
+  }
+
+  /** Reciprocal-rank fusion of two (or more) ranked retrieval lists —
+    * the standard hybrid-search combiner (dense ANN ∪ lexical/quantized
+    * retriever): rrf(d) = Σ_lists 1/(c + rank_list(d)), candidates
+    * appearing in any list. Each input is (query_id, neighbor_id, rank).
+    *
+    * Plan shape: the inputs are already k-sized per query, so the union
+    * + one partial-aggregated groupBy + per-query top window shuffle
+    * only result sets, never the corpus. Per-list terms round 6dp
+    * before the sum (q111 determinism discipline); ties break to the
+    * smaller neighbor id.
+    */
+  def rrfFuse(lists: Seq[DataFrame], c: Int = 60, topK: Int = 10): DataFrame = {
+    val terms = lists.map(_.select(col("query_id"), col("neighbor_id"),
+      round(lit(1.0) / (lit(c) + col("rank")), 6).as("__t")))
+    val fused = terms.reduce(_.unionByName(_))
+      .groupBy("query_id", "neighbor_id")
+      .agg(round(sum(col("__t")), 6).as("rrf_score"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf_score").desc, col("neighbor_id"))
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
   /** Per-cell mean vectors — a one-pass "k-means with given assignment"
     * for IVF centroids (the assignment column already exists in the
     * testdata as `label`; a full Lloyd's iteration would alternate this

@@ -957,6 +957,158 @@ object TextOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
   }
 
+  /** BM25 top-k document retrieval — the lexical ranking function
+    * behind classic search and the sparse half of hybrid (RRF) serving:
+    * score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) (the Lucene-style
+    * non-negative form).
+    *
+    * `queryTerms` is (query_id, term), tiny and broadcast. Plan shape:
+    * ONE explode pass builds per-(doc, term) tf with map-side partial
+    * aggregation; per-doc length and corpus avgdl derive from tf (no
+    * second corpus scan); df is computed only for query terms (the
+    * broadcast semi-join prunes the vocabulary before the count); the
+    * final per-(query, doc) sum and per-query top-k window shuffle only
+    * matched rows. Per-term contributions round 6dp before the sum,
+    * the sum 4dp (cross-engine determinism); ties break to the smaller
+    * doc id.
+    */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame,
+               queryTerms: org.apache.spark.sql.DataFrame,
+               k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
+               idCol: String = "doc_id",
+               textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val corpus = docs.filter(col(textCol).isNotNull)
+    val tf = DedupOps.widen(corpus)
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+      // N counts every non-null-text doc (zero-token docs can't match a
+      // term but still belong in df's denominator); avgdl averages over
+      // docs WITH tokens — the only rows a score term can come from
+      val n = corpus.agg(count(lit(1)).as("n_docs"))
+      val avgdl = dl.agg(avg(col("dl").cast("double")).as("avgdl"))
+      val qt = broadcast(queryTerms.select(col("query_id"), col("term")).distinct())
+      val df = tf.join(qt.select("term").distinct(), Seq("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(qt, Seq("term"))
+        .join(broadcast(df), Seq("term"))
+        .join(dl, Seq(idCol))
+        .crossJoin(broadcast(n)).crossJoin(broadcast(avgdl))
+        .select(col("query_id"), col(idCol),
+          round(
+            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+              (col("tf") * (k1 + 1.0)) /
+              (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))),
+            6).as("__c"))
+      val agg = scored.groupBy("query_id", idCol)
+        .agg(round(sum("__c"), 4).as("bm25"), count(lit(1)).as("n_terms"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("bm25").desc, col(idCol).asc)
+      agg.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+        .localCheckpoint(true)
+    } finally tf.unpersist(blocking = false)
+  }
+
+  /** Multinomial Naive Bayes language classifier — train + score in one
+    * closed-form pass (the count-based fastText-alternative for cheap
+    * corpus labeling: no gradient loop, every parameter is an
+    * aggregate, so the whole model replays in SQL). Docs with
+    * `doc_id % holdoutMod == 0` are the scored test split; the rest
+    * train. Laplace-smoothed: log p(t|c) = ln((cnt(t,c)+1)/(tot_c+V)),
+    * prior = ln(n_c / n_train); unseen-in-class tokens hit the
+    * smoothing floor via the left join.
+    *
+    * Plan shape: training is two partial-aggregated explode passes
+    * (class-token counts; class totals derive from them); V and the
+    * class table are broadcast scalars/rows. Scoring explodes the test
+    * split ONCE, widens by the |classes| broadcast rows, and left-joins
+    * the (class, term) count table — the only corpus-sized shuffle.
+    * Per-token log-probs round 6dp before the per-(doc, class) sum
+    * (4dp); argmax ties break to the lexicographically smaller class.
+    *
+    * Output per test doc with ≥1 token: (doc_id, true_lang, pred_lang,
+    * score, correct).
+    */
+  def nbLangClassify(docs: org.apache.spark.sql.DataFrame, holdoutMod: Int = 5,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     classCol: String = "lang"): org.apache.spark.sql.DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull && col(classCol).isNotNull)
+    val train = base.filter(pmod(col(idCol), lit(holdoutMod)) =!= 0)
+    val test = base.filter(pmod(col(idCol), lit(holdoutMod)) === 0)
+    val trainToks = DedupOps.widen(train)
+      .select(col(classCol).as("__c"), explode_outer(tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
+    val counts = trainToks.groupBy("__c", "term").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val classes = train.groupBy(col(classCol).as("__c"))
+        .agg(count(lit(1)).as("n_c"))
+        .crossJoin(broadcast(train.agg(count(lit(1)).as("n_train"))))
+        .join(counts.groupBy("__c").agg(sum("cnt").as("tot_c")), Seq("__c"))
+        .select(col("__c"),
+          round(log(col("n_c").cast("double") / col("n_train")), 6).as("prior"),
+          col("tot_c"))
+      val vocab = counts.select("term").distinct().agg(count(lit(1)).as("v_size"))
+      val testToks = DedupOps.widen(test)
+        .select(col(idCol), col(classCol).as("true_lang"),
+          explode_outer(tokens(col(textCol))).as("term"))
+        .filter(col("term").isNotNull)
+      val scoredToks = testToks
+        .crossJoin(broadcast(classes))
+        .join(counts, Seq("__c", "term"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col(idCol), col("true_lang"), col("__c"), col("prior"),
+          round(log((coalesce(col("cnt"), lit(0L)) + 1.0) / (col("tot_c") + col("v_size"))), 6)
+            .as("__lp"))
+      val perClass = scoredToks.groupBy(idCol, "true_lang", "__c", "prior")
+        .agg(round(col("prior") + sum("__lp"), 4).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCol).orderBy(col("score").desc, col("__c").asc)
+      perClass.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+        .select(col(idCol), col("true_lang"), col("__c").as("pred_lang"), col("score"),
+          (col("true_lang") === col("__c")).as("correct"))
+        .localCheckpoint(true)
+    } finally counts.unpersist(blocking = false)
+  }
+
+  /** Per-(source, lang) corpus data card — the rollup that ships with a
+    * training dataset (datasheet / data-statement tables): doc count,
+    * token mass, quality distribution, char-length quantiles and the
+    * exact-duplicate rate, all from ONE pass over the corpus.
+    *
+    * Plan shape: the quality features and the exact-dedup fingerprint
+    * are computed in the same map-only projection ([[qualityFrame]]
+    * with the fingerprint as a carry column), so the corpus is scanned
+    * once and the card is one partial-aggregated groupBy over
+    * |sources|×|langs| groups. Null text fingerprints fall back to the
+    * doc id (the [[graft.ops.DedupOps.exactDedup]] policy: what can't
+    * be compared never counts as a duplicate).
+    */
+  def dataCard(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+               textCol: String = "text",
+               groupCols: Seq[String] = Seq("source", "lang")): org.apache.spark.sql.DataFrame = {
+    val withFp = docs.withColumn("__fp",
+      coalesce(fingerprint(col(textCol)), concat(lit("id:"), col(idCol).cast("string"))))
+    val feats = qualityFrame(withFp, idCol, textCol, carryCols = groupCols :+ "__fp")
+    feats.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum("n_tokens"), lit(0L)).as("total_tokens"),
+        // mean over EXACT integer units (score·10⁴ is integral by
+        // construction): integer sums are order-independent, so the
+        // boundary case avg = x.xxxx5 rounds identically in any engine
+        round(sum(round(col("quality_score") * 10000).cast("long"))
+          / (lit(10000.0) * count(lit(1))), 4).as("avg_quality"),
+        round(percentile(col("n_chars"), lit(0.5)), 4).as("p50_chars"),
+        round(percentile(col("n_chars"), lit(0.95)), 4).as("p95_chars"),
+        round(lit(1.0) - count_distinct(col("__fp")).cast("double") / count(lit(1)), 4)
+          .as("dup_rate"))
+  }
+
   /** n-gram novelty: the fraction of a document's DISTINCT character
     * n-grams that appear in NO other document — the cheap "how much of
     * this doc is new content vs corpus boilerplate" score used to
