@@ -285,6 +285,41 @@ private[graft] object OpsEntries {
         SimilarityOps.sqTopK(q, e, SimilarityOps.sqTrain(e), 20)))
     }),
 
+    // Classifier eval report: per-class precision/recall/F1 of the
+    // q134 NB labeler (nbLangClassify returns a checkpointed frame, so
+    // the two rollups share one scored pass).
+    "q138_nb_eval" -> ((s, dir) =>
+      TextOps.classifierEval(TextOps.nbLangClassify(t(s, dir, "documents")))),
+
+    // LSH banding eval: exact Jaccard of every pair in a bounded
+    // sample vs the raw band-collision candidates — measured recall
+    // per Jaccard decile (the S-curve that justifies 16 hashes / 4
+    // bands before trusting the screen at corpus scale).
+    "q139_lsh_eval" -> ((s, dir) =>
+      DedupOps.lshBandingEval(t(s, dir, "documents").filter(col("doc_id") < 80))),
+
+    // Per-source unigram KL divergence vs the corpus blend — the
+    // data-mixing diagnostic (lexically distinctive sources score
+    // high); integer micro-nat banking keeps the sum order-free.
+    "q140_kl_divergence" -> ((s, dir) =>
+      TextOps.unigramKlByGroup(t(s, dir, "documents"))),
+
+    // Mixture realization: q71's temperature weights (t=0.7) turned
+    // into an actual sampled corpus under a 2000-token total budget —
+    // per-source budgets, hash-order admission.
+    "q141_mixture_realize" -> ((s, dir) =>
+      SampleOps.mixtureRealize(
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+        "source", "doc_id", "n_tokens", totalBudget = 2000L, temperature = 0.7)),
+
+    // Semantic-cluster training layout: trained k-means cell as the
+    // shard key, seeded-hash order within the cell — related docs
+    // stream adjacently (in-context-pretraining layout).
+    "q142_semantic_layout" -> ((s, dir) =>
+      SimilarityOps.semanticLayout(t(s, dir, "embeddings"))),
+
     // Cross-corpus near-dup admission: odd-id docs arrive as the NEW
     // batch, even-id docs are the EXISTING corpus — per new doc, the
     // best verified corpus match and the admit/reject decision, with
@@ -1555,6 +1590,35 @@ private[graft] object OpsEntries {
        |FROM r""".stripMargin
   }
 
+  /** The q134 Naive Bayes train+score replay — a full statement, also
+    * embedded as the `scored` CTE of the q138 eval oracle so the two
+    * can't drift.
+    */
+  private lazy val nbScoredSql: String =
+    s"""WITH base AS (SELECT doc_id, text, lang FROM documents
+       |              WHERE text IS NOT NULL AND lang IS NOT NULL),
+       |tr AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
+       |te AS (SELECT * FROM base WHERE doc_id % 5 = 0),
+       |trt AS (SELECT lang AS c, unnest($toksExpr) AS term FROM tr),
+       |cnts AS (SELECT c, term, count(*) AS cnt FROM trt GROUP BY 1, 2),
+       |cls AS (SELECT lang AS c, count(*) AS n_c FROM tr GROUP BY lang),
+       |ntr AS (SELECT count(*) AS n_train FROM tr),
+       |tot AS (SELECT c, sum(cnt) AS tot_c FROM cnts GROUP BY 1),
+       |pri AS (SELECT cls.c, round(ln(CAST(n_c AS DOUBLE) / n_train), 6) AS prior, tot_c
+       |        FROM cls JOIN tot USING (c) CROSS JOIN ntr),
+       |voc AS (SELECT count(DISTINCT term) AS v_size FROM cnts),
+       |tet AS (SELECT doc_id, lang AS true_lang, unnest($toksExpr) AS term FROM te),
+       |sc AS (SELECT tet.doc_id, tet.true_lang, p.c, p.prior,
+       |         round(ln((coalesce(cnts.cnt, 0) + CAST(1.0 AS DOUBLE)) / (p.tot_c + voc.v_size)), 6) AS lp
+       |       FROM tet CROSS JOIN pri p
+       |       LEFT JOIN cnts ON cnts.c = p.c AND cnts.term = tet.term
+       |       CROSS JOIN voc),
+       |pc AS (SELECT doc_id, true_lang, c, round(prior + sum(lp), 4) AS score
+       |       FROM sc GROUP BY doc_id, true_lang, c, prior)
+       |SELECT doc_id, true_lang, c AS pred_lang, score, (true_lang = c) AS correct
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS r FROM pc)
+       |WHERE r = 1""".stripMargin
+
   /** Fixed BM25 eval queries (terms drawn from the synthetic corpus
     * vocabulary) — shared by the q132 entry and its oracle's VALUES
     * list so the two can't drift.
@@ -2036,30 +2100,98 @@ private[graft] object OpsEntries {
          |       (q.true_label = b.pred_label) AS correct
          |FROM q JOIN best b USING (query_id)""".stripMargin,
 
-    "q134_nb_classify" ->
-      s"""WITH base AS (SELECT doc_id, text, lang FROM documents
-         |              WHERE text IS NOT NULL AND lang IS NOT NULL),
-         |tr AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
-         |te AS (SELECT * FROM base WHERE doc_id % 5 = 0),
-         |trt AS (SELECT lang AS c, unnest($toksExpr) AS term FROM tr),
-         |cnts AS (SELECT c, term, count(*) AS cnt FROM trt GROUP BY 1, 2),
-         |cls AS (SELECT lang AS c, count(*) AS n_c FROM tr GROUP BY lang),
-         |ntr AS (SELECT count(*) AS n_train FROM tr),
-         |tot AS (SELECT c, sum(cnt) AS tot_c FROM cnts GROUP BY 1),
-         |pri AS (SELECT cls.c, round(ln(CAST(n_c AS DOUBLE) / n_train), 6) AS prior, tot_c
-         |        FROM cls JOIN tot USING (c) CROSS JOIN ntr),
-         |voc AS (SELECT count(DISTINCT term) AS v_size FROM cnts),
-         |tet AS (SELECT doc_id, lang AS true_lang, unnest($toksExpr) AS term FROM te),
-         |sc AS (SELECT tet.doc_id, tet.true_lang, p.c, p.prior,
-         |         round(ln((coalesce(cnts.cnt, 0) + CAST(1.0 AS DOUBLE)) / (p.tot_c + voc.v_size)), 6) AS lp
-         |       FROM tet CROSS JOIN pri p
-         |       LEFT JOIN cnts ON cnts.c = p.c AND cnts.term = tet.term
-         |       CROSS JOIN voc),
-         |pc AS (SELECT doc_id, true_lang, c, round(prior + sum(lp), 4) AS score
-         |       FROM sc GROUP BY doc_id, true_lang, c, prior)
-         |SELECT doc_id, true_lang, c AS pred_lang, score, (true_lang = c) AS correct
-         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS r FROM pc)
-         |WHERE r = 1""".stripMargin,
+    "q134_nb_classify" -> nbScoredSql,
+
+    "q138_nb_eval" ->
+      s"""WITH scored AS ($nbScoredSql),
+         |bt AS (SELECT true_lang AS label, count(*) AS support,
+         |         CAST(sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |       FROM scored GROUP BY 1),
+         |bp AS (SELECT pred_lang AS label, count(*) AS pred_n FROM scored GROUP BY 1),
+         |j AS (SELECT coalesce(bt.label, bp.label) AS label,
+         |        coalesce(support, 0) AS support, coalesce(tp, 0) AS tp,
+         |        coalesce(pred_n, 0) AS pred_n
+         |      FROM bt FULL OUTER JOIN bp ON bt.label = bp.label),
+         |r AS (SELECT label, support, tp, pred_n,
+         |        round(CASE WHEN pred_n > 0 THEN tp / pred_n ELSE 0.0 END, 4) AS precision,
+         |        round(CASE WHEN support > 0 THEN tp / support ELSE 0.0 END, 4) AS recall
+         |      FROM j)
+         |SELECT label, support, tp, pred_n, precision, recall,
+         |       round(CASE WHEN precision + recall > 0
+         |             THEN 2.0 * precision * recall / (precision + recall)
+         |             ELSE 0.0 END, 4) AS f1
+         |FROM r""".stripMargin,
+
+    "q139_lsh_eval" ->
+      s"""$minhashCtes,
+         |ids AS (SELECT doc_id FROM documents WHERE doc_id < 80 AND text IS NOT NULL),
+         |grid AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM ids a JOIN ids b ON a.doc_id < b.doc_id),
+         |g AS (SELECT doc_id, CASE WHEN len(norm) < 3 THEN [norm]
+         |        ELSE list_distinct(list_transform(generate_series(1, len(norm)-2), i -> substr(norm, i, 3))) END AS grams
+         |      FROM (SELECT doc_id, $norm AS norm FROM documents WHERE doc_id < 80)),
+         |jx AS (SELECT id_a, id_b,
+         |        CAST(len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS DOUBLE) AS inter,
+         |        CAST(len(ga.grams) + len(gb.grams) AS DOUBLE) AS total
+         |      FROM grid JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b),
+         |ex AS (SELECT id_a, id_b,
+         |         round(CASE WHEN total - inter > 0 THEN inter / (total - inter) ELSE 0.0 END, 4) AS jaccard
+         |       FROM jx),
+         |caught AS (SELECT DISTINCT id_a, id_b FROM pairs WHERE id_a < 80 AND id_b < 80),
+         |binned AS (SELECT
+         |    CAST(floor(CAST(round(jaccard * 10000) AS BIGINT) / CAST(1000.0 AS DOUBLE)) AS INTEGER) AS b,
+         |    CASE WHEN c.id_a IS NOT NULL THEN 1 END AS flag
+         |  FROM ex LEFT JOIN caught c USING (id_a, id_b))
+         |SELECT b / CAST(10.0 AS DOUBLE) AS j_bin, count(*) AS n_pairs,
+         |       count(flag) AS n_caught, round(count(flag) / count(*), 4) AS recall
+         |FROM binned GROUP BY b""".stripMargin,
+
+    "q140_kl_divergence" ->
+      s"""WITH dt AS (SELECT source AS grp, unnest($toksExpr) AS term FROM documents),
+         |gc AS (SELECT grp, term, count(*) AS cnt FROM dt GROUP BY 1, 2),
+         |cc AS (SELECT term, sum(cnt) AS ccnt FROM gc GROUP BY 1),
+         |gt AS (SELECT grp, sum(cnt) AS gtot FROM gc GROUP BY 1),
+         |ct AS (SELECT sum(cnt) AS ctot, count(DISTINCT term) AS v_size FROM gc),
+         |grid AS (SELECT cc.term, cc.ccnt, gt.grp, gt.gtot, gc.cnt
+         |         FROM cc CROSS JOIN gt
+         |         LEFT JOIN gc ON gc.grp = gt.grp AND gc.term = cc.term),
+         |m AS (SELECT grp, gtot, v_size,
+         |        CAST(round(((coalesce(cnt, 0) + CAST(1.0 AS DOUBLE)) / (gtot + v_size))
+         |          * ln(((coalesce(cnt, 0) + CAST(1.0 AS DOUBLE)) / (gtot + v_size))
+         |               / ((ccnt + CAST(1.0 AS DOUBLE)) / (ctot + v_size)))
+         |          * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS mm
+         |      FROM grid CROSS JOIN ct)
+         |SELECT grp AS source, CAST(gtot AS BIGINT) AS n_tokens,
+         |       CAST(v_size AS BIGINT) AS vocab_size,
+         |       round(CAST(sum(mm) AS DOUBLE) / CAST(1000000.0 AS DOUBLE), 6) AS kl_nats
+         |FROM m GROUP BY 1, 2, 3""".stripMargin,
+
+    "q141_mixture_realize" ->
+      s"""WITH t AS (SELECT source, doc_id, CAST(len($toksExpr) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |s AS (SELECT source, sum(n_tokens) AS grp_tokens FROM t GROUP BY 1),
+         |wts AS (SELECT source,
+         |          round(pow(CAST(grp_tokens AS DOUBLE), 0.7)
+         |                / sum(pow(CAST(grp_tokens AS DOUBLE), 0.7)) OVER (), 6) AS weight
+         |        FROM s),
+         |b AS (SELECT source, weight, CAST(floor(weight * 2000) AS BIGINT) AS budget_tokens FROM wts),
+         |c AS (SELECT t.source, t.doc_id, t.n_tokens, b.weight, b.budget_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY t.source
+         |          ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000000,
+         |            doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |      FROM t JOIN b USING (source))
+         |SELECT source, doc_id, n_tokens, weight, budget_tokens, cum_tokens
+         |FROM c WHERE cum_tokens - n_tokens < budget_tokens""".stripMargin,
+
+    "q142_semantic_layout" ->
+      (kmeansCtes(8, 3, 64) + kmeansAssignCtes(3) +
+        s"""lay AS (SELECT vec_id, cell,
+           |          row_number() OVER (PARTITION BY cell
+           |            ORDER BY CAST(concat('0x', substr(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+           |              vec_id) - 1 AS pos
+           |        FROM asg)
+           |SELECT vec_id, CAST(cell AS INTEGER) AS cell, CAST(pos AS BIGINT) AS pos FROM lay""".stripMargin),
 
     "q135_soft_dedup" ->
       s"""WITH k AS (SELECT doc_id,

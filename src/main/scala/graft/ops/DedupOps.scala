@@ -180,6 +180,42 @@ object DedupOps {
       .distinct()
   }
 
+  /** LSH banding EVAL — the harness that justifies a (numHashes, bands)
+    * setting before trusting it at corpus scale (the dedup analog of
+    * q101's ANN recall): over a BOUNDED document sample, compute the
+    * exact n-gram Jaccard of every pair, mark which pairs the band
+    * join would surface as candidates, and report recall per Jaccard
+    * decile — the measured S-curve against the theoretical
+    * 1−(1−s^r)^b.
+    *
+    * Eval contract (documented, like q101/q127): the all-pairs grid is
+    * quadratic — run on a sample, never the corpus; candidates come
+    * from the production [[minHashCandidates]] path with the estimate
+    * filter OFF (raw band collisions — what the screen actually sees).
+    * Deciles bin by EXACT integer arithmetic on the 4dp Jaccard
+    * (j·10⁴ is integral), so bucket edges can't float-drift.
+    *
+    * Output per decile: (j_bin, n_pairs, n_caught, recall).
+    */
+  def lshBandingEval(sample: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                     numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val docs = sample.filter(col(textCol).isNotNull)
+    val ids = docs.select(col(idCol))
+    val grid = ids.select(col(idCol).as("id_a"))
+      .crossJoin(ids.select(col(idCol).as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val exact = jaccardVerify(grid, docs, idCol, textCol)
+    val caught = minHashCandidates(docs, idCol, textCol, numHashes, bands, minhashSim = 0.0)
+      .select(col("id_a"), col("id_b")).withColumn("__c", lit(1))
+    val binIdx = floor(round(col("jaccard") * 10000).cast("long") / lit(1000.0)).cast("int")
+    exact.join(caught, Seq("id_a", "id_b"), "left")
+      .select(binIdx.as("__b"), col("__c"))
+      .groupBy("__b")
+      .agg(count(lit(1)).as("n_pairs"), count(col("__c")).as("n_caught"))
+      .select((col("__b") / lit(10.0)).as("j_bin"), col("n_pairs"), col("n_caught"),
+        round(col("n_caught") / col("n_pairs"), 4).as("recall"))
+  }
+
   /** SimHash (16-bit): per-token hashes vote ±1 on each bit position;
     * the sign vector packs into one int. Near-dups have small Hamming
     * distance. Explode+aggregate form: scales as one shuffle keyed by id

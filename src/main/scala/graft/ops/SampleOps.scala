@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.ops.Rounding.round // binary rounding, DuckDB-consistent (shadows functions.round)
 
 /** Deterministic sampling and dataset splitting for training pipelines.
   *
@@ -317,6 +318,42 @@ object SampleOps {
       .withColumn("weight",
         col("__p") / sum(col("__p")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .drop("__p")
+  }
+
+  /** Mixture REALIZATION: turn [[mixtureWeights]]' temperature-scaled
+    * per-group probabilities into an actual sampled corpus under a
+    * total token budget — per group, budget_g = ⌊weight_g · total⌋
+    * tokens, rows admitted in the deterministic hash order until the
+    * budget fills (the [[tokenBudgetPack]] admission rule with a
+    * per-group budget). The standard multi-domain recipe end-to-end:
+    * q71 decides the proportions, this op materializes the corpus.
+    *
+    * Plan shape: group token masses are one partial-agg rollup
+    * (|groups| rows, broadcast back); admission is ONE window sort per
+    * group — no global sort, no driver loop. Weights round 6dp BEFORE
+    * the budget multiply so the whole trace replays in SQL.
+    *
+    * Output per admitted row: (<groupCol>, <idCol>, <tokenCol>, weight,
+    * budget_tokens, cum_tokens).
+    */
+  def mixtureRealize(df: org.apache.spark.sql.DataFrame, groupCol: String, idCol: String,
+                     tokenCol: String, totalBudget: Long,
+                     temperature: Double): org.apache.spark.sql.DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive: $totalBudget")
+    val perGroup = df.groupBy(groupCol).agg(sum(col(tokenCol)).as("__n"))
+    val budgets = mixtureWeights(perGroup, "__n", temperature)
+      .select(col(groupCol), round(col("weight"), 6).as("weight"))
+      .withColumn("budget_tokens", floor(col("weight") * totalBudget).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol), 1000000000), col(idCol))
+    df.join(broadcast(budgets), Seq(groupCol))
+      .withColumn("cum_tokens",
+        sum(col(tokenCol)).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .filter(col("cum_tokens") - col(tokenCol) < col("budget_tokens"))
+      .select(col(groupCol), col(idCol), col(tokenCol), col("weight"),
+        col("budget_tokens"), col("cum_tokens"))
   }
 
   /** Curriculum schedule: order a SCORED corpus easy→hard for staged

@@ -807,6 +807,33 @@ object SimilarityOps {
       .select(col("query_id"), col("k_exact"), col("hits"),
         round(col("hits") * lit(1.0) / col("k_exact"), 6).as("recall"))
 
+  /** Semantic-cluster training layout — the in-context-pretraining
+    * ordering: documents land in per-CLUSTER shards (cell = trained
+    * k-means cell), positioned within their shard by the seeded hash,
+    * so semantically related documents stream adjacently while the
+    * within-cluster order stays a reproducible shuffle (the
+    * [[graft.ops.SampleOps.shardShuffle]] layout with the shard key
+    * learned from the embeddings instead of hashed).
+    *
+    * Plan shape: the Lloyd training is the committed deterministic
+    * k-means (partial aggs, k×dims to the driver); assignment + layout
+    * is one map-only pass plus one per-cell window — no global sort.
+    * Output: (vec_id, cell, pos).
+    */
+  def semanticLayout(emb: DataFrame, k: Int = 8, iters: Int = 3, seed: Long = 42,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val clean = DedupOps.widen(emb.filter(col(vecCol).isNotNull))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = trainCentroids(clean, k, iters, idCol, vecCol)
+      val w = Window.partitionBy("cell")
+        .orderBy(SampleOps.seededHash(col(idCol), seed), col(idCol))
+      clean.select(col(idCol), assignCell(cents, vecCol).as("cell"))
+        .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+        .localCheckpoint(true)
+    } finally clean.unpersist(blocking = false)
+  }
+
   /** k-NN majority-vote classification with leave-one-out evaluation —
     * the label-propagation primitive (score an unlabeled/new point by
     * its nearest labeled neighbors; here evaluated on held-out corpus

@@ -1075,6 +1075,88 @@ object TextOps {
     } finally counts.unpersist(blocking = false)
   }
 
+  /** Classifier evaluation report — per-class precision / recall / F1
+    * from a scored frame (e.g. [[nbLangClassify]]'s output): the
+    * confusion-matrix rollup that decides whether a cheap corpus
+    * labeler is good enough to gate data on.
+    *
+    * `scored` is referenced twice (true-class and predicted-class
+    * rollups) — same caller-persist contract as [[perplexityBuckets]];
+    * [[nbLangClassify]] already returns a checkpointed frame. Classes
+    * appearing only among predictions (or only among truths) survive
+    * via the full outer join with zeroed counts. F1 derives from the
+    * ROUNDED precision/recall (deterministic across engines).
+    *
+    * Output per class: (label, support, tp, pred_n, precision, recall,
+    * f1).
+    */
+  def classifierEval(scored: org.apache.spark.sql.DataFrame,
+                     trueCol: String = "true_lang",
+                     predCol: String = "pred_lang"): org.apache.spark.sql.DataFrame = {
+    val byTrue = scored.groupBy(col(trueCol).as("label"))
+      .agg(count(lit(1)).as("support"),
+        sum(when(col(predCol) === col(trueCol), 1L).otherwise(0L)).as("tp"))
+    val byPred = scored.groupBy(col(predCol).as("label"))
+      .agg(count(lit(1)).as("pred_n"))
+    val joined = byTrue.join(byPred, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("pred_n"), lit(0L)).as("pred_n"))
+    joined
+      .withColumn("precision",
+        round(when(col("pred_n") > 0, col("tp") / col("pred_n")).otherwise(0.0), 4))
+      .withColumn("recall",
+        round(when(col("support") > 0, col("tp") / col("support")).otherwise(0.0), 4))
+      .withColumn("f1",
+        round(when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+          .otherwise(0.0), 4))
+  }
+
+  /** Per-group unigram KL divergence vs the whole corpus —
+    * KL(P_g ‖ P_corpus) with add-1 smoothing over the corpus
+    * vocabulary: the data-mixing diagnostic that says which sources'
+    * token distributions drift furthest from the blend they feed
+    * (large KL → the source is lexically distinctive; near-zero → it
+    * duplicates the mixture).
+    *
+    * Plan shape: per-(group, term) counts are ONE partial-aggregated
+    * explode pass; corpus counts, group totals and the vocab size all
+    * DERIVE from that table (no second corpus scan); the KL sum runs
+    * over the vocab × |groups| grid (vocabulary-sized, not
+    * corpus-sized). Per-term contributions are banked as EXACT integer
+    * micro-nats (round(p·ln(p/q)·10⁶)), so the per-group sum is
+    * order-independent and replays bit-for-bit in any engine.
+    *
+    * Output per group: (<groupCol>, n_tokens, vocab_size, kl_nats).
+    */
+  def unigramKlByGroup(docs: org.apache.spark.sql.DataFrame, groupCol: String = "source",
+                       textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toks = DedupOps.widen(docs)
+      .select(col(groupCol).as("grp"), explode_outer(tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
+    val gc = toks.groupBy("grp", "term").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cc = gc.groupBy("term").agg(sum("cnt").as("ccnt"))
+      val gt = gc.groupBy("grp").agg(sum("cnt").as("gtot"))
+      val ct = broadcast(gc.agg(sum("cnt").as("ctot"), count_distinct(col("term")).as("v_size")))
+      val grid = cc.crossJoin(broadcast(gt))
+        .join(gc, Seq("grp", "term"), "left")
+        .crossJoin(ct)
+      val p = (coalesce(col("cnt"), lit(0L)) + 1.0) / (col("gtot") + col("v_size"))
+      val q = (col("ccnt") + 1.0) / (col("ctot") + col("v_size"))
+      val micro = round(p * log(p / q) * lit(1000000.0)).cast("long")
+      grid.select(col("grp"), col("gtot"), col("v_size"), micro.as("__m"))
+        .groupBy("grp", "gtot", "v_size")
+        .agg(round(sum("__m") / lit(1000000.0), 6).as("kl_nats"))
+        .select(col("grp").as(groupCol), col("gtot").as("n_tokens"),
+          col("v_size").as("vocab_size"), col("kl_nats"))
+        .localCheckpoint(true)
+    } finally gc.unpersist(blocking = false)
+  }
+
   /** Per-(source, lang) corpus data card — the rollup that ships with a
     * training dataset (datasheet / data-statement tables): doc count,
     * token mass, quality distribution, char-length quantiles and the

@@ -1,0 +1,86 @@
+package graft
+
+import graft.ops.{DedupOps, SampleOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit semantics of the eval/diagnostic family: confusion-matrix
+  * rollups, the LSH banding S-curve, KL divergence edge cases, mixture
+  * realization budgets, and the semantic-cluster layout.
+  */
+class PipelineEvalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("classifierEval: precision/recall/F1 per class, never-predicted class keeps zeros") {
+    val scored = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("c", "b"))
+      .toDF("true_lang", "pred_lang")
+    val got = TextOps.classifierEval(scored).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a") // support 2, tp 1, pred 1
+    assert(a.getLong(1) === 2L && a.getLong(2) === 1L && a.getLong(3) === 1L)
+    assert(a.getDouble(4) === 1.0 && a.getDouble(5) === 0.5 && a.getDouble(6) === 0.6667)
+    val b = got("b") // support 1, tp 1, pred 3 (rows 2-4 all predict b)
+    assert(b.getDouble(4) === 0.3333 && b.getDouble(5) === 1.0 && b.getDouble(6) === 0.5)
+    val c = got("c") // never predicted: all-zero scores, not a crash
+    assert(c.getLong(3) === 0L && c.getDouble(4) === 0.0 && c.getDouble(6) === 0.0)
+  }
+
+  test("lshBandingEval: identical pairs land in the 1.0 bin with recall 1, disjoint pairs are not caught") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact copy of 1
+      (3L, "qqq www eee rrr ttt yyy uuu"),
+      (4L, "zzz xxx ccc vvv bbb nnn mmm"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.lshBandingEval(docs).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1.0) === ((1L, 1L))) // the copy pair: caught
+    // the 5 disjoint pairs all sit in bin 0.0 and none collide
+    assert(got(0.0)._1 === 5L && got(0.0)._2 === 0L)
+  }
+
+  test("unigramKlByGroup: identical distributions give exactly zero, symmetric groups agree") {
+    val same = Seq((1L, "a b", "g1"), (2L, "a b", "g2")).toDF("doc_id", "text", "source")
+    val kl0 = TextOps.unigramKlByGroup(same).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(kl0("g1") === 0.0 && kl0("g2") === 0.0)
+    val split = Seq((1L, "a a a a", "g1"), (2L, "b b b b", "g2")).toDF("doc_id", "text", "source")
+    val kl = TextOps.unigramKlByGroup(split).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(kl("g1") > 0.0 && kl("g1") === kl("g2"))
+  }
+
+  test("mixtureRealize: equal masses split the budget, admission stops once cum crosses the group budget") {
+    // two sources, 3 docs x 30 tokens each -> weights 0.5/0.5, budget 50:
+    // admit while cum - n < 50 -> exactly 2 docs per source (cum 30, 60)
+    val df = (1L to 6L).map(i => (if (i <= 3) "s1" else "s2", i, 30L))
+      .toDF("source", "doc_id", "n_tokens")
+    val got = SampleOps.mixtureRealize(df, "source", "doc_id", "n_tokens", 100L, 0.7)
+      .collect()
+    assert(got.length === 4)
+    got.foreach { r =>
+      assert(r.getDouble(3) === 0.5 && r.getLong(4) === 50L)
+      assert(r.getLong(5) - r.getLong(2) < 50L)
+    }
+    assert(got.map(r => r.getString(0)).groupBy(identity).forall(_._2.length == 2))
+  }
+
+  test("semanticLayout: separated clusters share a cell, positions are contiguous from zero") {
+    val rows =
+      (0L to 3L).map(i => (i, Array(1f + i * 0.01f, 0f))) ++
+        (4L to 7L).map(i => (i, Array(0f, 1f + i * 0.01f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    // ids 0 and 4 seed different cells (init = first k rows by id is 0,1 —
+    // both in cluster A — but two Lloyd rounds re-separate the means)
+    val got = SimilarityOps.semanticLayout(emb, k = 2, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byCell = got.groupBy(_._2)
+    assert(byCell.size === 2)
+    byCell.values.foreach { rs =>
+      val ids = rs.map(_._1).toSet
+      assert(ids === (0L to 3L).toSet || ids === (4L to 7L).toSet)
+      assert(rs.map(_._3).sorted.toSeq === (0L until rs.length).toSeq)
+    }
+  }
+}
