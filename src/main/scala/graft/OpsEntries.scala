@@ -320,6 +320,33 @@ private[graft] object OpsEntries {
     "q142_semantic_layout" -> ((s, dir) =>
       SimilarityOps.semanticLayout(t(s, dir, "embeddings"))),
 
+    // Containment verify: directed |A∩B|/|A| over raw band collisions
+    // — the asymmetric quote/subset measure Jaccard misses.
+    "q143_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.containmentVerify(
+        DedupOps.minHashCandidates(docs, minhashSim = 0.0).drop("est_jaccard"), docs)
+    }),
+
+    // Per-source distinct-n lexical diversity (type/token + bigram
+    // ratios) — the template/mode-collapse diagnostic.
+    "q144_distinct_n" -> ((s, dir) =>
+      TextOps.distinctNgramDiversity(t(s, dir, "documents"))),
+
+    // Length-bucket batching report: power-of-two buckets, batch
+    // counts at 8, padded-waste ratio per bucket.
+    "q145_length_buckets" -> ((s, dir) =>
+      TextOps.lengthBucketReport(t(s, dir, "documents"))),
+
+    // Weighted sample (Efraimidis-Spirakis keys on the seeded hash):
+    // top-10 per source, weight = quality score.
+    "q146_weighted_sample" -> ((s, dir) =>
+      SampleOps.weightedSample(
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            TextOps.qualityScore(col("text")).as("weight")),
+        "source", "doc_id", "weight", n = 10)),
+
     // Cross-corpus near-dup admission: odd-id docs arrive as the NEW
     // batch, even-id docs are the EXISTING corpus — per new doc, the
     // best verified corpus match and the admit/reject decision, with
@@ -2266,6 +2293,61 @@ private[graft] object OpsEntries {
          |SELECT query_id, neighbor_id, rrf_score, n_lists, CAST(r AS INTEGER) AS rank
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS r
          |      FROM fz)
+         |WHERE r <= 10""".stripMargin,
+
+    "q143_containment" ->
+      s"""$minhashCtes,
+         |cand AS (SELECT DISTINCT id_a, id_b FROM pairs),
+         |g AS (SELECT doc_id, CASE WHEN len(norm) < 3 THEN [norm]
+         |        ELSE list_distinct(list_transform(generate_series(1, len(norm)-2), i -> substr(norm, i, 3))) END AS grams
+         |      FROM (SELECT doc_id, $norm AS norm FROM documents)),
+         |j AS (SELECT id_a, id_b,
+         |        CAST(len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS DOUBLE) AS inter,
+         |        len(ga.grams) AS la, len(gb.grams) AS lb
+         |      FROM cand JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b)
+         |SELECT id_a, id_b,
+         |  round(CASE WHEN la > 0 THEN inter / la ELSE 0.0 END, 4) AS containment_a,
+         |  round(CASE WHEN lb > 0 THEN inter / lb ELSE 0.0 END, 4) AS containment_b,
+         |  greatest(round(CASE WHEN la > 0 THEN inter / la ELSE 0.0 END, 4),
+         |           round(CASE WHEN lb > 0 THEN inter / lb ELSE 0.0 END, 4)) AS max_containment
+         |FROM j""".stripMargin,
+
+    "q144_distinct_n" ->
+      s"""WITH b AS (SELECT source AS grp, $toksExpr AS t FROM documents),
+         |uni AS (SELECT grp, count(*) AS n_tokens, count(DISTINCT term) AS d1
+         |        FROM (SELECT grp, unnest(t) AS term FROM b) GROUP BY 1),
+         |bi AS (SELECT grp, count(*) AS n_bigrams, count(DISTINCT bg) AS d2
+         |       FROM (SELECT grp, unnest(list_transform(generate_series(1, len(t)-1),
+         |               i -> t[i] || ' ' || t[i+1])) AS bg FROM b)
+         |       GROUP BY 1)
+         |SELECT grp AS source, n_tokens,
+         |       round(d1 / n_tokens, 6) AS distinct_1,
+         |       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |       round(CASE WHEN n_bigrams > 0 THEN d2 / n_bigrams ELSE 0.0 END, 6) AS distinct_2
+         |FROM uni LEFT JOIN bi USING (grp)""".stripMargin,
+
+    "q145_length_buckets" ->
+      s"""WITH d AS (SELECT CAST(len($toksExpr) AS BIGINT) AS n FROM documents
+         |           WHERE text IS NOT NULL),
+         |v AS (SELECT n, CASE WHEN n <= 1 THEN 1
+         |               ELSE CAST(pow(2.0, length(bin(n - 1))) AS BIGINT) END AS bucket_tokens
+         |      FROM d WHERE n > 0)
+         |SELECT bucket_tokens, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+         |       CAST(ceil(count(*) / CAST(8.0 AS DOUBLE)) AS BIGINT) AS n_batches,
+         |       round(1.0 - CAST(sum(n) AS DOUBLE) / (count(*) * bucket_tokens), 6) AS pad_waste
+         |FROM v GROUP BY bucket_tokens""".stripMargin,
+
+    "q146_weighted_sample" ->
+      s"""WITH q AS ($q26Sql),
+         |k AS (SELECT source, q.doc_id, quality_score AS weight,
+         |        round(pow(
+         |          (CAST(concat('0x', substr(md5('42:' || CAST(q.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |             % 1000000000 + CAST(1.0 AS DOUBLE)) / CAST(1000000001.0 AS DOUBLE),
+         |          CAST(1.0 AS DOUBLE) / greatest(CAST(quality_score AS DOUBLE), 0.0001)), 6) AS es_key
+         |      FROM q JOIN documents d ON d.doc_id = q.doc_id)
+         |SELECT source, doc_id, weight, es_key, CAST(r AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id) AS r
+         |      FROM k)
          |WHERE r <= 10""".stripMargin,
 
     "q64_kmeans" -> kmeansSql(),

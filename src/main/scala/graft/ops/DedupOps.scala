@@ -262,6 +262,35 @@ object DedupOps {
         graft.functions.ShingleExprs.shingleCodes(
           TextOps.normalized(col(textCol)), n, sortedDistinct = true).as("codes"))
 
+  /** n-gram CONTAINMENT verification — the asymmetric near-dup measure
+    * Jaccard misses: a short document quoted whole inside a much longer
+    * one keeps |A∩B|/|A| ≈ 1 while Jaccard collapses toward |A|/|B|.
+    * For each candidate pair emits both directed containments and the
+    * max (the dedup decision value for quote/subset detection, per the
+    * containment literature on web-scale dedup).
+    *
+    * Same hot-path shape as [[jaccardVerify]]: sorted base-38 gram
+    * codes computed once per doc, codegen'd merge-walk intersection per
+    * pair — the ONLY pair work is one array walk.
+    * Output: (id_a, id_b, containment_a, containment_b,
+    * max_containment).
+    */
+  def containmentVerify(pairs: DataFrame, docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", n: Int = 3): DataFrame = {
+    val codes = codedGramSets(docs, idCol, textCol, n)
+    pairs
+      .join(codes.select(col("id").as("id_a"), col("codes").as("codes_a")), Seq("id_a"))
+      .join(codes.select(col("id").as("id_b"), col("codes").as("codes_b")), Seq("id_b"))
+      .withColumn("inter",
+        graft.functions.SetExprs.sortedIntersectSize(col("codes_a"), col("codes_b")).cast("double"))
+      .select(col("id_a"), col("id_b"),
+        round(when(size(col("codes_a")) > 0, col("inter") / size(col("codes_a"))).otherwise(0.0), 4)
+          .as("containment_a"),
+        round(when(size(col("codes_b")) > 0, col("inter") / size(col("codes_b"))).otherwise(0.0), 4)
+          .as("containment_b"))
+      .withColumn("max_containment", greatest(col("containment_a"), col("containment_b")))
+  }
+
   /** n-gram Jaccard verification for candidate pairs: exact similarity
     * on character n-gram sets. `pairs` must carry id_a/id_b; per-doc
     * gram sets are computed once and joined back.

@@ -320,6 +320,36 @@ object SampleOps {
       .drop("__p")
   }
 
+  /** Weighted sample WITHOUT replacement, deterministic — the
+    * Efraimidis–Spirakis A-ES scheme on a seeded hash: each row draws
+    * u ∈ (0, 1] from its id hash and ranks by key = u^(1/w); the top-n
+    * per group is EXACTLY a weight-proportional sample without
+    * replacement, reproducible across runs/layout/engines (same
+    * hash → same sample). The quality-weighted selection primitive:
+    * high-weight rows win proportionally more often, zero/negative
+    * weights floor to 1e-4 (no 1/0; effectively never beating real
+    * weights), uniform weights degrade to a [[groupQuota]]-style draw.
+    *
+    * Map-only key computation + one per-group top-n window. Keys round
+    * 6dp BEFORE ranking (with the id as tiebreak) so the order — not
+    * just the values — replays bit-for-bit in SQL.
+    *
+    * Output: (<groupCol>, <idCol>, <weightCol>, es_key, rank).
+    */
+  def weightedSample(df: org.apache.spark.sql.DataFrame, groupCol: String, idCol: String,
+                     weightCol: String, n: Int, seed: Long = 42): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"sample size must be positive: $n")
+    // u in (0, 1]: 60-bit seeded hash reduced mod 1e9, shifted off zero
+    val u = ((seededHash(col(idCol), seed) % 1000000000L) + 1.0) / 1000000001.0
+    val w = greatest(col(weightCol).cast("double"), lit(1e-4)) // zero-weight floor
+    val key = round(pow(u, lit(1.0) / w), 6)
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(col("es_key").desc, col(idCol).asc)
+    df.select(col(groupCol), col(idCol), col(weightCol), key.as("es_key"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= n)
+  }
+
   /** Mixture REALIZATION: turn [[mixtureWeights]]' temperature-scaled
     * per-group probabilities into an actual sampled corpus under a
     * total token budget — per group, budget_g = ⌊weight_g · total⌋

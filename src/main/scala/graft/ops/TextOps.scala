@@ -1191,6 +1191,73 @@ object TextOps {
           .as("dup_rate"))
   }
 
+  /** Per-group distinct-n lexical diversity — distinct-1 (type/token
+    * ratio) and distinct-2 (distinct bigrams / bigram count): the
+    * standard text-diversity diagnostic (low distinct-n → templated /
+    * repetitive mass worth demoting; also the metric used to audit
+    * synthetic-data generation for mode collapse).
+    *
+    * Plan shape: ONE explode pass per n (unigram terms; bigrams form
+    * map-side by zipping the token array with its tail — no self-join),
+    * each feeding a partial-aggregated per-group (distinct, total)
+    * count. Output per group: (<groupCol>, n_tokens, distinct_1,
+    * n_bigrams, distinct_2).
+    */
+  def distinctNgramDiversity(docs: org.apache.spark.sql.DataFrame,
+                             groupCol: String = "source",
+                             textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val base = DedupOps.widen(docs).select(col(groupCol).as("grp"), tokens(col(textCol)).as("__t"))
+    val uni = base.select(col("grp"), explode_outer(col("__t")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_tokens"), count_distinct(col("term")).as("distinct_1"))
+    val bi = base
+      .select(col("grp"), explode_outer(
+        zip_with(slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+          slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .filter(col("bg").isNotNull)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_bigrams"), count_distinct(col("bg")).as("distinct_2"))
+    uni.join(bi, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), col("n_tokens"),
+        round(col("distinct_1") / col("n_tokens"), 6).as("distinct_1"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(when(col("n_bigrams") > 0, col("distinct_2") / col("n_bigrams")).otherwise(0.0), 6)
+          .as("distinct_2"))
+  }
+
+  /** Length-bucket batching report — the padding-waste audit for
+    * bucketed batch assembly: documents bucket to the next power of two
+    * of their token count (the static bucketing scheme), and each
+    * bucket reports its doc count, token mass, batch count at
+    * `batchSize`, and the padded-waste ratio 1 − tokens/(docs·bucket)
+    * (what fraction of the padded tensor is padding).
+    *
+    * Bucket edges come from EXACT integer bit arithmetic
+    * (1 << bitlength(n−1)) — no float log2, so a doc of exactly 2^k
+    * tokens can't edge-drift across engines. Map-only bucket assign +
+    * one rollup.
+    */
+  def lengthBucketReport(docs: org.apache.spark.sql.DataFrame, batchSize: Int = 8,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val n = size(tokens(col(textCol))).cast("long")
+    // pow(2, bitlen) is exact in double for any realistic bucket; Spark's
+    // shiftleft only takes a literal shift, so this is the column form
+    val bucket = when(n <= 1, lit(1L))
+      .otherwise(pow(lit(2.0), length(bin(n - 1))).cast("long"))
+    DedupOps.widen(docs).filter(col(textCol).isNotNull)
+      .select(n.as("__n"), bucket.as("bucket_tokens"))
+      .filter(col("__n") > 0)
+      .groupBy("bucket_tokens")
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("total_tokens"))
+      .select(col("bucket_tokens"), col("n_docs"), col("total_tokens"),
+        ceil(col("n_docs") / lit(batchSize.toDouble)).cast("long").as("n_batches"),
+        round(lit(1.0) - col("total_tokens") / (col("n_docs") * col("bucket_tokens")), 6)
+          .as("pad_waste"))
+  }
+
   /** n-gram novelty: the fraction of a document's DISTINCT character
     * n-grams that appear in NO other document — the cheap "how much of
     * this doc is new content vs corpus boilerplate" score used to

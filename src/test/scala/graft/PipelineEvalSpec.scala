@@ -66,6 +66,55 @@ class PipelineEvalSpec extends AnyFunSuite {
     assert(got.map(r => r.getString(0)).groupBy(identity).forall(_._2.length == 2))
   }
 
+  test("containmentVerify: whole-quote containment hits 1.0 on the short side while Jaccard stays low") {
+    // B's normalized 3-grams are a strict subset of A's: containment_b = 1
+    val docs = Seq((1L, "abcdefghij"), (2L, "abcde")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = DedupOps.containmentVerify(pairs, docs).collect().head
+    assert(r.getDouble(2) === 0.375) // 3 shared grams / 8 in A
+    assert(r.getDouble(3) === 1.0 && r.getDouble(4) === 1.0)
+  }
+
+  test("distinctNgramDiversity: type/token and bigram ratios; single-token group has zero bigrams") {
+    val docs = Seq((1L, "a b a b", "g1"), (2L, "x", "g2")).toDF("doc_id", "text", "source")
+    val got = TextOps.distinctNgramDiversity(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g1 = got("g1") // 4 tokens 2 distinct; bigrams: ab, ba, ab
+    assert(g1.getLong(1) === 4L && g1.getDouble(2) === 0.5)
+    assert(g1.getLong(3) === 3L && g1.getDouble(4) === 0.666667)
+    val g2 = got("g2")
+    assert(g2.getLong(3) === 0L && g2.getDouble(4) === 0.0)
+  }
+
+  test("lengthBucketReport: power-of-two buckets, exact edges, padded-waste ratio") {
+    val docs = Seq((1L, "t"), (2L, "t t"), (3L, "t t t"), (4L, "t t t t"), (5L, "t t t t t"))
+      .toDF("doc_id", "text")
+    val got = TextOps.lengthBucketReport(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 4L, 8L)) // 4 tokens stays in bucket 4, not 8
+    val b4 = got(4L)
+    assert(b4.getLong(1) === 2L && b4.getLong(2) === 7L && b4.getLong(3) === 1L)
+    assert(b4.getDouble(4) === 0.125) // 1 - 7/8
+  }
+
+  test("weightedSample: exactly n per group, keys equal pow(u, 1/w) on the seeded hash") {
+    val df = (1L to 6L).map(i => ("s", i, if (i <= 3) 1.0 else 0.25))
+      .toDF("source", "doc_id", "weight")
+    val got = SampleOps.weightedSample(df, "source", "doc_id", "weight", n = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(got.size === 4)
+    // cross-check each emitted key against the formula computed from the
+    // same seededHash expression (no reimplementation drift)
+    val us = df.select(col("doc_id"),
+        ((SampleOps.seededHash(col("doc_id"), 42) % 1000000000L) + 1.0) / 1000000001.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = (i: Long) => if (i <= 3) 1.0 else 0.25
+    got.foreach { case (id, key) =>
+      val expect = math.floor(math.abs(math.pow(us(id), 1.0 / w(id))) * 1e6 + 0.5) / 1e6
+      assert(key === expect, s"doc $id")
+    }
+  }
+
   test("semanticLayout: separated clusters share a cell, positions are contiguous from zero") {
     val rows =
       (0L to 3L).map(i => (i, Array(1f + i * 0.01f, 0f))) ++
