@@ -1710,12 +1710,14 @@ private[graft] object OpsEntries {
       s"""$minhashCtes,
          |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
          |pf AS (SELECT doc_id, substr($norm, 1, 400) AS pfx FROM documents),
-         |sc AS (SELECT id_a, id_b,
-         |         round(CASE WHEN greatest(len(a.pfx), len(b.pfx)) > 0
-         |               THEN 1.0 - levenshtein(a.pfx, b.pfx) / CAST(greatest(len(a.pfx), len(b.pfx)) AS DOUBLE)
-         |               ELSE 1.0 END, 4) AS edit_sim
-         |       FROM cand JOIN pf a ON a.doc_id = id_a JOIN pf b ON b.doc_id = id_b)
-         |SELECT id_a, id_b, edit_sim, edit_sim >= 0.8 AS is_dup FROM sc""".stripMargin,
+         |sc AS (SELECT id_a, id_b, levenshtein(a.pfx, b.pfx) AS d,
+         |         greatest(len(a.pfx), len(b.pfx)) AS mx
+         |       FROM cand JOIN pf a ON a.doc_id = id_a JOIN pf b ON b.doc_id = id_b),
+         |sim AS (SELECT id_a, id_b,
+         |          round(CASE WHEN mx = 0 THEN 1.0
+         |                     WHEN d <= 80 THEN 1.0 - d / CAST(mx AS DOUBLE) END, 4) AS edit_sim
+         |        FROM sc)
+         |SELECT id_a, id_b, edit_sim, coalesce(edit_sim >= 0.8, false) AS is_dup FROM sim""".stripMargin,
 
     "q129_ngram_novelty" ->
       s"""WITH g AS (SELECT doc_id, CASE WHEN len(norm) < 3 THEN [norm]
