@@ -378,13 +378,16 @@ object TextOps {
     * blocks — content that repeats as whole lines.
     *
     * Plan shape: one explode to (doc, line-index, line), line keys by
-    * md5 of the trimmed lower-cased line; the banned set is a count-
-    * distinct-docs aggregate on the key (combiner-friendly); removal is
-    * a key equi-join (no broadcast assumption — the banned set scales
-    * with the corpus); reassembly is one per-doc aggregate with an
-    * array_sort ordered collect (no window sort). `docs` is read twice
-    * (ban derivation + removal) — caller-persist contract if its
-    * lineage is expensive.
+    * md5 of the trimmed lower-cased line. For the default minDocs = 2
+    * the ban verdict is `min(did) ≠ max(did)` over a key-partitioned
+    * window — the exploded lines are read ONCE (an upstream with
+    * expensive lineage executes once, no caller-persist needed) and no
+    * per-key doc set ever materializes (a boilerplate line in 10⁶ docs
+    * costs two longs of window state, not a 10⁶-element set). For
+    * minDocs > 2 it falls back to a distinct-docs count + key equi-join
+    * (which reads `lines` twice — caller-persist contract applies);
+    * reassembly is one per-doc aggregate with an array_sort ordered
+    * collect (no window sort) either way.
     *
     * Output: (<idCol>, n_lines, n_removed, clean_text).
     */
@@ -395,11 +398,19 @@ object TextOps {
       .select(col(idCol).cast("long").as("did"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("li", "line")))
       .withColumn("key", md5(trim(lower(col("line"))).cast("binary")))
-    val banned = lines.select(col("did"), col("key")).distinct()
-      .groupBy("key").agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
-      .select(col("key"), lit(true).as("_banned"))
-    lines.join(banned, Seq("key"), "left")
+    val flagged =
+      if (minDocs == 2) {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+        lines.withColumn("_banned",
+          when(min(col("did")).over(w) =!= max(col("did")).over(w), lit(true)))
+      } else {
+        val banned = lines.select(col("did"), col("key")).distinct()
+          .groupBy("key").agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= minDocs)
+          .select(col("key"), lit(true).as("_banned"))
+        lines.join(banned, Seq("key"), "left")
+      }
+    flagged
       .groupBy("did")
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("_banned"), 1L).otherwise(0L)).as("n_removed"),
