@@ -181,7 +181,7 @@ object Stress {
     // printed exponent log_x(t_x / t_1) is the evidence SCALE.md's
     // 100 TB claims cite: ~1.0 = linear, ≫1 = a plan that would not
     // survive the next order of magnitude.
-    if (which == "scale") {
+    if (which == "scale" || which == "scale7") {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       val scaleDir = "/tmp/graft_scale_x" + x
@@ -211,8 +211,16 @@ object Stress {
           }
         }
       })
-      val heavy = Seq("q100_semdedup_skew", "q97_semdedup_autok", "q75_semdedup",
-        "q84_bigram_logprob", "q101_ann_recall")
+      // scale7: the round-7 additions whose cost depends on corpus
+      // growth — identical ×10 copies make EVERY doc a 10-way dup, so
+      // candidate-pair queries (q128/q143) face ~100× pair density
+      val heavy =
+        if (which == "scale7")
+          Seq("q128_edit_verify", "q143_containment", "q132_bm25_topk",
+            "q134_nb_classify", "q140_kl_divergence", "q118_line_dedup",
+            "q136_data_card", "q142_semantic_layout")
+        else Seq("q100_semdedup_skew", "q97_semdedup_autok", "q75_semdedup",
+          "q84_bigram_logprob", "q101_ann_recall")
       // one untimed warm pass at base scale amortizes codegen/JIT; the
       // ×x pass is dominated by real work, so a single timed run per
       // (query, scale) is the honest affordable protocol (noted in
