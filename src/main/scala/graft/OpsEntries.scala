@@ -347,6 +347,38 @@ private[graft] object OpsEntries {
             TextOps.qualityScore(col("text")).as("weight")),
         "source", "doc_id", "weight", n = 10)),
 
+    // Vocabulary coverage / Zipf report: top-20 tokens + cumulative
+    // corpus share — the tokenizer-sizing heavy-hitter audit.
+    "q147_vocab_coverage" -> ((s, dir) =>
+      TextOps.vocabCoverage(t(s, dir, "documents"))),
+
+    // OOV rate: top-100 vocab trained on doc_id % 5 != 0, held-out
+    // fifth scored for out-of-vocabulary token fraction.
+    "q148_oov_rate" -> ((s, dir) => TextOps.oovRate(t(s, dir, "documents"))),
+
+    // Concat-and-chunk layout: shard-shuffled stream cut into 512-token
+    // chunks — per doc, its shard offset and chunk span (the GPT-style
+    // tokenization plan without materializing tokens).
+    "q149_concat_chunks" -> ((s, dir) =>
+      SampleOps.concatChunkLayout(
+        t(s, dir, "documents")
+          .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", numShards = 8, chunkTokens = 512, seed = 42)),
+
+    // Borda rank fusion: quality score + type/token ratio fused by
+    // average competition rank (histogram-cumsum ranks, no global
+    // sort), top-50 selected. Scored frame checkpointed — bordaRank
+    // references it once per signal (q104 contract).
+    "q150_borda_fusion" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("__tk"))
+        .filter(size(col("__tk")) > 0)
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q_score"),
+          round(size(array_distinct(col("__tk"))) / size(col("__tk")), 4).as("ttr"))
+        .localCheckpoint(true)
+      SampleOps.bordaRank(scored, "doc_id", Seq("q_score", "ttr"), n = 50)
+    }),
+
     // Cross-corpus near-dup admission: odd-id docs arrive as the NEW
     // batch, even-id docs are the EXISTING corpus — per new doc, the
     // best verified corpus match and the admit/reject decision, with
@@ -2351,6 +2383,66 @@ private[graft] object OpsEntries {
          |FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id) AS r
          |      FROM k)
          |WHERE r <= 10""".stripMargin,
+
+    "q147_vocab_coverage" ->
+      s"""WITH c AS (SELECT tok AS term, count(*) AS cnt
+         |           FROM (SELECT unnest($toksExpr) AS tok FROM documents) GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS total FROM c),
+         |ranked AS (SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS r FROM c),
+         |topk AS (SELECT * FROM ranked WHERE r <= 20)
+         |SELECT term, cnt, CAST(r AS INTEGER) AS rank,
+         |       round(sum(cnt) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |             / total, 6) AS cum_share
+         |FROM topk CROSS JOIN tot""".stripMargin,
+
+    "q148_oov_rate" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |tc AS (SELECT tok AS term, count(*) AS cnt
+         |       FROM (SELECT unnest($toksExpr) AS tok FROM base WHERE doc_id % 5 <> 0) GROUP BY 1),
+         |voc AS (SELECT term FROM (
+         |          SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS r FROM tc)
+         |        WHERE r <= 100),
+         |te AS (SELECT doc_id, unnest($toksExpr) AS term FROM base WHERE doc_id % 5 = 0)
+         |SELECT te.doc_id, count(*) AS n_tokens,
+         |       CAST(sum(CASE WHEN voc.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       round(sum(CASE WHEN voc.term IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS oov_rate
+         |FROM te LEFT JOIN voc ON voc.term = te.term
+         |GROUP BY te.doc_id""".stripMargin,
+
+    "q149_concat_chunks" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksExpr) AS BIGINT) AS n_tokens FROM documents),
+         |f AS (SELECT doc_id, n_tokens,
+         |        CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+         |      FROM t WHERE n_tokens IS NOT NULL AND n_tokens > 0),
+         |l AS (SELECT doc_id, n_tokens, CAST(hv % 8 AS INTEGER) AS shard,
+         |        CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT) AS shard_pos
+         |      FROM f),
+         |o AS (SELECT doc_id, shard, shard_pos, n_tokens,
+         |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY shard_pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+         |      FROM l)
+         |SELECT doc_id, shard, shard_pos, n_tokens, tok_offset,
+         |       tok_offset // 512 AS first_chunk,
+         |       (tok_offset + n_tokens - 1) // 512 AS last_chunk,
+         |       ((tok_offset + n_tokens - 1) // 512) - (tok_offset // 512) + 1 AS n_chunks
+         |FROM o""".stripMargin,
+
+    "q150_borda_fusion" ->
+      s"""WITH q AS ($q26Sql),
+         |s AS (SELECT q.doc_id, quality_score AS q_score,
+         |        round(len(list_distinct($toksExpr)) / len($toksExpr), 4) AS ttr
+         |      FROM q JOIN documents d ON d.doc_id = q.doc_id
+         |      WHERE d.text IS NOT NULL AND len($toksExpr) > 0),
+         |r AS (SELECT doc_id, q_score, ttr,
+         |        rank() OVER (ORDER BY q_score DESC) AS rank_q_score,
+         |        rank() OVER (ORDER BY ttr DESC) AS rank_ttr
+         |      FROM s),
+         |b AS (SELECT doc_id, CAST(rank_q_score AS BIGINT) AS rank_q_score,
+         |        CAST(rank_ttr AS BIGINT) AS rank_ttr,
+         |        round((rank_q_score + rank_ttr) / CAST(2 AS DOUBLE), 4) AS borda FROM r)
+         |SELECT doc_id, rank_q_score, rank_ttr, borda, CAST(rn AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (ORDER BY borda, doc_id) AS rn FROM b)
+         |WHERE rn <= 50""".stripMargin,
 
     "q64_kmeans" -> kmeansSql(),
 

@@ -320,6 +320,79 @@ object SampleOps {
       .drop("__p")
   }
 
+  /** Concat-and-chunk pretraining layout — the GPT-style tokenization
+    * plan: documents stream in the [[shardShuffle]] order, concatenate
+    * per shard, and cut into fixed `chunkTokens` windows; this op
+    * computes, for every document, its shard-local token offset and the
+    * chunk span it lands in (first/last chunk index, chunks touched) —
+    * the metadata a chunk writer needs WITHOUT materializing token
+    * arrays.
+    *
+    * Plan shape: layout is the seeded-hash shard shuffle; the offset is
+    * one per-shard running-sum window (no global sort — chunk indices
+    * are per-shard by design, exactly how a sharded pretraining corpus
+    * is cut). Chunk indices use exact integer arithmetic
+    * ((o − o mod L)/L — a division of an exact multiple, bit-identical
+    * in any engine). Output: (<idCol>, shard, shard_pos, <tokenCol>,
+    * tok_offset, first_chunk, last_chunk, n_chunks).
+    */
+  def concatChunkLayout(df: org.apache.spark.sql.DataFrame, idCol: String, tokenCol: String,
+                        numShards: Int, chunkTokens: Int,
+                        seed: Long = 0L): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    val laid = shardShuffle(df.filter(col(tokenCol).isNotNull && col(tokenCol) > 0),
+      idCol, numShards, seed)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard").orderBy("shard_pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    def intDiv(c: Column): Column = ((c - pmod(c, lit(chunkTokens.toLong))) / chunkTokens).cast("long")
+    laid
+      .withColumn("tok_offset", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("first_chunk", intDiv(col("tok_offset")))
+      .withColumn("last_chunk", intDiv(col("tok_offset") + col(tokenCol) - 1))
+      .select(col(idCol), col("shard"), col("shard_pos"), col(tokenCol), col("tok_offset"),
+        col("first_chunk"), col("last_chunk"),
+        (col("last_chunk") - col("first_chunk") + 1).as("n_chunks"))
+  }
+
+  /** Borda rank fusion of quality signals — combine k per-document
+    * scores (higher = better) into one consensus ordering by averaging
+    * each document's COMPETITION rank under every signal, then take the
+    * top `n` (lowest average rank; ties to the smaller id). The
+    * ensemble gate for corpora where no single quality signal is
+    * trusted alone.
+    *
+    * Plan shape: ranks come from a VALUE-HISTOGRAM cumsum, not a global
+    * row_number — each signal's 4dp-rounded values aggregate to ≤ 10⁴
+    * bins, the strictly-greater mass cumsums over that bounded bin
+    * table, and ranks join back on the value. No corpus-wide sort
+    * anywhere except the final distributed take-ordered top-n. `scored`
+    * is referenced once per signal plus once — same caller-persist
+    * contract as `TextOps.perplexityBuckets`.
+    *
+    * Output: (<idCol>, rank_<signal>..., borda, rank).
+    */
+  def bordaRank(scored: org.apache.spark.sql.DataFrame, idCol: String,
+                signalCols: Seq[String], n: Int): org.apache.spark.sql.DataFrame = {
+    require(signalCols.nonEmpty, "bordaRank needs at least one signal")
+    val ranked = signalCols.foldLeft(scored) { (acc, s) =>
+      val hist = scored.groupBy(col(s)).agg(count(lit(1)).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(s).desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val ranks = hist.withColumn(s"rank_$s", (coalesce(sum("__c").over(w), lit(0L)) + 1L))
+        .select(col(s), col(s"rank_$s"))
+      acc.join(broadcast(ranks), Seq(s))
+    }
+    val borda = signalCols.map(s => col(s"rank_$s")).reduce(_ + _)
+      .cast("double") / signalCols.length
+    ranked
+      .withColumn("borda", round(borda, 4))
+      .orderBy(col("borda").asc, col(idCol).asc).limit(n)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("borda").asc, col(idCol).asc)))
+      .select((col(idCol) +: signalCols.map(s => col(s"rank_$s"))) :+
+        col("borda") :+ col("rank"): _*)
+  }
+
   /** Weighted sample WITHOUT replacement, deterministic — the
     * Efraimidis–Spirakis A-ES scheme on a seeded hash: each row draws
     * u ∈ (0, 1] from its id hash and ranks by key = u^(1/w); the top-n

@@ -1168,6 +1168,70 @@ object TextOps {
     } finally gc.unpersist(blocking = false)
   }
 
+  /** Vocabulary coverage / Zipf report — the top-K tokens with their
+    * cumulative share of all corpus tokens: the tokenizer-sizing
+    * diagnostic ("how much of the stream do the first K vocabulary
+    * entries cover") and the heavy-hitter audit for boilerplate tokens.
+    *
+    * Plan shape: one partial-aggregated explode builds the vocabulary
+    * counts; the ordered top-K is `orderBy().limit(K)` (distributed
+    * take-ordered, never a full sort), and the rank/cumulative window
+    * runs over exactly K rows. The corpus total joins in as a broadcast
+    * scalar. Output: (term, cnt, rank, cum_share).
+    */
+  def vocabCoverage(docs: org.apache.spark.sql.DataFrame, topK: Int = 20,
+                    textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val counts = DedupOps.widen(docs)
+      .select(explode_outer(tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("term").asc).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("term").asc)))
+      .withColumn("cum_share", round(sum("cnt").over(w) / col("total"), 6))
+      .select(col("term"), col("cnt"), col("rank"), col("cum_share"))
+  }
+
+  /** Out-of-vocabulary rate of held-out documents against a vocabulary
+    * trained on the rest — the tokenizer-coverage eval: pick a vocab
+    * size, measure what fraction of unseen text it cannot express.
+    * Docs with `doc_id % holdoutMod == 0` score; the rest train (the
+    * [[nbLangClassify]] split convention).
+    *
+    * Plan shape: the vocabulary is a counts aggregate + distributed
+    * take-ordered top-`vocabSize`, broadcast back; scoring is one test
+    * explode + broadcast join + per-doc rollup.
+    * Output per test doc with ≥1 token: (doc_id, n_tokens, n_oov,
+    * oov_rate).
+    */
+  def oovRate(docs: org.apache.spark.sql.DataFrame, vocabSize: Int = 100,
+              holdoutMod: Int = 5, idCol: String = "doc_id",
+              textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+    val train = base.filter(pmod(col(idCol), lit(holdoutMod)) =!= 0)
+    val vocab = DedupOps.widen(train)
+      .select(explode_outer(tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(vocabSize)
+      .select(col("term"), lit(true).as("__in_vocab"))
+    base.filter(pmod(col(idCol), lit(holdoutMod)) === 0)
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
   /** Per-(source, lang) corpus data card — the rollup that ships with a
     * training dataset (datasheet / data-statement tables): doc count,
     * token mass, quality distribution, char-length quantiles and the

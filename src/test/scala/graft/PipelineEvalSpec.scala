@@ -115,6 +115,49 @@ class PipelineEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabCoverage: heavy hitters ranked with cumulative corpus share") {
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val got = TextOps.vocabCoverage(docs, topK = 2).orderBy("rank").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq ===
+      Seq(("a", 3L, 1, 0.5), ("b", 2L, 2, 0.833333)))
+  }
+
+  test("oovRate: held-out tokens outside the trained top-K vocab are counted") {
+    val docs = Seq((1L, "aa bb aa"), (2L, "aa bb"), (3L, "aa"), (4L, "bb dd"),
+      (5L, "aa cc")) // doc 5 is the held-out fifth
+      .toDF("doc_id", "text")
+    val got = TextOps.oovRate(docs, vocabSize = 2).collect()
+    assert(got.length === 1)
+    val r = got.head // vocab = {aa, bb}; "aa cc" -> 1 of 2 OOV
+    assert(r.getLong(0) === 5L && r.getLong(1) === 2L && r.getLong(2) === 1L
+      && r.getDouble(3) === 0.5)
+  }
+
+  test("concatChunkLayout: offsets are the per-shard running sum, chunk span arithmetic exact") {
+    val df = (1L to 6L).map(i => (i, i + 2L)).toDF("doc_id", "n_tokens")
+    val got = SampleOps.concatChunkLayout(df, "doc_id", "n_tokens", numShards = 2,
+      chunkTokens = 4).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    got.groupBy(_._1).values.foreach { rows =>
+      val ordered = rows.sortBy(_._2)
+      ordered.zipWithIndex.foreach { case ((_, pos, n, off, first, last, nc), i) =>
+        assert(pos === i.toLong)
+        assert(off === ordered.take(i).map(_._3).sum) // running sum of earlier docs
+        assert(first === off / 4 && last === (off + n - 1) / 4 && nc === last - first + 1)
+      }
+    }
+  }
+
+  test("bordaRank: competition ranks with ties, average-rank fusion, id tiebreak") {
+    val scored = Seq((1L, 0.9, 0.1), (2L, 0.5, 0.5), (3L, 0.1, 0.9), (4L, 0.9, 0.9))
+      .toDF("doc_id", "q", "t")
+    val got = SampleOps.bordaRank(scored, "doc_id", Seq("q", "t"), n = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    // q ranks: 1&4 -> 1 (tie), 2 -> 3, 3 -> 4; t ranks: 3&4 -> 1, 2 -> 3, 1 -> 4
+    assert(got === Array((4L, 1L, 1L, 1.0, 1), (1L, 1L, 4L, 2.5, 2), (3L, 4L, 1L, 2.5, 3)))
+  }
+
   test("semanticLayout: separated clusters share a cell, positions are contiguous from zero") {
     val rows =
       (0L to 3L).map(i => (i, Array(1f + i * 0.01f, 0f))) ++
