@@ -892,6 +892,27 @@ private[graft] object OpsEntries {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // Source-authority PageRank over the q66 mirror graph: 3 weighted
+    // power iterations — which sources are canonical vs re-hosts.
+    "q151_source_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      val mirror = DedupOps.minHashCandidates(docs)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), Seq("id_b"))
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+      graft.ops.GraphOps.pageRank(mirror, docs.select("source").distinct(),
+        srcCol = "source_a", dstCol = "source_b", weightCol = "n_pairs")
+    }),
+
+    // PMI collocations: top adjacent token pairs by pointwise mutual
+    // information (min pair count 5) — the phrase-mining primitive.
+    "q152_pmi_collocations" -> ((s, dir) =>
+      TextOps.pmiCollocations(t(s, dir, "documents"))),
+
     // Dup clusters: connected components over the LSH candidate graph —
     // transitively-linked near-dups collapse to one canonical keep doc.
     "q54_dup_clusters" -> ((s, dir) => {
@@ -1677,6 +1698,21 @@ private[graft] object OpsEntries {
        |SELECT doc_id, true_lang, c AS pred_lang, score, (true_lang = c) AS correct
        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS r FROM pc)
        |WHERE r = 1""".stripMargin
+
+  /** The q66 mirror-edge chain (MinHash pairs → per-(source, source)
+    * rollup `e0`) — shared by the q66 oracle and the q151 PageRank
+    * replay so the edge weights cannot drift.
+    */
+  private lazy val mirrorEdgesCtes: String =
+    s"""$minhashCtes,
+       |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
+       |j AS (SELECT least(da.source, db.source) AS source_a,
+       |             greatest(da.source, db.source) AS source_b
+       |      FROM cand
+       |      JOIN documents da ON da.doc_id = id_a
+       |      JOIN documents db ON db.doc_id = id_b),
+       |e0 AS (SELECT source_a, source_b, count(*) AS n_pairs
+       |       FROM j GROUP BY 1, 2)""".stripMargin
 
   /** Fixed BM25 eval queries (terms drawn from the synthetic corpus
     * vocabulary) — shared by the q132 entry and its oracle's VALUES
@@ -2759,15 +2795,52 @@ private[graft] object OpsEntries {
          |FROM s""".stripMargin,
 
     "q66_mirror_sources" ->
-      s"""$minhashCtes,
-         |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
-         |j AS (SELECT least(da.source, db.source) AS source_a,
-         |             greatest(da.source, db.source) AS source_b
-         |      FROM cand
-         |      JOIN documents da ON da.doc_id = id_a
-         |      JOIN documents db ON db.doc_id = id_b)
-         |SELECT source_a, source_b, count(*) AS n_pairs
-         |FROM j GROUP BY 1, 2""".stripMargin,
+      s"""$mirrorEdgesCtes
+         |SELECT source_a, source_b, n_pairs FROM e0""".stripMargin,
+
+    "q151_source_pagerank" -> {
+      val teleport = s"CAST(${1.0 - 0.85} AS DOUBLE) / n_nodes"
+      def iter(i: Int): String =
+        s"""c$i AS (SELECT d, sum(CAST(round(pr / ow * w * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)) AS cin
+           |      FROM sym JOIN p${i - 1} ON p${i - 1}.node = sym.s JOIN ow ON ow.s = sym.s GROUP BY d),
+           |p$i AS (SELECT nd.node, round($teleport
+           |          + CAST(0.85 AS DOUBLE) * (coalesce(cin, 0) / CAST(1000000000.0 AS DOUBLE)), 6) AS pr
+           |        FROM nd CROSS JOIN nn LEFT JOIN c$i ON c$i.d = nd.node),
+           |""".stripMargin
+      s"""$mirrorEdgesCtes,
+         |ec AS (SELECT source_a AS s, source_b AS d, CAST(n_pairs AS DOUBLE) AS w
+         |       FROM e0 WHERE source_a <> source_b),
+         |sym AS (SELECT s, d, w FROM ec UNION ALL SELECT d AS s, s AS d, w FROM ec),
+         |ow AS (SELECT s, sum(w) AS ow FROM sym GROUP BY 1),
+         |nd AS (SELECT DISTINCT source AS node FROM documents),
+         |nn AS (SELECT count(*) AS n_nodes FROM nd),
+         |p0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / n_nodes, 6) AS pr FROM nd CROSS JOIN nn),
+         |""".stripMargin + iter(1) + iter(2) +
+        s"""c3 AS (SELECT d, sum(CAST(round(pr / ow * w * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)) AS cin
+           |      FROM sym JOIN p2 ON p2.node = sym.s JOIN ow ON ow.s = sym.s GROUP BY d)
+           |SELECT nd.node AS source, round($teleport
+           |         + CAST(0.85 AS DOUBLE) * (coalesce(cin, 0) / CAST(1000000000.0 AS DOUBLE)), 6) AS pr
+           |FROM nd CROSS JOIN nn LEFT JOIN c3 ON c3.d = nd.node""".stripMargin
+    },
+
+    "q152_pmi_collocations" ->
+      s"""WITH b AS (SELECT $toksExpr AS t FROM documents),
+         |uni AS (SELECT term, count(*) AS n FROM (SELECT unnest(t) AS term FROM b) GROUP BY 1),
+         |bi AS (SELECT bg, count(*) AS n_ab
+         |       FROM (SELECT unnest(list_transform(generate_series(1, len(t)-1),
+         |               i -> t[i] || ' ' || t[i+1])) AS bg FROM b)
+         |       GROUP BY 1),
+         |tt AS (SELECT sum(n) AS tt FROM uni),
+         |bt AS (SELECT sum(n_ab) AS bt FROM bi),
+         |sc AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2, n_ab
+         |       FROM bi WHERE n_ab >= 5),
+         |scored AS (SELECT w1, w2, n_ab, ua.n AS n_a, ub.n AS n_b,
+         |             round(ln((n_ab / bt) / ((ua.n / tt) * (ub.n / tt))), 6) AS pmi
+         |           FROM sc JOIN uni ua ON ua.term = w1 JOIN uni ub ON ub.term = w2
+         |           CROSS JOIN tt CROSS JOIN bt)
+         |SELECT w1, w2, n_ab, n_a, n_b, pmi, CAST(r AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS r FROM scored)
+         |WHERE r <= 20""".stripMargin,
 
     "q89_pii_redact" -> {
       val synth = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +

@@ -12,6 +12,54 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Weighted PageRank by power iteration — authority scoring over a
+    * similarity/mirror graph (e.g. q66's source-mirror edge weights):
+    * which nodes sit at the center of the duplication web, i.e. which
+    * sources are canonical and which are re-hosts. Undirected input
+    * (edges symmetrize internally; self-loops dropped); the simplified
+    * formulation without dangling-mass redistribution — isolated nodes
+    * hold the teleport floor (1−d)/N, documented and oracle-replayed.
+    *
+    * Plan shape: per-iteration = one edge⋈rank join + one partial-agg
+    * sum per destination (the classic distributed PR step; ranks and
+    * out-weights key the joins, nothing ever collects to the driver).
+    * Per-edge contributions bank as EXACT integer nano-units
+    * (round(c·10⁹)), so each iteration's sums are order-independent
+    * and the whole trace replays in SQL; ranks round 6dp per iteration.
+    *
+    * Output: (<node col>, pr) after `iters` iterations.
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int = 3, damping: Double = 0.85,
+               srcCol: String = "src", dstCol: String = "dst",
+               weightCol: String = "weight"): DataFrame = {
+    import graft.ops.Rounding.round
+    val nodeCol = nodes.columns.head
+    val clean = edges.filter(col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("s"), col(dstCol).as("d"), col(weightCol).cast("double").as("w"))
+    val sym = clean.unionByName(clean.select(col("d").as("s"), col("s").as("d"), col("w")))
+      .localCheckpoint(true)
+    val outw = sym.groupBy("s").agg(sum("w").as("ow"))
+    val n = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    var pr = nodes.select(col(nodeCol).as("node"))
+      .crossJoin(n)
+      .select(col("node"), round(lit(1.0) / col("n_nodes"), 6).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(pr.select(col("node").as("s"), col("pr")), Seq("s"))
+        .join(outw, Seq("s"))
+        .select(col("d"),
+          round(col("pr") / col("ow") * col("w") * lit(1000000000.0)).cast("long").as("__c"))
+        .groupBy("d").agg(sum("__c").as("__in"))
+      pr = pr.select(col("node")).crossJoin(n)
+        .join(contrib.select(col("d").as("node"), col("__in")), Seq("node"), "left")
+        .select(col("node"),
+          round(lit(1.0 - damping) / col("n_nodes")
+            + lit(damping) * (coalesce(col("__in"), lit(0L)) / lit(1000000000.0)), 6).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("node").as(nodeCol), col("pr"))
+  }
+
   /** Connected components with scale-adaptive strategy.
     *
     * Input: an edge list (undirected; direction of the given columns is

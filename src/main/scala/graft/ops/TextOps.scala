@@ -1232,6 +1232,48 @@ object TextOps {
         round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
   }
 
+  /** PMI collocations — the top adjacent token pairs by pointwise
+    * mutual information ln(p(ab)/(p(a)p(b))) with a minimum pair count:
+    * the phrase-mining primitive behind multi-word vocabulary entries
+    * ("new york" should be one token) and collocation-aware quality
+    * checks.
+    *
+    * Plan shape: unigram and bigram counts are each ONE
+    * partial-aggregated explode pass (bigrams form map-side from the
+    * token array zipped with its tail); totals broadcast as scalars;
+    * only pairs clearing `minCount` join their unigram marginals; the
+    * top-K is a distributed take-ordered head. Output:
+    * (w1, w2, n_ab, n_a, n_b, pmi, rank).
+    */
+  def pmiCollocations(docs: org.apache.spark.sql.DataFrame, minCount: Int = 5,
+                      topK: Int = 20, textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val base = DedupOps.widen(docs).select(tokens(col(textCol)).as("__t"))
+    val uni = base.select(explode_outer(col("__t")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val bi = base.select(explode_outer(
+        zip_with(slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+          slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .filter(col("bg").isNotNull)
+      .groupBy("bg").agg(count(lit(1)).as("n_ab"))
+    val tot = broadcast(uni.agg(sum("n").as("tt")))
+    val btot = broadcast(bi.agg(sum("n_ab").as("bt")))
+    val scored = bi.filter(col("n_ab") >= minCount)
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("n_ab"))
+      .join(uni.select(col("term").as("w1"), col("n").as("n_a")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("n").as("n_b")), Seq("w2"))
+      .crossJoin(tot).crossJoin(btot)
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        round(log((col("n_ab") / col("bt"))
+          / ((col("n_a") / col("tt")) * (col("n_b") / col("tt")))), 6).as("pmi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+    scored.orderBy(col("pmi").desc, col("w1").asc, col("w2").asc).limit(topK)
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** Per-(source, lang) corpus data card — the rollup that ships with a
     * training dataset (datasheet / data-statement tables): doc count,
     * token mass, quality distribution, char-length quantiles and the

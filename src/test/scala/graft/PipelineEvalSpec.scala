@@ -158,6 +158,28 @@ class PipelineEvalSpec extends AnyFunSuite {
     assert(got === Array((4L, 1L, 1L, 1.0, 1), (1L, 1L, 4L, 2.5, 2), (3L, 4L, 1L, 2.5, 3)))
   }
 
+  test("pageRank: hub outranks leaves, symmetric leaves tie, isolated node holds the teleport floor") {
+    val edges = Seq(("a", "b", 1L), ("a", "c", 1L)).toDF("src", "dst", "weight")
+    val nodes = Seq("a", "b", "c", "d").toDF("source")
+    val got = graft.ops.GraphOps.pageRank(edges, nodes, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // teleport floor (1-0.85)/4 = 0.0375; after one iteration:
+    // a <- b,c (0.25 each, outw 1): 0.0375 + 0.85*0.5 = 0.4625
+    // b,c <- a (0.25/2):            0.0375 + 0.85*0.125 = 0.14375
+    assert(got("a") === 0.4625 && got("b") === 0.14375 && got("c") === got("b"))
+    assert(got("d") === 0.0375)
+  }
+
+  test("pmiCollocations: hand-checked PMI for a pair that always co-occurs") {
+    val docs = (1L to 5L).map(i => (i, "x y")).toDF("doc_id", "text")
+    val got = TextOps.pmiCollocations(docs).collect()
+    assert(got.length === 1)
+    val r = got.head // ln((5/5) / ((5/10)*(5/10))) = ln 4
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      (("x", "y", 5L, 5L, 5L)))
+    assert(r.getDouble(5) === 1.386294 && r.getInt(6) === 1)
+  }
+
   test("semanticLayout: separated clusters share a cell, positions are contiguous from zero") {
     val rows =
       (0L to 3L).map(i => (i, Array(1f + i * 0.01f, 0f))) ++
