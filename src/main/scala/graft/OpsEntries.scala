@@ -379,6 +379,23 @@ private[graft] object OpsEntries {
       SampleOps.bordaRank(scored, "doc_id", Seq("q_score", "ttr"), n = 50)
     }),
 
+    // Shard-balance report: token mass + load factor per q103-style
+    // shard — does the layout feed every trainer rank evenly.
+    "q153_shard_balance" -> ((s, dir) =>
+      SampleOps.shardBalance(
+        t(s, dir, "documents")
+          .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", numShards = 8, seed = 42)),
+
+    // Longest same-token run per doc: gaps-and-islands loop detector
+    // for degenerate/stuck-sampler text.
+    "q154_token_runs" -> ((s, dir) => TextOps.maxTokenRun(t(s, dir, "documents"))),
+
+    // Marginal-novelty curve: corpus growth simulated in 4 hash-sliced
+    // increments — first-seen content per increment, cumulative
+    // distinct share (is the next slice still adding new material).
+    "q155_novelty_curve" -> ((s, dir) => DedupOps.noveltyCurve(t(s, dir, "documents"))),
+
     // Cross-corpus near-dup admission: odd-id docs arrive as the NEW
     // batch, even-id docs are the EXISTING corpus — per new doc, the
     // best verified corpus match and the admit/reject decision, with
@@ -2479,6 +2496,53 @@ private[graft] object OpsEntries {
          |SELECT doc_id, rank_q_score, rank_ttr, borda, CAST(rn AS INTEGER) AS rank
          |FROM (SELECT *, row_number() OVER (ORDER BY borda, doc_id) AS rn FROM b)
          |WHERE rn <= 50""".stripMargin,
+
+    "q153_shard_balance" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksExpr) AS BIGINT) AS n_tokens FROM documents),
+         |f AS (SELECT doc_id, n_tokens,
+         |        CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+         |      FROM t WHERE n_tokens IS NOT NULL),
+         |per AS (SELECT CAST(hv % 8 AS INTEGER) AS shard, count(*) AS n_docs,
+         |          CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |        FROM f GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per)
+         |SELECT shard, n_docs, n_tokens,
+         |       round((n_tokens * 8) / CAST(total AS DOUBLE), 6) AS load_factor
+         |FROM per CROSS JOIN tot""".stripMargin,
+
+    "q154_token_runs" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS tk FROM documents WHERE text IS NOT NULL),
+         |ex AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+         |         i -> struct_pack(pos := i - 1, term := tk[i]))) AS s FROM t),
+         |ex2 AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.term AS term FROM ex),
+         |runs AS (SELECT doc_id, term, count(*) AS run
+         |         FROM (SELECT doc_id, term,
+         |                 pos - row_number() OVER (PARTITION BY doc_id, term ORDER BY pos) AS grp
+         |               FROM ex2)
+         |         GROUP BY doc_id, term, grp),
+         |best AS (SELECT doc_id, run AS max_run, term AS run_token FROM (
+         |           SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY run DESC, term) AS r
+         |           FROM runs) WHERE r = 1)
+         |SELECT doc_id, CAST(max_run AS BIGINT) AS max_run, run_token,
+         |       max_run >= 4 AS is_loop
+         |FROM best""".stripMargin,
+
+    "q155_novelty_curve" ->
+      s"""WITH k AS (SELECT coalesce(md5(CASE WHEN len($norm) > 0 THEN $norm ELSE text END),
+         |                    'id:' || CAST(doc_id AS VARCHAR)) AS fp,
+         |             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS INTEGER) AS bucket
+         |           FROM documents),
+         |gb AS (SELECT fp, bucket, count(*) AS c FROM k GROUP BY 1, 2),
+         |sizes AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n_docs FROM gb GROUP BY 1),
+         |firsts AS (SELECT min(bucket) AS bucket FROM gb GROUP BY fp),
+         |fb AS (SELECT bucket, count(*) AS new_fps FROM firsts GROUP BY 1),
+         |td AS (SELECT CAST(sum(new_fps) AS BIGINT) AS td FROM fb)
+         |SELECT bucket, n_docs, CAST(coalesce(new_fps, 0) AS BIGINT) AS new_fps,
+         |       round(coalesce(new_fps, 0) / n_docs, 6) AS novelty_rate,
+         |       round(sum(coalesce(new_fps, 0)) OVER (ORDER BY bucket
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |             / td, 6) AS cum_distinct_share
+         |FROM sizes LEFT JOIN fb USING (bucket) CROSS JOIN td""".stripMargin,
 
     "q64_kmeans" -> kmeansSql(),
 

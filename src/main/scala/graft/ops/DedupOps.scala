@@ -46,6 +46,41 @@ object DedupOps {
         round(lit(1.0) / col("group_size"), 6).as("weight"))
   }
 
+  /** Marginal-novelty curve — simulate corpus growth in `buckets`
+    * equal random increments (hash-sliced, layout-independent) and
+    * report, per increment, how many of its documents carry
+    * FIRST-SEEN content: the data-scaling diagnostic ("is the next
+    * crawl slice still adding new material, or only duplicates").
+    *
+    * One fingerprint scan feeds a single (fp, bucket) aggregate; both
+    * rollups (bucket sizes, first-seen counts) derive from it — the
+    * corpus is never re-hashed. The cumulative-distinct window runs
+    * over `buckets` rows. Output per bucket: (bucket, n_docs, new_fps,
+    * novelty_rate, cum_distinct_share).
+    */
+  def noveltyCurve(docs: DataFrame, buckets: Int = 4, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val keyed = widen(docs, heavy = false).select(
+      coalesce(TextOps.fingerprint(col(textCol)),
+        concat(lit("id:"), col(idCol).cast("string"))).as("fp"),
+      SampleOps.hashBucket(col(idCol), buckets).cast("int").as("bucket"))
+    val gb = keyed.groupBy("fp", "bucket").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val sizes = gb.groupBy("bucket").agg(sum("c").as("n_docs"))
+    val firsts = gb.groupBy("fp").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_fps"))
+    val totalDistinct = broadcast(firsts.agg(sum("new_fps").as("td")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    sizes.join(firsts, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), coalesce(col("new_fps"), lit(0L)).as("new_fps"))
+      .crossJoin(totalDistinct)
+      .withColumn("novelty_rate", round(col("new_fps") / col("n_docs"), 6))
+      .withColumn("cum_distinct_share", round(sum("new_fps").over(w) / col("td"), 6))
+      .drop("td")
+  }
+
   def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     widen(docs, heavy = false).select(
         // null text (multimodal rows): no content to compare — key each

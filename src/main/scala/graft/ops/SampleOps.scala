@@ -393,6 +393,26 @@ object SampleOps {
         col("borda") :+ col("rank"): _*)
   }
 
+  /** Shard-balance report for a [[shardShuffle]] layout — per shard,
+    * its doc count, token mass and load factor vs the ideal equal
+    * split (n_tokens · numShards / total): the operational check that a
+    * chosen shard count feeds every trainer rank evenly (a load factor
+    * far from 1 on a shard means stragglers at epoch boundaries).
+    *
+    * One layout pass + one |shards|-row rollup; the total joins back as
+    * a broadcast scalar. Output: (shard, n_docs, n_tokens, load_factor).
+    */
+  def shardBalance(df: org.apache.spark.sql.DataFrame, idCol: String, tokenCol: String,
+                   numShards: Int, seed: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val laid = shardShuffle(df.filter(col(tokenCol).isNotNull), idCol, numShards, seed)
+    val per = laid.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("n_tokens"))
+    val total = broadcast(per.agg(sum("n_tokens").as("total")))
+    per.crossJoin(total)
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") * numShards / col("total"), 6).as("load_factor"))
+  }
+
   /** Weighted sample WITHOUT replacement, deterministic — the
     * Efraimidis–Spirakis A-ES scheme on a seeded hash: each row draws
     * u ∈ (0, 1] from its id hash and ranks by key = u^(1/w); the top-n

@@ -1274,6 +1274,30 @@ object TextOps {
       .withColumn("rank", row_number().over(w))
   }
 
+  /** Longest same-token run per document — the degenerate-generation /
+    * loop detector ("the the the the…" and stuck-sampler output):
+    * classic gaps-and-islands over the exploded token stream, one
+    * per-(doc, token) window + two partial-agg rollups; ties on the run
+    * length report the lexicographically smaller token.
+    *
+    * Output per doc with ≥1 token: (doc_id, max_run, run_token,
+    * is_loop = max_run ≥ loopThreshold).
+    */
+  def maxTokenRun(docs: org.apache.spark.sql.DataFrame, loopThreshold: Int = 4,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val ex = DedupOps.widen(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol, "term").orderBy("pos")
+    ex.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(idCol, "term", "grp").agg(count(lit(1)).as("run"))
+      .groupBy(idCol)
+      .agg(min(struct((-col("run")).as("nr"), col("term").as("t"))).as("m"))
+      .select(col(idCol), (-col("m.nr")).as("max_run"), col("m.t").as("run_token"),
+        ((-col("m.nr")) >= loopThreshold).as("is_loop"))
+  }
+
   /** Per-(source, lang) corpus data card — the rollup that ships with a
     * training dataset (datasheet / data-statement tables): doc count,
     * token mass, quality distribution, char-length quantiles and the

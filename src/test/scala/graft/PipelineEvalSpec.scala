@@ -180,6 +180,39 @@ class PipelineEvalSpec extends AnyFunSuite {
     assert(r.getDouble(5) === 1.386294 && r.getInt(6) === 1)
   }
 
+  test("shardBalance: single shard carries everything with load factor 1; null-token rows excluded") {
+    val df = Seq((1L, Some(10L)), (2L, Some(30L)), (3L, Option.empty[Long]))
+      .toDF("doc_id", "n_tokens")
+    val got = SampleOps.shardBalance(df, "doc_id", "n_tokens", numShards = 1).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getInt(0) === 0 && r.getLong(1) === 2L && r.getLong(2) === 40L
+      && r.getDouble(3) === 1.0)
+  }
+
+  test("maxTokenRun: longest island wins, run-length tie breaks to the smaller token, loop flag") {
+    val docs = Seq(
+      (1L, "a a a b b a"), // runs a:3, b:2, a:1 -> (3, a)
+      (2L, "x x y y"),     // tie 2/2 -> smaller token x
+      (3L, "z z z z"))     // 4 >= threshold -> loop
+      .toDF("doc_id", "text")
+    val got = TextOps.maxTokenRun(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((3L, "a", false)))
+    assert(got(2L) === ((2L, "x", false)))
+    assert(got(3L) === ((4L, "z", true)))
+  }
+
+  test("noveltyCurve: identical corpus yields one first-seen fp; distinct corpus is all-novel") {
+    val same = (1L to 40L).map(i => (i, "same text")).toDF("doc_id", "text")
+    val s = DedupOps.noveltyCurve(same).collect()
+    assert(s.map(_.getLong(2)).sum === 1L)                  // one distinct fp total
+    assert(s.maxBy(_.getInt(0)).getDouble(4) === 1.0)       // cum share closes at 1
+    val uniq = (1L to 40L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val u = DedupOps.noveltyCurve(uniq).collect()
+    assert(u.forall(r => r.getDouble(3) === 1.0))           // every increment fully novel
+  }
+
   test("semanticLayout: separated clusters share a cell, positions are contiguous from zero") {
     val rows =
       (0L to 3L).map(i => (i, Array(1f + i * 0.01f, 0f))) ++
