@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{DedupOps, MultimodalOps, SampleOps, SimilarityOps, SuffixArrayOps, TextOps}
+import graft.ops.{DedupOps, ModelOps, MultimodalOps, SampleOps, SimilarityOps, SuffixArrayOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Rounding.round // binary rounding, DuckDB-consistent (shadows functions.round)
@@ -958,7 +958,47 @@ private[graft] object OpsEntries {
       docs.join(dropped, Seq("doc_id"), "left_anti")
         .groupBy("lang")
         .agg(count(lit(1)).as("kept"))
-    })
+    }),
+
+    // Trained quality/domain classifier: full-batch GD logistic
+    // regression over hashed unigram features (fastText-filter shape),
+    // the whole training loop engine-replayable — the model IS a query.
+    "q156_logreg_train" -> ((s, dir) =>
+      ModelOps.logRegTrain(t(s, dir, "documents"), col("lang") === "en")),
+
+    // Leak-free eval of the trained gate: train on doc_id % 5 != 0,
+    // score the held-out fifth, confusion rollup per class.
+    // logRegScored returns a checkpointed frame (classifierEval reads
+    // it twice — the q104 contract, honored at birth).
+    "q157_logreg_eval" -> ((s, dir) =>
+      TextOps.classifierEval(
+        ModelOps.logRegScored(t(s, dir, "documents"), col("lang") === "en"),
+        trueCol = "true_label", predCol = "pred_label")),
+
+    // Stupid-Backoff bigram LM over a train/held-out split: the backoff
+    // path actually fires (unlike self-scored q84) and n_backoff
+    // measures how often.
+    "q158_backoff_lm" -> ((s, dir) => TextOps.stupidBackoffLm(t(s, dir, "documents"))),
+
+    // TF-IDF cosine verify of the MinHash candidates: the WEIGHTED
+    // lexical tier between set-Jaccard and embedding cosine — shared
+    // rare terms dominate the score.
+    "q159_tfidf_cosine" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.tfidfCosineVerify(DedupOps.minHashCandidates(docs), docs)
+    }),
+
+    // Threshold-free ranking quality of the trained gate: exact
+    // tie-aware AUC from the 6dp score histogram (never a global sort).
+    "q160_logreg_auc" -> ((s, dir) =>
+      ModelOps.aucReport(
+        ModelOps.logRegScored(t(s, dir, "documents"), col("lang") === "en"))),
+
+    // Calibration-by-decile of the trained gate: does p = 0.x mean an
+    // 0.x empirical positive rate?
+    "q161_calibration" -> ((s, dir) =>
+      ModelOps.calibrationBins(
+        ModelOps.logRegScored(t(s, dir, "documents"), col("lang") === "en")))
   )
 
   // ---- DuckDB oracle SQL (independent re-implementation) ----
@@ -3088,6 +3128,158 @@ private[graft] object OpsEntries {
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |       round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.4""".stripMargin
+         |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.4""".stripMargin,
+
+    "q156_logreg_train" ->
+      s"""WITH ${logRegCtes(trainFilter = "", iters = 2)}
+         |SELECT CAST(b AS INTEGER) AS bucket, w AS weight FROM w2""".stripMargin,
+
+    "q157_logreg_eval" ->
+      s"""WITH $logRegScoredCtes,
+         |lab AS (SELECT CASE WHEN y = 1 THEN 'pos' ELSE 'neg' END AS t,
+         |               CASE WHEN p >= 0.5 THEN 'pos' ELSE 'neg' END AS pr
+         |        FROM st),
+         |bt AS (SELECT t AS label, count(*) AS support,
+         |         CAST(sum(CASE WHEN pr = t THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |       FROM lab GROUP BY 1),
+         |bp AS (SELECT pr AS label, count(*) AS pred_n FROM lab GROUP BY 1),
+         |j AS (SELECT coalesce(bt.label, bp.label) AS label,
+         |        coalesce(support, 0) AS support, coalesce(tp, 0) AS tp,
+         |        coalesce(pred_n, 0) AS pred_n
+         |      FROM bt FULL OUTER JOIN bp ON bt.label = bp.label),
+         |r AS (SELECT label, support, tp, pred_n,
+         |        round(CASE WHEN pred_n > 0 THEN tp / pred_n ELSE 0.0 END, 4) AS precision,
+         |        round(CASE WHEN support > 0 THEN tp / support ELSE 0.0 END, 4) AS recall
+         |      FROM j)
+         |SELECT label, support, tp, pred_n, precision, recall,
+         |       round(CASE WHEN precision + recall > 0
+         |             THEN 2.0 * precision * recall / (precision + recall)
+         |             ELSE 0.0 END, 4) AS f1
+         |FROM r""".stripMargin,
+
+    "q160_logreg_auc" ->
+      s"""WITH $logRegScoredCtes,
+         |bins AS (SELECT p, CAST(sum(y) AS BIGINT) AS pos_b,
+         |                CAST(sum(1 - y) AS BIGINT) AS neg_b
+         |         FROM st GROUP BY p),
+         |cum AS (SELECT p, pos_b, neg_b,
+         |          CAST(coalesce(sum(neg_b) OVER (ORDER BY p
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cn
+         |        FROM bins)
+         |SELECT CAST(sum(pos_b) AS BIGINT) AS n_pos, CAST(sum(neg_b) AS BIGINT) AS n_neg,
+         |       CASE WHEN sum(pos_b) > 0 AND sum(neg_b) > 0
+         |            THEN round(sum(pos_b * (2 * cn + neg_b)) / (2.0 * sum(pos_b) * sum(neg_b)), 6)
+         |            ELSE 0.5 END AS auc
+         |FROM cum""".stripMargin,
+
+    "q161_calibration" ->
+      s"""WITH $logRegScoredCtes
+         |SELECT CAST(least(CAST(floor(p * 10) AS BIGINT), 9) AS INTEGER) AS bin,
+         |       count(*) AS n,
+         |       round(sum(CAST(round(p * 1000000) AS BIGINT)) / count(*) / 1000000.0, 4) AS avg_p,
+         |       round(sum(y) / CAST(count(*) AS DOUBLE), 4) AS pos_rate
+         |FROM st GROUP BY 1""".stripMargin,
+
+    "q158_backoff_lm" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |tl AS (SELECT doc_id, $toksExpr AS toks FROM base WHERE doc_id % 5 <> 0),
+         |tb AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |         i -> toks[i] || ' ' || toks[i + 1])) AS b FROM tl),
+         |cb AS (SELECT b, count(*) AS cb FROM tb GROUP BY b),
+         |c1 AS (SELECT split_part(b, ' ', 1) AS w1, sum(cb) AS c1 FROM cb GROUP BY 1),
+         |cu AS (SELECT tok AS term, count(*) AS cu
+         |       FROM (SELECT unnest($toksExpr) AS tok FROM base WHERE doc_id % 5 <> 0) GROUP BY 1),
+         |tt AS (SELECT sum(cu) AS t_toks FROM cu),
+         |sl AS (SELECT doc_id, $toksExpr AS toks FROM base WHERE doc_id % 5 = 0),
+         |sb AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |         i -> toks[i] || ' ' || toks[i + 1])) AS b FROM sl),
+         |sc AS (SELECT doc_id, cb.cb IS NULL AS backoff,
+         |         round(-log2(CASE WHEN cb.cb IS NOT NULL THEN cb.cb / CAST(c1.c1 AS DOUBLE)
+         |                          ELSE 0.4 * coalesce(cu.cu, 1) / CAST(t_toks AS DOUBLE) END), 6) AS nll
+         |       FROM sb LEFT JOIN cb USING (b)
+         |         LEFT JOIN c1 ON split_part(sb.b, ' ', 1) = c1.w1
+         |         LEFT JOIN cu ON split_part(sb.b, ' ', 2) = cu.term
+         |         CROSS JOIN tt)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+         |       round(avg(nll), 4) AS avg_nll
+         |FROM sc GROUP BY doc_id""".stripMargin,
+
+    "q159_tfidf_cosine" ->
+      s"""$minhashCtes,
+         |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
+         |tf AS (SELECT doc_id AS id, tok AS term, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest($toksExpr) AS tok FROM documents) GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nn2 AS (SELECT count(*) AS n_docs FROM documents),
+         |wt AS (SELECT id, term,
+         |         CAST(round(round(tf * (n_docs + 1) / CAST(df + 1 AS DOUBLE), 4) * 10000) AS BIGINT) AS wi
+         |       FROM tf JOIN dfq USING (term) CROSS JOIN nn2),
+         |nrm AS (SELECT id, sum(wi * wi) AS s8 FROM wt GROUP BY 1),
+         |dots AS (SELECT cand.id_a, cand.id_b, sum(a.wi * b.wi) AS dot8
+         |         FROM cand JOIN wt a ON a.id = cand.id_a
+         |           JOIN wt b ON b.id = cand.id_b AND b.term = a.term
+         |         GROUP BY 1, 2)
+         |SELECT p.id_a, p.id_b,
+         |       CASE WHEN coalesce(na.s8, 0) > 0 AND coalesce(nb.s8, 0) > 0
+         |            THEN round(coalesce(dot8, 0) / (sqrt(na.s8) * sqrt(nb.s8)), 6)
+         |            ELSE 0.0 END AS cosine_tfidf
+         |FROM cand p LEFT JOIN dots ON dots.id_a = p.id_a AND dots.id_b = p.id_b
+         |  LEFT JOIN nrm na ON na.id = p.id_a
+         |  LEFT JOIN nrm nb ON nb.id = p.id_b""".stripMargin
   )
+
+  /** Unrolled logistic-regression training chain (the q156 family):
+    * hashed-unigram features with a bias pseudo-bucket -1, then `iters`
+    * full-batch GD steps with the exact integer banking ModelOps uses
+    * (margins at 1e-9, gradients at 1e-6, weights rounded 6dp). Ends
+    * with CTE `w$iters(b, w)`; `trainFilter` is an extra AND clause on
+    * the base split (e.g. " AND doc_id % 5 <> 0").
+    */
+  private def logRegCtes(trainFilter: String, iters: Int): String = {
+    def iter(i: Int): String =
+      s"""e$i AS (SELECT doc_id, y - round(1 / (1 + exp(-(sum(CAST(round(w * x * 1000000000) AS BIGINT)) / 1000000000.0))), 6) AS err
+         |      FROM x JOIN w${i - 1} USING (b) GROUP BY doc_id, y),
+         |g$i AS (SELECT b, sum(CAST(round(err * x * 1000000) AS BIGINT)) AS g6
+         |      FROM x JOIN e$i USING (doc_id) GROUP BY b),
+         |w$i AS (SELECT w${i - 1}.b, round(w${i - 1}.w + (coalesce(g6, 0) / 1000000.0) / n_docs, 6) AS w
+         |      FROM w${i - 1} LEFT JOIN g$i USING (b) CROSS JOIN nn)""".stripMargin
+    s"""lbase AS (SELECT doc_id, CAST(lang = 'en' AS INTEGER) AS y, text FROM documents
+       |          WHERE text IS NOT NULL$trainFilter),
+       |dt AS (SELECT doc_id, y, unnest($toksExpr) AS tok FROM lbase),
+       |dbc AS (SELECT doc_id, y,
+       |          CAST(CAST(concat('0x', substr(md5('9:' || tok), 1, 15)) AS BIGINT) % 64 AS INTEGER) AS b,
+       |          count(*) AS c
+       |        FROM dt GROUP BY 1, 2, 3),
+       |nd AS (SELECT doc_id, y, sum(c) AS n FROM dbc GROUP BY 1, 2),
+       |x AS (SELECT dbc.doc_id, dbc.y, b, round(c / CAST(n AS DOUBLE), 6) AS x
+       |      FROM dbc JOIN nd USING (doc_id, y)
+       |      UNION ALL SELECT doc_id, y, -1 AS b, CAST(1.0 AS DOUBLE) AS x FROM nd),
+       |nn AS (SELECT count(*) AS n_docs FROM nd),
+       |w0 AS (SELECT unnest(generate_series(-1, 63)) AS b, CAST(0.0 AS DOUBLE) AS w),
+       |""".stripMargin + (1 to iters).map(iter).mkString(",\n")
+  }
+
+  /** Train-on-4/5ths + score-the-held-out-fifth chain shared by
+    * q157/q160/q161: [[logRegCtes]] on the train split, then the test
+    * split's features scored under `w2`. Ends with CTE
+    * `st(doc_id, y, p)`.
+    */
+  private def logRegScoredCtes: String =
+    logRegCtes(trainFilter = " AND doc_id % 5 <> 0", iters = 2) +
+      s""",
+         |tb2 AS (SELECT doc_id, CAST(lang = 'en' AS INTEGER) AS y, text FROM documents
+         |        WHERE text IS NOT NULL AND doc_id % 5 = 0),
+         |tdt AS (SELECT doc_id, y, unnest($toksExpr) AS tok FROM tb2),
+         |tdbc AS (SELECT doc_id, y,
+         |           CAST(CAST(concat('0x', substr(md5('9:' || tok), 1, 15)) AS BIGINT) % 64 AS INTEGER) AS b,
+         |           count(*) AS c
+         |         FROM tdt GROUP BY 1, 2, 3),
+         |tnd AS (SELECT doc_id, y, sum(c) AS n FROM tdbc GROUP BY 1, 2),
+         |tx AS (SELECT tdbc.doc_id, tdbc.y, b, round(c / CAST(n AS DOUBLE), 6) AS x
+         |       FROM tdbc JOIN tnd USING (doc_id, y)
+         |       UNION ALL SELECT doc_id, y, -1 AS b, CAST(1.0 AS DOUBLE) AS x FROM tnd),
+         |st AS (SELECT doc_id, y,
+         |         round(1 / (1 + exp(-(sum(CAST(round(w * x * 1000000000) AS BIGINT)) / 1000000000.0))), 6) AS p
+         |       FROM tx JOIN w2 USING (b) GROUP BY doc_id, y)""".stripMargin
 }

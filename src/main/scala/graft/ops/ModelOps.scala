@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Rounding.round // binary rounding, DuckDB-consistent (shadows functions.round)
+
+/** Trained-model operators for corpus curation: a fastText-style
+  * logistic-regression classifier over hashed unigram features (train /
+  * score / eval), plus the threshold-free evaluation reports (AUC,
+  * calibration bins) that decide whether a cheap learned gate is good
+  * enough to filter data with.
+  *
+  * Everything here follows the repo's determinism discipline: gradient
+  * and margin sums are banked as EXACT integers (summation-order-free,
+  * so each step replays bit-for-bit in any engine), per-step nonlinear
+  * outputs (sigmoid) round to 6dp, and the full training loop unrolls
+  * into plain SQL for the DuckDB oracle — the model is an auditable
+  * query, not a binary artifact.
+  */
+object ModelOps {
+
+  /** Hashed bag-of-words features for a labeled frame.
+    *
+    * Input must carry (`__id`, `__y` ∈ {0,1}, `__text`); output is one
+    * row per (doc, bucket): (`__id`, `__y`, `b`, `x`) with
+    * `x = round(count_b / n_tokens, 6)` (L1-normalized term counts —
+    * doc-length invariant), plus a bias pseudo-feature `b = -1, x = 1.0`
+    * for every doc with ≥ 1 token. Docs with zero tokens have no
+    * feature mass and are excluded — the classifier has nothing to
+    * condition on (callers gate empty docs with the length rules, not
+    * the learned model). Bucketing is the DSIR convention
+    * (seeded-md5 % buckets) so the oracle replays it verbatim.
+    */
+  private[ops] def hashedFeatures(labeled: DataFrame, buckets: Int,
+                                  seed: Long): DataFrame = {
+    val toks = DedupOps.widen(labeled)
+      .select(col("__id"), col("__y"),
+        explode_outer(TextOps.tokens(col("__text"))).as("tok"))
+      .filter(col("tok").isNotNull)
+    val dbc = toks
+      .withColumn("b", (SampleOps.seededHash(col("tok"), seed) % buckets).cast("int"))
+      .groupBy("__id", "__y", "b").agg(count(lit(1)).as("c"))
+    val nd = dbc.groupBy("__id", "__y").agg(sum("c").as("n"))
+    dbc.join(nd, Seq("__id", "__y"))
+      .select(col("__id"), col("__y"), col("b"),
+        round(col("c") / col("n").cast("double"), 6).as("x"))
+      .unionByName(nd.select(col("__id"), col("__y"),
+        lit(-1).as("b"), lit(1.0).as("x")))
+  }
+
+  /** Full-batch gradient-descent logistic regression over hashed
+    * unigram features — the quality/domain classifier of the
+    * fastText-filtering recipe (cf. CCNet / GPT-3's WebText classifier)
+    * with the training loop made engine-replayable:
+    *
+    *  - margin `m_d = Σ_b w_b·x_db` is a sum of per-(doc,bucket)
+    *    contributions banked at 1e-9 (longs: exact, order-free; a doc
+    *    has ≤ buckets+1 rows, so the sum is far from Long range),
+    *  - `p_d = sigmoid(m_d)` rounds to 6dp (the one transcendental per
+    *    step — same exposure as every ln/exp oracle in this repo),
+    *  - gradient `g_b = Σ_d err_d·x_db` banks at 1e-6 (safe to ~9e12
+    *    docs; the coarser unit costs nothing — w is rounded to 6dp
+    *    anyway),
+    *  - `w_b += lr·g_b/N`, rounded 6dp ENGINE-SIDE (BinaryRound), then
+    *    collected — the driver only ferries `buckets+1` already-rounded
+    *    doubles between iterations (the k-means Lloyd precedent).
+    *
+    * Plan shape: ONE corpus pass builds the feature table (the
+    * sufficient statistic), checkpointed because every iteration reads
+    * it twice (margin pass + gradient pass). Per iteration: one
+    * broadcast join (weights), one doc-keyed shuffle join (errors back
+    * onto features), two partial aggregates. Iterations are a fixed
+    * small count — this is a linear probe, not deep training; the
+    * oracle unrolls them as CTEs.
+    *
+    * Bias is bucket `-1` (a pseudo-feature with x = 1.0), so the update
+    * rule is uniform — no special-cased intercept in engine or oracle.
+    *
+    * Output: (`bucket`, `weight`) — `buckets`+1 rows.
+    */
+  def logRegTrain(docs: DataFrame, labelExpr: Column,
+                  buckets: Int = 64, iters: Int = 2, lr: Double = 1.0,
+                  seed: Long = 9L, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = trainFeatures(docs, labelExpr, buckets, seed, idCol, textCol)
+    try {
+      val nDocs = feats.filter(col("b") === -1).count()
+      require(nDocs > 0, "logRegTrain: no docs with tokens to train on")
+      var w: Seq[(Int, Double)] = (-1 until buckets).map(b => b -> 0.0)
+      for (_ <- 1 to iters)
+        w = logRegStep(feats, w, nDocs, lr)
+      w.toDF("bucket", "weight")
+    } finally feats.unpersist(blocking = false)
+  }
+
+  /** One GD step: returns the new rounded weights (see [[logRegTrain]]
+    * for the banking contract).
+    */
+  private def logRegStep(feats: DataFrame, w: Seq[(Int, Double)],
+                         nDocs: Long, lr: Double): Seq[(Int, Double)] = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(w.toDF("b", "w"))
+    val err = feats.join(wDf, Seq("b"))
+      .groupBy("__id", "__y")
+      .agg(sum(round(col("w") * col("x") * 1e9).cast("long")).as("m9"))
+      .select(col("__id"),
+        (col("__y") - round(lit(1.0) / (lit(1.0) + exp(-col("m9") / 1e9)), 6)).as("err"))
+    val grads = feats.join(err, Seq("__id"))
+      .groupBy("b").agg(sum(round(col("err") * col("x") * 1e6).cast("long")).as("g6"))
+    wDf.join(grads, Seq("b"), "left")
+      .select(col("b"),
+        round(col("w") + lit(lr) * (coalesce(col("g6"), lit(0L)) / 1e6) / nDocs, 6).as("w"))
+      .collect() // buckets+1 rows — the bounded driver read of the loop
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+  }
+
+  /** Labeled, checkpointed feature table for a training frame. */
+  private def trainFeatures(docs: DataFrame, labelExpr: Column, buckets: Int,
+                            seed: Long, idCol: String, textCol: String): DataFrame =
+    hashedFeatures(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("__id"), labelExpr.cast("int").as("__y"),
+          col(textCol).as("__text")),
+      buckets, seed)
+      .localCheckpoint(true) // read 2× per iteration (margin + gradient)
+
+  /** Train on the `idCol % holdoutMod != 0` split, score the held-out
+    * split — the leak-free evaluation run of [[logRegTrain]]. Output
+    * per held-out doc with ≥ 1 token: (`idCol`, `p` (6dp sigmoid
+    * score), `true_label`, `pred_label`) with labels 'pos'/'neg'
+    * (threshold 0.5), shaped for [[TextOps.classifierEval]] /
+    * [[aucReport]] / [[calibrationBins]] downstream. Scoring is one
+    * broadcast join (weights) + one aggregate over the held-out
+    * feature table; returned checkpointed because every consumer reads
+    * it at least twice.
+    */
+  def logRegScored(docs: DataFrame, labelExpr: Column, holdoutMod: Int = 5,
+                   buckets: Int = 64, iters: Int = 2, lr: Double = 1.0,
+                   seed: Long = 9L, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val train = docs.filter(pmod(col(idCol), lit(holdoutMod)) =!= 0)
+    val test = docs.filter(pmod(col(idCol), lit(holdoutMod)) === 0)
+    val w = broadcast(
+      logRegTrain(train, labelExpr, buckets, iters, lr, seed, idCol, textCol)
+        .withColumnRenamed("bucket", "b").withColumnRenamed("weight", "w"))
+    val testFeats = hashedFeatures(
+      test.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("__id"), labelExpr.cast("int").as("__y"),
+          col(textCol).as("__text")),
+      buckets, seed)
+    testFeats.join(w, Seq("b"))
+      .groupBy("__id", "__y")
+      .agg(sum(round(col("w") * col("x") * 1e9).cast("long")).as("m9"))
+      .select(col("__id").as(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-col("m9") / 1e9)), 6).as("p"),
+        when(col("__y") === 1, "pos").otherwise("neg").as("true_label"))
+      .withColumn("pred_label", when(col("p") >= 0.5, "pos").otherwise("neg"))
+      .localCheckpoint(true) // consumers (eval/AUC/calibration) read it repeatedly
+  }
+
+  /** Threshold-free ranking quality: AUC with exact tie handling via
+    * the Mann-Whitney histogram form. Scores collapse to their distinct
+    * (already-6dp) values first — ≤ 10⁶+1 bins — so the cumulative
+    * window runs over the HISTOGRAM, never a per-row global sort (the
+    * q150 discipline). With `pos_b`/`neg_b` counts per bin and
+    * `cum_pos` the positives in strictly-lower bins,
+    * `AUC = Σ_bins pos_b·(2·cum_neg + neg_b) / (2·P·N)` (each positive
+    * beats the negatives strictly below it and half-ties the negatives
+    * in its own bin) — ties count half, all arithmetic integer until
+    * the final division. Degenerate
+    * inputs (P = 0 or N = 0) return AUC 0.5 — no ranking evidence
+    * either way.
+    *
+    * Eval contract (the q101 discipline): run on a bounded held-out
+    * split — the numerator is Θ(P·N) in magnitude (not in work), so the
+    * 64-bit bank covers P·N < 4.6e18; a 100 TB corpus evaluates its
+    * gate on a sampled split anyway.
+    *
+    * Output: one row (n_pos, n_neg, auc).
+    */
+  def aucReport(scored: DataFrame, probCol: String = "p",
+                trueCol: String = "true_label",
+                posLabel: String = "pos"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = scored
+      .groupBy(col(probCol).as("__p"))
+      .agg(sum(when(col(trueCol) === posLabel, 1L).otherwise(0L)).as("pos_b"),
+        sum(when(col(trueCol) === posLabel, 0L).otherwise(1L)).as("neg_b"))
+    val w = Window.orderBy("__p").rowsBetween(Window.unboundedPreceding, -1)
+    bins
+      .withColumn("cum_neg", coalesce(sum("neg_b").over(w), lit(0L)))
+      .agg(sum("pos_b").as("n_pos"), sum("neg_b").as("n_neg"),
+        sum(col("pos_b") * (lit(2L) * col("cum_neg") + col("neg_b"))).as("__num2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("__num2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+          .otherwise(0.5).as("auc"))
+  }
+
+  /** Calibration-by-decile report: does a predicted probability of 0.x
+    * mean an 0.x empirical positive rate? Bins on `floor(p·10)` capped
+    * at 9 (p = 1.0 joins the top bin); per bin the mean prediction is
+    * banked from the 6dp scores as exact micro-units (order-free sum)
+    * and both rates round to 4dp. One aggregate — no sort, no window.
+    *
+    * Output per non-empty bin: (bin, n, avg_p, pos_rate).
+    */
+  def calibrationBins(scored: DataFrame, probCol: String = "p",
+                      trueCol: String = "true_label",
+                      posLabel: String = "pos"): DataFrame =
+    scored
+      .groupBy(least(floor(col(probCol) * 10).cast("long"), lit(9L)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col(probCol) * 1e6).cast("long")).as("__p6"),
+        sum(when(col(trueCol) === posLabel, 1L).otherwise(0L)).as("__pos"))
+      .select(col("bin"), col("n"),
+        round(col("__p6") / col("n") / 1e6, 4).as("avg_p"),
+        round(col("__pos") / col("n").cast("double"), 4).as("pos_rate"))
+}

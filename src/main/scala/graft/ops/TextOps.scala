@@ -1613,6 +1613,70 @@ object TextOps {
     out.toSeq.toDF("step", "pair", "weight")
   }
 
+  /** Stupid-Backoff bigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the smoothing that made
+    * count-based LMs work at web scale precisely BECAUSE it is pure
+    * count arithmetic (no discount fitting): score a held-out document
+    * under counts trained on the rest of the corpus,
+    * `S(w2|w1) = c(w1 w2)/c(w1 ·)` when the bigram was seen, else
+    * `α · c(w2)/T` (α = 0.4), with an unseen-unigram floor of count 1.
+    * Unlike [[bigramLogProb]] (which scores the corpus under its own
+    * counts, so the backoff path never fires), the train/test split
+    * makes unseen bigrams REAL — `n_backoff` measures exactly how often
+    * the model fell through.
+    *
+    * Plan shape: the train split is exploded once for bigram counts
+    * (context counts derive from them — no second pass) and once for
+    * unigram counts; the held-out split explodes once and left-joins
+    * the three count tables (broadcast by default, with the family's
+    * shuffle escape hatch for vocabularies past broadcast range).
+    * Per-bigram nll rounds 6dp before the 4dp mean (q70/q84 recipe).
+    *
+    * Output per held-out doc with ≥ 2 tokens: (doc_id, n_bigrams,
+    * n_backoff, avg_nll).
+    */
+  def stupidBackoffLm(docs: org.apache.spark.sql.DataFrame, holdoutMod: Int = 5,
+                      alpha: Double = 0.4, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      broadcastVocab: Boolean = true): org.apache.spark.sql.DataFrame = {
+    def bigrams(df: org.apache.spark.sql.DataFrame) = DedupOps.widen(df)
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat(element_at(col("toks"), i + 1), lit(" "), element_at(col("toks"), i + 2))))
+          .otherwise(array().cast("array<string>")).as("bgs"))
+      .select(col(idCol), explode_outer(col("bgs")).as("b"))
+      .filter(col("b").isNotNull)
+    val base = docs.filter(col(textCol).isNotNull)
+    val train = base.filter(pmod(col(idCol), lit(holdoutMod)) =!= 0)
+    val test = base.filter(pmod(col(idCol), lit(holdoutMod)) === 0)
+    val cb0 = bigrams(train).groupBy("b").agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true) // context counts + the scoring join both read it
+    val c10 = cb0.groupBy(split(col("b"), " ").getItem(0).as("w1")).agg(sum("cb").as("c1"))
+    val cu0 = DedupOps.widen(train)
+      .select(explode_outer(tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("term").agg(count(lit(1)).as("cu"))
+    val (cb, c1, cu) =
+      if (broadcastVocab) (broadcast(cb0), broadcast(c10), broadcast(cu0))
+      else (cb0, c10, cu0)
+    val tot = broadcast(cu0.agg(sum("cu").as("t_toks")))
+    bigrams(test)
+      .join(cb, Seq("b"), "left")
+      .join(c1, split(col("b"), " ").getItem(0) === col("w1"), "left")
+      .join(cu, split(col("b"), " ").getItem(1) === col("term"), "left")
+      .crossJoin(tot)
+      .select(col(idCol), col("cb").isNull.as("backoff"),
+        round(-log2(
+          when(col("cb").isNotNull, col("cb").cast("double") / col("c1"))
+            .otherwise(lit(alpha) * coalesce(col("cu"), lit(1L)) / col("t_toks"))), 6).as("nll"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("backoff"), 1L).otherwise(0L)).as("n_backoff"),
+        round(avg(col("nll")), 4).as("avg_nll"))
+  }
+
   /** BPE tokenizer APPLICATION — the deployment half of [[bpeTrain]]:
     * segment every document under a trained merge table and report the
     * per-document subword economics (the numbers a token-budget pass

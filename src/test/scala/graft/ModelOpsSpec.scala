@@ -1,0 +1,96 @@
+package graft
+
+import graft.ops.{DedupOps, ModelOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit semantics of the trained-model family: the hand-computed GD
+  * trajectory of the logistic probe, exact AUC tie handling,
+  * calibration binning, Stupid-Backoff's backoff path, and the TF-IDF
+  * cosine verify identities.
+  */
+class ModelOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("logRegTrain: two-doc separable corpus follows the hand-computed GD trajectory exactly") {
+    // 'good' hashes to bucket 16, 'spam' to 45 (md5('9:'||tok) % 64) —
+    // distinct, so each doc is (its bucket, x=1) + (bias -1, x=1).
+    // Iter 1 from w=0: p=0.5 both, err=±0.5 → w16=+0.25, w45=-0.25,
+    // bias 0 (gradients cancel). Iter 2: m=±0.25, p6=0.562177 →
+    // err=±0.437823 → w16 = round(0.25 + 0.437823/2, 6) = 0.468912.
+    val docs = Seq((1L, "good", 1), (2L, "spam", 0)).toDF("doc_id", "text", "y")
+    val w = ModelOps.logRegTrain(docs, col("y") === 1)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(w.size === 65)
+    assert(w(16) === 0.468912)
+    assert(w(45) === -0.468912)
+    assert(w(-1) === 0.0)
+    assert(w.view.filterKeys(k => k != 16 && k != 45 && k != -1).values.forall(_ == 0.0))
+  }
+
+  test("logRegScored: held-out fifth is scored, train split is not, labels thresholded at 0.5") {
+    // ids 5,10 are held out (mod 5); the training split is separable
+    // on 'good'/'spam' so held-out copies score on the right side.
+    val docs = Seq(
+      (1L, "good good", 1), (2L, "spam spam", 0), (3L, "good", 1), (4L, "spam", 0),
+      (5L, "good", 1), (10L, "spam", 0)).toDF("doc_id", "text", "y")
+    val got = ModelOps.logRegScored(docs, col("y") === 1)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2), r.getString(3)))).toMap
+    assert(got.keySet === Set(5L, 10L))
+    val (p5, t5, pr5) = got(5L)
+    val (p10, t10, pr10) = got(10L)
+    assert(t5 === "pos" && t10 === "neg")
+    assert(p5 > 0.5 && pr5 === "pos")
+    assert(p10 < 0.5 && pr10 === "neg")
+  }
+
+  test("aucReport: perfect separation 1.0, all-ties 0.5, hand-computed interleaving 0.75, degenerate 0.5") {
+    def auc(rows: Seq[(Double, String)]): Double =
+      ModelOps.aucReport(rows.toDF("p", "true_label")).collect()(0).getDouble(2)
+    assert(auc(Seq((0.9, "pos"), (0.8, "pos"), (0.1, "neg"))) === 1.0)
+    assert(auc(Seq((0.5, "pos"), (0.5, "neg"), (0.5, "pos"))) === 0.5)
+    // ranks: 0.2(n) 0.4(p) 0.6(n) 0.8(p): 3 of 4 (pos, neg) pairs won
+    assert(auc(Seq((0.8, "pos"), (0.4, "pos"), (0.6, "neg"), (0.2, "neg"))) === 0.75)
+    assert(auc(Seq((0.9, "pos"), (0.1, "pos"))) === 0.5) // no negatives
+  }
+
+  test("calibrationBins: p=1.0 joins bin 9, per-bin means and rates are exact") {
+    val rows = Seq((1.0, "pos"), (0.95, "pos"), (0.12, "neg"), (0.05, "neg"), (0.18, "pos"))
+      .toDF("p", "true_label")
+    val got = ModelOps.calibrationBins(rows).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet === Set(0, 1, 9))
+    assert(got(9) === ((2L, 0.975, 1.0)))
+    assert(got(0) === ((1L, 0.05, 0.0)))
+    assert(got(1) === ((2L, 0.15, 0.5))) // 0.12 neg + 0.18 pos
+  }
+
+  test("stupidBackoffLm: seen bigrams score cb/c1, unseen back off through 0.4·cu/T with the count-1 floor") {
+    // train (ids 1,2): "a b a b", "b c" → cb: {a b:2, b a:1, b c:1},
+    // c1: {a:2, b:2}; unigrams a:2 b:3 c:1, T=6.
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "b c"),
+      (5L, "a b"),  // seen, p=2/2 → nll 0
+      (10L, "b a"), // seen, p=1/2 → nll 1
+      (15L, "c a"), // unseen bigram → 0.4·cu(a)/T = 0.4·2/6 → nll 2.906891
+      (20L, "a z")  // unseen bigram AND unseen unigram z → 0.4·1/6 → nll 3.906891
+    ).toDF("doc_id", "text")
+    val got = TextOps.stupidBackoffLm(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(5L) === ((1L, 0L, 0.0)))
+    assert(got(10L) === ((1L, 0L, 1.0)))
+    assert(got(15L) === ((1L, 1L, 2.9069)))
+    assert(got(20L) === ((1L, 1L, 3.9069)))
+  }
+
+  test("tfidfCosineVerify: identical docs 1.0, disjoint docs 0.0, empty doc 0.0") {
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "p q"), (4L, "")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val got = DedupOps.tfidfCosineVerify(cand, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) === 1.0)
+    assert(got((1L, 3L)) === 0.0)
+    assert(got((1L, 4L)) === 0.0)
+  }
+}
