@@ -69,6 +69,17 @@ private[graft] object RelEntries {
           min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
         .withColumn("duration", col("end_sec") - col("start_sec"))),
 
+    // Funnel: view → click → purchase within 1 h, earliest-chain
+    // deterministic variant of ClickHouse windowFunnel — pure
+    // conditional-MIN composition, no per-user event arrays.
+    "q162_window_funnel" -> ((s, dir) =>
+      RelOps.windowFunnel(events(s, dir), Seq("view", "click", "purchase"), 3600L)),
+
+    // Weekly cohort retention triangle (the report behind ClickHouse's
+    // retention()): first-active-week cohorts × week offsets.
+    "q163_cohort_retention" -> ((s, dir) =>
+      RelOps.cohortRetention(events(s, dir))),
+
     // Pivot: event_type → columns, avg value per user cohort. Explicit
     // value list keeps the plan a single pass (no discovery collect).
     "q42_pivot" -> ((s, dir) =>
@@ -203,6 +214,31 @@ private[graft] object RelEntries {
          |        THEN e.value END, 4) AS asof_value
          |FROM probes p ASOF LEFT JOIN ev e
          |  ON p.user_id = e.user_id AND p.probe_ts <= e.sec""".stripMargin,
+
+    "q162_window_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t,
+        |            CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+        |m1 AS (SELECT u, min(s) AS m1 FROM e WHERE t = 'view' GROUP BY u),
+        |m2 AS (SELECT e.u, m1.m1, min(s) AS m2 FROM e JOIN m1 ON e.u = m1.u
+        |       WHERE t = 'click' AND s > m1.m1 GROUP BY e.u, m1.m1),
+        |m3 AS (SELECT e.u, m2.m1, min(s) AS m3 FROM e JOIN m2 ON e.u = m2.u
+        |       WHERE t = 'purchase' AND s > m2.m2 GROUP BY e.u, m2.m1)
+        |SELECT m1.u AS user_id,
+        |  CAST(CASE WHEN m3.m3 IS NOT NULL AND m3.m3 - m1.m1 <= 3600 THEN 3
+        |            WHEN m2.m2 IS NOT NULL AND m2.m2 - m1.m1 <= 3600 THEN 2
+        |            ELSE 1 END AS INTEGER) AS funnel_level
+        |FROM m1 LEFT JOIN m2 ON m1.u = m2.u LEFT JOIN m3 ON m1.u = m3.u""".stripMargin,
+
+    "q163_cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u,
+        |               CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w FROM events),
+        |f AS (SELECT u, min(w) AS w0 FROM act GROUP BY u),
+        |cells AS (SELECT w0, w - w0 AS off, count(*) AS n_active
+        |          FROM act JOIN f USING (u) GROUP BY 1, 2),
+        |sizes AS (SELECT w0, n_active AS cohort_n FROM cells WHERE off = 0)
+        |SELECT cells.w0 AS cohort_week, off AS week_offset, n_active,
+        |       round(n_active / CAST(cohort_n AS DOUBLE), 4) AS retention_rate
+        |FROM cells JOIN sizes ON cells.w0 = sizes.w0""".stripMargin,
 
     "q40_range_join" ->
       s"""WITH iv(window_id, w_start, w_end) AS (VALUES $windowValues),

@@ -181,4 +181,98 @@ object RelOps {
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     s.join(o, keys :+ "__shard").drop("__shard")
   }
+
+  /** Funnel analysis — the earliest-chain, deterministic variant of
+    * ClickHouse's `windowFunnel(window)(ts, cond1, cond2, …)`
+    * (graphouse's native engine family; cf. the reference's ClickHouse
+    * backend): per user, the deepest step k reachable by the chain
+    * `m_1 = min ts(step_1)`, `m_i = min ts(step_i) with ts > m_(i-1)`,
+    * subject to `m_k − m_1 ≤ windowSeconds`. Earliest-chain (each step
+    * takes its FIRST qualifying event) rather than ClickHouse's
+    * sliding-restart search: the result is a pure composition of
+    * conditional MIN aggregates — order-free, replayable in any engine,
+    * and immune to per-user event-count blowup (no per-user event array
+    * is ever materialized; a bot user with 10⁸ events costs the same
+    * per-aggregate state as anyone else: one long per step).
+    *
+    * Plan shape: one filtered scan per step (steps.length total over
+    * the checkpointed 3-column base), each a partial-aggregated MIN
+    * keyed by user, chained by user-keyed joins — every shuffle is on
+    * the same key, so AQE coalesces them into one exchange lineage.
+    *
+    * Output per user with ≥ 1 step-1 event: (<userCol>, funnel_level
+    * ∈ [1, steps.length]). Levels beyond 1 require the step time within
+    * the window of m_1.
+    */
+  def windowFunnel(events: DataFrame, steps: Seq[String], windowSeconds: Long,
+                   userCol: String = "user_id", typeCol: String = "event_type",
+                   secCol: String = "sec"): DataFrame = {
+    require(steps.size >= 2, s"windowFunnel needs >= 2 steps, got ${steps.size}")
+    val base = events
+      .filter(col(typeCol).isin(steps.map(lit): _*))
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"), col(secCol).as("__s"))
+      .localCheckpoint(true) // read once per step
+    // m(i): (user, m1, mi) — the chain's entry time rides along so the
+    // window check at the end needs no extra join back to m(1)
+    // every chain(i) is read twice (its level filter + chain(i+1)'s
+    // join), so each stage checkpoints — per-user rows, tiny
+    var chain = base.filter(col("__t") === steps.head)
+      .groupBy("__u").agg(min("__s").as("m1"))
+      .withColumn("m", col("m1"))
+      .localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(chain.select(col("__u"), col("m1"), col("m")))
+    for (step <- steps.tail) {
+      chain = base.filter(col("__t") === step)
+        .join(chain.select(col("__u"), col("m1"), col("m").as("__prev")), Seq("__u"))
+        .filter(col("__s") > col("__prev"))
+        .groupBy("__u", "m1").agg(min("__s").as("m"))
+        .localCheckpoint(true)
+      levels += chain.select(col("__u"), col("m1"), col("m"))
+    }
+    // deepest level whose step time fits the window of m1
+    val lvl = levels.zipWithIndex.map { case (df, i) =>
+      df.filter(col("m") - col("m1") <= windowSeconds)
+        .select(col("__u"), lit(i + 1).as("__lvl"))
+    }.reduce(_ unionByName _)
+    lvl.groupBy("__u").agg(max("__lvl").as("funnel_level"))
+      .select(col("__u").as(userCol), col("funnel_level"))
+  }
+
+  /** Cohort retention triangle — the report behind ClickHouse's
+    * `retention(cond1, cond2, …)` family, generalized to the standard
+    * weekly cohort matrix: users are cohorted by their FIRST active
+    * week (epoch-week = sec div 604800 — pure integer arithmetic, no
+    * timezone), and each (cohort_week, week_offset) cell counts how
+    * many of that cohort were active again `offset` weeks later.
+    *
+    * Plan shape: distinct (user, week) activity (one shuffle — the
+    * dedup bounds every user's contribution to one row per week
+    * regardless of event volume), min-week per user (user-keyed
+    * partial agg), offset join on the same user key, then a
+    * cohort-keyed rollup whose output is |weeks|² rows. Cohort sizes
+    * are the offset-0 diagonal — derived from the rollup itself
+    * (broadcast join), not a second scan.
+    *
+    * Output: (cohort_week, week_offset, n_active, retention_rate) with
+    * the rate against the cohort's own size, rounded 4dp.
+    */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+                      secCol: String = "sec"): DataFrame = {
+    val act = events
+      .select(col(userCol).as("__u"), expr(s"$secCol div 604800").as("__w"))
+      .distinct()
+      .localCheckpoint(true) // first-week agg + offset join both read it
+    val first = act.groupBy("__u").agg(min("__w").as("__w0"))
+    val cells = act.join(first, Seq("__u"))
+      .groupBy(col("__w0"), (col("__w") - col("__w0")).as("__off"))
+      .agg(count(lit(1)).as("n_active"))
+      .localCheckpoint(true) // |weeks|² rows; sizes + the rate join both read it
+    val sizes = cells.filter(col("__off") === 0)
+      .select(col("__w0"), col("n_active").as("__cohort_n"))
+    cells.join(broadcast(sizes), Seq("__w0"))
+      .select(col("__w0").as("cohort_week"), col("__off").as("week_offset"),
+        col("n_active"),
+        Rounding.round(col("n_active") / col("__cohort_n").cast("double"), 4)
+          .as("retention_rate"))
+  }
 }

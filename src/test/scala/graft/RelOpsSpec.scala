@@ -136,4 +136,44 @@ class RelOpsSpec extends AnyFunSuite {
       .select("row_id", "__shard").as[(Int, Long)].collect().toMap
     assert(a === b)
   }
+
+  test("windowFunnel: order, window, and earliest-chain semantics per user") {
+    val ev = Seq(
+      // u1: clean 3-step chain inside the window → level 3
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 20L),
+      // u2: purchase falls outside the window → level 2
+      (2L, "view", 0L), (2L, "click", 10L), (2L, "purchase", 10000L),
+      // u3: steps present but in the wrong order → level 1
+      (3L, "purchase", 0L), (3L, "click", 5L), (3L, "view", 10L),
+      // u4: no step-1 event at all → absent from the output
+      (4L, "click", 0L), (4L, "purchase", 10L),
+      // u5: click beyond the window kills the chain even though a
+      // purchase follows → level 1
+      (5L, "view", 0L), (5L, "click", 4000L), (5L, "purchase", 4100L),
+      // u6: EARLIEST chain pins m1 to the first view (0), so the
+      // boundary click at 3600 still fits (m2 − m1 = window, inclusive)
+      (6L, "view", 0L), (6L, "view", 3500L), (6L, "click", 3600L))
+      .toDF("user_id", "event_type", "sec")
+    val got = RelOps.windowFunnel(ev, Seq("view", "click", "purchase"), 3600L)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 3, 2L -> 2, 3L -> 1, 5L -> 1, 6L -> 2))
+  }
+
+  test("cohortRetention: first-week cohorts, offset cells, rates against own cohort size") {
+    val wk = 604800L
+    val ev = Seq(
+      // cohort week 0: u1 (weeks 0,1,3 — week 1 twice, dedup holds), u2 (weeks 0,2)
+      (1L, 0L), (1L, wk + 5L), (1L, wk + 9L), (1L, 3 * wk + 1L),
+      (2L, 10L), (2L, 2 * wk),
+      // cohort week 1: u3 only
+      (3L, wk + 100L))
+      .toDF("user_id", "sec")
+    val got = RelOps.cohortRetention(ev)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === Map(
+      (0L, 0L) -> ((2L, 1.0)), (0L, 1L) -> ((1L, 0.5)),
+      (0L, 2L) -> ((1L, 0.5)), (0L, 3L) -> ((1L, 0.5)),
+      (1L, 0L) -> ((1L, 1.0))))
+  }
 }
