@@ -998,7 +998,14 @@ private[graft] object OpsEntries {
     // 0.x empirical positive rate?
     "q161_calibration" -> ((s, dir) =>
       ModelOps.calibrationBins(
-        ModelOps.logRegScored(t(s, dir, "documents"), col("lang") === "en")))
+        ModelOps.logRegScored(t(s, dir, "documents"), col("lang") === "en"))),
+
+    // Triangle census of the near-dup graph: degree-oriented wedge
+    // join (Suri-Vassilvitskii) — cliques (mirror families) vs chains
+    // (incremental edits) in one clustering coefficient.
+    "q165_dup_triangles" -> ((s, dir) =>
+      graft.ops.GraphOps.triangleStats(
+        DedupOps.minHashCandidates(t(s, dir, "documents"))))
   )
 
   // ---- DuckDB oracle SQL (independent re-implementation) ----
@@ -3204,6 +3211,27 @@ private[graft] object OpsEntries {
          |       CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
          |       round(avg(nll), 4) AS avg_nll
          |FROM sc GROUP BY doc_id""".stripMargin,
+
+    "q165_dup_triangles" ->
+      s"""$minhashCtes,
+         |ed AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
+         |e AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+         |      FROM ed WHERE id_a <> id_b),
+         |deg AS (SELECT v, count(*) AS deg
+         |        FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+         |o AS (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
+         |             CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS v,
+         |             CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS dv
+         |      FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+         |w AS (SELECT e1.v AS u, e2.v AS v FROM o e1 JOIN o e2 ON e1.u = e2.u
+         |        AND (e1.dv, e1.v) < (e2.dv, e2.v)),
+         |tri AS (SELECT count(*) AS n_triangles FROM w JOIN o ON o.u = w.u AND o.v = w.v),
+         |c AS (SELECT count(*) AS n_nodes, sum(deg) // 2 AS n_edges,
+         |        sum((deg * (deg - 1)) // 2) AS n_wedges FROM deg)
+         |SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+         |       CAST(n_wedges AS BIGINT) AS n_wedges, CAST(n_triangles AS BIGINT) AS n_triangles,
+         |       round(CASE WHEN n_wedges > 0 THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 4) AS clustering
+         |FROM c CROSS JOIN tri""".stripMargin,
 
     "q159_tfidf_cosine" ->
       s"""$minhashCtes,

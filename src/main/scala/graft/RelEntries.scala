@@ -80,6 +80,11 @@ private[graft] object RelEntries {
     "q163_cohort_retention" -> ((s, dir) =>
       RelOps.cohortRetention(events(s, dir))),
 
+    // Rolling 7-day active users: distinct-then-expand (bounded ×7
+    // map-side fan-out), never a days×days self-join.
+    "q164_rolling_active" -> ((s, dir) =>
+      RelOps.rollingActive(events(s, dir))),
+
     // Pivot: event_type → columns, avg value per user cohort. Explicit
     // value list keeps the plan a single pass (no discovery collect).
     "q42_pivot" -> ((s, dir) =>
@@ -239,6 +244,14 @@ private[graft] object RelEntries {
         |SELECT cells.w0 AS cohort_week, off AS week_offset, n_active,
         |       round(n_active / CAST(cohort_n AS DOUBLE), 4) AS retention_rate
         |FROM cells JOIN sizes ON cells.w0 = sizes.w0""".stripMargin,
+
+    "q164_rolling_active" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u,
+        |               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d FROM events),
+        |days AS (SELECT DISTINCT d FROM act),
+        |ex AS (SELECT DISTINCT u, d + g AS rd FROM act CROSS JOIN range(0, 7) t(g))
+        |SELECT rd AS day, count(*) AS active_users
+        |FROM ex JOIN days ON days.d = ex.rd GROUP BY 1""".stripMargin,
 
     "q40_range_join" ->
       s"""WITH iv(window_id, w_start, w_end) AS (VALUES $windowValues),

@@ -190,4 +190,63 @@ object GraphOps {
         max(struct(col("score").as("s"), (-col("id")).as("negid"))).as("m"))
       .select(col("component"), (-col("m.negid")).as("rep_id"),
         col("m.s").as("rep_score"), col("cluster_size"))
+
+  /** Triangle census of an undirected graph — the density diagnostic of
+    * a near-dup graph: a high global clustering coefficient means dup
+    * pairs close into cliques (mirrored corpora, template families),
+    * a low one means chains (incremental edits). Returns one row:
+    * (n_nodes, n_edges, n_wedges, n_triangles, clustering) with
+    * `clustering = 3·triangles / wedges` (4dp; 0.0 when wedge-free).
+    *
+    * Plan shape is the degree-oriented wedge join (the MapReduce
+    * triangle-counting standard, cf. Suri & Vassilvitskii WWW'11
+    * "Counting Triangles and the Curse of the Last Reducer"): every
+    * edge is oriented from its (degree, id)-smaller endpoint to the
+    * larger, wedges form only at each edge's LOWER-degree end, and a
+    * triangle is a wedge whose closing pair is itself an oriented edge
+    * — a hub with degree d contributes O(d^1.5)-bounded wedge work
+    * instead of O(d²), which is exactly the fix for the "curse of the
+    * last reducer" on power-law dup graphs. The closing-edge join is
+    * an equi-join on the oriented pair (consistent total order ⇒ the
+    * closing edge can only appear as (v1, v2)), never a broadcast of
+    * the edge set. Wedge COUNT (for the coefficient) is Σ C(deg, 2) —
+    * derived from the degree table, no wedge materialization.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String = "id_a",
+                    dstCol: String = "id_b"): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // degrees + both orientation joins read it
+    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true) // wedge-count agg + two orientation joins
+    // orient low → high under the (deg, id) total order
+    val aOrd = struct(col("da").as("d"), col("a").as("i"))
+    val bOrd = struct(col("db").as("d"), col("b").as("i"))
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(when(aOrd < bOrd, col("a")).otherwise(col("b")).as("u"),
+        when(aOrd < bOrd, bOrd).otherwise(aOrd).as("w"))
+      .select(col("u"), col("w.i").as("v"), col("w").as("vord"))
+      .localCheckpoint(true) // wedge self-join (2×) + closing-edge join
+    val wedgePairs = oriented.as("e1")
+      .join(oriented.select(col("u"), col("v").as("v2"), col("vord").as("vord2")).as("e2"), Seq("u"))
+      .filter(col("vord") < col("vord2"))
+      .select(col("v").as("u"), col("v2").as("v"))
+    val tri = wedgePairs.join(oriented.select("u", "v"), Seq("u", "v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val counts = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(deg) div 2").as("n_edges"),
+      sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    counts.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        Rounding.round(
+          when(col("n_wedges") > 0,
+            lit(3.0) * col("n_triangles") / col("n_wedges")).otherwise(0.0), 4)
+          .as("clustering"))
+  }
 }

@@ -275,4 +275,35 @@ object RelOps {
         Rounding.round(col("n_active") / col("__cohort_n").cast("double"), 4)
           .as("retention_rate"))
   }
+
+  /** Rolling N-day active users (the WAU/MAU report): for every day
+    * present in the data, how many distinct users were active in the
+    * trailing `windowDays` window ending that day.
+    *
+    * Plan shape: distinct (user, day) FIRST (epoch-day integer
+    * arithmetic; the dedup caps any user's contribution at one row per
+    * day), then each activity row expands map-side into the ≤
+    * `windowDays` report days it feeds — a bounded ×N fan-out, not a
+    * self-join of days×days — re-dedups per (user, report day), and
+    * rolls up. Report days are clamped to days that actually occur
+    * (broadcast of the distinct-day table: decades of daily grain stay
+    * in the kilobytes). No window function, no per-day scan — the
+    * whole report is two dedup shuffles and a count.
+    */
+  def rollingActive(events: DataFrame, windowDays: Int = 7,
+                    userCol: String = "user_id", secCol: String = "sec"): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val act = events
+      .select(col(userCol).as("__u"), expr(s"$secCol div 86400").as("__d"))
+      .distinct()
+      .localCheckpoint(true) // day table + the expansion both read it
+    val days = act.select(col("__d").as("__rd")).distinct()
+    act
+      .select(col("__u"),
+        explode(sequence(col("__d"), col("__d") + (windowDays - 1))).as("__rd"))
+      .distinct()
+      .join(broadcast(days), Seq("__rd"))
+      .groupBy("__rd").agg(count(lit(1)).as("active_users"))
+      .select(col("__rd").as("day"), col("active_users"))
+  }
 }

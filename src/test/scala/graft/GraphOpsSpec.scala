@@ -102,4 +102,20 @@ class GraphOpsSpec extends AnyFunSuite {
       1L -> ((2L, 0.9, 3L)),
       10L -> ((10L, 0.2, 2L))))
   }
+
+  test("triangleStats: triangle + pendant, dup/reversed/self edges collapse, star counts zero") {
+    // triangle 1-2-3 with pendant 3-4; (2,1) repeats (1,2) reversed,
+    // (2,2) is a self-loop — both must vanish in normalization.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 1L), (2L, 2L))
+      .toDF("id_a", "id_b")
+    val r = GraphOps.triangleStats(edges).collect()(0)
+    // degrees 2,2,3,1 → wedges 1+1+3+0 = 5; one triangle; 3·1/5 = 0.6
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      === ((4L, 4L, 5L, 1L, 0.6)))
+    // star: hub 0 with 5 leaves — C(5,2)=10 wedges, no closures
+    val star = (1L to 5L).map(l => (0L, l)).toDF("id_a", "id_b")
+    val s = GraphOps.triangleStats(star).collect()(0)
+    assert((r.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3), s.getDouble(4))
+      === ((4L, 5L, 10L, 0L, 0.0)))
+  }
 }

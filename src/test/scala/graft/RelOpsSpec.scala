@@ -176,4 +176,19 @@ class RelOpsSpec extends AnyFunSuite {
       (0L, 2L) -> ((1L, 0.5)), (0L, 3L) -> ((1L, 0.5)),
       (1L, 0L) -> ((1L, 1.0))))
   }
+
+  test("rollingActive: trailing window, report days clamped to observed days, dedup within window") {
+    val day = 86400L
+    val ev = Seq(
+      (1L, 0L), (1L, 10L),      // u1 day 0 (twice — dedup)
+      (1L, 3 * day), (2L, 5L),  // u1 day 3, u2 day 0
+      (3L, 20 * day))           // u3 day 20, isolated
+      .toDF("user_id", "sec")
+    val got7 = RelOps.rollingActive(ev).as[(Long, Long)].collect().toMap
+    // day 3 sees u1 (days 0 AND 3 — still one) and u2 (day 0, within 7)
+    assert(got7 === Map(0L -> 2L, 3L -> 2L, 20L -> 1L))
+    val got2 = RelOps.rollingActive(ev, windowDays = 2).as[(Long, Long)].collect().toMap
+    // 2-day window: day 3 only sees u1's own day-3 activity
+    assert(got2 === Map(0L -> 2L, 3L -> 1L, 20L -> 1L))
+  }
 }
