@@ -1005,7 +1005,39 @@ private[graft] object OpsEntries {
     // (incremental edits) in one clustering coefficient.
     "q165_dup_triangles" -> ((s, dir) =>
       graft.ops.GraphOps.triangleStats(
-        DedupOps.minHashCandidates(t(s, dir, "documents"))))
+        DedupOps.minHashCandidates(t(s, dir, "documents")))),
+
+    // Flesch reading-ease: the rule-based readability tier of the
+    // quality family — map-only, stays in codegen.
+    "q166_readability" -> ((s, dir) => TextOps.readabilityFrame(t(s, dir, "documents"))),
+
+    // Tokenizer fertility by language: subwords per word under the
+    // q119 trained merge table — the tokenizer-fairness metric.
+    "q167_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mergeTable = TextOps.bpeTrain(docs, merges = 6)
+        .orderBy("step").collect().map(_.getString(1)).toSeq
+      TextOps.bpeApply(docs, mergeTable)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(sum("n_words").as("n_words"), sum("n_subwords").as("n_subwords"))
+        .withColumn("fertility", round(col("n_subwords") / col("n_words").cast("double"), 4))
+    }),
+
+    // Per-source surprisal outliers: the loss-spike detector — docs
+    // anomalous against their OWN source's LM-score distribution.
+    "q168_surprisal_outliers" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.surprisalOutliers(TextOps.unigramLogProb(docs), docs)
+    }),
+
+    // PSI drift between the even- and odd-id corpus halves on the
+    // quality score — the monitoring gate for a new crawl batch.
+    "q169_psi_drift" -> ((s, dir) =>
+      ModelOps.psiDrift(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality_score")),
+        sideACol = col("doc_id") % 2 === 0))
   )
 
   // ---- DuckDB oracle SQL (independent re-implementation) ----
@@ -1206,7 +1238,10 @@ private[graft] object OpsEntries {
     * word → symbol mapping, which the training chain discards), then
     * per-document subword counts through the word join.
     */
-  private def bpeApplySql(merges: Int): String = {
+  /** Shared train+apply chain ending at CTEs `docw(doc_id, w)` and
+    * `sub(w, n_sub)` — q119 rolls up per doc, q167 per language.
+    */
+  private def bpeApplyCtes(merges: Int): String = {
     // MATERIALIZED on the w_i chain for the same reason as
     // [[bpeTrainSql]] — measured 11.6 s → 0.2 s at sf0.1
     val sb = new StringBuilder
@@ -1230,10 +1265,20 @@ private[graft] object OpsEntries {
     sb.append(
       s"""docw AS (SELECT doc_id, unnest($toksExpr) AS w FROM documents WHERE text IS NOT NULL),
          |sub AS (SELECT w, len(string_split(trim(sym), ' ')) AS n_sub FROM w$merges)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_subwords
-         |FROM docw JOIN sub USING (w) GROUP BY doc_id""".stripMargin)
+         |""".stripMargin)
     sb.toString
   }
+
+  private def bpeApplySql(merges: Int): String =
+    bpeApplyCtes(merges) +
+      """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_subwords
+        |FROM docw JOIN sub USING (w) GROUP BY doc_id""".stripMargin
+
+  private def bpeFertilitySql(merges: Int): String =
+    bpeApplyCtes(merges) +
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+        |       round(sum(n_sub) / CAST(count(*) AS DOUBLE), 4) AS fertility
+        |FROM docw JOIN sub USING (w) JOIN documents USING (doc_id) GROUP BY lang""".stripMargin
 
   /** SQ8 bounds + per-dim steps: 4dp-rounded min/max over the corpus —
     * the replay of `SimilarityOps.sqTrain` (shared by q126/q127).
@@ -3211,6 +3256,60 @@ private[graft] object OpsEntries {
          |       CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
          |       round(avg(nll), 4) AS avg_nll
          |FROM sc GROUP BY doc_id""".stripMargin,
+
+    "q166_readability" ->
+      s"""WITH r AS (SELECT doc_id, CAST(len($toksExpr) AS BIGINT) AS n_words,
+         |             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+         |             greatest(CAST(1 AS BIGINT),
+         |               CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences
+         |           FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id, n_words, n_syllables, n_sentences,
+         |       round(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+         |             - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 4) AS flesch
+         |FROM r WHERE n_words > 0""".stripMargin,
+
+    "q167_bpe_fertility" -> bpeFertilitySql(merges = 6),
+
+    "q168_surprisal_outliers" ->
+      s"""WITH dt AS (SELECT doc_id, unnest($toksExpr) AS tok FROM documents),
+         |tc AS (SELECT tok, count(*) AS cnt FROM dt GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS total FROM tc),
+         |scored AS (SELECT dt.doc_id, round(-log2(CAST(tc.cnt AS DOUBLE) / tot.total), 6) AS nll
+         |           FROM dt JOIN tc USING (tok) CROSS JOIN tot),
+         |lm AS (SELECT doc_id, round(avg(nll), 4) AS avg_nll FROM scored GROUP BY 1),
+         |jx AS (SELECT lm.doc_id, d.source, avg_nll,
+         |         CAST(round(avg_nll * 10000) AS BIGINT) AS x4
+         |       FROM lm JOIN documents d USING (doc_id)),
+         |stx AS (SELECT source, count(*) AS n, sum(x4) AS s, sum(x4 * x4) AS s2
+         |        FROM jx GROUP BY 1),
+         |stv AS (SELECT source, n, s,
+         |          (CAST(s2 AS DOUBLE) * n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+         |            / (CAST(n AS DOUBLE) * n * (n - 1)) AS var8
+         |        FROM stx WHERE n >= 2)
+         |SELECT jx.doc_id, jx.source, jx.avg_nll,
+         |       round((x4 - CAST(s AS DOUBLE) / n) / sqrt(var8), 4) AS z
+         |FROM jx JOIN stv USING (source)
+         |WHERE var8 > 0
+         |  AND abs(round((x4 - CAST(s AS DOUBLE) / n) / sqrt(var8), 4)) >= 2""".stripMargin,
+
+    "q169_psi_drift" ->
+      s"""WITH q AS ($q26Sql),
+         |qf AS (SELECT doc_id, quality_score FROM q WHERE quality_score IS NOT NULL),
+         |b AS (SELECT CAST(least(CAST(floor(quality_score * 10) AS BIGINT), 9) AS INTEGER) AS bin,
+         |        CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |        CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS cb
+         |      FROM qf GROUP BY 1),
+         |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM b),
+         |g AS (SELECT CAST(t.g AS INTEGER) AS bin FROM range(0, 10) t(g)),
+         |f AS (SELECT g.bin, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+         |      FROM g LEFT JOIN b USING (bin)),
+         |t6 AS (SELECT na, nb,
+         |         CAST(round((((ca + 1) / (na + 10.0)) - ((cb + 1) / (nb + 10.0)))
+         |           * ln(((ca + 1) / (na + 10.0)) / ((cb + 1) / (nb + 10.0))) * 1000000) AS BIGINT) AS t6
+         |       FROM f CROSS JOIN tot)
+         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |       round(sum(t6) / 1000000.0, 6) AS psi
+         |FROM t6 GROUP BY na, nb""".stripMargin,
 
     "q165_dup_triangles" ->
       s"""$minhashCtes,

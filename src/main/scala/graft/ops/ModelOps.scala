@@ -200,6 +200,44 @@ object ModelOps {
           .otherwise(0.5).as("auc"))
   }
 
+  /** Population Stability Index between two corpus slices — the
+    * standard drift metric of model monitoring, applied to data
+    * curation: has the quality/score distribution of slice B (a new
+    * crawl, this week's batch) drifted from slice A (the baseline)?
+    * `PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i)` over 10 FIXED deciles of
+    * the [0, 1] score (fixed bins, not baseline quantiles — the
+    * replayable variant), add-1 smoothed so empty bins contribute
+    * finite terms. Rule of thumb: < 0.1 stable, > 0.25 drifted.
+    *
+    * Determinism: per-bin terms bank as integer micro-nats before the
+    * sum (the q140 recipe). Plan: one binning aggregate over each side
+    * of ONE scan (conditional sums — the sides are never scanned
+    * separately), a 10-row grid, one rollup.
+    *
+    * Output: one row (n_a, n_b, psi) — psi rounded 6dp.
+    */
+  def psiDrift(scores: DataFrame, sideACol: Column, valueCol: String = "quality_score"): DataFrame = {
+    val binned = scores
+      .groupBy(least(floor(col(valueCol) * 10).cast("long"), lit(9L)).cast("int").as("bin"))
+      .agg(sum(when(sideACol, 1L).otherwise(0L)).as("ca"),
+        sum(when(sideACol, 0L).otherwise(1L)).as("cb"))
+      .localCheckpoint(true) // ≤10 rows; totals + the grid join both read it
+    val grid = scores.sparkSession.range(0, 10).select(col("id").cast("int").as("bin"))
+    val tot = binned.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    grid.join(binned, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        round((((col("ca") + 1) / (col("na") + lit(10.0)))
+          - ((col("cb") + 1) / (col("nb") + lit(10.0))))
+          * log(((col("ca") + 1) / (col("na") + lit(10.0)))
+            / ((col("cb") + 1) / (col("nb") + lit(10.0)))) * 1e6).cast("long").as("__t6"))
+      .groupBy("na", "nb")
+      .agg(round(sum("__t6") / 1e6, 6).as("psi"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("psi"))
+  }
+
   /** Calibration-by-decile report: does a predicted probability of 0.x
     * mean an 0.x empirical positive rate? Bins on `floor(p·10)` capped
     * at 9 (p = 1.0 joins the top bin); per bin the mean prediction is

@@ -1613,6 +1613,77 @@ object TextOps {
     out.toSeq.toDF("step", "pair", "weight")
   }
 
+  /** Flesch reading-ease per document — the classic rule-based
+    * readability score, `206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words)`, with the standard cheap proxies:
+    * syllables ≈ vowel-group count (`[aeiouy]+` runs), sentences ≈
+    * terminal-punctuation runs floored at 1. Map-only (two regexp
+    * counts + the token count per row — stays in codegen, no shuffle);
+    * both proxies and the formula replay verbatim in SQL.
+    *
+    * Output per doc with ≥ 1 token: (doc_id, n_words, n_syllables,
+    * n_sentences, flesch) — flesch rounded 4dp, uncapped (the raw
+    * formula range, per the original definition).
+    */
+  def readabilityFrame(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_words"),
+        regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long").as("n_syllables"),
+        greatest(lit(1L), regexp_count(col(textCol), lit("[.!?]+")).cast("long")).as("n_sentences"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 4))
+
+  /** Per-source surprisal outliers — the loss-spike detector of corpus
+    * QC: docs whose LM surprisal sits ≥ `zThreshold` standard
+    * deviations from their OWN source's mean (a doc that is ordinary
+    * for src_web may be an anomaly inside src_books). Takes the SCORED
+    * frame ([[unigramLogProb]] output or any (id, score) frame) so the
+    * expensive LM pass stays with the caller ([[perplexityBuckets]]'s
+    * contract).
+    *
+    * Determinism: the 4dp scores quantize to integer 1e-4 units; the
+    * per-group Σx and Σx² bank exactly (Σx² in 128-bit — decimal here,
+    * HUGEINT in the oracle — so no 64-bit ceiling on group size), and
+    * mean/std/z then derive by the IDENTICAL double expression in both
+    * engines. z rounds 4dp BEFORE the threshold filter, so the kept
+    * set is engine-stable at the boundary. Groups with n < 2 or zero
+    * variance emit nothing (no z is defined).
+    *
+    * Plan shape: one group-keyed stats aggregate (|groups| rows,
+    * broadcast back) over the joined frame, which is checkpointed —
+    * stats and the z projection both read it.
+    *
+    * Output: (<idCol>, <groupCol>, <scoreCol>, z) for |z| ≥ threshold.
+    */
+  def surprisalOutliers(scored: org.apache.spark.sql.DataFrame,
+                        groups: org.apache.spark.sql.DataFrame,
+                        zThreshold: Double = 2.0, idCol: String = "doc_id",
+                        groupCol: String = "source",
+                        scoreCol: String = "avg_nll"): org.apache.spark.sql.DataFrame = {
+    val j = scored.select(col(idCol), col(scoreCol))
+      .join(groups.select(col(idCol), col(groupCol)), Seq(idCol))
+      .withColumn("__x4", round(col(scoreCol) * 1e4).cast("long"))
+      .localCheckpoint(true) // stats + the z projection both read it
+    val stats = j.groupBy(groupCol)
+      .agg(count(lit(1)).as("__n"), sum("__x4").as("__s"),
+        sum((col("__x4") * col("__x4")).cast("decimal(38,0)")).as("__s2"))
+      .filter(col("__n") >= 2)
+      .select(col(groupCol), col("__n"), col("__s"),
+        ((col("__s2").cast("double") * col("__n") - col("__s").cast("double") * col("__s"))
+          / (col("__n").cast("double") * col("__n") * (col("__n") - 1))).as("__var8"))
+      .filter(col("__var8") > 0)
+    j.join(broadcast(stats), Seq(groupCol))
+      .withColumn("z",
+        round((col("__x4") - col("__s").cast("double") / col("__n")) / sqrt(col("__var8")), 4))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(col(idCol), col(groupCol), col(scoreCol), col("z"))
+  }
+
   /** Stupid-Backoff bigram LM scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation") — the smoothing that made
     * count-based LMs work at web scale precisely BECAUSE it is pure

@@ -84,6 +84,45 @@ class ModelOpsSpec extends AnyFunSuite {
     assert(got(20L) === ((1L, 1L, 3.9069)))
   }
 
+  test("readabilityFrame: hand-computed Flesch, sentence floor, zero-word docs excluded") {
+    val docs = Seq((1L, "the cat sat"), (2L, "Hi! Go now."), (3L, "!!!"))
+      .toDF("doc_id", "text")
+    val got = TextOps.readabilityFrame(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // 3 words, 3 vowel groups, sentence floor 1:
+    // 206.835 − 1.015·3 − 84.6·1 = 119.19
+    assert(got(1L) === ((3L, 3L, 1L, 119.19)))
+    // "Hi! Go now." → 3 words, 3 vowel groups, 2 sentences:
+    // 206.835 − 1.015·1.5 − 84.6·1 = 120.7125
+    assert(got(2L) === ((3L, 3L, 2L, 120.7125)))
+    assert(!got.contains(3L)) // punctuation-only: no words, no row
+  }
+
+  test("surprisalOutliers: hand-computed z, zero-variance and singleton groups emit nothing") {
+    val scored = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 2.0),
+      (5L, 7.0), (6L, 7.0), (7L, 3.0)).toDF("doc_id", "avg_nll")
+    val groups = Seq((1L, "g1"), (2L, "g1"), (3L, "g1"), (4L, "g1"),
+      (5L, "g2"), (6L, "g2"), (7L, "g3")).toDF("doc_id", "source")
+    val got = TextOps.surprisalOutliers(scored, groups).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // g1: mean 1.25, var = (4·7e8 − 25e8)/48 (1e-4 units²) → std 0.25:
+    // the 2.0 doc is z = +3, the 1.0 docs are z = −1 (not flagged)
+    assert(got === Map(4L -> 3.0))
+  }
+
+  test("psiDrift: identical halves 0.0, fully separated deciles pin to the banked value") {
+    val same = Seq((0L, 0.5), (1L, 0.5), (2L, 0.5), (3L, 0.5))
+      .toDF("doc_id", "quality_score")
+    val r0 = ModelOps.psiDrift(same, col("doc_id") % 2 === 0).collect()(0)
+    assert((r0.getLong(0), r0.getLong(1), r0.getDouble(2)) === ((2L, 2L, 0.0)))
+    // A (even ids) all in bin 9, B (odd) all in bin 0, 4 docs each:
+    // two non-zero terms of (5/14 − 1/14)·ln 5 → 0.459839 banked twice
+    val split = (0L until 8L).map(i => (i, if (i % 2 == 0) 0.95 else 0.05))
+      .toDF("doc_id", "quality_score")
+    val r1 = ModelOps.psiDrift(split, col("doc_id") % 2 === 0).collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getDouble(2)) === ((4L, 4L, 0.919678)))
+  }
+
   test("tfidfCosineVerify: identical docs 1.0, disjoint docs 0.0, empty doc 0.0") {
     val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "p q"), (4L, "")).toDF("doc_id", "text")
     val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
