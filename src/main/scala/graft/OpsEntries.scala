@@ -1037,7 +1037,14 @@ private[graft] object OpsEntries {
       ModelOps.psiDrift(
         t(s, dir, "documents").filter(col("text").isNotNull)
           .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality_score")),
-        sideACol = col("doc_id") % 2 === 0))
+        sideACol = col("doc_id") % 2 === 0)),
+
+    // SQ8 reconstruction MSE: what the 4x compression tier costs in
+    // geometry on THIS corpus — the quantization QA gate.
+    "q173_sq_recon_error" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.sqReconError(e, SimilarityOps.sqTrain(e))
+    })
   )
 
   // ---- DuckDB oracle SQL (independent re-implementation) ----
@@ -3256,6 +3263,18 @@ private[graft] object OpsEntries {
          |       CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
          |       round(avg(nll), 4) AS avg_nll
          |FROM sc GROUP BY doc_id""".stripMargin,
+
+    "q173_sq_recon_error" ->
+      s"""WITH $sqCtes,
+         |enc AS (SELECT CAST(e.embedding[s.pos] AS DOUBLE) AS v, s.lo, s.step,
+         |          CASE WHEN s.step > 0
+         |               THEN least(255, greatest(0, CAST(round((CAST(e.embedding[s.pos] AS DOUBLE) - s.lo) / s.step) AS INTEGER)))
+         |               ELSE 0 END AS code
+         |        FROM embeddings e CROSS JOIN sqs s WHERE e.embedding IS NOT NULL),
+         |er AS (SELECT CAST(round((v - (lo + code * step)) * 1000000) AS BIGINT) AS e6 FROM enc)
+         |SELECT CAST(count(*) // 64 AS BIGINT) AS n_vecs, CAST(count(*) AS BIGINT) AS n_vals,
+         |       round(sum(e6 * e6) / CAST(count(*) AS DOUBLE) / 1000000000000.0, 6) AS mse
+         |FROM er""".stripMargin,
 
     "q166_readability" ->
       s"""WITH r AS (SELECT doc_id, CAST(len($toksExpr) AS BIGINT) AS n_words,

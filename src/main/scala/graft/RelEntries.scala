@@ -24,6 +24,18 @@ private[graft] object RelEntries {
     (0 until 10).map(k => (k, 1704067200L + k * 259200L, 1704067200L + k * 259200L + 172800L))
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Earliest-chain funnel CTEs (view → click → purchase) shared by
+    * the q162 level rollup and the q170 conversion report.
+    */
+  private val funnelCtes =
+    """e AS (SELECT user_id AS u, event_type AS t,
+      |       CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+      |m1 AS (SELECT u, min(s) AS m1 FROM e WHERE t = 'view' GROUP BY u),
+      |m2 AS (SELECT e.u, m1.m1, min(s) AS m2 FROM e JOIN m1 ON e.u = m1.u
+      |       WHERE t = 'click' AND s > m1.m1 GROUP BY e.u, m1.m1),
+      |m3 AS (SELECT e.u, m2.m1, min(s) AS m3 FROM e JOIN m2 ON e.u = m2.u
+      |       WHERE t = 'purchase' AND s > m2.m2 GROUP BY e.u, m2.m1)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // As-of join: per (user, probe time) the latest event value <= t.
     // Events deduped to one row per (user, sec) first so ties are
@@ -84,6 +96,32 @@ private[graft] object RelEntries {
     // map-side fan-out), never a days×days self-join.
     "q164_rolling_active" -> ((s, dir) =>
       RelOps.rollingActive(events(s, dir))),
+
+    // Funnel conversion report: entered / converted / rate + exact
+    // p50/p90 time-to-convert over q162's earliest chains.
+    "q170_funnel_report" -> ((s, dir) =>
+      RelOps.funnelReport(events(s, dir), Seq("view", "click", "purchase"), 3600L)),
+
+    // Robust per-type value outliers: median/MAD (insensitive to the
+    // outliers being hunted, unlike mean/std).
+    "q171_mad_outliers" -> ((s, dir) =>
+      RelOps.madOutliers(events(s, dir))),
+
+    // Most common within-session event-type trigrams: behavioral
+    // n-grams over the q41 sessionization, take-ordered top 20.
+    "q172_event_trigrams" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sess = RelOps.sessionize(events(s, dir), Seq("user_id"), "sec", 1800L, Seq("event_id"))
+      val w = Window.partitionBy("user_id", "session_idx").orderBy("sec", "event_id")
+      val counts = sess
+        .select(col("event_type").as("t1"),
+          lead("event_type", 1).over(w).as("t2"), lead("event_type", 2).over(w).as("t3"))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("trigram"))
+        .groupBy("trigram").agg(count(lit(1)).as("n"))
+      val rw = Window.orderBy(col("n").desc, col("trigram").asc)
+      counts.withColumn("rank", row_number().over(rw)).filter(col("rank") <= 20)
+    }),
 
     // Pivot: event_type → columns, avg value per user cohort. Explicit
     // value list keeps the plan a single pass (no discovery collect).
@@ -221,18 +259,51 @@ private[graft] object RelEntries {
          |  ON p.user_id = e.user_id AND p.probe_ts <= e.sec""".stripMargin,
 
     "q162_window_funnel" ->
-      """WITH e AS (SELECT user_id AS u, event_type AS t,
-        |            CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
-        |m1 AS (SELECT u, min(s) AS m1 FROM e WHERE t = 'view' GROUP BY u),
-        |m2 AS (SELECT e.u, m1.m1, min(s) AS m2 FROM e JOIN m1 ON e.u = m1.u
-        |       WHERE t = 'click' AND s > m1.m1 GROUP BY e.u, m1.m1),
-        |m3 AS (SELECT e.u, m2.m1, min(s) AS m3 FROM e JOIN m2 ON e.u = m2.u
-        |       WHERE t = 'purchase' AND s > m2.m2 GROUP BY e.u, m2.m1)
-        |SELECT m1.u AS user_id,
-        |  CAST(CASE WHEN m3.m3 IS NOT NULL AND m3.m3 - m1.m1 <= 3600 THEN 3
-        |            WHEN m2.m2 IS NOT NULL AND m2.m2 - m1.m1 <= 3600 THEN 2
-        |            ELSE 1 END AS INTEGER) AS funnel_level
-        |FROM m1 LEFT JOIN m2 ON m1.u = m2.u LEFT JOIN m3 ON m1.u = m3.u""".stripMargin,
+      s"""WITH $funnelCtes
+         |SELECT m1.u AS user_id,
+         |  CAST(CASE WHEN m3.m3 IS NOT NULL AND m3.m3 - m1.m1 <= 3600 THEN 3
+         |            WHEN m2.m2 IS NOT NULL AND m2.m2 - m1.m1 <= 3600 THEN 2
+         |            ELSE 1 END AS INTEGER) AS funnel_level
+         |FROM m1 LEFT JOIN m2 ON m1.u = m2.u LEFT JOIN m3 ON m1.u = m3.u""".stripMargin,
+
+    "q170_funnel_report" ->
+      s"""WITH $funnelCtes,
+         |conv AS (SELECT m3 - m1 AS tts FROM m3 WHERE m3 - m1 <= 3600),
+         |en AS (SELECT count(*) AS n_entered FROM m1)
+         |SELECT (SELECT n_entered FROM en) AS n_entered,
+         |       CAST(count(*) AS BIGINT) AS n_converted,
+         |       round(count(*) / CAST((SELECT n_entered FROM en) AS DOUBLE), 4) AS conversion_rate,
+         |       round(quantile_cont(tts, 0.5), 4) AS p50_sec,
+         |       round(quantile_cont(tts, 0.9), 4) AS p90_sec
+         |FROM conv""".stripMargin,
+
+    "q171_mad_outliers" ->
+      """WITH e AS (SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL),
+        |med AS (SELECT g, quantile_cont(v, 0.5) AS med FROM e GROUP BY g),
+        |dev AS (SELECT e.g, med, abs(v - med) AS dev FROM e JOIN med USING (g)),
+        |mad AS (SELECT g, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY g)
+        |SELECT dev.g AS event_type, count(*) AS n,
+        |       round(min(med), 4) AS median, round(min(mad.mad), 4) AS mad,
+        |       CAST(sum(CASE WHEN dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (g) GROUP BY dev.g""".stripMargin,
+
+    "q172_event_trigrams" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |            CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |f AS (SELECT *, CASE WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |s AS (SELECT user_id, event_id, event_type, sec,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si
+        |      FROM f),
+        |t AS (SELECT event_type || '>' || lead(event_type, 1) OVER w2
+        |             || '>' || lead(event_type, 2) OVER w2 AS trigram,
+        |        lead(event_type, 2) OVER w2 AS t3
+        |      FROM s WINDOW w2 AS (PARTITION BY user_id, si ORDER BY sec, event_id)),
+        |c AS (SELECT trigram, count(*) AS n FROM t WHERE t3 IS NOT NULL GROUP BY trigram)
+        |SELECT trigram, n, CAST(r AS INTEGER) AS rank
+        |FROM (SELECT *, row_number() OVER (ORDER BY n DESC, trigram) AS r FROM c)
+        |WHERE r <= 20""".stripMargin,
 
     "q163_cohort_retention" ->
       """WITH act AS (SELECT DISTINCT user_id AS u,

@@ -207,6 +207,23 @@ object RelOps {
   def windowFunnel(events: DataFrame, steps: Seq[String], windowSeconds: Long,
                    userCol: String = "user_id", typeCol: String = "event_type",
                    secCol: String = "sec"): DataFrame = {
+    val levels = funnelChains(events, steps, userCol, typeCol, secCol)
+    // deepest level whose step time fits the window of m1
+    val lvl = levels.zipWithIndex.map { case (df, i) =>
+      df.filter(col("m") - col("m1") <= windowSeconds)
+        .select(col("__u"), lit(i + 1).as("__lvl"))
+    }.reduce(_ unionByName _)
+    lvl.groupBy("__u").agg(max("__lvl").as("funnel_level"))
+      .select(col("__u").as(userCol), col("funnel_level"))
+  }
+
+  /** The earliest-chain frames shared by [[windowFunnel]] and
+    * [[funnelReport]]: element i is `(__u, m1, m)` for step i+1 —
+    * window filtering stays with the caller. Each stage checkpoints
+    * (read twice: its own consumer + the next stage's join).
+    */
+  private def funnelChains(events: DataFrame, steps: Seq[String], userCol: String,
+                           typeCol: String, secCol: String): Seq[DataFrame] = {
     require(steps.size >= 2, s"windowFunnel needs >= 2 steps, got ${steps.size}")
     val base = events
       .filter(col(typeCol).isin(steps.map(lit): _*))
@@ -214,8 +231,6 @@ object RelOps {
       .localCheckpoint(true) // read once per step
     // m(i): (user, m1, mi) — the chain's entry time rides along so the
     // window check at the end needs no extra join back to m(1)
-    // every chain(i) is read twice (its level filter + chain(i+1)'s
-    // join), so each stage checkpoints — per-user rows, tiny
     var chain = base.filter(col("__t") === steps.head)
       .groupBy("__u").agg(min("__s").as("m1"))
       .withColumn("m", col("m1"))
@@ -229,13 +244,75 @@ object RelOps {
         .localCheckpoint(true)
       levels += chain.select(col("__u"), col("m1"), col("m"))
     }
-    // deepest level whose step time fits the window of m1
-    val lvl = levels.zipWithIndex.map { case (df, i) =>
-      df.filter(col("m") - col("m1") <= windowSeconds)
-        .select(col("__u"), lit(i + 1).as("__lvl"))
-    }.reduce(_ unionByName _)
-    lvl.groupBy("__u").agg(max("__lvl").as("funnel_level"))
-      .select(col("__u").as(userCol), col("funnel_level"))
+    levels.toSeq
+  }
+
+  /** Funnel conversion report — the rollup a funnel exists to answer:
+    * how many entered, how many fully converted inside the window, and
+    * how long conversion takes (exact interpolated p50/p90 of
+    * `m_last − m_1` over the converted users — the q44 percentile
+    * convention, so the SQL replay matches bit-for-bit). One aggregate
+    * over the (checkpointed) last chain frame; n_entered is a count of
+    * the (checkpointed) first — nothing recomputes.
+    *
+    * Output: one row (n_entered, n_converted, conversion_rate,
+    * p50_sec, p90_sec) — percentiles null when nobody converts.
+    */
+  def funnelReport(events: DataFrame, steps: Seq[String], windowSeconds: Long,
+                   userCol: String = "user_id", typeCol: String = "event_type",
+                   secCol: String = "sec"): DataFrame = {
+    val chains = funnelChains(events, steps, userCol, typeCol, secCol)
+    val entered = chains.head.agg(count(lit(1)).as("n_entered"))
+    chains.last
+      .filter(col("m") - col("m1") <= windowSeconds)
+      .select((col("m") - col("m1")).as("__tts"))
+      .agg(count(lit(1)).as("n_converted"),
+        percentile(col("__tts"), lit(0.5)).as("__p50"),
+        percentile(col("__tts"), lit(0.9)).as("__p90"))
+      .crossJoin(broadcast(entered))
+      .select(col("n_entered"), col("n_converted"),
+        Rounding.round(col("n_converted") / col("n_entered").cast("double"), 4)
+          .as("conversion_rate"),
+        Rounding.round(col("__p50"), 4).as("p50_sec"),
+        Rounding.round(col("__p90"), 4).as("p90_sec"))
+  }
+
+  /** Robust per-group outlier report via MAD (median absolute
+    * deviation) — the value-column twin of the z-score detector that a
+    * heavy-tailed metric needs: the median/MAD pair is insensitive to
+    * the very outliers being hunted, where mean/std are dragged by
+    * them. Flags `|v − median| > k·MAD` (k = 3 by default).
+    *
+    * Exact interpolated percentiles (the q44 convention — DuckDB
+    * quantile_cont-equal), so the whole report replays in SQL; at
+    * scales where exact per-group percentiles strain memory the same
+    * shape runs on `approx_percentile` (documented escape, not the
+    * audited default). Plan: median aggregate → broadcast back →
+    * deviation frame (checkpointed; MAD aggregate + final rollup both
+    * read it) → MAD aggregate → one rollup. All three aggregates key
+    * on the group column.
+    *
+    * Output per group: (<groupCol>, n, median, mad, n_outliers) —
+    * median/mad rounded 4dp; the flag compares UNROUNDED doubles,
+    * identical expression both engines.
+    */
+  def madOutliers(df: DataFrame, valueCol: String = "value",
+                  groupCol: String = "event_type", k: Double = 3.0): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .localCheckpoint(true) // median agg + deviation join both read it
+    val med = base.groupBy("__g").agg(percentile(col("__v"), lit(0.5)).as("__med"))
+    val dev = base.join(broadcast(med), Seq("__g"))
+      .withColumn("__dev", abs(col("__v") - col("__med")))
+      .localCheckpoint(true) // MAD agg + the final rollup both read it
+    val mad = dev.groupBy("__g").agg(percentile(col("__dev"), lit(0.5)).as("__mad"))
+    dev.join(broadcast(mad), Seq("__g"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n"),
+        Rounding.round(min("__med"), 4).as("median"),
+        Rounding.round(min("__mad"), 4).as("mad"),
+        sum(when(col("__dev") > lit(k) * col("__mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("__g").as(groupCol), col("n"), col("median"), col("mad"), col("n_outliers"))
   }
 
   /** Cohort retention triangle — the report behind ClickHouse's

@@ -690,6 +690,40 @@ object SimilarityOps {
           .otherwise(lit(0)).as("code"))
   }
 
+  /** SQ8 reconstruction-error report — the QA gate of the quantization
+    * tier: mean squared error between each float dimension and its
+    * decoded byte code (`lo_d + code·step_d`), i.e. how much geometry
+    * the 4× compression actually costs on THIS corpus. One map-only
+    * pass over the exploded vectors (encode and decode fuse into the
+    * same projection — the codes never materialize); per-dim errors
+    * quantize to integer 1e-6 units and the squared sum banks in
+    * 128-bit decimal (HUGEINT in the oracle), so the report is exact
+    * and order-free at any corpus size.
+    *
+    * Output: one row (n_vecs, n_vals, mse) — mse in squared value
+    * units, rounded 6dp.
+    */
+  def sqReconError(corpus: DataFrame, bounds: Array[(Double, Double)],
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val loArr = array(bounds.map(b => lit(b._1)).toIndexedSeq: _*)
+    val stepArr = array(bounds.map { case (lo, hi) =>
+      lit(if (hi > lo) (hi - lo) / 255.0 else 0.0) }.toIndexedSeq: _*)
+    val lo = element_at(loArr, col("pos") + 1)
+    val step = element_at(stepArr, col("pos") + 1)
+    val code = when(step > 0,
+      least(lit(255), greatest(lit(0),
+        round((col("v").cast("double") - lo) / step).cast("int"))))
+      .otherwise(lit(0))
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(round((col("v").cast("double") - (lo + code * step)) * 1e6)
+        .cast("long").as("__e6"))
+      .agg(count(lit(1)).as("n_vals"),
+        sum((col("__e6") * col("__e6")).cast("decimal(38,0)")).as("__ss"))
+      .select(expr(s"n_vals div ${bounds.length}").as("n_vecs"), col("n_vals"),
+        round(col("__ss").cast("double") / col("n_vals") / 1e12, 6).as("mse"))
+  }
+
   /** SQ8 asymmetric top-k: the corpus is scanned through its BYTE codes
     * only (the floats never re-read — SQ's serving contract); each
     * query's exact float vector scores against the DECODED corpus

@@ -177,6 +177,30 @@ class RelOpsSpec extends AnyFunSuite {
       (1L, 0L) -> ((1L, 1.0))))
   }
 
+  test("funnelReport: entered/converted counts, exact interpolated time-to-convert percentiles") {
+    val ev = Seq(
+      (1L, "view", 0L), (1L, "click", 5L), (1L, "purchase", 20L),   // converts in 20 s
+      (2L, "view", 0L), (2L, "click", 50L), (2L, "purchase", 100L), // converts in 100 s
+      (3L, "view", 0L))                                             // enters, never converts
+      .toDF("user_id", "event_type", "sec")
+    val r = RelOps.funnelReport(ev, Seq("view", "click", "purchase"), 3600L).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((3L, 2L, 0.6667)))
+    assert(r.getDouble(3) === 60.0) // interp of {20, 100} at 0.5
+    assert(r.getDouble(4) === 92.0) // 20 + 0.9·80
+  }
+
+  test("madOutliers: MAD ignores the outlier it flags; zero-MAD group flags any deviation") {
+    val ev = Seq(("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 100.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 4.0), ("b", 5.0))
+      .toDF("event_type", "value")
+    val got = RelOps.madOutliers(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    // a: median 1, MAD 0 → the 100 deviates > 0 and is flagged
+    assert(got("a") === ((5L, 1.0, 0.0, 1L)))
+    // b: median 3, MAD 1, max dev 2 ≤ 3·1 → clean
+    assert(got("b") === ((5L, 3.0, 1.0, 0L)))
+  }
+
   test("rollingActive: trailing window, report days clamped to observed days, dedup within window") {
     val day = 86400L
     val ev = Seq(
