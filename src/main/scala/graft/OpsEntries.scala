@@ -1044,6 +1044,37 @@ private[graft] object OpsEntries {
     "q173_sq_recon_error" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       SimilarityOps.sqReconError(e, SimilarityOps.sqTrain(e))
+    }),
+
+    // 10-core of the dup graph: iterative peeling to the densest
+    // mirror backbone; REFUSES rather than half-peels on round budget.
+    "q174_dup_kcore" -> ((s, dir) =>
+      graft.ops.GraphOps.kCore(
+        DedupOps.minHashCandidates(t(s, dir, "documents")), k = 10, maxRounds = 12)),
+
+    // The curation pipeline in ONE query: exact dup → near dup →
+    // quality gate, with precedence, per-doc verdict + reason.
+    "q175_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fp = docs.select(col("doc_id"),
+        coalesce(TextOps.fingerprint(col("text")),
+          concat(lit("id:"), col("doc_id").cast("string"))).as("fp"))
+        .localCheckpoint(true) // min-per-fp agg + the drop join both read it
+      val exactDropped = fp
+        .join(fp.groupBy("fp").agg(min("doc_id").as("keep_id")), Seq("fp"))
+        .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
+      val verified = DedupOps.jaccardVerify(DedupOps.minHashCandidates(docs), docs)
+      val nearDropped = verified.groupBy(col("id_b")).agg(max(col("jaccard")).as("mj"))
+        .filter(col("mj") >= 0.8).select(col("id_b").as("doc_id"))
+      docs.select(col("doc_id"), TextOps.qualityScore(col("text")).as("__q"))
+        .join(exactDropped.withColumn("__ex", lit(1)), Seq("doc_id"), "left")
+        .join(nearDropped.withColumn("__nd", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__ex") === 1, "exact_dup")
+            .when(col("__nd") === 1, "near_dup")
+            .when(col("__q") < 0.5, "low_quality")
+            .otherwise("kept").as("reason"))
+        .withColumn("keep", col("reason") === "kept")
     })
   )
 
@@ -3264,6 +3295,38 @@ private[graft] object OpsEntries {
          |       round(avg(nll), 4) AS avg_nll
          |FROM sc GROUP BY doc_id""".stripMargin,
 
+    "q174_dup_kcore" -> kCoreSql(k = 10, rounds = 12),
+
+    "q175_curation_pipeline" ->
+      s"""$minhashCtes,
+         |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
+         |g AS (SELECT doc_id, CASE WHEN len(norm) < 3 THEN [norm]
+         |        ELSE list_distinct(list_transform(generate_series(1, len(norm)-2), i -> substr(norm, i, 3))) END AS grams
+         |      FROM (SELECT doc_id, $norm AS norm FROM documents)),
+         |jx AS (SELECT id_a, id_b,
+         |        CAST(len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS DOUBLE) AS inter,
+         |        CAST(len(ga.grams) + len(gb.grams) AS DOUBLE) AS total
+         |      FROM cand JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b),
+         |nd AS (SELECT DISTINCT id_b AS doc_id FROM jx
+         |       WHERE round(CASE WHEN total - inter > 0 THEN inter / (total - inter) ELSE 0.0 END, 4) >= 0.8),
+         |fpt AS MATERIALIZED (SELECT doc_id,
+         |        coalesce(md5(CASE WHEN len($norm) > 0 THEN $norm ELSE text END),
+         |                 'id:' || CAST(doc_id AS VARCHAR)) AS fp
+         |      FROM documents),
+         |ex AS (SELECT doc_id FROM fpt
+         |       JOIN (SELECT fp, min(doc_id) AS keep_id FROM fpt GROUP BY fp) USING (fp)
+         |       WHERE doc_id <> keep_id),
+         |q AS ($q26Sql),
+         |v AS (SELECT d.doc_id,
+         |        CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+         |             WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+         |             WHEN q.quality_score < 0.5 THEN 'low_quality'
+         |             ELSE 'kept' END AS reason
+         |      FROM documents d LEFT JOIN ex ON ex.doc_id = d.doc_id
+         |        LEFT JOIN nd ON nd.doc_id = d.doc_id
+         |        JOIN q ON q.doc_id = d.doc_id)
+         |SELECT doc_id, reason, reason = 'kept' AS keep FROM v""".stripMargin,
+
     "q173_sq_recon_error" ->
       s"""WITH $sqCtes,
          |enc AS (SELECT CAST(e.embedding[s.pos] AS DOUBLE) AS v, s.lo, s.step,
@@ -3374,6 +3437,31 @@ private[graft] object OpsEntries {
          |  LEFT JOIN nrm na ON na.id = p.id_a
          |  LEFT JOIN nrm nb ON nb.id = p.id_b""".stripMargin
   )
+
+  /** Unrolled k-core peeling over the minhash dup graph: `rounds`
+    * fixed rounds of degree-filter-project (rounds past the fixpoint
+    * are no-ops, matching the engine's early exit); e_i MATERIALIZED —
+    * each round's edge set is read by the next round's degree count
+    * AND its own filters.
+    */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    def round(i: Int): String =
+      s"""d$i AS (SELECT v, count(*) AS deg
+         |      FROM (SELECT a AS v FROM e${i - 1} UNION ALL SELECT b AS v FROM e${i - 1}) GROUP BY v),
+         |k$i AS (SELECT v FROM d$i WHERE deg >= $k),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |      WHERE a IN (SELECT v FROM k$i) AND b IN (SELECT v FROM k$i)),
+         |""".stripMargin
+    s"""$minhashCtes,
+       |ced AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+       |      FROM ced WHERE id_a <> id_b),
+       |""".stripMargin + (1 to rounds).map(round).mkString.stripSuffix(",\n") +
+      s"""
+         |SELECT v AS id, count(*) AS deg
+         |FROM (SELECT a AS v FROM e$rounds UNION ALL SELECT b AS v FROM e$rounds)
+         |GROUP BY v""".stripMargin
+  }
 
   /** Unrolled logistic-regression training chain (the q156 family):
     * hashed-unigram features with a bias pseudo-bucket -1, then `iters`

@@ -191,6 +191,52 @@ object GraphOps {
       .select(col("component"), (-col("m.negid")).as("rep_id"),
         col("m.s").as("rep_score"), col("cluster_size"))
 
+  /** k-core of an undirected graph by iterative peeling: repeatedly
+    * drop vertices with degree < k until the fixpoint — the densest
+    * backbone of a near-dup graph (a 10-core member sits inside a
+    * heavily mirrored family; peripheral one-off dups peel away). The
+    * classic distributed formulation: each round is one degree
+    * aggregate and two semi-joins, all keyed on the vertex; lineage is
+    * cut per round (checkpoint) and convergence is a scalar edge
+    * count. Rounds are data-dependent but bounded: REFUSES on
+    * `maxRounds` exhaustion rather than returning a half-peeled graph
+    * (the [[connectedComponents]] discipline). The oracle unrolls
+    * `maxRounds` rounds — rounds after the fixpoint are no-ops, so
+    * early exit here and the fixed unroll there agree by construction.
+    *
+    * Output: (id, deg) for every core vertex, with its within-core
+    * degree (≥ k by definition).
+    */
+  def kCore(edges: DataFrame, k: Int = 3, maxRounds: Int = 8,
+            srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = e.count()
+    var converged = prev == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val keep = degrees(e).filter(col("deg") >= k).select("v")
+      e = e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(true)
+      val n = e.count()
+      converged = n == prev
+      prev = n
+    }
+    require(converged, s"kCore: no fixpoint after $maxRounds rounds (raise maxRounds)")
+    degrees(e).select(col("v").as("id"), col("deg"))
+  }
+
   /** Triangle census of an undirected graph — the density diagnostic of
     * a near-dup graph: a high global clustering coefficient means dup
     * pairs close into cliques (mirrored corpora, template families),

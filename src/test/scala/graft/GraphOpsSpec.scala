@@ -103,6 +103,23 @@ class GraphOpsSpec extends AnyFunSuite {
       10L -> ((10L, 0.2, 2L))))
   }
 
+  test("kCore: multi-round cascade peels the chain, the clique survives; budget exhaustion refuses") {
+    // K3 {1,2,3} plus the path 3-4-5-6: with k=2 the path peels one
+    // vertex per round from the far end (6 → 5 → 4 — a 3-round
+    // cascade), leaving exactly the triangle at degree 2.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val got = GraphOps.kCore(edges, k = 2, maxRounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // the same cascade cannot finish in 2 rounds: REFUSE, don't half-peel
+    assertThrows[IllegalArgumentException] {
+      GraphOps.kCore(edges, k = 2, maxRounds = 2).collect()
+    }
+    // k above the max degree: everything peels to the empty core
+    assert(GraphOps.kCore(edges, k = 5, maxRounds = 8).count() === 0L)
+  }
+
   test("triangleStats: triangle + pendant, dup/reversed/self edges collapse, star counts zero") {
     // triangle 1-2-3 with pendant 3-4; (2,1) repeats (1,2) reversed,
     // (2,2) is a self-loop — both must vanish in normalization.
