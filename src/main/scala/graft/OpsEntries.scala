@@ -1052,6 +1052,23 @@ private[graft] object OpsEntries {
       graft.ops.GraphOps.kCore(
         DedupOps.minHashCandidates(t(s, dir, "documents")), k = 10, maxRounds = 12)),
 
+    // Recall@k curve of the trained-IVF path vs brute force: the whole
+    // eval curve from ONE approx and ONE exact execution.
+    "q176_recall_curve" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      SimilarityOps.recallCurve(
+        SimilarityOps.ivfTrainedTopK(q, e, k = 10),
+        SimilarityOps.bruteForceTopK(q, e, 10))
+    }),
+
+    // Poisson-bootstrap CI on the mean quality score: error bars for a
+    // corpus metric, deterministic per-replica weights from the hash.
+    "q177_bootstrap_ci" -> ((s, dir) =>
+      ModelOps.bootstrapCi(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality_score")))),
+
     // The curation pipeline in ONE query: exact dup → near dup →
     // quality gate, with precedence, per-doc verdict + reason.
     "q175_curation_pipeline" -> ((s, dir) => {
@@ -1767,6 +1784,34 @@ private[graft] object OpsEntries {
          |SELECT ke.query_id, k_exact, coalesce(hits.h, 0) AS hits,
          |       round(coalesce(hits.h, 0) * 1.0 / k_exact, 6) AS recall
          |FROM ke LEFT JOIN hits ON ke.query_id = hits.query_id""".stripMargin
+
+  /** Recall@k-curve oracle: q90's trained-IVF replay and q24's
+    * brute-force replay (the SAME CTE text — the q101 no-drift rule),
+    * cut at every k of the curve via a k-values grid, per-query
+    * recalls averaged with integer 1e-6 banking.
+    */
+  private def recallCurveSql(k: Int = 8, iters: Int = 3, dims: Int = 64,
+                             nprobe: Int = 2, topK: Int = 10): String =
+    kmeansCtes(k, iters, dims) + kmeansAssignCtes(iters) + ivfProbeCtes(iters, nprobe) +
+      ",\n" + bruteCtes +
+      s""",
+         |ivr AS (SELECT query_id, neighbor_id, r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM iv)
+         |  WHERE r <= $topK),
+         |exr AS (SELECT query_id, neighbor_id, r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM bs)
+         |  WHERE r <= $topK),
+         |ks AS (SELECT unnest([1, 5, 10]) AS kk),
+         |exk AS (SELECT kk, query_id, neighbor_id FROM exr CROSS JOIN ks WHERE r <= kk),
+         |ivk AS (SELECT kk, query_id, neighbor_id FROM ivr CROSS JOIN ks WHERE r <= kk),
+         |hits AS (SELECT kk, query_id, count(*) AS h
+         |         FROM exk JOIN ivk USING (kk, query_id, neighbor_id) GROUP BY 1, 2),
+         |kex AS (SELECT kk, query_id, count(*) AS k_exact FROM exk GROUP BY 1, 2),
+         |pq AS (SELECT kk, query_id, round(coalesce(h, 0) * 1.0 / k_exact, 6) AS recall
+         |       FROM kex LEFT JOIN hits USING (kk, query_id))
+         |SELECT CAST(kk AS INTEGER) AS k, CAST(count(*) AS BIGINT) AS n_queries,
+         |       round(sum(CAST(round(recall * 1000000) AS BIGINT)) / count(*) / 1000000.0, 6) AS mean_recall
+         |FROM pq GROUP BY kk""".stripMargin
 
   /** The corpus-build replay (dedup → quality gate → per-source pack),
     * budget-parameterized: q88 (600, lazy plain-window pack) and q99
@@ -3296,6 +3341,30 @@ private[graft] object OpsEntries {
          |FROM sc GROUP BY doc_id""".stripMargin,
 
     "q174_dup_kcore" -> kCoreSql(k = 10, rounds = 12),
+
+    "q176_recall_curve" -> recallCurveSql(),
+
+    "q177_bootstrap_ci" -> {
+      val ts = graft.ops.ModelOps.poissonThresholds
+      val cases = ts.zipWithIndex.map { case (t, i) => s"WHEN u < $t THEN $i" }.mkString(" ")
+      s"""WITH q AS ($q26Sql),
+         |qf AS (SELECT doc_id, CAST(round(quality_score * 10000) AS BIGINT) AS x4
+         |       FROM q WHERE quality_score IS NOT NULL),
+         |rep AS (SELECT r FROM range(0, 50) t(r)),
+         |wgt AS (SELECT r, x4, CASE $cases ELSE ${ts.size} END AS w
+         |        FROM (SELECT r, x4,
+         |                CAST(concat('0x', substr(md5('11:' || CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+         |              FROM qf CROSS JOIN rep)),
+         |rm AS (SELECT r, CASE WHEN sum(w) > 0
+         |         THEN sum(w * x4) / CAST(sum(w) AS DOUBLE) / 10000.0 END AS m
+         |       FROM wgt GROUP BY r),
+         |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         sum(x4) / CAST(count(*) AS DOUBLE) / 10000.0 AS pm FROM qf)
+         |SELECT n_rows, CAST(50 AS INTEGER) AS n_replicas, round(pm, 6) AS point_mean,
+         |       round(quantile_cont(m, 0.025), 6) AS ci_lo,
+         |       round(quantile_cont(m, 0.975), 6) AS ci_hi
+         |FROM rm CROSS JOIN pt GROUP BY n_rows, pm""".stripMargin
+    },
 
     "q175_curation_pipeline" ->
       s"""$minhashCtes,

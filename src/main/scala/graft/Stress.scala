@@ -181,7 +181,7 @@ object Stress {
     // printed exponent log_x(t_x / t_1) is the evidence SCALE.md's
     // 100 TB claims cite: ~1.0 = linear, ≫1 = a plan that would not
     // survive the next order of magnitude.
-    if (which == "scale" || which == "scale7") {
+    if (which == "scale" || which == "scale7" || which == "scale7b") {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       val scaleDir = "/tmp/graft_scale_x" + x
@@ -195,6 +195,17 @@ object Stress {
           transform(col("embedding"), e => e + lit(0.001f * i)).as("embedding"),
           col("label"))
       }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
+      if (which == "scale7b") {
+        // events replica for the behavioral family: user ids offset per
+        // copy so the user population grows ×x with per-user structure
+        // (event order, sessions, funnels) preserved
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        (0 until x).map { i =>
+          ev.withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L))
+            .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+        }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$scaleDir/events.parquet")
+      }
 
       val spillB = new java.util.concurrent.atomic.AtomicLong
       val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
@@ -219,6 +230,14 @@ object Stress {
           Seq("q128_edit_verify", "q143_containment", "q132_bm25_topk",
             "q134_nb_classify", "q140_kl_divergence", "q118_line_dedup",
             "q136_data_card", "q142_semantic_layout")
+        // scale7b: the third-phase additions — identical ×10 doc copies
+        // make candidate-pair work (q159/q165/q174/q175) ~100×, the
+        // logreg gate sees 10× feature rows, and the events replica
+        // gives the behavioral family ×10 users
+        else if (which == "scale7b")
+          Seq("q156_logreg_train", "q159_tfidf_cosine", "q165_dup_triangles",
+            "q174_dup_kcore", "q175_curation_pipeline", "q162_window_funnel",
+            "q171_mad_outliers", "q172_event_trigrams")
         else Seq("q100_semdedup_skew", "q97_semdedup_autok", "q75_semdedup",
           "q84_bigram_logprob", "q101_ann_recall")
       // one untimed warm pass at base scale amortizes codegen/JIT; the

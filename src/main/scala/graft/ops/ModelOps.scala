@@ -238,6 +238,71 @@ object ModelOps {
       .select(col("na").as("n_a"), col("nb").as("n_b"), col("psi"))
   }
 
+  /** Inverse-CDF thresholds for a DETERMINISTIC Poisson(1) draw from a
+    * seeded-md5 uniform in [0, 16^15): weight w is the count of
+    * thresholds at or below u, capped at 6 (P(w > 6) < 1e-4). Shared
+    * with the oracle SQL so both engines draw the identical weights.
+    */
+  val poissonThresholds: Seq[Long] = {
+    val cum = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    val range = BigDecimal(16).pow(15)
+    cum.map(p => (BigDecimal(p) * range).toLong)
+  }
+
+  /** Poisson-bootstrap confidence interval for a corpus mean — error
+    * bars on a curation metric (mean quality, mean length, dup rate)
+    * without a second pass over resampled copies: each row draws a
+    * DETERMINISTIC Poisson(1) weight per replica from the seeded hash
+    * (the distributed bootstrap standard — per-replica multinomial
+    * counts converge to independent Poissons, and the draw needs no
+    * coordination), each replica's weighted mean is one group row, and
+    * the CI is the exact 2.5/97.5 percentile over the replica means.
+    * Fully engine-replayable: the inverse-CDF thresholds are shared
+    * integer literals, values quantize to 1e-4 units, and each
+    * replica's weighted sums are exact longs.
+    *
+    * Plan shape: ONE scan exploded ×`replicas` map-side (the honest
+    * bootstrap cost — size the metric sample or the replica count
+    * accordingly), a `replicas`-row aggregate, exact percentiles over
+    * those rows. A replica whose weights all land 0 (only possible on
+    * tiny inputs) yields a null mean, which both engines' percentile
+    * skips.
+    *
+    * Output: one row (n_rows, n_replicas, point_mean, ci_lo, ci_hi).
+    */
+  def bootstrapCi(scores: DataFrame, valueCol: String = "quality_score",
+                  idCol: String = "doc_id", replicas: Int = 50,
+                  seed: Long = 11L): DataFrame = {
+    require(replicas >= 2, s"bootstrapCi needs >= 2 replicas, got $replicas")
+    val base = scores.filter(col(valueCol).isNotNull)
+      .select(col(idCol).as("__id"), round(col(valueCol) * 1e4).cast("long").as("__x4"))
+      .localCheckpoint(true) // point mean + the replica explosion both read it
+    val u = SampleOps.seededHash(
+      concat(col("__id").cast("string"), lit(":"), col("__r").cast("string")), seed)
+    val w = poissonThresholds.zipWithIndex.reverse
+      .foldLeft(lit(poissonThresholds.size): Column) { case (acc, (t, i)) =>
+        when(u < t, i).otherwise(acc)
+      }
+    val repMeans = base
+      .select(col("__id"), col("__x4"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("__r"))
+      .withColumn("__w", w)
+      .groupBy("__r")
+      .agg(sum(col("__w") * col("__x4")).as("__swx"), sum("__w").as("__sw"))
+      .select(when(col("__sw") > 0,
+        col("__swx") / col("__sw").cast("double") / 1e4).as("__m"))
+    val pt = base.agg(count(lit(1)).as("n_rows"),
+      (sum("__x4") / count(lit(1)).cast("double") / 1e4).as("__pm"))
+    repMeans
+      .agg(percentile(col("__m"), lit(0.025)).as("__lo"),
+        percentile(col("__m"), lit(0.975)).as("__hi"))
+      .crossJoin(broadcast(pt))
+      .select(col("n_rows"), lit(replicas).as("n_replicas"),
+        round(col("__pm"), 6).as("point_mean"),
+        round(col("__lo"), 6).as("ci_lo"), round(col("__hi"), 6).as("ci_hi"))
+  }
+
   /** Calibration-by-decile report: does a predicted probability of 0.x
     * mean an 0.x empirical positive rate? Bins on `floor(p·10)` capped
     * at 9 (p = 1.0 joins the top bin); per bin the mean prediction is

@@ -863,6 +863,41 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Recall@k CURVE from one approx run and one exact run — the eval
+    * report that justifies a serving k: both inputs carry their `rank`
+    * column, a broadcast k-values table cuts each at every k in ONE
+    * pass (no per-k re-execution — the q101 "reference the exact plan
+    * once" discipline, extended to the whole curve), and per-query
+    * recalls aggregate to a banked mean (integer 1e-6 units, so the
+    * cross-query average is order-free).
+    *
+    * Output per k: (k, n_queries, mean_recall).
+    */
+  def recallCurve(approx: DataFrame, exact: DataFrame,
+                  ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    val spark = approx.sparkSession
+    import spark.implicits._
+    val kdf = broadcast(ks.toDF("k"))
+    val exK = exact.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .crossJoin(kdf).filter(col("rank") <= col("k"))
+      .select("k", "query_id", "neighbor_id")
+      .localCheckpoint(true) // hit join + per-query size agg both read it
+    val ivK = approx.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .crossJoin(kdf).filter(col("rank") <= col("k"))
+      .select("k", "query_id", "neighbor_id")
+    val hits = exK.join(ivK, Seq("k", "query_id", "neighbor_id"))
+      .groupBy("k", "query_id").agg(count(lit(1)).as("h"))
+    val ke = exK.groupBy("k", "query_id").agg(count(lit(1)).as("k_exact"))
+    ke.join(hits, Seq("k", "query_id"), "left")
+      .select(col("k"), col("query_id"),
+        round(coalesce(col("h"), lit(0L)) * lit(1.0) / col("k_exact"), 6).as("recall"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(round(col("recall") * 1e6).cast("long")).as("__r6"))
+      .select(col("k"), col("n_queries"),
+        round(col("__r6") / col("n_queries") / 1e6, 6).as("mean_recall"))
+  }
+
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
     exact.select(col("query_id"), col("neighbor_id"))
       .join(approx.select(col("query_id"), col("neighbor_id")).distinct()

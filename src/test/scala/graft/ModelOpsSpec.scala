@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{DedupOps, ModelOps, TextOps}
+import graft.ops.{DedupOps, ModelOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -121,6 +121,34 @@ class ModelOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "quality_score")
     val r1 = ModelOps.psiDrift(split, col("doc_id") % 2 === 0).collect()(0)
     assert((r1.getLong(0), r1.getLong(1), r1.getDouble(2)) === ((4L, 4L, 0.919678)))
+  }
+
+  test("bootstrapCi: constant metric collapses the CI to the point, spread widens it around the mean") {
+    val const = (1L to 40L).map(i => (i, 0.7)).toDF("doc_id", "quality_score")
+    val r0 = ModelOps.bootstrapCi(const).collect()(0)
+    assert(r0.getLong(0) === 40L && r0.getInt(1) === 50)
+    assert(r0.getDouble(2) === 0.7 && r0.getDouble(3) === 0.7 && r0.getDouble(4) === 0.7)
+    // half 0.2, half 0.8: point mean 0.5, CI strictly inside (0.2, 0.8)
+    // and straddling the mean
+    val spread = (1L to 40L).map(i => (i, if (i % 2 == 0) 0.2 else 0.8))
+      .toDF("doc_id", "quality_score")
+    val r1 = ModelOps.bootstrapCi(spread).collect()(0)
+    assert(r1.getDouble(2) === 0.5)
+    val (lo, hi) = (r1.getDouble(3), r1.getDouble(4))
+    assert(lo < 0.5 && hi > 0.5 && lo > 0.2 && hi < 0.8)
+  }
+
+  test("recallCurve: identical rankings give 1.0 at every k, disjoint give 0.0") {
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val same = SimilarityOps.recallCurve(exact, exact, Seq(1, 3)).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(same === Map(1 -> 1.0, 3 -> 1.0))
+    val disjoint = exact.withColumn("neighbor_id", col("neighbor_id") + 100L)
+    val none = SimilarityOps.recallCurve(disjoint, exact, Seq(1, 3)).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(none === Map(1 -> 0.0, 3 -> 0.0))
   }
 
   test("tfidfCosineVerify: identical docs 1.0, disjoint docs 0.0, empty doc 0.0") {
