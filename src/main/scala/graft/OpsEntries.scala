@@ -1052,6 +1052,12 @@ private[graft] object OpsEntries {
       graft.ops.GraphOps.kCore(
         DedupOps.minHashCandidates(t(s, dir, "documents")), k = 10, maxRounds = 12)),
 
+    // Band-bucket skew audit: the implied pair work of the LSH shuffle
+    // and the largest bucket's share of it — the last-reducer
+    // pre-flight, cheaper than the join it audits.
+    "q178_band_skew_audit" -> ((s, dir) =>
+      DedupOps.bandSkewAudit(t(s, dir, "documents"))),
+
     // Recall@k curve of the trained-IVF path vs brute force: the whole
     // eval curve from ONE approx and ONE exact execution.
     "q176_recall_curve" -> ((s, dir) => {
@@ -3343,6 +3349,18 @@ private[graft] object OpsEntries {
     "q174_dup_kcore" -> kCoreSql(k = 10, rounds = 12),
 
     "q176_recall_curve" -> recallCurveSql(),
+
+    "q178_band_skew_audit" ->
+      s"""$minhashSigCtes,
+         |bs2 AS (SELECT band, count(*) AS n FROM banded GROUP BY band)
+         |SELECT count(*) AS n_buckets, max(n) AS max_bucket,
+         |       round(quantile_cont(n, 0.5), 4) AS p50_bucket,
+         |       round(quantile_cont(n, 0.99), 4) AS p99_bucket,
+         |       CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS total_pairs,
+         |       round(CASE WHEN sum((n * (n - 1)) // 2) > 0
+         |             THEN ((max(n) * (max(n) - 1)) // 2) / CAST(sum((n * (n - 1)) // 2) AS DOUBLE)
+         |             ELSE 0.0 END, 4) AS top1_share
+         |FROM bs2""".stripMargin,
 
     "q177_bootstrap_ci" -> {
       val ts = graft.ops.ModelOps.poissonThresholds

@@ -188,17 +188,7 @@ object DedupOps {
     // the chain's ONLY shuffle.
     // null text (multimodal rows) has no content to near-dup against:
     // excluded here exactly as the old explode path dropped such rows
-    val sigs = widen(docs).filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"),
-        graft.functions.ShingleExprs.minHashSig(
-          TextOps.normalized(col(textCol)), 8, numHashes).as("sig"))
-    // explode_outer + null filter, not plain explode: the inferred
-    // pre-Generate/pushed-down filter on a plain explode substitutes
-    // the signature chain into itself and re-walks every document
-    // (NOTES_r3 trap #7); the outer form generates from the attribute
-    val banded = sigs
-      .select(col("id"), col("sig"), explode_outer(bandKeys(col("sig"), bands, rows)).as("band"))
-      .filter(col("band").isNotNull)
+    val banded = bandedFrame(docs, idCol, textCol, numHashes, bands)
     val a = banded.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
     // join strategy stays AQE's choice: a broadcast build side does
@@ -215,6 +205,57 @@ object DedupOps {
       .filter(col("est_jaccard") >= minhashSim) // filter before dedup: smaller distinct
       .distinct()
   }
+
+  /** The (id, sig, band) frame behind the LSH band join — shared by
+    * [[minHashCandidates]] and [[bandSkewAudit]].
+    */
+  private def bandedFrame(docs: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    // null text (multimodal rows) has no content to near-dup against
+    val sigs = widen(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleExprs.minHashSig(
+          TextOps.normalized(col(textCol)), 8, numHashes).as("sig"))
+    // explode_outer + null filter, not plain explode: the inferred
+    // pre-Generate/pushed-down filter on a plain explode substitutes
+    // the signature chain into itself and re-walks every document
+    // (NOTES_r3 trap #7); the outer form generates from the attribute
+    sigs
+      .select(col("id"), col("sig"), explode_outer(bandKeys(col("sig"), bands, rows)).as("band"))
+      .filter(col("band").isNotNull)
+  }
+
+  /** Band-bucket SKEW AUDIT — the pre-flight for the LSH shuffle: the
+    * band self-join's work is Σ n_b·(n_b−1)/2 over bucket sizes, and
+    * one pathological bucket (an empty-string norm, corpus-wide
+    * boilerplate) can own most of it — the "curse of the last
+    * reducer", measured BEFORE the join runs instead of discovered as
+    * a straggler task. Reports the bucket-size distribution (exact
+    * p50/p99/max), the total implied pair work, and the largest
+    * bucket's share of it. One aggregate over the banded frame plus a
+    * rollup over |buckets| rows — strictly cheaper than the join it
+    * audits.
+    *
+    * Output: one row (n_buckets, max_bucket, p50_bucket, p99_bucket,
+    * total_pairs, top1_share).
+    */
+  def bandSkewAudit(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                    numHashes: Int = 16, bands: Int = 4): DataFrame =
+    bandedFrame(docs, idCol, textCol, numHashes, bands)
+      .groupBy("band").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max("n").as("max_bucket"),
+        percentile(col("n"), lit(0.5)).as("__p50"),
+        percentile(col("n"), lit(0.99)).as("__p99"),
+        sum(expr("(n * (n - 1)) div 2")).as("total_pairs"))
+      .select(col("n_buckets"), col("max_bucket"),
+        round(col("__p50"), 4).as("p50_bucket"),
+        round(col("__p99"), 4).as("p99_bucket"),
+        col("total_pairs"),
+        round(when(col("total_pairs") > 0,
+          expr("(max_bucket * (max_bucket - 1)) div 2") / col("total_pairs").cast("double"))
+          .otherwise(0.0), 4).as("top1_share"))
 
   /** LSH banding EVAL — the harness that justifies a (numHashes, bands)
     * setting before trusting it at corpus scale (the dedup analog of

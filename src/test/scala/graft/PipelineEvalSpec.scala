@@ -26,6 +26,18 @@ class PipelineEvalSpec extends AnyFunSuite {
     assert(c.getLong(3) === 0L && c.getDouble(4) === 0.0 && c.getDouble(6) === 0.0)
   }
 
+  test("bandSkewAudit: a 5-way dup group owns its buckets, exact pair-work accounting") {
+    val docs = (1L to 5L).map(i => (i, "the exact same boilerplate text appears here")) ++ Seq(
+      (6L, "completely different content alpha bravo"),
+      (7L, "another unrelated document charlie delta"),
+      (8L, "yet one more distinct text echo foxtrot"))
+    val r = DedupOps.bandSkewAudit(docs.toDF("doc_id", "text")).collect()(0)
+    // 4 bands × one 5-doc bucket + 3 distinct docs × 4 singleton
+    // buckets: 16 buckets, max 5, pairs 4·C(5,2) = 40, top1 10/40
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getLong(4), r.getDouble(5)) === ((16L, 5L, 1.0, 5.0, 40L, 0.25)))
+  }
+
   test("lshBandingEval: identical pairs land in the 1.0 bin with recall 1, disjoint pairs are not caught") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
