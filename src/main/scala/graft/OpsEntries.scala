@@ -1052,6 +1052,45 @@ private[graft] object OpsEntries {
       graft.ops.GraphOps.kCore(
         DedupOps.minHashCandidates(t(s, dir, "documents")), k = 10, maxRounds = 12)),
 
+    // Robust per-source quality means: plain vs trimmed vs winsorized —
+    // the heavy-tail-proof pair for gating on a mean.
+    "q179_trimmed_means" -> ((s, dir) =>
+      ModelOps.trimmedMeans(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("source"), TextOps.qualityScore(col("text")).as("quality_score")))),
+
+    // Term-shift movers between corpus halves: WHICH words moved the
+    // distribution the drift gates flagged.
+    "q180_term_shift" -> ((s, dir) =>
+      TextOps.termShift(t(s, dir, "documents"), sideA = col("doc_id") % 2 === 0)),
+
+    // Dup-vs-quality report: are near-duplicated documents lower
+    // quality than clean ones? (the analysis behind dedup-then-gate
+    // ordering decisions)
+    "q183_dup_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // agg barrier before the threshold (the q37 lesson): a plain
+      // filter collapses into the verify join and re-walks the grams
+      val vp = DedupOps.jaccardVerify(DedupOps.minHashCandidates(docs), docs)
+        .groupBy("id_a", "id_b").agg(max("jaccard").as("__j"))
+        .filter(col("__j") >= 0.8)
+      val dupIds = vp.select(col("id_a").as("doc_id"))
+        .unionByName(vp.select(col("id_b").as("doc_id"))).distinct()
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), round(TextOps.qualityScore(col("text")) * 1e4).cast("long").as("__q4"))
+        .join(dupIds.withColumn("__d", lit(1)), Seq("doc_id"), "left")
+        .agg(sum(when(col("__d") === 1, 1L).otherwise(0L)).as("n_dup"),
+          sum(when(col("__d").isNull, 1L).otherwise(0L)).as("n_clean"),
+          sum(when(col("__d") === 1, col("__q4")).otherwise(0L)).as("__sd"),
+          sum(when(col("__d").isNull, col("__q4")).otherwise(0L)).as("__sc"))
+        .select(col("n_dup"), col("n_clean"),
+          round(when(col("n_dup") > 0, col("__sd") / col("n_dup").cast("double") / 1e4)
+            .otherwise(0.0), 4).as("mean_q_dup"),
+          round(when(col("n_clean") > 0, col("__sc") / col("n_clean").cast("double") / 1e4)
+            .otherwise(0.0), 4).as("mean_q_clean"))
+        .withColumn("quality_gap", round(col("mean_q_clean") - col("mean_q_dup"), 4))
+    }),
+
     // Band-bucket skew audit: the implied pair work of the LSH shuffle
     // and the largest bucket's share of it — the last-reducer
     // pre-flight, cheaper than the join it audits.
@@ -3349,6 +3388,74 @@ private[graft] object OpsEntries {
     "q174_dup_kcore" -> kCoreSql(k = 10, rounds = 12),
 
     "q176_recall_curve" -> recallCurveSql(),
+
+    "q179_trimmed_means" ->
+      s"""WITH q AS ($q26Sql),
+         |qs AS (SELECT d.source, q.quality_score AS v
+         |       FROM q JOIN documents d USING (doc_id) WHERE quality_score IS NOT NULL),
+         |bounds AS (SELECT source, quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
+         |           FROM qs GROUP BY source),
+         |j AS (SELECT qs.source, CAST(round(v * 10000) AS BIGINT) AS x4,
+         |        CAST(round(least(greatest(v, lo), hi) * 10000) AS BIGINT) AS w4,
+         |        (v >= lo AND v <= hi) AS ok
+         |      FROM qs JOIN bounds USING (source))
+         |SELECT source, count(*) AS n,
+         |  round(sum(x4) / CAST(count(*) AS DOUBLE) / 10000.0, 4) AS mean,
+         |  round(CASE WHEN sum(CASE WHEN ok THEN 1 ELSE 0 END) > 0
+         |        THEN sum(CASE WHEN ok THEN x4 ELSE 0 END)
+         |             / CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE) / 10000.0
+         |        ELSE 0.0 END, 4) AS trimmed_mean,
+         |  round(sum(w4) / CAST(count(*) AS DOUBLE) / 10000.0, 4) AS winsorized_mean
+         |FROM j GROUP BY source""".stripMargin,
+
+    "q180_term_shift" ->
+      s"""WITH cn AS (SELECT tok AS term,
+         |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+         |       FROM (SELECT doc_id, unnest($toksExpr) AS tok FROM documents WHERE text IS NOT NULL)
+         |       GROUP BY 1),
+         |tt AS (SELECT sum(c_a) AS ta, sum(c_b) AS tb, count(*) AS v FROM cn),
+         |sc AS (SELECT term, c_a, c_b,
+         |         round(ln(((c_a + 1) / CAST(ta + v AS DOUBLE))
+         |               / ((c_b + 1) / CAST(tb + v AS DOUBLE))), 6) AS log_ratio
+         |       FROM cn CROSS JOIN tt)
+         |SELECT term, c_a, c_b, log_ratio, CAST(r AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (ORDER BY abs(log_ratio) DESC, term) AS r FROM sc)
+         |WHERE r <= 20""".stripMargin,
+
+    "q183_dup_quality" ->
+      s"""$minhashCtes,
+         |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
+         |g AS (SELECT doc_id, CASE WHEN len(norm) < 3 THEN [norm]
+         |        ELSE list_distinct(list_transform(generate_series(1, len(norm)-2), i -> substr(norm, i, 3))) END AS grams
+         |      FROM (SELECT doc_id, $norm AS norm FROM documents)),
+         |jx AS (SELECT id_a, id_b,
+         |        CAST(len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS DOUBLE) AS inter,
+         |        CAST(len(ga.grams) + len(gb.grams) AS DOUBLE) AS total
+         |      FROM cand JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b),
+         |vp AS (SELECT id_a, id_b FROM jx
+         |       WHERE round(CASE WHEN total - inter > 0 THEN inter / (total - inter) ELSE 0.0 END, 4) >= 0.8),
+         |dup AS (SELECT DISTINCT doc_id FROM
+         |          (SELECT id_a AS doc_id FROM vp UNION ALL SELECT id_b AS doc_id FROM vp)),
+         |q AS ($q26Sql),
+         |b AS (SELECT q.doc_id, CAST(round(quality_score * 10000) AS BIGINT) AS q4,
+         |        dup.doc_id IS NOT NULL AS d
+         |      FROM q LEFT JOIN dup ON dup.doc_id = q.doc_id
+         |      WHERE quality_score IS NOT NULL),
+         |r AS (SELECT CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |        CAST(sum(CASE WHEN d THEN 0 ELSE 1 END) AS BIGINT) AS n_clean,
+         |        round(CASE WHEN sum(CASE WHEN d THEN 1 ELSE 0 END) > 0
+         |          THEN sum(CASE WHEN d THEN q4 ELSE 0 END)
+         |               / CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS DOUBLE) / 10000.0
+         |          ELSE 0.0 END, 4) AS mean_q_dup,
+         |        round(CASE WHEN sum(CASE WHEN d THEN 0 ELSE 1 END) > 0
+         |          THEN sum(CASE WHEN d THEN 0 ELSE q4 END)
+         |               / CAST(sum(CASE WHEN d THEN 0 ELSE 1 END) AS DOUBLE) / 10000.0
+         |          ELSE 0.0 END, 4) AS mean_q_clean
+         |      FROM b)
+         |SELECT n_dup, n_clean, mean_q_dup, mean_q_clean,
+         |       round(mean_q_clean - mean_q_dup, 4) AS quality_gap
+         |FROM r""".stripMargin,
 
     "q178_band_skew_audit" ->
       s"""$minhashSigCtes,

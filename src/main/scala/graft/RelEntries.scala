@@ -107,6 +107,11 @@ private[graft] object RelEntries {
     "q171_mad_outliers" -> ((s, dir) =>
       RelOps.madOutliers(events(s, dir))),
 
+    // Hour-of-day seasonality per event type: 24-slot profile with a
+    // chi-squared-against-uniform rhythm statistic.
+    "q182_hourly_profile" -> ((s, dir) =>
+      RelOps.hourlyProfile(events(s, dir))),
+
     // Most common within-session event-type trigrams: behavioral
     // n-grams over the q41 sessionization, take-ordered top 20.
     "q172_event_trigrams" -> ((s, dir) => {
@@ -286,6 +291,27 @@ private[graft] object RelEntries {
         |       round(min(med), 4) AS median, round(min(mad.mad), 4) AS mad,
         |       CAST(sum(CASE WHEN dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev JOIN mad USING (g) GROUP BY dev.g""".stripMargin,
+
+    "q182_hourly_profile" ->
+      """WITH c AS (SELECT event_type AS t,
+        |            CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS INTEGER) AS h,
+        |            count(*) AS n
+        |          FROM events GROUP BY 1, 2),
+        |ty AS (SELECT DISTINCT t FROM c),
+        |grid AS (SELECT t, CAST(gg.g AS INTEGER) AS h FROM ty CROSS JOIN range(0, 24) gg(g)),
+        |f AS (SELECT grid.t, grid.h, coalesce(n, 0) AS n FROM grid LEFT JOIN c USING (t, h)),
+        |tot AS (SELECT t, sum(n) AS total FROM f GROUP BY t),
+        |x AS (SELECT f.t, f.h, f.n, total,
+        |        CAST(round(((n - total / 24.0) * (n - total / 24.0)) / (total / 24.0) * 1000000) AS BIGINT) AS c6
+        |      FROM f JOIN tot USING (t)),
+        |pk AS (SELECT t, h, n, row_number() OVER (PARTITION BY t ORDER BY n DESC, h) AS r FROM f),
+        |ch AS (SELECT t, sum(c6) AS s6 FROM x GROUP BY t)
+        |SELECT ch.t AS event_type, CAST(tot.total AS BIGINT) AS total,
+        |       CAST(pk.h AS INTEGER) AS peak_hour,
+        |       round(pk.n / CAST(tot.total AS DOUBLE), 4) AS peak_share,
+        |       round(s6 / 1000000.0, 4) AS chi2_uniform
+        |FROM ch JOIN tot USING (t)
+        |  JOIN (SELECT t, h, n FROM pk WHERE r = 1) pk USING (t)""".stripMargin,
 
     "q172_event_trigrams" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

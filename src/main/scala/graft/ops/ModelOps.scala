@@ -200,6 +200,49 @@ object ModelOps {
           .otherwise(0.5).as("auc"))
   }
 
+  /** Robust per-group means — plain, trimmed, and winsorized — for a
+    * bounded [0, 1]-ish metric: the trimmed mean drops everything
+    * outside the exact [5th, 95th] percentile band, the winsorized
+    * mean CLAMPS to it (keeps the row count, caps the influence).
+    * The robust pair is what a heavy-tailed quality signal needs —
+    * one pathological doc moves a plain mean, not these.
+    *
+    * Exact q44-convention percentiles per group (broadcast back);
+    * all three means bank values as integer 1e-4 units (order-free
+    * sums). One percentile aggregate + one join + one rollup, all
+    * keyed on the group.
+    *
+    * Output per group: (<groupCol>, n, mean, trimmed_mean,
+    * winsorized_mean) — 4dp.
+    */
+  def trimmedMeans(scores: DataFrame, valueCol: String = "quality_score",
+                   groupCol: String = "source",
+                   loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    val base = scores.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .localCheckpoint(true) // percentile agg + the rollup join both read it
+    val bounds = base.groupBy("__g")
+      .agg(percentile(col("__v"), lit(loQ)).as("__lo"),
+        percentile(col("__v"), lit(hiQ)).as("__hi"))
+    base.join(broadcast(bounds), Seq("__g"))
+      .select(col("__g"),
+        round(col("__v") * 1e4).cast("long").as("__x4"),
+        round(least(greatest(col("__v"), col("__lo")), col("__hi")) * 1e4)
+          .cast("long").as("__w4"),
+        (col("__v") >= col("__lo") && col("__v") <= col("__hi")).as("__in"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n"),
+        sum("__x4").as("__sx"),
+        sum(when(col("__in"), col("__x4")).otherwise(0L)).as("__st"),
+        sum(when(col("__in"), 1L).otherwise(0L)).as("__nt"),
+        sum("__w4").as("__sw"))
+      .select(col("__g").as(groupCol), col("n"),
+        round(col("__sx") / col("n").cast("double") / 1e4, 4).as("mean"),
+        round(when(col("__nt") > 0, col("__st") / col("__nt").cast("double") / 1e4)
+          .otherwise(0.0), 4).as("trimmed_mean"),
+        round(col("__sw") / col("n").cast("double") / 1e4, 4).as("winsorized_mean"))
+  }
+
   /** Population Stability Index between two corpus slices — the
     * standard drift metric of model monitoring, applied to data
     * curation: has the quality/score distribution of slice B (a new

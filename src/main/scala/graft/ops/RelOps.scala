@@ -353,6 +353,45 @@ object RelOps {
           .as("retention_rate"))
   }
 
+  /** Hour-of-day seasonality profile per event type: the 24-slot
+    * activity histogram with a χ²-against-uniform statistic — near
+    * zero means the type fires round-the-clock (machine traffic),
+    * large means a strong daily rhythm (human traffic). Hours are
+    * pure integer arithmetic on epoch seconds (UTC — no timezone
+    * dependency); empty hours join in from a broadcast 24-row grid so
+    * they contribute their full (0−e)²/e term; χ² terms bank as
+    * integer micro-units. One count aggregate + a |types|×24 rollup.
+    *
+    * Output per type: (event_type, total, peak_hour, peak_share,
+    * chi2_uniform) — ties on the peak break to the earliest hour.
+    */
+  def hourlyProfile(events: DataFrame, typeCol: String = "event_type",
+                    secCol: String = "sec"): DataFrame = {
+    val counts = events
+      .groupBy(col(typeCol).as("__t"),
+        expr(s"($secCol % 86400) div 3600").cast("int").as("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // the type list + the grid join both read it
+    val grid = counts.select("__t").distinct()
+      .select(col("__t"), explode(sequence(lit(0), lit(23))).as("__h"))
+    val full = grid.join(counts, Seq("__t", "__h"), "left")
+      .select(col("__t"), col("__h"), coalesce(col("__n"), lit(0L)).as("__n"))
+      .localCheckpoint(true) // totals + the chi2 pass both read it
+    val totals = full.groupBy("__t").agg(sum("__n").as("total"))
+    full.join(broadcast(totals), Seq("__t"))
+      .select(col("__t"), col("__h"), col("__n"), col("total"),
+        Rounding.round(
+          ((col("__n") - col("total") / 24.0) * (col("__n") - col("total") / 24.0))
+            / (col("total") / 24.0) * 1e6).cast("long").as("__c6"))
+      .groupBy(col("__t"), col("total"))
+      .agg(max(struct(col("__n").as("n"), (-col("__h")).as("negh"))).as("__pk"),
+        sum("__c6").as("__s6"))
+      .select(col("__t").as(typeCol), col("total"),
+        (-col("__pk.negh")).cast("int").as("peak_hour"),
+        Rounding.round(col("__pk.n") / col("total").cast("double"), 4).as("peak_share"),
+        Rounding.round(col("__s6") / 1e6, 4).as("chi2_uniform"))
+  }
+
   /** Rolling N-day active users (the WAU/MAU report): for every day
     * present in the data, how many distinct users were active in the
     * trailing `windowDays` window ending that day.

@@ -1613,6 +1613,44 @@ object TextOps {
     out.toSeq.toDF("step", "pair", "weight")
   }
 
+  /** Top term-shift movers between two corpus slices — "what changed
+    * lexically in this batch": per term the add-1-smoothed log-odds
+    * ratio `ln(((cA+1)/(TA+V)) / ((cB+1)/(TB+V)))` between side A and
+    * side B, ranked by |ratio| (ties to the lexicographically smaller
+    * term). The per-term drill-down under the scalar PSI/KL drift
+    * gates: PSI says THAT the distribution moved, this says WHICH
+    * words moved it.
+    *
+    * Plan shape: one conditional-sum explode pass builds both sides'
+    * counts (the slices are never scanned separately); totals and the
+    * vocabulary size derive from it; the rank runs over vocab-sized
+    * counts (the q152 take-ordered discipline). Ratios round 6dp
+    * before ranking, so the kept set is engine-stable.
+    *
+    * Output: (term, c_a, c_b, log_ratio, rank ≤ topK).
+    */
+  def termShift(docs: org.apache.spark.sql.DataFrame, sideA: Column,
+                topK: Int = 20, idCol: String = "doc_id",
+                textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val counts = DedupOps.widen(docs.filter(col(textCol).isNotNull))
+      .select(sideA.as("__a"), explode_outer(tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("term")
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("c_b"))
+      .localCheckpoint(true) // totals + the scored rank both read it
+    val tot = broadcast(counts.agg(sum("c_a").as("__ta"), sum("c_b").as("__tb"),
+      count(lit(1)).as("__v")))
+    val scored = counts.crossJoin(tot)
+      .select(col("term"), col("c_a"), col("c_b"),
+        round(log(((col("c_a") + 1) / (col("__ta") + col("__v")).cast("double"))
+          / ((col("c_b") + 1) / (col("__tb") + col("__v")).cast("double"))), 6)
+          .as("log_ratio"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(abs(col("log_ratio")).desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
   /** Flesch reading-ease per document — the classic rule-based
     * readability score, `206.835 − 1.015·(words/sentences) −
     * 84.6·(syllables/words)`, with the standard cheap proxies:

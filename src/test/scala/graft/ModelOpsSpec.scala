@@ -151,6 +151,26 @@ class ModelOpsSpec extends AnyFunSuite {
     assert(none === Map(1 -> 0.0, 3 -> 0.0))
   }
 
+  test("trimmedMeans: the outlier drags the mean, not the trimmed/winsorized pair") {
+    val rows = ((1 to 9).map(_ => ("g", 0.5)) :+ ("g", 100.0))
+      .toDF("source", "quality_score")
+    val r = ModelOps.trimmedMeans(rows).collect()(0)
+    assert(r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 10.45)   // plain mean: dragged
+    assert(r.getDouble(3) === 0.5)     // trimmed: outlier outside p95
+    // winsorized: 100 clamps to p95 = 0.5 + 0.55·99.5 = 55.225
+    assert(r.getDouble(4) === 5.9725)
+  }
+
+  test("termShift: hand-computed smoothed log-odds, rank by |ratio|") {
+    val docs = Seq((2L, "aaa aaa"), (1L, "bbb")).toDF("doc_id", "text")
+    val got = TextOps.termShift(docs, sideA = col("doc_id") % 2 === 0).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getInt(4)))).toMap
+    // TA=2, TB=1, V=2: aaa → ln((3/4)/(1/3)) = ln 2.25; bbb → ln 0.375
+    assert(got("aaa") === ((0.81093, 2)))
+    assert(got("bbb") === ((-0.980829, 1))) // larger |ratio| ranks first
+  }
+
   test("tfidfCosineVerify: identical docs 1.0, disjoint docs 0.0, empty doc 0.0") {
     val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "p q"), (4L, "")).toDF("doc_id", "text")
     val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")

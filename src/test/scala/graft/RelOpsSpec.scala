@@ -201,6 +201,16 @@ class RelOpsSpec extends AnyFunSuite {
     assert(got("b") === ((5L, 3.0, 1.0, 0L)))
   }
 
+  test("hourlyProfile: uniform type scores chi2 ~0, single-hour type scores N·23; peak ties to earliest hour") {
+    val ev = (0 until 24).map(h => ("x", h * 3600L)) ++
+      (0 until 10).map(k => ("y", 5 * 3600L + k))
+    val got = RelOps.hourlyProfile(ev.toDF("event_type", "sec")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("x") === ((24L, 0, 0.0417, 0.0))) // perfectly uniform; all-tie peak → hour 0
+    // all mass in one cell: chi2 = N·(24−1) = 230 (micro-banked: 230.0)
+    assert(got("y") === ((10L, 5, 1.0, 230.0)))
+  }
+
   test("rollingActive: trailing window, report days clamped to observed days, dedup within window") {
     val day = 86400L
     val ev = Seq(
