@@ -1064,6 +1064,22 @@ private[graft] object OpsEntries {
     "q180_term_shift" -> ((s, dir) =>
       TextOps.termShift(t(s, dir, "documents"), sideA = col("doc_id") % 2 === 0)),
 
+    // Dup-cluster size distribution: how duplication concentrates —
+    // mostly simple pairs, or deep mirror families?
+    "q181_cluster_sizes" -> ((s, dir) => {
+      import graft.ops.GraphOps
+      GraphOps.dupClusters(DedupOps.minHashCandidates(t(s, dir, "documents")))
+        .agg(count(lit(1)).as("n_clusters"),
+          max("cluster_size").as("max_size"),
+          round(percentile(col("cluster_size"), lit(0.5)), 4).as("p50_size"),
+          round(percentile(col("cluster_size"), lit(0.95)), 4).as("p95_size"),
+          sum(when(col("cluster_size") === 2, 1L).otherwise(0L)).as("__pairs"),
+          sum("cluster_size").as("n_docs_in_clusters"))
+        .select(col("n_clusters"), col("max_size"), col("p50_size"), col("p95_size"),
+          round(col("__pairs") / col("n_clusters").cast("double"), 4).as("pair_share"),
+          col("n_docs_in_clusters"))
+    }),
+
     // Dup-vs-quality report: are near-duplicated documents lower
     // quality than clean ones? (the analysis behind dedup-then-gate
     // ordering decisions)
@@ -3422,6 +3438,23 @@ private[graft] object OpsEntries {
          |SELECT term, c_a, c_b, log_ratio, CAST(r AS INTEGER) AS rank
          |FROM (SELECT *, row_number() OVER (ORDER BY abs(log_ratio) DESC, term) AS r FROM sc)
          |WHERE r <= 20""".stripMargin,
+
+    "q181_cluster_sizes" ->
+      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM cand UNION SELECT id_b, id_a FROM cand),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+         |SELECT CAST(count(*) AS BIGINT) AS n_clusters, CAST(max(sz) AS BIGINT) AS max_size,
+         |       round(quantile_cont(sz, 0.5), 4) AS p50_size,
+         |       round(quantile_cont(sz, 0.95), 4) AS p95_size,
+         |       round(sum(CASE WHEN sz = 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS pair_share,
+         |       CAST(sum(sz) AS BIGINT) AS n_docs_in_clusters
+         |FROM sizes""".stripMargin,
 
     "q183_dup_quality" ->
       s"""$minhashCtes,
