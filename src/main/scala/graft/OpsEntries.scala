@@ -1064,6 +1064,16 @@ private[graft] object OpsEntries {
     "q180_term_shift" -> ((s, dir) =>
       TextOps.termShift(t(s, dir, "documents"), sideA = col("doc_id") % 2 === 0)),
 
+    // JSONL corpus boundary round-trip: documents → JSONL (the LLM
+    // interchange format) → schema-explicit permissive ingest. The
+    // oracle reads the parquet directly, so a hash match PROVES the
+    // round trip is faithful (typing, nulls, escaping).
+    "q184_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = "/tmp/graft_jsonl_rt"
+      t(s, dir, "documents").write.mode("overwrite").json(tmp)
+      graft.sources.CorpusIO.readJsonl(s, tmp)._1
+    }),
+
     // Dup-cluster size distribution: how duplication concentrates —
     // mostly simple pairs, or deep mirror families?
     "q181_cluster_sizes" -> ((s, dir) => {
@@ -3438,6 +3448,9 @@ private[graft] object OpsEntries {
          |SELECT term, c_a, c_b, log_ratio, CAST(r AS INTEGER) AS rank
          |FROM (SELECT *, row_number() OVER (ORDER BY abs(log_ratio) DESC, term) AS r FROM sc)
          |WHERE r <= 20""".stripMargin,
+
+    "q184_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "q181_cluster_sizes" ->
       s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
