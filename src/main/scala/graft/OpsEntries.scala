@@ -1064,6 +1064,15 @@ private[graft] object OpsEntries {
     "q180_term_shift" -> ((s, dir) =>
       TextOps.termShift(t(s, dir, "documents"), sideA = col("doc_id") % 2 === 0)),
 
+    // EXACT set-similarity join (PPJoin prefix filtering) on the
+    // MinHash screen's own shingle universe: every pair with shingle
+    // Jaccard >= 3/5, guaranteed — the no-false-negative ground-truth
+    // tier, run on a bounded audit slice per its documented contract
+    // (the synthetic corpus's tiny item universe saturates prefix
+    // buckets at full scale; q21 stays the corpus screen).
+    "q185_ppjoin_exact" -> ((s, dir) =>
+      DedupOps.ppJoinExact(t(s, dir, "documents").filter(col("doc_id") < 1000))),
+
     // JSONL corpus boundary round-trip: documents → JSONL (the LLM
     // interchange format) → schema-explicit permissive ingest. The
     // oracle reads the parquet directly, so a hash match PROVES the
@@ -3451,6 +3460,27 @@ private[graft] object OpsEntries {
 
     "q184_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "q185_ppjoin_exact" ->
+      s"""WITH nr AS (SELECT doc_id AS id, $norm AS norm
+         |       FROM documents WHERE text IS NOT NULL AND doc_id < 1000),
+         |tk AS (SELECT id, unnest($shingles8) AS tok FROM nr),
+         |dfq AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
+         |o AS (SELECT id, tok,
+         |        row_number() OVER (PARTITION BY id ORDER BY df, tok) AS rn,
+         |        count(*) OVER (PARTITION BY id) AS n
+         |      FROM tk JOIN dfq USING (tok)),
+         |pre AS (SELECT id, tok, n FROM o WHERE rn <= n - ((3 * n + 4) // 5) + 1),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM pre a JOIN pre b ON a.tok = b.tok AND a.id < b.id
+         |           AND a.n * 3 <= b.n * 5 AND b.n * 3 <= a.n * 5),
+         |ts AS (SELECT id, list_sort(list(tok)) AS tl, count(*) AS n FROM tk GROUP BY id),
+         |v AS (SELECT id_a, id_b,
+         |        CAST(len(list_filter(ta.tl, x -> list_contains(tb.tl, x))) AS BIGINT) AS i,
+         |        ta.n AS na, tb.n AS nb
+         |      FROM cand JOIN ts ta ON ta.id = cand.id_a JOIN ts tb ON tb.id = cand.id_b)
+         |SELECT id_a, id_b, round(i / CAST(na + nb - i AS DOUBLE), 4) AS jaccard
+         |FROM v WHERE i * 5 >= 3 * (na + nb - i)""".stripMargin,
 
     "q181_cluster_sizes" ->
       s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},

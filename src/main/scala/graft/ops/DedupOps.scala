@@ -206,6 +206,98 @@ object DedupOps {
       .distinct()
   }
 
+  /** EXACT set-similarity self-join by prefix filtering (the
+    * PPJoin-family shape, cf. Xiao et al. WWW'08 "Efficient Similarity
+    * Joins for Near Duplicate Detection") — the NO-FALSE-NEGATIVE
+    * complement to MinHash: every pair with item-set Jaccard ≥
+    * `tNum/tDen` is guaranteed in the output (probabilistic banding
+    * can miss; prefix filtering cannot). The filter: order every doc's
+    * distinct items rarest-first (global df, item tiebreak) and keep
+    * only the first `n − ⌈t·n⌉ + 1` as its PREFIX — two sets with
+    * Jaccard ≥ t MUST share a prefix token, so candidates come from a
+    * prefix-token equi-join instead of all pairs, and rare tokens
+    * (tiny df) dominate prefixes, keeping buckets small.
+    *
+    * Exactness discipline: the threshold is a RATIONAL (tNum/tDen) and
+    * both the prefix length (`n − (tNum·n + tDen−1) div tDen + 1`) and
+    * the verify (`inter·tDen ≥ tNum·(union)`) are pure integer
+    * arithmetic — no float ceil (0.6·5 = 3.0000000000000004 would
+    * ceil to 4 and silently shrink prefixes), no rounding boundary in
+    * the kept set. The reported jaccard column is 4dp display only.
+    *
+    * The item universe is the SAME distinct 8-char shingles of the
+    * normalized text the MinHash screen hashes — so the jaccard here
+    * is the EXACT value `est_jaccard` estimates, and this operator is
+    * the screen's ground-truth complement on its own similarity
+    * definition. A big shingle universe is also what makes prefix
+    * filtering bite: with items this rare, a doc's prefix shingles
+    * collide with almost nobody (a small-universe item set — unigrams
+    * on a tight vocabulary — saturates every bucket and degenerates
+    * toward all-pairs).
+    *
+    * Plan shape: ONE distinct-shingle explode feeds everything (df
+    * counts, the rarity ordering, and the per-doc sorted arrays —
+    * checkpointed, three readers); the rarity rank is one per-doc
+    * window; pair work is confined to prefix-item collisions AND the
+    * PPJoin length filter (|A|·t ≤ |B| ≤ |A|/t rides the join — a
+    * 10-shingle doc never pairs with a 1000-shingle doc); verify is a
+    * per-pair sorted-array intersect. At a high threshold the prefix
+    * is short and rare-item buckets are small — the regime where this
+    * beats LSH on both cost and recall.
+    *
+    * Scale contract (the q98 audit/screen division): the
+    * no-false-negative guarantee means EVERY prefix collision must be
+    * examined — on a corpus whose item universe is adversarially small
+    * relative to its size (template text over a tight vocabulary, like
+    * the synthetic fixtures), prefix buckets saturate and candidates
+    * degenerate toward all-pairs. Run the exact tier on the slice that
+    * needs ground truth (an eval set, a disputed family, an LSH-recall
+    * audit); [[minHashCandidates]] stays the corpus-scale screen. On a
+    * natural web-scale shingle universe the prefix filter is sharp and
+    * the operator scales as designed.
+    *
+    * Output: (id_a, id_b, jaccard) for every pair with J ≥ tNum/tDen.
+    */
+  def ppJoinExact(docs: DataFrame, tNum: Int = 3, tDen: Int = 5,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0, 1]: $tNum/$tDen")
+    val tk = widen(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), graft.ops.TextOps.normalized(col(textCol)).as("norm"))
+      .select(col("id"), explode_outer(expr(
+        "CASE WHEN length(norm) < 8 THEN array(norm) " +
+          "ELSE array_distinct(transform(sequence(1, length(norm) - 7), " +
+          "i -> substring(norm, i, 8))) END")).as("tok"))
+      .filter(col("tok").isNotNull)
+      .localCheckpoint(true) // df counts + rarity join + item arrays all read it
+    val dfq = tk.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("tok"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val pre = tk.join(dfq, Seq("tok"))
+      .select(col("id"), col("tok"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+      .filter(col("rn") <= expr(s"n - (($tNum * n + ${tDen - 1}) div $tDen) + 1"))
+    val cand = pre.select(col("tok"), col("id").as("id_a"), col("n").as("__na"))
+      .join(pre.select(col("tok"), col("id").as("id_b"), col("n").as("__nb")), Seq("tok"))
+      .filter(col("id_a") < col("id_b")
+        && col("__na") * tNum <= col("__nb") * tDen
+        && col("__nb") * tNum <= col("__na") * tDen)
+      .select("id_a", "id_b").distinct()
+    val ts = tk.groupBy("id")
+      .agg(sort_array(collect_set(col("tok"))).as("tl"))
+      .select(col("id"), col("tl"), size(col("tl")).as("n"))
+    cand
+      .join(ts.select(col("id").as("id_a"), col("tl").as("ta"), col("n").as("na")), Seq("id_a"))
+      .join(ts.select(col("id").as("id_b"), col("tl").as("tb"), col("n").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("__i"),
+        col("na"), col("nb"))
+      .filter(col("__i") * tDen >= lit(tNum) * (col("na") + col("nb") - col("__i")))
+      .select(col("id_a"), col("id_b"),
+        round(col("__i") / (col("na") + col("nb") - col("__i")).cast("double"), 4).as("jaccard"))
+  }
+
   /** The (id, sig, band) frame behind the LSH band join — shared by
     * [[minHashCandidates]] and [[bandSkewAudit]].
     */

@@ -38,6 +38,32 @@ class PipelineEvalSpec extends AnyFunSuite {
       r.getLong(4), r.getDouble(5)) === ((16L, 5L, 1.0, 5.0, 40L, 0.25)))
   }
 
+  test("ppJoinExact: output equals brute-force shingle Jaccard >= 3/5 — no false negatives, no extras") {
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "the quick brown fox jumps over the lazy cat tonight",
+      3L -> "completely different content with other words here",
+      4L -> "the quick brown fox jumps over the lazy dog tonight", // exact copy of 1
+      5L -> "tonight dog lazy the over jumps fox brown quick the", // word-shuffled 1
+      6L -> "short")
+    // driver-side ground truth on the SAME definition: distinct 8-char
+    // shingles of the normalized text
+    def sh(t: String): Set[String] = {
+      val n = t.toLowerCase.replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim
+      if (n.length < 8) Set(n) else n.sliding(8).toSet
+    }
+    val truth = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      inter = (sh(ta) & sh(tb)).size; uni = (sh(ta) | sh(tb)).size
+      if inter * 5 >= 3 * uni
+    } yield (ia, ib)).toSet
+    val got = DedupOps.ppJoinExact(texts.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === truth)
+    assert(got.contains((1L, 4L)))  // the exact copy is guaranteed
+    assert(!got.contains((1L, 5L))) // word-shuffle destroys shingles: order-sensitive
+  }
+
   test("lshBandingEval: identical pairs land in the 1.0 bin with recall 1, disjoint pairs are not caught") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
