@@ -1073,6 +1073,27 @@ private[graft] object OpsEntries {
     "q185_ppjoin_exact" -> ((s, dir) =>
       DedupOps.ppJoinExact(t(s, dir, "documents").filter(col("doc_id") < 1000))),
 
+    // The screen audited against GROUND TRUTH: MinHash candidate
+    // recall/precision vs q185's exact >= 3/5 pairs on the same slice
+    // and the same shingle-jaccard definition — the number that says
+    // whether 16 hashes / 4 bands is enough BEFORE trusting the screen
+    // on the corpus.
+    "q186_screen_recall" -> ((s, dir) => {
+      val slice = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      val exact = DedupOps.ppJoinExact(slice).select("id_a", "id_b")
+      val screen = DedupOps.minHashCandidates(slice).select("id_a", "id_b")
+      exact.withColumn("__e", lit(1))
+        .join(screen.withColumn("__s", lit(1)), Seq("id_a", "id_b"), "full_outer")
+        .agg(sum(when(col("__e") === 1, 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("__s") === 1, 1L).otherwise(0L)).as("n_screen"),
+          sum(when(col("__e") === 1 && col("__s") === 1, 1L).otherwise(0L)).as("n_caught"))
+        .select(col("n_true"), col("n_screen"), col("n_caught"),
+          round(when(col("n_true") > 0, col("n_caught") / col("n_true").cast("double"))
+            .otherwise(1.0), 4).as("recall"),
+          round(when(col("n_screen") > 0, col("n_caught") / col("n_screen").cast("double"))
+            .otherwise(1.0), 4).as("precision"))
+    }),
+
     // JSONL corpus boundary round-trip: documents → JSONL (the LLM
     // interchange format) → schema-explicit permissive ingest. The
     // oracle reads the parquet directly, so a hash match PROVES the
@@ -1864,6 +1885,30 @@ private[graft] object OpsEntries {
          |SELECT ke.query_id, k_exact, coalesce(hits.h, 0) AS hits,
          |       round(coalesce(hits.h, 0) * 1.0 / k_exact, 6) AS recall
          |FROM ke LEFT JOIN hits ON ke.query_id = hits.query_id""".stripMargin
+
+  /** The q185 PPJoin replay (audit slice, 8-shingle items, rational
+    * 3/5 threshold), ending at CTE `v(id_a, id_b, i, na, nb)` —
+    * shared by q185's pair output and q186's screen-recall rollup so
+    * the ground truth cannot drift from the audit that uses it.
+    */
+  private def ppJoinCtes: String =
+    s"""nr AS (SELECT doc_id AS id, $norm AS norm
+       |       FROM documents WHERE text IS NOT NULL AND doc_id < 1000),
+       |tk AS (SELECT id, unnest($shingles8) AS tok FROM nr),
+       |dfq AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
+       |o AS (SELECT id, tok,
+       |        row_number() OVER (PARTITION BY id ORDER BY df, tok) AS rn,
+       |        count(*) OVER (PARTITION BY id) AS n
+       |      FROM tk JOIN dfq USING (tok)),
+       |pre AS (SELECT id, tok, n FROM o WHERE rn <= n - ((3 * n + 4) // 5) + 1),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM pre a JOIN pre b ON a.tok = b.tok AND a.id < b.id
+       |           AND a.n * 3 <= b.n * 5 AND b.n * 3 <= a.n * 5),
+       |ts AS (SELECT id, list_sort(list(tok)) AS tl, count(*) AS n FROM tk GROUP BY id),
+       |v AS (SELECT id_a, id_b,
+       |        CAST(len(list_filter(ta.tl, x -> list_contains(tb.tl, x))) AS BIGINT) AS i,
+       |        ta.n AS na, tb.n AS nb
+       |      FROM cand JOIN ts ta ON ta.id = cand.id_a JOIN ts tb ON tb.id = cand.id_b)""".stripMargin
 
   /** Recall@k-curve oracle: q90's trained-IVF replay and q24's
     * brute-force replay (the SAME CTE text — the q101 no-drift rule),
@@ -3462,25 +3507,29 @@ private[graft] object OpsEntries {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "q185_ppjoin_exact" ->
-      s"""WITH nr AS (SELECT doc_id AS id, $norm AS norm
-         |       FROM documents WHERE text IS NOT NULL AND doc_id < 1000),
-         |tk AS (SELECT id, unnest($shingles8) AS tok FROM nr),
-         |dfq AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
-         |o AS (SELECT id, tok,
-         |        row_number() OVER (PARTITION BY id ORDER BY df, tok) AS rn,
-         |        count(*) OVER (PARTITION BY id) AS n
-         |      FROM tk JOIN dfq USING (tok)),
-         |pre AS (SELECT id, tok, n FROM o WHERE rn <= n - ((3 * n + 4) // 5) + 1),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |         FROM pre a JOIN pre b ON a.tok = b.tok AND a.id < b.id
-         |           AND a.n * 3 <= b.n * 5 AND b.n * 3 <= a.n * 5),
-         |ts AS (SELECT id, list_sort(list(tok)) AS tl, count(*) AS n FROM tk GROUP BY id),
-         |v AS (SELECT id_a, id_b,
-         |        CAST(len(list_filter(ta.tl, x -> list_contains(tb.tl, x))) AS BIGINT) AS i,
-         |        ta.n AS na, tb.n AS nb
-         |      FROM cand JOIN ts ta ON ta.id = cand.id_a JOIN ts tb ON tb.id = cand.id_b)
+      s"""WITH $ppJoinCtes
          |SELECT id_a, id_b, round(i / CAST(na + nb - i AS DOUBLE), 4) AS jaccard
          |FROM v WHERE i * 5 >= 3 * (na + nb - i)""".stripMargin,
+
+    "q186_screen_recall" ->
+      s"""${minhashCtes.replace("FROM documents)", "FROM documents WHERE doc_id < 1000)")},
+         |$ppJoinCtes,
+         |ex AS (SELECT id_a, id_b FROM v WHERE i * 5 >= 3 * (na + nb - i)),
+         |scr AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
+         |fo AS (SELECT coalesce(ex.id_a, scr.id_a) AS id_a,
+         |         ex.id_a IS NOT NULL AS e, scr.id_a IS NOT NULL AS s
+         |       FROM ex FULL OUTER JOIN scr
+         |         ON ex.id_a = scr.id_a AND ex.id_b = scr.id_b)
+         |SELECT CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |       CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_screen,
+         |       CAST(sum(CASE WHEN e AND s THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+         |       round(CASE WHEN sum(CASE WHEN e THEN 1 ELSE 0 END) > 0
+         |             THEN sum(CASE WHEN e AND s THEN 1 ELSE 0 END)
+         |                  / CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS DOUBLE) ELSE 1.0 END, 4) AS recall,
+         |       round(CASE WHEN sum(CASE WHEN s THEN 1 ELSE 0 END) > 0
+         |             THEN sum(CASE WHEN e AND s THEN 1 ELSE 0 END)
+         |                  / CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS DOUBLE) ELSE 1.0 END, 4) AS precision
+         |FROM fo""".stripMargin,
 
     "q181_cluster_sizes" ->
       s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
