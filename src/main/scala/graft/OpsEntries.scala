@@ -1039,6 +1039,12 @@ private[graft] object OpsEntries {
           .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality_score")),
         sideACol = col("doc_id") % 2 === 0)),
 
+    // Embedding health report: per-dim mean/std + pathology counts
+    // (null/zero/NaN/wrong-length vectors) — the QA pass before any
+    // index build trusts the vectors.
+    "q187_embedding_stats" -> ((s, dir) =>
+      SimilarityOps.embeddingStats(t(s, dir, "embeddings"))),
+
     // SQ8 reconstruction MSE: what the 4x compression tier costs in
     // geometry on THIS corpus — the quantization QA gate.
     "q173_sq_recon_error" -> ((s, dir) => {
@@ -1071,7 +1077,7 @@ private[graft] object OpsEntries {
     // (the synthetic corpus's tiny item universe saturates prefix
     // buckets at full scale; q21 stays the corpus screen).
     "q185_ppjoin_exact" -> ((s, dir) =>
-      DedupOps.ppJoinExact(t(s, dir, "documents").filter(col("doc_id") < 1000))),
+      DedupOps.ppJoinExact(t(s, dir, "documents").filter(col("doc_id") < 500))),
 
     // The screen audited against GROUND TRUTH: MinHash candidate
     // recall/precision vs q185's exact >= 3/5 pairs on the same slice
@@ -1079,7 +1085,7 @@ private[graft] object OpsEntries {
     // whether 16 hashes / 4 bands is enough BEFORE trusting the screen
     // on the corpus.
     "q186_screen_recall" -> ((s, dir) => {
-      val slice = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      val slice = t(s, dir, "documents").filter(col("doc_id") < 500)
       val exact = DedupOps.ppJoinExact(slice).select("id_a", "id_b")
       val screen = DedupOps.minHashCandidates(slice).select("id_a", "id_b")
       exact.withColumn("__e", lit(1))
@@ -1893,7 +1899,7 @@ private[graft] object OpsEntries {
     */
   private def ppJoinCtes: String =
     s"""nr AS (SELECT doc_id AS id, $norm AS norm
-       |       FROM documents WHERE text IS NOT NULL AND doc_id < 1000),
+       |       FROM documents WHERE text IS NOT NULL AND doc_id < 500),
        |tk AS (SELECT id, unnest($shingles8) AS tok FROM nr),
        |dfq AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
        |o AS (SELECT id, tok,
@@ -3512,7 +3518,7 @@ private[graft] object OpsEntries {
          |FROM v WHERE i * 5 >= 3 * (na + nb - i)""".stripMargin,
 
     "q186_screen_recall" ->
-      s"""${minhashCtes.replace("FROM documents)", "FROM documents WHERE doc_id < 1000)")},
+      s"""${minhashCtes.replace("FROM documents)", "FROM documents WHERE doc_id < 500)")},
          |$ppJoinCtes,
          |ex AS (SELECT id_a, id_b FROM v WHERE i * 5 >= 3 * (na + nb - i)),
          |scr AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
@@ -3645,6 +3651,24 @@ private[graft] object OpsEntries {
          |        LEFT JOIN nd ON nd.doc_id = d.doc_id
          |        JOIN q ON q.doc_id = d.doc_id)
          |SELECT doc_id, reason, reason = 'kept' AS keep FROM v""".stripMargin,
+
+    "q187_embedding_stats" ->
+      """WITH pz AS (SELECT
+        |    CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_len,
+        |    CAST(sum(CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding, v -> v <> 0)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |    CAST(sum(CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding, v -> isnan(v))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nan
+        |  FROM embeddings),
+        |ex AS (SELECT pos, CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+        |       FROM embeddings CROSS JOIN range(1, 65) t(pos)
+        |       WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |st AS (SELECT pos, count(*) AS n, sum(x6) AS s, sum(x6 * x6) AS s2 FROM ex GROUP BY pos)
+        |SELECT CAST(pos AS INTEGER) AS dim,
+        |       round(s / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean,
+        |       round(sqrt(greatest(0.0, (CAST(s2 AS DOUBLE) * n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) * n))) / 1000000.0, 6) AS std,
+        |       n_null, n_wrong_len, n_zero, n_nan
+        |FROM st CROSS JOIN pz""".stripMargin,
 
     "q173_sq_recon_error" ->
       s"""WITH $sqCtes,

@@ -721,6 +721,48 @@ object SimilarityOps {
           .otherwise(lit(0)).as("code"))
   }
 
+  /** Embedding health report — the data-QA pass a vector pipeline runs
+    * before trusting an index build: per-dimension mean and standard
+    * deviation (a collapsed dim has std ≈ 0 and carries no geometry; a
+    * drifted encoder shows as mean shift), plus the corpus-level
+    * pathology counts (null vectors, zero vectors, non-finite values,
+    * wrong-length vectors).
+    *
+    * Determinism: values quantize to integer 1e-6 units; per-dim Σx
+    * banks as long and Σx² in 128-bit (decimal here, HUGEINT in the
+    * oracle), mean/std derive by the identical double expression both
+    * engines evaluate. ONE explode pass; dims-row output.
+    *
+    * Output: one row per dimension (dim, mean, std) with the pathology
+    * counts repeated on every row (broadcast scalars — the report is
+    * dims-sized, the repetition costs nothing and keeps it one frame).
+    */
+  def embeddingStats(corpus: DataFrame, dims: Int = 64,
+                     vecCol: String = "embedding"): DataFrame = {
+    val path = broadcast(corpus.agg(
+      sum(when(col(vecCol).isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(when(col(vecCol).isNotNull && size(col(vecCol)) =!= dims, 1L).otherwise(0L))
+        .as("n_wrong_len"),
+      sum(when(col(vecCol).isNotNull
+        && size(filter(col(vecCol), v => v =!= 0.0f)) === 0, 1L).otherwise(0L))
+        .as("n_zero"),
+      sum(when(exists(col(vecCol), v => isnan(v)), 1L).otherwise(0L)).as("n_nan")))
+    corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select((col("pos") + 1).as("dim"),
+        round(col("v").cast("double") * 1e6).cast("long").as("__x6"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("__n"), sum("__x6").as("__s"),
+        sum((col("__x6") * col("__x6")).cast("decimal(38,0)")).as("__s2"))
+      .crossJoin(path)
+      .select(col("dim"),
+        round(col("__s") / col("__n").cast("double") / 1e6, 6).as("mean"),
+        round(sqrt(greatest(lit(0.0),
+          (col("__s2").cast("double") * col("__n") - col("__s").cast("double") * col("__s"))
+            / (col("__n").cast("double") * col("__n")))) / 1e6, 6).as("std"),
+        col("n_null"), col("n_wrong_len"), col("n_zero"), col("n_nan"))
+  }
+
   /** SQ8 reconstruction-error report — the QA gate of the quantization
     * tier: mean squared error between each float dimension and its
     * decoded byte code (`lo_d + code·step_d`), i.e. how much geometry

@@ -138,6 +138,25 @@ class ModelOpsSpec extends AnyFunSuite {
     assert(lo < 0.5 && hi > 0.5 && lo > 0.2 && hi < 0.8)
   }
 
+  test("embeddingStats: hand-computed per-dim mean/std, pathology rows counted, non-conforming excluded") {
+    val rows: Seq[(Long, Array[Float])] = Seq(
+      1L -> Array(1f, 3f), 2L -> Array(3f, 5f), 4L -> Array(0f, 0f), // in the stats
+      3L -> null,               // null vector
+      5L -> Array(Float.NaN),   // NaN AND wrong length (stats stay NaN-free)
+      6L -> Array(7f))          // wrong length only
+    val got = SimilarityOps.embeddingStats(rows.toDF("vec_id", "embedding"), dims = 2)
+      .collect()
+    val byDim = got.map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // dim 1 over {1, 3, 0}: mean 4/3, pop-std sqrt(14/9); dim 2 over
+    // {3, 5, 0}: mean 8/3, pop-std sqrt(38/9) — in 1e-6-banked form
+    assert(byDim(1) === ((1.333333, 1.247219)))
+    assert(byDim(2) === ((2.666667, 2.054805)))
+    val r0 = got(0)
+    // null=1 (id 3), wrong-len=2 (ids 5, 6), zero=1 (id 4), nan=1 (id 5)
+    assert((r0.getLong(3), r0.getLong(4), r0.getLong(5), r0.getLong(6))
+      === ((1L, 2L, 1L, 1L)))
+  }
+
   test("recallCurve: identical rankings give 1.0 at every k, disjoint give 0.0") {
     val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
       (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
