@@ -23,7 +23,37 @@ object Profile {
     def docs: DataFrame = spark.read.parquet(s"$sfDir/documents.parquet")
 
     // stage breakdowns for the dedup pipeline, beyond SparkEntry entries
+    // q185 PPJoin stage breakdown (uncheckpointed replicas of the
+    // operator's internal frames — raw stage costs, no reuse)
+    def ppTk: DataFrame = docs.filter(col("doc_id") < 500 && col("text").isNotNull)
+      .select(col("doc_id").as("id"), graft.ops.TextOps.normalized(col("text")).as("norm"))
+      .select(col("id"), explode(expr(
+        "CASE WHEN length(norm) < 8 THEN array(norm) " +
+          "ELSE array_distinct(transform(sequence(1, length(norm) - 7), " +
+          "i -> substring(norm, i, 8))) END")).as("tok"))
+    def ppPre: DataFrame = {
+      val dfq = ppTk.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy(col("df"), col("tok"))
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      ppTk.join(dfq, Seq("tok"))
+        .select(col("id"), col("tok"),
+          row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+        .filter(col("rn") <= expr("n - ((3 * n + 4) div 5) + 1"))
+    }
     val extra: Map[String, () => DataFrame] = Map(
+      "pp_tk" -> (() => ppTk.groupBy().count()),
+      "pp_dfq" -> (() => ppTk.groupBy("tok").agg(count(lit(1)).as("df")).groupBy().count()),
+      "pp_pre" -> (() => ppPre.groupBy().count()),
+      "pp_cand" -> (() => {
+        val pre = ppPre
+        pre.select(col("tok"), col("id").as("id_a"), col("n").as("__na"))
+          .join(pre.select(col("tok"), col("id").as("id_b"), col("n").as("__nb")), Seq("tok"))
+          .filter(col("id_a") < col("id_b")
+            && col("__na") * 3 <= col("__nb") * 5 && col("__nb") * 3 <= col("__na") * 5)
+          .select("id_a", "id_b").distinct().groupBy().count()
+      }),
+      "pp_ts" -> (() => ppTk.groupBy("id")
+        .agg(sort_array(collect_set(col("tok"))).as("tl")).groupBy().count()),
       "candidates" -> (() => DedupOps.minHashCandidates(docs)),
       "jaccard_pruned" -> (() => DedupOps.jaccardVerify(DedupOps.minHashCandidates(docs), docs)),
       "jaccard_forced" -> (() => DedupOps.jaccardVerify(DedupOps.minHashCandidates(docs), docs)

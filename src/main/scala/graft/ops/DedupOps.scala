@@ -278,6 +278,7 @@ object DedupOps {
       .select(col("id"), col("tok"),
         row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
       .filter(col("rn") <= expr(s"n - (($tNum * n + ${tDen - 1}) div $tDen) + 1"))
+      .localCheckpoint(true) // both sides of the candidate self-join read it
     val cand = pre.select(col("tok"), col("id").as("id_a"), col("n").as("__na"))
       .join(pre.select(col("tok"), col("id").as("id_b"), col("n").as("__nb")), Seq("tok"))
       .filter(col("id_a") < col("id_b")
@@ -287,6 +288,7 @@ object DedupOps {
     val ts = tk.groupBy("id")
       .agg(sort_array(collect_set(col("tok"))).as("tl"))
       .select(col("id"), col("tl"), size(col("tl")).as("n"))
+      .localCheckpoint(true) // a-side + b-side verify joins both read it
     cand
       .join(ts.select(col("id").as("id_a"), col("tl").as("ta"), col("n").as("na")), Seq("id_a"))
       .join(ts.select(col("id").as("id_b"), col("tl").as("tb"), col("n").as("nb")), Seq("id_b"))
