@@ -1039,6 +1039,14 @@ private[graft] object OpsEntries {
           .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality_score")),
         sideACol = col("doc_id") % 2 === 0)),
 
+    // Per-source bootstrap CIs: q177's error bars for every source at
+    // once — is src_a's quality REALLY above src_b's, or noise?
+    "q188_bootstrap_by_source" -> ((s, dir) =>
+      ModelOps.bootstrapCiByGroup(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            TextOps.qualityScore(col("text")).as("quality_score")))),
+
     // Embedding health report: per-dim mean/std + pathology counts
     // (null/zero/NaN/wrong-length vectors) — the QA pass before any
     // index build trusts the vectors.
@@ -3651,6 +3659,29 @@ private[graft] object OpsEntries {
          |        LEFT JOIN nd ON nd.doc_id = d.doc_id
          |        JOIN q ON q.doc_id = d.doc_id)
          |SELECT doc_id, reason, reason = 'kept' AS keep FROM v""".stripMargin,
+
+    "q188_bootstrap_by_source" -> {
+      val ts = graft.ops.ModelOps.poissonThresholds
+      val cases = ts.zipWithIndex.map { case (t, i) => s"WHEN u < $t THEN $i" }.mkString(" ")
+      s"""WITH q AS ($q26Sql),
+         |qf AS (SELECT d.source AS g, q.doc_id,
+         |         CAST(round(quality_score * 10000) AS BIGINT) AS x4
+         |       FROM q JOIN documents d USING (doc_id) WHERE quality_score IS NOT NULL),
+         |rep AS (SELECT r FROM range(0, 50) t(r)),
+         |wgt AS (SELECT g, r, x4, CASE $cases ELSE ${ts.size} END AS w
+         |        FROM (SELECT g, r, x4,
+         |                CAST(concat('0x', substr(md5('11:' || CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+         |              FROM qf CROSS JOIN rep)),
+         |rm AS (SELECT g, r, CASE WHEN sum(w) > 0
+         |         THEN sum(w * x4) / CAST(sum(w) AS DOUBLE) / 10000.0 END AS m
+         |       FROM wgt GROUP BY g, r),
+         |pt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+         |         sum(x4) / CAST(count(*) AS DOUBLE) / 10000.0 AS pm FROM qf GROUP BY g)
+         |SELECT pt.g AS source, n_rows, round(pm, 6) AS point_mean,
+         |       round(quantile_cont(m, 0.025), 6) AS ci_lo,
+         |       round(quantile_cont(m, 0.975), 6) AS ci_hi
+         |FROM rm JOIN pt USING (g) GROUP BY pt.g, n_rows, pm""".stripMargin
+    },
 
     "q187_embedding_stats" ->
       """WITH pz AS (SELECT

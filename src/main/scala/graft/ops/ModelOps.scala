@@ -200,6 +200,49 @@ object ModelOps {
           .otherwise(0.5).as("auc"))
   }
 
+  /** Per-GROUP Poisson-bootstrap CIs — [[bootstrapCi]] keyed by a
+    * group column: error bars on every source's mean at once, from the
+    * same single exploded pass (the replica aggregate keys on
+    * (group, replica) and the percentile window runs per group over
+    * `replicas` rows each). Same determinism contract as the scalar
+    * form.
+    *
+    * Output per group: (<groupCol>, n_rows, point_mean, ci_lo, ci_hi).
+    */
+  def bootstrapCiByGroup(scores: DataFrame, groupCol: String = "source",
+                         valueCol: String = "quality_score",
+                         idCol: String = "doc_id", replicas: Int = 50,
+                         seed: Long = 11L): DataFrame = {
+    require(replicas >= 2, s"bootstrapCiByGroup needs >= 2 replicas, got $replicas")
+    val base = scores.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        round(col(valueCol) * 1e4).cast("long").as("__x4"))
+      .localCheckpoint(true) // point means + the replica explosion both read it
+    val u = SampleOps.seededHash(
+      concat(col("__id").cast("string"), lit(":"), col("__r").cast("string")), seed)
+    val w = poissonThresholds.zipWithIndex.reverse
+      .foldLeft(lit(poissonThresholds.size): Column) { case (acc, (t, i)) =>
+        when(u < t, i).otherwise(acc)
+      }
+    val repMeans = base
+      .select(col("__g"), col("__id"), col("__x4"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("__r"))
+      .withColumn("__w", w)
+      .groupBy("__g", "__r")
+      .agg(sum(col("__w") * col("__x4")).as("__swx"), sum("__w").as("__sw"))
+      .select(col("__g"), when(col("__sw") > 0,
+        col("__swx") / col("__sw").cast("double") / 1e4).as("__m"))
+    val pt = base.groupBy("__g").agg(count(lit(1)).as("n_rows"),
+      (sum("__x4") / count(lit(1)).cast("double") / 1e4).as("__pm"))
+    repMeans.groupBy("__g")
+      .agg(percentile(col("__m"), lit(0.025)).as("__lo"),
+        percentile(col("__m"), lit(0.975)).as("__hi"))
+      .join(broadcast(pt), Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_rows"),
+        round(col("__pm"), 6).as("point_mean"),
+        round(col("__lo"), 6).as("ci_lo"), round(col("__hi"), 6).as("ci_hi"))
+  }
+
   /** Robust per-group means — plain, trimmed, and winsorized — for a
     * bounded [0, 1]-ish metric: the trimmed mean drops everything
     * outside the exact [5th, 95th] percentile band, the winsorized

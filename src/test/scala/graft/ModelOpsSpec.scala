@@ -157,6 +157,21 @@ class ModelOpsSpec extends AnyFunSuite {
       === ((1L, 2L, 1L, 1L)))
   }
 
+  test("bootstrapCiByGroup: per-group CIs match the scalar form run on each group alone") {
+    val rows = ((1L to 20L).map(i => ("a", i, 0.5)) ++ (21L to 40L).map(i => ("b", i, 0.9)))
+      .map { case (g, i, v) => (g, i, v) }.toDF("source", "doc_id", "quality_score")
+    val grouped = ModelOps.bootstrapCiByGroup(rows).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = ModelOps.bootstrapCi(rows.filter(col("source") === g)).collect()(0)
+      assert(grouped(g) === ((solo.getLong(0), solo.getDouble(2),
+        solo.getDouble(3), solo.getDouble(4))))
+    }
+    // constant groups collapse their CIs to the point means
+    assert(grouped("a") === ((20L, 0.5, 0.5, 0.5)))
+    assert(grouped("b") === ((20L, 0.9, 0.9, 0.9)))
+  }
+
   test("recallCurve: identical rankings give 1.0 at every k, disjoint give 0.0") {
     val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
       (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
