@@ -1039,6 +1039,19 @@ private[graft] object OpsEntries {
           .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality_score")),
         sideACol = col("doc_id") % 2 === 0)),
 
+    // Lang × source independence: does any source own a language, or
+    // is the mixture balanced? (χ² over the category grid)
+    "q189_lang_source_chi2" -> ((s, dir) =>
+      ModelOps.chi2Independence(t(s, dir, "documents"), "lang", "source")),
+
+    // Source-concentration HHI over token mass: one scalar for "is
+    // this mixture dominated by one source?" (pairs with q71 weights)
+    "q190_source_hhi" -> ((s, dir) =>
+      ModelOps.hhiConcentration(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("source"), size(TextOps.tokens(col("text"))).as("mass")),
+        "source", "mass")),
+
     // Per-source bootstrap CIs: q177's error bars for every source at
     // once — is src_a's quality REALLY above src_b's, or noise?
     "q188_bootstrap_by_source" -> ((s, dir) =>
@@ -3659,6 +3672,35 @@ private[graft] object OpsEntries {
          |        LEFT JOIN nd ON nd.doc_id = d.doc_id
          |        JOIN q ON q.doc_id = d.doc_id)
          |SELECT doc_id, reason, reason = 'kept' AS keep FROM v""".stripMargin,
+
+    "q189_lang_source_chi2" ->
+      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o FROM documents
+        |               WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) AS ca FROM cells GROUP BY a),
+        |rb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+        |tot AS (SELECT sum(o) AS n FROM cells),
+        |g AS (SELECT n, ca, cb, coalesce(o, 0) AS o, ca * cb / CAST(n AS DOUBLE) AS e
+        |      FROM ra CROSS JOIN rb LEFT JOIN cells USING (a, b) CROSS JOIN tot),
+        |s AS (SELECT n, CAST(round(((o - e) * (o - e)) / e * 1000000) AS BIGINT) AS c6 FROM g)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM ra) AS n_a,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM rb) AS n_b,
+        |       CAST(((SELECT count(*) FROM ra) - 1) * ((SELECT count(*) FROM rb) - 1) AS BIGINT) AS dof,
+        |       round(sum(c6) / 1000000.0, 4) AS chi2
+        |FROM s GROUP BY n""".stripMargin,
+
+    "q190_source_hhi" ->
+      s"""WITH m AS (SELECT source AS g, CAST(sum(len($toksExpr)) AS BIGINT) AS mm
+         |           FROM documents WHERE text IS NOT NULL GROUP BY 1),
+         |tot AS (SELECT sum(mm) AS t, count(*) AS k FROM m),
+         |s AS (SELECT k, CAST(round(round(mm / CAST(t AS DOUBLE), 6)
+         |        * round(mm / CAST(t AS DOUBLE), 6) * 100000000) AS BIGINT) AS s8
+         |      FROM m CROSS JOIN tot)
+         |SELECT CAST(k AS BIGINT) AS n_groups, round(sum(s8) / 100000000.0, 6) AS hhi,
+         |       round(CASE WHEN k > 1
+         |             THEN (sum(s8) / 100000000.0 - 1.0 / k) / (1.0 - 1.0 / k)
+         |             ELSE 1.0 END, 6) AS hhi_normalized
+         |FROM s GROUP BY k""".stripMargin,
 
     "q188_bootstrap_by_source" -> {
       val ts = graft.ops.ModelOps.poissonThresholds

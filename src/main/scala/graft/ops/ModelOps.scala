@@ -200,6 +200,75 @@ object ModelOps {
           .otherwise(0.5).as("auc"))
   }
 
+  /** χ² test of independence between two categorical columns — the
+    * balance diagnostic behind "are languages spread evenly across
+    * sources, or does src7 own all the German?": observed (a, b)
+    * counts against the independence expectation e = rowΣ·colΣ/N.
+    * Per-cell (o−e)²/e terms bank as integer micro-units over the
+    * |A|×|B| grid (INCLUDING empty observed cells — their e is not
+    * zero and they contribute), so the statistic replays exactly.
+    * One count scan; marginals derive from it; the grid is
+    * categories-sized, never row-sized.
+    *
+    * Output: one row (n, n_a, n_b, dof, chi2) — chi2 rounded 4dp,
+    * dof = (|A|−1)(|B|−1).
+    */
+  def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint(true) // marginals + the grid join all read it
+    val ra = cells.groupBy("__a").agg(sum("__o").as("__ca"))
+    val rb = cells.groupBy("__b").agg(sum("__o").as("__cb"))
+    val tot = cells.agg(sum("__o").as("__n"))
+    val grid = ra.crossJoin(rb)
+      .join(cells, Seq("__a", "__b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("__n"), col("__ca"), col("__cb"),
+        coalesce(col("__o"), lit(0L)).as("__o"),
+        (col("__ca") * col("__cb") / col("__n").cast("double")).as("__e"))
+    grid
+      .select(col("__n"),
+        round(((col("__o") - col("__e")) * (col("__o") - col("__e"))) / col("__e") * 1e6)
+          .cast("long").as("__c6"))
+      .groupBy("__n")
+      .agg(count(lit(1)).as("__cells"), sum("__c6").as("__s6"))
+      .crossJoin(broadcast(ra.agg(count(lit(1)).as("n_a"))))
+      .crossJoin(broadcast(rb.agg(count(lit(1)).as("n_b"))))
+      .select(col("__n").as("n"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
+        round(col("__s6") / 1e6, 4).as("chi2"))
+  }
+
+  /** Market-concentration (HHI) of a mass column over groups — the
+    * mixture-health scalar: Σ share² over per-group mass shares, 1/k
+    * for a perfectly even k-way mixture, → 1.0 as one group dominates.
+    * The normalized form rescales to [0, 1] independent of k. Shares
+    * round 6dp before squaring (deterministic), the sum banks as
+    * integer 1e-8 units of share².
+    *
+    * Output: one row (n_groups, hhi, hhi_normalized).
+    */
+  def hhiConcentration(df: DataFrame, groupCol: String, massCol: String): DataFrame = {
+    val m = df.groupBy(col(groupCol).as("__g"))
+      .agg(sum(col(massCol).cast("long")).as("__m"))
+      .localCheckpoint(true) // total + the share pass both read it
+    val tot = m.agg(sum("__m").as("__t"), count(lit(1)).as("n_groups"))
+    m.crossJoin(broadcast(tot))
+      .select(col("n_groups"),
+        round(col("__m") / col("__t").cast("double"), 6).as("__s"))
+      .select(col("n_groups"),
+        round(col("__s") * col("__s") * 1e8).cast("long").as("__s8"))
+      .groupBy("n_groups")
+      .agg(sum("__s8").as("__h8"))
+      .select(col("n_groups"),
+        round(col("__h8") / 1e8, 6).as("hhi"),
+        round(when(col("n_groups") > 1,
+          (col("__h8") / 1e8 - lit(1.0) / col("n_groups"))
+            / (lit(1.0) - lit(1.0) / col("n_groups"))).otherwise(1.0), 6)
+          .as("hhi_normalized"))
+  }
+
   /** Per-GROUP Poisson-bootstrap CIs — [[bootstrapCi]] keyed by a
     * group column: error bars on every source's mean at once, from the
     * same single exploded pass (the replica aggregate keys on

@@ -172,6 +172,29 @@ class ModelOpsSpec extends AnyFunSuite {
     assert(grouped("b") === ((20L, 0.9, 0.9, 0.9)))
   }
 
+  test("chi2Independence: independent grid scores 0, determined grid scores N, empty cells contribute") {
+    val indep = Seq(("en", "s0"), ("en", "s1"), ("de", "s0"), ("de", "s1"))
+      .toDF("lang", "source")
+    val r0 = ModelOps.chi2Independence(indep, "lang", "source").collect()(0)
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getLong(3), r0.getDouble(4))
+      === ((4L, 2L, 2L, 1L, 0.0)))
+    // lang fully determines source: chi2 = N for a 2×2 (off-diagonal
+    // cells are EMPTY observed but expected n/2 — they must count)
+    val dep = Seq(("en", "s0"), ("en", "s0"), ("de", "s1"), ("de", "s1"))
+      .toDF("lang", "source")
+    val r1 = ModelOps.chi2Independence(dep, "lang", "source").collect()(0)
+    assert(r1.getDouble(4) === 4.0 && r1.getLong(3) === 1L)
+  }
+
+  test("hhiConcentration: even mixture floors at 1/k (normalized 0), monopoly hits 1.0") {
+    val even = Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L)).toDF("source", "mass")
+    val r0 = ModelOps.hhiConcentration(even, "source", "mass").collect()(0)
+    assert((r0.getLong(0), r0.getDouble(1), r0.getDouble(2)) === ((4L, 0.25, 0.0)))
+    val mono = Seq(("a", 100L), ("b", 0L)).toDF("source", "mass")
+    val r1 = ModelOps.hhiConcentration(mono, "source", "mass").collect()(0)
+    assert((r1.getLong(0), r1.getDouble(1), r1.getDouble(2)) === ((2L, 1.0, 1.0)))
+  }
+
   test("recallCurve: identical rankings give 1.0 at every k, disjoint give 0.0") {
     val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
       (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
