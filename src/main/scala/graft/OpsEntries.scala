@@ -202,6 +202,43 @@ private[graft] object OpsEntries {
         SimilarityOps.bruteForceTopK(q, e, 10))
     }),
 
+    // Graded retrieval eval: NDCG@10 + MRR of the trained-IVF list
+    // (q90) against brute-force truth (q24) — recall@k is blind to
+    // WHERE in the list the truth landed; this isn't. DCG position
+    // weights are exact-long literals shared with the oracle.
+    "q192_ndcg_mrr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      SimilarityOps.gradedRetrievalEval(
+        SimilarityOps.ivfTrainedTopK(q, e, k = 10),
+        SimilarityOps.bruteForceTopK(q, e, 10))
+    }),
+
+    // Hard-negative mining for contrastive training: per query vector,
+    // the 10 most-similar corpus vectors with a DIFFERENT label.
+    "q191_hard_negatives" -> ((s, dir) =>
+      SimilarityOps.hardNegatives(t(s, dir, "embeddings"))),
+
+    // External cluster quality: purity + NMI of the trained k-means
+    // cells (q64's trace) against the ground-truth label column.
+    "q195_cluster_purity" -> ((s, dir) =>
+      SimilarityOps.clusterLabelEval(t(s, dir, "embeddings"))),
+
+    // k-anonymity audit over the (lang, source, pow2-length-bucket)
+    // quasi-identifier grid: cells smaller than k=5 are re-id risks.
+    "q193_k_anonymity" -> ((s, dir) =>
+      ModelOps.kAnonymityAudit(
+        t(s, dir, "documents").select(col("lang"), col("source"),
+          when(col("n_chars") <= 1, lit(1L))
+            .otherwise(pow(lit(2.0), length(bin(col("n_chars") - 1))).cast("long"))
+            .as("len_bucket")),
+        Seq("lang", "source", "len_bucket"))),
+
+    // ε-DP noisy per-source doc counts: deterministic seeded-Laplace
+    // release (auditable randomness — the q146 discipline).
+    "q194_dp_noisy_counts" -> ((s, dir) =>
+      ModelOps.dpNoisyCounts(t(s, dir, "documents"), "source")),
+
     // Cross-document duplicated-span ratio: the suffix-array-free
     // exact-substring-dedup signal (fraction of a doc's 8-token windows
     // that appear in another doc).
@@ -1912,6 +1949,38 @@ private[graft] object OpsEntries {
          |SELECT ke.query_id, k_exact, coalesce(hits.h, 0) AS hits,
          |       round(coalesce(hits.h, 0) * 1.0 / k_exact, 6) AS recall
          |FROM ke LEFT JOIN hits ON ke.query_id = hits.query_id""".stripMargin
+
+  /** Graded-retrieval oracle (q192): the q90 trained-IVF replay and the
+    * q24 brute-force replay (the q101 no-drift rule — SAME CTE text),
+    * graded k+1−rank, DCG banked with the SAME exact-long position
+    * weights the engine uses ([[graft.ops.SimilarityOps.dcgWeightNanos]]
+    * — no cross-engine log anywhere).
+    */
+  private def ndcgMrrSql(k: Int = 8, iters: Int = 3, dims: Int = 64,
+                         nprobe: Int = 2, topK: Int = 10): String = {
+    val ws = graft.ops.SimilarityOps.dcgWeightNanos(topK).zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, CAST($w AS BIGINT))" }.mkString(", ")
+    val idcg = graft.ops.SimilarityOps.idcgNanos(topK)
+    kmeansCtes(k, iters, dims) + kmeansAssignCtes(iters) + ivfProbeCtes(iters, nprobe) +
+      ",\n" + bruteCtes +
+      s""",
+         |sysr AS (SELECT query_id, neighbor_id, r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM iv)
+         |  WHERE r <= $topK),
+         |exr AS (SELECT query_id, neighbor_id, CAST(${topK + 1} - r AS BIGINT) AS rel FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM bs)
+         |  WHERE r <= $topK),
+         |ws(r, w) AS (VALUES $ws),
+         |j AS (SELECT s.query_id, s.r, ws.w, coalesce(exr.rel, 0) AS rel
+         |      FROM sysr s JOIN ws ON ws.r = s.r
+         |      LEFT JOIN exr ON exr.query_id = s.query_id AND exr.neighbor_id = s.neighbor_id)
+         |SELECT query_id,
+         |  CAST(count(CASE WHEN rel > 0 THEN 1 END) AS BIGINT) AS n_hits,
+         |  round(sum(rel * w) / 1000000000.0, 6) AS dcg,
+         |  round(sum(rel * w) / CAST($idcg AS DOUBLE), 6) AS ndcg,
+         |  round(coalesce(1.0 / min(CASE WHEN rel > 0 THEN r END), 0.0), 6) AS mrr
+         |FROM j GROUP BY query_id""".stripMargin
+  }
 
   /** The q185 PPJoin replay (audit slice, 8-shingle items, rational
     * 3/5 threshold), ending at CTE `v(id_a, id_b, i, na, nb)` —
@@ -3851,7 +3920,73 @@ private[graft] object OpsEntries {
          |            ELSE 0.0 END AS cosine_tfidf
          |FROM cand p LEFT JOIN dots ON dots.id_a = p.id_a AND dots.id_b = p.id_b
          |  LEFT JOIN nrm na ON na.id = p.id_a
-         |  LEFT JOIN nrm nb ON nb.id = p.id_b""".stripMargin
+         |  LEFT JOIN nrm nb ON nb.id = p.id_b""".stripMargin,
+
+    "q191_hard_negatives" ->
+      s"""WITH bq AS (SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+         |            FROM embeddings
+         |            WHERE vec_id < 5 AND embedding IS NOT NULL AND label IS NOT NULL),
+         |bc AS (SELECT vec_id AS neighbor_id, label AS neighbor_label, embedding AS cv
+         |       FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |bs AS (SELECT query_id, query_label, neighbor_id, neighbor_label,
+         |         round(${cosSql("qv", "cv")}, 6) AS cos_sim
+         |       FROM bc CROSS JOIN bq
+         |       WHERE query_id <> neighbor_id AND neighbor_label <> query_label)
+         |SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+         |       CAST(r AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM bs)
+         |WHERE r <= 10""".stripMargin,
+
+    "q192_ndcg_mrr" -> ndcgMrrSql(),
+
+    "q193_k_anonymity" ->
+      """WITH qi AS (SELECT lang, source,
+        |              CASE WHEN n_chars <= 1 THEN 1
+        |                   ELSE CAST(pow(2, length(bin(n_chars - 1))) AS BIGINT) END AS len_bucket
+        |            FROM documents),
+        |g AS (SELECT lang, source, len_bucket, count(*) AS group_size FROM qi GROUP BY 1, 2, 3),
+        |tot AS (SELECT sum(group_size) AS t FROM g)
+        |SELECT lang, source, len_bucket, group_size, group_size < 5 AS at_risk,
+        |       round(group_size / CAST(t AS DOUBLE), 6) AS share
+        |FROM g CROSS JOIN tot""".stripMargin,
+
+    "q194_dp_noisy_counts" ->
+      """WITH g AS (SELECT source, count(*) AS true_n FROM documents GROUP BY 1),
+        |u AS (SELECT source, true_n,
+        |        (CAST(concat('0x', substr(md5('42:' || source), 1, 15)) AS BIGINT)
+        |           % 1000000000 + 1.0) / 1000000002.0 AS uu
+        |      FROM g),
+        |nz AS (SELECT source, true_n,
+        |         round(-sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5)) / 1.0, 6) AS noise
+        |       FROM u)
+        |SELECT source, true_n, CAST(1.0 AS DOUBLE) AS eps, noise,
+        |       CAST(greatest(0.0, round(true_n + noise)) AS BIGINT) AS noisy_n
+        |FROM nz""".stripMargin,
+
+    "q195_cluster_purity" -> (kmeansCtes(8, 3, 64) + kmeansAssignCtes(3) +
+      s"""cells AS (SELECT a.cell, e2.label AS lbl, count(*) AS c
+         |          FROM asg a JOIN embeddings e2 USING (vec_id)
+         |          WHERE e2.label IS NOT NULL GROUP BY 1, 2),
+         |bycell AS (SELECT cell, sum(c) AS a, max(c) AS mx FROM cells GROUP BY 1),
+         |bylbl AS (SELECT lbl, sum(c) AS b FROM cells GROUP BY 1),
+         |tot AS (SELECT sum(a) AS n, sum(mx) AS pure, count(*) AS n_cells FROM bycell),
+         |nl AS (SELECT count(*) AS n_labels FROM bylbl),
+         |mi AS (SELECT sum(CAST(round((c / CAST(n AS DOUBLE))
+         |           * ln(c * CAST(n AS DOUBLE) / (a * b)) * 1000000) AS BIGINT)) AS mi6
+         |       FROM cells JOIN bycell USING (cell) JOIN bylbl USING (lbl) CROSS JOIN tot),
+         |hc AS (SELECT sum(CAST(round(-(a / CAST(n AS DOUBLE))
+         |           * ln(a / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)) AS hc6
+         |       FROM bycell CROSS JOIN tot),
+         |hl AS (SELECT sum(CAST(round(-(b / CAST(n AS DOUBLE))
+         |           * ln(b / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)) AS hl6
+         |       FROM bylbl CROSS JOIN tot)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+         |       CAST(n_labels AS BIGINT) AS n_labels,
+         |       round(pure / CAST(n AS DOUBLE), 6) AS purity,
+         |       round(CASE WHEN hc6 > 0 AND hl6 > 0
+         |             THEN mi6 / sqrt(CAST(hc6 AS DOUBLE) * CAST(hl6 AS DOUBLE))
+         |             ELSE 0.0 END, 6) AS nmi
+         |FROM tot CROSS JOIN nl CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl""".stripMargin)
   )
 
   /** Unrolled k-core peeling over the minhash dup graph: `rounds`

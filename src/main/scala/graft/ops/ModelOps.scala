@@ -477,4 +477,57 @@ object ModelOps {
       .select(col("bin"), col("n"),
         round(col("__p6") / col("n") / 1e6, 4).as("avg_p"),
         round(col("__pos") / col("n").cast("double"), 4).as("pos_rate"))
+
+  /** k-anonymity audit over a quasi-identifier grid: every QI
+    * combination's population, flagged when it identifies fewer than k
+    * rows — the release gate for sharing corpus metadata (a (lang,
+    * source, length-bucket) cell of size 1 IS a fingerprint of that
+    * document). Generalization (the coarse power-of-two length bucket
+    * instead of raw length) is the caller's contract; this operator
+    * measures what remains.
+    *
+    * Plan shape: ONE hash aggregate over the corpus (the grid is tiny
+    * thereafter — categories × buckets), checkpointed because the
+    * total and the share projection both read it; the total rides back
+    * as a broadcast scalar. Null QI values stay their own category
+    * (dropping them would hide the riskiest rows).
+    *
+    * Output per QI cell: (qi..., group_size, at_risk, share).
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String], k: Int = 5): DataFrame = {
+    val g = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .localCheckpoint(true) // total + the share/flag pass both read it
+    val tot = g.agg(sum("group_size").as("__t"))
+    g.crossJoin(broadcast(tot))
+      .select(qiCols.map(col) ++ Seq(col("group_size"),
+        (col("group_size") < k).as("at_risk"),
+        round(col("group_size") / col("__t").cast("double"), 6).as("share")): _*)
+  }
+
+  /** Differentially-private noisy counts: per-group counts released
+    * with Laplace(1/ε) noise via the inverse CDF on the engine's
+    * seeded-hash uniform — count queries have L1 sensitivity 1, so
+    * scale 1/ε gives ε-DP per release. The noise is DETERMINISTIC
+    * given (seed, group): the release replays bit-for-bit in any
+    * engine (the q146 seeded-randomness discipline — randomness you
+    * can audit), and a re-run cannot burn extra privacy budget by
+    * accident. Rotate the seed to issue a fresh release.
+    *
+    * u = (h mod 1e9 + 1) / 1000000002 ∈ (0,1) strictly — both tails
+    * stay finite; v = u − ½; noise = −sgn(v)·ln(1−2|v|)/ε, rounded 6dp.
+    *
+    * Plan shape: one hash aggregate; noise is map-only arithmetic on
+    * the group key. Output: (group, true_n, eps, noise, noisy_n ≥ 0).
+    */
+  def dpNoisyCounts(df: DataFrame, groupCol: String, eps: Double = 1.0,
+                    seed: Long = 42): DataFrame = {
+    val u = (SampleOps.seededHash(col(groupCol), seed) % 1000000000L + lit(1.0)) /
+      lit(1000000002.0)
+    val v = u - 0.5
+    val noise = round(-signum(v) * log(lit(1.0) - lit(2.0) * abs(v)) / eps, 6)
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("true_n"))
+      .select(col(groupCol), col("true_n"), lit(eps).as("eps"), noise.as("noise"),
+        greatest(lit(0.0), round(col("true_n") + noise)).cast("long").as("noisy_n"))
+  }
 }

@@ -1044,4 +1044,149 @@ object SimilarityOps {
       .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("pairs"))
       .select(col(cellCol), transform(col("pairs"), p => p.getField("mean_v").cast("float")).as(vecCol))
   }
+
+  /** Hard-negative mining for contrastive/metric training: for each
+    * query vector, the m most-similar corpus vectors with a DIFFERENT
+    * label — the near-misses that teach an encoder what "similar but
+    * wrong" looks like (random negatives are trivially separable; the
+    * top-of-the-wrong-class band carries the gradient signal).
+    *
+    * Plan shape: same contract as the brute-force eval tier (q24/q101)
+    * — queries are a bounded sample broadcast against the corpus, one
+    * scan, one k-sized window per query. At corpus scale the scorer
+    * runs over IVF-probed candidates instead ([[ivfTrainedTopK]]'s
+    * cell-confined join) — the label filter and window are unchanged.
+    *
+    * Output: (query_id, query_label, neighbor_id, neighbor_label,
+    * cos_sim, rank), rank 1..m by descending similarity, ties to the
+    * smaller neighbor id.
+    */
+  def hardNegatives(emb: DataFrame, m: Int = 10, nQueries: Int = 5,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val base = emb.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+    val q = base.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id"), col(labelCol).as("query_label"),
+        col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
+    val c = base.select(col(idCol).as("neighbor_id"), col(labelCol).as("neighbor_label"),
+      col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("neighbor_label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"), col("neighbor_label"),
+        round(cosinePre(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= m)
+  }
+
+  /** DCG position weights 1/log2(i+1) for ranks i = 1..k, banked as
+    * exact 1e-9 integers. Public so the DuckDB oracle is built from the
+    * SAME literals — no cross-engine log in either plan, so DCG sums
+    * are order-independent exact longs on both sides.
+    */
+  def dcgWeightNanos(k: Int): Array[Long] =
+    Array.tabulate(k)(i => Math.round(1e9 / (Math.log(i + 2) / Math.log(2.0))))
+
+  /** Ideal DCG (nano units) when relevance is the graded k..1 ladder. */
+  def idcgNanos(k: Int): Long =
+    dcgWeightNanos(k).zipWithIndex.map { case (w, i) => (k - i).toLong * w }.sum
+
+  /** Graded retrieval eval — NDCG@k + MRR of an approximate ranked
+    * list against the exact one (both (query_id, neighbor_id, rank)):
+    * the metric tier above recall@k (q101/q176), which is blind to
+    * WHERE in the list the truth landed. Relevance of a system item is
+    * the graded ladder k+1−truth_rank (0 if outside the exact top-k);
+    * DCG banks rel·w_rank in exact nano units with the position
+    * weights from [[dcgWeightNanos]]; MRR is 1/rank of the first
+    * relevant system item.
+    *
+    * Plan shape: both inputs are k-sized per query, so everything
+    * after the producers shuffles result sets only; the weight table
+    * is a k-row broadcast. The expensive side is the exact producer —
+    * same bounded-query-sample contract as q101.
+    *
+    * Output: (query_id, n_hits, dcg, ndcg, mrr).
+    */
+  def gradedRetrievalEval(approx: DataFrame, exact: DataFrame, k: Int = 10): DataFrame = {
+    val spark = approx.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(dcgWeightNanos(k).zipWithIndex
+      .map { case (w, i) => (i + 1, w) }.toSeq.toDF("rank", "__w"))
+    val truth = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(k + 1) - col("rank")).cast("long").as("__rel"))
+    approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(wdf, Seq("rank"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"), col("__w"),
+        coalesce(col("__rel"), lit(0L)).as("__rel"))
+      .groupBy("query_id")
+      .agg(count(when(col("__rel") > 0, 1)).as("n_hits"),
+        sum(col("__rel") * col("__w")).as("__dcg9"),
+        min(when(col("__rel") > 0, col("rank"))).as("__fr"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("__dcg9") / 1e9, 6).as("dcg"),
+        round(col("__dcg9") / lit(idcgNanos(k).toDouble), 6).as("ndcg"),
+        round(coalesce(lit(1.0) / col("__fr"), lit(0.0)), 6).as("mrr"))
+  }
+
+  /** External cluster-quality eval of the trained k-means against the
+    * ground-truth label column: purity (Σ per-cluster majority mass /
+    * n — exact rational) and NMI (mutual information over the
+    * cell×label contingency, normalized by √(H_cell·H_label)). The
+    * harness that decides whether the learned cells (semDedup, IVF,
+    * semantic layout) actually track semantic classes.
+    *
+    * Determinism: training is the committed deterministic Lloyd
+    * ([[kmeans]] trace); every MI/entropy term is computed per
+    * contingency cell, rounded to 1e-6 micro-nats, and summed as exact
+    * longs (order-free, q140's banking). Plan shape: the contingency
+    * table is ONE hash aggregate over the assigned corpus (≤ k×|labels|
+    * rows thereafter — driver-scale) and is checkpointed because the
+    * size/entropy/MI passes all read it.
+    *
+    * Output one row: (n, n_cells, n_labels, purity, nmi).
+    */
+  def clusterLabelEval(emb: DataFrame, k: Int = 8, iters: Int = 3,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame = {
+    val clean = emb.filter(col(vecCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = try {
+      val cents = trainCentroids(clean, k, iters, idCol, vecCol)
+      clean.filter(col(labelCol).isNotNull)
+        .select(col(labelCol).as("__lbl"), assignCell(cents, vecCol).as("__cell"))
+        .groupBy("__cell", "__lbl").agg(count(lit(1)).as("__c"))
+        .localCheckpoint(true) // sizes + purity + MI + both entropies all read it
+    } finally clean.unpersist(blocking = false)
+    val byCell = cells.groupBy("__cell")
+      .agg(sum("__c").as("__a"), max("__c").as("__mx"))
+      .localCheckpoint(true) // n/H_cell aggregate + the MI join both read it
+    val byLbl = cells.groupBy("__lbl").agg(sum("__c").as("__b"))
+      .localCheckpoint(true) // same: H_label aggregate + the MI join
+    val tot = byCell.agg(sum("__a").as("n"), sum("__mx").as("__pure"),
+      count(lit(1)).as("n_cells"))
+    val nLbl = byLbl.agg(count(lit(1)).as("n_labels"))
+    // per-cell micro-nat terms, exact-long banked (q140 discipline)
+    val mi = cells.join(byCell, "__cell").join(byLbl, "__lbl").crossJoin(broadcast(tot))
+      .select(round((col("__c") / col("n").cast("double"))
+        * log(col("__c") * col("n").cast("double") / (col("__a") * col("__b"))) * 1e6)
+        .cast("long").as("__mi6"))
+      .agg(sum("__mi6").as("__mi6"))
+    val hc = byCell.crossJoin(broadcast(tot))
+      .select(round(-(col("__a") / col("n").cast("double"))
+        * log(col("__a") / col("n").cast("double")) * 1e6).cast("long").as("__h6"))
+      .agg(sum("__h6").as("__hc6"))
+    val hl = byLbl.crossJoin(broadcast(tot))
+      .select(round(-(col("__b") / col("n").cast("double"))
+        * log(col("__b") / col("n").cast("double")) * 1e6).cast("long").as("__h6"))
+      .agg(sum("__h6").as("__hl6"))
+    tot.crossJoin(nLbl).crossJoin(mi).crossJoin(hc).crossJoin(hl)
+      .select(col("n"), col("n_cells"), col("n_labels"),
+        round(col("__pure") / col("n").cast("double"), 6).as("purity"),
+        round(when(col("__hc6") > 0 && col("__hl6") > 0,
+          col("__mi6") / sqrt(col("__hc6").cast("double") * col("__hl6").cast("double")))
+          .otherwise(0.0), 6).as("nmi"))
+  }
 }

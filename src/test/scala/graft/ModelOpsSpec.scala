@@ -237,4 +237,42 @@ class ModelOpsSpec extends AnyFunSuite {
     assert(got((1L, 3L)) === 0.0)
     assert(got((1L, 4L)) === 0.0)
   }
+
+  test("kAnonymityAudit: sub-k cells flagged, null QI is its own category, shares sum to 1") {
+    val rows = Seq.fill(5)(("en", "web")) ++ Seq(("en", "books")) ++
+      Seq((null: String, "web"), (null: String, "web"))
+    val got = ModelOps.kAnonymityAudit(rows.toDF("lang", "source"),
+      Seq("lang", "source"), k = 5).collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3), r.getDouble(4))).toMap
+    assert(got((Some("en"), "web")) === ((5L, false, 0.625)))
+    assert(got((Some("en"), "books")) === ((1L, true, 0.125)))
+    assert(got((None, "web")) === ((2L, true, 0.25)))   // nulls audited, not dropped
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-9)
+  }
+
+  test("dpNoisyCounts: noise replays the seeded inverse-CDF formula, floor at zero, eps scales") {
+    def expectedNoise(group: String, eps: Double, seed: Long = 42): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$group".getBytes("UTF-8"))
+      val hex = md.map(b => f"$b%02x").mkString.take(15)
+      val u = (java.lang.Long.parseLong(hex, 16) % 1000000000L + 1.0) / 1000000002.0
+      val v = u - 0.5
+      val raw = -math.signum(v) * math.log(1.0 - 2.0 * math.abs(v)) / eps
+      math.signum(raw) * math.floor(math.abs(raw) * 1e6 + 0.5) / 1e6
+    }
+    val rows = (Seq.fill(7)("a") ++ Seq.fill(3)("b")).toDF("source")
+    val got = ModelOps.dpNoisyCounts(rows, "source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3), r.getLong(4))).toMap
+    for (g <- Seq("a", "b")) {
+      val n = got(g)._1
+      assert(got(g)._2 === expectedNoise(g, 1.0))
+      assert(got(g)._3 === math.max(0L, math.floor(n + got(g)._2 + 0.5).toLong))
+    }
+    // doubling eps halves the Laplace scale (same u, half the magnitude)
+    val tight = ModelOps.dpNoisyCounts(rows, "source", eps = 2.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(tight("a") === expectedNoise("a", 2.0))
+    assert(math.abs(tight("a")) <= math.abs(got("a")._2))
+  }
 }

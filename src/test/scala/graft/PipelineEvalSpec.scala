@@ -268,4 +268,54 @@ class PipelineEvalSpec extends AnyFunSuite {
       assert(rs.map(_._3).sorted.toSeq === (0L until rs.length).toSeq)
     }
   }
+
+  test("gradedRetrievalEval: hand-computed DCG/NDCG/MRR, miss rows contribute zero gain") {
+    // truth (k=3): 10 > 20 > 30 → rel 3, 2, 1. system: 20, 99(miss), 10.
+    val exact = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq((1L, 20L, 1), (1L, 99L, 2), (1L, 10L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val r = SimilarityOps.gradedRetrievalEval(approx, exact, k = 3).collect()(0)
+    val w = SimilarityOps.dcgWeightNanos(3) // 1e9, 1e9/log2(3), 5e8
+    assert(w(0) === 1000000000L && w(2) === 500000000L)
+    val dcg9 = 2L * w(0) + 0L * w(1) + 3L * w(2) // 3.5e9
+    assert(r.getLong(1) === 2L)                  // n_hits: 20 and 10
+    assert(r.getDouble(2) === 3.5)               // dcg
+    val ndcg = dcg9 / SimilarityOps.idcgNanos(3).toDouble
+    assert(math.abs(r.getDouble(3) - ndcg) < 1e-6)
+    assert(r.getDouble(4) === 1.0)               // first system hit at rank 1
+    // perfect list: ndcg = 1 exactly, mrr = 1
+    val perfect = SimilarityOps.gradedRetrievalEval(exact, exact, k = 3).collect()(0)
+    assert(perfect.getDouble(3) === 1.0 && perfect.getDouble(4) === 1.0)
+  }
+
+  test("hardNegatives: same-label neighbors are excluded even when identical, rank by similarity") {
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0),  // query (vec_id < 1)
+      (1L, Array(1f, 0f), 0),  // identical but SAME label → excluded
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0f, 1f), 1),
+      (4L, Array(0.8f, 0.2f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.hardNegatives(emb, m = 2, nQueries = 1).collect()
+      .map(r => (r.getLong(2), r.getInt(3), r.getInt(5))).sortBy(_._3)
+    // top-2 wrong-label: 2 (cos≈0.994) then 4 (cos≈0.970); 1 never appears
+    assert(got.toSeq === Seq((2L, 1, 1), (4L, 2, 2)))
+  }
+
+  test("clusterLabelEval: perfectly label-aligned clusters give purity 1 and NMI 1") {
+    val rows =
+      Seq((0L, Array(10f, 0f), 7), (1L, Array(0f, 10f), 9),
+        (2L, Array(9f, 1f), 7), (3L, Array(1f, 9f), 9))
+    val r = SimilarityOps.clusterLabelEval(rows.toDF("vec_id", "embedding", "label"),
+      k = 2, iters = 3).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 2L, 2L)))
+    assert(r.getDouble(3) === 1.0 && r.getDouble(4) === 1.0)
+    // scrambled labels (each cluster an even label split): purity 0.5, NMI 0
+    val bad = Seq((0L, Array(10f, 0f), 7), (1L, Array(0f, 10f), 9),
+      (2L, Array(9f, 1f), 9), (3L, Array(1f, 9f), 7))
+    val b = SimilarityOps.clusterLabelEval(bad.toDF("vec_id", "embedding", "label"),
+      k = 2, iters = 3).collect()(0)
+    assert(b.getDouble(3) === 0.5 && b.getDouble(4) === 0.0)
+  }
 }
