@@ -219,6 +219,17 @@ private[graft] object OpsEntries {
     "q191_hard_negatives" -> ((s, dir) =>
       SimilarityOps.hardNegatives(t(s, dir, "embeddings"))),
 
+    // Matryoshka truncation eval: recall@10 of prefix-sliced dims
+    // (8/16/32) vs the full 64-dim truth — how far can the index
+    // shrink before retrieval pays?
+    "q197_matryoshka_recall" -> ((s, dir) =>
+      SimilarityOps.matryoshkaRecall(t(s, dir, "embeddings"))),
+
+    // Head/tail fingerprint dedup families: prefix (wire-update) and
+    // suffix (boilerplate sign-off) variants the exact hash misses.
+    "q198_head_tail_dup" -> ((s, dir) =>
+      TextOps.headTailDupFrame(t(s, dir, "documents"))),
+
     // External cluster quality: purity + NMI of the trained k-means
     // cells (q64's trace) against the ground-truth label column.
     "q195_cluster_purity" -> ((s, dir) =>
@@ -1980,6 +1991,36 @@ private[graft] object OpsEntries {
          |  round(sum(rel * w) / CAST($idcg AS DOUBLE), 6) AS ndcg,
          |  round(coalesce(1.0 / min(CASE WHEN rel > 0 THEN r END), 0.0), 6) AS mrr
          |FROM j GROUP BY query_id""".stripMargin
+  }
+
+  /** Matryoshka-recall oracle (q197): the q24 brute-force replay as
+    * truth plus one prefix-sliced brute chain per d, each cut to top-k
+    * and joined into per-(d, query) recall — the q101 no-drift rule.
+    */
+  private def matryoshkaSql(dims: Seq[Int] = Seq(8, 16, 32), topK: Int = 10): String = {
+    val perD = dims.map { d =>
+      s"""m${d}q AS (SELECT vec_id AS query_id, embedding[1:$d] AS qv FROM embeddings WHERE vec_id < 5),
+         |m${d}c AS (SELECT vec_id AS neighbor_id, embedding[1:$d] AS cv FROM embeddings),
+         |m${d}s AS (SELECT query_id, neighbor_id, round(${cosSql("qv", "cv")}, 6) AS cos_sim
+         |       FROM m${d}c CROSS JOIN m${d}q WHERE query_id <> neighbor_id),
+         |m${d}r AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM m${d}s)
+         |  WHERE r <= $topK)""".stripMargin
+    }.mkString(",\n")
+    val unions = dims.map { d =>
+      s"""SELECT $d AS dims, ke.query_id, k_exact,
+         |  coalesce(h.h, 0) AS hits, round(coalesce(h.h, 0) * 1.0 / k_exact, 6) AS recall
+         |FROM ke LEFT JOIN (SELECT query_id, count(*) AS h
+         |  FROM ex JOIN m${d}r USING (query_id, neighbor_id) GROUP BY 1) h
+         |  ON h.query_id = ke.query_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bruteCtes,
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM bs)
+       |  WHERE r <= $topK),
+       |ke AS (SELECT query_id, count(*) AS k_exact FROM ex GROUP BY 1),
+       |$perD
+       |$unions""".stripMargin
   }
 
   /** The q185 PPJoin replay (audit slice, 8-shingle items, rational
@@ -3938,6 +3979,29 @@ private[graft] object OpsEntries {
          |WHERE r <= 10""".stripMargin,
 
     "q192_ndcg_mrr" -> ndcgMrrSql(),
+
+    "q197_matryoshka_recall" -> matryoshkaSql(),
+
+    "q198_head_tail_dup" ->
+      s"""WITH tl AS (SELECT doc_id, $toksExpr AS t FROM documents WHERE text IS NOT NULL),
+         |fp AS (SELECT doc_id,
+         |    CASE WHEN len(t) > 0 THEN md5(array_to_string(t, ' '))
+         |         ELSE 'id:' || CAST(doc_id AS VARCHAR) END AS efp,
+         |    CASE WHEN len(t) > 0 THEN md5(array_to_string(t[1:32], ' '))
+         |         ELSE 'id:' || CAST(doc_id AS VARCHAR) END AS hfp,
+         |    CASE WHEN len(t) > 0
+         |         THEN md5(array_to_string(list_slice(t, greatest(len(t) - 31, 1), len(t)), ' '))
+         |         ELSE 'id:' || CAST(doc_id AS VARCHAR) END AS tfp
+         |  FROM tl),
+         |eg AS (SELECT efp, count(*) AS n_exact_mates FROM fp GROUP BY 1),
+         |hg AS (SELECT hfp, count(*) AS n_head_mates FROM fp GROUP BY 1),
+         |tg AS (SELECT tfp, count(*) AS n_tail_mates FROM fp GROUP BY 1)
+         |SELECT doc_id, n_exact_mates, n_head_mates, n_tail_mates,
+         |  CASE WHEN n_exact_mates > 1 THEN 'exact_dup'
+         |       WHEN n_head_mates > 1 THEN 'prefix_dup'
+         |       WHEN n_tail_mates > 1 THEN 'suffix_dup'
+         |       ELSE 'unique' END AS verdict
+         |FROM fp JOIN eg USING (efp) JOIN hg USING (hfp) JOIN tg USING (tfp)""".stripMargin,
 
     "q193_k_anonymity" ->
       """WITH qi AS (SELECT lang, source,

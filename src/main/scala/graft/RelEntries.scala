@@ -107,6 +107,12 @@ private[graft] object RelEntries {
     "q171_mad_outliers" -> ((s, dir) =>
       RelOps.madOutliers(events(s, dir))),
 
+    // RFM segmentation: per-user recency/frequency/monetary quintiles
+    // (histogram competition ranks, never a global row_number) mapped
+    // to the classic segment labels.
+    "q196_rfm_segments" -> ((s, dir) =>
+      RelOps.rfmSegments(events(s, dir))),
+
     // Hour-of-day seasonality per event type: 24-slot profile with a
     // chi-squared-against-uniform rhythm statistic.
     "q182_hourly_profile" -> ((s, dir) =>
@@ -281,6 +287,38 @@ private[graft] object RelEntries {
          |       round(quantile_cont(tts, 0.5), 4) AS p50_sec,
          |       round(quantile_cont(tts, 0.9), 4) AS p90_sec
          |FROM conv""".stripMargin,
+
+    "q196_rfm_segments" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, value FROM events),
+        |u AS (SELECT user_id, max(s) AS lastv, count(*) AS n_events,
+        |        sum(CAST(round(value * 100) AS BIGINT)) AS m2
+        |      FROM e GROUP BY 1),
+        |t AS (SELECT max(lastv) AS nowv, count(*) AS n FROM u),
+        |b AS (SELECT user_id, (nowv - lastv) // 86400 AS days_since, n_events, m2, n
+        |      FROM u CROSS JOIN t),
+        |rr AS (SELECT v AS days_since,
+        |         coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS rk
+        |       FROM (SELECT days_since AS v, count(*) AS c FROM b GROUP BY 1)),
+        |fr AS (SELECT v AS n_events,
+        |         coalesce(sum(c) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS rk
+        |       FROM (SELECT n_events AS v, count(*) AS c FROM b GROUP BY 1)),
+        |mr AS (SELECT v AS m2,
+        |         coalesce(sum(c) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS rk
+        |       FROM (SELECT m2 AS v, count(*) AS c FROM b GROUP BY 1)),
+        |j AS (SELECT b.user_id, b.days_since, b.n_events, b.m2,
+        |        (5 * rr.rk - 1) // b.n + 1 AS r_q,
+        |        (5 * fr.rk - 1) // b.n + 1 AS f_q,
+        |        (5 * mr.rk - 1) // b.n + 1 AS m_q
+        |      FROM b JOIN rr USING (days_since) JOIN fr USING (n_events) JOIN mr USING (m2))
+        |SELECT user_id, days_since, n_events, round(m2 / 100.0, 2) AS monetary,
+        |       CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+        |       CAST(m_q AS INTEGER) AS m_q,
+        |       CASE WHEN r_q <= 2 AND f_q <= 2 AND m_q <= 2 THEN 'champion'
+        |            WHEN r_q <= 2 AND f_q > 4 THEN 'new'
+        |            WHEN r_q > 4 AND f_q > 4 THEN 'hibernating'
+        |            WHEN r_q > 4 AND f_q <= 2 THEN 'at_risk'
+        |            ELSE 'regular' END AS segment
+        |FROM j""".stripMargin,
 
     "q171_mad_outliers" ->
       """WITH e AS (SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL),

@@ -422,4 +422,63 @@ object RelOps {
       .groupBy("__rd").agg(count(lit(1)).as("active_users"))
       .select(col("__rd").as("day"), col("active_users"))
   }
+
+  /** RFM segmentation — the ClickHouse-family behavioral rollup: per
+    * user, Recency (days since last event, anchored to the corpus max
+    * so the report replays identically), Frequency (event count) and
+    * Monetary (value sum, banked to exact cents so the sum is
+    * order-free), each scored into `quantiles` buckets, then mapped to
+    * the classic segment labels (champion / new / at_risk /
+    * hibernating / regular).
+    *
+    * Plan shape: ONE hash aggregate to per-user rows (checkpointed —
+    * three signal histograms plus the final join all read it); bucket
+    * ranks come from VALUE-HISTOGRAM cumsums (the q150 discipline —
+    * days/counts/cents aggregate to bounded bins, never a global
+    * row_number over users), joined back broadcast. Quantile index is
+    * exact integer arithmetic: q_idx = (q·rank − 1) div n + 1 with
+    * COMPETITION ranks, so ties share a bucket deterministically.
+    *
+    * Output: (<userCol>, days_since, n_events, monetary, r_q, f_q,
+    * m_q, segment); r_q/f_q/m_q = 1 is best (most recent / most
+    * frequent / highest spend).
+    */
+  def rfmSegments(events: DataFrame, userCol: String = "user_id", secCol: String = "sec",
+                  valueCol: String = "value", quantiles: Int = 5): DataFrame = {
+    require(quantiles >= 2, s"quantiles must be >= 2, got $quantiles")
+    val peru = events.groupBy(col(userCol))
+      .agg(max(col(secCol)).as("__last"), count(lit(1)).as("n_events"),
+        sum(Rounding.round(col(valueCol) * 100).cast("long")).as("__m2"))
+      .localCheckpoint(true) // three signal histograms + the final join all read it
+    val tot = peru.agg(max("__last").as("__now"), count(lit(1)).as("__n"))
+    def intDiv(c: Column, d: Column): Column = ((c - pmod(c, d)) / d).cast("long")
+    val base = peru.crossJoin(broadcast(tot))
+      .select(col(userCol),
+        intDiv(col("__now") - col("__last"), lit(86400L)).as("days_since"),
+        col("n_events"), col("__m2"), col("__n"))
+    // competition rank per signal from a bounded value histogram
+    def rankTable(sig: Column, name: String, asc: Boolean): DataFrame = {
+      val hist = base.groupBy(sig.as("__v")).agg(count(lit(1)).as("__c"))
+      val w = Window.orderBy(if (asc) col("__v").asc else col("__v").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist.select(col("__v").as(name), (coalesce(sum("__c").over(w), lit(0L)) + 1L).as(s"__rk_$name"))
+    }
+    def q(rank: Column): Column =
+      (intDiv(lit(quantiles.toLong) * rank - 1L, col("__n")) + 1L).cast("int")
+    val ranked = base
+      .join(broadcast(rankTable(col("days_since"), "days_since", asc = true)), Seq("days_since"))
+      .join(broadcast(rankTable(col("n_events"), "n_events", asc = false)), Seq("n_events"))
+      .join(broadcast(rankTable(col("__m2"), "__m2", asc = false)), Seq("__m2"))
+      .select(col(userCol), col("days_since"), col("n_events"),
+        Rounding.round(col("__m2") / 100.0, 2).as("monetary"),
+        q(col("__rk_days_since")).as("r_q"), q(col("__rk_n_events")).as("f_q"),
+        q(col("__rk___m2")).as("m_q"))
+    val lo = lit(2); val hi = lit(quantiles - 1)
+    ranked.withColumn("segment",
+      when(col("r_q") <= lo && col("f_q") <= lo && col("m_q") <= lo, "champion")
+        .when(col("r_q") <= lo && col("f_q") > hi, "new")
+        .when(col("r_q") > hi && col("f_q") > hi, "hibernating")
+        .when(col("r_q") > hi && col("f_q") <= lo, "at_risk")
+        .otherwise("regular"))
+  }
 }

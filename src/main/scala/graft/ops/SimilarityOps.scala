@@ -1045,6 +1045,31 @@ object SimilarityOps {
       .select(col(cellCol), transform(col("pairs"), p => p.getField("mean_v").cast("float")).as(vecCol))
   }
 
+  /** Matryoshka truncation eval: recall@k of brute-force cosine over
+    * the FIRST d dimensions against the full-dimension truth, for each
+    * d — the harness that decides how far MRL-style embeddings can be
+    * truncated (4–8× index shrink) before retrieval quality pays.
+    * Truncation is a prefix slice; no re-normalization (cosine
+    * normalizes per pair).
+    *
+    * Plan shape: the full-dim truth executes ONCE (checkpointed —
+    * every d's recall join reads it; the q101 reference-once rule);
+    * each d adds one brute pass over the bounded query sample. Output:
+    * (dims, query_id, k_exact, hits, recall).
+    */
+  def matryoshkaRecall(emb: DataFrame, dims: Seq[Int] = Seq(8, 16, 32), k: Int = 10,
+                       nQueries: Int = 5, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val q = emb.filter(col(idCol) < nQueries)
+    val exact = bruteForceTopK(q, emb, k, idCol, vecCol).localCheckpoint(true)
+    dims.map { d =>
+      def trunc(df: DataFrame): DataFrame =
+        df.withColumn(vecCol, slice(col(vecCol), 1, d))
+      recallAtK(bruteForceTopK(trunc(q), trunc(emb), k, idCol, vecCol), exact)
+        .select(lit(d).as("dims"), col("query_id"), col("k_exact"), col("hits"), col("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Hard-negative mining for contrastive/metric training: for each
     * query vector, the m most-similar corpus vectors with a DIFFERENT
     * label — the near-misses that teach an encoder what "similar but

@@ -1823,4 +1823,49 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).cast("long").as("n_subwords"))
       .select(col("did").as(idCol), col("n_words"), col("n_subwords"))
   }
+
+  /** Head/tail fingerprint dedup families: documents sharing their
+    * first `k` tokens (prefix families — wire-update / truncation
+    * variants of one article) or last `k` (suffix families — shared
+    * sign-off boilerplate), versus byte-exact duplication. The tier
+    * BETWEEN exact dedup (q20, whole text) and near-dup (q21): a doc
+    * extended by one paragraph defeats the exact hash and may sit
+    * under the MinHash threshold, but its head fingerprint still
+    * matches.
+    *
+    * Verdict precedence: exact_dup > prefix_dup > suffix_dup > unique
+    * (an exact dup is trivially both). Zero-token docs key to
+    * themselves (the q20 null-content rule — never collapse what
+    * can't be compared).
+    *
+    * Plan shape: three map-side fingerprints from one tokens pass,
+    * three hash-aggregate group sizes joined back on their keys — the
+    * exact-dedup shape ×3, no windows, no pair joins. Output:
+    * (<idCol>, n_exact_mates, n_head_mates, n_tail_mates, verdict).
+    */
+  def headTailDupFrame(docs: org.apache.spark.sql.DataFrame, k: Int = 32,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val tk = tokens(col(textCol))
+    val selfKey = concat(lit("id:"), col(idCol).cast("string"))
+    def guard(fp: Column): Column = when(size(tk) > 0, fp).otherwise(selfKey)
+    val keyed = graft.ops.DedupOps.widen(docs, heavy = false)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        guard(md5(concat_ws(" ", tk))).as("__efp"),
+        guard(md5(concat_ws(" ", slice(tk, 1, k)))).as("__hfp"),
+        guard(md5(concat_ws(" ", slice(tk, greatest(size(tk) - (k - 1), lit(1)), lit(k))))).as("__tfp"))
+      .localCheckpoint(true) // three group-size aggregates + the join-back all read it
+    def sizes(c: String, out: String): org.apache.spark.sql.DataFrame =
+      keyed.groupBy(c).agg(count(lit(1)).as(out))
+    keyed
+      .join(sizes("__efp", "n_exact_mates"), Seq("__efp"))
+      .join(sizes("__hfp", "n_head_mates"), Seq("__hfp"))
+      .join(sizes("__tfp", "n_tail_mates"), Seq("__tfp"))
+      .select(col(idCol), col("n_exact_mates"), col("n_head_mates"), col("n_tail_mates"),
+        when(col("n_exact_mates") > 1, "exact_dup")
+          .when(col("n_head_mates") > 1, "prefix_dup")
+          .when(col("n_tail_mates") > 1, "suffix_dup")
+          .otherwise("unique").as("verdict"))
+  }
 }

@@ -289,6 +289,18 @@ class PipelineEvalSpec extends AnyFunSuite {
     assert(perfect.getDouble(3) === 1.0 && perfect.getDouble(4) === 1.0)
   }
 
+  test("matryoshkaRecall: a prefix-flipped neighbor defeats truncated dims but not full") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 1f, 0f)),       // query
+      (1L, Array(0.9f, 0.1f, 1f, 0f)),   // full-dim nearest
+      (2L, Array(1f, 0f, -0.9f, 0f))     // wins on the first-2 prefix only
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.matryoshkaRecall(emb, dims = Seq(2, 4), k = 1, nQueries = 1)
+      .collect().map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    assert(got(2) === 0.0) // trunc top-1 is vec 2; truth top-1 is vec 1
+    assert(got(4) === 1.0) // full-width slice reproduces the truth exactly
+  }
+
   test("hardNegatives: same-label neighbors are excluded even when identical, rank by similarity") {
     val emb = Seq(
       (0L, Array(1f, 0f), 0),  // query (vec_id < 1)

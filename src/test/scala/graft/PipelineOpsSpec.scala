@@ -741,4 +741,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(2L) === ((2L, 1L, 0.5)))
     assert(got(3L) === ((1L, 1L, 1.0)))
   }
+
+  test("headTailDupFrame: verdict precedence exact > prefix > suffix, empty docs never collapse") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // shares head 'a b' with 2/4, tail 'c d' with 3
+      (2L, "a b x y"),   // prefix family with 1 and 4
+      (3L, "p q c d"),   // suffix family with 1
+      (4L, "a b x y"),   // byte-exact copy of 2
+      (5L, "zz alone"),  // unique
+      (6L, ""), (7L, "") // zero tokens: self-keyed, NOT grouped together
+    ).toDF("doc_id", "text")
+    val got = TextOps.headTailDupFrame(docs, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got(1L) === ((1L, 3L, 2L, "prefix_dup"))) // head mates: 1,2,4
+    assert(got(2L) === ((2L, 3L, 2L, "exact_dup")))  // exact wins over prefix
+    assert(got(4L) === ((2L, 3L, 2L, "exact_dup")))
+    assert(got(3L) === ((1L, 1L, 2L, "suffix_dup")))
+    assert(got(5L) === ((1L, 1L, 1L, "unique")))
+    assert(got(6L) === ((1L, 1L, 1L, "unique")))     // '' != doc 7's ''
+    assert(got(7L) === ((1L, 1L, 1L, "unique")))
+  }
 }

@@ -225,4 +225,38 @@ class RelOpsSpec extends AnyFunSuite {
     // 2-day window: day 3 only sees u1's own day-3 activity
     assert(got2 === Map(0L -> 2L, 3L -> 1L, 20L -> 1L))
   }
+
+  /** Build one event row per (user, count), the LAST exactly at
+    * `day`·86400 so day differences stay whole multiples.
+    */
+  private def rfmEvents(users: Seq[(Long, Long, Int)]) =
+    users.flatMap { case (u, day, f) =>
+      (0 until f).map(i => (u, day * 86400L - i, 100.0))
+    }.toDF("user_id", "sec", "value")
+
+  test("rfmSegments: distinct R/F/M ladder maps to hand-computed quintiles and labels") {
+    // days_since: u1/u5 → 0 (tied, competition rank 1), u2 → 1, u3 → 8, u4 → 9
+    val got = RelOps.rfmSegments(
+      rfmEvents(Seq((1L, 10L, 5), (2L, 9L, 4), (3L, 2L, 3), (4L, 1L, 2), (5L, 10L, 1))))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4), r.getInt(5), r.getInt(6),
+          r.getString(7)))).toMap
+    assert(got(1L) === ((0L, 5L, 500.0, 1, 1, 1, "champion")))
+    assert(got(5L) === ((0L, 1L, 100.0, 1, 5, 5, "new"))) // recent but one-shot
+    assert(got(2L) === ((1L, 4L, 400.0, 3, 2, 2, "regular"))) // rank 3 of 5 → r_q 3
+    assert(got(4L)._7 === "regular") // (5, 4, 4): stale but f_q 4 is not > 4
+  }
+
+  test("rfmSegments: 10-user ladder yields at_risk and hibernating tails") {
+    // days ladder u1 best..u10 worst → r_q = ceil(rank/2); u9 is frequent
+    // but stale (at_risk), u10 stale AND rare (hibernating)
+    val users = Seq(
+      (1L, 9L, 9), (2L, 8L, 8), (3L, 7L, 7), (4L, 6L, 6), (5L, 5L, 5),
+      (6L, 4L, 4), (7L, 3L, 3), (8L, 2L, 2), (9L, 1L, 10), (10L, 0L, 1))
+    val got = RelOps.rfmSegments(rfmEvents(users)).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(4), r.getInt(5), r.getString(7)))).toMap
+    assert(got(9L) === ((5, 1, "at_risk")))
+    assert(got(10L) === ((5, 5, "hibernating")))
+    assert(got(1L) === ((1, 1, "champion")))
+  }
 }
