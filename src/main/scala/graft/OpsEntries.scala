@@ -1247,29 +1247,71 @@ private[graft] object OpsEntries {
 
     // The curation pipeline in ONE query: exact dup → near dup →
     // quality gate, with precedence, per-doc verdict + reason.
-    "q175_curation_pipeline" -> ((s, dir) => {
+    "q175_curation_pipeline" -> ((s, dir) => curationFrame(t(s, dir, "documents"))),
+
+    // Data funnel: docs + tokens surviving each q175 gate — the
+    // one-page "where did my corpus go?" report.
+    "q204_data_funnel" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val fp = docs.select(col("doc_id"),
-        coalesce(TextOps.fingerprint(col("text")),
-          concat(lit("id:"), col("doc_id").cast("string"))).as("fp"))
-        .localCheckpoint(true) // min-per-fp agg + the drop join both read it
-      val exactDropped = fp
-        .join(fp.groupBy("fp").agg(min("doc_id").as("keep_id")), Seq("fp"))
-        .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
-      val verified = DedupOps.jaccardVerify(DedupOps.minHashCandidates(docs), docs)
-      val nearDropped = verified.groupBy(col("id_b")).agg(max(col("jaccard")).as("mj"))
-        .filter(col("mj") >= 0.8).select(col("id_b").as("doc_id"))
-      docs.select(col("doc_id"), TextOps.qualityScore(col("text")).as("__q"))
-        .join(exactDropped.withColumn("__ex", lit(1)), Seq("doc_id"), "left")
-        .join(nearDropped.withColumn("__nd", lit(1)), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("__ex") === 1, "exact_dup")
-            .when(col("__nd") === 1, "near_dup")
-            .when(col("__q") < 0.5, "low_quality")
-            .otherwise("kept").as("reason"))
-        .withColumn("keep", col("reason") === "kept")
-    })
+      SampleOps.dataFunnel(curationFrame(docs),
+        docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")))
+    }),
+
+    // DoReMi-lite mixture reweighting: per-source weights boosting the
+    // sources the reference LM finds hard (excess surprisal), on top
+    // of token share — the learned-mixture counterpart of q71.
+    "q199_doremi_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      SampleOps.doremiWeights(
+        TextOps.unigramLogProb(docs)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")))
+    }),
+
+    // Label-noise scan: kNN label agreement over a bounded sample —
+    // low consensus flags likely mislabeled vectors before training.
+    "q200_label_noise" -> ((s, dir) =>
+      SimilarityOps.labelNoiseScan(t(s, dir, "embeddings"))),
+
+    // Neyman allocation of a 1000-label eval budget across sources
+    // (∝ n_h·σ_h over the quality score; largest-remainder rounding).
+    "q201_neyman_alloc" -> ((s, dir) =>
+      SampleOps.neymanAllocation(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("source"), TextOps.qualityScore(col("text")).as("quality_score")),
+        "source", "quality_score")),
+
+    // IVF cell-balance audit of the trained coarse quantizer: per-cell
+    // load factors (the serving-p99 gate), empty cells surfaced.
+    "q203_ivf_balance" -> ((s, dir) =>
+      SimilarityOps.ivfBalance(t(s, dir, "embeddings")))
   )
+
+  /** The q175 curation pipeline: exact dedup → verified near-dup →
+    * quality gate with per-doc drop-reason precedence; shared by the
+    * q175 verdict output and the q204 funnel rollup.
+    */
+  private def curationFrame(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      coalesce(TextOps.fingerprint(col("text")),
+        concat(lit("id:"), col("doc_id").cast("string"))).as("fp"))
+      .localCheckpoint(true) // min-per-fp agg + the drop join both read it
+    val exactDropped = fp
+      .join(fp.groupBy("fp").agg(min("doc_id").as("keep_id")), Seq("fp"))
+      .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
+    val verified = DedupOps.jaccardVerify(DedupOps.minHashCandidates(docs), docs)
+    val nearDropped = verified.groupBy(col("id_b")).agg(max(col("jaccard")).as("mj"))
+      .filter(col("mj") >= 0.8).select(col("id_b").as("doc_id"))
+    docs.select(col("doc_id"), TextOps.qualityScore(col("text")).as("__q"))
+      .join(exactDropped.withColumn("__ex", lit(1)), Seq("doc_id"), "left")
+      .join(nearDropped.withColumn("__nd", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__ex") === 1, "exact_dup")
+          .when(col("__nd") === 1, "near_dup")
+          .when(col("__q") < 0.5, "low_quality")
+          .otherwise("kept").as("reason"))
+      .withColumn("keep", col("reason") === "kept")
+  }
 
   // ---- DuckDB oracle SQL (independent re-implementation) ----
 
@@ -1960,6 +2002,39 @@ private[graft] object OpsEntries {
          |SELECT ke.query_id, k_exact, coalesce(hits.h, 0) AS hits,
          |       round(coalesce(hits.h, 0) * 1.0 / k_exact, 6) AS recall
          |FROM ke LEFT JOIN hits ON ke.query_id = hits.query_id""".stripMargin
+
+  /** The q175 curation replay, ending at CTE `v(doc_id, reason)` —
+    * shared by the q175 verdict output and the q204 funnel rollup so
+    * the funnel cannot drift from the verdicts it counts.
+    */
+  private def curationCtes: String =
+    s"""$minhashCtes,
+       |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
+       |g AS (SELECT doc_id, CASE WHEN len(norm) < 3 THEN [norm]
+       |        ELSE list_distinct(list_transform(generate_series(1, len(norm)-2), i -> substr(norm, i, 3))) END AS grams
+       |      FROM (SELECT doc_id, $norm AS norm FROM documents)),
+       |jx AS (SELECT id_a, id_b,
+       |        CAST(len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS DOUBLE) AS inter,
+       |        CAST(len(ga.grams) + len(gb.grams) AS DOUBLE) AS total
+       |      FROM cand JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b),
+       |nd AS (SELECT DISTINCT id_b AS doc_id FROM jx
+       |       WHERE round(CASE WHEN total - inter > 0 THEN inter / (total - inter) ELSE 0.0 END, 4) >= 0.8),
+       |fpt AS MATERIALIZED (SELECT doc_id,
+       |        coalesce(md5(CASE WHEN len($norm) > 0 THEN $norm ELSE text END),
+       |                 'id:' || CAST(doc_id AS VARCHAR)) AS fp
+       |      FROM documents),
+       |ex AS (SELECT doc_id FROM fpt
+       |       JOIN (SELECT fp, min(doc_id) AS keep_id FROM fpt GROUP BY fp) USING (fp)
+       |       WHERE doc_id <> keep_id),
+       |q AS ($q26Sql),
+       |v AS (SELECT d.doc_id,
+       |        CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+       |             WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+       |             WHEN q.quality_score < 0.5 THEN 'low_quality'
+       |             ELSE 'kept' END AS reason
+       |      FROM documents d LEFT JOIN ex ON ex.doc_id = d.doc_id
+       |        LEFT JOIN nd ON nd.doc_id = d.doc_id
+       |        JOIN q ON q.doc_id = d.doc_id)""".stripMargin
 
   /** Graded-retrieval oracle (q192): the q90 trained-IVF replay and the
     * q24 brute-force replay (the q101 no-drift rule — SAME CTE text),
@@ -3754,34 +3829,91 @@ private[graft] object OpsEntries {
     },
 
     "q175_curation_pipeline" ->
-      s"""$minhashCtes,
-         |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
-         |g AS (SELECT doc_id, CASE WHEN len(norm) < 3 THEN [norm]
-         |        ELSE list_distinct(list_transform(generate_series(1, len(norm)-2), i -> substr(norm, i, 3))) END AS grams
-         |      FROM (SELECT doc_id, $norm AS norm FROM documents)),
-         |jx AS (SELECT id_a, id_b,
-         |        CAST(len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS DOUBLE) AS inter,
-         |        CAST(len(ga.grams) + len(gb.grams) AS DOUBLE) AS total
-         |      FROM cand JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b),
-         |nd AS (SELECT DISTINCT id_b AS doc_id FROM jx
-         |       WHERE round(CASE WHEN total - inter > 0 THEN inter / (total - inter) ELSE 0.0 END, 4) >= 0.8),
-         |fpt AS MATERIALIZED (SELECT doc_id,
-         |        coalesce(md5(CASE WHEN len($norm) > 0 THEN $norm ELSE text END),
-         |                 'id:' || CAST(doc_id AS VARCHAR)) AS fp
-         |      FROM documents),
-         |ex AS (SELECT doc_id FROM fpt
-         |       JOIN (SELECT fp, min(doc_id) AS keep_id FROM fpt GROUP BY fp) USING (fp)
-         |       WHERE doc_id <> keep_id),
-         |q AS ($q26Sql),
-         |v AS (SELECT d.doc_id,
-         |        CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
-         |             WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
-         |             WHEN q.quality_score < 0.5 THEN 'low_quality'
-         |             ELSE 'kept' END AS reason
-         |      FROM documents d LEFT JOIN ex ON ex.doc_id = d.doc_id
-         |        LEFT JOIN nd ON nd.doc_id = d.doc_id
-         |        JOIN q ON q.doc_id = d.doc_id)
-         |SELECT doc_id, reason, reason = 'kept' AS keep FROM v""".stripMargin,
+      (curationCtes + "\nSELECT doc_id, reason, reason = 'kept' AS keep FROM v"),
+
+    "q204_data_funnel" ->
+      (curationCtes +
+        s""",
+           |tok AS (SELECT doc_id, CAST(len($toksExpr) AS BIGINT) AS nt FROM documents),
+           |f AS (SELECT reason, count(*) AS n_docs, sum(coalesce(nt, 0)) AS n_tokens
+           |      FROM v LEFT JOIN tok USING (doc_id) GROUP BY 1),
+           |t2 AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM f)
+           |SELECT reason, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  round(n_docs / CAST(td AS DOUBLE), 6) AS doc_share,
+           |  round(n_tokens / CAST(tt AS DOUBLE), 6) AS token_share
+           |FROM f CROSS JOIN t2""".stripMargin),
+
+    "q199_doremi_weights" ->
+      s"""WITH dt AS (SELECT doc_id, unnest($toksExpr) AS tok FROM documents),
+         |tc AS (SELECT tok, count(*) AS cnt FROM dt GROUP BY 1),
+         |tt0 AS (SELECT sum(cnt) AS total FROM tc),
+         |scored AS (SELECT dt.doc_id, round(-log2(CAST(tc.cnt AS DOUBLE) / tt0.total), 6) AS nll
+         |           FROM dt JOIN tc USING (tok) CROSS JOIN tt0),
+         |sc AS (SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 4) AS avg_nll
+         |       FROM scored GROUP BY 1),
+         |ss AS (SELECT d.source, sc.n_tokens, sc.avg_nll
+         |       FROM sc JOIN documents d USING (doc_id)),
+         |per AS (SELECT source, count(*) AS n_docs, sum(n_tokens) AS tok,
+         |          sum(CAST(round(avg_nll * 10000) AS BIGINT) * n_tokens) AS nll4
+         |        FROM ss GROUP BY 1),
+         |tot AS (SELECT sum(tok) AS tt, sum(nll4) AS tn FROM per),
+         |w AS (SELECT source, n_docs, round(tok / CAST(tt AS DOUBLE), 6) AS token_share,
+         |        round(nll4 / CAST(tok AS DOUBLE) / 10000.0, 4) AS mean_nll,
+         |        round(tn / CAST(tt AS DOUBLE) / 10000.0, 4) AS corpus
+         |      FROM per CROSS JOIN tot),
+         |w2 AS (SELECT source, n_docs, token_share, mean_nll,
+         |         round(greatest(mean_nll - corpus, 0.0), 4) AS excess FROM w),
+         |w3 AS (SELECT *, round(exp(1.0 * excess), 6) AS boost FROM w2),
+         |w4 AS (SELECT *, CAST(round(token_share * boost * 1000000) AS BIGINT) AS w6 FROM w3),
+         |nrm AS (SELECT sum(w6) AS sw FROM w4)
+         |SELECT source, n_docs, token_share, mean_nll, excess, boost,
+         |       round(w6 / CAST(sw AS DOUBLE), 6) AS weight
+         |FROM w4 CROSS JOIN nrm""".stripMargin,
+
+    "q200_label_noise" ->
+      s"""WITH bq AS (SELECT vec_id AS query_id, label AS ql, embedding AS qv FROM embeddings
+         |            WHERE vec_id < 50 AND embedding IS NOT NULL AND label IS NOT NULL),
+         |bc AS (SELECT vec_id AS neighbor_id, label AS nl, embedding AS cv FROM embeddings
+         |       WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |bs AS (SELECT query_id, ql, neighbor_id, nl, round(${cosSql("qv", "cv")}, 6) AS cos_sim
+         |       FROM bc CROSS JOIN bq WHERE query_id <> neighbor_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM bs),
+         |k AS (SELECT query_id, ql, count(*) AS kf,
+         |        sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS n_same
+         |      FROM rk WHERE r <= 10 GROUP BY 1, 2)
+         |SELECT query_id AS vec_id, ql AS label, CAST(n_same AS BIGINT) AS n_same,
+         |  round(n_same / CAST(kf AS DOUBLE), 6) AS agreement,
+         |  round(n_same / CAST(kf AS DOUBLE), 6) < 0.3 AS suspect
+         |FROM k""".stripMargin,
+
+    "q201_neyman_alloc" ->
+      s"""WITH q AS ($q26Sql),
+         |qf AS (SELECT d.source, CAST(round(quality_score * 10000) AS BIGINT) AS x4
+         |       FROM q JOIN documents d USING (doc_id) WHERE quality_score IS NOT NULL),
+         |per AS (SELECT source, count(*) AS n_rows, sum(x4) AS sx, sum(x4 * x4) AS sxx
+         |        FROM qf GROUP BY 1),
+         |nn AS (SELECT source, n_rows,
+         |         CAST(n_rows AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS num FROM per),
+         |w AS (SELECT source, n_rows,
+         |        round(sqrt(CAST(num AS DOUBLE)) / n_rows / 10000.0, 6) AS sigma,
+         |        CAST(round(sqrt(CAST(num AS DOUBLE)) * 1000) AS BIGINT) AS w3 FROM nn),
+         |tot AS (SELECT sum(w3) AS sw FROM w),
+         |a AS (SELECT source, n_rows, sigma,
+         |        (1000 * w3) // sw AS fl, (1000 * w3) % sw AS rem FROM w CROSS JOIN tot),
+         |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         |        sum(fl) OVER () AS tf FROM a)
+         |SELECT source, n_rows, sigma,
+         |       CAST(fl + CASE WHEN rk <= 1000 - tf THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM r""".stripMargin,
+
+    "q203_ivf_balance" -> (kmeansCtes(8, 3, 64) + kmeansAssignCtes(3) +
+      """cnt AS (SELECT cell, count(*) AS n_vecs FROM asg GROUP BY 1),
+        |tot AS (SELECT sum(n_vecs) AS t FROM cnt),
+        |grid AS (SELECT unnest(generate_series(0, 7)) AS cell)
+        |SELECT CAST(grid.cell AS INTEGER) AS cell, coalesce(n_vecs, 0) AS n_vecs,
+        |  round(coalesce(n_vecs, 0) / CAST(t AS DOUBLE), 6) AS share,
+        |  round(coalesce(n_vecs, 0) * 8 / CAST(t AS DOUBLE), 4) AS load_factor
+        |FROM grid LEFT JOIN cnt USING (cell) CROSS JOIN tot""".stripMargin),
 
     "q189_lang_source_chi2" ->
       """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o FROM documents

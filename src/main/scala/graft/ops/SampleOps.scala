@@ -581,4 +581,117 @@ object SampleOps {
       .withColumn("selected", col("logw") >= col("__cut"))
       .drop("__cut")
   }
+
+  /** DoReMi-lite mixture reweighting: per-source sampling weights that
+    * BOOST the sources the reference LM finds hard (excess token-
+    * weighted surprisal over the corpus mean — the multiplicative-
+    * weights signal of DoReMi, one step, exponentiated at `eta`) on
+    * top of their token share. The learned-mixture counterpart of
+    * q71's temperature heuristic.
+    *
+    * Input is the SCORED frame — (source, n_tokens, avg_nll) per doc,
+    * i.e. [[graft.ops.TextOps.unigramLogProb]] joined back to sources —
+    * so the expensive LM pass is the caller's (persist contract as
+    * q104). Determinism: per-source nll mass banks as exact integers
+    * (avg_nll is 4dp by contract), excess re-rounds to 4dp before the
+    * exp, raw weights bank at 1e-6 before normalizing — the share
+    * division is exact-long / exact-long.
+    *
+    * Output per source: (source, n_docs, token_share, mean_nll,
+    * excess, boost, weight); weights sum to 1 ± 1e-6.
+    */
+  def doremiWeights(scored: org.apache.spark.sql.DataFrame, eta: Double = 1.0,
+                    srcCol: String = "source"): org.apache.spark.sql.DataFrame = {
+    val per = scored.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("__tok"),
+        sum(round(col("avg_nll") * 1e4).cast("long") * col("n_tokens")).as("__nll4"))
+      .localCheckpoint(true) // corpus totals + the weight pass both read it
+    val tot = per.agg(sum("__tok").as("__tt"), sum("__nll4").as("__tn"))
+    val w = per.crossJoin(broadcast(tot))
+      .select(col(srcCol), col("n_docs"),
+        round(col("__tok") / col("__tt").cast("double"), 6).as("token_share"),
+        round(col("__nll4") / col("__tok").cast("double") / 1e4, 4).as("mean_nll"),
+        round(col("__tn") / col("__tt").cast("double") / 1e4, 4).as("__corpus"))
+      .withColumn("excess", round(greatest(col("mean_nll") - col("__corpus"), lit(0.0)), 4))
+      .withColumn("boost", round(exp(lit(eta) * col("excess")), 6))
+      .withColumn("__w6", round(col("token_share") * col("boost") * 1e6).cast("long"))
+      .localCheckpoint(true) // the normalizer + the output both read it
+    val norm = w.agg(sum("__w6").as("__sw"))
+    w.crossJoin(broadcast(norm))
+      .select(col(srcCol), col("n_docs"), col("token_share"), col("mean_nll"),
+        col("excess"), col("boost"),
+        round(col("__w6") / col("__sw").cast("double"), 6).as("weight"))
+  }
+
+  /** Neyman allocation of an eval/annotation budget: stratum sample
+    * sizes ∝ n_h·σ_h — minimum-variance allocation for estimating the
+    * corpus mean of `valueCol` (strata with more mass OR more internal
+    * spread earn more labels). The statistical-sampling-design
+    * counterpart of the proportional q86 split.
+    *
+    * Determinism: values bank to exact 1e-4 integers; n·σ reduces to
+    * √(n·Σx² − (Σx)²)/1e4 — one sqrt (correctly rounded IEEE, safe
+    * cross-engine, unlike ln/exp) of an exact long, banked at 1e-3;
+    * the allocation itself is exact integer arithmetic with
+    * largest-remainder rounding (ties to the smaller stratum name), so
+    * Σ alloc = `total` exactly, in any engine.
+    *
+    * Output per stratum: (<groupCol>, n_rows, sigma, alloc).
+    */
+  def neymanAllocation(scored: org.apache.spark.sql.DataFrame, groupCol: String,
+                       valueCol: String, total: Int = 1000): org.apache.spark.sql.DataFrame = {
+    val x4 = round(col(valueCol) * 1e4).cast("long")
+    val per = scored.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), sum(x4).as("__sx"), sum(x4 * x4).as("__sxx"))
+      // n·Σx² − (Σx)² in decimal: the long product overflows past ~3·10⁵
+      // rows/stratum at 1e-4 banking (DuckDB side is hugeint-exact)
+      .select(col(groupCol), col("n_rows"),
+        (col("n_rows").cast("decimal(38,0)") * col("__sxx").cast("decimal(38,0)")
+          - col("__sx").cast("decimal(38,0)") * col("__sx").cast("decimal(38,0)")).as("__num"))
+      .select(col(groupCol), col("n_rows"),
+        round(sqrt(col("__num").cast("double")) / col("n_rows") / 1e4, 6).as("sigma"),
+        round(sqrt(col("__num").cast("double")) * 1e3).cast("long").as("__w3"))
+      .localCheckpoint(true) // normalizer + the allocation pass both read it
+    val tot = per.agg(sum("__w3").as("__sw"))
+    def intDiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val alloc = per.crossJoin(broadcast(tot))
+      .withColumn("__floor", intDiv(lit(total.toLong) * col("__w3"), col("__sw")))
+      .withColumn("__rem", pmod(lit(total.toLong) * col("__w3"), col("__sw")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(groupCol).asc)
+    // strata count is bounded (categories), so the remainder ranking
+    // window is a driver-scale sort, not a corpus one
+    alloc
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__extra",
+        sum("__floor").over(org.apache.spark.sql.expressions.Window
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .select(col(groupCol), col("n_rows"), col("sigma"),
+        (col("__floor") + when(col("__rk") <= lit(total.toLong) - col("__extra"), 1L)
+          .otherwise(0L)).cast("long").as("alloc"))
+  }
+
+  /** Data-funnel report over a curation verdict frame (doc_id, reason,
+    * keep): docs and tokens surviving each gate — the one-page answer
+    * to "where did my corpus go?". The per-reason rollup reads the
+    * curated frame ONCE; the 4-row result is checkpointed because the
+    * totals and the share projection both read it.
+    *
+    * Output per reason: (reason, n_docs, n_tokens, doc_share,
+    * token_share).
+    */
+  def dataFunnel(curated: org.apache.spark.sql.DataFrame,
+                 docTokens: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val per = curated.join(docTokens, Seq("doc_id"), "left")
+      .groupBy("reason")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_tokens"), lit(0L))).as("n_tokens"))
+      .localCheckpoint(true) // totals + shares both read the tiny rollup
+    val tot = per.agg(sum("n_docs").as("__td"), sum("n_tokens").as("__tt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("reason"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs") / col("__td").cast("double"), 6).as("doc_share"),
+        round(col("n_tokens") / col("__tt").cast("double"), 6).as("token_share"))
+  }
 }

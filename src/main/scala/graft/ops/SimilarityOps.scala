@@ -1045,6 +1045,70 @@ object SimilarityOps {
       .select(col(cellCol), transform(col("pairs"), p => p.getField("mean_v").cast("float")).as(vecCol))
   }
 
+  /** Label-noise scan (confident-learning-style): for each sampled
+    * vector, the fraction of its k exact nearest neighbors sharing its
+    * label — low agreement flags likely MIS-labeled rows for review
+    * before the labels train anything. Self is excluded (its own label
+    * would bias every score up).
+    *
+    * Plan shape: the bounded query sample rides the brute-force eval
+    * contract (q24/q101); the neighbor-label join keys on the k-sized
+    * result set. At corpus scale the scorer runs over IVF-probed
+    * candidates instead. Output: (<idCol>, label, n_same, agreement,
+    * suspect = agreement < `suspectBelow`).
+    */
+  def labelNoiseScan(emb: DataFrame, k: Int = 10, nQueries: Int = 50,
+                     suspectBelow: Double = 0.3, idCol: String = "vec_id",
+                     vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val base = emb.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+    val qs = base.filter(col(idCol) < nQueries)
+    val topk = bruteForceTopK(qs, base, k, idCol, vecCol)
+    topk
+      .join(base.select(col(idCol).as("neighbor_id"), col(labelCol).as("__nl")),
+        Seq("neighbor_id"))
+      .join(broadcast(qs.select(col(idCol).as("query_id"), col(labelCol).as("label"))),
+        Seq("query_id"))
+      .groupBy("query_id", "label")
+      .agg(count(lit(1)).as("__kf"),
+        sum(when(col("__nl") === col("label"), 1L).otherwise(0L)).as("n_same"))
+      .select(col("query_id").as(idCol), col("label"), col("n_same"),
+        round(col("n_same") / col("__kf").cast("double"), 6).as("agreement"))
+      .withColumn("suspect", col("agreement") < suspectBelow)
+  }
+
+  /** IVF cell-balance audit of the trained coarse quantizer: per-cell
+    * population, share, and load factor vs the uniform ideal —
+    * the serving-p99 gate (a 10× hot cell means 10× probe latency for
+    * every query routed there; empty cells waste probes). Empty cells
+    * REPORT as zero rows rather than vanishing.
+    *
+    * Plan shape: one Lloyd training (the committed k-means trace), one
+    * map-only assignment + k-row hash aggregate, and a k-row grid
+    * left-join so empties surface. Output: (cell, n_vecs, share,
+    * load_factor).
+    */
+  def ivfBalance(emb: DataFrame, k: Int = 8, iters: Int = 3,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val clean = emb.filter(col(vecCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = try {
+      val cents = trainCentroids(clean, k, iters, idCol, vecCol)
+      clean.select(assignCell(cents, vecCol).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+        .localCheckpoint(true) // grid join + the total both read it
+    } finally clean.unpersist(blocking = false)
+    val tot = counts.agg(sum("n_vecs").as("__t"))
+    (0 until k).toDF("cell")
+      .join(counts, Seq("cell"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        round(coalesce(col("n_vecs"), lit(0L)) / col("__t").cast("double"), 6).as("share"),
+        round(coalesce(col("n_vecs"), lit(0L)) * lit(k.toLong) / col("__t").cast("double"), 4)
+          .as("load_factor"))
+  }
+
   /** Matryoshka truncation eval: recall@k of brute-force cosine over
     * the FIRST d dimensions against the full-dimension truth, for each
     * d — the harness that decides how far MRL-style embeddings can be

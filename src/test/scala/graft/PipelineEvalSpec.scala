@@ -315,6 +315,33 @@ class PipelineEvalSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((2L, 1, 1), (4L, 2, 2)))
   }
 
+  test("labelNoiseScan: kNN consensus flags the mislabeled vector, self excluded") {
+    def frame(qLabel: Int) = Seq(
+      (0L, Array(1f, 0f), qLabel),
+      (1L, Array(1f, 0.01f), 0), (2L, Array(1f, -0.01f), 0), // near, label 0
+      (3L, Array(0.99f, 0f), 1),                             // near, label 1
+      (4L, Array(0f, 1f), 5)                                 // far, never in top-3
+    ).toDF("vec_id", "embedding", "label")
+    val ok = SimilarityOps.labelNoiseScan(frame(0), k = 3, nQueries = 1).collect()(0)
+    assert((ok.getLong(2), ok.getDouble(3), ok.getBoolean(4)) === ((2L, 0.666667, false)))
+    val bad = SimilarityOps.labelNoiseScan(frame(9), k = 3, nQueries = 1).collect()(0)
+    assert((bad.getLong(2), bad.getDouble(3), bad.getBoolean(4)) === ((0L, 0.0, true)))
+  }
+
+  test("ivfBalance: per-cell load factors, a never-winning duplicate centroid reports empty") {
+    // init cells from ids 0,1,2: cells 0 and 2 start identical; ties
+    // assign to the LOWER cell, so cell 2 ends empty but still reports
+    val emb = Seq(
+      (0L, Array(10f, 0f)), (1L, Array(0f, 10f)), (2L, Array(10f, 0f)),
+      (3L, Array(10f, 0f)), (4L, Array(0f, 10f))
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.ivfBalance(emb, k = 3, iters = 2).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(0) === ((3L, 0.6, 1.8)))
+    assert(got(1) === ((2L, 0.4, 1.2)))
+    assert(got(2) === ((0L, 0.0, 0.0)))
+  }
+
   test("clusterLabelEval: perfectly label-aligned clusters give purity 1 and NMI 1") {
     val rows =
       Seq((0L, Array(10f, 0f), 7), (1L, Array(0f, 10f), 9),

@@ -427,6 +427,56 @@ class SeriesSampleSpec extends AnyFunSuite {
     // 0.75-quantile of two weights interpolates between them → only the top doc clears it
     assert(got(2L)._3 && !got(3L)._3)
   }
+
+  test("doremiWeights: hard source earns an exp(excess) boost, easy source boost 1") {
+    val scored = Seq(
+      ("a", 100L, 5.0), ("a", 100L, 5.0), // easy: mean 5, 2/3 of tokens
+      ("b", 100L, 10.0)                   // hard: mean 10
+    ).toDF("source", "n_tokens", "avg_nll")
+    val got = SampleOps.doremiWeights(scored).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    // corpus mean = (2·50000·100 + 100000·100)/300/1e4 = 6.6667
+    val (shareA, _, exA, boostA, _) = got("a")
+    val (shareB, meanB, exB, boostB, wB) = got("b")
+    assert(shareA === 0.666667 && shareB === 0.333333 && meanB === 10.0)
+    assert(exA === 0.0 && boostA === 1.0)
+    assert(exB === 3.3333)
+    val expBoost = math.floor(math.exp(3.3333) * 1e6 + 0.5) / 1e6
+    assert(boostB === expBoost)
+    // normalized from 1e-6-banked raws
+    val wA6 = math.floor(0.666667 * 1.0 * 1e6 + 0.5)
+    val wB6 = math.floor(0.333333 * expBoost * 1e6 + 0.5)
+    assert(wB === math.floor(wB6 / (wA6 + wB6) * 1e6 + 0.5) / 1e6)
+    assert(wB > got("a")._5) // the hard source outweighs its token share
+  }
+
+  test("neymanAllocation: budget splits on n·sigma with largest-remainder, constant stratum gets zero") {
+    val scored = Seq(
+      ("a", 0.0), ("a", 1.0),   // sigma 0.5  → w3 = 1e7
+      ("b", 0.5), ("b", 0.5),   // sigma 0    → w3 = 0
+      ("c", 0.0), ("c", 0.5)    // sigma 0.25 → w3 = 5e6
+    ).toDF("source", "q")
+    val got = SampleOps.neymanAllocation(scored, "source", "q", total = 10).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got("a") === ((2L, 0.5, 7L)))  // floor 6 + the largest remainder
+    assert(got("b") === ((2L, 0.0, 0L)))  // no spread, no labels
+    assert(got("c") === ((2L, 0.25, 3L)))
+    assert(got.values.map(_._3).sum === 10L) // exact budget, any engine
+  }
+
+  test("dataFunnel: per-reason doc/token shares, docs missing from the token table count zero") {
+    val curated = Seq((1L, "kept", true), (2L, "kept", true), (3L, "exact_dup", false),
+      (4L, "low_quality", false)).toDF("doc_id", "reason", "keep")
+    val toks = Seq((1L, 10L), (2L, 5L), (3L, 3L)).toDF("doc_id", "n_tokens") // 4L absent
+    val got = SampleOps.dataFunnel(curated, toks).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got("kept") === ((2L, 15L, 0.5, 0.833333)))
+    assert(got("exact_dup") === ((1L, 3L, 0.25, 0.166667)))
+    assert(got("low_quality") === ((1L, 0L, 0.25, 0.0)))
+  }
 }
 
 /** Driver-side replica of SampleOps.hashBucket for order assertions. */
