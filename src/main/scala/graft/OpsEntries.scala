@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{DedupOps, ModelOps, MultimodalOps, SampleOps, SimilarityOps, SuffixArrayOps, TextOps}
+import graft.ops.{DedupOps, ModelOps, MultimodalOps, SampleOps, SimilarityOps, SketchOps, SuffixArrayOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Rounding.round // binary rounding, DuckDB-consistent (shadows functions.round)
@@ -1284,7 +1284,23 @@ private[graft] object OpsEntries {
     // IVF cell-balance audit of the trained coarse quantizer: per-cell
     // load factors (the serving-p99 gate), empty cells surfaced.
     "q203_ivf_balance" -> ((s, dir) =>
-      SimilarityOps.ivfBalance(t(s, dir, "embeddings")))
+      SimilarityOps.ivfBalance(t(s, dir, "embeddings"))),
+
+    // Engine-portable HyperLogLog: distinct-shingle cardinality per
+    // source from 256 seeded-md5 registers — unlike q48's built-in
+    // sketches, the ESTIMATE itself is oracle-verified bit-exactly.
+    "q206_hll_distinct" -> ((s, dir) =>
+      SketchOps.hllShingleDistinct(t(s, dir, "documents"))),
+
+    // Count-Min sketch over the token stream + exact top-20 audit:
+    // est = min over 4 hashed rows, overcount >= 0 by construction.
+    "q207_countmin_audit" -> ((s, dir) =>
+      SketchOps.countMinAudit(t(s, dir, "documents"))),
+
+    // Diagonal-Mahalanobis embedding outliers: per-dim z^2 sum against
+    // broadcast corpus moments, take-ordered top 20.
+    "q208_embedding_outliers" -> ((s, dir) =>
+      SimilarityOps.mahalanobisOutliers(t(s, dir, "embeddings")))
   )
 
   /** The q175 curation pipeline: exact dedup → verified near-dup →
@@ -4182,7 +4198,75 @@ private[graft] object OpsEntries {
          |       round(CASE WHEN hc6 > 0 AND hl6 > 0
          |             THEN mi6 / sqrt(CAST(hc6 AS DOUBLE) * CAST(hl6 AS DOUBLE))
          |             ELSE 0.0 END, 6) AS nmi
-         |FROM tot CROSS JOIN nl CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl""".stripMargin)
+         |FROM tot CROSS JOIN nl CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl""".stripMargin),
+
+    // HLL registers replayed in SQL: same seeded-md5 hash, same low-bit
+    // register / leading-zero rank split, same integer 2^53-unit
+    // indicator banking, same alpha and small-range branch.
+    "q206_hll_distinct" ->
+      s"""WITH n AS (SELECT source, $norm AS norm FROM documents WHERE text IS NOT NULL),
+         |sh AS (SELECT source, unnest($shingles8) AS g FROM n),
+         |cd AS (SELECT source, ${base38Sql("g")} AS code FROM sh),
+         |h AS (SELECT source, code,
+         |        CAST(concat('0x', substr(md5('7:' || CAST(code AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |      FROM cd),
+         |r AS (SELECT source, h & 255 AS reg,
+         |        max(CASE WHEN h >> 8 = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END) AS mj
+         |      FROM h GROUP BY 1, 2),
+         |a AS (SELECT source, count(*) AS n_regs,
+         |        sum(CAST(pow(2, 53 - mj) AS BIGINT)) AS su FROM r GROUP BY 1),
+         |ex AS (SELECT source, count(DISTINCT code) AS exact_n FROM cd GROUP BY 1),
+         |e AS (SELECT source, n_regs, exact_n,
+         |        (su + (256 - n_regs) * CAST(pow(2, 53) AS BIGINT)) / pow(2.0, 53) AS s,
+         |        256 - n_regs AS zeros
+         |      FROM a JOIN ex USING (source)),
+         |est AS (SELECT source, exact_n, n_regs,
+         |          CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0) * 65536.0) / s <= 640.0 AND zeros > 0
+         |               THEN 256.0 * ln(256.0 / zeros)
+         |               ELSE (0.7213 / (1.0 + 1.079 / 256.0) * 65536.0) / s END AS e
+         |        FROM e)
+         |SELECT source, CAST(exact_n AS BIGINT) AS exact_n, CAST(n_regs AS BIGINT) AS n_regs,
+         |       round(e, 4) AS est_n,
+         |       round((round(e, 4) - exact_n) / CAST(exact_n AS DOUBLE), 4) AS rel_err
+         |FROM est""".stripMargin,
+
+    // Count-Min replay: sketch cells from the exact term counts (the
+    // sketch is additive), probe = exact top-20, est = min over rows.
+    "q207_countmin_audit" ->
+      s"""WITH tk AS (SELECT unnest($toksExpr) AS term FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT term, count(*) AS n FROM tk GROUP BY 1),
+         |sk AS (SELECT d,
+         |         CAST(concat('0x', substr(md5(CAST(100 + d AS VARCHAR) || ':' || term), 1, 15)) AS BIGINT) % 256 AS bucket,
+         |         sum(n) AS cell
+         |       FROM c CROSS JOIN range(1, 5) t(d) GROUP BY 1, 2),
+         |top AS (SELECT term, n FROM c ORDER BY n DESC, term LIMIT 20),
+         |pr AS (SELECT term, n, d,
+         |         CAST(concat('0x', substr(md5(CAST(100 + d AS VARCHAR) || ':' || term), 1, 15)) AS BIGINT) % 256 AS bucket
+         |       FROM top CROSS JOIN range(1, 5) t(d))
+         |SELECT pr.term, CAST(pr.n AS BIGINT) AS true_n,
+         |       CAST(min(cell) AS BIGINT) AS est_n,
+         |       CAST(min(cell) - pr.n AS BIGINT) AS overcount
+         |FROM pr JOIN sk USING (d, bucket) GROUP BY pr.term, pr.n""".stripMargin,
+
+    // Diagonal Mahalanobis: q187's moment banking (x6 units, 6dp
+    // mean/std), z^2 banked in 1e-6 units, top-20 by score.
+    "q208_embedding_outliers" ->
+      """WITH ex AS (SELECT vec_id, pos,
+        |              CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+        |            FROM embeddings CROSS JOIN range(1, 65) t(pos)
+        |            WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |st AS (SELECT pos, count(*) AS n, sum(x6) AS s, sum(x6 * x6) AS s2 FROM ex GROUP BY pos),
+        |ms AS (SELECT pos, round(s / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean,
+        |         round(sqrt(greatest(0.0, (CAST(s2 AS DOUBLE) * n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |               / (CAST(n AS DOUBLE) * n))) / 1000000.0, 6) AS std
+        |       FROM st),
+        |z AS (SELECT vec_id,
+        |        CAST(round(((x6 / 1000000.0 - mean) / std) * ((x6 / 1000000.0 - mean) / std) * 1000000) AS BIGINT) AS z26
+        |      FROM ex JOIN ms USING (pos) WHERE std > 0),
+        |sc AS (SELECT vec_id, round(sum(z26) / 1000000.0, 4) AS score FROM z GROUP BY 1)
+        |SELECT vec_id, score, CAST(r AS INTEGER) AS rank
+        |FROM (SELECT *, row_number() OVER (ORDER BY score DESC, vec_id) AS r FROM sc)
+        |WHERE r <= 20""".stripMargin
   )
 
   /** Unrolled k-core peeling over the minhash dup graph: `rounds`

@@ -107,6 +107,12 @@ private[graft] object RelEntries {
     "q171_mad_outliers" -> ((s, dir) =>
       RelOps.madOutliers(events(s, dir))),
 
+    // Matched conversion pairs: maximum disjoint view→purchase
+    // matching per user via the closed-form prefix-deficit identity —
+    // one shuffle, two longs of per-user state, no event arrays.
+    "q205_matched_pairs" -> ((s, dir) =>
+      RelOps.matchedPairs(events(s, dir), "view", "purchase")),
+
     // RFM segmentation: per-user recency/frequency/monetary quintiles
     // (histogram competition ranks, never a global row_number) mapped
     // to the classic segment labels.
@@ -329,6 +335,24 @@ private[graft] object RelEntries {
         |       round(min(med), 4) AS median, round(min(mad.mad), 4) AS mad,
         |       CAST(sum(CASE WHEN dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev JOIN mad USING (g) GROUP BY dev.g""".stripMargin,
+
+    "q205_matched_pairs" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_b
+        |          FROM events WHERE event_type IN ('view', 'purchase')),
+        |p AS (SELECT user_id, is_b,
+        |        sum(is_b) OVER w - sum(1 - is_b) OVER w AS deficit
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT user_id, sum(1 - is_b) AS n_first, sum(is_b) AS n_second,
+        |        max(deficit) AS md FROM p GROUP BY 1)
+        |SELECT user_id, CAST(n_first AS BIGINT) AS n_first,
+        |       CAST(n_second AS BIGINT) AS n_second,
+        |       CAST(n_second - greatest(0, md) AS BIGINT) AS n_matched,
+        |       CASE WHEN n_second > 0
+        |            THEN round((n_second - greatest(0, md)) / CAST(n_second AS DOUBLE), 4)
+        |       END AS match_rate
+        |FROM g""".stripMargin,
 
     "q182_hourly_profile" ->
       """WITH c AS (SELECT event_type AS t,

@@ -481,4 +481,48 @@ object RelOps {
         .when(col("r_q") > hi && col("f_q") <= lo, "at_risk")
         .otherwise("regular"))
   }
+
+  /** Matched conversion pairs: per user, the MAXIMUM number of disjoint
+    * (`first` event → later `second` event) pairs, each event consumed
+    * at most once — the "how many purchases can be attributed to a
+    * distinct prior view" measure. ClickHouse's sequenceCount answers
+    * the greedy-scan variant with a stateful automaton; the maximum
+    * matching has a closed form that needs NO per-user event array:
+    *
+    *   matched = n_second - max(0, max over time-ordered prefixes of
+    *                               (cum_second - cum_first))
+    *
+    * (Hall-style argument: a second-event goes unmatched exactly when
+    * some prefix holds more seconds than firsts; the worst prefix
+    * deficit is the total unmatched count. Ties order by (sec,
+    * event_id) so both engines scan identically.)
+    *
+    * Plan shape: ONE shuffle on the user key — the running sums, the
+    * prefix-max and the final per-user aggregate all share the same
+    * partitioning, so Catalyst plans a single Exchange; per-user state
+    * is two longs, never a collected sequence.
+    *
+    * Output: (user, n_first, n_second, n_matched, match_rate) for
+    * users with at least one of either event.
+    */
+  def matchedPairs(events: DataFrame, first: String, second: String,
+                   userCol: String = "user_id", secCol: String = "sec",
+                   tieCol: String = "event_id",
+                   typeCol: String = "event_type"): DataFrame = {
+    val e = events.filter(col(typeCol).isin(first, second))
+      .select(col(userCol), col(secCol), col(tieCol),
+        when(col(typeCol) === second, 1L).otherwise(0L).as("__is_b"))
+    val w = Window.partitionBy(userCol).orderBy(col(secCol), col(tieCol))
+    e.withColumn("__deficit",
+        sum(col("__is_b")).over(w) - sum(lit(1L) - col("__is_b")).over(w))
+      .groupBy(userCol)
+      .agg(sum(lit(1L) - col("__is_b")).as("n_first"),
+        sum("__is_b").as("n_second"),
+        max("__deficit").as("__md"))
+      .select(col(userCol), col("n_first"), col("n_second"),
+        (col("n_second") - greatest(lit(0L), col("__md"))).as("n_matched"))
+      .withColumn("match_rate",
+        when(col("n_second") > 0,
+          Rounding.round(col("n_matched") / col("n_second").cast("double"), 4)))
+  }
 }

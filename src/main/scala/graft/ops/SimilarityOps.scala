@@ -763,6 +763,55 @@ object SimilarityOps {
         col("n_null"), col("n_wrong_len"), col("n_zero"), col("n_nan"))
   }
 
+  /** Diagonal-Mahalanobis embedding outliers: per-dimension z-scores
+    * against the corpus mean/std (the diagonal-covariance Mahalanobis
+    * distance squared), summed per vector — the geometric-outlier scan
+    * that catches broken encoders and out-of-distribution shards
+    * before an index build trusts the vectors. Full covariance would
+    * need a dims^2 solve; the diagonal form is the standard first-pass
+    * screen and keeps every step an aggregate.
+    *
+    * Determinism discipline: components quantize to integer 1e-6 units
+    * ([[embeddingStats]]'s banking), mean/std round to 6dp BEFORE the
+    * z-scores, per-dim z^2 banks as integer 1e-6 units so the per-vec
+    * sum is order-free. Zero-std dimensions are skipped (no signal).
+    *
+    * Plan shape: the exploded corpus is scanned twice (moment
+    * aggregate, then z-projection against the broadcast 64-row stats)
+    * — both passes are map-side off the parquet scan; materializing
+    * the dims-times-larger exploded frame to save the second scan
+    * would cost more than it saves. Top-K by score is take-ordered;
+    * the rank window runs over K rows only.
+    *
+    * Output: (id, score, rank) — the K highest-scoring vectors.
+    */
+  def mahalanobisOutliers(corpus: DataFrame, dims: Int = 64, topK: Int = 20,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val ex = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col(idCol), col("pos"),
+        round(col("v").cast("double") * 1e6).cast("long").as("__x6"))
+    val stats = ex.groupBy("pos")
+      .agg(count(lit(1)).as("__n"), sum("__x6").as("__s"),
+        sum((col("__x6") * col("__x6")).cast("decimal(38,0)")).as("__s2"))
+      .select(col("pos"),
+        round(col("__s") / col("__n").cast("double") / 1e6, 6).as("__mean"),
+        round(sqrt(greatest(lit(0.0),
+          (col("__s2").cast("double") * col("__n") - col("__s").cast("double") * col("__s"))
+            / (col("__n").cast("double") * col("__n")))) / 1e6, 6).as("__std"))
+      .filter(col("__std") > 0)
+    val z = (col("__x6") / 1e6 - col("__mean")) / col("__std")
+    val scores = ex.join(broadcast(stats), Seq("pos"))
+      .select(col(idCol), round(z * z * 1e6).cast("long").as("__z26"))
+      .groupBy(idCol)
+      .agg(round(sum("__z26") / 1e6, 4).as("score"))
+    val top = scores.orderBy(col("score").desc, col(idCol).asc).limit(topK)
+    top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col(idCol).asc)).cast("int"))
+  }
+
   /** SQ8 reconstruction-error report — the QA gate of the quantization
     * tier: mean squared error between each float dimension and its
     * decoded byte code (`lo_d + code·step_d`), i.e. how much geometry

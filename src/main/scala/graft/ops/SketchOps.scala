@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.functions.ShingleExprs
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Rounding.round // binary rounding, DuckDB-consistent (shadows functions.round)
+
+/** Deterministic, engine-portable sketches: unlike the built-in
+  * `approx_count_distinct` / `percentile_approx` (engine-specific
+  * states, q48's rows-only gap), these sketches are built from the
+  * seeded-md5 hash idiom, so ANY SQL engine replays them bit-exactly —
+  * the estimate itself is oracle-checkable, not just "close to exact".
+  *
+  * Both are one-pass partial-aggregable shapes: the sketch state is a
+  * tiny fixed-size table (registers / cells), built map-side and merged
+  * by max/sum — exactly the merge discipline that makes them usable as
+  * incremental corpus statistics at 100 TB (yesterday's registers merge
+  * with today's by the same aggregate).
+  */
+object SketchOps {
+
+  /** HyperLogLog distinct-shingle estimate per group, replayable in
+    * SQL. The item universe is the base-38 8-shingle code (bijective
+    * with the shingle — the MinHash base hash, `ShingleCodes`), so the
+    * sketch estimates "distinct content mass" per source: the
+    * denominator of dup-rate estimates at scales where exact
+    * count(DISTINCT shingle) is itself a giant shuffle.
+    *
+    * Mechanics (classic Flajolet HLL, m = 2^b registers): 60-bit
+    * seeded-md5 hash of the code; low b bits pick the register, the
+    * remaining 60-b bits' leading-zero rank (rho = (60-b+1) -
+    * bitlength) maxes into it. The indicator sum Σ 2^-M_j banks in
+    * exact integer 2^(60-b+1)-units (every term 2^((60-b+1)-M_j) is an
+    * integer, empty registers contribute the full unit), so the only
+    * floating-point steps are the final division and the alpha formula
+    * — identical IEEE sequences on both engines. Small-range linear
+    * counting (E <= 2.5m with empty registers) matches the standard
+    * correction.
+    *
+    * Plan shape: explode distinct-per-doc shingle codes (map-side,
+    * codegen'd) → ONE partial-aggregable groupBy (group, register) max
+    * → per-group register fold (m rows per group). The exact
+    * count(DISTINCT) rides along for the audit column only — drop it
+    * at scale and the sketch is the whole cost.
+    *
+    * Output: (group, exact_n, n_regs, est_n, rel_err).
+    */
+  def hllShingleDistinct(docs: DataFrame, groupCol: String = "source",
+                         b: Int = 8, seed: Long = 7L, k: Int = 8,
+                         textCol: String = "text"): DataFrame = {
+    require(b >= 4 && b <= 16, s"b out of range: $b")
+    val m = 1 << b
+    val wBits = 60 - b // seededHash is 60-bit (15 hex chars)
+    val maxRho = wBits + 1
+    val codes = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        explode(ShingleExprs.shingleCodes(
+          TextOps.normalized(col(textCol)), k, sortedDistinct = true)).as("code"))
+    val hashed = codes
+      .select(col("g"), col("code"), SampleOps.seededHash(col("code"), seed).as("h"))
+      .select(col("g"), col("code"),
+        col("h").bitwiseAND(lit(m - 1L)).as("reg"),
+        shiftright(col("h"), b).as("w"))
+      .select(col("g"), col("code"), col("reg"),
+        when(col("w") === 0L, lit(maxRho))
+          .otherwise(lit(maxRho) - length(bin(col("w")))).as("rho"))
+    // registers: m rows per group, built by a partial-aggregable max
+    val regs = hashed.groupBy("g", "reg").agg(max("rho").as("mj"))
+    val unit = math.pow(2.0, maxRho) // 2^(60-b+1), exact in double
+    val folded = regs.groupBy("g").agg(
+      count(lit(1)).as("n_regs"),
+      // 2^(maxRho - mj) is an exact integer for mj in [1, maxRho]
+      sum(pow(lit(2.0), lit(maxRho) - col("mj")).cast("long")).as("su"))
+    val exact = codes.groupBy("g").agg(countDistinct("code").as("exact_n"))
+    val s = (col("su") + (lit(m.toLong) - col("n_regs")) * lit(unit.toLong))
+      .cast("double") / lit(unit)
+    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+      lit((m.toLong * m).toDouble)
+    val zeros = lit(m.toLong) - col("n_regs")
+    val eRaw = alphaM2 / s
+    val est = when(eRaw <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double"))).otherwise(eRaw)
+    folded.join(exact, Seq("g"))
+      .select(col("g").as(groupCol), col("exact_n"), col("n_regs"),
+        round(est, 4).as("est_n"),
+        round((round(est, 4) - col("exact_n")) / col("exact_n").cast("double"), 4)
+          .as("rel_err"))
+  }
+
+  /** Count-Min sketch over the token stream + an audit of the exact
+    * top-K heavy hitters against it: est = min over depth rows of the
+    * hashed cell, the classic eps-delta overestimate bound. The sketch
+    * is depth × width longs — a corpus-wide term-frequency summary
+    * that merges across shards by cell-wise SUM, where the exact
+    * per-term count table it approximates is vocabulary-sized.
+    *
+    * Plan shape: ONE token-count aggregate (the sketch is additive, so
+    * building it from per-term counts ≡ from the raw stream at a
+    * fraction of the rows) → depth-way map-side fan-out → groupBy
+    * (row, cell) sum. The top-K probe side is take-ordered K rows; the
+    * sketch joins to it broadcast. Everything is integer arithmetic —
+    * no rounding discipline needed at all.
+    *
+    * Output: (term, true_n, est_n, overcount), overcount >= 0 always.
+    */
+  def countMinAudit(docs: DataFrame, depth: Int = 4, width: Int = 256,
+                    topK: Int = 20, seedBase: Long = 100L,
+                    textCol: String = "text"): DataFrame = {
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // read twice: sketch build + exact top-K probe
+    val ds = (1 to depth).map(d => lit(d.toLong))
+    def withBuckets(df: DataFrame): DataFrame = df
+      .select(col("term"), col("n"), explode(array(ds: _*)).as("d"))
+      .withColumn("bucket",
+        pmod(SampleOpsSeed.hash(col("d"), col("term"), seedBase), lit(width.toLong)))
+    // the corpus-sized bucket fan-out feeds ONLY the sketch aggregate;
+    // the probe side re-derives buckets for its K rows (80 hashes beat
+    // materializing vocab x depth)
+    val sketch = withBuckets(counts).groupBy("d", "bucket").agg(sum("n").as("cell"))
+    val top = counts.orderBy(col("n").desc, col("term").asc).limit(topK)
+    withBuckets(top)
+      .join(broadcast(sketch), Seq("d", "bucket"))
+      .groupBy("term", "n").agg(min("cell").as("est_n"))
+      .select(col("term"), col("n").as("true_n"), col("est_n"),
+        (col("est_n") - col("n")).as("overcount"))
+  }
+}
+
+/** The per-depth seeded hash of [[SketchOps.countMinAudit]], split out
+  * so the expression is stated once: md5("(seedBase+d):term" ) 60-bit
+  * prefix — the [[SampleOps.seededHash]] idiom with the depth folded
+  * into the seed, replayed in SQL as
+  * `CAST('0x' || substr(md5(CAST(100+d AS VARCHAR) || ':' || term), 1, 15) AS BIGINT)`.
+  */
+private[ops] object SampleOpsSeed {
+  import org.apache.spark.sql.Column
+  def hash(d: Column, term: Column, seedBase: Long): Column =
+    conv(substring(md5(
+      concat_ws(":", (lit(seedBase) + d).cast("string"), term)), 1, 15), 16, 10)
+      .cast("long")
+}
