@@ -1300,7 +1300,33 @@ private[graft] object OpsEntries {
     // Diagonal-Mahalanobis embedding outliers: per-dim z^2 sum against
     // broadcast corpus moments, take-ordered top 20.
     "q208_embedding_outliers" -> ((s, dir) =>
-      SimilarityOps.mahalanobisOutliers(t(s, dir, "embeddings")))
+      SimilarityOps.mahalanobisOutliers(t(s, dir, "embeddings"))),
+
+    // Top principal component by power iteration: covariance cells,
+    // five banked power steps and the Rayleigh eigenvalue, ALL
+    // engine-replayable (the logReg ferry-rounded-doubles discipline).
+    "q209_pca_top" -> ((s, dir) =>
+      SimilarityOps.pcaTopComponent(t(s, dir, "embeddings"))),
+
+    // Corpus snapshot diff between a simulated yesterday (doc_id%5!=4)
+    // and today (doc_id%7!=6, every doc_id%11=0 text revised):
+    // added/removed/changed/unchanged per doc — the incremental-
+    // ingestion audit that scopes re-processing to the changed slice.
+    "q210_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.snapshotDiff(
+        docs.filter(col("doc_id") % 5 =!= 4),
+        docs.filter(col("doc_id") % 7 =!= 6)
+          .withColumn("text",
+            when(col("doc_id") % 11 === 0 && col("text").isNotNull,
+              concat(col("text"), lit(" rev2"))).otherwise(col("text"))))
+    }),
+
+    // Source-centroid cosine similarity matrix over the doc-keyed
+    // embeddings: which corpora occupy the same embedding region.
+    "q211_source_similarity" -> ((s, dir) =>
+      SimilarityOps.sourceCentroidSimilarity(
+        t(s, dir, "documents"), t(s, dir, "embeddings")))
   )
 
   /** The q175 curation pipeline: exact dedup → verified near-dup →
@@ -4266,8 +4292,90 @@ private[graft] object OpsEntries {
         |sc AS (SELECT vec_id, round(sum(z26) / 1000000.0, 4) AS score FROM z GROUP BY 1)
         |SELECT vec_id, score, CAST(r AS INTEGER) AS rank
         |FROM (SELECT *, row_number() OVER (ORDER BY score DESC, vec_id) AS r FROM sc)
-        |WHERE r <= 20""".stripMargin
+        |WHERE r <= 20""".stripMargin,
+
+    // The full power-iteration replay: covariance from exact integer
+    // moments, five unrolled banked matrix-vector steps, Rayleigh
+    // eigenvalue — every rounding boundary identical to the engine.
+    "q209_pca_top" -> pcaSql(5),
+
+    "q210_snapshot_diff" ->
+      s"""WITH o AS (SELECT doc_id, md5(CASE WHEN len($norm) > 0 THEN $norm ELSE text END) AS fp
+         |           FROM documents WHERE doc_id % 5 <> 4),
+         |nn AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 AND text IS NOT NULL
+         |                           THEN text || ' rev2' ELSE text END AS text
+         |       FROM documents WHERE doc_id % 7 <> 6),
+         |n2 AS (SELECT doc_id, md5(CASE WHEN len($norm) > 0 THEN $norm ELSE text END) AS fp FROM nn)
+         |SELECT coalesce(o.doc_id, n2.doc_id) AS doc_id,
+         |       CASE WHEN o.doc_id IS NULL THEN 'added'
+         |            WHEN n2.doc_id IS NULL THEN 'removed'
+         |            WHEN o.fp IS DISTINCT FROM n2.fp THEN 'changed'
+         |            ELSE 'unchanged' END AS status
+         |FROM o FULL OUTER JOIN n2 ON o.doc_id = n2.doc_id""".stripMargin,
+
+    "q211_source_similarity" ->
+      """WITH j AS (SELECT d.source, e.embedding
+        |           FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        |           WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64),
+        |ex AS (SELECT source, pos, CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+        |       FROM j CROSS JOIN range(1, 65) t(pos)),
+        |cm AS (SELECT source, pos,
+        |         CAST(round(round(sum(x6) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) * 1000000) AS BIGINT) AS c6
+        |       FROM ex GROUP BY 1, 2),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        sum(a.c6 * b.c6) AS dot, sum(a.c6 * a.c6) AS na, sum(b.c6 * b.c6) AS nb
+        |      FROM cm a JOIN cm b USING (pos) WHERE a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT src_a, src_b,
+        |       round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
+        |FROM p WHERE na > 0 AND nb > 0""".stripMargin
   )
+
+  /** Unrolled power-iteration PCA oracle (q209): covariance from exact
+    * integer moments (x6 banking), `iters` matrix-vector steps each
+    * banked c6·v6 → exact integer 1e-12 units → 6dp renormalized
+    * vector, then the Rayleigh eigenvalue in 1e-18 units — the same
+    * rounding boundaries the engine's ferry-rounded-doubles loop hits.
+    */
+  private def pcaSql(iters: Int): String = {
+    def step(t: Int): String =
+      s"""u$t AS (SELECT cov.i,
+         |        sum(CAST(round(c * 1000000) AS BIGINT)
+         |            * CAST(round(vv.v * 1000000) AS BIGINT)) AS u12
+         |      FROM cov JOIN v${t - 1} vv ON vv.i = cov.j GROUP BY cov.i),
+         |s$t AS (SELECT sum(u12 * u12) AS ss FROM u$t),
+         |v$t AS MATERIALIZED (SELECT i,
+         |        round(CAST(u12 AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)), 6) AS v
+         |      FROM u$t CROSS JOIN s$t),""".stripMargin
+    s"""WITH ex AS MATERIALIZED (
+       |  SELECT vec_id, pos,
+       |    CAST(round(CAST(embedding[pos + 1] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+       |  FROM embeddings CROSS JOIN range(0, 64) t(pos)
+       |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+       |st AS MATERIALIZED (SELECT pos, count(*) AS n, sum(x6) AS s FROM ex GROUP BY pos),
+       |pr AS (SELECT a.pos AS i, b.pos AS j, sum(a.x6 * b.x6) AS s2
+       |       FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.pos >= a.pos
+       |       GROUP BY 1, 2),
+       |cu AS (SELECT i, j,
+       |         round((CAST(s2 AS DOUBLE) * si.n - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE))
+       |               / (CAST(si.n AS DOUBLE) * si.n) / 1000000000000.0, 6) AS c
+       |       FROM pr JOIN st si ON si.pos = pr.i JOIN st sj ON sj.pos = pr.j),
+       |cov AS MATERIALIZED (
+       |  SELECT i, j, c FROM cu UNION ALL SELECT j, i, c FROM cu WHERE i <> j),
+       |v0 AS (SELECT CAST(g AS INTEGER) AS i, 1.0 / sqrt(64.0) AS v FROM range(0, 64) t(g)),
+       |${(1 to iters).map(step).mkString("\n")}
+       |lam AS (SELECT round(CAST(sum(
+       |          CAST(round(va.v * 1000000) AS BIGINT)
+       |          * CAST(round(c * 1000000) AS BIGINT)
+       |          * CAST(round(vb.v * 1000000) AS BIGINT)) AS DOUBLE)
+       |          / 1000000000000000000.0, 6) AS lambda
+       |        FROM cov JOIN v$iters va ON va.i = cov.i JOIN v$iters vb ON vb.i = cov.j),
+       |tr AS (SELECT sum(CAST(round(c * 1000000) AS BIGINT)) / 1000000.0 AS trace
+       |       FROM cov WHERE i = j)
+       |SELECT v$iters.i AS dim, v$iters.v AS loading, lam.lambda,
+       |       round(lam.lambda / tr.trace, 6) AS var_share
+       |FROM v$iters CROSS JOIN lam CROSS JOIN tr""".stripMargin
+  }
 
   /** Unrolled k-core peeling over the minhash dup graph: `rounds`
     * fixed rounds of degree-filter-project (rounds past the fixpoint

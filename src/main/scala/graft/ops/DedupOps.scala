@@ -839,4 +839,34 @@ object DedupOps {
         round(SimilarityOps.cosinePre(col("v_a"), col("v_b"), col("n_a"), col("n_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** Corpus snapshot diff: classify every document across two corpus
+    * states as added / removed / changed / unchanged by
+    * normalized-content fingerprint ([[TextOps.fingerprint]]) — the
+    * incremental-ingestion audit ("what did yesterday's crawl actually
+    * change") that gates re-processing to the changed slice instead of
+    * the whole lake.
+    *
+    * Plan shape: ONE full-outer join on the id key; fingerprints are
+    * map-side md5 over each side's scan. Presence is tracked with
+    * explicit flags (NOT fingerprint nullness — a null-text document
+    * carries a null fingerprint and must still compare as present);
+    * fingerprints compare null-safely so two null-text versions are
+    * `unchanged`, not `changed`.
+    *
+    * Output: (id, status) for every id in either snapshot.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val o = oldDocs.select(col(idCol), lit(1).as("__in_old"),
+      TextOps.fingerprint(col(textCol)).as("__fp_old"))
+    val n = newDocs.select(col(idCol), lit(1).as("__in_new"),
+      TextOps.fingerprint(col(textCol)).as("__fp_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(!(col("__fp_old") <=> col("__fp_new")), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

@@ -763,6 +763,123 @@ object SimilarityOps {
         col("n_null"), col("n_wrong_len"), col("n_zero"), col("n_nan"))
   }
 
+  /** Top principal component of the embedding corpus by power
+    * iteration — the PCA direction behind whitening, dimensionality
+    * reduction and the "is one axis eating the variance" embedding
+    * diagnostic. The ENTIRE computation is engine-replayable (the
+    * [[graft.ops.ModelOps.logRegTrain]] discipline): covariance cells
+    * round to 6dp, every iterate's matrix-vector product banks in
+    * exact integer 1e-12 units, the normalized vector rounds to 6dp
+    * before the next round — the driver only ferries dims rounded
+    * doubles per iteration, so an oracle can replay the whole loop as
+    * unrolled SQL and hash-match the eigenvector.
+    *
+    * Plan shape: moments come from ONE pass each — first moments via
+    * posexplode, second moments via the upper-triangle pair fan-out
+    * (d·(d+1)/2 cells per row; the same O(d²) work any Gramian costs,
+    * and the groupBy is partial-aggregable so the shuffle carries
+    * #partitions × 2080 rows, not the corpus). Each power step is a
+    * broadcast join against the 4096-row covariance — bounded driver
+    * reads only, exactly like the k-means centroid loop.
+    *
+    * Output: (dim, loading, lambda, var_share) — the unit top
+    * eigenvector, its Rayleigh eigenvalue and the share of total
+    * variance (lambda / trace) it explains.
+    */
+  def pcaTopComponent(corpus: DataFrame, dims: Int = 64, iters: Int = 5,
+                      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val x6arr = transform(col(vecCol), v => round(v.cast("double") * 1e6).cast("long"))
+    val base = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(x6arr.as("__x6"))
+    val firsts = base.select(posexplode(col("__x6")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(count(lit(1)).as("n"), sum("x").as("s"))
+    val idx = sequence(lit(0), lit(dims - 1))
+    val pairs = base.select(explode(flatten(transform(idx, i =>
+        transform(sequence(i, lit(dims - 1)), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(col("__x6"), (i + 1).cast("int"))
+              * element_at(col("__x6"), (j + 1).cast("int"))).as("p")))))).as("e"))
+      .select(col("e.i"), col("e.j"), col("e.p"))
+      .groupBy("i", "j").agg(sum(col("p").cast("decimal(38,0)")).as("s2"))
+    // covariance cells, 6dp, computed engine-side (upper triangle)
+    val covUpper = pairs
+      .join(broadcast(firsts.select(col("pos").as("i"), col("s").as("si"), col("n"))), Seq("i"))
+      .join(broadcast(firsts.select(col("pos").as("j"), col("s").as("sj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        round((col("s2").cast("double") * col("n") - col("si").cast("double") * col("sj"))
+          / (col("n").cast("double") * col("n")) / 1e12, 6).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))) // d(d+1)/2 cells
+    // symmetric full matrix as a LOCAL relation: 4096 rows on the
+    // driver, free to re-scan every iteration
+    val cov = (covUpper ++ covUpper.collect { case (i, j, c) if i != j => (j, i, c) })
+      .toSeq.toDF("i", "j", "c")
+    def c6 = round(col("c") * 1e6).cast("long")
+    var v: Seq[(Int, Double)] = (0 until dims).map(_ -> 1.0 / math.sqrt(dims.toDouble))
+    for (_ <- 1 to iters) {
+      val vDf = broadcast(v.toDF("j", "vj"))
+      val u = cov.join(vDf, Seq("j"))
+        .groupBy("i")
+        .agg(sum((c6 * round(col("vj") * 1e6).cast("long")).cast("decimal(38,0)")).as("u12"))
+      val ss = u.agg(sum((col("u12") * col("u12")).cast("decimal(38,0)")).as("ss"))
+      v = u.crossJoin(broadcast(ss))
+        .select(col("i"),
+          round(col("u12").cast("double") / sqrt(col("ss").cast("double")), 6).as("vi"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+    }
+    val vj = broadcast(v.toDF("j", "vj"))
+    val vi = broadcast(v.toDF("i", "vi"))
+    val lam = cov.join(vj, Seq("j")).join(vi, Seq("i"))
+      .agg(sum((round(col("vi") * 1e6).cast("long") * c6).cast("decimal(38,0)")
+        * round(col("vj") * 1e6).cast("long")).as("l18"))
+      .select(round(col("l18").cast("double") / 1e18, 6).as("lambda"))
+    val tr = cov.filter(col("i") === col("j"))
+      .agg((sum(c6) / 1e6).as("trace"))
+    v.toDF("dim", "loading")
+      .crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+      .select(col("dim"), col("loading"), col("lambda"),
+        round(col("lambda") / col("trace"), 6).as("var_share"))
+  }
+
+  /** Source-centroid cosine similarity matrix: per-source mean
+    * embedding (6dp-banked) and the pairwise cosine between every two
+    * sources — the "which corpora live in the same region of
+    * embedding space" mixture diagnostic that guides source merging
+    * and contamination suspicion. Centroid aggregation is one
+    * partial-aggregable pass over the exploded corpus; the matrix
+    * join runs over the sources×dims centroid table (tiny by
+    * construction — sources are a governance-sized set).
+    *
+    * Output: (src_a, src_b, cosine) for src_a < src_b, 6dp, dot and
+    * norms banked as exact integers in 1e-6-unit space.
+    */
+  def sourceCentroidSimilarity(docs: DataFrame, emb: DataFrame, dims: Int = 64,
+                               docIdCol: String = "doc_id", vecIdCol: String = "vec_id",
+                               srcCol: String = "source",
+                               vecCol: String = "embedding"): DataFrame = {
+    val joined = emb.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .join(docs.select(col(docIdCol).as(vecIdCol), col(srcCol)), Seq(vecIdCol))
+    val cents = joined.select(col(srcCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col(srcCol), col("pos"),
+        round(col("v").cast("double") * 1e6).cast("long").as("__x6"))
+      .groupBy(srcCol, "pos")
+      .agg(round(sum("__x6") / count(lit(1)).cast("double") / 1e6, 6).as("c"))
+      .select(col(srcCol), col("pos"), round(col("c") * 1e6).cast("long").as("c6"))
+    val a = cents.select(col(srcCol).as("src_a"), col("pos"), col("c6").as("a6"))
+    val b = cents.select(col(srcCol).as("src_b"), col("pos"), col("c6").as("b6"))
+    a.join(b, Seq("pos")).filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum((col("a6") * col("b6")).cast("decimal(38,0)")).as("__dot"),
+        sum((col("a6") * col("a6")).cast("decimal(38,0)")).as("__na"),
+        sum((col("b6") * col("b6")).cast("decimal(38,0)")).as("__nb"))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+      .select(col("src_a"), col("src_b"),
+        round(col("__dot").cast("double")
+          / (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))), 6)
+          .as("cosine"))
+  }
+
   /** Diagonal-Mahalanobis embedding outliers: per-dimension z-scores
     * against the corpus mean/std (the diagonal-covariance Mahalanobis
     * distance squared), summed per vector — the geometric-outlier scan

@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops.{DedupOps, SimilarityOps}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-checked pins for the corpus-diagnostic operators: snapshot
+  * diff classification, power-iteration PCA, source-centroid cosine.
+  */
+class CorpusDiagnosticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("snapshotDiff: all four statuses; null-text docs compare as present") {
+    val old = Seq(
+      (1L, Some("alpha bravo")),  // unchanged
+      (2L, Some("charlie")),      // changed
+      (3L, Some("gone now")),     // removed
+      (5L, None: Option[String])) // null text both sides -> unchanged
+      .toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, Some("alpha bravo")),
+      (2L, Some("charlie DELTA")),
+      (4L, Some("brand new")),    // added
+      (5L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val out = DedupOps.snapshotDiff(old, neu)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged"))
+  }
+
+  test("snapshotDiff: normalization-invariant (case/punctuation changes are unchanged)") {
+    val old = Seq((1L, "Hello, World!")).toDF("doc_id", "text")
+    val neu = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val out = DedupOps.snapshotDiff(old, neu).as[(Long, String)].head()
+    assert(out == (1L, "unchanged"))
+  }
+
+  test("pcaTopComponent: recovers the dominant axis of a 2D line") {
+    // points along direction (1, 2): top PC = (1,2)/sqrt(5), var_share = 1
+    val pts = (-10 to 10).filter(_ != 0)
+      .map(t => (t.toLong, Array(t.toFloat, 2.0f * t)))
+      .toDF("vec_id", "embedding")
+    val rows = SimilarityOps.pcaTopComponent(pts, dims = 2, iters = 10)
+      .select("dim", "loading", "var_share")
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    val (l0, l1) = (rows(0)._2, rows(1)._2)
+    assert(math.abs(l0 - 1.0 / math.sqrt(5)) < 1e-3, s"l0=$l0")
+    assert(math.abs(l1 - 2.0 / math.sqrt(5)) < 1e-3, s"l1=$l1")
+    assert(math.abs(rows(0)._3 - 1.0) < 1e-3, s"var_share=${rows(0)._3}")
+  }
+
+  test("pcaTopComponent: lambda matches the known variance of the dominant axis") {
+    // 1D spread along dim 0 only: lambda = population variance of x,
+    // loading = (1, 0), var_share = 1
+    val xs = Seq(-3.0f, -1.0f, 1.0f, 3.0f)
+    val pts = xs.zipWithIndex.map { case (x, i) => (i.toLong, Array(x, 0.0f)) }
+      .toDF("vec_id", "embedding")
+    val rows = SimilarityOps.pcaTopComponent(pts, dims = 2, iters = 8)
+      .select("dim", "loading", "lambda")
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    assert(math.abs(rows(0)._2 - 1.0) < 1e-3)           // loading_0 = 1
+    assert(math.abs(rows(1)._2) < 1e-3)                 // loading_1 = 0
+    assert(math.abs(rows(0)._3 - 5.0) < 1e-3, s"lambda=${rows(0)._3}") // var = (9+1+1+9)/4
+  }
+
+  test("sourceCentroidSimilarity: identical centroids cosine 1, orthogonal cosine 0") {
+    val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sB"), (4L, "sC"))
+      .toDF("doc_id", "source")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), // sA centroid (1,0)
+      (3L, Array(2.0f, 0.0f)),                          // sB centroid (2,0): cos(sA,sB)=1
+      (4L, Array(0.0f, 3.0f)))                          // sC centroid (0,3): orthogonal
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.sourceCentroidSimilarity(docs, emb, dims = 2)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("sA", "sB")) == 1.0)
+    assert(out(("sA", "sC")) == 0.0)
+    assert(out(("sB", "sC")) == 0.0)
+  }
+}
