@@ -1326,7 +1326,23 @@ private[graft] object OpsEntries {
     // embeddings: which corpora occupy the same embedding region.
     "q211_source_similarity" -> ((s, dir) =>
       SimilarityOps.sourceCentroidSimilarity(
-        t(s, dir, "documents"), t(s, dir, "embeddings")))
+        t(s, dir, "documents"), t(s, dir, "embeddings"))),
+
+    // Leakage-safe 5-fold CV assignment (folds keyed on the near-dup
+    // component anchor — q122's discipline, k-fold form) + per-fold
+    // language balance report. The fold frame is checkpointed: the
+    // rollup and the per-fold totals both read it.
+    "q213_cv_folds" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val folds = SampleOps.leakageSafeFolds(docs, DedupOps.minHashCandidates(docs))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .localCheckpoint(true) // rollup + totals both read it
+      val g = folds.groupBy("fold", "lang").agg(count(lit(1)).as("n_docs"))
+      val tot = folds.groupBy("fold").agg(count(lit(1)).as("__tot"))
+      g.join(tot, Seq("fold"))
+        .select(col("fold"), col("lang"), col("n_docs"),
+          round(col("n_docs") / col("__tot").cast("double"), 4).as("share"))
+    })
   )
 
   /** The q175 curation pipeline: exact dedup → verified near-dup →
@@ -4328,7 +4344,29 @@ private[graft] object OpsEntries {
         |      GROUP BY 1, 2)
         |SELECT src_a, src_b,
         |       round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
-        |FROM p WHERE na > 0 AND nb > 0""".stripMargin
+        |FROM p WHERE na > 0 AND nb > 0""".stripMargin,
+
+    // q122's recursive-CTE component replay, bucketed into 5 folds,
+    // rolled up per (fold, lang) with within-fold shares.
+    "q213_cv_folds" ->
+      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM cand UNION SELECT id_b, id_a FROM cand),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |kk AS (SELECT d.doc_id, d.lang, coalesce(c.component, d.doc_id) AS fold_key
+         |       FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |f AS (SELECT doc_id, lang,
+         |        CAST(concat('0x', substr(md5(CAST(fold_key AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold
+         |      FROM kk),
+         |g AS (SELECT fold, lang, count(*) AS n_docs FROM f GROUP BY 1, 2),
+         |t2 AS (SELECT fold, sum(n_docs) AS tot FROM g GROUP BY 1)
+         |SELECT CAST(fold AS INTEGER) AS fold, lang, CAST(n_docs AS BIGINT) AS n_docs,
+         |       round(n_docs / CAST(tot AS DOUBLE), 4) AS share
+         |FROM g JOIN t2 USING (fold)""".stripMargin
   )
 
   /** Unrolled power-iteration PCA oracle (q209): covariance from exact

@@ -113,6 +113,26 @@ private[graft] object RelEntries {
     "q205_matched_pairs" -> ((s, dir) =>
       RelOps.matchedPairs(events(s, dir), "view", "purchase")),
 
+    // Event-sequence regex patterns (the ClickHouse sequenceMatch
+    // general form): ordered-anywhere funnel, consecutive error burst,
+    // signup-then-purchase — one user-keyed aggregate, no self-join.
+    "q212_sequence_match" -> ((s, dir) =>
+      RelOps.eventSeqPatterns(events(s, dir), Seq(
+        "funnel_path" -> "v.*c.*p",
+        "error_burst" -> "eee",
+        "signup_purchase" -> "s.*p"))),
+
+    // Bloom-prefiltered semi-join (runtime-filter shape): events of
+    // heavy purchasers; result identical to the plain join (the
+    // oracle IS the plain join — one-sided error proven per row).
+    "q214_bloom_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val hot = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("np"))
+        .filter(col("np") >= 15).select("user_id")
+      RelOps.bloomSemiJoinCount(ev, hot)
+    }),
+
     // RFM segmentation: per-user recency/frequency/monetary quintiles
     // (histogram competition ranks, never a global row_number) mapped
     // to the classic segment labels.
@@ -353,6 +373,23 @@ private[graft] object RelEntries {
         |            THEN round((n_second - greatest(0, md)) / CAST(n_second AS DOUBLE), 4)
         |       END AS match_rate
         |FROM g""".stripMargin,
+
+    "q212_sequence_match" ->
+      """WITH s AS (SELECT user_id,
+        |            string_agg(substr(event_type, 1, 1), ''
+        |              ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS seq
+        |          FROM events GROUP BY 1)
+        |SELECT user_id, CAST(length(seq) AS INTEGER) AS n_events,
+        |       regexp_matches(seq, 'v.*c.*p') AS funnel_path,
+        |       regexp_matches(seq, 'eee') AS error_burst,
+        |       regexp_matches(seq, 's.*p') AS signup_purchase
+        |FROM s""".stripMargin,
+
+    "q214_bloom_join" ->
+      """WITH hot AS (SELECT user_id FROM events WHERE event_type = 'purchase'
+        |             GROUP BY 1 HAVING count(*) >= 15)
+        |SELECT user_id, count(*) AS n_events
+        |FROM events JOIN hot USING (user_id) GROUP BY 1""".stripMargin,
 
     "q182_hourly_profile" ->
       """WITH c AS (SELECT event_type AS t,

@@ -505,6 +505,66 @@ object RelOps {
     * Output: (user, n_first, n_second, n_matched, match_rate) for
     * users with at least one of either event.
     */
+  /** Event-sequence pattern match: per user, the time-ordered initial
+    * letters of its event types concatenated into one string, matched
+    * against regex patterns — the general form behind ClickHouse's
+    * `sequenceMatch('(?1).*(?2)')`: adjacency (`'ee'`), ordered-anywhere
+    * (`'v.*c.*p'`), negation (`'v[^p]*$'`) all express directly as
+    * regex over the sequence string.
+    *
+    * This is the ONE behavioral operator whose semantics genuinely
+    * require the per-user sequence to materialize (ClickHouse holds
+    * the same per-user state); it is bounded by per-user activity, not
+    * corpus size, and builds in a single user-keyed aggregate
+    * (collect → array_sort → transform — no window, no self-join).
+    * Ties order by (sec, tie) so both engines scan identically.
+    *
+    * Output: (user, n_events, <one boolean column per pattern>).
+    */
+  def eventSeqPatterns(events: DataFrame, patterns: Seq[(String, String)],
+                       userCol: String = "user_id", secCol: String = "sec",
+                       tieCol: String = "event_id",
+                       typeCol: String = "event_type"): DataFrame = {
+    val seq = events
+      .select(col(userCol),
+        struct(col(secCol).as("s"), col(tieCol).as("t"),
+          substring(col(typeCol), 1, 1).as("c")).as("__e"))
+      .groupBy(userCol)
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(col("__e"))), e => e.getField("c"))).as("__seq"))
+    patterns.foldLeft(
+        seq.withColumn("n_events", length(col("__seq")).cast("int"))) {
+        case (df, (name, re)) => df.withColumn(name, col("__seq").rlike(re))
+      }
+      .drop("__seq")
+  }
+
+  /** Bloom-prefiltered semi-join aggregate: the runtime-filter pattern
+    * for `big facts ⋈ small key set` when the key set is too large to
+    * broadcast as an exact hash table but fits as a Bloom filter
+    * (~1.2 bytes/key at 1% fpp — a billion keys in ~1.2 GB). The
+    * probe side drops non-members MAP-SIDE before any shuffle; the
+    * exact join then removes the ≤fpp false positives, so the result
+    * is IDENTICAL to the plain join (one-sided error: no false
+    * negatives) while the shuffle carries only the ~selectivity
+    * fraction of the fact table. At these test sizes the exact join
+    * alone would do; the operator exists for the shape.
+    *
+    * Output: (key, n_events) per surviving key.
+    */
+  def bloomSemiJoinCount(facts: DataFrame, keys: DataFrame,
+                         keyCol: String = "user_id",
+                         fpp: Double = 0.01): DataFrame = {
+    val spark = facts.sparkSession
+    val k = keys.select(col(keyCol).cast("long").as("__k")).distinct()
+    val bf = k.stat.bloomFilter("__k", math.max(k.count(), 1L), fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val might = udf((x: Long) => bc.value.mightContainLong(x))
+    facts.filter(might(col(keyCol).cast("long"))) // map-side runtime filter
+      .join(broadcast(k.select(col("__k").as(keyCol))), Seq(keyCol)) // exact
+      .groupBy(keyCol).agg(count(lit(1)).as("n_events"))
+  }
+
   def matchedPairs(events: DataFrame, first: String, second: String,
                    userCol: String = "user_id", secCol: String = "sec",
                    tieCol: String = "event_id",

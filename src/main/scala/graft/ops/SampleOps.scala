@@ -61,6 +61,27 @@ object SampleOps {
       .withColumn("split", assignSplit(col("split_key"), trainPct, validPct))
   }
 
+  /** Leakage-safe k-fold cross-validation assignment: like
+    * [[leakageSafeSplit]] but into `k` folds — the fold is keyed on
+    * the near-dup COMPONENT anchor, so no candidate pair can straddle
+    * folds and every fold's held-out eval stays memorization-free.
+    * Same plan shape as the split: components from the edges only,
+    * one left join on the id key, map-only bucket hash.
+    *
+    * Output: (<idCol>, fold_key, fold) with fold in [0, k).
+    */
+  def leakageSafeFolds(docs: org.apache.spark.sql.DataFrame,
+                       edges: org.apache.spark.sql.DataFrame, k: Int = 5,
+                       idCol: String = "doc_id", srcCol: String = "id_a",
+                       dstCol: String = "id_b"): org.apache.spark.sql.DataFrame = {
+    require(k >= 2, s"need at least 2 folds, got $k")
+    val comp = GraphOps.connectedComponents(edges, srcCol, dstCol)
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("component"), col("id")).as("fold_key"))
+      .withColumn("fold", hashBucket(col("fold_key"), k).cast("int"))
+  }
+
   /** Deterministic train/valid/test assignment by hash bucket:
     * `[0, trainPct)` → train, `[trainPct, trainPct+validPct)` → valid,
     * rest → test. Percentages of 100.

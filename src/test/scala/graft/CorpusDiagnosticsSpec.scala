@@ -64,6 +64,45 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(math.abs(rows(0)._3 - 5.0) < 1e-3, s"lambda=${rows(0)._3}") // var = (9+1+1+9)/4
   }
 
+  test("eventSeqPatterns: ordered-anywhere vs consecutive patterns") {
+    val ev = Seq(
+      // user 1: view click purchase (with a signup between) -> funnel yes
+      (1L, 1L, 10L, "view"), (1L, 2L, 20L, "signup"), (1L, 3L, 30L, "click"),
+      (1L, 4L, 40L, "purchase"),
+      // user 2: three errors but interleaved -> NO burst; two consecutive -> no
+      (2L, 1L, 10L, "error"), (2L, 2L, 20L, "view"), (2L, 3L, 30L, "error"),
+      (2L, 4L, 40L, "error"),
+      // user 3: three consecutive errors -> burst
+      (3L, 1L, 10L, "error"), (3L, 2L, 20L, "error"), (3L, 3L, 30L, "error"))
+      .toDF("user_id", "event_id", "sec", "event_type")
+    val out = graft.ops.RelOps.eventSeqPatterns(ev, Seq(
+        "funnel" -> "v.*c.*p", "burst" -> "eee"))
+      .select("user_id", "n_events", "funnel", "burst")
+      .as[(Long, Int, Boolean, Boolean)].collect().toSet
+    assert(out == Set((1L, 4, true, false), (2L, 4, false, false), (3L, 3, false, true)))
+  }
+
+  test("bloomSemiJoinCount: identical to the plain join (no false negatives)") {
+    val facts = (1 to 500).map(i => (i.toLong % 37, i.toLong))
+      .toDF("user_id", "event_id")
+    val keys = Seq(3L, 11L, 17L, 36L).toDF("user_id")
+    val bloom = graft.ops.RelOps.bloomSemiJoinCount(facts, keys)
+      .as[(Long, Long)].collect().toMap
+    val plain = facts.join(keys, Seq("user_id"))
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(bloom == plain)
+  }
+
+  test("leakageSafeFolds: dup pairs never straddle folds; folds in [0, k)") {
+    val docs = (1L to 40L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 20L)).toDF("id_a", "id_b")
+    val folds = graft.ops.SampleOps.leakageSafeFolds(docs, edges, k = 4)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._3).toMap
+    assert(folds.values.forall(f => f >= 0 && f < 4))
+    assert(folds(1L) == folds(2L) && folds(2L) == folds(3L))
+    assert(folds(10L) == folds(20L))
+  }
+
   test("sourceCentroidSimilarity: identical centroids cosine 1, orthogonal cosine 0") {
     val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sB"), (4L, "sC"))
       .toDF("doc_id", "source")
