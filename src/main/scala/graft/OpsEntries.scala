@@ -1342,7 +1342,20 @@ private[graft] object OpsEntries {
       g.join(tot, Seq("fold"))
         .select(col("fold"), col("lang"), col("n_docs"),
           round(col("n_docs") / col("__tot").cast("double"), 4).as("share"))
-    })
+    }),
+
+    // Sketch-merge audit: independent per-half HLL registers merged by
+    // register max ≡ the union's sketch — the incremental-statistics
+    // contract (yesterday's registers + today's = the lake's), proven
+    // at the query level against the exact union.
+    "q215_hll_merge" -> ((s, dir) =>
+      SketchOps.hllMergeAudit(t(s, dir, "documents"))),
+
+    // Rolling 7-day distinct users via windowed register merge: the
+    // sketch answer to q164's exact distinct-then-expand (days × m
+    // rows instead of days × users), exact count riding as the audit.
+    "q216_rolling_hll" -> ((s, dir) =>
+      SketchOps.hllRollingDistinct(SparkEntry.events(s, dir)))
   )
 
   /** The q175 curation pipeline: exact dedup → verified near-dup →
@@ -4366,8 +4379,73 @@ private[graft] object OpsEntries {
          |t2 AS (SELECT fold, sum(n_docs) AS tot FROM g GROUP BY 1)
          |SELECT CAST(fold AS INTEGER) AS fold, lang, CAST(n_docs AS BIGINT) AS n_docs,
          |       round(n_docs / CAST(tot AS DOUBLE), 4) AS share
-         |FROM g JOIN t2 USING (fold)""".stripMargin
+         |FROM g JOIN t2 USING (fold)""".stripMargin,
+
+    "q215_hll_merge" ->
+      s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents WHERE text IS NOT NULL),
+         |sh AS (SELECT doc_id, unnest($shingles8) AS gr FROM n),
+         |it AS MATERIALIZED (SELECT CAST(doc_id % 2 AS INTEGER) AS g,
+         |        ${base38Sql("gr")} AS item FROM sh),
+         |${hllRegSql("r", "it", 7L)},
+         |${hllEstSql("r")},
+         |mr AS (SELECT 'u' AS g, reg, max(mj) AS mj FROM r GROUP BY 2),
+         |${hllEstSql("mr")},
+         |ex AS (SELECT count(DISTINCT item) AS exact_union FROM it)
+         |SELECT max(CASE WHEN h.g = 0 THEN round(h.e, 4) END) AS est_a,
+         |       max(CASE WHEN h.g = 1 THEN round(h.e, 4) END) AS est_b,
+         |       (SELECT round(e, 4) FROM est_mr) AS est_union,
+         |       (SELECT exact_union FROM ex) AS exact_union,
+         |       round(((SELECT round(e, 4) FROM est_mr) - (SELECT exact_union FROM ex))
+         |             / CAST((SELECT exact_union FROM ex) AS DOUBLE), 4) AS rel_err
+         |FROM est_r h""".stripMargin,
+
+    "q216_rolling_hll" ->
+      s"""WITH act AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+         |         user_id AS item FROM events),
+         |days AS (SELECT DISTINCT d FROM act),
+         |it AS (SELECT d AS g, item FROM act),
+         |${hllRegSql("r", "it", 9L)},
+         |wr AS (SELECT rr.g + t.g2 AS wd, reg, mj
+         |       FROM r rr CROSS JOIN range(0, 7) t(g2)),
+         |wj AS (SELECT wd AS g, reg, max(mj) AS mj
+         |       FROM wr JOIN days ON days.d = wr.wd GROUP BY 1, 2),
+         |${hllEstSql("wj")},
+         |exd AS (SELECT DISTINCT act.d + t.g2 AS wd, item
+         |        FROM act CROSS JOIN range(0, 7) t(g2)),
+         |exc AS (SELECT wd, count(*) AS exact_users
+         |        FROM exd JOIN days ON days.d = exd.wd GROUP BY 1)
+         |SELECT est_wj.g AS day, exact_users, round(e, 4) AS est_users,
+         |       round((round(e, 4) - exact_users) / CAST(exact_users AS DOUBLE), 4) AS rel_err
+         |FROM est_wj JOIN exc ON exc.wd = est_wj.g""".stripMargin
   )
+
+  /** HLL register CTE from an items CTE `(g, item)` — the seeded-md5
+    * 60-bit hash, low 8 bits register, leading-zero rank of the top 52
+    * bits (b = 8; mirrors [[graft.ops.SketchOps.hllRegisters]]).
+    */
+  private def hllRegSql(name: String, itemsCte: String, seed: Long): String =
+    s"""$name AS (SELECT g, h & 255 AS reg,
+       |        max(CASE WHEN h >> 8 = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END) AS mj
+       |      FROM (SELECT g, CAST(concat('0x', substr(md5('$seed:' || CAST(item AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |            FROM $itemsCte) GROUP BY 1, 2)""".stripMargin
+
+  /** HLL estimate CTEs from a register CTE `(g, reg, mj)`: exact
+    * integer 2^53-unit indicator banking, alpha formula, small-range
+    * linear counting (mirrors [[graft.ops.SketchOps.hllEstimate]],
+    * b = 8). Exposes `est_<name>(g, n_regs, e)`.
+    */
+  private def hllEstSql(regsCte: String): String =
+    s"""a_$regsCte AS (SELECT g, count(*) AS n_regs,
+       |        sum(CAST(pow(2, 53 - mj) AS BIGINT)) AS su FROM $regsCte GROUP BY 1),
+       |e_$regsCte AS (SELECT g, n_regs,
+       |        (su + (256 - n_regs) * CAST(pow(2, 53) AS BIGINT)) / pow(2.0, 53) AS s,
+       |        256 - n_regs AS zeros FROM a_$regsCte),
+       |est_$regsCte AS (SELECT g, n_regs,
+       |          CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0) * 65536.0) / s <= 640.0 AND zeros > 0
+       |               THEN 256.0 * ln(256.0 / zeros)
+       |               ELSE (0.7213 / (1.0 + 1.079 / 256.0) * 65536.0) / s END AS e
+       |        FROM e_$regsCte)""".stripMargin
 
   /** Unrolled power-iteration PCA oracle (q209): covariance from exact
     * integer moments (x6 banking), `iters` matrix-vector steps each

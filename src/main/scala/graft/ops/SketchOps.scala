@@ -45,33 +45,43 @@ object SketchOps {
     *
     * Output: (group, exact_n, n_regs, est_n, rel_err).
     */
-  def hllShingleDistinct(docs: DataFrame, groupCol: String = "source",
-                         b: Int = 8, seed: Long = 7L, k: Int = 8,
-                         textCol: String = "text"): DataFrame = {
+  /** HLL register table per group: (g, reg, mj) with at most 2^b rows
+    * per group, built by ONE partial-aggregable max — the mergeable
+    * sketch STATE. Registers from different corpora / shards / days
+    * merge by `groupBy(reg).max(mj)` and estimate identically — the
+    * property [[hllMergeAudit]] and the rolling-distinct query prove
+    * at the query level. `items` must have columns (g, item).
+    */
+  def hllRegisters(items: DataFrame, b: Int, seed: Long): DataFrame = {
     require(b >= 4 && b <= 16, s"b out of range: $b")
     val m = 1 << b
-    val wBits = 60 - b // seededHash is 60-bit (15 hex chars)
-    val maxRho = wBits + 1
-    val codes = docs.filter(col(textCol).isNotNull)
-      .select(col(groupCol).as("g"),
-        explode(ShingleExprs.shingleCodes(
-          TextOps.normalized(col(textCol)), k, sortedDistinct = true)).as("code"))
-    val hashed = codes
-      .select(col("g"), col("code"), SampleOps.seededHash(col("code"), seed).as("h"))
-      .select(col("g"), col("code"),
+    val maxRho = 60 - b + 1 // seededHash is 60-bit (15 hex chars)
+    items
+      .select(col("g"), SampleOps.seededHash(col("item"), seed).as("h"))
+      .select(col("g"),
         col("h").bitwiseAND(lit(m - 1L)).as("reg"),
         shiftright(col("h"), b).as("w"))
-      .select(col("g"), col("code"), col("reg"),
+      .select(col("g"), col("reg"),
         when(col("w") === 0L, lit(maxRho))
           .otherwise(lit(maxRho) - length(bin(col("w")))).as("rho"))
-    // registers: m rows per group, built by a partial-aggregable max
-    val regs = hashed.groupBy("g", "reg").agg(max("rho").as("mj"))
-    val unit = math.pow(2.0, maxRho) // 2^(60-b+1), exact in double
+      .groupBy("g", "reg").agg(max("rho").as("mj"))
+  }
+
+  /** Fold a register table to per-group estimates: (g, n_regs, est).
+    * The indicator sum banks in exact integer 2^(60-b+1)-units (every
+    * term 2^(maxRho-M_j) is an integer, empty registers contribute the
+    * full unit); the only floating-point steps are the final division,
+    * the alpha formula and the small-range linear-counting branch —
+    * identical IEEE sequences on any engine.
+    */
+  def hllEstimate(regs: DataFrame, b: Int): DataFrame = {
+    val m = 1 << b
+    val maxRho = 60 - b + 1
+    val unit = math.pow(2.0, maxRho) // exact in double
     val folded = regs.groupBy("g").agg(
       count(lit(1)).as("n_regs"),
       // 2^(maxRho - mj) is an exact integer for mj in [1, maxRho]
       sum(pow(lit(2.0), lit(maxRho) - col("mj")).cast("long")).as("su"))
-    val exact = codes.groupBy("g").agg(countDistinct("code").as("exact_n"))
     val s = (col("su") + (lit(m.toLong) - col("n_regs")) * lit(unit.toLong))
       .cast("double") / lit(unit)
     val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
@@ -80,10 +90,90 @@ object SketchOps {
     val eRaw = alphaM2 / s
     val est = when(eRaw <= lit(2.5 * m) && zeros > 0,
       lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double"))).otherwise(eRaw)
-    folded.join(exact, Seq("g"))
+    folded.select(col("g"), col("n_regs"), est.as("est"))
+  }
+
+  /** Distinct-per-doc shingle codes keyed by group — the HLL item
+    * stream of [[hllShingleDistinct]].
+    */
+  private[ops] def shingleItems(docs: DataFrame, groupExpr: org.apache.spark.sql.Column,
+                                k: Int, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(groupExpr.as("g"),
+        explode(ShingleExprs.shingleCodes(
+          TextOps.normalized(col(textCol)), k, sortedDistinct = true)).as("item"))
+
+  def hllShingleDistinct(docs: DataFrame, groupCol: String = "source",
+                         b: Int = 8, seed: Long = 7L, k: Int = 8,
+                         textCol: String = "text"): DataFrame = {
+    val codes = shingleItems(docs, col(groupCol), k, textCol)
+    val exact = codes.groupBy("g").agg(countDistinct("item").as("exact_n"))
+    hllEstimate(hllRegisters(codes, b, seed), b)
+      .join(exact, Seq("g"))
       .select(col("g").as(groupCol), col("exact_n"), col("n_regs"),
-        round(est, 4).as("est_n"),
-        round((round(est, 4) - col("exact_n")) / col("exact_n").cast("double"), 4)
+        round(col("est"), 4).as("est_n"),
+        round((round(col("est"), 4) - col("exact_n")) / col("exact_n").cast("double"), 4)
+          .as("rel_err"))
+  }
+
+  /** Sketch-merge audit: registers built INDEPENDENTLY per corpus half
+    * (doc_id parity), merged by register-wise max, estimate compared
+    * against the exact distinct of the union — the query-level proof
+    * that yesterday's registers + today's registers = the union's
+    * registers, i.e. the incremental corpus statistic never rescans
+    * history. Output one row: (est_a, est_b, est_union, exact_union,
+    * rel_err), estimates 4dp.
+    */
+  def hllMergeAudit(docs: DataFrame, b: Int = 8, seed: Long = 7L, k: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val items = shingleItems(docs, (col(idCol) % 2).cast("int").as("g"), k, textCol)
+      .localCheckpoint(true) // registers + exact union both read it
+    val halves = hllEstimate(hllRegisters(items, b, seed), b)
+    val perHalf = halves.agg(
+      max(when(col("g") === 0, round(col("est"), 4))).as("est_a"),
+      max(when(col("g") === 1, round(col("est"), 4))).as("est_b"))
+    val merged = hllEstimate(
+      hllRegisters(items, b, seed).groupBy("reg").agg(max("mj").as("mj"))
+        .select(lit("u").as("g"), col("reg"), col("mj")), b)
+      .select(round(col("est"), 4).as("est_union"))
+    val exact = items.agg(countDistinct("item").as("exact_union"))
+    perHalf.crossJoin(merged).crossJoin(exact)
+      .select(col("est_a"), col("est_b"), col("est_union"), col("exact_union"),
+        round((col("est_union") - col("exact_union")) / col("exact_union").cast("double"), 4)
+          .as("rel_err"))
+  }
+
+  /** Rolling 7-day distinct users by windowed register merge: the
+    * sketch answer to q164's exact distinct-then-expand — per-day
+    * register tables (≤ 2^b rows/day) expand ×7 map-side and merge by
+    * max, so the rolling-distinct cost is days × m rows instead of
+    * days × users. The exact count rides along for the audit column.
+    *
+    * Output: (day, exact_users, est_users, rel_err).
+    */
+  def hllRollingDistinct(events: DataFrame, b: Int = 8, seed: Long = 9L,
+                         userCol: String = "user_id",
+                         secCol: String = "sec"): DataFrame = {
+    val act = events.select((col(secCol) / 86400L).cast("long").as("d"),
+        col(userCol).as("item")).distinct()
+      .localCheckpoint(true) // registers + exact expansion + day grid all read it
+    val days = act.select(col("d")).distinct()
+    val regs = hllRegisters(act.select(col("d").as("g"), col("item")), b, seed)
+    val offsets = explode(sequence(lit(0L), lit(6L))).as("off")
+    val windowRegs = regs.select(col("g"), col("reg"), col("mj"), offsets)
+      .select((col("g") + col("off")).as("wd"), col("reg"), col("mj"))
+      .join(days.select(col("d").as("wd")), Seq("wd"))
+      .groupBy("wd", "reg").agg(max("mj").as("mj"))
+    val est = hllEstimate(windowRegs.select(col("wd").as("g"), col("reg"), col("mj")), b)
+    val exact = act.select(col("d"), col("item"), offsets)
+      .select((col("d") + col("off")).as("wd"), col("item"))
+      .join(days.select(col("d").as("wd")), Seq("wd"))
+      .select(col("wd"), col("item")).distinct()
+      .groupBy("wd").agg(count(lit(1)).as("exact_users"))
+    est.select(col("g").as("wd"), round(col("est"), 4).as("est_users"))
+      .join(exact, Seq("wd"))
+      .select(col("wd").as("day"), col("exact_users"), col("est_users"),
+        round((col("est_users") - col("exact_users")) / col("exact_users").cast("double"), 4)
           .as("rel_err"))
   }
 

@@ -62,6 +62,40 @@ class SketchOpsSpec extends AnyFunSuite {
       s"linear counting should be near-exact: exact=$exact est=$est")
   }
 
+  test("hllMergeAudit: merged halves estimate the union within tolerance") {
+    val docs = (0 until 300)
+      .map(i => (i.toLong, s"uniq token$i phrase ${i * 13} mixed content tail", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = SketchOps.hllMergeAudit(docs)
+      .select("est_a", "est_b", "est_union", "exact_union", "rel_err")
+      .as[(Double, Double, Double, Long, Double)].head()
+    // merged registers dominate each half's registers, so the raw
+    // estimate is monotone: union >= max(half); and it tracks the
+    // exact union within 3 sigma (19.5%)
+    assert(r._3 >= math.max(r._1, r._2) - 1e-9,
+      s"union ${r._3} should dominate halves (${r._1}, ${r._2})")
+    assert(math.abs(r._5) < 0.195, s"rel_err ${r._5}")
+  }
+
+  test("hllRollingDistinct: small daily sets take linear counting and are near-exact") {
+    // 3 days x 40 users with 50% day-over-day churn; windows merge them
+    val rows = for {
+      d <- 0 until 3; u <- 0 until 40
+    } yield (d * 86400L + u, (d * 20 + u).toLong, "view")
+    val ev = rows.toDF("sec", "user_id", "event_type")
+      .withColumn("event_id", org.apache.spark.sql.functions.col("sec"))
+    val out = SketchOps.hllRollingDistinct(ev)
+      .select("day", "exact_users", "est_users")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 3)
+    // day 2's window covers all 3 days: exact = 80 distinct users
+    val d2 = out.find(_._1 == 2L).get
+    assert(d2._2 == 80L, s"exact=${d2._2}")
+    out.foreach { case (d, exact, est) =>
+      assert(math.abs(est - exact) / exact.toDouble < 0.1,
+        s"day $d: exact=$exact est=$est") }
+  }
+
   // ---- Count-Min: overestimate-only, exact when collisions are absent
 
   test("countMinAudit: never underestimates; exact for a tiny vocabulary") {
