@@ -1355,7 +1355,27 @@ private[graft] object OpsEntries {
     // sketch answer to q164's exact distinct-then-expand (days × m
     // rows instead of days × users), exact count riding as the audit.
     "q216_rolling_hll" -> ((s, dir) =>
-      SketchOps.hllRollingDistinct(SparkEntry.events(s, dir)))
+      SketchOps.hllRollingDistinct(SparkEntry.events(s, dir))),
+
+    // Keyframe selection over stub videos: even media get 3-frame
+    // static scenes (frame-content key collapses to the scene anchor),
+    // odd media change every frame — keyframes = shot boundaries.
+    "q217_keyframes" -> ((s, dir) => {
+      val vids = t(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 2 && col("text").isNotNull)
+      val frames = vids
+        .select(col("doc_id").as("media_id"), col("text").as("payload"))
+        .select(col("media_id"), col("payload"),
+          (octet_length(col("payload")) % 16 + 1).as("n_frames"))
+        .select(col("media_id"), col("payload"),
+          explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+        .withColumn("__scene",
+          when(col("media_id") % 2 === 0,
+            col("frame_idx") - col("frame_idx") % 3).otherwise(col("frame_idx")))
+        .select(col("media_id"), col("frame_idx"),
+          concat(col("payload"), lit("#"), col("__scene").cast("string")).as("fkey"))
+      MultimodalOps.keyframes(MultimodalOps.frameDHashBands(frames))
+    })
   )
 
   /** The q175 curation pipeline: exact dedup → verified near-dup →
@@ -4417,7 +4437,45 @@ private[graft] object OpsEntries {
          |        FROM exd JOIN days ON days.d = exd.wd GROUP BY 1)
          |SELECT est_wj.g AS day, exact_users, round(e, 4) AS est_users,
          |       round((round(e, 4) - exact_users) / CAST(exact_users AS DOUBLE), 4) AS rel_err
-         |FROM est_wj JOIN exc ON exc.wd = est_wj.g""".stripMargin
+         |FROM est_wj JOIN exc ON exc.wd = est_wj.g""".stripMargin,
+
+    // the per-frame pixel/dHash chain with the scene-collapsed frame
+    // key, lag-window Hamming deltas, first-or-changed keyframe rule
+    "q217_keyframes" ->
+      s"""WITH vids AS (SELECT doc_id AS media_id, text AS payload FROM documents
+         |              WHERE doc_id % 3 = 2 AND text IS NOT NULL),
+         |fr AS (SELECT media_id, payload,
+         |         unnest(generate_series(0, octet_length(encode(payload)) % 16)) AS frame_idx
+         |       FROM vids),
+         |fk AS (SELECT media_id, frame_idx,
+         |         payload || '#' || CAST(CASE WHEN media_id % 2 = 0
+         |              THEN frame_idx - frame_idx % 3 ELSE frame_idx END AS VARCHAR) AS fkey
+         |       FROM fr),
+         |hexes AS (SELECT media_id, frame_idx, r,
+         |            md5(fkey || ':' || CAST(r AS VARCHAR)) AS hex
+         |          FROM fk CROSS JOIN range(0, 8) t(r)),
+         |pix AS (SELECT media_id, frame_idx, r, c, ${hexPairSql("hex", "c")} AS v
+         |        FROM hexes CROSS JOIN range(0, 9) t2(c)),
+         |fbands AS (SELECT a.media_id, a.frame_idx, CAST(a.r AS INTEGER) AS band,
+         |             CAST(sum(CASE WHEN a.v < b.v THEN 1 << CAST(a.c AS INTEGER) ELSE 0 END) AS INTEGER) AS byte
+         |           FROM pix a JOIN pix b ON b.media_id = a.media_id AND b.frame_idx = a.frame_idx
+         |             AND b.r = a.r AND b.c = a.c + 1
+         |           WHERE a.c < 8
+         |           GROUP BY a.media_id, a.frame_idx, a.r),
+         |lg AS (SELECT media_id, frame_idx, byte,
+         |         lag(byte) OVER (PARTITION BY media_id, band ORDER BY frame_idx) AS prev
+         |       FROM fbands),
+         |ham AS (SELECT media_id, frame_idx,
+         |          sum(bit_count(xor(byte, prev))) AS hamming
+         |        FROM lg GROUP BY 1, 2),
+         |kf AS (SELECT media_id, frame_idx,
+         |         (hamming IS NULL OR hamming >= 16) AS k
+         |       FROM ham)
+         |SELECT media_id, count(*) AS n_sampled,
+         |       CAST(sum(CASE WHEN k THEN 1 ELSE 0 END) AS BIGINT) AS n_keyframes,
+         |       coalesce(string_agg(CASE WHEN k THEN CAST(frame_idx AS VARCHAR) END, ','
+         |         ORDER BY frame_idx), '') AS keyframe_idxs
+         |FROM kf GROUP BY media_id""".stripMargin
   )
 
   /** HLL register CTE from an items CTE `(g, item)` — the seeded-md5

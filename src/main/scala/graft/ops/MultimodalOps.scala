@@ -279,4 +279,67 @@ object MultimodalOps {
         col("total_matches"))
       .filter(col("votes") >= minVotes)
   }
+
+  // ---- keyframe selection via consecutive-frame perceptual deltas --------
+
+  /** Per-frame dHash band bytes from a frame table `(media_id,
+    * frame_idx, fkey)` — the [[stubPixels]]/[[dHashBands]] chain keyed
+    * by the frame-content key instead of the whole payload, so each
+    * sampled frame gets its own 8×8-bit perceptual hash. `fkey` is
+    * whatever identifies the frame's CONTENT (a real decoder supplies
+    * the frame's pixel digest; the stub convention is
+    * `payload#frame`). Map-only explode: rows × frames per video.
+    *
+    * Output: (media_id, frame_idx, band, byte).
+    */
+  def frameDHashBands(frames: DataFrame, rows: Int = 8, cols: Int = 9,
+                      idCol: String = "media_id"): DataFrame = {
+    require(cols * 2 <= 32, s"md5 supplies 16 bytes per row; cols=$cols needs ${cols * 2} hex chars")
+    val px = frames.select(col(idCol), col("frame_idx"), col("fkey"),
+        explode(sequence(lit(0), lit(rows - 1))).as("r"))
+      .select(col(idCol), col("frame_idx"), col("r"),
+        md5(concat(col("fkey"), lit(":"), col("r").cast("string")).cast("binary")).as("__hex"))
+      .select(col(idCol), col("frame_idx"), col("r"),
+        transform(sequence(lit(0), lit(cols - 1)),
+          c => conv(col("__hex").substr(c * 2 + 1, lit(2)), 16, 10).cast("int")).as("px"))
+    val byte = (0 until cols - 1).map { c =>
+      when(element_at(col("px"), c + 1) < element_at(col("px"), c + 2), lit(1 << c))
+        .otherwise(lit(0))
+    }.reduce((a, b) => a + b)
+    px.select(col(idCol), col("frame_idx"), col("r").cast("int").as("band"),
+      byte.cast("int").as("byte"))
+  }
+
+  /** Keyframe selection: a sampled frame is a keyframe iff it is the
+    * first frame or its perceptual distance to the PREVIOUS sampled
+    * frame (Hamming over the 8 dHash band bytes) reaches `minHamming`
+    * — the shot-boundary / static-scene reduction that keeps one frame
+    * per scene instead of every frame, the standard pre-filter before
+    * expensive per-frame models.
+    *
+    * Plan shape: consecutive deltas come from ONE lag window per
+    * (video, band) — the sort key is (video, band) so state is one
+    * byte per band, never a per-video frame array; the per-frame
+    * Hamming and the per-video rollup reuse the same partitioning.
+    *
+    * Output: (media_id, n_sampled, n_keyframes, keyframe_idxs) with
+    * the kept frame indices comma-joined in order.
+    */
+  def keyframes(bands: DataFrame, minHamming: Int = 16,
+                idCol: String = "media_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("band")).orderBy("frame_idx")
+    val deltas = bands
+      .withColumn("__prev", lag("byte", 1).over(w))
+      .groupBy(idCol, "frame_idx")
+      .agg(sum(bit_count(col("byte").bitwiseXOR(col("__prev")))).as("__hamming"))
+    deltas
+      .withColumn("__key", col("__hamming").isNull || col("__hamming") >= minHamming)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(when(col("__key"), 1L).otherwise(0L)).as("n_keyframes"),
+        concat_ws(",", transform(
+          array_sort(collect_list(when(col("__key"), col("frame_idx")))),
+          x => x.cast("string"))).as("keyframe_idxs"))
+  }
 }

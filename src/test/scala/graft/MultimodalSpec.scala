@@ -158,4 +158,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(13L), "caption match with a different image must NOT be a dup")
     assert(!out(15L), "image match with a different caption must NOT be a dup")
   }
+
+  test("keyframes: scene boundaries kept, static frames and sub-threshold jitter dropped") {
+    // video 1: frames 0-2 all-zero bytes (static), frames 3-5 all-255
+    // (scene cut, Hamming 64); video 2: frame 1 differs from frame 0 by
+    // ONE bit in one band (Hamming 1 < 16) -> not a keyframe
+    val rows =
+      (for (f <- 0 to 5; b <- 0 to 7)
+        yield (1L, f.toLong, b, if (f < 3) 0 else 255)) ++
+      (for (f <- 0 to 1; b <- 0 to 7)
+        yield (2L, f.toLong, b, if (f == 1 && b == 0) 1 else 0))
+    val bands = rows.toDF("media_id", "frame_idx", "band", "byte")
+    val out = graft.ops.MultimodalOps.keyframes(bands)
+      .select("media_id", "n_sampled", "n_keyframes", "keyframe_idxs")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out == Set((1L, 6L, 2L, "0,3"), (2L, 2L, 1L, "0")))
+  }
 }
