@@ -181,7 +181,7 @@ object Stress {
     // printed exponent log_x(t_x / t_1) is the evidence SCALE.md's
     // 100 TB claims cite: ~1.0 = linear, ≫1 = a plan that would not
     // survive the next order of magnitude.
-    if (which == "scale" || which == "scale7" || which == "scale7b") {
+    if (which == "scale" || which == "scale7" || which == "scale7b" || which == "scale7c") {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       val scaleDir = "/tmp/graft_scale_x" + x
@@ -195,7 +195,7 @@ object Stress {
           transform(col("embedding"), e => e + lit(0.001f * i)).as("embedding"),
           col("label"))
       }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
-      if (which == "scale7b") {
+      if (which == "scale7b" || which == "scale7c") {
         // events replica for the behavioral family: user ids offset per
         // copy so the user population grows ×x with per-user structure
         // (event order, sessions, funnels) preserved
@@ -238,6 +238,13 @@ object Stress {
           Seq("q156_logreg_train", "q159_tfidf_cosine", "q165_dup_triangles",
             "q174_dup_kcore", "q175_curation_pipeline", "q162_window_funnel",
             "q171_mad_outliers", "q172_event_trigrams")
+        // scale7c: the sketch/diagnostic additions — register tables and
+        // moment aggregates must stay flat as rows grow; q213 faces the
+        // ~100x component/pair density of the 10-way-clone corpus
+        else if (which == "scale7c")
+          Seq("q205_matched_pairs", "q212_sequence_match", "q216_rolling_hll",
+            "q206_hll_distinct", "q207_countmin_audit", "q213_cv_folds",
+            "q217_keyframes", "q209_pca_top")
         else Seq("q100_semdedup_skew", "q97_semdedup_autok", "q75_semdedup",
           "q84_bigram_logprob", "q101_ann_recall")
       // one untimed warm pass at base scale amortizes codegen/JIT; the
