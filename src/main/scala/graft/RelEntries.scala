@@ -122,6 +122,30 @@ private[graft] object RelEntries {
         "error_burst" -> "eee",
         "signup_purchase" -> "s.*p"))),
 
+    // Time-weighted average value per user: holding-interval weights
+    // (the irregular-sampling mean), integer 1e-4 value banking.
+    "q218_time_weighted_avg" -> ((s, dir) =>
+      RelOps.timeWeightedAvg(events(s, dir))),
+
+    // CUSUM level-shift scan over per-type daily event counts:
+    // banked deviations, exact prefix sums, earliest-tie peak.
+    "q219_cusum_changepoint" -> ((s, dir) =>
+      graft.ops.SeriesOps.cusumChangepoint(
+        events(s, dir)
+          .select(col("event_type").as("g"), (col("sec") / 86400L).cast("long").as("t"))
+          .groupBy("g", "t").agg(count(lit(1)).as("n")))
+        .withColumnRenamed("g", "event_type")),
+
+    // First-order Markov transition matrix over user event streams:
+    // consecutive-pair counts + row-normalized probabilities.
+    "q220_transition_matrix" -> ((s, dir) =>
+      RelOps.transitionMatrix(events(s, dir))),
+
+    // Exponentially-decayed engagement score (half-life 7 days,
+    // anchored at the corpus max timestamp): churn-scoring recency.
+    "q221_decay_score" -> ((s, dir) =>
+      RelOps.decayScore(events(s, dir))),
+
     // Bloom-prefiltered semi-join (runtime-filter shape): events of
     // heavy purchasers; result identical to the plain join (the
     // oracle IS the plain join — one-sided error proven per row).
@@ -390,6 +414,65 @@ private[graft] object RelEntries {
         |             GROUP BY 1 HAVING count(*) >= 15)
         |SELECT user_id, count(*) AS n_events
         |FROM events JOIN hot USING (user_id) GROUP BY 1""".stripMargin,
+
+    "q218_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |            CAST(round(value * 10000) AS BIGINT) AS v4
+        |          FROM events WHERE value IS NOT NULL),
+        |iv AS (SELECT user_id, v4,
+        |         lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) - sec AS dt
+        |       FROM e),
+        |g AS (SELECT user_id, sum(v4 * dt) AS num, sum(dt) AS span_sec
+        |      FROM iv WHERE dt IS NOT NULL GROUP BY 1)
+        |SELECT user_id, CAST(span_sec AS BIGINT) AS span_sec,
+        |       round(num / CAST(span_sec AS DOUBLE) / 10000.0, 6) AS twa
+        |FROM g WHERE span_sec > 0""".stripMargin,
+
+    "q219_cusum_changepoint" ->
+      """WITH d AS (SELECT event_type AS g, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS t,
+        |            count(*) AS n
+        |          FROM events GROUP BY 1, 2),
+        |st AS (SELECT g, sum(n) AS tot, count(*) AS n_points FROM d GROUP BY 1),
+        |c AS (SELECT d.g, t, CAST(round((n - tot / CAST(n_points AS DOUBLE)) * 1000000) AS BIGINT) AS c6,
+        |        tot, n_points
+        |      FROM d JOIN st ON st.g = d.g),
+        |s AS (SELECT g, t, tot, n_points,
+        |        sum(c6) OVER (PARTITION BY g ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s6
+        |      FROM c),
+        |p AS (SELECT g, tot, n_points, abs(s6) AS a, t,
+        |        row_number() OVER (PARTITION BY g ORDER BY abs(s6) DESC, t ASC) AS r,
+        |        max(abs(s6)) OVER (PARTITION BY g) AS maxabs
+        |      FROM s)
+        |SELECT g AS event_type, CAST(n_points AS BIGINT) AS n_points,
+        |       CAST(tot AS BIGINT) AS total,
+        |       round(tot / CAST(n_points AS DOUBLE), 4) AS mean,
+        |       round(maxabs / 1000000.0, 4) AS max_abs_s, t AS cp_t,
+        |       maxabs / 1000000.0 >= 0.05 * tot AS flagged
+        |FROM p WHERE r = 1""".stripMargin,
+
+    "q220_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |            CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |pr AS (SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS to_type
+        |       FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM pr
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t2 AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |       round(n / CAST(tot AS DOUBLE), 4) AS prob
+        |FROM c JOIN t2 USING (from_type)""".stripMargin,
+
+    "q221_decay_score" ->
+      """WITH e AS (SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |          FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT max(sec) AS t FROM e),
+        |c AS (SELECT user_id,
+        |        CAST(round(pow(2.0, -CAST(t - sec AS DOUBLE) / 604800.0) * value * 1000000) AS BIGINT) AS c6
+        |      FROM e CROSS JOIN a)
+        |SELECT user_id, count(*) AS n_events, round(sum(c6) / 1000000.0, 4) AS score
+        |FROM c GROUP BY 1""".stripMargin,
 
     "q182_hourly_profile" ->
       """WITH c AS (SELECT event_type AS t,

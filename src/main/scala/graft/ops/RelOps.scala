@@ -505,6 +505,86 @@ object RelOps {
     * Output: (user, n_first, n_second, n_matched, match_rate) for
     * users with at least one of either event.
     */
+  /** Time-weighted average value per user: each observation holds its
+    * value until the next one, so the mean weights by holding interval
+    * (the irregular-sampling mean ClickHouse serves as avgWeighted
+    * over deltas) — the honest summary when events arrive unevenly,
+    * where the plain mean over-counts bursts. The last observation has
+    * no forward interval and is excluded; single-event users drop
+    * (zero span).
+    *
+    * Determinism: values bank as integer 1e-4 units before the
+    * interval product, so the aggregate is exact-integer and
+    * order-free. ONE user-keyed shuffle (lead window + aggregate share
+    * the partitioning).
+    *
+    * Output: (user, span_sec, twa 6dp).
+    */
+  def timeWeightedAvg(events: DataFrame, userCol: String = "user_id",
+                      secCol: String = "sec", valueCol: String = "value",
+                      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(secCol), col(tieCol))
+    events.filter(col(valueCol).isNotNull)
+      .select(col(userCol), col(secCol), col(tieCol),
+        Rounding.round(col(valueCol) * 1e4).cast("long").as("__v4"))
+      .withColumn("__next", lead(col(secCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(col(userCol), (col("__next") - col(secCol)).as("__dt"), col("__v4"))
+      .groupBy(userCol)
+      .agg(sum(col("__v4") * col("__dt")).as("__num"), sum("__dt").as("span_sec"))
+      .filter(col("span_sec") > 0)
+      .select(col(userCol), col("span_sec"),
+        Rounding.round(col("__num") / col("span_sec").cast("double") / 1e4, 6).as("twa"))
+  }
+
+  /** First-order Markov transition matrix over each user's event
+    * stream: counts and row-normalized probabilities of consecutive
+    * (from → to) type pairs — the behavioral flow map (Sankey edges)
+    * behind "what do users do after an error". Pairs form map-side
+    * from ONE lead window (user-keyed shuffle); the matrix itself is
+    * |types|² rows, and the row totals join back broadcast.
+    *
+    * Output: (from_type, to_type, n, prob 4dp).
+    */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+                       secCol: String = "sec", tieCol: String = "event_id",
+                       typeCol: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(secCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(secCol), col(tieCol), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead("from_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("__tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        Rounding.round(col("n") / col("__tot").cast("double"), 4).as("prob"))
+  }
+
+  /** Exponentially-decayed engagement score per user: Σ value ·
+    * 2^(−age/halfLife), ages anchored at the corpus max timestamp —
+    * the recency-weighted activity measure behind churn scoring.
+    * Per-event decayed contributions bank as integer 1e-6 units (the
+    * transcendental evaluates once per event, then the aggregate is
+    * exact and order-free); the anchor rides as a broadcast scalar.
+    *
+    * Output: (user, n_events, score 4dp).
+    */
+  def decayScore(events: DataFrame, halfLifeSec: Long = 604800L,
+                 userCol: String = "user_id", secCol: String = "sec",
+                 valueCol: String = "value"): DataFrame = {
+    val e = events.filter(col(valueCol).isNotNull)
+    val anchor = broadcast(e.agg(max(col(secCol)).as("__t")))
+    e.crossJoin(anchor)
+      .select(col(userCol),
+        Rounding.round(pow(lit(2.0),
+          -(col("__t") - col(secCol)).cast("double") / lit(halfLifeSec.toDouble))
+          * col(valueCol) * 1e6).cast("long").as("__c6"))
+      .groupBy(userCol)
+      .agg(count(lit(1)).as("n_events"),
+        Rounding.round(sum("__c6") / 1e6, 4).as("score"))
+  }
+
   /** Event-sequence pattern match: per user, the time-ordered initial
     * letters of its event types concatenated into one string, matched
     * against regex patterns — the general form behind ClickHouse's

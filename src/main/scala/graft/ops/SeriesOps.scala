@@ -468,4 +468,40 @@ object SeriesOps {
       .agg(graft.ops.Rounding.round(expr(s"percentile($valCol, $p)"), 4).as("cutoff"))
     df.join(broadcast(cut), Seq(keyCol)).filter(col(valCol) <= col("cutoff"))
   }
+
+  /** CUSUM changepoint scan per series: cumulative sum of deviations
+    * from the series mean, the classic level-shift detector — a
+    * regime change shows as a peak in |S|, located at the last point
+    * of the old regime. Input is a counted series `(g, t, n)` (e.g.
+    * per-type daily event counts); deviations bank as integer 1e-6
+    * units so the prefix sums are exact, the peak location ties to
+    * the EARLIEST t (struct-ordered arg-max, no second window), and a
+    * series is flagged when the peak deviation mass reaches
+    * `flagFrac` of its total count.
+    *
+    * Plan shape: one aggregate for (total, days), joined back
+    * broadcast; ONE g-keyed window for the prefix sums; the arg-max
+    * rollup shares the partitioning.
+    *
+    * Output: (g, n_points, total, mean 4dp, max_abs_s 4dp, cp_t,
+    * flagged).
+    */
+  def cusumChangepoint(daily: DataFrame, flagFrac: Double = 0.05): DataFrame = {
+    val stats = daily.groupBy("g")
+      .agg(sum("n").as("__tot"), count(lit(1)).as("n_points"))
+    val w = Window.partitionBy("g").orderBy("t")
+    daily.join(broadcast(stats), Seq("g"))
+      .withColumn("__c6", graft.ops.Rounding.round(
+        (col("n") - col("__tot") / col("n_points").cast("double")) * 1e6).cast("long"))
+      .withColumn("__s6", sum("__c6").over(w))
+      .groupBy("g")
+      .agg(min("n_points").as("n_points"), min("__tot").as("total"),
+        max(abs(col("__s6"))).as("__maxabs"),
+        max_by(col("t"), struct(abs(col("__s6")), -col("t"))).as("cp_t"))
+      .select(col("g"), col("n_points"), col("total"),
+        graft.ops.Rounding.round(col("total") / col("n_points").cast("double"), 4).as("mean"),
+        graft.ops.Rounding.round(col("__maxabs") / 1e6, 4).as("max_abs_s"),
+        col("cp_t"),
+        (col("__maxabs") / 1e6 >= lit(flagFrac) * col("total")).as("flagged"))
+  }
 }

@@ -103,6 +103,42 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(folds(10L) == folds(20L))
   }
 
+  test("timeWeightedAvg: holding-interval weights, last observation excluded") {
+    // 10 held for 10s, 20 held for 30s; the t=40 value never weighs in
+    val ev = Seq((1L, 1L, 0L, Some(10.0)), (1L, 2L, 10L, Some(20.0)),
+      (1L, 3L, 40L, Some(99.0)), (2L, 1L, 5L, Some(7.0))) // single event -> dropped
+      .toDF("user_id", "event_id", "sec", "value")
+    val out = graft.ops.RelOps.timeWeightedAvg(ev)
+      .select("user_id", "span_sec", "twa").as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 40L, 17.5))) // (10*10 + 20*30) / 40
+  }
+
+  test("cusumChangepoint: level shift located at the last point of the old regime") {
+    val daily = Seq(("a", 0L, 5L), ("a", 1L, 5L), ("a", 2L, 5L),
+      ("a", 3L, 15L), ("a", 4L, 15L)).toDF("g", "t", "n")
+    val r = graft.ops.SeriesOps.cusumChangepoint(daily)
+      .select("g", "mean", "max_abs_s", "cp_t", "flagged")
+      .as[(String, Double, Double, Long, Boolean)].head()
+    assert(r == (("a", 9.0, 12.0, 2L, true))) // S = -4,-8,-12,-6,0
+  }
+
+  test("transitionMatrix: counts and row-normalized probabilities") {
+    val ev = Seq((1L, 1L, 0L, "a"), (1L, 2L, 1L, "b"), (1L, 3L, 2L, "a"), (1L, 4L, 3L, "b"))
+      .toDF("user_id", "event_id", "sec", "event_type")
+    val out = graft.ops.RelOps.transitionMatrix(ev)
+      .select("from_type", "to_type", "n", "prob")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(out == Set(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  test("decayScore: one half-life halves the contribution") {
+    val ev = Seq((1L, 604800L * 1, Some(10.0)), (1L, 0L, Some(10.0)))
+      .toDF("user_id", "sec", "value")
+    val r = graft.ops.RelOps.decayScore(ev)
+      .select("n_events", "score").as[(Long, Double)].head()
+    assert(r == ((2L, 15.0))) // 10 at the anchor + 10/2 one half-life old
+  }
+
   test("sourceCentroidSimilarity: identical centroids cosine 1, orthogonal cosine 0") {
     val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sB"), (4L, "sC"))
       .toDF("doc_id", "source")
