@@ -1357,6 +1357,15 @@ private[graft] object OpsEntries {
     "q216_rolling_hll" -> ((s, dir) =>
       SketchOps.hllRollingDistinct(SparkEntry.events(s, dir))),
 
+    // Two-sample KS drift between src0 and src1 length distributions:
+    // exact-integer CDF gap, no binning choice (the PSI complement).
+    "q223_ks_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ModelOps.ksTwoSample(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") === "src1"), "n_chars")
+    }),
+
     // Keyframe selection over stub videos: even media get 3-frame
     // static scenes (frame-content key collapses to the scene anchor),
     // odd media change every frame — keyframes = shot boundaries.
@@ -4438,6 +4447,24 @@ private[graft] object OpsEntries {
          |SELECT est_wj.g AS day, exact_users, round(e, 4) AS est_users,
          |       round((round(e, 4) - exact_users) / CAST(exact_users AS DOUBLE), 4) AS rel_err
          |FROM est_wj JOIN exc ON exc.wd = est_wj.g""".stripMargin,
+
+    "q223_ks_drift" ->
+      """WITH av AS (SELECT n_chars AS v, count(*) AS ca FROM documents
+        |            WHERE source = 'src0' AND n_chars IS NOT NULL GROUP BY 1),
+        |bv AS (SELECT n_chars AS v, count(*) AS cb FROM documents
+        |       WHERE source = 'src1' AND n_chars IS NOT NULL GROUP BY 1),
+        |m AS (SELECT coalesce(av.v, bv.v) AS v, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM av FULL OUTER JOIN bv ON av.v = bv.v),
+        |t2 AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM m),
+        |c AS (SELECT v, sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b
+        |      FROM m WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |x AS (SELECT max(abs(cum_a * nb - cum_b * na)) AS mx FROM c CROSS JOIN t2)
+        |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |       round(CAST(mx AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6) AS d,
+        |       round(1.36 * sqrt(CAST(na + nb AS DOUBLE) / (CAST(na AS DOUBLE) * nb)), 6) AS crit,
+        |       round(CAST(mx AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6) >
+        |         round(1.36 * sqrt(CAST(na + nb AS DOUBLE) / (CAST(na AS DOUBLE) * nb)), 6) AS reject
+        |FROM x CROSS JOIN t2""".stripMargin,
 
     // the per-frame pixel/dHash chain with the scene-collapsed frame
     // key, lag-window Hamming deltas, first-or-changed keyframe rule

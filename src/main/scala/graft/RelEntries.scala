@@ -141,6 +141,15 @@ private[graft] object RelEntries {
     "q220_transition_matrix" -> ((s, dir) =>
       RelOps.transitionMatrix(events(s, dir))),
 
+    // Poisson point anomalies: each day's count vs its trailing 7-day
+    // mean, z = (n−μ)/√μ — the spike detector beside q219's CUSUM.
+    "q222_rate_anomalies" -> ((s, dir) =>
+      graft.ops.SeriesOps.rateAnomalies(
+        events(s, dir)
+          .select(col("event_type").as("g"), (col("sec") / 86400L).cast("long").as("t"))
+          .groupBy("g", "t").agg(count(lit(1)).as("n")))
+        .withColumnRenamed("g", "event_type")),
+
     // Exponentially-decayed engagement score (half-life 7 days,
     // anchored at the corpus max timestamp): churn-scoring recency.
     "q221_decay_score" -> ((s, dir) =>
@@ -463,6 +472,21 @@ private[graft] object RelEntries {
         |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
         |       round(n / CAST(tot AS DOUBLE), 4) AS prob
         |FROM c JOIN t2 USING (from_type)""".stripMargin,
+
+    "q222_rate_anomalies" ->
+      """WITH d AS (SELECT event_type AS g, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS t,
+        |            count(*) AS n
+        |          FROM events GROUP BY 1, 2),
+        |s AS (SELECT g, t, n, sum(n) OVER w AS sumw, count(*) OVER w AS cntw
+        |      FROM d WINDOW w AS (PARTITION BY g ORDER BY t
+        |        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT g, t, n, CAST(sumw AS DOUBLE) / cntw AS mu, cntw FROM s)
+        |SELECT g AS event_type, t, CAST(n AS BIGINT) AS n,
+        |       CASE WHEN cntw >= 3 THEN round(mu, 4) END AS mu,
+        |       CASE WHEN cntw >= 3 AND mu > 0 THEN round((n - mu) / sqrt(mu), 4) END AS z,
+        |       coalesce(abs(CASE WHEN cntw >= 3 AND mu > 0
+        |                        THEN round((n - mu) / sqrt(mu), 4) END) >= 3.0, false) AS anomaly
+        |FROM z""".stripMargin,
 
     "q221_decay_score" ->
       """WITH e AS (SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS sec

@@ -520,6 +520,52 @@ object ModelOps {
     * Plan shape: one hash aggregate; noise is map-only arithmetic on
     * the group key. Output: (group, true_n, eps, noise, noisy_n ≥ 0).
     */
+  /** Two-sample Kolmogorov–Smirnov test: the maximum CDF gap between
+    * two samples of an ordered value — the distribution-drift check
+    * with NO binning choice (the complement of [[psiDrift]]'s fixed
+    * deciles; KS sees shape changes deciles smear away). The statistic
+    * is computed in exact integers: per-value counts on the merged
+    * support, cumulative sums, and D's numerator |cumA·nb − cumB·na|
+    * stays a long until the single final division. The critical value
+    * is the classic α=0.05 large-sample 1.36·√((na+nb)/(na·nb));
+    * rejection compares ROUNDED d to ROUNDED crit so both engines sit
+    * on the same side.
+    *
+    * Plan shape: two hash aggregates to value histograms, a full-outer
+    * merge, ONE cumulative window over the |support| rows (bounded by
+    * distinct values — pre-quantize continuous scores before calling,
+    * the q150 histogram discipline).
+    *
+    * Output: one row (na, nb, d 6dp, crit 6dp, reject).
+    */
+  def ksTwoSample(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // null values are excluded on BOTH sides (engines disagree on NULL
+    // ordering in the cumulative window otherwise)
+    val ca = a.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("__na_v"))
+    val cb = b.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("__nb_v"))
+    val merged = ca.join(cb, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("__na_v"), lit(0L)).as("__ca"),
+        coalesce(col("__nb_v"), lit(0L)).as("__cb"))
+      .localCheckpoint(true) // totals + the cumulative scan both read it
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = broadcast(merged.agg(sum("__ca").as("na"), sum("__cb").as("nb")))
+    merged
+      .select(col("v"), sum("__ca").over(w).as("__cum_a"), sum("__cb").over(w).as("__cum_b"))
+      .crossJoin(tot)
+      .select(abs(col("__cum_a") * col("nb") - col("__cum_b") * col("na")).as("__num"),
+        col("na"), col("nb"))
+      .groupBy("na", "nb").agg(max("__num").as("__maxnum"))
+      .select(col("na"), col("nb"),
+        Rounding.round(col("__maxnum").cast("double")
+          / (col("na").cast("double") * col("nb")), 6).as("d"),
+        Rounding.round(lit(1.36) * sqrt((col("na") + col("nb")).cast("double")
+          / (col("na").cast("double") * col("nb"))), 6).as("crit"))
+      .withColumn("reject", col("d") > col("crit"))
+  }
+
   def dpNoisyCounts(df: DataFrame, groupCol: String, eps: Double = 1.0,
                     seed: Long = 42): DataFrame = {
     val u = (SampleOps.seededHash(col(groupCol), seed) % 1000000000L + lit(1.0)) /

@@ -486,6 +486,35 @@ object SeriesOps {
     * Output: (g, n_points, total, mean 4dp, max_abs_s 4dp, cp_t,
     * flagged).
     */
+  /** Poisson rate anomalies: each day's count against the trailing
+    * 7-day mean (current day excluded), z = (n − μ)/√μ — the
+    * point-anomaly complement to [[cusumChangepoint]]'s level shifts
+    * (a one-day spike barely moves CUSUM; a level shift barely moves
+    * any single z). Days with fewer than `minPrior` prior days in the
+    * window are unscored (null z, never flagged). The window mean is
+    * sum/count on exact longs — one g-keyed window, no second pass.
+    *
+    * Output: (g, t, n, mu 4dp, z 4dp, anomaly) — anomaly compares the
+    * ROUNDED z to the threshold so both engines sit on the same side
+    * of the boundary.
+    */
+  def rateAnomalies(daily: DataFrame, zThreshold: Double = 3.0,
+                    minPrior: Int = 3): DataFrame = {
+    val w = Window.partitionBy("g").orderBy("t").rowsBetween(-7, -1)
+    val scored = daily
+      .withColumn("__sumw", sum("n").over(w))
+      .withColumn("__cntw", count(lit(1)).over(w))
+      .withColumn("__mu", col("__sumw").cast("double") / col("__cntw"))
+      .withColumn("__z", when(col("__cntw") >= minPrior && col("__mu") > 0,
+        graft.ops.Rounding.round(
+          (col("n") - col("__mu")) / sqrt(col("__mu")), 4)))
+    scored.select(col("g"), col("t"), col("n"),
+      when(col("__cntw") >= minPrior,
+        graft.ops.Rounding.round(col("__mu"), 4)).as("mu"),
+      col("__z").as("z"),
+      coalesce(abs(col("__z")) >= zThreshold, lit(false)).as("anomaly"))
+  }
+
   def cusumChangepoint(daily: DataFrame, flagFrac: Double = 0.05): DataFrame = {
     val stats = daily.groupBy("g")
       .agg(sum("n").as("__tot"), count(lit(1)).as("n_points"))

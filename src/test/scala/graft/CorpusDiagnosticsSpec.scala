@@ -139,6 +139,27 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(r == ((2L, 15.0))) // 10 at the anchor + 10/2 one half-life old
   }
 
+  test("rateAnomalies: spike flagged against trailing mean; short history unscored") {
+    val daily = ((0L to 7L).map(t => ("a", t, 10L)) :+ (("a", 8L, 30L))).toDF("g", "t", "n")
+    val byT = graft.ops.SeriesOps.rateAnomalies(daily)
+      .select("t", "z", "anomaly").as[(Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byT(8L) == ((Some(6.3246), true)))  // (30-10)/sqrt(10)
+    assert(byT(1L) == ((None, false)))          // only 1 prior day
+    assert(byT(5L) == ((Some(0.0), false)))     // flat series
+  }
+
+  test("ksTwoSample: identical samples d=0; disjoint samples d=1") {
+    val a = (1 to 50).map(_.toLong % 5).toDF("n_chars")
+    val same = graft.ops.ModelOps.ksTwoSample(a, a, "n_chars")
+      .select("d", "reject").as[(Double, Boolean)].head()
+    assert(same == ((0.0, false)))
+    val b = (1 to 50).map(i => i.toLong % 5 + 100).toDF("n_chars")
+    val disj = graft.ops.ModelOps.ksTwoSample(a, b, "n_chars")
+      .select("d", "reject").as[(Double, Boolean)].head()
+    assert(disj == ((1.0, true)))
+  }
+
   test("sourceCentroidSimilarity: identical centroids cosine 1, orthogonal cosine 0") {
     val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sB"), (4L, "sC"))
       .toDF("doc_id", "source")
