@@ -67,6 +67,32 @@ object SketchOps {
       .groupBy("g", "reg").agg(max("rho").as("mj"))
   }
 
+  /** Scala-side estimate from a dense register array (index = register,
+    * value = M_j, 0 = empty) — EXACTLY the [[hllEstimate]] arithmetic
+    * (same integer banking, same alpha, same small-range branch), so a
+    * streaming state that folds registers incrementally lands on the
+    * identical estimate the batch aggregate produces. Pinned
+    * streaming-vs-batch in `StreamingDistinctSpec`.
+    */
+  def estimateFromRegisters(regs: Array[Int], b: Int): Double = {
+    val m = 1 << b
+    require(regs.length == m, s"want $m registers, got ${regs.length}")
+    val maxRho = 60 - b + 1
+    val unitL = 1L << maxRho
+    var su = 0L
+    var nRegs = 0L
+    regs.foreach { mj =>
+      if (mj > 0) { su += 1L << (maxRho - mj); nRegs += 1 }
+    }
+    val unit = math.pow(2.0, maxRho)
+    val s = (su + (m - nRegs) * unitL).toDouble / unit
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / m.toDouble) * (m.toLong * m).toDouble
+    val zeros = m - nRegs
+    val eRaw = alphaM2 / s
+    if (eRaw <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros)
+    else eRaw
+  }
+
   /** Fold a register table to per-group estimates: (g, n_regs, est).
     * The indicator sum banks in exact integer 2^(60-b+1)-units (every
     * term 2^(maxRho-M_j) is an integer, empty registers contribute the
