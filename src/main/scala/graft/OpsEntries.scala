@@ -1357,6 +1357,29 @@ private[graft] object OpsEntries {
     "q216_rolling_hll" -> ((s, dir) =>
       SketchOps.hllRollingDistinct(SparkEntry.events(s, dir))),
 
+    // Consistent-hash resharding audit: ring vs mod when shard 9 joins
+    // an 8-shard layout — moved fraction and post-reshard balance.
+    "q225_reshard_audit" -> ((s, dir) =>
+      SampleOps.reshardAudit(t(s, dir, "documents").select("doc_id"))),
+
+    // Water-filling mixture under capacity caps: equal weights over
+    // hash-diversified per-source capacities, budget = 40% of supply;
+    // saturated sources take their caps, the rest re-level exactly.
+    "q224_waterfill_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val srcs = docs.filter(col("text").isNotNull)
+        .groupBy("source")
+        .agg(sum(size(TextOps.tokens(col("text"))).cast("long")).as("__c0"))
+        .select(col("source"),
+          (col("__c0") * (pmod(SampleOps.seededHash(col("source"), 21L), lit(5L)) + 1L))
+            .as("capacity"),
+          lit(1.0).as("weight"))
+        .localCheckpoint(true) // budget aggregate + the allocation read it
+      val budget = math.floor(
+        srcs.agg(sum("capacity")).head.getLong(0).toDouble * 0.4).toLong
+      SampleOps.waterfillAllocation(srcs, budget)
+    }),
+
     // Two-sample KS drift between src0 and src1 length distributions:
     // exact-integer CDF gap, no binning choice (the PSI complement).
     "q223_ks_drift" -> ((s, dir) => {
@@ -4447,6 +4470,74 @@ private[graft] object OpsEntries {
          |SELECT est_wj.g AS day, exact_users, round(e, 4) AS est_users,
          |       round((round(e, 4) - exact_users) / CAST(exact_users AS DOUBLE), 4) AS rel_err
          |FROM est_wj JOIN exc ON exc.wd = est_wj.g""".stripMargin,
+
+    "q224_waterfill_mix" ->
+      s"""WITH cap0 AS (SELECT source, CAST(sum(len($toksExpr)) AS BIGINT) AS c0
+         |              FROM documents WHERE text IS NOT NULL GROUP BY 1),
+         |srcs AS (SELECT source,
+         |           c0 * (CAST(concat('0x', substr(md5('21:' || source), 1, 15)) AS BIGINT) % 5 + 1) AS cap,
+         |           CAST(1000000 AS BIGINT) AS w6
+         |         FROM cap0),
+         |b AS (SELECT CAST(floor(sum(cap) * 0.4) AS BIGINT) AS budget FROM srcs),
+         |ordd AS (SELECT source, w6, cap,
+         |           coalesce(sum(cap) OVER w, 0) AS cprev,
+         |           coalesce(sum(w6) OVER w, 0) AS wprev,
+         |           sum(w6) OVER () AS wtot
+         |         FROM srcs WINDOW w AS (ORDER BY CAST(cap AS DOUBLE) / w6, source
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |fl AS (SELECT source, w6, cap, budget,
+         |         (budget - cprev) * w6 >= cap * (wtot - wprev) AS sat
+         |       FROM ordd CROSS JOIN b),
+         |rem AS (SELECT sum(CASE WHEN sat THEN cap ELSE 0 END) AS csat,
+         |          sum(CASE WHEN NOT sat THEN w6 ELSE 0 END) AS wrem FROM fl),
+         |al AS (SELECT source, cap, sat, budget - csat AS brem, wrem,
+         |         CASE WHEN sat THEN cap
+         |              WHEN wrem > 0 THEN (budget - csat) * w6 // wrem
+         |              ELSE 0 END AS fl2,
+         |         CASE WHEN NOT sat AND wrem > 0
+         |              THEN ((budget - csat) * w6) % wrem ELSE 0 END AS remd
+         |       FROM fl CROSS JOIN rem),
+         |fin AS (SELECT source, cap, sat, fl2, brem,
+         |          sum(CASE WHEN NOT sat THEN fl2 ELSE 0 END) OVER () AS unsatfloor,
+         |          row_number() OVER (PARTITION BY sat ORDER BY remd DESC, source) AS rk
+         |        FROM al)
+         |SELECT source, CAST(cap AS BIGINT) AS capacity,
+         |       CAST(fl2 + CASE WHEN NOT sat AND rk <= brem - unsatfloor
+         |                       THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+         |       sat AS saturated
+         |FROM fin""".stripMargin,
+
+    "q225_reshard_audit" ->
+      """WITH ring0 AS (SELECT shard,
+        |        CAST(concat('0x', substr(md5('13:' || CAST(shard AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15)) AS BIGINT) AS vh
+        |      FROM range(0, 8) s(shard) CROSS JOIN range(0, 16) t(v)),
+        |ring1 AS (SELECT shard,
+        |        CAST(concat('0x', substr(md5('13:' || CAST(shard AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15)) AS BIGINT) AS vh
+        |      FROM range(0, 9) s(shard) CROSS JOIN range(0, 16) t(v)),
+        |k AS (SELECT doc_id,
+        |        CAST(concat('0x', substr(md5('14:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS kh
+        |      FROM documents),
+        |a0 AS (SELECT doc_id, min(CASE WHEN vh >= kh THEN vh END) AS ge, min(vh) AS anyv
+        |       FROM k CROSS JOIN ring0 GROUP BY 1),
+        |s0 AS (SELECT doc_id, r.shard AS x0 FROM a0 JOIN ring0 r ON r.vh = coalesce(ge, anyv)),
+        |a1 AS (SELECT doc_id, min(CASE WHEN vh >= kh THEN vh END) AS ge, min(vh) AS anyv
+        |       FROM k CROSS JOIN ring1 GROUP BY 1),
+        |s1 AS (SELECT doc_id, r.shard AS x1 FROM a1 JOIN ring1 r ON r.vh = coalesce(ge, anyv)),
+        |rp AS MATERIALIZED (SELECT s0.doc_id, x0, x1 FROM s0 JOIN s1 USING (doc_id)),
+        |rb AS (SELECT max(c) AS mx FROM (SELECT x1, count(*) AS c FROM rp GROUP BY 1)),
+        |rs AS (SELECT 'ring' AS scheme, count(*) AS n_keys,
+        |         CAST(sum(CASE WHEN x0 <> x1 THEN 1 ELSE 0 END) AS BIGINT) AS moved
+        |       FROM rp),
+        |mp AS MATERIALIZED (SELECT kh % 8 AS x0, kh % 9 AS x1 FROM k),
+        |mb AS (SELECT max(c) AS mx FROM (SELECT x1, count(*) AS c FROM mp GROUP BY 1)),
+        |ms AS (SELECT 'mod' AS scheme, count(*) AS n_keys,
+        |         CAST(sum(CASE WHEN x0 <> x1 THEN 1 ELSE 0 END) AS BIGINT) AS moved
+        |       FROM mp)
+        |SELECT scheme, n_keys, moved,
+        |       round(moved / CAST(n_keys AS DOUBLE), 4) AS moved_frac,
+        |       round(mx / CAST(n_keys AS DOUBLE), 4) AS max_share_after
+        |FROM (SELECT rs.*, rb.mx FROM rs CROSS JOIN rb
+        |      UNION ALL SELECT ms.*, mb.mx FROM ms CROSS JOIN mb)""".stripMargin,
 
     "q223_ks_drift" ->
       """WITH av AS (SELECT n_chars AS v, count(*) AS ca FROM documents

@@ -82,6 +82,140 @@ object SampleOps {
       .withColumn("fold", hashBucket(col("fold_key"), k).cast("int"))
   }
 
+  /** Water-filling mixture allocation under capacity caps: give each
+    * source alloc = min(capacity, λ·weight) with λ the largest value
+    * whose total fits the token `budget` — the mixture-realization
+    * rule when sources have FINITE capacity (epoch caps): saturated
+    * sources take their whole capacity, the freed budget re-levels
+    * across the rest. q141 realizes uncapped weights; this is its
+    * constrained form.
+    *
+    * Exactness: the fill level never materializes as a float —
+    * saturation tests are integer cross-multiplications
+    * ((B−C_prev)·w6 ≥ cap·W6_rest, decimal-exact), and the unsaturated
+    * pool divides by exact integer floor + largest-remainder (the
+    * q201 discipline), so Σ alloc = min(budget, Σ capacity) in ANY
+    * engine. Sorting by cap/weight makes saturation a prefix property,
+    * so the whole solve is ONE pass of windows over the |sources|-row
+    * frame (categories, never the corpus).
+    *
+    * Output: (source, capacity, alloc, saturated).
+    */
+  def waterfillAllocation(sources: org.apache.spark.sql.DataFrame, budget: Long,
+                          srcCol: String = "source", weightCol: String = "weight",
+                          capCol: String = "capacity"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = sources
+      .select(col(srcCol).as("src"),
+        round(col(weightCol) * 1e6).cast("long").as("w6"),
+        col(capCol).cast("long").as("cap"))
+      .filter(col("w6") > 0 && col("cap") >= 0)
+    val ord = Window.orderBy(col("cap").cast("double") / col("w6"), col("src"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = broadcast(base.agg(sum("w6").as("__wtot")))
+    val flagged = base
+      .withColumn("__cprev", coalesce(sum("cap").over(ord), lit(0L)))
+      .withColumn("__wprev", coalesce(sum("w6").over(ord), lit(0L)))
+      .crossJoin(tot)
+      .withColumn("__sat",
+        (lit(budget) - col("__cprev")).cast("decimal(38,0)") * col("w6")
+          >= col("cap").cast("decimal(38,0)") * (col("__wtot") - col("__wprev")))
+      .localCheckpoint(true) // the pool aggregate + the allocation both read it
+    val rem = broadcast(flagged.agg(
+      sum(when(col("__sat"), col("cap")).otherwise(0L)).as("__csat"),
+      sum(when(!col("__sat"), col("w6")).otherwise(0L)).as("__wrem")))
+    def intDiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val alloc = flagged.crossJoin(rem)
+      .withColumn("__brem", lit(budget) - col("__csat"))
+      .withColumn("__floor", when(col("__sat"), col("cap"))
+        .when(col("__wrem") > 0, intDiv(col("__brem") * col("w6"), col("__wrem")))
+        .otherwise(lit(0L)))
+      .withColumn("__remd", when(!col("__sat") && col("__wrem") > 0,
+        pmod(col("__brem") * col("w6"), col("__wrem"))).otherwise(lit(0L)))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rk = Window.partitionBy("__sat").orderBy(col("__remd").desc, col("src").asc)
+    alloc
+      .withColumn("__unsatFloor",
+        sum(when(!col("__sat"), col("__floor")).otherwise(0L)).over(all))
+      .withColumn("__rk", row_number().over(rk))
+      .select(col("src").as(srcCol), col("cap").as(capCol),
+        (col("__floor") + when(!col("__sat")
+          && col("__rk") <= col("__brem") - col("__unsatFloor"), 1L).otherwise(0L))
+          .as("alloc"),
+        col("__sat").as("saturated"))
+  }
+
+  /** Consistent-hash ring assignment: each key goes to the shard of
+    * the first virtual node at or after its hash on the ring (wrapping
+    * to the global minimum) — the sharding scheme whose RESHARD cost
+    * is ~1/(n+1) of the keys when a shard is added, where mod-n
+    * rehashing moves ~n/(n+1) of a 100 TB lake. Vnode hashes are the
+    * seeded-md5 idiom keyed "shard:vnode", so growing the ring keeps
+    * every existing vnode in place (the property the audit measures).
+    *
+    * Plan shape: the ring is shards × vnodesPerShard rows, broadcast;
+    * the lookup is expressed as a conditional-min aggregate over the
+    * key × ring fan-out (bounded amplification = ring size; a binary-
+    * search expression would remove it, but the aggregate form is the
+    * engine-replayable one and the ring is tiny by construction).
+    *
+    * Output: (<keyCol>, shard).
+    */
+  def ringAssign(keys: org.apache.spark.sql.DataFrame, nShards: Int,
+                 vnodesPerShard: Int = 16, seed: Long = 13L,
+                 keyCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    require(nShards >= 1 && vnodesPerShard >= 1)
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val ring = (0 until nShards).flatMap(sh => (0 until vnodesPerShard).map(v => (sh, v)))
+      .toDF("shard", "v")
+      .select(col("shard"),
+        seededHash(concat_ws(":", col("shard"), col("v")), seed).as("vh"))
+    val hashed = keys.select(col(keyCol), seededHash(col(keyCol), seed + 1).as("__kh"))
+    hashed.crossJoin(broadcast(ring))
+      .groupBy(keyCol, "__kh")
+      .agg(min(when(col("vh") >= col("__kh"), col("vh"))).as("__vh_ge"),
+        min("vh").as("__vh_any"))
+      .select(col(keyCol), coalesce(col("__vh_ge"), col("__vh_any")).as("vh"))
+      .join(broadcast(ring), Seq("vh"))
+      .select(col(keyCol), col("shard"))
+  }
+
+  /** Resharding audit, ring vs mod: assign every key under n and n+1
+    * shards with both schemes and report the moved fraction and the
+    * post-reshard balance — the number that decides whether adding
+    * capacity to a 100 TB lake is an overnight job or a full rewrite.
+    *
+    * Output: one row per scheme (scheme, n_keys, moved, moved_frac
+    * 4dp, max_share_after 4dp).
+    */
+  def reshardAudit(keys: org.apache.spark.sql.DataFrame, nShards: Int = 8,
+                   vnodesPerShard: Int = 16, seed: Long = 13L,
+                   keyCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val before = ringAssign(keys, nShards, vnodesPerShard, seed, keyCol)
+      .withColumnRenamed("shard", "__s0")
+    val after = ringAssign(keys, nShards + 1, vnodesPerShard, seed, keyCol)
+      .withColumnRenamed("shard", "__s1")
+    val ringPairs = before.join(after, Seq(keyCol))
+      .localCheckpoint(true) // moved rollup + balance rollup both read it
+    def summarize(pairs: org.apache.spark.sql.DataFrame, scheme: String) = {
+      val base = pairs
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("__s0") =!= col("__s1"), 1L).otherwise(0L)).as("moved"))
+      val bal = pairs.groupBy("__s1").agg(count(lit(1)).as("__n"))
+        .agg(max("__n").as("__mx"))
+      base.crossJoin(bal)
+        .select(lit(scheme).as("scheme"), col("n_keys"), col("moved"),
+          Rounding.round(col("moved") / col("n_keys").cast("double"), 4).as("moved_frac"),
+          Rounding.round(col("__mx") / col("n_keys").cast("double"), 4).as("max_share_after"))
+    }
+    val kh = seededHash(col(keyCol), seed + 1)
+    val modPairs = keys
+      .select(col(keyCol), pmod(kh, lit(nShards.toLong)).as("__s0"),
+        pmod(kh, lit(nShards + 1L)).as("__s1"))
+    summarize(ringPairs, "ring").unionByName(summarize(modPairs, "mod"))
+  }
+
   /** Deterministic train/valid/test assignment by hash bucket:
     * `[0, trainPct)` → train, `[trainPct, trainPct+validPct)` → valid,
     * rest → test. Percentages of 100.

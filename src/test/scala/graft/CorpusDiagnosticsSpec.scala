@@ -160,6 +160,38 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(disj == ((1.0, true)))
   }
 
+  test("waterfillAllocation: saturation, re-leveling, exact budget") {
+    val srcs = Seq(("a", 1.0, 10L), ("b", 1.0, 100L), ("c", 1.0, 100L))
+      .toDF("source", "weight", "capacity")
+    val out = graft.ops.SampleOps.waterfillAllocation(srcs, budget = 60L)
+      .select("source", "alloc", "saturated")
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map("a" -> ((10L, true)), "b" -> ((25L, false)), "c" -> ((25L, false))))
+  }
+
+  test("waterfillAllocation: budget above supply saturates everything; remainder goes to the tie-break winner") {
+    val srcs = Seq(("a", 1.0, 7L), ("b", 1.0, 9L)).toDF("source", "weight", "capacity")
+    val all = graft.ops.SampleOps.waterfillAllocation(srcs, budget = 100L)
+      .select("source", "alloc").as[(String, Long)].collect().toMap
+    assert(all == Map("a" -> 7L, "b" -> 9L)) // sum = supply, not budget
+    val tie = Seq(("a", 1.0, 100L), ("b", 1.0, 100L)).toDF("source", "weight", "capacity")
+    val t = graft.ops.SampleOps.waterfillAllocation(tie, budget = 5L)
+      .select("source", "alloc").as[(String, Long)].collect().toMap
+    assert(t == Map("a" -> 3L, "b" -> 2L)) // equal remainders -> src asc wins
+  }
+
+  test("ringAssign growth: moved keys land ONLY on the new shard") {
+    val keys = (1L to 300L).toDF("doc_id")
+    val before = graft.ops.SampleOps.ringAssign(keys, 4)
+      .as[(Long, Int)].collect().toMap
+    val after = graft.ops.SampleOps.ringAssign(keys, 5)
+      .as[(Long, Int)].collect().toMap
+    val moved = before.keys.filter(k => before(k) != after(k))
+    assert(moved.nonEmpty && moved.size < 150, s"moved ${moved.size} of 300")
+    assert(moved.forall(k => after(k) == 4),
+      "ring growth must only move keys to the NEW shard")
+  }
+
   test("sourceCentroidSimilarity: identical centroids cosine 1, orthogonal cosine 0") {
     val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sB"), (4L, "sC"))
       .toDF("doc_id", "source")
