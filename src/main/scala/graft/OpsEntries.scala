@@ -1380,6 +1380,11 @@ private[graft] object OpsEntries {
       SampleOps.waterfillAllocation(srcs, budget)
     }),
 
+    // Substring search through a trigram inverted index: posting-list
+    // candidate intersection, exact contains verify on candidates only.
+    "q226_trigram_search" -> ((s, dir) =>
+      TextOps.trigramSearch(t(s, dir, "documents"), "fast merge")),
+
     // Two-sample KS drift between src0 and src1 length distributions:
     // exact-integer CDF gap, no binning choice (the PSI complement).
     "q223_ks_drift" -> ((s, dir) => {
@@ -4538,6 +4543,22 @@ private[graft] object OpsEntries {
         |       round(mx / CAST(n_keys AS DOUBLE), 4) AS max_share_after
         |FROM (SELECT rs.*, rb.mx FROM rs CROSS JOIN rb
         |      UNION ALL SELECT ms.*, mb.mx FROM ms CROSS JOIN mb)""".stripMargin,
+
+    "q226_trigram_search" -> {
+      val grams = "fast merge".sliding(3).toSeq.distinct
+        .map(g => s"'$g'").mkString("[", ", ", "]")
+      val n = "fast merge".sliding(3).toSeq.distinct.size
+      s"""WITH pg AS (SELECT doc_id,
+         |        unnest(list_distinct(list_transform(
+         |          generate_series(1, greatest(0, length(lower(text)) - 2)),
+         |          i -> substr(lower(text), i, 3)))) AS gram
+         |      FROM documents WHERE text IS NOT NULL),
+         |cand AS (SELECT doc_id FROM pg WHERE gram IN (SELECT unnest($grams))
+         |         GROUP BY 1 HAVING count(*) = $n)
+         |SELECT d.doc_id, CAST(strpos(lower(d.text), 'fast merge') AS INTEGER) AS first_pos
+         |FROM documents d JOIN cand USING (doc_id)
+         |WHERE strpos(lower(d.text), 'fast merge') > 0""".stripMargin
+    },
 
     "q223_ks_drift" ->
       """WITH av AS (SELECT n_chars AS v, count(*) AS ca FROM documents

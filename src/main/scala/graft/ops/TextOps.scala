@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.ops.Rounding.round // binary rounding, DuckDB-consistent (shadows functions.round)
 
@@ -1867,5 +1867,45 @@ object TextOps {
           .when(col("n_head_mates") > 1, "prefix_dup")
           .when(col("n_tail_mates") > 1, "suffix_dup")
           .otherwise("unique").as("verdict"))
+  }
+
+  /** Trigram posting list of a corpus: one (doc, gram) row per
+    * DISTINCT lowercase character trigram — the inverted index behind
+    * substring search at corpus scale (the pg_trgm / code-search
+    * design). Build once, partition by gram; a `%pattern%` query then
+    * reads |pattern| posting lists instead of scanning every document.
+    */
+  def trigramPostings(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), lower(col(textCol)).as("__lt"))
+      .select(col(idCol), explode(array_distinct(expr(
+        "transform(sequence(1, greatest(0, length(__lt) - 2)), i -> substr(__lt, i, 3))")))
+        .as("gram"))
+
+  /** Substring search through the trigram index: candidates are the
+    * docs containing EVERY trigram of the (lowercased) pattern — an
+    * IN-list scan of |pattern| posting lists + one count aggregate —
+    * and only candidates pay the exact `contains` verify. No false
+    * negatives (a true match contains all its trigrams); false
+    * positives (grams present, contiguity broken) die in the verify.
+    * Patterns shorter than 3 chars fall back to the full scan the
+    * index cannot help with.
+    *
+    * Output: (id, first_pos) — 1-based position of the first match.
+    */
+  def trigramSearch(docs: DataFrame, pattern: String, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val p = pattern.toLowerCase
+    val verify = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), instr(lower(col(textCol)), p).as("first_pos"))
+    if (p.length < 3) return verify.filter(col("first_pos") > 0)
+    val grams = p.sliding(3).toSeq.distinct
+    val cand = trigramPostings(docs, idCol, textCol)
+      .filter(col("gram").isin(grams: _*))
+      .groupBy(idCol).agg(count(lit(1)).as("__hits")) // postings are distinct per doc
+      .filter(col("__hits") === grams.size)
+      .select(idCol)
+    verify.join(cand, Seq(idCol)).filter(col("first_pos") > 0)
   }
 }

@@ -192,6 +192,23 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
       "ring growth must only move keys to the NEW shard")
   }
 
+  test("trigramSearch: index candidates without contiguity die in the verify") {
+    val docs = Seq(
+      (1L, "we saw a fast merge happen here"),      // true match
+      (2L, "FAST MERGE in caps"),                    // case-insensitive match
+      (3L, "merge fast st me t m broken order"),     // all 8 trigrams, no contiguity
+      (4L, "nothing relevant at all"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextOps.trigramSearch(docs, "fast merge")
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 10, 2L -> 1))
+    // the index (not the verify) must already have excluded doc 4
+    val cand = graft.ops.TextOps.trigramPostings(docs)
+      .filter(org.apache.spark.sql.functions.col("gram") === "fas")
+      .select("doc_id").as[Long].collect().toSet
+    assert(cand == Set(1L, 2L, 3L))
+  }
+
   test("sourceCentroidSimilarity: identical centroids cosine 1, orthogonal cosine 0") {
     val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sB"), (4L, "sC"))
       .toDF("doc_id", "source")
