@@ -1385,6 +1385,25 @@ private[graft] object OpsEntries {
     "q226_trigram_search" -> ((s, dir) =>
       TextOps.trigramSearch(t(s, dir, "documents"), "fast merge")),
 
+    // Per-source quality percentile normalization: exact midrank pct
+    // from banked value histograms (no corpus-wide rank window).
+    "q227_pct_normalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      TextOps.percentileNormalize(
+        docs.select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text")).as("quality_score")))
+    }),
+
+    // Dedup savings per source: docs/chars exact dedup would drop —
+    // the storage/compute line item before the pass runs.
+    "q228_dedup_savings" -> ((s, dir) =>
+      DedupOps.dedupSavings(t(s, dir, "documents"))),
+
+    // Directed shingle containment between sources: the asymmetric
+    // mirror/subset measure symmetric Jaccard hides.
+    "q229_source_containment" -> ((s, dir) =>
+      DedupOps.sourceContainment(t(s, dir, "documents"))),
+
     // Two-sample KS drift between src0 and src1 length distributions:
     // exact-integer CDF gap, no binning choice (the PSI complement).
     "q223_ks_drift" -> ((s, dir) => {
@@ -4559,6 +4578,46 @@ private[graft] object OpsEntries {
          |FROM documents d JOIN cand USING (doc_id)
          |WHERE strpos(lower(d.text), 'fast merge') > 0""".stripMargin
     },
+
+    "q227_pct_normalize" ->
+      s"""WITH q AS ($q26Sql),
+         |sc AS MATERIALIZED (SELECT d.doc_id, d.source,
+         |        CAST(round(q.quality_score * 10000) AS BIGINT) AS v4
+         |      FROM documents d JOIN q ON q.doc_id = d.doc_id WHERE d.text IS NOT NULL),
+         |h AS (SELECT source, v4, count(*) AS c FROM sc GROUP BY 1, 2),
+         |t2 AS (SELECT source, sum(c) AS n FROM h GROUP BY 1),
+         |p AS (SELECT source, v4,
+         |        round(CAST(2 * (sum(c) OVER w) - c AS DOUBLE) / (2 * n), 6) AS pct
+         |      FROM h JOIN t2 USING (source)
+         |      WINDOW w AS (PARTITION BY source ORDER BY v4
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT sc.doc_id, sc.source, round(sc.v4 / 10000.0, 4) AS quality_score, p.pct
+         |FROM sc JOIN p ON p.source = sc.source AND p.v4 = sc.v4""".stripMargin,
+
+    "q228_dedup_savings" ->
+      s"""WITH f AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS ch,
+         |             md5(CASE WHEN len($norm) > 0 THEN $norm ELSE text END) AS fp
+         |           FROM documents WHERE text IS NOT NULL),
+         |k AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY 1)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |       CAST(sum(ch) AS BIGINT) AS chars_total,
+         |       CAST(sum(CASE WHEN doc_id <> keep_id THEN ch ELSE 0 END) AS BIGINT) AS chars_dropped,
+         |       round(sum(CASE WHEN doc_id <> keep_id THEN ch ELSE 0 END)
+         |             / CAST(sum(ch) AS DOUBLE), 4) AS savings_pct
+         |FROM f JOIN k USING (fp) GROUP BY source""".stripMargin,
+
+    "q229_source_containment" ->
+      s"""WITH n AS (SELECT source, $norm AS norm FROM documents WHERE text IS NOT NULL),
+         |sh AS (SELECT source, unnest($shingles8) AS g FROM n),
+         |st AS MATERIALIZED (SELECT DISTINCT source AS s, ${base38Sql("g")} AS code FROM sh),
+         |sz AS (SELECT s, count(*) AS sz FROM st GROUP BY 1),
+         |sharedc AS (SELECT a.s AS src_a, b.s AS src_b, count(*) AS n_shared
+         |            FROM st a JOIN st b ON a.code = b.code AND a.s <> b.s
+         |            GROUP BY 1, 2)
+         |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+         |       round(n_shared / CAST(sz AS DOUBLE), 4) AS containment
+         |FROM sharedc JOIN sz ON sz.s = src_a""".stripMargin,
 
     "q223_ks_drift" ->
       """WITH av AS (SELECT n_chars AS v, count(*) AS ca FROM documents

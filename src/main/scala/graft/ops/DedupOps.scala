@@ -840,6 +840,69 @@ object DedupOps {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Dedup savings report: per source, how many documents and
+    * characters exact dedup would drop (min-id-wins over the
+    * normalized fingerprint, the [[exactDedup]] rule) — the line item
+    * that justifies the dedup pass in storage and compute terms
+    * before anyone runs it.
+    *
+    * Plan shape: one fingerprint aggregate (min id per fp), one join
+    * back, one per-source rollup — exactly [[exactDedup]]'s cost plus
+    * a category-sized aggregate.
+    *
+    * Output: (source, n_docs, n_dropped, chars_total, chars_dropped,
+    * savings_pct 4dp).
+    */
+  def dedupSavings(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", srcCol: String = "source",
+                   charsCol: String = "n_chars"): DataFrame = {
+    val fp = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(srcCol), col(charsCol).cast("long").as("__ch"),
+        TextOps.fingerprint(col(textCol)).as("__fp"))
+      .localCheckpoint(true) // min-per-fp aggregate + the drop join both read it
+    val keep = fp.groupBy("__fp").agg(min(col(idCol)).as("__keep_id"))
+    fp.join(keep, Seq("__fp"))
+      .withColumn("__dropped", col(idCol) =!= col("__keep_id"))
+      .groupBy(srcCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        sum("__ch").as("chars_total"),
+        sum(when(col("__dropped"), col("__ch")).otherwise(0L)).as("chars_dropped"))
+      .withColumn("savings_pct",
+        round(col("chars_dropped") / col("chars_total").cast("double"), 4))
+  }
+
+  /** Directed source-containment matrix: for every ordered source pair
+    * (a, b), the fraction of a's DISTINCT shingles also present in b —
+    * the asymmetric "is a a subset/mirror of b" measure that symmetric
+    * Jaccard hides (a small source fully contained in a big one still
+    * has near-zero Jaccard). Shingle sets are per-source distinct
+    * base-38 codes; the pair join is keyed on the code (shared-shingle
+    * bounded). At lake scale, screen with the HLL register form
+    * (union/intersection estimates, q215) and reserve this exact join
+    * for the flagged pairs.
+    *
+    * Output: (src_a, src_b, n_shared, containment 4dp), src_a != src_b.
+    */
+  def sourceContainment(docs: DataFrame, srcCol: String = "source",
+                        textCol: String = "text", k: Int = 8): DataFrame = {
+    val sets = docs.filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("__s"),
+        explode(graft.functions.ShingleExprs.shingleCodes(
+          TextOps.normalized(col(textCol)), k, sortedDistinct = true)).as("code"))
+      .distinct()
+      .localCheckpoint(true) // sizes + both join sides read it
+    val sizes = sets.groupBy("__s").agg(count(lit(1)).as("__sz"))
+    val shared = sets.select(col("__s").as("src_a"), col("code"))
+      .join(sets.select(col("__s").as("src_b"), col("code")), Seq("code"))
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("__s").as("src_a"), col("__sz"))), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared") / col("__sz").cast("double"), 4).as("containment"))
+  }
+
   /** Corpus snapshot diff: classify every document across two corpus
     * states as added / removed / changed / unchanged by
     * normalized-content fingerprint ([[TextOps.fingerprint]]) — the

@@ -1869,6 +1869,40 @@ object TextOps {
           .otherwise("unique").as("verdict"))
   }
 
+  /** Per-group percentile normalization: each row's value mapped to
+    * its exact midrank percentile WITHIN its group — the quantile-
+    * matching step that makes one quality threshold meaningful across
+    * sources whose raw score distributions differ (a 0.6 in src3 may
+    * be its 90th percentile, in src7 its 40th). Midrank pct =
+    * (2·cum_upto − count_at) / (2·n), computed as an exact rational
+    * on a per-(group, value) HISTOGRAM — the q150 discipline: the
+    * cumulative window runs over distinct 1e-4-banked values per
+    * group, never a per-row rank over the corpus; rows get their
+    * percentile by joining back on the banked value.
+    *
+    * Output: (id, group, value 4dp, pct 6dp).
+    */
+  def percentileNormalize(scored: DataFrame, idCol: String = "doc_id",
+                          groupCol: String = "source",
+                          valueCol: String = "quality_score"): DataFrame = {
+    val banked = scored.filter(col(valueCol).isNotNull)
+      .select(col(idCol), col(groupCol).as("g"),
+        round(col(valueCol) * 1e4).cast("long").as("__v4"))
+    val hist = banked.groupBy("g", "__v4").agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("__v4")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = hist.groupBy("g").agg(sum("__c").as("__n"))
+    val pcts = hist
+      .withColumn("__cum", sum("__c").over(w))
+      .join(broadcast(tot), Seq("g"))
+      .select(col("g"), col("__v4"),
+        round((lit(2L) * col("__cum") - col("__c")).cast("double")
+          / (lit(2L) * col("__n")), 6).as("pct"))
+    banked.join(pcts, Seq("g", "__v4"))
+      .select(col(idCol), col("g").as(groupCol),
+        round(col("__v4") / 1e4, 4).as(valueCol), col("pct"))
+  }
+
   /** Trigram posting list of a corpus: one (doc, gram) row per
     * DISTINCT lowercase character trigram — the inverted index behind
     * substring search at corpus scale (the pg_trgm / code-search

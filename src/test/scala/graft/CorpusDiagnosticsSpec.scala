@@ -209,6 +209,40 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(cand == Set(1L, 2L, 3L))
   }
 
+  test("percentileNormalize: exact midrank percentiles within group") {
+    val scored = Seq((1L, "s", 0.1), (2L, "s", 0.2), (3L, "s", 0.2), (4L, "s", 0.4),
+      (5L, "t", 0.9)) // separate group: its only value sits at the median
+      .toDF("doc_id", "source", "quality_score")
+    val out = graft.ops.TextOps.percentileNormalize(scored)
+      .select("doc_id", "pct").as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 0.125, 2L -> 0.5, 3L -> 0.5, 4L -> 0.875, 5L -> 0.5))
+  }
+
+  test("dedupSavings: dropped duplicate's characters attributed to its source") {
+    val docs = Seq(
+      (1L, "same text here", "a", 14L),
+      (2L, "same text here", "b", 14L), // dup, dropped (min id wins)
+      (3L, "unique content", "b", 14L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val m = graft.ops.DedupOps.dedupSavings(docs)
+      .select("source", "n_dropped", "chars_dropped")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m == Map("a" -> ((0L, 0L)), "b" -> ((1L, 14L))))
+  }
+
+  test("sourceContainment: subset source fully contained, not vice versa") {
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot", "big"),
+      (2L, "alpha bravo charlie", "small"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ops.DedupOps.sourceContainment(docs)
+      .select("src_a", "src_b", "containment")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("small", "big")) == 1.0)
+    assert(out(("big", "small")) < 1.0)
+  }
+
   test("sourceCentroidSimilarity: identical centroids cosine 1, orthogonal cosine 0") {
     val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sB"), (4L, "sC"))
       .toDF("doc_id", "source")
