@@ -1385,6 +1385,12 @@ private[graft] object OpsEntries {
     "q226_trigram_search" -> ((s, dir) =>
       TextOps.trigramSearch(t(s, dir, "documents"), "fast merge")),
 
+    // Kneser-Ney bigram LM: absolute discounting (d=3/4, exact ×4
+    // integer banking) + continuation-probability backoff over the
+    // q158 train/held-out split — the smoothing tier above backoff.
+    "q230_kneser_ney" -> ((s, dir) =>
+      TextOps.kneserNeyLm(t(s, dir, "documents"))),
+
     // Per-source quality percentile normalization: exact midrank pct
     // from banked value histograms (no corpus-wide rank window).
     "q227_pct_normalize" -> ((s, dir) => {
@@ -3822,6 +3828,35 @@ private[graft] object OpsEntries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |       CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
          |       round(avg(nll), 4) AS avg_nll
+         |FROM sc GROUP BY doc_id""".stripMargin,
+
+    "q230_kneser_ney" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |tl AS (SELECT doc_id, $toksExpr AS toks FROM base WHERE doc_id % 5 <> 0),
+         |tb AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |         i -> toks[i] || ' ' || toks[i + 1])) AS b FROM tl),
+         |cb AS MATERIALIZED (SELECT b, count(*) AS cb FROM tb GROUP BY b),
+         |ctx AS (SELECT split_part(b, ' ', 1) AS w1, sum(cb) AS c1, count(*) AS n1v
+         |        FROM cb GROUP BY 1),
+         |cont AS (SELECT split_part(b, ' ', 2) AS w2, count(*) AS n1w FROM cb GROUP BY 1),
+         |nb AS (SELECT count(*) AS nbb FROM cb),
+         |sl AS (SELECT doc_id, $toksExpr AS toks FROM base WHERE doc_id % 5 = 0),
+         |sb AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |         i -> toks[i] || ' ' || toks[i + 1])) AS b FROM sl),
+         |sc AS (SELECT doc_id, ctx.c1 IS NULL AS ctxu,
+         |         CASE WHEN ctx.c1 IS NOT NULL
+         |              THEN (greatest(coalesce(cb.cb, 0) * 4 - 3, 0) * nbb
+         |                    + 3 * ctx.n1v * coalesce(cont.n1w, 0))
+         |                   / CAST(4 * ctx.c1 * nbb AS DOUBLE)
+         |              ELSE coalesce(cont.n1w, 0) / CAST(nbb AS DOUBLE) END AS p
+         |       FROM sb LEFT JOIN cb USING (b)
+         |         LEFT JOIN ctx ON split_part(sb.b, ' ', 1) = ctx.w1
+         |         LEFT JOIN cont ON split_part(sb.b, ' ', 2) = cont.w2
+         |         CROSS JOIN nb)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(CASE WHEN ctxu THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx_unseen,
+         |       CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |       round(avg(CASE WHEN p > 0 THEN round(-log2(p), 6) END), 4) AS avg_nll
          |FROM sc GROUP BY doc_id""".stripMargin,
 
     "q174_dup_kcore" -> kCoreSql(k = 10, rounds = 12),

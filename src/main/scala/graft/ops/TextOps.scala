@@ -1786,6 +1786,77 @@ object TextOps {
         round(avg(col("nll")), 4).as("avg_nll"))
   }
 
+  /** Kneser–Ney bigram LM over a train/held-out split — the
+    * industry-standard smoothing tier above [[stupidBackoffLm]]:
+    * absolute discounting (d = 3/4) redistributes mass through the
+    * CONTINUATION probability (how many contexts a word completes,
+    * not how often it occurs), which is what makes "francisco" rare
+    * as a continuation despite being frequent after "san".
+    *
+    *   P(w|v) = [max(4·c(vw)−3, 0)·N₁₊(··) + 3·N₁₊(v·)·N₁₊(·w)]
+    *            / [4·c(v)·N₁₊(··)]           (seen context)
+    *   P(w|v) = N₁₊(·w) / N₁₊(··)            (unseen context)
+    *
+    * d = 3/4 keeps every count term an exact integer (×4 banking), so
+    * P's numerator and denominator are integers in both engines and
+    * only the final division and log2 are floating-point (the q158
+    * discipline). Zero-probability events (unseen continuation) are
+    * excluded from the average and surfaced as `n_zero`.
+    *
+    * Plan shape: bigram counts once (checkpointed — context stats,
+    * continuation stats, type count and the scoring join all read
+    * them); model tables broadcast (`broadcastVocab=false` escape
+    * hatch, as q70/q84); scoring is three broadcast joins over the
+    * held-out bigrams.
+    *
+    * Output per held-out doc: (idCol, n_bigrams, n_ctx_unseen,
+    * n_zero, avg_nll) — avg_nll in bits over P>0 events, 4dp.
+    */
+  def kneserNeyLm(docs: DataFrame, holdoutMod: Int = 5, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  broadcastVocab: Boolean = true): DataFrame = {
+    def bigrams(df: DataFrame) = DedupOps.widen(df)
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat(element_at(col("toks"), i + 1), lit(" "), element_at(col("toks"), i + 2))))
+          .otherwise(array().cast("array<string>")).as("bgs"))
+      .select(col(idCol), explode_outer(col("bgs")).as("b"))
+      .filter(col("b").isNotNull)
+    val base = docs.filter(col(textCol).isNotNull)
+    val train = base.filter(pmod(col(idCol), lit(holdoutMod)) =!= 0)
+    val test = base.filter(pmod(col(idCol), lit(holdoutMod)) === 0)
+    val cb0 = bigrams(train).groupBy("b").agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true) // ctx stats + continuation stats + nbb + scoring all read it
+    val ctx0 = cb0.groupBy(split(col("b"), " ").getItem(0).as("w1"))
+      .agg(sum("cb").as("c1"), count(lit(1)).as("n1v"))
+    val cont0 = cb0.groupBy(split(col("b"), " ").getItem(1).as("w2"))
+      .agg(count(lit(1)).as("n1w"))
+    val (cbT, ctxT, contT) =
+      if (broadcastVocab) (broadcast(cb0), broadcast(ctx0), broadcast(cont0))
+      else (cb0, ctx0, cont0)
+    val nbb = broadcast(cb0.agg(count(lit(1)).as("nbb")))
+    val seenNum = greatest(lit(0L), coalesce(col("cb"), lit(0L)) * 4 - 3) * col("nbb") +
+      lit(3L) * col("n1v") * coalesce(col("n1w"), lit(0L))
+    val seenDen = lit(4L) * col("c1") * col("nbb")
+    val p = when(col("c1").isNotNull, seenNum.cast("double") / seenDen.cast("double"))
+      .otherwise(coalesce(col("n1w"), lit(0L)).cast("double") / col("nbb").cast("double"))
+    bigrams(test)
+      .join(cbT, Seq("b"), "left")
+      .join(ctxT, split(col("b"), " ").getItem(0) === col("w1"), "left")
+      .join(contT, split(col("b"), " ").getItem(1) === col("w2"), "left")
+      .crossJoin(nbb)
+      .select(col(idCol), col("c1").isNull.as("__ctxu"), p.as("__p"))
+      .select(col(idCol), col("__ctxu"), (col("__p") === 0.0).as("__zero"),
+        when(col("__p") > 0, round(-log2(col("__p")), 6)).as("__nll"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("__ctxu"), 1L).otherwise(0L)).as("n_ctx_unseen"),
+        sum(when(col("__zero"), 1L).otherwise(0L)).as("n_zero"),
+        round(avg(col("__nll")), 4).as("avg_nll"))
+  }
+
   /** BPE tokenizer APPLICATION — the deployment half of [[bpeTrain]]:
     * segment every document under a trained merge table and report the
     * per-document subword economics (the numbers a token-budget pass

@@ -243,6 +243,19 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(out(("big", "small")) < 1.0)
   }
 
+  test("kneserNeyLm: hand-computed discount, continuation backoff, zero events") {
+    // train (doc 1): bigrams "a b":2, "b a":1, "b c":1 -> nbb=3
+    // held-out (doc 5): "a b" seen (P=(5*3+3*1*1)/24=0.75), "b x" zero
+    // (seen ctx, unseen continuation), "x c"/"c a" ctx-unseen (P=1/3)
+    val docs = Seq((1L, "a b a b c"), (5L, "a b x c a")).toDF("doc_id", "text")
+    val r = graft.ops.TextOps.kneserNeyLm(docs)
+      .select("doc_id", "n_bigrams", "n_ctx_unseen", "n_zero", "avg_nll")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r._1 == 5L && r._2 == 4L && r._3 == 2L && r._4 == 1L)
+    // avg of (0.415037, 1.584963, 1.584963) = 1.194988 -> 1.195
+    assert(math.abs(r._5 - 1.195) < 1e-9, s"avg_nll=${r._5}")
+  }
+
   test("sourceCentroidSimilarity: identical centroids cosine 1, orthogonal cosine 0") {
     val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sB"), (4L, "sC"))
       .toDF("doc_id", "source")
