@@ -1385,6 +1385,22 @@ private[graft] object OpsEntries {
     "q226_trigram_search" -> ((s, dir) =>
       TextOps.trigramSearch(t(s, dir, "documents"), "fast merge")),
 
+    // Negative-sampling table (unigram^0.75): the alias-style sampler
+    // artifact — top-50 probabilities + exact cumulative ranges.
+    "q231_negative_sampling" -> ((s, dir) =>
+      TextOps.negativeSamplingTable(t(s, dir, "documents"))),
+
+    // Label spreading over the dup graph: 25% seed labels propagate to
+    // component mates by majority (ties to smallest); seeds keep their
+    // own label; isolated unlabeled docs report none.
+    "q232_label_spread" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.GraphOps.labelSpread(docs,
+        t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
+          .select(col("vec_id").as("id"), col("label")),
+        DedupOps.minHashCandidates(docs))
+    }),
+
     // Kneser-Ney bigram LM: absolute discounting (d=3/4, exact ×4
     // integer banking) + continuation-probability backoff over the
     // q158 train/held-out split — the smoothing tier above backoff.
@@ -3829,6 +3845,48 @@ private[graft] object OpsEntries {
          |       CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
          |       round(avg(nll), 4) AS avg_nll
          |FROM sc GROUP BY doc_id""".stripMargin,
+
+    "q231_negative_sampling" ->
+      s"""WITH tk AS (SELECT unnest($toksExpr) AS term FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT term, count(*) AS n FROM tk GROUP BY 1),
+         |wgt AS (SELECT term, n,
+         |          CAST(round(pow(CAST(n AS DOUBLE), 0.75) * 1000000) AS BIGINT) AS w6
+         |        FROM c),
+         |t2 AS (SELECT sum(w6) AS tw FROM wgt),
+         |r AS (SELECT term, n, w6, row_number() OVER (ORDER BY n DESC, term) AS rank FROM wgt),
+         |top AS (SELECT * FROM r WHERE rank <= 50)
+         |SELECT term, CAST(n AS BIGINT) AS n,
+         |       round(w6 / CAST(tw AS DOUBLE), 6) AS p,
+         |       round((sum(w6) OVER (ORDER BY rank
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / CAST(tw AS DOUBLE), 6) AS cum_p,
+         |       CAST(rank AS INTEGER) AS rank
+         |FROM top CROSS JOIN t2""".stripMargin,
+
+    "q232_label_spread" ->
+      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM cand UNION SELECT id_b, id_a FROM cand),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |seeds AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS own FROM embeddings
+         |          WHERE vec_id % 4 = 0),
+         |j AS MATERIALIZED (SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS component,
+         |        s.own
+         |      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |        LEFT JOIN seeds s ON s.id = d.doc_id),
+         |mc AS (SELECT component, own, count(*) AS n FROM j WHERE own IS NOT NULL GROUP BY 1, 2),
+         |mj AS (SELECT component, own AS maj FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY component
+         |           ORDER BY n DESC, own ASC) AS rk FROM mc) WHERE rk = 1)
+         |SELECT j.id AS doc_id, j.component,
+         |       coalesce(j.own, mj.maj) AS label,
+         |       CASE WHEN j.own IS NOT NULL THEN 'own'
+         |            WHEN mj.maj IS NOT NULL THEN 'propagated'
+         |            ELSE 'none' END AS label_src
+         |FROM j LEFT JOIN mj USING (component)""".stripMargin,
 
     "q230_kneser_ney" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),

@@ -295,4 +295,39 @@ object GraphOps {
             lit(3.0) * col("n_triangles") / col("n_wedges")).otherwise(0.0), 4)
           .as("clustering"))
   }
+
+  /** Label spreading over the near-dup graph: seed labels propagate to
+    * every UNLABELED member of their connected component by component
+    * majority (ties to the smallest label); seeds keep their own label
+    * — the semi-supervised trick that turns a 25%-labeled corpus into
+    * a fully-labeled one wherever duplication links documents.
+    *
+    * Plan shape: components from the edges only ([[connectedComponents]]);
+    * the corpus takes one left join to its component, one
+    * (component, label) count aggregate, one struct-ordered arg-max
+    * per component (no window), one broadcast-scale join back.
+    *
+    * Output: (id, component, label, label_src ∈ own|propagated|none).
+    */
+  def labelSpread(docs: DataFrame, seeds: DataFrame, edges: DataFrame,
+                  idCol: String = "doc_id", srcCol: String = "id_a",
+                  dstCol: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(edges, srcCol, dstCol)
+    val joined = docs.select(col(idCol).cast("long").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .join(seeds.select(col("id"), col("label").cast("long").as("__own")), Seq("id"), "left")
+      .localCheckpoint(true) // majority aggregate + the final projection both read it
+    val maj = joined.filter(col("__own").isNotNull)
+      .groupBy("component", "__own").agg(count(lit(1)).as("__n"))
+      .groupBy("component")
+      .agg(max(struct(col("__n"), (-col("__own")).as("__nl"))).as("__m"))
+      .select(col("component"), (-col("__m.__nl")).as("__maj"))
+    joined.join(maj, Seq("component"), "left")
+      .select(col("id").as(idCol), col("component"),
+        coalesce(col("__own"), col("__maj")).as("label"),
+        when(col("__own").isNotNull, "own")
+          .when(col("__maj").isNotNull, "propagated")
+          .otherwise("none").as("label_src"))
+  }
 }

@@ -1974,6 +1974,41 @@ object TextOps {
         round(col("__v4") / 1e4, 4).as(valueCol), col("pct"))
   }
 
+  /** Negative-sampling distribution (word2vec's unigram^0.75): each
+    * term weighted by count^power, normalized — flattening the Zipf
+    * head so frequent words don't monopolize the negatives. Emits the
+    * top-K rows of the alias-style table: probability and cumulative
+    * range per term (the artifact a sampler binary-searches).
+    * Weights bank as integer 1e-6 units after the single pow call, so
+    * the normalizer and the cumulative ranges are exact-integer sums.
+    *
+    * Plan shape: one count aggregate (checkpointed — normalizer +
+    * top-K both read it), take-ordered K rows, the cumulative window
+    * over K rows only.
+    *
+    * Output: (term, n, p 6dp, cum_p 6dp, rank).
+    */
+  def negativeSamplingTable(docs: DataFrame, topK: Int = 50, power: Double = 0.75,
+                            textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // normalizer + the top-K pass both read it
+    val weighted = counts.select(col("term"), col("n"),
+      round(pow(col("n").cast("double"), lit(power)) * 1e6).cast("long").as("__w6"))
+    val tot = broadcast(weighted.agg(sum("__w6").as("__tw")))
+    val top = weighted.orderBy(col("n").desc, col("term").asc).limit(topK)
+    val ord = Window.orderBy(col("n").desc, col("term").asc)
+    top.crossJoin(tot)
+      .withColumn("rank", row_number().over(ord).cast("int"))
+      .withColumn("p", round(col("__w6") / col("__tw").cast("double"), 6))
+      .withColumn("cum_p", round(
+        sum("__w6").over(ord.rowsBetween(Window.unboundedPreceding, 0))
+          / col("__tw").cast("double"), 6))
+      .select(col("term"), col("n"), col("p"), col("cum_p"), col("rank"))
+  }
+
   /** Trigram posting list of a corpus: one (doc, gram) row per
     * DISTINCT lowercase character trigram — the inverted index behind
     * substring search at corpus scale (the pg_trgm / code-search

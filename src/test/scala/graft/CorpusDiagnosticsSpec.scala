@@ -256,6 +256,35 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(math.abs(r._5 - 1.195) < 1e-9, s"avg_nll=${r._5}")
   }
 
+  test("negativeSamplingTable: unigram^0.75 flattens the head; cum ranges are increasing") {
+    // "a" x16, "b" x1: raw ratio 16, flattened ratio 16^0.75 = 8
+    val docs = Seq((1L, ("a " * 16) + "b")).toDF("doc_id", "text")
+    val rows = graft.ops.TextOps.negativeSamplingTable(docs)
+      .select("term", "p", "cum_p", "rank").as[(String, Double, Double, Int)]
+      .collect().sortBy(_._4)
+    assert(rows.map(_._1).toSeq == Seq("a", "b"))
+    val ratio = rows(0)._2 / rows(1)._2
+    assert(math.abs(ratio - 8.0) < 0.01, s"ratio $ratio")
+    assert(rows(1)._3 == 1.0) // full table -> last cum range closes at 1
+  }
+
+  test("labelSpread: majority propagation, seed retention, tie to smallest, none for isolated") {
+    val docs = (1L to 6L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    // comp {1,2,3}: seeds 1->7, 3->7, 2 unlabeled -> 7
+    // comp {4,5}: seeds 4->2, 5->1 (tie) -> unlabeled none here; both own
+    // doc 6: isolated, no seed -> none
+    val seeds = Seq((1L, 7L), (3L, 7L), (4L, 2L), (5L, 1L)).toDF("id", "label")
+    val out = graft.ops.GraphOps.labelSpread(docs, seeds, edges)
+      .select("doc_id", "label", "label_src")
+      .as[(Long, Option[Long], String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(2L) == ((Some(7L), "propagated")))
+    assert(out(1L) == ((Some(7L), "own")) && out(4L) == ((Some(2L), "own")))
+    assert(out(5L) == ((Some(1L), "own"))) // seed keeps its own label vs the tie
+    assert(out(6L) == ((None, "none")))
+  }
+
   test("sourceCentroidSimilarity: identical centroids cosine 1, orthogonal cosine 0") {
     val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sB"), (4L, "sC"))
       .toDF("doc_id", "source")
