@@ -1385,6 +1385,23 @@ private[graft] object OpsEntries {
     "q226_trigram_search" -> ((s, dir) =>
       TextOps.trigramSearch(t(s, dir, "documents"), "fast merge")),
 
+    // Frequency-weighted Jaccard between sources: the distributional
+    // similarity the set view flattens; only shared terms join.
+    "q233_weighted_jaccard" -> ((s, dir) =>
+      DedupOps.sourceWeightedJaccard(t(s, dir, "documents"))),
+
+    // Spearman correlation between quality score and length: is the
+    // quality signal just measuring length? Exact midrank percentiles,
+    // decimal moments, one floating-point ratio.
+    "q234_signal_spearman" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      ModelOps.spearmanCorr(
+        docs.select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality_score"),
+          col("n_chars").cast("double").as("len_chars")),
+        "doc_id", "quality_score", "len_chars")
+    }),
+
     // Negative-sampling table (unigram^0.75): the alias-style sampler
     // artifact — top-50 probabilities + exact cumulative ranges.
     "q231_negative_sampling" -> ((s, dir) =>
@@ -3845,6 +3862,48 @@ private[graft] object OpsEntries {
          |       CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
          |       round(avg(nll), 4) AS avg_nll
          |FROM sc GROUP BY doc_id""".stripMargin,
+
+    "q233_weighted_jaccard" ->
+      s"""WITH tf AS MATERIALIZED (SELECT source AS s, term, count(*) AS tf FROM
+         |      (SELECT source, unnest($toksExpr) AS term FROM documents WHERE text IS NOT NULL)
+         |      GROUP BY 1, 2),
+         |tot AS (SELECT s, sum(tf) AS tot FROM tf GROUP BY 1),
+         |m AS (SELECT a.s AS src_a, b.s AS src_b, sum(least(a.tf, b.tf)) AS shared_mass
+         |      FROM tf a JOIN tf b ON a.term = b.term AND a.s < b.s
+         |      GROUP BY 1, 2)
+         |SELECT src_a, src_b, CAST(shared_mass AS BIGINT) AS shared_mass,
+         |       round(shared_mass / CAST(ta.tot + tb.tot - shared_mass AS DOUBLE), 6) AS weighted_jaccard
+         |FROM m JOIN tot ta ON ta.s = src_a JOIN tot tb ON tb.s = src_b""".stripMargin,
+
+    "q234_signal_spearman" ->
+      s"""WITH q AS ($q26Sql),
+         |sc AS MATERIALIZED (SELECT d.doc_id,
+         |        CAST(round(q.quality_score * 10000) AS BIGINT) AS vq,
+         |        CAST(round(CAST(d.n_chars AS DOUBLE) * 10000) AS BIGINT) AS vl
+         |      FROM documents d JOIN q USING (doc_id) WHERE d.text IS NOT NULL),
+         |hq AS (SELECT vq AS v, count(*) AS c FROM sc GROUP BY 1),
+         |nq AS (SELECT sum(c) AS n FROM hq),
+         |pq AS (SELECT v, round(CAST(2 * (sum(c) OVER w) - c AS DOUBLE) / (2 * n), 6) AS pct
+         |       FROM hq CROSS JOIN nq
+         |       WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |hl AS (SELECT vl AS v, count(*) AS c FROM sc GROUP BY 1),
+         |nl AS (SELECT sum(c) AS n FROM hl),
+         |pl AS (SELECT v, round(CAST(2 * (sum(c) OVER w) - c AS DOUBLE) / (2 * n), 6) AS pct
+         |       FROM hl CROSS JOIN nl
+         |       WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |j AS (SELECT CAST(round(pq.pct * 1000000) AS BIGINT) AS px,
+         |             CAST(round(pl.pct * 1000000) AS BIGINT) AS py
+         |      FROM sc JOIN pq ON pq.v = sc.vq JOIN pl ON pl.v = sc.vl),
+         |mo AS (SELECT count(*) AS n, sum(px) AS sx, sum(py) AS sy,
+         |         sum(px * px) AS sxx, sum(py * py) AS syy, sum(px * py) AS sxy FROM j)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE)
+         |                 * CAST(n * syy - sy * sy AS DOUBLE) > 0
+         |            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+         |                        * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+         |       END AS spearman
+         |FROM mo""".stripMargin,
 
     "q231_negative_sampling" ->
       s"""WITH tk AS (SELECT unnest($toksExpr) AS term FROM documents WHERE text IS NOT NULL),

@@ -903,6 +903,36 @@ object DedupOps {
         round(col("n_shared") / col("__sz").cast("double"), 4).as("containment"))
   }
 
+  /** Frequency-weighted Jaccard between sources: Σ min(tf_a, tf_b) /
+    * Σ max(tf_a, tf_b) over the term-frequency vectors — the
+    * DISTRIBUTIONAL similarity [[sourceContainment]]'s set view
+    * flattens (two sources can share every term yet use them at wildly
+    * different rates). Σmax folds to tot_a + tot_b − Σmin, so only the
+    * SHARED terms join (inner join on the term key); totals ride back
+    * broadcast.
+    *
+    * Output: (src_a, src_b, shared_mass, weighted_jaccard 6dp),
+    * src_a < src_b.
+    */
+  def sourceWeightedJaccard(docs: DataFrame, srcCol: String = "source",
+                            textCol: String = "text"): DataFrame = {
+    val tf = docs.filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("__s"), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("__s", "term").agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(true) // totals + both join sides read it
+    val totals = tf.groupBy("__s").agg(sum("__tf").as("__tot"))
+    val a = tf.select(col("__s").as("src_a"), col("term"), col("__tf").as("__tfa"))
+    val b = tf.select(col("__s").as("src_b"), col("term"), col("__tf").as("__tfb"))
+    a.join(b, Seq("term")).filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(least(col("__tfa"), col("__tfb"))).as("shared_mass"))
+      .join(broadcast(totals.select(col("__s").as("src_a"), col("__tot").as("__ta"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("__s").as("src_b"), col("__tot").as("__tb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_mass"),
+        round(col("shared_mass").cast("double")
+          / (col("__ta") + col("__tb") - col("shared_mass")), 6).as("weighted_jaccard"))
+  }
+
   /** Corpus snapshot diff: classify every document across two corpus
     * states as added / removed / changed / unchanged by
     * normalized-content fingerprint ([[TextOps.fingerprint]]) — the

@@ -566,6 +566,37 @@ object ModelOps {
       .withColumn("reject", col("d") > col("crit"))
   }
 
+  /** Spearman rank correlation between two per-row signals: Pearson
+    * over exact midrank percentiles ([[graft.ops.TextOps.percentileNormalize]]
+    * with one global group) — the "do my two quality signals agree"
+    * check that is robust to monotone rescaling, unlike raw Pearson.
+    * Percentiles bank as integer 1e-6 units; all five moments
+    * accumulate as exact decimals, so the only floating-point step is
+    * the final ratio.
+    *
+    * Output: one row (n, spearman 4dp).
+    */
+  def spearmanCorr(df: DataFrame, idCol: String, xCol: String, yCol: String): DataFrame = {
+    def pcts(vc: String) = graft.ops.TextOps.percentileNormalize(
+      df.select(col(idCol), lit("all").as("__g"), col(vc)),
+      idCol, "__g", vc)
+      .select(col(idCol), round(col("pct") * 1e6).cast("long").as(s"__p_$vc"))
+    val joined = pcts(xCol).join(pcts(yCol), Seq(idCol))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    joined.agg(count(lit(1)).as("n"),
+        sum(d(col(s"__p_$xCol"))).as("__sx"), sum(d(col(s"__p_$yCol"))).as("__sy"),
+        sum(d(col(s"__p_$xCol")) * d(col(s"__p_$xCol"))).as("__sxx"),
+        sum(d(col(s"__p_$yCol")) * d(col(s"__p_$yCol"))).as("__syy"),
+        sum(d(col(s"__p_$xCol")) * d(col(s"__p_$yCol"))).as("__sxy"))
+      .select(col("n"),
+        ((col("n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+          * (col("n") * col("__syy") - col("__sy") * col("__sy")).cast("double")).as("__vp"),
+        (col("n") * col("__sxy") - col("__sx") * col("__sy")).cast("double").as("__num"))
+      .select(col("n"),
+        when(col("__vp") > 0, Rounding.round(col("__num") / sqrt(col("__vp")), 4))
+          .as("spearman")) // null when a signal is constant (zero variance)
+  }
+
   def dpNoisyCounts(df: DataFrame, groupCol: String, eps: Double = 1.0,
                     seed: Long = 42): DataFrame = {
     val u = (SampleOps.seededHash(col(groupCol), seed) % 1000000000L + lit(1.0)) /

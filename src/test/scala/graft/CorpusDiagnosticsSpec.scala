@@ -285,6 +285,30 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(out(6L) == ((None, "none")))
   }
 
+  test("sourceWeightedJaccard: rate differences lower the score below set Jaccard") {
+    val docs = Seq((1L, "x x y", "a"), (2L, "x y y", "b"), (3L, "x x y", "c"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ops.DedupOps.sourceWeightedJaccard(docs)
+      .select("src_a", "src_b", "weighted_jaccard")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("a", "c")) == 1.0)   // identical tf vectors
+    assert(out(("a", "b")) == 0.5)   // min mass 2 over max mass 4
+  }
+
+  test("spearmanCorr: monotone agreement 1, reversal -1") {
+    val up = (1 to 30).map(i => (i.toLong, i.toDouble, (i * i).toDouble))
+      .toDF("doc_id", "x", "y")
+    val r1 = graft.ops.ModelOps.spearmanCorr(up, "doc_id", "x", "y")
+      .select("spearman").as[Double].head()
+    assert(r1 == 1.0) // monotone nonlinear -> rank corr 1 (Pearson would not be)
+    val down = (1 to 30).map(i => (i.toLong, i.toDouble, -i.toDouble))
+      .toDF("doc_id", "x", "y")
+    val r2 = graft.ops.ModelOps.spearmanCorr(down, "doc_id", "x", "y")
+      .select("spearman").as[Double].head()
+    assert(r2 == -1.0)
+  }
+
   test("sourceCentroidSimilarity: identical centroids cosine 1, orthogonal cosine 0") {
     val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sB"), (4L, "sC"))
       .toDF("doc_id", "source")
