@@ -1385,6 +1385,28 @@ private[graft] object OpsEntries {
     "q226_trigram_search" -> ((s, dir) =>
       TextOps.trigramSearch(t(s, dir, "documents"), "fast merge")),
 
+    // PII prevalence per source over hash-varied synthetic PII (which
+    // docs carry which category is deterministic): the governance view
+    // that scopes where a redaction pass is mandatory.
+    "q235_pii_prevalence" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val synth = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" mail u"), col("doc_id").cast("string"), lit("@ex.org")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" see https://ex.com/x")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" ip 10.0.0.99")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call +1 415 555 0100")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" acct 9876543210")).otherwise(lit("")))
+      TextOps.piiPrevalence(
+        docs.select(col("doc_id"), col("source"), synth.as("text")))
+    }),
+
+    // Heaps-law growth curve: cumulative vocab vs tokens over hash
+    // deciles + fitted log-log slope — lexical-novelty forecasting.
+    "q236_heaps_law" -> ((s, dir) =>
+      TextOps.heapsLawCurve(t(s, dir, "documents"))),
+
     // Frequency-weighted Jaccard between sources: the distributional
     // similarity the set view flattens; only shared terms join.
     "q233_weighted_jaccard" -> ((s, dir) =>
@@ -3862,6 +3884,58 @@ private[graft] object OpsEntries {
          |       CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
          |       round(avg(nll), 4) AS avg_nll
          |FROM sc GROUP BY doc_id""".stripMargin,
+
+    "q235_pii_prevalence" -> {
+      val synth = "text" +
+        " || CASE WHEN doc_id % 3 = 0 THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org' ELSE '' END" +
+        " || CASE WHEN doc_id % 5 = 0 THEN ' see https://ex.com/x' ELSE '' END" +
+        " || CASE WHEN doc_id % 7 = 0 THEN ' ip 10.0.0.99' ELSE '' END" +
+        " || CASE WHEN doc_id % 11 = 0 THEN ' call +1 415 555 0100' ELSE '' END" +
+        " || CASE WHEN doc_id % 13 = 0 THEN ' acct 9876543210' ELSE '' END"
+      val (counts, _) = TextOps.piiPatterns
+        .foldLeft((Seq.empty[String], s"($synth)")) {
+          case ((acc, cur), (name, re, token)) =>
+            (acc :+ s"CAST(len(regexp_extract_all($cur, '$re')) AS BIGINT) AS n_$name",
+              s"regexp_replace($cur, '$re', '$token', 'g')")
+        }
+      val cats = TextOps.piiPatterns.map(_._1)
+      s"""WITH c AS (SELECT source, ${counts.mkString(",\n       ")}
+         |           FROM documents WHERE text IS NOT NULL)
+         |SELECT source, count(*) AS n_docs,
+         |       ${cats.map(n => s"CAST(sum(n_$n) AS BIGINT) AS n_$n").mkString(",\n       ")},
+         |       CAST(sum(CASE WHEN ${cats.map(n => s"n_$n > 0").mkString(" OR ")}
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+         |       round(sum(CASE WHEN ${cats.map(n => s"n_$n > 0").mkString(" OR ")}
+         |                      THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS pii_doc_rate
+         |FROM c GROUP BY source""".stripMargin
+    },
+
+    "q236_heaps_law" ->
+      s"""WITH tk AS MATERIALIZED (SELECT
+         |        CAST(concat('0x', substr(md5('31:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS b,
+         |        unnest($toksExpr) AS term
+         |      FROM documents WHERE text IS NOT NULL),
+         |nt AS (SELECT b, count(*) AS nt FROM tk GROUP BY 1),
+         |nv AS (SELECT fb AS b, count(*) AS nv FROM
+         |        (SELECT term, min(b) AS fb FROM tk GROUP BY 1) GROUP BY 1),
+         |grid AS (SELECT CAST(g AS BIGINT) AS b FROM range(0, 10) t(g)),
+         |cum AS MATERIALIZED (SELECT CAST(grid.b AS INTEGER) AS decile,
+         |        sum(coalesce(nt, 0)) OVER w AS tokens_cum,
+         |        sum(coalesce(nv, 0)) OVER w AS vocab_cum
+         |      FROM grid LEFT JOIN nt USING (b) LEFT JOIN nv USING (b)
+         |      WINDOW w AS (ORDER BY grid.b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |pts AS (SELECT CAST(round(ln(CAST(tokens_cum AS DOUBLE)) * 1000000000) AS BIGINT) AS x,
+         |          CAST(round(ln(CAST(vocab_cum AS DOUBLE)) * 1000000000) AS BIGINT) AS y
+         |        FROM cum WHERE tokens_cum > 0 AND vocab_cum > 0),
+         |mo AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |         sum(CAST(x AS HUGEINT) * y) AS sxy FROM pts),
+         |bt AS (SELECT round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |         / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS beta FROM mo)
+         |SELECT decile, CAST(tokens_cum AS BIGINT) AS tokens_cum,
+         |       CAST(vocab_cum AS BIGINT) AS vocab_cum, beta
+         |FROM cum CROSS JOIN bt
+         |WHERE tokens_cum > 0 AND vocab_cum > 0""".stripMargin,
 
     "q233_weighted_jaccard" ->
       s"""WITH tf AS MATERIALIZED (SELECT source AS s, term, count(*) AS tf FROM

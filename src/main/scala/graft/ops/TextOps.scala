@@ -928,6 +928,84 @@ object TextOps {
     struct(fields: _*)
   }
 
+  /** PII prevalence report: per source, total matches per category
+    * (the ordered [[piiCounts]] chain — a number inside a URL counts
+    * once, as the URL) and the fraction of documents carrying ANY PII
+    * — the governance view that decides where a redaction pass is
+    * mandatory vs noise. One map-only counting pass, one category-
+    * sized rollup.
+    *
+    * Output per source: (source, n_docs, n_<category>...,
+    * docs_with_pii, pii_doc_rate 4dp).
+    */
+  def piiPrevalence(docs: DataFrame, srcCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val cats = piiPatterns.map(_._1)
+    val counted = docs.filter(col(textCol).isNotNull)
+      .select(col(srcCol), piiCounts(col(textCol)).as("__p"))
+      .select(col(srcCol) +: cats.map(n => col(s"__p.n_$n").cast("long").as(s"n_$n")): _*)
+    val aggs = cats.map(n => sum(col(s"n_$n")).as(s"n_$n")) :+
+      sum(when(cats.map(n => col(s"n_$n") > 0).reduce(_ || _), 1L).otherwise(0L))
+        .as("docs_with_pii")
+    counted.groupBy(srcCol)
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+      .withColumn("pii_doc_rate",
+        round(col("docs_with_pii") / col("n_docs").cast("double"), 4))
+  }
+
+  /** Heaps-law growth curve: cumulative vocabulary size vs cumulative
+    * tokens over hash-ordered corpus deciles, plus the fitted
+    * log-log slope β (V ≈ K·n^β) — the planning number behind
+    * "how much NEW vocabulary does the next 10× of data buy"
+    * (tokenizer sizing, dedup-value forecasting). A saturating curve
+    * (β → 0) says more of the same corpus adds no lexical novelty.
+    *
+    * The cumulative-distinct trick: a term's FIRST decile is one min
+    * aggregate, so vocab at prefix k = Σ_{b≤k} first-occurrences — no
+    * k-pass prefix scans. The OLS slope runs over ≤ k banked-ln
+    * points (1e-9 integer nanolog units, decimal moments, one FP
+    * division).
+    *
+    * Output per decile: (decile, tokens_cum, vocab_cum, beta) with
+    * beta repeated (broadcast scalar).
+    */
+  def heapsLawCurve(docs: DataFrame, buckets: Int = 10, seed: Long = 31L,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(pmod(SampleOps.seededHash(col(idCol), seed), lit(buckets.toLong)).as("b"),
+        explode(tokens(col(textCol))).as("term"))
+      .localCheckpoint(true) // token totals + first-bucket aggregate both read it
+    val nt = toks.groupBy("b").agg(count(lit(1)).as("__nt"))
+    val nv = toks.groupBy("term").agg(min("b").as("__fb"))
+      .groupBy("__fb").agg(count(lit(1)).as("__nv"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grid = (0L until buckets.toLong).toDF("b")
+      .join(nt, Seq("b"), "left")
+      .join(nv.withColumnRenamed("__fb", "b"), Seq("b"), "left")
+      .select(col("b"), coalesce(col("__nt"), lit(0L)).as("__nt"),
+        coalesce(col("__nv"), lit(0L)).as("__nv"))
+    val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    val curve = grid
+      .select(col("b").cast("int").as("decile"),
+        sum("__nt").over(w).as("tokens_cum"), sum("__nv").over(w).as("vocab_cum"))
+      .filter(col("tokens_cum") > 0 && col("vocab_cum") > 0)
+      .localCheckpoint(true) // the OLS aggregate + the output both read it
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val pts = curve.select(
+      round(log(col("tokens_cum").cast("double")) * 1e9).cast("long").as("__x"),
+      round(log(col("vocab_cum").cast("double")) * 1e9).cast("long").as("__y"))
+    val beta = broadcast(pts.agg(count(lit(1)).as("__n"),
+        sum(d(col("__x"))).as("__sx"), sum(d(col("__y"))).as("__sy"),
+        sum(d(col("__x")) * d(col("__x"))).as("__sxx"),
+        sum(d(col("__x")) * d(col("__y"))).as("__sxy"))
+      .select(round((col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+        / (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double"), 4)
+        .as("beta")))
+    curve.crossJoin(beta)
+  }
+
   /** BPE first-merge candidates: adjacent character-pair frequencies
     * across the corpus, weighted by word frequency — the statistic the
     * first merge step of byte-pair-encoding tokenizer training ranks.

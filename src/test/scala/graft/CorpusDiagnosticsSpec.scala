@@ -309,6 +309,30 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(r2 == -1.0)
   }
 
+  test("piiPrevalence: ordered counting — digits inside a URL never double-count") {
+    val docs = Seq(
+      (1L, "reach me a@b.org today", "s"),
+      (2L, "see https://x.com/123456789 now", "s"), // 9 digits inside the URL
+      (3L, "clean text", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.ops.TextOps.piiPrevalence(docs)
+      .select("n_docs", "n_email", "n_url", "n_longnum", "docs_with_pii")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r == ((3L, 1L, 1L, 0L, 2L)))
+  }
+
+  test("heapsLawCurve: all-new vocab fits beta 1, saturated vocab fits beta 0") {
+    val fresh = (0 until 200)
+      .map(i => (i.toLong, s"u${i}a u${i}b u${i}c")).toDF("doc_id", "text")
+    val b1 = graft.ops.TextOps.heapsLawCurve(fresh)
+      .select("beta").as[Double].head()
+    assert(math.abs(b1 - 1.0) < 0.01, s"beta=$b1")
+    val same = (0 until 200).map(i => (i.toLong, "same three words")).toDF("doc_id", "text")
+    val b0 = graft.ops.TextOps.heapsLawCurve(same)
+      .select("beta").as[Double].head()
+    assert(math.abs(b0) < 0.01, s"beta=$b0")
+  }
+
   test("sourceCentroidSimilarity: identical centroids cosine 1, orthogonal cosine 0") {
     val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sB"), (4L, "sC"))
       .toDF("doc_id", "source")
