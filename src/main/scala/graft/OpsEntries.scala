@@ -1385,6 +1385,19 @@ private[graft] object OpsEntries {
     "q226_trigram_search" -> ((s, dir) =>
       TextOps.trigramSearch(t(s, dir, "documents"), "fast merge")),
 
+    // Histogram percentile sketch over event values: mergeable banked
+    // buckets, hard |est−exact| ≤ 0.01 bound proven by audit columns —
+    // closing q48's percentile-state gap the way q206 closed distinct.
+    "q237_histogram_pct" -> ((s, dir) =>
+      SketchOps.histogramPercentiles(
+        SparkEntry.events(s, dir).select(col("event_type").as("g"), col("value").as("v")))),
+
+    // Per-source exemplars: 3 docs nearest the source centroid — the
+    // dataset-card "show representative documents" selection.
+    "q238_source_exemplars" -> ((s, dir) =>
+      SimilarityOps.sourceExemplars(
+        t(s, dir, "documents"), t(s, dir, "embeddings"))),
+
     // PII prevalence per source over hash-varied synthetic PII (which
     // docs carry which category is deterministic): the governance view
     // that scopes where a redaction pass is mandatory.
@@ -3884,6 +3897,48 @@ private[graft] object OpsEntries {
          |       CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
          |       round(avg(nll), 4) AS avg_nll
          |FROM sc GROUP BY doc_id""".stripMargin,
+
+    "q237_histogram_pct" ->
+      """WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |             FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT g, CAST(floor(v * 100) AS BIGINT) AS b, count(*) AS c
+        |      FROM base GROUP BY 1, 2),
+        |t2 AS (SELECT g, sum(c) AS n FROM h GROUP BY 1),
+        |cu AS (SELECT h.g, b, n,
+        |         sum(c) OVER (PARTITION BY h.g ORDER BY b
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM h JOIN t2 ON t2.g = h.g),
+        |sk AS (SELECT g, n,
+        |         round(min(CASE WHEN cum >= ceil(0.5 * n) THEN b END) / 100 + 0.005, 4) AS p50_est,
+        |         round(min(CASE WHEN cum >= ceil(0.9 * n) THEN b END) / 100 + 0.005, 4) AS p90_est
+        |       FROM cu GROUP BY 1, 2),
+        |ex AS (SELECT g, round(quantile_cont(v, 0.5), 4) AS p50_exact,
+        |         round(quantile_cont(v, 0.9), 4) AS p90_exact
+        |       FROM base GROUP BY 1)
+        |SELECT sk.g, CAST(n AS BIGINT) AS n,
+        |       p50_est, p50_exact, round(abs(p50_est - p50_exact), 4) AS p50_err,
+        |       p90_est, p90_exact, round(abs(p90_est - p90_exact), 4) AS p90_err
+        |FROM sk JOIN ex ON ex.g = sk.g""".stripMargin,
+
+    "q238_source_exemplars" ->
+      """WITH j AS MATERIALIZED (SELECT e.vec_id, d.source, t.pos,
+        |        CAST(round(CAST(e.embedding[t.pos] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+        |      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        |        CROSS JOIN range(1, 65) t(pos)
+        |      WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64),
+        |cm AS (SELECT source, pos,
+        |         CAST(round(round(sum(x6) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) * 1000000) AS BIGINT) AS c6
+        |       FROM j GROUP BY 1, 2),
+        |d2 AS (SELECT j.source, j.vec_id,
+        |         sum((x6 - c6) * (x6 - c6)) AS d12
+        |       FROM j JOIN cm ON cm.source = j.source AND cm.pos = j.pos
+        |       GROUP BY 1, 2),
+        |r AS (SELECT source, vec_id, d12,
+        |        row_number() OVER (PARTITION BY source ORDER BY d12, vec_id) AS rank
+        |      FROM d2)
+        |SELECT source, CAST(rank AS INTEGER) AS rank, vec_id,
+        |       round(sqrt(CAST(d12 AS DOUBLE) / 1000000000000.0), 6) AS dist
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     "q235_pii_prevalence" -> {
       val synth = "text" +

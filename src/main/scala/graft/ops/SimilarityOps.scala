@@ -880,6 +880,42 @@ object SimilarityOps {
           .as("cosine"))
   }
 
+  /** Per-source exemplars: the k documents whose embeddings sit
+    * closest to their source's mean embedding — the "show me three
+    * representative documents per source" selection behind dataset
+    * cards and eyeball QA. Medoid-style: distances are to the 6dp-
+    * banked centroid ([[sourceCentroidSimilarity]]'s banking), per-
+    * vector squared distance is an exact integer sum in 1e-12 units,
+    * and the per-source top-k is one window over rows already grouped
+    * by source.
+    *
+    * Output: (source, rank, id, dist 6dp), rank 1..k by (dist, id).
+    */
+  def sourceExemplars(docs: DataFrame, emb: DataFrame, k: Int = 3, dims: Int = 64,
+                      docIdCol: String = "doc_id", vecIdCol: String = "vec_id",
+                      srcCol: String = "source",
+                      vecCol: String = "embedding"): DataFrame = {
+    val joined = emb.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .join(docs.select(col(docIdCol).as(vecIdCol), col(srcCol)), Seq(vecIdCol))
+      .select(col(vecIdCol), col(srcCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col(vecIdCol), col(srcCol), col("pos"),
+        round(col("v").cast("double") * 1e6).cast("long").as("__x6"))
+      .localCheckpoint(true) // centroid aggregate + the distance pass both read it
+    val cents = joined.groupBy(srcCol, "pos")
+      .agg(round(sum("__x6") / count(lit(1)).cast("double") / 1e6, 6).as("__c"))
+      .select(col(srcCol), col("pos"), round(col("__c") * 1e6).cast("long").as("__c6"))
+    val d2 = joined.join(broadcast(cents), Seq(srcCol, "pos"))
+      .select(col(vecIdCol), col(srcCol),
+        ((col("__x6") - col("__c6")) * (col("__x6") - col("__c6"))).as("__t"))
+      .groupBy(srcCol, vecIdCol).agg(sum("__t").as("__d12"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(srcCol)
+      .orderBy(col("__d12").asc, col(vecIdCol).asc)
+    d2.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(srcCol), col("rank"), col(vecIdCol),
+        round(sqrt(col("__d12").cast("double") / 1e12), 6).as("dist"))
+  }
+
   /** Diagonal-Mahalanobis embedding outliers: per-dimension z-scores
     * against the corpus mean/std (the diagonal-covariance Mahalanobis
     * distance squared), summed per vector — the geometric-outlier scan

@@ -203,6 +203,54 @@ object SketchOps {
           .as("rel_err"))
   }
 
+  /** Histogram percentile sketch + exact audit: per group, estimate
+    * quantiles from a fixed-width value histogram (bucket = 0.01) —
+    * the engine-portable percentile sketch beside [[hllShingleDistinct]]
+    * (q48's `percentile_approx` state is engine-specific; a banked
+    * histogram replays anywhere, merges across shards by bucket-wise
+    * SUM, and carries a HARD error bound: within half a bucket of the
+    * empirical quantile, so within one bucket width plus interpolation
+    * of the exact interpolated quantile — the emitted audit columns
+    * measure it per row).
+    *
+    * Estimate = midpoint of the first bucket whose cumulative count
+    * reaches ceil(q·n). Plan shape: one (group, bucket) aggregate,
+    * a cumulative window over the per-group DISTINCT buckets
+    * (value-range bounded, never the corpus), exact percentiles ride
+    * along for the audit only.
+    *
+    * Output per group: (g, n, p50_est, p50_exact, p50_err, p90_est,
+    * p90_exact, p90_err).
+    */
+  def histogramPercentiles(rows: DataFrame, groupCol: String = "g",
+                           valueCol: String = "v"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = rows.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .localCheckpoint(true) // histogram + the exact audit both read it
+    val hist = base
+      .select(col("g"), floor(col("v") * 100).cast("long").as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("g").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = hist.groupBy("g").agg(sum("c").as("n"))
+    val cums = hist.withColumn("cum", sum("c").over(w))
+      .join(broadcast(tot), Seq("g"))
+    def est(q: Double) = round(
+      min(when(col("cum") >= ceil(lit(q) * col("n")), col("b"))) / 100 + 0.005, 4)
+    val sketch = cums.groupBy("g", "n")
+      .agg(est(0.5).as("p50_est"), est(0.9).as("p90_est"))
+    val exact = base.groupBy("g")
+      .agg(round(expr("percentile(v, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(v, 0.9)"), 4).as("p90_exact"))
+    sketch.join(exact, Seq("g"))
+      .select(col("g"), col("n"),
+        col("p50_est"), col("p50_exact"),
+        round(abs(col("p50_est") - col("p50_exact")), 4).as("p50_err"),
+        col("p90_est"), col("p90_exact"),
+        round(abs(col("p90_est") - col("p90_exact")), 4).as("p90_err"))
+  }
+
   /** Count-Min sketch over the token stream + an audit of the exact
     * top-K heavy hitters against it: est = min over depth rows of the
     * hashed cell, the classic eps-delta overestimate bound. The sketch

@@ -333,6 +333,27 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(math.abs(b0) < 0.01, s"beta=$b0")
   }
 
+  test("histogramPercentiles: estimates land within a bucket of exact") {
+    val rows = (1 to 200).map(i => ("a", i / 100.0)).toDF("g", "v")
+    val r = graft.ops.SketchOps.histogramPercentiles(rows)
+      .select("n", "p50_err", "p90_err").as[(Long, Double, Double)].head()
+    assert(r._1 == 200L)
+    assert(r._2 <= 0.02 && r._3 <= 0.02, s"errors ${r._2}, ${r._3}")
+  }
+
+  test("sourceExemplars: the vector at the centroid ranks first") {
+    val docs = Seq((1L, "s"), (2L, "s"), (3L, "s")).toDF("doc_id", "source")
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f)),   // far
+      (2L, Array(4.0f, 4.0f)),   // far, symmetric
+      (3L, Array(2.0f, 2.0f)))   // exactly the centroid
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.SimilarityOps.sourceExemplars(docs, emb, k = 3, dims = 2)
+      .select("rank", "vec_id", "dist").as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(out(0)._2 == 3L && out(0)._3 == 0.0)
+    assert(out(1)._3 == out(2)._3) // symmetric distances tie
+  }
+
   test("sourceCentroidSimilarity: identical centroids cosine 1, orthogonal cosine 0") {
     val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sB"), (4L, "sC"))
       .toDF("doc_id", "source")
