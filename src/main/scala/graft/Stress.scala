@@ -181,7 +181,7 @@ object Stress {
     // printed exponent log_x(t_x / t_1) is the evidence SCALE.md's
     // 100 TB claims cite: ~1.0 = linear, ≫1 = a plan that would not
     // survive the next order of magnitude.
-    if (which == "scale" || which == "scale7" || which == "scale7b" || which == "scale7c") {
+    if (which == "scale" || which == "scale7" || which == "scale7b" || which == "scale7c" || which == "scale7d") {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       val scaleDir = "/tmp/graft_scale_x" + x
@@ -195,7 +195,7 @@ object Stress {
           transform(col("embedding"), e => e + lit(0.001f * i)).as("embedding"),
           col("label"))
       }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
-      if (which == "scale7b" || which == "scale7c") {
+      if (which == "scale7b" || which == "scale7c" || which == "scale7d") {
         // events replica for the behavioral family: user ids offset per
         // copy so the user population grows ×x with per-user structure
         // (event order, sessions, funnels) preserved
@@ -245,6 +245,13 @@ object Stress {
           Seq("q205_matched_pairs", "q212_sequence_match", "q216_rolling_hll",
             "q206_hll_distinct", "q207_countmin_audit", "q213_cv_folds",
             "q217_keyframes", "q209_pca_top")
+        // scale7d: the analytics/LM/search additions — TWA/decay/KN are
+        // row-linear, containment/weighted-jaccard face the shared-term
+        // join, waterfill/heaps are category-sized after one pass
+        else if (which == "scale7d")
+          Seq("q218_time_weighted_avg", "q221_decay_score", "q224_waterfill_mix",
+            "q226_trigram_search", "q227_pct_normalize", "q229_source_containment",
+            "q230_kneser_ney", "q233_weighted_jaccard", "q236_heaps_law")
         else Seq("q100_semdedup_skew", "q97_semdedup_autok", "q75_semdedup",
           "q84_bigram_logprob", "q101_ann_recall")
       // one untimed warm pass at base scale amortizes codegen/JIT; the

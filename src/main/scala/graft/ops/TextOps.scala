@@ -2037,6 +2037,11 @@ object TextOps {
     val banked = scored.filter(col(valueCol).isNotNull)
       .select(col(idCol), col(groupCol).as("g"),
         round(col(valueCol) * 1e4).cast("long").as("__v4"))
+      // q104 contract: the histogram AND the join-back both read this
+      // frame, and the caller's valueCol is typically an expensive
+      // scoring expression — checkpoint the compact (id, g, v4) rows
+      // rather than score the corpus twice (17.7s -> 8.5s at ×10)
+      .localCheckpoint(true)
     val hist = banked.groupBy("g", "__v4").agg(count(lit(1)).as("__c"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("__v4")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -2047,7 +2052,7 @@ object TextOps {
       .select(col("g"), col("__v4"),
         round((lit(2L) * col("__cum") - col("__c")).cast("double")
           / (lit(2L) * col("__n")), 6).as("pct"))
-    banked.join(pcts, Seq("g", "__v4"))
+    banked.join(broadcast(pcts), Seq("g", "__v4")) // histogram-sized side
       .select(col(idCol), col("g").as(groupCol),
         round(col("__v4") / 1e4, 4).as(valueCol), col("pct"))
   }
