@@ -866,6 +866,10 @@ object SimilarityOps {
       .groupBy(srcCol, "pos")
       .agg(round(sum("__x6") / count(lit(1)).cast("double") / 1e6, 6).as("c"))
       .select(col(srcCol), col("pos"), round(col("c") * 1e6).cast("long").as("c6"))
+      // q104 contract: both matrix sides read the centroid table, whose
+      // lineage is the corpus-sized explode aggregate — checkpoint the
+      // sources×dims rows rather than aggregate the corpus twice
+      .localCheckpoint(true)
     val a = cents.select(col(srcCol).as("src_a"), col("pos"), col("c6").as("a6"))
     val b = cents.select(col(srcCol).as("src_b"), col("pos"), col("c6").as("b6"))
     a.join(b, Seq("pos")).filter(col("src_a") < col("src_b"))
