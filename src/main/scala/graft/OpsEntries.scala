@@ -1385,6 +1385,16 @@ private[graft] object OpsEntries {
     "q226_trigram_search" -> ((s, dir) =>
       TextOps.trigramSearch(t(s, dir, "documents"), "fast merge")),
 
+    // Rank-biased overlap: exact vs SQ8 top-10 per query — ranked-list
+    // agreement weighted to the top (what recall@k flattens).
+    "q239_rbo" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      SimilarityOps.rboEval(
+        SimilarityOps.bruteForceTopK(q, e, 10),
+        SimilarityOps.sqTopK(q, e, SimilarityOps.sqTrain(e)))
+    }),
+
     // Histogram percentile sketch over event values: mergeable banked
     // buckets, hard |est−exact| ≤ 0.01 bound proven by audit columns —
     // closing q48's percentile-state gap the way q206 closed distinct.
@@ -3897,6 +3907,44 @@ private[graft] object OpsEntries {
          |       CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
          |       round(avg(nll), 4) AS avg_nll
          |FROM sc GROUP BY doc_id""".stripMargin,
+
+    "q239_rbo" ->
+      s"""WITH $bruteCtes,
+         |ae AS (SELECT query_id, neighbor_id, r AS ra FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos_sim DESC, neighbor_id) AS r FROM bs)
+         |      WHERE r <= 10),
+         |$sqCtes,
+         |codes AS (SELECT e.vec_id AS neighbor_id,
+         |            list(CASE WHEN s.step > 0
+         |                   THEN least(255, greatest(0, CAST(round((CAST(e.embedding[s.pos] AS DOUBLE) - s.lo) / s.step) AS INTEGER)))
+         |                   ELSE 0 END ORDER BY s.pos) AS codes
+         |          FROM embeddings e CROSS JOIN sqs s
+         |          WHERE e.embedding IS NOT NULL GROUP BY e.vec_id),
+         |lov AS (SELECT list(lo ORDER BY pos) AS l FROM sqs),
+         |stv AS (SELECT list(step ORDER BY pos) AS st FROM sqs),
+         |sq5 AS (SELECT vec_id AS query_id, embedding AS qv2 FROM embeddings
+         |        WHERE vec_id < 5 AND embedding IS NOT NULL),
+         |sscored AS (SELECT sq5.query_id, c.neighbor_id,
+         |             round(list_sum(list_transform(generate_series(1, 64),
+         |               d -> round(pow(CAST(qv2[d] AS DOUBLE) - (lov.l[d] + c.codes[d] * stv.st[d]), 2), 6))), 4) AS sq_dist
+         |           FROM sq5 CROSS JOIN codes c CROSS JOIN lov CROSS JOIN stv
+         |           WHERE sq5.query_id <> c.neighbor_id),
+         |be AS (SELECT query_id, neighbor_id, r AS rb FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY sq_dist, neighbor_id) AS r FROM sscored)
+         |      WHERE r <= 10),
+         |mm AS (SELECT ae.query_id, greatest(ra, rb) AS m
+         |       FROM ae JOIN be USING (query_id, neighbor_id)),
+         |xd AS (SELECT query_id, CAST(dd.d AS BIGINT) AS d, count(*) AS x
+         |       FROM mm CROSS JOIN range(1, 11) dd(d) WHERE dd.d >= m GROUP BY 1, 2),
+         |grid AS (SELECT DISTINCT query_id, CAST(g.d AS BIGINT) AS d
+         |         FROM ae CROSS JOIN range(1, 11) g(d)),
+         |tm AS (SELECT grid.query_id,
+         |         CAST(round(pow(0.9, d - 1) * coalesce(x, 0) / d
+         |              * (1.0 - 0.9) / (1.0 - pow(0.9, 10)) * 1000000000) AS BIGINT) AS t9
+         |       FROM grid LEFT JOIN xd USING (query_id, d))
+         |SELECT query_id, round(sum(t9) / 1000000000.0, 6) AS rbo FROM tm GROUP BY 1""".stripMargin,
 
     "q237_histogram_pct" ->
       """WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v

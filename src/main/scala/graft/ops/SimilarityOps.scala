@@ -884,6 +884,42 @@ object SimilarityOps {
           .as("cosine"))
   }
 
+  /** Rank-biased overlap between two ranked lists per query: RBO@k
+    * with persistence p — the ranked-list agreement measure recall@k
+    * flattens (recall treats rank 1 and rank k as equal; RBO weights
+    * agreement at the top geometrically, which is what serving
+    * actually cares about). Truncated-normalized form:
+    * RBO = Σ_{d=1..k} p^(d-1)·(X_d/d) · (1-p)/(1-p^k), X_d = overlap
+    * of the two depth-d prefixes; identical lists score exactly 1.
+    *
+    * X_d for all d comes from ONE join: a shared neighbor enters every
+    * prefix from depth max(rank_a, rank_b), so the per-depth overlap
+    * is a bounded ≤k fan-out + count — never a per-depth re-join.
+    * Per-depth terms bank as integer 1e-9 units before the per-query
+    * sum.
+    *
+    * Output: (query_id, rbo 6dp).
+    */
+  def rboEval(a: DataFrame, b: DataFrame, k: Int = 10, p: Double = 0.9): DataFrame = {
+    val aa = a.select(col("query_id"), col("neighbor_id"), col("rank").as("__ra"))
+      .filter(col("__ra") <= k)
+    val bb = b.select(col("query_id"), col("neighbor_id"), col("rank").as("__rb"))
+      .filter(col("__rb") <= k)
+    val m = aa.join(bb, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), greatest(col("__ra"), col("__rb")).as("__m"))
+    val xd = m.select(col("query_id"), explode(sequence(col("__m"), lit(k))).as("d"))
+      .groupBy("query_id", "d").agg(count(lit(1)).as("__x"))
+    val grid = aa.select("query_id").distinct()
+      .select(col("query_id"), explode(sequence(lit(1), lit(k))).as("d"))
+    grid.join(xd, Seq("query_id", "d"), "left")
+      .select(col("query_id"),
+        round(pow(lit(p), col("d") - 1) * coalesce(col("__x"), lit(0L)) / col("d")
+          * (lit(1.0) - lit(p)) / (lit(1.0) - pow(lit(p), lit(k))) * 1e9)
+          .cast("long").as("__t9"))
+      .groupBy("query_id")
+      .agg(round(sum("__t9") / 1e9, 6).as("rbo"))
+  }
+
   /** Per-source exemplars: the k documents whose embeddings sit
     * closest to their source's mean embedding — the "show me three
     * representative documents per source" selection behind dataset

@@ -354,6 +354,22 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(out(1)._3 == out(2)._3) // symmetric distances tie
   }
 
+  test("rboEval: identical lists 1.0, disjoint lists 0.0, top-weighted in between") {
+    def list(q: Long, ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (n, i) => (q, n, i + 1) }
+    val a = (list(1L, 1L to 10L) ++ list(2L, 1L to 10L) ++ list(3L, 1L to 10L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val b = (list(1L, 1L to 10L)                  // identical
+      ++ list(2L, 101L to 110L)                   // disjoint
+      ++ list(3L, Seq(1L, 2L) ++ (201L to 208L))) // top-2 agree
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = graft.ops.SimilarityOps.rboEval(a, b)
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 0.0)
+    assert(out(3L) > 0.2 && out(3L) < 1.0, s"partial=${out(3L)}")
+  }
+
   test("sourceCentroidSimilarity: identical centroids cosine 1, orthogonal cosine 0") {
     val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sB"), (4L, "sC"))
       .toDF("doc_id", "source")
