@@ -1385,6 +1385,20 @@ private[graft] object OpsEntries {
     "q226_trigram_search" -> ((s, dir) =>
       TextOps.trigramSearch(t(s, dir, "documents"), "fast merge")),
 
+    // IVF nprobe sweep: recall@10 at nprobe 1/2/4 against ONE
+    // checkpointed exact run — the serving-latency/recall tuning curve.
+    "q240_nprobe_sweep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val exact = SimilarityOps.bruteForceTopK(q, e, 10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(true) // each sweep point reads it
+      Seq(1, 2, 4).map { np =>
+        SimilarityOps.recallAtK(SimilarityOps.ivfTrainedTopK(q, e, 10, np), exact)
+          .withColumn("nprobe", lit(np))
+      }.reduce(_ unionByName _)
+    }),
+
     // Rank-biased overlap: exact vs SQ8 top-10 per query — ranked-list
     // agreement weighted to the top (what recall@k flattens).
     "q239_rbo" -> ((s, dir) => {
@@ -2233,6 +2247,45 @@ private[graft] object OpsEntries {
          |SELECT ke.query_id, k_exact, coalesce(hits.h, 0) AS hits,
          |       round(coalesce(hits.h, 0) * 1.0 / k_exact, 6) AS recall
          |FROM ke LEFT JOIN hits ON ke.query_id = hits.query_id""".stripMargin
+
+  /** nprobe-sweep oracle: ONE trained k-means + cell ranking (`p0`),
+    * per-nprobe probe/top/recall branches filtering `r <= np`, the
+    * exact side shared — recall curves that cannot drift from q90/q101.
+    */
+  private def nprobeSweepSql(kCells: Int = 8, iters: Int = 3, dims: Int = 64,
+                             probes: Seq[Int] = Seq(1, 2, 4), topK: Int = 10): String = {
+    val branches = probes.map { np =>
+      s"""iv$np AS (SELECT p.query_id, asg.vec_id AS neighbor_id,
+         |        round(${cosSql("p.qv", "asg.embedding")}, 6) AS cos_sim
+         |      FROM asg JOIN (SELECT query_id, qv, cell FROM p0 WHERE r <= $np) p USING (cell)
+         |      WHERE p.query_id <> asg.vec_id),
+         |top$np AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r2 FROM iv$np)
+         |  WHERE r2 <= $topK),
+         |re$np AS (SELECT $np AS nprobe, ke.query_id, k_exact, coalesce(hh.h, 0) AS hits,
+         |         round(coalesce(hh.h, 0) * 1.0 / k_exact, 6) AS recall
+         |       FROM ke LEFT JOIN (SELECT query_id, count(*) AS h
+         |                          FROM ex JOIN top$np USING (query_id, neighbor_id)
+         |                          GROUP BY 1) hh
+         |         ON ke.query_id = hh.query_id)""".stripMargin
+    }
+    kmeansCtes(kCells, iters, dims) + kmeansAssignCtes(iters) +
+      s"""p0 AS (SELECT q.query_id, q.qv, c.cell,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY ${kmeansL2("q.qv", "c.cv")}, c.cell) AS r
+         |       FROM (SELECT vec_id AS query_id, embedding AS qv FROM emb WHERE vec_id < 5) q
+         |         CROSS JOIN cl$iters c),
+         |""".stripMargin + bruteCtes + ",\n" +
+      s"""ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS r FROM bs)
+         |  WHERE r <= $topK),
+         |ke AS (SELECT query_id, count(*) AS k_exact FROM ex GROUP BY 1),
+         |""".stripMargin + branches.mkString(",\n") + "\n" +
+      probes.map(np =>
+        s"SELECT CAST(nprobe AS INTEGER) AS nprobe, query_id, CAST(k_exact AS BIGINT) AS k_exact, " +
+          s"CAST(hits AS BIGINT) AS hits, recall FROM re$np")
+        .mkString("", "\nUNION ALL\n", "")
+  }
 
   /** The q175 curation replay, ending at CTE `v(doc_id, reason)` —
     * shared by the q175 verdict output and the q204 funnel rollup so
@@ -3907,6 +3960,8 @@ private[graft] object OpsEntries {
          |       CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
          |       round(avg(nll), 4) AS avg_nll
          |FROM sc GROUP BY doc_id""".stripMargin,
+
+    "q240_nprobe_sweep" -> nprobeSweepSql(),
 
     "q239_rbo" ->
       s"""WITH $bruteCtes,

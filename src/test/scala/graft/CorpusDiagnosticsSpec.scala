@@ -370,6 +370,24 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(out(3L) > 0.2 && out(3L) < 1.0, s"partial=${out(3L)}")
   }
 
+  test("nprobe sweep property: full probe equals brute force; recall non-decreasing") {
+    val emb = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(4)(d => ((i % 3) * 10 + 0.05f * ((i + d) % 7)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+    val exact = graft.ops.SimilarityOps.bruteForceTopK(q, emb, 5)
+      .select("query_id", "neighbor_id")
+    def avgRecall(np: Int): Double = {
+      val r = graft.ops.SimilarityOps.recallAtK(
+        graft.ops.SimilarityOps.ivfTrainedTopK(q, emb, 5, np, kCells = 4), exact)
+        .select("recall").as[Double].collect()
+      r.sum / r.length
+    }
+    val curve = Seq(1, 2, 4).map(avgRecall)
+    assert(curve(2) == 1.0, s"full probe must be exact: $curve")
+    assert(curve == curve.sorted, s"recall must be non-decreasing: $curve")
+  }
+
   test("sourceCentroidSimilarity: identical centroids cosine 1, orthogonal cosine 0") {
     val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sB"), (4L, "sC"))
       .toDF("doc_id", "source")
