@@ -1444,6 +1444,11 @@ private[graft] object OpsEntries {
     "q236_heaps_law" -> ((s, dir) =>
       TextOps.heapsLawCurve(t(s, dir, "documents"))),
 
+    // Zipf-law fit over the top-100 terms: log-freq vs log-rank slope
+    // + R² — the Heaps companion (natural ≈ −1; boilerplate flattens).
+    "q241_zipf_fit" -> ((s, dir) =>
+      TextOps.zipfFit(t(s, dir, "documents"))),
+
     // Frequency-weighted Jaccard between sources: the distributional
     // similarity the set view flattens; only shared terms join.
     "q233_weighted_jaccard" -> ((s, dir) =>
@@ -4067,6 +4072,25 @@ private[graft] object OpsEntries {
          |                      THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS pii_doc_rate
          |FROM c GROUP BY source""".stripMargin
     },
+
+    "q241_zipf_fit" ->
+      s"""WITH tk AS (SELECT unnest($toksExpr) AS term FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT term, count(*) AS n FROM tk GROUP BY 1),
+         |top AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rank FROM c
+         |        QUALIFY rank <= 100),
+         |pts AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000000) AS BIGINT) AS x,
+         |          CAST(round(ln(CAST(n AS DOUBLE)) * 1000000000) AS BIGINT) AS y
+         |        FROM top),
+         |mo AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |         sum(CAST(y AS HUGEINT) * y) AS syy,
+         |         sum(CAST(x AS HUGEINT) * y) AS sxy FROM pts),
+         |fin AS (SELECT n, CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+         |          CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+         |          CAST(n * syy - sy * sy AS DOUBLE) AS vy FROM mo)
+         |SELECT CAST(n AS BIGINT) AS n_terms, round(num / vx, 4) AS slope,
+         |       CASE WHEN vy > 0 THEN round(num * num / (vx * vy), 4) END AS r2
+         |FROM fin""".stripMargin,
 
     "q236_heaps_law" ->
       s"""WITH tk AS MATERIALIZED (SELECT

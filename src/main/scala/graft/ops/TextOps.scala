@@ -2092,6 +2092,44 @@ object TextOps {
       .select(col("term"), col("n"), col("p"), col("cum_p"), col("rank"))
   }
 
+  /** Zipf-law fit: OLS slope of log-frequency vs log-rank over the
+    * top-K terms — [[heapsLawCurve]]'s companion law (a natural corpus
+    * sits near slope −1; template/boilerplate corpora flatten, spam
+    * steepens). Ranks come from ONE take-ordered top-K (ties by term;
+    * the rank window runs over K rows only); logs bank as integer
+    * 1e-9 nanolog units, moments accumulate as exact decimals, and the
+    * slope/R² are the only floating-point steps.
+    *
+    * Output: one row (n_terms, slope 4dp, r2 4dp).
+    */
+  def zipfFit(docs: DataFrame, topK: Int = 100, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val ord = Window.orderBy(col("n").desc, col("term").asc)
+    val top = counts.orderBy(col("n").desc, col("term").asc).limit(topK)
+      .withColumn("rank", row_number().over(ord))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val pts = top.select(
+      round(log(col("rank").cast("double")) * 1e9).cast("long").as("__x"),
+      round(log(col("n").cast("double")) * 1e9).cast("long").as("__y"))
+    pts.agg(count(lit(1)).as("n_terms"),
+        sum(d(col("__x"))).as("__sx"), sum(d(col("__y"))).as("__sy"),
+        sum(d(col("__x")) * d(col("__x"))).as("__sxx"),
+        sum(d(col("__y")) * d(col("__y"))).as("__syy"),
+        sum(d(col("__x")) * d(col("__y"))).as("__sxy"))
+      .select(col("n_terms"),
+        (col("n_terms") * col("__sxy") - col("__sx") * col("__sy")).cast("double").as("__num"),
+        (col("n_terms") * col("__sxx") - col("__sx") * col("__sx")).cast("double").as("__vx"),
+        (col("n_terms") * col("__syy") - col("__sy") * col("__sy")).cast("double").as("__vy"))
+      .select(col("n_terms"),
+        round(col("__num") / col("__vx"), 4).as("slope"),
+        when(col("__vy") > 0,
+          round(col("__num") * col("__num") / (col("__vx") * col("__vy")), 4))
+          .otherwise(lit(null)).as("r2"))
+  }
+
   /** Trigram posting list of a corpus: one (doc, gram) row per
     * DISTINCT lowercase character trigram — the inverted index behind
     * substring search at corpus scale (the pg_trgm / code-search

@@ -388,6 +388,17 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(curve == curve.sorted, s"recall must be non-decreasing: $curve")
   }
 
+  test("zipfFit: an exact power law recovers its slope with r2 = 1") {
+    // term t_r repeated round(1000 / r) times -> freq = 1000/rank, slope -1
+    val words = (1 to 20).flatMap(r => Seq.fill(math.round(1000.0 / r).toInt)(f"t$r%02d"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = graft.ops.TextOps.zipfFit(docs, topK = 20)
+      .select("n_terms", "slope", "r2").as[(Long, Double, Double)].head()
+    assert(r._1 == 20L)
+    assert(math.abs(r._2 - (-1.0)) < 0.01, s"slope=${r._2}")
+    assert(r._3 > 0.999, s"r2=${r._3}")
+  }
+
   test("sourceCentroidSimilarity: identical centroids cosine 1, orthogonal cosine 0") {
     val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sB"), (4L, "sC"))
       .toDF("doc_id", "source")
