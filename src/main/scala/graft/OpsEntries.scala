@@ -135,11 +135,14 @@ private[graft] object OpsEntries {
 
     // Product quantization: 8 independent 16-codeword codebooks over
     // 8-dim slices (the kmeans recipe per subspace), every vector →
-    // 8 codes + reconstruction error. 8 bytes a vector instead of 256
-    // — the storage layout of billion-vector ANN.
+    // 8 codes + per-subspace reconstruction error. 8 bytes a vector
+    // instead of 256 — the storage layout of billion-vector ANN.
+    // LONG FORM (vec_id, subspace, code, sub_err) so every dialect
+    // sorts and hashes it row-for-row; the array layout stays the
+    // serving shape (pqEncode, exercised by q111/q112/q120).
     "q110_pq_encode" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      SimilarityOps.pqEncode(e, SimilarityOps.pqTrain(e), subDim = 8)
+      SimilarityOps.pqEncodeLong(e, SimilarityOps.pqTrain(e), subDim = 8)
     }),
 
     // Asymmetric-distance (ADC) top-10 over the PQ codes: per-probe
@@ -1965,18 +1968,21 @@ private[graft] object OpsEntries {
     sb.toString
   }
 
+  /** Long-form PQ encode replay: one UNION ALL branch per subspace,
+    * each joining `codesw` to that subspace's final codebook CTE —
+    * the (vec_id, subspace, code, sub_err) shape every dialect can
+    * sort and hash row-for-row.
+    */
   private def pqEncodeSql(m: Int = 8, subDim: Int = 8, k: Int = 16, iters: Int = 2): String = {
-    val codeList = (0 until m).map(s => s"CAST(c.cs$s AS INTEGER)").mkString("[", ", ", "]")
-    val joins = (0 until m).map(s => s"JOIN s${s}_cl$iters k$s ON k$s.cell = c.cs$s").mkString(" ")
-    val err = (0 until m).map { s =>
+    val branches = (0 until m).map { s =>
       val lo = s * subDim + 1
       val hi = (s + 1) * subDim
-      s"round(${kmeansL2(s"e.embedding[$lo:$hi]", s"k$s.cv")}, 6)"
-    }.mkString(" + ")
-    pqCtes(m, subDim, k, iters) +
-      s"""
-         |SELECT c.vec_id, $codeList AS codes, round($err, 4) AS recon_err
-         |FROM codesw c JOIN emb e ON e.vec_id = c.vec_id $joins""".stripMargin
+      s"""SELECT c.vec_id, $s AS subspace, CAST(c.cs$s AS INTEGER) AS code,
+         |  round(${kmeansL2(s"e.embedding[$lo:$hi]", s"k$s.cv")}, 6) AS sub_err
+         |FROM codesw c JOIN emb e ON e.vec_id = c.vec_id
+         |              JOIN s${s}_cl$iters k$s ON k$s.cell = c.cs$s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    pqCtes(m, subDim, k, iters) + "\n" + branches
   }
 
   private def pqAdcSql(m: Int = 8, subDim: Int = 8, k: Int = 16, iters: Int = 2,

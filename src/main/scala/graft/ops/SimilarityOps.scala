@@ -591,6 +591,31 @@ object SimilarityOps {
       round(err, 4).as("recon_err"))
   }
 
+  /** PQ encoding, LONG FORM: one row per (vector, subspace) carrying
+    * that subspace's codeword id and its 6dp-rounded squared-L2
+    * reconstruction error. Same codes as [[pqEncode]] (the array form
+    * stays the serving layout); this shape exists so any engine can
+    * sort and hash the result row-for-row — the `sqEncode` long-form
+    * discipline. The per-vector total `recon_err` replays as
+    * `sum(sub_err)` rounded to 4dp.
+    *
+    * Output: (idCol, subspace, code, sub_err). Map-only.
+    */
+  def pqEncodeLong(corpus: DataFrame, books: Array[Array[Array[Double]]], subDim: Int = 8,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = books.length
+    val staged = pqCodeCols(corpus, books, subDim, idCol, vecCol)
+    val rows = (0 until m).map { s =>
+      val bookArr = array(books(s).map(cw => array(cw.map(lit).toSeq: _*)).toSeq: _*)
+      struct(lit(s).as("subspace"), col(s"__c$s").cast("int").as("code"),
+        round(graft.functions.VectorExprs.l2Squared(
+          slice(col("__v"), s * subDim + 1, subDim),
+          element_at(bookArr, col(s"__c$s") + 1)), 6).as("sub_err"))
+    }
+    staged.select(col(idCol), explode(array(rows: _*)).as("__r"))
+      .select(col(idCol), col("__r.subspace"), col("__r.code"), col("__r.sub_err"))
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds
     * its m × k distance table ONCE (query slice vs every codeword —
     * literal arithmetic, 6dp-rounded entries), the table broadcasts

@@ -66,6 +66,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(enc(top1(i.toLong))._1 == enc(i.toLong)._1,
         s"query $i top-1 ${top1(i.toLong)} not in its code cell")
     }
+    // long form carries the SAME codes, one row per (vector, subspace),
+    // and its per-subspace errors sum back to the array form's total
+    val long = SimilarityOps.pqEncodeLong(emb, books, subDim = 8).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        val bySub = rs.sortBy(_.getInt(1))
+        id -> ((bySub.map(_.getInt(2)).toSeq, bySub.map(_.getDouble(3)).sum))
+      }
+    assert(long.keySet == enc.keySet)
+    long.foreach { case (id, (codes, errSum)) =>
+      assert(codes.size == 2 && codes == enc(id)._1,
+        s"long-form codes for $id diverge from array form")
+      assert(math.abs(BigDecimal(errSum).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble - enc(id)._2) < 1e-9,
+        s"sum(sub_err) for $id != recon_err")
+    }
   }
 
   test("ivfPqTopK: byte-identical copies share a cell and score identical ADC distances") {
