@@ -1390,14 +1390,21 @@ private[graft] object OpsEntries {
 
     // IVF nprobe sweep: recall@10 at nprobe 1/2/4 against ONE
     // checkpointed exact run — the serving-latency/recall tuning curve.
+    // The trained state is hoisted like the exact side: ONE training
+    // (driver-side centroid array) + ONE checkpointed cell assignment,
+    // every sweep point serves from it (r7 ran 3 identical trainings).
     "q240_nprobe_sweep" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
       val exact = SimilarityOps.bruteForceTopK(q, e, 10)
         .select("query_id", "neighbor_id")
         .localCheckpoint(true) // each sweep point reads it
+      val cents = SimilarityOps.ivfTrain(e)
+      val assigned = SimilarityOps.ivfAssign(e, cents)
+        .localCheckpoint(true) // the index build, paid once for the sweep
       Seq(1, 2, 4).map { np =>
-        SimilarityOps.recallAtK(SimilarityOps.ivfTrainedTopK(q, e, 10, np), exact)
+        SimilarityOps.recallAtK(
+            SimilarityOps.ivfServeTopK(q, assigned, cents, 10, np), exact)
           .withColumn("nprobe", lit(np))
       }.reduce(_ unionByName _)
     }),

@@ -233,28 +233,64 @@ object SimilarityOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cents = trainCentroids(clean, kCells, iters, idCol, vecCol)
-      val c = clean.select(assignCell(cents, vecCol).as("cell"),
+      ivfServeTopK(queries, ivfAssign(clean, cents, idCol, vecCol), cents, k, nprobe,
+        idCol, vecCol)
+    } finally clean.unpersist(blocking = false)
+  }
+
+  /** IVF TRAINING alone: the k-means centroids (4dp-rounded, the
+    * [[trainCentroids]] recipe) as a driver-side array — k×dims
+    * doubles, the broadcast-shippable trained state. Split out from
+    * [[ivfTrainedTopK]] so a sweep (q240's nprobe curve) trains ONCE
+    * and serves every sweep point from the same state instead of
+    * re-running `iters` corpus passes per point.
+    */
+  def ivfTrain(corpus: DataFrame, kCells: Int = 8, iters: Int = 3,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val clean = DedupOps.widen(corpus.filter(col(vecCol).isNotNull))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainCentroids(clean, kCells, iters, idCol, vecCol)
+    finally clean.unpersist(blocking = false)
+  }
+
+  /** Corpus routed to its IVF cells (map-only): (cell, neighbor_id,
+    * c_vec, c_norm). Checkpoint the result when several serve calls
+    * will read it — it is the index build, paid once.
+    */
+  def ivfAssign(corpus: DataFrame, cents: Array[Array[Double]],
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.filter(col(vecCol).isNotNull)
+      .select(assignCell(cents, vecCol).as("cell"),
         col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
         norm(col(vecCol)).as("c_norm"))
-      val distArr = array(cents.indices.map { j =>
-        struct(
-          graft.functions.VectorExprs.l2Squared(col(vecCol),
-            array(cents(j).map(lit).toSeq: _*)).as("d"),
-          lit(j).as("cell"))
-      }: _*)
-      val probes = queries.filter(col(vecCol).isNotNull)
-        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-          norm(col(vecCol)).as("q_norm"),
-          explode_outer(slice(array_sort(distArr), 1, nprobe)).as("p"))
-        .filter(col("p").isNotNull) // trap #7: keep distArr out of an inferred filter
-        .select(col("query_id"), col("q_vec"), col("q_norm"), col("p.cell").as("cell"))
-      val scored = c.join(broadcast(probes), Seq("cell"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          round(cosinePre(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")), 6).as("cos_sim"))
-      val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-    } finally clean.unpersist(blocking = false)
+
+  /** IVF SERVING over pre-built state: nprobe-cell routing per query
+    * (k-element literal (distance, cell) sort — no join), broadcast
+    * probe join against the assigned corpus, exact cosine inside the
+    * probed cells. `assigned` is [[ivfAssign]]'s output (checkpointed
+    * by the caller when reused across a sweep).
+    */
+  def ivfServeTopK(queries: DataFrame, assigned: DataFrame, cents: Array[Array[Double]],
+                   k: Int, nprobe: Int = 2,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val distArr = array(cents.indices.map { j =>
+      struct(
+        graft.functions.VectorExprs.l2Squared(col(vecCol),
+          array(cents(j).map(lit).toSeq: _*)).as("d"),
+        lit(j).as("cell"))
+    }: _*)
+    val probes = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_norm"),
+        explode_outer(slice(array_sort(distArr), 1, nprobe)).as("p"))
+      .filter(col("p").isNotNull) // trap #7: keep distArr out of an inferred filter
+      .select(col("query_id"), col("q_vec"), col("q_norm"), col("p.cell").as("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosinePre(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** SemDeDup (semantic deduplication, Abbas et al. 2023): k-means the
