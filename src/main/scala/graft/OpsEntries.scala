@@ -1487,9 +1487,8 @@ private[graft] object OpsEntries {
     "q232_label_spread" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.ops.GraphOps.labelSpread(docs,
-        t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
-          .select(col("vec_id").as("id"), col("label")),
-        DedupOps.minHashCandidates(docs))
+        t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0),
+        DedupOps.minHashCandidates(docs), seedIdCol = "vec_id")
     }),
 
     // Kneser-Ney bigram LM: absolute discounting (d=3/4, exact ×4
@@ -4180,7 +4179,7 @@ private[graft] object OpsEntries {
          |wgt AS (SELECT term, n,
          |          CAST(round(pow(CAST(n AS DOUBLE), 0.75) * 1000000) AS BIGINT) AS w6
          |        FROM c),
-         |t2 AS (SELECT sum(w6) AS tw FROM wgt),
+         |t2 AS (SELECT sum(w6) AS tw, sum(n) AS totn FROM wgt),
          |r AS (SELECT term, n, w6, row_number() OVER (ORDER BY n DESC, term) AS rank FROM wgt),
          |top AS (SELECT * FROM r WHERE rank <= 50)
          |SELECT term, CAST(n AS BIGINT) AS n,
@@ -4188,7 +4187,14 @@ private[graft] object OpsEntries {
          |       round((sum(w6) OVER (ORDER BY rank
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / CAST(tw AS DOUBLE), 6) AS cum_p,
          |       CAST(rank AS INTEGER) AS rank
-         |FROM top CROSS JOIN t2""".stripMargin,
+         |FROM top CROSS JOIN t2
+         |UNION ALL
+         |SELECT '<other>' AS term, CAST(totn - topn AS BIGINT) AS n,
+         |       round((tw - topw) / CAST(tw AS DOUBLE), 6) AS p,
+         |       1.0 AS cum_p, CAST(k + 1 AS INTEGER) AS rank
+         |FROM (SELECT sum(w6) AS topw, sum(n) AS topn, count(*) AS k FROM top)
+         |     CROSS JOIN t2
+         |WHERE totn > topn""".stripMargin,
 
     "q232_label_spread" ->
       s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},

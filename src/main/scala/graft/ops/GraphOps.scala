@@ -308,15 +308,22 @@ object GraphOps {
     * per component (no window), one broadcast-scale join back.
     *
     * Output: (id, component, label, label_src ∈ own|propagated|none).
+    *
+    * `seeds` is keyed by `seedIdCol` (defaults to `idCol`, so seeds
+    * drawn from the corpus frame need no rename) with labels in
+    * `labelCol`.
     */
   def labelSpread(docs: DataFrame, seeds: DataFrame, edges: DataFrame,
                   idCol: String = "doc_id", srcCol: String = "id_a",
-                  dstCol: String = "id_b"): DataFrame = {
+                  dstCol: String = "id_b", seedIdCol: String = null,
+                  labelCol: String = "label"): DataFrame = {
+    val sid = Option(seedIdCol).getOrElse(idCol)
     val comp = connectedComponents(edges, srcCol, dstCol)
     val joined = docs.select(col(idCol).cast("long").as("id"))
       .join(comp, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-      .join(seeds.select(col("id"), col("label").cast("long").as("__own")), Seq("id"), "left")
+      .join(seeds.select(col(sid).cast("long").as("id"),
+        col(labelCol).cast("long").as("__own")), Seq("id"), "left")
       .localCheckpoint(true) // majority aggregate + the final projection both read it
     val maj = joined.filter(col("__own").isNotNull)
       .groupBy("component", "__own").agg(count(lit(1)).as("__n"))

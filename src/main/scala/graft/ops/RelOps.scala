@@ -630,18 +630,30 @@ object RelOps {
     * fraction of the fact table. At these test sizes the exact join
     * alone would do; the operator exists for the shape.
     *
+    * The filter is keyed on [[SampleOps.seededHash]] of the key's
+    * string form, NOT a numeric cast — so any key type works (a UUID
+    * string under cast("long") nulls out and silently drops every
+    * row); hash collisions are just extra false positives the exact
+    * join removes. NOTE: building the filter is EAGER — sizing it
+    * takes a count of the distinct key set, so calling this runs two
+    * key-side jobs (count + filter build) before the returned frame
+    * is ever acted on.
+    *
     * Output: (key, n_events) per surviving key.
     */
   def bloomSemiJoinCount(facts: DataFrame, keys: DataFrame,
                          keyCol: String = "user_id",
                          fpp: Double = 0.01): DataFrame = {
     val spark = facts.sparkSession
-    val k = keys.select(col(keyCol).cast("long").as("__k")).distinct()
-    val bf = k.stat.bloomFilter("__k", math.max(k.count(), 1L), fpp)
+    val bloomSeed = 0xB100FL
+    val k = keys.select(col(keyCol)).distinct()
+    val kh = k.select(SampleOps.seededHash(col(keyCol), bloomSeed).as("__h"))
+    val bf = kh.stat.bloomFilter("__h", math.max(k.count(), 1L), fpp)
     val bc = spark.sparkContext.broadcast(bf)
     val might = udf((x: Long) => bc.value.mightContainLong(x))
-    facts.filter(might(col(keyCol).cast("long"))) // map-side runtime filter
-      .join(broadcast(k.select(col("__k").as(keyCol))), Seq(keyCol)) // exact
+    facts
+      .filter(might(SampleOps.seededHash(col(keyCol), bloomSeed))) // map-side runtime filter
+      .join(broadcast(k), Seq(keyCol)) // exact, on the ORIGINAL key values
       .groupBy(keyCol).agg(count(lit(1)).as("n_events"))
   }
 

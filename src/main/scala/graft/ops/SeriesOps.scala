@@ -487,12 +487,17 @@ object SeriesOps {
     * flagged).
     */
   /** Poisson rate anomalies: each day's count against the trailing
-    * 7-day mean (current day excluded), z = (n − μ)/√μ — the
-    * point-anomaly complement to [[cusumChangepoint]]'s level shifts
-    * (a one-day spike barely moves CUSUM; a level shift barely moves
-    * any single z). Days with fewer than `minPrior` prior days in the
-    * window are unscored (null z, never flagged). The window mean is
-    * sum/count on exact longs — one g-keyed window, no second pass.
+    * 7 OBSERVED days' mean (current day excluded), z = (n − μ)/√μ —
+    * the point-anomaly complement to [[cusumChangepoint]]'s level
+    * shifts (a one-day spike barely moves CUSUM; a level shift barely
+    * moves any single z). The frame is ROWS-based over the days the
+    * series actually recorded: zero-count days are absent from a
+    * groupBy-built `daily`, so across an activity gap the baseline
+    * deliberately spans more than 7 calendar days (densify the grid
+    * with a per-g calendar left-join first if calendar-time μ is
+    * wanted). Days with fewer than `minPrior` prior observed days are
+    * unscored (null z, never flagged). The window mean is sum/count
+    * on exact longs — one g-keyed window, no second pass.
     *
     * Output: (g, t, n, mu 4dp, z 4dp, anomaly) — anomaly compares the
     * ROUNDED z to the threshold so both engines sit on the same side

@@ -2060,16 +2060,21 @@ object TextOps {
   /** Negative-sampling distribution (word2vec's unigram^0.75): each
     * term weighted by count^power, normalized — flattening the Zipf
     * head so frequent words don't monopolize the negatives. Emits the
-    * top-K rows of the alias-style table: probability and cumulative
-    * range per term (the artifact a sampler binary-searches).
+    * top-K rows of the alias-style table PLUS one residual `<other>`
+    * row carrying the remaining tail mass with cum_p = 1, so the
+    * cumulative ranges cover all of [0, 1) and a sampler
+    * binary-searching a uniform draw always lands on a row (a draw in
+    * the residual range means "sample outside the head table").
     * Weights bank as integer 1e-6 units after the single pow call, so
     * the normalizer and the cumulative ranges are exact-integer sums.
     *
     * Plan shape: one count aggregate (checkpointed — normalizer +
     * top-K both read it), take-ordered K rows, the cumulative window
-    * over K rows only.
+    * over K rows only; the residual row is two broadcast scalars.
     *
-    * Output: (term, n, p 6dp, cum_p 6dp, rank).
+    * Output: (term, n, p 6dp, cum_p 6dp, rank); the residual row is
+    * (`<other>`, tail count, tail mass, 1.0, K+1), omitted when the
+    * vocabulary fits inside K.
     */
   def negativeSamplingTable(docs: DataFrame, topK: Int = 50, power: Double = 0.75,
                             textCol: String = "text"): DataFrame = {
@@ -2080,16 +2085,30 @@ object TextOps {
       .localCheckpoint(true) // normalizer + the top-K pass both read it
     val weighted = counts.select(col("term"), col("n"),
       round(pow(col("n").cast("double"), lit(power)) * 1e6).cast("long").as("__w6"))
-    val tot = broadcast(weighted.agg(sum("__w6").as("__tw")))
+    val tot = broadcast(weighted.agg(sum("__w6").as("__tw"), sum("n").as("__totn")))
     val top = weighted.orderBy(col("n").desc, col("term").asc).limit(topK)
+      .localCheckpoint(true) // head rows + the residual aggregate both read it
     val ord = Window.orderBy(col("n").desc, col("term").asc)
-    top.crossJoin(tot)
+    val head = top.crossJoin(tot)
       .withColumn("rank", row_number().over(ord).cast("int"))
       .withColumn("p", round(col("__w6") / col("__tw").cast("double"), 6))
       .withColumn("cum_p", round(
         sum("__w6").over(ord.rowsBetween(Window.unboundedPreceding, 0))
           / col("__tw").cast("double"), 6))
       .select(col("term"), col("n"), col("p"), col("cum_p"), col("rank"))
+    // `<other>` cannot collide with a real term: tokens() never emits
+    // angle brackets
+    val residual = top
+      .agg(sum("__w6").as("__topw"), sum("n").as("__topn"),
+        count(lit(1)).cast("int").as("__k"))
+      .crossJoin(tot)
+      .filter(col("__totn") > col("__topn"))
+      .select(lit("<other>").as("term"),
+        (col("__totn") - col("__topn")).as("n"),
+        round((col("__tw") - col("__topw")) / col("__tw").cast("double"), 6).as("p"),
+        lit(1.0).as("cum_p"),
+        (col("__k") + 1).as("rank"))
+    head.unionByName(residual)
   }
 
   /** Zipf-law fit: OLS slope of log-frequency vs log-rank over the
@@ -2140,8 +2159,13 @@ object TextOps {
                       textCol: String = "text"): DataFrame =
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol), lower(col(textCol)).as("__lt"))
+      // texts under 3 chars have no trigram; without the guard,
+      // sequence(1, 0) steps DOWN to [1, 0] (Spark defaults the step
+      // to -1 when start > stop) and emits bogus 0–2 char "grams" —
+      // SQL dialects whose generate_series(1, 0) is empty diverge
+      .filter(length(col("__lt")) >= 3)
       .select(col(idCol), explode(array_distinct(expr(
-        "transform(sequence(1, greatest(0, length(__lt) - 2)), i -> substr(__lt, i, 3))")))
+        "transform(sequence(1, length(__lt) - 2), i -> substr(__lt, i, 3))")))
         .as("gram"))
 
   /** Substring search through the trigram index: candidates are the

@@ -275,7 +275,7 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     // comp {4,5}: seeds 4->2, 5->1 (tie) -> unlabeled none here; both own
     // doc 6: isolated, no seed -> none
     val seeds = Seq((1L, 7L), (3L, 7L), (4L, 2L), (5L, 1L)).toDF("id", "label")
-    val out = graft.ops.GraphOps.labelSpread(docs, seeds, edges)
+    val out = graft.ops.GraphOps.labelSpread(docs, seeds, edges, seedIdCol = "id")
       .select("doc_id", "label", "label_src")
       .as[(Long, Option[Long], String)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
