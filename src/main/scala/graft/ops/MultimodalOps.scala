@@ -62,6 +62,84 @@ object MultimodalOps {
     media.mapPartitions(it => decoder.decodeBatch(it))
   }
 
+  /** REAL pure-JVM decoder: `javax.imageio` (PNG/BMP/GIF/JPEG readers
+    * ship with the JDK, no native libs). Same [[MediaDecoder]] contract
+    * as the stub — the pipeline downstream of `decode()` is unchanged;
+    * only width/height/n_frames become the container's true values.
+    * Payloads ImageIO cannot parse report (-1, -1, 0) — the quarantine
+    * marker a curation pass filters on, never an exception (one corrupt
+    * file must not kill a 100 TB scan).
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    override def decodeBatch(items: Iterator[MediaItem]): Iterator[DecodedMeta] =
+      items.map { m =>
+        val md = java.security.MessageDigest.getInstance("MD5").digest(m.payload)
+        val hash = md.map("%02x".format(_)).mkString
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          catch { case _: Exception => null }
+        if (img == null)
+          DecodedMeta(m.media_id, m.kind, m.payload.length.toLong, hash, -1, -1, 0)
+        else
+          DecodedMeta(m.media_id, m.kind, m.payload.length.toLong, hash,
+            img.getWidth, img.getHeight, 1)
+      }
+  }
+
+  /** REAL bytes → pixels stage: decode each payload with ImageIO and
+    * box-average its luminance (ITU-R 601 integer weights, exact long
+    * arithmetic — deterministic across JVMs) down to a rows×cols gray
+    * grid. Output schema is IDENTICAL to [[stubPixels]] (media_id, r,
+    * px[cols]), so [[dHashBands]] → [[imageHashNearDup]] consume either
+    * source unchanged — the decoder boundary carrying real pixels.
+    * Undecodable payloads drop (the [[ImageIoDecoder]] quarantine
+    * convention, caught by the metadata pass). Per-partition batched
+    * `mapPartitions`, the documented decoder boundary; map-only.
+    */
+  def imagePixels(media: DataFrame, rows: Int = 8, cols: Int = 9,
+                  idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth == 0 || img.getHeight == 0) Iterator.empty
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            (0 until rows).iterator.map { r =>
+              val px = (0 until cols).map { c =>
+                val x0 = c * w / cols
+                val x1 = math.max((c + 1) * w / cols, x0 + 1)
+                val y0 = r * h / rows
+                val y1 = math.max((r + 1) * h / rows, y0 + 1)
+                var sum = 0L
+                var n = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    val rgb = img.getRGB(x, y)
+                    sum += (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+                      (rgb & 0xff) * 114L) / 1000L
+                    n += 1
+                    x += 1
+                  }
+                  y += 1
+                }
+                (sum / n).toInt
+              }
+              (id, r, px)
+            }
+          }
+        }
+      }.toDF(idCol, "r", "px")
+  }
+
   /** Pure-expression metadata path (no decoder): byte length + content
     * hash + stubbed dimensions, for engines/oracles that can't run the
     * batch decoder. Must agree with [[StubDecoder]] (tested).

@@ -159,6 +159,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(15L), "image match with a different caption must NOT be a dup")
   }
 
+  // ---- real-decoder path: actual PNG bytes through the same boundary ----
+
+  /** In-memory PNG via the JDK's own encoder: pixel (x, y) colored by
+    * `f` — real container bytes, no fixtures on disk.
+    */
+  private def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+  private def gray(v: Int): Int = { val g = v & 0xff; (g << 16) | (g << 8) | g }
+
+  test("ImageIoDecoder: real PNG bytes yield true dimensions; garbage quarantines") {
+    val items = Seq(
+      MediaItem(0L, "image", png(40, 24)((x, _) => gray(x * 6))),
+      MediaItem(1L, "image", "not an image".getBytes("UTF-8")))
+    val meta = MultimodalOps.decode(spark.createDataset(items).repartition(2),
+        MultimodalOps.ImageIoDecoder)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(meta(0L).width == 40 && meta(0L).height == 24 && meta(0L).n_frames == 1)
+    assert(meta(1L).width == -1 && meta(1L).height == -1 && meta(1L).n_frames == 0,
+      "undecodable payload must quarantine, not throw")
+  }
+
+  test("real PNGs through imagePixels -> dHashBands -> imageHashNearDup: " +
+    "near-identical images pair, different images don't") {
+    // A: horizontal gradient; A': same gradient, mild brightness jitter
+    // on a couple of pixels (dHash-invariant: neighbor ORDER survives);
+    // B: vertical gradient (every dHash byte differs from A's).
+    val a = png(64, 64)((x, _) => gray(x * 4))
+    val a2 = png(64, 64)((x, y) => gray(x * 4 + (if (x == 10 && y < 3) 2 else 0)))
+    val b = png(64, 64)((_, y) => gray(y * 4))
+    val garbage = "corrupt".getBytes("UTF-8")
+    val media = Seq((0L, a), (1L, a2), (2L, b), (3L, garbage))
+      .toDF("media_id", "payload")
+    val pixels = MultimodalOps.imagePixels(media)
+    // 8 grid rows per decodable image, garbage dropped
+    val counts = pixels.groupBy("media_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(0L -> 8L, 1L -> 8L, 2L -> 8L))
+    val bands = MultimodalOps.dHashBands(pixels).localCheckpoint(true)
+    // horizontal gradient: every row byte = 0xFF (all neighbors ascend);
+    // vertical gradient: constant within a row -> byte 0
+    val bandVals = bands.as[(Long, Int, Int)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.map(_._3).toSet }
+    assert(bandVals(0L) == Set(0xff) && bandVals(2L) == Set(0))
+    val pairs = MultimodalOps.imageHashNearDup(bands)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)),
+      s"expected exactly the (A, A') near-dup pair, got ${pairs.mkString(",")}")
+    assert(pairs.head._3 == 0, "jitter below the luminance-box resolution")
+  }
+
   test("keyframes: scene boundaries kept, static frames and sub-threshold jitter dropped") {
     // video 1: frames 0-2 all-zero bytes (static), frames 3-5 all-255
     // (scene cut, Hamming 64); video 2: frame 1 differs from frame 0 by
