@@ -1252,6 +1252,40 @@ private[graft] object OpsEntries {
     // quality gate, with precedence, per-doc verdict + reason.
     "q175_curation_pipeline" -> ((s, dir) => curationFrame(t(s, dir, "documents"))),
 
+    // THE COMPOSED TRAINING-DATA BUILD — every stage is individually
+    // green (q175 curation, q63 decontamination, q141 mixture, q149
+    // layout); this entry chains them as ONE plan, because the
+    // composed checkpoint placement is what a user actually ships:
+    //   curation gate -> eval-split exclusion + decontamination ->
+    //   temperature-mixture admission -> shard/chunk layout.
+    // Checkpoints: the admitted frame feeds three consumers (mixture
+    // group aggregate, admission window, layout) and the mixture
+    // output feeds two (layout + final projection) — each is cut once.
+    // Output: one row per doc that survives ALL stages, carrying its
+    // mixture accounting and its physical layout slot.
+    "q202_corpus_build" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val textDocs = docs.filter(col("text").isNotNull)
+      val kept = curationFrame(docs).filter(col("keep")).select("doc_id")
+      val decon = DedupOps.evalGramOverlap(
+          textDocs.filter(col("doc_id") % 50 =!= 0),
+          textDocs.filter(col("doc_id") % 50 === 0))
+        .filter(col("contaminated") === false).select("doc_id")
+      val adm = docs.join(kept, Seq("doc_id")).join(decon, Seq("doc_id"))
+        .select(col("source"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .localCheckpoint(true)
+      val mixed = SampleOps.mixtureRealize(adm, "source", "doc_id", "n_tokens",
+          totalBudget = 50000L, temperature = 0.7)
+        .localCheckpoint(true)
+      val layout = SampleOps.concatChunkLayout(mixed.select("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", numShards = 8, chunkTokens = 512, seed = 42)
+      layout.join(
+        mixed.select(col("doc_id"), col("source"), col("weight"),
+          col("budget_tokens"), col("cum_tokens")),
+        Seq("doc_id"))
+    }),
+
     // Data funnel: docs + tokens surviving each q175 gate — the
     // one-page "where did my corpus go?" report.
     "q204_data_funnel" -> ((s, dir) => {
@@ -4404,6 +4438,55 @@ private[graft] object OpsEntries {
 
     "q175_curation_pipeline" ->
       (curationCtes + "\nSELECT doc_id, reason, reason = 'kept' AS keep FROM v"),
+
+    // The composed build: q175's v + q63's decontamination chain
+    // (z-prefixed to dodge CTE name clashes) + q141's mixture admission
+    // (budget 50000) + q149's shard/chunk layout, all in ONE statement.
+    "q202_corpus_build" ->
+      (curationCtes +
+        s""",
+           |zn AS (SELECT doc_id, $norm AS norm FROM documents WHERE text IS NOT NULL),
+           |zg AS (SELECT doc_id, $shingles8 AS grams FROM zn),
+           |zeg AS (SELECT DISTINCT unnest(grams) AS gr FROM zg WHERE doc_id % 50 = 0),
+           |ztr AS (SELECT doc_id, grams FROM zg WHERE doc_id % 50 <> 0),
+           |zhits AS (SELECT doc_id, count(*) AS hit_grams
+           |          FROM (SELECT doc_id, unnest(grams) AS gr FROM ztr) t JOIN zeg USING (gr)
+           |          GROUP BY doc_id),
+           |zdecon AS (SELECT doc_id FROM ztr LEFT JOIN zhits USING (doc_id)
+           |           WHERE round(coalesce(hit_grams, 0) / CAST(len(grams) AS DOUBLE), 4) < 0.5),
+           |zadm AS (SELECT d.source, d.doc_id, CAST(len($toksExpr) AS BIGINT) AS n_tokens
+           |         FROM documents d
+           |         JOIN v ON v.doc_id = d.doc_id AND v.reason = 'kept'
+           |         JOIN zdecon zd ON zd.doc_id = d.doc_id),
+           |zms AS (SELECT source, sum(n_tokens) AS grp_tokens FROM zadm GROUP BY 1),
+           |zw AS (SELECT source,
+           |         round(pow(CAST(grp_tokens AS DOUBLE), 0.7)
+           |               / sum(pow(CAST(grp_tokens AS DOUBLE), 0.7)) OVER (), 6) AS weight
+           |       FROM zms),
+           |zb AS (SELECT source, weight, CAST(floor(weight * 50000) AS BIGINT) AS budget_tokens FROM zw),
+           |zc AS (SELECT a.source, a.doc_id, a.n_tokens, zb.weight, zb.budget_tokens,
+           |         CAST(sum(n_tokens) OVER (PARTITION BY a.source
+           |           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000000,
+           |             doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           |       FROM zadm a JOIN zb USING (source)),
+           |zmadm AS (SELECT * FROM zc WHERE cum_tokens - n_tokens < budget_tokens),
+           |zf AS (SELECT doc_id, n_tokens,
+           |         CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+           |       FROM zmadm WHERE n_tokens > 0),
+           |zl AS (SELECT doc_id, n_tokens, CAST(hv % 8 AS INTEGER) AS shard,
+           |         CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT) AS shard_pos
+           |       FROM zf),
+           |zo AS (SELECT doc_id, shard, shard_pos, n_tokens,
+           |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY shard_pos
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+           |       FROM zl)
+           |SELECT zo.doc_id, zo.shard, zo.shard_pos, zo.n_tokens, zo.tok_offset,
+           |       zo.tok_offset // 512 AS first_chunk,
+           |       (zo.tok_offset + zo.n_tokens - 1) // 512 AS last_chunk,
+           |       ((zo.tok_offset + zo.n_tokens - 1) // 512) - (zo.tok_offset // 512) + 1 AS n_chunks,
+           |       m.source, m.weight, m.budget_tokens, m.cum_tokens
+           |FROM zo JOIN zmadm m USING (doc_id)""".stripMargin),
 
     "q204_data_funnel" ->
       (curationCtes +

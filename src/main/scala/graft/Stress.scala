@@ -273,6 +273,119 @@ object Stress {
       }
     }
 
+    // scale8: ORGANIC-SKEW ×x replica. scale7's uniform 10-way clones
+    // preserve uniformity; real lakes are Zipf-skewed in doc/source/
+    // shingle multiplicity. Here every base row draws its copy count
+    // from a truncated Zipf(s=1.75, 1..300) via inverse-CDF on a
+    // seeded hash (deterministic; mean ≈ x for x=10 — recorded, not
+    // assumed), so a head doc becomes a ~300-way dup CLIQUE: band
+    // buckets, shingle df, k-core degrees and source masses all go
+    // heavy-tailed at once. AQE + skew-join ON; per query we record
+    // time, spill, max task, and the AQE skew-split counts pulled from
+    // the executed plan — the direct evidence the skew machinery fired.
+    if (which == "scale8") {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      import graft.ops.SampleOps
+      val zipfDir = "/tmp/graft_scale_zipf"
+      val sExp = 1.75; val mMax = 300
+      val wts = (1 to mMax).map(m => math.pow(m, -sExp))
+      val cdf = wts.scanLeft(0.0)(_ + _).tail.map(_ / wts.sum)
+      val cdfArr = array(cdf.map(lit): _*)
+      def mult(id: org.apache.spark.sql.Column, seed: Long) = {
+        val u = (SampleOps.seededHash(id, seed) % 1000000000L).cast("double") / 1e9
+        size(filter(cdfArr, c => c < u)) + 1
+      }
+      // documents: copy c of doc d -> c·10M + d; copies keep the text
+      // verbatim (dup cliques), source rides along so source masses skew
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      docs.withColumn("__m", mult(col("doc_id"), 0xA11CEL))
+        .withColumn("__c", explode(sequence(lit(0), col("__m") - 1)))
+        .withColumn("doc_id", col("__c").cast("long") * 10000000L + col("doc_id"))
+        .drop("__m", "__c")
+        .write.mode("overwrite").parquet(s"$zipfDir/documents.parquet")
+      // embeddings: copies perturb by a 1e-4·copy first-dim ramp —
+      // NEAR-dup clusters of Zipf size (the semdedup/IVF cell stress)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      emb.withColumn("__m", mult(col("vec_id"), 0xBEEFL))
+        .withColumn("__c", explode(sequence(lit(0), col("__m") - 1)))
+        .select((col("__c").cast("long") * 10000000L + col("vec_id")).as("vec_id"),
+          concat(
+            array((element_at(col("embedding"), 1)
+              + col("__c").cast("float") * 1e-4f).cast("float")),
+            slice(col("embedding"), 2, 63)).as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$zipfDir/embeddings.parquet")
+
+      val spillB = new java.util.concurrent.atomic.AtomicLong
+      val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
+      val nTasks = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            spillB.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+            nTasks.incrementAndGet()
+            val rt = te.taskInfo.duration
+            var cur = maxTaskMs.get()
+            while (rt > cur && !maxTaskMs.compareAndSet(cur, rt)) cur = maxTaskMs.get()
+          }
+        }
+      })
+      // AQE skew evidence: sum numSkewedPartitions/numSkewedSplits over
+      // the EXECUTED adaptive plan (AQEShuffleReadExec carries them)
+      def skewStats(qe: org.apache.spark.sql.execution.QueryExecution): (Long, Long) = {
+        import org.apache.spark.sql.execution.SparkPlan
+        var sp = 0L; var ss = 0L
+        def walk(p: SparkPlan): Unit = {
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              walk(a.executedPlan)
+            case _ => ()
+          }
+          p.metrics.foreach { case (k, m) =>
+            if (k == "numSkewedPartitions") sp += m.value
+            if (k == "numSkewedSplits") ss += m.value
+          }
+          p.children.foreach(walk)
+        }
+        walk(qe.executedPlan); (sp, ss)
+      }
+      // the heavy pair/graph set + the exact-tier slice: the q185
+      // contract runs on ~50 BASE docs, which under Zipf replication
+      // means every surviving copy — head cliques included
+      val sliceFilter = (col("doc_id") % 10000000L) < 50
+      val named: Seq[(String, String => DataFrame)] = Seq(
+        "q21_minhash_lsh" -> (d => SparkEntry.queries("q21_minhash_lsh")(spark, d)),
+        "q100_semdedup_skew" -> (d => SparkEntry.queries("q100_semdedup_skew")(spark, d)),
+        "q174_dup_kcore" -> (d => SparkEntry.queries("q174_dup_kcore")(spark, d)),
+        "q226_trigram_search" -> (d => SparkEntry.queries("q226_trigram_search")(spark, d)),
+        "q227_pct_normalize" -> (d => SparkEntry.queries("q227_pct_normalize")(spark, d)),
+        "q185_slice_ppjoin" -> (d => graft.ops.DedupOps.ppJoinExact(
+          spark.read.parquet(s"$d/documents.parquet").filter(sliceFilter))),
+        "q202_corpus_build" -> (d => SparkEntry.queries("q202_corpus_build")(spark, d)))
+      named.foreach { case (_, fn) => // warm pass at base scale
+        try fn(sfDir).queryExecution.toRdd.count() catch { case _: Throwable => () }
+      }
+      val nzd = spark.read.parquet(s"$zipfDir/documents.parquet").count()
+      val nze = spark.read.parquet(s"$zipfDir/embeddings.parquet").count()
+      val topClique = spark.read.parquet(s"$zipfDir/documents.parquet")
+        .groupBy(col("doc_id") % 10000000L).count().agg(max("count")).as[Long].head()
+      println(s"STRESS_ZIPF corpus docs=$nzd emb=$nze top_clique=$topClique")
+      Seq(("base", sfDir), ("zipf", zipfDir)).foreach { case (tag, dir) =>
+        named.foreach { case (q, fn) =>
+          spillB.set(0); maxTaskMs.set(0); nTasks.set(0)
+          val df = fn(dir)
+          val (rows, t) = time(df.queryExecution.toRdd.count())
+          Thread.sleep(500) // let the listener bus drain before reading
+          val (sp, ss) = skewStats(df.queryExecution)
+          println(f"STRESS_ZIPF scale=$tag query=$q rows=$rows time=$t%.2fs " +
+            f"spill_bytes=${spillB.get()} tasks=${nTasks.get()} " +
+            f"max_task_ms=${maxTaskMs.get()} skew_parts=$sp skew_splits=$ss")
+        }
+      }
+    }
+
     // q95: the single-fat-source worst case — every doc in ONE group, so
     // the running-sum window sorts the whole corpus on one task (the
     // same concentration tokenBudgetPack's pre-filter bounds; sequence
