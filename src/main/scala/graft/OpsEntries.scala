@@ -1267,9 +1267,13 @@ private[graft] object OpsEntries {
       val docs = t(s, dir, "documents")
       val textDocs = docs.filter(col("text").isNotNull)
       val kept = curationFrame(docs).filter(col("keep")).select("doc_id")
+      // threshold 0.95, not q63's 0.5: the synthetic corpus is
+      // template-generated, so cross-split 8-gram overlap is background-
+      // high (~0.9 for EVERY doc at sf0.1) and 0.5 would zero the build;
+      // 0.95 targets the near-verbatim-copy tier the stage exists for
       val decon = DedupOps.evalGramOverlap(
           textDocs.filter(col("doc_id") % 50 =!= 0),
-          textDocs.filter(col("doc_id") % 50 === 0))
+          textDocs.filter(col("doc_id") % 50 === 0), threshold = 0.95)
         .filter(col("contaminated") === false).select("doc_id")
       val adm = docs.join(kept, Seq("doc_id")).join(decon, Seq("doc_id"))
         .select(col("source"), col("doc_id"),
@@ -4453,7 +4457,7 @@ private[graft] object OpsEntries {
            |          FROM (SELECT doc_id, unnest(grams) AS gr FROM ztr) t JOIN zeg USING (gr)
            |          GROUP BY doc_id),
            |zdecon AS (SELECT doc_id FROM ztr LEFT JOIN zhits USING (doc_id)
-           |           WHERE round(coalesce(hit_grams, 0) / CAST(len(grams) AS DOUBLE), 4) < 0.5),
+           |           WHERE round(coalesce(hit_grams, 0) / CAST(len(grams) AS DOUBLE), 4) < 0.95),
            |zadm AS (SELECT d.source, d.doc_id, CAST(len($toksExpr) AS BIGINT) AS n_tokens
            |         FROM documents d
            |         JOIN v ON v.doc_id = d.doc_id AND v.reason = 'kept'
