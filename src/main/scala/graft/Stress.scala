@@ -286,6 +286,17 @@ object Stress {
     if (which == "scale8") {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // thresholds scaled to the test corpus: the default skew trigger
+      // (256 MB skewed partition, 5x median) needs multi-GB shuffles —
+      // at ~50 MB total the RATIO structure is identical but absolute
+      // sizes never reach it. 256k/128k keeps factor-5 detection
+      // semantics while making the 100 TB skew-split behavior
+      // observable at test scale; 4 MB scan splits stand in for the
+      // many-file splits a real lake scan gets (a single /tmp parquet
+      // otherwise reads as 4 tasks and every map stage LOOKS serial).
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
       import graft.ops.SampleOps
       val zipfDir = "/tmp/graft_scale_zipf"
       val sExp = 1.75; val mMax = 300
@@ -375,8 +386,10 @@ object Stress {
       Seq(("base", sfDir), ("zipf", zipfDir)).foreach { case (tag, dir) =>
         named.foreach { case (q, fn) =>
           spillB.set(0); maxTaskMs.set(0); nTasks.set(0)
-          val df = fn(dir)
-          val (rows, t) = time(df.queryExecution.toRdd.count())
+          // construction INSIDE the timer: composite entries checkpoint
+          // eagerly, so plan construction IS most of their work
+          var df: DataFrame = null
+          val (rows, t) = time { df = fn(dir); df.queryExecution.toRdd.count() }
           Thread.sleep(500) // let the listener bus drain before reading
           val (sp, ss) = skewStats(df.queryExecution)
           println(f"STRESS_ZIPF scale=$tag query=$q rows=$rows time=$t%.2fs " +
