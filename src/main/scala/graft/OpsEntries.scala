@@ -1588,7 +1588,7 @@ private[graft] object OpsEntries {
     * quality gate with per-doc drop-reason precedence; shared by the
     * q175 verdict output and the q204 funnel rollup.
     */
-  private def curationFrame(docs: DataFrame): DataFrame = {
+  private[graft] def curationFrame(docs: DataFrame): DataFrame = {
     val fp = docs.select(col("doc_id"),
       coalesce(TextOps.fingerprint(col("text")),
         concat(lit("id:"), col("doc_id").cast("string"))).as("fp"))

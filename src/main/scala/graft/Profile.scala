@@ -81,7 +81,32 @@ object Profile {
               .otherwise(col("embedding")).as("embedding"))
         graft.ops.SimilarityOps.semDedupAdaptive(skewed, targetCellRows = 32,
           oversizeFactor = 1000000)
-      })
+      }),
+      // q202 composite stage breakdown: each entry times ONE stage of
+      // the corpus build in isolation (stages re-derive their inputs,
+      // so cb_mixture ⊃ cb_adm ⊃ cb_curation+cb_decon — subtract to
+      // isolate a stage; the composite entry itself prices the
+      // checkpointed chain)
+      "cb_curation" -> (() => OpsEntries.curationFrame(docs)),
+      "cb_decon" -> (() => {
+        val td = docs.filter(col("text").isNotNull)
+        graft.ops.DedupOps.evalGramOverlap(
+          td.filter(col("doc_id") % 50 =!= 0),
+          td.filter(col("doc_id") % 50 === 0), threshold = 0.95)
+      }),
+      "cb_adm" -> (() => {
+        val td = docs.filter(col("text").isNotNull)
+        val kept = OpsEntries.curationFrame(docs)
+          .filter(col("keep")).select("doc_id")
+        val decon = graft.ops.DedupOps.evalGramOverlap(
+            td.filter(col("doc_id") % 50 =!= 0),
+            td.filter(col("doc_id") % 50 === 0), threshold = 0.95)
+          .filter(col("contaminated") === false).select("doc_id")
+        docs.join(kept, Seq("doc_id")).join(decon, Seq("doc_id"))
+          .select(col("source"), col("doc_id"),
+            size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      }),
+      "cb_pipeline" -> (() => SparkEntry.queries("q202_corpus_build")(spark, sfDir))
     )
 
     args.take(1).foreach { name =>

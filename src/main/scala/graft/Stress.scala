@@ -289,14 +289,14 @@ object Stress {
       // thresholds scaled to the test corpus: the default skew trigger
       // (256 MB skewed partition, 5x median) needs multi-GB shuffles —
       // at ~50 MB total the RATIO structure is identical but absolute
-      // sizes never reach it. 256k/128k keeps factor-5 detection
+      // sizes never reach it. 64k/32k keeps factor-5 detection
       // semantics while making the 100 TB skew-split behavior
-      // observable at test scale; 4 MB scan splits stand in for the
+      // observable at test scale; 1 MB scan splits stand in for the
       // many-file splits a real lake scan gets (a single /tmp parquet
       // otherwise reads as 4 tasks and every map stage LOOKS serial).
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
-      spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
       import graft.ops.SampleOps
       val zipfDir = "/tmp/graft_scale_zipf"
       val sExp = 1.75; val mMax = 300
