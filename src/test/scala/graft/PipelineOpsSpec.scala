@@ -341,6 +341,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     }, "hits within [0, k_exact] and recall = hits/k_exact")
   }
 
+  test("ivfTrain + ivfAssign + ivfServeTopK reproduce ivfTrainedTopK row-for-row") {
+    import graft.ops.SimilarityOps
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val mono = SimilarityOps.ivfTrainedTopK(q, e, k = 10, nprobe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    val cents = SimilarityOps.ivfTrain(e)
+    val split = SimilarityOps.ivfServeTopK(q, SimilarityOps.ivfAssign(e, cents), cents,
+        k = 10, nprobe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(mono.length == split.length && mono.sameElements(split),
+      "split trained-state API must be the monolithic path, exactly")
+  }
+
   test("semDedupK scales cell count with corpus size, floors at 8, caps at 65536") {
     import graft.ops.SimilarityOps.semDedupK
     assert(semDedupK(0) === 8)
