@@ -1417,7 +1417,7 @@ private[graft] object OpsEntries {
           lit(1.0).as("weight"))
         .localCheckpoint(true) // budget aggregate + the allocation read it
       val budget = math.floor(
-        srcs.agg(sum("capacity")).head.getLong(0).toDouble * 0.4).toLong
+        srcs.agg(sum("capacity")).head().getLong(0).toDouble * 0.4).toLong
       SampleOps.waterfillAllocation(srcs, budget)
     }),
 

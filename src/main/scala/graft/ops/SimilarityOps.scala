@@ -81,7 +81,7 @@ object SimilarityOps {
   def lshBucket(vec: Column, planes: Int = 8, dims: Int = 64): Column = {
     val signs = planeSigns(planes, dims)
     (0 until planes).map { p =>
-      val signArr = array(signs(p).map(lit): _*)
+      val signArr = array(signs(p).map(lit).toIndexedSeq: _*)
       val proj = dot(vec, signArr)
       when(proj >= 0, lit(1L << p)).otherwise(0L)
     }.reduce[Column](_ + _)
