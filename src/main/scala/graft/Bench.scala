@@ -160,8 +160,17 @@ object Bench {
       (k match { case shortKey(p) => p; case other => other }) -> v
     }
     def num(v: Double) = f"$v%.4f"
+    // env-sourced strings (paths) ride into the JSON lines that exist to
+    // ALWAYS parse — escape them, or a quote/backslash in a path breaks
+    // the driver's tail-capture parse (the exact failure this line fixes)
+    def jstr(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val common =
-      s""""unit":"sec","samples":$samples,"calibration_sec":${num(calibrationSec)},"ingest_points_per_sec":$ingestRate,"ingest_e2e_points_per_sec":$e2eRate,"timing":"warm-median","sf":"$sfDir""""
+      s""""unit":"sec","samples":$samples,"calibration_sec":${num(calibrationSec)},"ingest_points_per_sec":$ingestRate,"ingest_e2e_points_per_sec":$e2eRate,"timing":"warm-median","sf":"${jstr(sfDir)}""""
     val stdoutJson =
       s"""{"metric":"total","value":${num(total)},$common,"key_style":"short","queries":${jmap(shortResults)}}"""
     println(stdoutJson)
@@ -176,7 +185,7 @@ object Bench {
     }.toMap
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     println(
-      s"""{"metric":"total","value":${num(total)},$common,"key_style":"short","queries_shown":"top20_of_${results.size}","full_record":"$out","queries":${jmap(top20)}}""")
+      s"""{"metric":"total","value":${num(total)},$common,"key_style":"short","queries_shown":"top20_of_${results.size}","full_record":"${jstr(out)}","queries":${jmap(top20)}}""")
     // the complete, parseable copy: full query names, spread dict. stdout
     // rides through sbt's log pipeline, which truncates long lines.
     val fileJson =

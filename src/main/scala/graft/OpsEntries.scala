@@ -1265,19 +1265,9 @@ private[graft] object OpsEntries {
     // mixture accounting and its physical layout slot.
     "q202_corpus_build" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val textDocs = docs.filter(col("text").isNotNull)
-      val kept = curationFrame(docs).filter(col("keep")).select("doc_id")
-      // threshold 0.95, not q63's 0.5: the synthetic corpus is
-      // template-generated, so cross-split 8-gram overlap is background-
-      // high (~0.9 for EVERY doc at sf0.1) and 0.5 would zero the build;
-      // 0.95 targets the near-verbatim-copy tier the stage exists for
-      val decon = DedupOps.evalGramOverlap(
-          textDocs.filter(col("doc_id") % 50 =!= 0),
-          textDocs.filter(col("doc_id") % 50 === 0), threshold = 0.95)
-        .filter(col("contaminated") === false).select("doc_id")
-      val adm = docs.join(kept, Seq("doc_id")).join(decon, Seq("doc_id"))
-        .select(col("source"), col("doc_id"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      // stage constants (0.95 verbatim-copy decon tier, % 50 eval split)
+      // live in deconFrame/admissionFrame, shared with Profile's cb_*
+      val adm = admissionFrame(docs)
         .localCheckpoint(true)
       val mixed = SampleOps.mixtureRealize(adm, "source", "doc_id", "n_tokens",
           totalBudget = 50000L, temperature = 0.7)
@@ -1608,6 +1598,35 @@ private[graft] object OpsEntries {
           .when(col("__q") < 0.5, "low_quality")
           .otherwise("kept").as("reason"))
       .withColumn("keep", col("reason") === "kept")
+  }
+
+  /** The q202 decontamination stage in isolation: docs whose 8-gram
+    * overlap against the `doc_id % 50 == 0` eval split stays below the
+    * verbatim-copy tier (0.95 — the synthetic corpus is template-
+    * generated, so cross-split overlap is background-high ~0.9 and
+    * q63's 0.5 would zero the build). ONE definition of the stage
+    * constants, shared by the q202 entry and the `Profile cb_*`
+    * stage-breakdown harness.
+    */
+  private[graft] def deconFrame(docs: DataFrame): DataFrame = {
+    val textDocs = docs.filter(col("text").isNotNull)
+    DedupOps.evalGramOverlap(
+      textDocs.filter(col("doc_id") % 50 =!= 0),
+      textDocs.filter(col("doc_id") % 50 === 0), threshold = 0.95)
+  }
+
+  /** The q202 admission frame: curation-kept ∩ uncontaminated docs with
+    * their token counts — the frame the mixture/layout stages consume.
+    * Shared by the q202 entry and `Profile cb_adm` so the stage
+    * constants exist exactly once.
+    */
+  private[graft] def admissionFrame(docs: DataFrame): DataFrame = {
+    val kept = curationFrame(docs).filter(col("keep")).select("doc_id")
+    val decon = deconFrame(docs)
+      .filter(col("contaminated") === false).select("doc_id")
+    docs.join(kept, Seq("doc_id")).join(decon, Seq("doc_id"))
+      .select(col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
   }
 
   // ---- DuckDB oracle SQL (independent re-implementation) ----

@@ -88,24 +88,8 @@ object Profile {
       // isolate a stage; the composite entry itself prices the
       // checkpointed chain)
       "cb_curation" -> (() => OpsEntries.curationFrame(docs)),
-      "cb_decon" -> (() => {
-        val td = docs.filter(col("text").isNotNull)
-        graft.ops.DedupOps.evalGramOverlap(
-          td.filter(col("doc_id") % 50 =!= 0),
-          td.filter(col("doc_id") % 50 === 0), threshold = 0.95)
-      }),
-      "cb_adm" -> (() => {
-        val td = docs.filter(col("text").isNotNull)
-        val kept = OpsEntries.curationFrame(docs)
-          .filter(col("keep")).select("doc_id")
-        val decon = graft.ops.DedupOps.evalGramOverlap(
-            td.filter(col("doc_id") % 50 =!= 0),
-            td.filter(col("doc_id") % 50 === 0), threshold = 0.95)
-          .filter(col("contaminated") === false).select("doc_id")
-        docs.join(kept, Seq("doc_id")).join(decon, Seq("doc_id"))
-          .select(col("source"), col("doc_id"),
-            size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-      }),
+      "cb_decon" -> (() => OpsEntries.deconFrame(docs)),
+      "cb_adm" -> (() => OpsEntries.admissionFrame(docs)),
       "cb_pipeline" -> (() => SparkEntry.queries("q202_corpus_build")(spark, sfDir))
     )
 

@@ -11,6 +11,30 @@ import org.apache.spark.sql.functions._
   * paths A/B. `runMain graft.Stress [semdedup|pack|all]`.
   */
 object Stress {
+  /** Task-level spill/duration counters fed by one SparkListener;
+    * `reset()` between timed queries, read after a listener-bus drain.
+    * One instance per session — shared by the scale7/scale8 loops so
+    * the measurement harness exists exactly once.
+    */
+  private final class TaskMetricsProbe(sc: org.apache.spark.SparkContext) {
+    val spillB = new java.util.concurrent.atomic.AtomicLong
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
+    val nTasks = new java.util.concurrent.atomic.AtomicLong
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          spillB.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+          nTasks.incrementAndGet()
+          val rt = te.taskInfo.duration
+          var cur = maxTaskMs.get()
+          while (rt > cur && !maxTaskMs.compareAndSet(cur, rt)) cur = maxTaskMs.get()
+        }
+      }
+    })
+    def reset(): Unit = { spillB.set(0); maxTaskMs.set(0); nTasks.set(0) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -207,21 +231,7 @@ object Stress {
         }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$scaleDir/events.parquet")
       }
 
-      val spillB = new java.util.concurrent.atomic.AtomicLong
-      val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
-      val nTasks = new java.util.concurrent.atomic.AtomicLong
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = te.taskMetrics
-          if (m != null) {
-            spillB.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
-            nTasks.incrementAndGet()
-            val rt = te.taskInfo.duration
-            var cur = maxTaskMs.get()
-            while (rt > cur && !maxTaskMs.compareAndSet(cur, rt)) cur = maxTaskMs.get()
-          }
-        }
-      })
+      val probe = new TaskMetricsProbe(spark.sparkContext)
       // scale7: the round-7 additions whose cost depends on corpus
       // growth — identical ×10 copies make EVERY doc a 10-way dup, so
       // candidate-pair queries (q128/q143) face ~100× pair density
@@ -264,11 +274,12 @@ object Stress {
       }
       Seq(("base", sfDir), (s"x$x", scaleDir)).foreach { case (tag, dir) =>
         heavy.foreach { q =>
-          spillB.set(0); maxTaskMs.set(0); nTasks.set(0)
+          probe.reset()
           val (rows, t) = time(SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count())
           Thread.sleep(500) // let the listener bus drain before reading
           println(f"STRESS_SCALE scale=$tag query=$q rows=$rows time=$t%.2fs " +
-            f"spill_bytes=${spillB.get()} tasks=${nTasks.get()} max_task_ms=${maxTaskMs.get()}")
+            f"spill_bytes=${probe.spillB.get()} tasks=${probe.nTasks.get()} " +
+            f"max_task_ms=${probe.maxTaskMs.get()}")
         }
       }
     }
@@ -327,22 +338,30 @@ object Stress {
             slice(col("embedding"), 2, 63)).as("embedding"),
           col("label"))
         .write.mode("overwrite").parquet(s"$zipfDir/embeddings.parquet")
+      // events: the multiplicity draws on USER_ID and the copies KEEP
+      // the user id — a head user's history multiplies ×m (up to ×300),
+      // the heavy-key stress for user-keyed windows (funnel, matched
+      // pairs, TWA state). event_id offsets per copy keep tie-break
+      // totality; ts shifts +c seconds so copies are distinct events,
+      // not duplicate rows a dedup would fold.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      // ts is either raw nanos (long) or TIMESTAMP_NTZ depending on how
+      // the session read the footer — shift by __c seconds in whichever
+      // arithmetic the type supports (the SparkEntry.events discipline).
+      val tsShift = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          col("ts") + col("__c").cast("long") * 1000000000L
+        case _ => expr("timestampadd(SECOND, __c, ts)")
+      }
+      ev.withColumn("__m", mult(col("user_id"), 0x5EEDL))
+        .withColumn("__c", explode(sequence(lit(0), col("__m") - 1)))
+        .withColumn("event_id", col("__c").cast("long") * 100000000L + col("event_id"))
+        .withColumn("ts", tsShift)
+        .drop("__m", "__c")
+        .write.mode("overwrite").parquet(s"$zipfDir/events.parquet")
 
-      val spillB = new java.util.concurrent.atomic.AtomicLong
-      val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
-      val nTasks = new java.util.concurrent.atomic.AtomicLong
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = te.taskMetrics
-          if (m != null) {
-            spillB.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
-            nTasks.incrementAndGet()
-            val rt = te.taskInfo.duration
-            var cur = maxTaskMs.get()
-            while (rt > cur && !maxTaskMs.compareAndSet(cur, rt)) cur = maxTaskMs.get()
-          }
-        }
-      })
+      val probe = new TaskMetricsProbe(spark.sparkContext)
       // AQE skew evidence: sum numSkewedPartitions/numSkewedSplits over
       // the EXECUTED adaptive plan (AQEShuffleReadExec carries them)
       def skewStats(qe: org.apache.spark.sql.execution.QueryExecution): (Long, Long) = {
@@ -362,6 +381,23 @@ object Stress {
         }
         walk(qe.executedPlan); (sp, ss)
       }
+      // Composite entries (q202) run their heavy joins inside eager
+      // localCheckpoint executions BEFORE the returned frame's plan, so
+      // walking only the final QueryExecution misses them. A
+      // QueryExecutionListener sees every Dataset action (checkpoint
+      // included) — accumulate those, then add the final frame's own
+      // plan (toRdd.count() is a raw RDD action the listener never sees).
+      val ckptSkewP = new java.util.concurrent.atomic.AtomicLong
+      val ckptSkewS = new java.util.concurrent.atomic.AtomicLong
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+          val (p, s) = skewStats(qe)
+          ckptSkewP.addAndGet(p); ckptSkewS.addAndGet(s)
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      })
       // the heavy pair/graph set + the exact-tier slice: the q185
       // contract runs on ~50 BASE docs, which under Zipf replication
       // means every surviving copy — head cliques included
@@ -374,7 +410,12 @@ object Stress {
         "q227_pct_normalize" -> (d => SparkEntry.queries("q227_pct_normalize")(spark, d)),
         "q185_slice_ppjoin" -> (d => graft.ops.DedupOps.ppJoinExact(
           spark.read.parquet(s"$d/documents.parquet").filter(sliceFilter))),
-        "q202_corpus_build" -> (d => SparkEntry.queries("q202_corpus_build")(spark, d)))
+        "q202_corpus_build" -> (d => SparkEntry.queries("q202_corpus_build")(spark, d)),
+        // heavy-USER arm: user-keyed window state under ×m histories
+        "q162_window_funnel" -> (d => SparkEntry.queries("q162_window_funnel")(spark, d)),
+        "q170_funnel_report" -> (d => SparkEntry.queries("q170_funnel_report")(spark, d)),
+        "q205_matched_pairs" -> (d => SparkEntry.queries("q205_matched_pairs")(spark, d)),
+        "q218_time_weighted_avg" -> (d => SparkEntry.queries("q218_time_weighted_avg")(spark, d)))
       named.foreach { case (_, fn) => // warm pass at base scale
         try fn(sfDir).queryExecution.toRdd.count() catch { case _: Throwable => () }
       }
@@ -382,10 +423,16 @@ object Stress {
       val nze = spark.read.parquet(s"$zipfDir/embeddings.parquet").count()
       val topClique = spark.read.parquet(s"$zipfDir/documents.parquet")
         .groupBy(col("doc_id") % 10000000L).count().agg(max("count")).as[Long].head()
-      println(s"STRESS_ZIPF corpus docs=$nzd emb=$nze top_clique=$topClique")
+      val nev = spark.read.parquet(s"$zipfDir/events.parquet").count()
+      val topUser = spark.read.parquet(s"$zipfDir/events.parquet")
+        .groupBy("user_id").count().agg(max("count")).as[Long].head()
+      val topUserBase = spark.read.parquet(s"$sfDir/events.parquet")
+        .groupBy("user_id").count().agg(max("count")).as[Long].head()
+      println(s"STRESS_ZIPF corpus docs=$nzd emb=$nze top_clique=$topClique " +
+        s"events=$nev top_user_events=$topUser base_top_user=$topUserBase")
       Seq(("base", sfDir), ("zipf", zipfDir)).foreach { case (tag, dir) =>
         named.foreach { case (q, fn) =>
-          spillB.set(0); maxTaskMs.set(0); nTasks.set(0)
+          probe.reset(); ckptSkewP.set(0); ckptSkewS.set(0)
           // construction INSIDE the timer: composite entries checkpoint
           // eagerly, so plan construction IS most of their work
           var df: DataFrame = null
@@ -393,8 +440,9 @@ object Stress {
           Thread.sleep(500) // let the listener bus drain before reading
           val (sp, ss) = skewStats(df.queryExecution)
           println(f"STRESS_ZIPF scale=$tag query=$q rows=$rows time=$t%.2fs " +
-            f"spill_bytes=${spillB.get()} tasks=${nTasks.get()} " +
-            f"max_task_ms=${maxTaskMs.get()} skew_parts=$sp skew_splits=$ss")
+            f"spill_bytes=${probe.spillB.get()} tasks=${probe.nTasks.get()} " +
+            f"max_task_ms=${probe.maxTaskMs.get()} " +
+            f"skew_parts=${sp + ckptSkewP.get()} skew_splits=${ss + ckptSkewS.get()}")
         }
       }
     }

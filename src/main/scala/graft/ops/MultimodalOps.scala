@@ -62,22 +62,53 @@ object MultimodalOps {
     media.mapPartitions(it => decoder.decodeBatch(it))
   }
 
+  /** Guarded ImageIO decode: peek the dimensions from the container
+    * header (no pixel allocation) and refuse any image whose pixel count
+    * exceeds `maxPixels` BEFORE the full decode. A decompression-bomb
+    * header declaring e.g. 60000×60000 would otherwise make ImageIO
+    * allocate a ~14 GB buffer and die with OutOfMemoryError — an Error,
+    * not an Exception, so a plain catch never sees it and one hostile
+    * file kills the scan. Streams through MemoryCacheImageInputStream so
+    * in-memory payloads never spill to ImageIO's default temp-file disk
+    * cache (the default `useCache=true` writes every payload to /tmp
+    * before decoding). Returns null for anything unreadable or
+    * oversized — the quarantine marker.
+    */
+  private def readImageGuarded(bytes: Array[Byte],
+      maxPixels: Long = 1L << 26): java.awt.image.BufferedImage =
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val w = reader.getWidth(0); val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) null
+            else reader.read(0)
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => null }
+
   /** REAL pure-JVM decoder: `javax.imageio` (PNG/BMP/GIF/JPEG readers
     * ship with the JDK, no native libs). Same [[MediaDecoder]] contract
     * as the stub — the pipeline downstream of `decode()` is unchanged;
     * only width/height/n_frames become the container's true values.
-    * Payloads ImageIO cannot parse report (-1, -1, 0) — the quarantine
-    * marker a curation pass filters on, never an exception (one corrupt
-    * file must not kill a 100 TB scan).
+    * Payloads ImageIO cannot parse — or whose headers declare a
+    * decompression-bomb pixel count (see [[readImageGuarded]]) — report
+    * (-1, -1, 0), the quarantine marker a curation pass filters on,
+    * never an exception (one corrupt file must not kill a 100 TB scan).
     */
   object ImageIoDecoder extends MediaDecoder {
     override def decodeBatch(items: Iterator[MediaItem]): Iterator[DecodedMeta] =
       items.map { m =>
         val md = java.security.MessageDigest.getInstance("MD5").digest(m.payload)
         val hash = md.map("%02x".format(_)).mkString
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-          catch { case _: Exception => null }
+        val img = readImageGuarded(m.payload)
         if (img == null)
           DecodedMeta(m.media_id, m.kind, m.payload.length.toLong, hash, -1, -1, 0)
         else
@@ -104,9 +135,7 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null }
+          val img = readImageGuarded(bytes)
           if (img == null || img.getWidth == 0 || img.getHeight == 0) Iterator.empty
           else {
             val w = img.getWidth
@@ -117,21 +146,19 @@ object MultimodalOps {
                 val x1 = math.max((c + 1) * w / cols, x0 + 1)
                 val y0 = r * h / rows
                 val y1 = math.max((r + 1) * h / rows, y0 + 1)
+                // one bulk getRGB per grid box: per-pixel getRGB pays a
+                // ColorModel conversion call per sample (~10-30× slower)
+                val bw = x1 - x0
+                val buf = img.getRGB(x0, y0, bw, y1 - y0, null, 0, bw)
                 var sum = 0L
-                var n = 0L
-                var y = y0
-                while (y < y1) {
-                  var x = x0
-                  while (x < x1) {
-                    val rgb = img.getRGB(x, y)
-                    sum += (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
-                      (rgb & 0xff) * 114L) / 1000L
-                    n += 1
-                    x += 1
-                  }
-                  y += 1
+                var i = 0
+                while (i < buf.length) {
+                  val rgb = buf(i)
+                  sum += (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+                    (rgb & 0xff) * 114L) / 1000L
+                  i += 1
                 }
-                (sum / n).toInt
+                (sum / buf.length).toInt
               }
               (id, r, px)
             }
