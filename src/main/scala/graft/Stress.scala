@@ -318,17 +318,31 @@ object Stress {
         val u = (SampleOps.seededHash(id, seed) % 1000000000L).cast("double") / 1e9
         size(filter(cdfArr, c => c < u)) + 1
       }
+      // v2 layout protocol: EVERY table the timed set reads is written
+      // as a 32-file layout — the Zipf replica AND an untouched base
+      // copy — so scan parallelism matches a many-file lake scan on
+      // both arms and base/zipf differ ONLY in content. A single /tmp
+      // parquet otherwise caps its map stage at the file's row-group
+      // count regardless of maxPartitionBytes (splits beyond a
+      // row-group start read zero rows): q226's corpus scan ran as 4
+      // tasks with a 15 s straggler that was pure LAYOUT, not skew.
+      val baseDir = "/tmp/graft_scale_zipf_base"
       // documents: copy c of doc d -> c·10M + d; copies keep the text
       // verbatim (dup cliques), source rides along so source masses skew
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      docs.repartition(32)
+        .write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
       docs.withColumn("__m", mult(col("doc_id"), 0xA11CEL))
         .withColumn("__c", explode(sequence(lit(0), col("__m") - 1)))
         .withColumn("doc_id", col("__c").cast("long") * 10000000L + col("doc_id"))
         .drop("__m", "__c")
+        .repartition(32)
         .write.mode("overwrite").parquet(s"$zipfDir/documents.parquet")
       // embeddings: copies perturb by a 1e-4·copy first-dim ramp —
       // NEAR-dup clusters of Zipf size (the semdedup/IVF cell stress)
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      emb.repartition(32)
+        .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
       emb.withColumn("__m", mult(col("vec_id"), 0xBEEFL))
         .withColumn("__c", explode(sequence(lit(0), col("__m") - 1)))
         .select((col("__c").cast("long") * 10000000L + col("vec_id")).as("vec_id"),
@@ -337,6 +351,7 @@ object Stress {
               + col("__c").cast("float") * 1e-4f).cast("float")),
             slice(col("embedding"), 2, 63)).as("embedding"),
           col("label"))
+        .repartition(32)
         .write.mode("overwrite").parquet(s"$zipfDir/embeddings.parquet")
       // events: the multiplicity draws on USER_ID and the copies KEEP
       // the user id — a head user's history multiplies ×m (up to ×300),
@@ -354,11 +369,14 @@ object Stress {
           col("ts") + col("__c").cast("long") * 1000000000L
         case _ => expr("timestampadd(SECOND, __c, ts)")
       }
+      ev.repartition(32)
+        .write.mode("overwrite").parquet(s"$baseDir/events.parquet")
       ev.withColumn("__m", mult(col("user_id"), 0x5EEDL))
         .withColumn("__c", explode(sequence(lit(0), col("__m") - 1)))
         .withColumn("event_id", col("__c").cast("long") * 100000000L + col("event_id"))
         .withColumn("ts", tsShift)
         .drop("__m", "__c")
+        .repartition(32)
         .write.mode("overwrite").parquet(s"$zipfDir/events.parquet")
 
       val probe = new TaskMetricsProbe(spark.sparkContext)
@@ -417,7 +435,7 @@ object Stress {
         "q205_matched_pairs" -> (d => SparkEntry.queries("q205_matched_pairs")(spark, d)),
         "q218_time_weighted_avg" -> (d => SparkEntry.queries("q218_time_weighted_avg")(spark, d)))
       named.foreach { case (_, fn) => // warm pass at base scale
-        try fn(sfDir).queryExecution.toRdd.count() catch { case _: Throwable => () }
+        try fn(baseDir).queryExecution.toRdd.count() catch { case _: Throwable => () }
       }
       val nzd = spark.read.parquet(s"$zipfDir/documents.parquet").count()
       val nze = spark.read.parquet(s"$zipfDir/embeddings.parquet").count()
@@ -430,7 +448,7 @@ object Stress {
         .groupBy("user_id").count().agg(max("count")).as[Long].head()
       println(s"STRESS_ZIPF corpus docs=$nzd emb=$nze top_clique=$topClique " +
         s"events=$nev top_user_events=$topUser base_top_user=$topUserBase")
-      Seq(("base", sfDir), ("zipf", zipfDir)).foreach { case (tag, dir) =>
+      Seq(("base", baseDir), ("zipf", zipfDir)).foreach { case (tag, dir) =>
         named.foreach { case (q, fn) =>
           probe.reset(); ckptSkewP.set(0); ckptSkewS.set(0)
           // construction INSIDE the timer: composite entries checkpoint
