@@ -292,9 +292,14 @@ object DedupOps {
     cand
       .join(ts.select(col("id").as("id_a"), col("tl").as("ta"), col("n").as("na")), Seq("id_a"))
       .join(ts.select(col("id").as("id_b"), col("tl").as("tb"), col("n").as("nb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long").as("__i"),
-        col("na"), col("nb"))
+      // explode-of-one (the NOTES_r3 trap-#7 idiom) blocks the alias
+      // substitution that would inline array_intersect into the join
+      // condition and evaluate the exact intersect TWICE per candidate
+      // pair — the dominant verify cost on the dropped majority. With
+      // the Generate barrier it runs ONCE; the threshold filter reads
+      // the materialized count.
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+        explode(array(size(array_intersect(col("ta"), col("tb"))).cast("long"))).as("__i"))
       .filter(col("__i") * tDen >= lit(tNum) * (col("na") + col("nb") - col("__i")))
       .select(col("id_a"), col("id_b"),
         round(col("__i") / (col("na") + col("nb") - col("__i")).cast("double"), 4).as("jaccard"))
