@@ -836,10 +836,11 @@ object SimilarityOps {
     * unrolled SQL and hash-match the eigenvector.
     *
     * Plan shape: moments come from ONE pass each — first moments via
-    * posexplode, second moments via the upper-triangle pair fan-out
-    * (d·(d+1)/2 cells per row; the same O(d²) work any Gramian costs,
-    * and the groupBy is partial-aggregable so the shuffle carries
-    * #partitions × 2080 rows, not the corpus). Each power step is a
+    * posexplode, second moments via a broadcast upper-triangle (i,j)
+    * grid nested-loop-joined against the corpus (d·(d+1)/2 cells per
+    * row, multiplied inside codegen; the same O(d²) work any Gramian
+    * costs, and the groupBy is partial-aggregable so the shuffle
+    * carries #partitions × 2080 rows, not the corpus). Each power step is a
     * broadcast join against the 4096-row covariance — bounded driver
     * reads only, exactly like the k-means centroid loop.
     *
@@ -856,14 +857,18 @@ object SimilarityOps {
       .select(x6arr.as("__x6"))
     val firsts = base.select(posexplode(col("__x6")).as(Seq("pos", "x")))
       .groupBy("pos").agg(count(lit(1)).as("n"), sum("x").as("s"))
-    val idx = sequence(lit(0), lit(dims - 1))
-    val pairs = base.select(explode(flatten(transform(idx, i =>
-        transform(sequence(i, lit(dims - 1)), j =>
-          struct(i.as("i"), j.as("j"),
-            (element_at(col("__x6"), (i + 1).cast("int"))
-              * element_at(col("__x6"), (j + 1).cast("int"))).as("p")))))).as("e"))
-      .select(col("e.i"), col("e.j"), col("e.p"))
-      .groupBy("i", "j").agg(sum(col("p").cast("decimal(38,0)")).as("s2"))
+    // broadcast (i,j) upper-triangle grid instead of a nested
+    // transform/flatten fan-out: higher-order functions run outside
+    // whole-stage codegen and allocate a struct per cell, which made
+    // the per-row O(d²) generate the dominant cost; the nested-loop
+    // join multiplies in codegen with no shuffle (the grid is the
+    // broadcast side) and feeds the same partial-aggregable groupBy.
+    val grid = broadcast(
+      (for (i <- 0 until dims; j <- i until dims) yield (i, j)).toDF("i", "j"))
+    val pairs = base.crossJoin(grid)
+      .groupBy("i", "j")
+      .agg(sum((element_at(col("__x6"), col("i") + 1)
+        * element_at(col("__x6"), col("j") + 1)).cast("decimal(38,0)")).as("s2"))
     // covariance cells, 6dp, computed engine-side (upper triangle)
     val covUpper = pairs
       .join(broadcast(firsts.select(col("pos").as("i"), col("s").as("si"), col("n"))), Seq("i"))
@@ -1580,5 +1585,61 @@ object SimilarityOps {
         round(when(col("__hc6") > 0 && col("__hl6") > 0,
           col("__mi6") / sqrt(col("__hc6").cast("double") * col("__hl6").cast("double")))
           .otherwise(0.0), 6).as("nmi"))
+  }
+
+  /** Simplified (centroid-based) silhouette per cluster — the cluster-
+    * quality score that tells a SemDedup/IVF build whether its k
+    * produced real structure or arbitrary partitions, at O(n·k)
+    * instead of the O(n²) of the classic pairwise silhouette
+    * (Rousseeuw 1987; the centroid simplification is the standard
+    * large-n form). Per vector: a = squared-L2 to its own centroid,
+    * b = min squared-L2 to any other centroid,
+    * s = (b − a) / max(a, b) (0 when both are 0); per cluster the mean
+    * of 6dp-rounded s banks at 1e6 (exact, order-free).
+    *
+    * Plan shape: the Lloyd loop is [[kmeans]]'s (deterministic init /
+    * tie-break / 4dp rounding — the oracle replays it as unrolled
+    * CTEs); assignment is the single-pass literal-centroid expression
+    * (map-only); distances come from ONE broadcast nested-loop join
+    * against the k-row centroid table (n·k rows, codegen'd l2);
+    * the per-cluster rollup is one partial-aggregable groupBy. Nothing
+    * shuffles the corpus beyond the Lloyd iterations themselves.
+    *
+    * Output: (cell, n, mean_sil 6dp) — one row per non-empty cluster.
+    */
+  def silhouetteReport(emb: DataFrame, k: Int = 8, iters: Int = 3,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2, "silhouette needs at least 2 clusters (b is undefined for k = 1)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val clean = emb.filter(col(vecCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = trainCentroids(clean, k, iters, idCol, vecCol)
+      val centDf = broadcast(
+        cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+          .toDF("__ocell", "__cv"))
+      clean
+        .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+          assignCell(cents, vecCol).as("__cell"))
+        .filter(col("__cell").isNotNull)
+        .crossJoin(centDf)
+        .select(col("__id"), col("__cell"), col("__ocell"),
+          graft.functions.VectorExprs.l2Squared(col("__v"), col("__cv")).as("__d"))
+        .groupBy("__id", "__cell")
+        .agg(min(when(col("__ocell") === col("__cell"), col("__d"))).as("__a"),
+          min(when(col("__ocell") =!= col("__cell"), col("__d"))).as("__b"))
+        .select(col("__cell"),
+          round(when(greatest(col("__a"), col("__b")) > 0,
+            (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+            .otherwise(0.0), 6).as("__s"))
+        .groupBy(col("__cell").as("cell"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("__s") * 1e6).cast("long")) / count(lit(1)) / lit(1e6), 6)
+            .as("mean_sil"))
+        // k-row result, materialized eagerly while `clean` is still
+        // cached — the distance pass reads the cache, not the source
+        .localCheckpoint(true)
+    } finally clean.unpersist(blocking = false)
   }
 }
