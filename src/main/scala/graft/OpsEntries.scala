@@ -1571,6 +1571,39 @@ private[graft] object OpsEntries {
         .select(col("media_id"), col("frame_idx"),
           concat(col("payload"), lit("#"), col("__scene").cast("string")).as("fkey"))
       MultimodalOps.keyframes(MultimodalOps.frameDHashBands(frames))
+    }),
+
+    // Bradley-Terry preference strengths over sources: consecutive-id
+    // doc pairs are head-to-head "which is longer" comparisons (a
+    // deterministic stand-in for human preference pairs); 3 MM rounds,
+    // mean-1 normalized, every float step 6dp-banked — the oracle
+    // unrolls the loop as CTEs (the q156 discipline).
+    "q242_bradley_terry" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("n_chars").isNotNull)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val cmp = d.select(col("doc_id"), col("source").as("s1"), col("n_chars").as("l1"))
+        .join(d.select((col("doc_id") - 1).as("doc_id"),
+          col("source").as("s2"), col("n_chars").as("l2")), Seq("doc_id"))
+        .filter(col("s1") =!= col("s2") && col("l1") =!= col("l2"))
+        .select(when(col("l1") > col("l2"), col("s1")).otherwise(col("s2")).as("winner"),
+          when(col("l1") > col("l2"), col("s2")).otherwise(col("s1")).as("loser"))
+      ModelOps.bradleyTerry(cmp)
+    }),
+
+    // Simplified (centroid-based) silhouette per k-means cluster: the
+    // "did k produce real structure" quality score for the SemDedup /
+    // IVF builds, at O(n*k) — same Lloyd trace as q64.
+    "q243_silhouette" -> ((s, dir) =>
+      SimilarityOps.silhouetteReport(t(s, dir, "embeddings"))),
+
+    // Split-conformal quality gate: finite-sample alpha=1/10 quantile
+    // of the doc_id%5==0 calibration split's quality scores + the
+    // admission report it implies on the rest of the corpus.
+    "q244_conformal_gate" -> ((s, dir) => {
+      val q = TextOps.qualityFrame(t(s, dir, "documents"))
+      ModelOps.conformalThreshold(
+        q.select(col("quality_score"), (col("doc_id") % 5 === 0).as("__cal")))
     })
   )
 
@@ -5206,8 +5239,92 @@ private[graft] object OpsEntries {
          |       CAST(sum(CASE WHEN k THEN 1 ELSE 0 END) AS BIGINT) AS n_keyframes,
          |       coalesce(string_agg(CASE WHEN k THEN CAST(frame_idx AS VARCHAR) END, ','
          |         ORDER BY frame_idx), '') AS keyframe_idxs
-         |FROM kf GROUP BY media_id""".stripMargin
+         |FROM kf GROUP BY media_id""".stripMargin,
+
+    "q242_bradley_terry" ->
+      s"""WITH ${btCtes(iters = 3)}
+         |SELECT t.item, t.games, t.wins, w.w AS strength
+         |FROM tot t JOIN w3 w ON w.item = t.item""".stripMargin,
+
+    "q243_silhouette" ->
+      s"""${kmeansCtes(8, 3, 64)}${kmeansAssignCtes(3)}d AS (
+         |  SELECT a.vec_id, a.cell, c.cell AS ocell,
+         |         ${kmeansL2("a.embedding", "c.cv")} AS d
+         |  FROM asg a CROSS JOIN cl3 c),
+         |per AS (SELECT vec_id, cell,
+         |          min(CASE WHEN ocell = cell THEN d END) AS a,
+         |          min(CASE WHEN ocell <> cell THEN d END) AS b
+         |        FROM d GROUP BY 1, 2),
+         |sil AS (SELECT cell,
+         |          round(CASE WHEN greatest(a, b) > 0
+         |                THEN (b - a) / greatest(a, b) ELSE 0.0 END, 6) AS s
+         |        FROM per)
+         |SELECT CAST(cell AS INTEGER) AS cell, count(*) AS n,
+         |       round(sum(CAST(round(s * 1000000) AS BIGINT)) / count(*) / 1000000.0, 6) AS mean_sil
+         |FROM sil GROUP BY cell""".stripMargin,
+
+    "q244_conformal_gate" ->
+      s"""WITH q AS ($q26Sql),
+         |sc AS (SELECT quality_score AS s, doc_id % 5 = 0 AS cal FROM q),
+         |bins AS (SELECT s, count(*) AS c FROM sc WHERE cal GROUP BY s),
+         |cum AS (SELECT s, sum(c) OVER (ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM bins),
+         |nc AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM bins),
+         |kv AS (SELECT n_cal, CAST(floor((n_cal + 1) * 1 / 10) AS BIGINT) AS k FROM nc),
+         |thr AS (SELECT n_cal, k, min(s) AS threshold
+         |        FROM cum CROSS JOIN kv WHERE cum >= k GROUP BY 1, 2),
+         |rest AS (SELECT n_cal, k, threshold, count(*) AS n_rest,
+         |           CAST(sum(CASE WHEN s >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS kept_n
+         |         FROM sc CROSS JOIN thr WHERE NOT cal GROUP BY 1, 2, 3)
+         |SELECT n_cal, k, threshold, n_rest, kept_n,
+         |       round(kept_n / CAST(n_rest AS DOUBLE), 4) AS kept_frac
+         |FROM rest""".stripMargin
   )
+
+  /** The unrolled Bradley-Terry MM chain up to strengths `w<iters>` —
+    * comparisons from consecutive-id length head-to-heads, games /
+    * totals, then per-round banked term sums, updates and mean-1
+    * normalization mirroring [[graft.ops.ModelOps.bradleyTerry]].
+    */
+  private def btCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """cmp AS (SELECT CASE WHEN d1.n_chars > d2.n_chars THEN d1.source ELSE d2.source END AS winner,
+        |               CASE WHEN d1.n_chars > d2.n_chars THEN d2.source ELSE d1.source END AS loser
+        |        FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+        |        WHERE d1.n_chars IS NOT NULL AND d2.n_chars IS NOT NULL
+        |          AND d1.source <> d2.source AND d1.n_chars <> d2.n_chars),
+        |g AS (SELECT least(winner, loser) AS a, greatest(winner, loser) AS b, count(*) AS n,
+        |             CAST(sum(CASE WHEN winner <= loser THEN 1 ELSE 0 END) AS BIGINT) AS wa
+        |      FROM cmp GROUP BY 1, 2),
+        |tot AS (SELECT item, CAST(sum(w) AS BIGINT) AS wins, CAST(sum(n) AS BIGINT) AS games
+        |        FROM (SELECT a AS item, wa AS w, n FROM g
+        |              UNION ALL SELECT b, n - wa, n FROM g) GROUP BY 1),
+        |ni AS (SELECT CAST(count(*) AS DOUBLE) AS ni FROM tot),
+        |w0 AS (SELECT item, 1.0 AS w FROM tot),
+        |""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(
+        s"""p$i AS (SELECT g.a, g.b,
+           |          CAST(round(g.n / (wa.w + wb.w) * 1000000) AS BIGINT) AS t6
+           |        FROM g JOIN w${i - 1} wa ON wa.item = g.a
+           |               JOIN w${i - 1} wb ON wb.item = g.b
+           |        WHERE wa.w + wb.w > 0),
+           |s$i AS (SELECT item, CAST(sum(t6) AS BIGINT) AS s6
+           |        FROM (SELECT a AS item, t6 FROM p$i
+           |              UNION ALL SELECT b, t6 FROM p$i) GROUP BY 1),
+           |u$i AS (SELECT t.item,
+           |          CASE WHEN s.s6 > 0 THEN round(t.wins * 1000000.0 / s.s6, 6)
+           |               ELSE 0.0 END AS w
+           |        FROM tot t LEFT JOIN s$i s ON s.item = t.item),
+           |n$i AS (SELECT CAST(sum(CAST(round(w * 1000000) AS BIGINT)) AS BIGINT) AS t6 FROM u$i),
+           |w$i AS (SELECT item,
+           |          round(w * (SELECT ni FROM ni) * 1000000.0 / (SELECT t6 FROM n$i), 6) AS w
+           |        FROM u$i),
+           |""".stripMargin)
+    }
+    sb.toString.stripSuffix(",\n")
+  }
 
   /** HLL register CTE from an items CTE `(g, item)` — the seeded-md5
     * 60-bit hash, low 8 bits register, leading-zero rank of the top 52

@@ -607,4 +607,119 @@ object ModelOps {
       .select(col(groupCol), col("true_n"), lit(eps).as("eps"), noise.as("noise"),
         greatest(lit(0.0), round(col("true_n") + noise)).cast("long").as("noisy_n"))
   }
+
+  /** Bradley–Terry preference strengths from pairwise comparisons —
+    * the rating model behind preference-data curation (which annotator
+    * / source / policy wins head-to-heads), fit by the classic
+    * minorization–maximization update (Zermelo 1929; Hunter, Ann.
+    * Statist. 2004): w_i ← W_i / Σ_pairs(i,j) n_ij / (w_i + w_j),
+    * renormalized to mean 1 each round.
+    *
+    * Engine-replayable by the [[logRegTrain]] discipline: per-pair
+    * terms n_ij/(w_i+w_j) round to 6dp and bank at 1e6 (longs: exact,
+    * order-free), the update divides the integer win count by the
+    * banked sum, and normalization divides by the banked strength
+    * total — every float step is the identical IEEE sequence in any
+    * engine, so the oracle unrolls the loop as CTEs and hash-matches.
+    *
+    * Plan shape: ONE corpus-scale pass aggregates comparisons to the
+    * games table (a, b, n, wins_a — at most items² rows, partial-
+    * aggregable), checkpointed because every iteration reads it; per
+    * iteration one broadcast join (current strengths) + two bounded
+    * aggregates; the driver ferries #items rounded doubles per round
+    * (the Lloyd/GD precedent). Items are a governance-sized set
+    * (sources, annotators, policies) — the corpus never shuffles
+    * twice.
+    *
+    * Zero-win items converge to strength 0 (the MM fixed point when
+    * an item loses every game); pairs whose strengths sum to 0 are
+    * skipped in the term sum, matching the oracle's WHERE guard.
+    *
+    * Output: (item, games, wins, strength) — one row per item.
+    */
+  def bradleyTerry(comparisons: DataFrame, iters: Int = 3,
+                   winnerCol: String = "winner",
+                   loserCol: String = "loser"): DataFrame = {
+    val spark = comparisons.sparkSession
+    import spark.implicits._
+    val games = comparisons
+      .select(least(col(winnerCol), col(loserCol)).as("a"),
+        greatest(col(winnerCol), col(loserCol)).as("b"),
+        when(col(winnerCol) <= col(loserCol), 1L).otherwise(0L).as("wa"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"), sum("wa").as("wins_a"))
+      .localCheckpoint(true) // totals + every MM iteration read it
+    val tot = games.select(col("a").as("item"), col("wins_a").as("w"), col("n"))
+      .unionByName(games.select(col("b").as("item"),
+        (col("n") - col("wins_a")).as("w"), col("n")))
+      .groupBy("item").agg(sum("w").as("wins"), sum("n").as("games"))
+      .localCheckpoint(true) // every iteration's update reads it
+    val nItems = tot.count()
+    require(nItems > 0, "bradleyTerry: no comparisons")
+    var w: Seq[(String, Double)] = tot.select("item").collect()
+      .map(_.getString(0) -> 1.0).sortBy(_._1).toSeq
+    for (_ <- 1 to iters) {
+      val wDf = broadcast(w.toDF("item", "w"))
+      val terms = games
+        .join(wDf.select(col("item").as("a"), col("w").as("w_a")), Seq("a"))
+        .join(wDf.select(col("item").as("b"), col("w").as("w_b")), Seq("b"))
+        .filter(col("w_a") + col("w_b") > 0)
+        .select(col("a"), col("b"),
+          round(col("n") / (col("w_a") + col("w_b")) * 1e6).cast("long").as("t6"))
+      val s = terms.select(col("a").as("item"), col("t6"))
+        .unionByName(terms.select(col("b").as("item"), col("t6")))
+        .groupBy("item").agg(sum("t6").as("s6"))
+      val upd = tot.join(s, Seq("item"), "left")
+        .select(col("item"),
+          when(col("s6") > 0, round(col("wins") * lit(1e6) / col("s6"), 6))
+            .otherwise(0.0).as("w"))
+      val t6 = upd.agg(sum(round(col("w") * 1e6).cast("long")).as("t6"))
+      w = upd.crossJoin(broadcast(t6))
+        .select(col("item"),
+          round(col("w") * lit(nItems.toDouble) * lit(1e6) / col("t6"), 6).as("w"))
+        .collect() // #items rows — the bounded driver read of the loop
+        .map(r => r.getString(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+    }
+    tot.join(broadcast(w.toDF("item", "strength")), Seq("item"))
+      .select(col("item"), col("games"), col("wins"), col("strength"))
+  }
+
+  /** Split-conformal quality threshold: the finite-sample-corrected
+    * alpha-quantile of a calibration split's scores, plus the admission
+    * report it implies on the rest of the corpus — the
+    * distribution-free "keep ≥ 1−alpha of good data" gate (Vovk et
+    * al.'s split conformal, the quantile form). With n calibration
+    * scores, the threshold is the k-th SMALLEST with
+    * k = floor(alphaNum·(n+1) / alphaDen) — admitting score ≥ t then
+    * mis-rejects at most alpha of exchangeable data.
+    *
+    * alpha arrives as a rational (alphaNum/alphaDen) so k is exact
+    * integer arithmetic in both engines. The order statistic comes
+    * from the value-histogram cumulative (the q150/AUC discipline):
+    * groupBy(score) → cumulative count window over the DISTINCT
+    * score histogram — never a per-row global sort.
+    *
+    * Input: (`scoreCol`, `__cal` boolean) — `__cal` marks the
+    * calibration split. Output one row: (n_cal, k, threshold, n_rest,
+    * kept_n, kept_frac 4dp).
+    */
+  def conformalThreshold(scored: DataFrame, scoreCol: String = "quality_score",
+                         alphaNum: Int = 1, alphaDen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alphaNum > 0 && alphaNum < alphaDen, "alpha must be in (0, 1)")
+    val cal = scored.filter(col("__cal")).groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("c"))
+    val cum = cal.withColumn("cum",
+      sum("c").over(Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)))
+    val nCal = cal.agg(sum("c").as("n_cal"))
+    val thr = cum.crossJoin(broadcast(nCal))
+      .withColumn("k", floor((col("n_cal") + 1) * alphaNum / alphaDen))
+      .filter(col("cum") >= col("k"))
+      .groupBy("n_cal", "k").agg(min("__s").as("threshold"))
+    val rest = scored.filter(!col("__cal")).crossJoin(broadcast(thr))
+      .groupBy("n_cal", "k", "threshold")
+      .agg(count(lit(1)).as("n_rest"),
+        sum(when(col(scoreCol) >= col("threshold"), 1L).otherwise(0L)).as("kept_n"))
+    rest.select(col("n_cal"), col("k"), col("threshold"), col("n_rest"), col("kept_n"),
+      round(col("kept_n") / col("n_rest").cast("double"), 4).as("kept_frac"))
+  }
 }

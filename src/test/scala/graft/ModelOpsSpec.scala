@@ -275,4 +275,39 @@ class ModelOpsSpec extends AnyFunSuite {
     assert(tight("a") === expectedNoise("a", 2.0))
     assert(math.abs(tight("a")) <= math.abs(got("a")._2))
   }
+
+  test("bradleyTerry: two-item fixed point lands in one round and holds") {
+    // A beats B twice, B beats A once. Round 1: t = 3/2 → s6 = 1500000
+    // both; w'_A = 2e6/1.5e6 = 1.333333, w'_B = 0.666667; the mean-1
+    // normalization is already satisfied, and w_A + w_B stays 2.0, so
+    // every later round replays the same step — a fixed point.
+    val cmp = Seq(("A", "B"), ("A", "B"), ("B", "A")).toDF("winner", "loser")
+    val got = ModelOps.bradleyTerry(cmp, iters = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("A") === ((3L, 2L, 1.333333)))
+    assert(got("B") === ((3L, 1L, 0.666667)))
+  }
+
+  test("bradleyTerry: 3-item tournament follows the hand-computed MM trajectory; zero-win item pins to 0") {
+    // A>B, A>C, B>C — replayed by hand through three banked MM rounds
+    // (terms 6dp at 1e6, update wins·1e6/s6, mean-1 normalization).
+    val cmp = Seq(("A", "B"), ("A", "C"), ("B", "C")).toDF("winner", "loser")
+    val got = ModelOps.bradleyTerry(cmp, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got === Map("A" -> 2.454278, "B" -> 0.545722, "C" -> 0.0))
+  }
+
+  test("conformalThreshold: finite-sample k picks the exact order statistic; report counts the rest") {
+    // 10 calibration scores 0.1..1.0: k = floor(11·1/10) = 1 →
+    // threshold = the smallest (0.1); rest keeps 0.5, rejects 0.05.
+    val cal = (1 to 10).map(i => (i / 10.0, true))
+    val rest = Seq((0.05, false), (0.5, false))
+    val df = (cal ++ rest).toDF("quality_score", "__cal")
+    val r = ModelOps.conformalThreshold(df).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((10L, 1L, 0.1)))
+    assert((r.getLong(3), r.getLong(4), r.getDouble(5)) === ((2L, 1L, 0.5)))
+    // alpha = 2/10 → k = floor(11·2/10) = 2 → threshold climbs to 0.2
+    val r2 = ModelOps.conformalThreshold(df, alphaNum = 2, alphaDen = 10).collect()(0)
+    assert((r2.getLong(1), r2.getDouble(2)) === ((2L, 0.2)))
+  }
 }

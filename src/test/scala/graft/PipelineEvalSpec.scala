@@ -357,4 +357,21 @@ class PipelineEvalSpec extends AnyFunSuite {
       k = 2, iters = 3).collect()(0)
     assert(b.getDouble(3) === 0.5 && b.getDouble(4) === 0.0)
   }
+
+  test("silhouetteReport: hand-computed simplified silhouette on two tight line clusters") {
+    // Lloyd lands on centroids (0.5,0) and (10.5,0); for (0,0):
+    // a = 0.25, b = 110.25 → s = 110/110.25 = 0.997732; for (1,0):
+    // a = 0.25, b = 90.25 → s = 0.997230; cluster mean = (997732 +
+    // 997230)/2/1e6 = 0.997481 — cluster1 mirrors it exactly.
+    val rows = Seq((0L, Array(0f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(10f, 0f)), (3L, Array(11f, 0f)))
+    val got = SimilarityOps.silhouetteReport(rows.toDF("vec_id", "embedding"),
+      k = 2, iters = 3).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map(0 -> ((2L, 0.997481)), 1 -> ((2L, 0.997481))))
+    // k = 1 has no "other centroid" — b is undefined; refused up front
+    assertThrows[IllegalArgumentException] {
+      SimilarityOps.silhouetteReport(rows.toDF("vec_id", "embedding"), k = 1)
+    }
+  }
 }
