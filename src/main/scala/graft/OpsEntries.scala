@@ -1604,7 +1604,13 @@ private[graft] object OpsEntries {
       val q = TextOps.qualityFrame(t(s, dir, "documents"))
       ModelOps.conformalThreshold(
         q.select(col("quality_score"), (col("doc_id") % 5 === 0).as("__cal")))
-    })
+    }),
+
+    // All-but-the-top embedding post-processing: mean + top-component
+    // projection removed, long-form 6dp output — the isotropy fix the
+    // q209 var_share diagnostic decides on.
+    "q245_remove_top_component" -> ((s, dir) =>
+      SimilarityOps.removeTopComponent(t(s, dir, "embeddings")))
   )
 
   /** The q175 curation pipeline: exact dedup → verified near-dup →
@@ -5278,7 +5284,9 @@ private[graft] object OpsEntries {
          |         FROM sc CROSS JOIN thr WHERE NOT cal GROUP BY 1, 2, 3)
          |SELECT n_cal, k, threshold, n_rest, kept_n,
          |       round(kept_n / CAST(n_rest AS DOUBLE), 4) AS kept_frac
-         |FROM rest""".stripMargin
+         |FROM rest""".stripMargin,
+
+    "q245_remove_top_component" -> removeTopSql(5)
   )
 
   /** The unrolled Bradley-Terry MM chain up to strengths `w<iters>` —
@@ -5359,7 +5367,11 @@ private[graft] object OpsEntries {
     * vector, then the Rayleigh eigenvalue in 1e-18 units — the same
     * rounding boundaries the engine's ferry-rounded-doubles loop hits.
     */
-  private def pcaSql(iters: Int): String = {
+  /** The unrolled power-iteration chain through eigenvector CTE
+    * `v<iters>` (ex/st/cov stay visible) — shared by the q209 PCA
+    * report and the q245 all-but-the-top transform.
+    */
+  private def pcaCtes(iters: Int): String = {
     def step(t: Int): String =
       s"""u$t AS (SELECT cov.i,
          |        sum(CAST(round(c * 1000000) AS BIGINT)
@@ -5385,7 +5397,11 @@ private[graft] object OpsEntries {
        |cov AS MATERIALIZED (
        |  SELECT i, j, c FROM cu UNION ALL SELECT j, i, c FROM cu WHERE i <> j),
        |v0 AS (SELECT CAST(g AS INTEGER) AS i, 1.0 / sqrt(64.0) AS v FROM range(0, 64) t(g)),
-       |${(1 to iters).map(step).mkString("\n")}
+       |${(1 to iters).map(step).mkString("\n")}""".stripMargin
+  }
+
+  private def pcaSql(iters: Int): String =
+    s"""${pcaCtes(iters)}
        |lam AS (SELECT round(CAST(sum(
        |          CAST(round(va.v * 1000000) AS BIGINT)
        |          * CAST(round(c * 1000000) AS BIGINT)
@@ -5397,7 +5413,23 @@ private[graft] object OpsEntries {
        |SELECT v$iters.i AS dim, v$iters.v AS loading, lam.lambda,
        |       round(lam.lambda / tr.trace, 6) AS var_share
        |FROM v$iters CROSS JOIN lam CROSS JOIN tr""".stripMargin
-  }
+
+  /** The q245 all-but-the-top replay: banked per-dim means/loadings
+    * off the same trace, exact-integer centered coordinates and
+    * projection, the identical 6dp output arithmetic.
+    */
+  private def removeTopSql(iters: Int): String =
+    s"""${pcaCtes(iters)}
+       |mv AS (SELECT pos,
+       |         CAST(round(round(s / CAST(n AS DOUBLE) / 1000000.0, 6) * 1000000) AS BIGINT) AS m6
+       |       FROM st),
+       |vv AS (SELECT i AS pos, CAST(round(v * 1000000) AS BIGINT) AS v6 FROM v$iters),
+       |pj AS (SELECT ex.vec_id, CAST(sum((ex.x6 - mv.m6) * vv.v6) AS BIGINT) AS p12
+       |       FROM ex JOIN mv USING (pos) JOIN vv USING (pos) GROUP BY ex.vec_id)
+       |SELECT ex.vec_id, CAST(ex.pos + 1 AS INTEGER) AS dim,
+       |       round((ex.x6 - mv.m6) / 1000000.0
+       |             - pj.p12 / 1000000000000.0 * (vv.v6 / 1000000.0), 6) AS value
+       |FROM ex JOIN mv USING (pos) JOIN vv USING (pos) JOIN pj USING (vec_id)""".stripMargin
 
   /** Unrolled k-core peeling over the minhash dup graph: `rounds`
     * fixed rounds of degree-filter-project (rounds past the fixpoint

@@ -852,11 +852,43 @@ object SimilarityOps {
                       vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val (_, covUpper, v) = pcaTrace(corpus, dims, iters, vecCol)
+    // symmetric full matrix as a LOCAL relation: 4096 rows on the
+    // driver, free to re-scan every iteration
+    val cov = (covUpper ++ covUpper.collect { case (i, j, c) if i != j => (j, i, c) })
+      .toSeq.toDF("i", "j", "c")
+    def c6 = round(col("c") * 1e6).cast("long")
+    val vj = broadcast(v.toDF("j", "vj"))
+    val vi = broadcast(v.toDF("i", "vi"))
+    val lam = cov.join(vj, Seq("j")).join(vi, Seq("i"))
+      .agg(sum((round(col("vi") * 1e6).cast("long") * c6).cast("decimal(38,0)")
+        * round(col("vj") * 1e6).cast("long")).as("l18"))
+      .select(round(col("l18").cast("double") / 1e18, 6).as("lambda"))
+    val tr = cov.filter(col("i") === col("j"))
+      .agg((sum(c6) / 1e6).as("trace"))
+    v.toDF("dim", "loading")
+      .crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+      .select(col("dim"), col("loading"), col("lambda"),
+        round(col("lambda") / col("trace"), 6).as("var_share"))
+  }
+
+  /** The shared power-iteration trace behind [[pcaTopComponent]] and
+    * [[removeTopComponent]]: per-dim first moments (dims bounded rows,
+    * collected), the 6dp covariance upper triangle (d(d+1)/2 cells),
+    * and the 6dp unit top eigenvector after `iters` banked power
+    * steps. Banking per the pcaTopComponent contract.
+    */
+  private def pcaTrace(corpus: DataFrame, dims: Int, iters: Int, vecCol: String)
+      : (Array[(Int, Long, Long)], Array[(Int, Int, Double)], Seq[(Int, Double)]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val x6arr = transform(col(vecCol), v => round(v.cast("double") * 1e6).cast("long"))
     val base = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
       .select(x6arr.as("__x6"))
     val firsts = base.select(posexplode(col("__x6")).as(Seq("pos", "x")))
       .groupBy("pos").agg(count(lit(1)).as("n"), sum("x").as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))) // dims rows
+    val fDf = firsts.toSeq.toDF("pos", "n", "s")
     // broadcast (i,j) upper-triangle grid instead of a nested
     // transform/flatten fan-out: higher-order functions run outside
     // whole-stage codegen and allocate a struct per cell, which made
@@ -871,14 +903,12 @@ object SimilarityOps {
         * element_at(col("__x6"), col("j") + 1)).cast("decimal(38,0)")).as("s2"))
     // covariance cells, 6dp, computed engine-side (upper triangle)
     val covUpper = pairs
-      .join(broadcast(firsts.select(col("pos").as("i"), col("s").as("si"), col("n"))), Seq("i"))
-      .join(broadcast(firsts.select(col("pos").as("j"), col("s").as("sj"))), Seq("j"))
+      .join(broadcast(fDf.select(col("pos").as("i"), col("s").as("si"), col("n"))), Seq("i"))
+      .join(broadcast(fDf.select(col("pos").as("j"), col("s").as("sj"))), Seq("j"))
       .select(col("i"), col("j"),
         round((col("s2").cast("double") * col("n") - col("si").cast("double") * col("sj"))
           / (col("n").cast("double") * col("n")) / 1e12, 6).as("c"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))) // d(d+1)/2 cells
-    // symmetric full matrix as a LOCAL relation: 4096 rows on the
-    // driver, free to re-scan every iteration
     val cov = (covUpper ++ covUpper.collect { case (i, j, c) if i != j => (j, i, c) })
       .toSeq.toDF("i", "j", "c")
     def c6 = round(col("c") * 1e6).cast("long")
@@ -894,18 +924,64 @@ object SimilarityOps {
           round(col("u12").cast("double") / sqrt(col("ss").cast("double")), 6).as("vi"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).toSeq
     }
-    val vj = broadcast(v.toDF("j", "vj"))
-    val vi = broadcast(v.toDF("i", "vi"))
-    val lam = cov.join(vj, Seq("j")).join(vi, Seq("i"))
-      .agg(sum((round(col("vi") * 1e6).cast("long") * c6).cast("decimal(38,0)")
-        * round(col("vj") * 1e6).cast("long")).as("l18"))
-      .select(round(col("l18").cast("double") / 1e18, 6).as("lambda"))
-    val tr = cov.filter(col("i") === col("j"))
-      .agg((sum(c6) / 1e6).as("trace"))
-    v.toDF("dim", "loading")
-      .crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
-      .select(col("dim"), col("loading"), col("lambda"),
-        round(col("lambda") / col("trace"), 6).as("var_share"))
+    (firsts, covUpper, v)
+  }
+
+  /** All-but-the-top embedding post-processing (Mu & Viswanath, ICLR
+    * 2018): subtract the corpus mean, then the projection onto the top
+    * principal direction — the standard isotropy fix that measurably
+    * improves cosine retrieval on anisotropic embedding spaces (the
+    * q209 var_share diagnostic decides whether to run it).
+    *
+    * Same banked trace as [[pcaTopComponent]] (identical means /
+    * eigenvector to the 6dp step); the transform itself banks the
+    * centered coordinates as exact integers (c6 = x6 − m6), folds the
+    * projection p12 = Σ c6·v6 as a literal `dims`-term codegen sum
+    * (map-only, order-free longs — NO shuffle, NO window), and emits
+    * y_d = round(c6/1e6 − p12/1e12·(v6/1e6), 6) in long form so any
+    * engine replays it row-for-row (the q110 lesson).
+    *
+    * Plan shape: the trace is pcaTopComponent's cost; the transform is
+    * one corpus scan with a broadcast dims-row join on pos — entirely
+    * map-side, the right 100 TB shape.
+    *
+    * Output: (vec_id, dim 1-based, value 6dp) — n·dims rows.
+    */
+  def removeTopComponent(corpus: DataFrame, dims: Int = 64, iters: Int = 5,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (firsts, _, v) = pcaTrace(corpus, dims, iters, vecCol)
+    def round6(x: Double): Double = {
+      val f = math.abs(x) * 1e6 + 0.5
+      math.signum(x) * (f - (f % 1.0)) / 1e6
+    }
+    def bank6(x: Double): Long = {
+      val f = math.abs(x) * 1e6 + 0.5
+      (math.signum(x) * (f - (f % 1.0))).toLong
+    }
+    val vMap = v.toMap
+    // per-dim banked mean (the embeddingStats mean arithmetic) and
+    // banked loading, as both a broadcast table and literal arrays
+    val mv = firsts.map { case (pos, n, s) =>
+      (pos, bank6(round6(s.toDouble / n.toDouble / 1e6)), bank6(vMap(pos)))
+    }
+    val mvDf = broadcast(mv.toSeq.toDF("pos", "m6", "v6"))
+    val x6arr = transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long"))
+    val byPos = mv.map { case (pos, m6, v6) => pos -> ((m6, v6)) }.toMap
+    val p12expr = (0 until dims).map { i =>
+      (element_at(col("__x6"), i + 1) - byPos(i)._1) * byPos(i)._2
+    }.reduce(_ + _)
+    DedupOps.widen(corpus)
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(col(idCol).as("vec_id"), x6arr.as("__x6"))
+      .select(col("vec_id"), p12expr.as("__p12"),
+        posexplode(col("__x6")).as(Seq("pos", "__x6e")))
+      .join(mvDf, Seq("pos"))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        round((col("__x6e") - col("m6")) / lit(1e6)
+          - col("__p12") / lit(1e12) * (col("v6") / lit(1e6)), 6).as("value"))
   }
 
   /** Source-centroid cosine similarity matrix: per-source mean

@@ -374,4 +374,19 @@ class PipelineEvalSpec extends AnyFunSuite {
       SimilarityOps.silhouetteReport(rows.toDF("vec_id", "embedding"), k = 1)
     }
   }
+
+  test("removeTopComponent: mean and dominant axis removed, centered minor axis survives") {
+    // mean (2,0); centered (-1,0),(1,0),(0,2),(0,-2); cov diag(0.5,2)
+    // → the top direction converges to the y axis (x-residual decays
+    // (0.5/2)^iters), so y-components vanish and centered x survives.
+    val rows = Seq((0L, Array(1f, 0f)), (1L, Array(3f, 0f)),
+      (2L, Array(2f, 2f)), (3L, Array(2f, -2f)))
+    val got = SimilarityOps.removeTopComponent(rows.toDF("vec_id", "embedding"), dims = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size === 8)
+    assert(math.abs(got((0L, 1)) + 1.0) < 5e-3)
+    assert(math.abs(got((1L, 1)) - 1.0) < 5e-3)
+    assert(math.abs(got((2L, 2))) < 5e-3)
+    assert(math.abs(got((3L, 2))) < 5e-3)
+  }
 }
