@@ -465,6 +465,58 @@ object Stress {
       }
     }
 
+    // Round-8 ops at ×x: the BT games aggregation, silhouette's O(n·k)
+    // distance join, the conformal histogram and the all-but-the-top
+    // transform are all row-linear by design — the exponent
+    // log10(t_x/t_1)/log10(x) is what the record must show ≲ 1.
+    if (which == "r8ops") {
+      import graft.ops.{ModelOps, SimilarityOps, TextOps}
+      def embAt(mult: Int): DataFrame = {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        (0 until mult).map { i =>
+          emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+            transform(col("embedding"), e => e + lit(0.001f * i)).as("embedding"))
+        }.reduce(_ unionByName _).write.mode("overwrite").parquet("/tmp/graft_stress_r8e")
+        spark.read.parquet("/tmp/graft_stress_r8e")
+      }
+      def docsAt(mult: Int): DataFrame = {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        (0 until mult).map { i =>
+          docs.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            col("source"), col("text"), col("n_chars"))
+        }.reduce(_ unionByName _).write.mode("overwrite").parquet("/tmp/graft_stress_r8d")
+        spark.read.parquet("/tmp/graft_stress_r8d")
+      }
+      def bt(d: DataFrame): Long = {
+        // the q242 comparison derivation (consecutive ids; replica
+        // offsets of 1e7 keep copies from chaining into each other)
+        val s = d.filter(col("n_chars").isNotNull)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val cmp = s.select(col("doc_id"), col("source").as("s1"), col("n_chars").as("l1"))
+          .join(s.select((col("doc_id") - 1).as("doc_id"),
+            col("source").as("s2"), col("n_chars").as("l2")), Seq("doc_id"))
+          .filter(col("s1") =!= col("s2") && col("l1") =!= col("l2"))
+          .select(when(col("l1") > col("l2"), col("s1")).otherwise(col("s2")).as("winner"),
+            when(col("l1") > col("l2"), col("s2")).otherwise(col("s1")).as("loser"))
+        ModelOps.bradleyTerry(cmp).count()
+      }
+      def conformal(d: DataFrame): Long =
+        ModelOps.conformalThreshold(TextOps.qualityFrame(d)
+          .select(col("quality_score"), (col("doc_id") % 5 === 0).as("__cal"))).count()
+      for ((name, run) <- Seq[(String, Int => Long)](
+        ("bradley_terry", m => bt(docsAt(m))),
+        ("conformal", m => conformal(docsAt(m))),
+        ("silhouette", m => SimilarityOps.silhouetteReport(embAt(m)).count()),
+        ("remove_top", m => SimilarityOps.removeTopComponent(embAt(m)).count()))) {
+        run(1) // warm-up: JIT + codegen cache, untimed
+        val (r1, t1) = time(run(1))
+        val (rx, tx) = time(run(x))
+        val expo = math.log10(tx / t1) / math.log10(x.toDouble)
+        println(f"STRESS_R8OPS op=$name rows_1=$r1 rows_$x=$rx " +
+          f"t1=$t1%.2fs t$x=$tx%.2fs exponent=$expo%.2f")
+      }
+    }
+
     // q95: the single-fat-source worst case — every doc in ONE group, so
     // the running-sum window sorts the whole corpus on one task (the
     // same concentration tokenBudgetPack's pre-filter bounds; sequence
