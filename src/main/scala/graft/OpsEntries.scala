@@ -1610,7 +1610,13 @@ private[graft] object OpsEntries {
     // projection removed, long-form 6dp output — the isotropy fix the
     // q209 var_share diagnostic decides on.
     "q245_remove_top_component" -> ((s, dir) =>
-      SimilarityOps.removeTopComponent(t(s, dir, "embeddings")))
+      SimilarityOps.removeTopComponent(t(s, dir, "embeddings"))),
+
+    // Isotropy before/after: mean pairwise cosine via ||sum u||^2/n^2
+    // (one pass, no n^2) on the raw corpus vs the q245 transform — the
+    // proof the all-but-the-top fix flattened the space.
+    "q246_isotropy" -> ((s, dir) =>
+      SimilarityOps.isotropyReport(t(s, dir, "embeddings")))
   )
 
   /** The q175 curation pipeline: exact dedup → verified near-dup →
@@ -5286,7 +5292,9 @@ private[graft] object OpsEntries {
          |       round(kept_n / CAST(n_rest AS DOUBLE), 4) AS kept_frac
          |FROM rest""".stripMargin,
 
-    "q245_remove_top_component" -> removeTopSql(5)
+    "q245_remove_top_component" -> removeTopSql(5),
+
+    "q246_isotropy" -> isotropySql(5)
   )
 
   /** The unrolled Bradley-Terry MM chain up to strengths `w<iters>` —
@@ -5414,22 +5422,56 @@ private[graft] object OpsEntries {
        |       round(lam.lambda / tr.trace, 6) AS var_share
        |FROM v$iters CROSS JOIN lam CROSS JOIN tr""".stripMargin
 
-  /** The q245 all-but-the-top replay: banked per-dim means/loadings
-    * off the same trace, exact-integer centered coordinates and
-    * projection, the identical 6dp output arithmetic.
+  /** The all-but-the-top transform chain through long-form CTE
+    * `rt(vec_id, dim, value)`: banked per-dim means/loadings off the
+    * pca trace, exact-integer centered coordinates and projection,
+    * the identical 6dp output arithmetic — shared by the q245 replay
+    * and the q246 isotropy comparison.
     */
-  private def removeTopSql(iters: Int): String =
+  private def removeTopCtes(iters: Int): String =
     s"""${pcaCtes(iters)}
        |mv AS (SELECT pos,
        |         CAST(round(round(s / CAST(n AS DOUBLE) / 1000000.0, 6) * 1000000) AS BIGINT) AS m6
        |       FROM st),
        |vv AS (SELECT i AS pos, CAST(round(v * 1000000) AS BIGINT) AS v6 FROM v$iters),
        |pj AS (SELECT ex.vec_id, CAST(sum((ex.x6 - mv.m6) * vv.v6) AS BIGINT) AS p12
-       |       FROM ex JOIN mv USING (pos) JOIN vv USING (pos) GROUP BY ex.vec_id)
-       |SELECT ex.vec_id, CAST(ex.pos + 1 AS INTEGER) AS dim,
+       |       FROM ex JOIN mv USING (pos) JOIN vv USING (pos) GROUP BY ex.vec_id),
+       |rt AS MATERIALIZED (
+       |  SELECT ex.vec_id, CAST(ex.pos + 1 AS INTEGER) AS dim,
        |       round((ex.x6 - mv.m6) / 1000000.0
        |             - pj.p12 / 1000000000000.0 * (vv.v6 / 1000000.0), 6) AS value
-       |FROM ex JOIN mv USING (pos) JOIN vv USING (pos) JOIN pj USING (vec_id)""".stripMargin
+       |  FROM ex JOIN mv USING (pos) JOIN vv USING (pos) JOIN pj USING (vec_id))""".stripMargin
+
+  private def removeTopSql(iters: Int): String =
+    s"""${removeTopCtes(iters)}
+       |SELECT vec_id, dim, value FROM rt""".stripMargin
+
+  /** The q246 replay: mean pairwise cosine ‖Σu‖²/n² (6dp-banked unit
+    * coordinates, exact per-dim sums) on the raw corpus and on the
+    * `rt` transform output.
+    */
+  private def isotropySql(iters: Int): String =
+    s"""${removeTopCtes(iters)},
+       |s2r AS (SELECT vec_id, sum(x6 * x6) AS s2 FROM ex GROUP BY 1),
+       |nr AS (SELECT count(*) AS n FROM s2r WHERE s2 > 0),
+       |ur AS (SELECT ex.pos AS dim,
+       |         CAST(round(ex.x6 / sqrt(CAST(s2 AS DOUBLE)) * 1000000) AS BIGINT) AS u6
+       |       FROM ex JOIN s2r USING (vec_id) WHERE s2 > 0),
+       |dr AS (SELECT dim, CAST(sum(u6) AS BIGINT) AS sd FROM ur GROUP BY 1),
+       |mr AS (SELECT sum(sd * sd) AS ss FROM dr),
+       |pb AS (SELECT vec_id, dim, CAST(round(value * 1000000) AS BIGINT) AS b6 FROM rt),
+       |s2p AS (SELECT vec_id, sum(b6 * b6) AS s2 FROM pb GROUP BY 1),
+       |np AS (SELECT count(*) AS n FROM s2p WHERE s2 > 0),
+       |up AS (SELECT pb.dim,
+       |         CAST(round(pb.b6 / sqrt(CAST(s2 AS DOUBLE)) * 1000000) AS BIGINT) AS u6
+       |       FROM pb JOIN s2p USING (vec_id) WHERE s2 > 0),
+       |dp AS (SELECT dim, CAST(sum(u6) AS BIGINT) AS sd FROM up GROUP BY 1),
+       |mp AS (SELECT sum(sd * sd) AS ss FROM dp)
+       |SELECT nr.n AS n_raw,
+       |       round(CAST(mr.ss AS DOUBLE) / 1000000000000.0 / nr.n / nr.n, 6) AS cos_raw,
+       |       np.n AS n_post,
+       |       round(CAST(mp.ss AS DOUBLE) / 1000000000000.0 / np.n / np.n, 6) AS cos_post
+       |FROM nr CROSS JOIN mr CROSS JOIN np CROSS JOIN mp""".stripMargin
 
   /** Unrolled k-core peeling over the minhash dup graph: `rounds`
     * fixed rounds of degree-filter-project (rounds past the fixpoint

@@ -947,6 +947,56 @@ object SimilarityOps {
     *
     * Output: (vec_id, dim 1-based, value 6dp) — n·dims rows.
     */
+  /** Isotropy report: mean pairwise cosine over ALL ordered vector
+    * pairs (self included) via the exact identity
+    * mean_cos = ‖Σᵢ uᵢ‖² / n² (uᵢ = unit-normalized vectors) — ONE
+    * pass instead of n². Reported for the raw corpus and again after
+    * [[removeTopComponent]]: the quantitative proof that the
+    * all-but-the-top fix actually flattened the space (a high raw
+    * mean cosine — anisotropy — should drop toward 0 post-transform).
+    *
+    * Banking: unit coordinates round to 6dp longs, per-dim sums are
+    * exact longs, the squared-norm total is a decimal sum — the only
+    * float steps are the final divisions, identical in any engine.
+    *
+    * Plan shape: raw side is one posexplode pass + a vec-keyed norm
+    * join + two partial aggregates (dims rows, then 1); the post side
+    * pays the [[pcaTrace]] it needs. Nothing pairwise, nothing n².
+    *
+    * Output: one row (n_raw, cos_raw, n_post, cos_post).
+    */
+  def isotropyReport(corpus: DataFrame, dims: Int = 64, iters: Int = 5,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val x6arr = transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long"))
+    val raw = DedupOps.widen(corpus)
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(col(idCol).as("vec_id"), posexplode(x6arr).as(Seq("dim", "b6")))
+    val post = removeTopComponent(corpus, dims, iters, idCol, vecCol)
+      .select(col("vec_id"), col("dim"), round(col("value") * 1e6).cast("long").as("b6"))
+    meanCosine(raw, "n_raw", "cos_raw")
+      .crossJoin(broadcast(meanCosine(post, "n_post", "cos_post")))
+  }
+
+  /** ‖Σ u‖²/n² over banked (vec_id, dim, b6) coordinates — see
+    * [[isotropyReport]]. Zero vectors carry no direction and are
+    * excluded from both n and the sum.
+    */
+  private def meanCosine(coords: DataFrame, nName: String, cosName: String): DataFrame = {
+    val s2 = coords.groupBy("vec_id")
+      .agg(sum(col("b6") * col("b6")).as("s2"))
+      .localCheckpoint(true) // the n count + the unit join both read it
+    val n = s2.filter(col("s2") > 0).agg(count(lit(1)).as("n"))
+    val u = coords.join(s2, Seq("vec_id")).filter(col("s2") > 0)
+      .select(col("dim"),
+        round(col("b6") / sqrt(col("s2").cast("double")) * lit(1e6)).cast("long").as("u6"))
+    u.groupBy("dim").agg(sum("u6").as("sd"))
+      .agg(sum((col("sd") * col("sd")).cast("decimal(38,0)")).as("ss"))
+      .crossJoin(broadcast(n))
+      .select(col("n").as(nName),
+        round(col("ss").cast("double") / lit(1e12) / col("n") / col("n"), 6).as(cosName))
+  }
+
   def removeTopComponent(corpus: DataFrame, dims: Int = 64, iters: Int = 5,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {

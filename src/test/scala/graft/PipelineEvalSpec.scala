@@ -389,4 +389,17 @@ class PipelineEvalSpec extends AnyFunSuite {
     assert(math.abs(got((2L, 2))) < 5e-3)
     assert(math.abs(got((3L, 2))) < 5e-3)
   }
+
+  test("isotropyReport: anisotropic corpus scores near 1 raw, near 0 after the transform") {
+    // every vector points almost exactly along +x → unit vectors nearly
+    // agree (mean pairwise cosine ≈ 1); removing mean + top component
+    // leaves the small ±y residuals, which point in OPPOSITE directions
+    val rows = Seq((0L, Array(10f, 1f)), (1L, Array(10f, -1f)),
+      (2L, Array(11f, 0.5f)), (3L, Array(9f, -0.5f)))
+    val r = SimilarityOps.isotropyReport(rows.toDF("vec_id", "embedding"), dims = 2)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(2)) === ((4L, 4L)))
+    assert(r.getDouble(1) > 0.9)  // raw: strongly anisotropic
+    assert(r.getDouble(3) < 0.2)  // post: flattened
+  }
 }
