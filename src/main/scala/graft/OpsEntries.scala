@@ -1616,7 +1616,13 @@ private[graft] object OpsEntries {
     // (one pass, no n^2) on the raw corpus vs the q245 transform — the
     // proof the all-but-the-top fix flattened the space.
     "q246_isotropy" -> ((s, dir) =>
-      SimilarityOps.isotropyReport(t(s, dir, "embeddings")))
+      SimilarityOps.isotropyReport(t(s, dir, "embeddings"))),
+
+    // Greedy k-center (farthest-point) selection: 8 diversity
+    // exemplars + the covering-radius certificate per round — the
+    // coreset-pruning selection pass; oracle unrolls the k rounds.
+    "q247_kcenter_select" -> ((s, dir) =>
+      SimilarityOps.kCenterGreedy(t(s, dir, "embeddings")))
   )
 
   /** The q175 curation pipeline: exact dedup → verified near-dup →
@@ -5294,8 +5300,39 @@ private[graft] object OpsEntries {
 
     "q245_remove_top_component" -> removeTopSql(5),
 
-    "q246_isotropy" -> isotropySql(5)
+    "q246_isotropy" -> isotropySql(5),
+
+    "q247_kcenter_select" -> kCenterSql(8)
   )
+
+  /** The unrolled greedy k-center chain: each round's CTE picks the
+    * row maximizing the least-of-l2s to every prior center (ties to
+    * the lowest id), exactly the engine's TakeOrdered pass.
+    */
+  private def kCenterSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH emb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |g0 AS MATERIALIZED (SELECT vec_id, embedding, 0.0 AS d FROM (
+        |  SELECT vec_id, embedding FROM emb ORDER BY vec_id LIMIT 1)),
+        |""".stripMargin)
+    for (t <- 1 until k) {
+      val terms = (0 until t).map(j => kmeansL2("e.embedding", s"g$j.embedding"))
+      val dist = if (terms.size == 1) terms.head else s"least(${terms.mkString(", ")})"
+      val joins = (0 until t).map(j => s"CROSS JOIN g$j").mkString(" ")
+      sb.append(
+        s"""g$t AS MATERIALIZED (SELECT vec_id, embedding, d FROM (
+           |  SELECT e.vec_id, e.embedding, $dist AS d,
+           |         row_number() OVER (ORDER BY $dist DESC, e.vec_id) AS r
+           |  FROM emb e $joins) WHERE r = 1),
+           |""".stripMargin)
+    }
+    sb.toString.stripSuffix(",\n") + "\n" +
+      (0 until k).map(t =>
+        s"SELECT $t AS sel_round, vec_id, round(d, 6) AS radius FROM g$t")
+        .mkString("\nUNION ALL\n")
+  }
 
   /** The unrolled Bradley-Terry MM chain up to strengths `w<iters>` —
     * comparisons from consecutive-id length head-to-heads, games /

@@ -947,6 +947,59 @@ object SimilarityOps {
     *
     * Output: (vec_id, dim 1-based, value 6dp) — n·dims rows.
     */
+  /** Greedy k-center selection (farthest-point sampling, Gonzalez
+    * 1985) — the diversity-first data-selection pass coreset pruning
+    * uses: start from the lowest-id vector, then repeatedly take the
+    * point FARTHEST (squared-L2) from everything chosen so far. The
+    * returned per-round `radius` (the max-min distance at selection
+    * time) is the classic 2-approximation certificate of the k-center
+    * covering radius — how well k exemplars cover the corpus.
+    *
+    * Deterministic end to end: exact double distances (the native
+    * single-eval l2 fold, bit-identical to the oracle's list
+    * arithmetic), ties broken to the lowest id; `radius` rounds to 6dp
+    * for the report only — selection compares exact values.
+    *
+    * Plan shape: k sequential passes, each map-only — the chosen
+    * centers ride into the task as ≤ k literal arrays, the per-row
+    * min-distance is a `least` over native l2 expressions, and the
+    * argmax is a TakeOrdered(1). Nothing pairwise, nothing shuffled;
+    * the driver holds k×dims doubles (the Lloyd precedent). If k
+    * exceeds the corpus, exhausted rounds re-pick at radius 0 —
+    * deterministic, and visible in the report.
+    *
+    * Output: (sel_round 0-based, vec_id, radius 6dp) — k rows.
+    */
+  def kCenterGreedy(emb: DataFrame, k: Int = 8, dims: Int = 64,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val clean = emb.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = clean.orderBy(col(idCol)).limit(1)
+        .select(col(idCol).cast("long"), col(vecCol)).collect()(0)
+      var chosen = Vector((first.getLong(0), first.getSeq[Float](1), 0.0))
+      for (_ <- 1 until k) {
+        val dist = chosen.map { case (_, c, _) =>
+          graft.functions.VectorExprs.l2Squared(col(vecCol), typedLit(c))
+        }.reduceLeft(least(_, _))
+        val next = clean
+          .select(col(idCol).cast("long").as("__id"), col(vecCol), dist.as("__d"))
+          .orderBy(col("__d").desc, col("__id")).limit(1)
+          .collect()(0) // ONE row per round — the bounded driver read
+        chosen = chosen :+ ((next.getLong(0), next.getSeq[Float](1), next.getDouble(2)))
+      }
+      def round6(x: Double): Double = {
+        val f = math.abs(x) * 1e6 + 0.5
+        math.signum(x) * (f - (f % 1.0)) / 1e6
+      }
+      chosen.zipWithIndex.map { case ((id, _, d), i) => (i, id, round6(d)) }
+        .toDF("sel_round", "vec_id", "radius")
+    } finally clean.unpersist(blocking = false)
+  }
+
   /** Isotropy report: mean pairwise cosine over ALL ordered vector
     * pairs (self included) via the exact identity
     * mean_cos = ‖Σᵢ uᵢ‖² / n² (uᵢ = unit-normalized vectors) — ONE

@@ -402,4 +402,14 @@ class PipelineEvalSpec extends AnyFunSuite {
     assert(r.getDouble(1) > 0.9)  // raw: strongly anisotropic
     assert(r.getDouble(3) < 0.2)  // post: flattened
   }
+
+  test("kCenterGreedy: hand-computed farthest-point order and radii on a line") {
+    // x = 0,1,4,9,16 (ids 0..4): start id0; farthest is 16 (d=256);
+    // then min-dists are [1,16,49] → id3 at 49; then [1,16] → id2.
+    val rows = Seq((0L, Array(0f, 0f)), (1L, Array(1f, 0f)), (2L, Array(4f, 0f)),
+      (3L, Array(9f, 0f)), (4L, Array(16f, 0f)))
+    val got = SimilarityOps.kCenterGreedy(rows.toDF("vec_id", "embedding"), k = 4, dims = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((0, 0L, 0.0), (1, 4L, 256.0), (2, 3L, 49.0), (3, 2L, 16.0)))
+  }
 }
