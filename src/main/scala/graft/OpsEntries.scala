@@ -1622,7 +1622,24 @@ private[graft] object OpsEntries {
     // exemplars + the covering-radius certificate per round — the
     // coreset-pruning selection pass; oracle unrolls the k rounds.
     "q247_kcenter_select" -> ((s, dir) =>
-      SimilarityOps.kCenterGreedy(t(s, dir, "embeddings")))
+      SimilarityOps.kCenterGreedy(t(s, dir, "embeddings"))),
+
+    // l-diversity audit over (lang, pow2-length-bucket) QI groups with
+    // source as the sensitive attribute — the homogeneity attack the
+    // q193 k-anonymity check misses.
+    "q248_l_diversity" -> ((s, dir) =>
+      ModelOps.lDiversityAudit(
+        t(s, dir, "documents").select(col("lang"),
+          when(col("n_chars") <= 1, lit(1L))
+            .otherwise(pow(lit(2.0), length(bin(col("n_chars") - 1))).cast("long"))
+            .as("len_bucket"),
+          col("source")),
+        Seq("lang", "len_bucket"), "source")),
+
+    // Analytic LSH banding tuner: S-curve fn/fp masses per (bands,
+    // rows) factorization of the 16-hash budget at threshold 1/2 —
+    // price the screen before running it (q139's analytic companion).
+    "q249_lsh_param_sweep" -> ((s, _) => DedupOps.lshParamSweep(s))
   )
 
   /** The q175 curation pipeline: exact dedup → verified near-dup →
@@ -5302,7 +5319,42 @@ private[graft] object OpsEntries {
 
     "q246_isotropy" -> isotropySql(5),
 
-    "q247_kcenter_select" -> kCenterSql(8)
+    "q247_kcenter_select" -> kCenterSql(8),
+
+    "q248_l_diversity" ->
+      """WITH qi AS (SELECT lang,
+        |              CASE WHEN n_chars <= 1 THEN 1
+        |                   ELSE CAST(pow(2, length(bin(n_chars - 1))) AS BIGINT) END AS len_bucket,
+        |              source
+        |            FROM documents),
+        |c AS (SELECT lang, len_bucket, source, count(*) AS c FROM qi GROUP BY 1, 2, 3),
+        |g AS (SELECT lang, len_bucket, CAST(sum(c) AS BIGINT) AS group_size,
+        |             count(*) AS distinct_sensitive, CAST(max(c) AS BIGINT) AS mx
+        |      FROM c GROUP BY 1, 2)
+        |SELECT lang, len_bucket, group_size, distinct_sensitive,
+        |       distinct_sensitive < 3 AS at_risk,
+        |       round(mx / CAST(group_size AS DOUBLE), 6) AS max_share
+        |FROM g""".stripMargin,
+
+    "q249_lsh_param_sweep" ->
+      """WITH grid AS (SELECT CAST(b AS INTEGER) AS bands,
+        |                     CAST(16 // b AS INTEGER) AS rows_per_band, si
+        |              FROM (SELECT unnest([1, 2, 4, 8, 16]) AS b)
+        |              CROSS JOIN range(1, 20) t(si)),
+        |p1t AS (SELECT bands, rows_per_band, si,
+        |          round(exp(rows_per_band * ln(si / 20.0)), 6) AS p1 FROM grid),
+        |p AS (SELECT bands, rows_per_band, si,
+        |        CAST(round((CASE WHEN p1 >= 1 THEN 1.0
+        |                    ELSE round(1 - exp(bands * ln(1 - p1)), 6) END) * 1000000) AS BIGINT) AS p6
+        |      FROM p1t),
+        |g AS (SELECT bands, rows_per_band,
+        |        CAST(sum(CASE WHEN si >= 10 THEN 1000000 - p6 ELSE 0 END) AS BIGINT) AS fn6,
+        |        CAST(sum(CASE WHEN si < 10 THEN p6 ELSE 0 END) AS BIGINT) AS fp6
+        |      FROM p GROUP BY 1, 2)
+        |SELECT bands, rows_per_band, round(fn6 / 1000000.0, 6) AS fn_mass,
+        |       round(fp6 / 1000000.0, 6) AS fp_mass,
+        |       round((fn6 + fp6) / 1000000.0, 6) AS cost
+        |FROM g""".stripMargin
   )
 
   /** The unrolled greedy k-center chain: each round's CTE picks the

@@ -967,4 +967,54 @@ object DedupOps {
           .when(!(col("__fp_old") <=> col("__fp_new")), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** Analytic LSH banding tuner: for every (bands, rows) factorization
+    * of the hash budget, integrate the theoretical S-curve
+    * p(s) = 1 − (1 − s^r)^b over a uniform similarity grid and report
+    * the false-negative mass above the target threshold and the
+    * false-positive mass below it — the "price the screen BEFORE
+    * running it" companion to the empirical [[lshBandingEval]] (which
+    * measures the curve on real pairs) and [[bandSkewAudit]] (which
+    * prices the join volume). Pick the factorization minimizing
+    * cost = fn + fp, or weight them by your verify budget.
+    *
+    * Determinism: powers compute as exp/ln compositions with 6dp
+    * rounding between steps (p1 = round(exp(r·ln s), 6), then
+    * p = round(1 − exp(b·ln(1−p1)), 6)) — the same transcendental
+    * exposure every ln/exp oracle in this repo already carries, with
+    * no dependence on cross-engine pow() agreement. Masses sum the
+    * 6dp-banked p values as exact longs.
+    *
+    * The threshold arrives as a rational cut of the grid
+    * (tNum/tDen · sSteps must be integral) so the above/below split is
+    * integer-exact. Pure arithmetic over a (divisors × grid) local
+    * relation — no data, no shuffle; runs anywhere instantly.
+    *
+    * Output per factorization: (bands, rows_per_band, fn_mass,
+    * fp_mass, cost) — masses in grid-point units, 6dp.
+    */
+  def lshParamSweep(spark: org.apache.spark.sql.SparkSession, numHashes: Int = 16,
+                    tNum: Int = 1, tDen: Int = 2, sSteps: Int = 20): DataFrame = {
+    require(sSteps * tNum % tDen == 0,
+      s"threshold $tNum/$tDen must land on the $sSteps-step grid")
+    val cut = sSteps * tNum / tDen
+    import spark.implicits._
+    val grid = (1 to numHashes).filter(numHashes % _ == 0)
+      .flatMap(b => (1 until sSteps).map(i => (b, numHashes / b, i)))
+      .toDF("bands", "rows_per_band", "si")
+    val s = col("si") / lit(sSteps.toDouble)
+    val p1 = round(exp(col("rows_per_band") * log(s)), 6)
+    val pc = when(p1 >= 1.0, lit(1.0))
+      .otherwise(round(lit(1.0) - exp(col("bands") * log(lit(1.0) - p1)), 6))
+    grid
+      .select(col("bands"), col("rows_per_band"), col("si"),
+        round(pc * 1e6).cast("long").as("p6"))
+      .groupBy("bands", "rows_per_band")
+      .agg(sum(when(col("si") >= cut, lit(1000000L) - col("p6")).otherwise(0L)).as("__fn6"),
+        sum(when(col("si") < cut, col("p6")).otherwise(0L)).as("__fp6"))
+      .select(col("bands"), col("rows_per_band"),
+        round(col("__fn6") / 1e6, 6).as("fn_mass"),
+        round(col("__fp6") / 1e6, 6).as("fp_mass"),
+        round((col("__fn6") + col("__fp6")) / 1e6, 6).as("cost"))
+  }
 }

@@ -608,6 +608,33 @@ object ModelOps {
         greatest(lit(0.0), round(col("true_n") + noise)).cast("long").as("noisy_n"))
   }
 
+  /** l-diversity audit — the k-anonymity companion ([[kAnonymityAudit]])
+    * that catches the attack k alone misses: a large QI group whose
+    * SENSITIVE attribute is (nearly) constant still discloses it. Per
+    * QI group: size, distinct sensitive values, the largest single
+    * value's share (the homogeneity measure behind recursive (c,l)-
+    * diversity), and the `distinct < l` risk flag.
+    *
+    * Plan shape: one hash aggregate to (QI, sensitive) cells, one
+    * rollup to QI groups — both partial-aggregable; the cell table is
+    * bounded by the QI×sensitive category grid.
+    *
+    * Output: (qiCols..., group_size, distinct_sensitive, at_risk,
+    * max_share 6dp).
+    */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                      l: Int = 3): DataFrame = {
+    val cells = df.groupBy((qiCols.map(col) :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("__c"))
+    cells.groupBy(qiCols.map(col): _*)
+      .agg(sum("__c").as("group_size"),
+        count(lit(1)).as("distinct_sensitive"),
+        max("__c").as("__mx"))
+      .select(qiCols.map(col) ++ Seq(col("group_size"), col("distinct_sensitive"),
+        (col("distinct_sensitive") < l).as("at_risk"),
+        round(col("__mx") / col("group_size").cast("double"), 6).as("max_share")): _*)
+  }
+
   /** Bradley–Terry preference strengths from pairwise comparisons —
     * the rating model behind preference-data curation (which annotator
     * / source / policy wins head-to-heads), fit by the classic

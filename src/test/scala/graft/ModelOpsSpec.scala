@@ -297,6 +297,18 @@ class ModelOpsSpec extends AnyFunSuite {
     assert(got === Map("A" -> 2.454278, "B" -> 0.545722, "C" -> 0.0))
   }
 
+  test("lDiversityAudit: homogeneous group flagged with max_share 1, diverse group passes") {
+    val rows = Seq(
+      ("a", "x"), ("a", "x"), ("a", "x"),          // size 3, 1 sensitive value
+      ("b", "x"), ("b", "y"), ("b", "y"), ("b", "z")) // size 4, 3 values
+      .toDF("qi", "sens")
+    val got = ModelOps.lDiversityAudit(rows, Seq("qi"), "sens", l = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getDouble(4))))
+      .toMap
+    assert(got("a") === ((3L, 1L, true, 1.0)))
+    assert(got("b") === ((4L, 3L, false, 0.5)))
+  }
+
   test("conformalThreshold: finite-sample k picks the exact order statistic; report counts the rest") {
     // 10 calibration scores 0.1..1.0: k = floor(11·1/10) = 1 →
     // threshold = the smallest (0.1); rest keeps 0.5, rejects 0.05.

@@ -403,6 +403,18 @@ class PipelineEvalSpec extends AnyFunSuite {
     assert(r.getDouble(3) < 0.2)  // post: flattened
   }
 
+  test("lshParamSweep: square banding wins at the matched threshold; extremes trade fn for fp") {
+    val got = DedupOps.lshParamSweep(spark).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.size === 5) // the divisor factorizations of 16
+    val best = got.minBy(_._2._3)._1
+    assert(best === ((4, 4))) // the production minHashCandidates config
+    // b=16,r=1 catches nearly everything (tiny fn, huge fp); b=1,r=16 inverts
+    assert(got((16, 1))._1 < got((1, 16))._1)
+    assert(got((16, 1))._2 > got((1, 16))._2)
+  }
+
   test("kCenterGreedy: hand-computed farthest-point order and radii on a line") {
     // x = 0,1,4,9,16 (ids 0..4): start id0; farthest is 16 (d=256);
     // then min-dists are [1,16,49] → id3 at 49; then [1,16] → id2.
