@@ -1639,7 +1639,20 @@ private[graft] object OpsEntries {
     // Analytic LSH banding tuner: S-curve fn/fp masses per (bands,
     // rows) factorization of the 16-hash budget at threshold 1/2 —
     // price the screen before running it (q139's analytic companion).
-    "q249_lsh_param_sweep" -> ((s, _) => DedupOps.lshParamSweep(s))
+    "q249_lsh_param_sweep" -> ((s, _) => DedupOps.lshParamSweep(s)),
+
+    // Group-conditional conformal gate: per-source finite-sample
+    // quantile thresholds — one global cut under-covers weak sources;
+    // the keyed-window form scales where q244's global one cannot.
+    // Calibration splits on the WITHIN-source index (doc_id div 20) —
+    // source is doc_id % 20, so doc_id % 5 would confound the split
+    // with the group (the q107 anchor-key lesson).
+    "q250_conformal_by_source" -> ((s, dir) => {
+      val q = TextOps.qualityFrame(t(s, dir, "documents"), carryCols = Seq("source"))
+      ModelOps.conformalThresholdByGroup(
+        q.select(col("source"), col("quality_score"),
+          (expr("doc_id div 20") % 5 === 0).as("__cal")))
+    })
   )
 
   /** The q175 curation pipeline: exact dedup → verified near-dup →
@@ -5354,7 +5367,27 @@ private[graft] object OpsEntries {
         |SELECT bands, rows_per_band, round(fn6 / 1000000.0, 6) AS fn_mass,
         |       round(fp6 / 1000000.0, 6) AS fp_mass,
         |       round((fn6 + fp6) / 1000000.0, 6) AS cost
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "q250_conformal_by_source" ->
+      s"""WITH q AS ($q26Sql),
+         |sc AS (SELECT d.source, q.quality_score AS s, (q.doc_id // 20) % 5 = 0 AS cal
+         |       FROM q JOIN documents d USING (doc_id)),
+         |bins AS (SELECT source, s, count(*) AS c FROM sc WHERE cal GROUP BY 1, 2),
+         |cum AS (SELECT source, s, sum(c) OVER (PARTITION BY source ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM bins),
+         |nc AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_cal FROM bins GROUP BY 1),
+         |kv AS (SELECT source, n_cal,
+         |         CAST(floor((n_cal + 1) * 1 / 10) AS BIGINT) AS k FROM nc),
+         |thr AS (SELECT cum.source, n_cal, k, min(s) AS threshold
+         |        FROM cum JOIN kv ON kv.source = cum.source
+         |        WHERE cum >= k GROUP BY 1, 2, 3)
+         |SELECT sc.source, n_cal, k, threshold, count(*) AS n_rest,
+         |       CAST(sum(CASE WHEN sc.s >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS kept_n,
+         |       round(sum(CASE WHEN sc.s >= threshold THEN 1 ELSE 0 END)
+         |             / CAST(count(*) AS DOUBLE), 4) AS kept_frac
+         |FROM sc JOIN thr ON thr.source = sc.source
+         |WHERE NOT cal GROUP BY 1, 2, 3, 4""".stripMargin
   )
 
   /** The unrolled greedy k-center chain: each round's CTE picks the

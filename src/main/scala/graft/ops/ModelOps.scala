@@ -749,4 +749,49 @@ object ModelOps {
     rest.select(col("n_cal"), col("k"), col("threshold"), col("n_rest"), col("kept_n"),
       round(col("kept_n") / col("n_rest").cast("double"), 4).as("kept_frac"))
   }
+
+  /** Group-conditional split conformal — [[conformalThreshold]] with a
+    * per-group calibration quantile, the form a mixture pipeline
+    * actually ships: one global threshold under-covers the weak
+    * sources and over-rejects the strong ones; conditioning on the
+    * group restores the ≥ 1−alpha guarantee PER SOURCE (assuming
+    * within-group exchangeability). Same finite-sample
+    * k = ⌊α(n_g+1)⌋ order statistic, now from a GROUP-PARTITIONED
+    * histogram cumulative — the window is keyed, so this version
+    * scales where the global one single-partitions.
+    *
+    * Groups with no calibration rows have no threshold and are absent
+    * from the report (gate them globally or refuse — a policy call
+    * this operator surfaces rather than hides).
+    *
+    * Output per group: (group, n_cal, k, threshold, n_rest, kept_n,
+    * kept_frac 4dp).
+    */
+  def conformalThresholdByGroup(scored: DataFrame, groupCol: String = "source",
+                                scoreCol: String = "quality_score",
+                                alphaNum: Int = 1, alphaDen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alphaNum > 0 && alphaNum < alphaDen, "alpha must be in (0, 1)")
+    val cal = scored.filter(col("__cal"))
+      .groupBy(col(groupCol).as("__g"), col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // per-group totals + the cumulative both read it
+    val cum = cal.withColumn("cum", sum("c").over(
+      Window.partitionBy("__g").orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val nCal = cal.groupBy("__g").agg(sum("c").as("n_cal"))
+    val thr = cum.join(broadcast(nCal), Seq("__g"))
+      .withColumn("k", floor((col("n_cal") + 1) * alphaNum / alphaDen))
+      .filter(col("cum") >= col("k"))
+      .groupBy("__g", "n_cal", "k").agg(min("__s").as("threshold"))
+    scored.filter(!col("__cal"))
+      .select(col(groupCol).as("__g"), col(scoreCol).as("__sc"))
+      .join(broadcast(thr), Seq("__g"))
+      .groupBy(col("__g").as(groupCol), col("n_cal"), col("k"), col("threshold"))
+      .agg(count(lit(1)).as("n_rest"),
+        sum(when(col("__sc") >= col("threshold"), 1L).otherwise(0L)).as("kept_n"))
+      .select(col(groupCol), col("n_cal"), col("k"), col("threshold"),
+        col("n_rest"), col("kept_n"),
+        round(col("kept_n") / col("n_rest").cast("double"), 4).as("kept_frac"))
+  }
 }

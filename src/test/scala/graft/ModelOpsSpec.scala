@@ -309,6 +309,20 @@ class ModelOpsSpec extends AnyFunSuite {
     assert(got("b") === ((4L, 3L, false, 0.5)))
   }
 
+  test("bradleyTerry invariants: mean-1 normalization within rounding; an unbeaten item ranks first") {
+    // pseudo-random round-robin over 5 items, deterministic winners;
+    // item E additionally beats everyone twice — it must rank top
+    val items = Seq("A", "B", "C", "D", "E")
+    val cmp = (for {
+      (a, i) <- items.zipWithIndex; (b, j) <- items.zipWithIndex if i < j
+    } yield if ((i * 3 + j * 7) % 2 == 0 && b != "E" || a == "E") (a, b) else (b, a)) ++
+      items.filter(_ != "E").flatMap(o => Seq(("E", o), ("E", o)))
+    val got = ModelOps.bradleyTerry(cmp.toDF("winner", "loser"), iters = 4).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(got.values.sum - items.size) < 1e-4) // mean-1 normalization
+    assert(got.maxBy(_._2)._1 === "E")
+  }
+
   test("conformalThreshold: finite-sample k picks the exact order statistic; report counts the rest") {
     // 10 calibration scores 0.1..1.0: k = floor(11·1/10) = 1 →
     // threshold = the smallest (0.1); rest keeps 0.5, rejects 0.05.
@@ -321,5 +335,23 @@ class ModelOpsSpec extends AnyFunSuite {
     // alpha = 2/10 → k = floor(11·2/10) = 2 → threshold climbs to 0.2
     val r2 = ModelOps.conformalThreshold(df, alphaNum = 2, alphaDen = 10).collect()(0)
     assert((r2.getLong(1), r2.getDouble(2)) === ((2L, 0.2)))
+  }
+
+  test("conformalThresholdByGroup: per-group thresholds; a group with no calibration rows is absent") {
+    // group a calibrates at 0.1..1.0 (k=1 → t=0.1); group b at 2.1..3.0
+    // (t=2.1) — a global cut could never serve both; group c has only
+    // non-calibration rows and must be absent from the report.
+    val rows = (1 to 10).map(i => ("a", i / 10.0, true)) ++
+      (1 to 10).map(i => ("b", 2.0 + i / 10.0, true)) ++
+      Seq(("a", 0.05, false), ("a", 0.5, false),
+        ("b", 2.05, false), ("b", 2.5, false), ("c", 9.9, false))
+    val got = ModelOps.conformalThresholdByGroup(
+      rows.toDF("source", "quality_score", "__cal")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    assert(got.keySet === Set("a", "b"))
+    assert(got("a") === ((10L, 1L, 0.1, 2L, 1L, 0.5)))
+    assert(got("b") === ((10L, 1L, 2.1, 2L, 1L, 0.5)))
   }
 }

@@ -424,4 +424,24 @@ class PipelineEvalSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq === Seq((0, 0L, 0.0), (1, 4L, 256.0), (2, 3L, 49.0), (3, 2L, 16.0)))
   }
+
+  test("invariants on a pseudo-random corpus: k-center radii non-increasing, silhouette in [-1,1]") {
+    // deterministic LCG corpus — 60 vectors in 4 dims
+    def lcg(s: Long): Long = (s * 6364136223846793005L + 1442695040888963407L)
+    val rows = (0 until 60).map { i =>
+      val vs = (0 until 4).map { d =>
+        ((lcg(i * 7 + d).toDouble / Long.MaxValue) * 5).toFloat
+      }.toArray
+      (i.toLong, vs)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // adding a center can only shrink every point's min-distance, so
+    // the max-min radius is non-increasing after round 1
+    val radii = SimilarityOps.kCenterGreedy(df, k = 6, dims = 4)
+      .orderBy("sel_round").collect().map(_.getDouble(2)).drop(1)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a })
+    val sil = SimilarityOps.silhouetteReport(df, k = 3, iters = 2)
+      .collect().map(_.getDouble(2))
+    assert(sil.forall(s => s >= -1.0 && s <= 1.0))
+  }
 }
