@@ -503,11 +503,18 @@ object Stress {
       def conformal(d: DataFrame): Long =
         ModelOps.conformalThreshold(TextOps.qualityFrame(d)
           .select(col("quality_score"), (col("doc_id") % 5 === 0).as("__cal"))).count()
+      def conformalGroup(d: DataFrame): Long =
+        ModelOps.conformalThresholdByGroup(TextOps.qualityFrame(d, carryCols = Seq("source"))
+          .select(col("source"), col("quality_score"),
+            (expr("doc_id div 20") % 5 === 0).as("__cal"))).count()
       for ((name, run) <- Seq[(String, Int => Long)](
         ("bradley_terry", m => bt(docsAt(m))),
         ("conformal", m => conformal(docsAt(m))),
+        ("conformal_group", m => conformalGroup(docsAt(m))),
         ("silhouette", m => SimilarityOps.silhouetteReport(embAt(m)).count()),
-        ("remove_top", m => SimilarityOps.removeTopComponent(embAt(m)).count()))) {
+        ("remove_top", m => SimilarityOps.removeTopComponent(embAt(m)).count()),
+        ("isotropy", m => SimilarityOps.isotropyReport(embAt(m)).count()),
+        ("kcenter", m => SimilarityOps.kCenterGreedy(embAt(m)).count()))) {
         run(1) // warm-up: JIT + codegen cache, untimed
         val (r1, t1) = time(run(1))
         val (rx, tx) = time(run(x))
