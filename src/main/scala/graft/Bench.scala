@@ -169,8 +169,14 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    // calibration-normalized totals ride in every record: two records
+    // from drifted environments compare directly on cal_norm_total
+    // (time ÷ probe) with no manual probe arithmetic (the r8 session
+    // drifted 0.50 → 1.27 on the same machine; raw totals across that
+    // divide mislead)
+    val calNorm = if (calibrationSec > 0) 1.0 / calibrationSec else 0.0
     val common =
-      s""""unit":"sec","samples":$samples,"calibration_sec":${num(calibrationSec)},"ingest_points_per_sec":$ingestRate,"ingest_e2e_points_per_sec":$e2eRate,"timing":"warm-median","sf":"${jstr(sfDir)}""""
+      s""""unit":"sec","samples":$samples,"calibration_sec":${num(calibrationSec)},"cal_norm_total":${num(total * calNorm)},"ingest_points_per_sec":$ingestRate,"ingest_e2e_points_per_sec":$e2eRate,"timing":"warm-median","sf":"${jstr(sfDir)}""""
     val stdoutJson =
       s"""{"metric":"total","value":${num(total)},$common,"key_style":"short","queries":${jmap(shortResults)}}"""
     println(stdoutJson)
@@ -189,7 +195,7 @@ object Bench {
     // the complete, parseable copy: full query names, spread dict. stdout
     // rides through sbt's log pipeline, which truncates long lines.
     val fileJson =
-      s"""{"metric":"total","value":${num(total)},$common,"key_style":"full","queries":${jmap(results)},"spread":${jmap(spreads)}}"""
+      s"""{"metric":"total","value":${num(total)},$common,"key_style":"full","queries":${jmap(results)},"cal_norm_queries":${jmap(results.map { case (k, v) => k -> v * calNorm })},"spread":${jmap(spreads)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fileJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // never fail the bench over the copy

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.RelOps
+import graft.ops.{RelOps, SketchOps}
 import graft.query.{MetricQuery, QueryParams}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -233,16 +233,24 @@ private[graft] object RelEntries {
         .unionByName(firstHalf.except(secondHalf).withColumn("tag", lit("first_only")))
     }),
 
-    // Sketch aggregates (HLL distinct + approximate percentile). No
-    // oracle SQL on purpose: sketches are engine-specific, the driver
-    // records the weaker rows-only check.
-    "q48_sketches" -> ((s, dir) =>
-      events(s, dir)
-        .groupBy("event_type")
-        .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
-          count(lit(1)).as("n"))),
+    // Sketch aggregates per event type, ENGINE-PORTABLE: HLL distinct
+    // users (256 seeded-md5 registers) + histogram-p50 estimate — the
+    // q206/q237 sketch discipline applied to q48's original surface,
+    // so the estimates themselves are oracle-verified bit-exactly.
+    // The Spark-built-in approx_count_distinct/percentile_approx forms
+    // (engine-specific HLL++/GK states) live on as the q48b bench-only
+    // twin, gated against q94's exact values in SketchSpec.
+    "q48_sketches" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val hll = SketchOps.hllEstimate(SketchOps.hllRegisters(
+          ev.select(col("event_type").as("g"), col("user_id").as("item")), 8, 11L), 8)
+        .select(col("g"), round(col("est"), 4).as("est_users"))
+      val p50 = SketchOps.histogramPercentiles(
+          ev.select(col("event_type").as("g"), col("value").as("v")))
+        .select(col("g"), col("n"), col("p50_est"))
+      hll.join(p50, Seq("g"))
+        .select(col("g").as("event_type"), col("n"), col("est_users"), col("p50_est"))
+    }),
 
     // Exact twin of q48's sketch aggregates: count(DISTINCT) + exact
     // interpolated median, fully oracle-checkable — the driver-side
@@ -608,6 +616,45 @@ private[graft] object RelEntries {
         |SELECT name, 'both' AS tag FROM (SELECT name FROM f INTERSECT SELECT name FROM s)
         |UNION ALL
         |SELECT name, 'first_only' AS tag FROM (SELECT name FROM f EXCEPT SELECT name FROM s)""".stripMargin,
+
+    // The portable sketches replayed in SQL: the q206 HLL register
+    // arithmetic (seeded-md5 hash, low-8-bit register, leading-zero
+    // rank, integer 2^53-unit banking, alpha + small-range branch)
+    // over user_id per event_type, joined to the q237 histogram-p50
+    // cumulative — both estimates bit-exact across engines.
+    "q48_sketches" ->
+      """WITH h AS (SELECT event_type,
+        |        CAST(concat('0x', substr(md5('11:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |      FROM events),
+        |r AS (SELECT event_type, h & 255 AS reg,
+        |        max(CASE WHEN h >> 8 = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END) AS mj
+        |      FROM h GROUP BY 1, 2),
+        |a AS (SELECT event_type, count(*) AS n_regs,
+        |        sum(CAST(pow(2, 53 - mj) AS BIGINT)) AS su FROM r GROUP BY 1),
+        |e AS (SELECT event_type,
+        |        (su + (256 - n_regs) * CAST(pow(2, 53) AS BIGINT)) / pow(2.0, 53) AS s,
+        |        256 - n_regs AS zeros
+        |      FROM a),
+        |est AS (SELECT event_type,
+        |          CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0) * 65536.0) / s <= 640.0 AND zeros > 0
+        |               THEN 256.0 * ln(256.0 / zeros)
+        |               ELSE (0.7213 / (1.0 + 1.079 / 256.0) * 65536.0) / s END AS e
+        |        FROM e),
+        |base AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+        |         FROM events WHERE value IS NOT NULL),
+        |hh AS (SELECT event_type, CAST(floor(v * 100) AS BIGINT) AS b, count(*) AS c
+        |       FROM base GROUP BY 1, 2),
+        |t2 AS (SELECT event_type, sum(c) AS n FROM hh GROUP BY 1),
+        |cu AS (SELECT hh.event_type, b, n,
+        |         sum(c) OVER (PARTITION BY hh.event_type ORDER BY b
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM hh JOIN t2 USING (event_type)),
+        |sk AS (SELECT event_type, n,
+        |         round(min(CASE WHEN cum >= ceil(0.5 * n) THEN b END) / 100 + 0.005, 4) AS p50_est
+        |       FROM cu GROUP BY 1, 2)
+        |SELECT est.event_type, CAST(n AS BIGINT) AS n,
+        |       round(e, 4) AS est_users, p50_est
+        |FROM est JOIN sk USING (event_type)""".stripMargin,
 
     "q52_rollup_last" ->
       """WITH pts AS (

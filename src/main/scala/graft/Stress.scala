@@ -471,22 +471,31 @@ object Stress {
     // log10(t_x/t_1)/log10(x) is what the record must show ≲ 1.
     if (which == "r8ops") {
       import graft.ops.{ModelOps, SimilarityOps, TextOps}
-      def embAt(mult: Int): DataFrame = {
+      // Replicated inputs are materialized ONCE, OUTSIDE the timers:
+      // blending the linear write+re-read generation I/O into t1/tx
+      // biases every exponent toward 1 and can mask superlinear
+      // operator behavior — the exact defect the ≤ 1 record exists
+      // to catch.
+      def embAt(mult: Int, path: String): DataFrame = {
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         (0 until mult).map { i =>
           emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
             transform(col("embedding"), e => e + lit(0.001f * i)).as("embedding"))
-        }.reduce(_ unionByName _).write.mode("overwrite").parquet("/tmp/graft_stress_r8e")
-        spark.read.parquet("/tmp/graft_stress_r8e")
+        }.reduce(_ unionByName _).write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
       }
-      def docsAt(mult: Int): DataFrame = {
+      def docsAt(mult: Int, path: String): DataFrame = {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         (0 until mult).map { i =>
           docs.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
             col("source"), col("text"), col("n_chars"))
-        }.reduce(_ unionByName _).write.mode("overwrite").parquet("/tmp/graft_stress_r8d")
-        spark.read.parquet("/tmp/graft_stress_r8d")
+        }.reduce(_ unionByName _).write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
       }
+      val docs1 = docsAt(1, "/tmp/graft_stress_r8d1")
+      val docsX = docsAt(x, "/tmp/graft_stress_r8dx")
+      val emb1 = embAt(1, "/tmp/graft_stress_r8e1")
+      val embX = embAt(x, "/tmp/graft_stress_r8ex")
       def bt(d: DataFrame): Long = {
         // the q242 comparison derivation (consecutive ids; replica
         // offsets of 1e7 keep copies from chaining into each other)
@@ -507,17 +516,17 @@ object Stress {
         ModelOps.conformalThresholdByGroup(TextOps.qualityFrame(d, carryCols = Seq("source"))
           .select(col("source"), col("quality_score"),
             (expr("doc_id div 20") % 5 === 0).as("__cal"))).count()
-      for ((name, run) <- Seq[(String, Int => Long)](
-        ("bradley_terry", m => bt(docsAt(m))),
-        ("conformal", m => conformal(docsAt(m))),
-        ("conformal_group", m => conformalGroup(docsAt(m))),
-        ("silhouette", m => SimilarityOps.silhouetteReport(embAt(m)).count()),
-        ("remove_top", m => SimilarityOps.removeTopComponent(embAt(m)).count()),
-        ("isotropy", m => SimilarityOps.isotropyReport(embAt(m)).count()),
-        ("kcenter", m => SimilarityOps.kCenterGreedy(embAt(m)).count()))) {
-        run(1) // warm-up: JIT + codegen cache, untimed
-        val (r1, t1) = time(run(1))
-        val (rx, tx) = time(run(x))
+      for ((name, d1, dx, run) <- Seq[(String, DataFrame, DataFrame, DataFrame => Long)](
+        ("bradley_terry", docs1, docsX, bt),
+        ("conformal", docs1, docsX, conformal),
+        ("conformal_group", docs1, docsX, conformalGroup),
+        ("silhouette", emb1, embX, d => SimilarityOps.silhouetteReport(d).count()),
+        ("remove_top", emb1, embX, d => SimilarityOps.removeTopComponent(d).count()),
+        ("isotropy", emb1, embX, d => SimilarityOps.isotropyReport(d).count()),
+        ("kcenter", emb1, embX, d => SimilarityOps.kCenterGreedy(d).count()))) {
+        run(d1) // warm-up: JIT + codegen cache, untimed
+        val (r1, t1) = time(run(d1))
+        val (rx, tx) = time(run(dx))
         val expo = math.log10(tx / t1) / math.log10(x.toDouble)
         println(f"STRESS_R8OPS op=$name rows_1=$r1 rows_$x=$rx " +
           f"t1=$t1%.2fs t$x=$tx%.2fs exponent=$expo%.2f")

@@ -768,6 +768,57 @@ object DedupOps {
       .withColumn("contaminated", col("contamination_rate") >= threshold)
   }
 
+  /** [[evalGramBloom]] with a DETERMINISTIC, engine-portable bit
+    * layout: k seeded-md5 hashes (the [[SampleOps.seededHash]] idiom,
+    * seeds seedBase+1..seedBase+k) into m = 2^mBits bits. Spark's
+    * built-in `bloomFilter` state is engine-specific (the original
+    * q83 rows-only gap); this filter's bit positions are pure md5
+    * arithmetic, so any SQL engine replays the filter — INCLUDING its
+    * false positives — bit-exactly, making the estimate itself
+    * oracle-verifiable (the q206 HLL discipline applied to Bloom).
+    *
+    * Plan shape: the eval side reduces to ≤ min(k·|grams|, m) distinct
+    * bit positions (bounded by m longs — the ONE bounded driver read;
+    * 2^22 bits is a 512 KiB bitmap broadcast); the training side is
+    * pure map work — no explode, no join, no shuffle: each doc's
+    * sorted code set probes the broadcast bitmap k times per gram.
+    *
+    * Same output schema and one-sided-error contract as
+    * [[evalGramBloom]]: contaminated grams ALWAYS hit (every set bit
+    * an eval gram needs is set by construction); clean grams
+    * false-positive at ≈ (1 − e^(−k·n/m))^k. Size mBits for the eval
+    * gram count — the standard m ≳ 1.44·k·n keeps fpp ≲ 1%; the
+    * default 2^22 covers eval splits to ~700k distinct grams.
+    */
+  def evalGramBloomSeeded(train: DataFrame, evalDocs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text", n: Int = 8, threshold: Double = 0.5,
+                          mBits: Int = 22, k: Int = 4, seedBase: Long = 300L): DataFrame = {
+    require(mBits >= 10 && mBits <= 30, s"mBits out of range: $mBits")
+    require(k >= 1 && k <= 16, s"k out of range: $k")
+    val spark = train.sparkSession
+    val m = 1L << mBits
+    val ks = (1 to k).map(i => lit(i.toLong))
+    val positions = codedGramSets(evalDocs, idCol, textCol, n)
+      .select(explode_outer(col("codes")).as("g"))
+      .filter(col("g").isNotNull).distinct()
+      .select(col("g"), explode(array(ks: _*)).as("i"))
+      .select(pmod(SampleOpsSeed.hash(col("i"), col("g").cast("string"), seedBase),
+        lit(m)).as("p"))
+      .distinct()
+    val bits = new java.util.BitSet(m.toInt)
+    positions.collect().foreach(r => bits.set(r.getLong(0).toInt)) // ≤ m rows, bounded
+    val bc = spark.sparkContext.broadcast(bits)
+    val (kk, mm, sb) = (k, m, seedBase)
+    val hitCount = org.apache.spark.sql.functions.udf((codes: Seq[Long]) =>
+      codes.count(c => SeededBloom.allSet(bc.value, c, kk, mm, sb)).toLong)
+    codedGramSets(train, idCol, textCol, n)
+      .select(col("id").as(idCol), size(col("codes")).cast("long").as("n_grams"),
+        hitCount(col("codes")).as("hit_grams"))
+      .select(col(idCol), col("n_grams"), col("hit_grams"),
+        round(col("hit_grams").cast("double") / col("n_grams"), 4).as("contamination_rate"))
+      .withColumn("contaminated", col("contamination_rate") >= threshold)
+  }
+
   /** TF-IDF cosine verify — the WEIGHTED lexical verify tier for
     * MinHash candidate pairs, between set-Jaccard (term identity only)
     * and embedding cosine (dense semantics): two docs that share their
@@ -1016,5 +1067,44 @@ object DedupOps {
         round(col("__fn6") / 1e6, 6).as("fn_mass"),
         round(col("__fp6") / 1e6, 6).as("fp_mass"),
         round((col("__fn6") + col("__fp6")) / 1e6, 6).as("cost"))
+  }
+}
+
+/** JVM-side replay of the seeded-md5 bit positions behind
+  * [[DedupOps.evalGramBloomSeeded]]: position(seed, code) is the 60-bit
+  * md5-prefix hash of "seed:code" masked to m — byte-for-byte the
+  * [[SampleOpsSeed.hash]] / [[SampleOps.seededHash]] column expression
+  * (`conv(substr(md5(seed || ':' || code), 1, 15), 16, 10) % m`), so the
+  * map-side probe and the SQL oracle walk the identical bit layout
+  * (`SeededBloomSpec` pins expression ≡ JVM on a code sample).
+  */
+private[graft] object SeededBloom {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex chars of md5("seed:code") as a long (60 bits:
+    * bytes 0–6 whole + the high nibble of byte 7), masked to m
+    * (a power of two, so `& (m-1)` ≡ the oracle's `% m` on the
+    * non-negative hash).
+    */
+  def position(seed: Long, code: Long, m: Long): Int = {
+    val d = md.get(); d.reset()
+    val b = d.digest(s"$seed:$code".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (b(i) & 0xffL); i += 1 }
+    h = (h << 4) | ((b(7) & 0xffL) >>> 4)
+    (h & (m - 1L)).toInt
+  }
+
+  def allSet(bits: java.util.BitSet, code: Long, k: Int, m: Long, seedBase: Long): Boolean = {
+    var i = 1
+    while (i <= k) {
+      if (!bits.get(position(seedBase + i, code, m))) return false
+      i += 1
+    }
+    true
   }
 }

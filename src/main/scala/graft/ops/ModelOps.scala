@@ -725,9 +725,15 @@ object ModelOps {
     * groupBy(score) → cumulative count window over the DISTINCT
     * score histogram — never a per-row global sort.
     *
+    * Finite-sample edge: with n_cal + 1 < alphaDen/alphaNum (fewer
+    * than 9 calibration rows at alpha = 1/10), k = 0 — there is NO
+    * order statistic that honours the guarantee, so the threshold is
+    * NULL and the gate admits everything (rejecting anything at k = 0
+    * would mis-reject with probability 1/(n_cal+1) > alpha).
+    *
     * Input: (`scoreCol`, `__cal` boolean) — `__cal` marks the
     * calibration split. Output one row: (n_cal, k, threshold, n_rest,
-    * kept_n, kept_frac 4dp).
+    * kept_n, kept_frac 4dp); threshold NULL ⇔ k = 0 ⇔ admit-all.
     */
   def conformalThreshold(scored: DataFrame, scoreCol: String = "quality_score",
                          alphaNum: Int = 1, alphaDen: Int = 10): DataFrame = {
@@ -740,12 +746,15 @@ object ModelOps {
     val nCal = cal.agg(sum("c").as("n_cal"))
     val thr = cum.crossJoin(broadcast(nCal))
       .withColumn("k", floor((col("n_cal") + 1) * alphaNum / alphaDen))
-      .filter(col("cum") >= col("k"))
-      .groupBy("n_cal", "k").agg(min("__s").as("threshold"))
+      .filter(col("cum") >= greatest(col("k"), lit(1L)))
+      .groupBy("n_cal", "k").agg(min("__s").as("__t"))
+      .select(col("n_cal"), col("k"),
+        when(col("k") >= 1, col("__t")).as("threshold")) // k = 0: admit-all
     val rest = scored.filter(!col("__cal")).crossJoin(broadcast(thr))
       .groupBy("n_cal", "k", "threshold")
       .agg(count(lit(1)).as("n_rest"),
-        sum(when(col(scoreCol) >= col("threshold"), 1L).otherwise(0L)).as("kept_n"))
+        sum(when(col("threshold").isNull || col(scoreCol) >= col("threshold"), 1L)
+          .otherwise(0L)).as("kept_n"))
     rest.select(col("n_cal"), col("k"), col("threshold"), col("n_rest"), col("kept_n"),
       round(col("kept_n") / col("n_rest").cast("double"), 4).as("kept_frac"))
   }
@@ -762,10 +771,14 @@ object ModelOps {
     *
     * Groups with no calibration rows have no threshold and are absent
     * from the report (gate them globally or refuse — a policy call
-    * this operator surfaces rather than hides).
+    * this operator surfaces rather than hides). Groups whose
+    * calibration is too SPARSE for the guarantee (n_cal + 1 <
+    * alphaDen/alphaNum ⇒ k = 0) get a NULL threshold and admit
+    * everything — the [[conformalThreshold]] finite-sample edge,
+    * which any long-tail source mix hits on its smallest sources.
     *
     * Output per group: (group, n_cal, k, threshold, n_rest, kept_n,
-    * kept_frac 4dp).
+    * kept_frac 4dp); threshold NULL ⇔ k = 0 ⇔ admit-all.
     */
   def conformalThresholdByGroup(scored: DataFrame, groupCol: String = "source",
                                 scoreCol: String = "quality_score",
@@ -782,14 +795,17 @@ object ModelOps {
     val nCal = cal.groupBy("__g").agg(sum("c").as("n_cal"))
     val thr = cum.join(broadcast(nCal), Seq("__g"))
       .withColumn("k", floor((col("n_cal") + 1) * alphaNum / alphaDen))
-      .filter(col("cum") >= col("k"))
-      .groupBy("__g", "n_cal", "k").agg(min("__s").as("threshold"))
+      .filter(col("cum") >= greatest(col("k"), lit(1L)))
+      .groupBy("__g", "n_cal", "k").agg(min("__s").as("__t"))
+      .select(col("__g"), col("n_cal"), col("k"),
+        when(col("k") >= 1, col("__t")).as("threshold")) // k = 0: admit-all
     scored.filter(!col("__cal"))
       .select(col(groupCol).as("__g"), col(scoreCol).as("__sc"))
       .join(broadcast(thr), Seq("__g"))
       .groupBy(col("__g").as(groupCol), col("n_cal"), col("k"), col("threshold"))
       .agg(count(lit(1)).as("n_rest"),
-        sum(when(col("__sc") >= col("threshold"), 1L).otherwise(0L)).as("kept_n"))
+        sum(when(col("threshold").isNull || col("__sc") >= col("threshold"), 1L)
+          .otherwise(0L)).as("kept_n"))
       .select(col(groupCol), col("n_cal"), col("k"), col("threshold"),
         col("n_rest"), col("kept_n"),
         round(col("kept_n") / col("n_rest").cast("double"), 4).as("kept_frac"))

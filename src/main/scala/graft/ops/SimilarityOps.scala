@@ -872,6 +872,30 @@ object SimilarityOps {
         round(col("lambda") / col("trace"), 6).as("var_share"))
   }
 
+  /** Trained PCA state — the first-class artifact of [[pcaTrain]],
+    * mirroring the [[ivfTrain]]/[[ivfServeTopK]] index-build/serve
+    * split: train ONCE (the O(d²) Gramian + power iteration is the
+    * expensive step), then hand the state to every consumer
+    * ([[removeTopComponent]], [[isotropyReport]], [[abttGated]])
+    * instead of re-deriving the identical trace per call — at 100 TB
+    * the trace is a job, not a subexpression. Driver-sized: dims first
+    * moments, d(d+1)/2 covariance cells, dims eigenvector loadings.
+    */
+  final case class PcaState(dims: Int,
+                            firsts: Array[(Int, Long, Long)],
+                            covUpper: Array[(Int, Int, Double)],
+                            v: Seq[(Int, Double)])
+
+  /** Train the PCA state (banked moments + 6dp top eigenvector after
+    * `iters` power steps) once — the [[PcaState]] scaladoc explains
+    * why consumers should share it.
+    */
+  def pcaTrain(corpus: DataFrame, dims: Int = 64, iters: Int = 5,
+               vecCol: String = "embedding"): PcaState = {
+    val (firsts, covUpper, v) = pcaTrace(corpus, dims, iters, vecCol)
+    PcaState(dims, firsts, covUpper, v)
+  }
+
   /** The shared power-iteration trace behind [[pcaTopComponent]] and
     * [[removeTopComponent]]: per-dim first moments (dims bounded rows,
     * collected), the 6dp covariance upper triangle (d(d+1)/2 cells),
@@ -927,26 +951,6 @@ object SimilarityOps {
     (firsts, covUpper, v)
   }
 
-  /** All-but-the-top embedding post-processing (Mu & Viswanath, ICLR
-    * 2018): subtract the corpus mean, then the projection onto the top
-    * principal direction — the standard isotropy fix that measurably
-    * improves cosine retrieval on anisotropic embedding spaces (the
-    * q209 var_share diagnostic decides whether to run it).
-    *
-    * Same banked trace as [[pcaTopComponent]] (identical means /
-    * eigenvector to the 6dp step); the transform itself banks the
-    * centered coordinates as exact integers (c6 = x6 − m6), folds the
-    * projection p12 = Σ c6·v6 as a literal `dims`-term codegen sum
-    * (map-only, order-free longs — NO shuffle, NO window), and emits
-    * y_d = round(c6/1e6 − p12/1e12·(v6/1e6), 6) in long form so any
-    * engine replays it row-for-row (the q110 lesson).
-    *
-    * Plan shape: the trace is pcaTopComponent's cost; the transform is
-    * one corpus scan with a broadcast dims-row join on pos — entirely
-    * map-side, the right 100 TB shape.
-    *
-    * Output: (vec_id, dim 1-based, value 6dp) — n·dims rows.
-    */
   /** Greedy k-center selection (farthest-point sampling, Gonzalez
     * 1985) — the diversity-first data-selection pass coreset pruning
     * uses: start from the lowest-id vector, then repeatedly take the
@@ -964,11 +968,14 @@ object SimilarityOps {
     * centers ride into the task as ≤ k literal arrays, the per-row
     * min-distance is a `least` over native l2 expressions, and the
     * argmax is a TakeOrdered(1). Nothing pairwise, nothing shuffled;
-    * the driver holds k×dims doubles (the Lloyd precedent). If k
-    * exceeds the corpus, exhausted rounds re-pick at radius 0 —
-    * deterministic, and visible in the report.
+    * the driver holds k×dims doubles (the Lloyd precedent). An empty
+    * corpus (no row passes the null/dims filter) is refused loudly;
+    * if k exceeds the DISTINCT corpus, selection STOPS at covering
+    * radius 0 (the space is perfectly covered — further rounds could
+    * only re-pick duplicate centers), so the report may carry fewer
+    * than k rows.
     *
-    * Output: (sel_round 0-based, vec_id, radius 6dp) — k rows.
+    * Output: (sel_round 0-based, vec_id, radius 6dp) — ≤ k rows.
     */
   def kCenterGreedy(emb: DataFrame, k: Int = 8, dims: Int = 64,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -978,10 +985,14 @@ object SimilarityOps {
     val clean = emb.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val first = clean.orderBy(col(idCol)).limit(1)
-        .select(col(idCol).cast("long"), col(vecCol)).collect()(0)
+      val firstRows = clean.orderBy(col(idCol)).limit(1)
+        .select(col(idCol).cast("long"), col(vecCol)).collect()
+      require(firstRows.nonEmpty,
+        s"kCenterGreedy: no rows with a non-null length-$dims '$vecCol'")
+      val first = firstRows(0)
       var chosen = Vector((first.getLong(0), first.getSeq[Float](1), 0.0))
-      for (_ <- 1 until k) {
+      var covered = false // covering radius hit 0 — every further pick is a duplicate
+      for (_ <- 1 until k if !covered) {
         val dist = chosen.map { case (_, c, _) =>
           graft.functions.VectorExprs.l2Squared(col(vecCol), typedLit(c))
         }.reduceLeft(least(_, _))
@@ -989,7 +1000,8 @@ object SimilarityOps {
           .select(col(idCol).cast("long").as("__id"), col(vecCol), dist.as("__d"))
           .orderBy(col("__d").desc, col("__id")).limit(1)
           .collect()(0) // ONE row per round — the bounded driver read
-        chosen = chosen :+ ((next.getLong(0), next.getSeq[Float](1), next.getDouble(2)))
+        if (next.getDouble(2) == 0.0) covered = true
+        else chosen = chosen :+ ((next.getLong(0), next.getSeq[Float](1), next.getDouble(2)))
       }
       def round6(x: Double): Double = {
         val f = math.abs(x) * 1e6 + 0.5
@@ -1020,15 +1032,53 @@ object SimilarityOps {
     */
   def isotropyReport(corpus: DataFrame, dims: Int = 64, iters: Int = 5,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
-    val x6arr = transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long"))
-    val raw = DedupOps.widen(corpus)
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
-      .select(col(idCol).as("vec_id"), posexplode(x6arr).as(Seq("dim", "b6")))
-    val post = removeTopComponent(corpus, dims, iters, idCol, vecCol)
+                     vecCol: String = "embedding"): DataFrame =
+    isotropyReport(corpus, pcaTrain(corpus, dims, iters, vecCol), idCol, vecCol)
+
+  /** [[isotropyReport]] serving from a pre-trained [[PcaState]]. */
+  def isotropyReport(corpus: DataFrame, state: PcaState,
+                     idCol: String, vecCol: String): DataFrame = {
+    val raw = bankedCoords(corpus, state.dims, idCol, vecCol)
+    val post = removeTopComponent(corpus, state, idCol, vecCol)
       .select(col("vec_id"), col("dim"), round(col("value") * 1e6).cast("long").as("b6"))
     meanCosine(raw, "n_raw", "cos_raw")
       .crossJoin(broadcast(meanCosine(post, "n_post", "cos_post")))
+  }
+
+  /** Isotropy-GATED all-but-the-top — the composed serving pipeline:
+    * train the PCA state ONCE, measure the raw mean pairwise cosine
+    * from it (one bounded driver read), and only when the space is
+    * measurably anisotropic (cos_raw > `threshold`) emit the
+    * [[removeTopComponent]] transform; otherwise pass the corpus
+    * through unchanged (same 6dp long form, so downstream schema never
+    * branches). Running the q246 diagnostic and the q245 transform as
+    * separate jobs pays the O(d²) Gramian trace twice; this is the
+    * check → fix composition over ONE trace (the [[ivfTrain]] serving
+    * discipline applied to the PCA family).
+    *
+    * Output: (vec_id, dim 1-based, value 6dp) — n·dims rows either way.
+    */
+  def abttGated(corpus: DataFrame, threshold: Double = 0.0001, dims: Int = 64,
+                iters: Int = 5, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val state = pcaTrain(corpus, dims, iters, vecCol) // the ONE trace
+    val raw = bankedCoords(corpus, dims, idCol, vecCol)
+    val cosRaw = meanCosine(raw, "n", "c").collect()(0).getDouble(1) // ONE row
+    if (cosRaw > threshold) removeTopComponent(corpus, state, idCol, vecCol)
+    else raw.select(col("vec_id"), (col("dim") + 1).as("dim"),
+      round(col("b6") / lit(1e6), 6).as("value"))
+  }
+
+  /** Banked 6dp long-form coordinates (vec_id, dim 0-based, b6) — the
+    * shared input shape of [[meanCosine]] and the [[abttGated]]
+    * identity branch.
+    */
+  private def bankedCoords(corpus: DataFrame, dims: Int,
+                           idCol: String, vecCol: String): DataFrame = {
+    val x6arr = transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long"))
+    DedupOps.widen(corpus)
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(col(idCol).as("vec_id"), posexplode(x6arr).as(Seq("dim", "b6")))
   }
 
   /** ‖Σ u‖²/n² over banked (vec_id, dim, b6) coordinates — see
@@ -1050,12 +1100,40 @@ object SimilarityOps {
         round(col("ss").cast("double") / lit(1e12) / col("n") / col("n"), 6).as(cosName))
   }
 
+  /** All-but-the-top embedding post-processing (Mu & Viswanath, ICLR
+    * 2018): subtract the corpus mean, then the projection onto the top
+    * principal direction — the standard isotropy fix that measurably
+    * improves cosine retrieval on anisotropic embedding spaces (the
+    * q209 var_share diagnostic decides whether to run it).
+    *
+    * Same banked trace as [[pcaTopComponent]] (identical means /
+    * eigenvector to the 6dp step); the transform itself banks the
+    * centered coordinates as exact integers (c6 = x6 − m6), folds the
+    * projection p12 = Σ c6·v6 as a literal `dims`-term codegen sum
+    * (map-only, order-free longs — NO shuffle, NO window), and emits
+    * y_d = round(c6/1e6 − p12/1e12·(v6/1e6), 6) in long form so any
+    * engine replays it row-for-row (the q110 lesson).
+    *
+    * Plan shape: the trace is pcaTopComponent's cost; the transform is
+    * one corpus scan with a broadcast dims-row join on pos — entirely
+    * map-side, the right 100 TB shape.
+    *
+    * Output: (vec_id, dim 1-based, value 6dp) — n·dims rows.
+    */
   def removeTopComponent(corpus: DataFrame, dims: Int = 64, iters: Int = 5,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
+                         vecCol: String = "embedding"): DataFrame =
+    removeTopComponent(corpus, pcaTrain(corpus, dims, iters, vecCol), idCol, vecCol)
+
+  /** [[removeTopComponent]] serving from a pre-trained [[PcaState]] —
+    * compose several consumers over ONE trace (the q251 pipeline).
+    */
+  def removeTopComponent(corpus: DataFrame, state: PcaState,
+                         idCol: String, vecCol: String): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (firsts, _, v) = pcaTrace(corpus, dims, iters, vecCol)
+    val dims = state.dims
+    val (firsts, v) = (state.firsts, state.v)
     def round6(x: Double): Double = {
       val f = math.abs(x) * 1e6 + 0.5
       math.signum(x) * (f - (f % 1.0)) / 1e6

@@ -18,17 +18,20 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
-  // queries intentionally without oracle SQL (driver falls back to its
-  // rows-only check): sketch and Bloom-filter bit layouts are
-  // engine-specific by nature (q83's one-sided-error contract is pinned
-  // against q63's exact rates in PipelineOpsSpec instead)
-  private val rowsOnlyByDesign = Set("q48_sketches", "q83_bloom_decon")
-
-  test("every query has an oracle or is documented rows-only") {
-    val missing =
-      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
+  // Every oracle query carries DuckDB SQL — the engine-specific forms
+  // (built-in sketch/Bloom states, coded-key shuffle twins) live in
+  // benchOnlyQueries, which Verify skips and Bench times.
+  test("every query has an oracle; benchOnly stays disjoint") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
-    assert((rowsOnlyByDesign -- SparkEntry.queries.keySet).isEmpty,
-      "rows-only allowlist references unknown queries")
+    val overlap = SparkEntry.benchOnlyQueries.keySet & SparkEntry.queries.keySet
+    assert(overlap.isEmpty, s"benchOnly queries shadow oracle queries: $overlap")
+  }
+
+  test("all benchOnly twins run on sf0.001") {
+    SparkEntry.benchOnlyQueries.foreach { case (name, fn) =>
+      val n = fn(SparkTestBase.spark, "/root/testdata/sf0.001").count()
+      assert(n >= 0, s"$name failed")
+    }
   }
 }

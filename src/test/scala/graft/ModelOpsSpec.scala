@@ -354,4 +354,27 @@ class ModelOpsSpec extends AnyFunSuite {
     assert(got("a") === ((10L, 1L, 0.1, 2L, 1L, 0.5)))
     assert(got("b") === ((10L, 1L, 2.1, 2L, 1L, 0.5)))
   }
+
+  test("conformal k=0 (sparse calibration): NULL threshold admits everything") {
+    // 8 calibration rows at alpha=1/10: k = floor(9/10) = 0 — no order
+    // statistic honours the guarantee, so threshold is NULL and the
+    // gate keeps 100% (taking the min score instead would mis-reject
+    // with probability 1/9 > alpha)
+    val df = ((1 to 8).map(i => (i / 10.0, true)) ++
+      Seq((0.01, false), (0.99, false))).toDF("quality_score", "__cal")
+    val r = ModelOps.conformalThreshold(df).collect()(0)
+    assert(r.getLong(0) === 8L && r.getLong(1) === 0L)
+    assert(r.isNullAt(2), "k=0 must produce a NULL (admit-all) threshold")
+    assert((r.getLong(3), r.getLong(4), r.getDouble(5)) === ((2L, 2L, 1.0)))
+    // per-group: the sparse group admits all; the dense group still gates
+    val rows = (1 to 10).map(i => ("dense", i / 10.0, true)) ++
+      (1 to 5).map(i => ("sparse", i / 10.0, true)) ++
+      Seq(("dense", 0.05, false), ("dense", 0.5, false),
+        ("sparse", 0.01, false), ("sparse", 0.99, false))
+    val got = ModelOps.conformalThresholdByGroup(
+      rows.toDF("source", "quality_score", "__cal")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("dense").getDouble(3) === 0.1)
+    assert(got("sparse").isNullAt(3) && got("sparse").getDouble(6) === 1.0)
+  }
 }

@@ -444,4 +444,50 @@ class PipelineEvalSpec extends AnyFunSuite {
       .collect().map(_.getDouble(2))
     assert(sil.forall(s => s >= -1.0 && s <= 1.0))
   }
+
+  test("kCenterGreedy edge cases: empty corpus refused; selection stops at radius 0") {
+    // empty after the null/dims filter → loud require, not an AIOOBE
+    val empty = Seq((0L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityOps.kCenterGreedy(empty, k = 2, dims = 2)
+    }
+    assert(ex.getMessage.contains("no rows"))
+    // 2 distinct points, k=4: once both are chosen the covering radius
+    // is 0 — selection stops instead of emitting duplicate centers
+    val two = Seq((0L, Array(0f, 0f)), (1L, Array(3f, 4f)), (2L, Array(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.kCenterGreedy(two, k = 4, dims = 2)
+      .orderBy("sel_round").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((0, 0L, 0.0), (1, 1L, 25.0)))
+  }
+
+  test("abttGated: one trained trace serves the gate; transform when anisotropic, identity when isotropic") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // anisotropic: every vector near one axis → cos_raw ≈ 1 → the
+    // gated pipeline must emit exactly removeTopComponent's rows
+    val aniso = (0 until 40).map(i =>
+      (i.toLong, Array(1f + i * 0.01f, 0.001f * (i % 3)))).toDF("vec_id", "embedding")
+    assert(rows(SimilarityOps.abttGated(aniso, dims = 2)) ===
+      rows(SimilarityOps.removeTopComponent(aniso, dims = 2)))
+    // isotropic by construction: ± pairs cancel → Σu = 0 → cos_raw = 0
+    // → identity branch, values = the 6dp-banked inputs
+    val base = (0 until 10).map(i => Array(1f + i * 0.1f, 2f - i * 0.3f))
+    val iso = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((2L * i, v), (2L * i + 1, v.map(-_)))
+    }.toDF("vec_id", "embedding")
+    val got = rows(SimilarityOps.abttGated(iso, dims = 2))
+    val want = iso.collect().flatMap { r =>
+      val id = r.getLong(0)
+      r.getSeq[Float](1).zipWithIndex.map { case (x, d) =>
+        (id, d + 1) -> math.round(math.round(x.toDouble * 1e6).toDouble) / 1e6
+      }
+    }.toMap
+    assert(got === want)
+    // the state-based serve is byte-identical to the self-training form
+    val st = SimilarityOps.pcaTrain(aniso, dims = 2)
+    assert(rows(SimilarityOps.removeTopComponent(aniso, st, "vec_id", "embedding")) ===
+      rows(SimilarityOps.removeTopComponent(aniso, dims = 2)))
+  }
 }

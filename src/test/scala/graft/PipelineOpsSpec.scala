@@ -265,6 +265,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bloom(1L)._3 === 1.0) // identical doc: every gram hits
   }
 
+  test("SeededBloom.position replays the seededHash column expression bit-for-bit") {
+    // the JVM md5-prefix parse must equal the conv(substr(md5(...)))
+    // column idiom for every seed the filter uses — this is what makes
+    // the q83 oracle's SQL replay of the bit layout exact
+    import graft.ops.{SampleOps, SeededBloom}
+    val codes = Seq(0L, 1L, 37L, 38L, 123456789L,
+      math.pow(38, 8).toLong - 1, Long.MaxValue / 38)
+    val m = 1L << 22
+    val df = codes.toDF("code")
+    (1 to 4).foreach { i =>
+      val expected = df
+        .select(pmod(SampleOps.seededHash(col("code"), 300L + i), lit(m)).as("p"))
+        .as[Long].collect().toSeq
+      val got = codes.map(c => SeededBloom.position(300L + i, c, m).toLong)
+      assert(got === expected, s"seed ${300 + i}")
+    }
+  }
+
+  test("evalGramBloomSeeded: no false negatives vs exact overlap, bounded over-estimate") {
+    val evalDocs = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "zzz yyy xxx www vvv uuu completely different"),
+      (3L, "the quick brown fox went home early today ok")
+    ).toDF("doc_id", "text")
+    val exact = DedupOps.evalGramOverlap(train, evalDocs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val bloom = DedupOps.evalGramBloomSeeded(train, evalDocs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(bloom.keySet === exact.keySet)
+    bloom.foreach { case (id, (nGrams, hits, rate)) =>
+      val (exN, exHits, exRate) = exact(id)
+      assert(nGrams === exN)
+      assert(hits >= exHits, s"doc $id lost a contaminated gram (false negative)")
+      assert(rate <= exRate + 0.1, s"doc $id over-estimates beyond the fp envelope")
+    }
+    assert(bloom(1L)._3 === 1.0) // identical doc: every gram hits
+  }
+
   test("semDedup drops the higher-id near-duplicate inside a cell, keeps dissimilar cell-mates") {
     import graft.ops.SimilarityOps
     // k=2 seeds = ids 0 and 1 (the two lowest): cell 0 forms around

@@ -3,11 +3,13 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Tolerance self-checks for the sketch aggregations behind
-  * q48_sketches. Sketches aren't cross-engine comparable (the oracle
-  * records rows-only for q48), so THIS is their semantic gate: each
-  * approximation must land within its documented error envelope of the
-  * exact answer computed on the same data.
+/** Tolerance self-checks for the sketch aggregations around
+  * q48_sketches. The PRIMARY q48 is now the engine-portable form
+  * (seeded-md5 HLL + histogram p50 — oracle-verified bit-exactly);
+  * the Spark built-ins (HLL++/GK, engine-specific states) live on as
+  * the q48b bench-only twin, and THIS spec is the built-ins' semantic
+  * gate: each approximation must land within its documented error
+  * envelope of the exact answer computed on the same data.
   */
 class SketchSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -38,27 +40,34 @@ class SketchSpec extends AnyFunSuite {
       s"approx p50 $approx outside rank band [$lo, $hi] (exact $exact)")
   }
 
-  test("q48 approximations land within tolerance of q94's oracle-checked exact twins") {
+  test("q48 (portable) and q48b (built-in) both land within tolerance of q94's exact twins") {
     // the closing of the loop: q94_sketch_anchor's exact aggregates are
-    // hash-verified against DuckDB; here q48's sketches must agree with
+    // hash-verified against DuckDB; both sketch forms must agree with
     // those same exact values on the same testdata
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists())
-    val approx = SparkEntry.queries("q48_sketches")(spark, dir)
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     val exact = SparkEntry.queries("q94_sketch_anchor")(spark, dir)
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
-    assert(approx.keySet === exact.keySet)
-    exact.foreach { case (et, (exUsers, exP50)) =>
-      val (apUsers, apP50) = approx(et)
-      val rel = math.abs(apUsers - exUsers).toDouble / math.max(exUsers, 1L)
-      assert(rel < 0.15, s"$et: approx NDV $apUsers vs exact $exUsers (rel $rel)")
-      // value band: the per-type value distributions are dense uniforms,
-      // so a generous absolute-range check is the stable envelope
-      val spread = math.abs(exP50) * 0.1 + 10.0
-      assert(math.abs(apP50 - exP50) <= spread,
-        s"$et: approx p50 $apP50 vs exact $exP50")
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("exact_users"), r.getAs[Double]("exact_p50")))).toMap
+    def check(tag: String, approx: Map[String, (Double, Double)]): Unit = {
+      assert(approx.keySet === exact.keySet, tag)
+      exact.foreach { case (et, (exUsers, exP50)) =>
+        val (apUsers, apP50) = approx(et)
+        val rel = math.abs(apUsers - exUsers) / math.max(exUsers, 1L)
+        assert(rel < 0.15, s"$tag $et: approx NDV $apUsers vs exact $exUsers (rel $rel)")
+        // value band: the per-type value distributions are dense uniforms,
+        // so a generous absolute-range check is the stable envelope
+        val spread = math.abs(exP50) * 0.1 + 10.0
+        assert(math.abs(apP50 - exP50) <= spread,
+          s"$tag $et: approx p50 $apP50 vs exact $exP50")
+      }
     }
+    check("q48", SparkEntry.queries("q48_sketches")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("est_users"), r.getAs[Double]("p50_est")))).toMap)
+    check("q48b", SparkEntry.benchOnlyQueries("q48b_sketches_builtin")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("approx_users").toDouble, r.getAs[Double]("approx_p50")))).toMap)
   }
 
   test("sketch aggregates merge correctly across partitions") {
