@@ -329,6 +329,168 @@ object MultimodalOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  // ---- real audio decode (pure-JVM WAV via javax.sound.sampled) ----------
+
+  /** Guarded WAV/AIFF/AU decode to MONO samples: parse the container
+    * with `javax.sound.sampled` (the WAV/PCM readers ship with the
+    * JDK, no native libs), refuse anything whose header declares more
+    * than `maxFrames` frames BEFORE buffering (the decompression-bomb
+    * guard — a hostile 4-byte-length header would otherwise make the
+    * read allocate gigabytes), accept 8/16-bit PCM, and mix channels
+    * by average. Returns null for anything unreadable — the
+    * [[ImageIoDecoder]] quarantine convention: one corrupt file must
+    * not kill a 100 TB scan.
+    */
+  private def readWavGuarded(bytes: Array[Byte],
+      maxFrames: Long = 1L << 24): Array[Int] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val enc = f.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = f.getSampleSizeInBits
+        val ch = f.getChannels
+        val nFrames = ais.getFrameLength
+        if (!(signed || unsigned) || (bits != 8 && bits != 16) || ch < 1 ||
+            nFrames <= 0 || nFrames > maxFrames) null
+        else {
+          val raw = ais.readAllBytes()
+          val bytesPerSample = bits / 8
+          val frameSize = bytesPerSample * ch
+          val n = raw.length / frameSize
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0L
+            var c = 0
+            while (c < ch) {
+              val off = i * frameSize + c * bytesPerSample
+              val s =
+                if (bits == 8) {
+                  if (signed) raw(off).toInt else (raw(off) & 0xff) - 128
+                } else {
+                  val (lo, hi) =
+                    if (f.isBigEndian) (raw(off + 1), raw(off)) else (raw(off), raw(off + 1))
+                  val v = ((hi & 0xff) << 8) | (lo & 0xff)
+                  if (signed) v.toShort.toInt else v - 32768
+                }
+              acc += s
+              c += 1
+            }
+            out(i) = (acc / ch).toInt
+            i += 1
+          }
+          out
+        }
+      } finally ais.close()
+    } catch { case _: Exception => null }
+
+  /** REAL bytes → analysis-window fingerprints: decode each payload's
+    * PCM with `javax.sound.sampled`, cut the sample stream into
+    * non-overlapping `windowSamples`-sample windows anchored at sample
+    * 0, and fingerprint each window by its ENERGY-CONTOUR descriptor:
+    * the window splits into `slices` time slices, each slice's mean
+    * absolute amplitude feeds a dHash-style rising/falling bit
+    * (slice i+1 > slice i), and the contour plus a coarse log2 energy
+    * bucket hash to the window key. Only ORDER between neighboring
+    * slices matters, so small amplitude jitter (re-encode dither)
+    * keeps most windows' keys intact — the audio analogue of
+    * [[imagePixels]]→[[dHashBands]]' brightness-shift robustness.
+    *
+    * Output schema is IDENTICAL to [[audioWindows]] (media_id, wpos,
+    * whash), so [[audioOffsetNearDup]] consumes either source
+    * unchanged — the decoder boundary carrying real PCM. Undecodable
+    * payloads drop (the quarantine convention). Trims at window
+    * granularity align exactly under the fixed sample-0 grid
+    * (a landmark/onset-anchored scheme would align arbitrary trims —
+    * out of scope for the pure-JVM tier; the offset-vote consumer is
+    * agnostic). Per-partition batched `mapPartitions`; map-only.
+    */
+  def wavWindows(media: DataFrame, windowSamples: Int = 1024, slices: Int = 16,
+                 idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    require(windowSamples >= slices && windowSamples % slices == 0,
+      s"windowSamples=$windowSamples must be a multiple of slices=$slices")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          val samples = readWavGuarded(bytes)
+          if (samples == null) Iterator.empty
+          else {
+            val nWin = samples.length / windowSamples
+            val sliceLen = windowSamples / slices
+            (0 until nWin).iterator.map { w =>
+              val means = new Array[Long](slices)
+              var total = 0L
+              var s = 0
+              while (s < slices) {
+                var sum = 0L
+                var i = 0
+                val base = w * windowSamples + s * sliceLen
+                while (i < sliceLen) {
+                  sum += math.abs(samples(base + i).toLong)
+                  i += 1
+                }
+                means(s) = sum / sliceLen
+                total += sum
+                s += 1
+              }
+              var contour = 0L
+              var k = 0
+              while (k < slices - 1) {
+                if (means(k + 1) > means(k)) contour |= (1L << k)
+                k += 1
+              }
+              val bucket = 63 - java.lang.Long.numberOfLeadingZeros(total + 1)
+              md.reset()
+              val hex = md.digest(s"$contour:$bucket".getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              (id, w.toLong, hex)
+            }
+          }
+        }
+      }.toDF(idCol, "wpos", "whash")
+  }
+
+  /** REAL pure-JVM audio decoder behind the same [[MediaDecoder]]
+    * contract: metadata from the actual container header — width
+    * carries the sample rate, height the channel count, n_frames the
+    * PCM frame count (capped to Int). Unparseable or bomb-headed
+    * payloads report (-1, -1, 0), the quarantine marker, never an
+    * exception. The pipeline downstream of `decode()` is unchanged.
+    */
+  object WavDecoder extends MediaDecoder {
+    override def decodeBatch(items: Iterator[MediaItem]): Iterator[DecodedMeta] =
+      items.map { m =>
+        val md = java.security.MessageDigest.getInstance("MD5").digest(m.payload)
+        val hash = md.map("%02x".format(_)).mkString
+        val meta =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(m.payload))
+            try {
+              val f = ais.getFormat
+              val nf = ais.getFrameLength
+              if (nf <= 0 || nf > (1L << 24)) None
+              else Some((f.getSampleRate.toInt, f.getChannels,
+                math.min(nf, Int.MaxValue.toLong).toInt))
+            } finally ais.close()
+          } catch { case _: Exception => None }
+        meta match {
+          case Some((rate, ch, nf)) =>
+            DecodedMeta(m.media_id, m.kind, m.payload.length.toLong, hash, rate, ch, nf)
+          case None =>
+            DecodedMeta(m.media_id, m.kind, m.payload.length.toLong, hash, -1, -1, 0)
+        }
+      }
+  }
+
   // ---- audio near-dup via offset-consistent window matching --------------
 
   /** Per-audio analysis-window fingerprints: one row per window with a

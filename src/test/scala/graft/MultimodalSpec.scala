@@ -216,6 +216,76 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.head._3 == 0, "jitter below the luminance-box resolution")
   }
 
+  // ---- real-decoder path: actual WAV bytes through the same boundary ----
+
+  /** In-memory 16-bit mono PCM WAV via the JDK's own encoder — real
+    * container bytes, no fixtures on disk.
+    */
+  private def wav(samples: Array[Short], rate: Float = 8000f): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bb.array()), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Amplitude-modulated tone: envelope varies fast enough that the
+    * 16-slice energy contour differs window to window.
+    */
+  private def tone(n: Int, freq: Double = 440.0, envPeriod: Double = 3000.0,
+                   phase: Int = 0): Array[Short] =
+    Array.tabulate(n) { i =>
+      val t = i + phase
+      val env = 5000.0 + 4000.0 * math.sin(2 * math.Pi * t / envPeriod)
+      (env * math.sin(2 * math.Pi * t * freq / 8000.0)).toShort
+    }
+
+  test("WavDecoder: real WAV bytes yield true rate/channels/frames; garbage quarantines") {
+    val items = Seq(
+      MediaItem(0L, "audio", wav(tone(4000))),
+      MediaItem(1L, "audio", "not a wav at all".getBytes("UTF-8")))
+    val meta = MultimodalOps.decode(spark.createDataset(items).repartition(2),
+        MultimodalOps.WavDecoder)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(meta(0L).width == 8000 && meta(0L).height == 1 && meta(0L).n_frames == 4000)
+    assert(meta(1L).width == -1 && meta(1L).height == -1 && meta(1L).n_frames == 0,
+      "undecodable payload must quarantine, not throw")
+  }
+
+  test("real WAVs through wavWindows -> audioOffsetNearDup: " +
+    "the jittered trimmed copy aligns at its one offset, garbage and strangers drop") {
+    // A: 16 windows of amplitude-modulated tone; A': A trimmed by two
+    // windows with ±1-LSB deterministic dither (the energy contour is
+    // order-based, so most window keys survive); B: different envelope
+    // AND frequency — never concentrates on one delta.
+    val base = tone(16 * 1024)
+    val trimmedJittered = base.drop(2 * 1024).zipWithIndex.map {
+      case (s, i) => (s + (i * 31 % 3) - 1).toShort
+    }
+    val other = tone(16 * 1024, freq = 523.0, envPeriod = 1100.0)
+    val media = Seq(
+      (0L, wav(base)), (1L, wav(trimmedJittered)),
+      (2L, wav(other)), (3L, "garbage bytes".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val wins = MultimodalOps.wavWindows(media).localCheckpoint(true)
+    val counts = wins.groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    assert(counts == Map(0L -> 16L, 1L -> 14L, 2L -> 16L),
+      s"window counts off (garbage must drop): $counts")
+    val pairs = MultimodalOps.audioOffsetNearDup(wins)
+      .select("id_a", "id_b", "win_offset", "votes")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)),
+      s"expected exactly the (A, A') aligned pair, got ${pairs.mkString(",")}")
+    val (_, _, off, votes) = pairs.head
+    assert(off == 2L, s"trim of two windows must align at delta 2, got $off")
+    assert(votes >= 4L, s"offset votes $votes below the consistency floor")
+  }
+
   test("keyframes: scene boundaries kept, static frames and sub-threshold jitter dropped") {
     // video 1: frames 0-2 all-zero bytes (static), frames 3-5 all-255
     // (scene cut, Hamming 64); video 2: frame 1 differs from frame 0 by
