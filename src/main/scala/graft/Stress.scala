@@ -294,7 +294,14 @@ object Stress {
     // heavy-tailed at once. AQE + skew-join ON; per query we record
     // time, spill, max task, and the AQE skew-split counts pulled from
     // the executed plan — the direct evidence the skew machinery fired.
-    if (which == "scale8") {
+    // zipftext: the same organic-skew corpus, pointed at the heavy TEXT
+    // family — identical-document cliques (297-way at the head) are the
+    // worst case for suffix-array prefix doubling (maximal rank-tie
+    // runs) and duplicated-span sweeps. zipfcompact: the rollup/dedup
+    // compaction rewrite over the Zipf events table, with the read
+    // contracts checked pre/post (the CompactionEquivalenceSpec claim,
+    // re-proven at x10 organic skew and TIMED).
+    if (which == "scale8" || which == "zipftext" || which == "zipfcompact") {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       // thresholds scaled to the test corpus: the default skew trigger
@@ -329,55 +336,61 @@ object Stress {
       val baseDir = "/tmp/graft_scale_zipf_base"
       // documents: copy c of doc d -> c·10M + d; copies keep the text
       // verbatim (dup cliques), source rides along so source masses skew
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      docs.repartition(32)
-        .write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
-      docs.withColumn("__m", mult(col("doc_id"), 0xA11CEL))
-        .withColumn("__c", explode(sequence(lit(0), col("__m") - 1)))
-        .withColumn("doc_id", col("__c").cast("long") * 10000000L + col("doc_id"))
-        .drop("__m", "__c")
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$zipfDir/documents.parquet")
+      if (which != "zipfcompact") {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        docs.repartition(32)
+          .write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
+        docs.withColumn("__m", mult(col("doc_id"), 0xA11CEL))
+          .withColumn("__c", explode(sequence(lit(0), col("__m") - 1)))
+          .withColumn("doc_id", col("__c").cast("long") * 10000000L + col("doc_id"))
+          .drop("__m", "__c")
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$zipfDir/documents.parquet")
+      }
       // embeddings: copies perturb by a 1e-4·copy first-dim ramp —
       // NEAR-dup clusters of Zipf size (the semdedup/IVF cell stress)
-      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      emb.repartition(32)
-        .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
-      emb.withColumn("__m", mult(col("vec_id"), 0xBEEFL))
-        .withColumn("__c", explode(sequence(lit(0), col("__m") - 1)))
-        .select((col("__c").cast("long") * 10000000L + col("vec_id")).as("vec_id"),
-          concat(
-            array((element_at(col("embedding"), 1)
-              + col("__c").cast("float") * 1e-4f).cast("float")),
-            slice(col("embedding"), 2, 63)).as("embedding"),
-          col("label"))
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$zipfDir/embeddings.parquet")
+      if (which == "scale8") {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        emb.repartition(32)
+          .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+        emb.withColumn("__m", mult(col("vec_id"), 0xBEEFL))
+          .withColumn("__c", explode(sequence(lit(0), col("__m") - 1)))
+          .select((col("__c").cast("long") * 10000000L + col("vec_id")).as("vec_id"),
+            concat(
+              array((element_at(col("embedding"), 1)
+                + col("__c").cast("float") * 1e-4f).cast("float")),
+              slice(col("embedding"), 2, 63)).as("embedding"),
+            col("label"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$zipfDir/embeddings.parquet")
+      }
       // events: the multiplicity draws on USER_ID and the copies KEEP
       // the user id — a head user's history multiplies ×m (up to ×300),
       // the heavy-key stress for user-keyed windows (funnel, matched
       // pairs, TWA state). event_id offsets per copy keep tie-break
       // totality; ts shifts +c seconds so copies are distinct events,
       // not duplicate rows a dedup would fold.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      // ts is either raw nanos (long) or TIMESTAMP_NTZ depending on how
-      // the session read the footer — shift by __c seconds in whichever
-      // arithmetic the type supports (the SparkEntry.events discipline).
-      val tsShift = ev.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          col("ts") + col("__c").cast("long") * 1000000000L
-        case _ => expr("timestampadd(SECOND, __c, ts)")
+      if (which != "zipftext") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        // ts is either raw nanos (long) or TIMESTAMP_NTZ depending on how
+        // the session read the footer — shift by __c seconds in whichever
+        // arithmetic the type supports (the SparkEntry.events discipline).
+        val tsShift = ev.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            col("ts") + col("__c").cast("long") * 1000000000L
+          case _ => expr("timestampadd(SECOND, __c, ts)")
+        }
+        ev.repartition(32)
+          .write.mode("overwrite").parquet(s"$baseDir/events.parquet")
+        ev.withColumn("__m", mult(col("user_id"), 0x5EEDL))
+          .withColumn("__c", explode(sequence(lit(0), col("__m") - 1)))
+          .withColumn("event_id", col("__c").cast("long") * 100000000L + col("event_id"))
+          .withColumn("ts", tsShift)
+          .drop("__m", "__c")
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$zipfDir/events.parquet")
       }
-      ev.repartition(32)
-        .write.mode("overwrite").parquet(s"$baseDir/events.parquet")
-      ev.withColumn("__m", mult(col("user_id"), 0x5EEDL))
-        .withColumn("__c", explode(sequence(lit(0), col("__m") - 1)))
-        .withColumn("event_id", col("__c").cast("long") * 100000000L + col("event_id"))
-        .withColumn("ts", tsShift)
-        .drop("__m", "__c")
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$zipfDir/events.parquet")
 
       val probe = new TaskMetricsProbe(spark.sparkContext)
       // AQE skew evidence: sum numSkewedPartitions/numSkewedSplits over
@@ -420,34 +433,63 @@ object Stress {
       // contract runs on ~50 BASE docs, which under Zipf replication
       // means every surviving copy — head cliques included
       val sliceFilter = (col("doc_id") % 10000000L) < 50
-      val named: Seq[(String, String => DataFrame)] = Seq(
-        "q21_minhash_lsh" -> (d => SparkEntry.queries("q21_minhash_lsh")(spark, d)),
-        "q100_semdedup_skew" -> (d => SparkEntry.queries("q100_semdedup_skew")(spark, d)),
-        "q174_dup_kcore" -> (d => SparkEntry.queries("q174_dup_kcore")(spark, d)),
-        "q226_trigram_search" -> (d => SparkEntry.queries("q226_trigram_search")(spark, d)),
-        "q227_pct_normalize" -> (d => SparkEntry.queries("q227_pct_normalize")(spark, d)),
-        "q185_slice_ppjoin" -> (d => graft.ops.DedupOps.ppJoinExact(
-          spark.read.parquet(s"$d/documents.parquet").filter(sliceFilter))),
-        "q202_corpus_build" -> (d => SparkEntry.queries("q202_corpus_build")(spark, d)),
-        // heavy-USER arm: user-keyed window state under ×m histories
-        "q162_window_funnel" -> (d => SparkEntry.queries("q162_window_funnel")(spark, d)),
-        "q170_funnel_report" -> (d => SparkEntry.queries("q170_funnel_report")(spark, d)),
-        "q205_matched_pairs" -> (d => SparkEntry.queries("q205_matched_pairs")(spark, d)),
-        "q218_time_weighted_avg" -> (d => SparkEntry.queries("q218_time_weighted_avg")(spark, d)))
+      // zipftext: q113/q114's oracle entries filter doc_id < 120, which
+      // under copy-offset ids keeps only copy 0 — the slice here keys
+      // on the BASE id (the q185 convention), so the 297-way head
+      // cliques land whole inside the suffix array: identical documents
+      // produce maximal rank-tie runs in prefix doubling, the exact
+      // regime the uniform ×10 record never touches.
+      val slice120 = (col("doc_id") % 10000000L) < 120
+      val label = if (which == "zipftext") "STRESS_ZIPFTEXT" else "STRESS_ZIPF"
+      val named: Seq[(String, String => DataFrame)] =
+        if (which == "zipfcompact") Seq.empty
+        else if (which == "zipftext") Seq(
+          "q76_dup_spans" -> (d => SparkEntry.queries("q76_dup_spans")(spark, d)),
+          "q93_exact_substr" -> (d => SparkEntry.queries("q93_exact_substr")(spark, d)),
+          "q102_dup_span_removal" -> (d => SparkEntry.queries("q102_dup_span_removal")(spark, d)),
+          "q128_edit_verify" -> (d => SparkEntry.queries("q128_edit_verify")(spark, d)),
+          "q113_slice_suffix_array" -> (d => graft.ops.SuffixArrayOps.suffixArray(
+            spark.read.parquet(s"$d/documents.parquet").filter(slice120))),
+          "q114_slice_sa_spans" -> (d => graft.ops.SuffixArrayOps.saSpans(
+            spark.read.parquet(s"$d/documents.parquet").filter(slice120))))
+        else Seq(
+          "q21_minhash_lsh" -> (d => SparkEntry.queries("q21_minhash_lsh")(spark, d)),
+          "q100_semdedup_skew" -> (d => SparkEntry.queries("q100_semdedup_skew")(spark, d)),
+          "q174_dup_kcore" -> (d => SparkEntry.queries("q174_dup_kcore")(spark, d)),
+          "q226_trigram_search" -> (d => SparkEntry.queries("q226_trigram_search")(spark, d)),
+          "q227_pct_normalize" -> (d => SparkEntry.queries("q227_pct_normalize")(spark, d)),
+          "q185_slice_ppjoin" -> (d => graft.ops.DedupOps.ppJoinExact(
+            spark.read.parquet(s"$d/documents.parquet").filter(sliceFilter))),
+          "q202_corpus_build" -> (d => SparkEntry.queries("q202_corpus_build")(spark, d)),
+          // heavy-USER arm: user-keyed window state under ×m histories
+          "q162_window_funnel" -> (d => SparkEntry.queries("q162_window_funnel")(spark, d)),
+          "q170_funnel_report" -> (d => SparkEntry.queries("q170_funnel_report")(spark, d)),
+          "q205_matched_pairs" -> (d => SparkEntry.queries("q205_matched_pairs")(spark, d)),
+          "q218_time_weighted_avg" -> (d => SparkEntry.queries("q218_time_weighted_avg")(spark, d)))
       named.foreach { case (_, fn) => // warm pass at base scale
         try fn(baseDir).queryExecution.toRdd.count() catch { case _: Throwable => () }
       }
-      val nzd = spark.read.parquet(s"$zipfDir/documents.parquet").count()
-      val nze = spark.read.parquet(s"$zipfDir/embeddings.parquet").count()
-      val topClique = spark.read.parquet(s"$zipfDir/documents.parquet")
-        .groupBy(col("doc_id") % 10000000L).count().agg(max("count")).as[Long].head()
-      val nev = spark.read.parquet(s"$zipfDir/events.parquet").count()
-      val topUser = spark.read.parquet(s"$zipfDir/events.parquet")
-        .groupBy("user_id").count().agg(max("count")).as[Long].head()
-      val topUserBase = spark.read.parquet(s"$sfDir/events.parquet")
-        .groupBy("user_id").count().agg(max("count")).as[Long].head()
-      println(s"STRESS_ZIPF corpus docs=$nzd emb=$nze top_clique=$topClique " +
-        s"events=$nev top_user_events=$topUser base_top_user=$topUserBase")
+      if (which == "scale8") {
+        val nzd = spark.read.parquet(s"$zipfDir/documents.parquet").count()
+        val nze = spark.read.parquet(s"$zipfDir/embeddings.parquet").count()
+        val topClique = spark.read.parquet(s"$zipfDir/documents.parquet")
+          .groupBy(col("doc_id") % 10000000L).count().agg(max("count")).as[Long].head()
+        val nev = spark.read.parquet(s"$zipfDir/events.parquet").count()
+        val topUser = spark.read.parquet(s"$zipfDir/events.parquet")
+          .groupBy("user_id").count().agg(max("count")).as[Long].head()
+        val topUserBase = spark.read.parquet(s"$sfDir/events.parquet")
+          .groupBy("user_id").count().agg(max("count")).as[Long].head()
+        println(s"STRESS_ZIPF corpus docs=$nzd emb=$nze top_clique=$topClique " +
+          s"events=$nev top_user_events=$topUser base_top_user=$topUserBase")
+      } else if (which == "zipftext") {
+        val zd = spark.read.parquet(s"$zipfDir/documents.parquet")
+        val nzd = zd.count()
+        val topClique = zd.groupBy(col("doc_id") % 10000000L).count()
+          .agg(max("count")).as[Long].head()
+        val sliceDocs = zd.filter(slice120).count()
+        println(s"STRESS_ZIPFTEXT corpus docs=$nzd top_clique=$topClique " +
+          s"slice120_docs=$sliceDocs")
+      }
       Seq(("base", baseDir), ("zipf", zipfDir)).foreach { case (tag, dir) =>
         named.foreach { case (q, fn) =>
           probe.reset(); ckptSkewP.set(0); ckptSkewS.set(0)
@@ -457,10 +499,70 @@ object Stress {
           val (rows, t) = time { df = fn(dir); df.queryExecution.toRdd.count() }
           Thread.sleep(500) // let the listener bus drain before reading
           val (sp, ss) = skewStats(df.queryExecution)
-          println(f"STRESS_ZIPF scale=$tag query=$q rows=$rows time=$t%.2fs " +
+          println(f"$label scale=$tag query=$q rows=$rows time=$t%.2fs " +
             f"spill_bytes=${probe.spillB.get()} tasks=${probe.nTasks.get()} " +
             f"max_task_ms=${probe.maxTaskMs.get()} " +
             f"skew_parts=${sp + ckptSkewP.get()} skew_splits=${ss + ckptSkewS.get()}")
+        }
+      }
+
+      // zipfcompact: time the at-rest rewrite over the organically
+      // skewed events table and re-check the read contracts the
+      // CompactionEquivalenceSpec pins at sf0.001 — here the head
+      // user's metrics fold ~200 points per (metric, hour) bucket, the
+      // heavy-key rollup case, and the rewrite cost gets a number.
+      if (which == "zipfcompact") {
+        import graft.jobs.Compaction
+        import graft.retention.{RetentionResolver, RetentionRule}
+        val resolver = new RetentionResolver(Seq(
+          RetentionRule("^click\\.", isDefault = false, "avg", Seq(0 -> 3600)),
+          RetentionRule("^error\\.", isDefault = false, "last", Seq(0 -> 3600)),
+          RetentionRule(".*", isDefault = true, "avg", Seq(0 -> 3600))))
+        val comp = new Compaction(resolver)
+        val nowMs = 1893456000000L // 2030-01-01: every partition is aged
+        def dedupPts(df: DataFrame): DataFrame =
+          df.groupBy("metric", "timestamp")
+            .agg(max_by(col("value"), col("updated")).as("value"),
+              max("updated").as("updated"))
+        Seq(("base", baseDir), ("zipf", zipfDir)).foreach { case (tag, dir) =>
+          // updated stays LONG: zipf copies offset event_id by c·1e8
+          // (up to 3e10) — an int cast overflows on the head copies
+          val pts = SparkEntry.events(spark, dir).select(
+            concat(col("event_type"), lit(".u"), col("user_id")).as("metric"),
+            col("value"), col("sec").cast("int").as("timestamp"),
+            to_date(from_unixtime(col("sec"))).as("date"),
+            col("event_id").as("updated"))
+          val root = s"/tmp/graft_zipf_compact_$tag"
+          pts.write.mode("overwrite").partitionBy("date").parquet(root)
+          def table(): DataFrame = spark.read.parquet(root)
+          val nRaw = table().count()
+          val preAvg = dedupPts(table())
+            .filter(col("metric").startsWith("click."))
+            .groupBy(col("metric"),
+              (col("timestamp") - col("timestamp") % 3600).cast("int").as("ts"))
+            .agg(avg("value").as("value")).localCheckpoint(true)
+          val preLast = graft.query.MetricQuery
+            .rollup(table().filter(col("metric").startsWith("error.")), "last", 86400)
+            .localCheckpoint(true)
+          probe.reset()
+          val (done, tRw) = time(
+            comp.run(spark, root, ageDays = 0, step = 3600, nowMillis = nowMs))
+          val nPost = table().count()
+          val postAvg = dedupPts(table())
+            .filter(col("metric").startsWith("click."))
+            .groupBy(col("metric"),
+              (col("timestamp") - col("timestamp") % 3600).cast("int").as("ts"))
+            .agg(avg("value").as("__value"))
+          val avgDrift = preAvg.join(postAvg, Seq("metric", "ts"), "full_outer")
+            .agg(max(abs(coalesce(col("value"), lit(Double.MaxValue))
+              - coalesce(col("__value"), lit(Double.MinValue))))).as[Double].head()
+          val postLast = graft.query.MetricQuery
+            .rollup(table().filter(col("metric").startsWith("error.")), "last", 86400)
+          val lastDiff = preLast.except(postLast).count() + postLast.except(preLast).count()
+          println(f"STRESS_COMPACT scale=$tag parts=${done.size} rows_pre=$nRaw " +
+            f"rows_post=$nPost rewrite=$tRw%.2fs avg_drift=$avgDrift%.3e " +
+            f"last_mismatch_rows=$lastDiff spill_bytes=${probe.spillB.get()} " +
+            f"max_task_ms=${probe.maxTaskMs.get()}")
         }
       }
     }
