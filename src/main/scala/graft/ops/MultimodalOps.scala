@@ -137,34 +137,41 @@ object MultimodalOps {
         it.flatMap { case (id, bytes) =>
           val img = readImageGuarded(bytes)
           if (img == null || img.getWidth == 0 || img.getHeight == 0) Iterator.empty
-          else {
-            val w = img.getWidth
-            val h = img.getHeight
-            (0 until rows).iterator.map { r =>
-              val px = (0 until cols).map { c =>
-                val x0 = c * w / cols
-                val x1 = math.max((c + 1) * w / cols, x0 + 1)
-                val y0 = r * h / rows
-                val y1 = math.max((r + 1) * h / rows, y0 + 1)
-                // one bulk getRGB per grid box: per-pixel getRGB pays a
-                // ColorModel conversion call per sample (~10-30× slower)
-                val bw = x1 - x0
-                val buf = img.getRGB(x0, y0, bw, y1 - y0, null, 0, bw)
-                var sum = 0L
-                var i = 0
-                while (i < buf.length) {
-                  val rgb = buf(i)
-                  sum += (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
-                    (rgb & 0xff) * 114L) / 1000L
-                  i += 1
-                }
-                (sum / buf.length).toInt
-              }
-              (id, r, px)
-            }
-          }
+          else lumaGrid(img, rows, cols).iterator.map { case (r, px) => (id, r, px) }
         }
       }.toDF(idCol, "r", "px")
+  }
+
+  /** Box-averaged ITU-R 601 luminance grid of one decoded frame —
+    * exact long arithmetic (deterministic across JVMs), one bulk
+    * `getRGB` per grid box (per-pixel getRGB pays a ColorModel
+    * conversion call per sample, ~10-30× slower). Shared by the image
+    * and the per-frame video paths.
+    */
+  private def lumaGrid(img: java.awt.image.BufferedImage,
+                       rows: Int, cols: Int): IndexedSeq[(Int, Seq[Int])] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    (0 until rows).map { r =>
+      val px = (0 until cols).map { c =>
+        val x0 = c * w / cols
+        val x1 = math.max((c + 1) * w / cols, x0 + 1)
+        val y0 = r * h / rows
+        val y1 = math.max((r + 1) * h / rows, y0 + 1)
+        val bw = x1 - x0
+        val buf = img.getRGB(x0, y0, bw, y1 - y0, null, 0, bw)
+        var sum = 0L
+        var i = 0
+        while (i < buf.length) {
+          val rgb = buf(i)
+          sum += (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+            (rgb & 0xff) * 114L) / 1000L
+          i += 1
+        }
+        (sum / buf.length).toInt
+      }
+      (r, px)
+    }
   }
 
   /** Pure-expression metadata path (no decoder): byte length + content
@@ -328,6 +335,96 @@ object MultimodalOps {
           / (col("nf_a") + col("nf_b") - col("shared_frames")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  // ---- real video decode (multi-frame containers via javax.imageio) ------
+
+  /** Guarded multi-frame decode: every frame of a container ImageIO can
+    * enumerate (animated GIF ships with the JDK — the pure-JVM video
+    * tier; a TIFF/MJPEG plugin slots in the same way). Frame count is
+    * capped at `maxFrames` and every frame passes the per-frame
+    * decompression-bomb pixel guard; an unreadable frame is skipped,
+    * an unreadable container quarantines to an empty sequence — the
+    * [[readImageGuarded]] conventions applied per frame.
+    */
+  private def readFramesGuarded(bytes: Array[Byte], maxFrames: Int,
+      maxPixels: Long = 1L << 26): IndexedSeq[(Int, java.awt.image.BufferedImage)] =
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) IndexedSeq.empty
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, true) // seekable: getNumImages needs search
+            val n = math.min(reader.getNumImages(true), maxFrames)
+            (0 until n).flatMap { i =>
+              try {
+                val w = reader.getWidth(i); val h = reader.getHeight(i)
+                if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
+                else Some((i, reader.read(i)))
+              } catch { case _: Exception => None }
+            }
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => IndexedSeq.empty }
+
+  /** REAL bytes → per-frame pixel grids: decode every frame of a
+    * multi-frame container (animated GIF on a stock JDK) and box-
+    * average each to the rows×cols luminance grid — the video
+    * analogue of [[imagePixels]], one output row per (frame, grid
+    * row). Undecodable payloads drop (quarantine convention).
+    * Per-partition batched `mapPartitions`; map-only.
+    *
+    * Output: (media_id, frame_idx, r, px[cols]).
+    */
+  def videoFramePixels(media: DataFrame, rows: Int = 8, cols: Int = 9,
+                       maxFrames: Int = 64, idCol: String = "media_id",
+                       payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          readFramesGuarded(bytes, maxFrames).iterator.flatMap { case (f, img) =>
+            lumaGrid(img, rows, cols).iterator.map { case (r, px) => (id, f, r, px) }
+          }
+        }
+      }.toDF(idCol, "frame_idx", "r", "px")
+  }
+
+  /** Per-frame dHash band bytes from REAL frame pixel grids — the
+    * [[dHashBands]] byte expression keyed by (media, frame), emitting
+    * exactly the shape [[keyframes]] consumes. Map-only.
+    */
+  def videoFrameDHash(framePx: DataFrame, cols: Int = 9,
+                      idCol: String = "media_id"): DataFrame = {
+    val byte = (0 until cols - 1).map { c =>
+      when(element_at(col("px"), c + 1) < element_at(col("px"), c + 2), lit(1 << c))
+        .otherwise(lit(0))
+    }.reduce((a, b) => a + b)
+    framePx.select(col(idCol), col("frame_idx"), col("r").cast("int").as("band"),
+      byte.cast("int").as("byte"))
+  }
+
+  /** DISTINCT per-video perceptual frame fingerprints from real frame
+    * grids: the 8 dHash band bytes pack into one long per frame
+    * (exact `shiftleft` integer arithmetic), and per-video duplicates
+    * collapse — scene-static frames carry one fingerprint, so
+    * [[videoNearDup]]'s set-Jaccard contract (content overlap, not
+    * run length) holds for real footage the way it does for the
+    * all-distinct stub hashes. Output: (media_id, fhash).
+    */
+  def videoFrameFingerprints(framePx: DataFrame, cols: Int = 9,
+                             idCol: String = "media_id"): DataFrame =
+    videoFrameDHash(framePx, cols, idCol)
+      .groupBy(col(idCol), col("frame_idx"))
+      .agg(sum(expr("shiftleft(cast(byte AS BIGINT), band * 8)")).as("__packed"))
+      .select(col(idCol), col("__packed").cast("string").as("fhash"))
+      .distinct()
 
   // ---- real audio decode (pure-JVM WAV via javax.sound.sampled) ----------
 

@@ -216,6 +216,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.head._3 == 0, "jitter below the luminance-box resolution")
   }
 
+  // ---- real-decoder path: actual multi-frame GIF (video tier) -----------
+
+  /** In-memory animated GIF via the JDK's own sequence writer: one
+    * frame per painter — real multi-frame container bytes.
+    */
+  private def gif(frames: Seq[(Int, Int) => Int], w: Int = 64, h: Int = 64): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  test("real animated GIFs: frame decode -> keyframes finds the scene cut; " +
+    "near-dup pairs the trimmed copy only") {
+    val asc: (Int, Int) => Int = (x, _) => gray(x * 4)          // dHash bands 0xff
+    val desc: (Int, Int) => Int = (x, _) => gray(252 - x * 4)   // dHash bands 0x00
+    val stripe8: (Int, Int) => Int = (x, _) => gray(if ((x / 8) % 2 == 0) 40 else 200)
+    val stripe16: (Int, Int) => Int = (x, _) => gray(if ((x / 16) % 2 == 0) 40 else 200)
+    val a = gif(Seq.fill(4)(asc) ++ Seq.fill(4)(desc))      // two scenes, cut at frame 4
+    val aTrim = gif(Seq.fill(2)(asc) ++ Seq.fill(4)(desc))  // trimmed re-encode of A
+    val c = gif(Seq.fill(4)(stripe8) ++ Seq.fill(4)(stripe16)) // unrelated footage
+    val media = Seq((0L, a), (1L, aTrim), (2L, c), (3L, "not a gif".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val px = MultimodalOps.videoFramePixels(media).localCheckpoint(true)
+    val frameCounts = px.select("media_id", "frame_idx").distinct()
+      .groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    assert(frameCounts == Map(0L -> 8L, 1L -> 6L, 2L -> 8L),
+      s"frame counts off (garbage must drop): $frameCounts")
+    // keyframes over REAL frame hashes: the scene cut at frame 4 is the
+    // only non-first keyframe of A (static frames within a scene drop)
+    val kf = MultimodalOps.keyframes(MultimodalOps.videoFrameDHash(px))
+      .filter(col("media_id") === 0L)
+      .select("n_sampled", "n_keyframes", "keyframe_idxs")
+      .as[(Long, Long, String)].head()
+    assert(kf == ((8L, 2L, "0,4")), s"keyframes off: $kf")
+    // near-dup over DISTINCT real fingerprints: the trimmed copy shares
+    // both scene fingerprints (jaccard 1), the stripes share none
+    val pairs = MultimodalOps.videoNearDup(
+        MultimodalOps.videoFrameFingerprints(px).localCheckpoint(true))
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)),
+      s"expected exactly the (A, A-trimmed) pair, got ${pairs.mkString(",")}")
+    assert(pairs.head._3 == 1.0, "trimmed copy keeps both scene fingerprints")
+  }
+
   // ---- real-decoder path: actual WAV bytes through the same boundary ----
 
   /** In-memory 16-bit mono PCM WAV via the JDK's own encoder — real
