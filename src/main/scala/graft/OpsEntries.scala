@@ -1664,8 +1664,52 @@ private[graft] object OpsEntries {
     // to the PCA family). Oracle replays the gate: cos_raw from the
     // shared trace, CASE-selected transform vs banked identity rows.
     "q251_abtt_gated" -> ((s, dir) =>
-      SimilarityOps.abttGated(t(s, dir, "embeddings")))
+      SimilarityOps.abttGated(t(s, dir, "embeddings"))),
+
+    // Canary-contamination tripwire: benchmark canaries planted on a
+    // deterministic slice (doc_id % 17 gets registry entry doc_id %
+    // 20 appended), detected by an HONEST substring scan of the
+    // registry — never the planting rule — and rolled up per source:
+    // the eval-leakage alarm run before a corpus ships.
+    "q252_canary_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val planted = docs.select(col("source"),
+        when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" canary-"),
+            substring(md5((col("doc_id") % 20).cast("string")), 1, 8)))
+          .otherwise(col("text")).as("text"))
+      TextOps.canaryAudit(planted, canaryRegistry)
+    }),
+
+    // Generation-loop periodicity: best period p ≤ 8 by token-match
+    // fraction per doc — the degenerate-repetition detector for
+    // model-generated text that q58's distinct-ratio misses when the
+    // loop cycles through several tokens.
+    "q253_loop_detect" -> ((s, dir) =>
+      TextOps.periodicityReport(t(s, dir, "documents"))),
+
+    // Per-source centroid drift between the q210 snapshot pair:
+    // cosine(yesterday's centroid, today's) per source — the monitor
+    // that says whether trained gates/centroids need re-derivation
+    // after an incremental ingest.
+    "q254_centroid_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      SimilarityOps.snapshotCentroidDrift(
+        docs.filter(col("doc_id") % 5 =!= 4),
+        docs.filter(col("doc_id") % 7 =!= 6),
+        t(s, dir, "embeddings"))
+    })
   )
+
+  /** The q252 canary registry: benchmark-owner strings a corpus must
+    * never contain — deterministic (md5 of the index) so the oracle
+    * embeds the same literals. Registry-sized by contract (≤ 64).
+    */
+  private[graft] val canaryRegistry: Seq[String] = (0 until 20).map { i =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    "canary-" + md.digest(i.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+  }
 
   /** The q175 curation pipeline: exact dedup → verified near-dup →
     * quality gate with per-doc drop-reason precedence; shared by the
@@ -5407,6 +5451,79 @@ private[graft] object OpsEntries {
          |SELECT vec_id, CAST(pos + 1 AS INTEGER) AS dim,
          |       round(x6 / 1000000.0, 6) AS value
          |FROM ex WHERE NOT ((SELECT cos_raw FROM cr) > 0.0001)""".stripMargin,
+
+    // The registry literals are embedded verbatim (computed once in
+    // Scala): detection in SQL is the same honest substring scan.
+    "q252_canary_audit" -> {
+      val hitCols = canaryRegistry.zipWithIndex.map { case (c, i) =>
+        s"CASE WHEN position('$c' IN text) > 0 THEN 1 ELSE 0 END AS c$i"
+      }.mkString(",\n|          ").stripMargin
+      val anySum = canaryRegistry.indices.map(i => s"c$i").mkString(" + ")
+      val maxSum = canaryRegistry.indices.map(i => s"max(c$i)").mkString(" + ")
+      s"""WITH d AS (SELECT source,
+         |  CASE WHEN doc_id % 17 = 0
+         |       THEN text || ' canary-' || substr(md5(CAST(doc_id % 20 AS VARCHAR)), 1, 8)
+         |       ELSE text END AS text
+         |  FROM documents WHERE text IS NOT NULL),
+         |h AS (SELECT source,
+         |          $hitCols
+         |       FROM d)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN $anySum > 0 THEN 1 ELSE 0 END) AS BIGINT) AS canary_docs,
+         |  CAST($maxSum AS BIGINT) AS canaries_seen,
+         |  round(sum(CASE WHEN $anySum > 0 THEN 1 ELSE 0 END)
+         |        / CAST(count(*) AS DOUBLE), 4) AS canary_doc_rate
+         |FROM h GROUP BY source""".stripMargin
+    },
+
+    "q253_loop_detect" ->
+      s"""WITH b AS (SELECT doc_id, $toksExpr AS toks
+         |           FROM documents WHERE text IS NOT NULL),
+         |tk AS (SELECT doc_id, toks,
+         |         CAST(unnest(generate_series(1, len(toks))) AS INTEGER) AS i FROM b),
+         |m AS (SELECT tk.doc_id, pp.p,
+         |        CAST(sum(CASE WHEN toks[i] = toks[i + pp.p] THEN 1 ELSE 0 END) AS BIGINT) AS mm
+         |      FROM tk CROSS JOIN range(1, 9) pp(p)
+         |      WHERE i + pp.p <= len(toks)
+         |      GROUP BY 1, 2),
+         |n AS (SELECT doc_id, len(toks) AS n_tokens FROM b),
+         |sc AS (SELECT m.doc_id, n_tokens, p,
+         |         mm / CAST(n_tokens - p AS DOUBLE) AS f
+         |       FROM m JOIN n USING (doc_id) WHERE n_tokens > p),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY f DESC, p) AS rn
+         |      FROM sc)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(p AS INTEGER) AS best_period,
+         |       round(f, 4) AS match_frac,
+         |       (f >= 0.5 AND n_tokens >= 12) AS looping
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    // Two q238-style banked centroid passes (snapshot filters from
+    // q210), joined per (source, pos), exact integer dot/norms.
+    "q254_centroid_drift" ->
+      """WITH ja AS (SELECT d.source, t.pos,
+        |        CAST(round(CAST(e.embedding[t.pos] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+        |      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        |        CROSS JOIN range(1, 65) t(pos)
+        |      WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64
+        |        AND d.doc_id % 5 <> 4),
+        |ca AS (SELECT source, pos, count(*) AS n_a,
+        |        CAST(round(round(sum(x6) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) * 1000000) AS BIGINT) AS a6
+        |       FROM ja GROUP BY 1, 2),
+        |jb AS (SELECT d.source, t.pos,
+        |        CAST(round(CAST(e.embedding[t.pos] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+        |      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        |        CROSS JOIN range(1, 65) t(pos)
+        |      WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64
+        |        AND d.doc_id % 7 <> 6),
+        |cb AS (SELECT source, pos, count(*) AS n_b,
+        |        CAST(round(round(sum(x6) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) * 1000000) AS BIGINT) AS b6
+        |       FROM jb GROUP BY 1, 2)
+        |SELECT ca.source, CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+        |       round(sum(a6 * b6) / (sqrt(CAST(sum(a6 * a6) AS DOUBLE))
+        |             * sqrt(CAST(sum(b6 * b6) AS DOUBLE))), 6) AS drift_cosine
+        |FROM ca JOIN cb ON cb.source = ca.source AND cb.pos = ca.pos
+        |GROUP BY 1 HAVING sum(a6 * a6) > 0 AND sum(b6 * b6) > 0""".stripMargin,
 
     "q247_kcenter_select" -> kCenterSql(8),
 

@@ -1207,6 +1207,50 @@ object SimilarityOps {
           .as("cosine"))
   }
 
+  /** Per-source embedding-centroid DRIFT between two corpus snapshots —
+    * the incremental-ingestion monitor that says whether yesterday's
+    * mixture/similarity decisions still describe today's corpus:
+    * cosine between each source's snapshot-A and snapshot-B centroids
+    * (near 1 = the source's content region is stable; a drop says the
+    * source changed character and its trained gates/centroids need
+    * re-derivation). Composes the q210 snapshot-diff convention (two
+    * doc frames in) with the q211 centroid banking (6dp centroids,
+    * exact integer dot/norms, one float division at the end).
+    *
+    * Plan shape: one explode + partial-aggregable (source, pos)
+    * centroid pass per snapshot, then a sources×dims join — tiny by
+    * construction. Sources present in only one snapshot are absent
+    * (nothing to compare); zero-norm centroids are filtered.
+    *
+    * Output: (source, n_a, n_b, drift_cosine 6dp).
+    */
+  def snapshotCentroidDrift(docsA: DataFrame, docsB: DataFrame, emb: DataFrame,
+                            dims: Int = 64, docIdCol: String = "doc_id",
+                            vecIdCol: String = "vec_id", srcCol: String = "source",
+                            vecCol: String = "embedding"): DataFrame = {
+    def cents(docs: DataFrame, tag: String): DataFrame =
+      emb.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+        .join(docs.select(col(docIdCol).as(vecIdCol), col(srcCol)), Seq(vecIdCol))
+        .select(col(srcCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .select(col(srcCol), col("pos"),
+          round(col("v").cast("double") * 1e6).cast("long").as("__x6"))
+        .groupBy(srcCol, "pos")
+        .agg(count(lit(1)).as(s"n_$tag"),
+          round(round(sum("__x6") / count(lit(1)).cast("double") / 1e6, 6) * 1e6)
+            .cast("long").as(s"${tag}6"))
+    cents(docsA, "a").join(cents(docsB, "b"), Seq(srcCol, "pos"))
+      .groupBy(srcCol)
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        sum((col("a6") * col("b6")).cast("decimal(38,0)")).as("__dot"),
+        sum((col("a6") * col("a6")).cast("decimal(38,0)")).as("__na"),
+        sum((col("b6") * col("b6")).cast("decimal(38,0)")).as("__nb"))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+      .select(col(srcCol), col("n_a"), col("n_b"),
+        round(col("__dot").cast("double")
+          / (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))), 6)
+          .as("drift_cosine"))
+  }
+
   /** Rank-biased overlap between two ranked lists per query: RBO@k
     * with persistence p — the ranked-list agreement measure recall@k
     * flattens (recall treats rank 1 and rank k as equal; RBO weights

@@ -953,6 +953,92 @@ object TextOps {
         round(col("docs_with_pii") / col("n_docs").cast("double"), 4))
   }
 
+  /** Canary-contamination audit: scan the corpus for a REGISTRY of
+    * planted canary strings — the standard eval-leakage tripwire
+    * (benchmark owners plant unique strings; a training corpus that
+    * contains one has ingested the benchmark). Detection is an honest
+    * text scan (`contains` per registry entry, all inside codegen —
+    * never the planting rule), rolled up per source: where a canary
+    * appears, that WHOLE source's pipeline needs the contamination
+    * treatment.
+    *
+    * Plan shape: one map-only scan with |registry| substring probes
+    * per row (registry ≤ 64 by contract — registries are
+    * benchmark-sized), one partial-aggregable rollup. Nothing joins,
+    * nothing corpus-sized shuffles.
+    *
+    * Output per source: (source, n_docs, canary_docs, canaries_seen,
+    * canary_doc_rate 4dp) — canaries_seen counts DISTINCT registry
+    * entries present anywhere in the source.
+    */
+  def canaryAudit(docs: DataFrame, canaries: Seq[String],
+                  srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(canaries.nonEmpty && canaries.size <= 64,
+      s"registry must hold 1..64 strings, got ${canaries.size}")
+    val hits = canaries.zipWithIndex.map { case (c, i) =>
+      col(textCol).contains(c).cast("int").as(s"__c$i")
+    }
+    val scanned = docs.filter(col(textCol).isNotNull)
+      .select(col(srcCol) +: hits: _*)
+    val anyHit = canaries.indices.map(i => col(s"__c$i")).reduce(_ + _) > 0
+    scanned.groupBy(srcCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(anyHit, 1L).otherwise(0L)).as("canary_docs"),
+        canaries.indices.map(i => max(col(s"__c$i"))).reduce(_ + _)
+          .cast("long").as("canaries_seen"))
+      .withColumn("canary_doc_rate",
+        round(col("canary_docs") / col("n_docs").cast("double"), 4))
+  }
+
+  /** Generation-loop periodicity: for each document and period p in
+    * 1..maxPeriod, the fraction of token positions i with
+    * token[i] == token[i+p]; the best period is the argmax fraction
+    * (ties to the smallest p), and `looping` flags best_frac ≥ 0.5 on
+    * docs of at least `minTokens` tokens — the degenerate-repetition
+    * detector for model-generated text ("the the the", ABAB chant
+    * loops) that q58's distinct-ratio misses when the loop cycles
+    * through several tokens.
+    *
+    * Plan shape: ONE checkpointed (doc, pos, token) explode read by
+    * both sides of a (doc, pos)-keyed equi-join (the probe side
+    * fans out ×maxPeriod map-side, shifted by p) — a corpus-linear
+    * shuffle with a combiner-friendly (doc, p) aggregate; the argmax
+    * is a doc-KEYED window. Match fractions are exact integer ratios
+    * divided once in doubles — identical IEEE on any engine.
+    *
+    * Docs with fewer than 2 tokens have no valid period and are
+    * absent. Output: (doc_id, n_tokens, best_period, match_frac 4dp,
+    * looping).
+    */
+  def periodicityReport(docs: DataFrame, maxPeriod: Int = 8, minTokens: Int = 12,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPeriod >= 1 && maxPeriod <= 32, s"maxPeriod out of range: $maxPeriod")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .localCheckpoint(true) // probe + build side of the self-join both read it
+    val nTok = toks.groupBy("id").agg(count(lit(1)).as("n_tokens"))
+    val ps = (1 to maxPeriod).map(p => lit(p))
+    val probe = toks
+      .select(col("id"), col("pos"), col("tok").as("__tok_a"),
+        explode(array(ps: _*)).as("p"))
+      .select(col("id"), (col("pos") + col("p")).as("pos"), col("p"), col("__tok_a"))
+    val matches = probe
+      .join(toks.withColumnRenamed("tok", "__tok_b"), Seq("id", "pos"))
+      .groupBy("id", "p")
+      .agg(sum(when(col("__tok_a") === col("__tok_b"), 1L).otherwise(0L)).as("__m"))
+    val scored = matches.join(nTok, Seq("id"))
+      .filter(col("n_tokens") > col("p"))
+      .select(col("id"), col("n_tokens"), col("p"),
+        (col("__m").cast("double") / (col("n_tokens") - col("p"))).as("__f"))
+    val w = Window.partitionBy("id").orderBy(col("__f").desc, col("p").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("id").as(idCol), col("n_tokens"),
+        col("p").cast("int").as("best_period"),
+        round(col("__f"), 4).as("match_frac"),
+        (col("__f") >= 0.5 && col("n_tokens") >= minTokens).as("looping"))
+  }
+
   /** Heaps-law growth curve: cumulative vocabulary size vs cumulative
     * tokens over hash-ordered corpus deciles, plus the fitted
     * log-log slope β (V ≈ K·n^β) — the planning number behind

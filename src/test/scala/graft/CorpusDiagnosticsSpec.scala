@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.{DedupOps, SimilarityOps}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Hand-checked pins for the corpus-diagnostic operators: snapshot
@@ -413,5 +414,65 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(out(("sA", "sB")) == 1.0)
     assert(out(("sA", "sC")) == 0.0)
     assert(out(("sB", "sC")) == 0.0)
+  }
+
+  test("canaryAudit: planted canaries found per source, clean sources report zero") {
+    import graft.ops.TextOps
+    val registry = Seq("canary-aaaa1111", "canary-bbbb2222", "canary-cccc3333")
+    val docs = Seq(
+      ("dirty", "some text with canary-aaaa1111 inside"),
+      ("dirty", "more text canary-bbbb2222 here"),
+      ("dirty", "an uncontaminated document"),
+      ("dirty", "canary-aaaa1111 appears twice canary-aaaa1111"), // one doc, one canary
+      ("clean", "nothing to see"),
+      ("clean", "canary-zzzz9999 is NOT in the registry")
+    ).toDF("source", "text")
+    val got = TextOps.canaryAudit(docs, registry).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("dirty") === ((4L, 3L, 2L, 0.75))) // 3 docs hit, 2 distinct canaries
+    assert(got("clean") === ((2L, 0L, 0L, 0.0)))
+  }
+
+  test("periodicityReport: period-2 chant flagged, varied prose is not; absent below 2 tokens") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      // ABAB... 16 tokens: p=2 matches 14/14, p=1 matches 0/15
+      (1L, Seq.fill(8)("ab cd").mkString(" ")),
+      // all-same 16 tokens: p=1 wins at 15/15 (smallest period on ties)
+      (2L, Seq.fill(16)("xx").mkString(" ")),
+      // varied prose: no period reaches 0.5
+      (3L, "the quick brown fox jumps over the lazy dog today quietly somewhere"),
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val got = TextOps.periodicityReport(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L)) // "solo" has no valid period
+    assert(got(1L) === ((16L, 2, 1.0, true)))
+    assert(got(2L) === ((16L, 1, 1.0, true)))
+    assert(!got(3L)._4 && got(3L)._3 < 0.5)
+  }
+
+  test("snapshotCentroidDrift: rotated source drifts, stable source stays at cosine 1") {
+    // stable: identical vectors in both snapshots (drift 1.0);
+    // rotated: x-axis centroid yesterday, y-axis today (drift 0.0);
+    // only-a: present in one snapshot only -> absent from the report
+    val docs = Seq(
+      (0L, "stable"), (1L, "stable"), (2L, "rot"), (3L, "rot"), (4L, "only_a"))
+      .toDF("doc_id", "source")
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)),
+      (2L, Seq(1f, 0f)),   // yesterday's rot doc
+      (3L, Seq(0f, 1f)),   // today's rot doc
+      (4L, Seq(1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val a = docs.filter(col("doc_id").isin(0L, 1L, 2L, 4L)) // yesterday
+    val b = docs.filter(col("doc_id").isin(0L, 1L, 3L))     // today
+    val got = SimilarityOps.snapshotCentroidDrift(a, b, emb, dims = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === Set("stable", "rot"))
+    assert(got("stable") === ((2L, 2L, 1.0)))
+    assert(got("rot") === ((1L, 1L, 0.0)))
   }
 }
