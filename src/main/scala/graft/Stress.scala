@@ -571,7 +571,7 @@ object Stress {
     // distance join, the conformal histogram and the all-but-the-top
     // transform are all row-linear by design — the exponent
     // log10(t_x/t_1)/log10(x) is what the record must show ≲ 1.
-    if (which == "r8ops") {
+    if (which == "r8ops" || which == "r9ops") {
       import graft.ops.{ModelOps, SimilarityOps, TextOps}
       // Replicated inputs are materialized ONCE, OUTSIDE the timers:
       // blending the linear write+re-read generation I/O into t1/tx
@@ -618,19 +618,47 @@ object Stress {
         ModelOps.conformalThresholdByGroup(TextOps.qualityFrame(d, carryCols = Seq("source"))
           .select(col("source"), col("quality_score"),
             (expr("doc_id div 20") % 5 === 0).as("__cal"))).count()
-      for ((name, d1, dx, run) <- Seq[(String, DataFrame, DataFrame, DataFrame => Long)](
-        ("bradley_terry", docs1, docsX, bt),
-        ("conformal", docs1, docsX, conformal),
-        ("conformal_group", docs1, docsX, conformalGroup),
-        ("silhouette", emb1, embX, d => SimilarityOps.silhouetteReport(d).count()),
-        ("remove_top", emb1, embX, d => SimilarityOps.removeTopComponent(d).count()),
-        ("isotropy", emb1, embX, d => SimilarityOps.isotropyReport(d).count()),
-        ("kcenter", emb1, embX, d => SimilarityOps.kCenterGreedy(d).count()))) {
+      // r9ops: the round-9 additions — q252's scan is map-only, q253's
+      // (doc, pos) self-join is the only corpus shuffle, q251/q254 are
+      // trace/centroid passes. The drift arm splits each replica on the
+      // within-corpus id so both snapshots grow with the corpus.
+      def canary(d: DataFrame): Long =
+        TextOps.canaryAudit(d.filter(col("text").isNotNull)
+          .select(col("source"),
+            when(col("doc_id") % 17 === 0,
+              concat(col("text"), lit(" canary-"),
+                substring(md5((col("doc_id") % 20).cast("string")), 1, 8)))
+              .otherwise(col("text")).as("text")),
+          OpsEntries.canaryRegistry).count()
+      def drift(docs: DataFrame, emb: DataFrame): Long =
+        SimilarityOps.snapshotCentroidDrift(
+          docs.filter(col("doc_id") % 5 =!= 4),
+          docs.filter(col("doc_id") % 7 =!= 6), emb).count()
+      val ops: Seq[(String, DataFrame, DataFrame, DataFrame => Long)] =
+        if (which == "r9ops") Seq(
+          ("canary_audit", docs1, docsX, canary),
+          ("loop_detect", docs1, docsX, d => TextOps.periodicityReport(d).count()),
+          ("abtt_gated", emb1, embX, d => SimilarityOps.abttGated(d).count()),
+          // both sides of the doc⋈embedding join must grow together
+          // (replica id offsets match), or the join silently pins the
+          // op at base size and fakes a flat exponent
+          ("centroid_drift", docs1, docsX,
+            d => drift(d, if (d eq docs1) emb1 else embX)))
+        else Seq(
+          ("bradley_terry", docs1, docsX, bt),
+          ("conformal", docs1, docsX, conformal),
+          ("conformal_group", docs1, docsX, conformalGroup),
+          ("silhouette", emb1, embX, d => SimilarityOps.silhouetteReport(d).count()),
+          ("remove_top", emb1, embX, d => SimilarityOps.removeTopComponent(d).count()),
+          ("isotropy", emb1, embX, d => SimilarityOps.isotropyReport(d).count()),
+          ("kcenter", emb1, embX, d => SimilarityOps.kCenterGreedy(d).count()))
+      for ((name, d1, dx, run) <- ops) {
         run(d1) // warm-up: JIT + codegen cache, untimed
         val (r1, t1) = time(run(d1))
         val (rx, tx) = time(run(dx))
         val expo = math.log10(tx / t1) / math.log10(x.toDouble)
-        println(f"STRESS_R8OPS op=$name rows_1=$r1 rows_$x=$rx " +
+        val opsLabel = if (which == "r9ops") "STRESS_R9OPS" else "STRESS_R8OPS"
+        println(f"$opsLabel op=$name rows_1=$r1 rows_$x=$rx " +
           f"t1=$t1%.2fs t$x=$tx%.2fs exponent=$expo%.2f")
       }
     }
