@@ -4499,7 +4499,8 @@ private[graft] object OpsEntries {
       s"""WITH q AS ($q26Sql),
          |qs AS (SELECT d.source, q.quality_score AS v
          |       FROM q JOIN documents d USING (doc_id) WHERE quality_score IS NOT NULL),
-         |bounds AS (SELECT source, quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
+         |bounds AS (SELECT source, round(quantile_cont(v, 0.05), 6) AS lo,
+         |                  round(quantile_cont(v, 0.95), 6) AS hi
          |           FROM qs GROUP BY source),
          |j AS (SELECT qs.source, CAST(round(v * 10000) AS BIGINT) AS x4,
          |        CAST(round(least(greatest(v, lo), hi) * 10000) AS BIGINT) AS w4,

@@ -322,7 +322,12 @@ object ModelOps {
     * Exact q44-convention percentiles per group (broadcast back);
     * all three means bank values as integer 1e-4 units (order-free
     * sums). One percentile aggregate + one join + one rollup, all
-    * keyed on the group.
+    * keyed on the group. The trim band is the 6dp-QUANTIZED
+    * [q05, q95]: interpolated quantiles agree across engines only to
+    * ulps, and a 4dp score sitting exactly ON a bound would flip in
+    * or out of the trim set on an ulp (caught by the sf0.001 gate at
+    * n=25 — Spark 0.754 vs DuckDB 0.75 trimmed means); rounding the
+    * bound before the comparison makes membership engine-stable.
     *
     * Output per group: (<groupCol>, n, mean, trimmed_mean,
     * winsorized_mean) — 4dp.
@@ -334,8 +339,8 @@ object ModelOps {
       .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
       .localCheckpoint(true) // percentile agg + the rollup join both read it
     val bounds = base.groupBy("__g")
-      .agg(percentile(col("__v"), lit(loQ)).as("__lo"),
-        percentile(col("__v"), lit(hiQ)).as("__hi"))
+      .agg(round(percentile(col("__v"), lit(loQ)), 6).as("__lo"),
+        round(percentile(col("__v"), lit(hiQ)), 6).as("__hi"))
     base.join(broadcast(bounds), Seq("__g"))
       .select(col("__g"),
         round(col("__v") * 1e4).cast("long").as("__x4"),
