@@ -63,7 +63,25 @@ object Bench {
         .queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
+    // Second, COMPUTE-BOUND probe: a fixed codegen arithmetic fold with
+    // one partial aggregate and no shuffle. Two sessions (r8's 1.27
+    // shuffle-probe outlier; r9's driver replay where the shuffle probe
+    // moved OPPOSITE to compute-bound queries) showed the shuffle probe
+    // under-tracks compute drift — record both, quote the one matching
+    // the workload under comparison (most of the suite is codegen-bound,
+    // so cal_compute is usually the honest normalizer; cal_shuffle
+    // tracks exchange-heavy drift).
+    def calComputeOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(64000000L)
+        .select(sum(((col("id") * 2654435761L) % 1000003L)
+          * ((col("id") * 97L) % 89L)).as("s"))
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
     calibrationOnce() // warm-up, same policy as the queries
+    calComputeOnce()
     // Timed passes, INTERLEAVED (pass 1 over all queries, then pass 2, ...)
     // rather than back-to-back per query: back-to-back samples share the
     // same transient heap/GC state left by the previous query, so a pause
@@ -72,6 +90,7 @@ object Bench {
     // The calibration probe rides in each pass under the same policy.
     val timings = scala.collection.mutable.Map[String, Vector[Double]]()
     val calib = scala.collection.mutable.ArrayBuffer[Double]()
+    val calibC = scala.collection.mutable.ArrayBuffer[Double]()
     (1 to samples).foreach { _ =>
       ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -80,10 +99,12 @@ object Bench {
         timings(name) = timings.getOrElse(name, Vector.empty) :+ dt
       }
       calib += calibrationOnce()
+      calibC += calComputeOnce()
     }
     val results = timings.map { case (k, v) => k -> med(v) }.toMap
     val spreads = timings.map { case (k, v) => k -> (v.max - v.min) }.toMap
     val calibrationSec = med(calib.toVector)
+    val calComputeSec = med(calibC.toVector)
     def jmap(m: Map[String, Double]) =
       m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
         .mkString("{", ",", "}")
@@ -175,8 +196,12 @@ object Bench {
     // drifted 0.50 → 1.27 on the same machine; raw totals across that
     // divide mislead)
     val calNorm = if (calibrationSec > 0) 1.0 / calibrationSec else 0.0
+    val calNormC = if (calComputeSec > 0) 1.0 / calComputeSec else 0.0
+    // calibration_sec / cal_norm_total keep their r8 meanings (shuffle
+    // probe) so records stay comparable across rounds; the compute probe
+    // rides alongside as cal_compute_sec / cal_norm_compute_total
     val common =
-      s""""unit":"sec","samples":$samples,"calibration_sec":${num(calibrationSec)},"cal_norm_total":${num(total * calNorm)},"ingest_points_per_sec":$ingestRate,"ingest_e2e_points_per_sec":$e2eRate,"timing":"warm-median","sf":"${jstr(sfDir)}""""
+      s""""unit":"sec","samples":$samples,"calibration_sec":${num(calibrationSec)},"cal_compute_sec":${num(calComputeSec)},"cal_norm_total":${num(total * calNorm)},"cal_norm_compute_total":${num(total * calNormC)},"ingest_points_per_sec":$ingestRate,"ingest_e2e_points_per_sec":$e2eRate,"timing":"warm-median","sf":"${jstr(sfDir)}""""
     val stdoutJson =
       s"""{"metric":"total","value":${num(total)},$common,"key_style":"short","queries":${jmap(shortResults)}}"""
     println(stdoutJson)

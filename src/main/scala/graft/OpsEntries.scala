@@ -5588,6 +5588,15 @@ private[graft] object OpsEntries {
   /** The unrolled greedy k-center chain: each round's CTE picks the
     * row maximizing the least-of-l2s to every prior center (ties to
     * the lowest id), exactly the engine's TakeOrdered pass.
+    *
+    * Early-stop mirror: the engine stops selecting once the covering
+    * radius hits 0 (every further round would re-pick a duplicate
+    * center), so the final union filters rounds with d = 0 (round 0
+    * excepted — its radius is 0 by definition). d is non-increasing
+    * in t, so filtering IS the engine's break; the filter compares
+    * the EXACT d, not the 6dp-rounded radius, because the engine's
+    * break compares exact doubles too (a 1e-9 radius keeps a round
+    * on both sides even though it prints as 0.0).
     */
   private def kCenterSql(k: Int): String = {
     val sb = new StringBuilder
@@ -5609,9 +5618,11 @@ private[graft] object OpsEntries {
            |""".stripMargin)
     }
     sb.toString.stripSuffix(",\n") + "\n" +
+      "SELECT sel_round, vec_id, round(d, 6) AS radius FROM (\n" +
       (0 until k).map(t =>
-        s"SELECT $t AS sel_round, vec_id, round(d, 6) AS radius FROM g$t")
-        .mkString("\nUNION ALL\n")
+        s"SELECT $t AS sel_round, vec_id, d FROM g$t")
+        .mkString("\nUNION ALL\n") +
+      "\n) WHERE sel_round = 0 OR d > 0"
   }
 
   /** The unrolled Bradley-Terry MM chain up to strengths `w<iters>` —

@@ -777,9 +777,13 @@ object DedupOps {
     * false positives — bit-exactly, making the estimate itself
     * oracle-verifiable (the q206 HLL discipline applied to Bloom).
     *
-    * Plan shape: the eval side reduces to ≤ min(k·|grams|, m) distinct
-    * bit positions (bounded by m longs — the ONE bounded driver read;
-    * 2^22 bits is a 512 KiB bitmap broadcast); the training side is
+    * Plan shape: the eval side reduces to distinct bit positions which
+    * PACK INTO 64-bit words on the executors (groupBy p/64 with bit-OR)
+    * before the driver sees them — the ONE bounded driver read is
+    * ≤ m/64 longs, i.e. exactly the bitmap's own size (2^22 bits =
+    * 512 KiB broadcast, 64 Ki words collected; even mBits = 30 reads
+    * ≤ 16 M words, the 128 MiB its bitmap costs anyway — never the
+    * m ROWS a raw position collect could reach). The training side is
     * pure map work — no explode, no join, no shuffle: each doc's
     * sorted code set probes the broadcast bitmap k times per gram.
     *
@@ -804,9 +808,19 @@ object DedupOps {
       .select(col("g"), explode(array(ks: _*)).as("i"))
       .select(pmod(SampleOpsSeed.hash(col("i"), col("g").cast("string"), seedBase),
         lit(m)).as("p"))
-      .distinct()
-    val bits = new java.util.BitSet(m.toInt)
-    positions.collect().foreach(r => bits.set(r.getLong(0).toInt)) // ≤ m rows, bounded
+    // executor-side word packing: the driver reads ≤ m/64 (word, bits)
+    // longs — the bitmap's own footprint — never one Row per set bit
+    // (k·|eval grams| rows of Row overhead at large mBits). bit_or is
+    // idempotent, so duplicate positions need no pre-distinct — the
+    // word groupBy is the ONE shuffle on this side
+    val words = positions
+      .select((col("p") / 64).cast("long").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
+      .groupBy("w").agg(bit_or(col("b")).as("bits"))
+      .collect()
+    val packed = new Array[Long]((m >> 6).toInt)
+    words.foreach(r => packed(r.getLong(0).toInt) = r.getLong(1))
+    val bits = java.util.BitSet.valueOf(packed)
     val bc = spark.sparkContext.broadcast(bits)
     val (kk, mm, sb) = (k, m, seedBase)
     val hitCount = org.apache.spark.sql.functions.udf((codes: Seq[Long]) =>

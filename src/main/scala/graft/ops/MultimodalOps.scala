@@ -345,6 +345,15 @@ object MultimodalOps {
     * decompression-bomb pixel guard; an unreadable frame is skipped,
     * an unreadable container quarantines to an empty sequence — the
     * [[readImageGuarded]] conventions applied per frame.
+    *
+    * GIF frames are COMPOSITED onto the logical-screen canvas honoring
+    * each frame's placement (ImageDescriptor left/top) and disposal
+    * method (GraphicControlExtension): optimized real-world GIFs store
+    * sub-rectangle deltas, and the raw `reader.read(i)` sub-images do
+    * NOT represent the rendered frames — luma grids and fingerprints
+    * must see what a player renders, or delta-encoded footage would
+    * fingerprint its patches instead of its frames. Non-GIF containers
+    * (full-frame by contract) return raw frames unchanged.
     */
   private def readFramesGuarded(bytes: Array[Byte], maxFrames: Int,
       maxPixels: Long = 1L << 26): IndexedSeq[(Int, java.awt.image.BufferedImage)] =
@@ -359,7 +368,11 @@ object MultimodalOps {
           try {
             reader.setInput(iis, false, true) // seekable: getNumImages needs search
             val n = math.min(reader.getNumImages(true), maxFrames)
-            (0 until n).flatMap { i =>
+            val isGif =
+              try reader.getFormatName.toLowerCase(java.util.Locale.ROOT).contains("gif")
+              catch { case _: Exception => false }
+            if (isGif) compositeGifFrames(reader, n, maxPixels)
+            else (0 until n).flatMap { i =>
               try {
                 val w = reader.getWidth(i); val h = reader.getHeight(i)
                 if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
@@ -370,6 +383,83 @@ object MultimodalOps {
         }
       } finally iis.close()
     } catch { case _: Exception => IndexedSeq.empty }
+
+  /** First child element of `root` named `name`, if present. */
+  private def metaChild(root: org.w3c.dom.Element,
+                        name: String): Option[org.w3c.dom.Element] = {
+    val ns = root.getElementsByTagName(name)
+    if (ns.getLength > 0) Some(ns.item(0).asInstanceOf[org.w3c.dom.Element]) else None
+  }
+
+  /** GIF RENDERED frames: each delta frame drawn at its declared
+    * (left, top) onto the persistent logical-screen canvas, with the
+    * previous frame's disposal applied first-per-spec — `none` /
+    * `doNotDispose` leave the canvas, `restoreToBackgroundColor`
+    * clears the frame's rectangle, `restoreToPrevious` rolls the
+    * canvas back. Missing/unparseable metadata degrades per frame to
+    * full-frame-at-origin with no disposal (the raw behavior, correct
+    * for the unoptimized full-frame case). Emitted frames are canvas
+    * SNAPSHOTS (the canvas mutates across the loop).
+    */
+  private def compositeGifFrames(reader: javax.imageio.ImageReader, n: Int,
+      maxPixels: Long): IndexedSeq[(Int, java.awt.image.BufferedImage)] = {
+    import java.awt.image.BufferedImage
+    val (sw, sh) =
+      try {
+        val root = reader.getStreamMetadata
+          .getAsTree("javax_imageio_gif_stream_1.0").asInstanceOf[org.w3c.dom.Element]
+        metaChild(root, "LogicalScreenDescriptor").map { d =>
+          (d.getAttribute("logicalScreenWidth").toInt,
+            d.getAttribute("logicalScreenHeight").toInt)
+        }.getOrElse((reader.getWidth(0), reader.getHeight(0)))
+      } catch { case _: Exception =>
+        try (reader.getWidth(0), reader.getHeight(0))
+        catch { case _: Exception => (0, 0) }
+      }
+    if (sw <= 0 || sh <= 0 || sw.toLong * sh > maxPixels) IndexedSeq.empty
+    else {
+      val canvas = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_ARGB)
+      def snap(): BufferedImage = {
+        val c = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_ARGB)
+        val g = c.createGraphics(); g.drawImage(canvas, 0, 0, null); g.dispose(); c
+      }
+      val out = IndexedSeq.newBuilder[(Int, BufferedImage)]
+      (0 until n).foreach { i =>
+        try {
+          val raw = reader.read(i)
+          if (raw.getWidth > 0 && raw.getHeight > 0 &&
+              raw.getWidth.toLong * raw.getHeight <= maxPixels) {
+            val (left, top, disposal) =
+              try {
+                val root = reader.getImageMetadata(i)
+                  .getAsTree("javax_imageio_gif_image_1.0").asInstanceOf[org.w3c.dom.Element]
+                val (l, t) = metaChild(root, "ImageDescriptor").map { d =>
+                  (d.getAttribute("imageLeftPosition").toInt,
+                    d.getAttribute("imageTopPosition").toInt)
+                }.getOrElse((0, 0))
+                (l, t, metaChild(root, "GraphicControlExtension")
+                  .map(_.getAttribute("disposalMethod")).getOrElse("none"))
+              } catch { case _: Exception => (0, 0, "none") }
+            val before = if (disposal == "restoreToPrevious") snap() else null
+            val g = canvas.createGraphics()
+            g.drawImage(raw, left, top, null)
+            g.dispose()
+            out += ((i, snap()))
+            disposal match {
+              case "restoreToBackgroundColor" =>
+                val g2 = canvas.createGraphics()
+                g2.setComposite(java.awt.AlphaComposite.Clear)
+                g2.fillRect(left, top, raw.getWidth, raw.getHeight)
+                g2.dispose()
+              case "restoreToPrevious" => canvas.setData(before.getData)
+              case _ => () // none / doNotDispose: canvas persists
+            }
+          }
+        } catch { case _: Exception => () } // skip the unreadable frame
+      }
+      out.result()
+    }
+  }
 
   /** REAL bytes → per-frame pixel grids: decode every frame of a
     * multi-frame container (animated GIF on a stock JDK) and box-
@@ -383,6 +473,15 @@ object MultimodalOps {
   def videoFramePixels(media: DataFrame, rows: Int = 8, cols: Int = 9,
                        maxFrames: Int = 64, idCol: String = "media_id",
                        payloadCol: String = "payload"): DataFrame = {
+    // [[videoFrameFingerprints]] packs one band byte per grid row into
+    // a single long via shiftleft(byte, band*8); at rows > 8 the shift
+    // reaches 64 and Spark's shiftleft wraps modulo 64, silently
+    // colliding band 8+ with band 0 — refuse the grid here, at the
+    // producer, rather than corrupt fingerprints downstream
+    require(rows >= 1 && rows <= 8,
+      s"rows must be in [1, 8] (fingerprint long-packing contract): $rows")
+    require(cols >= 2 && cols <= 9,
+      s"cols must be in [2, 9] (dHash byte is cols-1 bits): $cols")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col(idCol).cast("long"), col(payloadCol))
@@ -417,6 +516,10 @@ object MultimodalOps {
     * [[videoNearDup]]'s set-Jaccard contract (content overlap, not
     * run length) holds for real footage the way it does for the
     * all-distinct stub hashes. Output: (media_id, fhash).
+    *
+    * Packing contract: band must stay below 8 (shiftleft wraps mod 64
+    * past that) — enforced where the grids are made,
+    * [[videoFramePixels]]'s rows ≤ 8 require.
     */
   def videoFrameFingerprints(framePx: DataFrame, cols: Int = 9,
                              idCol: String = "media_id"): DataFrame =

@@ -1063,7 +1063,13 @@ object SimilarityOps {
                 vecCol: String = "embedding"): DataFrame = {
     val state = pcaTrain(corpus, dims, iters, vecCol) // the ONE trace
     val raw = bankedCoords(corpus, dims, idCol, vecCol)
-    val cosRaw = meanCosine(raw, "n", "c").collect()(0).getDouble(1) // ONE row
+    val gate = meanCosine(raw, "n", "c").collect() // ONE row
+    // an empty or all-zero-vector corpus has no direction to correct:
+    // cos is NULL there (n = 0) — take the identity branch (which is
+    // itself empty), exactly the oracle's NULL-CASE semantics, instead
+    // of NPEing on the unbox
+    val cosRaw =
+      if (gate.isEmpty || gate(0).isNullAt(1)) 0.0 else gate(0).getDouble(1)
     if (cosRaw > threshold) removeTopComponent(corpus, state, idCol, vecCol)
     else raw.select(col("vec_id"), (col("dim") + 1).as("dim"),
       round(col("b6") / lit(1e6), 6).as("value"))
