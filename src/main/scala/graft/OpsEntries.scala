@@ -1698,7 +1698,18 @@ private[graft] object OpsEntries {
         docs.filter(col("doc_id") % 5 =!= 4),
         docs.filter(col("doc_id") % 7 =!= 6),
         t(s, dir, "embeddings"))
-    })
+    }),
+
+    // Train-once/serve-many for the Lloyd family (the q251 check→fix
+    // discipline applied to clustering): ONE deterministic k-means
+    // trace + ONE checkpointed assignment serve the semDedup verdict,
+    // the semantic-layout shard position, and the per-cell silhouette
+    // quality as ONE plan — run separately the trio pays three private
+    // Lloyd loops for identical centroids. Oracle replays the shared
+    // trace once as MATERIALIZED CTEs (the q97/q100 lesson) and joins
+    // the three consumers off it.
+    "q255_cluster_served" -> ((s, dir) =>
+      SimilarityOps.clusterServeReport(t(s, dir, "embeddings")))
   )
 
   /** The q252 canary registry: benchmark-owner strings a corpus must
@@ -5527,6 +5538,42 @@ private[graft] object OpsEntries {
         |GROUP BY 1 HAVING sum(a6 * a6) > 0 AND sum(b6 * b6) > 0""".stripMargin,
 
     "q247_kcenter_select" -> kCenterSql(8),
+
+    // ONE Lloyd chain (MATERIALIZED — asg feeds five consumers), then
+    // the semDedup drop rule, the q142 layout window and the q243
+    // silhouette rollup joined off the SAME asg.
+    "q255_cluster_served" ->
+      (kmeansCtes("SELECT 8 AS k", 3, 64,
+        "SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL", mat = true) +
+        kmeansAssignCtes(3, mat = true) +
+        s"""pairs AS MATERIALIZED (SELECT b.vec_id AS id_b,
+           |            round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+           |          FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+           |drp AS MATERIALIZED (SELECT id_b FROM pairs GROUP BY id_b HAVING max(cos_sim) >= 0.4),
+           |lay AS MATERIALIZED (SELECT vec_id, cell,
+           |          row_number() OVER (PARTITION BY cell
+           |            ORDER BY CAST(concat('0x', substr(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+           |              vec_id) - 1 AS pos
+           |        FROM asg),
+           |sd AS MATERIALIZED (SELECT a.vec_id, a.cell, c.cell AS ocell,
+           |         ${kmeansL2("a.embedding", "c.cv")} AS d
+           |       FROM asg a CROSS JOIN cl3 c),
+           |per AS (SELECT vec_id, cell,
+           |          min(CASE WHEN ocell = cell THEN d END) AS a,
+           |          min(CASE WHEN ocell <> cell THEN d END) AS b
+           |        FROM sd GROUP BY 1, 2),
+           |silr AS (SELECT cell,
+           |          round(CASE WHEN greatest(a, b) > 0
+           |                THEN (b - a) / greatest(a, b) ELSE 0.0 END, 6) AS s
+           |        FROM per),
+           |msil AS (SELECT cell,
+           |           round(sum(CAST(round(s * 1000000) AS BIGINT)) / count(*) / 1000000.0, 6) AS mean_sil
+           |         FROM silr GROUP BY cell)
+           |SELECT asg.vec_id, CAST(asg.cell AS INTEGER) AS cell,
+           |       CAST(lay.pos AS BIGINT) AS pos,
+           |       asg.vec_id IN (SELECT id_b FROM drp) AS dropped, msil.mean_sil
+           |FROM asg JOIN lay ON lay.vec_id = asg.vec_id
+           |         JOIN msil ON msil.cell = asg.cell""".stripMargin),
 
     "q248_l_diversity" ->
       """WITH qi AS (SELECT lang,

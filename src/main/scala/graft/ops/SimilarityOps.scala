@@ -204,6 +204,33 @@ object SimilarityOps {
     cents
   }
 
+  /** Trained Lloyd state — the cluster family's first-class artifact,
+    * mirroring [[PcaState]]/[[ivfTrain]]: the `iters` corpus passes of
+    * the deterministic Lloyd loop are the expensive step, and FOUR
+    * consumers need its centroids ([[semDedup]], [[semanticLayout]],
+    * [[clusterLabelEval]], [[silhouetteReport]]) — a real pipeline
+    * trains cells once and serves dedup + layout + quality-eval from
+    * them, instead of paying one private Lloyd (iters collect-ferried
+    * corpus aggregates each) per consumer. Driver-sized: k×dims
+    * doubles, broadcast-shippable into any assignment expression.
+    */
+  final case class KmeansState(k: Int, iters: Int,
+                               centroids: Array[Array[Double]])
+
+  /** Train the shared Lloyd state once — the [[KmeansState]] scaladoc
+    * explains why consumers should share it. Same deterministic
+    * contract as [[kmeans]] (lowest-id init, 4dp-rounded means,
+    * lowest-cell tie-break), so every serving overload answers
+    * exactly as its self-training form does.
+    */
+  def kmeansTrain(emb: DataFrame, k: Int = 8, iters: Int = 3,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): KmeansState = {
+    val clean = DedupOps.widen(emb.filter(col(vecCol).isNotNull))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try KmeansState(k, iters, trainCentroids(clean, k, iters, idCol, vecCol))
+    finally clean.unpersist(blocking = false)
+  }
+
   /** Arg-min squared-L2 cell id for `vecCol` against the given centroids.
     * The centroids ride into the expression as a reference object (k×dims
     * doubles shipped with the task binary — no join, map-only work); ties
@@ -327,33 +354,59 @@ object SimilarityOps {
     try {
       val kEff = if (k >= 1) k else semDedupK(clean.count(), targetCellRows)
       val cents = trainCentroids(clean, kEff, iters, idCol, vecCol)
-      // localCheckpoint, not a transient persist: the operator is
-      // already eager (the Lloyd collects above), and the returned
-      // frame references the assignment THREE times (both pair-join
-      // sides + the outer join). Without materialization each
-      // reference replays the full corpus scan + k×dims assignment
-      // AFTER the finally-unpersist below — measured 3× the operator's
-      // whole cost at sf0.1. Checkpoint blocks are reclaimed by the
-      // ContextCleaner when the frame is dropped.
-      val asg = clean.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
-        assignCell(cents, vecCol).as("cell"), norm(col(vecCol)).as("nrm"))
-        .localCheckpoint(true)
-      val a = asg.select(col("cell"), col("vec_id").as("id_a"),
-        col("vec").as("va"), col("nrm").as("na"))
-      val b = asg.select(col("cell"), col("vec_id").as("id_b"),
-        col("vec").as("vb"), col("nrm").as("nb"))
-      val dropped = a.join(b, Seq("cell"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_b"),
-          round(cosinePre(col("va"), col("vb"), col("na"), col("nb")), 6).as("cos_sim"))
-        .groupBy("id_b").agg(max(col("cos_sim")).as("max_sim"))
-        .filter(col("max_sim") >= threshold)
-        .select(col("id_b").as("vec_id"), lit(true).as("is_dup"))
-      asg.select(col("vec_id"), col("cell"))
-        .join(dropped, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cell"),
-          coalesce(col("is_dup"), lit(false)).as("dropped"))
+      semDedupFromAsg(assignFrame(clean, cents, idCol, vecCol), threshold)
     } finally clean.unpersist(blocking = false)
+  }
+
+  /** [[semDedup]] SERVING from a pre-trained [[KmeansState]] — the
+    * dedup verdict over shared cells, no private Lloyd. One corpus
+    * scan (the assignment pass); everything downstream reads its
+    * checkpoint.
+    */
+  def semDedup(emb: DataFrame, state: KmeansState, threshold: Double,
+               idCol: String, vecCol: String): DataFrame =
+    semDedupFromAsg(
+      assignFrame(DedupOps.widen(emb.filter(col(vecCol).isNotNull)),
+        state.centroids, idCol, vecCol), threshold)
+
+  /** The shared assignment frame (vec_id, vec, cell, nrm),
+    * CHECKPOINTED, not transiently persisted: the operators that
+    * consume it are already eager (their Lloyd collects ran), and each
+    * consumer references the assignment several times (both pair-join
+    * sides + the outer join; the layout window; the silhouette
+    * distance join). Without materialization every reference replays
+    * the full corpus scan + k×dims assignment AFTER the caller's
+    * finally-unpersist — measured 3× semDedup's whole cost at sf0.1.
+    * Checkpoint blocks are reclaimed by the ContextCleaner when the
+    * frame is dropped.
+    */
+  private def assignFrame(clean: DataFrame, cents: Array[Array[Double]],
+                          idCol: String, vecCol: String): DataFrame =
+    clean.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      assignCell(cents, vecCol).as("cell"), norm(col(vecCol)).as("nrm"))
+      .localCheckpoint(true)
+
+  /** The semDedup drop rule over a materialized [[assignFrame]]:
+    * within-cell pairs, max-cosine-per-loser aggregation barrier
+    * (the NOTES_r3 trap-#2 single-eval discipline), losers at/above
+    * `threshold` marked. Output: (vec_id, cell, dropped).
+    */
+  private def semDedupFromAsg(asg: DataFrame, threshold: Double): DataFrame = {
+    val a = asg.select(col("cell"), col("vec_id").as("id_a"),
+      col("vec").as("va"), col("nrm").as("na"))
+    val b = asg.select(col("cell"), col("vec_id").as("id_b"),
+      col("vec").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b"),
+        round(cosinePre(col("va"), col("vb"), col("na"), col("nb")), 6).as("cos_sim"))
+      .groupBy("id_b").agg(max(col("cos_sim")).as("max_sim"))
+      .filter(col("max_sim") >= threshold)
+      .select(col("id_b").as("vec_id"), lit(true).as("is_dup"))
+    asg.select(col("vec_id"), col("cell"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("is_dup"), lit(false)).as("dropped"))
   }
 
   /** [[semDedup]]'s k(n) policy: enough cells to hold expected cell size
@@ -1583,12 +1636,33 @@ object SimilarityOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cents = trainCentroids(clean, k, iters, idCol, vecCol)
-      val w = Window.partitionBy("cell")
-        .orderBy(SampleOps.seededHash(col(idCol), seed), col(idCol))
-      clean.select(col(idCol), assignCell(cents, vecCol).as("cell"))
-        .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      layoutOn(clean, cents, seed, idCol, vecCol)
+        // k-row-per-cell result, materialized eagerly while `clean` is
+        // still cached — the window pass reads the cache, not the source
         .localCheckpoint(true)
     } finally clean.unpersist(blocking = false)
+  }
+
+  /** [[semanticLayout]] SERVING from a pre-trained [[KmeansState]] —
+    * the shard layout over shared cells, no private Lloyd. One
+    * map-only assignment pass + the per-cell window; lineage is cheap,
+    * so no checkpoint — callers materializing repeatedly checkpoint
+    * themselves.
+    */
+  def semanticLayout(emb: DataFrame, state: KmeansState, seed: Long,
+                     idCol: String, vecCol: String): DataFrame =
+    layoutOn(DedupOps.widen(emb.filter(col(vecCol).isNotNull)),
+      state.centroids, seed, idCol, vecCol)
+
+  /** The layout window over an assigned corpus: per-cell positions in
+    * seeded-hash order. Output: (<idCol>, cell, pos).
+    */
+  private def layoutOn(clean: DataFrame, cents: Array[Array[Double]], seed: Long,
+                       idCol: String, vecCol: String): DataFrame = {
+    val w = Window.partitionBy("cell")
+      .orderBy(SampleOps.seededHash(col(idCol), seed), col(idCol))
+    clean.select(col(idCol), assignCell(cents, vecCol).as("cell"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
   }
 
   /** k-NN majority-vote classification with leave-one-out evaluation —
@@ -1859,11 +1933,34 @@ object SimilarityOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cells = try {
       val cents = trainCentroids(clean, k, iters, idCol, vecCol)
-      clean.filter(col(labelCol).isNotNull)
-        .select(col(labelCol).as("__lbl"), assignCell(cents, vecCol).as("__cell"))
-        .groupBy("__cell", "__lbl").agg(count(lit(1)).as("__c"))
-        .localCheckpoint(true) // sizes + purity + MI + both entropies all read it
+      labelContingency(clean, cents, vecCol, labelCol)
     } finally clean.unpersist(blocking = false)
+    labelEvalFromCells(cells)
+  }
+
+  /** [[clusterLabelEval]] SERVING from a pre-trained [[KmeansState]] —
+    * purity/NMI of the shared cells against the label column, no
+    * private Lloyd. One assignment + contingency pass.
+    */
+  def clusterLabelEval(emb: DataFrame, state: KmeansState,
+                       idCol: String, vecCol: String, labelCol: String): DataFrame =
+    labelEvalFromCells(labelContingency(
+      emb.filter(col(vecCol).isNotNull), state.centroids, vecCol, labelCol))
+
+  /** The cell×label contingency table, CHECKPOINTED — sizes + purity +
+    * MI + both entropies all read it (≤ k×|labels| rows).
+    */
+  private def labelContingency(clean: DataFrame, cents: Array[Array[Double]],
+                               vecCol: String, labelCol: String): DataFrame =
+    clean.filter(col(labelCol).isNotNull)
+      .select(col(labelCol).as("__lbl"), assignCell(cents, vecCol).as("__cell"))
+      .groupBy("__cell", "__lbl").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+
+  /** Purity/NMI rollup over the contingency table (driver-scale input;
+    * every MI/entropy term banked per the q140 discipline).
+    */
+  private def labelEvalFromCells(cells: DataFrame): DataFrame = {
     val byCell = cells.groupBy("__cell")
       .agg(sum("__c").as("__a"), max("__c").as("__mx"))
       .localCheckpoint(true) // n/H_cell aggregate + the MI join both read it
@@ -1917,36 +2014,94 @@ object SimilarityOps {
   def silhouetteReport(emb: DataFrame, k: Int = 8, iters: Int = 3,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 2, "silhouette needs at least 2 clusters (b is undefined for k = 1)")
-    val spark = emb.sparkSession
-    import spark.implicits._
     val clean = emb.filter(col(vecCol).isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cents = trainCentroids(clean, k, iters, idCol, vecCol)
-      val centDf = broadcast(
-        cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-          .toDF("__ocell", "__cv"))
-      clean
-        .select(col(idCol).as("__id"), col(vecCol).as("__v"),
-          assignCell(cents, vecCol).as("__cell"))
-        .filter(col("__cell").isNotNull)
-        .crossJoin(centDf)
-        .select(col("__id"), col("__cell"), col("__ocell"),
-          graft.functions.VectorExprs.l2Squared(col("__v"), col("__cv")).as("__d"))
-        .groupBy("__id", "__cell")
-        .agg(min(when(col("__ocell") === col("__cell"), col("__d"))).as("__a"),
-          min(when(col("__ocell") =!= col("__cell"), col("__d"))).as("__b"))
-        .select(col("__cell"),
-          round(when(greatest(col("__a"), col("__b")) > 0,
-            (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
-            .otherwise(0.0), 6).as("__s"))
-        .groupBy(col("__cell").as("cell"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(round(col("__s") * 1e6).cast("long")) / count(lit(1)) / lit(1e6), 6)
-            .as("mean_sil"))
-        // k-row result, materialized eagerly while `clean` is still
-        // cached — the distance pass reads the cache, not the source
-        .localCheckpoint(true)
+      // k-row result, materialized eagerly while `clean` is still
+      // cached — the distance pass reads the cache, not the source
+      silhouetteOn(clean, cents, idCol, vecCol).localCheckpoint(true)
+    } finally clean.unpersist(blocking = false)
+  }
+
+  /** [[silhouetteReport]] SERVING from a pre-trained [[KmeansState]] —
+    * cluster-quality of the shared cells, no private Lloyd. One
+    * assignment + broadcast distance pass.
+    */
+  def silhouetteReport(emb: DataFrame, state: KmeansState,
+                       idCol: String, vecCol: String): DataFrame = {
+    require(state.k >= 2, "silhouette needs at least 2 clusters (b is undefined for k = 1)")
+    silhouetteOn(emb.filter(col(vecCol).isNotNull), state.centroids, idCol, vecCol)
+  }
+
+  /** The simplified-silhouette rollup over an assigned corpus and its
+    * k-row broadcast centroid table. Output: (cell, n, mean_sil).
+    */
+  private def silhouetteOn(clean: DataFrame, cents: Array[Array[Double]],
+                           idCol: String, vecCol: String): DataFrame = {
+    val spark = clean.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(
+      cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toDF("__ocell", "__cv"))
+    clean
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        assignCell(cents, vecCol).as("__cell"))
+      .filter(col("__cell").isNotNull)
+      .crossJoin(centDf)
+      .select(col("__id"), col("__cell"), col("__ocell"),
+        graft.functions.VectorExprs.l2Squared(col("__v"), col("__cv")).as("__d"))
+      .groupBy("__id", "__cell")
+      .agg(min(when(col("__ocell") === col("__cell"), col("__d"))).as("__a"),
+        min(when(col("__ocell") =!= col("__cell"), col("__d"))).as("__b"))
+      .select(col("__cell"),
+        round(when(greatest(col("__a"), col("__b")) > 0,
+          (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(0.0), 6).as("__s"))
+      .groupBy(col("__cell").as("cell"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("__s") * 1e6).cast("long")) / count(lit(1)) / lit(1e6), 6)
+          .as("mean_sil"))
+  }
+
+  /** The COMPOSED train-once/serve-many cluster pipeline (the q251
+    * check→fix discipline applied to the Lloyd family): ONE
+    * deterministic Lloyd trains the cells, ONE checkpointed assignment
+    * frame feeds all three consumers — the [[semDedup]] drop verdict,
+    * the [[semanticLayout]] shard position, and the per-cell
+    * [[silhouetteReport]] quality — where running them as separate
+    * jobs pays three private Lloyd loops (iters collect-ferried corpus
+    * aggregates each) and three assignment scans for identical
+    * centroids.
+    *
+    * Plan shape: the Lloyd trace (iters partial-agg passes over the
+    * cached corpus), then ONE k×dims map-only assignment materialized
+    * once; the dedup pair join confines to cells, the layout window
+    * partitions by cell, the silhouette rollup is k rows broadcast
+    * back onto the verdict join. Nothing scans the source twice.
+    *
+    * Output: (vec_id, cell, pos, dropped, mean_sil) — one row per
+    * non-null vector; mean_sil is the vector's CELL quality (the
+    * governance join a curation decision reads next to the verdict).
+    */
+  def clusterServeReport(emb: DataFrame, k: Int = 8, iters: Int = 3,
+                         threshold: Double = 0.4, seed: Long = 42,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val clean = DedupOps.widen(emb.filter(col(vecCol).isNotNull))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = trainCentroids(clean, k, iters, idCol, vecCol)
+      val asg = assignFrame(clean, cents, idCol, vecCol)
+      val ded = semDedupFromAsg(asg, threshold)
+      val w = Window.partitionBy("cell")
+        .orderBy(SampleOps.seededHash(col("vec_id"), seed), col("vec_id"))
+      val lay = asg.select(col("vec_id"), col("cell"))
+        .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      val sil = silhouetteOn(asg.select(col("vec_id").as(idCol), col("vec").as(vecCol)),
+        cents, idCol, vecCol)
+      ded.join(lay.select(col("vec_id"), col("pos")), Seq("vec_id"))
+        .join(broadcast(sil.select(col("cell"), col("mean_sil"))), Seq("cell"))
+        .select(col("vec_id"), col("cell"), col("pos"), col("dropped"), col("mean_sil"))
     } finally clean.unpersist(blocking = false)
   }
 }

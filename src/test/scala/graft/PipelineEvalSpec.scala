@@ -375,6 +375,50 @@ class PipelineEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansTrain: the trained state serves every consumer exactly as self-training") {
+    val rows = Seq(
+      (0L, Array(1f, 0f), 7), (1L, Array(0.99f, 0.01f), 7),
+      (2L, Array(0.98f, 0.02f), 7), (3L, Array(0f, 1f), 9),
+      (4L, Array(0.01f, 0.99f), 9), (5L, Array(0.02f, 0.98f), 9),
+      (6L, Array(0.7f, 0.7f), 7), (7L, null.asInstanceOf[Array[Float]], 3))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val st = SimilarityOps.kmeansTrain(emb, k = 2, iters = 2)
+    assert(st.k === 2 && st.centroids.length === 2 && st.centroids.forall(_.length == 2))
+    def sorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(sorted(SimilarityOps.semDedup(emb, st, 0.4, "vec_id", "embedding")) ===
+      sorted(SimilarityOps.semDedup(emb, k = 2, iters = 2, threshold = 0.4)))
+    assert(sorted(SimilarityOps.semanticLayout(emb, st, 42L, "vec_id", "embedding")) ===
+      sorted(SimilarityOps.semanticLayout(emb, k = 2, iters = 2, seed = 42)))
+    assert(sorted(SimilarityOps.silhouetteReport(emb, st, "vec_id", "embedding")) ===
+      sorted(SimilarityOps.silhouetteReport(emb, k = 2, iters = 2)))
+    assert(sorted(SimilarityOps.clusterLabelEval(emb, st, "vec_id", "embedding", "label")) ===
+      sorted(SimilarityOps.clusterLabelEval(emb, k = 2, iters = 2)))
+  }
+
+  test("clusterServeReport: the composed train-once plan matches the three consumers run separately") {
+    val rows = Seq(
+      (0L, Array(1f, 0f), 7), (1L, Array(0.99f, 0.01f), 7),
+      (2L, Array(0.98f, 0.02f), 7), (3L, Array(0f, 1f), 9),
+      (4L, Array(0.01f, 0.99f), 9), (5L, Array(0.02f, 0.98f), 9))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.clusterServeReport(emb, k = 2, iters = 2,
+      threshold = 0.4, seed = 42).collect().map(_.toString).sorted.toSeq
+    val ded = SimilarityOps.semDedup(emb, k = 2, iters = 2, threshold = 0.4)
+    val lay = SimilarityOps.semanticLayout(emb, k = 2, iters = 2, seed = 42)
+    val sil = SimilarityOps.silhouetteReport(emb, k = 2, iters = 2)
+    val want = ded.join(lay.select(col("vec_id"), col("pos")), Seq("vec_id"))
+      .join(sil.select(col("cell"), col("mean_sil")), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("pos"), col("dropped"), col("mean_sil"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want)
+    // the composed report marks the near-dup losers (ids 1,2 and 4,5
+    // trail their cluster's lowest id at cosine ≈ 1)
+    val dropped = SimilarityOps.clusterServeReport(emb, k = 2, iters = 2)
+      .filter(col("dropped")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(dropped === Seq(1L, 2L, 4L, 5L))
+  }
+
   test("removeTopComponent: mean and dominant axis removed, centered minor axis survives") {
     // mean (2,0); centered (-1,0),(1,0),(0,2),(0,-2); cov diag(0.5,2)
     // → the top direction converges to the y axis (x-residual decays
