@@ -542,7 +542,7 @@ object MultimodalOps {
     * not kill a 100 TB scan.
     */
   private def readWavGuarded(bytes: Array[Byte],
-      maxFrames: Long = 1L << 24): Array[Int] =
+      maxFrames: Long = 1L << 24): (Array[Int], Int) =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -554,8 +554,9 @@ object MultimodalOps {
         val bits = f.getSampleSizeInBits
         val ch = f.getChannels
         val nFrames = ais.getFrameLength
+        val rate = math.round(f.getSampleRate)
         if (!(signed || unsigned) || (bits != 8 && bits != 16) || ch < 1 ||
-            nFrames <= 0 || nFrames > maxFrames) null
+            rate <= 0 || nFrames <= 0 || nFrames > maxFrames) null
         else {
           val raw = ais.readAllBytes()
           val bytesPerSample = bits / 8
@@ -583,10 +584,43 @@ object MultimodalOps {
             out(i) = (acc / ch).toInt
             i += 1
           }
-          out
+          (out, rate)
         }
       } finally ais.close()
     } catch { case _: Exception => null }
+
+  /** Pure-JVM linear-interpolation resample to `dstRate` — the rate
+    * normalization that makes [[wavWindows]] keys survive the most
+    * common real-world re-encode (44.1 ↔ 48 kHz): windows anchored at
+    * a file's NATIVE rate give a resampled copy disjoint window grids,
+    * so without this step such a copy could never pair. All-integer
+    * arithmetic (output i reads exact source position i·src/dst as
+    * idx + frac/dst, truncating division), so the stream is
+    * deterministic across JVMs/platforms. Integer sample-count shifts
+    * stay exact: resampling a stream dropped by k source samples
+    * equals the original's resample shifted by k·dst/src — which is
+    * why trimmed copies still align at ONE window delta after
+    * normalization.
+    */
+  private[ops] def resampleLinear(in: Array[Int], srcRate: Int, dstRate: Int): Array[Int] = {
+    require(srcRate > 0 && dstRate > 0, s"rates must be positive: $srcRate -> $dstRate")
+    if (srcRate == dstRate || in.length < 2) in
+    else {
+      val nOut = ((in.length.toLong - 1) * dstRate / srcRate + 1).toInt
+      val out = new Array[Int](nOut)
+      var i = 0
+      while (i < nOut) {
+        val num = i.toLong * srcRate
+        val idx = (num / dstRate).toInt
+        val frac = num % dstRate
+        val a = in(idx)
+        val b = if (idx + 1 < in.length) in(idx + 1) else a
+        out(i) = (a + (b - a).toLong * frac / dstRate).toInt
+        i += 1
+      }
+      out
+    }
+  }
 
   /** REAL bytes → analysis-window fingerprints: decode each payload's
     * PCM with `javax.sound.sampled`, cut the sample stream into
@@ -603,16 +637,25 @@ object MultimodalOps {
     * Output schema is IDENTICAL to [[audioWindows]] (media_id, wpos,
     * whash), so [[audioOffsetNearDup]] consumes either source
     * unchanged — the decoder boundary carrying real PCM. Undecodable
-    * payloads drop (the quarantine convention). Trims at window
-    * granularity align exactly under the fixed sample-0 grid
-    * (a landmark/onset-anchored scheme would align arbitrary trims —
-    * out of scope for the pure-JVM tier; the offset-vote consumer is
-    * agnostic). Per-partition batched `mapPartitions`; map-only.
+    * payloads drop (the quarantine convention).
+    *
+    * RATE-NORMALIZED: every stream resamples to `canonicalRate` via
+    * [[resampleLinear]] BEFORE windowing, so a 44.1 → 48 kHz re-encode
+    * (the most common real-world transform) lands on the same window
+    * grid as its source and pairs — windows anchored at the native
+    * rate would give the copy disjoint keys forever. Trims at window
+    * granularity (AT THE CANONICAL RATE) align exactly under the fixed
+    * sample-0 grid; a landmark/onset-anchored scheme would align
+    * arbitrary trims — out of scope for the pure-JVM tier; the
+    * offset-vote consumer is agnostic. Per-partition batched
+    * `mapPartitions`; map-only.
     */
   def wavWindows(media: DataFrame, windowSamples: Int = 1024, slices: Int = 16,
+                 canonicalRate: Int = 16000,
                  idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
     require(windowSamples >= slices && windowSamples % slices == 0,
       s"windowSamples=$windowSamples must be a multiple of slices=$slices")
+    require(canonicalRate > 0, s"canonicalRate must be positive: $canonicalRate")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col(idCol).cast("long"), col(payloadCol))
@@ -620,7 +663,13 @@ object MultimodalOps {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, bytes) =>
-          val samples = readWavGuarded(bytes)
+          val decoded = readWavGuarded(bytes)
+          // post-resample bomb guard: a low-rate header would otherwise
+          // upsample past the frame cap (1 Hz -> x16000 allocation)
+          val samples =
+            if (decoded == null ||
+                (decoded._1.length.toLong - 1) * canonicalRate / decoded._2 >= (1L << 24)) null
+            else resampleLinear(decoded._1, decoded._2, canonicalRate)
           if (samples == null) Iterator.empty
           else {
             val nWin = samples.length / windowSamples

@@ -315,10 +315,13 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("real WAVs through wavWindows -> audioOffsetNearDup: " +
     "the jittered trimmed copy aligns at its one offset, garbage and strangers drop") {
-    // A: 16 windows of amplitude-modulated tone; A': A trimmed by two
-    // windows with ±1-LSB deterministic dither (the energy contour is
-    // order-based, so most window keys survive); B: different envelope
-    // AND frequency — never concentrates on one delta.
+    // A: 16384 samples of amplitude-modulated tone at 8 kHz — the
+    // canonical 16 kHz resample carries (16383·2)+1 = 32767 samples =
+    // 31 full windows; A': A trimmed by 2048 source samples (= 4
+    // canonical windows) with ±1-LSB deterministic dither (the energy
+    // contour is order-based, so most window keys survive); B:
+    // different envelope AND frequency — never concentrates on one
+    // delta.
     val base = tone(16 * 1024)
     val trimmedJittered = base.drop(2 * 1024).zipWithIndex.map {
       case (s, i) => (s + (i * 31 % 3) - 1).toShort
@@ -330,7 +333,7 @@ class MultimodalSpec extends AnyFunSuite {
       .toDF("media_id", "payload")
     val wins = MultimodalOps.wavWindows(media).localCheckpoint(true)
     val counts = wins.groupBy("media_id").count().as[(Long, Long)].collect().toMap
-    assert(counts == Map(0L -> 16L, 1L -> 14L, 2L -> 16L),
+    assert(counts == Map(0L -> 31L, 1L -> 27L, 2L -> 31L),
       s"window counts off (garbage must drop): $counts")
     val pairs = MultimodalOps.audioOffsetNearDup(wins)
       .select("id_a", "id_b", "win_offset", "votes")
@@ -338,8 +341,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)),
       s"expected exactly the (A, A') aligned pair, got ${pairs.mkString(",")}")
     val (_, _, off, votes) = pairs.head
-    assert(off == 2L, s"trim of two windows must align at delta 2, got $off")
+    assert(off == 4L, s"a 4-canonical-window trim must align at delta 4, got $off")
     assert(votes >= 4L, s"offset votes $votes below the consistency floor")
+  }
+
+  test("wavWindows rate normalization: the SAME audio encoded at 44.1 and 48 kHz pairs; " +
+    "a different tone at 48 kHz does not") {
+    // one continuous-time signal sampled at two rates — the classic
+    // re-encode transform the native-rate window grid could never pair
+    def toneAt(rate: Int, seconds: Double, freq: Double = 440.0,
+               envPeriod: Double = 0.375): Array[Short] =
+      Array.tabulate((rate * seconds).toInt) { i =>
+        val t = i.toDouble / rate
+        val env = 5000.0 + 4000.0 * math.sin(2 * math.Pi * t / envPeriod)
+        (env * math.sin(2 * math.Pi * freq * t)).toShort
+      }
+    val media = Seq(
+      (0L, wav(toneAt(44100, 2.0), rate = 44100f)),
+      (1L, wav(toneAt(48000, 2.0), rate = 48000f)),
+      (2L, wav(toneAt(48000, 2.0, freq = 523.0, envPeriod = 0.11), rate = 48000f)))
+      .toDF("media_id", "payload")
+    val wins = MultimodalOps.wavWindows(media).localCheckpoint(true)
+    // both canonical streams carry ~2 s × 16 kHz = 31 full windows
+    val counts = wins.groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(c => c == 31L),
+      s"canonical window grids must agree across source rates: $counts")
+    val pairs = MultimodalOps.audioOffsetNearDup(wins)
+      .select("id_a", "id_b", "win_offset", "votes")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)),
+      s"expected exactly the cross-rate (44.1k, 48k) pair, got ${pairs.mkString(",")}")
+    assert(pairs.head._3 == 0L && pairs.head._4 >= 4L,
+      s"same content at two rates must align at delta 0 with real votes: ${pairs.head}")
   }
 
   test("keyframes: scene boundaries kept, static frames and sub-threshold jitter dropped") {
