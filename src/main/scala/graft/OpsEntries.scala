@@ -1709,7 +1709,22 @@ private[graft] object OpsEntries {
     // trace once as MATERIALIZED CTEs (the q97/q100 lesson) and joins
     // the three consumers off it.
     "q255_cluster_served" -> ((s, dir) =>
-      SimilarityOps.clusterServeReport(t(s, dir, "embeddings")))
+      SimilarityOps.clusterServeReport(t(s, dir, "embeddings"))),
+
+    // Index-refresh actuator: the q254 drift monitor gated into an IVF
+    // maintenance DECISION — min per-source drift ≥ 0.9 keeps
+    // yesterday's (snapshot-A-trained) cells and routes today's corpus
+    // through them; below the floor retrains on snapshot B. At the
+    // gate snapshots the three testdata scales land on BOTH branches
+    // (sf0.001 min drift 0.9001 → stable; sf0.01/sf0.1 0.84/0.89 →
+    // refresh), so the multi-scale gate exercises the whole CASE.
+    "q256_ivf_refresh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      SimilarityOps.ivfRefresh(
+        docs.filter(col("doc_id") % 5 =!= 4),
+        docs.filter(col("doc_id") % 7 =!= 6),
+        t(s, dir, "embeddings"))
+    })
   )
 
   /** The q252 canary registry: benchmark-owner strings a corpus must
@@ -2084,29 +2099,40 @@ private[graft] object OpsEntries {
     * CTE as `AS MATERIALIZED` (see [[semDedupAdaptiveSql]] for why).
     */
   private def kmeansCtes(kSelect: String, iters: Int, dims: Int, embSelect: String,
-                         mat: Boolean): String = {
+                         mat: Boolean): String =
+    kmeansCtes(kSelect, iters, dims, embSelect, mat, prefix = "", lead = true)
+
+  /** `prefix` namespaces every CTE (two independent Lloyd chains — the
+    * q256 snapshot-A/snapshot-B refresh gate — coexist in one WITH);
+    * `lead = false` continues an existing chain instead of opening one
+    * (the [[pqCtes]] convention).
+    */
+  private def kmeansCtes(kSelect: String, iters: Int, dims: Int, embSelect: String,
+                         mat: Boolean, prefix: String, lead: Boolean): String = {
     val m = if (mat) "MATERIALIZED " else ""
+    val p = prefix
     val sb = new StringBuilder
+    if (lead) sb.append("WITH ")
     sb.append(
-      s"""WITH emb AS $m($embSelect),
-         |kk AS $m($kSelect),
-         |init AS $m(SELECT cell, embedding FROM (
-         |             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding FROM emb)
-         |             WHERE cell < (SELECT k FROM kk)),
-         |c0 AS $m(SELECT cell, dim, round(CAST(embedding[dim] AS DOUBLE), 4) AS value
-         |       FROM init CROSS JOIN range(1, ${dims + 1}) t(dim)),
+      s"""${p}emb AS $m($embSelect),
+         |${p}kk AS $m($kSelect),
+         |${p}init AS $m(SELECT cell, embedding FROM (
+         |             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding FROM ${p}emb)
+         |             WHERE cell < (SELECT k FROM ${p}kk)),
+         |${p}c0 AS $m(SELECT cell, dim, round(CAST(embedding[dim] AS DOUBLE), 4) AS value
+         |       FROM ${p}init CROSS JOIN range(1, ${dims + 1}) t(dim)),
          |""".stripMargin)
     for (i <- 1 to iters) {
       sb.append(
-        s"""cl${i - 1} AS $m(SELECT cell, list(value ORDER BY dim) AS cv FROM c${i - 1} GROUP BY cell),
-           |a$i AS $m(SELECT vec_id, embedding, cell FROM (
+        s"""${p}cl${i - 1} AS $m(SELECT cell, list(value ORDER BY dim) AS cv FROM ${p}c${i - 1} GROUP BY cell),
+           |${p}a$i AS $m(SELECT vec_id, embedding, cell FROM (
            |  SELECT e.vec_id, e.embedding, c.cell,
            |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${kmeansL2("e.embedding", "c.cv")}, c.cell) AS r
-           |  FROM emb e CROSS JOIN cl${i - 1} c) WHERE r = 1),
-           |u$i AS $m(SELECT cell, dim, round(avg(CAST(embedding[dim] AS DOUBLE)), 4) AS value
-           |       FROM a$i CROSS JOIN range(1, ${dims + 1}) t(dim) GROUP BY cell, dim),
-           |c$i AS $m(SELECT * FROM u$i UNION ALL
-           |       SELECT * FROM c${i - 1} WHERE cell NOT IN (SELECT DISTINCT cell FROM u$i)),
+           |  FROM ${p}emb e CROSS JOIN ${p}cl${i - 1} c) WHERE r = 1),
+           |${p}u$i AS $m(SELECT cell, dim, round(avg(CAST(embedding[dim] AS DOUBLE)), 4) AS value
+           |       FROM ${p}a$i CROSS JOIN range(1, ${dims + 1}) t(dim) GROUP BY cell, dim),
+           |${p}c$i AS $m(SELECT * FROM ${p}u$i UNION ALL
+           |       SELECT * FROM ${p}c${i - 1} WHERE cell NOT IN (SELECT DISTINCT cell FROM ${p}u$i)),
            |""".stripMargin)
     }
     sb.toString
@@ -2298,13 +2324,15 @@ private[graft] object OpsEntries {
     * `asg`) on top of [[kmeansCtes]] — shared by the semdedup and
     * trained-IVF oracles.
     */
-  private def kmeansAssignCtes(iters: Int, mat: Boolean = false): String = {
+  private def kmeansAssignCtes(iters: Int, mat: Boolean = false,
+                               prefix: String = ""): String = {
     val m = if (mat) "MATERIALIZED " else ""
-    s"""cl$iters AS $m(SELECT cell, list(value ORDER BY dim) AS cv FROM c$iters GROUP BY cell),
-       |asg AS $m(SELECT vec_id, embedding, cell FROM (
+    val p = prefix
+    s"""${p}cl$iters AS $m(SELECT cell, list(value ORDER BY dim) AS cv FROM ${p}c$iters GROUP BY cell),
+       |${p}asg AS $m(SELECT vec_id, embedding, cell FROM (
        |  SELECT e.vec_id, e.embedding, c.cell,
        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${kmeansL2("e.embedding", "c.cv")}, c.cell) AS r
-       |  FROM emb e CROSS JOIN cl$iters c) WHERE r = 1),
+       |  FROM ${p}emb e CROSS JOIN ${p}cl$iters c) WHERE r = 1),
        |""".stripMargin
   }
 
@@ -5511,31 +5539,12 @@ private[graft] object OpsEntries {
          |FROM r WHERE rn = 1""".stripMargin,
 
     // Two q238-style banked centroid passes (snapshot filters from
-    // q210), joined per (source, pos), exact integer dot/norms.
+    // q210), joined per (source, pos), exact integer dot/norms — the
+    // chain lives in [[driftCtes]], shared with the q256 actuator so
+    // the decision cannot drift from the measurement.
     "q254_centroid_drift" ->
-      """WITH ja AS (SELECT d.source, t.pos,
-        |        CAST(round(CAST(e.embedding[t.pos] AS DOUBLE) * 1000000) AS BIGINT) AS x6
-        |      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
-        |        CROSS JOIN range(1, 65) t(pos)
-        |      WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64
-        |        AND d.doc_id % 5 <> 4),
-        |ca AS (SELECT source, pos, count(*) AS n_a,
-        |        CAST(round(round(sum(x6) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) * 1000000) AS BIGINT) AS a6
-        |       FROM ja GROUP BY 1, 2),
-        |jb AS (SELECT d.source, t.pos,
-        |        CAST(round(CAST(e.embedding[t.pos] AS DOUBLE) * 1000000) AS BIGINT) AS x6
-        |      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
-        |        CROSS JOIN range(1, 65) t(pos)
-        |      WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64
-        |        AND d.doc_id % 7 <> 6),
-        |cb AS (SELECT source, pos, count(*) AS n_b,
-        |        CAST(round(round(sum(x6) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) * 1000000) AS BIGINT) AS b6
-        |       FROM jb GROUP BY 1, 2)
-        |SELECT ca.source, CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
-        |       round(sum(a6 * b6) / (sqrt(CAST(sum(a6 * a6) AS DOUBLE))
-        |             * sqrt(CAST(sum(b6 * b6) AS DOUBLE))), 6) AS drift_cosine
-        |FROM ca JOIN cb ON cb.source = ca.source AND cb.pos = ca.pos
-        |GROUP BY 1 HAVING sum(a6 * a6) > 0 AND sum(b6 * b6) > 0""".stripMargin,
+      ("WITH " + driftCtes("d.doc_id % 5 <> 4", "d.doc_id % 7 <> 6") +
+        "\nSELECT source, n_a, n_b, drift_cosine FROM drft"),
 
     "q247_kcenter_select" -> kCenterSql(8),
 
@@ -5574,6 +5583,34 @@ private[graft] object OpsEntries {
            |       asg.vec_id IN (SELECT id_b FROM drp) AS dropped, msil.mean_sil
            |FROM asg JOIN lay ON lay.vec_id = asg.vec_id
            |         JOIN msil ON msil.cell = asg.cell""".stripMargin),
+
+    // Two prefixed Lloyd chains (A-trained, B-trained), the SHARED
+    // drift CTEs, and the coalesce-guarded CASE: stable -> snapshot B
+    // assigned against A's cells; drifted (or no comparable source) ->
+    // B against its own fresh cells.
+    "q256_ivf_refresh" -> {
+      val embA = "SELECT e.vec_id, e.embedding FROM embeddings e " +
+        "JOIN documents d ON d.doc_id = e.vec_id " +
+        "WHERE e.embedding IS NOT NULL AND d.doc_id % 5 <> 4"
+      val embB = "SELECT e.vec_id, e.embedding FROM embeddings e " +
+        "JOIN documents d ON d.doc_id = e.vec_id " +
+        "WHERE e.embedding IS NOT NULL AND d.doc_id % 7 <> 6"
+      kmeansCtes("SELECT 8 AS k", 3, 64, embA, mat = true, prefix = "ra_", lead = true) +
+        s"ra_cl3 AS MATERIALIZED (SELECT cell, list(value ORDER BY dim) AS cv FROM ra_c3 GROUP BY cell),\n" +
+        kmeansCtes("SELECT 8 AS k", 3, 64, embB, mat = true, prefix = "rb_", lead = false) +
+        kmeansAssignCtes(3, mat = true, prefix = "rb_") +
+        s"""abasg AS MATERIALIZED (SELECT vec_id, cell FROM (
+           |  SELECT e.vec_id, c.cell,
+           |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${kmeansL2("e.embedding", "c.cv")}, c.cell) AS r
+           |  FROM rb_emb e CROSS JOIN ra_cl3 c) WHERE r = 1),
+           |${driftCtes("d.doc_id % 5 <> 4", "d.doc_id % 7 <> 6")},
+           |mdc AS (SELECT min(drift_cosine) AS m FROM drft)
+           |SELECT vec_id, CAST(cell AS INTEGER) AS cell, false AS refreshed
+           |FROM abasg WHERE coalesce((SELECT m FROM mdc) >= 0.9, false)
+           |UNION ALL
+           |SELECT vec_id, CAST(cell AS INTEGER) AS cell, true AS refreshed
+           |FROM rb_asg WHERE NOT coalesce((SELECT m FROM mdc) >= 0.9, false)""".stripMargin
+    },
 
     "q248_l_diversity" ->
       """WITH qi AS (SELECT lang,
@@ -5631,6 +5668,38 @@ private[graft] object OpsEntries {
          |FROM sc JOIN thr ON thr.source = sc.source
          |WHERE NOT cal GROUP BY 1, 2, 3, 4""".stripMargin
   )
+
+  /** The q254 per-source centroid-drift chain as named CTEs
+    * (ja/ca/jb/cb ending in `drft(source, n_a, n_b, drift_cosine)`) —
+    * shared by the q254 monitor and the q256 refresh actuator so the
+    * refresh decision replays EXACTLY the measurement it gates on.
+    * `predA`/`predB` are the snapshot membership predicates over
+    * documents alias `d`.
+    */
+  private def driftCtes(predA: String, predB: String): String =
+    s"""ja AS (SELECT d.source, t.pos,
+       |        CAST(round(CAST(e.embedding[t.pos] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+       |      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+       |        CROSS JOIN range(1, 65) t(pos)
+       |      WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64
+       |        AND $predA),
+       |ca AS (SELECT source, pos, count(*) AS n_a,
+       |        CAST(round(round(sum(x6) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) * 1000000) AS BIGINT) AS a6
+       |       FROM ja GROUP BY 1, 2),
+       |jb AS (SELECT d.source, t.pos,
+       |        CAST(round(CAST(e.embedding[t.pos] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+       |      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+       |        CROSS JOIN range(1, 65) t(pos)
+       |      WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64
+       |        AND $predB),
+       |cb AS (SELECT source, pos, count(*) AS n_b,
+       |        CAST(round(round(sum(x6) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) * 1000000) AS BIGINT) AS b6
+       |       FROM jb GROUP BY 1, 2),
+       |drft AS (SELECT ca.source, CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+       |       round(sum(a6 * b6) / (sqrt(CAST(sum(a6 * a6) AS DOUBLE))
+       |             * sqrt(CAST(sum(b6 * b6) AS DOUBLE))), 6) AS drift_cosine
+       |FROM ca JOIN cb ON cb.source = ca.source AND cb.pos = ca.pos
+       |GROUP BY 1 HAVING sum(a6 * a6) > 0 AND sum(b6 * b6) > 0)""".stripMargin
 
   /** The unrolled greedy k-center chain: each round's CTE picks the
     * row maximizing the least-of-l2s to every prior center (ties to

@@ -1310,6 +1310,70 @@ object SimilarityOps {
           .as("drift_cosine"))
   }
 
+  /** Index-refresh ACTUATOR — [[snapshotCentroidDrift]] composed with
+    * the IVF trained state into a DECISION (the q251 check→fix pattern
+    * applied to index maintenance under incremental ingestion):
+    * measure per-source centroid drift between snapshot A (the corpus
+    * the serving index was trained on) and snapshot B (today's), then
+    *  - STABLE (every comparable source's drift_cosine ≥ `minDriftCos`):
+    *    keep yesterday's cells — route snapshot B through the A-trained
+    *    centroids (the banked identity: the index build is NOT re-paid,
+    *    only the new corpus pays its map-only assignment);
+    *  - DRIFTED (any source below the floor, or NO comparable source —
+    *    nothing says the old cells still describe anything): retrain on
+    *    snapshot B and assign against the fresh cells.
+    *
+    * The gate is ONE bounded driver read (the sources-sized drift
+    * aggregate's min). This overload takes yesterday's centroids as the
+    * first-class trained state — the production path, where snapshot
+    * A's training is a sunk cost and the stable branch costs one
+    * assignment scan.
+    *
+    * Output: (<vecIdCol>, cell, refreshed) over snapshot B's vectors.
+    */
+  def ivfRefresh(docsA: DataFrame, docsB: DataFrame, emb: DataFrame,
+                 stateA: Array[Array[Double]], minDriftCos: Double, kCells: Int,
+                 iters: Int, dims: Int, docIdCol: String, vecIdCol: String,
+                 srcCol: String, vecCol: String): DataFrame =
+    ivfRefreshOn(docsA, docsB, emb, _ => stateA, minDriftCos, kCells, iters,
+      dims, docIdCol, vecIdCol, srcCol, vecCol)
+
+  /** [[ivfRefresh]] convenience form: derives the needed state itself —
+    * the gate decides FIRST, then exactly ONE Lloyd runs (snapshot A's
+    * when stable, snapshot B's when drifted). In production pass
+    * yesterday's [[ivfTrain]] output to the state overload; this form
+    * re-pays A's training on the stable branch.
+    */
+  def ivfRefresh(docsA: DataFrame, docsB: DataFrame, emb: DataFrame,
+                 minDriftCos: Double = 0.9, kCells: Int = 8, iters: Int = 3,
+                 dims: Int = 64, docIdCol: String = "doc_id",
+                 vecIdCol: String = "vec_id", srcCol: String = "source",
+                 vecCol: String = "embedding"): DataFrame =
+    ivfRefreshOn(docsA, docsB, emb,
+      stable => ivfTrain(
+        emb.join((if (stable) docsA else docsB).select(col(docIdCol).as(vecIdCol)),
+          Seq(vecIdCol)), kCells, iters, vecIdCol, vecCol),
+      minDriftCos, kCells, iters, dims, docIdCol, vecIdCol, srcCol, vecCol)
+
+  /** The shared gate → train/serve core: `cents(stable)` supplies the
+    * centroids for the branch the drift gate picked.
+    */
+  private def ivfRefreshOn(docsA: DataFrame, docsB: DataFrame, emb: DataFrame,
+                           cents: Boolean => Array[Array[Double]],
+                           minDriftCos: Double, kCells: Int, iters: Int, dims: Int,
+                           docIdCol: String, vecIdCol: String, srcCol: String,
+                           vecCol: String): DataFrame = {
+    val drift = snapshotCentroidDrift(docsA, docsB, emb, dims, docIdCol,
+      vecIdCol, srcCol, vecCol)
+    val mins = drift.agg(min("drift_cosine")).collect() // ONE sources-bounded row
+    val stable = mins.nonEmpty && !mins(0).isNullAt(0) &&
+      mins(0).getDouble(0) >= minDriftCos
+    val corpusB = emb.join(docsB.select(col(docIdCol).as(vecIdCol)), Seq(vecIdCol))
+    corpusB.filter(col(vecCol).isNotNull)
+      .select(col(vecIdCol), assignCell(cents(stable), vecCol).as("cell"),
+        lit(!stable).as("refreshed"))
+  }
+
   /** Rank-biased overlap between two ranked lists per query: RBO@k
     * with persistence p — the ranked-list agreement measure recall@k
     * flattens (recall treats rank 1 and rank k as equal; RBO weights

@@ -419,6 +419,38 @@ class PipelineEvalSpec extends AnyFunSuite {
     assert(dropped === Seq(1L, 2L, 4L, 5L))
   }
 
+  test("ivfRefresh: stable drift keeps yesterday's cells, a rotated source retrains, " +
+    "no comparable source refreshes conservatively") {
+    val docs = (0L to 7L).map(i => (i, if (i < 4) "alpha" else "beta"))
+      .toDF("doc_id", "source")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    // alpha near +x, beta near +y in BOTH snapshots: drift ≈ 1 → stable
+    val embStable = (0L to 7L).map { i =>
+      if (i < 4) (i, Array(1f + 0.01f * i, 0f)) else (i, Array(0f, 1f + 0.01f * i))
+    }.toDF("vec_id", "embedding")
+    val stable = SimilarityOps.ivfRefresh(a, b, embStable, minDriftCos = 0.9,
+      kCells = 2, iters = 2, dims = 2).collect()
+    assert(stable.length === 4 && stable.forall(!_.getBoolean(2)),
+      s"stable snapshots must keep the old cells: ${stable.mkString(",")}")
+    // beta's content rotates +y → +x between snapshots: drift ≈ 0 → retrain
+    val embRot = (0L to 7L).map { i =>
+      if (i < 4) (i, Array(1f + 0.01f * i, 0f))
+      else if (i % 2 == 0) (i, Array(0f, 1f + 0.01f * i))
+      else (i, Array(1f + 0.01f * i, 0.05f))
+    }.toDF("vec_id", "embedding")
+    val drifted = SimilarityOps.ivfRefresh(a, b, embRot, minDriftCos = 0.9,
+      kCells = 2, iters = 2, dims = 2).collect()
+    assert(drifted.length === 4 && drifted.forall(_.getBoolean(2)),
+      s"a rotated source must force the refresh: ${drifted.mkString(",")}")
+    // snapshots with NO shared source: nothing says the old cells still
+    // describe anything — refresh, don't silently serve them
+    val disjoint = SimilarityOps.ivfRefresh(
+      docs.filter(col("source") === "alpha"), docs.filter(col("source") === "beta"),
+      embStable, minDriftCos = 0.9, kCells = 2, iters = 2, dims = 2).collect()
+    assert(disjoint.length === 4 && disjoint.forall(_.getBoolean(2)))
+  }
+
   test("removeTopComponent: mean and dominant axis removed, centered minor axis survives") {
     // mean (2,0); centered (-1,0),(1,0),(0,2),(0,-2); cov diag(0.5,2)
     // → the top direction converges to the y axis (x-residual decays
