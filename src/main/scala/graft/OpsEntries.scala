@@ -1724,8 +1724,56 @@ private[graft] object OpsEntries {
         docs.filter(col("doc_id") % 5 =!= 4),
         docs.filter(col("doc_id") % 7 =!= 6),
         t(s, dir, "embeddings"))
-    })
+    }),
+
+    // Raw-web extraction — the missing FIRST pipeline stage: every
+    // downstream text operator consumes clean `text`, real corpora
+    // arrive as markup. Template HTML is built deterministically FROM
+    // the documents table (script containing a bare '<', style,
+    // comment, nav/heading/footer boilerplate, an entity-bearing
+    // contact line), then the regex-chain extract recovers the prose:
+    // script/style/comment drop, block tags → lines, tag strip, entity
+    // decode, per-line whitespace collapse + the ≥4-token
+    // boilerplate-density filter.
+    "q257_html_extract" -> ((s, dir) =>
+      TextOps.htmlExtract(htmlFixture(t(s, dir, "documents")))),
+
+    // Raw-web → clean-text → curate END-TO-END: the q257 extraction
+    // feeding the q175 curation verdict UNCHANGED — the same minhash /
+    // jaccard-verify / quality chain, retargeted at the extracted
+    // corpus (curationCtesFor's docsRel), so the whole first mile of a
+    // training-data build is one verified plan.
+    "q258_extract_curate" -> ((s, dir) =>
+      curationFrame(TextOps.htmlExtract(htmlFixture(t(s, dir, "documents")))
+        .select(col("doc_id"), col("text"))
+        // curationFrame reads its corpus four times (fingerprint agg,
+        // minhash, verify, quality); materialize the regex chain once
+        // instead of replaying it per consumer (the oracle's
+        // MATERIALIZED xout, engine-side)
+        .localCheckpoint(true)))
   )
+
+  /** The q257/q258 raw-web fixture: deterministic template HTML built
+    * FROM the documents table — both engines construct the SAME markup
+    * (the q252 canary-construction convention), so extraction verifies
+    * end-to-end without shipping fixture files. The template carries
+    * the hostile cases: a script with a bare '<' in code, a style
+    * block, a comment, three boilerplate lines (nav, heading, footer —
+    * all under the density floor), and an entity-encoded line that
+    * must survive as visible text.
+    */
+  private[graft] def htmlFixture(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"), lit("</title>"),
+      lit("<script type=\"text/javascript\">var x = 1; if (x < 2) { x = 3; }</script>"),
+      lit("<style>.nav { color: red; }</style></head><body>"),
+      lit("<nav>Home About Login</nav>"),
+      lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1>"),
+      lit("<!-- rendered by template engine v2 -->"),
+      lit("<p>"), col("text"), lit("</p>"),
+      lit("<p>Reach us at &lt;contact&amp;support&gt; today okay</p>"),
+      lit("<div class=\"footer\">Copyright 2026 Example</div></body></html>"))
+      .as("html"))
 
   /** The q252 canary registry: benchmark-owner strings a corpus must
     * never contain — deterministic (md5 of the index) so the oracle
@@ -1896,21 +1944,27 @@ private[graft] object OpsEntries {
 
   /** The sig/banded CTE prefix shared by the within-corpus
     * ([[minhashCtes]]) and cross-corpus ([[crossMinhashCtes]]) pair
-    * chains.
+    * chains. `lead` is spliced right after WITH (the q258 extract CTE
+    * that the `docsRel` name then points at); the default reads the
+    * raw documents table.
     */
-  private val minhashSigCtes =
-    s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents),
+  private def minhashSigCtesFor(docsRel: String, lead: String = ""): String =
+    s"""WITH ${lead}n AS (SELECT doc_id, $norm AS norm FROM $docsRel),
        |sh AS (SELECT doc_id, $shingles8 AS s FROM n),
        |bh AS (SELECT doc_id, list_transform(s, x -> ${base38Sql("x")}) AS hs FROM sh),
        |sig AS (SELECT doc_id, $sigExprs FROM bh),
        |banded AS (SELECT doc_id, $sigList AS sig, unnest($bandExprs) AS band FROM sig)""".stripMargin
 
+  private val minhashSigCtes = minhashSigCtesFor("documents")
+
   /** Shared candidate-pair CTE chain for q21/q23. */
-  private val minhashCtes =
-    s"""$minhashSigCtes,
+  private def minhashCtesFor(docsRel: String, lead: String = ""): String =
+    s"""${minhashSigCtesFor(docsRel, lead)},
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |            len(list_filter(list_zip(a.sig, b.sig), p -> p[1] = p[2])) / 16.0 AS est_jaccard
        |          FROM banded a JOIN banded b USING (band) WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  private val minhashCtes = minhashCtesFor("documents")
 
   /** q105's pair chain: same signatures, pairs restricted to
     * NEW (odd id) × CORPUS (even id) — no within-side pairs.
@@ -2539,14 +2593,18 @@ private[graft] object OpsEntries {
 
   /** The q175 curation replay, ending at CTE `v(doc_id, reason)` —
     * shared by the q175 verdict output and the q204 funnel rollup so
-    * the funnel cannot drift from the verdicts it counts.
+    * the funnel cannot drift from the verdicts it counts. `docsRel` +
+    * `lead` retarget the whole chain at a derived corpus (the q258
+    * extract CTE) without duplicating a line of it.
     */
-  private def curationCtes: String =
-    s"""$minhashCtes,
+  private def curationCtes: String = curationCtesFor("documents")
+
+  private def curationCtesFor(docsRel: String, lead: String = ""): String =
+    s"""${minhashCtesFor(docsRel, lead)},
        |cand AS (SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5),
        |g AS (SELECT doc_id, CASE WHEN len(norm) < 3 THEN [norm]
        |        ELSE list_distinct(list_transform(generate_series(1, len(norm)-2), i -> substr(norm, i, 3))) END AS grams
-       |      FROM (SELECT doc_id, $norm AS norm FROM documents)),
+       |      FROM (SELECT doc_id, $norm AS norm FROM $docsRel)),
        |jx AS (SELECT id_a, id_b,
        |        CAST(len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS DOUBLE) AS inter,
        |        CAST(len(ga.grams) + len(gb.grams) AS DOUBLE) AS total
@@ -2556,17 +2614,17 @@ private[graft] object OpsEntries {
        |fpt AS MATERIALIZED (SELECT doc_id,
        |        coalesce(md5(CASE WHEN len($norm) > 0 THEN $norm ELSE text END),
        |                 'id:' || CAST(doc_id AS VARCHAR)) AS fp
-       |      FROM documents),
+       |      FROM $docsRel),
        |ex AS (SELECT doc_id FROM fpt
        |       JOIN (SELECT fp, min(doc_id) AS keep_id FROM fpt GROUP BY fp) USING (fp)
        |       WHERE doc_id <> keep_id),
-       |q AS ($q26Sql),
+       |q AS (${q26SqlFor(docsRel)}),
        |v AS (SELECT d.doc_id,
        |        CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
        |             WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
        |             WHEN q.quality_score < 0.5 THEN 'low_quality'
        |             ELSE 'kept' END AS reason
-       |      FROM documents d LEFT JOIN ex ON ex.doc_id = d.doc_id
+       |      FROM $docsRel d LEFT JOIN ex ON ex.doc_id = d.doc_id
        |        LEFT JOIN nd ON nd.doc_id = d.doc_id
        |        JOIN q ON q.doc_id = d.doc_id)""".stripMargin
 
@@ -2709,8 +2767,12 @@ private[graft] object OpsEntries {
        |SELECT source, doc_id, n_tokens, quality_score, cum_tokens
        |FROM c WHERE cum_tokens - n_tokens < $budget""".stripMargin
 
-  /** q26's full SQL, shared as a CTE body by q59's per-source rollup. */
-  private val q26Sql: String = {
+  /** q26's full SQL, shared as a CTE body by q59's per-source rollup;
+    * the `For` form retargets it at a derived corpus (q258).
+    */
+  private val q26Sql: String = q26SqlFor("documents")
+
+  private def q26SqlFor(docsRel: String): String = {
     val en = TextOps.langMarkers("en").map(w => s"'$w'").mkString("[", ",", "]")
     s"""WITH f AS (
        |  SELECT doc_id,
@@ -2719,7 +2781,7 @@ private[graft] object OpsEntries {
        |    CAST(len(regexp_extract_all(text, '[!-/:-@[-`{-~]')) AS DOUBLE) AS punct,
        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
        |    CAST(len(list_filter(list_distinct($toksExpr), t -> list_contains($en, t))) AS DOUBLE) AS stop_hits
-       |  FROM documents),
+       |  FROM $docsRel),
        |r AS (
        |  SELECT doc_id, n_chars, n_tokens,
        |    round(CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END, 4) AS punct_ratio,
@@ -5612,6 +5674,18 @@ private[graft] object OpsEntries {
            |FROM rb_asg WHERE NOT coalesce((SELECT m FROM mdc) >= 0.9, false)""".stripMargin
     },
 
+    "q257_html_extract" ->
+      (s"WITH xraw AS ($htmlFixtureSql),\n" + htmlExtractCtes() +
+        "\nSELECT doc_id, text, n_lines, CAST(length(text) AS BIGINT) AS n_chars FROM xout"),
+
+    // The q175 chain verbatim, retargeted at the extracted corpus: the
+    // extract CTEs ride in as curationCtesFor's lead, `xout` replaces
+    // `documents` everywhere downstream.
+    "q258_extract_curate" ->
+      (curationCtesFor("xout",
+        lead = s"xraw AS ($htmlFixtureSql),\n" + htmlExtractCtes() + ",\n") +
+        "\nSELECT doc_id, reason, reason = 'kept' AS keep FROM v"),
+
     "q248_l_diversity" ->
       """WITH qi AS (SELECT lang,
         |              CASE WHEN n_chars <= 1 THEN 1
@@ -5668,6 +5742,46 @@ private[graft] object OpsEntries {
          |FROM sc JOIN thr ON thr.source = sc.source
          |WHERE NOT cal GROUP BY 1, 2, 3, 4""".stripMargin
   )
+
+  /** The q257/q258 fixture construction in SQL — character-identical
+    * to [[htmlFixture]]'s concat. A def, not a val: the oracle map
+    * initializes BEFORE later-declared vals (a val here interpolates
+    * as null into the map — the exact init-order trap).
+    */
+  private def htmlFixtureSql: String =
+    """SELECT doc_id,
+      |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
+      |  '<script type="text/javascript">var x = 1; if (x < 2) { x = 3; }</script>' ||
+      |  '<style>.nav { color: red; }</style></head><body>' ||
+      |  '<nav>Home About Login</nav>' ||
+      |  '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+      |  '<!-- rendered by template engine v2 -->' ||
+      |  '<p>' || text || '</p>' ||
+      |  '<p>Reach us at &lt;contact&amp;support&gt; today okay</p>' ||
+      |  '<div class="footer">Copyright 2026 Example</div></body></html>' AS html
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  /** The regex-chain extraction as CTEs over `xraw(doc_id, html)`,
+    * ending in `xout(doc_id, text, n_lines)` — the independent SQL
+    * re-statement of `TextOps.htmlExtract` (same patterns, same order,
+    * same entity chain, same density floor). xout is MATERIALIZED:
+    * the q258 curation chain reads it four times.
+    */
+  private def htmlExtractCtes(minLineTokens: Int = 4): String =
+    s"""xs AS (SELECT doc_id, regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g') AS h FROM xraw),
+       |xt AS (SELECT doc_id, regexp_replace(h, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS h FROM xs),
+       |xc AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM xt),
+       |xb AS (SELECT doc_id, regexp_replace(h,
+       |         '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article|header|footer|nav|blockquote|title|pre)\\b[^>]*>',
+       |         chr(10), 'g') AS h FROM xc),
+       |xg AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h FROM xb),
+       |xe AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(h,
+       |         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS h FROM xg),
+       |xk AS (SELECT doc_id, list_filter(list_transform(string_split(h, chr(10)),
+       |         l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))),
+       |         l -> l <> '' AND len(string_split(l, ' ')) >= $minLineTokens) AS kept FROM xe),
+       |xout AS MATERIALIZED (SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+       |         CAST(len(kept) AS BIGINT) AS n_lines FROM xk)""".stripMargin
 
   /** The q254 per-source centroid-drift chain as named CTEs
     * (ja/ca/jb/cb ending in `drft(source, n_a, n_b, drift_cosine)`) —

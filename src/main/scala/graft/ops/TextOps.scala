@@ -16,6 +16,61 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9_']+"), t => length(t) > 0)
 
+  /** HTML/boilerplate text extraction — the FIRST stage of a raw-web
+    * pipeline: every text operator downstream consumes clean `text`,
+    * but real corpora arrive as markup. A deterministic regex-chain
+    * extraction (the q89 redaction discipline — no parser library, so
+    * any engine replays it byte-for-byte):
+    *   1. `<script>`/`<style>` blocks drop whole (content and all) —
+    *      FIRST, so code like `if (x < 2)` can't confuse tag stripping;
+    *   2. `<!-- comments -->` drop;
+    *   3. BLOCK-level tags become newlines — the line structure the
+    *      boilerplate filter needs;
+    *   4. every remaining tag becomes a space;
+    *   5. the six ubiquitous entities decode, `&amp;` LAST so
+    *      double-encoded text cannot re-introduce strippable markup
+    *      (and decoding AFTER step 4 keeps `&lt;div&gt;` as visible
+    *      text rather than a tag);
+    *   6. per line: whitespace collapses + trims, and the
+    *      boilerplate-DENSITY filter keeps only lines carrying at
+    *      least `minLineTokens` whitespace tokens — nav bars, footers,
+    *      bare headings and button labels are short, body prose is not
+    *      (the determinism-tier reduction of trafilatura/jusText-style
+    *      density rules).
+    *
+    * Map-only, one pass, no UDF, no shuffle — the regex chain is
+    * per-row codegen work and the line HOFs are linear in line count
+    * (HOFs sit outside whole-stage codegen, the documented trade), so
+    * the stage scales exactly like the scan that feeds it.
+    *
+    * Output: (<idCol>, text, n_lines, n_chars) — `text` is the kept
+    * lines joined with newlines, '' when nothing survives the filter.
+    */
+  def htmlExtract(docs: DataFrame, idCol: String = "doc_id", htmlCol: String = "html",
+                  minLineTokens: Int = 4): DataFrame = {
+    require(minLineTokens >= 1, s"minLineTokens must be >= 1: $minLineTokens")
+    val noScript = regexp_replace(col(htmlCol),
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blockNl = regexp_replace(noComment,
+      "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article" +
+        "|header|footer|nav|blockquote|title|pre)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(blockNl, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    val kept = filter(
+      transform(split(decoded, "\n", -1), l => trim(regexp_replace(l, "\\s+", " "))),
+      l => l =!= "" && size(split(l, " ")) >= lit(minLineTokens))
+    docs.select(col(idCol), kept.as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("text"),
+        size(col("__kept")).cast("long").as("n_lines"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   /** Whitespace token count (the cheap estimator). */
   def wsTokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > 0))

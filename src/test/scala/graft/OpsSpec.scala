@@ -137,4 +137,27 @@ class OpsSpec extends AnyFunSuite {
     assert(scores(2L) < 0.3)
     scores.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
   }
+  test("htmlExtract: hand-built HTML golden — script/style/comment drop, " +
+    "blocks become lines, entities decode, boilerplate density filter") {
+    val html =
+      "<html><head><title>My Page</title><script>if (a < b) { alert(\"hi\"); }</script>" +
+        "<style>p { margin: 0; }</style></head><body>" +
+        "<nav>Home About</nav>" +
+        "<!-- hidden note with many many words that must never appear -->" +
+        "<p>The quick brown fox jumps over the lazy dog.</p>" +
+        "<div>Tom &amp; Jerry say &lt;hello&gt; to&nbsp;five friends</div>" +
+        "<ul><li>short item</li><li>another much longer list item right here</li></ul>" +
+        "<div class=\"footer\">Copyright 2026</div></body></html>"
+    val got = TextOps.htmlExtract(Seq((1L, html)).toDF("doc_id", "html")).collect()(0)
+    val text = got.getString(1)
+    assert(text ===
+      "The quick brown fox jumps over the lazy dog.\n" +
+        "Tom & Jerry say <hello> to five friends\n" +
+        "another much longer list item right here")
+    assert(got.getLong(2) === 3L && got.getLong(3) === text.length.toLong)
+    // no line survives the density floor: '' text, zero lines, schema kept
+    val none = TextOps.htmlExtract(Seq((2L, "<p>tiny</p>")).toDF("doc_id", "html"))
+      .collect()(0)
+    assert(none.getString(1) === "" && none.getLong(2) === 0L && none.getLong(3) === 0L)
+  }
 }
