@@ -571,7 +571,7 @@ object Stress {
     // distance join, the conformal histogram and the all-but-the-top
     // transform are all row-linear by design — the exponent
     // log10(t_x/t_1)/log10(x) is what the record must show ≲ 1.
-    if (which == "r8ops" || which == "r9ops") {
+    if (which == "r8ops" || which == "r9ops" || which == "r10ops") {
       import graft.ops.{ModelOps, SimilarityOps, TextOps}
       // Replicated inputs are materialized ONCE, OUTSIDE the timers:
       // blending the linear write+re-read generation I/O into t1/tx
@@ -635,7 +635,30 @@ object Stress {
           docs.filter(col("doc_id") % 5 =!= 4),
           docs.filter(col("doc_id") % 7 =!= 6), emb).count()
       val ops: Seq[(String, DataFrame, DataFrame, DataFrame => Long)] =
-        if (which == "r9ops") Seq(
+        if (which == "r10ops") Seq(
+          // auto-k (the semDedupK policy): pinned k would grow the
+          // dedup tier's within-cell pairs quadratically with the
+          // corpus — the exact trap the exponent record exists to show
+          ("cluster_served", emb1, embX,
+            d => SimilarityOps.clusterServeReport(d, k = -1).count()),
+          // both sides of the doc⋈embedding join grow together (the
+          // r9 drift-arm lesson)
+          ("ivf_refresh", docs1, docsX,
+            d => SimilarityOps.ivfRefresh(
+              d.filter(col("doc_id") % 5 =!= 4), d.filter(col("doc_id") % 7 =!= 6),
+              if (d eq docs1) emb1 else embX).count()),
+          ("html_extract", docs1, docsX,
+            d => graft.ops.TextOps.htmlExtract(OpsEntries.htmlFixture(d)).count()),
+          // NOTE the replication is the near-dup worst case: every doc
+          // gains x-1 VERBATIM copies, so minhash candidate pairs grow
+          // ~x² inside the copy cliques (real corpus growth adds new
+          // content; zipftext measured the deliberate-clique tier) —
+          // the extract stage itself is the map-only part under test
+          ("extract_curate", docs1, docsX,
+            d => OpsEntries.curationFrame(
+              graft.ops.TextOps.htmlExtract(OpsEntries.htmlFixture(d))
+                .select(col("doc_id"), col("text")).localCheckpoint(true)).count()))
+        else if (which == "r9ops") Seq(
           ("canary_audit", docs1, docsX, canary),
           ("loop_detect", docs1, docsX, d => TextOps.periodicityReport(d).count()),
           ("abtt_gated", emb1, embX, d => SimilarityOps.abttGated(d).count()),
@@ -657,7 +680,9 @@ object Stress {
         val (r1, t1) = time(run(d1))
         val (rx, tx) = time(run(dx))
         val expo = math.log10(tx / t1) / math.log10(x.toDouble)
-        val opsLabel = if (which == "r9ops") "STRESS_R9OPS" else "STRESS_R8OPS"
+        val opsLabel =
+          if (which == "r10ops") "STRESS_R10OPS"
+          else if (which == "r9ops") "STRESS_R9OPS" else "STRESS_R8OPS"
         println(f"$opsLabel op=$name rows_1=$r1 rows_$x=$rx " +
           f"t1=$t1%.2fs t$x=$tx%.2fs exponent=$expo%.2f")
       }

@@ -2147,14 +2147,23 @@ object SimilarityOps {
     * Output: (vec_id, cell, pos, dropped, mean_sil) — one row per
     * non-null vector; mean_sil is the vector's CELL quality (the
     * governance join a curation decision reads next to the verdict).
+    *
+    * `k < 1` derives k from the [[semDedupK]] policy (pinned expected
+    * cell size — the scale path: a fixed k is quadratic-by-growth in
+    * the dedup tier's within-cell pairs). The default stays pinned at
+    * 8 for oracle replay.
     */
   def clusterServeReport(emb: DataFrame, k: Int = 8, iters: Int = 3,
                          threshold: Double = 0.4, seed: Long = 42,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         targetCellRows: Long = 4096): DataFrame = {
+    require(k < 1 || k >= 2,
+      "clusterServeReport needs at least 2 clusters (silhouette b is undefined for k = 1)")
     val clean = DedupOps.widen(emb.filter(col(vecCol).isNotNull))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cents = trainCentroids(clean, k, iters, idCol, vecCol)
+      val kEff = if (k >= 1) k else semDedupK(clean.count(), targetCellRows)
+      val cents = trainCentroids(clean, kEff, iters, idCol, vecCol)
       val asg = assignFrame(clean, cents, idCol, vecCol)
       val ded = semDedupFromAsg(asg, threshold)
       val w = Window.partitionBy("cell")
