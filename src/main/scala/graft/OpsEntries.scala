@@ -1750,7 +1750,28 @@ private[graft] object OpsEntries {
         // minhash, verify, quality); materialize the regex chain once
         // instead of replaying it per consumer (the oracle's
         // MATERIALIZED xout, engine-side)
-        .localCheckpoint(true)))
+        .localCheckpoint(true))),
+
+    // Extraction-funnel observability: per-source lines/chars in vs
+    // out of the q257 extraction — the kept_rate / yield_ratio a
+    // raw-web build watches daily (a collapsing source changed its
+    // template; the q254 drift discipline applied to extraction).
+    // Same htmlLines/htmlKeptLines expressions as the extractor — the
+    // funnel cannot disagree with the extraction it audits.
+    "q259_extraction_yield" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.extractionYield(htmlFixture(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")))
+    }),
+
+    // Cross-document boilerplate-line DISCOVERY over the extracted
+    // corpus: lines in ≥2 distinct docs (the fixture's shared contact
+    // line + exact-dup text groups) — the hit list the q118 removal
+    // rule consumes; discovery before destruction.
+    "q260_boilerplate_lines" -> ((s, dir) =>
+      TextOps.boilerplateLines(
+        TextOps.htmlExtract(htmlFixture(t(s, dir, "documents")))
+          .select(col("doc_id"), col("text"))))
   )
 
   /** The q257/q258 raw-web fixture: deterministic template HTML built
@@ -1772,6 +1793,10 @@ private[graft] object OpsEntries {
       lit("<!-- rendered by template engine v2 -->"),
       lit("<p>"), col("text"), lit("</p>"),
       lit("<p>Reach us at &lt;contact&amp;support&gt; today okay</p>"),
+      // per-SOURCE boilerplate (site-template analogue): survives the
+      // density floor, so q260's discovery sees a real df distribution
+      // (one global line + one line per source) instead of one row
+      lit("<p>Source desk "), col("source"), lit(" answers reader mail daily</p>"),
       lit("<div class=\"footer\">Copyright 2026 Example</div></body></html>"))
       .as("html"))
 
@@ -5686,6 +5711,35 @@ private[graft] object OpsEntries {
         lead = s"xraw AS ($htmlFixtureSql),\n" + htmlExtractCtes() + ",\n") +
         "\nSELECT doc_id, reason, reason = 'kept' AS keep FROM v"),
 
+    // Per-doc line/char counts off the SAME xl/xk CTEs the extractor
+    // uses, joined back to the source, then one source rollup.
+    "q259_extraction_yield" ->
+      (s"WITH xraw AS ($htmlFixtureSql),\n" + htmlExtractCtes() +
+        s""",
+           |y AS (SELECT d.source, CAST(length(x.html) AS BIGINT) AS ch,
+           |        CAST(len(xl.lines) AS BIGINT) AS lt, CAST(len(xk.kept) AS BIGINT) AS lk,
+           |        CAST(length(array_to_string(xk.kept, chr(10))) AS BIGINT) AS ct
+           |      FROM xraw x JOIN xl ON xl.doc_id = x.doc_id
+           |        JOIN xk ON xk.doc_id = x.doc_id
+           |        JOIN documents d ON d.doc_id = x.doc_id)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(lt) AS BIGINT) AS lines_total, CAST(sum(lk) AS BIGINT) AS lines_kept,
+           |  round(CASE WHEN sum(lt) > 0 THEN sum(lk) / CAST(sum(lt) AS DOUBLE) ELSE 0.0 END, 4) AS kept_rate,
+           |  CAST(sum(ch) AS BIGINT) AS chars_html, CAST(sum(ct) AS BIGINT) AS chars_text,
+           |  round(CASE WHEN sum(ch) > 0 THEN sum(ct) / CAST(sum(ch) AS DOUBLE) ELSE 0.0 END, 4) AS yield_ratio
+           |FROM y GROUP BY source""".stripMargin),
+
+    "q260_boilerplate_lines" ->
+      (s"WITH xraw AS ($htmlFixtureSql),\n" + htmlExtractCtes() +
+        s""",
+           |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM xout),
+           |ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM xout),
+           |dfx AS (SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           |        FROM ln WHERE line <> '' GROUP BY line)
+           |SELECT line, df,
+           |       round(df / (SELECT CAST(n AS DOUBLE) FROM nn), 4) AS doc_share
+           |FROM dfx WHERE df >= 2""".stripMargin),
+
     "q248_l_diversity" ->
       """WITH qi AS (SELECT lang,
         |              CASE WHEN n_chars <= 1 THEN 1
@@ -5758,6 +5812,7 @@ private[graft] object OpsEntries {
       |  '<!-- rendered by template engine v2 -->' ||
       |  '<p>' || text || '</p>' ||
       |  '<p>Reach us at &lt;contact&amp;support&gt; today okay</p>' ||
+      |  '<p>Source desk ' || source || ' answers reader mail daily</p>' ||
       |  '<div class="footer">Copyright 2026 Example</div></body></html>' AS html
       |FROM documents WHERE text IS NOT NULL""".stripMargin
 
@@ -5777,9 +5832,11 @@ private[graft] object OpsEntries {
        |xg AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h FROM xb),
        |xe AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(h,
        |         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS h FROM xg),
-       |xk AS (SELECT doc_id, list_filter(list_transform(string_split(h, chr(10)),
+       |xl AS (SELECT doc_id, list_filter(list_transform(string_split(h, chr(10)),
        |         l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))),
-       |         l -> l <> '' AND len(string_split(l, ' ')) >= $minLineTokens) AS kept FROM xe),
+       |         l -> l <> '') AS lines FROM xe),
+       |xk AS (SELECT doc_id, list_filter(lines,
+       |         l -> len(string_split(l, ' ')) >= $minLineTokens) AS kept FROM xl),
        |xout AS MATERIALIZED (SELECT doc_id, array_to_string(kept, chr(10)) AS text,
        |         CAST(len(kept) AS BIGINT) AS n_lines FROM xk)""".stripMargin
 

@@ -49,7 +49,21 @@ object TextOps {
   def htmlExtract(docs: DataFrame, idCol: String = "doc_id", htmlCol: String = "html",
                   minLineTokens: Int = 4): DataFrame = {
     require(minLineTokens >= 1, s"minLineTokens must be >= 1: $minLineTokens")
-    val noScript = regexp_replace(col(htmlCol),
+    val kept = htmlKeptLines(htmlLines(col(htmlCol)), minLineTokens)
+    docs.select(col(idCol), kept.as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("text"),
+        size(col("__kept")).cast("long").as("n_lines"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** Steps 1–6 of the [[htmlExtract]] chain up to the NONEMPTY
+    * collapsed/trimmed line array (pre-density-filter) — shared by the
+    * extractor and the [[extractionYield]] funnel so the two cannot
+    * disagree about what a "line" is.
+    */
+  private def htmlLines(html: Column): Column = {
+    val noScript = regexp_replace(html,
       "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
     val noStyle = regexp_replace(noScript,
       "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
@@ -61,14 +75,86 @@ object TextOps {
     val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
-    val kept = filter(
+    filter(
       transform(split(decoded, "\n", -1), l => trim(regexp_replace(l, "\\s+", " "))),
-      l => l =!= "" && size(split(l, " ")) >= lit(minLineTokens))
-    docs.select(col(idCol), kept.as("__kept"))
-      .select(col(idCol),
-        array_join(col("__kept"), "\n").as("text"),
-        size(col("__kept")).cast("long").as("n_lines"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
+      l => l =!= "")
+  }
+
+  /** The boilerplate-DENSITY filter over [[htmlLines]]' output. */
+  private def htmlKeptLines(lines: Column, minLineTokens: Int): Column =
+    filter(lines, l => size(split(l, " ")) >= lit(minLineTokens))
+
+  /** Extraction-funnel observability per source — the number a raw-web
+    * build watches daily: how much of each source's markup survives
+    * extraction. A source whose kept_rate or yield_ratio collapses
+    * changed its template (or started serving interstitials) and needs
+    * its extraction rules re-checked — the q254 drift discipline
+    * applied to the extraction stage.
+    *
+    * Plan shape: one map-only pass computing per-doc line/char counts
+    * (the SAME [[htmlLines]]/[[htmlKeptLines]] expressions the
+    * extractor runs — the funnel cannot disagree with the extraction
+    * it audits), then one partial-aggregable source rollup. Output is
+    * source-sized.
+    *
+    * Output: (source, n_docs, lines_total, lines_kept, kept_rate 4dp,
+    * chars_html, chars_text, yield_ratio 4dp).
+    */
+  def extractionYield(docs: DataFrame, srcCol: String = "source",
+                      htmlCol: String = "html", minLineTokens: Int = 4): DataFrame = {
+    require(minLineTokens >= 1, s"minLineTokens must be >= 1: $minLineTokens")
+    val lines = htmlLines(col(htmlCol))
+    docs.select(col(srcCol), length(col(htmlCol)).cast("long").as("__ch"),
+        lines.as("__l"))
+      .select(col(srcCol), col("__ch"),
+        size(col("__l")).cast("long").as("__lt"),
+        htmlKeptLines(col("__l"), minLineTokens).as("__k"))
+      .select(col(srcCol), col("__ch"), col("__lt"),
+        size(col("__k")).cast("long").as("__lk"),
+        length(array_join(col("__k"), "\n")).cast("long").as("__ct"))
+      .groupBy(srcCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__lt").as("lines_total"),
+        sum("__lk").as("lines_kept"), sum("__ch").as("chars_html"),
+        sum("__ct").as("chars_text"))
+      .select(col(srcCol), col("n_docs"), col("lines_total"), col("lines_kept"),
+        round(when(col("lines_total") > 0,
+          col("lines_kept") / col("lines_total").cast("double")).otherwise(0.0), 4)
+          .as("kept_rate"),
+        col("chars_html"), col("chars_text"),
+        round(when(col("chars_html") > 0,
+          col("chars_text") / col("chars_html").cast("double")).otherwise(0.0), 4)
+          .as("yield_ratio"))
+  }
+
+  /** Cross-document boilerplate-line DISCOVERY: lines appearing in at
+    * least `minDf` distinct documents of a (multi-line) clean-text
+    * corpus — the template/nav/footer sentences a site stamps on every
+    * page, which survive a per-line density filter (they can be long)
+    * and which q118's removal rule then needs as its hit list. The
+    * discovery half of the CCNet/RefinedWeb line-dedup rule: run this
+    * to SEE the boilerplate before deciding the removal threshold.
+    *
+    * Plan shape: explode lines, ONE (line)-keyed aggregate with a
+    * distinct-doc count, filter df ≥ minDf — output is offender-sized.
+    * The shuffle key is the line text itself; at corpus scale key on
+    * a line hash and recover one exemplar text via max (same rollup,
+    * smaller exchange) — the report tier here keeps the text key so
+    * the output IS the hit list.
+    *
+    * Output: (line, df, doc_share 4dp), df = distinct docs containing
+    * the line.
+    */
+  def boilerplateLines(docs: DataFrame, minDf: Int = 2, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (df 1 is just content): $minDf")
+    val n = docs.agg(countDistinct(col(idCol)).as("__n"))
+    docs.select(col(idCol).as("__id"), explode(split(col(textCol), "\n", -1)).as("line"))
+      .filter(col("line") =!= "")
+      .groupBy("line").agg(countDistinct(col("__id")).as("df"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(n))
+      .select(col("line"), col("df"),
+        round(col("df") / col("__n").cast("double"), 4).as("doc_share"))
   }
 
   /** Whitespace token count (the cheap estimator). */

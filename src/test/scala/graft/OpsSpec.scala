@@ -160,4 +160,41 @@ class OpsSpec extends AnyFunSuite {
       .collect()(0)
     assert(none.getString(1) === "" && none.getLong(2) === 0L && none.getLong(3) === 0L)
   }
+  test("extractionYield: per-source funnel matches hand-counted lines and chars") {
+    // source a: one body line (5 tokens) + one heading (2 tokens,
+    // density-dropped); source b: heading only -> zero kept
+    val rows = Seq(
+      ("a", "<h1>Hi there</h1><p>one two three four five</p>"),
+      ("a", "<h1>Yo</h1><p>six seven eight nine ten</p>"),
+      ("b", "<h1>Nothing here</h1>"))
+    val got = TextOps.extractionYield(rows.toDF("source", "html")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) === ((2L, 4L, 2L)))
+    assert(a.getDouble(4) === 0.5)                   // 2 of 4 lines kept
+    assert(a.getLong(6) ===
+      ("one two three four five".length + "six seven eight nine ten".length).toLong)
+    val b = got("b")
+    assert((b.getLong(2), b.getLong(3), b.getDouble(4), b.getLong(6), b.getDouble(7)) ===
+      ((1L, 0L, 0.0, 0L, 0.0)))
+  }
+
+  test("boilerplateLines: shared lines surface with df/doc_share, unique content does not") {
+    val rows = Seq(
+      (1L, "unique prose of doc one\nvisit our help desk today"),
+      (2L, "different prose for doc two\nvisit our help desk today"),
+      (3L, "totally fresh content here\nvisit our help desk today"),
+      (4L, null.asInstanceOf[String]))
+    val got = TextOps.boilerplateLines(rows.toDF("doc_id", "text")).collect()
+    assert(got.length === 1)
+    assert(got(0).getString(0) === "visit our help desk today")
+    assert(got(0).getLong(1) === 3L)
+    assert(got(0).getDouble(2) === 0.75)             // 3 of 4 distinct docs
+    // a repeated line WITHIN one doc counts that doc once
+    val within = Seq((1L, "echo line\necho line"), (2L, "echo line\nother"))
+      .toDF("doc_id", "text")
+    val w = TextOps.boilerplateLines(within).collect()
+    assert(w.length === 1 && w(0).getLong(1) === 2L)
+    assert(TextOps.boilerplateLines(rows.toDF("doc_id", "text"), minDf = 4).isEmpty)
+  }
 }
