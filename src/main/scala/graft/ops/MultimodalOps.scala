@@ -602,7 +602,7 @@ object MultimodalOps {
     * why trimmed copies still align at ONE window delta after
     * normalization.
     */
-  private[ops] def resampleLinear(in: Array[Int], srcRate: Int, dstRate: Int): Array[Int] = {
+  private[graft] def resampleLinear(in: Array[Int], srcRate: Int, dstRate: Int): Array[Int] = {
     require(srcRate > 0 && dstRate > 0, s"rates must be positive: $srcRate -> $dstRate")
     if (srcRate == dstRate || in.length < 2) in
     else {

@@ -272,6 +272,104 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.head._3 == 1.0, "trimmed copy keeps both scene fingerprints")
   }
 
+  /** In-memory DELTA-encoded animated GIF: per-frame sub-rectangle
+    * patches at declared (left, top) with explicit disposal methods —
+    * exactly what optimized real-world GIFs store, and exactly the
+    * input the raw `reader.read(i)` path mis-renders.
+    */
+  private def deltaGif(frames: Seq[(java.awt.image.BufferedImage, Int, Int, String)]): Array[Byte] = {
+    import javax.imageio.metadata.IIOMetadataNode
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { case (img, left, top, disposal) =>
+        val itype = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+        val meta = writer.getDefaultImageMetadata(itype, null)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        def node(name: String): IIOMetadataNode = {
+          val ns = root.getElementsByTagName(name)
+          if (ns.getLength > 0) ns.item(0).asInstanceOf[IIOMetadataNode]
+          else { val n = new IIOMetadataNode(name); root.appendChild(n); n }
+        }
+        val gce = node("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", disposal)
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        val id = node("ImageDescriptor")
+        id.setAttribute("imageLeftPosition", left.toString)
+        id.setAttribute("imageTopPosition", top.toString)
+        id.setAttribute("imageWidth", img.getWidth.toString)
+        id.setAttribute("imageHeight", img.getHeight.toString)
+        id.setAttribute("interlaceFlag", "FALSE")
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  test("delta-encoded GIF: sub-rectangle frames composite onto the logical screen " +
+    "honoring placement and disposal (doNotDispose persists, restoreToPrevious rolls back)") {
+    def flat(w: Int, h: Int, v: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, gray(v))
+      img
+    }
+    // f0: full 64x64 base at 40, persists; f1: bright 32x64 patch on
+    // the RIGHT half, rolled back after display; f2: bright 8x64 strip
+    // on the LEFT edge — the right half must be BASE again, not the
+    // f1 patch (restoreToPrevious), and everything else must still be
+    // the f0 base (doNotDispose persistence under f2's patch).
+    val payload = deltaGif(Seq(
+      (flat(64, 64, 40), 0, 0, "doNotDispose"),
+      (flat(32, 64, 200), 32, 0, "restoreToPrevious"),
+      (flat(8, 64, 200), 0, 0, "doNotDispose")))
+    val px = MultimodalOps.videoFramePixels(Seq((0L, payload)).toDF("media_id", "payload"))
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getSeq[Int](3)).toMap
+    assert(px.keys.map(_._1).max === 2, "all three frames must decode")
+    val (f0, f1, f2) = (px((0, 3)), px((1, 3)), px((2, 3))) // grid row 3 of each frame
+    // f1: left cells carry the PERSISTED base (identical to f0 — a raw
+    // 32-wide patch read would fill the whole grid with 200s), right
+    // cells carry the patch
+    assert((0 to 3).forall(c => f1(c) === f0(c)),
+      s"f1 left half must be the persisted base: f0=$f0 f1=$f1")
+    assert((5 to 8).forall(c => f1(c) > 150), s"f1 right half must be the patch: $f1")
+    assert((0 to 3).forall(c => f0(c) < 60), "base really is dark")
+    // f2: left strip bright, right half BACK TO BASE (f1 was
+    // restoreToPrevious — without the rollback it would still read 200)
+    assert(f2(0) > 100, s"f2 left strip must show the new patch: $f2")
+    assert((5 to 8).forall(c => f2(c) === f0(c)),
+      s"f2 right half must be rolled back to the base: f0=$f0 f2=$f2")
+  }
+
+  test("resampleLinear properties: identity at equal rates, exact integer-shift " +
+    "invariance, even-index passthrough on 2x upsample") {
+    val rnd = new scala.util.Random(7)
+    val in = Array.fill(4000)(rnd.nextInt(65536) - 32768)
+    // identity: same rates return the input untouched
+    assert(MultimodalOps.resampleLinear(in, 16000, 16000) eq in)
+    // 2x upsample: even output indices are EXACT source samples
+    val up = MultimodalOps.resampleLinear(in, 8000, 16000)
+    assert(up.length === (in.length - 1) * 2 + 1)
+    assert(in.indices.take(3999).forall(i => up(2 * i) === in(i)))
+    // the scaladoc's shift claim, verified exhaustively on a rational
+    // pair (44.1k -> 16k): resampling a k-source-sample trim equals the
+    // original's resample shifted by k*dst/src, whenever k*dst/src is
+    // integral (k = 441 -> 160 output samples)
+    val a = MultimodalOps.resampleLinear(in, 44100, 16000)
+    val b = MultimodalOps.resampleLinear(in.drop(441), 44100, 16000)
+    assert(b.indices.forall(j => b(j) === a(j + 160)),
+      "integer-sample trims must stay exactly aligned after rate normalization")
+  }
+
   // ---- real-decoder path: actual WAV bytes through the same boundary ----
 
   /** In-memory 16-bit mono PCM WAV via the JDK's own encoder — real
