@@ -1771,7 +1771,24 @@ private[graft] object OpsEntries {
     "q260_boilerplate_lines" -> ((s, dir) =>
       TextOps.boilerplateLines(
         TextOps.htmlExtract(htmlFixture(t(s, dir, "documents")))
-          .select(col("doc_id"), col("text"))))
+          .select(col("doc_id"), col("text")))),
+
+    // WHY extraction precedes dedup, measured: the q178 band-skew
+    // audit run on the RAW markup vs the EXTRACTED text of the same
+    // corpus. Shared template shingles (script/style/nav/footer) win
+    // min-hash slots, so raw-html banding concentrates candidate
+    // pair-work that vanishes once boilerplate is stripped — the
+    // analytic (bucket-size) form, so NOTHING quadratic materializes
+    // at any corpus size. Output: one audit row per variant.
+    "q261_extract_dedup_impact" -> ((s, dir) => {
+      val fix = htmlFixture(t(s, dir, "documents"))
+        .localCheckpoint(true) // both variants read the fixture
+      val raw = fix.select(col("doc_id"), col("html").as("text"))
+      val clean = TextOps.htmlExtract(fix).select(col("doc_id"), col("text"))
+      DedupOps.bandSkewAudit(raw).select(lit("raw_html").as("variant"), col("*"))
+        .unionByName(
+          DedupOps.bandSkewAudit(clean).select(lit("extracted").as("variant"), col("*")))
+    })
   )
 
   /** The q257/q258 raw-web fixture: deterministic template HTML built
@@ -5739,6 +5756,30 @@ private[graft] object OpsEntries {
            |SELECT line, df,
            |       round(df / (SELECT CAST(n AS DOUBLE) FROM nn), 4) AS doc_share
            |FROM dfx WHERE df >= 2""".stripMargin),
+
+    // Two q178 band audits as nested-WITH subqueries (outer CTEs stay
+    // visible inside), one over the raw markup, one over the
+    // extraction — labeled union.
+    "q261_extract_dedup_impact" -> {
+      def audit(rel: String): String =
+        s"""(${minhashSigCtesFor(rel)},
+           |bs2 AS (SELECT band, count(*) AS n FROM banded GROUP BY band)
+           |SELECT count(*) AS n_buckets, max(n) AS max_bucket,
+           |       round(quantile_cont(n, 0.5), 4) AS p50_bucket,
+           |       round(quantile_cont(n, 0.99), 4) AS p99_bucket,
+           |       CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS total_pairs,
+           |       round(CASE WHEN sum((n * (n - 1)) // 2) > 0
+           |             THEN ((max(n) * (max(n) - 1)) // 2) / CAST(sum((n * (n - 1)) // 2) AS DOUBLE)
+           |             ELSE 0.0 END, 4) AS top1_share
+           |FROM bs2)""".stripMargin
+      s"WITH xraw AS ($htmlFixtureSql),\n" + htmlExtractCtes() +
+        s""",
+           |rawside AS (SELECT doc_id, html AS text FROM xraw),
+           |cleanside AS (SELECT doc_id, text FROM xout)
+           |SELECT 'raw_html' AS variant, * FROM ${audit("rawside")}
+           |UNION ALL
+           |SELECT 'extracted' AS variant, * FROM ${audit("cleanside")}""".stripMargin
+    },
 
     "q248_l_diversity" ->
       """WITH qi AS (SELECT lang,
