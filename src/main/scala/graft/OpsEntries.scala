@@ -5863,16 +5863,16 @@ private[graft] object OpsEntries {
     * same entity chain, same density floor). xout is MATERIALIZED:
     * the q258 curation chain reads it four times.
     */
-  private def htmlExtractCtes(minLineTokens: Int = 4): String =
+  private def htmlExtractCtes(minLineTokens: Int = 4): String = {
+    val tb = sqQuote(graft.ops.TextOps.tagBody)
     s"""xs AS (SELECT doc_id, regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g') AS h FROM xraw),
        |xt AS (SELECT doc_id, regexp_replace(h, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS h FROM xs),
        |xc AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM xt),
        |xb AS (SELECT doc_id, regexp_replace(h,
-       |         '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article|header|footer|nav|blockquote|title|pre)\\b[^>]*>',
+       |         '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article|header|footer|nav|blockquote|title|pre)\\b$tb>',
        |         chr(10), 'g') AS h FROM xc),
-       |xg AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h FROM xb),
-       |xe AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(h,
-       |         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS h FROM xg),
+       |xg AS (SELECT doc_id, regexp_replace(h, '(?s)<$tb>', ' ', 'g') AS h FROM xb),
+       |xe AS (SELECT doc_id, ${htmlEntitySql("h")} AS h FROM xg),
        |xl AS (SELECT doc_id, list_filter(list_transform(string_split(h, chr(10)),
        |         l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))),
        |         l -> l <> '') AS lines FROM xe),
@@ -5880,6 +5880,25 @@ private[graft] object OpsEntries {
        |         l -> len(string_split(l, ' ')) >= $minLineTokens) AS kept FROM xl),
        |xout AS MATERIALIZED (SELECT doc_id, array_to_string(kept, chr(10)) AS text,
        |         CAST(len(kept) AS BIGINT) AS n_lines FROM xk)""".stripMargin
+  }
+
+  /** `'`-doubling for splicing a literal into a single-quoted SQL string. */
+  private def sqQuote(s: String): String = s.replace("'", "''")
+
+  /** The [[graft.ops.TextOps.htmlLines]] entity-decode chain as a SQL
+    * expression over `inner` — generated FROM the engine's own
+    * [[graft.ops.TextOps.numericEntities]] table so the two decoders
+    * cannot drift: named four, then the bounded numeric patterns, then
+    * the `&`-family last in one single-pass regex.
+    */
+  private def htmlEntitySql(inner: String): String = {
+    val named = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"")
+      .foldLeft(inner) { case (e, (f, t)) => s"replace($e, '${sqQuote(f)}', '${sqQuote(t)}')" }
+    val numeric = graft.ops.TextOps.numericEntities.foldLeft(named) { case (e, (p, t)) =>
+      s"regexp_replace($e, '${sqQuote(p)}', '${sqQuote(t)}', 'g')"
+    }
+    s"regexp_replace($numeric, '(?i)&(?:amp|#0*38|#x0*26);', '&', 'g')"
+  }
 
   /** The q254 per-source centroid-drift chain as named CTEs
     * (ja/ca/jb/cb ending in `drft(source, n_a, n_b, drift_cosine)`) —

@@ -395,7 +395,13 @@ object MultimodalOps {
     * (left, top) onto the persistent logical-screen canvas, with the
     * previous frame's disposal applied first-per-spec — `none` /
     * `doNotDispose` leave the canvas, `restoreToBackgroundColor`
-    * clears the frame's rectangle, `restoreToPrevious` rolls the
+    * clears the frame's rectangle TO TRANSPARENT (luma 0) — the
+    * modern-renderer approximation; a spec-strict renderer would fill
+    * with the GIF's declared background-color palette index, so GIFs
+    * with a non-black background fingerprint differently from such a
+    * renderer (browsers also treat background-disposal as transparent,
+    * which is the behavior near-dup pairing actually needs to match) —
+    * `restoreToPrevious` rolls the
     * canvas back. Missing/unparseable metadata degrades per frame to
     * full-frame-at-origin with no disposal (the raw behavior, correct
     * for the unoptimized full-frame case). Emitted frames are canvas
@@ -602,11 +608,20 @@ object MultimodalOps {
     * why trimmed copies still align at ONE window delta after
     * normalization.
     */
-  private[graft] def resampleLinear(in: Array[Int], srcRate: Int, dstRate: Int): Array[Int] = {
+  private[graft] def resampleLinear(in: Array[Int], srcRate: Int, dstRate: Int,
+                                    maxSamples: Long = 1L << 24): Array[Int] = {
     require(srcRate > 0 && dstRate > 0, s"rates must be positive: $srcRate -> $dstRate")
     if (srcRate == dstRate || in.length < 2) in
     else {
-      val nOut = ((in.length.toLong - 1) * dstRate / srcRate + 1).toInt
+      // the decompression-bomb guard lives WITH the allocation: a large
+      // upsample ratio would overflow .toInt into a negative array size,
+      // so the long-form count is bounds-checked before narrowing
+      // (wavWindows' pre-check quarantines instead of throwing; this
+      // require is the backstop for any other caller)
+      val nOutL = (in.length.toLong - 1) * dstRate / srcRate + 1
+      require(nOutL <= maxSamples,
+        s"resample output $nOutL samples exceeds cap $maxSamples ($srcRate -> $dstRate)")
+      val nOut = nOutL.toInt
       val out = new Array[Int](nOut)
       var i = 0
       while (i < nOut) {
@@ -665,7 +680,10 @@ object MultimodalOps {
         it.flatMap { case (id, bytes) =>
           val decoded = readWavGuarded(bytes)
           // post-resample bomb guard: a low-rate header would otherwise
-          // upsample past the frame cap (1 Hz -> x16000 allocation)
+          // upsample past the frame cap (1 Hz -> x16000 allocation);
+          // the 1<<24 bound mirrors resampleLinear's default maxSamples
+          // so the quarantine check and the allocation-site require
+          // cannot desync — this path drops the payload, never throws
           val samples =
             if (decoded == null ||
                 (decoded._1.length.toLong - 1) * canonicalRate / decoded._2 >= (1L << 24)) null

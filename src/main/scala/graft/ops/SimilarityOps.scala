@@ -2148,17 +2148,20 @@ object SimilarityOps {
     * non-null vector; mean_sil is the vector's CELL quality (the
     * governance join a curation decision reads next to the verdict).
     *
-    * `k < 1` derives k from the [[semDedupK]] policy (pinned expected
-    * cell size — the scale path: a fixed k is quadratic-by-growth in
-    * the dedup tier's within-cell pairs). The default stays pinned at
+    * `k = -1` (the ONLY auto sentinel) derives k from the [[semDedupK]]
+    * policy (pinned expected cell size — the scale path: a fixed k is
+    * quadratic-by-growth in the dedup tier's within-cell pairs). Any
+    * other k below 2 is refused — an accidental k = 0 from a config
+    * must not silently switch policies. The default stays pinned at
     * 8 for oracle replay.
     */
   def clusterServeReport(emb: DataFrame, k: Int = 8, iters: Int = 3,
                          threshold: Double = 0.4, seed: Long = 42,
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          targetCellRows: Long = 4096): DataFrame = {
-    require(k < 1 || k >= 2,
-      "clusterServeReport needs at least 2 clusters (silhouette b is undefined for k = 1)")
+    require(k == -1 || k >= 2,
+      "clusterServeReport needs k >= 2 (silhouette b is undefined for k = 1) " +
+        "or the explicit auto-k sentinel k = -1")
     val clean = DedupOps.widen(emb.filter(col(vecCol).isNotNull))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

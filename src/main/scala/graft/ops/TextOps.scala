@@ -26,11 +26,17 @@ object TextOps {
     *   2. `<!-- comments -->` drop;
     *   3. BLOCK-level tags become newlines — the line structure the
     *      boilerplate filter needs;
-    *   4. every remaining tag becomes a space;
-    *   5. the six ubiquitous entities decode, `&amp;` LAST so
-    *      double-encoded text cannot re-introduce strippable markup
-    *      (and decoding AFTER step 4 keeps `&lt;div&gt;` as visible
-    *      text rather than a tag);
+    *   4. every remaining tag becomes a space — tag bodies are
+    *      QUOTE-AWARE ([[tagBody]]): an attribute value containing '>'
+    *      (`<a title="a>b">`) strips whole instead of truncating at
+    *      the quoted '>';
+    *   5. entities decode: the named ubiquitous four, then the bounded
+    *      numeric table ([[numericEntities]], dec + hex, leading
+    *      zeros, case-insensitive hex), then the `&`-family
+    *      (`&amp;`/`&#38;`/`&#x26;`) LAST in ONE single-pass regex so
+    *      double-encoded text cannot re-introduce strippable markup or
+    *      double-decode (and decoding AFTER step 4 keeps `&lt;div&gt;`
+    *      as visible text rather than a tag);
     *   6. per line: whitespace collapses + trims, and the
     *      boilerplate-DENSITY filter keeps only lines carrying at
     *      least `minLineTokens` whitespace tokens — nav bars, footers,
@@ -57,6 +63,35 @@ object TextOps {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** Quote-aware tag-body pattern: attribute values may contain '>'
+    * inside quotes, so a tag runs to the first '>' OUTSIDE any quoted
+    * value. Works identically under java.util.regex and RE2 (no
+    * backrefs) — the oracle chain embeds the same pattern.
+    */
+  private[graft] val tagBody = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
+
+  /** The bounded numeric-entity table: (pattern, replacement) pairs
+    * covering the characters web text actually carries as numeric
+    * entities (quotes, angle brackets, nbsp, en/em dash, curly quotes,
+    * ellipsis) — each pattern unifies the decimal and hex forms with
+    * optional leading zeros, case-insensitive. `&#38;`/`&#x26;`
+    * (ampersand) is deliberately ABSENT here: it decodes last together
+    * with `&amp;` in one single-pass regex (see [[htmlLines]]).
+    */
+  private[graft] val numericEntities: Seq[(String, String)] = Seq(
+    "(?i)&#(?:0*34|x0*22);" -> "\"",
+    "(?i)&#(?:0*39|x0*27);" -> "'",
+    "(?i)&#(?:0*60|x0*3c);" -> "<",
+    "(?i)&#(?:0*62|x0*3e);" -> ">",
+    "(?i)&#(?:0*160|x0*a0);" -> " ",
+    "(?i)&#(?:0*8211|x0*2013);" -> "–",
+    "(?i)&#(?:0*8212|x0*2014);" -> "—",
+    "(?i)&#(?:0*8216|x0*2018);" -> "‘",
+    "(?i)&#(?:0*8217|x0*2019);" -> "’",
+    "(?i)&#(?:0*8220|x0*201c);" -> "“",
+    "(?i)&#(?:0*8221|x0*201d);" -> "”",
+    "(?i)&#(?:0*8230|x0*2026);" -> "…")
+
   /** Steps 1–6 of the [[htmlExtract]] chain up to the NONEMPTY
     * collapsed/trimmed line array (pre-density-filter) — shared by the
     * extractor and the [[extractionYield]] funnel so the two cannot
@@ -68,13 +103,22 @@ object TextOps {
     val noStyle = regexp_replace(noScript,
       "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // tag BODIES are quote-aware (attribute values may contain '>':
+    // <a title="a>b"> must strip whole, not truncate at the quoted '>')
     val blockNl = regexp_replace(noComment,
       "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article" +
-        "|header|footer|nav|blockquote|title|pre)\\b[^>]*>", "\n")
-    val noTags = regexp_replace(blockNl, "(?s)<[^>]*>", " ")
-    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+        "|header|footer|nav|blockquote|title|pre)\\b" + tagBody + ">", "\n")
+    val noTags = regexp_replace(blockNl, "(?s)<" + tagBody + ">", " ")
+    val named = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"")
       .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    // bounded numeric-entity decode (dec + hex forms, leading zeros,
+    // case-insensitive hex) — the &-family LAST and in ONE single-pass
+    // regex, so decoded '&' cannot re-form an entity and double-encoded
+    // text ('&amp;#38;' -> the literal text '&#38;') cannot double-decode
+    val decoded = regexp_replace(
+      numericEntities.foldLeft(named) { case (c, (pat, to)) =>
+        regexp_replace(c, pat, to)
+      }, "(?i)&(?:amp|#0*38|#x0*26);", "&")
     filter(
       transform(split(decoded, "\n", -1), l => trim(regexp_replace(l, "\\s+", " "))),
       l => l =!= "")

@@ -160,6 +160,23 @@ class OpsSpec extends AnyFunSuite {
       .collect()(0)
     assert(none.getString(1) === "" && none.getLong(2) === 0L && none.getLong(3) === 0L)
   }
+  test("htmlExtract: wild markup — quoted '>' in attributes, unquoted attributes, " +
+    "numeric entities (dec/hex/zeros/case), double-encoded amp stays literal") {
+    // attribute values carrying '>' (double- and single-quoted) must strip
+    // whole — the old <[^>]*> truncated at the quoted '>' and leaked b">
+    val hostile =
+      "<p>alpha <a title=\"a>b\" href='x>y'>link text</a> beta gamma delta</p>" +
+        "<p data-x=plain>unquoted attribute keeps this prose line intact</p>" +
+        "<p>it&#x27;s &#0039;quoted&#39; and&#160;spaced &#8212; dash &#X2019;curly</p>" +
+        "<p>write &amp;#38; to show an entity but &#38; is just and</p>"
+    val got = TextOps.htmlExtract(Seq((1L, hostile)).toDF("doc_id", "html")).collect()(0)
+    val lines = got.getString(1).split("\n")
+    assert(lines(0) === "alpha link text beta gamma delta")
+    assert(lines(1) === "unquoted attribute keeps this prose line intact")
+    assert(lines(2) === "it's 'quoted' and spaced — dash ’curly")
+    // single-pass &-decode: &amp;#38; -> the literal text &#38;, never &
+    assert(lines(3) === "write &#38; to show an entity but & is just and")
+  }
   test("extractionYield: per-source funnel matches hand-counted lines and chars") {
     // source a: one body line (5 tokens) + one heading (2 tokens,
     // density-dropped); source b: heading only -> zero kept
