@@ -1788,8 +1788,50 @@ private[graft] object OpsEntries {
       DedupOps.bandSkewAudit(raw).select(lit("raw_html").as("variant"), col("*"))
         .unionByName(
           DedupOps.bandSkewAudit(clean).select(lit("extracted").as("variant"), col("*")))
+    }),
+
+    // Encoding-damage (mojibake) detector + bounded repair: UTF-8 text
+    // read as cp1252/latin-1 upstream ("â€™"-class sequences) passes
+    // every length/stopword/alpha gate while being visibly broken —
+    // the quality signal the raw-web first mile was blind to. The
+    // fixture plants a deterministic damaged suffix on doc_id%10==3;
+    // the detector must flag EXACTLY those docs and the repair must
+    // clear every planted sequence.
+    "q262_encoding_damage" -> ((s, dir) =>
+      TextOps.encodingDamage(mojiFixture(t(s, dir, "documents")))),
+
+    // The detector wired into the q121 composite admission gate: the
+    // Gopher rule verdicts plus a new r_encoding rule (zero mojibake
+    // hits) — the conjunctive keep now refuses damaged docs that the
+    // textual rules alone admit.
+    "q263_damage_gated_quality" -> ((s, dir) => {
+      // gopher stats + the damage scan both read the fixture
+      val fix = mojiFixture(t(s, dir, "documents")).localCheckpoint(true)
+      val dmg = TextOps.encodingDamage(fix).select(col("doc_id"), col("mojibake_hits"))
+      TextOps.gopherFilter(fix).join(dmg, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("r_len"), col("r_word_len"), col("r_alpha"), col("r_stopwords"),
+          col("r_top_token"), col("r_repetition"), col("mojibake_hits"),
+          (col("mojibake_hits") === 0).as("r_encoding"),
+          (col("keep") && col("mojibake_hits") === 0).as("keep"))
     })
   )
+
+  /** The q262/q263 mojibake fixture suffix: one damaged sentence
+    * carrying the three mojibake classes (Ã-pair, â€-trigram, Â-pair) —
+    * 6 detector hits, fully repairable by [[graft.ops.TextOps.mojibakeRepairs]].
+    */
+  private[graft] val mojiSuffix: String =
+    " CafÃ© staff said â€™helloâ€™ â€” Â«dailyÂ» reports"
+
+  /** Deterministic encoding-damage fixture: docs with doc_id%10==3
+    * carry [[mojiSuffix]]; both engines build the same corpus (the
+    * htmlFixture convention).
+    */
+  private[graft] def mojiFixture(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
+      when(col("doc_id") % 10 === 3, concat(col("text"), lit(mojiSuffix)))
+        .otherwise(col("text")).as("text"))
 
   /** The q257/q258 raw-web fixture: deterministic template HTML built
     * FROM the documents table — both engines construct the SAME markup
@@ -3267,40 +3309,7 @@ private[graft] object OpsEntries {
          |       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid' ELSE 'test' END AS split
          |FROM bk""".stripMargin,
 
-    "q121_gopher_filter" -> {
-      val en = TextOps.langMarkers("en").map(w => s"'$w'").mkString("[", ",", "]")
-      s"""WITH tk AS (SELECT doc_id, unnest($toksExpr) AS t FROM documents),
-         |fr AS (SELECT doc_id, t, count(*) AS c FROM tk GROUP BY 1, 2),
-         |ta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top FROM fr GROUP BY 1),
-         |tl AS (SELECT doc_id, $toksExpr AS toks FROM documents),
-         |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
-         |         i -> toks[i] || ' ' || toks[i+1])) AS b FROM tl),
-         |ba AS (SELECT doc_id, count(*) AS btot, count(DISTINCT b) AS bdis FROM bg GROUP BY 1),
-         |qf AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS len,
-         |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
-         |         CAST(len(list_filter(list_distinct($toksExpr), t -> list_contains($en, t))) AS DOUBLE) AS stop_hits
-         |       FROM documents),
-         |j AS (SELECT d.doc_id,
-         |        coalesce(ta.n_tokens, 0) AS n_tokens,
-         |        round(CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END, 4) AS alpha_ratio,
-         |        round(CASE WHEN ta.n_tokens > 0 THEN stop_hits / 10.0 ELSE 0.0 END, 4) AS stopword_ratio,
-         |        round(CASE WHEN ta.n_tokens > 0 THEN alpha / ta.n_tokens ELSE 0.0 END, 4) AS mean_word_len,
-         |        round(CASE WHEN ta.n_tokens > 0 THEN top / CAST(ta.n_tokens AS DOUBLE) ELSE 0.0 END, 4) AS top_token_ratio,
-         |        round(CASE WHEN ba.btot > 0 THEN 1.0 - ba.bdis / CAST(ba.btot AS DOUBLE) ELSE 0.0 END, 4) AS dup_bigram_ratio
-         |      FROM documents d LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)
-         |           JOIN qf ON qf.doc_id = d.doc_id)
-         |SELECT doc_id, n_tokens,
-         |  (n_tokens >= 8 AND n_tokens <= 5000) AS r_len,
-         |  (mean_word_len >= 2.0 AND mean_word_len <= 10.0) AS r_word_len,
-         |  (alpha_ratio >= 0.6) AS r_alpha,
-         |  (stopword_ratio >= 0.1) AS r_stopwords,
-         |  (top_token_ratio <= 0.2) AS r_top_token,
-         |  (dup_bigram_ratio <= 0.6) AS r_repetition,
-         |  (n_tokens >= 8 AND n_tokens <= 5000 AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
-         |   AND alpha_ratio >= 0.6 AND stopword_ratio >= 0.1 AND top_token_ratio <= 0.2
-         |   AND dup_bigram_ratio <= 0.6) AS keep
-         |FROM j""".stripMargin
-    },
+    "q121_gopher_filter" -> (gopherCtes("documents") + "\nSELECT * FROM gf"),
 
     "q110_pq_encode" -> pqEncodeSql(),
     "q111_pq_adc_topk" -> pqAdcSql(),
@@ -5781,6 +5790,39 @@ private[graft] object OpsEntries {
            |SELECT 'extracted' AS variant, * FROM ${audit("cleanside")}""".stripMargin
     },
 
+    // One regexp_extract_all count over the shared detector class +
+    // the literal repair chain, both generated from the engine's own
+    // tables so the two decoders cannot drift.
+    "q262_encoding_damage" -> {
+      val det = sqQuote(graft.ops.TextOps.mojibakeDetector)
+      val rep = graft.ops.TextOps.mojibakeRepairs.foldLeft("text") {
+        case (e, (f, to)) => s"replace($e, '${sqQuote(f)}', '${sqQuote(to)}')"
+      }
+      s"""WITH mfix AS ($mojiFixtureSql),
+         |h AS (SELECT doc_id, text,
+         |        CAST(coalesce(len(regexp_extract_all(text, '$det')), 0) AS BIGINT) AS mojibake_hits
+         |      FROM mfix)
+         |SELECT doc_id, mojibake_hits, mojibake_hits >= 1 AS damaged,
+         |       $rep AS text_repaired
+         |FROM h""".stripMargin
+    },
+
+    // The q121 gopher chain retargeted at the moji fixture (gf CTE),
+    // joined with the damage scan: keep = gopher keep AND zero hits.
+    "q263_damage_gated_quality" -> {
+      val det = sqQuote(graft.ops.TextOps.mojibakeDetector)
+      gopherCtes("mfix", lead = s"mfix AS ($mojiFixtureSql),\n") +
+        s""",
+           |dmg AS (SELECT doc_id,
+           |          CAST(coalesce(len(regexp_extract_all(text, '$det')), 0) AS BIGINT) AS mojibake_hits
+           |        FROM mfix)
+           |SELECT gf.doc_id, gf.n_tokens, r_len, r_word_len, r_alpha, r_stopwords,
+           |       r_top_token, r_repetition, mojibake_hits,
+           |       (mojibake_hits = 0) AS r_encoding,
+           |       (gf.keep AND mojibake_hits = 0) AS keep
+           |FROM gf JOIN dmg ON dmg.doc_id = gf.doc_id""".stripMargin
+    },
+
     "q248_l_diversity" ->
       """WITH qi AS (SELECT lang,
         |              CASE WHEN n_chars <= 1 THEN 1
@@ -5884,6 +5926,53 @@ private[graft] object OpsEntries {
 
   /** `'`-doubling for splicing a literal into a single-quoted SQL string. */
   private def sqQuote(s: String): String = s.replace("'", "''")
+
+  /** The q262/q263 fixture construction in SQL — character-identical
+    * to [[mojiFixture]]'s concat (a def per the init-order trap). */
+  private def mojiFixtureSql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id % 10 = 3 THEN text || '${sqQuote(mojiSuffix)}' ELSE text END AS text
+       |FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  /** The q121 Gopher-gate chain as CTEs over `docsRel(doc_id, text)`,
+    * ending in `gf(doc_id, n_tokens, r_*, keep)` — the `For` form so
+    * q263 retargets the whole chain at the moji fixture and joins the
+    * damage rule onto the SAME verdicts q121 gates on.
+    */
+  private def gopherCtes(docsRel: String, lead: String = ""): String = {
+    val en = TextOps.langMarkers("en").map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH ${lead}tk AS (SELECT doc_id, unnest($toksExpr) AS t FROM $docsRel),
+       |fr AS (SELECT doc_id, t, count(*) AS c FROM tk GROUP BY 1, 2),
+       |ta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top FROM fr GROUP BY 1),
+       |tl AS (SELECT doc_id, $toksExpr AS toks FROM $docsRel),
+       |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |         i -> toks[i] || ' ' || toks[i+1])) AS b FROM tl),
+       |ba AS (SELECT doc_id, count(*) AS btot, count(DISTINCT b) AS bdis FROM bg GROUP BY 1),
+       |qf AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS len,
+       |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+       |         CAST(len(list_filter(list_distinct($toksExpr), t -> list_contains($en, t))) AS DOUBLE) AS stop_hits
+       |       FROM $docsRel),
+       |j AS (SELECT d.doc_id,
+       |        coalesce(ta.n_tokens, 0) AS n_tokens,
+       |        round(CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END, 4) AS alpha_ratio,
+       |        round(CASE WHEN ta.n_tokens > 0 THEN stop_hits / 10.0 ELSE 0.0 END, 4) AS stopword_ratio,
+       |        round(CASE WHEN ta.n_tokens > 0 THEN alpha / ta.n_tokens ELSE 0.0 END, 4) AS mean_word_len,
+       |        round(CASE WHEN ta.n_tokens > 0 THEN top / CAST(ta.n_tokens AS DOUBLE) ELSE 0.0 END, 4) AS top_token_ratio,
+       |        round(CASE WHEN ba.btot > 0 THEN 1.0 - ba.bdis / CAST(ba.btot AS DOUBLE) ELSE 0.0 END, 4) AS dup_bigram_ratio
+       |      FROM $docsRel d LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)
+       |           JOIN qf ON qf.doc_id = d.doc_id),
+       |gf AS (SELECT doc_id, n_tokens,
+       |  (n_tokens >= 8 AND n_tokens <= 5000) AS r_len,
+       |  (mean_word_len >= 2.0 AND mean_word_len <= 10.0) AS r_word_len,
+       |  (alpha_ratio >= 0.6) AS r_alpha,
+       |  (stopword_ratio >= 0.1) AS r_stopwords,
+       |  (top_token_ratio <= 0.2) AS r_top_token,
+       |  (dup_bigram_ratio <= 0.6) AS r_repetition,
+       |  (n_tokens >= 8 AND n_tokens <= 5000 AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+       |   AND alpha_ratio >= 0.6 AND stopword_ratio >= 0.1 AND top_token_ratio <= 0.2
+       |   AND dup_bigram_ratio <= 0.6) AS keep
+       |FROM j)""".stripMargin
+  }
 
   /** The [[graft.ops.TextOps.htmlLines]] entity-decode chain as a SQL
     * expression over `inner` — generated FROM the engine's own

@@ -201,6 +201,93 @@ object TextOps {
         round(col("df") / col("__n").cast("double"), 4).as("doc_share"))
   }
 
+  /** What bytes 0x80–0xBF look like after a UTF-8 file is mis-decoded:
+    * the WHATWG windows-1252 "high" characters (€‚ƒ…–—™œ…, with the
+    * five unmapped bytes passing through as C1 controls, the lenient-
+    * decoder behavior), the strict-latin1 C1 controls, and the
+    * U+00A0–U+00BF block. This is the TAIL character class of a
+    * mojibake pair: a UTF-8 lead byte mis-decoded as Ã/Â/â followed by
+    * one of these is essentially never legitimate text.
+    */
+  private[graft] val mojibakeTail: String =
+    "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a\u0153\u017e\u0178" +
+      "\u0080\u0081\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008a\u008b\u008c\u008d\u008e\u008f\u0090\u0091\u0092\u0093\u0094\u0095\u0096\u0097\u0098\u0099\u009a\u009b\u009c\u009d\u009e\u009f" +
+      "\u00a0\u00a1\u00a2\u00a3\u00a4\u00a5\u00a6\u00a7\u00a8\u00a9\u00aa\u00ab\u00ac\u00ad\u00ae\u00af\u00b0\u00b1\u00b2\u00b3\u00b4\u00b5\u00b6\u00b7\u00b8\u00b9\u00ba\u00bb\u00bc\u00bd\u00be\u00bf"
+
+  /** Mojibake detector regex — UTF-8 read as cp1252/latin-1:
+    * three-byte sequences (the General Punctuation block: curly
+    * quotes, dashes, ellipsis) present as `â` + (`€` cp1252 / U+0080
+    * strict-latin1) + one more byte; two-byte Latin-1 Supplement
+    * characters present as `Ã`/`Â` + a [[mojibakeTail]] character.
+    * The two alternatives start with DISJOINT characters, so the
+    * non-overlapping match count is identical under java.util.regex
+    * and RE2 regardless of alternation semantics.
+    */
+  private[graft] val mojibakeDetector: String =
+    "\u00e2[\u0080\u20ac].|[\u00c3\u00c2][" + mojibakeTail + "]"
+
+  /** Bounded mojibake REPAIR table (cp1252/WHATWG presentation, the
+    * dominant real-world damage: a UTF-8 file read as windows-1252):
+    * curly quotes/dashes/ellipsis trigrams, the common accented-Latin
+    * pairs, and the Â-prefixed punctuation. `Â +NBSP` repairs to a
+    * plain space (matching [[htmlLines]]' `&nbsp;` choice). Literal
+    * `replace` pairs — no regex — so both engines replay the chain
+    * byte-for-byte. Double-encoded damage (mojibake of mojibake) is
+    * out of scope: one pass repairs one layer.
+    */
+  private[graft] val mojibakeRepairs: Seq[(String, String)] = Seq(
+    "\u00e2\u20ac\u2122" -> "\u2019", // rsquo
+    "\u00e2\u20ac\u02dc" -> "\u2018", // lsquo
+    "\u00e2\u20ac\u0153" -> "\u201c", // ldquo
+    "\u00e2\u20ac\u009d" -> "\u201d", // rdquo (9D passes through as U+009D)
+    "\u00e2\u20ac\u201c" -> "\u2013", // ndash
+    "\u00e2\u20ac\u201d" -> "\u2014", // mdash
+    "\u00e2\u20ac\u00a6" -> "\u2026", // hellip
+    "\u00c3\u00a9" -> "\u00e9", // e-acute
+    "\u00c3\u00a8" -> "\u00e8", // e-grave
+    "\u00c3\u00bc" -> "\u00fc", // u-uml
+    "\u00c3\u00b1" -> "\u00f1", // n-tilde
+    "\u00c3\u00a7" -> "\u00e7", // c-cedilla
+    "\u00c3\u00a4" -> "\u00e4", // a-uml
+    "\u00c3\u00b6" -> "\u00f6", // o-uml
+    "\u00c3\u00a1" -> "\u00e1", // a-acute
+    "\u00c3\u00ad" -> "\u00ed", // i-acute (tail is U+00AD soft hyphen)
+    "\u00c3\u00b3" -> "\u00f3", // o-acute
+    "\u00c3\u00ba" -> "\u00fa", // u-acute
+    "\u00c3\u00af" -> "\u00ef", // i-uml
+    "\u00c3\u00a0" -> "\u00e0", // a-grave (tail is NBSP)
+    "\u00c2\u00a0" -> " ", // NBSP -> plain space (htmlLines' nbsp choice)
+    "\u00c2\u00a9" -> "\u00a9", // copyright
+    "\u00c2\u00ae" -> "\u00ae", // registered
+    "\u00c2\u00ab" -> "\u00ab", // laquo
+    "\u00c2\u00bb" -> "\u00bb") // raquo
+
+  /** Encoding-damage (mojibake) detector + repair — the quality signal
+    * the raw-web first mile is otherwise blind to: UTF-8 text that was
+    * read as Latin-1/cp1252 somewhere upstream ("â€™"-class sequences)
+    * sails through length/stopword/alpha gates while being visibly
+    * broken. Emits the per-doc damage count (a quality FEATURE to sit
+    * beside q26's score), the boolean verdict, and a bounded one-pass
+    * repair ([[mojibakeRepairs]]).
+    *
+    * Map-only, no UDF, no shuffle: one `regexp_count` over the
+    * [[mojibakeDetector]] class plus a literal replace chain — scales
+    * exactly like the scan. Null text → (0, false, NULL), so the
+    * operator composes over un-filtered corpora.
+    *
+    * Output: (<idCol>, mojibake_hits, damaged, text_repaired).
+    */
+  def encodingDamage(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val hits = coalesce(regexp_count(col(textCol), lit(mojibakeDetector)), lit(0))
+      .cast("long")
+    val repaired = mojibakeRepairs.foldLeft(col(textCol)) {
+      case (c, (from, to)) => replace(c, lit(from), lit(to))
+    }
+    docs.select(col(idCol), hits.as("mojibake_hits"),
+      (hits >= 1).as("damaged"), repaired.as("text_repaired"))
+  }
+
   /** Whitespace token count (the cheap estimator). */
   def wsTokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > 0))

@@ -177,6 +177,27 @@ class OpsSpec extends AnyFunSuite {
     // single-pass &-decode: &amp;#38; -> the literal text &#38;, never &
     assert(lines(3) === "write &#38; to show an entity but & is just and")
   }
+  test("encodingDamage: planted mojibake detected and repaired; clean/null text untouched") {
+    val rows = Seq(
+      (1L, "CafÃ© staff said â€™helloâ€™ â€” Â«dailyÂ» reports"),
+      (2L, "perfectly clean ascii prose with no damage at all"),
+      (3L, "legitimate unicode: café — “quoted” … stays"),
+      (4L, null.asInstanceOf[String]))
+    val got = TextOps.encodingDamage(rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) === 6L && got(1L).getBoolean(2))
+    assert(got(1L).getString(3) === "Café staff said ’hello’ — «daily» reports")
+    assert(got(2L).getLong(1) === 0L && !got(2L).getBoolean(2))
+    assert(got(2L).getString(3) === rows(1)._2)
+    // real accented/punctuation unicode is NOT damage (lead chars absent)
+    assert(got(3L).getLong(1) === 0L && got(3L).getString(3) === rows(2)._2)
+    assert(got(4L).getLong(1) === 0L && !got(4L).getBoolean(2) && got(4L).isNullAt(3))
+    // the repair clears every detector hit: re-scan of repaired = 0
+    val rescanned = TextOps.encodingDamage(
+      TextOps.encodingDamage(rows.toDF("doc_id", "text"))
+        .select($"doc_id", $"text_repaired".as("text"))).collect()
+    rescanned.foreach(r => assert(r.getLong(1) === 0L))
+  }
   test("extractionYield: per-source funnel matches hand-counted lines and chars") {
     // source a: one body line (5 tokens) + one heading (2 tokens,
     // density-dropped); source b: heading only -> zero kept
