@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{DedupOps, ModelOps, MultimodalOps, SampleOps, SimilarityOps, SketchOps, SuffixArrayOps, TextOps}
+import graft.ops.{DedupOps, ModelOps, MultimodalOps, SampleOps, SimilarityOps, SketchOps, SuffixArrayOps, TextOps, UrlOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Rounding.round // binary rounding, DuckDB-consistent (shadows functions.round)
@@ -1814,8 +1814,101 @@ private[graft] object OpsEntries {
           col("r_top_token"), col("r_repetition"), col("mojibake_hits"),
           (col("mojibake_hits") === 0).as("r_encoding"),
           (col("keep") && col("mojibake_hits") === 0).as("keep"))
+    }),
+
+    // URL-tier curation, the stage BEFORE extraction: canonicalize the
+    // crawl frontier (case, default ports, userinfo, trailing slashes,
+    // tracking params, fragments) so trivially-different entries
+    // collapse. The fixture varies every normalizable dimension by
+    // doc_id residue and plants un-parseable rows (doc_id%17==0) for
+    // the NULL quarantine path.
+    "q264_url_normalize" -> ((s, dir) =>
+      UrlOps.urlNormalize(urlFixture(t(s, dir, "documents")))),
+
+    // URL exact dedup on the normalized form: the fixture's case/port/
+    // tracking/slash/fragment variants collapse to one URL per
+    // (source, doc_id%25) group — first doc_id keeps, the rest drop
+    // before a byte of HTML would be fetched/parsed.
+    "q265_url_dedup" -> ((s, dir) =>
+      UrlOps.urlDedup(UrlOps.urlNormalize(urlFixture(t(s, dir, "documents"))))),
+
+    // Registrable-domain extraction (public-suffix-lite): two labels,
+    // three under a multi-label suffix (co.uk/github.io/...), IPv4 and
+    // single-label hosts register as themselves.
+    "q266_registered_domain" -> ((s, dir) =>
+      hostFixture(t(s, dir, "documents")).select(col("doc_id"), col("host"),
+        UrlOps.registeredDomain(col("host")).as("reg_domain"))),
+
+    // Per-registered-domain caps (the anti-monoculture rule): at most
+    // 10 docs per registrable domain in deterministic hash order. The
+    // host fixture gives capped domains (the per-source co.uk sites,
+    // example.com, the shared pages.github.io) AND under-cap ones
+    // (sparse IPv4 literals), so both branches replay.
+    "q267_domain_caps" -> ((s, dir) =>
+      UrlOps.domainCaps(UrlOps.urlNormalize(
+        hostFixture(t(s, dir, "documents")).select(col("doc_id"),
+          concat(lit("http://"), col("host"), lit("/p/"),
+            (col("doc_id") % 7).cast("string")).as("url"))), cap = 10)),
+
+    // The FULL raw-web first mile, one verified plan: URL normalize →
+    // URL dedup → HTML extract → curate. URL-dropped docs surface as
+    // reason='url_dup'; survivors flow through the q258 extract+curate
+    // chain unchanged. Un-parseable URLs (NULL url_norm) quarantine
+    // out of the build entirely.
+    "q268_url_extract_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dedup = UrlOps.urlDedup(UrlOps.urlNormalize(urlFixture(docs)))
+        .localCheckpoint(true) // the keep and drop branches both read it
+      val keptIds = dedup.filter(col("keep")).select("doc_id")
+      val curated = curationFrame(
+        TextOps.htmlExtract(htmlFixture(docs.join(keptIds, Seq("doc_id"))))
+          .select(col("doc_id"), col("text")).localCheckpoint(true))
+        .select(col("doc_id"), col("reason"), col("keep"))
+      dedup.filter(!col("keep"))
+        .select(col("doc_id"), lit("url_dup").as("reason"), lit(false).as("keep"))
+        .unionByName(curated)
     })
   )
+
+  /** The q264/q265/q268 URL fixture: every normalizable dimension
+    * varies by doc_id residue (scheme case, host case, userinfo,
+    * default ports, trailing slash, tracking params + param order,
+    * fragment) while the NORMALIZED form depends only on
+    * (source, doc_id%25) — so dedup groups are real. doc_id%17==0
+    * rows are un-parseable (no scheme) and must quarantine to NULL.
+    */
+  private[graft] def urlFixture(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
+      when(col("doc_id") % 17 === 0, lit("not a url: plain text")).otherwise(concat(
+        when(col("doc_id") % 4 === 0, lit("HTTP")).when(col("doc_id") % 2 === 0, lit("http"))
+          .when(col("doc_id") % 4 === 1, lit("https")).otherwise(lit("HTTPS")),
+        lit("://"),
+        when(col("doc_id") % 13 === 0, lit("crawler:pw@")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, concat(lit("WWW."), col("source"), lit(".Example.COM")))
+          .otherwise(concat(lit("www."), col("source"), lit(".example.com"))),
+        when(col("doc_id") % 10 === 0, lit(":80"))
+          .when(col("doc_id") % 10 === 5, lit(":443")).otherwise(lit("")),
+        lit("/articles/"), (col("doc_id") % 25).cast("string"),
+        when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit("")),
+        lit("?"),
+        when(col("doc_id") % 3 === 1, lit("utm_source=feed&b=2&a=1"))
+          .when(col("doc_id") % 3 === 2, lit("b=2&a=1&fbclid=XYZ"))
+          .otherwise(lit("a=1&b=2&utm_campaign=x")),
+        when(col("doc_id") % 5 === 2, lit("#section-3")).otherwise(lit(""))))
+        .as("url"))
+
+  /** The q266/q267 host fixture: per-source co.uk sites (3-label
+    * registration), a shared example.com, *.pages.github.io (the
+    * private-suffix case), sparse IPv4 literals, and a single-label
+    * intranet host.
+    */
+  private[graft] def hostFixture(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(lit("news."), col("source"), lit(".co.uk")))
+        .when(col("doc_id") % 5 === 1, concat(lit("www."), col("source"), lit(".example.com")))
+        .when(col("doc_id") % 5 === 2, concat(col("source"), lit(".pages.github.io")))
+        .when(col("doc_id") % 5 === 3, concat(lit("192.168.10."), (col("doc_id") % 40).cast("string")))
+        .otherwise(lit("intranet")).as("host"))
 
   /** The q262/q263 mojibake fixture suffix: one damaged sentence
     * carrying the three mojibake classes (Ã-pair, â€-trigram, Â-pair) —
@@ -5823,6 +5916,59 @@ private[graft] object OpsEntries {
            |FROM gf JOIN dmg ON dmg.doc_id = gf.doc_id""".stripMargin
     },
 
+    "q264_url_normalize" ->
+      (s"WITH ufix AS ($urlFixtureSql),\n" + urlNormCtes("ufix") +
+        "\nSELECT doc_id, url, url_norm FROM unorm"),
+
+    "q265_url_dedup" ->
+      (s"WITH ufix AS ($urlFixtureSql),\n" + urlNormCtes("ufix") +
+        """
+          |SELECT doc_id, url_norm,
+          |       doc_id = min(doc_id) OVER (PARTITION BY url_norm) AS keep
+          |FROM unorm WHERE url_norm IS NOT NULL""".stripMargin),
+
+    "q266_registered_domain" ->
+      (s"WITH hfix AS ($hostFixtureSql)\n" +
+        s"SELECT doc_id, host, ${regDomainSql("host")} AS reg_domain FROM hfix"),
+
+    // Normalize the synthesized per-host URLs, derive the registrable
+    // domain from the NORMALIZED authority, then the q61 hash-order
+    // quota window per domain.
+    "q267_domain_caps" -> {
+      import graft.ops.UrlOps
+      val hostOfNorm =
+        s"regexp_extract(regexp_extract(url_norm, '${sqQuote(UrlOps.authRe)}', 1), '${sqQuote(UrlOps.hostRe)}', 1)"
+      s"WITH hfix AS ($hostFixtureSql),\n" +
+        "hurl AS (SELECT doc_id, 'http://' || host || '/p/' || CAST(doc_id % 7 AS VARCHAR) AS url FROM hfix),\n" +
+        urlNormCtes("hurl") +
+        s""",
+           |dom AS (SELECT doc_id, url_norm, ${regDomainSql(hostOfNorm)} AS reg_domain
+           |        FROM unorm WHERE url_norm IS NOT NULL)
+           |SELECT doc_id, url_norm, reg_domain FROM (
+           |  SELECT doc_id, url_norm, reg_domain,
+           |    row_number() OVER (PARTITION BY reg_domain
+           |      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000000,
+           |        doc_id) AS r
+           |  FROM dom) WHERE r <= 10""".stripMargin
+    },
+
+    // URL tier + extract + curate as ONE chain: the url CTEs ride in
+    // as curationCtesFor's lead, xraw filters the html fixture to the
+    // url-kept ids, and the final union adds the url_dup rows.
+    "q268_url_extract_curate" ->
+      (curationCtesFor("xout", lead =
+        s"ufix AS ($urlFixtureSql),\n" + urlNormCtes("ufix") + ",\n" +
+          s"""ukeep AS (SELECT doc_id, url_norm,
+             |            doc_id = min(doc_id) OVER (PARTITION BY url_norm) AS keep
+             |          FROM unorm WHERE url_norm IS NOT NULL),
+             |xraw AS (SELECT * FROM ($htmlFixtureSql) hh
+             |         WHERE hh.doc_id IN (SELECT doc_id FROM ukeep WHERE keep)),
+             |""".stripMargin + htmlExtractCtes() + ",\n") +
+        """
+          |SELECT doc_id, 'url_dup' AS reason, false AS keep FROM ukeep WHERE NOT keep
+          |UNION ALL
+          |SELECT doc_id, reason, reason = 'kept' AS keep FROM v""".stripMargin),
+
     "q248_l_diversity" ->
       """WITH qi AS (SELECT lang,
         |              CASE WHEN n_chars <= 1 THEN 1
@@ -5933,6 +6079,85 @@ private[graft] object OpsEntries {
     s"""SELECT doc_id,
        |  CASE WHEN doc_id % 10 = 3 THEN text || '${sqQuote(mojiSuffix)}' ELSE text END AS text
        |FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  /** The q264/q265/q268 URL fixture in SQL — character-identical to
+    * [[urlFixture]]'s concat (def per the init-order trap). */
+  private def urlFixtureSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 17 = 0 THEN 'not a url: plain text'
+      |  ELSE
+      |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTP' WHEN doc_id % 2 = 0 THEN 'http'
+      |          WHEN doc_id % 4 = 1 THEN 'https' ELSE 'HTTPS' END) ||
+      |    '://' ||
+      |    (CASE WHEN doc_id % 13 = 0 THEN 'crawler:pw@' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || source || '.Example.COM'
+      |          ELSE 'www.' || source || '.example.com' END) ||
+      |    (CASE WHEN doc_id % 10 = 0 THEN ':80' WHEN doc_id % 10 = 5 THEN ':443' ELSE '' END) ||
+      |    '/articles/' || CAST(doc_id % 25 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+      |    '?' ||
+      |    (CASE WHEN doc_id % 3 = 1 THEN 'utm_source=feed&b=2&a=1'
+      |          WHEN doc_id % 3 = 2 THEN 'b=2&a=1&fbclid=XYZ'
+      |          ELSE 'a=1&b=2&utm_campaign=x' END) ||
+      |    (CASE WHEN doc_id % 5 = 2 THEN '#section-3' ELSE '' END)
+      |  END AS url
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  /** The q266/q267 host fixture in SQL — identical to [[hostFixture]]. */
+  private def hostFixtureSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN 'news.' || source || '.co.uk'
+      |       WHEN doc_id % 5 = 1 THEN 'www.' || source || '.example.com'
+      |       WHEN doc_id % 5 = 2 THEN source || '.pages.github.io'
+      |       WHEN doc_id % 5 = 3 THEN '192.168.10.' || CAST(doc_id % 40 AS VARCHAR)
+      |       ELSE 'intranet' END AS host
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  /** [[graft.ops.UrlOps.urlNormalize]] as a CTE chain over
+    * `rel(doc_id, url)`, ending in `unorm(doc_id, url, url_norm)` —
+    * every pattern spliced from the engine's own UrlOps constants so
+    * the two normalizers cannot drift.
+    */
+  private def urlNormCtes(rel: String): String = {
+    import graft.ops.UrlOps
+    s"""up0 AS (SELECT doc_id, url, trim(url) AS u FROM $rel),
+       |up1 AS (SELECT doc_id, url,
+       |          lower(regexp_extract(u, '${sqQuote(UrlOps.schemeRe)}', 1)) AS scheme,
+       |          lower(regexp_replace(regexp_extract(u, '${sqQuote(UrlOps.authRe)}', 1), '${sqQuote(UrlOps.userinfoRe)}', '')) AS hostport,
+       |          regexp_replace(regexp_extract(u, '${sqQuote(UrlOps.pathRe)}', 1), '/+$$', '') AS path,
+       |          regexp_extract(u, '${sqQuote(UrlOps.queryRe)}', 1) AS q
+       |        FROM up0),
+       |up2 AS (SELECT doc_id, url, scheme,
+       |          regexp_extract(hostport, '${sqQuote(UrlOps.hostRe)}', 1) AS host,
+       |          regexp_extract(hostport, '${sqQuote(UrlOps.portRe)}', 1) AS port, path, q FROM up1),
+       |up3 AS (SELECT doc_id, url, scheme, host, port, path,
+       |          array_to_string(list_sort(list_filter(string_split(q, '&'),
+       |            p -> p <> '' AND NOT regexp_matches(p, '${sqQuote(UrlOps.trackingRe)}'))), '&') AS qs
+       |        FROM up2),
+       |unorm AS (SELECT doc_id, url,
+       |    CASE WHEN scheme = '' OR host = '' THEN NULL
+       |         ELSE scheme || '://' || host ||
+       |              (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+       |                         OR (scheme = 'https' AND port = '443'))
+       |                    THEN ':' || port ELSE '' END) ||
+       |              path ||
+       |              (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END)
+       |    END AS url_norm
+       |  FROM up3)""".stripMargin
+  }
+
+  /** [[graft.ops.UrlOps.registeredDomain]] as a SQL expression over a
+    * lowercase host expression. */
+  private def regDomainSql(hostExpr: String): String = {
+    val multi = graft.ops.UrlOps.multiSuffixes.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""CASE WHEN regexp_matches($hostExpr, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') THEN $hostExpr
+       |     WHEN regexp_extract($hostExpr, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+       |          AND list_contains($multi, regexp_extract($hostExpr, '([^.]+\\.[^.]+)$$', 1))
+       |       THEN regexp_extract($hostExpr, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
+       |     WHEN regexp_extract($hostExpr, '([^.]+\\.[^.]+)$$', 1) <> ''
+       |       THEN regexp_extract($hostExpr, '([^.]+\\.[^.]+)$$', 1)
+       |     ELSE $hostExpr END""".stripMargin
+  }
 
   /** The q121 Gopher-gate chain as CTEs over `docsRel(doc_id, text)`,
     * ending in `gf(doc_id, n_tokens, r_*, keep)` — the `For` form so

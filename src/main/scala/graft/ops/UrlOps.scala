@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL-tier curation operators — the stage BEFORE HTML extraction in a
+  * raw-web training-data pipeline (the CCNet/RefinedWeb/Dolma-class
+  * build order): crawl frontiers concentrate URL-level duplicates that
+  * are cheaper to kill before a single byte of markup is parsed — the
+  * q261 measured extract-before-dedup argument applied one stage
+  * earlier. Four operators:
+  *
+  *   - [[urlNormalize]]   canonical URL form (case, ports, userinfo,
+  *                        trailing slashes, tracking params, fragments)
+  *   - [[urlDedup]]       exact dedup on the normalized form
+  *   - [[registeredDomain]] public-suffix-lite registrable domain
+  *   - [[domainCaps]]     per-registered-domain document caps
+  *
+  * Everything except the dedup/cap aggregates is a map-only column
+  * expression (no UDF), so the tier scales exactly like the scan; the
+  * dedup shuffle keys on the normalized URL and the cap window keys on
+  * the registered domain — both naturally high-cardinality keys at
+  * corpus scale. Every regex/pattern here is shared verbatim with the
+  * DuckDB oracle chain (spliced from these constants), so the two
+  * engines cannot drift.
+  */
+object UrlOps {
+
+  /** Per-component URL patterns — deliberately separate anchored
+    * regexes (not one pattern with optional groups) so "no match"
+    * uniformly yields '' in BOTH java.util.regex and RE2 engines.
+    */
+  private[graft] val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private[graft] val authRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  private[graft] val pathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+  private[graft] val queryRe = "\\?([^#]*)"
+  private[graft] val userinfoRe = "^[^@]*@"
+  private[graft] val hostRe = "^([^:]*)"
+  private[graft] val portRe = ":([0-9]+)$"
+
+  /** Tracking-parameter kill list (anchored over one `k=v` param):
+    * the analytics/click-id params that vary per visit without
+    * changing the resource — utm_*, the ad click ids, mail-campaign
+    * ids, and bare `ref`/`ref_src`. Bounded by design; extending it is
+    * a one-line change mirrored automatically into the oracle.
+    */
+  private[graft] val trackingRe =
+    "^(?:utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid|yclid|_hsenc|_hsmi|ref|ref_src)(?:=.*)?$"
+
+  /** Canonical URL form — the normalization every crawl pipeline runs
+    * before URL-level dedup so trivially-different frontier entries
+    * collapse:
+    *
+    *   - scheme and host lowercase; userinfo (`user:pw@`) strips
+    *   - default ports strip (`:80` on http, `:443` on https);
+    *     non-default ports survive (they address a different server)
+    *   - trailing slashes strip from the path (`/a/` ≡ `/a`; the bare
+    *     root `http://h/` ≡ `http://h`)
+    *   - query params: empties drop, [[trackingRe]] params drop, the
+    *     survivors SORT lexicographically and rejoin (param order is
+    *     not semantic; sorting makes `?b=2&a=1` ≡ `?a=1&b=2`)
+    *   - the fragment drops (never sent to the server)
+    *
+    * A row whose value has no scheme or no host is not a fetchable
+    * URL: `url_norm` is NULL (the quarantine convention — downstream
+    * [[urlDedup]]/[[domainCaps]] skip it rather than guess).
+    *
+    * Map-only, no UDF: per-component `regexp_extract` + one sorted
+    * list rebuild. Output: (<idCol>, <urlCol>, url_norm).
+    */
+  def urlNormalize(docs: DataFrame, idCol: String = "doc_id",
+                   urlCol: String = "url"): DataFrame = {
+    val u = trim(col(urlCol))
+    val scheme = lower(regexp_extract(u, schemeRe, 1))
+    val hostport = lower(regexp_replace(regexp_extract(u, authRe, 1), userinfoRe, ""))
+    val host = regexp_extract(hostport, hostRe, 1)
+    val port = regexp_extract(hostport, portRe, 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
+    val path = regexp_replace(regexp_extract(u, pathRe, 1), "/+$", "")
+    val qs = array_join(array_sort(filter(split(regexp_extract(u, queryRe, 1), "&"),
+      p => p =!= "" && !p.rlike(trackingRe))), "&")
+    val norm = concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(qs =!= "", concat(lit("?"), qs)).otherwise(lit("")))
+    docs.select(col(idCol), col(urlCol),
+      when(scheme === "" || host === "", lit(null).cast("string"))
+        .otherwise(norm).as("url_norm"))
+  }
+
+  /** Exact URL dedup over [[urlNormalize]]'s output: the first id (by
+    * value) per normalized URL keeps, the rest drop — the frontier
+    * dedup that kills re-crawls before fetch/parse cost. Invalid rows
+    * (NULL url_norm) are excluded (quarantine, not silently grouped).
+    *
+    * Plan shape: ONE window min over a url_norm-keyed shuffle (no
+    * distinct + join re-read); at corpus scale the key is effectively
+    * unique-ish so partitions stay balanced.
+    *
+    * Output: (<idCol>, url_norm, keep).
+    */
+  def urlDedup(normed: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("url_norm")
+    normed.filter(col("url_norm").isNotNull)
+      .select(col(idCol), col("url_norm"),
+        (col(idCol) === min(col(idCol)).over(w)).as("keep"))
+  }
+
+  /** Public-suffix-lite multi-label suffixes: the bounded table of
+    * two-label suffixes under which the registrable domain is THREE
+    * labels (the `Retention.defaultRules` broadcast-table pattern; a
+    * full public-suffix list drops in the same shape). Everything else
+    * registers at two labels.
+    */
+  private[graft] val multiSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "co.jp", "co.kr", "co.in", "co.nz",
+    "com.au", "net.au", "com.br", "com.mx",
+    "github.io")
+
+  /** Registrable domain of a (lowercase) host — the per-site grouping
+    * key for caps, blocklists, and provenance rollups: the last two
+    * labels, or three when the last two are a [[multiSuffixes]] entry;
+    * IPv4 literals and single-label hosts (intranet names) register as
+    * themselves. Pure expression (regex last-k-labels extraction — no
+    * split/element_at, so short hosts cannot index out of bounds).
+    */
+  def registeredDomain(host: Column): Column = {
+    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    val isIp = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")
+    when(isIp, host)
+      .when(last3 =!= "" && last2.isin(multiSuffixes: _*), last3)
+      .when(last2 =!= "", last2)
+      .otherwise(host)
+  }
+
+  /** Per-registered-domain document caps over [[urlNormalize]]'s
+    * output: at most `cap` docs per registrable domain, selected in
+    * the deterministic [[SampleOps.groupQuota]] hash order (same docs
+    * on every run, layout, and engine) — the anti-monoculture rule
+    * that stops one template farm from dominating a source mix.
+    * Invalid rows (NULL url_norm) drop.
+    *
+    * Plan shape: map-only domain derivation + ONE window over a
+    * domain-keyed shuffle. Output: (<idCol>, url_norm, reg_domain),
+    * kept rows only.
+    */
+  def domainCaps(normed: DataFrame, cap: Int, idCol: String = "doc_id"): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    // authority of the NORMALIZED url may still carry a non-default
+    // port — strip it before domain registration
+    val host = regexp_extract(regexp_extract(col("url_norm"), authRe, 1), hostRe, 1)
+    val withDom = normed.filter(col("url_norm").isNotNull)
+      .select(col(idCol), col("url_norm"), registeredDomain(host).as("reg_domain"))
+    SampleOps.groupQuota(withDom, "reg_domain", idCol, cap)
+  }
+}

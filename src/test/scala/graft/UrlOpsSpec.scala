@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.UrlOps
+
+/** URL-tier curation goldens: hostile-URL normalization, exact dedup
+  * on the normalized form, public-suffix-lite domain registration, and
+  * deterministic per-domain caps.
+  */
+class UrlOpsSpec extends AnyFunSuite {
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def norm(urls: (Long, String)*): Map[Long, Option[String]] =
+    UrlOps.urlNormalize(urls.toDF("doc_id", "url")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+
+  test("urlNormalize: hostile-URL goldens") {
+    val got = norm(
+      1L -> "HTTP://User:pw@WWW.Example.COM:80/a/b/?b=2&utm_source=x&a=1#frag",
+      2L -> "https://example.com:443/",
+      3L -> "https://example.com:8443/x",
+      4L -> "http://example.com/a//",
+      5L -> "http://example.com/a?fbclid=abc&ref=tw",
+      6L -> "  http://example.com/pad  ",
+      7L -> "not a url at all",
+      8L -> "http://example.com?a=1&a=0",
+      9L -> "ftp://Files.Example.org/pub/")
+    assert(got(1L) === Some("http://www.example.com/a/b?a=1&b=2"))
+    assert(got(2L) === Some("https://example.com"))        // default port + root slash
+    assert(got(3L) === Some("https://example.com:8443/x")) // non-default port SURVIVES
+    assert(got(4L) === Some("http://example.com/a"))       // all trailing slashes
+    assert(got(5L) === Some("http://example.com/a"))       // only tracking params -> no '?'
+    assert(got(6L) === Some("http://example.com/pad"))     // outer whitespace
+    assert(got(7L) === None)                               // quarantine
+    assert(got(8L) === Some("http://example.com?a=0&a=1")) // repeated key sorts by value
+    assert(got(9L) === Some("ftp://files.example.org/pub")) // non-http scheme, no port rule
+  }
+
+  test("urlDedup: variants collapse, first id keeps, invalid rows drop") {
+    val urls = Seq(
+      (10L, "HTTP://A.com/x/?utm_source=f"),
+      (11L, "http://a.com/x"),
+      (12L, "http://a.com/x#sec"),
+      (13L, "http://a.com/y"),
+      (14L, "junk")).toDF("doc_id", "url")
+    val got = UrlOps.urlDedup(UrlOps.urlNormalize(urls)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(got.keySet === Set(10L, 11L, 12L, 13L)) // 14 quarantined
+    assert(got(10L) === (("http://a.com/x", true)))
+    assert(got(11L)._2 === false && got(12L)._2 === false)
+    assert(got(13L) === (("http://a.com/y", true)))
+  }
+
+  test("registeredDomain: psl-lite registration") {
+    val hosts = Seq("www.example.com", "news.bbc.co.uk", "deep.sub.example.org",
+      "src0.pages.github.io", "192.168.10.7", "intranet", "example.com", "co.uk")
+    val got = hosts.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("id", "host")
+      .select($"host", UrlOps.registeredDomain($"host"))
+      .as[(String, String)].collect().toMap
+    assert(got("www.example.com") === "example.com")
+    assert(got("news.bbc.co.uk") === "bbc.co.uk")
+    assert(got("deep.sub.example.org") === "example.org")
+    assert(got("src0.pages.github.io") === "pages.github.io")
+    assert(got("192.168.10.7") === "192.168.10.7")
+    assert(got("intranet") === "intranet")
+    assert(got("example.com") === "example.com")
+    // a bare multi-suffix has no registrable label: stays itself
+    assert(got("co.uk") === "co.uk")
+  }
+
+  test("domainCaps: cap enforced per registered domain, deterministic, under-cap passes whole") {
+    val urls = (0L until 30L).map(i => (i, s"http://s${i % 3}.big.example.com/p/$i")) ++
+      Seq((100L, "http://only.example.org/x"), (101L, "http://other.example.org/y"))
+    val normed = UrlOps.urlNormalize(urls.toDF("doc_id", "url"))
+    val got = UrlOps.domainCaps(normed, cap = 4).collect()
+    val byDom = got.groupBy(_.getString(2)).view.mapValues(_.map(_.getLong(0)).sorted.toSeq)
+    // all 30 big.example.com hosts share ONE registered domain -> 4 kept
+    assert(byDom("example.com").size === 4)
+    assert(byDom("example.org").toSeq.flatMap(x => Seq(x)).size === 2) // under cap: all kept
+    // determinism: a second run selects the same ids
+    val again = UrlOps.domainCaps(normed, cap = 4).collect()
+      .filter(_.getString(2) == "example.com").map(_.getLong(0)).sorted.toSeq
+    assert(again === byDom("example.com"))
+    assertThrows[IllegalArgumentException](UrlOps.domainCaps(normed, cap = 0))
+  }
+}
