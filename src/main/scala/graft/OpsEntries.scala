@@ -1867,6 +1867,40 @@ private[graft] object OpsEntries {
       dedup.filter(!col("keep"))
         .select(col("doc_id"), lit("url_dup").as("reason"), lit(false).as("keep"))
         .unionByName(curated)
+    }),
+
+    // The boilerplate loop CLOSED inside the composed build: extract →
+    // DISCOVER the template hit list (q260's df≥2 rule) → REMOVE
+    // exactly that list (broadcast join, not a corpus shuffle) →
+    // curate. Discovery before destruction, as one verified plan —
+    // r10 shipped the discovery and the removal separately; this is
+    // the loop.
+    "q269_boiler_removed_curate" -> ((s, dir) => {
+      val extracted = TextOps.htmlExtract(htmlFixture(t(s, dir, "documents")))
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint(true) // discovery + removal both read it
+      val hits = TextOps.boilerplateLines(extracted).select("line")
+      val cleaned = TextOps.removeLines(extracted, hits)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint(true) // curation's four readers
+      curationFrame(cleaned).select(col("doc_id"), col("reason"), col("keep"))
+    }),
+
+    // WHY the removal pass pays for itself, measured (the q261
+    // discipline applied to the boilerplate loop): the band-skew audit
+    // on the extracted corpus vs the same corpus after hit-list
+    // removal — shared template lines win minhash slots, so removing
+    // them collapses candidate pair-work BEFORE the dedup tier runs.
+    "q270_boiler_removal_impact" -> ((s, dir) => {
+      val extracted = TextOps.htmlExtract(htmlFixture(t(s, dir, "documents")))
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint(true) // audit + discovery + removal read it
+      val hits = TextOps.boilerplateLines(extracted).select("line")
+      val cleaned = TextOps.removeLines(extracted, hits)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      DedupOps.bandSkewAudit(extracted).select(lit("extracted").as("variant"), col("*"))
+        .unionByName(DedupOps.bandSkewAudit(cleaned)
+          .select(lit("boiler_removed").as("variant"), col("*")))
     })
   )
 
@@ -5863,17 +5897,7 @@ private[graft] object OpsEntries {
     // visible inside), one over the raw markup, one over the
     // extraction — labeled union.
     "q261_extract_dedup_impact" -> {
-      def audit(rel: String): String =
-        s"""(${minhashSigCtesFor(rel)},
-           |bs2 AS (SELECT band, count(*) AS n FROM banded GROUP BY band)
-           |SELECT count(*) AS n_buckets, max(n) AS max_bucket,
-           |       round(quantile_cont(n, 0.5), 4) AS p50_bucket,
-           |       round(quantile_cont(n, 0.99), 4) AS p99_bucket,
-           |       CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS total_pairs,
-           |       round(CASE WHEN sum((n * (n - 1)) // 2) > 0
-           |             THEN ((max(n) * (max(n) - 1)) // 2) / CAST(sum((n * (n - 1)) // 2) AS DOUBLE)
-           |             ELSE 0.0 END, 4) AS top1_share
-           |FROM bs2)""".stripMargin
+      def audit(rel: String): String = bandAuditSql(rel)
       s"WITH xraw AS ($htmlFixtureSql),\n" + htmlExtractCtes() +
         s""",
            |rawside AS (SELECT doc_id, html AS text FROM xraw),
@@ -5968,6 +5992,23 @@ private[graft] object OpsEntries {
           |SELECT doc_id, 'url_dup' AS reason, false AS keep FROM ukeep WHERE NOT keep
           |UNION ALL
           |SELECT doc_id, reason, reason = 'kept' AS keep FROM v""".stripMargin),
+
+    // extract → discover → remove CTEs ride in as curationCtesFor's
+    // lead; the cleaned corpus (xcur) replaces documents downstream.
+    "q269_boiler_removed_curate" ->
+      (curationCtesFor("xcur", lead = boilerRemovedCtes +
+        ",\nxcur AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM xclean),\n") +
+        "\nSELECT doc_id, reason, reason = 'kept' AS keep FROM v"),
+
+    // Two band audits (the q261 shape): extracted vs boiler-removed.
+    "q270_boiler_removal_impact" ->
+      ("WITH " + boilerRemovedCtes +
+        s""",
+           |extside AS (SELECT doc_id, text FROM xout),
+           |cleanside AS (SELECT doc_id, clean_text AS text FROM xclean)
+           |SELECT 'extracted' AS variant, * FROM ${bandAuditSql("extside")}
+           |UNION ALL
+           |SELECT 'boiler_removed' AS variant, * FROM ${bandAuditSql("cleanside")}""".stripMargin),
 
     "q248_l_diversity" ->
       """WITH qi AS (SELECT lang,
@@ -6145,6 +6186,43 @@ private[graft] object OpsEntries {
        |    END AS url_norm
        |  FROM up3)""".stripMargin
   }
+
+  /** One q178 band-skew audit as a nested-WITH subquery over
+    * `rel(doc_id, text)` — shared by q261 (raw vs extracted) and q270
+    * (extracted vs boilerplate-removed). Analytic Σn·(n−1)/2 from
+    * bucket sizes; nothing quadratic materializes.
+    */
+  private def bandAuditSql(rel: String): String =
+    s"""(${minhashSigCtesFor(rel)},
+       |bs2 AS (SELECT band, count(*) AS n FROM banded GROUP BY band)
+       |SELECT count(*) AS n_buckets, max(n) AS max_bucket,
+       |       round(quantile_cont(n, 0.5), 4) AS p50_bucket,
+       |       round(quantile_cont(n, 0.99), 4) AS p99_bucket,
+       |       CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS total_pairs,
+       |       round(CASE WHEN sum((n * (n - 1)) // 2) > 0
+       |             THEN ((max(n) * (max(n) - 1)) // 2) / CAST(sum((n * (n - 1)) // 2) AS DOUBLE)
+       |             ELSE 0.0 END, 4) AS top1_share
+       |FROM bs2)""".stripMargin
+
+  /** Extract → discover → remove as CTEs (NO leading WITH): the
+    * [[htmlExtractCtes]] chain, the q260 df≥2 hit-list discovery
+    * (`bl`), and the hit-list removal with in-order reassembly,
+    * ending in `xclean(doc_id, n_lines, n_removed, clean_text)` —
+    * shared by the q269 composed build and the q270 impact audit.
+    */
+  private def boilerRemovedCtes: String =
+    s"xraw AS ($htmlFixtureSql),\n" + htmlExtractCtes() + ",\n" +
+      """xsp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM xout),
+        |xli AS (SELECT doc_id, CAST(unnest(generate_series(1, len(ls))) AS INTEGER) AS li, ls FROM xsp),
+        |xl2 AS (SELECT doc_id, li, ls[li] AS line FROM xli),
+        |bl AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df FROM xl2
+        |        WHERE line <> '' GROUP BY line) WHERE df >= 2),
+        |xfl AS (SELECT doc_id, li, line, line IN (SELECT line FROM bl) AS bn FROM xl2),
+        |xclean AS MATERIALIZED (SELECT doc_id,
+        |        CAST(count(*) AS BIGINT) AS n_lines,
+        |        CAST(sum(CASE WHEN bn THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |        coalesce(string_agg(CASE WHEN NOT bn THEN line END, chr(10) ORDER BY li), '') AS clean_text
+        |      FROM xfl GROUP BY doc_id)""".stripMargin
 
   /** [[graft.ops.UrlOps.registeredDomain]] as a SQL expression over a
     * lowercase host expression. */

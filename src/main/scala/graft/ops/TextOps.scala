@@ -692,6 +692,45 @@ object TextOps {
       .select(col("did").as(idCol), col("n_lines"), col("n_removed"), col("clean_text"))
   }
 
+  /** Hit-list line removal — the DESTRUCTIVE half of the
+    * discovery→removal loop: [[boilerplateLines]] discovers the
+    * template/nav/footer lines (so a human or a threshold can inspect
+    * them first), this removes exactly that list from every document
+    * and reassembles the text in order. Unlike [[removeDupLines]]
+    * (which fuses discovery and removal), the hit list here is an
+    * explicit input — the loop a production build wants: discover,
+    * review/version the list, THEN destroy.
+    *
+    * Lines match EXACTLY (the extraction stage already collapsed
+    * whitespace, and the hit list comes from the same extraction, so
+    * the two cannot disagree about a line's spelling).
+    *
+    * Plan shape: one explode, one BROADCAST left join against the
+    * offender-sized hit list (no corpus-keyed shuffle for the ban
+    * verdict at all — the win over removeDupLines when the list is
+    * already known), one per-doc ordered re-aggregate.
+    *
+    * Output: (<idCol>, n_lines, n_removed, clean_text).
+    */
+  def removeLines(docs: org.apache.spark.sql.DataFrame,
+                  lines: org.apache.spark.sql.DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  sep: String = "\n"): org.apache.spark.sql.DataFrame = {
+    val l = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("did"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("li", "line")))
+    val banned = broadcast(lines.select(col("line")).distinct()
+      .withColumn("_banned", lit(true)))
+    l.join(banned, Seq("line"), "left")
+      .groupBy("did")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_banned"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+            when(col("_banned").isNull, struct(col("li"), col("line"))))),
+          x => x.getField("line")), sep).as("clean_text"))
+      .select(col("did").as(idCol), col("n_lines"), col("n_removed"), col("clean_text"))
+  }
+
   /** WITHIN-document repeated-line removal — the other half of the C4
     * line discipline ([[removeDupLines]] is the cross-corpus half):
     * inside each document, only the FIRST occurrence of a line's

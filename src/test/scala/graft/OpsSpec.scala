@@ -177,6 +177,24 @@ class OpsSpec extends AnyFunSuite {
     // single-pass &-decode: &amp;#38; -> the literal text &#38;, never &
     assert(lines(3) === "write &#38; to show an entity but & is just and")
   }
+  test("removeLines: discovered template lines vanish everywhere; within-doc repeats survive") {
+    val docs = Seq(
+      (1L, "real prose of doc one\nvisit our help desk today\necho me\necho me"),
+      (2L, "visit our help desk today\nother prose"),
+      (3L, "untouched content")).toDF("doc_id", "text")
+    val hits = TextOps.boilerplateLines(docs) // discovers ONLY the cross-doc line
+    val got = TextOps.removeLines(docs, hits.select("line")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // the shared template line dies in every doc; the within-doc
+    // repeat (df = 1 distinct doc) is NOT in the hit list and survives
+    assert(got(1L).getString(3) === "real prose of doc one\necho me\necho me")
+    assert(got(1L).getLong(1) === 4L && got(1L).getLong(2) === 1L)
+    assert(got(2L).getString(3) === "other prose")
+    assert(got(3L).getLong(2) === 0L && got(3L).getString(3) === "untouched content")
+    // empty hit list removes nothing
+    val none = TextOps.removeLines(docs, Seq.empty[String].toDF("line")).collect()
+    assert(none.forall(_.getLong(2) === 0L))
+  }
   test("encodingDamage: planted mojibake detected and repaired; clean/null text untouched") {
     val rows = Seq(
       (1L, "CafÃ© staff said â€™helloâ€™ â€” Â«dailyÂ» reports"),
