@@ -1901,6 +1901,21 @@ private[graft] object OpsEntries {
       DedupOps.bandSkewAudit(extracted).select(lit("extracted").as("variant"), col("*"))
         .unionByName(DedupOps.bandSkewAudit(cleaned)
           .select(lit("boiler_removed").as("variant"), col("*")))
+    }),
+
+    // PER-SOURCE partial IVF refresh: q256's global-min gate split by
+    // source — stable sources keep yesterday's cells (map-only
+    // re-route), only drifted or A-unseen sources go through the fresh
+    // quantizer. On the natural snapshots every scale lands MIXED:
+    // sf0.001 all 16 compared sources stable + the 4 A-unseen sources
+    // refreshed; sf0.01 drifts src2/src8; sf0.1 drifts
+    // src8/src11/src13 — so both branches replay at every gate scale.
+    "q271_ivf_refresh_partial" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      SimilarityOps.ivfRefreshPartial(
+        docs.filter(col("doc_id") % 5 =!= 4),
+        docs.filter(col("doc_id") % 7 =!= 6),
+        t(s, dir, "embeddings"))
     })
   )
 
@@ -5850,6 +5865,38 @@ private[graft] object OpsEntries {
            |UNION ALL
            |SELECT vec_id, CAST(cell AS INTEGER) AS cell, true AS refreshed
            |FROM rb_asg WHERE NOT coalesce((SELECT m FROM mdc) >= 0.9, false)""".stripMargin
+    },
+
+    // The q256 two-codebook replay with the gate applied PER SOURCE:
+    // stable sources' B vectors read from abasg (B against A's cells),
+    // drifted/A-unseen sources from rb_asg (B against fresh cells).
+    "q271_ivf_refresh_partial" -> {
+      val embA = "SELECT e.vec_id, e.embedding FROM embeddings e " +
+        "JOIN documents d ON d.doc_id = e.vec_id " +
+        "WHERE e.embedding IS NOT NULL AND d.doc_id % 5 <> 4"
+      val embB = "SELECT e.vec_id, e.embedding FROM embeddings e " +
+        "JOIN documents d ON d.doc_id = e.vec_id " +
+        "WHERE e.embedding IS NOT NULL AND d.doc_id % 7 <> 6"
+      kmeansCtes("SELECT 8 AS k", 3, 64, embA, mat = true, prefix = "ra_", lead = true) +
+        s"ra_cl3 AS MATERIALIZED (SELECT cell, list(value ORDER BY dim) AS cv FROM ra_c3 GROUP BY cell),\n" +
+        kmeansCtes("SELECT 8 AS k", 3, 64, embB, mat = true, prefix = "rb_", lead = false) +
+        kmeansAssignCtes(3, mat = true, prefix = "rb_") +
+        s"""abasg AS MATERIALIZED (SELECT vec_id, cell FROM (
+           |  SELECT e.vec_id, c.cell,
+           |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${kmeansL2("e.embedding", "c.cv")}, c.cell) AS r
+           |  FROM rb_emb e CROSS JOIN ra_cl3 c) WHERE r = 1),
+           |${driftCtes("d.doc_id % 5 <> 4", "d.doc_id % 7 <> 6")},
+           |stbl AS (SELECT source FROM drft WHERE drift_cosine >= 0.9),
+           |rbsrc AS (SELECT e.vec_id, d.source FROM embeddings e
+           |          JOIN documents d ON d.doc_id = e.vec_id
+           |          WHERE e.embedding IS NOT NULL AND d.doc_id % 7 <> 6)
+           |SELECT s.vec_id, s.source, CAST(a.cell AS INTEGER) AS cell, false AS refreshed
+           |FROM rbsrc s JOIN abasg a ON a.vec_id = s.vec_id
+           |WHERE s.source IN (SELECT source FROM stbl)
+           |UNION ALL
+           |SELECT s.vec_id, s.source, CAST(b.cell AS INTEGER) AS cell, true AS refreshed
+           |FROM rbsrc s JOIN rb_asg b ON b.vec_id = s.vec_id
+           |WHERE s.source NOT IN (SELECT source FROM stbl)""".stripMargin
     },
 
     "q257_html_extract" ->

@@ -1374,6 +1374,67 @@ object SimilarityOps {
         lit(!stable).as("refreshed"))
   }
 
+  /** PER-SOURCE partial index refresh — [[ivfRefresh]]'s gate split by
+    * source. The q256 decision is global-min: ONE drifted source
+    * retrains the whole index and re-routes every vector, so at a
+    * 100 TB incremental ingest the common case (one hot source drifts)
+    * pays the worst case. Here each source decides for itself:
+    *
+    *   - drift_cosine ≥ `minDriftCos` → STABLE: that source's
+    *     snapshot-B vectors route through yesterday's
+    *     (snapshot-A-trained) cells — map-only, refreshed = false;
+    *   - below the floor, or NO comparable snapshot-A source → that
+    *     source's vectors go through the freshly-trained snapshot-B
+    *     quantizer, refreshed = true.
+    *
+    * COMPARABILITY CONTRACT: `cell` is meaningful only WITHIN a
+    * codebook, and `refreshed` IS the codebook tag (false =
+    * yesterday's centroids, true = today's). Downstream candidate
+    * generation must never equi-join `cell` across the tag — a
+    * mixed-tag bucket compares vectors quantized by different
+    * centroids. A serving layer treats the two halves as two index
+    * partitions (probe both, merge by exact distance) — exactly the
+    * staged-migration window every real index rollover has.
+    *
+    * Cost shape: the gate is TWO sources-bounded driver reads (the
+    * drift verdicts + snapshot B's source list); at most TWO Lloyds
+    * run, each ONLY when its branch is non-empty — all-stable pays one
+    * A-train plus a map-only route, all-drifted pays exactly q256's
+    * refresh. In production both codebooks are [[ivfTrain]] state
+    * handed in, not retrained per call.
+    *
+    * Output: (<vecIdCol>, <srcCol>, cell, refreshed) over snapshot B's
+    * non-null vectors.
+    */
+  def ivfRefreshPartial(docsA: DataFrame, docsB: DataFrame, emb: DataFrame,
+                        minDriftCos: Double = 0.9, kCells: Int = 8, iters: Int = 3,
+                        dims: Int = 64, docIdCol: String = "doc_id",
+                        vecIdCol: String = "vec_id", srcCol: String = "source",
+                        vecCol: String = "embedding"): DataFrame = {
+    val drift = snapshotCentroidDrift(docsA, docsB, emb, dims, docIdCol,
+      vecIdCol, srcCol, vecCol)
+    val stableSrcs = drift.filter(col("drift_cosine") >= minDriftCos)
+      .select(col(srcCol)).collect().map(_.getString(0)).toSet
+    val bSrcs = docsB.select(col(srcCol)).distinct()
+      .collect().map(_.getString(0)).toSet
+    val refreshSrcs = bSrcs -- stableSrcs
+    val serveSrcs = stableSrcs intersect bSrcs
+    val corpusB = emb
+      .join(docsB.select(col(docIdCol).as(vecIdCol), col(srcCol)), Seq(vecIdCol))
+      .filter(col(vecCol).isNotNull)
+    def branch(srcs: Set[String], onA: Boolean): DataFrame = {
+      val cents = ivfTrain(
+        emb.join((if (onA) docsA else docsB).select(col(docIdCol).as(vecIdCol)),
+          Seq(vecIdCol)), kCells, iters, vecIdCol, vecCol)
+      corpusB.filter(col(srcCol).isin(srcs.toSeq: _*))
+        .select(col(vecIdCol), col(srcCol), assignCell(cents, vecCol).as("cell"),
+          lit(!onA).as("refreshed"))
+    }
+    if (refreshSrcs.isEmpty) branch(serveSrcs, onA = true)
+    else if (serveSrcs.isEmpty) branch(refreshSrcs, onA = false)
+    else branch(serveSrcs, onA = true).unionByName(branch(refreshSrcs, onA = false))
+  }
+
   /** Rank-biased overlap between two ranked lists per query: RBO@k
     * with persistence p — the ranked-list agreement measure recall@k
     * flattens (recall treats rank 1 and rank k as equal; RBO weights

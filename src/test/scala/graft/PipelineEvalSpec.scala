@@ -451,6 +451,43 @@ class PipelineEvalSpec extends AnyFunSuite {
     assert(disjoint.length === 4 && disjoint.forall(_.getBoolean(2)))
   }
 
+  test("ivfRefreshPartial: ONLY the rotated source refreshes; A-unseen sources refresh; " +
+    "all-stable routes everything through yesterday's cells") {
+    // alpha stable (+x in both snapshots), beta rotates (+y in its A
+    // ids, +x in its B ids), gamma exists ONLY in snapshot B
+    val docs = (0L to 11L).map { i =>
+      (i, if (i < 4) "alpha" else if (i < 8) "beta" else "gamma")
+    }.toDF("doc_id", "source")
+    val a = docs.filter(col("doc_id") % 2 === 0 && col("source") =!= "gamma")
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val emb = (0L to 11L).map { i =>
+      if (i < 4) (i, Array(1f + 0.01f * i, 0f))
+      else if (i < 8 && i % 2 == 0) (i, Array(0f, 1f + 0.01f * i))
+      else if (i < 8) (i, Array(1f + 0.01f * i, 0.05f))
+      else (i, Array(0.5f + 0.01f * i, 0.5f))
+    }.toDF("vec_id", "embedding")
+    val got = SimilarityOps.ivfRefreshPartial(a, b, emb, minDriftCos = 0.9,
+      kCells = 2, iters = 2, dims = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(3)))).toMap
+    assert(got.keySet === Set(1L, 3L, 5L, 7L, 9L, 11L))
+    assert(got(1L) === (("alpha", false)) && got(3L) === (("alpha", false)),
+      "the stable source must keep yesterday's cells")
+    assert(got(5L) === (("beta", true)) && got(7L) === (("beta", true)),
+      "the rotated source must refresh")
+    assert(got(9L) === (("gamma", true)) && got(11L) === (("gamma", true)),
+      "a source with no snapshot-A counterpart must refresh, not inherit")
+    // all-stable: both compared sources hold their axes -> zero
+    // refreshed rows (the map-only re-route, no B Lloyd at all)
+    val embStable = (0L to 7L).map { i =>
+      if (i < 4) (i, Array(1f + 0.01f * i, 0f)) else (i, Array(0f, 1f + 0.01f * i))
+    }.toDF("vec_id", "embedding")
+    val ab = docs.filter(col("source") =!= "gamma")
+    val allStable = SimilarityOps.ivfRefreshPartial(
+      ab.filter(col("doc_id") % 2 === 0), ab.filter(col("doc_id") % 2 === 1),
+      embStable, minDriftCos = 0.9, kCells = 2, iters = 2, dims = 2).collect()
+    assert(allStable.length === 4 && allStable.forall(!_.getBoolean(3)))
+  }
+
   test("removeTopComponent: mean and dominant axis removed, centered minor axis survives") {
     // mean (2,0); centered (-1,0),(1,0),(0,2),(0,-2); cov diag(0.5,2)
     // → the top direction converges to the y axis (x-residual decays
