@@ -571,8 +571,8 @@ object Stress {
     // distance join, the conformal histogram and the all-but-the-top
     // transform are all row-linear by design — the exponent
     // log10(t_x/t_1)/log10(x) is what the record must show ≲ 1.
-    if (which == "r8ops" || which == "r9ops" || which == "r10ops") {
-      import graft.ops.{ModelOps, SimilarityOps, TextOps}
+    if (which == "r8ops" || which == "r9ops" || which == "r10ops" || which == "r11ops") {
+      import graft.ops.{ModelOps, SimilarityOps, TextOps, UrlOps}
       // Replicated inputs are materialized ONCE, OUTSIDE the timers:
       // blending the linear write+re-read generation I/O into t1/tx
       // biases every exponent toward 1 and can mask superlinear
@@ -635,7 +635,50 @@ object Stress {
           docs.filter(col("doc_id") % 5 =!= 4),
           docs.filter(col("doc_id") % 7 =!= 6), emb).count()
       val ops: Seq[(String, DataFrame, DataFrame, DataFrame => Long)] =
-        if (which == "r10ops") Seq(
+        if (which == "r11ops") Seq(
+          // URL tier alone: map-only normalize + ONE url_norm-keyed
+          // window. Replication multiplies every frontier group by x —
+          // the crawl-duplication worst case the tier exists to kill.
+          ("url_pipeline", docs1, docsX,
+            d => UrlOps.urlDedup(UrlOps.urlNormalize(OpsEntries.urlFixture(d))).count()),
+          // The composed first mile: the replicas SHARE normalized
+          // URLs, so the dedup kills them BEFORE the extract/curate
+          // tier — the survivors are ~group-count-sized regardless of
+          // x. Contrast with r10ops extract_curate (0.65 at the same
+          // replication): the measured case for killing duplicates at
+          // the URL tier instead of the shingle tier.
+          ("url_extract_curate", docs1, docsX, d => {
+            val dedup = UrlOps.urlDedup(UrlOps.urlNormalize(OpsEntries.urlFixture(d)))
+              .localCheckpoint(true)
+            val kept = dedup.filter(col("keep")).select("doc_id")
+            val cur = OpsEntries.curationFrame(TextOps.htmlExtract(
+              OpsEntries.htmlFixture(d.join(kept, Seq("doc_id"))))
+              .select(col("doc_id"), col("text")).localCheckpoint(true))
+            dedup.filter(!col("keep")).select(col("doc_id"))
+              .unionByName(cur.select(col("doc_id"))).count()
+          }),
+          // discover → broadcast-remove → curate. Verbatim replicas
+          // push EVERY content line over the df≥2 bar (the planted
+          // worst case: discovery bans everything), so the arm times
+          // the explode + line-keyed aggregate + broadcast removal at
+          // full volume with the curate tier degenerate behind it.
+          ("boiler_removed_curate", docs1, docsX, d => {
+            val ex = TextOps.htmlExtract(OpsEntries.htmlFixture(d))
+              .select(col("doc_id"), col("text")).localCheckpoint(true)
+            val hits = TextOps.boilerplateLines(ex).select("line")
+            OpsEntries.curationFrame(TextOps.removeLines(ex, hits)
+              .select(col("doc_id"), col("clean_text").as("text"))
+              .localCheckpoint(true)).count()
+          }),
+          // map-only detector + repair chain: must scale like the scan
+          ("encoding_damage", docs1, docsX,
+            d => TextOps.encodingDamage(OpsEntries.mojiFixture(d)).count()),
+          // both sides of the doc⋈embedding join grow together
+          ("ivf_refresh_partial", docs1, docsX,
+            d => SimilarityOps.ivfRefreshPartial(
+              d.filter(col("doc_id") % 5 =!= 4), d.filter(col("doc_id") % 7 =!= 6),
+              if (d eq docs1) emb1 else embX).count()))
+        else if (which == "r10ops") Seq(
           // auto-k (the semDedupK policy): pinned k would grow the
           // dedup tier's within-cell pairs quadratically with the
           // corpus — the exact trap the exponent record exists to show
@@ -681,7 +724,8 @@ object Stress {
         val (rx, tx) = time(run(dx))
         val expo = math.log10(tx / t1) / math.log10(x.toDouble)
         val opsLabel =
-          if (which == "r10ops") "STRESS_R10OPS"
+          if (which == "r11ops") "STRESS_R11OPS"
+          else if (which == "r10ops") "STRESS_R10OPS"
           else if (which == "r9ops") "STRESS_R9OPS" else "STRESS_R8OPS"
         println(f"$opsLabel op=$name rows_1=$r1 rows_$x=$rx " +
           f"t1=$t1%.2fs t$x=$tx%.2fs exponent=$expo%.2f")
