@@ -1916,8 +1916,36 @@ private[graft] object OpsEntries {
         docs.filter(col("doc_id") % 5 =!= 4),
         docs.filter(col("doc_id") % 7 =!= 6),
         t(s, dir, "embeddings"))
-    })
+    }),
+
+    // Domain-blocklist VERDICT (not a silent filter): every valid
+    // frontier row flagged against the registry-sized blocklist —
+    // what a list change would kill, counted before anything dies.
+    // The list hits a shared domain, one per-source co.uk site and one
+    // IPv4 literal, so all three registration shapes exercise.
+    "q272_domain_blocklist" -> ((s, dir) =>
+      UrlOps.domainBlocklist(UrlOps.urlNormalize(
+        hostFixture(t(s, dir, "documents")).select(col("doc_id"),
+          concat(lit("http://"), col("host"), lit("/p/"),
+            (col("doc_id") % 7).cast("string")).as("url"))),
+        blockedDomains)),
+
+    // Frontier observability per registrable domain: n_urls vs
+    // n_unique normalized forms — the dup-rate a crawl build watches
+    // daily (extractionYield, one stage earlier). The host fixture's
+    // 7-path construction gives every domain a real dup mass.
+    "q273_url_frontier" -> ((s, dir) =>
+      UrlOps.frontierReport(UrlOps.urlNormalize(
+        hostFixture(t(s, dir, "documents")).select(col("doc_id"),
+          concat(lit("http://"), col("host"), lit("/p/"),
+            (col("doc_id") % 7).cast("string")).as("url")))))
   )
+
+  /** The q272 blocklist: one shared domain, one per-source co.uk site,
+    * one IPv4 literal — registry-sized by contract.
+    */
+  private[graft] val blockedDomains: Seq[String] =
+    Seq("example.com", "src0.co.uk", "192.168.10.8")
 
   /** The q264/q265/q268 URL fixture: every normalizable dimension
     * varies by doc_id residue (scheme case, host case, userinfo,
@@ -5897,6 +5925,36 @@ private[graft] object OpsEntries {
            |SELECT s.vec_id, s.source, CAST(b.cell AS INTEGER) AS cell, true AS refreshed
            |FROM rbsrc s JOIN rb_asg b ON b.vec_id = s.vec_id
            |WHERE s.source NOT IN (SELECT source FROM stbl)""".stripMargin
+    },
+
+    "q272_domain_blocklist" -> {
+      import graft.ops.UrlOps
+      val hostOfNorm =
+        s"regexp_extract(regexp_extract(url_norm, '${sqQuote(UrlOps.authRe)}', 1), '${sqQuote(UrlOps.hostRe)}', 1)"
+      val blocked = blockedDomains.map(d => s"'$d'").mkString("[", ", ", "]")
+      s"WITH hfix AS ($hostFixtureSql),\n" +
+        "hurl AS (SELECT doc_id, 'http://' || host || '/p/' || CAST(doc_id % 7 AS VARCHAR) AS url FROM hfix),\n" +
+        urlNormCtes("hurl") +
+        s"""
+           |SELECT doc_id, url_norm, reg_domain, list_contains($blocked, reg_domain) AS blocked
+           |FROM (SELECT doc_id, url_norm, ${regDomainSql(hostOfNorm)} AS reg_domain
+           |      FROM unorm WHERE url_norm IS NOT NULL)""".stripMargin
+    },
+
+    "q273_url_frontier" -> {
+      import graft.ops.UrlOps
+      val hostOfNorm =
+        s"regexp_extract(regexp_extract(url_norm, '${sqQuote(UrlOps.authRe)}', 1), '${sqQuote(UrlOps.hostRe)}', 1)"
+      s"WITH hfix AS ($hostFixtureSql),\n" +
+        "hurl AS (SELECT doc_id, 'http://' || host || '/p/' || CAST(doc_id % 7 AS VARCHAR) AS url FROM hfix),\n" +
+        urlNormCtes("hurl") +
+        s"""
+           |SELECT reg_domain, count(*) AS n_urls,
+           |       CAST(count(DISTINCT url_norm) AS BIGINT) AS n_unique,
+           |       round(1.0 - count(DISTINCT url_norm) / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+           |FROM (SELECT doc_id, url_norm, ${regDomainSql(hostOfNorm)} AS reg_domain
+           |      FROM unorm WHERE url_norm IS NOT NULL)
+           |GROUP BY reg_domain""".stripMargin
     },
 
     "q257_html_extract" ->

@@ -87,4 +87,31 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(again === byDom("example.com"))
     assertThrows[IllegalArgumentException](UrlOps.domainCaps(normed, cap = 0))
   }
+
+  test("domainBlocklist: verdict rows flag the listed domains, nothing is silently dropped") {
+    val normed = UrlOps.urlNormalize(Seq(
+      (1L, "http://www.bad.example.com/x"),
+      (2L, "http://fine.example.org/y"),
+      (3L, "http://news.bad.co.uk/z"),
+      (4L, "junk")).toDF("doc_id", "url"))
+    val got = UrlOps.domainBlocklist(normed, Seq("example.com", "bad.co.uk")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L)) // invalid row quarantined, valid ones ALL present
+    assert(got(1L) === (("example.com", true)))
+    assert(got(2L) === (("example.org", false)))
+    assert(got(3L) === (("bad.co.uk", true)))
+    assertThrows[IllegalArgumentException](UrlOps.domainBlocklist(normed, Seq.empty))
+  }
+
+  test("frontierReport: per-domain dup mass from normalized forms") {
+    val urls = Seq(
+      (1L, "http://a.example.com/x"),
+      (2L, "HTTP://A.example.com/x/"),       // normalizes to the same
+      (3L, "http://b.example.com/y"),        // same domain, new url
+      (4L, "http://solo.example.org/z")).toDF("doc_id", "url")
+    val got = UrlOps.frontierReport(UrlOps.urlNormalize(urls)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("example.com") === ((3L, 2L, 0.3333)))
+    assert(got("example.org") === ((1L, 1L, 0.0)))
+  }
 }
