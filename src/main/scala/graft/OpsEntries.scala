@@ -1938,8 +1938,32 @@ private[graft] object OpsEntries {
       UrlOps.frontierReport(UrlOps.urlNormalize(
         hostFixture(t(s, dir, "documents")).select(col("doc_id"),
           concat(lit("http://"), col("host"), lit("/p/"),
-            (col("doc_id") % 7).cast("string")).as("url")))))
+            (col("doc_id") % 7).cast("string")).as("url"))))),
+
+    // Word-blocklist gate (C4's bad-words rule in the RefinedWeb
+    // RATIO form): blocklist mass per doc, gate at 2% — zero-tolerance
+    // would delete this corpus wholesale (the fixture words are
+    // uniform vocabulary), which is exactly why production filters
+    // ship the ratio form. Gate splits on occurrence count (≤1 vs ≥2
+    // per ~60-token doc), so both verdicts populate at every scale.
+    "q274_word_blocklist" -> ((s, dir) =>
+      TextOps.wordBlocklistGate(t(s, dir, "documents"), blockedWords, maxRatio = 0.02)),
+
+    // Sentence segmentation over a sentence-bearing fixture (the
+    // corpus text is unpunctuated; the fixture appends a 3-sentence
+    // tail so every doc splits at [.!?]+whitespace boundaries into
+    // 4 ordered sentences).
+    "q275_sentence_split" -> ((s, dir) =>
+      TextOps.sentenceSplit(t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(col("text"), lit(". It ran fast! Was it slow? Done.")).as("text"))))
   )
+
+  /** The q274 blocklist: real corpus vocabulary ("slow") so the gate
+    * has mass, plus absent words proving list entries without hits
+    * are harmless. Registry-sized by contract.
+    */
+  private[graft] val blockedWords: Seq[String] = Seq("slow", "crash", "legacy")
 
   /** The q272 blocklist: one shared domain, one per-source co.uk site,
     * one IPv4 literal — registry-sized by contract.
@@ -5926,6 +5950,36 @@ private[graft] object OpsEntries {
            |FROM rbsrc s JOIN rb_asg b ON b.vec_id = s.vec_id
            |WHERE s.source NOT IN (SELECT source FROM stbl)""".stripMargin
     },
+
+    // One token walk per doc: count of list members among the tokens,
+    // 4dp ratio, ratio-threshold verdict. NULL text -> (0, 0, 0.0, true).
+    "q274_word_blocklist" -> {
+      val bl = blockedWords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH g AS (SELECT doc_id,
+         |             CAST(coalesce(len($toksExpr), 0) AS BIGINT) AS n_tokens,
+         |             CAST(coalesce(len(list_filter($toksExpr, t -> list_contains($bl, t))), 0) AS BIGINT) AS blocked_hits
+         |           FROM documents)
+         |SELECT doc_id, n_tokens, blocked_hits,
+         |       round(CASE WHEN n_tokens > 0 THEN blocked_hits / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 4) AS blocked_ratio,
+         |       round(CASE WHEN n_tokens > 0 THEN blocked_hits / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 4) <= 0.02 AS keep
+         |FROM g""".stripMargin
+    },
+
+    // The rewrite+split sentence boundary (RE2 has no lookbehind, so
+    // the capture-rewrite to a U+0001 sentinel IS the portable form),
+    // exploded with in-document order via the generate_series index.
+    "q275_sentence_split" ->
+      s"""WITH sfix AS (SELECT doc_id, text || '. It ran fast! Was it slow? Done.' AS text
+         |              FROM documents WHERE text IS NOT NULL),
+         |mk AS (SELECT doc_id, string_split(
+         |         regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)) AS ss
+         |       FROM sfix),
+         |ix AS (SELECT doc_id, CAST(unnest(generate_series(1, len(ss))) AS INTEGER) AS i, ss FROM mk),
+         |st AS (SELECT doc_id, i, trim(ss[i]) AS sentence FROM ix)
+         |SELECT doc_id,
+         |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INTEGER) AS sent_idx,
+         |       sentence
+         |FROM st WHERE sentence <> ''""".stripMargin,
 
     "q272_domain_blocklist" -> {
       import graft.ops.UrlOps

@@ -1410,7 +1410,39 @@ object SimilarityOps {
                         minDriftCos: Double = 0.9, kCells: Int = 8, iters: Int = 3,
                         dims: Int = 64, docIdCol: String = "doc_id",
                         vecIdCol: String = "vec_id", srcCol: String = "source",
-                        vecCol: String = "embedding"): DataFrame = {
+                        vecCol: String = "embedding"): DataFrame =
+    ivfRefreshPartialOn(docsA, docsB, emb,
+      onA => ivfTrain(
+        emb.join((if (onA) docsA else docsB).select(col(docIdCol).as(vecIdCol)),
+          Seq(vecIdCol)), kCells, iters, vecIdCol, vecCol),
+      minDriftCos, dims, docIdCol, vecIdCol, srcCol, vecCol)
+
+  /** [[ivfRefreshPartial]] production form: yesterday's codebook is
+    * HANDED IN as [[ivfTrain]] state, so the stable branch costs zero
+    * training — only the refresh branch (when non-empty) pays one
+    * Lloyd on the new snapshot. The train-once/serve-many discipline
+    * (PcaState/KmeansState/ivfTrain) applied to the rollover path.
+    */
+  def ivfRefreshPartial(docsA: DataFrame, docsB: DataFrame, emb: DataFrame,
+                        stateA: Array[Array[Double]], minDriftCos: Double,
+                        kCells: Int, iters: Int, dims: Int, docIdCol: String,
+                        vecIdCol: String, srcCol: String,
+                        vecCol: String): DataFrame =
+    ivfRefreshPartialOn(docsA, docsB, emb,
+      onA => if (onA) stateA
+      else ivfTrain(emb.join(docsB.select(col(docIdCol).as(vecIdCol)), Seq(vecIdCol)),
+        kCells, iters, vecIdCol, vecCol),
+      minDriftCos, dims, docIdCol, vecIdCol, srcCol, vecCol)
+
+  /** The shared per-source gate → branch-train/serve core:
+    * `cents(onA)` supplies the codebook for each branch, and is
+    * invoked ONLY for branches with sources to serve.
+    */
+  private def ivfRefreshPartialOn(docsA: DataFrame, docsB: DataFrame, emb: DataFrame,
+                                  cents: Boolean => Array[Array[Double]],
+                                  minDriftCos: Double, dims: Int, docIdCol: String,
+                                  vecIdCol: String, srcCol: String,
+                                  vecCol: String): DataFrame = {
     val drift = snapshotCentroidDrift(docsA, docsB, emb, dims, docIdCol,
       vecIdCol, srcCol, vecCol)
     val stableSrcs = drift.filter(col("drift_cosine") >= minDriftCos)
@@ -1422,14 +1454,10 @@ object SimilarityOps {
     val corpusB = emb
       .join(docsB.select(col(docIdCol).as(vecIdCol), col(srcCol)), Seq(vecIdCol))
       .filter(col(vecCol).isNotNull)
-    def branch(srcs: Set[String], onA: Boolean): DataFrame = {
-      val cents = ivfTrain(
-        emb.join((if (onA) docsA else docsB).select(col(docIdCol).as(vecIdCol)),
-          Seq(vecIdCol)), kCells, iters, vecIdCol, vecCol)
+    def branch(srcs: Set[String], onA: Boolean): DataFrame =
       corpusB.filter(col(srcCol).isin(srcs.toSeq: _*))
-        .select(col(vecIdCol), col(srcCol), assignCell(cents, vecCol).as("cell"),
+        .select(col(vecIdCol), col(srcCol), assignCell(cents(onA), vecCol).as("cell"),
           lit(!onA).as("refreshed"))
-    }
     if (refreshSrcs.isEmpty) branch(serveSrcs, onA = true)
     else if (serveSrcs.isEmpty) branch(refreshSrcs, onA = false)
     else branch(serveSrcs, onA = true).unionByName(branch(refreshSrcs, onA = false))

@@ -288,6 +288,61 @@ object TextOps {
       (hits >= 1).as("damaged"), repaired.as("text_repaired"))
   }
 
+  /** Word-blocklist gate — the C4 "bad words" rule generalized to the
+    * RefinedWeb ratio form: per document, count tokens whose
+    * normalized form is on the (bounded) blocklist and gate on the
+    * blocklist MASS. `maxRatio = 0.0` is C4's zero-tolerance (any hit
+    * drops); positive ratios admit incidental mentions while dropping
+    * documents that are ABOUT the blocked vocabulary — the form a
+    * production filter actually ships, because zero-tolerance on a
+    * web corpus deletes medical and news text wholesale.
+    *
+    * The list rides as a broadcast-free literal membership test
+    * (registry-sized lists codegen into a hash probe); at
+    * thousand-word lexicons switch to a broadcast table join — the
+    * `Retention.defaultRules` pattern. Map-only, one token walk per
+    * document; zero-token docs keep (no evidence).
+    *
+    * Output: (<idCol>, n_tokens, blocked_hits, blocked_ratio 4dp,
+    * keep).
+    */
+  def wordBlocklistGate(docs: org.apache.spark.sql.DataFrame, blocked: Seq[String],
+                        maxRatio: Double = 0.0, idCol: String = "doc_id",
+                        textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(blocked.nonEmpty, "wordBlocklistGate needs at least one blocked word")
+    val toks = tokens(col(textCol))
+    val n = coalesce(size(toks), lit(0)).cast("long")
+    val hits = coalesce(size(filter(toks, t => t.isin(blocked.map(_.toLowerCase): _*))),
+      lit(0)).cast("long")
+    docs.select(col(idCol), n.as("n_tokens"), hits.as("blocked_hits"),
+      round(when(n > 0, hits / n.cast("double")).otherwise(0.0), 4).as("blocked_ratio"))
+      .withColumn("keep", col("blocked_ratio") <= maxRatio)
+  }
+
+  /** Sentence segmentation — the boundary rule chunking/dedup
+    * pipelines run before sentence-level operators: a terminal
+    * [.!?] followed by whitespace ends a sentence. Deterministic
+    * regex tier (the q89/htmlExtract discipline — both engines replay
+    * it byte-for-byte): a capture-group rewrite plants a U+0001
+    * sentinel after each boundary (RE2 has no lookbehind, so the
+    * rewrite+split form IS the portable form), then one split +
+    * per-sentence trim. Abbreviation periods ("U.S. Army") split — the
+    * documented limitation of the determinism tier; a learned Punkt
+    * model is out of scope.
+    *
+    * Map-only + one explode; no shuffle. Output: (<idCol>, sent_idx,
+    * sentence), sent_idx 0-based in document order, empty sentences
+    * dropped.
+    */
+  def sentenceSplit(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val marked = regexp_replace(col(textCol), "([.!?])\\s+", "$1\u0001")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(filter(
+        transform(split(marked, "\u0001", -1), s => trim(s)), s => s =!= ""))
+        .as(Seq("sent_idx", "sentence")))
+  }
+
   /** Whitespace token count (the cheap estimator). */
   def wsTokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > 0))

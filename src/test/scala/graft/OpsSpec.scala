@@ -177,6 +177,40 @@ class OpsSpec extends AnyFunSuite {
     // single-pass &-decode: &amp;#38; -> the literal text &#38;, never &
     assert(lines(3) === "write &#38; to show an entity but & is just and")
   }
+  test("wordBlocklistGate: ratio gate splits; zero-tolerance drops any hit; null text keeps") {
+    val docs = Seq(
+      (1L, "clean prose with no flagged vocabulary here at all"),
+      (2L, "one bad apple in ten ordinary words right here ok"),
+      (3L, "bad bad bad bad words"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextOps.wordBlocklistGate(docs, Seq("bad", "apple"), maxRatio = 0.25)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(2) === 0L && got(1L).getBoolean(4))
+    assert(got(2L).getLong(2) === 2L && got(2L).getDouble(3) === 0.2 && got(2L).getBoolean(4))
+    assert(got(3L).getLong(2) === 4L && got(3L).getDouble(3) === 0.8 && !got(3L).getBoolean(4))
+    assert(got(4L).getLong(1) === 0L && got(4L).getBoolean(4)) // no evidence -> keep
+    // C4 zero-tolerance: ANY hit drops
+    val strict = TextOps.wordBlocklistGate(docs, Seq("bad"), maxRatio = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(strict === Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+    // case-insensitive list entry
+    val ci = TextOps.wordBlocklistGate(Seq((9L, "BAD day")).toDF("doc_id", "text"),
+      Seq("Bad")).collect()(0)
+    assert(ci.getLong(2) === 1L && !ci.getBoolean(4))
+  }
+  test("sentenceSplit: [.!?]+space boundaries, in-order 0-based index, empties dropped") {
+    val got = TextOps.sentenceSplit(Seq(
+      (1L, "First one. Second!   Third ok? Last no-trailing-space."),
+      (2L, "No boundary at all"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(got((1L, 0)) === "First one.")
+    assert(got((1L, 1)) === "Second!")
+    assert(got((1L, 2)) === "Third ok?")
+    assert(got((1L, 3)) === "Last no-trailing-space.")
+    assert(got((2L, 0)) === "No boundary at all")
+    assert(got.keys.count(_._1 == 1L) === 4 && got.keys.count(_._1 == 3L) === 0)
+  }
   test("removeLines: discovered template lines vanish everywhere; within-doc repeats survive") {
     val docs = Seq(
       (1L, "real prose of doc one\nvisit our help desk today\necho me\necho me"),

@@ -486,6 +486,19 @@ class PipelineEvalSpec extends AnyFunSuite {
       ab.filter(col("doc_id") % 2 === 0), ab.filter(col("doc_id") % 2 === 1),
       embStable, minDriftCos = 0.9, kCells = 2, iters = 2, dims = 2).collect()
     assert(allStable.length === 4 && allStable.forall(!_.getBoolean(3)))
+    // state-serve ≡ self-train (the trained-state handoff discipline):
+    // handing in yesterday's ivfTrain codebook reproduces the
+    // self-training form row for row on the mixed-drift fixture
+    val stateA = SimilarityOps.ivfTrain(
+      emb.join(a.select(col("doc_id").as("vec_id")), Seq("vec_id")),
+      kCells = 2, iters = 2)
+    val served = SimilarityOps.ivfRefreshPartial(a, b, emb, stateA,
+      minDriftCos = 0.9, kCells = 2, iters = 2, dims = 2,
+      docIdCol = "doc_id", vecIdCol = "vec_id", srcCol = "source",
+      vecCol = "embedding").collect().map(_.toString).sorted.toSeq
+    val selfTrained = SimilarityOps.ivfRefreshPartial(a, b, emb, minDriftCos = 0.9,
+      kCells = 2, iters = 2, dims = 2).collect().map(_.toString).sorted.toSeq
+    assert(served === selfTrained)
   }
 
   test("removeTopComponent: mean and dominant axis removed, centered minor axis survives") {
