@@ -20,15 +20,22 @@ prev = json.load(open(sys.argv[2]))
 curq = cur["cal_norm_queries"]
 prevq = prev["cal_norm_queries"]
 shared = sorted(set(curq) & set(prevq))
-delta = {q: round(curq[q] / prevq[q], 4) for q in shared if prevq[q] > 0}
+# no silent exclusions: a zero prev value gets an explicit null delta
+# instead of vanishing from the map while still counting as "shared"
+delta = {q: (round(curq[q] / prevq[q], 4) if prevq[q] > 0 else None)
+         for q in shared}
 cur["cal_norm_delta_vs_prev"] = delta
 cur["new_queries"] = sorted(set(curq) - set(prevq))
-cur["shared_norm_ratio"] = round(
-    sum(curq[q] for q in shared) / sum(prevq[q] for q in shared), 4)
+# a query DROPPED this round must not silently read as covered
+cur["removed_queries"] = sorted(set(prevq) - set(curq))
+prev_sum = sum(prevq[q] for q in shared)
+cur["shared_norm_ratio"] = (
+    round(sum(curq[q] for q in shared) / prev_sum, 4) if prev_sum > 0 else None)
 with open(sys.argv[3], "w") as f:
     json.dump(cur, f)
 print(f"shared {len(shared)} queries, shared_norm_ratio {cur['shared_norm_ratio']}, "
-      f"{len(cur['new_queries'])} new")
+      f"{len(cur['new_queries'])} new, {len(cur['removed_queries'])} removed")
+delta = {q: r for q, r in delta.items() if r is not None}
 worst = sorted(delta.items(), key=lambda kv: -kv[1])[:10]
 print("largest normalized deltas (cur/prev):")
 for q, r in worst:

@@ -5954,7 +5954,10 @@ private[graft] object OpsEntries {
     // One token walk per doc: count of list members among the tokens,
     // 4dp ratio, ratio-threshold verdict. NULL text -> (0, 0, 0.0, true).
     "q274_word_blocklist" -> {
-      val bl = blockedWords.map(w => s"'$w'").mkString("[", ", ", "]")
+      // lowercase HERE too: the engine matches against
+      // blocked.map(_.toLowerCase), and a future mixed-case list entry
+      // must not silently split the two engines
+      val bl = blockedWords.map(w => s"'${sqQuote(w.toLowerCase)}'").mkString("[", ", ", "]")
       s"""WITH g AS (SELECT doc_id,
          |             CAST(coalesce(len($toksExpr), 0) AS BIGINT) AS n_tokens,
          |             CAST(coalesce(len(list_filter($toksExpr, t -> list_contains($bl, t))), 0) AS BIGINT) AS blocked_hits
@@ -5972,7 +5975,7 @@ private[graft] object OpsEntries {
       s"""WITH sfix AS (SELECT doc_id, text || '. It ran fast! Was it slow? Done.' AS text
          |              FROM documents WHERE text IS NOT NULL),
          |mk AS (SELECT doc_id, string_split(
-         |         regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)) AS ss
+         |         regexp_replace(replace(text, chr(1), ' '), '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)) AS ss
          |       FROM sfix),
          |ix AS (SELECT doc_id, CAST(unnest(generate_series(1, len(ss))) AS INTEGER) AS i, ss FROM mk),
          |st AS (SELECT doc_id, i, trim(ss[i]) AS sentence FROM ix)
@@ -6325,10 +6328,10 @@ private[graft] object OpsEntries {
        |          lower(regexp_extract(u, '${sqQuote(UrlOps.schemeRe)}', 1)) AS scheme,
        |          lower(regexp_replace(regexp_extract(u, '${sqQuote(UrlOps.authRe)}', 1), '${sqQuote(UrlOps.userinfoRe)}', '')) AS hostport,
        |          regexp_replace(regexp_extract(u, '${sqQuote(UrlOps.pathRe)}', 1), '/+$$', '') AS path,
-       |          regexp_extract(u, '${sqQuote(UrlOps.queryRe)}', 1) AS q
+       |          regexp_extract(regexp_replace(u, '${sqQuote(UrlOps.fragmentRe)}', ''), '${sqQuote(UrlOps.queryRe)}', 1) AS q
        |        FROM up0),
        |up2 AS (SELECT doc_id, url, scheme,
-       |          regexp_extract(hostport, '${sqQuote(UrlOps.hostRe)}', 1) AS host,
+       |          regexp_replace(regexp_extract(hostport, '${sqQuote(UrlOps.hostRe)}', 1), '${sqQuote(UrlOps.trailingDotsRe)}', '') AS host,
        |          regexp_extract(hostport, '${sqQuote(UrlOps.portRe)}', 1) AS port, path, q FROM up1),
        |up3 AS (SELECT doc_id, url, scheme, host, port, path,
        |          array_to_string(list_sort(list_filter(string_split(q, '&'),
@@ -6385,8 +6388,10 @@ private[graft] object OpsEntries {
 
   /** [[graft.ops.UrlOps.registeredDomain]] as a SQL expression over a
     * lowercase host expression. */
-  private def regDomainSql(hostExpr: String): String = {
+  private def regDomainSql(rawHostExpr: String): String = {
     val multi = graft.ops.UrlOps.multiSuffixes.map(s => s"'$s'").mkString("[", ", ", "]")
+    val hostExpr =
+      s"regexp_replace($rawHostExpr, '${sqQuote(graft.ops.UrlOps.trailingDotsRe)}', '')"
     s"""CASE WHEN regexp_matches($hostExpr, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') THEN $hostExpr
        |     WHEN regexp_extract($hostExpr, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
        |          AND list_contains($multi, regexp_extract($hostExpr, '([^.]+\\.[^.]+)$$', 1))

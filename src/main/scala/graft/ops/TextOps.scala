@@ -65,10 +65,16 @@ object TextOps {
 
   /** Quote-aware tag-body pattern: attribute values may contain '>'
     * inside quotes, so a tag runs to the first '>' OUTSIDE any quoted
-    * value. Works identically under java.util.regex and RE2 (no
-    * backrefs) — the oracle chain embeds the same pattern.
+    * value. Quoted spans are additionally forbidden to cross '<':
+    * with an UNTERMINATED attribute quote (routine in raw crawls) an
+    * unbounded span would swallow whole paragraphs of visible text
+    * into one "tag" — bounding at '<' makes the malformed tag merely
+    * LEAK as text (the conservative failure) instead of deleting
+    * content, at the cost of not stripping the rare legal `<` inside
+    * a quoted attribute. Works identically under java.util.regex and
+    * RE2 (no backrefs) — the oracle chain embeds the same pattern.
     */
-  private[graft] val tagBody = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
+  private[graft] val tagBody = "(?:[^>\"']|\"[^\"<]*\"|'[^'<]*')*"
 
   /** The bounded numeric-entity table: (pattern, replacement) pairs
     * covering the characters web text actually carries as numeric
@@ -336,7 +342,11 @@ object TextOps {
     */
   def sentenceSplit(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): org.apache.spark.sql.DataFrame = {
-    val marked = regexp_replace(col(textCol), "([.!?])\\s+", "$1\u0001")
+    // raw crawl text can already carry the sentinel byte (the mojibake
+    // path deliberately PRESERVES C0/C1 passthrough chars) - strip it
+    // first, or a pre-existing U+0001 fakes a sentence boundary
+    val cleaned = replace(col(textCol), lit("\u0001"), lit(" "))
+    val marked = regexp_replace(cleaned, "([.!?])\\s+", "$1\u0001")
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol), posexplode(filter(
         transform(split(marked, "\u0001", -1), s => trim(s)), s => s =!= ""))

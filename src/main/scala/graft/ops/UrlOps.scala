@@ -34,19 +34,33 @@ object UrlOps {
   private[graft] val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
   private[graft] val authRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
   private[graft] val pathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+  // applied AFTER the fragment strips ([[fragmentRe]]): unanchored, a
+  // '?' living INSIDE the fragment ('#/view?sid=1', the SPA-route
+  // shape) would otherwise be extracted as the query string
   private[graft] val queryRe = "\\?([^#]*)"
+  private[graft] val fragmentRe = "(?s)#.*$"
   private[graft] val userinfoRe = "^[^@]*@"
   private[graft] val hostRe = "^([^:]*)"
   private[graft] val portRe = ":([0-9]+)$"
+  // canonical FQDN form: 'example.com.' resolves identically to
+  // 'example.com'; keeping the dot would let a frontier evade the
+  // domain blocklist/caps by appending one
+  private[graft] val trailingDotsRe = "\\.+$"
 
   /** Tracking-parameter kill list (anchored over one `k=v` param):
     * the analytics/click-id params that vary per visit without
     * changing the resource — utm_*, the ad click ids, mail-campaign
-    * ids, and bare `ref`/`ref_src`. Bounded by design; extending it is
-    * a one-line change mirrored automatically into the oracle.
+    * ids. Bounded by design; extending it is a one-line change
+    * mirrored automatically into the oracle.
+    *
+    * Bare `ref`/`ref_src` are deliberately ABSENT: unlike the click
+    * ids, `ref` is semantically load-bearing on major sites (a VCS
+    * branch selector, a forum thread anchor) and killing it collapses
+    * genuinely distinct resources — a site-specific list extends this
+    * one rather than the default destroying content.
     */
   private[graft] val trackingRe =
-    "^(?:utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid|yclid|_hsenc|_hsmi|ref|ref_src)(?:=.*)?$"
+    "^(?:utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid|yclid|_hsenc|_hsmi)(?:=.*)?$"
 
   /** Canonical URL form — the normalization every crawl pipeline runs
     * before URL-level dedup so trivially-different frontier entries
@@ -72,14 +86,16 @@ object UrlOps {
   def urlNormalize(docs: DataFrame, idCol: String = "doc_id",
                    urlCol: String = "url"): DataFrame = {
     val u = trim(col(urlCol))
+    // fragment FIRST: a '?' inside '#/view?sid=1' must not become the query
+    val uNoFrag = regexp_replace(u, fragmentRe, "")
     val scheme = lower(regexp_extract(u, schemeRe, 1))
     val hostport = lower(regexp_replace(regexp_extract(u, authRe, 1), userinfoRe, ""))
-    val host = regexp_extract(hostport, hostRe, 1)
+    val host = regexp_replace(regexp_extract(hostport, hostRe, 1), trailingDotsRe, "")
     val port = regexp_extract(hostport, portRe, 1)
     val keepPort = port =!= "" &&
       !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
     val path = regexp_replace(regexp_extract(u, pathRe, 1), "/+$", "")
-    val qs = array_join(array_sort(filter(split(regexp_extract(u, queryRe, 1), "&"),
+    val qs = array_join(array_sort(filter(split(regexp_extract(uNoFrag, queryRe, 1), "&"),
       p => p =!= "" && !p.rlike(trackingRe))), "&")
     val norm = concat(scheme, lit("://"), host,
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
@@ -127,7 +143,11 @@ object UrlOps {
     * themselves. Pure expression (regex last-k-labels extraction — no
     * split/element_at, so short hosts cannot index out of bounds).
     */
-  def registeredDomain(host: Column): Column = {
+  def registeredDomain(rawHost: Column): Column = {
+    // defensive trailing-dot strip: [[urlNormalize]] already
+    // canonicalizes, but a raw host fed directly ('bad.co.uk.') must
+    // not evade a blocklist/cap by the FQDN dot
+    val host = regexp_replace(rawHost, trailingDotsRe, "")
     val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
     val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
     val isIp = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")

@@ -176,6 +176,15 @@ class OpsSpec extends AnyFunSuite {
     assert(lines(2) === "it's 'quoted' and spaced — dash ’curly")
     // single-pass &-decode: &amp;#38; -> the literal text &#38;, never &
     assert(lines(3) === "write &#38; to show an entity but & is just and")
+    // UNTERMINATED attribute quote: the quoted span is bounded at '<',
+    // so the malformed tag LEAKS as text (conservative) instead of
+    // swallowing the paragraph and the following tags into one "tag"
+    val broken = TextOps.htmlExtract(Seq(
+      (2L, "<p class=\"x>Hello there dear reader</p><p>normal line of prose here</p>"))
+      .toDF("doc_id", "html")).collect()(0).getString(1)
+    assert(broken.contains("Hello there dear reader"),
+      s"content after an unterminated quote must survive: $broken")
+    assert(broken.contains("normal line of prose here"))
   }
   test("wordBlocklistGate: ratio gate splits; zero-tolerance drops any hit; null text keeps") {
     val docs = Seq(

@@ -23,11 +23,14 @@ class UrlOpsSpec extends AnyFunSuite {
       2L -> "https://example.com:443/",
       3L -> "https://example.com:8443/x",
       4L -> "http://example.com/a//",
-      5L -> "http://example.com/a?fbclid=abc&ref=tw",
+      5L -> "http://example.com/a?fbclid=abc&utm_x=1",
       6L -> "  http://example.com/pad  ",
       7L -> "not a url at all",
       8L -> "http://example.com?a=1&a=0",
-      9L -> "ftp://Files.Example.org/pub/")
+      9L -> "ftp://Files.Example.org/pub/",
+      10L -> "http://h.example.com/a#/view?sid=123",
+      11L -> "http://bad.example.com./x",
+      12L -> "http://example.com/r?ref=main")
     assert(got(1L) === Some("http://www.example.com/a/b?a=1&b=2"))
     assert(got(2L) === Some("https://example.com"))        // default port + root slash
     assert(got(3L) === Some("https://example.com:8443/x")) // non-default port SURVIVES
@@ -37,6 +40,12 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got(7L) === None)                               // quarantine
     assert(got(8L) === Some("http://example.com?a=0&a=1")) // repeated key sorts by value
     assert(got(9L) === Some("ftp://files.example.org/pub")) // non-http scheme, no port rule
+    // a '?' INSIDE the fragment is not a query (SPA-route shape)
+    assert(got(10L) === Some("http://h.example.com/a"))
+    // FQDN trailing dot canonicalizes away (blocklist-evasion vector)
+    assert(got(11L) === Some("http://bad.example.com/x"))
+    // bare 'ref' is load-bearing (branch selectors) and SURVIVES
+    assert(got(12L) === Some("http://example.com/r?ref=main"))
   }
 
   test("urlDedup: variants collapse, first id keeps, invalid rows drop") {
@@ -70,6 +79,10 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got("example.com") === "example.com")
     // a bare multi-suffix has no registrable label: stays itself
     assert(got("co.uk") === "co.uk")
+    // FQDN trailing dot must not mint a fresh domain (blocklist evasion)
+    val dotted = Seq((0L, "news.bad.co.uk.")).toDF("id", "host")
+      .select(UrlOps.registeredDomain($"host")).as[String].collect()(0)
+    assert(dotted === "bad.co.uk")
   }
 
   test("domainCaps: cap enforced per registered domain, deterministic, under-cap passes whole") {
