@@ -1947,7 +1947,8 @@ private[graft] object OpsEntries {
     // ship the ratio form. Gate splits on occurrence count (≤1 vs ≥2
     // per ~60-token doc), so both verdicts populate at every scale.
     "q274_word_blocklist" -> ((s, dir) =>
-      TextOps.wordBlocklistGate(t(s, dir, "documents"), blockedWords, maxRatio = 0.02)),
+      TextOps.wordBlocklistGate(t(s, dir, "documents"), blockedWords,
+        maxRatio = wordGateMaxRatio)),
 
     // Sentence segmentation over a sentence-bearing fixture (the
     // corpus text is unpunctuated; the fixture appends a 3-sentence
@@ -1956,7 +1957,7 @@ private[graft] object OpsEntries {
     "q275_sentence_split" -> ((s, dir) =>
       TextOps.sentenceSplit(t(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"),
-          concat(col("text"), lit(". It ran fast! Was it slow? Done.")).as("text"))))
+          concat(col("text"), lit(sentFixtureSuffix)).as("text"))))
   )
 
   /** The q274 blocklist: real corpus vocabulary ("slow") so the gate
@@ -1964,6 +1965,17 @@ private[graft] object OpsEntries {
     * are harmless. Registry-sized by contract.
     */
   private[graft] val blockedWords: Seq[String] = Seq("slow", "crash", "legacy")
+
+  /** The q274 gate threshold — ONE constant spliced into both the
+    * Scala entry and the oracle SQL (the blockedWords discipline):
+    * editing one side must not silently split the two engines.
+    */
+  private[graft] val wordGateMaxRatio: Double = 0.02
+
+  /** The q275 sentence-bearing fixture tail — spliced into both
+    * engines' fixture construction (same discipline).
+    */
+  private[graft] val sentFixtureSuffix: String = ". It ran fast! Was it slow? Done."
 
   /** The q272 blocklist: one shared domain, one per-source co.uk site,
     * one IPv4 literal — registry-sized by contract.
@@ -5964,7 +5976,7 @@ private[graft] object OpsEntries {
          |           FROM documents)
          |SELECT doc_id, n_tokens, blocked_hits,
          |       round(CASE WHEN n_tokens > 0 THEN blocked_hits / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 4) AS blocked_ratio,
-         |       round(CASE WHEN n_tokens > 0 THEN blocked_hits / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 4) <= 0.02 AS keep
+         |       round(CASE WHEN n_tokens > 0 THEN blocked_hits / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 4) <= $wordGateMaxRatio AS keep
          |FROM g""".stripMargin
     },
 
@@ -5972,7 +5984,7 @@ private[graft] object OpsEntries {
     // the capture-rewrite to a U+0001 sentinel IS the portable form),
     // exploded with in-document order via the generate_series index.
     "q275_sentence_split" ->
-      s"""WITH sfix AS (SELECT doc_id, text || '. It ran fast! Was it slow? Done.' AS text
+      s"""WITH sfix AS (SELECT doc_id, text || '${sqQuote(sentFixtureSuffix)}' AS text
          |              FROM documents WHERE text IS NOT NULL),
          |mk AS (SELECT doc_id, string_split(
          |         regexp_replace(replace(text, chr(1), ' '), '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)) AS ss

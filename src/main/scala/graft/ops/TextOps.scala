@@ -227,10 +227,14 @@ object TextOps {
     * characters present as `Ã`/`Â` + a [[mojibakeTail]] character.
     * The two alternatives start with DISJOINT characters, so the
     * non-overlapping match count is identical under java.util.regex
-    * and RE2 regardless of alternation semantics.
+    * and RE2 regardless of alternation semantics. The trigram tail is
+    * `[^\n]`, NOT `.`: character classes have identical semantics in
+    * both engines, while `.` excludes \r/U+0085/U+2028/U+2029 only
+    * under java.util.regex \u2014 damaged text whose third byte is one of
+    * those would count in the oracle but not in Spark.
     */
   private[graft] val mojibakeDetector: String =
-    "\u00e2[\u0080\u20ac].|[\u00c3\u00c2][" + mojibakeTail + "]"
+    "\u00e2[\u0080\u20ac][^\n]|[\u00c3\u00c2][" + mojibakeTail + "]"
 
   /** Bounded mojibake REPAIR table (cp1252/WHATWG presentation, the
     * dominant real-world damage: a UTF-8 file read as windows-1252):

@@ -39,8 +39,17 @@ object UrlOps {
   // shape) would otherwise be extracted as the query string
   private[graft] val queryRe = "\\?([^#]*)"
   private[graft] val fragmentRe = "(?s)#.*$"
-  private[graft] val userinfoRe = "^[^@]*@"
-  private[graft] val hostRe = "^([^:]*)"
+  // GREEDY to the LAST '@': RFC 3986 userinfo extends to the final '@'
+  // of the authority (a password may itself contain '@'), and the lazy
+  // form would leave 'x@host' as the host — the blocklist-evasion class
+  // the trailing-dot strip closes. (?s) pins '.' to match line
+  // terminators identically in java.util.regex and RE2.
+  private[graft] val userinfoRe = "(?s)^.*@"
+  // '[' opens a bracketed IPv6 authority, which the determinism tier
+  // QUARANTINES rather than mis-parses: excluding '[' from the host
+  // class makes the anchored capture match '' on '[::1]:8080', which
+  // flows into the existing host='' -> NULL url_norm convention.
+  private[graft] val hostRe = "^([^:\\[]*)"
   private[graft] val portRe = ":([0-9]+)$"
   // canonical FQDN form: 'example.com.' resolves identically to
   // 'example.com'; keeping the dot would let a frontier evade the

@@ -243,7 +243,11 @@ class OpsSpec extends AnyFunSuite {
       (1L, "CafÃ© staff said â€™helloâ€™ â€” Â«dailyÂ» reports"),
       (2L, "perfectly clean ascii prose with no damage at all"),
       (3L, "legitimate unicode: café — “quoted” … stays"),
-      (4L, null.asInstanceOf[String]))
+      (4L, null.asInstanceOf[String]),
+      // trigram whose third byte is \r: the detector tail is [^\n]
+      // (identical in java.util.regex and RE2), NOT '.' (which skips
+      // \r only under java) — this row pins the engine-parity fix
+      (5L, "x â€\r y"))
     val got = TextOps.encodingDamage(rows.toDF("doc_id", "text")).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(got(1L).getLong(1) === 6L && got(1L).getBoolean(2))
@@ -253,9 +257,13 @@ class OpsSpec extends AnyFunSuite {
     // real accented/punctuation unicode is NOT damage (lead chars absent)
     assert(got(3L).getLong(1) === 0L && got(3L).getString(3) === rows(2)._2)
     assert(got(4L).getLong(1) === 0L && !got(4L).getBoolean(2) && got(4L).isNullAt(3))
+    assert(got(5L).getLong(1) === 1L && got(5L).getBoolean(2))
     // the repair clears every detector hit: re-scan of repaired = 0
+    // (row 5 is UNREPAIRABLE damage — â€\r has no repair-table entry —
+    // so it is excluded: the detect/repair contract is one layer, and
+    // unrepairable rows stay flagged for the composed gate to drop)
     val rescanned = TextOps.encodingDamage(
-      TextOps.encodingDamage(rows.toDF("doc_id", "text"))
+      TextOps.encodingDamage(rows.toDF("doc_id", "text").filter($"doc_id" =!= 5L))
         .select($"doc_id", $"text_repaired".as("text"))).collect()
     rescanned.foreach(r => assert(r.getLong(1) === 0L))
   }

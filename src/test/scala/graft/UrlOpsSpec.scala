@@ -30,7 +30,10 @@ class UrlOpsSpec extends AnyFunSuite {
       9L -> "ftp://Files.Example.org/pub/",
       10L -> "http://h.example.com/a#/view?sid=123",
       11L -> "http://bad.example.com./x",
-      12L -> "http://example.com/r?ref=main")
+      12L -> "http://example.com/r?ref=main",
+      13L -> "http://u@x@blocked.com/",
+      14L -> "http://[::1]:8080/x",
+      15L -> "http://u:p@ss@w@example.net/q")
     assert(got(1L) === Some("http://www.example.com/a/b?a=1&b=2"))
     assert(got(2L) === Some("https://example.com"))        // default port + root slash
     assert(got(3L) === Some("https://example.com:8443/x")) // non-default port SURVIVES
@@ -46,6 +49,13 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got(11L) === Some("http://bad.example.com/x"))
     // bare 'ref' is load-bearing (branch selectors) and SURVIVES
     assert(got(12L) === Some("http://example.com/r?ref=main"))
+    // userinfo strips to the LAST '@' (RFC 3986): 'x@blocked.com' must
+    // not survive as the host — the blocklist-evasion class
+    assert(got(13L) === Some("http://blocked.com"))
+    // bracketed IPv6 authority: the determinism tier QUARANTINES
+    assert(got(14L) === None)
+    // a password containing '@' still strips as userinfo
+    assert(got(15L) === Some("http://example.net/q"))
   }
 
   test("urlDedup: variants collapse, first id keeps, invalid rows drop") {
