@@ -1984,11 +1984,14 @@ private[graft] object OpsEntries {
     Seq("example.com", "src0.co.uk", "192.168.10.8")
 
   /** The q264/q265/q268 URL fixture: every normalizable dimension
-    * varies by doc_id residue (scheme case, host case, userinfo,
-    * default ports, trailing slash, tracking params + param order,
-    * fragment) while the NORMALIZED form depends only on
-    * (source, doc_id%25) — so dedup groups are real. doc_id%17==0
-    * rows are un-parseable (no scheme) and must quarantine to NULL.
+    * varies by doc_id residue (scheme case, host case, userinfo —
+    * including a password containing '@', default ports, trailing
+    * slash, percent-encoded path/query spellings, `+`-vs-`%20`,
+    * tracking params + param order, fragment) while the NORMALIZED
+    * form depends only on (source, doc_id%25) — so dedup groups are
+    * real: every variant inside a group canonicalizes to ONE string.
+    * doc_id%17==0 rows are un-parseable (no scheme) and must
+    * quarantine to NULL.
     */
   private[graft] def urlFixture(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull).select(col("doc_id"),
@@ -1996,17 +1999,18 @@ private[graft] object OpsEntries {
         when(col("doc_id") % 4 === 0, lit("HTTP")).when(col("doc_id") % 2 === 0, lit("http"))
           .when(col("doc_id") % 4 === 1, lit("https")).otherwise(lit("HTTPS")),
         lit("://"),
-        when(col("doc_id") % 13 === 0, lit("crawler:pw@")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit("crawler:p@w@")).otherwise(lit("")),
         when(col("doc_id") % 3 === 0, concat(lit("WWW."), col("source"), lit(".Example.COM")))
           .otherwise(concat(lit("www."), col("source"), lit(".example.com"))),
         when(col("doc_id") % 10 === 0, lit(":80"))
           .when(col("doc_id") % 10 === 5, lit(":443")).otherwise(lit("")),
-        lit("/articles/"), (col("doc_id") % 25).cast("string"),
+        when(col("doc_id") % 11 === 4, lit("/arti%63les/")).otherwise(lit("/articles/")),
+        (col("doc_id") % 25).cast("string"),
         when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit("")),
         lit("?"),
-        when(col("doc_id") % 3 === 1, lit("utm_source=feed&b=2&a=1"))
-          .when(col("doc_id") % 3 === 2, lit("b=2&a=1&fbclid=XYZ"))
-          .otherwise(lit("a=1&b=2&utm_campaign=x")),
+        when(col("doc_id") % 3 === 1, lit("utm_source=feed&b=2&a=%31&t=x+y&z=a%2Fb"))
+          .when(col("doc_id") % 3 === 2, lit("b=2&a=1&fbclid=XYZ&t=x%20y&z=a%2fb"))
+          .otherwise(lit("a=1&b=2&utm_campaign=x&t=x+y&z=a%2fb")),
         when(col("doc_id") % 5 === 2, lit("#section-3")).otherwise(lit(""))))
         .as("url"))
 
@@ -5997,23 +6001,17 @@ private[graft] object OpsEntries {
          |FROM st WHERE sentence <> ''""".stripMargin,
 
     "q272_domain_blocklist" -> {
-      import graft.ops.UrlOps
-      val hostOfNorm =
-        s"regexp_extract(regexp_extract(url_norm, '${sqQuote(UrlOps.authRe)}', 1), '${sqQuote(UrlOps.hostRe)}', 1)"
       val blocked = blockedDomains.map(d => s"'$d'").mkString("[", ", ", "]")
       s"WITH hfix AS ($hostFixtureSql),\n" +
         "hurl AS (SELECT doc_id, 'http://' || host || '/p/' || CAST(doc_id % 7 AS VARCHAR) AS url FROM hfix),\n" +
         urlNormCtes("hurl") +
         s"""
            |SELECT doc_id, url_norm, reg_domain, list_contains($blocked, reg_domain) AS blocked
-           |FROM (SELECT doc_id, url_norm, ${regDomainSql(hostOfNorm)} AS reg_domain
+           |FROM (SELECT doc_id, url_norm, ${regDomainSql("host")} AS reg_domain
            |      FROM unorm WHERE url_norm IS NOT NULL)""".stripMargin
     },
 
     "q273_url_frontier" -> {
-      import graft.ops.UrlOps
-      val hostOfNorm =
-        s"regexp_extract(regexp_extract(url_norm, '${sqQuote(UrlOps.authRe)}', 1), '${sqQuote(UrlOps.hostRe)}', 1)"
       s"WITH hfix AS ($hostFixtureSql),\n" +
         "hurl AS (SELECT doc_id, 'http://' || host || '/p/' || CAST(doc_id % 7 AS VARCHAR) AS url FROM hfix),\n" +
         urlNormCtes("hurl") +
@@ -6021,7 +6019,7 @@ private[graft] object OpsEntries {
            |SELECT reg_domain, count(*) AS n_urls,
            |       CAST(count(DISTINCT url_norm) AS BIGINT) AS n_unique,
            |       round(1.0 - count(DISTINCT url_norm) / CAST(count(*) AS DOUBLE), 4) AS dup_rate
-           |FROM (SELECT doc_id, url_norm, ${regDomainSql(hostOfNorm)} AS reg_domain
+           |FROM (SELECT doc_id, url_norm, ${regDomainSql("host")} AS reg_domain
            |      FROM unorm WHERE url_norm IS NOT NULL)
            |GROUP BY reg_domain""".stripMargin
     },
@@ -6116,7 +6114,7 @@ private[graft] object OpsEntries {
 
     "q264_url_normalize" ->
       (s"WITH ufix AS ($urlFixtureSql),\n" + urlNormCtes("ufix") +
-        "\nSELECT doc_id, url, url_norm FROM unorm"),
+        "\nSELECT doc_id, url, url_norm, host FROM unorm"),
 
     "q265_url_dedup" ->
       (s"WITH ufix AS ($urlFixtureSql),\n" + urlNormCtes("ufix") +
@@ -6133,14 +6131,11 @@ private[graft] object OpsEntries {
     // domain from the NORMALIZED authority, then the q61 hash-order
     // quota window per domain.
     "q267_domain_caps" -> {
-      import graft.ops.UrlOps
-      val hostOfNorm =
-        s"regexp_extract(regexp_extract(url_norm, '${sqQuote(UrlOps.authRe)}', 1), '${sqQuote(UrlOps.hostRe)}', 1)"
       s"WITH hfix AS ($hostFixtureSql),\n" +
         "hurl AS (SELECT doc_id, 'http://' || host || '/p/' || CAST(doc_id % 7 AS VARCHAR) AS url FROM hfix),\n" +
         urlNormCtes("hurl") +
         s""",
-           |dom AS (SELECT doc_id, url_norm, ${regDomainSql(hostOfNorm)} AS reg_domain
+           |dom AS (SELECT doc_id, url_norm, ${regDomainSql("host")} AS reg_domain
            |        FROM unorm WHERE url_norm IS NOT NULL)
            |SELECT doc_id, url_norm, reg_domain FROM (
            |  SELECT doc_id, url_norm, reg_domain,
@@ -6304,16 +6299,17 @@ private[graft] object OpsEntries {
       |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTP' WHEN doc_id % 2 = 0 THEN 'http'
       |          WHEN doc_id % 4 = 1 THEN 'https' ELSE 'HTTPS' END) ||
       |    '://' ||
-      |    (CASE WHEN doc_id % 13 = 0 THEN 'crawler:pw@' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 13 = 0 THEN 'crawler:p@w@' ELSE '' END) ||
       |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || source || '.Example.COM'
       |          ELSE 'www.' || source || '.example.com' END) ||
       |    (CASE WHEN doc_id % 10 = 0 THEN ':80' WHEN doc_id % 10 = 5 THEN ':443' ELSE '' END) ||
-      |    '/articles/' || CAST(doc_id % 25 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 11 = 4 THEN '/arti%63les/' ELSE '/articles/' END) ||
+      |    CAST(doc_id % 25 AS VARCHAR) ||
       |    (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
       |    '?' ||
-      |    (CASE WHEN doc_id % 3 = 1 THEN 'utm_source=feed&b=2&a=1'
-      |          WHEN doc_id % 3 = 2 THEN 'b=2&a=1&fbclid=XYZ'
-      |          ELSE 'a=1&b=2&utm_campaign=x' END) ||
+      |    (CASE WHEN doc_id % 3 = 1 THEN 'utm_source=feed&b=2&a=%31&t=x+y&z=a%2Fb'
+      |          WHEN doc_id % 3 = 2 THEN 'b=2&a=1&fbclid=XYZ&t=x%20y&z=a%2fb'
+      |          ELSE 'a=1&b=2&utm_campaign=x&t=x+y&z=a%2fb' END) ||
       |    (CASE WHEN doc_id % 5 = 2 THEN '#section-3' ELSE '' END)
       |  END AS url
       |FROM documents WHERE text IS NOT NULL""".stripMargin
@@ -6333,14 +6329,32 @@ private[graft] object OpsEntries {
     * every pattern spliced from the engine's own UrlOps constants so
     * the two normalizers cannot drift.
     */
+  /** [[graft.ops.UrlOps.pctCanon]] as a SQL scalar expression over
+    * `e` — the same sentinel-split form, with the unreserved decode
+    * table spliced from the engine's own [[graft.ops.UrlOps.pctUnreserved]]
+    * constant so the two decoders cannot drift.
+    */
+  private def pctCanonSql(e: String): String = {
+    import graft.ops.UrlOps
+    val arms = UrlOps.pctUnreserved
+      .map { case (h, ch) => s"WHEN '$h' THEN '${sqQuote(ch)}'" }.mkString(" ")
+    s"""(list_extract(string_split(replace(replace($e, chr(2), ''), '%', chr(2)), chr(2)), 1) ||
+       | coalesce(array_to_string(list_transform(
+       |   list_slice(string_split(replace(replace($e, chr(2), ''), '%', chr(2)), chr(2)), 2, 2147483647),
+       |   p -> CASE WHEN regexp_matches(p, '${sqQuote(UrlOps.pctHexRe)}')
+       |             THEN (CASE upper(substr(p, 1, 2)) $arms
+       |                   ELSE '%' || upper(substr(p, 1, 2)) END) || substr(p, 3)
+       |             ELSE '%' || p END), ''), ''))""".stripMargin
+  }
+
   private def urlNormCtes(rel: String): String = {
     import graft.ops.UrlOps
     s"""up0 AS (SELECT doc_id, url, trim(url) AS u FROM $rel),
        |up1 AS (SELECT doc_id, url,
        |          lower(regexp_extract(u, '${sqQuote(UrlOps.schemeRe)}', 1)) AS scheme,
        |          lower(regexp_replace(regexp_extract(u, '${sqQuote(UrlOps.authRe)}', 1), '${sqQuote(UrlOps.userinfoRe)}', '')) AS hostport,
-       |          regexp_replace(regexp_extract(u, '${sqQuote(UrlOps.pathRe)}', 1), '/+$$', '') AS path,
-       |          regexp_extract(regexp_replace(u, '${sqQuote(UrlOps.fragmentRe)}', ''), '${sqQuote(UrlOps.queryRe)}', 1) AS q
+       |          regexp_replace(${pctCanonSql(s"regexp_extract(u, '${sqQuote(UrlOps.pathRe)}', 1)")}, '/+$$', '') AS path,
+       |          ${pctCanonSql(s"replace(regexp_extract(regexp_replace(u, '${sqQuote(UrlOps.fragmentRe)}', ''), '${sqQuote(UrlOps.queryRe)}', 1), '+', '%20')")} AS q
        |        FROM up0),
        |up2 AS (SELECT doc_id, url, scheme,
        |          regexp_replace(regexp_extract(hostport, '${sqQuote(UrlOps.hostRe)}', 1), '${sqQuote(UrlOps.trailingDotsRe)}', '') AS host,
@@ -6357,7 +6371,8 @@ private[graft] object OpsEntries {
        |                    THEN ':' || port ELSE '' END) ||
        |              path ||
        |              (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END)
-       |    END AS url_norm
+       |    END AS url_norm,
+       |    CASE WHEN scheme = '' OR host = '' THEN NULL ELSE host END AS host
        |  FROM up3)""".stripMargin
   }
 

@@ -71,6 +71,50 @@ object UrlOps {
   private[graft] val trackingRe =
     "^(?:utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid|yclid|_hsenc|_hsmi)(?:=.*)?$"
 
+  /** RFC 3986 §2.3 unreserved characters as (UPPERCASE hex octet →
+    * decoded char): ALPHA / DIGIT / `-` `.` `_` `~`. Percent-encoding
+    * these never changes meaning, so canonicalization DECODES them;
+    * everything else (reserved delimiters, non-ASCII octets) keeps its
+    * escape with the hex digits uppercased (§6.2.2.1). ONE table,
+    * spliced into both engines' decoders.
+    */
+  private[graft] val pctUnreserved: Seq[(String, String)] =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
+      .map(c => (f"${c.toInt}%02X", c.toString))
+
+  /** A valid two-hex-digit escape body (the two chars after a '%'). */
+  private[graft] val pctHexRe = "^[0-9A-Fa-f]{2}"
+
+  /** Percent-encoding canonicalization (RFC 3986 §6.2.2): decode
+    * [[pctUnreserved]] escapes (`%7E`→`~`, `%41`→`A`), uppercase the
+    * hex digits of every remaining valid escape (`%2f`→`%2F`), and
+    * preserve malformed escapes (`%zz`, a trailing `%`) byte-for-byte.
+    * Two encodings of one resource must not mint distinct `url_norm`s
+    * and defeat the dedup tier — the same evasion class as the SPA
+    * fragment and the FQDN trailing dot.
+    *
+    * Portable form (RE2 has no callbacks/lookbehind): rewrite `%` to a
+    * U+0002 sentinel, split on it — every element after the first
+    * BEGINS at an escape site — then one `transform` fixes each head
+    * and a join reassembles. A pre-existing U+0002 in the value (never
+    * legal in a URL) strips first, the [[graft.ops.TextOps.sentenceSplit]]
+    * sentinel-collision convention. Map-only, no UDF.
+    */
+  private[graft] def pctCanon(c: Column): Column = {
+    val marked = replace(replace(c, lit("\u0002"), lit("")), lit("%"), lit("\u0002"))
+    val parts = split(marked, "\u0002", -1)
+    val fixed = transform(slice(parts, lit(2), size(parts)), p => {
+      val hex = upper(substring(p, 1, 2))
+      val decoded = pctUnreserved.tail.foldLeft(
+        when(hex === pctUnreserved.head._1, lit(pctUnreserved.head._2))) {
+        case (w, (h, ch)) => w.when(hex === h, lit(ch))
+      }.otherwise(concat(lit("%"), hex))
+      when(p.rlike(pctHexRe), concat(decoded, p.substr(lit(3), length(p))))
+        .otherwise(concat(lit("%"), p))
+    })
+    concat(element_at(parts, 1), array_join(fixed, ""))
+  }
+
   /** Canonical URL form — the normalization every crawl pipeline runs
     * before URL-level dedup so trivially-different frontier entries
     * collapse:
@@ -85,12 +129,18 @@ object UrlOps {
     *     not semantic; sorting makes `?b=2&a=1` ≡ `?a=1&b=2`)
     *   - the fragment drops (never sent to the server)
     *
+    *   - percent-encoding canonicalizes ([[pctCanon]]) in the path and
+    *     query; `+` in the QUERY rewrites to `%20` first (both spell a
+    *     space under form encoding; in the path `+` is a literal plus)
+    *
     * A row whose value has no scheme or no host is not a fetchable
     * URL: `url_norm` is NULL (the quarantine convention — downstream
     * [[urlDedup]]/[[domainCaps]] skip it rather than guess).
     *
     * Map-only, no UDF: per-component `regexp_extract` + one sorted
-    * list rebuild. Output: (<idCol>, <urlCol>, url_norm).
+    * list rebuild. Output: (<idCol>, <urlCol>, url_norm, host) — host
+    * rides along (NULL on quarantined rows) so downstream domain
+    * operators consume it instead of re-parsing url_norm.
     */
   def urlNormalize(docs: DataFrame, idCol: String = "doc_id",
                    urlCol: String = "url"): DataFrame = {
@@ -103,16 +153,21 @@ object UrlOps {
     val port = regexp_extract(hostport, portRe, 1)
     val keepPort = port =!= "" &&
       !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
-    val path = regexp_replace(regexp_extract(u, pathRe, 1), "/+$", "")
-    val qs = array_join(array_sort(filter(split(regexp_extract(uNoFrag, queryRe, 1), "&"),
+    val path = regexp_replace(pctCanon(regexp_extract(u, pathRe, 1)), "/+$", "")
+    // '+' -> %20 BEFORE pctCanon (both spell a space in a query); then
+    // canonicalize escapes BEFORE the tracking filter, so an encoded
+    // spelling of a tracking key ('utm%5Fsource') cannot evade the kill
+    val qraw = pctCanon(replace(regexp_extract(uNoFrag, queryRe, 1), lit("+"), lit("%20")))
+    val qs = array_join(array_sort(filter(split(qraw, "&", -1),
       p => p =!= "" && !p.rlike(trackingRe))), "&")
     val norm = concat(scheme, lit("://"), host,
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
       path,
       when(qs =!= "", concat(lit("?"), qs)).otherwise(lit("")))
+    val invalid = scheme === "" || host === ""
     docs.select(col(idCol), col(urlCol),
-      when(scheme === "" || host === "", lit(null).cast("string"))
-        .otherwise(norm).as("url_norm"))
+      when(invalid, lit(null).cast("string")).otherwise(norm).as("url_norm"),
+      when(invalid, lit(null).cast("string")).otherwise(host).as("host"))
   }
 
   /** Exact URL dedup over [[urlNormalize]]'s output: the first id (by
@@ -180,14 +235,9 @@ object UrlOps {
   def domainCaps(normed: DataFrame, cap: Int, idCol: String = "doc_id"): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
     val withDom = normed.filter(col("url_norm").isNotNull)
-      .select(col(idCol), col("url_norm"), registeredDomain(hostOfNorm).as("reg_domain"))
+      .select(col(idCol), col("url_norm"), registeredDomain(col("host")).as("reg_domain"))
     SampleOps.groupQuota(withDom, "reg_domain", idCol, cap)
   }
-
-  /** Host of a NORMALIZED url — the authority may still carry a
-    * non-default port, stripped before domain registration. */
-  private def hostOfNorm: Column =
-    regexp_extract(regexp_extract(col("url_norm"), authRe, 1), hostRe, 1)
 
   /** Domain-blocklist VERDICT over [[urlNormalize]]'s output: every
     * valid row gets its registrable domain and a `blocked` flag
@@ -203,7 +253,7 @@ object UrlOps {
                       idCol: String = "doc_id"): DataFrame = {
     require(blocked.nonEmpty, "domainBlocklist needs at least one blocked domain")
     normed.filter(col("url_norm").isNotNull)
-      .select(col(idCol), col("url_norm"), registeredDomain(hostOfNorm).as("reg_domain"))
+      .select(col(idCol), col("url_norm"), registeredDomain(col("host")).as("reg_domain"))
       .withColumn("blocked", col("reg_domain").isin(blocked: _*))
   }
 
@@ -219,7 +269,7 @@ object UrlOps {
     */
   def frontierReport(normed: DataFrame, idCol: String = "doc_id"): DataFrame =
     normed.filter(col("url_norm").isNotNull)
-      .select(registeredDomain(hostOfNorm).as("reg_domain"), col("url_norm"))
+      .select(registeredDomain(col("host")).as("reg_domain"), col("url_norm"))
       .groupBy("reg_domain")
       .agg(count(lit(1)).as("n_urls"), countDistinct(col("url_norm")).as("n_unique"))
       .select(col("reg_domain"), col("n_urls"), col("n_unique"),

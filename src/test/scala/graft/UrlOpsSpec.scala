@@ -58,6 +58,42 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got(15L) === Some("http://example.net/q"))
   }
 
+  test("urlNormalize: percent-encoding canonicalization (RFC 3986 §6)") {
+    val got = norm(
+      // unreserved escapes DECODE (%41->A is case-normalized to host
+      // lowercase later; path %7E->~, %63->c); reserved escapes keep
+      // but uppercase their hex (%2f -> %2F)
+      1L -> "http://example.com/%7Euser/arti%63les/a%2fb",
+      2L -> "http://example.com/~user/articles/a%2Fb",
+      // '+' in the QUERY spells a space -> %20; '+' in the PATH is literal
+      3L -> "http://example.com/a+b?t=x+y",
+      4L -> "http://example.com/a+b?t=x%20y",
+      // malformed escapes preserve byte-for-byte (no crash, no guess)
+      5L -> "http://example.com/100%?p=%zz&q=1",
+      6L -> "http://example.com/pct%",
+      // an encoded spelling of a tracking key must not evade the kill
+      7L -> "http://example.com/x?utm%5Fsource=feed&a=1",
+      // %31 is unreserved digit '1'
+      8L -> "http://example.com/x?a=%31")
+    assert(got(1L) === Some("http://example.com/~user/articles/a%2Fb"))
+    assert(got(2L) === Some("http://example.com/~user/articles/a%2Fb"))
+    assert(got(3L) === Some("http://example.com/a+b?t=x%20y"))
+    assert(got(4L) === Some("http://example.com/a+b?t=x%20y"))
+    assert(got(5L) === Some("http://example.com/100%?p=%zz&q=1"))
+    assert(got(6L) === Some("http://example.com/pct%"))
+    assert(got(7L) === Some("http://example.com/x?a=1"))
+    assert(got(8L) === Some("http://example.com/x?a=1"))
+  }
+
+  test("urlNormalize: host column rides along; NULL on quarantined rows") {
+    val got = UrlOps.urlNormalize(Seq(
+      (1L, "HTTP://User@WWW.Example.COM:8080/a"),
+      (2L, "junk")).toDF("doc_id", "url")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(got(1L) === Some("www.example.com"))
+    assert(got(2L) === None)
+  }
+
   test("urlDedup: variants collapse, first id keeps, invalid rows drop") {
     val urls = Seq(
       (10L, "HTTP://A.com/x/?utm_source=f"),
