@@ -1957,7 +1957,34 @@ private[graft] object OpsEntries {
     "q275_sentence_split" -> ((s, dir) =>
       TextOps.sentenceSplit(t(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"),
-          concat(col("text"), lit(sentFixtureSuffix)).as("text"))))
+          concat(col("text"), lit(sentFixtureSuffix)).as("text")))),
+
+    // Cross-corpus sentence-level exact dedup (the Dolma/CCNet tier
+    // between line-dedup and MinHash) CONSUMING q275's segmentation:
+    // first occurrence corpus-wide keeps, within-doc repeats and
+    // cross-doc copies cut, per-doc in-order reassembly. The fixture
+    // tail makes every doc carry one within-doc repeat and four
+    // cross-doc duplicate sentences.
+    "q276_sentence_dedup" -> ((s, dir) =>
+      TextOps.dedupSentencesAcrossDocs(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), concat(col("text"), lit(sentDedupSuffix)).as("text")))),
+
+    // WHY the sentence tier pays for itself, measured (the q270
+    // discipline): band-skew audit of the tailed corpus vs the same
+    // corpus after sentence dedup — the shared tail wins minhash
+    // slots exactly like template boilerplate, and cutting it
+    // collapses candidate pair-work before the near-dup tier runs.
+    "q277_sentence_dedup_impact" -> ((s, dir) => {
+      val tailed = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), concat(col("text"), lit(sentDedupSuffix)).as("text"))
+        .localCheckpoint(true) // audit + dedup both read it
+      val deduped = TextOps.dedupSentencesAcrossDocs(tailed)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      DedupOps.bandSkewAudit(tailed).select(lit("with_tail").as("variant"), col("*"))
+        .unionByName(DedupOps.bandSkewAudit(deduped)
+          .select(lit("sentence_deduped").as("variant"), col("*")))
+    })
   )
 
   /** The q274 blocklist: real corpus vocabulary ("slow") so the gate
@@ -1976,6 +2003,22 @@ private[graft] object OpsEntries {
     * engines' fixture construction (same discipline).
     */
   private[graft] val sentFixtureSuffix: String = ". It ran fast! Was it slow? Done."
+
+  /** The q276/q277 sentence-dedup fixture tail: appended to EVERY doc,
+    * so each tail sentence is a massive cross-doc duplicate (only the
+    * first doc keeps it), and "It ran fast!" repeats WITHIN each doc —
+    * both removal classes replay at every scale. The tail is sized
+    * like REAL shared boilerplate (~a third of a ~60-token doc), so
+    * the q277 impact audit measures the fraction that matters: a
+    * 4-word tail would be invisible to minhash slots and fake a
+    * null result for a tier that pays off in production. Spliced
+    * into both engines.
+    */
+  private[graft] val sentDedupSuffix: String =
+    ". It ran fast! It ran fast! Was it slow? The shared campaign footer" +
+      " repeats verbatim on every page of this entire site. Subscribe to" +
+      " the weekly newsletter for daily updates and exclusive offers. All" +
+      " rights reserved by the example publishing network corporation."
 
   /** The q272 blocklist: one shared domain, one per-source co.uk site,
     * one IPv4 literal — registry-sized by contract.
@@ -6000,6 +6043,24 @@ private[graft] object OpsEntries {
          |       sentence
          |FROM st WHERE sentence <> ''""".stripMargin,
 
+    // The q275 segmentation machinery + ONE fingerprint-keyed
+    // row_number (first occurrence by (doc, position) corpus-wide) +
+    // per-doc in-order reassembly.
+    "q276_sentence_dedup" ->
+      ("WITH " + sentenceDedupCtes +
+        "\nSELECT doc_id, n_sentences, n_removed, clean_text FROM sdd"),
+
+    // Two band audits (the q270 shape): tailed corpus vs sentence-
+    // deduped corpus.
+    "q277_sentence_dedup_impact" ->
+      ("WITH " + sentenceDedupCtes +
+        s""",
+           |tailside AS (SELECT doc_id, text FROM sfix),
+           |dedupside AS (SELECT doc_id, clean_text AS text FROM sdd)
+           |SELECT 'with_tail' AS variant, * FROM ${bandAuditSql("tailside")}
+           |UNION ALL
+           |SELECT 'sentence_deduped' AS variant, * FROM ${bandAuditSql("dedupside")}""".stripMargin),
+
     "q272_domain_blocklist" -> {
       val blocked = blockedDomains.map(d => s"'$d'").mkString("[", ", ", "]")
       s"WITH hfix AS ($hostFixtureSql),\n" +
@@ -6412,6 +6473,33 @@ private[graft] object OpsEntries {
         |        CAST(sum(CASE WHEN bn THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
         |        coalesce(string_agg(CASE WHEN NOT bn THEN line END, chr(10) ORDER BY li), '') AS clean_text
         |      FROM xfl GROUP BY doc_id)""".stripMargin
+
+  /** The q276 sentence-dedup chain as CTEs (NO leading WITH): the
+    * q275 segmentation machinery over the [[sentDedupSuffix]]-tailed
+    * corpus, one md5-fingerprint-keyed row_number (first occurrence by
+    * (doc, position) corpus-wide), and the per-doc in-order
+    * reassembly, ending in `sdd(doc_id, n_sentences, n_removed,
+    * clean_text)` — shared by the q276 entry and the q277 impact
+    * audit. sfix stays visible for the audit's "before" side.
+    */
+  private def sentenceDedupCtes: String =
+    s"""sfix AS (SELECT doc_id, text || '${sqQuote(sentDedupSuffix)}' AS text
+       |         FROM documents WHERE text IS NOT NULL),
+       |smk AS (SELECT doc_id, string_split(
+       |          regexp_replace(replace(text, chr(1), ' '), '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)) AS ss
+       |        FROM sfix),
+       |six AS (SELECT doc_id, CAST(unnest(generate_series(1, len(ss))) AS INTEGER) AS i, ss FROM smk),
+       |sst AS (SELECT doc_id, i, trim(ss[i]) AS sentence FROM six),
+       |sky AS (SELECT doc_id, i, sentence,
+       |          md5(regexp_replace(lower(sentence), '\\s+', ' ', 'g')) AS key
+       |        FROM sst WHERE sentence <> ''),
+       |soc AS (SELECT doc_id, i, sentence,
+       |          row_number() OVER (PARTITION BY key ORDER BY doc_id, i) AS occ FROM sky),
+       |sdd AS MATERIALIZED (SELECT doc_id,
+       |          CAST(count(*) AS BIGINT) AS n_sentences,
+       |          CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |          coalesce(string_agg(CASE WHEN occ = 1 THEN sentence END, ' ' ORDER BY i), '') AS clean_text
+       |        FROM soc GROUP BY doc_id)""".stripMargin
 
   /** [[graft.ops.UrlOps.registeredDomain]] as a SQL expression over a
     * lowercase host expression. */

@@ -357,6 +357,49 @@ object TextOps {
         .as(Seq("sent_idx", "sentence")))
   }
 
+  /** Cross-corpus sentence-level exact dedup — the Dolma/CCNet tier
+    * BETWEEN line-dedup and the MinHash near-dup tier: the corpus is
+    * re-segmented by [[sentenceSplit]]'s boundary rule, and only the
+    * FIRST occurrence (by (doc, position), corpus-wide) of each
+    * normalized sentence survives; every later occurrence — a
+    * within-doc repeat OR a cross-doc copy — is cut and each document
+    * reassembles in order. Normalization for the dedup key is
+    * lowercase + whitespace collapse; the shuffle key is its md5
+    * fingerprint, not the sentence bytes (a shuffle at corpus scale
+    * moves 16-byte keys, not prose).
+    *
+    * Plan shape: one sentence explode, ONE fingerprint-keyed window
+    * (row_number over (doc, position) — first-occurrence-wins is a
+    * total order, not a coin flip), one per-doc ordered re-aggregate.
+    * Mega-duplicated sentences (site boilerplate) concentrate a key;
+    * AQE skew handling splits those partitions, and the boilerplate
+    * tier upstream ([[boilerplateLines]]/[[removeLines]]) exists to
+    * drain exactly that mass first.
+    *
+    * Docs whose text is NULL are excluded (no sentences to judge).
+    * Sentences reassemble separated by one space (the boundary
+    * whitespace was consumed by the split; terminals stay with their
+    * sentence). Output: (<idCol>, n_sentences, n_removed, clean_text).
+    */
+  def dedupSentencesAcrossDocs(docs: org.apache.spark.sql.DataFrame,
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sents = sentenceSplit(docs, idCol, textCol)
+      .select(col(idCol).cast("long").as("did"), col("sent_idx").as("si"), col("sentence"))
+      .withColumn("key",
+        md5(regexp_replace(lower(col("sentence")), "\\s+", " ").cast("binary")))
+    val w = Window.partitionBy("key").orderBy("did", "si")
+    sents.withColumn("_occ", row_number().over(w))
+      .groupBy("did")
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("_occ") > 1, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+            when(col("_occ") === 1, struct(col("si"), col("sentence"))))),
+          x => x.getField("sentence")), " ").as("clean_text"))
+      .select(col("did").as(idCol), col("n_sentences"), col("n_removed"), col("clean_text"))
+  }
+
   /** Whitespace token count (the cheap estimator). */
   def wsTokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > 0))

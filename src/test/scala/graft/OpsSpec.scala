@@ -220,6 +220,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got((2L, 0)) === "No boundary at all")
     assert(got.keys.count(_._1 == 1L) === 4 && got.keys.count(_._1 == 3L) === 0)
   }
+  test("dedupSentencesAcrossDocs: first occurrence wins corpus-wide; within-doc repeats and case/space variants cut") {
+    val docs = Seq(
+      (1L, "Alpha beta. Shared tail! Unique one."),
+      (2L, "Gamma delta. Shared tail! Another."),
+      (3L, "Repeat me. Repeat me. Fresh."),
+      (4L, "shared  TAIL!"), // normalizes to doc 1's sentence -> cut
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.dedupSentencesAcrossDocs(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 is the first occurrence of every one of its sentences
+    assert(got(1L) === ((3L, 0L, "Alpha beta. Shared tail! Unique one.")))
+    // cross-doc copy cut, own prose survives in order
+    assert(got(2L) === ((3L, 1L, "Gamma delta. Another.")))
+    // within-doc repeat: only the first instance survives
+    assert(got(3L) === ((3L, 1L, "Repeat me. Fresh.")))
+    // lowercase + whitespace-collapse normalization keys the dedup
+    assert(got(4L) === ((1L, 1L, "")))
+    assert(!got.contains(5L)) // null text -> no sentences to judge
+  }
   test("removeLines: discovered template lines vanish everywhere; within-doc repeats survive") {
     val docs = Seq(
       (1L, "real prose of doc one\nvisit our help desk today\necho me\necho me"),
