@@ -1984,6 +1984,49 @@ private[graft] object OpsEntries {
       DedupOps.bandSkewAudit(tailed).select(lit("with_tail").as("variant"), col("*"))
         .unionByName(DedupOps.bandSkewAudit(deduped)
           .select(lit("sentence_deduped").as("variant"), col("*")))
+    }),
+
+    // The COMPLETE raw-web first mile with every quality gate consumed
+    // inside the composition (the q204 funnel discipline): URL
+    // normalize → URL dedup → HTML extract → mojibake REPAIR (q262's
+    // text_repaired is what flows on, not the damaged bytes) →
+    // residual-damage gate → word-blocklist gate → boilerplate
+    // discover+remove → empty-after-removal gate → curate. Per-doc
+    // drop reasons distinguish every tier: url_dup / encoding /
+    // blocklist / boilerplate / exact_dup / near_dup / low_quality /
+    // kept.
+    "q278_first_mile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dedup = UrlOps.urlDedup(UrlOps.urlNormalize(urlFixture(docs)))
+        .localCheckpoint(true) // keep and drop branches both read it
+      val keptIds = dedup.filter(col("keep")).select("doc_id")
+      val extracted = TextOps.htmlExtract(htmlFixture2(docs.join(keptIds, Seq("doc_id"))))
+        .select(col("doc_id"), col("text"))
+      // repair consumed; the gate judges RESIDUAL damage (what the
+      // bounded repair table could not fix), not the raw hit count
+      val rep = TextOps.encodingDamage(extracted)
+        .select(col("doc_id"), col("text_repaired").as("text"),
+          coalesce(regexp_count(col("text_repaired"), lit(TextOps.mojibakeDetector)), lit(0))
+            .cast("long").as("resid"))
+        .localCheckpoint(true) // encoding drop + survivor branches
+      val surv1 = rep.filter(col("resid") === 0).select(col("doc_id"), col("text"))
+      val blk = TextOps.wordBlocklistGate(surv1, blockedWords, maxRatio = wordGateMaxRatio)
+        .localCheckpoint(true)
+      val surv2 = surv1.join(blk.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        .localCheckpoint(true) // boiler discovery + removal both read it
+      val hits = TextOps.boilerplateLines(surv2).select("line")
+      val cleaned = TextOps.removeLines(surv2, hits)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint(true) // empty gate + curation's four readers
+      val curated = curationFrame(cleaned.filter(col("text") =!= ""))
+        .select(col("doc_id"), col("reason"), col("keep"))
+      def dropped(ids: DataFrame, reason: String): DataFrame =
+        ids.select(col("doc_id"), lit(reason).as("reason"), lit(false).as("keep"))
+      dropped(dedup.filter(!col("keep")).select("doc_id"), "url_dup")
+        .unionByName(dropped(rep.filter(col("resid") >= 1).select("doc_id"), "encoding"))
+        .unionByName(dropped(blk.filter(!col("keep")).select("doc_id"), "blocklist"))
+        .unionByName(dropped(cleaned.filter(col("text") === "").select("doc_id"), "boilerplate"))
+        .unionByName(curated)
     })
   )
 
@@ -2077,6 +2120,22 @@ private[graft] object OpsEntries {
   private[graft] val mojiSuffix: String =
     " CafÃ© staff said â€™helloâ€™ â€” Â«dailyÂ» reports"
 
+  /** The q278 UNREPAIRABLE-damage suffix: `Ã` + `Ÿ` (U+0178) is a
+    * detector hit with no [[graft.ops.TextOps.mojibakeRepairs]] entry,
+    * so the residual-damage re-scan stays positive after repair and
+    * the composed gate drops the doc as reason='encoding'. No
+    * [[blockedWords]] vocabulary — the classes must not alias.
+    */
+  private[graft] val badMojiSuffix: String =
+    " old archive shows ÃŸ artifacts persist"
+
+  /** The q278 blocklist-violation suffix: 5 [[blockedWords]] hits in
+    * ~13 tokens pushes a ~60-token doc decisively over
+    * [[wordGateMaxRatio]].
+    */
+  private[graft] val blockSuffix: String =
+    " systems crash when the slow legacy pipeline runs slow and operators crash again"
+
   /** Deterministic encoding-damage fixture: docs with doc_id%10==3
     * carry [[mojiSuffix]]; both engines build the same corpus (the
     * htmlFixture convention).
@@ -2108,6 +2167,41 @@ private[graft] object OpsEntries {
       // per-SOURCE boilerplate (site-template analogue): survives the
       // density floor, so q260's discovery sees a real df distribution
       // (one global line + one line per source) instead of one row
+      lit("<p>Source desk "), col("source"), lit(" answers reader mail daily</p>"),
+      lit("<div class=\"footer\">Copyright 2026 Example</div></body></html>"))
+      .as("html"))
+
+  /** The q278 raw-web fixture: [[htmlFixture]]'s template with three
+    * planted drop classes riding the content paragraph —
+    *   - doc_id%23==1: the content paragraph IS a second copy of the
+    *     source-desk boilerplate line, so after hit-list removal the
+    *     doc is EMPTY → reason='boilerplate'
+    *   - doc_id%19==5: REPAIRABLE [[mojiSuffix]] damage — the composed
+    *     build must consume the repair and curate the doc normally
+    *   - doc_id%19==2: UNREPAIRABLE [[badMojiSuffix]] damage →
+    *     reason='encoding' (residual hits survive the repair pass)
+    *   - doc_id%29==3: [[blockSuffix]] blocklist mass →
+    *     reason='blocklist'
+    * The %23 branch REPLACES the paragraph (a boiler-only page has no
+    * unique prose), so it takes construction precedence over the
+    * injections; gate precedence orders the rest.
+    */
+  private[graft] def htmlFixture2(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"), lit("</title>"),
+      lit("<script type=\"text/javascript\">var x = 1; if (x < 2) { x = 3; }</script>"),
+      lit("<style>.nav { color: red; }</style></head><body>"),
+      lit("<nav>Home About Login</nav>"),
+      lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1>"),
+      lit("<!-- rendered by template engine v2 -->"),
+      when(col("doc_id") % 23 === 1,
+        concat(lit("<p>Source desk "), col("source"), lit(" answers reader mail daily</p>")))
+        .otherwise(concat(lit("<p>"), col("text"),
+          when(col("doc_id") % 19 === 5, lit(mojiSuffix)).otherwise(lit("")),
+          when(col("doc_id") % 19 === 2, lit(badMojiSuffix)).otherwise(lit("")),
+          when(col("doc_id") % 29 === 3, lit(blockSuffix)).otherwise(lit("")),
+          lit("</p>"))),
+      lit("<p>Reach us at &lt;contact&amp;support&gt; today okay</p>"),
       lit("<p>Source desk "), col("source"), lit(" answers reader mail daily</p>"),
       lit("<div class=\"footer\">Copyright 2026 Example</div></body></html>"))
       .as("html"))
@@ -6061,6 +6155,60 @@ private[graft] object OpsEntries {
            |UNION ALL
            |SELECT 'sentence_deduped' AS variant, * FROM ${bandAuditSql("dedupside")}""".stripMargin),
 
+    // The complete first mile as ONE oracle chain: url CTEs + extract
+    // + repair/residual gate + blocklist gate + boiler removal + empty
+    // gate ride in as curationCtesFor's lead; the final union labels
+    // every drop tier.
+    "q278_first_mile" -> {
+      val det = sqQuote(graft.ops.TextOps.mojibakeDetector)
+      val rep = graft.ops.TextOps.mojibakeRepairs.foldLeft("text") {
+        case (e, (f, to)) => s"replace($e, '${sqQuote(f)}', '${sqQuote(to)}')"
+      }
+      val blArr = blockedWords.map(w => s"'${sqQuote(w.toLowerCase)}'").mkString("[", ", ", "]")
+      curationCtesFor("xcur", lead =
+        s"ufix AS ($urlFixtureSql),\n" + urlNormCtes("ufix") + ",\n" +
+          s"""ukeep AS (SELECT doc_id, url_norm,
+             |            doc_id = min(doc_id) OVER (PARTITION BY url_norm) AS keep
+             |          FROM unorm WHERE url_norm IS NOT NULL),
+             |xraw AS (SELECT * FROM ($htmlFixture2Sql) hh
+             |         WHERE hh.doc_id IN (SELECT doc_id FROM ukeep WHERE keep)),
+             |""".stripMargin + htmlExtractCtes() + ",\n" +
+          s"""xrep AS (SELECT doc_id, $rep AS text FROM xout),
+             |xenc AS MATERIALIZED (SELECT doc_id, text,
+             |          CAST(coalesce(len(regexp_extract_all(text, '$det')), 0) AS BIGINT) AS resid
+             |        FROM xrep),
+             |xs1 AS (SELECT doc_id, text FROM xenc WHERE resid = 0),
+             |xbv AS MATERIALIZED (SELECT doc_id,
+             |          round(CASE WHEN n_tokens > 0 THEN hits / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 4) <= $wordGateMaxRatio AS bkeep
+             |        FROM (SELECT doc_id,
+             |                CAST(coalesce(len($toksExpr), 0) AS BIGINT) AS n_tokens,
+             |                CAST(coalesce(len(list_filter($toksExpr, t -> list_contains($blArr, t))), 0) AS BIGINT) AS hits
+             |              FROM xs1)),
+             |xs2 AS MATERIALIZED (SELECT s.doc_id, s.text FROM xs1 s
+             |        JOIN xbv b ON b.doc_id = s.doc_id WHERE b.bkeep),
+             |xsp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM xs2),
+             |xli AS (SELECT doc_id, CAST(unnest(generate_series(1, len(ls))) AS INTEGER) AS li, ls FROM xsp),
+             |xl2 AS (SELECT doc_id, li, ls[li] AS line FROM xli),
+             |bl AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df FROM xl2
+             |        WHERE line <> '' GROUP BY line) WHERE df >= 2),
+             |xfl AS (SELECT doc_id, li, line, line IN (SELECT line FROM bl) AS bn FROM xl2),
+             |xclean AS MATERIALIZED (SELECT doc_id,
+             |        coalesce(string_agg(CASE WHEN NOT bn THEN line END, chr(10) ORDER BY li), '') AS clean_text
+             |      FROM xfl GROUP BY doc_id),
+             |xcur AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM xclean WHERE clean_text <> ''),
+             |""".stripMargin) +
+        """
+          |SELECT doc_id, 'url_dup' AS reason, false AS keep FROM ukeep WHERE NOT keep
+          |UNION ALL
+          |SELECT doc_id, 'encoding' AS reason, false AS keep FROM xenc WHERE resid >= 1
+          |UNION ALL
+          |SELECT doc_id, 'blocklist' AS reason, false AS keep FROM xbv WHERE NOT bkeep
+          |UNION ALL
+          |SELECT doc_id, 'boilerplate' AS reason, false AS keep FROM xclean WHERE clean_text = ''
+          |UNION ALL
+          |SELECT doc_id, reason, reason = 'kept' AS keep FROM v""".stripMargin
+    },
+
     "q272_domain_blocklist" -> {
       val blocked = blockedDomains.map(d => s"'$d'").mkString("[", ", ", "]")
       s"WITH hfix AS ($hostFixtureSql),\n" +
@@ -6343,6 +6491,28 @@ private[graft] object OpsEntries {
 
   /** `'`-doubling for splicing a literal into a single-quoted SQL string. */
   private def sqQuote(s: String): String = s.replace("'", "''")
+
+  /** The q278 fixture construction in SQL — character-identical to
+    * [[htmlFixture2]]'s concat (a def per the init-order trap). */
+  private def htmlFixture2Sql: String =
+    s"""SELECT doc_id,
+       |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
+       |  '<script type="text/javascript">var x = 1; if (x < 2) { x = 3; }</script>' ||
+       |  '<style>.nav { color: red; }</style></head><body>' ||
+       |  '<nav>Home About Login</nav>' ||
+       |  '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+       |  '<!-- rendered by template engine v2 -->' ||
+       |  (CASE WHEN doc_id % 23 = 1
+       |        THEN '<p>Source desk ' || source || ' answers reader mail daily</p>'
+       |        ELSE '<p>' || text ||
+       |          (CASE WHEN doc_id % 19 = 5 THEN '${sqQuote(mojiSuffix)}' ELSE '' END) ||
+       |          (CASE WHEN doc_id % 19 = 2 THEN '${sqQuote(badMojiSuffix)}' ELSE '' END) ||
+       |          (CASE WHEN doc_id % 29 = 3 THEN '${sqQuote(blockSuffix)}' ELSE '' END) ||
+       |          '</p>' END) ||
+       |  '<p>Reach us at &lt;contact&amp;support&gt; today okay</p>' ||
+       |  '<p>Source desk ' || source || ' answers reader mail daily</p>' ||
+       |  '<div class="footer">Copyright 2026 Example</div></body></html>' AS html
+       |FROM documents WHERE text IS NOT NULL""".stripMargin
 
   /** The q262/q263 fixture construction in SQL — character-identical
     * to [[mojiFixture]]'s concat (a def per the init-order trap). */
