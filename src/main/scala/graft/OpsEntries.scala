@@ -2027,7 +2027,16 @@ private[graft] object OpsEntries {
         .unionByName(dropped(blk.filter(!col("keep")).select("doc_id"), "blocklist"))
         .unionByName(dropped(cleaned.filter(col("text") === "").select("doc_id"), "boilerplate"))
         .unionByName(curated)
-    })
+    }),
+
+    // Registrable domain by the FULL public-suffix algorithm (rule
+    // table broadcast; wildcard `*.ck` and exception `!www.ck`/
+    // `!city.kawasaki.jp` semantics) over a fixture hitting every rule
+    // class: 2-label ccTLD suffixes, private-section platforms, the
+    // wildcard/exception pairs, IPv4, single-label, and the
+    // no-rule default.
+    "q279_psl_domain" -> ((s, dir) =>
+      UrlOps.registeredDomainPsl(hostFixture2(t(s, dir, "documents"))))
   )
 
   /** The q274 blocklist: real corpus vocabulary ("slow") so the gate
@@ -2119,6 +2128,27 @@ private[graft] object OpsEntries {
     */
   private[graft] val mojiSuffix: String =
     " CafÃ© staff said â€™helloâ€™ â€” Â«dailyÂ» reports"
+
+  /** The q279 host fixture: one branch per PSL rule class — 2-label
+    * ccTLD suffixes (com.cn/gov.au/co.za), a private-section platform
+    * (blogspot.com), the wildcard (`*.ck`) and exception (`!www.ck`,
+    * `!city.kawasaki.jp`) pairs, IPv4 literals, a single-label
+    * intranet host, and a deeper-than-wildcard kawasaki.jp host.
+    */
+  private[graft] def hostFixture2(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, concat(lit("news."), col("source"), lit(".com.cn")))
+        .when(col("doc_id") % 10 === 1, concat(lit("portal."), col("source"), lit(".gov.au")))
+        .when(col("doc_id") % 10 === 2, concat(col("source"), lit(".blogspot.com")))
+        .when(col("doc_id") % 10 === 3, concat(lit("www.shop."), col("source"), lit(".co.za")))
+        .when(col("doc_id") % 10 === 4, concat(lit("a.b."), col("source"), lit(".ck")))
+        .when(col("doc_id") % 10 === 5, lit("www.ck"))
+        .when(col("doc_id") % 10 === 6,
+          concat(lit("192.168.10."), (col("doc_id") % 40).cast("string")))
+        .when(col("doc_id") % 10 === 7, lit("intranet"))
+        .when(col("doc_id") % 10 === 8, lit("city.kawasaki.jp"))
+        .otherwise(concat(lit("sub.ward."), col("source"), lit(".kawasaki.jp")))
+        .as("host"))
 
   /** The q278 UNREPAIRABLE-damage suffix: `Ã` + `Ÿ` (U+0178) is a
     * detector hit with no [[graft.ops.TextOps.mojibakeRepairs]] entry,
@@ -6209,6 +6239,40 @@ private[graft] object OpsEntries {
           |SELECT doc_id, reason, reason = 'kept' AS keep FROM v""".stripMargin
     },
 
+    // The PSL algorithm in SQL: the rule table VALUES are generated by
+    // the SAME parser the engine uses (parsePslRule), so the two
+    // implementations cannot drift on rule semantics. Exception beats
+    // all via the +1000 priority band, else longest rule; no match
+    // defaults to ps_len 1.
+    "q279_psl_domain" -> {
+      import graft.ops.UrlOps
+      val rules = UrlOps.pslRules.map(UrlOps.parsePslRule).map {
+        case (sfx, n, e) => s"('${sqQuote(sfx)}', $n, $e)"
+      }.mkString(", ")
+      s"""WITH hfix2 AS ($hostFixture2Sql),
+         |rules(rsfx, ps_len, is_exc) AS (VALUES $rules),
+         |hl AS (SELECT doc_id, host,
+         |         regexp_replace(lower(host), '${sqQuote(UrlOps.trailingDotsRe)}', '') AS h
+         |       FROM hfix2),
+         |lb AS (SELECT doc_id, host, h, string_split(h, '.') AS labs,
+         |         CAST(len(string_split(h, '.')) AS INTEGER) AS n FROM hl),
+         |cand AS (SELECT doc_id, n, labs,
+         |           CAST(unnest(generate_series(1, n)) AS INTEGER) AS k FROM lb),
+         |sfxc AS (SELECT doc_id, n, array_to_string(list_slice(labs, n - k + 1, n), '.') AS sfx
+         |         FROM cand),
+         |mx AS (SELECT doc_id,
+         |         coalesce(CASE WHEN max(CASE WHEN is_exc THEN ps_len + 1000 ELSE ps_len END) >= 1000
+         |                  THEN max(CASE WHEN is_exc THEN ps_len + 1000 ELSE ps_len END) - 1000
+         |                  ELSE max(CASE WHEN is_exc THEN ps_len + 1000 ELSE ps_len END) END, 1) AS ps
+         |       FROM sfxc LEFT JOIN rules ON rules.rsfx = sfxc.sfx AND sfxc.n >= rules.ps_len
+         |       GROUP BY doc_id)
+         |SELECT lb.doc_id, lb.host,
+         |  CASE WHEN regexp_matches(h, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') THEN h
+         |       WHEN n > ps THEN array_to_string(list_slice(labs, n - ps, n), '.')
+         |       ELSE h END AS reg_domain
+         |FROM lb JOIN mx ON mx.doc_id = lb.doc_id""".stripMargin
+    },
+
     "q272_domain_blocklist" -> {
       val blocked = blockedDomains.map(d => s"'$d'").mkString("[", ", ", "]")
       s"WITH hfix AS ($hostFixtureSql),\n" +
@@ -6543,6 +6607,21 @@ private[graft] object OpsEntries {
       |          ELSE 'a=1&b=2&utm_campaign=x&t=x+y&z=a%2fb' END) ||
       |    (CASE WHEN doc_id % 5 = 2 THEN '#section-3' ELSE '' END)
       |  END AS url
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  /** The q279 host fixture in SQL — identical to [[hostFixture2]]. */
+  private def hostFixture2Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 10 = 0 THEN 'news.' || source || '.com.cn'
+      |       WHEN doc_id % 10 = 1 THEN 'portal.' || source || '.gov.au'
+      |       WHEN doc_id % 10 = 2 THEN source || '.blogspot.com'
+      |       WHEN doc_id % 10 = 3 THEN 'www.shop.' || source || '.co.za'
+      |       WHEN doc_id % 10 = 4 THEN 'a.b.' || source || '.ck'
+      |       WHEN doc_id % 10 = 5 THEN 'www.ck'
+      |       WHEN doc_id % 10 = 6 THEN '192.168.10.' || CAST(doc_id % 40 AS VARCHAR)
+      |       WHEN doc_id % 10 = 7 THEN 'intranet'
+      |       WHEN doc_id % 10 = 8 THEN 'city.kawasaki.jp'
+      |       ELSE 'sub.ward.' || source || '.kawasaki.jp' END AS host
       |FROM documents WHERE text IS NOT NULL""".stripMargin
 
   /** The q266/q267 host fixture in SQL — identical to [[hostFixture]]. */

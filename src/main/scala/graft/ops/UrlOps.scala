@@ -221,6 +221,98 @@ object UrlOps {
       .otherwise(host)
   }
 
+  /** Public-suffix-list SNAPSHOT in the list's own rule grammar
+    * (publicsuffix.org — normal rules, `*.` wildcards, `!` exceptions;
+    * ICANN + private-section entries). A bounded representative
+    * excerpt: the TABLE-DRIVEN algorithm below is the deliverable —
+    * the full ~9k-rule list drops into this Seq unchanged and rides
+    * the same broadcast (the `Retention.defaultRules` pattern).
+    * [[multiSuffixes]] (psl-lite) stays the zero-dependency default
+    * for callers that prefer a pure column expression.
+    */
+  private[graft] val pslRules: Seq[String] = Seq(
+    // generic TLDs (normal 1-label rules — same effect as the default)
+    "com", "org", "net", "edu", "gov", "io", "dev",
+    // ccTLDs with 2-label public suffixes
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "jp", "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "cn", "com.cn", "net.cn", "gov.cn", "org.cn", "edu.cn",
+    "au", "com.au", "net.au", "org.au", "gov.au", "edu.au",
+    "za", "co.za", "org.za", "gov.za", "ac.za",
+    "kr", "co.kr", "in", "co.in", "nz", "co.nz",
+    "br", "com.br", "mx", "com.mx",
+    // wildcard rules: EVERY 2-label suffix under these is public
+    "*.ck", "*.bd", "*.kawasaki.jp",
+    // exception rules: carve-outs from the wildcards above
+    "!www.ck", "!city.kawasaki.jp",
+    // private-section entries (site platforms)
+    "github.io", "blogspot.com", "pages.dev")
+
+  /** One PSL rule → (match suffix, public-suffix label count when this
+    * rule prevails, is-exception): `foo.bar` matches suffix `foo.bar`
+    * with ps_len 2; `*.ck` matches suffix `ck` with ps_len 2 (the `*`
+    * consumes one host label); `!www.ck` matches suffix `www.ck` with
+    * ps_len 1 (the exception's own leftmost label is REGISTRABLE, so
+    * the public suffix is one label shorter than the rule).
+    */
+  private[graft] def parsePslRule(r: String): (String, Int, Boolean) =
+    if (r.startsWith("!")) {
+      val s = r.substring(1); (s, s.split("\\.").length - 1, true)
+    } else if (r.startsWith("*.")) {
+      val s = r.substring(2); (s, s.split("\\.").length + 1, false)
+    } else (r, r.split("\\.").length, false)
+
+  /** Registrable domain by the FULL public-suffix algorithm
+    * (publicsuffix.org/list/ semantics): among rules whose match
+    * suffix equals a right-anchored label suffix of the host, an
+    * exception prevails over everything, else the longest rule; no
+    * match defaults to ps_len 1 (the list's implicit `*` rule). The
+    * registrable domain is one label more than the prevailing public
+    * suffix; a host that IS a public suffix — or a single label, or an
+    * IPv4 literal — registers as itself ([[registeredDomain]]'s lite
+    * convention, kept so the two variants disagree only where the
+    * table knows better).
+    *
+    * Plan shape: map-only label explode (≤ label-count rows per host)
+    * → BROADCAST join against the rule table → one id-keyed max +
+    * map-side rebuild. No corpus-keyed shuffle beyond the id
+    * aggregate; the rule table is registry-sized by contract.
+    *
+    * Output: (<idCol>, <hostCol>, reg_domain).
+    */
+  def registeredDomainPsl(hosts: DataFrame, hostCol: String = "host",
+                          idCol: String = "doc_id",
+                          rules: Seq[String] = pslRules): DataFrame = {
+    require(rules.nonEmpty, "registeredDomainPsl needs a non-empty rule table")
+    val rulesDf = hosts.sparkSession
+      .createDataFrame(rules.map(parsePslRule)).toDF("rsfx", "ps_len", "is_exc")
+    val base = hosts.select(col(idCol), col(hostCol),
+      regexp_replace(lower(col(hostCol)), trailingDotsRe, "").as("__h"))
+      .withColumn("__labs", split(col("__h"), "\\."))
+      .withColumn("__n", size(col("__labs")))
+    val cand = base.select(col(idCol), col("__n"), col("__labs"),
+      explode(sequence(lit(1), col("__n"))).as("__k"))
+      .select(col(idCol), col("__n"),
+        array_join(slice(col("__labs"), col("__n") - col("__k") + 1, col("__k")), ".")
+          .as("__sfx"))
+    // exception beats all, else longest: 1000+ps_len orders exceptions
+    // above every normal rule (ps_len is label-bounded, far below 1000)
+    val best = cand.join(broadcast(rulesDf),
+        col("__sfx") === col("rsfx") && col("__n") >= col("ps_len"), "left")
+      .groupBy(col(idCol))
+      .agg(max(when(col("is_exc"), col("ps_len") + 1000).otherwise(col("ps_len"))).as("__mx"))
+      .select(col(idCol),
+        coalesce(when(col("__mx") >= 1000, col("__mx") - 1000).otherwise(col("__mx")), lit(1))
+          .as("__ps"))
+    val isIp = col("__h").rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")
+    base.join(best, Seq(idCol))
+      .select(col(idCol), col(hostCol),
+        when(isIp, col("__h"))
+          .when(col("__n") > col("__ps"),
+            array_join(slice(col("__labs"), col("__n") - col("__ps"), col("__ps") + 1), "."))
+          .otherwise(col("__h")).as("reg_domain"))
+  }
+
   /** Per-registered-domain document caps over [[urlNormalize]]'s
     * output: at most `cap` docs per registrable domain, selected in
     * the deterministic [[SampleOps.groupQuota]] hash order (same docs

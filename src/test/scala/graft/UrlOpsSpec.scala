@@ -131,6 +131,43 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(dotted === "bad.co.uk")
   }
 
+  test("registeredDomainPsl: table-driven registration incl. wildcard and exception rules") {
+    val hosts = Seq(
+      "news.site.com.cn",       // 2-label ccTLD suffix -> site.com.cn
+      "portal.agency.gov.au",   // -> agency.gov.au
+      "author.blogspot.com",    // private-section entry -> itself +1
+      "www.shop.brand.co.za",   // -> brand.co.za
+      "a.b.site.ck",            // *.ck: site.ck is public -> b.site.ck
+      "www.ck",                 // !www.ck exception -> www.ck registrable
+      "foo.www.ck",             // under the exception -> www.ck
+      "site.ck",                // IS a public suffix -> itself (lite convention)
+      "city.kawasaki.jp",       // !city.kawasaki.jp -> itself (n=ps+1)
+      "sub.ward.kawasaki.jp",   // *.kawasaki.jp -> whole host registrable
+      "deep.sub.example.com",   // plain com -> example.com
+      "unlisted.host.zz",       // no rule -> default ps_len 1 -> host.zz
+      "192.168.10.7",           // IPv4 literal -> itself
+      "intranet",               // single label -> itself
+      "News.Bad.CO.UK.")        // case + FQDN dot normalize first
+      .zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val got = UrlOps.registeredDomainPsl(hosts.toDF("doc_id", "host")).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(got("news.site.com.cn") === "site.com.cn")
+    assert(got("portal.agency.gov.au") === "agency.gov.au")
+    assert(got("author.blogspot.com") === "author.blogspot.com")
+    assert(got("www.shop.brand.co.za") === "brand.co.za")
+    assert(got("a.b.site.ck") === "b.site.ck")
+    assert(got("www.ck") === "www.ck")
+    assert(got("foo.www.ck") === "www.ck")
+    assert(got("site.ck") === "site.ck")
+    assert(got("city.kawasaki.jp") === "city.kawasaki.jp")
+    assert(got("sub.ward.kawasaki.jp") === "sub.ward.kawasaki.jp")
+    assert(got("deep.sub.example.com") === "example.com")
+    assert(got("unlisted.host.zz") === "host.zz")
+    assert(got("192.168.10.7") === "192.168.10.7")
+    assert(got("intranet") === "intranet")
+    assert(got("News.Bad.CO.UK.") === "bad.co.uk")
+  }
+
   test("domainCaps: cap enforced per registered domain, deterministic, under-cap passes whole") {
     val urls = (0L until 30L).map(i => (i, s"http://s${i % 3}.big.example.com/p/$i")) ++
       Seq((100L, "http://only.example.org/x"), (101L, "http://other.example.org/y"))
