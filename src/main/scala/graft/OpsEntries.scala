@@ -2036,7 +2036,16 @@ private[graft] object OpsEntries {
     // wildcard/exception pairs, IPv4, single-label, and the
     // no-rule default.
     "q279_psl_domain" -> ((s, dir) =>
-      UrlOps.registeredDomainPsl(hostFixture2(t(s, dir, "documents"))))
+      UrlOps.registeredDomainPsl(hostFixture2(t(s, dir, "documents")))),
+
+    // Tracking-param DISCOVERY (the q260/q272 verdict shape applied to
+    // the kill list itself): per (domain, param key), distinct-value
+    // count vs the dup-rate impact of dropping the key. The fixture's
+    // per-visit `sid` shows ~one value per URL and a massive collapse
+    // rate; the load-bearing `page` and constant `v` show zero
+    // collapse — the evidence a kill-list review ranks on.
+    "q280_param_report" -> ((s, dir) =>
+      UrlOps.paramReport(UrlOps.urlNormalize(paramFixture(t(s, dir, "documents")))))
   )
 
   /** The q274 blocklist: real corpus vocabulary ("slow") so the gate
@@ -2149,6 +2158,19 @@ private[graft] object OpsEntries {
         .when(col("doc_id") % 10 === 8, lit("city.kawasaki.jp"))
         .otherwise(concat(lit("sub.ward."), col("source"), lit(".kawasaki.jp")))
         .as("host"))
+
+  /** The q280 frontier fixture: per-source co.uk sites whose URLs all
+    * carry a per-visit session id (`sid`, one value per doc — the
+    * param the report must convict), a pagination param (`page`, 3
+    * values, load-bearing), and a constant (`v`). Params arrive
+    * already sorted so the normalized form is stable.
+    */
+  private[graft] def paramFixture(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
+      concat(lit("http://news."), col("source"), lit(".co.uk/p/"),
+        (col("doc_id") % 5).cast("string"),
+        lit("?page="), (col("doc_id") % 3).cast("string"),
+        lit("&sid="), col("doc_id").cast("string"), lit("&v=1")).as("url"))
 
   /** The q278 UNREPAIRABLE-damage suffix: `Ã` + `Ÿ` (U+0178) is a
     * detector hit with no [[graft.ops.TextOps.mojibakeRepairs]] entry,
@@ -6273,6 +6295,34 @@ private[graft] object OpsEntries {
          |FROM lb JOIN mx ON mx.doc_id = lb.doc_id""".stripMargin
     },
 
+    // Param explode + per-row dropped-variant rebuild + ONE
+    // (domain, key) rollup — patterns spliced from the engine's UrlOps
+    // constants.
+    "q280_param_report" -> {
+      import graft.ops.UrlOps
+      s"WITH pfix AS ($paramFixtureSql),\n" + urlNormCtes("pfix") +
+        s""",
+           |pb AS (SELECT ${regDomainSql("host")} AS reg_domain, url_norm,
+           |         regexp_replace(url_norm, '(?s)\\?.*$$', '') AS base,
+           |         string_split(regexp_extract(url_norm, '${sqQuote(UrlOps.queryRe)}', 1), '&') AS params
+           |       FROM unorm WHERE url_norm IS NOT NULL AND contains(url_norm, '?')),
+           |pkv AS (SELECT reg_domain, url_norm, base, params, unnest(params) AS p FROM pb),
+           |pk2 AS (SELECT reg_domain, url_norm, base, params,
+           |          regexp_extract(p, '^([^=]*)', 1) AS pkey,
+           |          regexp_extract(p, '(?s)^[^=]*=(.*)$$', 1) AS pval FROM pkv),
+           |pk3 AS (SELECT reg_domain, url_norm, pkey, pval,
+           |          base || (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END) AS url_wo
+           |        FROM (SELECT *, list_filter(params, q -> regexp_extract(q, '^([^=]*)', 1) <> pkey) AS kept
+           |              FROM pk2))
+           |SELECT reg_domain, pkey AS param_key,
+           |       CAST(count(*) AS BIGINT) AS n_occurrences,
+           |       CAST(count(DISTINCT pval) AS BIGINT) AS n_values,
+           |       CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls,
+           |       CAST(count(DISTINCT url_wo) AS BIGINT) AS n_urls_wo,
+           |       round(1.0 - count(DISTINCT url_wo) / CAST(count(DISTINCT url_norm) AS DOUBLE), 4) AS collapse_rate
+           |FROM pk3 GROUP BY 1, 2""".stripMargin
+    },
+
     "q272_domain_blocklist" -> {
       val blocked = blockedDomains.map(d => s"'$d'").mkString("[", ", ", "]")
       s"WITH hfix AS ($hostFixtureSql),\n" +
@@ -6607,6 +6657,14 @@ private[graft] object OpsEntries {
       |          ELSE 'a=1&b=2&utm_campaign=x&t=x+y&z=a%2fb' END) ||
       |    (CASE WHEN doc_id % 5 = 2 THEN '#section-3' ELSE '' END)
       |  END AS url
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  /** The q280 fixture in SQL — identical to [[paramFixture]]. */
+  private def paramFixtureSql: String =
+    """SELECT doc_id,
+      |  'http://news.' || source || '.co.uk/p/' || CAST(doc_id % 5 AS VARCHAR) ||
+      |  '?page=' || CAST(doc_id % 3 AS VARCHAR) ||
+      |  '&sid=' || CAST(doc_id AS VARCHAR) || '&v=1' AS url
       |FROM documents WHERE text IS NOT NULL""".stripMargin
 
   /** The q279 host fixture in SQL — identical to [[hostFixture2]]. */

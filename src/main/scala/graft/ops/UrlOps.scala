@@ -349,6 +349,53 @@ object UrlOps {
       .withColumn("blocked", col("reg_domain").isin(blocked: _*))
   }
 
+  /** Per-domain query-parameter discovery report — the
+    * discovery-before-destruction discipline applied to the
+    * [[trackingRe]] kill list itself: the static list catches the
+    * universal click-ids, but real frontiers carry SITE-SPECIFIC
+    * session params (`sid`, `phpsessid`, per-visit cache busters) that
+    * only evidence can convict. For every (registrable domain, param
+    * key) over [[urlNormalize]]'s output, the report emits the
+    * occurrence count, the distinct-VALUE count (a session id has ~one
+    * value per visit; a pagination param has a handful), and the
+    * dup-rate impact of dropping the key: how many distinct normalized
+    * URLs would collapse if this param were killed. A reviewer extends
+    * the kill list from these rows; nothing is destroyed here.
+    *
+    * Plan shape: map-only param explode (params-per-URL rows) + ONE
+    * (domain, key) partial-aggregable rollup; the dropped-variant URL
+    * is rebuilt per row from the already-split param list (no second
+    * parse). Output is (domain × key)-sized.
+    *
+    * Output: (reg_domain, param_key, n_occurrences, n_values, n_urls,
+    * n_urls_wo, collapse_rate 4dp).
+    */
+  def paramReport(normed: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val pkeyOf = (p: Column) => regexp_extract(p, "^([^=]*)", 1)
+    val base = normed.filter(col("url_norm").isNotNull && col("url_norm").contains("?"))
+      .select(registeredDomain(col("host")).as("reg_domain"), col("url_norm"),
+        regexp_replace(col("url_norm"), "(?s)\\?.*$", "").as("base"),
+        split(regexp_extract(col("url_norm"), queryRe, 1), "&", -1).as("params"))
+    val kv = base.select(col("reg_domain"), col("url_norm"), col("base"), col("params"),
+        explode(col("params")).as("p"))
+      .select(col("reg_domain"), col("url_norm"), col("base"), col("params"),
+        pkeyOf(col("p")).as("pkey"),
+        regexp_extract(col("p"), "(?s)^[^=]*=(.*)$", 1).as("pval"))
+      .withColumn("kept", filter(col("params"), p => pkeyOf(p) =!= col("pkey")))
+      .withColumn("url_wo", concat(col("base"),
+        when(size(col("kept")) > 0, concat(lit("?"), array_join(col("kept"), "&")))
+          .otherwise(lit(""))))
+    kv.groupBy(col("reg_domain"), col("pkey"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("pval")).as("n_values"),
+        countDistinct(col("url_norm")).as("n_urls"),
+        countDistinct(col("url_wo")).as("n_urls_wo"))
+      .select(col("reg_domain"), col("pkey").as("param_key"), col("n_occurrences"),
+        col("n_values"), col("n_urls"), col("n_urls_wo"),
+        round(lit(1.0) - col("n_urls_wo") / col("n_urls").cast("double"), 4)
+          .as("collapse_rate"))
+  }
+
   /** Frontier observability per registrable domain — the number a
     * crawl pipeline watches daily (the extractionYield discipline one
     * stage earlier): how much of each domain's frontier is duplicate

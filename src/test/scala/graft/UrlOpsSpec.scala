@@ -131,6 +131,21 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(dotted === "bad.co.uk")
   }
 
+  test("paramReport: session params convict by value spread + collapse; load-bearing params do not") {
+    // 4 URLs on one domain: sid varies per visit (4 values, dropping
+    // it collapses 4 distinct URLs to 2), page is load-bearing
+    // (2 values, dropping collapses nothing: sid still distinguishes)
+    val urls = (0L until 4L).map(i =>
+      (i, s"http://a.example.com/p/${i % 2}?page=${i % 2}&sid=$i")).toDF("doc_id", "url")
+    val got = UrlOps.paramReport(UrlOps.urlNormalize(urls)).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6)))).toMap
+    assert(got("sid") === ((4L, 4L, 4L, 2L, 0.5)))
+    assert(got("page") === ((4L, 2L, 4L, 4L, 0.0)))
+    val dom = UrlOps.paramReport(UrlOps.urlNormalize(urls)).collect()(0).getString(0)
+    assert(dom === "example.com")
+  }
+
   test("registeredDomainPsl: table-driven registration incl. wildcard and exception rules") {
     val hosts = Seq(
       "news.site.com.cn",       // 2-label ccTLD suffix -> site.com.cn
