@@ -571,7 +571,8 @@ object Stress {
     // distance join, the conformal histogram and the all-but-the-top
     // transform are all row-linear by design — the exponent
     // log10(t_x/t_1)/log10(x) is what the record must show ≲ 1.
-    if (which == "r8ops" || which == "r9ops" || which == "r10ops" || which == "r11ops") {
+    if (which == "r8ops" || which == "r9ops" || which == "r10ops" || which == "r11ops" ||
+        which == "r12ops") {
       import graft.ops.{ModelOps, SimilarityOps, TextOps, UrlOps}
       // Replicated inputs are materialized ONCE, OUTSIDE the timers:
       // blending the linear write+re-read generation I/O into t1/tx
@@ -635,7 +636,52 @@ object Stress {
           docs.filter(col("doc_id") % 5 =!= 4),
           docs.filter(col("doc_id") % 7 =!= 6), emb).count()
       val ops: Seq[(String, DataFrame, DataFrame, DataFrame => Long)] =
-        if (which == "r11ops") Seq(
+        if (which == "r12ops") Seq(
+          // percent-canonicalizing normalize + ONE url_norm window:
+          // still must scale like the scan (the pctCanon transform is
+          // per-row over ≤ param-count list elements)
+          ("url_pct_dedup", docs1, docsX,
+            d => UrlOps.urlDedup(UrlOps.urlNormalize(OpsEntries.urlFixture(d))).count()),
+          // sentence tier at the replication worst case: every replica
+          // shares EVERY sentence with its source doc, so the
+          // fingerprint window sees x-deep keys on all of them —
+          // duplicate mass is exactly what the tier must absorb
+          ("sentence_dedup", docs1, docsX, d =>
+            TextOps.dedupSentencesAcrossDocs(
+              d.filter(col("text").isNotNull).select(col("doc_id"),
+                concat(col("text"), lit(OpsEntries.sentDedupSuffix)).as("text"))).count()),
+          // the COMPLETE q278 first mile: url tier kills the replica
+          // mass before extract/repair/gates/boiler/curate see it —
+          // survivors stay ~group-count-sized regardless of x
+          ("first_mile", docs1, docsX, d => {
+            val dedup = UrlOps.urlDedup(UrlOps.urlNormalize(OpsEntries.urlFixture(d)))
+              .localCheckpoint(true)
+            val kept = dedup.filter(col("keep")).select("doc_id")
+            val ext = TextOps.htmlExtract(OpsEntries.htmlFixture2(d.join(kept, Seq("doc_id"))))
+              .select(col("doc_id"), col("text"))
+            val rep = TextOps.encodingDamage(ext)
+              .select(col("doc_id"), col("text_repaired").as("text"),
+                coalesce(regexp_count(col("text_repaired"), lit(TextOps.mojibakeDetector)),
+                  lit(0)).cast("long").as("resid")).localCheckpoint(true)
+            val s1 = rep.filter(col("resid") === 0).select(col("doc_id"), col("text"))
+            val blk = TextOps.wordBlocklistGate(s1, OpsEntries.blockedWords,
+              maxRatio = OpsEntries.wordGateMaxRatio)
+            val s2 = s1.join(blk.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+              .localCheckpoint(true)
+            val cleaned = TextOps.removeLines(s2, TextOps.boilerplateLines(s2).select("line"))
+              .select(col("doc_id"), col("clean_text").as("text")).localCheckpoint(true)
+            val cur = OpsEntries.curationFrame(cleaned.filter(col("text") =!= ""))
+            dedup.filter(!col("keep")).select("doc_id")
+              .unionByName(cur.select("doc_id")).count()
+          }),
+          // broadcast rule-table join: label explode is ≤ 5 rows/host
+          ("psl_domain", docs1, docsX,
+            d => UrlOps.registeredDomainPsl(OpsEntries.hostFixture2(d)).count()),
+          // param explode + one (domain, key) rollup; output stays
+          // (domain × key)-sized while input grows x-fold
+          ("param_report", docs1, docsX,
+            d => UrlOps.paramReport(UrlOps.urlNormalize(OpsEntries.paramFixture(d))).count()))
+        else if (which == "r11ops") Seq(
           // URL tier alone: map-only normalize + ONE url_norm-keyed
           // window. Replication multiplies every frontier group by x —
           // the crawl-duplication worst case the tier exists to kill.
@@ -724,7 +770,8 @@ object Stress {
         val (rx, tx) = time(run(dx))
         val expo = math.log10(tx / t1) / math.log10(x.toDouble)
         val opsLabel =
-          if (which == "r11ops") "STRESS_R11OPS"
+          if (which == "r12ops") "STRESS_R12OPS"
+          else if (which == "r11ops") "STRESS_R11OPS"
           else if (which == "r10ops") "STRESS_R10OPS"
           else if (which == "r9ops") "STRESS_R9OPS" else "STRESS_R8OPS"
         println(f"$opsLabel op=$name rows_1=$r1 rows_$x=$rx " +
