@@ -2045,7 +2045,22 @@ private[graft] object OpsEntries {
     // rate; the load-bearing `page` and constant `v` show zero
     // collapse — the evidence a kill-list review ranks on.
     "q280_param_report" -> ((s, dir) =>
-      UrlOps.paramReport(UrlOps.urlNormalize(paramFixture(t(s, dir, "documents")))))
+      UrlOps.paramReport(UrlOps.urlNormalize(paramFixture(t(s, dir, "documents"))))),
+
+    // The discovery loop CLOSED (q280 → review → apply → measure):
+    // the reviewed kill list rides into the normalizer as extraKill
+    // and the frontier report prices the payoff — per-domain dup_rate
+    // goes from ~0 (every URL unique by session id) to the collapse
+    // q280's evidence predicted. Static-list and reviewed-kill
+    // variants emit side by side, the q270/q277 before/after shape.
+    "q281_reviewed_kill" -> ((s, dir) => {
+      val fixed = paramFixture(t(s, dir, "documents")).localCheckpoint(true)
+      val before = UrlOps.frontierReport(UrlOps.urlNormalize(fixed))
+      val after = UrlOps.frontierReport(
+        UrlOps.urlNormalize(fixed, extraKill = reviewedKill))
+      before.select(lit("static_list").as("variant"), col("*"))
+        .unionByName(after.select(lit("reviewed_kill").as("variant"), col("*")))
+    })
   )
 
   /** The q274 blocklist: real corpus vocabulary ("slow") so the gate
@@ -2171,6 +2186,13 @@ private[graft] object OpsEntries {
         (col("doc_id") % 5).cast("string"),
         lit("?page="), (col("doc_id") % 3).cast("string"),
         lit("&sid="), col("doc_id").cast("string"), lit("&v=1")).as("url"))
+
+  /** The q281 reviewed kill list: exactly the param q280's evidence
+    * convicts (`sid`: one value per visit, 0.88 collapse rate) — the
+    * human-review artifact the discovery loop hands to the normalizer.
+    * Spliced into both engines.
+    */
+  private[graft] val reviewedKill: Seq[String] = Seq("sid")
 
   /** The q278 UNREPAIRABLE-damage suffix: `Ã` + `Ÿ` (U+0178) is a
     * detector hit with no [[graft.ops.TextOps.mojibakeRepairs]] entry,
@@ -6323,6 +6345,25 @@ private[graft] object OpsEntries {
            |FROM pk3 GROUP BY 1, 2""".stripMargin
     },
 
+    // Two normalize chains (prefix-parameterized CTEs; the kill list
+    // spliced from the SAME reviewedKill constant) + one frontier
+    // rollup per variant.
+    "q281_reviewed_kill" -> {
+      def fr(src: String): String =
+        s"""SELECT reg_domain, count(*) AS n_urls,
+           |       CAST(count(DISTINCT url_norm) AS BIGINT) AS n_unique,
+           |       round(1.0 - count(DISTINCT url_norm) / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+           |FROM (SELECT ${regDomainSql("host")} AS reg_domain, url_norm
+           |      FROM $src WHERE url_norm IS NOT NULL)
+           |GROUP BY reg_domain""".stripMargin
+      s"WITH pfix AS ($paramFixtureSql),\n" + urlNormCtes("pfix") + ",\n" +
+        urlNormCtes("pfix", reviewedKill, "k") +
+        s"""
+           |SELECT 'static_list' AS variant, * FROM (${fr("unorm")})
+           |UNION ALL
+           |SELECT 'reviewed_kill' AS variant, * FROM (${fr("kunorm")})""".stripMargin
+    },
+
     "q272_domain_blocklist" -> {
       val blocked = blockedDomains.map(d => s"'$d'").mkString("[", ", ", "]")
       s"WITH hfix AS ($hostFixtureSql),\n" +
@@ -6715,23 +6756,30 @@ private[graft] object OpsEntries {
        |             ELSE '%' || p END), ''), ''))""".stripMargin
   }
 
-  private def urlNormCtes(rel: String): String = {
+  private def urlNormCtes(rel: String, extraKill: Seq[String] = Nil,
+                          pfx: String = ""): String = {
     import graft.ops.UrlOps
-    s"""up0 AS (SELECT doc_id, url, trim(url) AS u FROM $rel),
-       |up1 AS (SELECT doc_id, url,
+    val killExtra =
+      if (extraKill.isEmpty) ""
+      else {
+        val ks = extraKill.map(k => s"'${sqQuote(k)}'").mkString("[", ", ", "]")
+        s" AND NOT list_contains($ks, regexp_extract(p, '^([^=]*)', 1))"
+      }
+    s"""${pfx}up0 AS (SELECT doc_id, url, trim(url) AS u FROM $rel),
+       |${pfx}up1 AS (SELECT doc_id, url,
        |          lower(regexp_extract(u, '${sqQuote(UrlOps.schemeRe)}', 1)) AS scheme,
        |          lower(regexp_replace(regexp_extract(u, '${sqQuote(UrlOps.authRe)}', 1), '${sqQuote(UrlOps.userinfoRe)}', '')) AS hostport,
        |          regexp_replace(${pctCanonSql(s"regexp_extract(u, '${sqQuote(UrlOps.pathRe)}', 1)")}, '/+$$', '') AS path,
        |          ${pctCanonSql(s"replace(regexp_extract(regexp_replace(u, '${sqQuote(UrlOps.fragmentRe)}', ''), '${sqQuote(UrlOps.queryRe)}', 1), '+', '%20')")} AS q
-       |        FROM up0),
-       |up2 AS (SELECT doc_id, url, scheme,
+       |        FROM ${pfx}up0),
+       |${pfx}up2 AS (SELECT doc_id, url, scheme,
        |          regexp_replace(regexp_extract(hostport, '${sqQuote(UrlOps.hostRe)}', 1), '${sqQuote(UrlOps.trailingDotsRe)}', '') AS host,
-       |          regexp_extract(hostport, '${sqQuote(UrlOps.portRe)}', 1) AS port, path, q FROM up1),
-       |up3 AS (SELECT doc_id, url, scheme, host, port, path,
+       |          regexp_extract(hostport, '${sqQuote(UrlOps.portRe)}', 1) AS port, path, q FROM ${pfx}up1),
+       |${pfx}up3 AS (SELECT doc_id, url, scheme, host, port, path,
        |          array_to_string(list_sort(list_filter(string_split(q, '&'),
-       |            p -> p <> '' AND NOT regexp_matches(p, '${sqQuote(UrlOps.trackingRe)}'))), '&') AS qs
-       |        FROM up2),
-       |unorm AS (SELECT doc_id, url,
+       |            p -> p <> '' AND NOT regexp_matches(p, '${sqQuote(UrlOps.trackingRe)}')$killExtra)), '&') AS qs
+       |        FROM ${pfx}up2),
+       |${pfx}unorm AS (SELECT doc_id, url,
        |    CASE WHEN scheme = '' OR host = '' THEN NULL
        |         ELSE scheme || '://' || host ||
        |              (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
@@ -6741,7 +6789,7 @@ private[graft] object OpsEntries {
        |              (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END)
        |    END AS url_norm,
        |    CASE WHEN scheme = '' OR host = '' THEN NULL ELSE host END AS host
-       |  FROM up3)""".stripMargin
+       |  FROM ${pfx}up3)""".stripMargin
   }
 
   /** One q178 band-skew audit as a nested-WITH subquery over

@@ -141,9 +141,16 @@ object UrlOps {
     * list rebuild. Output: (<idCol>, <urlCol>, url_norm, host) — host
     * rides along (NULL on quarantined rows) so downstream domain
     * operators consume it instead of re-parsing url_norm.
+    *
+    * `extraKill` extends the static [[trackingRe]] list with REVIEWED
+    * site-specific param keys (exact-match on the key, killed with
+    * their values) — the consumption side of [[paramReport]]'s
+    * discovery loop: evidence convicts a param, a human reviews, the
+    * normalizer applies. Default empty = the static list alone.
     */
   def urlNormalize(docs: DataFrame, idCol: String = "doc_id",
-                   urlCol: String = "url"): DataFrame = {
+                   urlCol: String = "url",
+                   extraKill: Seq[String] = Nil): DataFrame = {
     val u = trim(col(urlCol))
     // fragment FIRST: a '?' inside '#/view?sid=1' must not become the query
     val uNoFrag = regexp_replace(u, fragmentRe, "")
@@ -158,8 +165,11 @@ object UrlOps {
     // canonicalize escapes BEFORE the tracking filter, so an encoded
     // spelling of a tracking key ('utm%5Fsource') cannot evade the kill
     val qraw = pctCanon(replace(regexp_extract(uNoFrag, queryRe, 1), lit("+"), lit("%20")))
+    val killExtra = (p: Column) =>
+      if (extraKill.isEmpty) lit(false)
+      else regexp_extract(p, "^([^=]*)", 1).isin(extraKill: _*)
     val qs = array_join(array_sort(filter(split(qraw, "&", -1),
-      p => p =!= "" && !p.rlike(trackingRe))), "&")
+      p => p =!= "" && !p.rlike(trackingRe) && !killExtra(p))), "&")
     val norm = concat(scheme, lit("://"), host,
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
       path,

@@ -131,6 +131,19 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(dotted === "bad.co.uk")
   }
 
+  test("urlNormalize extraKill: reviewed keys die with their values; static list still applies") {
+    val urls = Seq(
+      (1L, "http://a.com/x?sid=42&page=2&utm_source=f"),
+      (2L, "http://a.com/x?sid=99&page=2"),
+      (3L, "http://a.com/x?sidecar=1")) // exact KEY match only
+      .toDF("doc_id", "url")
+    val got = UrlOps.urlNormalize(urls, extraKill = Seq("sid")).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) === "http://a.com/x?page=2") // sid + utm both die
+    assert(got(2L) === "http://a.com/x?page=2") // now a dup of doc 1
+    assert(got(3L) === "http://a.com/x?sidecar=1") // prefix must not match
+  }
+
   test("paramReport: session params convict by value spread + collapse; load-bearing params do not") {
     // 4 URLs on one domain: sid varies per visit (4 values, dropping
     // it collapses 4 distinct URLs to 2), page is load-bearing
