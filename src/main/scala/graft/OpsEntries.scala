@@ -6747,13 +6747,14 @@ private[graft] object OpsEntries {
     import graft.ops.UrlOps
     val arms = UrlOps.pctUnreserved
       .map { case (h, ch) => s"WHEN '$h' THEN '${sqQuote(ch)}'" }.mkString(" ")
-    s"""(list_extract(string_split(replace(replace($e, chr(2), ''), '%', chr(2)), chr(2)), 1) ||
+    s"""(CASE WHEN strpos($e, '%') = 0 THEN $e
+       | ELSE list_extract(string_split(replace(replace($e, chr(2), ''), '%', chr(2)), chr(2)), 1) ||
        | coalesce(array_to_string(list_transform(
        |   list_slice(string_split(replace(replace($e, chr(2), ''), '%', chr(2)), chr(2)), 2, 2147483647),
        |   p -> CASE WHEN regexp_matches(p, '${sqQuote(UrlOps.pctHexRe)}')
        |             THEN (CASE upper(substr(p, 1, 2)) $arms
        |                   ELSE '%' || upper(substr(p, 1, 2)) END) || substr(p, 3)
-       |             ELSE '%' || p END), ''), ''))""".stripMargin
+       |             ELSE '%' || p END), ''), '') END)""".stripMargin
   }
 
   private def urlNormCtes(rel: String, extraKill: Seq[String] = Nil,

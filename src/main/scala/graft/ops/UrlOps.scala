@@ -112,7 +112,11 @@ object UrlOps {
       when(p.rlike(pctHexRe), concat(decoded, p.substr(lit(3), length(p))))
         .otherwise(concat(lit("%"), p))
     })
-    concat(element_at(parts, 1), array_join(fixed, ""))
+    // fast path: a component with no '%' IS its canonical form — on a
+    // real frontier that is the overwhelming majority of paths and
+    // queries, and the split/transform machinery never runs for them
+    when(!c.contains("%"), c)
+      .otherwise(concat(element_at(parts, 1), array_join(fixed, "")))
   }
 
   /** Canonical URL form — the normalization every crawl pipeline runs
