@@ -2060,7 +2060,17 @@ private[graft] object OpsEntries {
         UrlOps.urlNormalize(fixed, extraKill = reviewedKill))
       before.select(lit("static_list").as("variant"), col("*"))
         .unionByName(after.select(lit("reviewed_kill").as("variant"), col("*")))
-    })
+    }),
+
+    // IDN exposure report: the determinism tier cannot FOLD punycode ↔
+    // Unicode host equivalence (RFC 3492 is a codec, not a column
+    // expression), so it reports exactly WHERE that risk lives —
+    // per-domain distinct hosts carrying xn-- labels vs raw
+    // non-ASCII. The fixture routes the same logical site through
+    // both spellings, so the live-risk shape (one domain, both
+    // forms) populates at every scale.
+    "q282_idn_report" -> ((s, dir) =>
+      UrlOps.idnReport(UrlOps.urlNormalize(idnFixture(t(s, dir, "documents")))))
   )
 
   /** The q274 blocklist: real corpus vocabulary ("slow") so the gate
@@ -2186,6 +2196,26 @@ private[graft] object OpsEntries {
         (col("doc_id") % 5).cast("string"),
         lit("?page="), (col("doc_id") % 3).cast("string"),
         lit("&sid="), col("doc_id").cast("string"), lit("&v=1")).as("url"))
+
+  /** The q282 IDN fixture: the SAME logical site spelled in punycode
+    * (doc_id%6==0) and raw Unicode (%6==1) — both register under
+    * shared.example, so the report's live-risk shape (one domain, both
+    * forms) populates — plus a punycode TLD, a unicode-label host
+    * under a clean domain, and clean ASCII hosts. Unicode text is
+    * pre-lowercased: unicode case folding parity between engines is
+    * deliberately NOT part of this tier's contract.
+    */
+  private[graft] def idnFixture(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
+      concat(lit("http://"),
+        when(col("doc_id") % 6 === 0, lit("xn--bcher-kva.shared.example"))
+          .when(col("doc_id") % 6 === 1, lit("bücher.shared.example"))
+          .when(col("doc_id") % 6 === 2,
+            concat(lit("www."), col("source"), lit(".example.com")))
+          .when(col("doc_id") % 6 === 3, lit("shop.xn--p1ai"))
+          .when(col("doc_id") % 6 === 4, lit("münchen.example.de"))
+          .otherwise(lit("intranet")),
+        lit("/p/"), (col("doc_id") % 7).cast("string")).as("url"))
 
   /** The q281 reviewed kill list: exactly the param q280's evidence
     * convicts (`sid`: one value per visit, 0.88 collapse rate) — the
@@ -6364,6 +6394,22 @@ private[graft] object OpsEntries {
            |SELECT 'reviewed_kill' AS variant, * FROM (${fr("kunorm")})""".stripMargin
     },
 
+    // Distinct (domain, host) + one domain rollup; both detector
+    // regexes spliced from the engine's constants.
+    "q282_idn_report" -> {
+      import graft.ops.UrlOps
+      s"WITH ifix AS ($idnFixtureSql),\n" + urlNormCtes("ifix") +
+        s""",
+           |ih AS (SELECT DISTINCT ${regDomainSql("host")} AS reg_domain, host
+           |       FROM unorm WHERE url_norm IS NOT NULL)
+           |SELECT reg_domain, CAST(count(*) AS BIGINT) AS n_hosts,
+           |       CAST(sum(CASE WHEN regexp_matches(host, '${sqQuote(UrlOps.punycodeRe)}') THEN 1 ELSE 0 END) AS BIGINT) AS n_punycode,
+           |       CAST(sum(CASE WHEN regexp_matches(host, '${sqQuote(UrlOps.nonAsciiRe)}') THEN 1 ELSE 0 END) AS BIGINT) AS n_unicode,
+           |       (sum(CASE WHEN regexp_matches(host, '${sqQuote(UrlOps.punycodeRe)}') THEN 1 ELSE 0 END) > 0
+           |        OR sum(CASE WHEN regexp_matches(host, '${sqQuote(UrlOps.nonAsciiRe)}') THEN 1 ELSE 0 END) > 0) AS idn_present
+           |FROM ih GROUP BY reg_domain""".stripMargin
+    },
+
     "q272_domain_blocklist" -> {
       val blocked = blockedDomains.map(d => s"'$d'").mkString("[", ", ", "]")
       s"WITH hfix AS ($hostFixtureSql),\n" +
@@ -6698,6 +6744,19 @@ private[graft] object OpsEntries {
       |          ELSE 'a=1&b=2&utm_campaign=x&t=x+y&z=a%2fb' END) ||
       |    (CASE WHEN doc_id % 5 = 2 THEN '#section-3' ELSE '' END)
       |  END AS url
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  /** The q282 fixture in SQL — identical to [[idnFixture]]. */
+  private def idnFixtureSql: String =
+    """SELECT doc_id,
+      |  'http://' ||
+      |  (CASE WHEN doc_id % 6 = 0 THEN 'xn--bcher-kva.shared.example'
+      |        WHEN doc_id % 6 = 1 THEN 'bücher.shared.example'
+      |        WHEN doc_id % 6 = 2 THEN 'www.' || source || '.example.com'
+      |        WHEN doc_id % 6 = 3 THEN 'shop.xn--p1ai'
+      |        WHEN doc_id % 6 = 4 THEN 'münchen.example.de'
+      |        ELSE 'intranet' END) ||
+      |  '/p/' || CAST(doc_id % 7 AS VARCHAR) AS url
       |FROM documents WHERE text IS NOT NULL""".stripMargin
 
   /** The q280 fixture in SQL — identical to [[paramFixture]]. */

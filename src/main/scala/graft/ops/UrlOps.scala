@@ -363,6 +363,38 @@ object UrlOps {
       .withColumn("blocked", col("reg_domain").isin(blocked: _*))
   }
 
+  /** A punycode (ACE) label anywhere in the host. */
+  private[graft] val punycodeRe = "(^|\\.)xn--"
+
+  /** Any non-ASCII character — a raw-Unicode (IDN) host. */
+  private[graft] val nonAsciiRe = "[^\\x00-\\x7F]"
+
+  /** Per-domain IDN exposure report — the determinism-tier answer to
+    * punycode/Unicode host equivalence: the RFC 3492 codec is an
+    * algorithm, not a portable column expression, so this tier cannot
+    * FOLD `bücher.example` and `xn--bcher-kva.example` into one
+    * `url_norm` — but it can tell a build exactly WHERE that
+    * equivalence risk lives. Per registrable domain over
+    * [[urlNormalize]]'s output: distinct host count, how many carry a
+    * punycode (`xn--`) label, how many carry raw non-ASCII, and the
+    * exposure flag. A domain with BOTH forms is the live risk: one
+    * logical site minting two url_norm families. Verdict, not filter
+    * (the [[domainBlocklist]] discipline) — nothing is destroyed.
+    *
+    * Plan shape: map + one distinct + one domain rollup; output is
+    * domain-sized. Output: (reg_domain, n_hosts, n_punycode,
+    * n_unicode, idn_present).
+    */
+  def idnReport(normed: DataFrame): DataFrame =
+    normed.filter(col("url_norm").isNotNull)
+      .select(registeredDomain(col("host")).as("reg_domain"), col("host"))
+      .distinct()
+      .groupBy("reg_domain")
+      .agg(count(lit(1)).as("n_hosts"),
+        sum(when(col("host").rlike(punycodeRe), 1L).otherwise(0L)).as("n_punycode"),
+        sum(when(col("host").rlike(nonAsciiRe), 1L).otherwise(0L)).as("n_unicode"))
+      .withColumn("idn_present", col("n_punycode") > 0 || col("n_unicode") > 0)
+
   /** Per-domain query-parameter discovery report — the
     * discovery-before-destruction discipline applied to the
     * [[trackingRe]] kill list itself: the static list catches the

@@ -131,6 +131,46 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(dotted === "bad.co.uk")
   }
 
+  test("urlNormalize: IDEMPOTENT — normalizing a normalized URL is a no-op (seeded hostile sweep)") {
+    // canonical forms must be fixed points: if a second pass changes
+    // anything, two crawls of the same frontier disagree on url_norm
+    // and the dedup key is unstable
+    val rnd = new scala.util.Random(20260816L)
+    val schemes = Seq("http", "HTTP", "https", "FTP")
+    val userinfos = Seq("", "u:p@", "u@x@")
+    val hosts = Seq("Example.COM", "a.b.co.uk", "x.example.org.", "192.168.1.4", "h-1.example.io")
+    val ports = Seq("", ":80", ":443", ":8080")
+    val paths = Seq("", "/a/b/", "/a%2Fb/", "/%7Euser", "/100%", "/a+b", "/arti%63les", "/%zz/x")
+    val queries = Seq("", "?b=2&a=1", "?utm_source=x&a=%31", "?t=x+y&z=a%2fb",
+      "?p=%zz", "?sid=1&sid=2", "?a=%41%61&b=%2F", "?+=+")
+    val frags = Seq("", "#x", "#/view?q=1")
+    def pick[T](xs: Seq[T]) = xs(rnd.nextInt(xs.length))
+    val urls = (0 until 500).map(i => (i.toLong,
+      s"${pick(schemes)}://${pick(userinfos)}${pick(hosts)}${pick(ports)}" +
+        s"${pick(paths)}${pick(queries)}${pick(frags)}"))
+    val once = UrlOps.urlNormalize(urls.toDF("doc_id", "url"))
+      .filter($"url_norm".isNotNull)
+      .select($"doc_id", $"url_norm".as("url"))
+    val twice = UrlOps.urlNormalize(once)
+    val changed = twice.filter($"url_norm".isNull || $"url_norm" =!= $"url")
+    assert(changed.count() === 0L, changed.collect().take(5).mkString("\n"))
+  }
+
+  test("idnReport: punycode/unicode exposure per domain; both-forms domain is the live risk") {
+    val urls = Seq(
+      (1L, "http://xn--bcher-kva.site.example/a"),
+      (2L, "http://bücher.site.example/b"),
+      (3L, "http://www.site.example/c"),
+      (4L, "http://shop.xn--p1ai/d"),
+      (5L, "http://clean.other.org/e")).toDF("doc_id", "url")
+    val got = UrlOps.idnReport(UrlOps.urlNormalize(urls)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(got("site.example") === ((3L, 1L, 1L, true))) // both forms: live risk
+    assert(got("shop.xn--p1ai") === ((1L, 1L, 0L, true)))
+    assert(got("other.org") === ((1L, 0L, 0L, false)))
+  }
+
   test("urlNormalize extraKill: reviewed keys die with their values; static list still applies") {
     val urls = Seq(
       (1L, "http://a.com/x?sid=42&page=2&utm_source=f"),
