@@ -6806,7 +6806,7 @@ private[graft] object OpsEntries {
     import graft.ops.UrlOps
     val arms = UrlOps.pctUnreserved
       .map { case (h, ch) => s"WHEN '$h' THEN '${sqQuote(ch)}'" }.mkString(" ")
-    s"""(CASE WHEN strpos($e, '%') = 0 THEN $e
+    s"""(CASE WHEN strpos($e, '%') = 0 AND strpos($e, chr(2)) = 0 THEN $e
        | ELSE list_extract(string_split(replace(replace($e, chr(2), ''), '%', chr(2)), chr(2)), 1) ||
        | coalesce(array_to_string(list_transform(
        |   list_slice(string_split(replace(replace($e, chr(2), ''), '%', chr(2)), chr(2)), 2, 2147483647),

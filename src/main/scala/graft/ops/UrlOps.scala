@@ -114,8 +114,12 @@ object UrlOps {
     })
     // fast path: a component with no '%' IS its canonical form — on a
     // real frontier that is the overwhelming majority of paths and
-    // queries, and the split/transform machinery never runs for them
-    when(!c.contains("%"), c)
+    // queries, and the split/transform machinery never runs for them.
+    // Gated on U+0002 too: the slow path strips the sentinel byte
+    // (never legal in a URL) before splitting, and the fast path must
+    // apply the SAME convention or the two paths disagree on inputs
+    // that carry a raw U+0002.
+    when(!c.contains("%") && !c.contains("\u0002"), c)
       .otherwise(concat(element_at(parts, 1), array_join(fixed, "")))
   }
 

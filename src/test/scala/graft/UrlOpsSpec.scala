@@ -74,7 +74,12 @@ class UrlOpsSpec extends AnyFunSuite {
       // an encoded spelling of a tracking key must not evade the kill
       7L -> "http://example.com/x?utm%5Fsource=feed&a=1",
       // %31 is unreserved digit '1'
-      8L -> "http://example.com/x?a=%31")
+      8L -> "http://example.com/x?a=%31",
+      // a raw U+0002 (the sentinel byte, never legal in a URL) strips
+      // IDENTICALLY on the escape-free fast path and the slow path —
+      // the two paths must apply one collision convention
+      9L -> "http://example.com/a\u0002b",
+      10L -> "http://example.com/a\u0002b%41")
     assert(got(1L) === Some("http://example.com/~user/articles/a%2Fb"))
     assert(got(2L) === Some("http://example.com/~user/articles/a%2Fb"))
     assert(got(3L) === Some("http://example.com/a+b?t=x%20y"))
@@ -83,6 +88,8 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got(6L) === Some("http://example.com/pct%"))
     assert(got(7L) === Some("http://example.com/x?a=1"))
     assert(got(8L) === Some("http://example.com/x?a=1"))
+    assert(got(9L) === Some("http://example.com/ab"))  // fast path strips too
+    assert(got(10L) === Some("http://example.com/abA")) // slow path: same convention
   }
 
   test("urlNormalize: host column rides along; NULL on quarantined rows") {
