@@ -2070,7 +2070,17 @@ private[graft] object OpsEntries {
     // both spellings, so the live-risk shape (one domain, both
     // forms) populates at every scale.
     "q282_idn_report" -> ((s, dir) =>
-      UrlOps.idnReport(UrlOps.urlNormalize(idnFixture(t(s, dir, "documents")))))
+      UrlOps.idnReport(UrlOps.urlNormalize(idnFixture(t(s, dir, "documents"))))),
+
+    // The full-PSL registrable domain as a MAP-ONLY native expression
+    // (PslDomainExpression over the per-JVM static ~9.5k-rule table —
+    // no explode, no join, no shuffle, whole-stage codegen): the form
+    // every domain-keyed consumer routes through. Same fixture and the
+    // SAME oracle replay as q279's broadcast-join form, so expression,
+    // join, and DuckDB are pinned three ways at every scale.
+    "q283_psl_expr_domain" -> ((s, dir) =>
+      hostFixture2(t(s, dir, "documents")).select(col("doc_id"), col("host"),
+        UrlOps.registeredDomainFull(col("host")).as("reg_domain")))
   )
 
   /** The q274 blocklist: real corpus vocabulary ("slow") so the gate
@@ -2150,10 +2160,15 @@ private[graft] object OpsEntries {
     */
   private[graft] def hostFixture(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull).select(col("doc_id"),
-      when(col("doc_id") % 5 === 0, concat(lit("news."), col("source"), lit(".co.uk")))
-        .when(col("doc_id") % 5 === 1, concat(lit("www."), col("source"), lit(".example.com")))
-        .when(col("doc_id") % 5 === 2, concat(col("source"), lit(".pages.github.io")))
-        .when(col("doc_id") % 5 === 3, concat(lit("192.168.10."), (col("doc_id") % 40).cast("string")))
+      when(col("doc_id") % 6 === 0, concat(lit("news."), col("source"), lit(".co.uk")))
+        .when(col("doc_id") % 6 === 1, concat(lit("www."), col("source"), lit(".example.com")))
+        .when(col("doc_id") % 6 === 2, concat(col("source"), lit(".pages.github.io")))
+        .when(col("doc_id") % 6 === 3, concat(lit("192.168.10."), (col("doc_id") % 40).cast("string")))
+        // OUT-OF-EXCERPT ccTLD (art.pl is a real PSL rule the psl-lite
+        // table does not know): q266 (lite) registers it at two labels,
+        // the full-table consumers (q267/q272/q273) at three — the
+        // divergence the full list exists to fix, gated at every scale
+        .when(col("doc_id") % 6 === 4, concat(lit("cdn."), col("source"), lit(".art.pl")))
         .otherwise(lit("intranet")).as("host"))
 
   /** The q262/q263 mojibake fixture suffix: one damaged sentence
@@ -2171,16 +2186,21 @@ private[graft] object OpsEntries {
     */
   private[graft] def hostFixture2(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull).select(col("doc_id"),
-      when(col("doc_id") % 10 === 0, concat(lit("news."), col("source"), lit(".com.cn")))
-        .when(col("doc_id") % 10 === 1, concat(lit("portal."), col("source"), lit(".gov.au")))
-        .when(col("doc_id") % 10 === 2, concat(col("source"), lit(".blogspot.com")))
-        .when(col("doc_id") % 10 === 3, concat(lit("www.shop."), col("source"), lit(".co.za")))
-        .when(col("doc_id") % 10 === 4, concat(lit("a.b."), col("source"), lit(".ck")))
-        .when(col("doc_id") % 10 === 5, lit("www.ck"))
-        .when(col("doc_id") % 10 === 6,
+      when(col("doc_id") % 12 === 0, concat(lit("news."), col("source"), lit(".com.cn")))
+        .when(col("doc_id") % 12 === 1, concat(lit("portal."), col("source"), lit(".gov.au")))
+        .when(col("doc_id") % 12 === 2, concat(col("source"), lit(".blogspot.com")))
+        .when(col("doc_id") % 12 === 3, concat(lit("www.shop."), col("source"), lit(".co.za")))
+        .when(col("doc_id") % 12 === 4, concat(lit("a.b."), col("source"), lit(".ck")))
+        .when(col("doc_id") % 12 === 5, lit("www.ck"))
+        .when(col("doc_id") % 12 === 6,
           concat(lit("192.168.10."), (col("doc_id") % 40).cast("string")))
-        .when(col("doc_id") % 10 === 7, lit("intranet"))
-        .when(col("doc_id") % 10 === 8, lit("city.kawasaki.jp"))
+        .when(col("doc_id") % 12 === 7, lit("intranet"))
+        .when(col("doc_id") % 12 === 8, lit("city.kawasaki.jp"))
+        // out-of-excerpt classes only the FULL list registers: a
+        // 4-label rule (pvt.k12.ma.us) and a 2-label ccTLD (art.pl)
+        .when(col("doc_id") % 12 === 9,
+          concat(lit("school."), col("source"), lit(".pvt.k12.ma.us")))
+        .when(col("doc_id") % 12 === 10, concat(lit("cdn."), col("source"), lit(".art.pl")))
         .otherwise(concat(lit("sub.ward."), col("source"), lit(".kawasaki.jp")))
         .as("host"))
 
@@ -6313,51 +6333,30 @@ private[graft] object OpsEntries {
           |SELECT doc_id, reason, reason = 'kept' AS keep FROM v""".stripMargin
     },
 
-    // The PSL algorithm in SQL: the rule table VALUES are generated by
-    // the SAME parser the engine uses (parsePslRule), so the two
+    // The FULL PSL algorithm in SQL: the ~9.5k-rule table VALUES are
+    // generated by the SAME parser the engine uses (parsePslRule over
+    // the embedded publicsuffix.org snapshot), so the two
     // implementations cannot drift on rule semantics. Exception beats
     // all via the +1000 priority band, else longest rule; no match
-    // defaults to ps_len 1.
-    "q279_psl_domain" -> {
-      import graft.ops.UrlOps
-      val rules = UrlOps.pslRules.map(UrlOps.parsePslRule).map {
-        case (sfx, n, e) => s"('${sqQuote(sfx)}', $n, $e)"
-      }.mkString(", ")
-      s"""WITH hfix2 AS ($hostFixture2Sql),
-         |rules(rsfx, ps_len, is_exc) AS (VALUES $rules),
-         |hl AS (SELECT doc_id, host,
-         |         regexp_replace(lower(host), '${sqQuote(UrlOps.trailingDotsRe)}', '') AS h
-         |       FROM hfix2),
-         |lb AS (SELECT doc_id, host, h, string_split(h, '.') AS labs,
-         |         CAST(len(string_split(h, '.')) AS INTEGER) AS n FROM hl),
-         |cand AS (SELECT doc_id, n, labs,
-         |           CAST(unnest(generate_series(1, n)) AS INTEGER) AS k FROM lb),
-         |sfxc AS (SELECT doc_id, n, array_to_string(list_slice(labs, n - k + 1, n), '.') AS sfx
-         |         FROM cand),
-         |mx AS (SELECT doc_id,
-         |         coalesce(CASE WHEN max(CASE WHEN is_exc THEN ps_len + 1000 ELSE ps_len END) >= 1000
-         |                  THEN max(CASE WHEN is_exc THEN ps_len + 1000 ELSE ps_len END) - 1000
-         |                  ELSE max(CASE WHEN is_exc THEN ps_len + 1000 ELSE ps_len END) END, 1) AS ps
-         |       FROM sfxc LEFT JOIN rules ON rules.rsfx = sfxc.sfx AND sfxc.n >= rules.ps_len
-         |       GROUP BY doc_id)
-         |SELECT lb.doc_id, lb.host,
-         |  CASE WHEN regexp_matches(h, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') THEN h
-         |       WHEN n > ps THEN array_to_string(list_slice(labs, n - ps, n), '.')
-         |       ELSE h END AS reg_domain
-         |FROM lb JOIN mx ON mx.doc_id = lb.doc_id""".stripMargin
-    },
+    // defaults to ps_len 1. q279 gates the engine's broadcast-join
+    // form; q283 gates the map-only native expression against the
+    // IDENTICAL oracle replay.
+    "q279_psl_domain" -> pslJoinOracleSql,
+    "q283_psl_expr_domain" -> pslJoinOracleSql,
 
     // Param explode + per-row dropped-variant rebuild + ONE
     // (domain, key) rollup — patterns spliced from the engine's UrlOps
     // constants.
     "q280_param_report" -> {
       import graft.ops.UrlOps
-      s"WITH pfix AS ($paramFixtureSql),\n" + urlNormCtes("pfix") +
+      s"WITH pfix AS ($paramFixtureSql),\n" + urlNormCtes("pfix") + ",\n" +
+        pslDomCtes("(SELECT doc_id, host FROM unorm WHERE url_norm IS NOT NULL)") +
         s""",
-           |pb AS (SELECT ${regDomainSql("host")} AS reg_domain, url_norm,
-           |         regexp_replace(url_norm, '(?s)\\?.*$$', '') AS base,
-           |         string_split(regexp_extract(url_norm, '${sqQuote(UrlOps.queryRe)}', 1), '&') AS params
-           |       FROM unorm WHERE url_norm IS NOT NULL AND contains(url_norm, '?')),
+           |pb AS (SELECT p.reg_domain, u.url_norm,
+           |         regexp_replace(u.url_norm, '(?s)\\?.*$$', '') AS base,
+           |         string_split(regexp_extract(u.url_norm, '${sqQuote(UrlOps.queryRe)}', 1), '&') AS params
+           |       FROM unorm u JOIN pdom p USING (doc_id)
+           |       WHERE u.url_norm IS NOT NULL AND contains(u.url_norm, '?')),
            |pkv AS (SELECT reg_domain, url_norm, base, params, unnest(params) AS p FROM pb),
            |pk2 AS (SELECT reg_domain, url_norm, base, params,
            |          regexp_extract(p, '^([^=]*)', 1) AS pkey,
@@ -6379,14 +6378,17 @@ private[graft] object OpsEntries {
     // spliced from the SAME reviewedKill constant) + one frontier
     // rollup per variant.
     "q281_reviewed_kill" -> {
+      // ONE pdom chain serves both variants: extraKill only changes
+      // query strings, never the host, so reg_domain is id-stable
       def fr(src: String): String =
         s"""SELECT reg_domain, count(*) AS n_urls,
            |       CAST(count(DISTINCT url_norm) AS BIGINT) AS n_unique,
            |       round(1.0 - count(DISTINCT url_norm) / CAST(count(*) AS DOUBLE), 4) AS dup_rate
-           |FROM (SELECT ${regDomainSql("host")} AS reg_domain, url_norm
-           |      FROM $src WHERE url_norm IS NOT NULL)
+           |FROM (SELECT p.reg_domain, u.url_norm
+           |      FROM $src u JOIN pdom p USING (doc_id) WHERE u.url_norm IS NOT NULL)
            |GROUP BY reg_domain""".stripMargin
       s"WITH pfix AS ($paramFixtureSql),\n" + urlNormCtes("pfix") + ",\n" +
+        pslDomCtes("(SELECT doc_id, host FROM unorm WHERE url_norm IS NOT NULL)") + ",\n" +
         urlNormCtes("pfix", reviewedKill, "k") +
         s"""
            |SELECT 'static_list' AS variant, * FROM (${fr("unorm")})
@@ -6398,10 +6400,11 @@ private[graft] object OpsEntries {
     // regexes spliced from the engine's constants.
     "q282_idn_report" -> {
       import graft.ops.UrlOps
-      s"WITH ifix AS ($idnFixtureSql),\n" + urlNormCtes("ifix") +
+      s"WITH ifix AS ($idnFixtureSql),\n" + urlNormCtes("ifix") + ",\n" +
+        pslDomCtes("(SELECT doc_id, host FROM unorm WHERE url_norm IS NOT NULL)") +
         s""",
-           |ih AS (SELECT DISTINCT ${regDomainSql("host")} AS reg_domain, host
-           |       FROM unorm WHERE url_norm IS NOT NULL)
+           |ih AS (SELECT DISTINCT p.reg_domain, u.host
+           |       FROM unorm u JOIN pdom p USING (doc_id) WHERE u.url_norm IS NOT NULL)
            |SELECT reg_domain, CAST(count(*) AS BIGINT) AS n_hosts,
            |       CAST(sum(CASE WHEN regexp_matches(host, '${sqQuote(UrlOps.punycodeRe)}') THEN 1 ELSE 0 END) AS BIGINT) AS n_punycode,
            |       CAST(sum(CASE WHEN regexp_matches(host, '${sqQuote(UrlOps.nonAsciiRe)}') THEN 1 ELSE 0 END) AS BIGINT) AS n_unicode,
@@ -6414,23 +6417,25 @@ private[graft] object OpsEntries {
       val blocked = blockedDomains.map(d => s"'$d'").mkString("[", ", ", "]")
       s"WITH hfix AS ($hostFixtureSql),\n" +
         "hurl AS (SELECT doc_id, 'http://' || host || '/p/' || CAST(doc_id % 7 AS VARCHAR) AS url FROM hfix),\n" +
-        urlNormCtes("hurl") +
+        urlNormCtes("hurl") + ",\n" +
+        pslDomCtes("(SELECT doc_id, host FROM unorm WHERE url_norm IS NOT NULL)") +
         s"""
-           |SELECT doc_id, url_norm, reg_domain, list_contains($blocked, reg_domain) AS blocked
-           |FROM (SELECT doc_id, url_norm, ${regDomainSql("host")} AS reg_domain
-           |      FROM unorm WHERE url_norm IS NOT NULL)""".stripMargin
+           |SELECT u.doc_id, u.url_norm, p.reg_domain,
+           |       list_contains($blocked, p.reg_domain) AS blocked
+           |FROM unorm u JOIN pdom p USING (doc_id) WHERE u.url_norm IS NOT NULL""".stripMargin
     },
 
     "q273_url_frontier" -> {
       s"WITH hfix AS ($hostFixtureSql),\n" +
         "hurl AS (SELECT doc_id, 'http://' || host || '/p/' || CAST(doc_id % 7 AS VARCHAR) AS url FROM hfix),\n" +
-        urlNormCtes("hurl") +
+        urlNormCtes("hurl") + ",\n" +
+        pslDomCtes("(SELECT doc_id, host FROM unorm WHERE url_norm IS NOT NULL)") +
         s"""
            |SELECT reg_domain, count(*) AS n_urls,
            |       CAST(count(DISTINCT url_norm) AS BIGINT) AS n_unique,
            |       round(1.0 - count(DISTINCT url_norm) / CAST(count(*) AS DOUBLE), 4) AS dup_rate
-           |FROM (SELECT doc_id, url_norm, ${regDomainSql("host")} AS reg_domain
-           |      FROM unorm WHERE url_norm IS NOT NULL)
+           |FROM (SELECT u.doc_id, u.url_norm, p.reg_domain
+           |      FROM unorm u JOIN pdom p USING (doc_id) WHERE u.url_norm IS NOT NULL)
            |GROUP BY reg_domain""".stripMargin
     },
 
@@ -6543,10 +6548,11 @@ private[graft] object OpsEntries {
     "q267_domain_caps" -> {
       s"WITH hfix AS ($hostFixtureSql),\n" +
         "hurl AS (SELECT doc_id, 'http://' || host || '/p/' || CAST(doc_id % 7 AS VARCHAR) AS url FROM hfix),\n" +
-        urlNormCtes("hurl") +
+        urlNormCtes("hurl") + ",\n" +
+        pslDomCtes("(SELECT doc_id, host FROM unorm WHERE url_norm IS NOT NULL)") +
         s""",
-           |dom AS (SELECT doc_id, url_norm, ${regDomainSql("host")} AS reg_domain
-           |        FROM unorm WHERE url_norm IS NOT NULL)
+           |dom AS (SELECT u.doc_id, u.url_norm, p.reg_domain
+           |        FROM unorm u JOIN pdom p USING (doc_id) WHERE u.url_norm IS NOT NULL)
            |SELECT doc_id, url_norm, reg_domain FROM (
            |  SELECT doc_id, url_norm, reg_domain,
            |    row_number() OVER (PARTITION BY reg_domain
@@ -6770,25 +6776,28 @@ private[graft] object OpsEntries {
   /** The q279 host fixture in SQL — identical to [[hostFixture2]]. */
   private def hostFixture2Sql: String =
     """SELECT doc_id,
-      |  CASE WHEN doc_id % 10 = 0 THEN 'news.' || source || '.com.cn'
-      |       WHEN doc_id % 10 = 1 THEN 'portal.' || source || '.gov.au'
-      |       WHEN doc_id % 10 = 2 THEN source || '.blogspot.com'
-      |       WHEN doc_id % 10 = 3 THEN 'www.shop.' || source || '.co.za'
-      |       WHEN doc_id % 10 = 4 THEN 'a.b.' || source || '.ck'
-      |       WHEN doc_id % 10 = 5 THEN 'www.ck'
-      |       WHEN doc_id % 10 = 6 THEN '192.168.10.' || CAST(doc_id % 40 AS VARCHAR)
-      |       WHEN doc_id % 10 = 7 THEN 'intranet'
-      |       WHEN doc_id % 10 = 8 THEN 'city.kawasaki.jp'
+      |  CASE WHEN doc_id % 12 = 0 THEN 'news.' || source || '.com.cn'
+      |       WHEN doc_id % 12 = 1 THEN 'portal.' || source || '.gov.au'
+      |       WHEN doc_id % 12 = 2 THEN source || '.blogspot.com'
+      |       WHEN doc_id % 12 = 3 THEN 'www.shop.' || source || '.co.za'
+      |       WHEN doc_id % 12 = 4 THEN 'a.b.' || source || '.ck'
+      |       WHEN doc_id % 12 = 5 THEN 'www.ck'
+      |       WHEN doc_id % 12 = 6 THEN '192.168.10.' || CAST(doc_id % 40 AS VARCHAR)
+      |       WHEN doc_id % 12 = 7 THEN 'intranet'
+      |       WHEN doc_id % 12 = 8 THEN 'city.kawasaki.jp'
+      |       WHEN doc_id % 12 = 9 THEN 'school.' || source || '.pvt.k12.ma.us'
+      |       WHEN doc_id % 12 = 10 THEN 'cdn.' || source || '.art.pl'
       |       ELSE 'sub.ward.' || source || '.kawasaki.jp' END AS host
       |FROM documents WHERE text IS NOT NULL""".stripMargin
 
   /** The q266/q267 host fixture in SQL — identical to [[hostFixture]]. */
   private def hostFixtureSql: String =
     """SELECT doc_id,
-      |  CASE WHEN doc_id % 5 = 0 THEN 'news.' || source || '.co.uk'
-      |       WHEN doc_id % 5 = 1 THEN 'www.' || source || '.example.com'
-      |       WHEN doc_id % 5 = 2 THEN source || '.pages.github.io'
-      |       WHEN doc_id % 5 = 3 THEN '192.168.10.' || CAST(doc_id % 40 AS VARCHAR)
+      |  CASE WHEN doc_id % 6 = 0 THEN 'news.' || source || '.co.uk'
+      |       WHEN doc_id % 6 = 1 THEN 'www.' || source || '.example.com'
+      |       WHEN doc_id % 6 = 2 THEN source || '.pages.github.io'
+      |       WHEN doc_id % 6 = 3 THEN '192.168.10.' || CAST(doc_id % 40 AS VARCHAR)
+      |       WHEN doc_id % 6 = 4 THEN 'cdn.' || source || '.art.pl'
       |       ELSE 'intranet' END AS host
       |FROM documents WHERE text IS NOT NULL""".stripMargin
 
@@ -6915,6 +6924,59 @@ private[graft] object OpsEntries {
        |          CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
        |          coalesce(string_agg(CASE WHEN occ = 1 THEN sentence END, ' ' ORDER BY i), '') AS clean_text
        |        FROM soc GROUP BY doc_id)""".stripMargin
+
+  /** The q279/q283 oracle: the full-PSL registrable domain of every
+    * [[hostFixture2]] host via [[pslDomCtes]]' join replay — ONE SQL
+    * string, shared verbatim by the broadcast-join gate (q279) and the
+    * native-expression gate (q283), so the two engine forms are pinned
+    * against the SAME independent replay.
+    */
+  private lazy val pslJoinOracleSql: String =
+    s"WITH hfix2 AS ($hostFixture2Sql),\n" +
+      pslDomCtes("hfix2") +
+      """
+        |SELECT h.doc_id, h.host, p.reg_domain
+        |FROM hfix2 h JOIN pdom p USING (doc_id)""".stripMargin
+
+  /** The FULL publicsuffix.org rule table as parsed (rsfx, ps_len,
+    * is_exc) VALUES rows — generated by the SAME parser the engine
+    * uses ([[graft.ops.UrlOps.parsePslRule]] over
+    * [[graft.ops.UrlOps.pslRulesFull]], the embedded ~9.5k-rule
+    * snapshot), so rule semantics cannot drift between engines.
+    */
+  private lazy val pslValuesSql: String =
+    graft.ops.UrlOps.pslRulesFull.map(graft.ops.UrlOps.parsePslRule).map {
+      case (sfx, n, e) => s"('${sqQuote(sfx)}', $n, $e)"
+    }.mkString(", ")
+
+  /** The full-PSL registrable-domain algorithm as a CTE chain over
+    * `rel(doc_id, host)` (NO leading WITH, no trailing comma), ending
+    * in `${pfx}pdom(doc_id, reg_domain)` — the oracle twin of the
+    * engine's [[graft.functions.PslTable.regDomain]] /
+    * [[graft.ops.UrlOps.registeredDomainPsl]]: right-anchored label
+    * suffixes joined against the rule table (eligible when the host
+    * has at least ps_len labels), exception beats all via the +1000
+    * band else longest rule, no match defaults to ps_len 1; IPv4
+    * literals and public-suffix hosts register as themselves.
+    */
+  private def pslDomCtes(rel: String, pfx: String = ""): String =
+    s"""${pfx}pslr(rsfx, ps_len, is_exc) AS (VALUES $pslValuesSql),
+       |${pfx}phl AS (SELECT doc_id, regexp_replace(lower(host), '${sqQuote(graft.ops.UrlOps.trailingDotsRe)}', '') AS h
+       |        FROM $rel),
+       |${pfx}plb AS (SELECT doc_id, h, string_split(h, '.') AS labs,
+       |          CAST(len(string_split(h, '.')) AS INTEGER) AS n FROM ${pfx}phl),
+       |${pfx}psfx AS (SELECT doc_id, n, array_to_string(list_slice(labs, n - k + 1, n), '.') AS sfx
+       |         FROM (SELECT doc_id, n, labs,
+       |                 CAST(unnest(generate_series(1, n)) AS INTEGER) AS k FROM ${pfx}plb)),
+       |${pfx}pmx AS (SELECT doc_id, coalesce(CASE WHEN mx >= 1000 THEN mx - 1000 ELSE mx END, 1) AS ps
+       |        FROM (SELECT s.doc_id, max(CASE WHEN r.is_exc THEN r.ps_len + 1000 ELSE r.ps_len END) AS mx
+       |              FROM ${pfx}psfx s LEFT JOIN ${pfx}pslr r ON r.rsfx = s.sfx AND s.n >= r.ps_len
+       |              GROUP BY s.doc_id)),
+       |${pfx}pdom AS (SELECT b.doc_id,
+       |          CASE WHEN regexp_matches(h, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') THEN h
+       |               WHEN n > ps THEN array_to_string(list_slice(labs, n - ps, n), '.')
+       |               ELSE h END AS reg_domain
+       |        FROM ${pfx}plb b JOIN ${pfx}pmx USING (doc_id))""".stripMargin
 
   /** [[graft.ops.UrlOps.registeredDomain]] as a SQL expression over a
     * lowercase host expression. */

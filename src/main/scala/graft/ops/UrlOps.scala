@@ -239,14 +239,33 @@ object UrlOps {
       .otherwise(host)
   }
 
-  /** Public-suffix-list SNAPSHOT in the list's own rule grammar
-    * (publicsuffix.org — normal rules, `*.` wildcards, `!` exceptions;
-    * ICANN + private-section entries). A bounded representative
-    * excerpt: the TABLE-DRIVEN algorithm below is the deliverable —
-    * the full ~9k-rule list drops into this Seq unchanged and rides
-    * the same broadcast (the `Retention.defaultRules` pattern).
-    * [[multiSuffixes]] (psl-lite) stays the zero-dependency default
-    * for callers that prefer a pure column expression.
+  /** The COMPLETE publicsuffix.org snapshot (~9.5k rules), shipped as
+    * a classpath resource in the list's own file format and loaded
+    * once per JVM by [[graft.functions.PslTable]]. The default rule
+    * table for [[registeredDomainPsl]] and the backing table of
+    * [[registeredDomainFull]].
+    */
+  def pslRulesFull: Seq[String] = graft.functions.PslTable.rules
+
+  /** Registrable domain by the FULL public-suffix list as a map-only
+    * native expression ([[graft.functions.PslDomainExpression]] over
+    * the per-JVM static table): no join, no shuffle, whole-stage
+    * codegen — the variant every domain-keyed consumer in this file
+    * routes through. Semantics identical to [[registeredDomainPsl]]
+    * with [[pslRulesFull]] (a property spec pins the two against each
+    * other; the oracle-gated q285 pins both against DuckDB's replay of
+    * the join algorithm).
+    */
+  def registeredDomainFull(host: Column): Column =
+    graft.functions.PslDomain(host)
+
+  /** A bounded representative EXCERPT of the publicsuffix.org list in
+    * the list's own rule grammar (normal rules, `*.` wildcards, `!`
+    * exceptions; ICANN + private-section entries) — kept as the
+    * fixed-table spec fixture for [[parsePslRule]]/[[registeredDomainPsl]]
+    * goldens. Production callers use [[pslRulesFull]] (the
+    * [[registeredDomainPsl]] default); [[multiSuffixes]] (psl-lite)
+    * stays the zero-dependency pure-expression fallback.
     */
   private[graft] val pslRules: Seq[String] = Seq(
     // generic TLDs (normal 1-label rules — same effect as the default)
@@ -300,7 +319,7 @@ object UrlOps {
     */
   def registeredDomainPsl(hosts: DataFrame, hostCol: String = "host",
                           idCol: String = "doc_id",
-                          rules: Seq[String] = pslRules): DataFrame = {
+                          rules: Seq[String] = pslRulesFull): DataFrame = {
     require(rules.nonEmpty, "registeredDomainPsl needs a non-empty rule table")
     val rulesDf = hosts.sparkSession
       .createDataFrame(rules.map(parsePslRule)).toDF("rsfx", "ps_len", "is_exc")
@@ -345,7 +364,7 @@ object UrlOps {
   def domainCaps(normed: DataFrame, cap: Int, idCol: String = "doc_id"): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
     val withDom = normed.filter(col("url_norm").isNotNull)
-      .select(col(idCol), col("url_norm"), registeredDomain(col("host")).as("reg_domain"))
+      .select(col(idCol), col("url_norm"), registeredDomainFull(col("host")).as("reg_domain"))
     SampleOps.groupQuota(withDom, "reg_domain", idCol, cap)
   }
 
@@ -363,7 +382,7 @@ object UrlOps {
                       idCol: String = "doc_id"): DataFrame = {
     require(blocked.nonEmpty, "domainBlocklist needs at least one blocked domain")
     normed.filter(col("url_norm").isNotNull)
-      .select(col(idCol), col("url_norm"), registeredDomain(col("host")).as("reg_domain"))
+      .select(col(idCol), col("url_norm"), registeredDomainFull(col("host")).as("reg_domain"))
       .withColumn("blocked", col("reg_domain").isin(blocked: _*))
   }
 
@@ -391,7 +410,7 @@ object UrlOps {
     */
   def idnReport(normed: DataFrame): DataFrame =
     normed.filter(col("url_norm").isNotNull)
-      .select(registeredDomain(col("host")).as("reg_domain"), col("host"))
+      .select(registeredDomainFull(col("host")).as("reg_domain"), col("host"))
       .distinct()
       .groupBy("reg_domain")
       .agg(count(lit(1)).as("n_hosts"),
@@ -423,7 +442,7 @@ object UrlOps {
   def paramReport(normed: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val pkeyOf = (p: Column) => regexp_extract(p, "^([^=]*)", 1)
     val base = normed.filter(col("url_norm").isNotNull && col("url_norm").contains("?"))
-      .select(registeredDomain(col("host")).as("reg_domain"), col("url_norm"),
+      .select(registeredDomainFull(col("host")).as("reg_domain"), col("url_norm"),
         regexp_replace(col("url_norm"), "(?s)\\?.*$", "").as("base"),
         split(regexp_extract(col("url_norm"), queryRe, 1), "&", -1).as("params"))
     val kv = base.select(col("reg_domain"), col("url_norm"), col("base"), col("params"),
@@ -458,7 +477,7 @@ object UrlOps {
     */
   def frontierReport(normed: DataFrame, idCol: String = "doc_id"): DataFrame =
     normed.filter(col("url_norm").isNotNull)
-      .select(registeredDomain(col("host")).as("reg_domain"), col("url_norm"))
+      .select(registeredDomainFull(col("host")).as("reg_domain"), col("url_norm"))
       .groupBy("reg_domain")
       .agg(count(lit(1)).as("n_urls"), countDistinct(col("url_norm")).as("n_unique"))
       .select(col("reg_domain"), col("n_urls"), col("n_unique"),

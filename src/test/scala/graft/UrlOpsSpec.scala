@@ -243,6 +243,70 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got("News.Bad.CO.UK.") === "bad.co.uk")
   }
 
+  test("PslTable: the embedded publicsuffix.org snapshot loads complete and parses clean") {
+    val rules = UrlOps.pslRulesFull
+    assert(rules.size > 9000, s"full PSL expected ~9.5k rules, got ${rules.size}")
+    // the list's grammar: wildcards only as the leftmost label
+    assert(rules.filter(_.contains("*")).forall(_.startsWith("*.")))
+    assert(rules.count(_.startsWith("!")) >= 8) // the exception family
+    assert(rules.forall(r => !r.contains(" ") && !r.contains("'")))
+    // every rule parses without throwing and round-trips its class
+    rules.foreach(UrlOps.parsePslRule)
+  }
+
+  test("registeredDomainFull: map-only expression, full-table goldens incl. deep and out-of-excerpt rules") {
+    val hosts = Seq(
+      "news.site.com.cn"            -> "site.com.cn",
+      "portal.agency.gov.au"        -> "agency.gov.au",
+      "author.blogspot.com"         -> "author.blogspot.com",
+      "www.shop.brand.co.za"        -> "brand.co.za",
+      "a.b.site.ck"                 -> "b.site.ck",     // *.ck wildcard
+      "www.ck"                      -> "www.ck",         // !www.ck exception
+      "foo.www.ck"                  -> "www.ck",
+      "site.ck"                     -> "site.ck",        // IS a public suffix
+      "city.kawasaki.jp"            -> "city.kawasaki.jp",
+      "sub.ward.x.kawasaki.jp"      -> "ward.x.kawasaki.jp", // *.kawasaki.jp: x.kawasaki.jp is public
+      "deep.sub.example.com"        -> "example.com",
+      "unlisted.host.zz"            -> "host.zz",        // implicit-* default
+      "192.168.10.7"                -> "192.168.10.7",
+      "intranet"                    -> "intranet",
+      "News.Bad.CO.UK."             -> "bad.co.uk",
+      // classes only the FULL list knows (out of the spec excerpt):
+      "school.src0.pvt.k12.ma.us"   -> "src0.pvt.k12.ma.us", // 4-label rule
+      "cdn.src0.art.pl"             -> "src0.art.pl",
+      "x.y.compute.amazonaws.com"   -> "x.y.compute.amazonaws.com") // *.compute private rule
+    val got = hosts.map(_._1).zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("doc_id", "host")
+      .select($"host", UrlOps.registeredDomainFull($"host").as("reg_domain"))
+      .as[(String, String)].collect().toMap
+    hosts.foreach { case (h, want) => assert(got(h) === want, s"host $h") }
+  }
+
+  test("registeredDomainFull ≡ registeredDomainPsl(full rules): hostile cross-validation sweep") {
+    // the expression and the broadcast-join form implement ONE
+    // algorithm over ONE table — any drift between them is a bug in
+    // whichever moved
+    val rnd = new scala.util.Random(20260816L)
+    val labels = Seq("www", "a", "b-1", "shop", "news", "x", "src0", "cdn", "city", "pvt")
+    val tails = Seq("com", "co.uk", "com.cn", "ck", "kawasaki.jp", "k12.ma.us",
+      "art.pl", "blogspot.com", "github.io", "zz", "jp", "us", "pl", "example")
+    def pick[T](xs: Seq[T]) = xs(rnd.nextInt(xs.length))
+    val hosts = (0 until 400).map { i =>
+      val depth = rnd.nextInt(4)
+      val base = (0 until depth).map(_ => pick(labels)).mkString(".")
+      val h = (if (base.isEmpty) "" else base + ".") + pick(tails) +
+        (if (rnd.nextInt(10) == 0) "." else "")
+      (i.toLong, if (rnd.nextInt(7) == 0) h.toUpperCase else h)
+    } ++ Seq((1000L, "192.168.1.4"), (1001L, "intranet"), (1002L, "www.ck"),
+      (1003L, "foo.www.ck"), (1004L, "city.kawasaki.jp"), (1005L, ""))
+    val df = hosts.toDF("doc_id", "host")
+    val viaExpr = df.select($"doc_id", UrlOps.registeredDomainFull($"host").as("e"))
+    val viaJoin = UrlOps.registeredDomainPsl(df)
+      .select($"doc_id", $"reg_domain".as("j"))
+    val drift = viaExpr.join(viaJoin, Seq("doc_id")).filter($"e" =!= $"j")
+    assert(drift.count() === 0L, drift.collect().take(5).mkString("\n"))
+  }
+
   test("domainCaps: cap enforced per registered domain, deterministic, under-cap passes whole") {
     val urls = (0L until 30L).map(i => (i, s"http://s${i % 3}.big.example.com/p/$i")) ++
       Seq((100L, "http://only.example.org/x"), (101L, "http://other.example.org/y"))
