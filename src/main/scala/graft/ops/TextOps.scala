@@ -385,8 +385,11 @@ object TextOps {
                                idCol: String = "doc_id",
                                textCol: String = "text"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the caller's id type flows through UNCHANGED: the window/groupBy
+    // need only an orderable key, and a silent cast("long") would turn
+    // string ids into NULLs and collapse every doc into one group
     val sents = sentenceSplit(docs, idCol, textCol)
-      .select(col(idCol).cast("long").as("did"), col("sent_idx").as("si"), col("sentence"))
+      .select(col(idCol).as("did"), col("sent_idx").as("si"), col("sentence"))
       .withColumn("key",
         md5(regexp_replace(lower(col("sentence")), "\\s+", " ").cast("binary")))
     val w = Window.partitionBy("key").orderBy("did", "si")

@@ -240,6 +240,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) === ((1L, 1L, "")))
     assert(!got.contains(5L)) // null text -> no sentences to judge
   }
+  test("dedupSentencesAcrossDocs: STRING doc ids flow through unchanged (no silent long cast)") {
+    // the r12 wart: cast('long') turned string ids into NULLs, silently
+    // collapsing every doc into one group; the id type must ride through
+    val docs = Seq(
+      ("doc-a", "Alpha beta. Shared tail!"),
+      ("doc-b", "Gamma delta. Shared tail!"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dedupSentencesAcrossDocs(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet === Set("doc-a", "doc-b"))
+    assert(got("doc-a") === ((2L, 0L, "Alpha beta. Shared tail!")))
+    assert(got("doc-b") === ((2L, 1L, "Gamma delta.")))
+  }
   test("removeLines: discovered template lines vanish everywhere; within-doc repeats survive") {
     val docs = Seq(
       (1L, "real prose of doc one\nvisit our help desk today\necho me\necho me"),
