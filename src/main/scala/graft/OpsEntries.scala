@@ -2096,9 +2096,12 @@ private[graft] object OpsEntries {
   private[graft] val wordGateMaxRatio: Double = 0.02
 
   /** The q275 sentence-bearing fixture tail — spliced into both
-    * engines' fixture construction (same discipline).
+    * engines' fixture construction (same discipline). Carries the
+    * abbreviation-guard classes: "Dr." / "Fig." / "e.g." periods must
+    * NOT split even before whitespace, while the real boundaries do.
     */
-  private[graft] val sentFixtureSuffix: String = ". It ran fast! Was it slow? Done."
+  private[graft] val sentFixtureSuffix: String =
+    ". Dr. Smith said it ran fast! Was it slow? See Fig. 2 e.g. here. Done."
 
   /** The q276/q277 sentence-dedup fixture tail: appended to EVERY doc,
     * so each tail sentence is a massive cross-doc duplicate (only the
@@ -6251,11 +6254,10 @@ private[graft] object OpsEntries {
     "q275_sentence_split" ->
       s"""WITH sfix AS (SELECT doc_id, text || '${sqQuote(sentFixtureSuffix)}' AS text
          |              FROM documents WHERE text IS NOT NULL),
-         |mk AS (SELECT doc_id, string_split(
-         |         regexp_replace(replace(text, chr(1), ' '), '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)) AS ss
+         |mk AS (SELECT doc_id, ${sentSplitSql("text")} AS ss
          |       FROM sfix),
          |ix AS (SELECT doc_id, CAST(unnest(generate_series(1, len(ss))) AS INTEGER) AS i, ss FROM mk),
-         |st AS (SELECT doc_id, i, trim(ss[i]) AS sentence FROM ix)
+         |st AS (SELECT doc_id, i, replace(trim(ss[i]), chr(3), '.') AS sentence FROM ix)
          |SELECT doc_id,
          |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INTEGER) AS sent_idx,
          |       sentence
@@ -6909,11 +6911,10 @@ private[graft] object OpsEntries {
   private def sentenceDedupCtes: String =
     s"""sfix AS (SELECT doc_id, text || '${sqQuote(sentDedupSuffix)}' AS text
        |         FROM documents WHERE text IS NOT NULL),
-       |smk AS (SELECT doc_id, string_split(
-       |          regexp_replace(replace(text, chr(1), ' '), '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)) AS ss
+       |smk AS (SELECT doc_id, ${sentSplitSql("text")} AS ss
        |        FROM sfix),
        |six AS (SELECT doc_id, CAST(unnest(generate_series(1, len(ss))) AS INTEGER) AS i, ss FROM smk),
-       |sst AS (SELECT doc_id, i, trim(ss[i]) AS sentence FROM six),
+       |sst AS (SELECT doc_id, i, replace(trim(ss[i]), chr(3), '.') AS sentence FROM six),
        |sky AS (SELECT doc_id, i, sentence,
        |          md5(regexp_replace(lower(sentence), '\\s+', ' ', 'g')) AS key
        |        FROM sst WHERE sentence <> ''),
@@ -6924,6 +6925,20 @@ private[graft] object OpsEntries {
        |          CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
        |          coalesce(string_agg(CASE WHEN occ = 1 THEN sentence END, ' ' ORDER BY i), '') AS clean_text
        |        FROM soc GROUP BY doc_id)""".stripMargin
+
+  /** [[graft.ops.TextOps.sentenceSplit]]'s marked-split expression in
+    * SQL over a text expression: strip both sentinels, guard the
+    * bounded abbreviation table's final periods with U+0003 (pattern
+    * spliced from the engine's own [[graft.ops.TextOps.abbrevRe]]),
+    * plant U+0001 after every remaining [.!?]+whitespace boundary,
+    * split. Callers restore the protected periods per sentence
+    * (`replace(trim(x), chr(3), '.')`).
+    */
+  private def sentSplitSql(textExpr: String): String =
+    s"""string_split(regexp_replace(regexp_replace(
+       |  replace(replace($textExpr, chr(1), ' '), chr(3), ' '),
+       |  '${sqQuote(TextOps.abbrevRe)}', '\\1\\2' || chr(3), 'g'),
+       |  '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1))""".stripMargin.replace("\n", " ")
 
   /** The q279/q283 oracle: the full-PSL registrable domain of every
     * [[hostFixture2]] host via [[pslDomCtes]]' join replay — ONE SQL

@@ -329,16 +329,42 @@ object TextOps {
       .withColumn("keep", col("blocked_ratio") <= maxRatio)
   }
 
+  /** Bounded abbreviation table for [[sentenceSplit]]'s guard: the
+    * title/latin forms whose trailing period is NOT a sentence
+    * boundary even before whitespace ("Dr. Smith", "e.g. this",
+    * "See Fig. 2"). Bounded by design (the mojibakeRepairs pattern —
+    * a learned Punkt model is out of the determinism tier); extending
+    * it is a one-line change mirrored automatically into the oracle.
+    * Matching is case-exact and word-anchored (start-of-text or
+    * whitespace before), so "laundr." cannot false-protect.
+    */
+  private[graft] val abbreviations: Seq[String] = Seq(
+    "Dr", "Mr", "Mrs", "Ms", "Prof", "St", "Jr", "Sr", "Rev", "Gen",
+    "vs", "Fig", "e.g", "i.e", "et al", "cf")
+
+  /** The guard pattern over one abbreviation-final period — longest
+    * alternative first so prefixes ("Mr" under "Mrs") can never
+    * shadow; engine-portable (no lookbehind; the whitespace-or-start
+    * anchor rides as a capture group, the boundary rule's own
+    * convention).
+    */
+  private[graft] val abbrevRe: String =
+    "(^|\\s)(" + abbreviations.sortBy(a => (-a.length, a))
+      .map(_.replace(".", "\\.")).mkString("|") + ")\\."
+
   /** Sentence segmentation — the boundary rule chunking/dedup
     * pipelines run before sentence-level operators: a terminal
-    * [.!?] followed by whitespace ends a sentence. Deterministic
-    * regex tier (the q89/htmlExtract discipline — both engines replay
-    * it byte-for-byte): a capture-group rewrite plants a U+0001
-    * sentinel after each boundary (RE2 has no lookbehind, so the
-    * rewrite+split form IS the portable form), then one split +
-    * per-sentence trim. Abbreviation periods ("U.S. Army") split — the
-    * documented limitation of the determinism tier; a learned Punkt
-    * model is out of scope.
+    * [.!?] followed by whitespace ends a sentence, EXCEPT when the
+    * period closes a listed abbreviation ([[abbreviations]]: "Dr.
+    * Smith" stays one sentence). Deterministic regex tier (the
+    * q89/htmlExtract discipline — both engines replay it
+    * byte-for-byte): the abbreviation guard rewrites each protected
+    * period to a U+0003 sentinel, a capture-group rewrite plants a
+    * U+0001 sentinel after each remaining boundary (RE2 has no
+    * lookbehind, so the rewrite+split form IS the portable form), then
+    * one split + per-sentence trim restores the protected periods.
+    * Unlisted abbreviations ("U.S. Army") still split — the documented
+    * limitation of the bounded table.
     *
     * Map-only + one explode; no shuffle. Output: (<idCol>, sent_idx,
     * sentence), sent_idx 0-based in document order, empty sentences
@@ -346,14 +372,17 @@ object TextOps {
     */
   def sentenceSplit(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): org.apache.spark.sql.DataFrame = {
-    // raw crawl text can already carry the sentinel byte (the mojibake
-    // path deliberately PRESERVES C0/C1 passthrough chars) - strip it
-    // first, or a pre-existing U+0001 fakes a sentence boundary
-    val cleaned = replace(col(textCol), lit("\u0001"), lit(" "))
-    val marked = regexp_replace(cleaned, "([.!?])\\s+", "$1\u0001")
+    // raw crawl text can already carry the sentinel bytes (the mojibake
+    // path deliberately PRESERVES C0/C1 passthrough chars) - strip them
+    // first, or a pre-existing U+0001/U+0003 fakes a boundary/guard
+    val cleaned = replace(replace(col(textCol), lit("\u0001"), lit(" ")),
+      lit("\u0003"), lit(" "))
+    val guarded = regexp_replace(cleaned, abbrevRe, "$1$2\u0003")
+    val marked = regexp_replace(guarded, "([.!?])\\s+", "$1\u0001")
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol), posexplode(filter(
-        transform(split(marked, "\u0001", -1), s => trim(s)), s => s =!= ""))
+        transform(split(marked, "\u0001", -1),
+          s => replace(trim(s), lit("\u0003"), lit("."))), s => s =!= ""))
         .as(Seq("sent_idx", "sentence")))
   }
 

@@ -220,6 +220,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got((2L, 0)) === "No boundary at all")
     assert(got.keys.count(_._1 == 1L) === 4 && got.keys.count(_._1 == 3L) === 0)
   }
+  test("sentenceSplit: abbreviation guard — listed forms do not split, unlisted still do, periods restore") {
+    val got = TextOps.sentenceSplit(Seq(
+      (1L, "Dr. Smith met Mrs. Jones. They left."),
+      (2L, "See Fig. 2 for details. e.g. this one works, i.e. really."),
+      (3L, "The U.S. Army split here. Fine."), // unlisted: documented limitation
+      (4L, "Mr. X vs. Mr. Y! Verdict et al. pending."),
+      (5L, "we laundr. it daily. Twice."), // no word anchor -> not protected
+      (6L, "Ends with Dr. Next starts here.")) // guard holds even sentence-final
+      .toDF("doc_id", "text")).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getString(2)).toSeq).toMap
+    assert(got(1L) === Seq("Dr. Smith met Mrs. Jones.", "They left."))
+    assert(got(2L) === Seq("See Fig. 2 for details.",
+      "e.g. this one works, i.e. really."))
+    assert(got(3L) === Seq("The U.S.", "Army split here.", "Fine."))
+    assert(got(4L) === Seq("Mr. X vs. Mr. Y!", "Verdict et al. pending."))
+    assert(got(5L) === Seq("we laundr.", "it daily.", "Twice."))
+    // the bounded-table tradeoff, pinned: a sentence that ENDS in a
+    // listed form joins with its successor
+    assert(got(6L) === Seq("Ends with Dr. Next starts here."))
+  }
   test("dedupSentencesAcrossDocs: first occurrence wins corpus-wide; within-doc repeats and case/space variants cut") {
     val docs = Seq(
       (1L, "Alpha beta. Shared tail! Unique one."),
