@@ -2207,18 +2207,23 @@ private[graft] object OpsEntries {
         .otherwise(concat(lit("sub.ward."), col("source"), lit(".kawasaki.jp")))
         .as("host"))
 
-  /** The q280 frontier fixture: per-source co.uk sites whose URLs all
+  /** The q280 frontier fixture: per-source co.uk sites whose URLs
     * carry a per-visit session id (`sid`, one value per doc — the
     * param the report must convict), a pagination param (`page`, 3
-    * values, load-bearing), and a constant (`v`). Params arrive
-    * already sorted so the normalized form is stable.
+    * values, load-bearing), and a constant (`v`). doc_id%11==7 rows
+    * are NON-CARRIERS (no `sid`): dropping sid from a carrier makes it
+    * identical to one of these already-existing URLs — the
+    * cross-carrier merge class `n_wo_existing` exists to count.
+    * Params arrive already sorted so the normalized form is stable.
     */
   private[graft] def paramFixture(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull).select(col("doc_id"),
       concat(lit("http://news."), col("source"), lit(".co.uk/p/"),
         (col("doc_id") % 5).cast("string"),
         lit("?page="), (col("doc_id") % 3).cast("string"),
-        lit("&sid="), col("doc_id").cast("string"), lit("&v=1")).as("url"))
+        when(col("doc_id") % 11 === 7, lit(""))
+          .otherwise(concat(lit("&sid="), col("doc_id").cast("string"))),
+        lit("&v=1")).as("url"))
 
   /** The q282 IDN fixture: the SAME logical site spelled in punycode
     * (doc_id%6==0) and raw Unicode (%6==1) — both register under
@@ -6366,14 +6371,25 @@ private[graft] object OpsEntries {
            |pk3 AS (SELECT reg_domain, url_norm, pkey, pval,
            |          base || (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END) AS url_wo
            |        FROM (SELECT *, list_filter(params, q -> regexp_extract(q, '^([^=]*)', 1) <> pkey) AS kept
-           |              FROM pk2))
-           |SELECT reg_domain, pkey AS param_key,
-           |       CAST(count(*) AS BIGINT) AS n_occurrences,
-           |       CAST(count(DISTINCT pval) AS BIGINT) AS n_values,
-           |       CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls,
-           |       CAST(count(DISTINCT url_wo) AS BIGINT) AS n_urls_wo,
-           |       round(1.0 - count(DISTINCT url_wo) / CAST(count(DISTINCT url_norm) AS DOUBLE), 4) AS collapse_rate
-           |FROM pk3 GROUP BY 1, 2""".stripMargin
+           |              FROM pk2)),
+           |pall AS (SELECT DISTINCT p.reg_domain, u.url_norm
+           |         FROM unorm u JOIN pdom p USING (doc_id) WHERE u.url_norm IS NOT NULL),
+           |phit AS (SELECT w.reg_domain, w.pkey, CAST(count(*) AS BIGINT) AS n_wo_existing
+           |         FROM (SELECT DISTINCT reg_domain, pkey, url_wo FROM pk3) w
+           |         JOIN pall a ON a.reg_domain = w.reg_domain AND a.url_norm = w.url_wo
+           |         GROUP BY 1, 2),
+           |prep AS (SELECT reg_domain, pkey AS param_key,
+           |           CAST(count(*) AS BIGINT) AS n_occurrences,
+           |           CAST(count(DISTINCT pval) AS BIGINT) AS n_values,
+           |           CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls,
+           |           CAST(count(DISTINCT url_wo) AS BIGINT) AS n_urls_wo
+           |         FROM pk3 GROUP BY 1, 2)
+           |SELECT r.reg_domain, r.param_key, r.n_occurrences, r.n_values,
+           |       r.n_urls, r.n_urls_wo,
+           |       coalesce(h.n_wo_existing, 0) AS n_wo_existing,
+           |       round(1.0 - (r.n_urls_wo - coalesce(h.n_wo_existing, 0)) / CAST(r.n_urls AS DOUBLE), 4) AS collapse_rate
+           |FROM prep r LEFT JOIN phit h
+           |  ON h.reg_domain = r.reg_domain AND h.pkey = r.param_key""".stripMargin
     },
 
     // Two normalize chains (prefix-parameterized CTEs; the kill list
@@ -6772,7 +6788,8 @@ private[graft] object OpsEntries {
     """SELECT doc_id,
       |  'http://news.' || source || '.co.uk/p/' || CAST(doc_id % 5 AS VARCHAR) ||
       |  '?page=' || CAST(doc_id % 3 AS VARCHAR) ||
-      |  '&sid=' || CAST(doc_id AS VARCHAR) || '&v=1' AS url
+      |  (CASE WHEN doc_id % 11 = 7 THEN '' ELSE '&sid=' || CAST(doc_id AS VARCHAR) END) ||
+      |  '&v=1' AS url
       |FROM documents WHERE text IS NOT NULL""".stripMargin
 
   /** The q279 host fixture in SQL — identical to [[hostFixture2]]. */

@@ -431,18 +431,31 @@ object UrlOps {
     * URLs would collapse if this param were killed. A reviewer extends
     * the kill list from these rows; nothing is destroyed here.
     *
+    * Collapse counts BOTH collision classes: carriers collapsing into
+    * each other (distinct dropped-variant forms < distinct carrier
+    * URLs) AND carriers collapsing into URLs that never carried the
+    * key (`n_wo_existing`: dropped-variant forms that already exist in
+    * the domain's full URL set) — without the second term a partially-
+    * present session param understates its own evidence.
+    *
     * Plan shape: map-only param explode (params-per-URL rows) + ONE
     * (domain, key) partial-aggregable rollup; the dropped-variant URL
     * is rebuilt per row from the already-split param list (no second
-    * parse). Output is (domain × key)-sized.
+    * parse); the existing-URL probe is one semi-join of the distinct
+    * dropped-variant set against the domain's distinct URLs (both
+    * sides keyed (domain, url) — high-cardinality, no skew pole).
+    * Output is (domain × key)-sized.
     *
     * Output: (reg_domain, param_key, n_occurrences, n_values, n_urls,
-    * n_urls_wo, collapse_rate 4dp).
+    * n_urls_wo, n_wo_existing, collapse_rate 4dp) where collapse_rate
+    * = 1 − (n_urls_wo − n_wo_existing) / n_urls.
     */
   def paramReport(normed: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val pkeyOf = (p: Column) => regexp_extract(p, "^([^=]*)", 1)
-    val base = normed.filter(col("url_norm").isNotNull && col("url_norm").contains("?"))
-      .select(registeredDomainFull(col("host")).as("reg_domain"), col("url_norm"),
+    val valid = normed.filter(col("url_norm").isNotNull)
+      .select(registeredDomainFull(col("host")).as("reg_domain"), col("url_norm"))
+    val base = valid.filter(col("url_norm").contains("?"))
+      .select(col("reg_domain"), col("url_norm"),
         regexp_replace(col("url_norm"), "(?s)\\?.*$", "").as("base"),
         split(regexp_extract(col("url_norm"), queryRe, 1), "&", -1).as("params"))
     val kv = base.select(col("reg_domain"), col("url_norm"), col("base"), col("params"),
@@ -454,15 +467,25 @@ object UrlOps {
       .withColumn("url_wo", concat(col("base"),
         when(size(col("kept")) > 0, concat(lit("?"), array_join(col("kept"), "&")))
           .otherwise(lit(""))))
+    // a dropped-variant form that IS an existing URL of the domain
+    // (necessarily a non-carrier: a carrier's url_norm still contains
+    // the key) merges rather than merely collapsing within carriers
+    val woHits = kv.select(col("reg_domain"), col("pkey"), col("url_wo")).distinct()
+      .join(valid.distinct().withColumnRenamed("url_norm", "url_wo"),
+        Seq("reg_domain", "url_wo"), "left_semi")
+      .groupBy(col("reg_domain"), col("pkey"))
+      .agg(count(lit(1)).as("n_wo_existing"))
     kv.groupBy(col("reg_domain"), col("pkey"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("pval")).as("n_values"),
         countDistinct(col("url_norm")).as("n_urls"),
         countDistinct(col("url_wo")).as("n_urls_wo"))
+      .join(woHits, Seq("reg_domain", "pkey"), "left")
       .select(col("reg_domain"), col("pkey").as("param_key"), col("n_occurrences"),
         col("n_values"), col("n_urls"), col("n_urls_wo"),
-        round(lit(1.0) - col("n_urls_wo") / col("n_urls").cast("double"), 4)
-          .as("collapse_rate"))
+        coalesce(col("n_wo_existing"), lit(0L)).as("n_wo_existing"),
+        round(lit(1.0) - (col("n_urls_wo") - coalesce(col("n_wo_existing"), lit(0L)))
+          / col("n_urls").cast("double"), 4).as("collapse_rate"))
   }
 
   /** Frontier observability per registrable domain — the number a

@@ -191,17 +191,23 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got(3L) === "http://a.com/x?sidecar=1") // prefix must not match
   }
 
-  test("paramReport: session params convict by value spread + collapse; load-bearing params do not") {
-    // 4 URLs on one domain: sid varies per visit (4 values, dropping
-    // it collapses 4 distinct URLs to 2), page is load-bearing
-    // (2 values, dropping collapses nothing: sid still distinguishes)
-    val urls = (0L until 4L).map(i =>
-      (i, s"http://a.example.com/p/${i % 2}?page=${i % 2}&sid=$i")).toDF("doc_id", "url")
+  test("paramReport: session params convict by value spread + collapse incl. merges into non-carrier URLs") {
+    // 4 carrier URLs + 1 NON-carrier on one domain: dropping sid
+    // collapses the 4 carriers into 2 forms, ONE of which already
+    // exists as the non-carrier URL (n_wo_existing = 1) — the merge
+    // class the within-carrier count alone would understate
+    val urls = ((0L until 4L).map(i =>
+      (i, s"http://a.example.com/p/${i % 2}?page=${i % 2}&sid=$i")) :+
+      ((4L, "http://a.example.com/p/0?page=0"))).toDF("doc_id", "url")
     val got = UrlOps.paramReport(UrlOps.urlNormalize(urls)).collect()
       .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getLong(5), r.getDouble(6)))).toMap
-    assert(got("sid") === ((4L, 4L, 4L, 2L, 0.5)))
-    assert(got("page") === ((4L, 2L, 4L, 4L, 0.0)))
+        r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    // sid: 2 dropped-variant forms, 1 merges into the existing URL ->
+    // collapse 1 - (2-1)/4 = 0.75
+    assert(got("sid") === ((4L, 4L, 4L, 2L, 1L, 0.75)))
+    // page is load-bearing: 5 carriers, 5 distinct dropped forms, none
+    // pre-existing -> zero collapse
+    assert(got("page") === ((5L, 2L, 5L, 5L, 0L, 0.0)))
     val dom = UrlOps.paramReport(UrlOps.urlNormalize(urls)).collect()(0).getString(0)
     assert(dom === "example.com")
   }
