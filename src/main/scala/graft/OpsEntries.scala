@@ -1988,16 +1988,22 @@ private[graft] object OpsEntries {
 
     // The COMPLETE raw-web first mile with every quality gate consumed
     // inside the composition (the q204 funnel discipline): URL
-    // normalize → URL dedup → HTML extract → mojibake REPAIR (q262's
-    // text_repaired is what flows on, not the damaged bytes) →
-    // residual-damage gate → word-blocklist gate → boilerplate
-    // discover+remove → empty-after-removal gate → curate. Per-doc
-    // drop reasons distinguish every tier: url_dup / encoding /
-    // blocklist / boilerplate / exact_dup / near_dup / low_quality /
-    // kept.
+    // normalize WITH the reviewed kill list (the q280→q281 loop's
+    // output rides into the flagship build — the fixture's sid rows
+    // would defeat the URL dedup under the static list alone) → URL
+    // dedup → HTML extract → mojibake REPAIR (q262's text_repaired is
+    // what flows on, not the damaged bytes) → residual-damage gate →
+    // word-blocklist gate → boilerplate discover+remove →
+    // empty-after-removal gate → curate. Per-doc drop reasons
+    // distinguish every tier INCLUDING the quarantine: unparseable /
+    // url_dup / encoding / blocklist / boilerplate / exact_dup /
+    // near_dup / low_quality / kept — every input doc appears under
+    // exactly one reason.
     "q278_first_mile" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val dedup = UrlOps.urlDedup(UrlOps.urlNormalize(urlFixture(docs)))
+      val normed = UrlOps.urlNormalize(urlFixture2(docs), extraKill = reviewedKill)
+        .localCheckpoint(true) // quarantine + dedup branches both read it
+      val dedup = UrlOps.urlDedup(normed)
         .localCheckpoint(true) // keep and drop branches both read it
       val keptIds = dedup.filter(col("keep")).select("doc_id")
       val extracted = TextOps.htmlExtract(htmlFixture2(docs.join(keptIds, Seq("doc_id"))))
@@ -2022,7 +2028,8 @@ private[graft] object OpsEntries {
         .select(col("doc_id"), col("reason"), col("keep"))
       def dropped(ids: DataFrame, reason: String): DataFrame =
         ids.select(col("doc_id"), lit(reason).as("reason"), lit(false).as("keep"))
-      dropped(dedup.filter(!col("keep")).select("doc_id"), "url_dup")
+      dropped(normed.filter(col("url_norm").isNull).select("doc_id"), "unparseable")
+        .unionByName(dropped(dedup.filter(!col("keep")).select("doc_id"), "url_dup"))
         .unionByName(dropped(rep.filter(col("resid") >= 1).select("doc_id"), "encoding"))
         .unionByName(dropped(blk.filter(!col("keep")).select("doc_id"), "blocklist"))
         .unionByName(dropped(cleaned.filter(col("text") === "").select("doc_id"), "boilerplate"))
@@ -2155,6 +2162,20 @@ private[graft] object OpsEntries {
           .otherwise(lit("a=1&b=2&utm_campaign=x&t=x+y&z=a%2fb")),
         when(col("doc_id") % 5 === 2, lit("#section-3")).otherwise(lit(""))))
         .as("url"))
+
+  /** [[urlFixture]] with a per-visit session id riding half the
+    * parseable URLs (the q280 sid shape; the fragment branch is
+    * skipped — an appended param would land inside the stripped
+    * fragment and test nothing): WITHOUT the reviewed kill these rows
+    * are all unique and the URL tier's dedup mass vanishes, so the
+    * q278 composition genuinely consumes the q280→q281 loop's output,
+    * not just the static list.
+    */
+  private[graft] def urlFixture2(docs: DataFrame): DataFrame =
+    urlFixture(docs).select(col("doc_id"),
+      when(col("url").contains("?") && col("doc_id") % 2 === 0 && col("doc_id") % 5 =!= 2,
+        concat(col("url"), lit("&sid="), col("doc_id").cast("string")))
+        .otherwise(col("url")).as("url"))
 
   /** The q266/q267 host fixture: per-source co.uk sites (3-label
     * registration), a shared example.com, *.pages.github.io (the
@@ -6297,7 +6318,8 @@ private[graft] object OpsEntries {
       }
       val blArr = blockedWords.map(w => s"'${sqQuote(w.toLowerCase)}'").mkString("[", ", ", "]")
       curationCtesFor("xcur", lead =
-        s"ufix AS ($urlFixtureSql),\n" + urlNormCtes("ufix") + ",\n" +
+        s"ufix AS ($urlFixtureSql),\n" + urlFixture2Sql + ",\n" +
+          urlNormCtes("ufix2", reviewedKill) + ",\n" +
           s"""ukeep AS (SELECT doc_id, url_norm,
              |            doc_id = min(doc_id) OVER (PARTITION BY url_norm) AS keep
              |          FROM unorm WHERE url_norm IS NOT NULL),
@@ -6329,6 +6351,8 @@ private[graft] object OpsEntries {
              |xcur AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM xclean WHERE clean_text <> ''),
              |""".stripMargin) +
         """
+          |SELECT doc_id, 'unparseable' AS reason, false AS keep FROM unorm WHERE url_norm IS NULL
+          |UNION ALL
           |SELECT doc_id, 'url_dup' AS reason, false AS keep FROM ukeep WHERE NOT keep
           |UNION ALL
           |SELECT doc_id, 'encoding' AS reason, false AS keep FROM xenc WHERE resid >= 1
@@ -6769,6 +6793,15 @@ private[graft] object OpsEntries {
       |    (CASE WHEN doc_id % 5 = 2 THEN '#section-3' ELSE '' END)
       |  END AS url
       |FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  /** The q278/q284 sid wrapper in SQL — identical to [[urlFixture2]]
+    * (a CTE over `ufix`, emitting `ufix2`).
+    */
+  private def urlFixture2Sql: String =
+    """ufix2 AS (SELECT doc_id,
+      |  CASE WHEN contains(url, '?') AND doc_id % 2 = 0 AND doc_id % 5 <> 2
+      |       THEN url || '&sid=' || CAST(doc_id AS VARCHAR) ELSE url END AS url
+      |FROM ufix)""".stripMargin
 
   /** The q282 fixture in SQL — identical to [[idnFixture]]. */
   private def idnFixtureSql: String =
