@@ -2087,7 +2087,100 @@ private[graft] object OpsEntries {
     // join, and DuckDB are pinned three ways at every scale.
     "q283_psl_expr_domain" -> ((s, dir) =>
       hostFixture2(t(s, dir, "documents")).select(col("doc_id"), col("host"),
-        UrlOps.registeredDomainFull(col("host")).as("reg_domain")))
+        UrlOps.registeredDomainFull(col("host")).as("reg_domain"))),
+
+    // The ONE pipeline a 100 TB build actually executes — q278's
+    // complete first mile PLUS the sentence-dedup tier in its measured
+    // position (between boilerplate removal and the doc-level
+    // exact/near tiers: line-keyed removal drains whole-line template
+    // mass first, the sentence tier then cuts the inline duplicate
+    // sentences line removal cannot see, and only then do doc-level
+    // fingerprints run over prose that is actually the document's
+    // own). Funnel reasons: unparseable / url_dup / encoding /
+    // blocklist / boilerplate / sentence_dup (all sentences were
+    // cross-corpus dups) / exact_dup / near_dup / low_quality / kept,
+    // with the tier's per-doc evidence (n_sent_removed) riding every
+    // row. A doc composed ENTIRELY of duplicate sentences on shared
+    // lines dies upstream as boilerplate — sentence_dup only fires for
+    // dup sentences embedded in otherwise-unique lines, which is
+    // exactly the division of labor between the two tiers.
+    "q284_pipeline_sentences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val normed = UrlOps.urlNormalize(urlFixture2(docs), extraKill = reviewedKill)
+        .localCheckpoint(true) // quarantine + dedup branches both read it
+      val dedup = UrlOps.urlDedup(normed).localCheckpoint(true)
+      val keptIds = dedup.filter(col("keep")).select("doc_id")
+      val extracted = TextOps.htmlExtract(htmlFixture3(docs.join(keptIds, Seq("doc_id"))))
+        .select(col("doc_id"), col("text"))
+      val rep = TextOps.encodingDamage(extracted)
+        .select(col("doc_id"), col("text_repaired").as("text"),
+          coalesce(regexp_count(col("text_repaired"), lit(TextOps.mojibakeDetector)), lit(0))
+            .cast("long").as("resid"))
+        .localCheckpoint(true)
+      val surv1 = rep.filter(col("resid") === 0).select(col("doc_id"), col("text"))
+      val blk = TextOps.wordBlocklistGate(surv1, blockedWords, maxRatio = wordGateMaxRatio)
+        .localCheckpoint(true)
+      val surv2 = surv1.join(blk.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        .localCheckpoint(true)
+      val hits = TextOps.boilerplateLines(surv2).select("line")
+      val cleaned = TextOps.removeLines(surv2, hits)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint(true) // empty gate + sentence tier both read it
+      val sd = TextOps.dedupSentencesAcrossDocs(cleaned.filter(col("text") =!= ""))
+        .localCheckpoint(true) // empty gate + curation + evidence join
+      val afterSent = sd.filter(col("clean_text") =!= "")
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint(true) // curation's four readers
+      val curated = curationFrame(afterSent)
+        .select(col("doc_id"), col("reason"), col("keep"))
+        .join(sd.select(col("doc_id"), col("n_removed").as("n_sent_removed")), Seq("doc_id"))
+      def dropped(ids: DataFrame, reason: String): DataFrame =
+        ids.select(col("doc_id"), lit(reason).as("reason"), lit(false).as("keep"),
+          lit(0L).as("n_sent_removed"))
+      dropped(normed.filter(col("url_norm").isNull).select("doc_id"), "unparseable")
+        .unionByName(dropped(dedup.filter(!col("keep")).select("doc_id"), "url_dup"))
+        .unionByName(dropped(rep.filter(col("resid") >= 1).select("doc_id"), "encoding"))
+        .unionByName(dropped(blk.filter(!col("keep")).select("doc_id"), "blocklist"))
+        .unionByName(dropped(cleaned.filter(col("text") === "").select("doc_id"), "boilerplate"))
+        .unionByName(sd.filter(col("clean_text") === "")
+          .select(col("doc_id"), lit("sentence_dup").as("reason"), lit(false).as("keep"),
+            col("n_removed").as("n_sent_removed")))
+        .unionByName(curated)
+    }),
+
+    // WHY the sentence tier sits where it does, measured INSIDE the
+    // composition (the q277 audit re-run at its pipeline position):
+    // the band-skew shape on the boiler-cleaned corpus (where the
+    // inline shared sentence still wins minhash slots) vs the same
+    // corpus after the sentence tier — the candidate pair-work the
+    // doc-level near-dup tier is spared.
+    "q285_pipeline_pair_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val normed = UrlOps.urlNormalize(urlFixture2(docs), extraKill = reviewedKill)
+      val dedup = UrlOps.urlDedup(normed)
+      val keptIds = dedup.filter(col("keep")).select("doc_id")
+      val extracted = TextOps.htmlExtract(htmlFixture3(docs.join(keptIds, Seq("doc_id"))))
+        .select(col("doc_id"), col("text"))
+      val rep = TextOps.encodingDamage(extracted)
+        .select(col("doc_id"), col("text_repaired").as("text"),
+          coalesce(regexp_count(col("text_repaired"), lit(TextOps.mojibakeDetector)), lit(0))
+            .cast("long").as("resid"))
+      val surv1 = rep.filter(col("resid") === 0).select(col("doc_id"), col("text"))
+      val blk = TextOps.wordBlocklistGate(surv1, blockedWords, maxRatio = wordGateMaxRatio)
+      val surv2 = surv1.join(blk.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        .localCheckpoint(true)
+      val hits = TextOps.boilerplateLines(surv2).select("line")
+      val pre = TextOps.removeLines(surv2, hits)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .filter(col("text") =!= "")
+        .localCheckpoint(true) // audit + sentence tier both read it
+      val post = TextOps.dedupSentencesAcrossDocs(pre)
+        .filter(col("clean_text") =!= "")
+        .select(col("doc_id"), col("clean_text").as("text"))
+      DedupOps.bandSkewAudit(pre).select(lit("pre_sentence").as("variant"), col("*"))
+        .unionByName(DedupOps.bandSkewAudit(post)
+          .select(lit("post_sentence").as("variant"), col("*")))
+    })
   )
 
   /** The q274 blocklist: real corpus vocabulary ("slow") so the gate
@@ -2320,6 +2413,44 @@ private[graft] object OpsEntries {
       // per-SOURCE boilerplate (site-template analogue): survives the
       // density floor, so q260's discovery sees a real df distribution
       // (one global line + one line per source) instead of one row
+      lit("<p>Source desk "), col("source"), lit(" answers reader mail daily</p>"),
+      lit("<div class=\"footer\">Copyright 2026 Example</div></body></html>"))
+      .as("html"))
+
+  /** The q284/q285 cross-doc duplicate SENTENCE riding INSIDE each
+    * doc's otherwise-unique content paragraph: line-level boilerplate
+    * removal cannot touch it (the line is unique — prose + tail), so
+    * it reaches the sentence tier as exactly the mass that tier exists
+    * to cut. Sized like real inline boilerplate (~23 tokens, ~⅓ of a
+    * ~60-token doc — the q277 lesson: a 4-word tail is invisible to
+    * minhash slots and fakes a null audit). Spliced into both engines.
+    */
+  private[graft] val pipeSharedSentence: String =
+    "Subscribe to the weekly newsletter for daily updates, exclusive offers," +
+      " breaking alerts and the full archive of every story our editorial desk publishes."
+
+  /** The q284/q285 raw-web fixture: [[htmlFixture2]]'s template with
+    * [[pipeSharedSentence]] appended inside the content paragraph
+    * (after the per-class injections, behind a fresh terminal so the
+    * shared sentence segments identically in every doc). The planted
+    * classes and their precedence are htmlFixture2's.
+    */
+  private[graft] def htmlFixture3(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"), lit("</title>"),
+      lit("<script type=\"text/javascript\">var x = 1; if (x < 2) { x = 3; }</script>"),
+      lit("<style>.nav { color: red; }</style></head><body>"),
+      lit("<nav>Home About Login</nav>"),
+      lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1>"),
+      lit("<!-- rendered by template engine v2 -->"),
+      when(col("doc_id") % 23 === 1,
+        concat(lit("<p>Source desk "), col("source"), lit(" answers reader mail daily</p>")))
+        .otherwise(concat(lit("<p>"), col("text"),
+          when(col("doc_id") % 19 === 5, lit(mojiSuffix)).otherwise(lit("")),
+          when(col("doc_id") % 19 === 2, lit(badMojiSuffix)).otherwise(lit("")),
+          when(col("doc_id") % 29 === 3, lit(blockSuffix)).otherwise(lit("")),
+          lit(". " + pipeSharedSentence + "</p>"))),
+      lit("<p>Reach us at &lt;contact&amp;support&gt; today okay</p>"),
       lit("<p>Source desk "), col("source"), lit(" answers reader mail daily</p>"),
       lit("<div class=\"footer\">Copyright 2026 Example</div></body></html>"))
       .as("html"))
@@ -6311,45 +6442,9 @@ private[graft] object OpsEntries {
     // + repair/residual gate + blocklist gate + boiler removal + empty
     // gate ride in as curationCtesFor's lead; the final union labels
     // every drop tier.
-    "q278_first_mile" -> {
-      val det = sqQuote(graft.ops.TextOps.mojibakeDetector)
-      val rep = graft.ops.TextOps.mojibakeRepairs.foldLeft("text") {
-        case (e, (f, to)) => s"replace($e, '${sqQuote(f)}', '${sqQuote(to)}')"
-      }
-      val blArr = blockedWords.map(w => s"'${sqQuote(w.toLowerCase)}'").mkString("[", ", ", "]")
-      curationCtesFor("xcur", lead =
-        s"ufix AS ($urlFixtureSql),\n" + urlFixture2Sql + ",\n" +
-          urlNormCtes("ufix2", reviewedKill) + ",\n" +
-          s"""ukeep AS (SELECT doc_id, url_norm,
-             |            doc_id = min(doc_id) OVER (PARTITION BY url_norm) AS keep
-             |          FROM unorm WHERE url_norm IS NOT NULL),
-             |xraw AS (SELECT * FROM ($htmlFixture2Sql) hh
-             |         WHERE hh.doc_id IN (SELECT doc_id FROM ukeep WHERE keep)),
-             |""".stripMargin + htmlExtractCtes() + ",\n" +
-          s"""xrep AS (SELECT doc_id, $rep AS text FROM xout),
-             |xenc AS MATERIALIZED (SELECT doc_id, text,
-             |          CAST(coalesce(len(regexp_extract_all(text, '$det')), 0) AS BIGINT) AS resid
-             |        FROM xrep),
-             |xs1 AS (SELECT doc_id, text FROM xenc WHERE resid = 0),
-             |xbv AS MATERIALIZED (SELECT doc_id,
-             |          round(CASE WHEN n_tokens > 0 THEN hits / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 4) <= $wordGateMaxRatio AS bkeep
-             |        FROM (SELECT doc_id,
-             |                CAST(coalesce(len($toksExpr), 0) AS BIGINT) AS n_tokens,
-             |                CAST(coalesce(len(list_filter($toksExpr, t -> list_contains($blArr, t))), 0) AS BIGINT) AS hits
-             |              FROM xs1)),
-             |xs2 AS MATERIALIZED (SELECT s.doc_id, s.text FROM xs1 s
-             |        JOIN xbv b ON b.doc_id = s.doc_id WHERE b.bkeep),
-             |xsp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM xs2),
-             |xli AS (SELECT doc_id, CAST(unnest(generate_series(1, len(ls))) AS INTEGER) AS li, ls FROM xsp),
-             |xl2 AS (SELECT doc_id, li, ls[li] AS line FROM xli),
-             |bl AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df FROM xl2
-             |        WHERE line <> '' GROUP BY line) WHERE df >= 2),
-             |xfl AS (SELECT doc_id, li, line, line IN (SELECT line FROM bl) AS bn FROM xl2),
-             |xclean AS MATERIALIZED (SELECT doc_id,
-             |        coalesce(string_agg(CASE WHEN NOT bn THEN line END, chr(10) ORDER BY li), '') AS clean_text
-             |      FROM xfl GROUP BY doc_id),
-             |xcur AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM xclean WHERE clean_text <> ''),
-             |""".stripMargin) +
+    "q278_first_mile" ->
+      (curationCtesFor("xcur", lead = firstMileCtes(htmlFixture2Sql) +
+        ",\nxcur AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM xclean WHERE clean_text <> ''),\n") +
         """
           |SELECT doc_id, 'unparseable' AS reason, false AS keep FROM unorm WHERE url_norm IS NULL
           |UNION ALL
@@ -6361,8 +6456,39 @@ private[graft] object OpsEntries {
           |UNION ALL
           |SELECT doc_id, 'boilerplate' AS reason, false AS keep FROM xclean WHERE clean_text = ''
           |UNION ALL
-          |SELECT doc_id, reason, reason = 'kept' AS keep FROM v""".stripMargin
-    },
+          |SELECT doc_id, reason, reason = 'kept' AS keep FROM v""".stripMargin),
+
+    // q278 PLUS the sentence tier at its measured position: the shared
+    // first-mile CTEs (over the htmlFixture3 corpus), the generalized
+    // sentence-dedup chain over the boiler-cleaned non-empty corpus,
+    // then the curation tiers over the sentence-deduped prose. Every
+    // row carries the tier's per-doc evidence (n_sent_removed).
+    "q284_pipeline_sentences" ->
+      (curationCtesFor("xsent", lead = pipelineSentCtes + ",\n") +
+        """
+          |SELECT doc_id, 'unparseable' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed FROM unorm WHERE url_norm IS NULL
+          |UNION ALL
+          |SELECT doc_id, 'url_dup' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed FROM ukeep WHERE NOT keep
+          |UNION ALL
+          |SELECT doc_id, 'encoding' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed FROM xenc WHERE resid >= 1
+          |UNION ALL
+          |SELECT doc_id, 'blocklist' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed FROM xbv WHERE NOT bkeep
+          |UNION ALL
+          |SELECT doc_id, 'boilerplate' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed FROM xclean WHERE clean_text = ''
+          |UNION ALL
+          |SELECT doc_id, 'sentence_dup' AS reason, false AS keep, n_removed AS n_sent_removed FROM psdd WHERE clean_text = ''
+          |UNION ALL
+          |SELECT v.doc_id, v.reason, v.reason = 'kept' AS keep, d.n_removed AS n_sent_removed
+          |FROM v JOIN psdd d ON d.doc_id = v.doc_id""".stripMargin),
+
+    // Two band audits at the q284 pipeline position: the
+    // boiler-cleaned corpus (xne) vs the sentence-deduped one (xsent).
+    "q285_pipeline_pair_audit" ->
+      ("WITH " + pipelineSentCtes +
+        s"""
+           |SELECT 'pre_sentence' AS variant, * FROM ${bandAuditSql("xne")}
+           |UNION ALL
+           |SELECT 'post_sentence' AS variant, * FROM ${bandAuditSql("xsent")}""".stripMargin),
 
     // The FULL PSL algorithm in SQL: the ~9.5k-rule table VALUES are
     // generated by the SAME parser the engine uses (parsePslRule over
@@ -6763,6 +6889,28 @@ private[graft] object OpsEntries {
        |  '<div class="footer">Copyright 2026 Example</div></body></html>' AS html
        |FROM documents WHERE text IS NOT NULL""".stripMargin
 
+  /** The q284/q285 fixture construction in SQL — character-identical
+    * to [[htmlFixture3]]'s concat (a def per the init-order trap). */
+  private def htmlFixture3Sql: String =
+    s"""SELECT doc_id,
+       |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
+       |  '<script type="text/javascript">var x = 1; if (x < 2) { x = 3; }</script>' ||
+       |  '<style>.nav { color: red; }</style></head><body>' ||
+       |  '<nav>Home About Login</nav>' ||
+       |  '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+       |  '<!-- rendered by template engine v2 -->' ||
+       |  (CASE WHEN doc_id % 23 = 1
+       |        THEN '<p>Source desk ' || source || ' answers reader mail daily</p>'
+       |        ELSE '<p>' || text ||
+       |          (CASE WHEN doc_id % 19 = 5 THEN '${sqQuote(mojiSuffix)}' ELSE '' END) ||
+       |          (CASE WHEN doc_id % 19 = 2 THEN '${sqQuote(badMojiSuffix)}' ELSE '' END) ||
+       |          (CASE WHEN doc_id % 29 = 3 THEN '${sqQuote(blockSuffix)}' ELSE '' END) ||
+       |          '. ${sqQuote(pipeSharedSentence)}</p>' END) ||
+       |  '<p>Reach us at &lt;contact&amp;support&gt; today okay</p>' ||
+       |  '<p>Source desk ' || source || ' answers reader mail daily</p>' ||
+       |  '<div class="footer">Copyright 2026 Example</div></body></html>' AS html
+       |FROM documents WHERE text IS NOT NULL""".stripMargin
+
   /** The q262/q263 fixture construction in SQL — character-identical
     * to [[mojiFixture]]'s concat (a def per the init-order trap). */
   private def mojiFixtureSql: String =
@@ -6961,20 +7109,32 @@ private[graft] object OpsEntries {
   private def sentenceDedupCtes: String =
     s"""sfix AS (SELECT doc_id, text || '${sqQuote(sentDedupSuffix)}' AS text
        |         FROM documents WHERE text IS NOT NULL),
-       |smk AS (SELECT doc_id, ${sentSplitSql("text")} AS ss
-       |        FROM sfix),
-       |six AS (SELECT doc_id, CAST(unnest(generate_series(1, len(ss))) AS INTEGER) AS i, ss FROM smk),
-       |sst AS (SELECT doc_id, i, replace(trim(ss[i]), chr(3), '.') AS sentence FROM six),
-       |sky AS (SELECT doc_id, i, sentence,
+       |""".stripMargin + sentenceDedupCtesFor("sfix", "s")
+
+  /** The sentence-dedup chain GENERALIZED over `rel(doc_id, text)`
+    * (NO leading WITH, no trailing comma): q275's segmentation
+    * machinery ([[sentSplitSql]] incl. the abbreviation guard), one
+    * md5-fingerprint-keyed row_number (first occurrence by
+    * (doc, position) corpus-wide), per-doc in-order reassembly —
+    * ending in `${pfx}dd(doc_id, n_sentences, n_removed, clean_text)`.
+    * Shared by q276/q277 (over the suffixed corpus) and the q284/q285
+    * composed pipeline (over the boiler-cleaned corpus).
+    */
+  private def sentenceDedupCtesFor(rel: String, pfx: String): String =
+    s"""${pfx}mk AS (SELECT doc_id, ${sentSplitSql("text")} AS ss
+       |        FROM $rel),
+       |${pfx}ix AS (SELECT doc_id, CAST(unnest(generate_series(1, len(ss))) AS INTEGER) AS i, ss FROM ${pfx}mk),
+       |${pfx}st AS (SELECT doc_id, i, replace(trim(ss[i]), chr(3), '.') AS sentence FROM ${pfx}ix),
+       |${pfx}ky AS (SELECT doc_id, i, sentence,
        |          md5(regexp_replace(lower(sentence), '\\s+', ' ', 'g')) AS key
-       |        FROM sst WHERE sentence <> ''),
-       |soc AS (SELECT doc_id, i, sentence,
-       |          row_number() OVER (PARTITION BY key ORDER BY doc_id, i) AS occ FROM sky),
-       |sdd AS MATERIALIZED (SELECT doc_id,
+       |        FROM ${pfx}st WHERE sentence <> ''),
+       |${pfx}oc AS (SELECT doc_id, i, sentence,
+       |          row_number() OVER (PARTITION BY key ORDER BY doc_id, i) AS occ FROM ${pfx}ky),
+       |${pfx}dd AS MATERIALIZED (SELECT doc_id,
        |          CAST(count(*) AS BIGINT) AS n_sentences,
        |          CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
        |          coalesce(string_agg(CASE WHEN occ = 1 THEN sentence END, ' ' ORDER BY i), '') AS clean_text
-       |        FROM soc GROUP BY doc_id)""".stripMargin
+       |        FROM ${pfx}oc GROUP BY doc_id)""".stripMargin
 
   /** [[graft.ops.TextOps.sentenceSplit]]'s marked-split expression in
     * SQL over a text expression: strip both sentinels, guard the
@@ -6989,6 +7149,65 @@ private[graft] object OpsEntries {
        |  replace(replace($textExpr, chr(1), ' '), chr(3), ' '),
        |  '${sqQuote(TextOps.abbrevRe)}', '\\1\\2' || chr(3), 'g'),
        |  '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1))""".stripMargin.replace("\n", " ")
+
+  /** The raw-web first mile as CTEs (NO leading WITH, no trailing
+    * comma) over a caller-supplied html-fixture SQL: sid-wrapped URL
+    * fixture → normalize WITH the reviewed kill → dedup → extract →
+    * mojibake repair + residual census → word-blocklist verdicts →
+    * boilerplate discover+remove — ending in `xclean(doc_id,
+    * clean_text)` with every gate CTE (unorm/ukeep/xenc/xbv) visible
+    * for the caller's drop-reason union. Shared by q278 (curate over
+    * the boiler-cleaned corpus) and q284/q285 (sentence tier first).
+    */
+  private def firstMileCtes(htmlSql: String): String = {
+    val det = sqQuote(graft.ops.TextOps.mojibakeDetector)
+    val rep = graft.ops.TextOps.mojibakeRepairs.foldLeft("text") {
+      case (e, (f, to)) => s"replace($e, '${sqQuote(f)}', '${sqQuote(to)}')"
+    }
+    val blArr = blockedWords.map(w => s"'${sqQuote(w.toLowerCase)}'").mkString("[", ", ", "]")
+    s"ufix AS ($urlFixtureSql),\n" + urlFixture2Sql + ",\n" +
+      urlNormCtes("ufix2", reviewedKill) + ",\n" +
+      s"""ukeep AS (SELECT doc_id, url_norm,
+         |            doc_id = min(doc_id) OVER (PARTITION BY url_norm) AS keep
+         |          FROM unorm WHERE url_norm IS NOT NULL),
+         |xraw AS (SELECT * FROM ($htmlSql) hh
+         |         WHERE hh.doc_id IN (SELECT doc_id FROM ukeep WHERE keep)),
+         |""".stripMargin + htmlExtractCtes() + ",\n" +
+      s"""xrep AS (SELECT doc_id, $rep AS text FROM xout),
+         |xenc AS MATERIALIZED (SELECT doc_id, text,
+         |          CAST(coalesce(len(regexp_extract_all(text, '$det')), 0) AS BIGINT) AS resid
+         |        FROM xrep),
+         |xs1 AS (SELECT doc_id, text FROM xenc WHERE resid = 0),
+         |xbv AS MATERIALIZED (SELECT doc_id,
+         |          round(CASE WHEN n_tokens > 0 THEN hits / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 4) <= $wordGateMaxRatio AS bkeep
+         |        FROM (SELECT doc_id,
+         |                CAST(coalesce(len($toksExpr), 0) AS BIGINT) AS n_tokens,
+         |                CAST(coalesce(len(list_filter($toksExpr, t -> list_contains($blArr, t))), 0) AS BIGINT) AS hits
+         |              FROM xs1)),
+         |xs2 AS MATERIALIZED (SELECT s.doc_id, s.text FROM xs1 s
+         |        JOIN xbv b ON b.doc_id = s.doc_id WHERE b.bkeep),
+         |xsp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM xs2),
+         |xli AS (SELECT doc_id, CAST(unnest(generate_series(1, len(ls))) AS INTEGER) AS li, ls FROM xsp),
+         |xl2 AS (SELECT doc_id, li, ls[li] AS line FROM xli),
+         |bl AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df FROM xl2
+         |        WHERE line <> '' GROUP BY line) WHERE df >= 2),
+         |xfl AS (SELECT doc_id, li, line, line IN (SELECT line FROM bl) AS bn FROM xl2),
+         |xclean AS MATERIALIZED (SELECT doc_id,
+         |        coalesce(string_agg(CASE WHEN NOT bn THEN line END, chr(10) ORDER BY li), '') AS clean_text
+         |      FROM xfl GROUP BY doc_id)""".stripMargin
+  }
+
+  /** [[firstMileCtes]] over the [[htmlFixture3]] corpus + the sentence
+    * tier at its q284 position (NO leading WITH, no trailing comma):
+    * `xne` = boiler-cleaned non-empty corpus, `psdd` = the sentence-
+    * dedup verdicts over it, `xsent` = the sentence-deduped non-empty
+    * corpus the curation tiers consume. Shared by q284 and q285.
+    */
+  private def pipelineSentCtes: String =
+    firstMileCtes(htmlFixture3Sql) +
+      ",\nxne AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM xclean WHERE clean_text <> ''),\n" +
+      sentenceDedupCtesFor("xne", "ps") +
+      ",\nxsent AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM psdd WHERE clean_text <> '')"
 
   /** The q279/q283 oracle: the full-PSL registrable domain of every
     * [[hostFixture2]] host via [[pslDomCtes]]' join replay — ONE SQL
