@@ -418,6 +418,39 @@ object UrlOps {
         sum(when(col("host").rlike(nonAsciiRe), 1L).otherwise(0L)).as("n_unicode"))
       .withColumn("idn_present", col("n_punycode") > 0 || col("n_unicode") > 0)
 
+  /** [[idnReport]]'s CLOSURE: fold every host to its canonical
+    * ASCII-compatible form ([[graft.functions.PunycodeFold]] — RFC
+    * 3490/3492 via `java.net.IDN`) and report, per registrable domain
+    * of the FOLDED host, how many raw spellings the fold would merge —
+    * the verification that q282's flagged url_norm families really are
+    * one logical site. Hosts the codec rejects fold to NULL and count
+    * as `n_unfoldable` (quarantine, not guess). Verdict, not filter:
+    * nothing is destroyed, a reviewer decides whether the frontier
+    * adopts folded keys.
+    *
+    * SPEC-ONLY surface (the GraphiteSource precedent): the punycode
+    * codec has no DuckDB-expressible oracle, so this report is pinned
+    * by property goldens (fold idempotence, unicode↔punycode
+    * equivalence, the fixture families merging) while q282 stays the
+    * oracle-checked exposure report.
+    *
+    * Plan shape: map-only fold + one distinct + one domain rollup;
+    * output is domain-sized. Output: (reg_domain, n_hosts,
+    * n_hosts_folded, n_unfoldable, folded_merges, would_merge).
+    */
+  def idnReportFolded(normed: DataFrame): DataFrame =
+    normed.filter(col("url_norm").isNotNull)
+      .select(col("host"), graft.functions.PunycodeFold(col("host")).as("host_folded"))
+      .distinct()
+      .groupBy(registeredDomainFull(coalesce(col("host_folded"), col("host")))
+        .as("reg_domain"))
+      .agg(countDistinct(col("host")).as("n_hosts"),
+        countDistinct(col("host_folded")).as("n_hosts_folded"),
+        sum(when(col("host_folded").isNull, 1L).otherwise(0L)).as("n_unfoldable"))
+      .withColumn("folded_merges",
+        col("n_hosts") - col("n_hosts_folded") - col("n_unfoldable"))
+      .withColumn("would_merge", col("folded_merges") > 0)
+
   /** Per-domain query-parameter discovery report — the
     * discovery-before-destruction discipline applied to the
     * [[trackingRe]] kill list itself: the static list catches the

@@ -178,6 +178,50 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got("other.org") === ((1L, 0L, 0L, false)))
   }
 
+  test("punycode_fold: unicode↔ACE equivalence, idempotence, case fold, codec-reject quarantine") {
+    import graft.functions.IdnFold
+    // the equivalence the q282 exposure report flags: both spellings
+    // of one site fold to ONE key
+    assert(IdnFold.fold("bücher.example") === "xn--bcher-kva.example")
+    assert(IdnFold.fold("xn--bcher-kva.example") === "xn--bcher-kva.example")
+    assert(IdnFold.fold("BÜCHER.example") === "xn--bcher-kva.example")
+    assert(IdnFold.fold("münchen.example.de") === IdnFold.fold("xn--mnchen-3ya.example.de"))
+    // ASCII hosts are fixed points
+    assert(IdnFold.fold("www.example.com") === "www.example.com")
+    // quarantine: a host the codec rejects folds to NULL, not a guess
+    assert(IdnFold.fold("a..b") === null)
+    // idempotence property: fold∘fold ≡ fold over a hostile sweep
+    val hosts = Seq("bücher.example", "xn--bcher-kva.example", "WWW.Example.COM",
+      "münchen.example.de", "shop.xn--p1ai", "рф", "ПРИМЕР.испытание",
+      "intranet", "192.168.1.4", "a-b.c1.example.io")
+    hosts.foreach { h =>
+      val once = IdnFold.fold(h)
+      if (once != null) assert(IdnFold.fold(once) === once, s"not a fixed point: $h")
+    }
+    // the expression form agrees with the static fold (codegen path)
+    val viaExpr = hosts.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("doc_id", "host")
+      .select($"host", graft.functions.PunycodeFold($"host").as("f"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    hosts.foreach(h => assert(viaExpr(h) === Option(IdnFold.fold(h)), s"expr vs static: $h"))
+  }
+
+  test("idnReportFolded: the q282-flagged both-forms family verifiably merges under the fold") {
+    val urls = Seq(
+      (1L, "http://xn--bcher-kva.site.example/a"),
+      (2L, "http://bücher.site.example/b"),   // same site, unicode spelling
+      (3L, "http://www.site.example/c"),
+      (4L, "http://shop.xn--p1ai/d"),
+      (5L, "http://clean.other.org/e")).toDF("doc_id", "url")
+    val got = UrlOps.idnReportFolded(UrlOps.urlNormalize(urls)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    // 3 raw spellings -> 2 folded hosts: exactly one merge, flagged
+    assert(got("site.example") === ((3L, 2L, 0L, 1L, true)))
+    assert(got("shop.xn--p1ai") === ((1L, 1L, 0L, 0L, false)))
+    assert(got("other.org") === ((1L, 1L, 0L, 0L, false)))
+  }
+
   test("urlNormalize extraKill: reviewed keys die with their values; static list still applies") {
     val urls = Seq(
       (1L, "http://a.com/x?sid=42&page=2&utm_source=f"),
