@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDirArg) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,10 +16,23 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
     // local iteration aid: SPARK_GRAFT_ONLY=q264,q265 runs only queries
     // whose name starts with a listed prefix (the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // a PARTIAL run writes to a SUFFIXED dir and announces itself
+    // loudly: partial parquet + a filtered oracle_sql.json layered over
+    // a previously-full outDir would mix artifacts from different code
+    // versions, and a leaked env var would silently shrink a gate run
+    // while looking green
+    val outDir = if (only.isDefined) {
+      System.err.println("=" * 72)
+      System.err.println(s"[verify] *** PARTIAL RUN (SPARK_GRAFT_ONLY=" +
+        s"${sys.env("SPARK_GRAFT_ONLY")}) -- NOT a gate run ***")
+      System.err.println(s"[verify] *** artifacts -> $outDirArg-partial ***")
+      System.err.println("=" * 72)
+      outDirArg + "-partial"
+    } else outDirArg
+    new java.io.File(outDir).mkdirs()
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
