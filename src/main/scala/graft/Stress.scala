@@ -572,7 +572,7 @@ object Stress {
     // transform are all row-linear by design — the exponent
     // log10(t_x/t_1)/log10(x) is what the record must show ≲ 1.
     if (which == "r8ops" || which == "r9ops" || which == "r10ops" || which == "r11ops" ||
-        which == "r12ops") {
+        which == "r12ops" || which == "r13ops") {
       import graft.ops.{ModelOps, SimilarityOps, TextOps, UrlOps}
       // Replicated inputs are materialized ONCE, OUTSIDE the timers:
       // blending the linear write+re-read generation I/O into t1/tx
@@ -636,7 +636,59 @@ object Stress {
           docs.filter(col("doc_id") % 5 =!= 4),
           docs.filter(col("doc_id") % 7 =!= 6), emb).count()
       val ops: Seq[(String, DataFrame, DataFrame, DataFrame => Long)] =
-        if (which == "r12ops") Seq(
+        if (which == "r13ops") Seq(
+          // the full ~9.5k-rule table as a MAP-ONLY expression: must
+          // scale like the scan (per-row work is ≤ label-count hash
+          // probes against a per-JVM static, independent of corpus x)
+          ("psl_expr", docs1, docsX, d =>
+            OpsEntries.hostFixture2(d)
+              .select(UrlOps.registeredDomainFull(col("host")).as("rd"))
+              .filter(col("rd").isNotNull).count()),
+          // the broadcast-join form re-priced at the FULL table: the
+          // rule side grew 50 -> 9.5k rows but stays registry-sized;
+          // the corpus side's explode is still ≤ label-count rows/host
+          ("psl_domain_full", docs1, docsX,
+            d => UrlOps.registeredDomainPsl(OpsEntries.hostFixture2(d)).count()),
+          // the COMPLETE q284 pipeline: url tier (reviewed kill) kills
+          // replica mass first, gates are map-only/broadcast, the
+          // sentence tier's fingerprint window and the curation
+          // shuffles only ever see survivors
+          ("pipeline_sentences", docs1, docsX, d => {
+            val normed = UrlOps.urlNormalize(OpsEntries.urlFixture2(d),
+              extraKill = OpsEntries.reviewedKill).localCheckpoint(true)
+            val dedup = UrlOps.urlDedup(normed).localCheckpoint(true)
+            val kept = dedup.filter(col("keep")).select("doc_id")
+            val ext = TextOps.htmlExtract(OpsEntries.htmlFixture3(d.join(kept, Seq("doc_id"))))
+              .select(col("doc_id"), col("text"))
+            val rep = TextOps.encodingDamage(ext)
+              .select(col("doc_id"), col("text_repaired").as("text"),
+                coalesce(regexp_count(col("text_repaired"), lit(TextOps.mojibakeDetector)),
+                  lit(0)).cast("long").as("resid")).localCheckpoint(true)
+            val s1 = rep.filter(col("resid") === 0).select(col("doc_id"), col("text"))
+            val blk = TextOps.wordBlocklistGate(s1, OpsEntries.blockedWords,
+              maxRatio = OpsEntries.wordGateMaxRatio)
+            val s2 = s1.join(blk.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+              .localCheckpoint(true)
+            val cleaned = TextOps.removeLines(s2, TextOps.boilerplateLines(s2).select("line"))
+              .select(col("doc_id"), col("clean_text").as("text")).localCheckpoint(true)
+            val sd = TextOps.dedupSentencesAcrossDocs(cleaned.filter(col("text") =!= ""))
+              .localCheckpoint(true)
+            val cur = OpsEntries.curationFrame(sd.filter(col("clean_text") =!= "")
+              .select(col("doc_id"), col("clean_text").as("text")).localCheckpoint(true))
+            normed.filter(col("url_norm").isNull).select("doc_id")
+              .unionByName(dedup.filter(!col("keep")).select("doc_id"))
+              .unionByName(cur.select("doc_id")).count()
+          }),
+          // paramReport with the cross-carrier merge probe: the new
+          // semi-join keys on (domain, url) — both sides grow with x,
+          // both high-cardinality
+          ("param_report_v2", docs1, docsX,
+            d => UrlOps.paramReport(UrlOps.urlNormalize(OpsEntries.paramFixture(d))).count()),
+          // punycode fold + domain rollup: map-only fold, one distinct
+          ("idn_fold", docs1, docsX,
+            d => UrlOps.idnReportFolded(
+              UrlOps.urlNormalize(OpsEntries.idnFixture(d))).count()))
+        else if (which == "r12ops") Seq(
           // percent-canonicalizing normalize + ONE url_norm window:
           // still must scale like the scan (the pctCanon transform is
           // per-row over ≤ param-count list elements)
@@ -770,7 +822,8 @@ object Stress {
         val (rx, tx) = time(run(dx))
         val expo = math.log10(tx / t1) / math.log10(x.toDouble)
         val opsLabel =
-          if (which == "r12ops") "STRESS_R12OPS"
+          if (which == "r13ops") "STRESS_R13OPS"
+          else if (which == "r12ops") "STRESS_R12OPS"
           else if (which == "r11ops") "STRESS_R11OPS"
           else if (which == "r10ops") "STRESS_R10OPS"
           else if (which == "r9ops") "STRESS_R9OPS" else "STRESS_R8OPS"
