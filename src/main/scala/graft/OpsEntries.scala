@@ -2180,6 +2180,74 @@ private[graft] object OpsEntries {
       DedupOps.bandSkewAudit(pre).select(lit("pre_sentence").as("variant"), col("*"))
         .unionByName(DedupOps.bandSkewAudit(post)
           .select(lit("post_sentence").as("variant"), col("*")))
+    }),
+
+    // q284 with the DOMAIN TIER composed in — the last standalone
+    // verdict family joining the one build: after URL dedup the unique
+    // frontier takes the full-PSL domain blocklist (verdict applied:
+    // blocked domains drop with their own reason, never consuming cap
+    // slots) and then per-domain caps (the anti-monoculture rule, in
+    // groupQuota's deterministic hash order), and only the capped
+    // survivors pay extract/repair/gate/boiler/sentence/curate cost.
+    // 12-way funnel: unparseable / url_dup / domain_blocked /
+    // domain_capped / encoding / blocklist / boilerplate /
+    // sentence_dup / exact_dup / near_dup / low_quality / kept, the
+    // sentence tier's per-doc evidence on every row. The fixture
+    // rotates six registrable domains so the tier has mass at every
+    // scale.
+    "q286_pipeline_complete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val normed = UrlOps.urlNormalize(urlFixture3(docs), extraKill = reviewedKill)
+        .localCheckpoint(true) // quarantine + dedup branches both read it
+      val dedup = UrlOps.urlDedup(normed).localCheckpoint(true)
+      val nuniq = normed.join(dedup.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        .localCheckpoint(true) // blocklist verdicts + cap input both read it
+      val bl = UrlOps.domainBlocklist(nuniq, pipeBlockedDomains)
+        .localCheckpoint(true) // blocked branch + survivor filter
+      val nAfterBl = nuniq.join(bl.filter(!col("blocked")).select("doc_id"), Seq("doc_id"))
+        .localCheckpoint(true) // cap window + capped-out anti-join
+      val capped = UrlOps.domainCaps(nAfterBl, cap = pipeDomainCap)
+        .localCheckpoint(true)
+      val keptIds = capped.select("doc_id")
+      val extracted = TextOps.htmlExtract(htmlFixture3(docs.join(keptIds, Seq("doc_id"))))
+        .select(col("doc_id"), col("text"))
+      val rep = TextOps.encodingDamage(extracted)
+        .select(col("doc_id"), col("text_repaired").as("text"),
+          coalesce(regexp_count(col("text_repaired"), lit(TextOps.mojibakeDetector)), lit(0))
+            .cast("long").as("resid"))
+        .localCheckpoint(true)
+      val surv1 = rep.filter(col("resid") === 0).select(col("doc_id"), col("text"))
+      val blkW = TextOps.wordBlocklistGate(surv1, blockedWords, maxRatio = wordGateMaxRatio)
+        .localCheckpoint(true)
+      val surv2 = surv1.join(blkW.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        .localCheckpoint(true)
+      val hits = TextOps.boilerplateLines(surv2).select("line")
+      val cleaned = TextOps.removeLines(surv2, hits)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint(true)
+      val sd = TextOps.dedupSentencesAcrossDocs(cleaned.filter(col("text") =!= ""))
+        .localCheckpoint(true)
+      val afterSent = sd.filter(col("clean_text") =!= "")
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint(true)
+      val curated = curationFrame(afterSent)
+        .select(col("doc_id"), col("reason"), col("keep"))
+        .join(sd.select(col("doc_id"), col("n_removed").as("n_sent_removed")), Seq("doc_id"))
+      def dropped(ids: DataFrame, reason: String): DataFrame =
+        ids.select(col("doc_id"), lit(reason).as("reason"), lit(false).as("keep"),
+          lit(0L).as("n_sent_removed"))
+      dropped(normed.filter(col("url_norm").isNull).select("doc_id"), "unparseable")
+        .unionByName(dropped(dedup.filter(!col("keep")).select("doc_id"), "url_dup"))
+        .unionByName(dropped(bl.filter(col("blocked")).select("doc_id"), "domain_blocked"))
+        .unionByName(dropped(nAfterBl.select("doc_id")
+          .join(keptIds, Seq("doc_id"), "left_anti"), "domain_capped"))
+        .unionByName(dropped(rep.filter(col("resid") >= 1).select("doc_id"), "encoding"))
+        .unionByName(dropped(blkW.filter(!col("keep")).select("doc_id"), "blocklist"))
+        .unionByName(dropped(cleaned.filter(col("text") === "").select("doc_id"), "boilerplate"))
+        .unionByName(sd.filter(col("clean_text") === "")
+          .select(col("doc_id"), lit("sentence_dup").as("reason"), lit(false).as("keep"),
+            col("n_removed").as("n_sent_removed")))
+        .unionByName(curated)
     })
   )
 
@@ -2269,6 +2337,19 @@ private[graft] object OpsEntries {
       when(col("url").contains("?") && col("doc_id") % 2 === 0 && col("doc_id") % 5 =!= 2,
         concat(col("url"), lit("&sid="), col("doc_id").cast("string")))
         .otherwise(col("url")).as("url"))
+
+  /** [[urlFixture2]] with REGISTRABLE-DOMAIN diversity: the shared
+    * `.example.com` suffix rewrites (case-insensitively — the fixture
+    * deliberately varies host case) to one of six per-residue domains,
+    * so the q286 domain tier has real mass: a blocklisted domain, cap
+    * pressure per domain, and url-dedup groups that now key on
+    * (source, doc_id mod 150). The sid/percent/port/fragment hostile
+    * dimensions ride through unchanged.
+    */
+  private[graft] def urlFixture3(docs: DataFrame): DataFrame =
+    urlFixture2(docs).select(col("doc_id"),
+      regexp_replace(col("url"), lit("(?i)\\.example\\.com"),
+        concat(lit(".site"), (col("doc_id") % 6).cast("string"), lit(".com"))).as("url"))
 
   /** The q266/q267 host fixture: per-source co.uk sites (3-label
     * registration), a shared example.com, *.pages.github.io (the
@@ -2416,6 +2497,18 @@ private[graft] object OpsEntries {
       lit("<p>Source desk "), col("source"), lit(" answers reader mail daily</p>"),
       lit("<div class=\"footer\">Copyright 2026 Example</div></body></html>"))
       .as("html"))
+
+  /** The q286 domain blocklist: one of [[urlFixture3]]'s six rotating
+    * registrable domains — registry-sized by contract, spliced into
+    * both engines.
+    */
+  private[graft] val pipeBlockedDomains: Seq[String] = Seq("site3.com")
+
+  /** The q286 per-domain document cap (the anti-monoculture rule
+    * composed into the build): sized so the fixture's domains carry
+    * real cap pressure at every scale. Spliced into both engines.
+    */
+  private[graft] val pipeDomainCap: Int = 25
 
   /** The q284/q285 cross-doc duplicate SENTENCE riding INSIDE each
     * doc's otherwise-unique content paragraph: line-level boilerplate
@@ -6490,6 +6583,34 @@ private[graft] object OpsEntries {
            |UNION ALL
            |SELECT 'post_sentence' AS variant, * FROM ${bandAuditSql("xsent")}""".stripMargin),
 
+    // q284 PLUS the domain tier at its seat: the shared pipeline CTEs
+    // over the ufix3 frontier (full-PSL blocklist verdict + per-domain
+    // hash-order cap between URL dedup and extraction), then the
+    // curation tiers over the sentence-deduped prose. The 12-way
+    // funnel accounts for every fixture doc under exactly one reason.
+    "q286_pipeline_complete" ->
+      (curationCtesFor("xsent", lead = pipelineCompleteCtes + ",\n") +
+        """
+          |SELECT doc_id, 'unparseable' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed FROM unorm WHERE url_norm IS NULL
+          |UNION ALL
+          |SELECT doc_id, 'url_dup' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed FROM ukeep WHERE NOT keep
+          |UNION ALL
+          |SELECT doc_id, 'domain_blocked' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed FROM dbl WHERE blocked
+          |UNION ALL
+          |SELECT doc_id, 'domain_capped' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed
+          |FROM dbl WHERE NOT blocked AND doc_id NOT IN (SELECT doc_id FROM dcap)
+          |UNION ALL
+          |SELECT doc_id, 'encoding' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed FROM xenc WHERE resid >= 1
+          |UNION ALL
+          |SELECT doc_id, 'blocklist' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed FROM xbv WHERE NOT bkeep
+          |UNION ALL
+          |SELECT doc_id, 'boilerplate' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed FROM xclean WHERE clean_text = ''
+          |UNION ALL
+          |SELECT doc_id, 'sentence_dup' AS reason, false AS keep, n_removed AS n_sent_removed FROM psdd WHERE clean_text = ''
+          |UNION ALL
+          |SELECT v.doc_id, v.reason, v.reason = 'kept' AS keep, d.n_removed AS n_sent_removed
+          |FROM v JOIN psdd d ON d.doc_id = v.doc_id""".stripMargin),
+
     // The FULL PSL algorithm in SQL: the ~9.5k-rule table VALUES are
     // generated by the SAME parser the engine uses (parsePslRule over
     // the embedded publicsuffix.org snapshot), so the two
@@ -6951,6 +7072,18 @@ private[graft] object OpsEntries {
       |       THEN url || '&sid=' || CAST(doc_id AS VARCHAR) ELSE url END AS url
       |FROM ufix)""".stripMargin
 
+  /** The q286 domain-diversity rewrite in SQL — identical to
+    * [[urlFixture3]] (a CTE over `ufix2`, emitting `ufix3`): the
+    * shared `.example.com` suffix rewrites case-insensitively to one
+    * of six per-residue registrable domains. DuckDB needs the explicit
+    * 'g' option to match Spark's replace-all semantics.
+    */
+  private def urlFixture3Sql: String =
+    """ufix3 AS (SELECT doc_id,
+      |  regexp_replace(url, '(?i)\.example\.com',
+      |    '.site' || CAST(doc_id % 6 AS VARCHAR) || '.com', 'g') AS url
+      |FROM ufix2)""".stripMargin
+
   /** The q282 fixture in SQL — identical to [[idnFixture]]. */
   private def idnFixtureSql: String =
     """SELECT doc_id,
@@ -7157,21 +7290,28 @@ private[graft] object OpsEntries {
     * boilerplate discover+remove — ending in `xclean(doc_id,
     * clean_text)` with every gate CTE (unorm/ukeep/xenc/xbv) visible
     * for the caller's drop-reason union. Shared by q278 (curate over
-    * the boiler-cleaned corpus) and q284/q285 (sentence tier first).
+    * the boiler-cleaned corpus) and q284/q285 (sentence tier first);
+    * q286 slots the domain tier in via the three hook parameters
+    * (`urlLead` CTEs after ufix2, `urlRel` as the normalize source,
+    * `midCtes` between the dedup window and the extract filter,
+    * `keptSql` as the ids the extract tier pays for) — the defaults
+    * reproduce the q278/q284 chain byte-for-byte.
     */
-  private def firstMileCtes(htmlSql: String): String = {
+  private def firstMileCtes(htmlSql: String, urlLead: String = "",
+                            urlRel: String = "ufix2", midCtes: String = "",
+                            keptSql: String = "SELECT doc_id FROM ukeep WHERE keep"): String = {
     val det = sqQuote(graft.ops.TextOps.mojibakeDetector)
     val rep = graft.ops.TextOps.mojibakeRepairs.foldLeft("text") {
       case (e, (f, to)) => s"replace($e, '${sqQuote(f)}', '${sqQuote(to)}')"
     }
     val blArr = blockedWords.map(w => s"'${sqQuote(w.toLowerCase)}'").mkString("[", ", ", "]")
-    s"ufix AS ($urlFixtureSql),\n" + urlFixture2Sql + ",\n" +
-      urlNormCtes("ufix2", reviewedKill) + ",\n" +
+    s"ufix AS ($urlFixtureSql),\n" + urlFixture2Sql + ",\n" + urlLead +
+      urlNormCtes(urlRel, reviewedKill) + ",\n" +
       s"""ukeep AS (SELECT doc_id, url_norm,
          |            doc_id = min(doc_id) OVER (PARTITION BY url_norm) AS keep
          |          FROM unorm WHERE url_norm IS NOT NULL),
-         |xraw AS (SELECT * FROM ($htmlSql) hh
-         |         WHERE hh.doc_id IN (SELECT doc_id FROM ukeep WHERE keep)),
+         |${midCtes}xraw AS (SELECT * FROM ($htmlSql) hh
+         |         WHERE hh.doc_id IN ($keptSql)),
          |""".stripMargin + htmlExtractCtes() + ",\n" +
       s"""xrep AS (SELECT doc_id, $rep AS text FROM xout),
          |xenc AS MATERIALIZED (SELECT doc_id, text,
@@ -7208,6 +7348,41 @@ private[graft] object OpsEntries {
       ",\nxne AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM xclean WHERE clean_text <> ''),\n" +
       sentenceDedupCtesFor("xne", "ps") +
       ",\nxsent AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM psdd WHERE clean_text <> '')"
+
+  /** [[pipelineSentCtes]] with the DOMAIN TIER composed in, over the
+    * [[urlFixture3]] frontier (NO leading WITH, no trailing comma):
+    * after the URL-dedup window the unique survivors take the full-PSL
+    * registrable domain ([[pslDomCtes]], the q279/q283 replay), the
+    * blocklist verdict (`dbl`, [[pipeBlockedDomains]]) and the
+    * per-domain hash-order cap (`dcap` = the q267/q61 quota window at
+    * [[pipeDomainCap]]); only capped survivors reach the extract tier.
+    * Ends in `xsent`; unorm/ukeep/dbl/dcap/xenc/xbv/xclean/psdd stay
+    * visible for the q286 funnel union.
+    */
+  private def pipelineCompleteCtes: String = {
+    val blArr = pipeBlockedDomains.map(d => s"'${sqQuote(d)}'").mkString("[", ", ", "]")
+    val domainCtes =
+      s"""uq AS (SELECT u.doc_id, u.host FROM unorm u
+         |       JOIN ukeep k ON k.doc_id = u.doc_id AND k.keep),
+         |""".stripMargin +
+        pslDomCtes("uq") + ",\n" +
+        s"""dbl AS MATERIALIZED (SELECT doc_id, reg_domain,
+           |        list_contains($blArr, reg_domain) AS blocked FROM pdom),
+           |dcap AS MATERIALIZED (SELECT doc_id FROM (
+           |        SELECT doc_id, row_number() OVER (PARTITION BY reg_domain
+           |          ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000000,
+           |            doc_id) AS r
+           |        FROM dbl WHERE NOT blocked) WHERE r <= $pipeDomainCap),
+           |""".stripMargin
+    firstMileCtes(htmlFixture3Sql,
+      urlLead = urlFixture3Sql + ",\n",
+      urlRel = "ufix3",
+      midCtes = domainCtes,
+      keptSql = "SELECT doc_id FROM dcap") +
+      ",\nxne AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM xclean WHERE clean_text <> ''),\n" +
+      sentenceDedupCtesFor("xne", "ps") +
+      ",\nxsent AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM psdd WHERE clean_text <> '')"
+  }
 
   /** The q279/q283 oracle: the full-PSL registrable domain of every
     * [[hostFixture2]] host via [[pslDomCtes]]' join replay — ONE SQL

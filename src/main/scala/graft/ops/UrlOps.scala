@@ -538,4 +538,109 @@ object UrlOps {
       .agg(count(lit(1)).as("n_urls"), countDistinct(col("url_norm")).as("n_unique"))
       .select(col("reg_domain"), col("n_urls"), col("n_unique"),
         round(lit(1.0) - col("n_unique") / col("n_urls").cast("double"), 4).as("dup_rate"))
+
+  // ---------------------------------------------------------------------------
+  // Link tier: <a href> extraction + RFC 3986 §5 reference resolution.
+  // The out-link graph is how a crawl DISCOVERS its next frontier and
+  // how curation gets an authority signal — the stage between HTML
+  // arrival and the URL tier above. Everything is a native column
+  // expression (regexp_extract_all + one `aggregate` fold), mirrored
+  // verbatim in the DuckDB oracle.
+  // ---------------------------------------------------------------------------
+
+  /** `<a ... href="...">` values, double-/single-quoted. Two separate
+    * patterns (the [[schemeRe]] discipline: no optional groups, so
+    * java.util.regex and RE2 agree on no-match). Unquoted attribute
+    * values and non-`<a>` link carriers (link/script/img) are out of
+    * scope by contract — this tier feeds the crawl frontier, and
+    * `<a href>` is where nav/content links live.
+    */
+  private[graft] val hrefDqRe = "(?i)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""
+  private[graft] val hrefSqRe = "(?i)<a\\s[^>]*?href\\s*=\\s*'([^']*)'"
+
+  /** RFC 3986 §5.2.4 remove_dot_segments over a path column that
+    * starts with '/' (or is relative — the leading '/' is re-added by
+    * the fold). One `aggregate` fold with a string accumulator —
+    * identical in DuckDB as a `list_reduce` — plus the trailing-slash
+    * rule: a path whose last segment is '.' or '..' resolves to a
+    * directory ('/b/c/.' → '/b/c/'), exactly the §5.4 expected
+    * outputs. '..' above root is dropped (§5.2.4 point 2C); interior
+    * empty segments ('a//b') are preserved as-is.
+    */
+  private[graft] def removeDotSegments(p: Column): Column = {
+    val folded = aggregate(
+      split(regexp_replace(p, "^/", ""), "/"),
+      lit(""),
+      (acc, x) => when(x === ".", acc)
+        .when(x === "..", regexp_replace(acc, "/[^/]*$", ""))
+        .otherwise(concat(acc, lit("/"), x)))
+    when(p.rlike("(^|/)\\.\\.?$"), concat(folded, lit("/"))).otherwise(folded)
+  }
+
+  /** The host of an absolute URL, by the [[urlNormalize]] chain:
+    * authority → userinfo strip → port strip → lowercase → trailing
+    * dots strip. '' when the URL has no `scheme://` form.
+    */
+  private[graft] def hostOf(url: Column): Column =
+    regexp_replace(
+      regexp_extract(
+        lower(regexp_replace(regexp_extract(url, authRe, 1), userinfoRe, "")),
+        hostRe, 1),
+      trailingDotsRe, "")
+
+  /** RFC 3986 §5.2 reference resolution: the absolute URL a reference
+    * found on page `base` points at. `base` must be a normalized
+    * absolute URL ([[urlNormalize]]'s url_norm — the pipeline seat
+    * guarantees it); a base without `scheme://` yields NULL (the
+    * quarantine convention). Fragments are dropped from the reference
+    * first — the engine-wide url_norm contract ('#s' resolves to the
+    * base itself, where RFC 3986 §5.4 would keep the fragment).
+    * Branches, in order: empty → base; has scheme → as-is (this is
+    * what keeps mailto:/javascript: out of the web frontier — see
+    * [[extractLinks]]' is_web flag); '//' → base scheme; '?' → base
+    * path + new query; '/' → origin + remove_dot_segments; else →
+    * §5.2.3 merge with the base directory, then remove_dot_segments.
+    * Verified against the complete §5.4 normal + abnormal example
+    * tables in `UrlOpsSpec`.
+    */
+  def resolveRef(base: Column, ref: Column): Column = {
+    val rr = regexp_replace(ref, fragmentRe, "")
+    val scheme = lower(regexp_extract(base, schemeRe, 1))
+    val auth = regexp_extract(base, authRe, 1)
+    val origin = concat(scheme, lit("://"), auth)
+    val basePath = regexp_extract(base, pathRe, 1)
+    val baseDir = when(basePath === "", lit("/"))
+      .otherwise(regexp_replace(basePath, "[^/]*$", ""))
+    val rp = regexp_replace(rr, "(?s)\\?.*$", "")
+    val rq = regexp_extract(rr, "(?s)(\\?.*)$", 1)
+    when(scheme === "", lit(null).cast("string"))
+      .when(rr === "", base)
+      .when(rr.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), rr)
+      .when(rr.startsWith("//"), concat(scheme, lit(":"), rr))
+      .when(rr.startsWith("?"), concat(origin, basePath, rr))
+      .when(rr.startsWith("/"), concat(origin, removeDotSegments(rp), rq))
+      .otherwise(concat(origin, removeDotSegments(concat(baseDir, rp)), rq))
+  }
+
+  /** Out-link extraction over `(idCol, baseCol, htmlCol)` rows: every
+    * `<a href>` occurrence (duplicates kept — occurrence count IS the
+    * edge weight upstream of [[graft.ops.GraphOps.pageRank]]) becomes
+    * one row with its RFC 3986-resolved absolute form and an `is_web`
+    * flag (http/https after resolution; mailto:/javascript:/data:
+    * survive as rows — verdict, not silent filter — but flag false).
+    * Map-only: one explode over the regex matches, no shuffle; the
+    * downstream edge rollup is the tier's only exchange.
+    *
+    * Output: (<idCol>, <baseCol>, href, link, is_web).
+    */
+  def extractLinks(docs: DataFrame, htmlCol: String = "html",
+                   baseCol: String = "url_norm", idCol: String = "doc_id"): DataFrame = {
+    val hrefs = concat(
+      regexp_extract_all(col(htmlCol), lit(hrefDqRe), lit(1)),
+      regexp_extract_all(col(htmlCol), lit(hrefSqRe), lit(1)))
+    docs.select(col(idCol), col(baseCol), explode(hrefs).as("href"))
+      .withColumn("link", resolveRef(col(baseCol), col("href")))
+      .withColumn("is_web", coalesce(col("link").rlike("^https?://"), lit(false)))
+      .select(col(idCol), col(baseCol), col("href"), col("link"), col("is_web"))
+  }
 }

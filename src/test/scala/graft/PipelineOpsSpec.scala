@@ -834,4 +834,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(6L) === ((1L, 1L, 1L, "unique")))     // '' != doc 7's ''
     assert(got(7L) === ((1L, 1L, 1L, "unique")))
   }
+
+  test("q286 complete pipeline: every doc exactly one reason, domain tier honors blocklist and cap") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q286_pipeline_complete")(spark, dir)
+      .select("doc_id", "reason", "keep", "n_sent_removed").collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull).select("doc_id").as[Long].collect().toSet
+
+    // exactly-one-reason accounting: all fixture docs, no dup, no gap
+    val ids = out.map(_.getLong(0))
+    assert(ids.length === docs.size, "funnel row count != fixture doc count")
+    assert(ids.toSet === docs, "funnel ids != fixture doc ids")
+
+    // keep is derived from reason, and pre-sentence drops carry no
+    // sentence evidence
+    out.foreach { r =>
+      assert(r.getBoolean(2) === (r.getString(1) == "kept"))
+      if (r.getString(1) != "kept" && r.getString(1) != "sentence_dup" &&
+          r.getString(1) != "exact_dup" && r.getString(1) != "near_dup" &&
+          r.getString(1) != "low_quality")
+        assert(r.getLong(3) === 0L, s"pre-sentence drop ${r.getString(1)} carries n_sent_removed")
+    }
+
+    val byReason = out.groupBy(_.getString(1)).map { case (k, v) => k -> v.map(_.getLong(0)).toSet }
+    // the blocklist verdict kills exactly the site3.com residue class
+    // that survives the URL tier: blocked ids are all ≡ 3 (mod 6)
+    val blocked = byReason("domain_blocked")
+    assert(blocked.nonEmpty && blocked.forall(_ % 6 == 3),
+      "domain_blocked must be exactly the site3.com residue class")
+    // nothing from the blocked domain may reach any later tier
+    val postDomain = out.filter(r => !Set("unparseable", "url_dup", "domain_blocked",
+      "domain_capped").contains(r.getString(1))).map(_.getLong(0))
+    assert(postDomain.forall(_ % 6 != 3), "a site3.com doc leaked past the blocklist")
+    // the cap holds: at most pipeDomainCap extract-tier entrants per domain
+    val perDomain = postDomain.groupBy(_ % 6).view.mapValues(_.length)
+    assert(perDomain.values.forall(_ <= OpsEntries.pipeDomainCap),
+      s"per-domain extract entrants exceed the cap: $perDomain")
+    // and the cap has pressure: at least one domain is exactly full
+    assert(byReason.contains("domain_capped") && byReason("domain_capped").nonEmpty,
+      "fixture must generate cap pressure")
+    assert(perDomain.values.exists(_ == OpsEntries.pipeDomainCap),
+      "at least one domain should sit exactly at the cap")
+  }
 }

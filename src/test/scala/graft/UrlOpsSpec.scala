@@ -399,4 +399,80 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got("example.com") === ((3L, 2L, 0.3333)))
     assert(got("example.org") === ((1L, 1L, 0.0)))
   }
+
+  test("resolveRef: the complete RFC 3986 §5.4 example tables (fragments resolve to base by engine contract)") {
+    val base = "http://a/b/c/d;p?q"
+    // §5.4.1 normal + §5.4.2 abnormal examples. Divergence from the
+    // RFC tables, both deliberate: fragments are dropped engine-wide
+    // (url_norm has none), so '#s' and 'g#s' lose '#s'; and ';x'/type
+    // refs are plain path segments (no special-casing), matching RFC.
+    val cases = Seq(
+      // --- normal
+      "g" -> "http://a/b/c/g", "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/", "/g" -> "http://a/g",
+      "//g" -> "http://g", "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y", "#s" -> "http://a/b/c/d;p?q",
+      "g#s" -> "http://a/b/c/g", "g?y#s" -> "http://a/b/c/g?y",
+      ";x" -> "http://a/b/c/;x", "g;x" -> "http://a/b/c/g;x",
+      "g;x?y#s" -> "http://a/b/c/g;x?y",
+      "" -> "http://a/b/c/d;p?q", "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/", ".." -> "http://a/b/",
+      "../" -> "http://a/b/", "../g" -> "http://a/b/g",
+      "../.." -> "http://a/", "../../" -> "http://a/",
+      "../../g" -> "http://a/g",
+      // --- abnormal
+      "../../../g" -> "http://a/g", "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g", "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.", ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..", "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g", "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h", "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      "g?y/./x" -> "http://a/b/c/g?y/./x",
+      "g?y/../x" -> "http://a/b/c/g?y/../x",
+      "http:g" -> "http:g")
+    val got = cases.zipWithIndex.map { case ((r, _), i) => (i.toLong, base, r) }
+      .toDF("doc_id", "base", "ref")
+      .select(col("doc_id"), UrlOps.resolveRef(col("base"), col("ref")).as("out"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((ref, want), i) =>
+      assert(got(i.toLong) === want, s"ref '$ref'")
+    }
+  }
+
+  test("resolveRef edges: empty base path, scheme-less base quarantines, authority-only base") {
+    val got = Seq(
+      (1L, "http://h", "g"),            // empty base path → '/' dir
+      (2L, "http://h", "?x"),           // empty base path + query ref
+      (3L, "no-scheme-base", "g"),      // unparseable base → NULL
+      (4L, "https://h:8443/a/b", "g"),  // non-default port rides origin
+      (5L, "http://h/a/b", "mailto:x@y.z"))
+      .toDF("doc_id", "base", "ref")
+      .select(col("doc_id"), UrlOps.resolveRef(col("base"), col("ref")).as("out"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) === Some("http://h/g"))
+    assert(got(2L) === Some("http://h?x"))
+    assert(got(3L) === None)
+    assert(got(4L) === Some("https://h:8443/a/g"))
+    assert(got(5L) === Some("mailto:x@y.z"))
+  }
+
+  test("extractLinks: both quote forms, case-insensitive tag, occurrence-kept duplicates, is_web verdict") {
+    val html = """<html><a href="g1">x</a><p><A Class='n' HREF='../g2'>y</A></p>""" +
+      """<a href="g1">again</a><a data-x="1" href="//cdn.ex.org/l">p</a>""" +
+      """<a href="mailto:a@b.c">m</a><a href="#top">t</a><area href="skip"></html>"""
+    val rows = UrlOps.extractLinks(
+      Seq((7L, "http://www.ex.com/d/page", html)).toDF("doc_id", "url_norm", "html"))
+      .collect().map(r => (r.getString(2), r.getString(3), r.getBoolean(4)))
+    // dq matches first (g1, g1, //cdn, mailto, #top), then sq (../g2)
+    assert(rows.count(_._1 == "g1") === 2, "duplicate hrefs must keep both occurrences")
+    val byHref = rows.map(t => t._1 -> ((t._2, t._3))).toMap // last wins, fine for distinct hrefs
+    assert(byHref("g1") === (("http://www.ex.com/d/g1", true)))
+    assert(byHref("../g2") === (("http://www.ex.com/g2", true)))
+    assert(byHref("//cdn.ex.org/l") === (("http://cdn.ex.org/l", true)))
+    assert(byHref("mailto:a@b.c") === (("mailto:a@b.c", false)))
+    assert(byHref("#top") === (("http://www.ex.com/d/page", true)))
+    assert(!rows.exists(_._1 == "skip"), "<area href> is out of the <a> contract")
+  }
 }
