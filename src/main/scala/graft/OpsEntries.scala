@@ -2248,6 +2248,59 @@ private[graft] object OpsEntries {
           .select(col("doc_id"), lit("sentence_dup").as("reason"), lit(false).as("keep"),
             col("n_removed").as("n_sent_removed")))
         .unionByName(curated)
+    }),
+
+    // The LINK TIER's primitive gate: every <a href> occurrence over
+    // the hostile anchor fixture (both quote forms, relative /
+    // dot-segment / absolute-path / protocol-relative / absolute /
+    // query-only / fragment-only / mailto refs), RFC 3986 §5-resolved
+    // against the page's base with the is_web verdict. Map-only — the
+    // regex explode and the resolution fold never shuffle.
+    "q287_link_extract" -> ((s, dir) =>
+      UrlOps.extractLinks(linkFixture(t(s, dir, "documents")), baseCol = "base")),
+
+    // The out-link DOMAIN GRAPH + authority: web links only, src/dst
+    // registrable domains via the full-PSL native expression, one
+    // (src,dst)-keyed edge rollup (occurrence count = weight), then
+    // the exact-replay PageRank over the domain graph — the authority
+    // prior a frontier scheduler feeds on. Edges/nodes are
+    // domain-sized; only the edge rollup touches corpus-scale rows.
+    "q288_domain_link_graph" -> ((s, dir) => {
+      val lx = UrlOps.extractLinks(linkFixture(t(s, dir, "documents")), baseCol = "base")
+        .filter(col("is_web"))
+      val ed = lx.select(
+          UrlOps.registeredDomainFull(UrlOps.hostOf(col("base"))).as("src_dom"),
+          UrlOps.registeredDomainFull(UrlOps.hostOf(col("link"))).as("dst_dom"))
+        .groupBy("src_dom", "dst_dom").agg(count(lit(1)).as("n_links"))
+        .localCheckpoint(true) // node union + the per-iteration PR joins read it
+      val nodes = ed.select(col("src_dom").as("domain"))
+        .unionByName(ed.select(col("dst_dom").as("domain"))).distinct()
+      graft.ops.GraphOps.pageRank(ed, nodes, srcCol = "src_dom", dstCol = "dst_dom",
+        weightCol = "n_links")
+    }),
+
+    // The frontier loop CLOSED as an actuator (the q280→q281
+    // discovery→apply discipline one stage earlier): q273's per-domain
+    // frontier observability becomes next-crawl budget via the exact
+    // water-filling rule — demand weight = observed unique yield,
+    // per-domain capacity = (n_unique + n_urls) × a deterministic 1–3
+    // politeness factor (the q224 seeded-hash discipline; ufix3's
+    // near-uniform domains would otherwise never saturate), budget =
+    // 90% of total capacity — so the saturated AND re-leveled waterfill
+    // branches both replay at every scale. Domain-sized end-to-end
+    // after the one frontier rollup.
+    "q289_crawl_budget" -> ((s, dir) => {
+      val fr = UrlOps.frontierReport(
+          UrlOps.urlNormalize(urlFixture3(t(s, dir, "documents")), extraKill = reviewedKill))
+        .select(col("reg_domain").as("source"),
+          ((col("n_unique") + col("n_urls"))
+            * (pmod(SampleOps.seededHash(col("reg_domain"), 7L), lit(3L)) + 1L))
+            .cast("long").as("capacity"),
+          col("n_unique").cast("double").as("weight"))
+        .localCheckpoint(true) // budget aggregate + the allocation read it
+      val budget = math.floor(
+        fr.agg(sum("capacity").as("c")).head().getLong(0).toDouble * 0.9).toLong
+      SampleOps.waterfillAllocation(fr, budget)
     })
   )
 
@@ -2350,6 +2403,40 @@ private[graft] object OpsEntries {
     urlFixture2(docs).select(col("doc_id"),
       regexp_replace(col("url"), lit("(?i)\\.example\\.com"),
         concat(lit(".site"), (col("doc_id") % 6).cast("string"), lit(".com"))).as("url"))
+
+  /** The q287/q288 anchor fixture: per-doc base page on the rotating
+    * site domains (path depth varies by residue so relative refs have
+    * directories to climb) and an anchor set covering every RFC 3986
+    * §5.2 branch — always-present relative / dot-dot / absolute-path
+    * (with an interior dot segment and a query), plus one-in-seven
+    * protocol-relative, single-quoted dot-dot-dot-dot, cross-site
+    * absolute (site k links hub.site (k+1)%6 — the graph is a cycle,
+    * not a star), query-only, fragment-only and mailto refs, and a
+    * one-in-eleven `./` directory self-link.
+    */
+  private[graft] def linkFixture(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
+      concat(lit("http://www."), col("source"), lit(".site"),
+        (col("doc_id") % 6).cast("string"), lit(".com/dir"),
+        (col("doc_id") % 4).cast("string"), lit("/sub/page"),
+        (col("doc_id") % 25).cast("string")).as("base"),
+      concat(
+        lit("<html><body><a href=\"g"), (col("doc_id") % 5).cast("string"), lit("\">rel</a>"),
+        lit("<a class=\"nav\" href=\"../up/x"), (col("doc_id") % 3).cast("string"), lit("\">dd</a>"),
+        lit("<a href=\"/abs/./y?b=2&a=1\">absdot</a>"),
+        when(col("doc_id") % 7 === 1, lit("<a href=\"//cdn.site0.com/lib\">proto</a>"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 2, lit("<A HREF='../../s/t'>sq</A>")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 3,
+          concat(lit("<a href=\"https://hub.site"), ((col("doc_id") + 1) % 6).cast("string"),
+            lit(".com/z/"), (col("doc_id") % 9).cast("string"), lit("\">abs</a>")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 4, lit("<a href=\"?q=1\">q</a>")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 5, lit("<a href=\"#frag\">f</a>")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 6, lit("<a href=\"mailto:ed@site1.com\">m</a>"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("<a href=\"./\">dot</a>")).otherwise(lit("")),
+        lit("</body></html>")).as("html"))
 
   /** The q266/q267 host fixture: per-source co.uk sites (3-label
     * registration), a shared example.com, *.pages.github.io (the
@@ -6611,6 +6698,99 @@ private[graft] object OpsEntries {
           |SELECT v.doc_id, v.reason, v.reason = 'kept' AS keep, d.n_removed AS n_sent_removed
           |FROM v JOIN psdd d ON d.doc_id = v.doc_id""".stripMargin),
 
+    // The link tier's full resolution replay: href regex explode +
+    // the RFC 3986 §5.2 CASE, every pattern spliced from the engine
+    // constants, the dot-segment fold as a list_reduce twin.
+    "q287_link_extract" ->
+      ("WITH " + linkResolveCtes +
+        "\nSELECT doc_id, base, href, link, is_web FROM lres"),
+
+    // Web edges → one full-PSL pdom pass over the union of src/dst
+    // hosts (rid-keyed so one VALUES table serves both ends) → the
+    // q151 exact-integer PageRank unroll over the domain graph.
+    "q288_domain_link_graph" -> {
+      val teleport = s"CAST(${1.0 - 0.85} AS DOUBLE) / n_nodes"
+      def iter(i: Int): String =
+        s"""c$i AS (SELECT d, sum(CAST(round(pr / ow * w * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)) AS cin
+           |      FROM sym JOIN p${i - 1} ON p${i - 1}.node = sym.s JOIN ow ON ow.s = sym.s GROUP BY d),
+           |p$i AS (SELECT nd.node, round($teleport
+           |          + CAST(0.85 AS DOUBLE) * (coalesce(cin, 0) / CAST(1000000000.0 AS DOUBLE)), 6) AS pr
+           |        FROM nd CROSS JOIN nn LEFT JOIN c$i ON c$i.d = nd.node),
+           |""".stripMargin
+      "WITH " + linkResolveCtes + ",\n" +
+        s"""lw AS (SELECT row_number() OVER (ORDER BY doc_id, href) AS rid, base, link
+           |       FROM lres WHERE is_web),
+           |lh AS (SELECT rid * 2 AS doc_id, ${hostOfSql("base")} AS host FROM lw
+           |       UNION ALL SELECT rid * 2 + 1, ${hostOfSql("link")} FROM lw),
+           |""".stripMargin + pslDomCtes("lh") + ",\n" +
+        s"""e0 AS (SELECT s.reg_domain AS src_dom, d.reg_domain AS dst_dom, count(*) AS n_links
+           |       FROM lw JOIN pdom s ON s.doc_id = lw.rid * 2
+           |               JOIN pdom d ON d.doc_id = lw.rid * 2 + 1
+           |       GROUP BY 1, 2),
+           |ec AS (SELECT src_dom AS s, dst_dom AS d, CAST(n_links AS DOUBLE) AS w
+           |       FROM e0 WHERE src_dom <> dst_dom),
+           |sym AS (SELECT s, d, w FROM ec UNION ALL SELECT d AS s, s AS d, w FROM ec),
+           |ow AS (SELECT s, sum(w) AS ow FROM sym GROUP BY 1),
+           |nd AS (SELECT DISTINCT domain AS node FROM
+           |        (SELECT src_dom AS domain FROM e0 UNION ALL SELECT dst_dom FROM e0)),
+           |nn AS (SELECT count(*) AS n_nodes FROM nd),
+           |p0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / n_nodes, 6) AS pr FROM nd CROSS JOIN nn),
+           |""".stripMargin + iter(1) + iter(2) +
+        s"""c3 AS (SELECT d, sum(CAST(round(pr / ow * w * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)) AS cin
+           |      FROM sym JOIN p2 ON p2.node = sym.s JOIN ow ON ow.s = sym.s GROUP BY d)
+           |SELECT nd.node AS domain, round($teleport
+           |         + CAST(0.85 AS DOUBLE) * (coalesce(cin, 0) / CAST(1000000000.0 AS DOUBLE)), 6) AS pr
+           |FROM nd CROSS JOIN nn LEFT JOIN c3 ON c3.d = nd.node""".stripMargin
+    },
+
+    // Frontier rollup over the ufix3 chain + the exact q224 waterfill
+    // replay: integer cross-multiplied saturation, floor +
+    // largest-remainder pool division.
+    "q289_crawl_budget" -> {
+      s"WITH ufix AS ($urlFixtureSql),\n" + urlFixture2Sql + ",\n" + urlFixture3Sql + ",\n" +
+        urlNormCtes("ufix3", reviewedKill) + ",\n" +
+        pslDomCtes("(SELECT doc_id, host FROM unorm WHERE url_norm IS NOT NULL)") +
+        s""",
+           |fr AS (SELECT reg_domain, count(*) AS n_urls,
+           |         CAST(count(DISTINCT url_norm) AS BIGINT) AS n_unique
+           |       FROM (SELECT u.doc_id, u.url_norm, p.reg_domain
+           |             FROM unorm u JOIN pdom p USING (doc_id) WHERE u.url_norm IS NOT NULL)
+           |       GROUP BY reg_domain),
+           |srcs AS (SELECT reg_domain AS source,
+           |           CAST((n_unique + n_urls)
+           |             * (CAST(concat('0x', substr(md5('7:' || reg_domain), 1, 15)) AS BIGINT) % 3 + 1)
+           |             AS BIGINT) AS cap,
+           |           n_unique * 1000000 AS w6 FROM fr),
+           |b AS (SELECT CAST(floor(sum(cap) * 0.9) AS BIGINT) AS budget FROM srcs),
+           |ordd AS (SELECT source, w6, cap,
+           |           coalesce(sum(cap) OVER w, 0) AS cprev,
+           |           coalesce(sum(w6) OVER w, 0) AS wprev,
+           |           sum(w6) OVER () AS wtot
+           |         FROM srcs WINDOW w AS (ORDER BY CAST(cap AS DOUBLE) / w6, source
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           |fl AS (SELECT source, w6, cap, budget,
+           |         (budget - cprev) * w6 >= cap * (wtot - wprev) AS sat
+           |       FROM ordd CROSS JOIN b),
+           |rem AS (SELECT sum(CASE WHEN sat THEN cap ELSE 0 END) AS csat,
+           |          sum(CASE WHEN NOT sat THEN w6 ELSE 0 END) AS wrem FROM fl),
+           |al AS (SELECT source, cap, sat, budget - csat AS brem, wrem,
+           |         CASE WHEN sat THEN cap
+           |              WHEN wrem > 0 THEN (budget - csat) * w6 // wrem
+           |              ELSE 0 END AS fl2,
+           |         CASE WHEN NOT sat AND wrem > 0
+           |              THEN ((budget - csat) * w6) % wrem ELSE 0 END AS remd
+           |       FROM fl CROSS JOIN rem),
+           |fin AS (SELECT source, cap, sat, fl2, brem,
+           |          sum(CASE WHEN NOT sat THEN fl2 ELSE 0 END) OVER () AS unsatfloor,
+           |          row_number() OVER (PARTITION BY sat ORDER BY remd DESC, source) AS rk
+           |        FROM al)
+           |SELECT source, CAST(cap AS BIGINT) AS capacity,
+           |       CAST(fl2 + CASE WHEN NOT sat AND rk <= brem - unsatfloor
+           |                       THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+           |       sat AS saturated
+           |FROM fin""".stripMargin
+    },
+
     // The FULL PSL algorithm in SQL: the ~9.5k-rule table VALUES are
     // generated by the SAME parser the engine uses (parsePslRule over
     // the embedded publicsuffix.org snapshot), so the two
@@ -7083,6 +7263,82 @@ private[graft] object OpsEntries {
       |  regexp_replace(url, '(?i)\.example\.com',
       |    '.site' || CAST(doc_id % 6 AS VARCHAR) || '.com', 'g') AS url
       |FROM ufix2)""".stripMargin
+
+  /** The q287/q288 anchor fixture in SQL — character-identical to
+    * [[linkFixture]]'s concat (a def per the init-order trap). */
+  private def linkFixtureSql: String =
+    """SELECT doc_id,
+      |  'http://www.' || source || '.site' || CAST(doc_id % 6 AS VARCHAR) || '.com/dir' ||
+      |    CAST(doc_id % 4 AS VARCHAR) || '/sub/page' || CAST(doc_id % 25 AS VARCHAR) AS base,
+      |  '<html><body><a href="g' || CAST(doc_id % 5 AS VARCHAR) || '">rel</a>' ||
+      |  '<a class="nav" href="../up/x' || CAST(doc_id % 3 AS VARCHAR) || '">dd</a>' ||
+      |  '<a href="/abs/./y?b=2&a=1">absdot</a>' ||
+      |  (CASE WHEN doc_id % 7 = 1 THEN '<a href="//cdn.site0.com/lib">proto</a>' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 2 THEN '<A HREF=''../../s/t''>sq</A>' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 3 THEN '<a href="https://hub.site' || CAST((doc_id + 1) % 6 AS VARCHAR) || '.com/z/' || CAST(doc_id % 9 AS VARCHAR) || '">abs</a>' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 4 THEN '<a href="?q=1">q</a>' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 5 THEN '<a href="#frag">f</a>' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 6 THEN '<a href="mailto:ed@site1.com">m</a>' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 11 = 0 THEN '<a href="./">dot</a>' ELSE '' END) ||
+      |  '</body></html>' AS html
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  /** RFC 3986 §5.2.4 remove_dot_segments in SQL over a path
+    * expression — the twin of [[graft.ops.UrlOps.removeDotSegments]]:
+    * DuckDB's `list_reduce` consumes its first element as the initial
+    * accumulator, so prepending '' makes it ≡ Spark's `aggregate`
+    * with the '' zero; the trailing-directory rule is the same
+    * [[graft.ops.UrlOps.dotTailRe]] test.
+    */
+  private def removeDotsSql(p: String): String = {
+    val fold = "list_reduce(list_prepend('', string_split(regexp_replace(" + p +
+      ", '^/', ''), '/')), (acc, x) -> CASE WHEN x = '.' THEN acc WHEN x = '..' THEN " +
+      "regexp_replace(acc, '/[^/]*$', '') ELSE acc || '/' || x END)"
+    s"(CASE WHEN regexp_matches($p, '${sqQuote(graft.ops.UrlOps.dotTailRe)}') " +
+      s"THEN $fold || '/' ELSE $fold END)"
+  }
+
+  /** [[graft.ops.UrlOps.hostOf]] in SQL: authority → userinfo strip →
+    * lowercase → port strip → trailing-dots strip. */
+  private def hostOfSql(u: String): String = {
+    import graft.ops.UrlOps
+    s"regexp_replace(regexp_extract(lower(regexp_replace(regexp_extract($u, " +
+      s"'${sqQuote(UrlOps.authRe)}', 1), '${sqQuote(UrlOps.userinfoRe)}', '')), " +
+      s"'${sqQuote(UrlOps.hostRe)}', 1), '${sqQuote(UrlOps.trailingDotsRe)}', '')"
+  }
+
+  /** The link tier in SQL (NO leading WITH, no trailing comma): the
+    * [[linkFixtureSql]] corpus, both href regexes unnested, and the
+    * RFC 3986 §5.2 resolution CASE — every regex spliced from the
+    * engine's own [[graft.ops.UrlOps]] constants. Ends in
+    * `lres(doc_id, base, href, link, is_web)`; shared by q287/q288.
+    */
+  private def linkResolveCtes: String = {
+    import graft.ops.UrlOps
+    s"""lfix AS ($linkFixtureSql),
+       |lx AS (SELECT doc_id, base, unnest(list_concat(
+       |         regexp_extract_all(html, '${sqQuote(UrlOps.hrefDqRe)}', 1),
+       |         regexp_extract_all(html, '${sqQuote(UrlOps.hrefSqRe)}', 1))) AS href FROM lfix),
+       |lr0 AS (SELECT doc_id, base, href,
+       |          regexp_replace(href, '${sqQuote(UrlOps.fragmentRe)}', '') AS rr FROM lx),
+       |lr1 AS (SELECT *, lower(regexp_extract(base, '${sqQuote(UrlOps.schemeRe)}', 1)) AS sch,
+       |          regexp_extract(base, '${sqQuote(UrlOps.authRe)}', 1) AS auth,
+       |          regexp_extract(base, '${sqQuote(UrlOps.pathRe)}', 1) AS bpath FROM lr0),
+       |lr2 AS (SELECT *, CASE WHEN bpath = '' THEN '/' ELSE regexp_replace(bpath, '[^/]*$$', '') END AS bdir,
+       |          regexp_replace(rr, '${sqQuote(UrlOps.refQueryStripRe)}', '') AS rp,
+       |          regexp_extract(rr, '${sqQuote(UrlOps.refQueryRe)}', 1) AS rq FROM lr1),
+       |lres AS (SELECT doc_id, base, href, link,
+       |           coalesce(regexp_matches(link, '${sqQuote(UrlOps.webSchemeRe)}'), false) AS is_web
+       |         FROM (SELECT doc_id, base, href,
+       |           CASE WHEN sch = '' THEN NULL
+       |                WHEN rr = '' THEN base
+       |                WHEN regexp_matches(rr, '${sqQuote(UrlOps.absRefRe)}') THEN rr
+       |                WHEN starts_with(rr, '//') THEN sch || ':' || rr
+       |                WHEN starts_with(rr, '?') THEN sch || '://' || auth || bpath || rr
+       |                WHEN starts_with(rr, '/') THEN sch || '://' || auth || ${removeDotsSql("rp")} || rq
+       |                ELSE sch || '://' || auth || ${removeDotsSql("(bdir || rp)")} || rq END AS link
+       |         FROM lr2))""".stripMargin
+  }
 
   /** The q282 fixture in SQL — identical to [[idnFixture]]. */
   private def idnFixtureSql: String =

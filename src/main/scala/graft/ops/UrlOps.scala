@@ -558,6 +558,20 @@ object UrlOps {
   private[graft] val hrefDqRe = "(?i)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""
   private[graft] val hrefSqRe = "(?i)<a\\s[^>]*?href\\s*=\\s*'([^']*)'"
 
+  /** A reference that carries its own scheme (RFC 3986 §4.1 absolute
+    * or scheme-relative opaque form — mailto:, javascript:, http:g). */
+  private[graft] val absRefRe = "^[A-Za-z][A-Za-z0-9+.-]*:"
+
+  /** Query-part split of a reference, fragment already stripped. */
+  private[graft] val refQueryStripRe = "(?s)\\?.*$"
+  private[graft] val refQueryRe = "(?s)(\\?.*)$"
+
+  /** §5.2.4's trailing-directory rule trigger: last segment '.'/'..'. */
+  private[graft] val dotTailRe = "(^|/)\\.\\.?$"
+
+  /** The web frontier's scheme gate after resolution. */
+  private[graft] val webSchemeRe = "^https?://"
+
   /** RFC 3986 §5.2.4 remove_dot_segments over a path column that
     * starts with '/' (or is relative — the leading '/' is re-added by
     * the fold). One `aggregate` fold with a string accumulator —
@@ -574,7 +588,7 @@ object UrlOps {
       (acc, x) => when(x === ".", acc)
         .when(x === "..", regexp_replace(acc, "/[^/]*$", ""))
         .otherwise(concat(acc, lit("/"), x)))
-    when(p.rlike("(^|/)\\.\\.?$"), concat(folded, lit("/"))).otherwise(folded)
+    when(p.rlike(dotTailRe), concat(folded, lit("/"))).otherwise(folded)
   }
 
   /** The host of an absolute URL, by the [[urlNormalize]] chain:
@@ -611,11 +625,11 @@ object UrlOps {
     val basePath = regexp_extract(base, pathRe, 1)
     val baseDir = when(basePath === "", lit("/"))
       .otherwise(regexp_replace(basePath, "[^/]*$", ""))
-    val rp = regexp_replace(rr, "(?s)\\?.*$", "")
-    val rq = regexp_extract(rr, "(?s)(\\?.*)$", 1)
+    val rp = regexp_replace(rr, refQueryStripRe, "")
+    val rq = regexp_extract(rr, refQueryRe, 1)
     when(scheme === "", lit(null).cast("string"))
       .when(rr === "", base)
-      .when(rr.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), rr)
+      .when(rr.rlike(absRefRe), rr)
       .when(rr.startsWith("//"), concat(scheme, lit(":"), rr))
       .when(rr.startsWith("?"), concat(origin, basePath, rr))
       .when(rr.startsWith("/"), concat(origin, removeDotSegments(rp), rq))
@@ -640,7 +654,7 @@ object UrlOps {
       regexp_extract_all(col(htmlCol), lit(hrefSqRe), lit(1)))
     docs.select(col(idCol), col(baseCol), explode(hrefs).as("href"))
       .withColumn("link", resolveRef(col(baseCol), col("href")))
-      .withColumn("is_web", coalesce(col("link").rlike("^https?://"), lit(false)))
+      .withColumn("is_web", coalesce(col("link").rlike(webSchemeRe), lit(false)))
       .select(col(idCol), col(baseCol), col("href"), col("link"), col("is_web"))
   }
 }
