@@ -572,7 +572,7 @@ object Stress {
     // transform are all row-linear by design — the exponent
     // log10(t_x/t_1)/log10(x) is what the record must show ≲ 1.
     if (which == "r8ops" || which == "r9ops" || which == "r10ops" || which == "r11ops" ||
-        which == "r12ops" || which == "r13ops") {
+        which == "r12ops" || which == "r13ops" || which == "r13bops") {
       import graft.ops.{ModelOps, SimilarityOps, TextOps, UrlOps}
       // Replicated inputs are materialized ONCE, OUTSIDE the timers:
       // blending the linear write+re-read generation I/O into t1/tx
@@ -636,7 +636,83 @@ object Stress {
           docs.filter(col("doc_id") % 5 =!= 4),
           docs.filter(col("doc_id") % 7 =!= 6), emb).count()
       val ops: Seq[(String, DataFrame, DataFrame, DataFrame => Long)] =
-        if (which == "r13ops") Seq(
+        if (which == "r13bops") Seq(
+          // the COMPLETE q286 build: the URL tier kills replica mass,
+          // the domain tier then BOUNDS the extract-tier entrants
+          // (blocklist + 25/domain cap), so everything downstream of
+          // the caps sees constant-size survivors regardless of x —
+          // the production behavior the cap exists to guarantee
+          ("pipeline_complete", docs1, docsX, d => {
+            val normed = UrlOps.urlNormalize(OpsEntries.urlFixture3(d),
+              extraKill = OpsEntries.reviewedKill).localCheckpoint(true)
+            val dedup = UrlOps.urlDedup(normed).localCheckpoint(true)
+            val nuniq = normed.join(dedup.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+              .localCheckpoint(true)
+            val bl = UrlOps.domainBlocklist(nuniq, OpsEntries.pipeBlockedDomains)
+              .localCheckpoint(true)
+            val nAfterBl = nuniq.join(bl.filter(!col("blocked")).select("doc_id"), Seq("doc_id"))
+              .localCheckpoint(true)
+            val capped = UrlOps.domainCaps(nAfterBl, cap = OpsEntries.pipeDomainCap)
+              .localCheckpoint(true)
+            val ext = TextOps.htmlExtract(OpsEntries.htmlFixture3(
+              d.join(capped.select("doc_id"), Seq("doc_id"))))
+              .select(col("doc_id"), col("text"))
+            val rep = TextOps.encodingDamage(ext)
+              .select(col("doc_id"), col("text_repaired").as("text"),
+                coalesce(regexp_count(col("text_repaired"), lit(TextOps.mojibakeDetector)),
+                  lit(0)).cast("long").as("resid")).localCheckpoint(true)
+            val s1 = rep.filter(col("resid") === 0).select(col("doc_id"), col("text"))
+            val blk = TextOps.wordBlocklistGate(s1, OpsEntries.blockedWords,
+              maxRatio = OpsEntries.wordGateMaxRatio)
+            val s2 = s1.join(blk.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+              .localCheckpoint(true)
+            val cleaned = TextOps.removeLines(s2, TextOps.boilerplateLines(s2).select("line"))
+              .select(col("doc_id"), col("clean_text").as("text")).localCheckpoint(true)
+            val sd = TextOps.dedupSentencesAcrossDocs(cleaned.filter(col("text") =!= ""))
+              .localCheckpoint(true)
+            val cur = OpsEntries.curationFrame(sd.filter(col("clean_text") =!= "")
+              .select(col("doc_id"), col("clean_text").as("text")).localCheckpoint(true))
+            normed.filter(col("url_norm").isNull).select("doc_id")
+              .unionByName(dedup.filter(!col("keep")).select("doc_id"))
+              .unionByName(bl.filter(col("blocked")).select("doc_id"))
+              .unionByName(cur.select("doc_id")).count()
+          }),
+          // href regex explode + the §5.2 resolution fold: map-only,
+          // must scale like the scan (per-row work is anchor-count ×
+          // segment-count, independent of corpus x)
+          ("link_extract", docs1, docsX,
+            d => UrlOps.extractLinks(OpsEntries.linkFixture(d), baseCol = "base").count()),
+          // corpus-scale work is the one (src,dst)-keyed edge rollup;
+          // the PR iterations run on the domain-sized graph
+          ("link_graph", docs1, docsX, d => {
+            val lx = UrlOps.extractLinks(OpsEntries.linkFixture(d), baseCol = "base")
+              .filter(col("is_web"))
+            val ed = lx.select(
+                UrlOps.registeredDomainFull(UrlOps.hostOf(col("base"))).as("src_dom"),
+                UrlOps.registeredDomainFull(UrlOps.hostOf(col("link"))).as("dst_dom"))
+              .groupBy("src_dom", "dst_dom").agg(count(lit(1)).as("n_links"))
+              .localCheckpoint(true)
+            val nodes = ed.select(col("src_dom").as("domain"))
+              .unionByName(ed.select(col("dst_dom").as("domain"))).distinct()
+            graft.ops.GraphOps.pageRank(ed, nodes, srcCol = "src_dom", dstCol = "dst_dom",
+              weightCol = "n_links").count()
+          }),
+          // one frontier rollup (domain-keyed, partial-aggregable),
+          // then the waterfill solve over the domain-sized frame
+          ("crawl_budget", docs1, docsX, d => {
+            val fr = UrlOps.frontierReport(UrlOps.urlNormalize(OpsEntries.urlFixture3(d),
+                extraKill = OpsEntries.reviewedKill))
+              .select(col("reg_domain").as("source"),
+                ((col("n_unique") + col("n_urls"))
+                  * (pmod(graft.ops.SampleOps.seededHash(col("reg_domain"), 7L), lit(3L)) + 1L))
+                  .cast("long").as("capacity"),
+                col("n_unique").cast("double").as("weight"))
+              .localCheckpoint(true)
+            val budget = math.floor(
+              fr.agg(sum("capacity")).head().getLong(0).toDouble * 0.9).toLong
+            graft.ops.SampleOps.waterfillAllocation(fr, budget).count()
+          }))
+        else if (which == "r13ops") Seq(
           // the full ~9.5k-rule table as a MAP-ONLY expression: must
           // scale like the scan (per-row work is ≤ label-count hash
           // probes against a per-JVM static, independent of corpus x)
@@ -822,7 +898,8 @@ object Stress {
         val (rx, tx) = time(run(dx))
         val expo = math.log10(tx / t1) / math.log10(x.toDouble)
         val opsLabel =
-          if (which == "r13ops") "STRESS_R13OPS"
+          if (which == "r13bops") "STRESS_R13BOPS"
+          else if (which == "r13ops") "STRESS_R13OPS"
           else if (which == "r12ops") "STRESS_R12OPS"
           else if (which == "r11ops") "STRESS_R11OPS"
           else if (which == "r10ops") "STRESS_R10OPS"
