@@ -2279,6 +2279,116 @@ private[graft] object OpsEntries {
         weightCol = "n_links")
     }),
 
+    // RFC 9309 robots-exclusion VERDICT over the ufix3 frontier
+    // (static normalize — robots sees fetch URLs, so the sid params
+    // survive and the /*sid= wildcard rule has mass): longest-match
+    // specificity, allow-beats-disallow ties, '$' anchors, per-domain
+    // rule sets, default-allow for ruleless domains — compliance
+    // counted before anything is suppressed.
+    "q290_robots_verdict" -> ((s, dir) =>
+      UrlOps.robotsVerdict(UrlOps.urlNormalize(urlFixture3(t(s, dir, "documents"))),
+        pipeRobotsRules)),
+
+    // In-link anchor-text index: what OTHER pages' link text calls a
+    // destination — per (target registrable domain, term): total
+    // references + DISTINCT source domains, the independent-
+    // endorsement count separating site-wide nav text from genuine
+    // cross-site description.
+    "q291_anchor_text_index" -> ((s, dir) =>
+      UrlOps.anchorTextIndex(linkFixture(t(s, dir, "documents")), baseCol = "base")),
+
+    // q286 with the COMPLIANCE TIER composed in — the governed build:
+    // after URL dedup the unique frontier takes the RFC 9309 verdict
+    // (robots-disallowed docs drop with their own reason, never
+    // consuming cap slots), THEN policy (blocklist, q292's own list so
+    // both classes keep mass — robots already kills all of site3) and
+    // the per-domain caps, and only capped survivors pay
+    // extract/repair/gate/boiler/sentence/curate cost. 13-way funnel.
+    "q292_pipeline_governed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val normed = UrlOps.urlNormalize(urlFixture3(docs), extraKill = reviewedKill)
+        .localCheckpoint(true) // quarantine + dedup branches both read it
+      val dedup = UrlOps.urlDedup(normed).localCheckpoint(true)
+      val nuniq = normed.join(dedup.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        .localCheckpoint(true) // robots verdicts + allowed filter both read it
+      val rv = UrlOps.robotsVerdict(nuniq, pipeRobotsRules).localCheckpoint(true)
+      val nAfterRv = nuniq.join(rv.filter(col("allowed")).select("doc_id"), Seq("doc_id"))
+        .localCheckpoint(true) // blocklist verdicts + survivor filter
+      val bl = UrlOps.domainBlocklist(nAfterRv, pipeBlockedDomains2)
+        .localCheckpoint(true)
+      val nAfterBl = nAfterRv.join(bl.filter(!col("blocked")).select("doc_id"), Seq("doc_id"))
+        .localCheckpoint(true) // cap window + capped-out anti-join
+      val capped = UrlOps.domainCaps(nAfterBl, cap = pipeDomainCap)
+        .localCheckpoint(true)
+      val keptIds = capped.select("doc_id")
+      val extracted = TextOps.htmlExtract(htmlFixture3(docs.join(keptIds, Seq("doc_id"))))
+        .select(col("doc_id"), col("text"))
+      val rep = TextOps.encodingDamage(extracted)
+        .select(col("doc_id"), col("text_repaired").as("text"),
+          coalesce(regexp_count(col("text_repaired"), lit(TextOps.mojibakeDetector)), lit(0))
+            .cast("long").as("resid"))
+        .localCheckpoint(true)
+      val surv1 = rep.filter(col("resid") === 0).select(col("doc_id"), col("text"))
+      val blkW = TextOps.wordBlocklistGate(surv1, blockedWords, maxRatio = wordGateMaxRatio)
+        .localCheckpoint(true)
+      val surv2 = surv1.join(blkW.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        .localCheckpoint(true)
+      val hits = TextOps.boilerplateLines(surv2).select("line")
+      val cleaned = TextOps.removeLines(surv2, hits)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint(true)
+      val sd = TextOps.dedupSentencesAcrossDocs(cleaned.filter(col("text") =!= ""))
+        .localCheckpoint(true)
+      val afterSent = sd.filter(col("clean_text") =!= "")
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint(true)
+      val curated = curationFrame(afterSent)
+        .select(col("doc_id"), col("reason"), col("keep"))
+        .join(sd.select(col("doc_id"), col("n_removed").as("n_sent_removed")), Seq("doc_id"))
+      def dropped(ids: DataFrame, reason: String): DataFrame =
+        ids.select(col("doc_id"), lit(reason).as("reason"), lit(false).as("keep"),
+          lit(0L).as("n_sent_removed"))
+      dropped(normed.filter(col("url_norm").isNull).select("doc_id"), "unparseable")
+        .unionByName(dropped(dedup.filter(!col("keep")).select("doc_id"), "url_dup"))
+        .unionByName(dropped(rv.filter(!col("allowed")).select("doc_id"), "robots_disallowed"))
+        .unionByName(dropped(bl.filter(col("blocked")).select("doc_id"), "domain_blocked"))
+        .unionByName(dropped(nAfterBl.select("doc_id")
+          .join(keptIds, Seq("doc_id"), "left_anti"), "domain_capped"))
+        .unionByName(dropped(rep.filter(col("resid") >= 1).select("doc_id"), "encoding"))
+        .unionByName(dropped(blkW.filter(!col("keep")).select("doc_id"), "blocklist"))
+        .unionByName(dropped(cleaned.filter(col("text") === "").select("doc_id"), "boilerplate"))
+        .unionByName(sd.filter(col("clean_text") === "")
+          .select(col("doc_id"), lit("sentence_dup").as("reason"), lit(false).as("keep"),
+            col("n_removed").as("n_sent_removed")))
+        .unionByName(curated)
+    }),
+
+    // ONE CRAWL ITERATION, composed from the tier's own primitives:
+    // extract out-links (q287) → canonicalize the discovered frontier
+    // (the same urlNormalize the seen set was built with, so the
+    // anti-join keys cannot drift) → drop already-crawled forms
+    // (fragment self-links prove the anti-join has mass) → RFC 9309
+    // verdict (q290's rules) → per-domain discovery report:
+    // n_new candidate URLs vs n_fetchable after compliance. The
+    // numbers a frontier scheduler (q289) budgets with next round.
+    "q293_frontier_discovery" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lx = UrlOps.extractLinks(linkFixture(docs), baseCol = "base")
+        .filter(col("is_web"))
+      val cand = UrlOps.urlNormalize(lx.select(col("doc_id"), col("link").as("url")))
+      val seen = UrlOps.urlNormalize(
+          linkFixture(docs).select(col("doc_id"), col("base").as("url")))
+        .select(col("url_norm")).distinct()
+      val newu = cand.filter(col("url_norm").isNotNull)
+        .select(col("url_norm"), col("host")).distinct()
+        .join(seen, Seq("url_norm"), "left_anti")
+        .withColumn("nid", md5(col("url_norm"))) // deterministic per-URL key
+      UrlOps.robotsVerdict(newu, pipeRobotsRules, idCol = "nid")
+        .groupBy("reg_domain")
+        .agg(count(lit(1)).as("n_new"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_fetchable"))
+    }),
+
     // The frontier loop CLOSED as an actuator (the q280→q281
     // discovery→apply discipline one stage earlier): q273's per-domain
     // frontier observability becomes next-crawl budget via the exact
@@ -2421,7 +2531,8 @@ private[graft] object OpsEntries {
         (col("doc_id") % 4).cast("string"), lit("/sub/page"),
         (col("doc_id") % 25).cast("string")).as("base"),
       concat(
-        lit("<html><body><a href=\"g"), (col("doc_id") % 5).cast("string"), lit("\">rel</a>"),
+        lit("<html><body><a href=\"g"), (col("doc_id") % 5).cast("string"),
+        lit("\">Read article "), (col("doc_id") % 5).cast("string"), lit("</a>"),
         lit("<a class=\"nav\" href=\"../up/x"), (col("doc_id") % 3).cast("string"), lit("\">dd</a>"),
         lit("<a href=\"/abs/./y?b=2&a=1\">absdot</a>"),
         when(col("doc_id") % 7 === 1, lit("<a href=\"//cdn.site0.com/lib\">proto</a>"))
@@ -2429,7 +2540,7 @@ private[graft] object OpsEntries {
         when(col("doc_id") % 7 === 2, lit("<A HREF='../../s/t'>sq</A>")).otherwise(lit("")),
         when(col("doc_id") % 7 === 3,
           concat(lit("<a href=\"https://hub.site"), ((col("doc_id") + 1) % 6).cast("string"),
-            lit(".com/z/"), (col("doc_id") % 9).cast("string"), lit("\">abs</a>")))
+            lit(".com/z/"), (col("doc_id") % 9).cast("string"), lit("\">partner hub</a>")))
           .otherwise(lit("")),
         when(col("doc_id") % 7 === 4, lit("<a href=\"?q=1\">q</a>")).otherwise(lit("")),
         when(col("doc_id") % 7 === 5, lit("<a href=\"#frag\">f</a>")).otherwise(lit("")),
@@ -2596,6 +2707,31 @@ private[graft] object OpsEntries {
     * real cap pressure at every scale. Spliced into both engines.
     */
   private[graft] val pipeDomainCap: Int = 25
+
+  /** The q290 robots rule sets over [[urlFixture3]]'s domains — each
+    * rule class the RFC 9309 evaluator must rank: site1 pins
+    * longest-match specificity (the /articles/1 allow carves docs 1,
+    * 10–19 out of the /articles/ disallow), site2 the '*' wildcard on
+    * the surviving sid params, site3 a full-site disallow, site4 the
+    * equal-length tie (allow wins), site5 a '*'+'$' pattern anchored
+    * on the sorted query's final param (z sorts last in every
+    * fixture query), and site0 carries no rules (default allow).
+    * Robots-file-sized by contract; spliced into both engines.
+    */
+  /** The q292 policy blocklist: site3 is robots-disallowed wholesale
+    * upstream, so the governed build convicts a DIFFERENT domain —
+    * both governance classes keep mass at every scale.
+    */
+  private[graft] val pipeBlockedDomains2: Seq[String] = Seq("site4.com")
+
+  private[graft] val pipeRobotsRules: Seq[(String, Boolean, String)] = Seq(
+    ("site1.com", false, "/articles/"),
+    ("site1.com", true, "/articles/1"),
+    ("site2.com", false, "/*sid="),
+    ("site3.com", false, "/"),
+    ("site4.com", false, "/articles/4"),
+    ("site4.com", true, "/articles/4"),
+    ("site5.com", false, "/articles/*z=a%2Fb$"))
 
   /** The q284/q285 cross-doc duplicate SENTENCE riding INSIDE each
     * doc's otherwise-unique content paragraph: line-level boilerplate
@@ -6698,6 +6834,34 @@ private[graft] object OpsEntries {
           |SELECT v.doc_id, v.reason, v.reason = 'kept' AS keep, d.n_removed AS n_sent_removed
           |FROM v JOIN psdd d ON d.doc_id = v.doc_id""".stripMargin),
 
+    // q286's replay with the compliance tier spliced between the
+    // dedup window and the policy blocklist; the robots contest is
+    // q290's exact SQL over the unique survivors.
+    "q292_pipeline_governed" ->
+      (curationCtesFor("xsent", lead = pipelineGovernedCtes + ",\n") +
+        """
+          |SELECT doc_id, 'unparseable' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed FROM unorm WHERE url_norm IS NULL
+          |UNION ALL
+          |SELECT doc_id, 'url_dup' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed FROM ukeep WHERE NOT keep
+          |UNION ALL
+          |SELECT doc_id, 'robots_disallowed' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed FROM rv WHERE NOT allowed
+          |UNION ALL
+          |SELECT doc_id, 'domain_blocked' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed FROM dbl WHERE blocked
+          |UNION ALL
+          |SELECT doc_id, 'domain_capped' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed
+          |FROM dbl WHERE NOT blocked AND doc_id NOT IN (SELECT doc_id FROM dcap)
+          |UNION ALL
+          |SELECT doc_id, 'encoding' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed FROM xenc WHERE resid >= 1
+          |UNION ALL
+          |SELECT doc_id, 'blocklist' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed FROM xbv WHERE NOT bkeep
+          |UNION ALL
+          |SELECT doc_id, 'boilerplate' AS reason, false AS keep, CAST(0 AS BIGINT) AS n_sent_removed FROM xclean WHERE clean_text = ''
+          |UNION ALL
+          |SELECT doc_id, 'sentence_dup' AS reason, false AS keep, n_removed AS n_sent_removed FROM psdd WHERE clean_text = ''
+          |UNION ALL
+          |SELECT v.doc_id, v.reason, v.reason = 'kept' AS keep, d.n_removed AS n_sent_removed
+          |FROM v JOIN psdd d ON d.doc_id = v.doc_id""".stripMargin),
+
     // The link tier's full resolution replay: href regex explode +
     // the RFC 3986 §5.2 CASE, every pattern spliced from the engine
     // constants, the dot-segment fold as a list_reduce twin.
@@ -6741,6 +6905,109 @@ private[graft] object OpsEntries {
            |SELECT nd.node AS domain, round($teleport
            |         + CAST(0.85 AS DOUBLE) * (coalesce(cin, 0) / CAST(1000000000.0 AS DOUBLE)), 6) AS pr
            |FROM nd CROSS JOIN nn LEFT JOIN c3 ON c3.d = nd.node""".stripMargin
+    },
+
+    // The RFC 9309 evaluation replayed: rule regex + length + allow
+    // bit all generated by the SAME robotsPatternRegex converter, one
+    // regex LEFT JOIN + the sortable specificity key.
+    "q290_robots_verdict" -> {
+      import graft.ops.UrlOps
+      val rulesValues = robotsRulesValuesSql
+      s"WITH ufix AS ($urlFixtureSql),\n" + urlFixture2Sql + ",\n" + urlFixture3Sql + ",\n" +
+        urlNormCtes("ufix3") + ",\n" +
+        pslDomCtes("(SELECT doc_id, host FROM unorm WHERE url_norm IS NOT NULL)") +
+        s""",
+           |rr(rb_domain, rb_allow, rb_pattern, rb_regex, rb_len) AS (VALUES $rulesValues),
+           |rbase AS (SELECT u.doc_id, u.url_norm, p.reg_domain,
+           |            CASE WHEN pq = '' THEN '/' ELSE pq END AS pq
+           |          FROM (SELECT doc_id, url_norm,
+           |                  regexp_extract(url_norm, '${sqQuote(UrlOps.pathQueryRe)}', 1) AS pq
+           |                FROM unorm WHERE url_norm IS NOT NULL) u
+           |          JOIN pdom p USING (doc_id)),
+           |rm AS (SELECT b.doc_id, b.url_norm, b.reg_domain,
+           |         max(CASE WHEN r.rb_pattern IS NOT NULL
+           |               THEN lpad(CAST(rb_len AS VARCHAR), 4, '0')
+           |                 || (CASE WHEN rb_allow THEN '1' ELSE '0' END) || rb_pattern END) AS k
+           |       FROM rbase b LEFT JOIN rr r
+           |         ON r.rb_domain = b.reg_domain AND regexp_matches(b.pq, r.rb_regex)
+           |       GROUP BY 1, 2, 3)
+           |SELECT doc_id, url_norm, reg_domain, substr(k, 6) AS rule,
+           |       coalesce(substr(k, 5, 1) = '1', true) AS allowed
+           |FROM rm""".stripMargin
+    },
+
+    // Anchor pairs (match-string explode, group re-extract per quote
+    // form) ride the shared resolution chain with atext carried
+    // through; one full-PSL pass over the rid-keyed src/dst host
+    // union; tokenizer spliced from the engine-wide toks form.
+    "q291_anchor_text_index" -> {
+      import graft.ops.UrlOps
+      val adq = sqQuote(UrlOps.anchorDqRe)
+      val asq = sqQuote(UrlOps.anchorSqRe)
+      val atoks =
+        "list_filter(regexp_split_to_array(lower(atext), '[^a-z0-9_'']+'), t -> len(t) > 0)"
+      "WITH " + linkResolveCtesWith(
+        s"""lx0 AS (SELECT doc_id, base, unnest(list_concat(
+           |         regexp_extract_all(html, '$adq', 0),
+           |         regexp_extract_all(html, '$asq', 0))) AS m FROM lfix),
+           |lx AS (SELECT doc_id, base,
+           |         CASE WHEN regexp_matches(m, '$adq') THEN regexp_extract(m, '$adq', 1)
+           |              ELSE regexp_extract(m, '$asq', 1) END AS href,
+           |         CASE WHEN regexp_matches(m, '$adq') THEN regexp_extract(m, '$adq', 2)
+           |              ELSE regexp_extract(m, '$asq', 2) END AS atext
+           |       FROM lx0)""".stripMargin, ", atext") + ",\n" +
+        s"""law AS (SELECT row_number() OVER (ORDER BY doc_id, href, atext) AS rid, base, link, atext
+           |        FROM lres WHERE is_web),
+           |lh AS (SELECT rid * 2 AS doc_id, ${hostOfSql("base")} AS host FROM law
+           |       UNION ALL SELECT rid * 2 + 1, ${hostOfSql("link")} FROM law),
+           |""".stripMargin + pslDomCtes("lh") +
+        s""",
+           |lterm AS (SELECT d.reg_domain AS dst_domain, s.reg_domain AS src_domain,
+           |            unnest($atoks) AS term
+           |          FROM law JOIN pdom s ON s.doc_id = law.rid * 2
+           |                   JOIN pdom d ON d.doc_id = law.rid * 2 + 1)
+           |SELECT dst_domain, term, count(*) AS n_refs,
+           |       CAST(count(DISTINCT src_domain) AS BIGINT) AS n_src_domains
+           |FROM lterm GROUP BY 1, 2""".stripMargin
+    },
+
+    // One crawl iteration replayed: the shared link CTEs, TWO
+    // prefix-parameterized normalize chains (candidates and the seen
+    // set — same CTE generator, so the anti-join keys cannot drift),
+    // md5 row keys for the per-URL robots contest, one domain rollup.
+    "q293_frontier_discovery" -> {
+      import graft.ops.UrlOps
+      val rulesValues = robotsRulesValuesSql
+      "WITH " + linkResolveCtes + ",\n" +
+        "cfix AS (SELECT doc_id, link AS url FROM lres WHERE is_web),\n" +
+        urlNormCtes("cfix", Nil, "c") + ",\n" +
+        "sfix AS (SELECT doc_id, base AS url FROM lfix),\n" +
+        urlNormCtes("sfix", Nil, "s") + ",\n" +
+        s"""newu AS (SELECT md5(url_norm) AS doc_id, url_norm, host FROM
+           |           (SELECT DISTINCT url_norm, host FROM cunorm
+           |            WHERE url_norm IS NOT NULL
+           |              AND url_norm NOT IN (SELECT url_norm FROM sunorm
+           |                                   WHERE url_norm IS NOT NULL))),
+           |""".stripMargin +
+        pslDomCtes("(SELECT doc_id, host FROM newu)") +
+        s""",
+           |rr(rb_domain, rb_allow, rb_pattern, rb_regex, rb_len) AS (VALUES $rulesValues),
+           |rbase AS (SELECT n.doc_id, p.reg_domain,
+           |            CASE WHEN pq = '' THEN '/' ELSE pq END AS pq
+           |          FROM (SELECT doc_id, url_norm,
+           |                  regexp_extract(url_norm, '${sqQuote(UrlOps.pathQueryRe)}', 1) AS pq
+           |                FROM newu) n
+           |          JOIN pdom p USING (doc_id)),
+           |rm AS (SELECT b.doc_id, b.reg_domain,
+           |         max(CASE WHEN r.rb_pattern IS NOT NULL
+           |               THEN lpad(CAST(rb_len AS VARCHAR), 4, '0')
+           |                 || (CASE WHEN rb_allow THEN '1' ELSE '0' END) || rb_pattern END) AS k
+           |       FROM rbase b LEFT JOIN rr r
+           |         ON r.rb_domain = b.reg_domain AND regexp_matches(b.pq, r.rb_regex)
+           |       GROUP BY 1, 2)
+           |SELECT reg_domain, count(*) AS n_new,
+           |       sum(CASE WHEN coalesce(substr(k, 5, 1) = '1', true) THEN 1 ELSE 0 END) AS n_fetchable
+           |FROM rm GROUP BY 1""".stripMargin
     },
 
     // Frontier rollup over the ufix3 chain + the exact q224 waterfill
@@ -7270,12 +7537,12 @@ private[graft] object OpsEntries {
     """SELECT doc_id,
       |  'http://www.' || source || '.site' || CAST(doc_id % 6 AS VARCHAR) || '.com/dir' ||
       |    CAST(doc_id % 4 AS VARCHAR) || '/sub/page' || CAST(doc_id % 25 AS VARCHAR) AS base,
-      |  '<html><body><a href="g' || CAST(doc_id % 5 AS VARCHAR) || '">rel</a>' ||
+      |  '<html><body><a href="g' || CAST(doc_id % 5 AS VARCHAR) || '">Read article ' || CAST(doc_id % 5 AS VARCHAR) || '</a>' ||
       |  '<a class="nav" href="../up/x' || CAST(doc_id % 3 AS VARCHAR) || '">dd</a>' ||
       |  '<a href="/abs/./y?b=2&a=1">absdot</a>' ||
       |  (CASE WHEN doc_id % 7 = 1 THEN '<a href="//cdn.site0.com/lib">proto</a>' ELSE '' END) ||
       |  (CASE WHEN doc_id % 7 = 2 THEN '<A HREF=''../../s/t''>sq</A>' ELSE '' END) ||
-      |  (CASE WHEN doc_id % 7 = 3 THEN '<a href="https://hub.site' || CAST((doc_id + 1) % 6 AS VARCHAR) || '.com/z/' || CAST(doc_id % 9 AS VARCHAR) || '">abs</a>' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 3 THEN '<a href="https://hub.site' || CAST((doc_id + 1) % 6 AS VARCHAR) || '.com/z/' || CAST(doc_id % 9 AS VARCHAR) || '">partner hub</a>' ELSE '' END) ||
       |  (CASE WHEN doc_id % 7 = 4 THEN '<a href="?q=1">q</a>' ELSE '' END) ||
       |  (CASE WHEN doc_id % 7 = 5 THEN '<a href="#frag">f</a>' ELSE '' END) ||
       |  (CASE WHEN doc_id % 7 = 6 THEN '<a href="mailto:ed@site1.com">m</a>' ELSE '' END) ||
@@ -7315,11 +7582,22 @@ private[graft] object OpsEntries {
     */
   private def linkResolveCtes: String = {
     import graft.ops.UrlOps
+    linkResolveCtesWith(
+      s"""lx AS (SELECT doc_id, base, unnest(list_concat(
+         |         regexp_extract_all(html, '${sqQuote(UrlOps.hrefDqRe)}', 1),
+         |         regexp_extract_all(html, '${sqQuote(UrlOps.hrefSqRe)}', 1))) AS href FROM lfix)""".stripMargin,
+      "")
+  }
+
+  /** [[linkResolveCtes]] with a pluggable `lx(doc_id, base, href[,
+    * extra…])` producer: the q291 anchor-pair form rides extra columns
+    * (carried by the intermediate SELECT *s) through to `lres`.
+    */
+  private def linkResolveCtesWith(lxSql: String, extra: String): String = {
+    import graft.ops.UrlOps
     s"""lfix AS ($linkFixtureSql),
-       |lx AS (SELECT doc_id, base, unnest(list_concat(
-       |         regexp_extract_all(html, '${sqQuote(UrlOps.hrefDqRe)}', 1),
-       |         regexp_extract_all(html, '${sqQuote(UrlOps.hrefSqRe)}', 1))) AS href FROM lfix),
-       |lr0 AS (SELECT doc_id, base, href,
+       |$lxSql,
+       |lr0 AS (SELECT doc_id, base, href$extra,
        |          regexp_replace(href, '${sqQuote(UrlOps.fragmentRe)}', '') AS rr FROM lx),
        |lr1 AS (SELECT *, lower(regexp_extract(base, '${sqQuote(UrlOps.schemeRe)}', 1)) AS sch,
        |          regexp_extract(base, '${sqQuote(UrlOps.authRe)}', 1) AS auth,
@@ -7327,9 +7605,9 @@ private[graft] object OpsEntries {
        |lr2 AS (SELECT *, CASE WHEN bpath = '' THEN '/' ELSE regexp_replace(bpath, '[^/]*$$', '') END AS bdir,
        |          regexp_replace(rr, '${sqQuote(UrlOps.refQueryStripRe)}', '') AS rp,
        |          regexp_extract(rr, '${sqQuote(UrlOps.refQueryRe)}', 1) AS rq FROM lr1),
-       |lres AS (SELECT doc_id, base, href, link,
+       |lres AS (SELECT doc_id, base, href$extra, link,
        |           coalesce(regexp_matches(link, '${sqQuote(UrlOps.webSchemeRe)}'), false) AS is_web
-       |         FROM (SELECT doc_id, base, href,
+       |         FROM (SELECT doc_id, base, href$extra,
        |           CASE WHEN sch = '' THEN NULL
        |                WHEN rr = '' THEN base
        |                WHEN regexp_matches(rr, '${sqQuote(UrlOps.absRefRe)}') THEN rr
@@ -7604,6 +7882,66 @@ private[graft] object OpsEntries {
       ",\nxne AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM xclean WHERE clean_text <> ''),\n" +
       sentenceDedupCtesFor("xne", "ps") +
       ",\nxsent AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM psdd WHERE clean_text <> '')"
+
+  /** The q290 rule table as parsed VALUES rows — pattern, converted
+    * regex, octet length and allow bit all from the SAME
+    * [[graft.ops.UrlOps.robotsPatternRegex]] converter the engine
+    * broadcasts. Shared by q290/q292/q293.
+    */
+  private lazy val robotsRulesValuesSql: String =
+    pipeRobotsRules.map { case (d, a, p) =>
+      s"('${sqQuote(d)}', $a, '${sqQuote(p)}', " +
+        s"'${sqQuote(graft.ops.UrlOps.robotsPatternRegex(p))}', ${p.length})"
+    }.mkString(", ")
+
+  /** [[pipelineCompleteCtes]] with the COMPLIANCE TIER composed in:
+    * the unique survivors take the RFC 9309 contest (`rv`), only
+    * allowed docs reach the q292 policy blocklist
+    * ([[pipeBlockedDomains2]]) and the cap window. Ends in `xsent`;
+    * unorm/ukeep/rv/dbl/dcap/xenc/xbv/xclean/psdd stay visible for
+    * the 13-way funnel union.
+    */
+  private def pipelineGovernedCtes: String = {
+    import graft.ops.UrlOps
+    val blArr = pipeBlockedDomains2.map(d => s"'${sqQuote(d)}'").mkString("[", ", ", "]")
+    val domainCtes =
+      s"""uq AS (SELECT u.doc_id, u.url_norm, u.host FROM unorm u
+         |       JOIN ukeep k ON k.doc_id = u.doc_id AND k.keep),
+         |""".stripMargin +
+        pslDomCtes("uq") + ",\n" +
+        s"""rr(rb_domain, rb_allow, rb_pattern, rb_regex, rb_len) AS (VALUES $robotsRulesValuesSql),
+           |rbase AS (SELECT u.doc_id, p.reg_domain,
+           |            CASE WHEN pq = '' THEN '/' ELSE pq END AS pq
+           |          FROM (SELECT doc_id,
+           |                  regexp_extract(url_norm, '${sqQuote(UrlOps.pathQueryRe)}', 1) AS pq
+           |                FROM uq) u
+           |          JOIN pdom p USING (doc_id)),
+           |rm AS (SELECT b.doc_id, b.reg_domain,
+           |         max(CASE WHEN r.rb_pattern IS NOT NULL
+           |               THEN lpad(CAST(rb_len AS VARCHAR), 4, '0') ||
+           |               (CASE WHEN rb_allow THEN '1' ELSE '0' END) || rb_pattern END) AS k
+           |       FROM rbase b LEFT JOIN rr r
+           |         ON r.rb_domain = b.reg_domain AND regexp_matches(b.pq, r.rb_regex)
+           |       GROUP BY 1, 2),
+           |rv AS MATERIALIZED (SELECT doc_id, reg_domain,
+           |        coalesce(substr(k, 5, 1) = '1', true) AS allowed FROM rm),
+           |dbl AS MATERIALIZED (SELECT doc_id, reg_domain,
+           |        list_contains($blArr, reg_domain) AS blocked FROM rv WHERE allowed),
+           |dcap AS MATERIALIZED (SELECT doc_id FROM (
+           |        SELECT doc_id, row_number() OVER (PARTITION BY reg_domain
+           |          ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000000,
+           |            doc_id) AS r
+           |        FROM dbl WHERE NOT blocked) WHERE r <= $pipeDomainCap),
+           |""".stripMargin
+    firstMileCtes(htmlFixture3Sql,
+      urlLead = urlFixture3Sql + ",\n",
+      urlRel = "ufix3",
+      midCtes = domainCtes,
+      keptSql = "SELECT doc_id FROM dcap") +
+      ",\nxne AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM xclean WHERE clean_text <> ''),\n" +
+      sentenceDedupCtesFor("xne", "ps") +
+      ",\nxsent AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM psdd WHERE clean_text <> '')"
+  }
 
   /** [[pipelineSentCtes]] with the DOMAIN TIER composed in, over the
     * [[urlFixture3]] frontier (NO leading WITH, no trailing comma):

@@ -697,6 +697,60 @@ object Stress {
             graft.ops.GraphOps.pageRank(ed, nodes, srcCol = "src_dom", dstCol = "dst_dom",
               weightCol = "n_links").count()
           }),
+          // map-only domain/path derivation + ONE broadcast regex
+          // join (robots-file-sized rule side) + one id-keyed max
+          ("robots_verdict", docs1, docsX, d =>
+            UrlOps.robotsVerdict(UrlOps.urlNormalize(OpsEntries.urlFixture3(d)),
+              OpsEntries.pipeRobotsRules).count()),
+          // the GOVERNED build: robots + blocklist + cap all bound the
+          // extract-tier entrants, so downstream is constant-size
+          ("pipeline_governed", docs1, docsX, d => {
+            val normed = UrlOps.urlNormalize(OpsEntries.urlFixture3(d),
+              extraKill = OpsEntries.reviewedKill).localCheckpoint(true)
+            val dedup = UrlOps.urlDedup(normed).localCheckpoint(true)
+            val nuniq = normed.join(dedup.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+              .localCheckpoint(true)
+            val rv = UrlOps.robotsVerdict(nuniq, OpsEntries.pipeRobotsRules)
+              .localCheckpoint(true)
+            val nAfterRv = nuniq.join(rv.filter(col("allowed")).select("doc_id"), Seq("doc_id"))
+            val bl = UrlOps.domainBlocklist(nAfterRv, OpsEntries.pipeBlockedDomains2)
+              .localCheckpoint(true)
+            val nAfterBl = nAfterRv.join(bl.filter(!col("blocked")).select("doc_id"), Seq("doc_id"))
+            val capped = UrlOps.domainCaps(nAfterBl, cap = OpsEntries.pipeDomainCap)
+              .localCheckpoint(true)
+            val ext = TextOps.htmlExtract(OpsEntries.htmlFixture3(
+              d.join(capped.select("doc_id"), Seq("doc_id"))))
+              .select(col("doc_id"), col("text")).localCheckpoint(true)
+            val cleaned = TextOps.removeLines(ext, TextOps.boilerplateLines(ext).select("line"))
+              .select(col("doc_id"), col("clean_text").as("text")).localCheckpoint(true)
+            val cur = OpsEntries.curationFrame(cleaned.filter(col("text") =!= ""))
+            rv.filter(!col("allowed")).select("doc_id")
+              .unionByName(bl.filter(col("blocked")).select("doc_id"))
+              .unionByName(cur.select("doc_id")).count()
+          }),
+          // one crawl iteration: link explode + two normalize chains +
+          // the url_norm-keyed anti-join + robots + domain rollup —
+          // the anti-join is the only exchange whose BOTH sides grow
+          ("frontier_discovery", docs1, docsX, d => {
+            val lx = UrlOps.extractLinks(OpsEntries.linkFixture(d), baseCol = "base")
+              .filter(col("is_web"))
+            val cand = UrlOps.urlNormalize(lx.select(col("doc_id"), col("link").as("url")))
+            val seen = UrlOps.urlNormalize(
+                OpsEntries.linkFixture(d).select(col("doc_id"), col("base").as("url")))
+              .select(col("url_norm")).distinct()
+            val newu = cand.filter(col("url_norm").isNotNull)
+              .select(col("url_norm"), col("host")).distinct()
+              .join(seen, Seq("url_norm"), "left_anti")
+              .withColumn("nid", md5(col("url_norm")))
+            UrlOps.robotsVerdict(newu, OpsEntries.pipeRobotsRules, idCol = "nid")
+              .groupBy("reg_domain")
+              .agg(count(lit(1)).as("n_new"),
+                sum(when(col("allowed"), 1L).otherwise(0L)).as("n_fetchable")).count()
+          }),
+          // anchor-pair explode + resolve + tokenize (all map-only),
+          // ONE (dst_domain, term) partial-aggregable rollup
+          ("anchor_index", docs1, docsX, d =>
+            UrlOps.anchorTextIndex(OpsEntries.linkFixture(d), baseCol = "base").count()),
           // one frontier rollup (domain-keyed, partial-aggregable),
           // then the waterfill solve over the domain-sized frame
           ("crawl_budget", docs1, docsX, d => {

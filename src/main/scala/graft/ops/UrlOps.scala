@@ -636,6 +636,82 @@ object UrlOps {
       .otherwise(concat(origin, removeDotSegments(concat(baseDir, rp)), rq))
   }
 
+  /** RFC 9309 (robots.txt) rule pattern → anchored regex, evaluated
+    * identically by java.util.regex and RE2: '*' matches any octet
+    * run, a trailing '$' anchors the end, every other regex special
+    * is escaped to its literal self. Pure driver-side conversion —
+    * the SAME converted regex is spliced into the broadcast rule
+    * table and the oracle VALUES, so the engines cannot drift on
+    * pattern semantics.
+    */
+  private[graft] def robotsPatternRegex(p: String): String = {
+    val endsAnchor = p.endsWith("$")
+    val body = if (endsAnchor) p.dropRight(1) else p
+    val sb = new StringBuilder("^")
+    body.foreach {
+      case '*' => sb.append(".*")
+      case c if "\\.[]{}()+?^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    if (endsAnchor) sb.append('$')
+    sb.toString
+  }
+
+  /** The rule-match target per RFC 9309 §2.2.2: path + optional query
+    * of the normalized URL ('' → '/'). */
+  private[graft] val pathQueryRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$"
+
+  /** RFC 9309 robots-exclusion VERDICT over [[urlNormalize]]'s
+    * output: every valid frontier row gets its registrable domain, the
+    * most specific matching rule from that domain's (bounded,
+    * broadcast) rule set, and the `allowed` flag — longest-pattern
+    * wins (§2.2.2's octet-length specificity), an allow beats a
+    * disallow at equal length (least-restrictive tie-break), no match
+    * defaults to allowed. Verdict, not silent filter (the
+    * [[domainBlocklist]] discipline): a compliance review counts what
+    * a rules change would kill before any fetch is suppressed.
+    *
+    * `rules` rows are (registrable domain, isAllow, rule pattern) in
+    * the robots.txt path-pattern grammar ('*' wildcard, '$' anchor);
+    * patterns must be non-empty (an empty Disallow line means
+    * allow-all in the file grammar — express that by omitting rules).
+    *
+    * Plan shape: map-only domain/path derivation + ONE broadcast
+    * regex join (rule sets are robots-file-sized) + one id-keyed
+    * max aggregate. The specificity contest rides a single sortable
+    * string key (zero-padded length ‖ allow bit ‖ pattern), so the
+    * winner is engine-independent and order-free.
+    *
+    * Output: (<idCol>, url_norm, reg_domain, rule, allowed) — `rule`
+    * NULL when no rule matched.
+    */
+  def robotsVerdict(normed: DataFrame, rules: Seq[(String, Boolean, String)],
+                    idCol: String = "doc_id"): DataFrame = {
+    require(rules.nonEmpty, "robotsVerdict needs at least one rule")
+    require(rules.forall(_._3.nonEmpty),
+      "empty robots patterns are allow-all: express them by omitting rules")
+    val spark = normed.sparkSession
+    import spark.implicits._
+    val ruleDf = broadcast(rules.map { case (d, allow, pat) =>
+      (d, allow, pat, robotsPatternRegex(pat), pat.length) }
+      .toDF("rb_domain", "rb_allow", "rb_pattern", "rb_regex", "rb_len"))
+    val pq = regexp_extract(col("url_norm"), pathQueryRe, 1)
+    val base = normed.filter(col("url_norm").isNotNull)
+      .select(col(idCol), col("url_norm"),
+        registeredDomainFull(col("host")).as("reg_domain"),
+        when(pq === "", lit("/")).otherwise(pq).as("__pq"))
+    val key = concat(lpad(col("rb_len").cast("string"), 4, "0"),
+      when(col("rb_allow"), lit("1")).otherwise(lit("0")), col("rb_pattern"))
+    base.join(ruleDf,
+        col("reg_domain") === col("rb_domain") && regexp_like(col("__pq"), col("rb_regex")),
+        "left")
+      .groupBy(col(idCol), col("url_norm"), col("reg_domain"))
+      .agg(max(key).as("__k"))
+      .select(col(idCol), col("url_norm"), col("reg_domain"),
+        substring(col("__k"), 6, 1000000).as("rule"),
+        coalesce(substring(col("__k"), 5, 1) === "1", lit(true)).as("allowed"))
+  }
+
   /** Out-link extraction over `(idCol, baseCol, htmlCol)` rows: every
     * `<a href>` occurrence (duplicates kept — occurrence count IS the
     * edge weight upstream of [[graft.ops.GraphOps.pageRank]]) becomes
@@ -656,5 +732,51 @@ object UrlOps {
       .withColumn("link", resolveRef(col(baseCol), col("href")))
       .withColumn("is_web", coalesce(col("link").rlike(webSchemeRe), lit(false)))
       .select(col(idCol), col(baseCol), col("href"), col("link"), col("is_web"))
+  }
+
+  /** [[hrefDqRe]]/[[hrefSqRe]] extended through the tag close to the
+    * anchor TEXT (group 2): the visible text up to the first '<' —
+    * nested markup inside the anchor truncates there, by contract
+    * (the text before an inline tag is what this tier indexes).
+    */
+  private[graft] val anchorDqRe = "(?i)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>([^<]*)"
+  private[graft] val anchorSqRe = "(?i)<a\\s[^>]*?href\\s*=\\s*'([^']*)'[^>]*>([^<]*)"
+
+  /** In-link anchor-TEXT index per target registrable domain — the
+    * classic off-page description signal: what OTHER pages' link text
+    * says a destination is. Every `<a href>text` occurrence resolves
+    * ([[resolveRef]]), non-web targets drop, the anchor text
+    * tokenizes with the engine-wide tokenizer, and one
+    * (dst_domain, term) rollup counts total references and DISTINCT
+    * SOURCE domains — the independent-endorsement count that
+    * separates site-wide nav text from genuine cross-site
+    * description.
+    *
+    * Plan shape: map-only extract/resolve/tokenize explodes + ONE
+    * partial-aggregable (dst_domain, term) rollup (countDistinct on
+    * src_domain rides the same exchange). Output is
+    * (domain × vocabulary)-sized.
+    *
+    * Output: (dst_domain, term, n_refs, n_src_domains).
+    */
+  def anchorTextIndex(docs: DataFrame, htmlCol: String = "html",
+                      baseCol: String = "url_norm", idCol: String = "doc_id"): DataFrame = {
+    val ms = concat(
+      regexp_extract_all(col(htmlCol), lit(anchorDqRe), lit(0)),
+      regexp_extract_all(col(htmlCol), lit(anchorSqRe), lit(0)))
+    val isDq = col("m").rlike(anchorDqRe)
+    def grp(i: Int): Column =
+      when(isDq, regexp_extract(col("m"), anchorDqRe, i))
+        .otherwise(regexp_extract(col("m"), anchorSqRe, i))
+    docs.select(col(idCol), col(baseCol), explode(ms).as("m"))
+      .select(col(idCol), col(baseCol), grp(1).as("href"), grp(2).as("atext"))
+      .withColumn("link", resolveRef(col(baseCol), col("href")))
+      .filter(coalesce(col("link").rlike(webSchemeRe), lit(false)))
+      .select(registeredDomainFull(hostOf(col("link"))).as("dst_domain"),
+        registeredDomainFull(hostOf(col(baseCol))).as("src_domain"),
+        explode(graft.ops.TextOps.tokens(col("atext"))).as("term"))
+      .groupBy("dst_domain", "term")
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("src_domain")).as("n_src_domains"))
   }
 }

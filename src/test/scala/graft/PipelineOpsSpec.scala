@@ -877,4 +877,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(perDomain.values.exists(_ == OpsEntries.pipeDomainCap),
       "at least one domain should sit exactly at the cap")
   }
+
+  test("q292 governed pipeline: compliance precedes policy, every doc exactly one reason") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q292_pipeline_governed")(spark, dir)
+      .select("doc_id", "reason", "keep").collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull).select("doc_id").as[Long].collect().toSet
+    val ids = out.map(_.getLong(0))
+    assert(ids.length === docs.size && ids.toSet === docs,
+      "13-way funnel must account for every fixture doc exactly once")
+    val byReason = out.groupBy(_.getString(1)).map { case (k, v) => k -> v.map(_.getLong(0)).toSet }
+    // robots kills ALL of site3 (the '/' rule) among unique survivors,
+    // so nothing site3 may reach the policy tier or beyond
+    val postRobots = out.filter(r => !Set("unparseable", "url_dup",
+      "robots_disallowed").contains(r.getString(1))).map(_.getLong(0))
+    assert(postRobots.forall(_ % 6 != 3), "a robots-disallowed site3 doc leaked downstream")
+    assert(byReason("robots_disallowed").exists(_ % 6 == 3), "site3 must die at the robots tier")
+    // the q292 policy blocklist convicts site4 — only robots-allowed
+    // docs may appear there (compliance precedes policy)
+    assert(byReason("domain_blocked").nonEmpty && byReason("domain_blocked").forall(_ % 6 == 4),
+      "domain_blocked must be exactly the site4 residue class")
+    // both governance classes coexist with cap pressure
+    assert(byReason.contains("domain_capped") && byReason("domain_capped").nonEmpty)
+  }
 }

@@ -475,4 +475,65 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(byHref("#top") === (("http://www.ex.com/d/page", true)))
     assert(!rows.exists(_._1 == "skip"), "<area href> is out of the <a> contract")
   }
+
+  test("robotsPatternRegex: wildcard, end anchor, literal-special escaping") {
+    assert(UrlOps.robotsPatternRegex("/a/") === "^/a/")
+    assert(UrlOps.robotsPatternRegex("/*x=") === "^/.*x=")
+    assert(UrlOps.robotsPatternRegex("/p$") === "^/p$")
+    // a '$' not at the end is a literal octet, and regex specials
+    // in paths (dots, plus, parens) must not become operators
+    assert(UrlOps.robotsPatternRegex("/a$b.c+(d)") === "^/a\\$b\\.c\\+\\(d\\)")
+  }
+
+  test("robotsVerdict: RFC 9309 specificity, tie-break, anchors, default allow") {
+    val rules = Seq(
+      ("example.com", false, "/fish"),        // blocks /fish*
+      ("example.com", true, "/fish/"),        // longer allow carves the dir
+      ("example.com", false, "/*.php$"),      // anchored wildcard
+      ("example.com", false, "/tie"),         // equal-length pair:
+      ("example.com", true, "/tie"))          //   allow must win
+    val urls = Seq(
+      (1L, "http://example.com/fish"),         // /fish (len 5) → blocked
+      (2L, "http://example.com/fishheads"),    // prefix match → blocked
+      (3L, "http://example.com/fish/salmon"),  // /fish/ (len 6) wins → allowed
+      (4L, "http://example.com/x/page.php"),   // .php$ → blocked
+      (5L, "http://example.com/x/page.php5"),  // NOT anchored-match → allowed, no rule
+      (6L, "http://example.com/tie"),          // tie → allow wins
+      (7L, "http://example.com/"),             // no match → default allow
+      (8L, "http://other.org/fish"))           // ruleless domain → allowed
+      .toDF("doc_id", "url")
+    val got = UrlOps.robotsVerdict(UrlOps.urlNormalize(urls), rules).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(3)), r.getBoolean(4)))).toMap
+    assert(got(1L) === ((Some("/fish"), false)))
+    assert(got(2L) === ((Some("/fish"), false)))
+    assert(got(3L) === ((Some("/fish/"), true)))
+    assert(got(4L) === ((Some("/*.php$"), false)))
+    assert(got(5L) === ((None, true)))
+    assert(got(6L) === ((Some("/tie"), true)))
+    assert(got(7L) === ((None, true)))
+    assert(got(8L) === ((None, true)))
+  }
+
+  test("anchorTextIndex: tokenized terms per target domain, distinct-source endorsement, inline-tag truncation") {
+    val rows = Seq(
+      (1L, "http://a.one.com/p",
+        """<a href="http://www.two.com/x">Great Docs</a><a href='http://two.com/y'>docs</a>""" +
+          """<a href="/nav">home nav</a><a href="http://two.com/z"><b>bold</b> lost</a>"""),
+      (2L, "http://three.com/q",
+        """<a href="http://two.com/x">docs again</a><a href="mailto:x@y.z">mail me</a>"""))
+      .toDF("doc_id", "url_norm", "html")
+    val got = UrlOps.anchorTextIndex(rows).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // 'docs' reaches two.com from one.com (twice: dq+sq) and three.com
+    assert(got(("two.com", "docs")) === ((3L, 2L)))
+    assert(got(("two.com", "great")) === ((1L, 1L)))   // tokenizer lowercases
+    assert(got(("two.com", "again")) === ((1L, 1L)))
+    // self-links index under the source's own domain
+    assert(got(("one.com", "home")) === ((1L, 1L)))
+    // an anchor starting with markup has no text before the first '<'
+    assert(!got.contains(("two.com", "bold")) && !got.contains(("two.com", "lost")),
+      "text after an inline tag is out of the contract")
+    // mailto targets never reach the index
+    assert(!got.keys.exists(_._2 == "mail"))
+  }
 }
