@@ -2297,6 +2297,75 @@ private[graft] object OpsEntries {
     "q291_anchor_text_index" -> ((s, dir) =>
       UrlOps.anchorTextIndex(linkFixture(t(s, dir, "documents")), baseCol = "base")),
 
+    // The link graph's authority under the DIRECTED formulation — the
+    // web semantics, where a link is an endorsement of its TARGET and
+    // a farm linking out a thousand times inherits nothing (q288's
+    // undirected form stays as the mirror/cocitation view; the two
+    // disagree exactly on sink/source asymmetry, which the fixture's
+    // hub/cdn edges exercise).
+    "q294_domain_authority_directed" -> ((s, dir) => {
+      val lx = UrlOps.extractLinks(linkFixture(t(s, dir, "documents")), baseCol = "base")
+        .filter(col("is_web"))
+      val ed = lx.select(
+          UrlOps.registeredDomainFull(UrlOps.hostOf(col("base"))).as("src_dom"),
+          UrlOps.registeredDomainFull(UrlOps.hostOf(col("link"))).as("dst_dom"))
+        .groupBy("src_dom", "dst_dom").agg(count(lit(1)).as("n_links"))
+        .localCheckpoint(true) // node union + the per-iteration PR joins read it
+      val nodes = ed.select(col("src_dom").as("domain"))
+        .unionByName(ed.select(col("dst_dom").as("domain"))).distinct()
+      graft.ops.GraphOps.pageRankDirected(ed, nodes, srcCol = "src_dom",
+        dstCol = "dst_dom", weightCol = "n_links")
+    }),
+
+    // THE FETCH PLAN — the frontier story's capstone, every tier
+    // consumed in one artifact: q293's discovered+robots-allowed URLs,
+    // ranked within their domain in deterministic hash order, against
+    // per-domain quotas water-filled (q289's exact solve) from a 60%
+    // budget with q294's DIRECTED authority as the demand weight —
+    // endorsed domains fill first, farms get the floor. Output is one
+    // row per fetchable URL with its rank and the fetch/defer verdict.
+    "q295_fetch_plan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lx = UrlOps.extractLinks(linkFixture(docs), baseCol = "base")
+        .filter(col("is_web")).localCheckpoint(true) // frontier + graph read it
+      val cand = UrlOps.urlNormalize(lx.select(col("doc_id"), col("link").as("url")))
+      val seen = UrlOps.urlNormalize(
+          linkFixture(docs).select(col("doc_id"), col("base").as("url")))
+        .select(col("url_norm")).distinct()
+      val newu = cand.filter(col("url_norm").isNotNull)
+        .select(col("url_norm"), col("host")).distinct()
+        .join(seen, Seq("url_norm"), "left_anti")
+        .withColumn("nid", md5(col("url_norm")))
+      val fetchable = UrlOps.robotsVerdict(newu, pipeRobotsRules, idCol = "nid")
+        .filter(col("allowed")).select(col("nid"), col("url_norm"), col("reg_domain"))
+        .localCheckpoint(true) // demand rollup + the ranked plan read it
+      val ed = lx.select(
+          UrlOps.registeredDomainFull(UrlOps.hostOf(col("base"))).as("src_dom"),
+          UrlOps.registeredDomainFull(UrlOps.hostOf(col("link"))).as("dst_dom"))
+        .groupBy("src_dom", "dst_dom").agg(count(lit(1)).as("n_links"))
+        .localCheckpoint(true)
+      val nodes = ed.select(col("src_dom").as("domain"))
+        .unionByName(ed.select(col("dst_dom").as("domain"))).distinct()
+      val pr = graft.ops.GraphOps.pageRankDirected(ed, nodes, srcCol = "src_dom",
+        dstCol = "dst_dom", weightCol = "n_links")
+      val dem = fetchable.groupBy("reg_domain").agg(count(lit(1)).as("n_fetchable"))
+        .join(pr.select(col("domain").as("reg_domain"), col("pr")), Seq("reg_domain"), "left")
+        .select(col("reg_domain").as("source"),
+          col("n_fetchable").cast("long").as("capacity"),
+          coalesce(col("pr"), lit(0.000001)).as("weight"))
+        .localCheckpoint(true) // budget aggregate + the allocation read it
+      val budget = math.floor(
+        dem.agg(sum("capacity").as("c")).head().getLong(0).toDouble * 0.6).toLong
+      val alloc = SampleOps.waterfillAllocation(dem, budget)
+        .select(col("source").as("reg_domain"), col("alloc"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("reg_domain")
+        .orderBy(col("nid"), col("url_norm"))
+      fetchable.withColumn("rank", row_number().over(w).cast("long"))
+        .join(alloc, Seq("reg_domain"), "left")
+        .select(col("url_norm"), col("reg_domain"), col("rank"),
+          (col("rank") <= coalesce(col("alloc"), lit(0L))).as("fetch"))
+    }),
+
     // q286 with the COMPLIANCE TIER composed in — the governed build:
     // after URL dedup the unique frontier takes the RFC 9309 verdict
     // (robots-disallowed docs drop with their own reason, never
@@ -6868,6 +6937,149 @@ private[graft] object OpsEntries {
     "q287_link_extract" ->
       ("WITH " + linkResolveCtes +
         "\nSELECT doc_id, base, href, link, is_web FROM lres"),
+
+    // The capstone replay: q293's discovery chain (url_norm kept
+    // through the robots contest), q294's directed-PR unroll on a
+    // 'g'-prefixed pdom pass, the q224 waterfill with authority
+    // weights, and the per-domain hash-order rank window.
+    "q295_fetch_plan" -> {
+      import graft.ops.UrlOps
+      val teleport = s"CAST(${1.0 - 0.85} AS DOUBLE) / n_nodes"
+      def iter(i: Int): String =
+        s"""c$i AS (SELECT d, sum(CAST(round(pr / ow * w * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)) AS cin
+           |      FROM ec JOIN p${i - 1} ON p${i - 1}.node = ec.s JOIN ow ON ow.s = ec.s GROUP BY d),
+           |p$i AS (SELECT nd.node, round($teleport
+           |          + CAST(0.85 AS DOUBLE) * (coalesce(cin, 0) / CAST(1000000000.0 AS DOUBLE)), 6) AS pr
+           |        FROM nd CROSS JOIN nn LEFT JOIN c$i ON c$i.d = nd.node),
+           |""".stripMargin
+      "WITH " + linkResolveCtes + ",\n" +
+        "cfix AS (SELECT doc_id, link AS url FROM lres WHERE is_web),\n" +
+        urlNormCtes("cfix", Nil, "c") + ",\n" +
+        "sfix AS (SELECT doc_id, base AS url FROM lfix),\n" +
+        urlNormCtes("sfix", Nil, "s") + ",\n" +
+        s"""newu AS (SELECT md5(url_norm) AS doc_id, url_norm, host FROM
+           |           (SELECT DISTINCT url_norm, host FROM cunorm
+           |            WHERE url_norm IS NOT NULL
+           |              AND url_norm NOT IN (SELECT url_norm FROM sunorm
+           |                                   WHERE url_norm IS NOT NULL))),
+           |""".stripMargin +
+        pslDomCtes("(SELECT doc_id, host FROM newu)") +
+        s""",
+           |rr(rb_domain, rb_allow, rb_pattern, rb_regex, rb_len) AS (VALUES $robotsRulesValuesSql),
+           |rbase AS (SELECT n.doc_id, p.reg_domain,
+           |            CASE WHEN pq = '' THEN '/' ELSE pq END AS pq
+           |          FROM (SELECT doc_id, url_norm,
+           |                  regexp_extract(url_norm, '${sqQuote(UrlOps.pathQueryRe)}', 1) AS pq
+           |                FROM newu) n
+           |          JOIN pdom p USING (doc_id)),
+           |rm AS (SELECT b.doc_id, b.reg_domain,
+           |         max(CASE WHEN r.rb_pattern IS NOT NULL
+           |               THEN lpad(CAST(rb_len AS VARCHAR), 4, '0')
+           |                 || (CASE WHEN rb_allow THEN '1' ELSE '0' END) || rb_pattern END) AS k
+           |       FROM rbase b LEFT JOIN rr r
+           |         ON r.rb_domain = b.reg_domain AND regexp_matches(b.pq, r.rb_regex)
+           |       GROUP BY 1, 2),
+           |fetchable AS MATERIALIZED (SELECT m.doc_id AS nid, n.url_norm, m.reg_domain
+           |       FROM rm m JOIN newu n ON n.doc_id = m.doc_id
+           |       WHERE coalesce(substr(k, 5, 1) = '1', true)),
+           |lw AS (SELECT row_number() OVER (ORDER BY doc_id, href) AS rid, base, link
+           |       FROM lres WHERE is_web),
+           |lh AS (SELECT rid * 2 AS doc_id, ${hostOfSql("base")} AS host FROM lw
+           |       UNION ALL SELECT rid * 2 + 1, ${hostOfSql("link")} FROM lw),
+           |""".stripMargin + pslDomCtes("lh", "g") + ",\n" +
+        s"""e0 AS (SELECT s.reg_domain AS src_dom, d.reg_domain AS dst_dom, count(*) AS n_links
+           |       FROM lw JOIN gpdom s ON s.doc_id = lw.rid * 2
+           |               JOIN gpdom d ON d.doc_id = lw.rid * 2 + 1
+           |       GROUP BY 1, 2),
+           |ec AS (SELECT src_dom AS s, dst_dom AS d, CAST(n_links AS DOUBLE) AS w
+           |       FROM e0 WHERE src_dom <> dst_dom),
+           |ow AS (SELECT s, sum(w) AS ow FROM ec GROUP BY 1),
+           |nd AS (SELECT DISTINCT domain AS node FROM
+           |        (SELECT src_dom AS domain FROM e0 UNION ALL SELECT dst_dom FROM e0)),
+           |nn AS (SELECT count(*) AS n_nodes FROM nd),
+           |p0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / n_nodes, 6) AS pr FROM nd CROSS JOIN nn),
+           |""".stripMargin + iter(1) + iter(2) +
+        s"""c3 AS (SELECT d, sum(CAST(round(pr / ow * w * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)) AS cin
+           |      FROM ec JOIN p2 ON p2.node = ec.s JOIN ow ON ow.s = ec.s GROUP BY d),
+           |prt AS (SELECT nd.node, round($teleport
+           |          + CAST(0.85 AS DOUBLE) * (coalesce(cin, 0) / CAST(1000000000.0 AS DOUBLE)), 6) AS pr
+           |        FROM nd CROSS JOIN nn LEFT JOIN c3 ON c3.d = nd.node),
+           |srcs AS (SELECT f.reg_domain AS source,
+           |           CAST(count(*) AS BIGINT) AS cap,
+           |           CAST(round(coalesce(any_value(p.pr), 0.000001) * 1000000) AS BIGINT) AS w6
+           |         FROM fetchable f LEFT JOIN prt p ON p.node = f.reg_domain
+           |         GROUP BY 1),
+           |b AS (SELECT CAST(floor(sum(cap) * 0.6) AS BIGINT) AS budget FROM srcs),
+           |ordd AS (SELECT source, w6, cap,
+           |           coalesce(sum(cap) OVER w, 0) AS cprev,
+           |           coalesce(sum(w6) OVER w, 0) AS wprev,
+           |           sum(w6) OVER () AS wtot
+           |         FROM srcs WINDOW w AS (ORDER BY CAST(cap AS DOUBLE) / w6, source
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           |fl AS (SELECT source, w6, cap, budget,
+           |         (budget - cprev) * w6 >= cap * (wtot - wprev) AS sat
+           |       FROM ordd CROSS JOIN b),
+           |rem AS (SELECT sum(CASE WHEN sat THEN cap ELSE 0 END) AS csat,
+           |          sum(CASE WHEN NOT sat THEN w6 ELSE 0 END) AS wrem FROM fl),
+           |al AS (SELECT source, cap, sat, budget - csat AS brem, wrem,
+           |         CASE WHEN sat THEN cap
+           |              WHEN wrem > 0 THEN (budget - csat) * w6 // wrem
+           |              ELSE 0 END AS fl2,
+           |         CASE WHEN NOT sat AND wrem > 0
+           |              THEN ((budget - csat) * w6) % wrem ELSE 0 END AS remd
+           |       FROM fl CROSS JOIN rem),
+           |fin AS (SELECT source, cap, sat, fl2, brem,
+           |          sum(CASE WHEN NOT sat THEN fl2 ELSE 0 END) OVER () AS unsatfloor,
+           |          row_number() OVER (PARTITION BY sat ORDER BY remd DESC, source) AS rk
+           |        FROM al),
+           |wal AS (SELECT source AS reg_domain,
+           |          CAST(fl2 + CASE WHEN NOT sat AND rk <= brem - unsatfloor
+           |                          THEN 1 ELSE 0 END AS BIGINT) AS alloc
+           |        FROM fin),
+           |ranked AS (SELECT url_norm, reg_domain,
+           |             CAST(row_number() OVER (PARTITION BY reg_domain
+           |               ORDER BY nid, url_norm) AS BIGINT) AS rank
+           |           FROM fetchable)
+           |SELECT r.url_norm, r.reg_domain, r.rank,
+           |       r.rank <= coalesce(a.alloc, 0) AS fetch
+           |FROM ranked r LEFT JOIN wal a USING (reg_domain)""".stripMargin
+    },
+
+    // q288's edge CTEs with the DIRECTED unroll: no sym union, the
+    // out-weight normalizes per source over outgoing edges only.
+    "q294_domain_authority_directed" -> {
+      val teleport = s"CAST(${1.0 - 0.85} AS DOUBLE) / n_nodes"
+      def iter(i: Int): String =
+        s"""c$i AS (SELECT d, sum(CAST(round(pr / ow * w * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)) AS cin
+           |      FROM ec JOIN p${i - 1} ON p${i - 1}.node = ec.s JOIN ow ON ow.s = ec.s GROUP BY d),
+           |p$i AS (SELECT nd.node, round($teleport
+           |          + CAST(0.85 AS DOUBLE) * (coalesce(cin, 0) / CAST(1000000000.0 AS DOUBLE)), 6) AS pr
+           |        FROM nd CROSS JOIN nn LEFT JOIN c$i ON c$i.d = nd.node),
+           |""".stripMargin
+      "WITH " + linkResolveCtes + ",\n" +
+        s"""lw AS (SELECT row_number() OVER (ORDER BY doc_id, href) AS rid, base, link
+           |       FROM lres WHERE is_web),
+           |lh AS (SELECT rid * 2 AS doc_id, ${hostOfSql("base")} AS host FROM lw
+           |       UNION ALL SELECT rid * 2 + 1, ${hostOfSql("link")} FROM lw),
+           |""".stripMargin + pslDomCtes("lh") + ",\n" +
+        s"""e0 AS (SELECT s.reg_domain AS src_dom, d.reg_domain AS dst_dom, count(*) AS n_links
+           |       FROM lw JOIN pdom s ON s.doc_id = lw.rid * 2
+           |               JOIN pdom d ON d.doc_id = lw.rid * 2 + 1
+           |       GROUP BY 1, 2),
+           |ec AS (SELECT src_dom AS s, dst_dom AS d, CAST(n_links AS DOUBLE) AS w
+           |       FROM e0 WHERE src_dom <> dst_dom),
+           |ow AS (SELECT s, sum(w) AS ow FROM ec GROUP BY 1),
+           |nd AS (SELECT DISTINCT domain AS node FROM
+           |        (SELECT src_dom AS domain FROM e0 UNION ALL SELECT dst_dom FROM e0)),
+           |nn AS (SELECT count(*) AS n_nodes FROM nd),
+           |p0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / n_nodes, 6) AS pr FROM nd CROSS JOIN nn),
+           |""".stripMargin + iter(1) + iter(2) +
+        s"""c3 AS (SELECT d, sum(CAST(round(pr / ow * w * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)) AS cin
+           |      FROM ec JOIN p2 ON p2.node = ec.s JOIN ow ON ow.s = ec.s GROUP BY d)
+           |SELECT nd.node AS domain, round($teleport
+           |         + CAST(0.85 AS DOUBLE) * (coalesce(cin, 0) / CAST(1000000000.0 AS DOUBLE)), 6) AS pr
+           |FROM nd CROSS JOIN nn LEFT JOIN c3 ON c3.d = nd.node""".stripMargin
+    },
 
     // Web edges → one full-PSL pdom pass over the union of src/dst
     // hosts (rid-keyed so one VALUES table serves both ends) → the

@@ -682,6 +682,21 @@ object Stress {
           // segment-count, independent of corpus x)
           ("link_extract", docs1, docsX,
             d => UrlOps.extractLinks(OpsEntries.linkFixture(d), baseCol = "base").count()),
+          // same rollup, directed unroll — the per-source out-weight
+          // aggregate replaces the sym union
+          ("link_graph_directed", docs1, docsX, d => {
+            val lx = UrlOps.extractLinks(OpsEntries.linkFixture(d), baseCol = "base")
+              .filter(col("is_web"))
+            val ed = lx.select(
+                UrlOps.registeredDomainFull(UrlOps.hostOf(col("base"))).as("src_dom"),
+                UrlOps.registeredDomainFull(UrlOps.hostOf(col("link"))).as("dst_dom"))
+              .groupBy("src_dom", "dst_dom").agg(count(lit(1)).as("n_links"))
+              .localCheckpoint(true)
+            val nodes = ed.select(col("src_dom").as("domain"))
+              .unionByName(ed.select(col("dst_dom").as("domain"))).distinct()
+            graft.ops.GraphOps.pageRankDirected(ed, nodes, srcCol = "src_dom",
+              dstCol = "dst_dom", weightCol = "n_links").count()
+          }),
           // corpus-scale work is the one (src,dst)-keyed edge rollup;
           // the PR iterations run on the domain-sized graph
           ("link_graph", docs1, docsX, d => {
@@ -751,6 +766,49 @@ object Stress {
           // ONE (dst_domain, term) partial-aggregable rollup
           ("anchor_index", docs1, docsX, d =>
             UrlOps.anchorTextIndex(OpsEntries.linkFixture(d), baseCol = "base").count()),
+          // the capstone: discovery + directed authority + waterfill +
+          // the per-domain rank window — the rank window keys on
+          // reg_domain over the DISTINCT new-URL set (the anti-join
+          // and the edge rollup are the only corpus-scale exchanges)
+          ("fetch_plan", docs1, docsX, d => {
+            val lx = UrlOps.extractLinks(OpsEntries.linkFixture(d), baseCol = "base")
+              .filter(col("is_web")).localCheckpoint(true)
+            val cand = UrlOps.urlNormalize(lx.select(col("doc_id"), col("link").as("url")))
+            val seen = UrlOps.urlNormalize(
+                OpsEntries.linkFixture(d).select(col("doc_id"), col("base").as("url")))
+              .select(col("url_norm")).distinct()
+            val newu = cand.filter(col("url_norm").isNotNull)
+              .select(col("url_norm"), col("host")).distinct()
+              .join(seen, Seq("url_norm"), "left_anti")
+              .withColumn("nid", md5(col("url_norm")))
+            val fetchable = UrlOps.robotsVerdict(newu, OpsEntries.pipeRobotsRules, idCol = "nid")
+              .filter(col("allowed")).select(col("nid"), col("url_norm"), col("reg_domain"))
+              .localCheckpoint(true)
+            val ed = lx.select(
+                UrlOps.registeredDomainFull(UrlOps.hostOf(col("base"))).as("src_dom"),
+                UrlOps.registeredDomainFull(UrlOps.hostOf(col("link"))).as("dst_dom"))
+              .groupBy("src_dom", "dst_dom").agg(count(lit(1)).as("n_links"))
+              .localCheckpoint(true)
+            val nodes = ed.select(col("src_dom").as("domain"))
+              .unionByName(ed.select(col("dst_dom").as("domain"))).distinct()
+            val pr = graft.ops.GraphOps.pageRankDirected(ed, nodes, srcCol = "src_dom",
+              dstCol = "dst_dom", weightCol = "n_links")
+            val dem = fetchable.groupBy("reg_domain").agg(count(lit(1)).as("n_fetchable"))
+              .join(pr.select(col("domain").as("reg_domain"), col("pr")), Seq("reg_domain"), "left")
+              .select(col("reg_domain").as("source"),
+                col("n_fetchable").cast("long").as("capacity"),
+                coalesce(col("pr"), lit(0.000001)).as("weight"))
+              .localCheckpoint(true)
+            val budget = math.floor(
+              dem.agg(sum("capacity")).head().getLong(0).toDouble * 0.6).toLong
+            val alloc = graft.ops.SampleOps.waterfillAllocation(dem, budget)
+              .select(col("source").as("reg_domain"), col("alloc"))
+            val w = org.apache.spark.sql.expressions.Window.partitionBy("reg_domain")
+              .orderBy(col("nid"), col("url_norm"))
+            fetchable.withColumn("rank", row_number().over(w).cast("long"))
+              .join(alloc, Seq("reg_domain"), "left")
+              .filter(col("rank") <= coalesce(col("alloc"), lit(0L))).count()
+          }),
           // one frontier rollup (domain-keyed, partial-aggregable),
           // then the waterfill solve over the domain-sized frame
           ("crawl_budget", docs1, docsX, d => {

@@ -60,6 +60,55 @@ object GraphOps {
     pr.select(col("node").as(nodeCol), col("pr"))
   }
 
+  /** DIRECTED weighted PageRank — the web-link formulation, where an
+    * edge is an endorsement FROM src TO dst and direction carries the
+    * meaning (the undirected [[pageRank]] models mutual-similarity
+    * webs; a link graph is not one — a farm linking out a thousand
+    * times must not inherit the authority it points at). Self-loops
+    * drop; out-weight normalizes per SOURCE over its outgoing edges
+    * only. Same simplified formulation as [[pageRank]], documented
+    * identically: no dangling-mass redistribution — a sink node's rank
+    * mass leaves the system (its pr still holds the teleport floor),
+    * which preserves exact SQL replayability (the dangling sum would
+    * otherwise need a per-iteration global scalar).
+    *
+    * Plan shape per iteration: one edge⋈rank join + one partial-agg
+    * sum per destination, contributions banked as exact integer
+    * nano-units, ranks rounded 6dp — the [[pageRank]] discipline on
+    * the directed edge set.
+    *
+    * Output: (<node col>, pr) after `iters` iterations.
+    */
+  def pageRankDirected(edges: DataFrame, nodes: DataFrame, iters: Int = 3,
+                       damping: Double = 0.85, srcCol: String = "src",
+                       dstCol: String = "dst", weightCol: String = "weight"): DataFrame = {
+    import graft.ops.Rounding.round
+    val nodeCol = nodes.columns.head
+    val dir = edges.filter(col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("s"), col(dstCol).as("d"), col(weightCol).cast("double").as("w"))
+      .localCheckpoint(true)
+    val outw = dir.groupBy("s").agg(sum("w").as("ow"))
+    val n = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    var pr = nodes.select(col(nodeCol).as("node"))
+      .crossJoin(n)
+      .select(col("node"), round(lit(1.0) / col("n_nodes"), 6).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = dir
+        .join(pr.select(col("node").as("s"), col("pr")), Seq("s"))
+        .join(outw, Seq("s"))
+        .select(col("d"),
+          round(col("pr") / col("ow") * col("w") * lit(1000000000.0)).cast("long").as("__c"))
+        .groupBy("d").agg(sum("__c").as("__in"))
+      pr = pr.select(col("node")).crossJoin(n)
+        .join(contrib.select(col("d").as("node"), col("__in")), Seq("node"), "left")
+        .select(col("node"),
+          round(lit(1.0 - damping) / col("n_nodes")
+            + lit(damping) * (coalesce(col("__in"), lit(0L)) / lit(1000000000.0)), 6).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("node").as(nodeCol), col("pr"))
+  }
+
   /** Connected components with scale-adaptive strategy.
     *
     * Input: an edge list (undirected; direction of the given columns is

@@ -135,4 +135,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert((r.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3), s.getDouble(4))
       === ((4L, 5L, 10L, 0L, 0.0)))
   }
+
+  test("pageRankDirected: hand-computed iteration, direction carries endorsement, sink mass leaks") {
+    import spark.implicits._
+    // a→b, a→c, b→c: c is the endorsed sink, a only endorses.
+    // p0 = 1/3 each; after one iteration (d=0.85):
+    //   a: 0.15/3                         = 0.05  (nothing points at a)
+    //   b: 0.05 + 0.85·(1/3·1/2)          = 0.191667
+    //   c: 0.05 + 0.85·(1/3·1/2 + 1/3)    = 0.475
+    val edges = Seq(("a", "b", 1.0), ("a", "c", 1.0), ("b", "c", 1.0))
+      .toDF("src", "dst", "weight")
+    val nodes = Seq("a", "b", "c").toDF("domain")
+    val got = GraphOps.pageRankDirected(edges, nodes, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") === 0.05)
+    assert(got("b") === 0.191667)
+    assert(got("c") === 0.475)
+    // the undirected form CANNOT see the asymmetry: there a inherits
+    // back through its own out-links
+    val und = GraphOps.pageRank(edges, nodes, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(und("a") > got("a"), "undirected symmetrization feeds rank back to the endorser")
+  }
 }
