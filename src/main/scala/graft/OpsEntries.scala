@@ -2317,6 +2317,24 @@ private[graft] object OpsEntries {
         dstCol = "dst_dom", weightCol = "n_links")
     }),
 
+    // HITS over the domain link graph — the two-score complement to
+    // q294: authorities (endorsed content) vs hubs (link-outs). The
+    // fixture separates them: the cdn/hub targets never link out, the
+    // page domains mostly do.
+    "q296_domain_hits" -> ((s, dir) => {
+      val lx = UrlOps.extractLinks(linkFixture(t(s, dir, "documents")), baseCol = "base")
+        .filter(col("is_web"))
+      val ed = lx.select(
+          UrlOps.registeredDomainFull(UrlOps.hostOf(col("base"))).as("src_dom"),
+          UrlOps.registeredDomainFull(UrlOps.hostOf(col("link"))).as("dst_dom"))
+        .groupBy("src_dom", "dst_dom").agg(count(lit(1)).as("n_links"))
+        .localCheckpoint(true)
+      val nodes = ed.select(col("src_dom").as("domain"))
+        .unionByName(ed.select(col("dst_dom").as("domain"))).distinct()
+      graft.ops.GraphOps.hits(ed, nodes, srcCol = "src_dom", dstCol = "dst_dom",
+        weightCol = "n_links")
+    }),
+
     // THE FETCH PLAN — the frontier story's capstone, every tier
     // consumed in one artifact: q293's discovered+robots-allowed URLs,
     // ranked within their domain in deterministic hash order, against
@@ -6937,6 +6955,43 @@ private[graft] object OpsEntries {
     "q287_link_extract" ->
       ("WITH " + linkResolveCtes +
         "\nSELECT doc_id, base, href, link, is_web FROM lres"),
+
+    // The HITS unroll on q288's edge CTEs: per-iteration integer
+    // banking, L1 normalization by the exact integer total.
+    "q296_domain_hits" -> {
+      def norm(raw: String, key: String, prev: String, out: String, i: Int): String =
+        s"""${out}${i}raw AS (SELECT $key, sum(CAST(round($prev * w * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)) AS c
+           |      FROM ec JOIN $raw GROUP BY $key),
+           |${out}$i AS (SELECT nd.node,
+           |        CASE WHEN t > 0 THEN round(coalesce(c, 0) / CAST(t AS DOUBLE), 6)
+           |             ELSE CAST(0.0 AS DOUBLE) END AS $out
+           |      FROM nd LEFT JOIN ${out}${i}raw ON ${out}${i}raw.$key = nd.node
+           |      CROSS JOIN (SELECT coalesce(sum(c), 0) AS t FROM ${out}${i}raw)),
+           |""".stripMargin
+      "WITH " + linkResolveCtes + ",\n" +
+        s"""lw AS (SELECT row_number() OVER (ORDER BY doc_id, href) AS rid, base, link
+           |       FROM lres WHERE is_web),
+           |lh AS (SELECT rid * 2 AS doc_id, ${hostOfSql("base")} AS host FROM lw
+           |       UNION ALL SELECT rid * 2 + 1, ${hostOfSql("link")} FROM lw),
+           |""".stripMargin + pslDomCtes("lh") + ",\n" +
+        s"""e0 AS (SELECT s.reg_domain AS src_dom, d.reg_domain AS dst_dom, count(*) AS n_links
+           |       FROM lw JOIN pdom s ON s.doc_id = lw.rid * 2
+           |               JOIN pdom d ON d.doc_id = lw.rid * 2 + 1
+           |       GROUP BY 1, 2),
+           |ec AS (SELECT src_dom AS s, dst_dom AS d, CAST(n_links AS DOUBLE) AS w
+           |       FROM e0 WHERE src_dom <> dst_dom),
+           |nd AS (SELECT DISTINCT domain AS node FROM
+           |        (SELECT src_dom AS domain FROM e0 UNION ALL SELECT dst_dom FROM e0)),
+           |h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nd),
+           |""".stripMargin +
+        norm("h0 ON h0.node = ec.s", "d", "h", "a", 1) +
+        norm("a1 ON a1.node = ec.d", "s", "a", "h", 1) +
+        norm("h1 ON h1.node = ec.s", "d", "h", "a", 2) +
+        norm("a2 ON a2.node = ec.d", "s", "a", "h", 2) +
+        """sel AS (SELECT h2.node, h2.h AS hub, a2.a AS authority
+          |        FROM h2 JOIN a2 ON a2.node = h2.node)
+          |SELECT node AS domain, hub, authority FROM sel""".stripMargin
+    },
 
     // The capstone replay: q293's discovery chain (url_norm kept
     // through the robots contest), q294's directed-PR unroll on a

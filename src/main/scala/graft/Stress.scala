@@ -682,6 +682,20 @@ object Stress {
           // segment-count, independent of corpus x)
           ("link_extract", docs1, docsX,
             d => UrlOps.extractLinks(OpsEntries.linkFixture(d), baseCol = "base").count()),
+          // same rollup, the two-score HITS unroll on the domain graph
+          ("link_graph_hits", docs1, docsX, d => {
+            val lx = UrlOps.extractLinks(OpsEntries.linkFixture(d), baseCol = "base")
+              .filter(col("is_web"))
+            val ed = lx.select(
+                UrlOps.registeredDomainFull(UrlOps.hostOf(col("base"))).as("src_dom"),
+                UrlOps.registeredDomainFull(UrlOps.hostOf(col("link"))).as("dst_dom"))
+              .groupBy("src_dom", "dst_dom").agg(count(lit(1)).as("n_links"))
+              .localCheckpoint(true)
+            val nodes = ed.select(col("src_dom").as("domain"))
+              .unionByName(ed.select(col("dst_dom").as("domain"))).distinct()
+            graft.ops.GraphOps.hits(ed, nodes, srcCol = "src_dom",
+              dstCol = "dst_dom", weightCol = "n_links").count()
+          }),
           // same rollup, directed unroll — the per-source out-weight
           // aggregate replaces the sym union
           ("link_graph_directed", docs1, docsX, d => {

@@ -109,6 +109,61 @@ object GraphOps {
     pr.select(col("node").as(nodeCol), col("pr"))
   }
 
+  /** HITS (Kleinberg) hubs-and-authorities by power iteration over a
+    * DIRECTED weighted graph — the complement to
+    * [[pageRankDirected]]: a page is a good AUTHORITY when good hubs
+    * point at it, a good HUB when it points at good authorities; the
+    * two mutually-recursive scores separate directories/link-outs
+    * from endorsed content, which one PageRank number cannot.
+    *
+    * Determinism: per-iteration contributions bank as exact integer
+    * nano-units (the [[pageRank]] discipline), each score vector
+    * L1-normalizes by the exact integer total (long/long double
+    * division is IEEE-identical in any engine), results round 6dp per
+    * iteration — the whole trace replays in SQL. Self-loops drop;
+    * nodes without in-(out-)edges hold score 0 on that side.
+    *
+    * Plan shape per iteration: two edge⋈score joins + two partial-agg
+    * sums + two broadcast scalar totals — all on the graph, never the
+    * corpus.
+    *
+    * Output: (<node col>, hub, authority) after `iters` iterations.
+    */
+  def hits(edges: DataFrame, nodes: DataFrame, iters: Int = 2,
+           srcCol: String = "src", dstCol: String = "dst",
+           weightCol: String = "weight"): DataFrame = {
+    import graft.ops.Rounding.round
+    val nodeCol = nodes.columns.head
+    val dir = edges.filter(col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("s"), col(dstCol).as("d"), col(weightCol).cast("double").as("w"))
+      .localCheckpoint(true)
+    val nd = nodes.select(col(nodeCol).as("node")).localCheckpoint(true)
+    def normalized(raw: DataFrame, keyCol: String, out: String): DataFrame = {
+      val tot = broadcast(raw.agg(sum("__c").as("__t")))
+      nd.join(raw.select(col(keyCol).as("node"), col("__c")), Seq("node"), "left")
+        .crossJoin(tot)
+        .select(col("node"),
+          when(col("__t") > 0L,
+            round(coalesce(col("__c"), lit(0L)) / col("__t").cast("double"), 6))
+            .otherwise(lit(0.0)).as(out))
+        .localCheckpoint(true)
+    }
+    var h = nd.select(col("node"), lit(1.0).as("h"))
+    var a = nd.select(col("node"), lit(0.0).as("a"))
+    for (_ <- 1 to iters) {
+      val aRaw = dir.join(h.select(col("node").as("s"), col("h")), Seq("s"))
+        .select(col("d"), round(col("h") * col("w") * lit(1000000000.0)).cast("long").as("__c0"))
+        .groupBy("d").agg(sum("__c0").as("__c"))
+      a = normalized(aRaw, "d", "a")
+      val hRaw = dir.join(a.select(col("node").as("d"), col("a")), Seq("d"))
+        .select(col("s"), round(col("a") * col("w") * lit(1000000000.0)).cast("long").as("__c0"))
+        .groupBy("s").agg(sum("__c0").as("__c"))
+      h = normalized(hRaw, "s", "h")
+    }
+    h.join(a, Seq("node"))
+      .select(col("node").as(nodeCol), col("h").as("hub"), col("a").as("authority"))
+  }
+
   /** Connected components with scale-adaptive strategy.
     *
     * Input: an edge list (undirected; direction of the given columns is

@@ -157,4 +157,19 @@ class GraphOpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(und("a") > got("a"), "undirected symmetrization feeds rank back to the endorser")
   }
+
+  test("hits: hand-computed iteration — hubs and authorities separate where one PR number cannot") {
+    import spark.implicits._
+    // a→b, a→c, b→c; h0 = 1 each.
+    //   a1 ∝ (b: 1, c: 2) → a = 0, b = 1/3, c = 2/3
+    //   h1 ∝ (a: 1/3 + 2/3 = 1, b: 2/3) → a = 0.6, b = 0.4, c = 0
+    val edges = Seq(("a", "b", 1.0), ("a", "c", 1.0), ("b", "c", 1.0))
+      .toDF("src", "dst", "weight")
+    val nodes = Seq("a", "b", "c").toDF("domain")
+    val got = GraphOps.hits(edges, nodes, iters = 1).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got("a") === ((0.6, 0.0)))      // pure hub
+    assert(got("b") === ((0.4, 0.333333))) // both roles
+    assert(got("c") === ((0.0, 0.666667))) // pure authority
+  }
 }
