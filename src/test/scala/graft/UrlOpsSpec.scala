@@ -514,6 +514,38 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got(8L) === ((None, true)))
   }
 
+  test("resolveRef: resolved links are FIXED POINTS (absolute refs resolve to themselves)") {
+    // the urlNormalize-idempotence discipline applied to the link
+    // tier: every link extractLinks emits is absolute, so re-resolving
+    // it against ANY base must return it unchanged — crawl frontiers
+    // built from resolved links are stable under re-resolution.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lx = UrlOps.extractLinks(OpsEntries.linkFixture(docs), baseCol = "base")
+      .filter(col("is_web"))
+    val unstable = lx.select(col("link"),
+        UrlOps.resolveRef(col("base"), col("link")).as("re"))
+      .filter(col("re") =!= col("link") || col("re").isNull)
+      .count()
+    assert(unstable === 0L, "a resolved link changed under re-resolution")
+  }
+
+  test("robotsVerdict: verdict is invariant under rule-list order (the sortable-key contract)") {
+    val rules = Seq(
+      ("example.com", false, "/fish"), ("example.com", true, "/fish/"),
+      ("example.com", false, "/*.php$"), ("example.com", false, "/tie"),
+      ("example.com", true, "/tie"))
+    val urls = Seq(
+      (1L, "http://example.com/fish/x"), (2L, "http://example.com/fishy"),
+      (3L, "http://example.com/a.php"), (4L, "http://example.com/tie"),
+      (5L, "http://example.com/free")).toDF("doc_id", "url")
+    def run(rs: Seq[(String, Boolean, String)]): Map[Long, (Option[String], Boolean)] =
+      UrlOps.robotsVerdict(UrlOps.urlNormalize(urls), rs).collect()
+        .map(r => r.getLong(0) -> ((Option(r.getString(3)), r.getBoolean(4)))).toMap
+    val base = run(rules)
+    assert(run(rules.reverse) === base)
+    assert(run(new scala.util.Random(42).shuffle(rules)) === base) // seeded: reproducible take
+  }
+
   test("anchorTextIndex: tokenized terms per target domain, distinct-source endorsement, inline-tag truncation") {
     val rows = Seq(
       (1L, "http://a.one.com/p",
