@@ -8,6 +8,16 @@ per-query parquet dumps + oracle_sql.json. Registers the sf tables in
 DuckDB, runs each oracle SQL, and compares row sets against the Spark
 results (columns sorted by name, rows sorted, values stringified with
 float rounding) — approximating the driver's hash compare.
+
+TYPE-PARITY (round 14, verdict "What's wrong #2"): the driver hashes
+result sets AFTER a pandas conversion, where DuckDB HUGEINT (the type of
+an uncast sum(int)) lands as float64 and renders "64.0" while Spark's
+BIGINT renders "64" — a hash mismatch on identical values that the old
+value-level canon() (which collapsed 64.0 -> "64") could not see (q293,
+round 13: local gate said 296 ok, driver said 295). This version fetches
+BOTH sides as pandas frames and fails a query on any per-column dtype-KIND
+mismatch (int vs float vs bool vs object/Decimal ...), which is exactly
+the class the driver's renderer distinguishes, BEFORE the value compare.
 """
 import json, math, sys
 from pathlib import Path
@@ -42,6 +52,17 @@ def canon_rows(cols, rows):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def dtype_kinds(df):
+    """Column-name -> dtype kind, the granularity the driver's renderer
+    distinguishes: 'i' int64/int32, 'f' float (incl. HUGEINT-via-pandas),
+    'b' bool, 'M' datetime, 'O' object (strings, Decimal, lists)."""
+    out = {}
+    for c in df.columns:
+        k = df[c].dtype.kind
+        out[c.lower()] = "i" if k in ("i", "u") else k
+    return out
+
+
 def main():
     con = duckdb.connect()
     for t in TABLES:
@@ -56,17 +77,35 @@ def main():
             continue
         spark_rel = con.sql(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
         s_cols = [c.lower() for c in spark_rel.columns]
+        s_df = spark_rel.df()
+        s_kinds = dtype_kinds(s_df)
         s_rows = canon_rows(s_cols, spark_rel.fetchall())
         try:
             duck_rel = con.sql(sql)
             d_cols = [c.lower() for c in duck_rel.columns]
+            d_df = duck_rel.df()
+            d_kinds = dtype_kinds(d_df)
             d_rows = canon_rows(d_cols, duck_rel.fetchall())
         except Exception as e:
             print(f"SQLERR   {name}: {e}")
             fail += 1
             continue
+        type_mismatch = [
+            (c, s_kinds[c], d_kinds[c])
+            for c in s_kinds if c in d_kinds and s_kinds[c] != d_kinds[c]
+        ]
+        # An all-NULL column comes back object on one side; only flag
+        # kind clashes where both sides hold non-null values.
+        type_mismatch = [
+            (c, sk, dk) for (c, sk, dk) in type_mismatch
+            if s_df[c].notna().any() and d_df[c].notna().any()
+        ]
         if sorted(s_cols) != sorted(d_cols):
             print(f"SCHEMA   {name}: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            fail += 1
+        elif type_mismatch:
+            det = ", ".join(f"{c}: spark={sk} duck={dk}" for c, sk, dk in type_mismatch)
+            print(f"TYPE     {name}: {det} (driver hasher renders these differently — cast the oracle)")
             fail += 1
         elif s_rows != d_rows:
             diff_s = [r for r in s_rows if r not in d_rows][:3]
