@@ -7273,7 +7273,7 @@ private[graft] object OpsEntries {
            |         ON r.rb_domain = b.reg_domain AND regexp_matches(b.pq, r.rb_regex)
            |       GROUP BY 1, 2)
            |SELECT reg_domain, count(*) AS n_new,
-           |       sum(CASE WHEN coalesce(substr(k, 5, 1) = '1', true) THEN 1 ELSE 0 END) AS n_fetchable
+           |       CAST(sum(CASE WHEN coalesce(substr(k, 5, 1) = '1', true) THEN 1 ELSE 0 END) AS BIGINT) AS n_fetchable
            |FROM rm GROUP BY 1""".stripMargin
     },
 
