@@ -2918,7 +2918,11 @@ private[graft] object OpsEntries {
     val verified = DedupOps.jaccardVerify(DedupOps.minHashCandidates(docs), docs)
     val nearDropped = verified.groupBy(col("id_b")).agg(max(col("jaccard")).as("mj"))
       .filter(col("mj") >= 0.8).select(col("id_b").as("doc_id"))
-    docs.select(col("doc_id"), TextOps.qualityScore(col("text")).as("__q"))
+    // staged qualityFrame, not the column-form qualityScore: the struct
+    // getFields of the column form copy the token/feature tree per field
+    // (the qualityFrame scaladoc's ~7×-per-row trap); values identical
+    TextOps.qualityFrame(docs)
+      .select(col("doc_id"), col("quality_score").as("__q"))
       .join(exactDropped.withColumn("__ex", lit(1)), Seq("doc_id"), "left")
       .join(nearDropped.withColumn("__nd", lit(1)), Seq("doc_id"), "left")
       .select(col("doc_id"),

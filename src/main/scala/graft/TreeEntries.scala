@@ -148,7 +148,7 @@ private[graft] object TreeEntries {
           to_date(from_unixtime(col("first_sec"))).as("first_date"),
           date_trunc("week", to_timestamp(col("first_sec"))).cast("date").as("week_start"),
           date_format(to_timestamp(col("first_sec")), "yyyyMM").as("month_part"),
-          (conv(substring(md5(col("name").cast("binary")), 1, 8), 16, 10).cast("long") % 32).as("shard"),
+          (graft.functions.Md5PrefixExprs.md5Prefix(col("name"), 8) % 32).as("shard"),
           translate(col("name"), ".", "_").as("escaped")
         )),
 

@@ -275,10 +275,71 @@ case class NearestCellExpression(child: Expression, cents: Array[Array[Double]])
   override def prettyName: String = "nearest_cell"
 }
 
+/** Native Σ x² over an `array<long>` column — the per-vector banked
+  * squared norm (`sum(b6*b6)` of the exploded form, r14). Wrapping
+  * long arithmetic, bit-identical to `Multiply`+`Sum` over longs in
+  * any row order; a null element yields null (the `sum` of a null
+  * product would SKIP the element — but banked coordinate arrays are
+  * built with `containsNull = false`, so the branch is unreachable
+  * there and null-in/null-out is the conservative contract).
+  */
+case class SumSqLongExpression(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"sum_sq_long needs an array<bigint> input, got ${dt.catalogString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    var sum = 0L
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = a.getLong(i)
+      sum += x * x
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |long $sum = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  long $x = $a.getLong($i);
+         |  $sum += $x * $x;
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $sum; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SumSqLongExpression =
+    copy(child = newChild)
+
+  override def prettyName: String = "sum_sq_long"
+}
+
 object VectorExprs {
   /** Codegen'd dot product of two array<float|double> columns. */
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProductExpression(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd Σ x² of an array<long> column (wrapping, order-free). */
+  def sumSqLong(a: Column): Column =
+    Bridge.column(SumSqLongExpression(Bridge.expression(a)))
 
   /** Codegen'd squared-L2 distance of two array<float|double> columns. */
   def l2Squared(a: Column, b: Column): Column =

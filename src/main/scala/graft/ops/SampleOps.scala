@@ -22,7 +22,7 @@ object SampleOps {
     * membership, so seeded consumers use [[seededHash]] instead.)
     */
   def hashBucket(id: Column, buckets: Int = 100): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+    graft.functions.Md5PrefixExprs.md5Prefix(id.cast("string"), 8) % buckets
 
   /** 60-bit engine-portable hash of `seed:id` — the md5-prefix idiom
     * with a seed prefix (15 hex chars stay inside Long range; any SQL
@@ -30,8 +30,8 @@ object SampleOps {
     * BIGINT)`).
     */
   def seededHash(id: Column, seed: Long): Column =
-    conv(substring(md5(
-      concat_ws(":", lit(seed), id.cast("string"))), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5PrefixExprs.md5Prefix(
+      concat_ws(":", lit(seed), id.cast("string")), 15)
 
   /** LEAKAGE-SAFE train/valid/test split: a document's split is keyed
     * on its near-dup COMPONENT anchor (the min id of its cluster under

@@ -962,44 +962,74 @@ object SimilarityOps {
     val x6arr = transform(col(vecCol), v => round(v.cast("double") * 1e6).cast("long"))
     val base = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
       .select(x6arr.as("__x6"))
-    val firsts = base.select(posexplode(col("__x6")).as(Seq("pos", "x")))
-      .groupBy("pos").agg(count(lit(1)).as("n"), sum("x").as("s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))) // dims rows
-    val fDf = firsts.toSeq.toDF("pos", "n", "s")
-    // broadcast (i,j) upper-triangle grid instead of a nested
-    // transform/flatten fan-out: higher-order functions run outside
-    // whole-stage codegen and allocate a struct per cell, which made
-    // the per-row O(d²) generate the dominant cost; the nested-loop
-    // join multiplies in codegen with no shuffle (the grid is the
-    // broadcast side) and feeds the same partial-aggregable groupBy.
-    val grid = broadcast(
-      (for (i <- 0 until dims; j <- i until dims) yield (i, j)).toDF("i", "j"))
-    val pairs = base.crossJoin(grid)
-      .groupBy("i", "j")
-      .agg(sum((element_at(col("__x6"), col("i") + 1)
-        * element_at(col("__x6"), col("j") + 1)).cast("decimal(38,0)")).as("s2"))
-    // covariance cells, 6dp, computed engine-side (upper triangle)
-    val covUpper = pairs
-      .join(broadcast(fDf.select(col("pos").as("i"), col("s").as("si"), col("n"))), Seq("i"))
-      .join(broadcast(fDf.select(col("pos").as("j"), col("s").as("sj"))), Seq("j"))
-      .select(col("i"), col("j"),
-        round((col("s2").cast("double") * col("n") - col("si").cast("double") * col("sj"))
-          / (col("n").cast("double") * col("n")) / 1e12, 6).as("c"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))) // d(d+1)/2 cells
-    val cov = (covUpper ++ covUpper.collect { case (i, j, c) if i != j => (j, i, c) })
-      .toSeq.toDF("i", "j", "c")
-    def c6 = round(col("c") * 1e6).cast("long")
+    // ONE corpus pass for ALL moments (r14 optimization, guide §1.2
+    // step 1 — remove passes): count, per-dim first moments, and the
+    // d(d+1)/2 Gramian cells come from a single scalar aggregation
+    // (graft.functions.VecMoments — d²/2 multiply-adds per vector as a
+    // plain JVM loop). The two passes this replaces — a posexplode for
+    // the firsts and a broadcast (i,j)-grid nested-loop join that
+    // materialized AND hash-probed 2080 rows PER VECTOR for the second
+    // moments — cost ~2080 joined-row materializations per vector;
+    // value parity: wrapping-long first moments ≡ sum(long), exact
+    // 128-bit second moments ≡ sum(decimal(38,0)) (order-free both
+    // ways; the covariance arithmetic below is the UNCHANGED Column
+    // expression, now over a 2080-row local relation).
+    val mRow = base.agg(graft.functions.VecMoments.vecMoments(dims)(col("__x6")).as("__m"))
+      .select(col("__m.n"), col("__m.s"), col("__m.hi"), col("__m.lo"))
+      .collect()(0)
+    val nRows = mRow.getLong(0)
+    val sArr = mRow.getSeq[Long](1)
+    val hiArr = mRow.getSeq[Long](2)
+    val loArr = mRow.getSeq[Long](3)
+    // empty corpus: the explode/grid forms produced zero groups — same here
+    val firsts =
+      if (nRows == 0) Array.empty[(Int, Long, Long)]
+      else (0 until dims).map(pos => (pos, nRows, sArr(pos))).toArray
+    // Everything past the moments is driver-sized (d(d+1)/2 cells, a
+    // dims-vector), so the covariance cells and the power iteration run
+    // in plain Scala — the old form spent ~7 tiny Spark jobs (one
+    // collect per power step plus the covariance collect) on local
+    // relations. Arithmetic is replicated operation-for-operation from
+    // the Column chain it replaces (binary round with the NaN/Inf
+    // pass-through of BinaryRoundExpression, long-wrapping multiplies,
+    // Decimal→double via BigDecimal.doubleValue, NaN→0 long casts), so
+    // values are bit-identical; PipelineEvalSpec and the q209/q245/
+    // q246/q251 oracle rows pin it.
+    def round6(x: Double): Double =
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+      else { val f = math.abs(x) * 1e6 + 0.5; math.signum(x) * (f - (f % 1.0)) / 1e6 }
+    def bank6(x: Double): Long =
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x.toLong
+      else { val f = math.abs(x) * 1e6 + 0.5; (math.signum(x) * (f - (f % 1.0))).toLong }
+    val covUpper =
+      if (nRows == 0) Array.empty[(Int, Int, Double)]
+      else {
+        val nD = nRows.toDouble
+        (for (i <- 0 until dims; j <- i until dims) yield (i, j)).zipWithIndex.map {
+          case ((i, j), k) =>
+            val s2d = new java.math.BigDecimal(
+              graft.functions.VecMoments.cellValue(hiArr(k), loArr(k))).doubleValue()
+            val c = round6(
+              (s2d * nRows - sArr(i).toDouble * sArr(j)) / (nD * nD) / 1e12)
+            (i, j, c)
+        }.toArray
+      }
+    // full symmetric cell list, 6dp-banked once (c6 = round(c·1e6)→long)
+    val covFull = (covUpper ++ covUpper.collect { case (i, j, c) if i != j => (j, i, c) })
+      .map { case (i, j, c) => (i, j, bank6(c)) }
     var v: Seq[(Int, Double)] = (0 until dims).map(_ -> 1.0 / math.sqrt(dims.toDouble))
     for (_ <- 1 to iters) {
-      val vDf = broadcast(v.toDF("j", "vj"))
-      val u = cov.join(vDf, Seq("j"))
-        .groupBy("i")
-        .agg(sum((c6 * round(col("vj") * 1e6).cast("long")).cast("decimal(38,0)")).as("u12"))
-      val ss = u.agg(sum((col("u12") * col("u12")).cast("decimal(38,0)")).as("ss"))
-      v = u.crossJoin(broadcast(ss))
-        .select(col("i"),
-          round(col("u12").cast("double") / sqrt(col("ss").cast("double")), 6).as("vi"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+      val vj6 = v.toMap.map { case (j, vj) => j -> bank6(vj) }
+      // u12 per PRESENT i (groupBy semantics: no cells → no group)
+      val u12 = scala.collection.mutable.LinkedHashMap.empty[Int, BigInt]
+      covFull.foreach { case (i, j, c6) =>
+        vj6.get(j).foreach { w =>
+          u12(i) = u12.getOrElse(i, BigInt(0)) + BigInt(c6 * w) // long-wrapping multiply, exact sum
+        }
+      }
+      val ss = u12.values.foldLeft(BigInt(0))((acc, u) => acc + u * u)
+      val ssD = math.sqrt(ss.toDouble)
+      v = u12.toSeq.map { case (i, u) => i -> round6(u.toDouble / ssD) }.sortBy(_._1)
     }
     (firsts, covUpper, v)
   }
@@ -1091,9 +1121,11 @@ object SimilarityOps {
   /** [[isotropyReport]] serving from a pre-trained [[PcaState]]. */
   def isotropyReport(corpus: DataFrame, state: PcaState,
                      idCol: String, vecCol: String): DataFrame = {
-    val raw = bankedCoords(corpus, state.dims, idCol, vecCol)
-    val post = removeTopComponent(corpus, state, idCol, vecCol)
-      .select(col("vec_id"), col("dim"), round(col("value") * 1e6).cast("long").as("b6"))
+    val raw = bankedVecs(corpus, state.dims, idCol, vecCol)
+    // post-transform coordinates re-bank per element (≡ the exploded
+    // form's round(value·1e6) per row) — map-only, no explode
+    val post = removeTopArr(corpus, state, idCol, vecCol)
+      .select(transform(col("__y"), v => round(v * 1e6).cast("long")).as("__b6"))
     meanCosine(raw, "n_raw", "cos_raw")
       .crossJoin(broadcast(meanCosine(post, "n_post", "cos_post")))
   }
@@ -1116,7 +1148,8 @@ object SimilarityOps {
                 vecCol: String = "embedding"): DataFrame = {
     val state = pcaTrain(corpus, dims, iters, vecCol) // the ONE trace
     val raw = bankedCoords(corpus, dims, idCol, vecCol)
-    val gate = meanCosine(raw, "n", "c").collect() // ONE row
+    val gate = meanCosine(bankedVecs(corpus, dims, idCol, vecCol), "n", "c")
+      .collect() // ONE row
     // an empty or all-zero-vector corpus has no direction to correct:
     // cos is NULL there (n = 0) — take the identity branch (which is
     // itself empty), exactly the oracle's NULL-CASE semantics, instead
@@ -1133,23 +1166,42 @@ object SimilarityOps {
     * identity branch.
     */
   private def bankedCoords(corpus: DataFrame, dims: Int,
-                           idCol: String, vecCol: String): DataFrame = {
+                           idCol: String, vecCol: String): DataFrame =
+    bankedVecs(corpus, dims, idCol, vecCol)
+      .select(col("vec_id"), posexplode(col("__b6")).as(Seq("dim", "b6")))
+
+  /** Banked 6dp coordinates in ARRAY form (vec_id, __b6 array<long>) —
+    * the r14 [[meanCosine]] input shape: everything per-vector happens
+    * on the array row, so nothing explodes before the final per-dim
+    * aggregate.
+    */
+  private def bankedVecs(corpus: DataFrame, dims: Int,
+                         idCol: String, vecCol: String): DataFrame = {
     val x6arr = transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long"))
     DedupOps.widen(corpus)
       .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
-      .select(col(idCol).as("vec_id"), posexplode(x6arr).as(Seq("dim", "b6")))
+      .select(col(idCol).as("vec_id"), x6arr.as("__b6"))
   }
 
-  /** ‖Σ u‖²/n² over banked (vec_id, dim, b6) coordinates — see
+  /** ‖Σ u‖²/n² over banked ARRAY-form coordinates (`__b6`) — see
     * [[isotropyReport]]. Zero vectors carry no direction and are
     * excluded from both n and the sum.
+    *
+    * r14 plan shape: the per-vector squared norm is ONE native array
+    * fold per row (`sum_sq_long` ≡ the exploded `sum(b6*b6)`, wrapping
+    * longs either way), so the old explode → vec-keyed aggregate →
+    * checkpoint → coords⋈s2 join (two corpus-sized exchanges plus an
+    * n·dims join) collapses to map-only work feeding one partial-
+    * aggregable per-dim sum; the unit arithmetic is the UNCHANGED
+    * round(b6/√s2·1e6) expression, applied per element.
     */
-  private def meanCosine(coords: DataFrame, nName: String, cosName: String): DataFrame = {
-    val s2 = coords.groupBy("vec_id")
-      .agg(sum(col("b6") * col("b6")).as("s2"))
-      .localCheckpoint(true) // the n count + the unit join both read it
-    val n = s2.filter(col("s2") > 0).agg(count(lit(1)).as("n"))
-    val u = coords.join(s2, Seq("vec_id")).filter(col("s2") > 0)
+  private def meanCosine(vecs: DataFrame, nName: String, cosName: String): DataFrame = {
+    val withS2 = vecs
+      .select(col("__b6"), graft.functions.VectorExprs.sumSqLong(col("__b6")).as("s2"))
+      .filter(col("s2") > 0)
+    val n = withS2.agg(count(lit(1)).as("n"))
+    val u = withS2
+      .select(posexplode(col("__b6")).as(Seq("dim", "b6")), col("s2"))
       .select(col("dim"),
         round(col("b6") / sqrt(col("s2").cast("double")) * lit(1e6)).cast("long").as("u6"))
     u.groupBy("dim").agg(sum("u6").as("sd"))
@@ -1188,9 +1240,17 @@ object SimilarityOps {
     * compose several consumers over ONE trace (the q251 pipeline).
     */
   def removeTopComponent(corpus: DataFrame, state: PcaState,
-                         idCol: String, vecCol: String): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+                         idCol: String, vecCol: String): DataFrame =
+    removeTopArr(corpus, state, idCol, vecCol)
+      .select(col("vec_id"), posexplode(col("__y")).as(Seq("pos", "value")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"), col("value"))
+
+  /** The transform in ARRAY form (vec_id, __y array<double 6dp>) — the
+    * r14 internal shape [[isotropyReport]] consumes without exploding;
+    * [[removeTopComponent]] is exactly this plus the final posexplode.
+    */
+  private def removeTopArr(corpus: DataFrame, state: PcaState,
+                           idCol: String, vecCol: String): DataFrame = {
     val dims = state.dims
     val (firsts, v) = (state.firsts, state.v)
     def round6(x: Double): Double = {
@@ -1207,21 +1267,27 @@ object SimilarityOps {
     val mv = firsts.map { case (pos, n, s) =>
       (pos, bank6(round6(s.toDouble / n.toDouble / 1e6)), bank6(vMap(pos)))
     }
-    val mvDf = broadcast(mv.toSeq.toDF("pos", "m6", "v6"))
     val x6arr = transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long"))
     val byPos = mv.map { case (pos, m6, v6) => pos -> ((m6, v6)) }.toMap
     val p12expr = (0 until dims).map { i =>
       (element_at(col("__x6"), i + 1) - byPos(i)._1) * byPos(i)._2
     }.reduce(_ + _)
+    // r14: the transform runs per ROW over the banked array (m6/v6 as
+    // literal arrays indexed by the lambda position) instead of
+    // posexplode → broadcast-join on pos → per-exploded-row projection;
+    // the per-element arithmetic is the unchanged Column chain, so the
+    // long form [[removeTopComponent]] explodes at the very end with
+    // identical values and the array consumers never explode at all.
+    val m6Lit = lit((0 until dims).map(i => byPos(i)._1).toArray)
+    val v6Lit = lit((0 until dims).map(i => byPos(i)._2).toArray)
     DedupOps.widen(corpus)
       .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
       .select(col(idCol).as("vec_id"), x6arr.as("__x6"))
-      .select(col("vec_id"), p12expr.as("__p12"),
-        posexplode(col("__x6")).as(Seq("pos", "__x6e")))
-      .join(mvDf, Seq("pos"))
-      .select(col("vec_id"), (col("pos") + 1).as("dim"),
-        round((col("__x6e") - col("m6")) / lit(1e6)
-          - col("__p12") / lit(1e12) * (col("v6") / lit(1e6)), 6).as("value"))
+      .select(col("vec_id"), col("__x6"), p12expr.as("__p12")) // p12 once per row
+      .select(col("vec_id"),
+        transform(col("__x6"), (x6e, i) =>
+          round((x6e - element_at(m6Lit, i + 1)) / lit(1e6)
+            - (col("__p12") / lit(1e12)) * (element_at(v6Lit, i + 1) / lit(1e6)), 6)).as("__y"))
   }
 
   /** Source-centroid cosine similarity matrix: per-source mean

@@ -307,7 +307,6 @@ object SketchOps {
 private[ops] object SampleOpsSeed {
   import org.apache.spark.sql.Column
   def hash(d: Column, term: Column, seedBase: Long): Column =
-    conv(substring(md5(
-      concat_ws(":", (lit(seedBase) + d).cast("string"), term)), 1, 15), 16, 10)
-      .cast("long")
+    graft.functions.Md5PrefixExprs.md5Prefix(
+      concat_ws(":", (lit(seedBase) + d).cast("string"), term), 15)
 }
