@@ -12,9 +12,15 @@ import graft.ops.Rounding.round // binary rounding, DuckDB-consistent (shadows f
   */
 object TextOps {
 
-  /** Lower-cased word tokens (runs of [a-z0-9_']), empty tokens dropped. */
+  /** Lower-cased word tokens (runs of [a-z0-9_']), empty tokens dropped.
+    * One native byte walk after `lower` (r14: replaces
+    * `filter(split(lower(text), "[^a-z0-9_']+"), t => length(t) > 0)` —
+    * a regex split plus an interpreted HOF filter per row — with
+    * [[graft.functions.NormTextExprs.tokens]]; NormTextSpec pins the
+    * two equal over random UTF-8 including the case-fold edge points).
+    */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9_']+"), t => length(t) > 0)
+    graft.functions.NormTextExprs.tokens(text)
 
   /** HTML/boilerplate text extraction — the FIRST stage of a raw-web
     * pipeline: every text operator downstream consumes clean `text`,
@@ -103,7 +109,15 @@ object TextOps {
     * extractor and the [[extractionYield]] funnel so the two cannot
     * disagree about what a "line" is.
     */
-  private def htmlLines(html: Column): Column = {
+  private[graft] def htmlLines(html: Column): Column =
+    graft.functions.HtmlTextExprs.htmlLines(html)
+
+  /** The regex-chain SPECIFICATION of [[htmlLines]] — r14 keeps it as
+    * the executable spec the native walk is property-pinned against
+    * (`HtmlLinesSpec`); the DuckDB extraction oracles replay this
+    * chain verbatim, so native-vs-regex parity here IS oracle parity.
+    */
+  private[graft] def htmlLinesRegex(html: Column): Column = {
     val noScript = regexp_replace(html,
       "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
     val noStyle = regexp_replace(noScript,
@@ -547,8 +561,12 @@ object TextOps {
     val len = length(text).cast("double")
     val toks = tokens(text)
     val nTok = size(toks).cast("double")
-    val punct = regexp_count(text, lit("[!-/:-@\\[-`{-~]")).cast("double")
-    val alpha = regexp_count(text, lit("[A-Za-z]")).cast("double")
+    // one byte walk for both class counts (r14: the column form still
+    // paid the two regexp_count passes qualityFrame had already
+    // replaced with CharClassCounts — same values, same null shape)
+    val cc = graft.functions.CharClassExprs.charClassCounts(text)
+    val punct = cc.getField("punct").cast("double")
+    val alpha = cc.getField("alpha").cast("double")
     val stopHits = size(array_intersect(array_distinct(toks),
       array(langMarkers("en").map(lit): _*))).cast("double")
     val meanWordLen = when(nTok > 0, alpha / nTok).otherwise(lit(0.0))
@@ -620,9 +638,15 @@ object TextOps {
 
   /** Normalized text: lower-case, punctuation stripped, whitespace
     * collapsed — the canonical form for exact-dedup fingerprints.
+    * One native byte walk after `lower` (r14: replaces
+    * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]",
+    * " "), "\\s+", " "))` — two full regex passes plus two intermediate
+    * string allocations per row — with
+    * [[graft.functions.NormTextExprs.normalized]]; NormTextSpec pins
+    * the two equal over random UTF-8).
     */
   def normalized(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    graft.functions.NormTextExprs.normalized(text)
 
   /** Content fingerprint: md5 of the normalized text. The normalized
     * alphabet is ASCII-only, so text with no ASCII alphanumerics at all
@@ -689,9 +713,8 @@ object TextOps {
       .select(col("did"), col("tk"), col("n_grams"),
         explode(sequence(lit(0), col("n_grams") - 1)).as("q"))
       .select(col("did"), col("n_grams"), col("q"),
-        conv(substring(md5(concat_ws(" ",
-          slice(col("tk"), col("q") + 1, lit(k))).cast("binary")), 1, 8), 16, 10)
-          .cast("long").as("h"))
+        graft.functions.Md5PrefixExprs.md5Prefix(
+          concat_ws(" ", slice(col("tk"), col("q") + 1, lit(k))), 8).as("h"))
     val wdw = Window.partitionBy("did").orderBy("q")
       .rowsBetween(Window.currentRow, w - 1)
     grams
