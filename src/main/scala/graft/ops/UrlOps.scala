@@ -158,7 +158,22 @@ object UrlOps {
     */
   def urlNormalize(docs: DataFrame, idCol: String = "doc_id",
                    urlCol: String = "url",
-                   extraKill: Seq[String] = Nil): DataFrame = {
+                   extraKill: Seq[String] = Nil): DataFrame =
+    docs.select(col(idCol), col(urlCol),
+        graft.functions.UrlNormExprs.urlNormHost(col(urlCol), extraKill).as("__nh"))
+      .select(col(idCol), col(urlCol),
+        col("__nh").getField("url_norm").as("url_norm"),
+        col("__nh").getField("host").as("host"))
+
+  /** The regex-chain SPECIFICATION of [[urlNormalize]] — r14 keeps it
+    * as the executable spec the native walk (`UrlNormExprs`) is
+    * property-pinned against (`UrlNormSpec`); the DuckDB URL oracles
+    * replay this chain verbatim, so native-vs-chain parity here IS
+    * oracle parity.
+    */
+  private[graft] def urlNormalizeRegex(docs: DataFrame, idCol: String = "doc_id",
+                                       urlCol: String = "url",
+                                       extraKill: Seq[String] = Nil): DataFrame = {
     val u = trim(col(urlCol))
     // fragment FIRST: a '?' inside '#/view?sid=1' must not become the query
     val uNoFrag = regexp_replace(u, fragmentRe, "")
@@ -596,6 +611,12 @@ object UrlOps {
     * dots strip. '' when the URL has no `scheme://` form.
     */
   private[graft] def hostOf(url: Column): Column =
+    graft.functions.UrlNormExprs.hostOf(url)
+
+  /** The regex-chain SPECIFICATION of [[hostOf]] (see
+    * [[urlNormalizeRegex]]'s parity contract).
+    */
+  private[graft] def hostOfRegex(url: Column): Column =
     regexp_replace(
       regexp_extract(
         lower(regexp_replace(regexp_extract(url, authRe, 1), userinfoRe, "")),
@@ -617,7 +638,14 @@ object UrlOps {
     * Verified against the complete §5.4 normal + abnormal example
     * tables in `UrlOpsSpec`.
     */
-  def resolveRef(base: Column, ref: Column): Column = {
+  def resolveRef(base: Column, ref: Column): Column =
+    graft.functions.UrlNormExprs.resolveRef(base, ref)
+
+  /** The regex-chain SPECIFICATION of [[resolveRef]] (see
+    * [[urlNormalizeRegex]]'s parity contract; the §5.4 goldens in
+    * `UrlOpsSpec` run against the NATIVE form).
+    */
+  private[graft] def resolveRefRegex(base: Column, ref: Column): Column = {
     val rr = regexp_replace(ref, fragmentRe, "")
     val scheme = lower(regexp_extract(base, schemeRe, 1))
     val auth = regexp_extract(base, authRe, 1)
