@@ -262,14 +262,22 @@ object DedupOps {
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0, 1]: $tNum/$tDen")
+    // r14: items are the native base-38 shingle CODES (bijective with
+    // the 8-char string shingles — ShingleCodes' pad-0 short form can
+    // never collide with a full shingle, and the digit map is monotone
+    // in byte order, so for the fixed-length shingles of one document
+    // the (df, tok) rarity rank is IDENTICAL to the string form's and
+    // every df/equality key agrees). Replaces the interpreted
+    // transform+array_distinct explode (one substring allocation per
+    // position per doc) with one rolling byte-walk per doc; the final
+    // (id_a, id_b, jaccard) is invariant either way because verify is
+    // exact on the same sets.
+    val codeArr = graft.functions.ShingleExprs.shingleCodes(
+      graft.ops.TextOps.normalized(col(textCol)), 8, sortedDistinct = true)
     val tk = widen(docs).filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), graft.ops.TextOps.normalized(col(textCol)).as("norm"))
-      .select(col("id"), explode_outer(expr(
-        "CASE WHEN length(norm) < 8 THEN array(norm) " +
-          "ELSE array_distinct(transform(sequence(1, length(norm) - 7), " +
-          "i -> substring(norm, i, 8))) END")).as("tok"))
+      .select(col(idCol).as("id"), explode_outer(codeArr).as("tok"))
       .filter(col("tok").isNotNull)
-      .localCheckpoint(true) // df counts + rarity join + item arrays all read it
+      .localCheckpoint(true) // df counts + rarity join both read it
     val dfq = tk.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("tok"))
@@ -285,21 +293,27 @@ object DedupOps {
         && col("__na") * tNum <= col("__nb") * tDen
         && col("__nb") * tNum <= col("__na") * tDen)
       .select("id_a", "id_b").distinct()
-    val ts = tk.groupBy("id")
-      .agg(sort_array(collect_set(col("tok"))).as("tl"))
+    // r14: the per-doc sorted item arrays rebuild MAP-ONLY from the
+    // documents (the same one-pass walk) instead of groupBy +
+    // collect_set + sort_array over the exploded frame — one corpus
+    // exchange removed; the arrays are identical (ascending distinct).
+    val ts = widen(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), codeArr.as("tl"))
       .select(col("id"), col("tl"), size(col("tl")).as("n"))
       .localCheckpoint(true) // a-side + b-side verify joins both read it
     cand
       .join(ts.select(col("id").as("id_a"), col("tl").as("ta"), col("n").as("na")), Seq("id_a"))
       .join(ts.select(col("id").as("id_b"), col("tl").as("tb"), col("n").as("nb")), Seq("id_b"))
       // explode-of-one (the NOTES_r3 trap-#7 idiom) blocks the alias
-      // substitution that would inline array_intersect into the join
-      // condition and evaluate the exact intersect TWICE per candidate
-      // pair — the dominant verify cost on the dropped majority. With
-      // the Generate barrier it runs ONCE; the threshold filter reads
-      // the materialized count.
+      // substitution that would inline the intersect into the join
+      // condition and evaluate it TWICE per candidate pair — the
+      // dominant verify cost on the dropped majority. With the
+      // Generate barrier it runs ONCE (now the native sorted-merge
+      // intersect of jaccardVerify, not array_intersect's hash build);
+      // the threshold filter reads the materialized count.
       .select(col("id_a"), col("id_b"), col("na"), col("nb"),
-        explode(array(size(array_intersect(col("ta"), col("tb"))).cast("long"))).as("__i"))
+        explode(array(graft.functions.SetExprs.sortedIntersectSize(
+          col("ta"), col("tb")).cast("long"))).as("__i"))
       .filter(col("__i") * tDen >= lit(tNum) * (col("na") + col("nb") - col("__i")))
       .select(col("id_a"), col("id_b"),
         round(col("__i") / (col("na") + col("nb") - col("__i")).cast("double"), 4).as("jaccard"))
