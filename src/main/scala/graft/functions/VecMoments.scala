@@ -1,8 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
 
 /** One-pass PCA moments over banked 6dp coordinates (`array<long>` of
   * fixed length d): row count, per-dim first-moment sums, and the
@@ -101,12 +100,10 @@ object VecMoments {
     java.math.BigInteger.valueOf(hi).shiftLeft(64)
       .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
 
-  private val cache = scala.collection.concurrent.TrieMap.empty[Int, Column => Column]
-
-  /** `vec_moments(x6)` over a fixed-length `array<long>` column. */
-  def vecMoments(dims: Int)(x6: Column): Column =
-    cache.getOrElseUpdate(dims, {
-      val fn = udaf(new VecMomentsAggregator(dims))
-      c => fn(c)
-    })(x6)
+  // NOTE (r14): this aggregator deliberately has NO udaf() wrapper.
+  // Spark's typed-Aggregator UDAF path re-encodes the whole
+  // (1 + d + d(d+1))-long buffer per input row — measured 4.8 s →
+  // 160 s on q246 at sf0.1. `SimilarityOps.pcaTrace` drives it as a
+  // per-partition mapPartitions fold instead (one buffer serialized
+  // per partition, driver merge).
 }

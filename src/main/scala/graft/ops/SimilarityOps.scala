@@ -974,13 +974,27 @@ object SimilarityOps {
     // 128-bit second moments ≡ sum(decimal(38,0)) (order-free both
     // ways; the covariance arithmetic below is the UNCHANGED Column
     // expression, now over a 2080-row local relation).
-    val mRow = base.agg(graft.functions.VecMoments.vecMoments(dims)(col("__x6")).as("__m"))
-      .select(col("__m.n"), col("__m.s"), col("__m.hi"), col("__m.lo"))
-      .collect()(0)
-    val nRows = mRow.getLong(0)
-    val sArr = mRow.getSeq[Long](1)
-    val hiArr = mRow.getSeq[Long](2)
-    val loArr = mRow.getSeq[Long](3)
+    // partial buffers per PARTITION via mapPartitions over the internal
+    // rows, merged on the driver — NOT a udaf(): Spark's typed-
+    // Aggregator path re-encodes the whole (1 + d + d(d+1)) long buffer
+    // per input row (measured 4.8 s → 160 s on q246 at sf0.1 — the r14
+    // interim bench caught it), while this shape serializes one buffer
+    // per partition. Merge is elementwise/associative (exact 128-bit
+    // adds), so partition count and order cannot change the value —
+    // the CPUS=3 gate axis pins that.
+    val agg = new graft.functions.VecMomentsAggregator(dims)
+    val partBufs = base.queryExecution.toRdd.mapPartitions { it =>
+      var buf = agg.zero
+      while (it.hasNext) {
+        buf = agg.reduce(buf, it.next().getArray(0).toLongArray())
+      }
+      Iterator.single(buf)
+    }.collect()
+    val m = partBufs.reduceLeft(agg.merge)
+    val nRows = m.n
+    val sArr = m.s
+    val hiArr = m.hi
+    val loArr = m.lo
     // empty corpus: the explode/grid forms produced zero groups — same here
     val firsts =
       if (nRows == 0) Array.empty[(Int, Long, Long)]
