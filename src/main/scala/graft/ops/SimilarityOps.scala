@@ -959,7 +959,11 @@ object SimilarityOps {
       : (Array[(Int, Long, Long)], Array[(Int, Int, Double)], Seq[(Int, Double)]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val x6arr = transform(col(vecCol), v => round(v.cast("double") * 1e6).cast("long"))
+    // r15: native one-walk banking (same arithmetic as the HOF
+    // transform it replaces — see Bank6ArrayExpression) so the single
+    // moments pass codegens instead of evaluating an interpreted
+    // lambda per element
+    val x6arr = graft.functions.AbttExprs.bank6(col(vecCol))
     val base = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
       .select(x6arr.as("__x6"))
     // ONE corpus pass for ALL moments (r14 optimization, guide §1.2
@@ -1137,9 +1141,14 @@ object SimilarityOps {
                      idCol: String, vecCol: String): DataFrame = {
     val raw = bankedVecs(corpus, state.dims, idCol, vecCol)
     // post-transform coordinates re-bank per element (≡ the exploded
-    // form's round(value·1e6) per row) — map-only, no explode
-    val post = removeTopArr(corpus, state, idCol, vecCol)
-      .select(transform(col("__y"), v => round(v * 1e6).cast("long")).as("__b6"))
+    // form's round(value·1e6) per row) — map-only, no explode. r15: the
+    // transform + re-banking is the ONE native abtt_b6 walk (the r14
+    // HOF re-bank nested the already-duplicated __y chain a second
+    // time — 256 transform copies in the committed q246 plan).
+    val (m6, v6) = abttBank(state)
+    val post = DedupOps.widen(corpus)
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === state.dims)
+      .select(graft.functions.AbttExprs.abttB6(col(vecCol), m6, v6).as("__b6"))
     meanCosine(raw, "n_raw", "cos_raw")
       .crossJoin(broadcast(meanCosine(post, "n_post", "cos_post")))
   }
@@ -1181,8 +1190,11 @@ object SimilarityOps {
     */
   private def bankedCoords(corpus: DataFrame, dims: Int,
                            idCol: String, vecCol: String): DataFrame =
+    // outer + null filter: trap #7, as in meanCosine — __b6 is always
+    // dims elements behind the size filter, so rows are identical
     bankedVecs(corpus, dims, idCol, vecCol)
-      .select(col("vec_id"), posexplode(col("__b6")).as(Seq("dim", "b6")))
+      .select(col("vec_id"), posexplode_outer(col("__b6")).as(Seq("dim", "b6")))
+      .filter(col("dim").isNotNull)
 
   /** Banked 6dp coordinates in ARRAY form (vec_id, __b6 array<long>) —
     * the r14 [[meanCosine]] input shape: everything per-vector happens
@@ -1191,7 +1203,13 @@ object SimilarityOps {
     */
   private def bankedVecs(corpus: DataFrame, dims: Int,
                          idCol: String, vecCol: String): DataFrame = {
-    val x6arr = transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long"))
+    // r15: native one-walk banking (graft.functions.Bank6ArrayExpression,
+    // arithmetic ≡ transform(vec, x => round(x·1e6).cast(long))) — the
+    // HOF form ran its lambda interpreted AND was re-inlined by
+    // CollapseProject into every downstream reference (sum_sq_long,
+    // the s2 filter, the posexplode: 3 evaluations per row in q246's raw
+    // side); the native expression evaluates once and codegens.
+    val x6arr = graft.functions.AbttExprs.bank6(col(vecCol))
     DedupOps.widen(corpus)
       .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
       .select(col(idCol).as("vec_id"), x6arr.as("__b6"))
@@ -1214,8 +1232,13 @@ object SimilarityOps {
       .select(col("__b6"), graft.functions.VectorExprs.sumSqLong(col("__b6")).as("s2"))
       .filter(col("s2") > 0)
     val n = withS2.agg(count(lit(1)).as("n"))
+    // outer + dim-null filter: plain posexplode infers size/isnotnull
+    // conditions below the Generate that re-evaluate the banking walk
+    // twice more per row (trap #7); __b6 is non-null non-empty behind
+    // s2 > 0, so rows are identical
     val u = withS2
-      .select(posexplode(col("__b6")).as(Seq("dim", "b6")), col("s2"))
+      .select(posexplode_outer(col("__b6")).as(Seq("dim", "b6")), col("s2"))
+      .filter(col("dim").isNotNull)
       .select(col("dim"),
         round(col("b6") / sqrt(col("s2").cast("double")) * lit(1e6)).cast("long").as("u6"))
     u.groupBy("dim").agg(sum("u6").as("sd"))
@@ -1255,8 +1278,14 @@ object SimilarityOps {
     */
   def removeTopComponent(corpus: DataFrame, state: PcaState,
                          idCol: String, vecCol: String): DataFrame =
+    // posexplode_outer + pos-null filter: the plain posexplode infers a
+    // size(__y) > 0 AND isnotnull(__y) filter below the Generate, which
+    // re-evaluates the abtt walk twice more per row (NOTES_r3 trap #7);
+    // __y is never null/empty behind the size === dims filter, so the
+    // outer form emits identical rows
     removeTopArr(corpus, state, idCol, vecCol)
-      .select(col("vec_id"), posexplode(col("__y")).as(Seq("pos", "value")))
+      .select(col("vec_id"), posexplode_outer(col("__y")).as(Seq("pos", "value")))
+      .filter(col("pos").isNotNull)
       .select(col("vec_id"), (col("pos") + 1).as("dim"), col("value"))
 
   /** The transform in ARRAY form (vec_id, __y array<double 6dp>) — the
@@ -1265,8 +1294,31 @@ object SimilarityOps {
     */
   private def removeTopArr(corpus: DataFrame, state: PcaState,
                            idCol: String, vecCol: String): DataFrame = {
-    val dims = state.dims
-    val (firsts, v) = (state.firsts, state.v)
+    val (m6, v6) = abttBank(state)
+    // r15: the whole bank → project → subtract walk is ONE native
+    // codegen'd expression (graft.functions.AbttTransformExpression),
+    // arithmetic replicated op-for-op from the r14 Column chain. The
+    // chain form — a 64-term reduce over element_at(__x6, ·) projected
+    // in one select and consumed in the next — was inlined by
+    // CollapseProject into 128 copies of the banking transform PER ROW
+    // (the committed q245 r14 plan), interpreted because the tree
+    // outgrew codegen: q245 4.2 s → 147 s. An opaque native expression
+    // cannot be alias-substituted, and it is the right 100 TB shape:
+    // map-only, one array walk per row, no broadcast, no literal-array
+    // re-planning.
+    DedupOps.widen(corpus)
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === state.dims)
+      .select(col(idCol).as("vec_id"),
+        graft.functions.AbttExprs.abttY(col(vecCol), m6, v6).as("__y"))
+  }
+
+  /** Per-dim banked mean and banked top-eigenvector loading as literal
+    * arrays — the [[PcaState]] → abtt parameter derivation shared by
+    * the __y and __b6 serving forms (arithmetic unchanged from r14:
+    * driver-side round6/bank6 without NaN passthrough, vMap lookup per
+    * present first-moment position).
+    */
+  private def abttBank(state: PcaState): (Array[Long], Array[Long]) = {
     def round6(x: Double): Double = {
       val f = math.abs(x) * 1e6 + 0.5
       math.signum(x) * (f - (f % 1.0)) / 1e6
@@ -1275,33 +1327,12 @@ object SimilarityOps {
       val f = math.abs(x) * 1e6 + 0.5
       (math.signum(x) * (f - (f % 1.0))).toLong
     }
-    val vMap = v.toMap
-    // per-dim banked mean (the embeddingStats mean arithmetic) and
-    // banked loading, as both a broadcast table and literal arrays
-    val mv = firsts.map { case (pos, n, s) =>
-      (pos, bank6(round6(s.toDouble / n.toDouble / 1e6)), bank6(vMap(pos)))
-    }
-    val x6arr = transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long"))
-    val byPos = mv.map { case (pos, m6, v6) => pos -> ((m6, v6)) }.toMap
-    val p12expr = (0 until dims).map { i =>
-      (element_at(col("__x6"), i + 1) - byPos(i)._1) * byPos(i)._2
-    }.reduce(_ + _)
-    // r14: the transform runs per ROW over the banked array (m6/v6 as
-    // literal arrays indexed by the lambda position) instead of
-    // posexplode → broadcast-join on pos → per-exploded-row projection;
-    // the per-element arithmetic is the unchanged Column chain, so the
-    // long form [[removeTopComponent]] explodes at the very end with
-    // identical values and the array consumers never explode at all.
-    val m6Lit = lit((0 until dims).map(i => byPos(i)._1).toArray)
-    val v6Lit = lit((0 until dims).map(i => byPos(i)._2).toArray)
-    DedupOps.widen(corpus)
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
-      .select(col(idCol).as("vec_id"), x6arr.as("__x6"))
-      .select(col("vec_id"), col("__x6"), p12expr.as("__p12")) // p12 once per row
-      .select(col("vec_id"),
-        transform(col("__x6"), (x6e, i) =>
-          round((x6e - element_at(m6Lit, i + 1)) / lit(1e6)
-            - (col("__p12") / lit(1e12)) * (element_at(v6Lit, i + 1) / lit(1e6)), 6)).as("__y"))
+    val vMap = state.v.toMap
+    val byPos = state.firsts.map { case (pos, n, s) =>
+      pos -> ((bank6(round6(s.toDouble / n.toDouble / 1e6)), bank6(vMap(pos))))
+    }.toMap
+    ((0 until state.dims).map(i => byPos(i)._1).toArray,
+      (0 until state.dims).map(i => byPos(i)._2).toArray)
   }
 
   /** Source-centroid cosine similarity matrix: per-source mean
