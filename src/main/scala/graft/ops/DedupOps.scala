@@ -693,13 +693,24 @@ object DedupOps {
       .withColumn("uni", (size(col("codes_a")) + size(col("codes_b"))).cast("double") - col("inter"))
       .select(col("id_a"), col("id_b"),
         round(when(col("uni") > 0, col("inter") / col("uni")).otherwise(0.0), 4).as("jaccard"))
+    // r15 (guide §2.3, the imageHashNearDup restructure): per-image
+    // band vectors aggregated once per side, Hamming as a map-side
+    // array fold per candidate pair — replaces the band-granularity
+    // double join + (id_a, id_b, jaccard)-keyed aggregate over the 8×
+    // fan-out. Same xor/bit_count terms, order-free integer adds.
+    def bandVecs(bands: DataFrame, idAs: String, vecAs: String): DataFrame =
+      bands.groupBy(col(bandIdCol))
+        .agg(transform(array_sort(collect_list(struct(col("band"), col("byte")))),
+          s => s.getField("byte")).as(vecAs))
+        .select(col(bandIdCol).as(idAs), col(vecAs))
+    val hammingExpr = aggregate(
+      zip_with(col("__bva"), col("__bvb"),
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v).cast("int")
     val scored = withJac
-      .join(newBands.select(col(bandIdCol).as("id_a"), col("band"), col("byte").as("byte_a")),
-        Seq("id_a"))
-      .join(corpusBands.select(col(bandIdCol).as("id_b"), col("band"), col("byte").as("byte_b")),
-        Seq("id_b", "band"))
-      .groupBy("id_a", "id_b", "jaccard")
-      .agg(sum(bit_count(col("byte_a").bitwiseXOR(col("byte_b")))).cast("int").as("hamming"))
+      .join(bandVecs(newBands, "id_a", "__bva"), Seq("id_a"))
+      .join(bandVecs(corpusBands, "id_b", "__bvb"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"), hammingExpr.as("hamming"))
     val passes = col("jaccard") >= jaccardThreshold && col("hamming") <= maxHamming
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id_a").orderBy(passes.desc, col("jaccard").desc,

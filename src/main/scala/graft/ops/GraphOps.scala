@@ -312,7 +312,8 @@ object GraphOps {
     * degree (≥ k by definition).
     */
   def kCore(edges: DataFrame, k: Int = 3, maxRounds: Int = 8,
-            srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+            srcCol: String = "id_a", dstCol: String = "id_b",
+            driverThreshold: Long = 1000000L): DataFrame = {
     require(k >= 1, s"kCore needs k >= 1, got $k")
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
@@ -324,21 +325,62 @@ object GraphOps {
       .distinct()
       .localCheckpoint(true)
     var prev = e.count()
-    var converged = prev == 0L
-    var round = 0
-    while (!converged && round < maxRounds) {
-      round += 1
-      val keep = degrees(e).filter(col("deg") >= k).select("v")
-      e = e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
-        .select("a", "b")
-        .localCheckpoint(true)
-      val n = e.count()
-      converged = n == prev
-      prev = n
+    if (prev <= driverThreshold) {
+      // r15: driver peeling below the [[connectedComponents]]
+      // driverThreshold (~16 bytes/edge collected) — the distributed
+      // loop pays (degree aggregate + two semi-joins + checkpoint +
+      // count) PER ROUND, ~60 driver-gated jobs at maxRounds 12, for a
+      // fixpoint the driver computes in microseconds on a graph this
+      // size. Same arithmetic round-for-round (degree filter >= k on
+      // the canonical distinct edge set), same unique fixpoint, same
+      // REFUSE-on-budget discipline — only the executor round-trips
+      // disappear. The scale path above the threshold is unchanged.
+      val spark = edges.sparkSession
+      var es: Array[(Any, Any)] = e.collect().map(r => (r.get(0), r.get(1)))
+      var converged = es.isEmpty
+      var round = 0
+      while (!converged && round < maxRounds) {
+        round += 1
+        val deg = scala.collection.mutable.HashMap.empty[Any, Long]
+        es.foreach { case (a, b) =>
+          deg(a) = deg.getOrElse(a, 0L) + 1L
+          deg(b) = deg.getOrElse(b, 0L) + 1L
+        }
+        val next = es.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+        converged = next.length == es.length
+        es = next
+      }
+      require(converged, s"kCore: no fixpoint after $maxRounds rounds (raise maxRounds)")
+      val deg = scala.collection.mutable.HashMap.empty[Any, Long]
+      es.foreach { case (a, b) =>
+        deg(a) = deg.getOrElse(a, 0L) + 1L
+        deg(b) = deg.getOrElse(b, 0L) + 1L
+      }
+      val idType = e.schema("a").dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("deg", org.apache.spark.sql.types.LongType,
+          nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          deg.toSeq.map { case (v, d) => org.apache.spark.sql.Row(v, d) }, 1), schema)
+    } else {
+      var converged = prev == 0L
+      var round = 0
+      while (!converged && round < maxRounds) {
+        round += 1
+        val keep = degrees(e).filter(col("deg") >= k).select("v")
+        e = e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+          .select("a", "b")
+          .localCheckpoint(true)
+        val n = e.count()
+        converged = n == prev
+        prev = n
+      }
+      require(converged, s"kCore: no fixpoint after $maxRounds rounds (raise maxRounds)")
+      degrees(e).select(col("v").as("id"), col("deg"))
     }
-    require(converged, s"kCore: no fixpoint after $maxRounds rounds (raise maxRounds)")
-    degrees(e).select(col("v").as("id"), col("deg"))
   }
 
   /** Triangle census of an undirected graph — the density diagnostic of

@@ -277,11 +277,27 @@ object MultimodalOps {
     val cand = a.join(b, Seq("band", "byte"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val ba = bands.select(col(idCol).as("id_a"), col("band"), col("byte").as("byte_a"))
-    val bb = bands.select(col(idCol).as("id_b"), col("band"), col("byte").as("byte_b"))
-    cand.join(ba, Seq("id_a")).join(bb, Seq("id_b", "band"))
-      .groupBy("id_a", "id_b")
-      .agg(sum(bit_count(col("byte_a").bitwiseXOR(col("byte_b")))).cast("int").as("hamming"))
+    // r15 (guide §2.3 — shuffle pair-level rows, not band-level): the
+    // old verify re-joined each candidate pair to BOTH band tables at
+    // band granularity (8 rows per pair crossing two exchanges) and
+    // paid a (id_a, id_b)-keyed aggregate over that fan-out. The band
+    // vector per image is 8 bytes — aggregate it ONCE per image
+    // (band-ordered via the sorted struct collect), then the Hamming
+    // distance is a map-side array fold per pair: two pair-level joins,
+    // no post-join aggregate. Same 8 xor/bit_count terms, integer adds
+    // (order-free) — values identical, MultimodalSpec + the q106 oracle
+    // pin it.
+    val vecs = bands.groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("band"), col("byte")))),
+        s => s.getField("byte")).as("__bv"))
+    val hamming = aggregate(
+      zip_with(col("__bva"), col("__bvb"),
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v).cast("int")
+    cand
+      .join(vecs.select(col(idCol).as("id_a"), col("__bv").as("__bva")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col("__bv").as("__bvb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -1554,24 +1554,42 @@ object SimilarityOps {
                                   minDriftCos: Double, dims: Int, docIdCol: String,
                                   vecIdCol: String, srcCol: String,
                                   vecCol: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val drift = snapshotCentroidDrift(docsA, docsB, emb, dims, docIdCol,
       vecIdCol, srcCol, vecCol)
-    val stableSrcs = drift.filter(col("drift_cosine") >= minDriftCos)
-      .select(col(srcCol)).collect().map(_.getString(0)).toSet
-    val bSrcs = docsB.select(col(srcCol)).distinct()
-      .collect().map(_.getString(0)).toSet
+    // r15: the two gate reads are INDEPENDENT driver-blocking jobs —
+    // overlap them (guide §2.6, concurrent independent jobs). Each
+    // job's result is unchanged by concurrency; only the idle driver
+    // wait between them disappears.
+    val stableSrcsF = Future(drift.filter(col("drift_cosine") >= minDriftCos)
+      .select(col(srcCol)).collect().map(_.getString(0)).toSet)
+    val bSrcsF = Future(docsB.select(col(srcCol)).distinct()
+      .collect().map(_.getString(0)).toSet)
+    val stableSrcs = Await.result(stableSrcsF, Duration.Inf)
+    val bSrcs = Await.result(bSrcsF, Duration.Inf)
     val refreshSrcs = bSrcs -- stableSrcs
     val serveSrcs = stableSrcs intersect bSrcs
     val corpusB = emb
       .join(docsB.select(col(docIdCol).as(vecIdCol), col(srcCol)), Seq(vecIdCol))
       .filter(col(vecCol).isNotNull)
-    def branch(srcs: Set[String], onA: Boolean): DataFrame =
+    def branch(srcs: Set[String], cs: Array[Array[Double]], onA: Boolean): DataFrame =
       corpusB.filter(col(srcCol).isin(srcs.toSeq: _*))
-        .select(col(vecIdCol), col(srcCol), assignCell(cents(onA), vecCol).as("cell"),
+        .select(col(vecIdCol), col(srcCol), assignCell(cs, vecCol).as("cell"),
           lit(!onA).as("refreshed"))
-    if (refreshSrcs.isEmpty) branch(serveSrcs, onA = true)
-    else if (serveSrcs.isEmpty) branch(refreshSrcs, onA = false)
-    else branch(serveSrcs, onA = true).unionByName(branch(refreshSrcs, onA = false))
+    if (refreshSrcs.isEmpty) branch(serveSrcs, cents(true), onA = true)
+    else if (serveSrcs.isEmpty) branch(refreshSrcs, cents(false), onA = false)
+    else {
+      // both branches live: their trainings are independent Lloyd runs
+      // on disjoint responsibilities — overlap them too (each is a
+      // chain of small driver-gated jobs; serialized they idle half
+      // the cluster per phase)
+      val aF = Future(cents(true))
+      val bF = Future(cents(false))
+      branch(serveSrcs, Await.result(aF, Duration.Inf), onA = true)
+        .unionByName(branch(refreshSrcs, Await.result(bF, Duration.Inf), onA = false))
+    }
   }
 
   /** Rank-biased overlap between two ranked lists per query: RBO@k

@@ -157,7 +157,8 @@ object SuffixArrayOps {
       .localCheckpoint(true)
     var k = 1L
     var rounds = 0
-    while (k < maxLen && rounds < maxRounds) {
+    var settled = false
+    while (!settled && k < maxLen && rounds < maxRounds) {
       val shifted = cur.select(col("did"), (col("p") - k).as("p"), col("rank").as("_r2"))
       val paired = cur.withColumnRenamed("rank", "_r1")
         .join(shifted, Seq("did", "p"), "left")
@@ -167,6 +168,18 @@ object SuffixArrayOps {
         .localCheckpoint(true)
       k *= 2
       rounds += 1
+      // r15 early exit (guide §1.2 step 1 — don't run passes whose
+      // output is already final): once every rank is UNIQUE the order
+      // is total, and each further doubling ranks by (_r1, _r2) pairs
+      // whose first components are already all-distinct — the identity.
+      // Natural text diverges in a few tokens, so this typically halves
+      // the log2(maxLen) round count; the check is one bounded
+      // aggregate on the just-checkpointed frame vs a full
+      // sort + two RDD passes + checkpoint per skipped round.
+      if (k < maxLen && rounds < maxRounds) {
+        val d = cur.agg(countDistinct(col("rank")), count(lit(1))).head()
+        settled = d.getLong(0) == d.getLong(1)
+      }
     }
     cur.filter(col("p") < col("n_real")) // drop the sentinel-only suffixes
       .select((col("rank") - nDocs).as("rank"), col("did").as(idCol), col("p").as("pos"))

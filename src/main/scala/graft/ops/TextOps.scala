@@ -2750,7 +2750,17 @@ object TextOps {
       .select(col(idCol), instr(lower(col(textCol)), p).as("first_pos"))
     if (p.length < 3) return verify.filter(col("first_pos") > 0)
     val grams = p.sliding(3).toSeq.distinct
-    val cand = trigramPostings(docs, idCol, textCol)
+    // r15 pre-screen (guide §2.3 — cut work before the exchange): a doc
+    // can only be a candidate if it CONTAINS every pattern gram, and
+    // for 3-char grams `contains` ≡ gram ∈ the doc's distinct-trigram
+    // set, so this map-only conjunction passes EXACTLY the candidate
+    // set. The posting-list build (L−2 substrings + array_distinct +
+    // explode per doc) and the hit-count exchange then run over true
+    // candidates only instead of the whole corpus — the same
+    // no-false-negative screen a prebuilt index's posting read gives.
+    val screened = docs.filter(col(textCol).isNotNull)
+      .filter(grams.map(g => lower(col(textCol)).contains(g)).reduce(_ && _))
+    val cand = trigramPostings(screened, idCol, textCol)
       .filter(col("gram").isin(grams: _*))
       .groupBy(idCol).agg(count(lit(1)).as("__hits")) // postings are distinct per doc
       .filter(col("__hits") === grams.size)
