@@ -71,6 +71,35 @@ object Stress {
         f"autok=${SimilarityOps.semDedupK(n10, 1024)} auto_time=$tA%.1fs auto_cellpairs=$pA%.3e auto_maxcell=$mxA")
     }
 
+    // r15 (round-14 verdict #9): scaling exponent of the r14/r15
+    // native byte-walk families on a ×x corpus — the per-row wins are
+    // map-only, so wall time should track rows ~linearly (exponent ≈ 1
+    // on log-ratio); anything super-linear would mean a hidden
+    // corpus-sized shuffle crept into the "map-only" paths.
+    if (which == "walks") {
+      import graft.ops.{TextOps, UrlOps}
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "source", "text")
+      val docsX = (0 until x).map { i =>
+        docs.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          col("source"), col("text"))
+      }.reduce(_ unionByName _)
+      docsX.write.mode("overwrite").parquet("/tmp/graft_stress_walks")
+      val big = spark.read.parquet("/tmp/graft_stress_walks")
+      def noopTime(df: DataFrame): Double =
+        time(df.write.format("noop").mode("overwrite").save())._2
+      def run(label: String, f: DataFrame => DataFrame): Unit = {
+        noopTime(f(docs)) // warm both shapes (codegen, page cache)
+        noopTime(f(big))
+        val t1 = noopTime(f(docs))
+        val tX = noopTime(f(big))
+        val exp = math.log(tX / t1) / math.log(x.toDouble)
+        println(f"STRESS_WALKS $label x$x base=$t1%.2fs big=$tX%.2fs exponent=$exp%.2f")
+      }
+      run("html_extract", d => TextOps.htmlExtract(graft.OpsEntries.htmlFixture(d)))
+      run("url_normalize", d => UrlOps.urlNormalize(graft.OpsEntries.urlFixture(d)))
+    }
+
     if (which == "pack" || which == "all") {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       (0 until x).map { i =>

@@ -75,11 +75,21 @@ object UrlNorm extends Serializable {
     sb.toString
   }
 
-  /** The static tracking kill (trackingRe, RE2 semantics): key is the
-    * prefix before '='; killed iff the key is `utm_*` (any non-=&
-    * tail) or one of the click ids, AND the value (when present)
-    * carries no '\n' (RE2 `.` stops at a line feed, so such params
-    * survive the regex and must survive here).
+  /** The static tracking kill (trackingRe): key is the prefix before
+    * '='; killed iff the key is `utm_*` (any non-=& tail) or one of
+    * the click ids, AND the value (when present) carries no '\n'
+    * (RE2 `.` stops at a line feed, so such params survive the regex
+    * and must survive here).
+    *
+    * SEMANTICS NOTE (r14 advice): RE2 — the DuckDB oracle's engine —
+    * is CANONICAL for this walk. The retained `urlNormalizeRegex`
+    * Column chain runs through java.util.regex, which differs on line
+    * terminators inside a VALUE: java `$` also matches before a final
+    * '\n' (so `gclid=x\n` IS killed by the chain but kept here and by
+    * the oracle), and java `.` additionally excludes \r/U+0085/U+2028/
+    * U+2029 (so `gclid=a\rb` is kept by the chain but killed here and
+    * by the oracle). The native/oracle behavior is the declared one;
+    * UrlNormSpec pins both divergent fixtures explicitly.
     */
   private val killKeys = java.util.Set.of(
     "fbclid", "gclid", "msclkid", "mc_eid", "igshid", "yclid", "_hsenc", "_hsmi")

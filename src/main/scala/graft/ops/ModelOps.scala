@@ -48,6 +48,19 @@ object ModelOps {
         lit(-1).as("b"), lit(1.0).as("x")))
   }
 
+  /** [[hashedFeatures]] regrouped per doc: (__id, __y, farr) with
+    * `farr` the bucket-sorted (b, x) structs, bias (−1, 1.0) first.
+    * Exactly the same rows (built FROM hashedFeatures, so the x
+    * arithmetic cannot drift), shaped so margins fold map-side against
+    * a literal weight array instead of paying a doc-keyed aggregate
+    * plus a doc-keyed error join per GD step.
+    */
+  private[ops] def hashedFeatureArrays(labeled: DataFrame, buckets: Int,
+                                       seed: Long): DataFrame =
+    hashedFeatures(labeled, buckets, seed)
+      .groupBy("__id", "__y")
+      .agg(sort_array(collect_list(struct(col("b"), col("x")))).as("farr"))
+
   /** Full-batch gradient-descent logistic regression over hashed
     * unigram features — the quality/domain classifier of the
     * fastText-filtering recipe (cf. CCNet / GPT-3's WebText classifier)
@@ -86,7 +99,8 @@ object ModelOps {
     import spark.implicits._
     val feats = trainFeatures(docs, labelExpr, buckets, seed, idCol, textCol)
     try {
-      val nDocs = feats.filter(col("b") === -1).count()
+      // one row per tokened doc in the array form — ≡ the bias-row count
+      val nDocs = feats.count()
       require(nDocs > 0, "logRegTrain: no docs with tokens to train on")
       var w: Seq[(Int, Double)] = (-1 until buckets).map(b => b -> 0.0)
       for (_ <- 1 to iters)
@@ -97,35 +111,60 @@ object ModelOps {
 
   /** One GD step: returns the new rounded weights (see [[logRegTrain]]
     * for the banking contract).
+    *
+    * r15 shape: the margin is a map-side array fold against the
+    * weights as a LITERAL array (index b+2, bias at slot 1) — the old
+    * row form paid a doc-keyed aggregate for the margin plus a
+    * doc-keyed join to bring errors back onto the features, i.e. two
+    * corpus-sized exchanges per step where the gradient's single
+    * bucket-keyed aggregate is the only one the arithmetic needs. The
+    * weight update runs on the driver over the collected `buckets`+1
+    * gradient rows with the identical expression (binary round6
+    * replicated — the pcaTrace precedent). Terms and banking are
+    * unchanged: m9 adds the same per-bucket longs (order-free), g6
+    * sums the same per-doc longs, null labels still contribute null
+    * err terms that the sum skips.
     */
   private def logRegStep(feats: DataFrame, w: Seq[(Int, Double)],
                          nDocs: Long, lr: Double): Seq[(Int, Double)] = {
-    val spark = feats.sparkSession
-    import spark.implicits._
-    val wDf = broadcast(w.toDF("b", "w"))
-    val err = feats.join(wDf, Seq("b"))
-      .groupBy("__id", "__y")
-      .agg(sum(round(col("w") * col("x") * 1e9).cast("long")).as("m9"))
-      .select(col("__id"),
-        (col("__y") - round(lit(1.0) / (lit(1.0) + exp(-col("m9") / 1e9)), 6)).as("err"))
-    val grads = feats.join(err, Seq("__id"))
-      .groupBy("b").agg(sum(round(col("err") * col("x") * 1e6).cast("long")).as("g6"))
-    wDf.join(grads, Seq("b"), "left")
-      .select(col("b"),
-        round(col("w") + lit(lr) * (coalesce(col("g6"), lit(0L)) / 1e6) / nDocs, 6).as("w"))
-      .collect() // buckets+1 rows — the bounded driver read of the loop
-      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+    val wArr: Array[Double] = {
+      val m = w.toMap
+      Array.tabulate(m.size)(i => m(i - 1)) // index = b + 1 (bias b = -1 first)
+    }
+    val wLit = lit(wArr)
+    val m9 = aggregate(col("farr"), lit(0L), (acc, s) =>
+      acc + round(element_at(wLit, s.getField("b") + 2) * s.getField("x") * 1e9).cast("long"))
+    val err = (col("__y") - round(lit(1.0) / (lit(1.0) + exp(-col("m9") / 1e9)), 6)).as("err")
+    val gMap = feats
+      .select(col("__y"), col("farr"), m9.as("m9"))
+      .select(err, explode(col("farr")).as("s"))
+      .groupBy(col("s.b").as("b"))
+      .agg(sum(round(col("err") * col("s.x") * 1e6).cast("long")).as("g6"))
+      .collect() // ≤ buckets+1 rows — the bounded driver read of the loop
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def round6(x: Double): Double = {
+      val f = math.abs(x) * 1e6 + 0.5
+      math.signum(x) * (f - (f % 1.0)) / 1e6
+    }
+    w.map { case (b, wv) =>
+      b -> round6(wv + lr * (gMap.getOrElse(b, 0L).toDouble / 1e6) / nDocs.toDouble)
+    }
   }
 
-  /** Labeled, checkpointed feature table for a training frame. */
+  /** Labeled, checkpointed ARRAY-FORM feature table for a training
+    * frame: one row per tokened doc, `farr` = bucket-sorted
+    * (b, x) structs with the bias (−1, 1.0) appended — exactly the
+    * rows of [[hashedFeatures]] regrouped per doc, so margins fold
+    * map-side and only the gradient aggregate ever shuffles.
+    */
   private def trainFeatures(docs: DataFrame, labelExpr: Column, buckets: Int,
                             seed: Long, idCol: String, textCol: String): DataFrame =
-    hashedFeatures(
+    hashedFeatureArrays(
       docs.filter(col(textCol).isNotNull)
         .select(col(idCol).as("__id"), labelExpr.cast("int").as("__y"),
           col(textCol).as("__text")),
       buckets, seed)
-      .localCheckpoint(true) // read 2× per iteration (margin + gradient)
+      .localCheckpoint(true) // read once per iteration + the doc count
 
   /** Train on the `idCol % holdoutMod != 0` split, score the held-out
     * split — the leak-free evaluation run of [[logRegTrain]]. Output
@@ -143,17 +182,24 @@ object ModelOps {
                    textCol: String = "text"): DataFrame = {
     val train = docs.filter(pmod(col(idCol), lit(holdoutMod)) =!= 0)
     val test = docs.filter(pmod(col(idCol), lit(holdoutMod)) === 0)
-    val w = broadcast(
-      logRegTrain(train, labelExpr, buckets, iters, lr, seed, idCol, textCol)
-        .withColumnRenamed("bucket", "b").withColumnRenamed("weight", "w"))
-    val testFeats = hashedFeatures(
+    // r15: weights as a literal array (65 doubles), scoring as the same
+    // map-side margin fold the training step uses — no weight join, no
+    // doc-keyed aggregate (same m9 terms, order-free long adds)
+    val wArr: Array[Double] = {
+      val m = logRegTrain(train, labelExpr, buckets, iters, lr, seed, idCol, textCol)
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      Array.tabulate(m.size)(i => m(i - 1)) // index = b + 1
+    }
+    val wLit = lit(wArr)
+    val m9 = aggregate(col("farr"), lit(0L), (acc, s) =>
+      acc + round(element_at(wLit, s.getField("b") + 2) * s.getField("x") * 1e9).cast("long"))
+    val testFeats = hashedFeatureArrays(
       test.filter(col(textCol).isNotNull)
         .select(col(idCol).as("__id"), labelExpr.cast("int").as("__y"),
           col(textCol).as("__text")),
       buckets, seed)
-    testFeats.join(w, Seq("b"))
-      .groupBy("__id", "__y")
-      .agg(sum(round(col("w") * col("x") * 1e9).cast("long")).as("m9"))
+    testFeats
+      .select(col("__id"), col("__y"), m9.as("m9"))
       .select(col("__id").as(idCol),
         round(lit(1.0) / (lit(1.0) + exp(-col("m9") / 1e9)), 6).as("p"),
         when(col("__y") === 1, "pos").otherwise("neg").as("true_label"))

@@ -116,4 +116,26 @@ class UrlNormSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("CR/LF in a tracking-param VALUE: RE2/oracle semantics are canonical " +
+    "(declared divergence from the java.util.regex chain)") {
+    // trackingKilled's scaladoc (r14 advice): RE2 '.' stops at '\n'
+    // ONLY — a value containing '\n' survives the kill (java '$' would
+    // also match before a FINAL \n, killing it), while \r/U+0085/
+    // U+2028/U+2029 do NOT protect a value (java '.' excludes them,
+    // so the chain keeps those params). The native walk and the DuckDB
+    // oracle agree; these fixtures pin the declared side.
+    val df = Seq(
+      (0L, "http://h/x?gclid=x\n&keep=1"),   // \n in value -> param KEPT
+      (1L, "http://h/x?gclid=a\rb&keep=1"),  // \r in value -> param KILLED
+      (2L, "http://h/x?gclid=a\u0085b"),     // NEL in value -> KILLED
+      (3L, "http://h/x?utm_source=a\u2028b") // LS in value -> KILLED
+    ).toDF("doc_id", "url")
+    val got = UrlOps.urlNormalize(df)
+      .orderBy("doc_id").select("url_norm").collect().map(_.getString(0)).toSeq
+    assert(got(0).contains("gclid=x"), s"LF value must survive: ${got(0)}")
+    assert(!got(1).contains("gclid"), s"CR value must be killed: ${got(1)}")
+    assert(!got(2).contains("gclid"), s"NEL value must be killed: ${got(2)}")
+    assert(!got(3).contains("utm_source"), s"LS value must be killed: ${got(3)}")
+  }
 }
